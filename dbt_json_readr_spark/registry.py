@@ -1,0 +1,36 @@
+"""Central registry mapping SURVEY.md §2 keys → (spark_fn, oracle_sql).
+
+`__spark_entry__.py` re-exports this for the driver; tests iterate it for
+oracle-parity checks.  Oracle value of ``None`` marks a rows-only check
+(non-SQL-expressible op).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .plans import tpch
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(key: str, fn: QueryFn, oracle: str | None) -> None:
+    _REGISTRY[key] = (fn, oracle)
+
+
+register("q1_pricing_summary", tpch.q1_pricing_summary, tpch.Q1_SQL)
+register("q3_shipping_priority", tpch.q3_shipping_priority, tpch.Q3_SQL)
+register("q5_region_revenue", tpch.q5_region_revenue, tpch.Q5_SQL)
+register("q6_forecast_revenue", tpch.q6_forecast_revenue, tpch.Q6_SQL)
+
+
+def queries() -> dict[str, QueryFn]:
+    return {k: fn for k, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {k: sql for k, (_, sql) in _REGISTRY.items() if sql is not None}

@@ -1,0 +1,38 @@
+"""SparkSession factory tuned for local[N] testing but configured the way
+a 1000-executor cluster job would be (AQE on, UTC, Arrow, sane shuffle
+parallelism).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "dbt_json_readr_spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def prep(spark: SparkSession) -> SparkSession:
+    """Pin runtime-settable confs on a session we did not create (the
+    driver passes its own).  Idempotent; called at the top of every
+    query entry point so results are timezone/ansi-stable regardless of
+    who built the session."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
