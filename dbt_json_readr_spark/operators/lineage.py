@@ -1,0 +1,71 @@
+"""DAG lineage over dbt depends_on edges (SURVEY.md §2 A12-A13).
+
+The reference exposes the raw edge list (parse_depends_on,
+explore.R:98-128); the queries you run on it are ancestry/closure ones.
+Spark-first design: iterative self-join (one shuffle per DAG level) with
+a frontier set so each iteration only extends the newly-found paths;
+early-exit when the frontier drains.  At lake scale the iteration count
+is the DAG depth (dbt graphs: < 30), and each step is a hash join on
+``ancestor`` — AQE picks broadcast when the frontier is small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def transitive_closure(edges: DataFrame, max_iters: int = 30) -> DataFrame:
+    """edges(child_unique_id, parent_unique_id) → (descendant, ancestor,
+    depth) for every path, depth = path length; exact-triple dedup keeps
+    iteration finite on DAGs."""
+    base = edges.select(
+        F.col("child_unique_id").alias("descendant"),
+        F.col("parent_unique_id").alias("ancestor"),
+        F.lit(1).alias("depth"),
+    ).distinct()
+    closure = base.persist()
+    frontier = closure
+    for _ in range(max_iters):
+        grown = (
+            frontier.alias("f")
+            .join(base.alias("e"), F.col("f.ancestor") == F.col("e.descendant"))
+            .select(
+                F.col("f.descendant").alias("descendant"),
+                F.col("e.ancestor").alias("ancestor"),
+                (F.col("f.depth") + 1).alias("depth"),
+            )
+            .distinct()
+        )
+        new = grown.join(
+            closure, on=["descendant", "ancestor", "depth"], how="left_anti"
+        ).persist()
+        if new.isEmpty():
+            break
+        closure = closure.union(new).persist()
+        frontier = new
+    return closure
+
+
+def lineage_closure(edges: DataFrame) -> DataFrame:
+    """(descendant, ancestor, min path length) — 'does A depend on B, how
+    directly'."""
+    return (
+        transitive_closure(edges)
+        .groupBy("descendant", "ancestor")
+        .agg(F.min("depth").cast("int").alias("depth"))
+    )
+
+
+def lineage_depth(all_nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Topological depth per node: longest path to any ancestor, 0 for
+    roots.  This is dbt's scheduling level."""
+    depths = (
+        transitive_closure(edges)
+        .groupBy("descendant")
+        .agg(F.max("depth").cast("int").alias("depth"))
+    )
+    return (
+        all_nodes.join(depths, all_nodes.unique_id == depths.descendant, "left")
+        .select("unique_id", F.coalesce("depth", F.lit(0)).cast("int").alias("depth"))
+    )

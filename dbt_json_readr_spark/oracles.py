@@ -1,0 +1,390 @@
+"""Independent DuckDB oracles for the dbt-artifact queries (A1-A13).
+
+These re-derive the expected flat tables from the SAME fixture JSON using
+only the Python stdlib (``json``/``hashlib``) — no Spark, no shared code
+with ``sources/artifacts.py`` — and render them as typed ``VALUES``
+literals DuckDB can execute.  A Spark-parser bug therefore cannot leak
+into its own oracle.  Lineage closure/depth are computed with a plain
+BFS here vs. iterative joins on the Spark side: two independent
+algorithms that must agree.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from datetime import datetime
+from pathlib import Path
+
+FIXTURE_TARGET = Path(__file__).resolve().parents[1] / "tests" / "fixtures" / "dbt" / "target"
+
+
+def _lit(v, typ: str) -> str:
+    if v is None:
+        return f"CAST(NULL AS {typ})"
+    if typ == "BOOLEAN":
+        return "CAST(TRUE AS BOOLEAN)" if v else "CAST(FALSE AS BOOLEAN)"
+    if typ in ("BIGINT", "INTEGER"):
+        return f"CAST({int(v)} AS {typ})"
+    if typ == "DOUBLE":
+        return f"CAST({float(v)!r} AS DOUBLE)"
+    if typ == "TIMESTAMP":
+        if isinstance(v, str):
+            v = datetime.fromisoformat(v.replace("Z", "+00:00"))
+        return f"TIMESTAMP '{v.strftime('%Y-%m-%d %H:%M:%S')}'"
+    s = str(v).replace("'", "''")
+    return f"CAST('{s}' AS VARCHAR)"
+
+
+def _values_sql(cols: list[tuple[str, str]], rows: list[tuple]) -> str:
+    names = ", ".join(f'"{c}"' for c, _ in cols)
+    if not rows:
+        preds = " AND ".join(f'"{c}" IS NOT NULL' for c, _ in cols[:1])
+        one = ", ".join(_lit(None, t) for _, t in cols)
+        return f"SELECT * FROM (VALUES ({one})) AS t({names}) WHERE {preds}"
+    body = ",\n  ".join(
+        "(" + ", ".join(_lit(v, t) for v, (_, t) in zip(r, cols)) + ")" for r in rows
+    )
+    return f"SELECT * FROM (VALUES\n  {body}) AS t({names})"
+
+
+def _load(name: str, target: Path = FIXTURE_TARGET) -> dict:
+    return json.loads((target / name).read_text())
+
+
+FLAT_COLS = [
+    ("unique_id", "VARCHAR"),
+    ("manifest_group", "VARCHAR"),
+    ("resource_type", "VARCHAR"),
+    ("database", "VARCHAR"),
+    ("schema", "VARCHAR"),
+    ("name", "VARCHAR"),
+    ("description", "VARCHAR"),
+    ("is_enabled", "BOOLEAN"),
+    ("materialized_as", "VARCHAR"),
+    ("sha256", "VARCHAR"),
+    ("n_depends_on", "INTEGER"),
+    ("n_columns", "INTEGER"),
+]
+
+
+def _node_rows(m: dict) -> list[tuple]:
+    rows = []
+    for n in m["nodes"].values():
+        cs = n.get("checksum") or {}
+        dep = n.get("depends_on") or {}
+        rows.append(
+            (
+                n["unique_id"],
+                "nodes",
+                n["resource_type"],
+                n["database"],
+                n["schema"],
+                n.get("alias") or n["name"],
+                n["description"],
+                n["config"]["enabled"],
+                n["config"]["materialized"],
+                cs.get("checksum") if cs.get("name") == "sha256" else None,
+                len(dep.get("nodes", [])) + len(dep.get("macros", [])),
+                len(n.get("columns") or {}),
+            )
+        )
+    return rows
+
+
+def _source_rows(m: dict) -> list[tuple]:
+    return [
+        (
+            s["unique_id"],
+            "sources",
+            s["resource_type"],
+            s["database"],
+            s["schema"],
+            s["identifier"],
+            s["description"],
+            s["config"]["enabled"],
+            None,
+            None,
+            0,
+            len(s.get("columns") or {}),
+        )
+        for s in m["sources"].values()
+    ]
+
+
+def _macro_rows(m: dict) -> list[tuple]:
+    rows = []
+    for mc in m["macros"].values():
+        dep = mc.get("depends_on") or {}
+        rows.append(
+            (
+                mc["unique_id"],
+                "macros",
+                mc["resource_type"],
+                None,
+                None,
+                mc["name"],
+                mc["description"],
+                None,
+                None,
+                hashlib.sha256(mc["macro_sql"].encode()).hexdigest(),
+                len(dep.get("nodes", [])) + len(dep.get("macros", [])),
+                0,
+            )
+        )
+    return rows
+
+
+def dbt_manifest_nodes() -> str:
+    return _values_sql(FLAT_COLS, _node_rows(_load("manifest.json")))
+
+
+def dbt_manifest_sources() -> str:
+    return _values_sql(FLAT_COLS, _source_rows(_load("manifest.json")))
+
+
+def dbt_manifest_macros() -> str:
+    return _values_sql(FLAT_COLS, _macro_rows(_load("manifest.json")))
+
+
+def dbt_manifest_unified() -> str:
+    m = _load("manifest.json")
+    return _values_sql(FLAT_COLS, _node_rows(m) + _source_rows(m) + _macro_rows(m))
+
+
+def dbt_manifest_columns() -> str:
+    m = _load("manifest.json")
+    cols = [
+        ("unique_id", "VARCHAR"),
+        ("manifest_group", "VARCHAR"),
+        ("column_name", "VARCHAR"),
+        ("description", "VARCHAR"),
+        ("data_type", "VARCHAR"),
+        ("tags_csv", "VARCHAR"),
+    ]
+    rows = []
+    for group in ("nodes", "sources"):
+        for n in m[group].values():
+            for c in (n.get("columns") or {}).values():
+                rows.append(
+                    (
+                        n["unique_id"],
+                        group,
+                        c["name"],
+                        c["description"],
+                        c["data_type"],
+                        ",".join(c.get("tags") or []),
+                    )
+                )
+    return _values_sql(cols, rows)
+
+
+def _edge_rows(m: dict) -> list[tuple]:
+    rows = []
+    for group in ("nodes", "macros"):
+        for n in m[group].values():
+            dep = n.get("depends_on") or {}
+            for kind in ("nodes", "macros"):
+                for parent in dep.get(kind, []):
+                    rows.append((n["unique_id"], kind, parent))
+    return rows
+
+
+def dbt_manifest_edges() -> str:
+    cols = [
+        ("child_unique_id", "VARCHAR"),
+        ("dep_type", "VARCHAR"),
+        ("parent_unique_id", "VARCHAR"),
+    ]
+    return _values_sql(cols, _edge_rows(_load("manifest.json")))
+
+
+def dbt_catalog_objects() -> str:
+    c = _load("catalog.json")
+    cols = [
+        ("unique_id", "VARCHAR"),
+        ("manifest_group", "VARCHAR"),
+        ("materialized_as", "VARCHAR"),
+        ("database", "VARCHAR"),
+        ("schema", "VARCHAR"),
+        ("name", "VARCHAR"),
+        ("n_columns", "INTEGER"),
+    ]
+    rows = []
+    for group in ("nodes", "sources"):
+        for n in c[group].values():
+            md = n["metadata"]
+            rows.append(
+                (
+                    n["unique_id"],
+                    group,
+                    md["type"],
+                    md["database"],
+                    md["schema"],
+                    md["name"],
+                    len(n.get("columns") or {}),
+                )
+            )
+    return _values_sql(cols, rows)
+
+
+def dbt_catalog_columns() -> str:
+    c = _load("catalog.json")
+    cols = [
+        ("unique_id", "VARCHAR"),
+        ("manifest_group", "VARCHAR"),
+        ("column_name", "VARCHAR"),
+        ("ordinal_position", "INTEGER"),
+        ("data_type", "VARCHAR"),
+    ]
+    rows = []
+    for group in ("nodes", "sources"):
+        for n in c[group].values():
+            for col in (n.get("columns") or {}).values():
+                rows.append((n["unique_id"], group, col["name"], col["index"], col["type"]))
+    return _values_sql(cols, rows)
+
+
+def dbt_schema_drift() -> str:
+    m = _load("manifest.json")
+    c = _load("catalog.json")
+    man: dict[tuple[str, str], str] = {}
+    for group in ("nodes", "sources"):
+        for n in m[group].values():
+            for col in (n.get("columns") or {}).values():
+                man[(n["unique_id"], col["name"])] = col["data_type"]
+    cat: dict[tuple[str, str], str] = {}
+    for group in ("nodes", "sources"):
+        for n in c[group].values():
+            for col in (n.get("columns") or {}).values():
+                cat[(n["unique_id"], col["name"])] = col["type"]
+    cols = [
+        ("unique_id", "VARCHAR"),
+        ("column_name", "VARCHAR"),
+        ("in_manifest", "BOOLEAN"),
+        ("in_catalog", "BOOLEAN"),
+        ("manifest_type", "VARCHAR"),
+        ("catalog_type", "VARCHAR"),
+        ("type_match", "BOOLEAN"),
+    ]
+    rows = []
+    for key in sorted(set(man) | set(cat)):
+        mt, ct = man.get(key), cat.get(key)
+        rows.append(
+            (
+                key[0],
+                key[1],
+                mt is not None,
+                ct is not None,
+                mt,
+                ct,
+                (ct.lower() == mt) if (mt is not None and ct is not None) else None,
+            )
+        )
+    return _values_sql(cols, rows)
+
+
+def dbt_run_results() -> str:
+    r = _load("run_results.json")
+    cols = [
+        ("unique_id", "VARCHAR"),
+        ("status", "VARCHAR"),
+        ("thread_id", "VARCHAR"),
+        ("execution_time", "DOUBLE"),
+        ("rows_affected", "BIGINT"),
+        ("message", "VARCHAR"),
+    ]
+    rows = [
+        (
+            x["unique_id"],
+            x["status"],
+            x["thread_id"],
+            x["execution_time"],
+            (x.get("adapter_response") or {}).get("rows_affected"),
+            x.get("message"),
+        )
+        for x in r["results"]
+    ]
+    return _values_sql(cols, rows)
+
+
+def dbt_source_freshness() -> str:
+    s = _load("sources.json")
+    cols = [
+        ("unique_id", "VARCHAR"),
+        ("status", "VARCHAR"),
+        ("max_loaded_at", "TIMESTAMP"),
+        ("snapshotted_at", "TIMESTAMP"),
+        ("loaded_at_lag_s", "DOUBLE"),
+        ("warn_after_count", "INTEGER"),
+        ("warn_after_period", "VARCHAR"),
+        ("error_after_count", "INTEGER"),
+        ("error_after_period", "VARCHAR"),
+    ]
+    rows = [
+        (
+            x["unique_id"],
+            x["status"],
+            x["max_loaded_at"],
+            x["snapshotted_at"],
+            x["max_loaded_at_time_ago_in_s"],
+            x["criteria"]["warn_after"]["count"],
+            x["criteria"]["warn_after"]["period"],
+            x["criteria"]["error_after"]["count"],
+            x["criteria"]["error_after"]["period"],
+        )
+        for x in s["results"]
+    ]
+    return _values_sql(cols, rows)
+
+
+def _data_edge_pairs(m: dict) -> list[tuple[str, str]]:
+    return [(c, p) for (c, t, p) in _edge_rows(m) if t == "nodes"]
+
+
+def _closure_bfs(pairs: list[tuple[str, str]]) -> dict[tuple[str, str], tuple[int, int]]:
+    """(descendant, ancestor) → (min_depth, max_depth): enumerate all
+    distinct (descendant, ancestor, path_length) triples — finite on a
+    DAG — then fold."""
+    parents: dict[str, list[str]] = {}
+    for c, p in pairs:
+        parents.setdefault(c, []).append(p)
+    triples = {(c, p, 1) for c, p in pairs}
+    frontier = set(triples)
+    while frontier:
+        grown = {
+            (d, gp, depth + 1)
+            for (d, a, depth) in frontier
+            for gp in parents.get(a, [])
+        }
+        frontier = grown - triples
+        triples |= frontier
+    out: dict[tuple[str, str], tuple[int, int]] = {}
+    for d, a, depth in triples:
+        cur = out.get((d, a))
+        out[(d, a)] = (
+            (depth, depth) if cur is None else (min(cur[0], depth), max(cur[1], depth))
+        )
+    return out
+
+
+def dbt_lineage_closure() -> str:
+    m = _load("manifest.json")
+    closure = _closure_bfs(_data_edge_pairs(m))
+    cols = [("descendant", "VARCHAR"), ("ancestor", "VARCHAR"), ("depth", "INTEGER")]
+    rows = [(d, a, lo) for (d, a), (lo, _hi) in sorted(closure.items())]
+    return _values_sql(cols, rows)
+
+
+def dbt_lineage_depth() -> str:
+    m = _load("manifest.json")
+    closure = _closure_bfs(_data_edge_pairs(m))
+    max_depth: dict[str, int] = {}
+    for (d, _a), (_lo, hi) in closure.items():
+        max_depth[d] = max(max_depth.get(d, 0), hi)
+    all_ids = [n["unique_id"] for n in m["nodes"].values()] + [
+        s["unique_id"] for s in m["sources"].values()
+    ]
+    cols = [("unique_id", "VARCHAR"), ("depth", "INTEGER")]
+    rows = [(uid, max_depth.get(uid, 0)) for uid in all_ids]
+    return _values_sql(cols, rows)

@@ -1,0 +1,157 @@
+"""Flat, oracle-comparable query surfaces over the dbt artifact readers
+(SURVEY.md §2 A1-A13).
+
+Each function matches a key in the registry and returns scalar columns
+only (nested depends_on/columns are surfaced by the dedicated
+``dbt_manifest_columns`` / ``dbt_manifest_edges`` queries, mirroring how
+the reference keeps them as nested list-columns)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import lineage
+from ..session import prep
+from ..sources import artifacts as A
+
+FIXTURE_TARGET = str(Path(__file__).resolve().parents[2] / "tests" / "fixtures" / "dbt" / "target")
+
+_FLAT = [
+    "unique_id",
+    "manifest_group",
+    "resource_type",
+    "database",
+    "schema",
+    "name",
+    "description",
+    "is_enabled",
+    "materialized_as",
+    "sha256",
+]
+
+
+def _flatten(df: DataFrame) -> DataFrame:
+    return df.select(
+        *_FLAT,
+        F.size("depends_on").alias("n_depends_on"),
+        F.size("columns").alias("n_columns"),
+    )
+
+
+def _manifest(target: str) -> str:
+    return f"{target}/manifest.json"
+
+
+def dbt_manifest_nodes(spark: SparkSession, sf_dir: str, target: str = FIXTURE_TARGET) -> DataFrame:
+    prep(spark)
+    return _flatten(A.manifest_nodes(spark, _manifest(target)))
+
+
+def dbt_manifest_sources(spark: SparkSession, sf_dir: str, target: str = FIXTURE_TARGET) -> DataFrame:
+    prep(spark)
+    return _flatten(A.manifest_sources(spark, _manifest(target)))
+
+
+def dbt_manifest_macros(spark: SparkSession, sf_dir: str, target: str = FIXTURE_TARGET) -> DataFrame:
+    prep(spark)
+    return _flatten(A.manifest_macros(spark, _manifest(target)))
+
+
+def dbt_manifest_unified(spark: SparkSession, sf_dir: str, target: str = FIXTURE_TARGET) -> DataFrame:
+    prep(spark)
+    return _flatten(A.manifest_unified(spark, _manifest(target)))
+
+
+def dbt_manifest_columns(spark: SparkSession, sf_dir: str, target: str = FIXTURE_TARGET) -> DataFrame:
+    prep(spark)
+    return A.manifest_columns(spark, _manifest(target)).select(
+        "unique_id",
+        "manifest_group",
+        "column_name",
+        "description",
+        "data_type",
+        F.array_join("tags", ",").alias("tags_csv"),
+    )
+
+
+def dbt_manifest_edges(spark: SparkSession, sf_dir: str, target: str = FIXTURE_TARGET) -> DataFrame:
+    prep(spark)
+    return A.manifest_edges(spark, _manifest(target))
+
+
+def dbt_catalog_objects(spark: SparkSession, sf_dir: str, target: str = FIXTURE_TARGET) -> DataFrame:
+    prep(spark)
+    return A.catalog_objects(spark, f"{target}/catalog.json").select(
+        "unique_id",
+        "manifest_group",
+        "materialized_as",
+        "database",
+        "schema",
+        "name",
+        F.size("columns").alias("n_columns"),
+    )
+
+
+def dbt_catalog_columns(spark: SparkSession, sf_dir: str, target: str = FIXTURE_TARGET) -> DataFrame:
+    prep(spark)
+    return A.catalog_columns(spark, f"{target}/catalog.json")
+
+
+def dbt_schema_drift(spark: SparkSession, sf_dir: str, target: str = FIXTURE_TARGET) -> DataFrame:
+    """Catalog↔manifest column reconciliation: documented-but-not-built,
+    built-but-not-documented, and type drift — the query a dbt operator
+    actually runs with both artifacts loaded."""
+    prep(spark)
+    man = A.manifest_columns(spark, _manifest(target)).select(
+        "unique_id", "column_name", F.col("data_type").alias("manifest_type")
+    )
+    cat = A.catalog_columns(spark, f"{target}/catalog.json").select(
+        "unique_id", "column_name", F.col("data_type").alias("catalog_type")
+    )
+    return (
+        man.join(cat, ["unique_id", "column_name"], "full_outer")
+        .select(
+            "unique_id",
+            "column_name",
+            F.col("manifest_type").isNotNull().alias("in_manifest"),
+            F.col("catalog_type").isNotNull().alias("in_catalog"),
+            "manifest_type",
+            "catalog_type",
+            F.when(
+                F.col("manifest_type").isNotNull() & F.col("catalog_type").isNotNull(),
+                F.lower(F.col("catalog_type")) == F.col("manifest_type"),
+            ).alias("type_match"),
+        )
+    )
+
+
+def dbt_run_results(spark: SparkSession, sf_dir: str, target: str = FIXTURE_TARGET) -> DataFrame:
+    prep(spark)
+    return A.run_results(spark, f"{target}/run_results.json").drop("artifact_path")
+
+
+def dbt_source_freshness(spark: SparkSession, sf_dir: str, target: str = FIXTURE_TARGET) -> DataFrame:
+    prep(spark)
+    return A.source_freshness(spark, f"{target}/sources.json").drop("artifact_path")
+
+
+def _data_edges(spark: SparkSession, target: str) -> DataFrame:
+    return A.manifest_edges(spark, _manifest(target)).filter(
+        F.col("dep_type") == "nodes"
+    )
+
+
+def dbt_lineage_closure(spark: SparkSession, sf_dir: str, target: str = FIXTURE_TARGET) -> DataFrame:
+    prep(spark)
+    return lineage.lineage_closure(_data_edges(spark, target))
+
+
+def dbt_lineage_depth(spark: SparkSession, sf_dir: str, target: str = FIXTURE_TARGET) -> DataFrame:
+    prep(spark)
+    nodes = A.manifest_nodes(spark, _manifest(target)).select("unique_id").unionByName(
+        A.manifest_sources(spark, _manifest(target)).select("unique_id")
+    )
+    return lineage.lineage_depth(nodes, _data_edges(spark, target))

@@ -11,7 +11,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .plans import tpch
+from . import oracles
+from .plans import dbt, tpch
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -22,6 +23,26 @@ def register(key: str, fn: QueryFn, oracle: str | None) -> None:
     _REGISTRY[key] = (fn, oracle)
 
 
+# A. dbt artifact engine (reference parity; oracles derived independently
+# from the same fixtures by pure-stdlib parsing — see oracles.py)
+for _key in [
+    "dbt_manifest_nodes",
+    "dbt_manifest_sources",
+    "dbt_manifest_macros",
+    "dbt_manifest_unified",
+    "dbt_manifest_columns",
+    "dbt_manifest_edges",
+    "dbt_catalog_objects",
+    "dbt_catalog_columns",
+    "dbt_schema_drift",
+    "dbt_run_results",
+    "dbt_source_freshness",
+    "dbt_lineage_closure",
+    "dbt_lineage_depth",
+]:
+    register(_key, getattr(dbt, _key), getattr(oracles, _key)())
+
+# B. relational / OLAP core
 register("q1_pricing_summary", tpch.q1_pricing_summary, tpch.Q1_SQL)
 register("q3_shipping_priority", tpch.q3_shipping_priority, tpch.Q3_SQL)
 register("q5_region_revenue", tpch.q5_region_revenue, tpch.Q5_SQL)

@@ -1,0 +1,98 @@
+"""dbt artifact reader semantics (SURVEY.md §5.1): the edge cases the
+reference's parse_* functions handle (explore.R:66-128), plus the
+at-scale behavior the reference lacks — a glob of many artifact files
+parsed as one distributed job."""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from dbt_json_readr_spark.plans.dbt import FIXTURE_TARGET
+from dbt_json_readr_spark.sources import artifacts as A
+
+MANIFEST = f"{FIXTURE_TARGET}/manifest.json"
+
+
+def test_alias_coalesce(spark):
+    # explore.R:146 — name = coalesce(alias, name)
+    rows = {
+        r["unique_id"]: r["name"]
+        for r in A.manifest_nodes(spark, MANIFEST).select("unique_id", "name").collect()
+    }
+    assert rows["model.analytics.fct_order_revenue"] == "order_revenue"
+    assert rows["model.analytics.stg_orders"] == "stg_orders"
+
+
+def test_non_sha256_checksum_is_null(spark):
+    # explore.R:166-169 — only sha256 checksums surface
+    rows = {
+        r["unique_id"]: r["sha256"]
+        for r in A.manifest_nodes(spark, MANIFEST).select("unique_id", "sha256").collect()
+    }
+    assert rows["model.analytics.rpt_daily_events"] is None
+    assert rows["model.analytics.stg_orders"] is not None
+
+
+def test_empty_columns_and_deps_contribute_no_rows(spark):
+    # explore.R:68-79, 100-111 — empty maps/lists → zero rows, not NA rows
+    cols = A.manifest_columns(spark, MANIFEST)
+    assert cols.filter(F.col("unique_id") == "model.analytics.tmp_scratch").count() == 0
+    assert cols.filter(F.col("unique_id") == "source.analytics.raw.region").count() == 0
+    edges = A.manifest_edges(spark, MANIFEST)
+    assert edges.filter(F.col("child_unique_id") == "model.analytics.tmp_scratch").count() == 0
+
+
+def test_macro_sha_matches_hashlib(spark):
+    import hashlib
+    import json
+
+    m = json.loads(Path(MANIFEST).read_text())
+    expected = {
+        uid: hashlib.sha256(v["macro_sql"].encode()).hexdigest()
+        for uid, v in m["macros"].items()
+    }
+    got = {
+        r["unique_id"]: r["sha256"]
+        for r in A.manifest_macros(spark, MANIFEST).collect()
+    }
+    assert got == expected
+
+
+def test_unified_sort_order(spark):
+    df = A.manifest_unified(spark, MANIFEST)
+    rows = [
+        (r["resource_type"], r["database"] or "", r["schema"] or "", r["name"], r["unique_id"])
+        for r in df.collect()
+    ]
+    # explore.R:233-240 — arrange(resource_type, database, schema, name, unique_id)
+    assert rows == sorted(rows)
+
+
+def test_glob_of_many_manifests_is_one_distributed_scan(spark, tmp_path):
+    # At lake scale each dbt invocation writes its own manifest; the reader
+    # takes a glob and parses file-parallel.  20 copies → 20× the rows,
+    # each tagged with its artifact_path.
+    for i in range(20):
+        d = tmp_path / f"run_{i:02d}"
+        d.mkdir()
+        shutil.copy(MANIFEST, d / "manifest.json")
+    df = A.manifest_nodes(spark, str(tmp_path / "*" / "manifest.json"))
+    per_file = df.groupBy("artifact_path").count().collect()
+    assert len(per_file) == 20
+    assert all(r["count"] == 10 for r in per_file)
+    # and the scan parallelizes: more than one input partition for 20 files
+    assert df.rdd.getNumPartitions() > 1
+
+
+def test_schema_drift_catches_planted_drift(spark):
+    from dbt_json_readr_spark.plans.dbt import dbt_schema_drift
+
+    drift = dbt_schema_drift(spark, "")
+    extra = drift.filter(
+        (F.col("unique_id") == "model.analytics.dim_customer")
+        & (F.col("column_name") == "_loaded_at")
+    ).collect()
+    assert len(extra) == 1 and extra[0]["in_catalog"] and not extra[0]["in_manifest"]
