@@ -1,0 +1,375 @@
+"""Event-stream and window/pivot/rollup queries (SURVEY.md §2 B5-B14)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from ..operators.sessionize import session_stats
+from ..session import prep
+from ..sources.tables import load
+
+
+def _dec(col: str) -> F.Column:
+    return F.col(col).cast("decimal(18,4)")
+
+
+# ---------------------------------------------------------------- B5
+
+
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by order revenue within each nation: the canonical
+    window top-k — one shuffle for the agg, one for the window."""
+    prep(spark)
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders")
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(_dec("o_totalprice")).cast("double").alias("revenue"))
+    )
+    w = W.partitionBy("n_name").orderBy(F.desc("revenue"), "c_custkey")
+    return (
+        rev.join(cust, rev.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("n_name", "c_custkey", "c_name", "revenue")
+        .withColumn("rank_in_nation", F.row_number().over(w))
+        .filter(F.col("rank_in_nation") <= 3)
+    )
+
+
+TOP_CUSTOMERS_SQL = """
+SELECT * FROM (
+  SELECT
+    n_name, c_custkey, c_name, revenue,
+    CAST(row_number() OVER (PARTITION BY n_name ORDER BY revenue DESC, c_custkey) AS INTEGER) AS rank_in_nation
+  FROM (
+    SELECT n_name, c_custkey, c_name,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name, c_custkey, c_name
+  )
+) WHERE rank_in_nation <= 3
+"""
+
+
+# ---------------------------------------------------------------- B6
+
+
+def order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order counts by status — explicit pivot values so the plan is
+    a single pass (no distinct-values pre-query)."""
+    prep(spark)
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_finished"),
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("P", F.lit(0)).alias("n_pending"),
+        )
+    )
+
+
+ORDER_PRIORITY_PIVOT_SQL = """
+SELECT
+  o_orderpriority,
+  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------- B7
+
+
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (nation, order year): partial-aggregate friendly grouping
+    sets; grouping_id disambiguates the NULL subtotal rows."""
+    prep(spark)
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("n_name", F.year("o_orderdate").alias("order_year"), "o_totalprice")
+        .rollup("n_name", "order_year")
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
+
+REVENUE_ROLLUP_SQL = """
+SELECT
+  n_name,
+  CAST(year(o_orderdate) AS INTEGER) AS order_year,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+  count(*) AS n_orders,
+  CAST(GROUPING(n_name) * 2 + GROUPING(year(o_orderdate)) AS INTEGER) AS gid
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, year(o_orderdate))
+"""
+
+
+# ---------------------------------------------------------------- B8
+
+
+def supplier_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers that shipped in 1997 (semi) but never took a large
+    late return (anti) — EXISTS/NOT EXISTS as Spark's dedicated join
+    types, which shuffle only the keys, never materialize the match."""
+    prep(spark)
+    supp = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem")
+    shipped_97 = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_suppkey")
+    returned = li.filter(
+        (F.col("l_returnflag") == "R")
+        & (F.col("l_quantity") >= 48)
+        & (F.col("l_shipdate") >= F.lit("2001-01-01").cast("timestamp"))
+    ).select("l_suppkey")
+    return (
+        supp.join(shipped_97, supp.s_suppkey == shipped_97.l_suppkey, "left_semi")
+        .join(returned, supp.s_suppkey == returned.l_suppkey, "left_anti")
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+SUPPLIER_SEMI_ANTI_SQL = """
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_suppkey = s_suppkey
+    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+)
+AND NOT EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_suppkey = s_suppkey AND l_returnflag = 'R'
+    AND l_quantity >= 48 AND l_shipdate >= TIMESTAMP '2001-01-01 00:00:00'
+)
+"""
+
+
+# ---------------------------------------------------------------- B9
+
+
+def events_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type volumes with exact distinct users (the expensive exact
+    path; the approx variant is events_approx_quantiles' sibling)."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(_dec("value")).cast("double").alias("total_value"),
+    )
+
+
+EVENTS_USER_COUNTS_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------- B10
+
+
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    return session_stats(ev)
+
+
+EVENTS_SESSIONIZATION_SQL = """
+SELECT user_id,
+       CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_id,
+       ts, event_id, value
+FROM (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+)
+"""
+
+EVENTS_SESSIONIZATION_SQL = f"""
+SELECT user_id, session_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM ({EVENTS_SESSIONIZATION_SQL}) GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------- B11
+
+
+def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows (batch form of the D1 streaming job)."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+EVENTS_WINDOWED_AGG_SQL = """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------- B12
+
+
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props column → typed field, JVM-side
+    (get_json_object; no Python in the loop) — the reference's JSON-to-
+    relational move applied to a row-level payload."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+EVENTS_JSON_PROPS_SQL = """
+SELECT event_type,
+       count(k) AS n_with_k,
+       sum(k) AS sum_k,
+       min(k) AS min_k,
+       max(k) AS max_k
+FROM (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------- B13
+
+
+def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase event, the user's most recent click at-or-before
+    it.  Composed as-of join (operators/asof.py); DuckDB's native ASOF
+    JOIN is the independent oracle."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    # dedupe clicks to one per (user, ts) for determinism
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    out = asof_join(purchases, clicks, on="user_id", ts="ts", right_cols=["click_id"])
+    return out.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.col("click_id_asof").alias("last_click_id"),
+        F.col("ts_asof").alias("last_click_ts"),
+    )
+
+
+ASOF_JOIN_SQL = """
+SELECT p.user_id, p.ts, p.event_id, p.value,
+       c.click_id AS last_click_id,
+       c.ts AS last_click_ts
+FROM (
+  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+) p
+ASOF LEFT JOIN (
+  SELECT user_id, ts, max(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+) c ON p.user_id = c.user_id AND c.ts <= p.ts
+"""
+
+
+# ---------------------------------------------------------------- B14
+
+
+def events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-rank quantiles per event_type via explicit rank lookup —
+    no float interpolation, so results are stored data values and
+    bit-identical across engines (interpolated quantiles disagree at the
+    last ulp between engines).  The sketch-based sibling
+    (percentile_approx) runs in bench.py where cross-engine equality is
+    not required."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events").select("event_type", F.col("value").alias("v"))
+    w = W.partitionBy("event_type").orderBy("v")
+    ranked = ev.select(
+        "event_type",
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
+    )
+    aggs = [
+        F.max(F.when(F.col("rn") == F.ceil(F.lit(p) * F.col("n")), F.col("v"))).alias(name)
+        for name, p in [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]
+    ]
+    return ranked.groupBy("event_type").agg(*aggs)
+
+
+EVENTS_QUANTILES_SQL = (
+    "SELECT event_type, "
+    + ", ".join(
+        f"max(CASE WHEN rn = CAST(ceil({p} * n) AS BIGINT) THEN v END) AS {name}"
+        for name, p in [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]
+    )
+    + """
+FROM (
+  SELECT event_type, value AS v,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+GROUP BY event_type
+"""
+)

@@ -12,7 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import oracles
-from .plans import dbt, tpch
+from .plans import dbt, events, tpch
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -47,6 +47,16 @@ register("q1_pricing_summary", tpch.q1_pricing_summary, tpch.Q1_SQL)
 register("q3_shipping_priority", tpch.q3_shipping_priority, tpch.Q3_SQL)
 register("q5_region_revenue", tpch.q5_region_revenue, tpch.Q5_SQL)
 register("q6_forecast_revenue", tpch.q6_forecast_revenue, tpch.Q6_SQL)
+register("top_customers_per_nation", events.top_customers_per_nation, events.TOP_CUSTOMERS_SQL)
+register("order_priority_pivot", events.order_priority_pivot, events.ORDER_PRIORITY_PIVOT_SQL)
+register("revenue_rollup", events.revenue_rollup, events.REVENUE_ROLLUP_SQL)
+register("supplier_semi_anti", events.supplier_semi_anti, events.SUPPLIER_SEMI_ANTI_SQL)
+register("events_user_counts", events.events_user_counts, events.EVENTS_USER_COUNTS_SQL)
+register("events_sessionization", events.events_sessionization, events.EVENTS_SESSIONIZATION_SQL)
+register("events_windowed_agg", events.events_windowed_agg, events.EVENTS_WINDOWED_AGG_SQL)
+register("events_json_props", events.events_json_props, events.EVENTS_JSON_PROPS_SQL)
+register("asof_join_events_orders", events.asof_join_events_orders, events.ASOF_JOIN_SQL)
+register("events_approx_quantiles", events.events_approx_quantiles, events.EVENTS_QUANTILES_SQL)
 
 
 def queries() -> dict[str, QueryFn]:

@@ -32,7 +32,11 @@ def get_spark(app_name: str = "dbt_json_readr_spark") -> SparkSession:
 def prep(spark: SparkSession) -> SparkSession:
     """Pin runtime-settable confs on a session we did not create (the
     driver passes its own).  Idempotent; called at the top of every
-    query entry point so results are timezone/ansi-stable regardless of
-    who built the session."""
+    query entry point so results are timezone-stable and the shuffle
+    parallelism is sized for the host instead of the 200 default."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark.conf.set("spark.sql.shuffle.partitions", cpus)
     return spark
