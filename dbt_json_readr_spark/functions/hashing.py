@@ -1,0 +1,154 @@
+"""Cross-engine deterministic hashing & sketch primitives.
+
+Every primitive exists twice: a Spark ``Column`` builder (JVM-side,
+codegen-friendly — no Python UDFs) and a DuckDB SQL-text builder used by
+the oracles.  Both are anchored on md5, which is bit-identical
+everywhere, so every sketch (minhash, simhash, fingerprints, LSH bands)
+is reproducible across engines and across cluster topologies — a salted
+md5-derived 60-bit integer instead of engine-private hash functions.
+
+Scale note: md5 is ~3× slower than xxhash but still >1 GB/s/core
+JVM-side; determinism across engines is worth it for an auditable
+dedup pipeline (reruns and backfills produce identical sketches).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------ hash64
+
+
+def hash64(col: Column, salt: str = "") -> Column:
+    """60-bit positive int from md5(salt ':' value)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}:"), col)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def sql_hash64(expr: str, salt: str = "") -> str:
+    return f"('0x' || substr(md5('{salt}:' || {expr}), 1, 15))::BIGINT"
+
+
+# ------------------------------------------------------------ shingles
+
+
+def char_shingles(col: Column, k: int) -> Column:
+    """Distinct char k-grams; texts shorter than k yield [text]."""
+    return F.when(F.length(col) < k, F.array(col)).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(col) - k + 1),
+                lambda i: col.substr(i, F.lit(k)),
+            )
+        )
+    )
+
+
+def char_shingles_ordered(col: Column, k: int) -> Column:
+    """Positional (non-distinct) char k-grams, for rolling-hash schemes."""
+    return F.when(F.length(col) < k, F.array(col)).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(col) - k + 1),
+            lambda i: col.substr(i, F.lit(k)),
+        )
+    )
+
+
+def sql_char_shingles(expr: str, k: int) -> str:
+    return (
+        f"CASE WHEN len({expr}) < {k} THEN [{expr}] "
+        f"ELSE list_distinct(list_transform(range(1, len({expr})-{k}+2), "
+        f"i -> substr({expr}, i, {k}))) END"
+    )
+
+
+def tokens(col: Column) -> Column:
+    """Lowercased whitespace tokens."""
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def sql_tokens(expr: str) -> str:
+    return f"string_split_regex(lower(trim({expr})), '\\s+')"
+
+
+# ------------------------------------------------------------ minhash
+
+
+def minhash_array(shingles: Column, n_hashes: int) -> Column:
+    """n independent minhashes via salted hash64 — one array pass per
+    hash, all inside whole-stage codegen."""
+
+    def _mh(i: int):
+        # closure factory: F.transform inspects lambda arity, so a
+        # default-arg trick would bind the array-index column instead
+        return lambda s: hash64(s, f"mh{i}")
+
+    return F.array(
+        *[F.array_min(F.transform(shingles, _mh(i))) for i in range(n_hashes)]
+    )
+
+
+def sql_minhash_array(shingles_expr: str, n_hashes: int) -> str:
+    mins = ", ".join(
+        f"list_min(list_transform({shingles_expr}, s -> {sql_hash64('s', f'mh{i}')}))"
+        for i in range(n_hashes)
+    )
+    return f"[{mins}]"
+
+
+def band_key(mh: Column, band: int, rows_per_band: int) -> Column:
+    """Hash of one LSH band (slice of the minhash signature)."""
+    sl = F.slice(mh, band * rows_per_band + 1, rows_per_band)
+    joined = F.array_join(F.transform(sl, lambda x: x.cast("string")), ",")
+    return hash64(joined, f"band{band}")
+
+
+def sql_band_key(mh_expr: str, band: int, rows_per_band: int) -> str:
+    lo = band * rows_per_band + 1
+    hi = lo + rows_per_band - 1
+    joined = f"array_to_string(list_slice({mh_expr}, {lo}, {hi}), ',')"
+    return sql_hash64(joined, f"band{band}")
+
+
+# ------------------------------------------------------------ simhash
+
+
+def simhash32(token_col: Column) -> Column:
+    """32-bit simhash over (non-distinct) tokens: per bit, sign of the
+    sum of ±1 votes from each token's hash."""
+    hs = F.transform(token_col, lambda t: hash64(t, "sim"))
+
+    def _vote(j: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bits = []
+    for j in range(32):
+        vote = F.aggregate(hs, F.lit(0).cast("long"), _vote(j))
+        bits.append(F.when(vote > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def sql_simhash32(tokens_expr: str) -> str:
+    hs = f"list_transform({tokens_expr}, t -> {sql_hash64('t', 'sim')})"
+    parts = [
+        f"(CASE WHEN list_sum(list_transform({hs}, "
+        f"h -> CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN {2**j}::BIGINT ELSE 0::BIGINT END)"
+        for j in range(32)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+def hamming32(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b)).cast("int")
+
+
+def sql_hamming32(a: str, b: str) -> str:
+    return f"CAST(bit_count(xor({a}, {b})) AS INTEGER)"

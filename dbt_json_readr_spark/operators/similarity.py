@@ -1,0 +1,65 @@
+"""Approximate-nearest-neighbor search over embedding columns
+(SURVEY.md §2 C6-C7).
+
+- brute-force top-k: exact baseline.  The query set broadcasts (it is
+  small by construction); candidate scoring is a map-side cross join and
+  the per-query top-k is a window over (query, score) — partial top-k
+  happens map-side via the window's rank pruning at 100 TB.
+- LSH top-k: the scale path — deterministic sign-bit buckets first, so
+  scoring is bucket-local; recall trades off against bucket count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..functions import vectors as V
+from .dedup import embedding_bucket
+
+
+def _scored(queries: DataFrame, corpus: DataFrame) -> DataFrame:
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), V.to_double(F.col("embedding")).alias("q_v")
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"), V.to_double(F.col("embedding")).alias("c_v")
+    )
+    return (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", V.cosine(F.col("q_v"), F.col("c_v")).alias("cosine"))
+    )
+
+
+def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 5) -> DataFrame:
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        _scored(queries, corpus)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k within the query's sign-LSH bucket only."""
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        V.to_double(F.col("embedding")).alias("q_v"),
+        embedding_bucket(F.col("embedding")).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        V.to_double(F.col("embedding")).alias("c_v"),
+        embedding_bucket(F.col("embedding")).alias("bucket"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", V.cosine(F.col("q_v"), F.col("c_v")).alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

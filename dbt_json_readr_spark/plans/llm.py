@@ -1,0 +1,350 @@
+"""Registry wrappers + DuckDB oracles for the LLM-data-pipeline
+operators (SURVEY.md §2 C1-C11).
+
+The oracles are programmatically generated SQL built from the same
+sketch parameters (k, hash count, bands, thresholds) via the sql_*
+twins in functions/ — structurally independent implementations (SQL
+text vs. Column API) that must agree bit-for-bit because both are
+anchored on md5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from ..functions import vectors as V
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators import textops as X
+from ..session import prep
+from ..sources.tables import load
+
+# ---------------------------------------------------------------- C1
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    return D.exact_dedup(load(spark, sf_dir, "documents"))
+
+
+DEDUP_EXACT_SQL = """
+SELECT doc_id,
+       md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_hash,
+       min(doc_id) OVER (PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))) AS canonical_id,
+       doc_id <> min(doc_id) OVER (PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))) AS is_duplicate
+FROM documents
+"""
+
+# ---------------------------------------------------------------- C2
+
+_MH_K, _MH_N, _MH_BANDS, _MH_TAU = 5, 16, 4, 0.25
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    return D.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"),
+        k=_MH_K,
+        n_hashes=_MH_N,
+        bands=_MH_BANDS,
+        threshold=_MH_TAU,
+    )
+
+
+def _minhash_sql() -> str:
+    r = _MH_N // _MH_BANDS
+    sh = H.sql_char_shingles("text", _MH_K)
+    mh = H.sql_minhash_array("sh", _MH_N)
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, sh, {b} AS band, {H.sql_band_key('mh', b, r)} AS bkey FROM mh"
+        for b in range(_MH_BANDS)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {sh} AS sh FROM documents
+),
+mh AS (
+  SELECT doc_id, sh, {mh} AS mh FROM sh
+),
+banded AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       len(list_intersect(sh_a, sh_b))::DOUBLE / len(list_distinct(sh_a || sh_b))::DOUBLE AS jaccard
+FROM cand
+WHERE len(list_intersect(sh_a, sh_b))::DOUBLE / len(list_distinct(sh_a || sh_b))::DOUBLE >= {_MH_TAU}
+"""
+
+
+# ---------------------------------------------------------------- C3
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    return D.simhash_pairs(load(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def _simhash_sql() -> str:
+    sim_expr = H.sql_simhash32(H.sql_tokens("text"))
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {8 * b}) & 255 AS bval FROM sims"
+        for b in range(4)
+    )
+    return f"""
+WITH sims AS (
+  SELECT doc_id, {sim_expr} AS simhash FROM documents
+),
+banded AS (
+  {band_selects}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       {H.sql_hamming32('a.simhash', 'b.simhash')} AS hamming
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+WHERE {H.sql_hamming32('a.simhash', 'b.simhash')} <= 3
+"""
+
+
+# ---------------------------------------------------------------- C4
+
+_TJ_TAU = 0.9
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    return D.token_jaccard_pairs(
+        load(spark, sf_dir, "documents"), block_col="lang", threshold=_TJ_TAU
+    )
+
+
+def _token_jaccard_sql() -> str:
+    toks = f"list_distinct({H.sql_tokens('text')})"
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang AS block, {toks} AS tok FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       len(list_intersect(a.tok, b.tok))::DOUBLE / len(list_distinct(a.tok || b.tok))::DOUBLE AS jaccard
+FROM t a JOIN t b ON a.block = b.block AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.tok, b.tok))::DOUBLE / len(list_distinct(a.tok || b.tok))::DOUBLE >= {_TJ_TAU}
+"""
+
+
+# ---------------------------------------------------------------- C5
+
+_EC_TAU = 0.4
+
+_SQL_BUCKET = " + ".join(
+    f"(CASE WHEN embedding[{d + 1}] >= 0 THEN {2**i} ELSE 0 END)"
+    for i, d in enumerate(D.EMB_BUCKET_DIMS)
+)
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    return D.embedding_cosine_pairs(load(spark, sf_dir, "embeddings"), threshold=_EC_TAU)
+
+
+def _embedding_cosine_sql() -> str:
+    cos = V.sql_cosine("a.v", "b.v")
+    return f"""
+WITH e AS (
+  SELECT vec_id, {V.sql_to_double('embedding')} AS v,
+         CAST({_SQL_BUCKET} AS INTEGER) AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cosine
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {cos} >= {_EC_TAU}
+"""
+
+
+# ---------------------------------------------------------------- C6
+
+_ANN_NQ, _ANN_K = 10, 5
+
+
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    embs = load(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(
+        embs.filter(F.col("vec_id") < _ANN_NQ), embs, k=_ANN_K
+    )
+
+
+def _ann_bruteforce_sql() -> str:
+    cos = V.sql_cosine("q.v", "c.v")
+    return f"""
+WITH e AS (
+  SELECT vec_id, {V.sql_to_double('embedding')} AS v FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cosine
+  FROM (SELECT * FROM e WHERE vec_id < {_ANN_NQ}) q
+  JOIN e c ON q.vec_id <> c.vec_id
+)
+SELECT * FROM (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {_ANN_K}
+"""
+
+
+# ---------------------------------------------------------------- C7
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    embs = load(spark, sf_dir, "embeddings")
+    return S.lsh_topk(embs.filter(F.col("vec_id") < _ANN_NQ), embs, k=_ANN_K)
+
+
+def _ann_lsh_sql() -> str:
+    cos = V.sql_cosine("q.v", "c.v")
+    return f"""
+WITH e AS (
+  SELECT vec_id, {V.sql_to_double('embedding')} AS v,
+         CAST({_SQL_BUCKET} AS INTEGER) AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cosine
+  FROM (SELECT * FROM e WHERE vec_id < {_ANN_NQ}) q
+  JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+)
+SELECT * FROM (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {_ANN_K}
+"""
+
+
+# ---------------------------------------------------------------- C8
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    lang, score = X.predict_lang(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        lang.alias("predicted_lang"),
+        score.cast("int").alias("stopword_hits"),
+    )
+
+
+def _langid_sql() -> str:
+    lang_expr, score_expr = X.sql_predict_lang(H.sql_tokens("text"))
+    return f"""
+SELECT doc_id, lang AS labeled_lang,
+       {lang_expr} AS predicted_lang,
+       CAST({score_expr} AS INTEGER) AS stopword_hits
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------- C9
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    feats = X.quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        *[c.alias(name) for name, c in feats.items()],
+        X.quality_score(feats).alias("quality"),
+    )
+
+
+def _quality_sql() -> str:
+    toks = H.sql_tokens("text")
+    n_stop = X.sql_hits(toks, X.LANG_PROFILES["en"])
+    return f"""
+SELECT doc_id,
+  CAST(len(text) AS INTEGER) AS n_chars,
+  CAST(len({toks}) AS INTEGER) AS n_tokens,
+  len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::DOUBLE / len(text) AS punct_ratio,
+  len(regexp_extract_all(text, '[0-9]'))::DOUBLE / len(text) AS digit_ratio,
+  {n_stop}::DOUBLE / len({toks}) AS stopword_ratio,
+  (len(text) - (len({toks}) - 1))::DOUBLE / len({toks}) AS mean_word_len,
+  (1.0 - len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::DOUBLE / len(text)) * 0.25
+  + (1.0 - len(regexp_extract_all(text, '[0-9]'))::DOUBLE / len(text)) * 0.25
+  + ({n_stop}::DOUBLE / len({toks})) * 0.25
+  + (CASE WHEN (len(text) - (len({toks}) - 1))::DOUBLE / len({toks}) >= 3.0
+          AND (len(text) - (len({toks}) - 1))::DOUBLE / len({toks}) <= 10.0
+     THEN 0.25 ELSE 0.0 END) AS quality
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------- C10
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    counts = X.token_counts(F.col("text"))
+    return docs.select("doc_id", *[c.alias(name) for name, c in counts.items()])
+
+
+def _token_count_sql() -> str:
+    return f"""
+SELECT doc_id,
+  CAST(len({H.sql_tokens('text')}) AS INTEGER) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(lower(text), '{X.BPE_ISH_PATTERN}')) AS INTEGER) AS n_bpe_tokens,
+  CAST(len(text) AS INTEGER) AS n_chars
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------- C11
+
+_FP_K, _FP_W = 8, 4
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    fps = X.winnow_fingerprints(F.col("text"), k=_FP_K, w=_FP_W)
+    return docs.select(
+        "doc_id",
+        F.size(fps).alias("n_fingerprints"),
+        F.array_min(fps).alias("fp_min"),
+        F.array_max(fps).alias("fp_max"),
+    )
+
+
+def _fingerprint_sql() -> str:
+    fps = X.sql_winnow_fingerprints("text", _FP_K, _FP_W)
+    return f"""
+SELECT doc_id,
+  CAST(len({fps}) AS INTEGER) AS n_fingerprints,
+  list_min({fps}) AS fp_min,
+  list_max({fps}) AS fp_max
+FROM documents
+"""
+
+
+ORACLES: dict[str, str] = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_simhash": _simhash_sql(),
+    "dedup_ngram_jaccard": _token_jaccard_sql(),
+    "dedup_embedding_cosine": _embedding_cosine_sql(),
+    "ann_bruteforce_topk": _ann_bruteforce_sql(),
+    "ann_lsh_topk": _ann_lsh_sql(),
+    "text_langid": _langid_sql(),
+    "text_quality_score": _quality_sql(),
+    "text_token_count": _token_count_sql(),
+    "text_fingerprint": _fingerprint_sql(),
+}

@@ -12,7 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import oracles
-from .plans import dbt, events, tpch
+from .plans import dbt, events, llm, tpch
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -57,6 +57,10 @@ register("events_windowed_agg", events.events_windowed_agg, events.EVENTS_WINDOW
 register("events_json_props", events.events_json_props, events.EVENTS_JSON_PROPS_SQL)
 register("asof_join_events_orders", events.asof_join_events_orders, events.ASOF_JOIN_SQL)
 register("events_approx_quantiles", events.events_approx_quantiles, events.EVENTS_QUANTILES_SQL)
+
+# C. LLM-data-pipeline operators (dedup / similarity / text analysis)
+for _key, _sql in llm.ORACLES.items():
+    register(_key, getattr(llm, _key), _sql)
 
 
 def queries() -> dict[str, QueryFn]:
