@@ -1,0 +1,60 @@
+"""Physical-plan assertions (SURVEY.md §2 E) — the perf contract.
+
+`tests/test_plans.py` uses these to pin the *plan shape*, not just the
+result: filters must reach the parquet scan, small dims must broadcast,
+and no row-at-a-time Python may appear in a hot path.  A refactor that
+keeps results but regresses the plan fails CI — that's the point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def has_pushed_filters(df: DataFrame) -> bool:
+    """True if at least one scan carries a non-empty PushedFilters list."""
+    plan = formatted_plan(df)
+    for line in plan.splitlines():
+        if "PushedFilters:" in line and "PushedFilters: []" not in line:
+            return True
+    return False
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in formatted_plan(df) or "BroadcastNestedLoopJoin" in formatted_plan(df)
+
+
+def python_eval_nodes(df: DataFrame) -> list[str]:
+    """Row-at-a-time Python operators present in the plan (should be
+    empty everywhere; Arrow nodes are reported separately)."""
+    plan = formatted_plan(df)
+    return [n for n in ("BatchEvalPython",) if n in plan]
+
+
+def arrow_eval_nodes(df: DataFrame) -> list[str]:
+    plan = formatted_plan(df)
+    return [n for n in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas") if n in plan]
+
+
+def scan_read_schema(df: DataFrame, table: str) -> str:
+    """The ReadSchema line for the scan of `table` (column-pruning check)."""
+    plan = formatted_plan(df)
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        # detail block header: "(1) Scan parquet"; the table name appears
+        # in the Location: line a few lines below
+        if ") Scan parquet" not in line:
+            continue
+        block = lines[i : i + 15]
+        if not any("Location:" in x and f"/{table}.parquet" in x for x in block):
+            continue
+        for follow in block:
+            if "ReadSchema:" in follow:
+                return follow.split("ReadSchema:", 1)[1].strip()
+    return ""

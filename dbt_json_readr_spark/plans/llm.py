@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..functions import hashing as H
 from ..functions import vectors as V
 from ..operators import dedup as D
+from ..operators import multimodal as M
 from ..operators import similarity as S
 from ..operators import textops as X
 from ..session import prep
@@ -333,6 +334,17 @@ SELECT doc_id,
   list_max({fps}) AS fp_max
 FROM documents
 """
+
+
+# ---------------------------------------------------------------- C12
+
+
+def multimodal_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column + typed metadata → Arrow-batched feature
+    extraction (rows-only: mapInPandas output is non-SQL-expressible)."""
+    prep(spark)
+    media = M.as_media_table(load(spark, sf_dir, "documents"))
+    return M.extract_features(media)
 
 
 ORACLES: dict[str, str] = {

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import oracles
 from .plans import dbt, events, llm, tpch
+from .streaming import jobs as streaming_jobs
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -61,6 +62,20 @@ register("events_approx_quantiles", events.events_approx_quantiles, events.EVENT
 # C. LLM-data-pipeline operators (dedup / similarity / text analysis)
 for _key, _sql in llm.ORACLES.items():
     register(_key, getattr(llm, _key), _sql)
+register("multimodal_stub", llm.multimodal_stub, None)  # rows-only (mapInPandas)
+
+# D. Structured Streaming jobs
+register(
+    "streaming_windowed_agg",
+    streaming_jobs.streaming_windowed_agg,
+    streaming_jobs.STREAMING_WINDOWED_AGG_SQL,
+)
+register(
+    "streaming_sessionization",
+    streaming_jobs.streaming_sessionization,
+    streaming_jobs.STREAMING_SESSIONIZATION_SQL,
+)
+register("streaming_dedup", streaming_jobs.streaming_dedup, streaming_jobs.STREAMING_DEDUP_SQL)
 
 
 def queries() -> dict[str, QueryFn]:

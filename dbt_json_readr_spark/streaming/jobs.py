@@ -1,0 +1,175 @@
+"""Structured Streaming jobs (SURVEY.md §2 D1-D3) over the events table.
+
+Each job is a real ``readStream`` pipeline (file source → event-time
+transform → sink).  For the driver/oracle contract the sink is a memory
+table run with ``trigger(availableNow=True)`` so the query drains the
+source and terminates; in production the same unbounded DataFrame goes
+to a kafka/delta sink with a processing-time trigger — only
+``_run_to_memory`` changes.
+
+Scale notes:
+- Watermarks bound state: the windowed agg and dedup keep only
+  in-watermark state per key, so a 1000-executor job's state store does
+  not grow with stream length.
+- ``session_window`` is Spark's native gap-session operator — state is
+  merged per (user, overlapping-window), shuffled once on user_id.
+- The memory/complete combinations below exist to make results
+  collectable for the oracle gate; they are flagged where production
+  would use append+watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import prep
+from ..sources.tables import SCHEMAS
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded events source: file-source readStream with the explicit
+    schema (streaming scans never infer), nanos ts → micros timestamp —
+    same normalization as the batch loader (sources/tables.py)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file source wants a directory; glob-filter to the events table
+    raw = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(df: DataFrame, name: str, mode: str) -> DataFrame:
+    """Drain the stream into an in-memory sink and return the result
+    table.  availableNow processes the whole backlog then stops — the
+    streaming analogue of a bounded test run."""
+    spark = df.sparkSession
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------- D1
+
+
+def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling event-time windows with a 1-hour watermark.
+    Complete mode here so the bounded test run emits every window; the
+    production job is identical with append mode (windows finalize as
+    the watermark passes) and a durable sink."""
+    prep(spark)
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run_to_memory(agg, "stream_windowed_agg", "complete")
+
+
+# identical to the batch B11 oracle — streaming must converge to it
+STREAMING_WINDOWED_AGG_SQL = """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------- D2
+
+_GAP_S = 1800
+
+
+def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native gap sessions: ``session_window(ts, 30 min)`` merges events
+    whose windows overlap (gap strictly < 30 min) per user.  Note the
+    boundary differs from the batch B10 operator (lag-based, gap > 30
+    min continues): here an exact-30-min gap starts a NEW session —
+    the oracle below encodes session_window's >= semantics."""
+    prep(spark)
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run_to_memory(agg, "stream_sessions", "complete")
+
+
+# gap-session rebuild with session_window's exact semantics:
+# new session when the gap is >= 30 min; session_end = last ts + gap.
+STREAMING_SESSIONIZATION_SQL = f"""
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= {_GAP_S}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL {_GAP_S} SECOND AS session_end,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------- D3
+
+
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once delivery dedup: each event is doubled upstream
+    (simulating redelivery), then ``dropDuplicates`` on event_id within
+    the watermark keeps exactly one copy.  Output is deterministic
+    because redelivered copies are bit-identical, so the oracle is just
+    the distinct source rows."""
+    prep(spark)
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    doubled = ev.withColumn("_copy", F.explode(F.array(F.lit(1), F.lit(2)))).drop("_copy")
+    deduped = doubled.dropDuplicates(["event_id"]).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    return _run_to_memory(deduped, "stream_dedup", "append")
+
+
+STREAMING_DEDUP_SQL = """
+SELECT event_id, user_id, event_type, value FROM events
+"""

@@ -1,0 +1,196 @@
+"""Unit semantics on crafted micro-data (SURVEY.md §5 item 3):
+sketch sanity, boundary behavior, as-of correctness, multimodal
+plumbing — the cases the sf-scale oracle sweep can't pin down."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_json_readr_spark.operators import dedup as D
+from dbt_json_readr_spark.operators import multimodal as M
+from dbt_json_readr_spark.operators.asof import asof_join
+from dbt_json_readr_spark.operators.sessionize import sessionize
+from dbt_json_readr_spark.operators import textops as X
+
+
+def docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+UTC = dt.timezone.utc
+
+
+def ts(minute, second=0):
+    # naive timestamps: Spark treats them as session-TZ (UTC via prep)
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+# ------------------------------------------------------------ dedup
+
+
+def test_exact_dedup_normalizes_case_and_whitespace(spark):
+    d = D.exact_dedup(
+        docs(
+            spark,
+            [(1, "Hello  World", "en"), (2, " hello world ", "en"), (3, "other", "en")],
+        )
+    )
+    rows = {r.doc_id: r for r in d.collect()}
+    assert rows[1].canonical_id == 1 and not rows[1].is_duplicate
+    assert rows[2].canonical_id == 1 and rows[2].is_duplicate
+    assert rows[3].canonical_id == 3 and not rows[3].is_duplicate
+
+
+def test_minhash_identical_docs_are_candidates_with_jaccard_one(spark):
+    text = "the quick brown fox jumps over the lazy dog " * 3
+    d = D.minhash_lsh_pairs(
+        docs(spark, [(1, text, "en"), (2, text, "en"), (3, "zzz completely different qqq", "en")]),
+        k=5, n_hashes=16, bands=4, threshold=0.25,
+    )
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in d.collect()}
+    assert pairs == {(1, 2): 1.0}
+
+
+def test_minhash_near_duplicates_survive_banding(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
+    near = base.replace("lazy", "very lazy", 1)
+    d = D.minhash_lsh_pairs(
+        docs(spark, [(1, base, "en"), (2, near, "en")]),
+        k=5, n_hashes=16, bands=4, threshold=0.25,
+    )
+    [(a, b, j)] = [(r.doc_a, r.doc_b, r.jaccard) for r in d.collect()]
+    assert (a, b) == (1, 2) and 0.8 < j < 1.0
+
+
+def test_simhash_identical_zero_hamming_and_banding_recall(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    near = base.replace("delta", "delta2", 1)
+    d = D.simhash_pairs(
+        docs(spark, [(1, base, "en"), (2, base, "en"), (3, near, "en")]), max_hamming=3
+    )
+    got = {(r.doc_a, r.doc_b): r.hamming for r in d.collect()}
+    assert got[(1, 2)] == 0
+    # near-dup must also be found (small token edit → few flipped bits)
+    assert (1, 3) in got and got[(1, 3)] <= 3
+
+
+def test_embedding_cosine_same_bucket_requires_sign_agreement(spark):
+    e = spark.createDataFrame(
+        [
+            (1, [1.0] * 64, 0),
+            (2, [1.0] * 64, 0),          # identical → cosine 1
+            (3, [-1.0] * 64, 0),         # opposite signs → different bucket
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {(r.vec_a, r.vec_b): r.cosine for r in D.embedding_cosine_pairs(e, 0.4).collect()}
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] == pytest.approx(1.0)
+
+
+# ------------------------------------------------------------ sessionize
+
+
+def test_sessionize_gap_boundary_exact_30min_continues(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, ts(0), 10, 1.0),
+            (1, ts(30), 11, 1.0),       # gap == 1800s → SAME session (batch: > gap)
+            (1, ts(30, 1), 12, 1.0),
+        ],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    got = {r.event_id: r.session_id for r in sessionize(ev).collect()}
+    assert got == {10: 1, 11: 1, 12: 1}
+
+
+def test_sessionize_gap_over_30min_splits(spark):
+    ev = spark.createDataFrame(
+        [(1, ts(0), 10, 1.0), (1, ts(31), 11, 1.0), (2, ts(0), 20, 1.0)],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    got = {r.event_id: r.session_id for r in sessionize(ev).collect()}
+    assert got == {10: 1, 11: 2, 20: 1}
+
+
+# ------------------------------------------------------------ as-of
+
+
+def test_asof_join_last_known_value_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, ts(5), "a"), (1, ts(10), "b"), (1, ts(2), "c"), (2, ts(5), "d")],
+        "k long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(3), 30.0), (1, ts(10), 100.0), (2, ts(6), 60.0)],
+        "k long, ts timestamp, px double",
+    )
+    got = {r.tag: (r.px_asof, r.ts_asof) for r in asof_join(left, right, on="k").collect()}
+    assert got["c"] == (None, None)            # nothing at/before 00:02
+    assert got["a"] == (30.0, ts(3))           # last known at 00:05
+    assert got["b"] == (100.0, ts(10))         # equal ts matches (inclusive)
+    assert got["d"] == (None, None)            # right row is later
+
+
+# ------------------------------------------------------------ text ops
+
+
+def test_token_counts_known_string(spark):
+    d = docs(spark, [(1, "Hello world 42!", "en")])
+    row = d.select(
+        *[c.alias(n) for n, c in X.token_counts(F.col("text")).items()]
+    ).collect()[0]
+    assert row.n_ws_tokens == 3
+    # BPE-ish: hello | world | 42 | !
+    assert row.n_bpe_tokens == 4
+    assert row.n_chars == 15
+
+
+def test_langid_prefers_matching_profile(spark):
+    d = docs(
+        spark,
+        [
+            (1, "the cat and the dog sat in the house for a while", "en"),
+            (2, "der hund und die katze ist nicht mit der maus", "de"),
+        ],
+    )
+    lang, _ = X.predict_lang(F.col("text"))
+    got = {r.doc_id: r.p for r in d.select("doc_id", lang.alias("p")).collect()}
+    assert got == {1: "en", 2: "de"}
+
+
+def test_winnow_fingerprints_deterministic_and_shift_tolerant(spark):
+    base = "abcdefghijklmnopqrstuvwxyz0123456789"
+    d = docs(spark, [(1, base, "en"), (2, base, "en"), (3, "XX" + base, "en")])
+    fp = X.winnow_fingerprints(F.col("text"), k=8, w=4)
+    rows = {r.doc_id: set(r.fp) for r in d.select("doc_id", fp.alias("fp")).collect()}
+    assert rows[1] == rows[2]
+    # winnowing guarantee: shared k-gram windows → overlapping fingerprints
+    assert rows[1] & rows[3]
+
+
+# ------------------------------------------------------------ multimodal
+
+
+def test_multimodal_feature_extraction_is_deterministic(spark):
+    media = M.as_media_table(docs(spark, [(7, "hello media", "en")]))
+    row = M.extract_features(media).collect()[0]
+    payload = "hello media".encode()
+    digest = hashlib.md5(payload).digest()
+    assert row.modality == _expected_modality(7)
+    assert row.n_bytes == len(payload)
+    assert row.checksum == hashlib.md5(payload).hexdigest()
+    assert row.feature == [b / 255.0 for b in digest[:4]]
+
+
+def _expected_modality(doc_id: int) -> str:
+    return ["image", "audio", "video"][doc_id % 3]
+
+
+def test_multimodal_decode_stub_raises(spark):
+    with pytest.raises(NotImplementedError):
+        M.decode_media(b"bytes", "image", {})

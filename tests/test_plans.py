@@ -1,0 +1,49 @@
+"""Physical-plan contract (SURVEY.md §5 item 5): pushdown reaches the
+scan, dims broadcast, hot paths stay JVM-side.  These tests fail on a
+refactor that keeps results but regresses the 100 TB plan."""
+
+from __future__ import annotations
+
+import pytest
+
+from dbt_json_readr_spark import registry
+from dbt_json_readr_spark.plans import explain
+from dbt_json_readr_spark.plans.tpch import q5_region_revenue, q6_forecast_revenue
+
+SF = "/root/testdata/sf0.001"
+
+# mapInPandas is the sanctioned Arrow path for exactly one operator
+ARROW_ALLOWED = {"multimodal_stub"}
+# streaming queries materialize through a memory sink — their returned
+# DataFrame is the sink table, so plan introspection happens on the
+# batch twins instead (test_streaming.py covers equivalence)
+SKIP_PLAN = {"streaming_windowed_agg", "streaming_sessionization", "streaming_dedup"}
+
+
+def test_q6_filters_pushed_to_scan(spark):
+    df = q6_forecast_revenue(spark, SF)
+    assert explain.has_pushed_filters(df)
+
+
+def test_q6_scan_prunes_columns(spark):
+    df = q6_forecast_revenue(spark, SF)
+    schema = explain.scan_read_schema(df, "lineitem")
+    assert schema  # found the scan
+    # only the 4 columns the query touches — not the 11-column table
+    for col in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
+        assert col in schema
+    assert "l_orderkey" not in schema and "l_returnflag" not in schema
+
+
+def test_q5_broadcasts_dimension_tables(spark):
+    assert explain.has_broadcast_join(q5_region_revenue(spark, SF))
+
+
+@pytest.mark.parametrize(
+    "key", [k for k in registry.queries() if k not in SKIP_PLAN]
+)
+def test_no_row_python_in_any_plan(spark, key):
+    df = registry.queries()[key](spark, SF)
+    assert explain.python_eval_nodes(df) == []
+    if key not in ARROW_ALLOWED:
+        assert explain.arrow_eval_nodes(df) == []

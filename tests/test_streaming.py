@@ -1,0 +1,57 @@
+"""Streaming == batch equivalence (SURVEY.md §5 item 4): every D-job
+drained through the memory sink must agree with its batch formulation
+on the same data."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_json_readr_spark.plans.events import events_windowed_agg
+from dbt_json_readr_spark.sources.tables import load
+from dbt_json_readr_spark.streaming import jobs
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df, *order):
+    return [tuple(r) for r in df.orderBy(*order).collect()]
+
+
+def test_streaming_windowed_agg_matches_batch(spark):
+    got = _rows(jobs.streaming_windowed_agg(spark, SF), "window_start", "event_type")
+    want = _rows(events_windowed_agg(spark, SF), "window_start", "event_type")
+    assert got == want
+
+
+def test_streaming_sessionization_matches_batch_session_window(spark):
+    got = _rows(
+        jobs.streaming_sessionization(spark, SF), "user_id", "session_start"
+    )
+    # batch re-derivation with the same native operator
+    ev = load(spark, SF, "events")
+    want = _rows(
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        ),
+        "user_id",
+        "session_start",
+    )
+    assert got == want
+
+
+def test_streaming_dedup_drops_redelivered_copies(spark):
+    out = jobs.streaming_dedup(spark, SF)
+    src = load(spark, SF, "events")
+    assert out.count() == src.count()
+    assert _rows(out.select("event_id"), "event_id") == _rows(
+        src.select("event_id"), "event_id"
+    )
