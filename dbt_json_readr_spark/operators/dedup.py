@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..functions import hashing as H
 from ..functions import vectors as V
+from ..session import spread
 
 DEFAULT_BUCKET_CAP = 2000
 
@@ -56,7 +57,7 @@ def minhash_lsh_pairs(
     shingle jaccard.  rows/band = n_hashes//bands; P(candidate) ≈
     1-(1-j^r)^b, tuned so ~j≥threshold pairs are likely candidates."""
     r = n_hashes // bands
-    sh = docs.select(
+    sh = spread(docs).select(
         "doc_id", H.char_shingles(F.col("text"), k).alias("sh")
     )
     mh = sh.select("doc_id", "sh", H.minhash_array(F.col("sh"), n_hashes).alias("mh"))
@@ -105,7 +106,7 @@ def minhash_lsh_pairs(
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs whose 32-bit simhash hamming distance ≤ 3; the four
     8-bit bands guarantee recall by pigeonhole."""
-    sims = docs.select(
+    sims = spread(docs).select(
         "doc_id", H.simhash32(H.tokens(F.col("text"))).alias("simhash")
     )
     banded = sims.select(
@@ -139,7 +140,7 @@ def token_jaccard_pairs(
 ) -> DataFrame:
     """Exact token-set jaccard within a blocking column — the precise
     (non-sketch) dedup for short docs; blocking bounds the pair space."""
-    t = docs.select(
+    t = spread(docs).select(
         "doc_id", F.col(block_col).alias("block"), F.array_distinct(H.tokens(F.col("text"))).alias("tok")
     )
     a = t.select("block", F.col("doc_id").alias("doc_a"), F.col("tok").alias("tok_a"))
@@ -173,7 +174,7 @@ def embedding_bucket(vec) -> F.Column:
 def embedding_cosine_pairs(embs: DataFrame, threshold: float = 0.4) -> DataFrame:
     """Near-dup embedding pairs within a sign-LSH bucket with cosine ≥
     threshold."""
-    e = embs.select(
+    e = spread(embs).select(
         F.col("vec_id"),
         V.to_double(F.col("embedding")).alias("v"),
         embedding_bucket(F.col("embedding")).alias("bucket"),

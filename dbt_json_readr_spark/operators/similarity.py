@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from ..functions import vectors as V
+from ..session import spread
 from .dedup import embedding_bucket
 
 
@@ -22,7 +23,7 @@ def _scored(queries: DataFrame, corpus: DataFrame) -> DataFrame:
     q = queries.select(
         F.col("vec_id").alias("query_id"), V.to_double(F.col("embedding")).alias("q_v")
     )
-    c = corpus.select(
+    c = spread(corpus).select(
         F.col("vec_id").alias("neighbor_id"), V.to_double(F.col("embedding")).alias("c_v")
     )
     return (
@@ -49,7 +50,7 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 5) -> DataFrame:
         V.to_double(F.col("embedding")).alias("q_v"),
         embedding_bucket(F.col("embedding")).alias("bucket"),
     )
-    c = corpus.select(
+    c = spread(corpus).select(
         F.col("vec_id").alias("neighbor_id"),
         V.to_double(F.col("embedding")).alias("c_v"),
         embedding_bucket(F.col("embedding")).alias("bucket"),

@@ -19,7 +19,7 @@ from ..operators import dedup as D
 from ..operators import multimodal as M
 from ..operators import similarity as S
 from ..operators import textops as X
-from ..session import prep
+from ..session import prep, spread
 from ..sources.tables import load
 
 # ---------------------------------------------------------------- C1
@@ -233,7 +233,7 @@ SELECT * FROM (
 
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     lang, score = X.predict_lang(F.col("text"))
     return docs.select(
         "doc_id",
@@ -258,7 +258,7 @@ FROM documents
 
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     feats = X.quality_features(F.col("text"))
     return docs.select(
         "doc_id",
@@ -293,7 +293,7 @@ FROM documents
 
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     counts = X.token_counts(F.col("text"))
     return docs.select("doc_id", *[c.alias(name) for name, c in counts.items()])
 
@@ -315,7 +315,7 @@ _FP_K, _FP_W = 8, 4
 
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     fps = X.winnow_fingerprints(F.col("text"), k=_FP_K, w=_FP_W)
     return docs.select(
         "doc_id",
@@ -343,7 +343,7 @@ def multimodal_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column + typed metadata → Arrow-batched feature
     extraction (rows-only: mapInPandas output is non-SQL-expressible)."""
     prep(spark)
-    media = M.as_media_table(load(spark, sf_dir, "documents"))
+    media = M.as_media_table(spread(load(spark, sf_dir, "documents")))
     return M.extract_features(media)
 
 

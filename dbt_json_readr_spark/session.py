@@ -29,6 +29,18 @@ def get_spark(app_name: str = "dbt_json_readr_spark") -> SparkSession:
     return spark
 
 
+def spread(df, factor: int = 1):
+    """Round-robin repartition ONLY when the input has fewer partitions
+    than the cluster has cores — a small single-file table otherwise
+    pins per-row-heavy compute (hashing, sketching, scoring) to one
+    task.  On a real lake with thousands of splits this is a no-op, so
+    it never adds a shuffle at 100 TB."""
+    target = df.sparkSession.sparkContext.defaultParallelism * factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def prep(spark: SparkSession) -> SparkSession:
     """Pin runtime-settable confs on a session we did not create (the
     driver passes its own).  Idempotent; called at the top of every
