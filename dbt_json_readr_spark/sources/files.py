@@ -1,0 +1,77 @@
+"""Generic lake readers (SURVEY.md §2 E): parquet / csv / json-lines /
+multiline-json with EXPLICIT schemas.
+
+Rules for 100 TB hygiene, enforced here so callers can't drift:
+- schema is required — inference costs an extra full pass on text
+  formats and silently widens types run-to-run;
+- corrupt records are quarantined to a ``_corrupt_record`` column
+  (PERMISSIVE) instead of killing a 6-hour job (FAILFAST is opt-in);
+- paths may be files, directories, or globs — partition discovery and
+  pushdown behave identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def _with_corrupt(schema: T.StructType) -> T.StructType:
+    if CORRUPT_COL in schema.fieldNames():
+        return schema
+    return T.StructType(list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())])
+
+
+def read_parquet(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Schema-asserted parquet scan (column pruning + filter pushdown
+    still apply; the explicit schema guards against upstream drift)."""
+    return spark.read.schema(schema).parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    delimiter: str = ",",
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    return (
+        spark.read.schema(_with_corrupt(schema) if mode == "PERMISSIVE" else schema)
+        .option("header", str(header).lower())
+        .option("delimiter", delimiter)
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .csv(path)
+    )
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType, mode: str = "PERMISSIVE"
+) -> DataFrame:
+    """One JSON document per line — the only JSON layout that splits
+    across executors; prefer it for anything large."""
+    return (
+        spark.read.schema(_with_corrupt(schema) if mode == "PERMISSIVE" else schema)
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+
+
+def read_json_multiline(
+    spark: SparkSession, path: str, schema: T.StructType, mode: str = "PERMISSIVE"
+) -> DataFrame:
+    """Whole-file JSON (one document spanning lines, e.g. an array dump
+    or a dbt artifact).  Each FILE is the unit of parallelism — fine for
+    many files, wrong for one giant file (see artifacts.py for the
+    wholetext+from_json pattern)."""
+    return (
+        spark.read.schema(_with_corrupt(schema) if mode == "PERMISSIVE" else schema)
+        .option("multiLine", "true")
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )

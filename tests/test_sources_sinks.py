@@ -1,0 +1,97 @@
+"""E-plumbing tests (SURVEY.md §2 E): generic readers quarantine corrupt
+records instead of failing; partitioned writes prune directories;
+bucketed writes make the key join exchange-free."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dbt_json_readr_spark import sinks
+from dbt_json_readr_spark.plans.explain import formatted_plan
+from dbt_json_readr_spark.sources import files
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("v", T.DoubleType()),
+    ]
+)
+
+
+def test_read_csv_quarantines_corrupt_rows(spark, tmp_path):
+    p = tmp_path / "data.csv"
+    p.write_text("id,name,v\n1,a,1.5\nnot_a_number,b,2.5\n3,c,3.5\n")
+    df = files.read_csv(spark, str(p), SCHEMA).cache()
+    ok = df.filter(F.col(files.CORRUPT_COL).isNull())
+    bad = df.filter(F.col(files.CORRUPT_COL).isNotNull())
+    assert {r.id for r in ok.collect()} == {1, 3}
+    assert bad.count() == 1
+
+
+def test_read_jsonl_explicit_schema(spark, tmp_path):
+    p = tmp_path / "data.jsonl"
+    p.write_text('{"id": 1, "name": "a", "v": 1.5}\n{"id": 2, "name": "b", "v": 2.5}\n')
+    df = files.read_jsonl(spark, str(p), SCHEMA)
+    assert [tuple(r)[:3] for r in df.orderBy("id").collect()] == [
+        (1, "a", 1.5),
+        (2, "b", 2.5),
+    ]
+
+
+def test_read_json_multiline_whole_file(spark, tmp_path):
+    p = tmp_path / "doc.json"
+    p.write_text('[\n  {"id": 1, "name": "a", "v": 1.0},\n  {"id": 2, "name": "b", "v": 2.0}\n]\n')
+    df = files.read_json_multiline(spark, str(p), SCHEMA)
+    assert df.count() == 2
+
+
+def test_write_partitioned_lays_out_pruneable_dirs(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "x", 1.0, "2024-01-01"), (2, "y", 2.0, "2024-01-02")],
+        "id long, name string, v double, dt string",
+    )
+    out = str(tmp_path / "out")
+    sinks.write_partitioned(df, out, ["dt"])
+    assert sorted(d for d in os.listdir(out) if d.startswith("dt=")) == [
+        "dt=2024-01-01",
+        "dt=2024-01-02",
+    ]
+    back = spark.read.parquet(out).filter(F.col("dt") == "2024-01-01")
+    # partition pruning: only one partition directory is read
+    assert "PartitionFilters" in formatted_plan(back)
+    assert back.count() == 1
+
+
+def test_write_bucketed_join_is_exchange_free(spark, tmp_path):
+    # in-memory catalog: a table dir can outlive the catalog entry (new
+    # session) — clear both so overwrite semantics start clean
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("t_bl", "t_br"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    left = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+    )
+    sinks.write_bucketed(left, "t_bl", ["k"], n_buckets=8, sort_cols=["k"])
+    sinks.write_bucketed(right, "t_br", ["k"], n_buckets=8, sort_cols=["k"])
+    # force the sort-merge path (tiny test tables would broadcast) to
+    # show the bucketing removes the shuffle exchanges
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("t_bl").join(spark.table("t_br"), "k")
+        plan = formatted_plan(joined)
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
