@@ -103,6 +103,27 @@ def winnow_fingerprints(text: Column, k: int = 8, w: int = 4) -> Column:
     return F.array_distinct(mins)
 
 
+# ----------------------------------------------------------- PII scrub
+
+# dialect-portable patterns (identical semantics in Java regex & RE2)
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\+?[0-9][0-9 ()-]{6,}[0-9]"
+
+
+def pii_features(text: Column) -> dict[str, Column]:
+    """Counts + redacted form for the two high-volume PII shapes a
+    training-data pipeline scrubs first.  Emails redact before phones so
+    digit runs inside addresses can't double-match."""
+    redacted = F.regexp_replace(
+        F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return {
+        "n_emails": F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0)).cast("int"),
+        "n_phones": F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), 0)).cast("int"),
+        "redacted": redacted,
+    }
+
+
 # --------------------------------------------------- DuckDB SQL twins
 
 

@@ -373,3 +373,95 @@ FROM (
 GROUP BY event_type
 """
 )
+
+
+# ---------------------------------------------------------------- B16
+
+
+def orders_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running revenue — the cumulative-window primitive.
+    One shuffle on o_custkey; DECIMAL running sum so every prefix is
+    exact and engine-independent."""
+    prep(spark)
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("cum_revenue"),
+    )
+
+
+ORDERS_RUNNING_TOTAL_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_revenue
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------- B17
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase funnel: per-user ordered-stage detection
+    in ONE pass (conditional min-ts aggregation, no self-joins — the
+    n-stage funnel that would otherwise be n-1 joins of the fact with
+    itself), then a stage histogram."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    stage = (
+        F.when(
+            F.col("t_view").isNotNull()
+            & F.col("t_click").isNotNull()
+            & F.col("t_purchase").isNotNull()
+            & (F.col("t_click") > F.col("t_view"))
+            & (F.col("t_purchase") > F.col("t_click")),
+            "purchase",
+        )
+        .when(
+            F.col("t_view").isNotNull()
+            & F.col("t_click").isNotNull()
+            & (F.col("t_click") > F.col("t_view")),
+            "click",
+        )
+        .when(F.col("t_view").isNotNull(), "view")
+        .otherwise("none")
+    )
+    return (
+        per_user.select(stage.alias("funnel_stage"))
+        .groupBy("funnel_stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("funnel_stage")
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT funnel_stage, count(*) AS n_users FROM (
+  SELECT CASE
+    WHEN t_view IS NOT NULL AND t_click IS NOT NULL AND t_purchase IS NOT NULL
+         AND t_click > t_view AND t_purchase > t_click THEN 'purchase'
+    WHEN t_view IS NOT NULL AND t_click IS NOT NULL AND t_click > t_view THEN 'click'
+    WHEN t_view IS NOT NULL THEN 'view'
+    ELSE 'none' END AS funnel_stage
+  FROM per_user
+) GROUP BY funnel_stage ORDER BY funnel_stage
+"""

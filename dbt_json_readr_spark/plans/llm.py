@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..functions import hashing as H
 from ..functions import vectors as V
 from ..operators import dedup as D
+from ..operators import graph as G
 from ..operators import multimodal as M
 from ..operators import similarity as S
 from ..operators import textops as X
@@ -336,6 +337,97 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------- C13
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS (C2 minhash-LSH) → dedup CLUSTERS via distributed
+    min-label propagation; cluster_id = min doc_id of the component."""
+    prep(spark)
+    pairs = D.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"),
+        k=_MH_K, n_hashes=_MH_N, bands=_MH_BANDS, threshold=_MH_TAU,
+    ).select("doc_a", "doc_b")
+    return G.connected_components(pairs)
+
+
+def _clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE
+base AS (SELECT doc_a, doc_b FROM ({_minhash_sql()}) mh),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM base
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM base
+),
+reach AS (
+  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+"""
+
+
+# ---------------------------------------------------------------- C14
+
+
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    docs = spread(load(spark, sf_dir, "documents"))
+    feats = X.pii_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_emails"].alias("n_emails"),
+        feats["n_phones"].alias("n_phones"),
+        F.md5(feats["redacted"]).alias("redacted_hash"),
+    )
+
+
+def _pii_sql() -> str:
+    return f"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{X.EMAIL_RE}')) AS INTEGER) AS n_emails,
+  CAST(len(regexp_extract_all(text, '{X.PHONE_RE}')) AS INTEGER) AS n_phones,
+  md5(regexp_replace(regexp_replace(text, '{X.EMAIL_RE}', '<EMAIL>', 'g'),
+                     '{X.PHONE_RE}', '<PHONE>', 'g')) AS redacted_hash
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------- C15
+
+_TOPK_TERMS = 20
+
+
+def doc_term_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k terms by document frequency — the inverted-index /
+    vocabulary primitive.  Distinct-tokens-per-doc explode → count —
+    partial aggregation makes the shuffle |vocab|-sized, not
+    corpus-sized; deterministic (df DESC, term) tiebreak."""
+    prep(spark)
+    docs = spread(load(spark, sf_dir, "documents"))
+    return (
+        docs.select(
+            F.explode(F.array_distinct(H.tokens(F.col("text")))).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), "term")
+        .limit(_TOPK_TERMS)
+    )
+
+
+def _term_topk_sql() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, unnest(list_distinct({H.sql_tokens('text')})) AS term FROM documents
+)
+SELECT term, count(*) AS n_docs FROM t
+GROUP BY term ORDER BY n_docs DESC, term LIMIT {_TOPK_TERMS}
+"""
+
+
 # ---------------------------------------------------------------- C12
 
 
@@ -359,4 +451,7 @@ ORACLES: dict[str, str] = {
     "text_quality_score": _quality_sql(),
     "text_token_count": _token_count_sql(),
     "text_fingerprint": _fingerprint_sql(),
+    "dedup_clusters": _clusters_sql(),
+    "text_pii_redact": _pii_sql(),
+    "doc_term_topk": _term_topk_sql(),
 }

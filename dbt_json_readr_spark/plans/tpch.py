@@ -200,3 +200,41 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
   AND l_discount >= 0.05 AND l_discount <= 0.07
   AND l_quantity < 24
 """
+
+
+def q4_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS (correlated) → left-semi join with a
+    cross-side predicate, then a 1-key count.
+
+    Scale posture: the semi-join shuffles both sides once on orderkey
+    and short-circuits per order (no fact-side duplication); the
+    non-equi ship-lag predicate rides the same join, not a filter on a
+    joined blow-up.
+    """
+    prep(spark)
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""

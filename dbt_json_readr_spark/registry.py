@@ -48,6 +48,7 @@ register("q1_pricing_summary", tpch.q1_pricing_summary, tpch.Q1_SQL)
 register("q3_shipping_priority", tpch.q3_shipping_priority, tpch.Q3_SQL)
 register("q5_region_revenue", tpch.q5_region_revenue, tpch.Q5_SQL)
 register("q6_forecast_revenue", tpch.q6_forecast_revenue, tpch.Q6_SQL)
+register("q4_late_shipments", tpch.q4_late_shipments, tpch.Q4_SQL)
 register("top_customers_per_nation", events.top_customers_per_nation, events.TOP_CUSTOMERS_SQL)
 register("order_priority_pivot", events.order_priority_pivot, events.ORDER_PRIORITY_PIVOT_SQL)
 register("revenue_rollup", events.revenue_rollup, events.REVENUE_ROLLUP_SQL)
@@ -58,6 +59,8 @@ register("events_windowed_agg", events.events_windowed_agg, events.EVENTS_WINDOW
 register("events_json_props", events.events_json_props, events.EVENTS_JSON_PROPS_SQL)
 register("asof_join_events_orders", events.asof_join_events_orders, events.ASOF_JOIN_SQL)
 register("events_approx_quantiles", events.events_approx_quantiles, events.EVENTS_QUANTILES_SQL)
+register("orders_running_total", events.orders_running_total, events.ORDERS_RUNNING_TOTAL_SQL)
+register("events_funnel", events.events_funnel, events.EVENTS_FUNNEL_SQL)
 
 # C. LLM-data-pipeline operators (dedup / similarity / text analysis)
 for _key, _sql in llm.ORACLES.items():

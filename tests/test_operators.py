@@ -194,3 +194,33 @@ def _expected_modality(doc_id: int) -> str:
 def test_multimodal_decode_stub_raises(spark):
     with pytest.raises(NotImplementedError):
         M.decode_media(b"bytes", "image", {})
+
+
+# ------------------------------------------------------------ graph
+
+
+def test_connected_components_merges_chains(spark):
+    from dbt_json_readr_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 7)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 7, 8: 7}
+
+
+# ------------------------------------------------------------ pii
+
+
+def test_pii_redaction_counts_and_scrubs(spark):
+    d = docs(
+        spark,
+        [(1, "mail me at jo.doe+x@site.org or call +1 (555) 123-4567 ok", "en")],
+    )
+    feats = X.pii_features(F.col("text"))
+    row = d.select(
+        feats["n_emails"].alias("e"), feats["n_phones"].alias("p"), feats["redacted"].alias("r")
+    ).collect()[0]
+    assert row.e == 1 and row.p == 1
+    assert "<EMAIL>" in row.r and "<PHONE>" in row.r
+    assert "site.org" not in row.r and "555" not in row.r
