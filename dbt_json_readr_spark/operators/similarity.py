@@ -64,3 +64,63 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 5) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+QUANT = 1_000_000
+
+
+def label_centroids(corpus: DataFrame) -> DataFrame:
+    """Per-label centroid vectors — the IVF coarse quantizer (labels
+    stand in for k-means cell assignments, which a real pipeline
+    precomputes the same way).
+
+    Determinism: components accumulate as FIXED-POINT integers
+    (floor(v·1e6) summed exactly as longs, divided once at the end), so
+    the centroid is identical under any partitioning/engine — a parallel
+    double-sum would drift in the last ulp and flip ANN tie-breaks.
+    """
+    comp = corpus.select(
+        "label", F.posexplode(V.to_double(F.col("embedding"))).alias("dim", "val")
+    ).select(
+        "label", "dim", F.floor(F.col("val") * QUANT).cast("long").alias("q")
+    )
+    per_dim = comp.groupBy("label", "dim").agg(
+        (F.sum("q").cast("double") / (F.lit(QUANT) * F.count(F.lit(1)))).alias("c")
+    )
+    return per_dim.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda x: x["c"]
+        ).alias("centroid")
+    )
+
+
+def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5) -> DataFrame:
+    """IVF-style ANN: probe the nearest centroid cell (nprobe=1), then
+    exact top-k inside that cell only.  Centroids broadcast (|labels|
+    rows); the only corpus-wide shuffle is the cell-key join — the
+    pattern that keeps 100 TB of vectors out of the scoring cross
+    product."""
+    cents = label_centroids(corpus)
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), V.to_double(F.col("embedding")).alias("q_v")
+    )
+    probe_w = W.partitionBy("query_id").orderBy(F.desc("c_cos"), "label")
+    probed = (
+        q.crossJoin(F.broadcast(cents))
+        .select("query_id", "q_v", "label", V.cosine(F.col("q_v"), F.col("centroid")).alias("c_cos"))
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "q_v", "label")
+    )
+    c = spread(corpus).select(
+        "label", F.col("vec_id").alias("neighbor_id"), V.to_double(F.col("embedding")).alias("c_v")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        F.broadcast(probed)
+        .join(c, "label")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", V.cosine(F.col("q_v"), F.col("c_v")).alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

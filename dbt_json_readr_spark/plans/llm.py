@@ -428,6 +428,115 @@ GROUP BY term ORDER BY n_docs DESC, term LIMIT {_TOPK_TERMS}
 """
 
 
+# ---------------------------------------------------------------- C16
+
+
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid components (fixed-point-deterministic)."""
+    prep(spark)
+    cents = S.label_centroids(spread(load(spark, sf_dir, "embeddings")))
+    return cents.select(
+        "label", F.posexplode("centroid").alias("dim", "centroid_val")
+    ).select("label", (F.col("dim") + 1).alias("dim"), "centroid_val")
+
+
+_CENT_SQL_BASE = f"""
+e AS (
+  SELECT vec_id, label, {V.sql_to_double('embedding')} AS v FROM embeddings
+),
+comp AS (
+  SELECT label, t.dim AS dim, CAST(floor(v[t.dim] * {S.QUANT}) AS BIGINT) AS q
+  FROM e, UNNEST(range(1, len(v)+1)) AS t(dim)
+),
+cent_dim AS (
+  SELECT label, dim, CAST(sum(q) AS DOUBLE) / ({S.QUANT} * count(*)) AS c
+  FROM comp GROUP BY label, dim
+)"""
+
+
+def _centroids_sql() -> str:
+    return f"""
+WITH {_CENT_SQL_BASE}
+SELECT label, CAST(dim AS INTEGER) AS dim, c AS centroid_val FROM cent_dim
+"""
+
+
+# ---------------------------------------------------------------- C17
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    embs = load(spark, sf_dir, "embeddings")
+    return S.ivf_topk(embs.filter(F.col("vec_id") < _ANN_NQ), embs, k=_ANN_K)
+
+
+def _ann_ivf_sql() -> str:
+    cos_probe = V.sql_cosine("q.v", "cent.cv")
+    cos = V.sql_cosine("q.v", "c.v")
+    return f"""
+WITH {_CENT_SQL_BASE},
+cent AS (
+  SELECT label, list(c ORDER BY dim) AS cv FROM cent_dim GROUP BY label
+),
+probe AS (
+  SELECT query_id, label FROM (
+    SELECT q.vec_id AS query_id, cent.label,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {cos_probe} DESC, cent.label) AS rn
+    FROM (SELECT * FROM e WHERE vec_id < {_ANN_NQ}) q CROSS JOIN cent
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cosine
+  FROM (SELECT * FROM e WHERE vec_id < {_ANN_NQ}) q
+  JOIN probe p ON p.query_id = q.vec_id
+  JOIN e c ON c.label = p.label AND c.vec_id <> q.vec_id
+)
+SELECT * FROM (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {_ANN_K}
+"""
+
+
+# ---------------------------------------------------------------- C18
+
+
+def corpus_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup accounting: minhash pairs → components → keep
+    the min-id member per cluster → per-source kept/dropped counts."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, k=_MH_K, n_hashes=_MH_N, bands=_MH_BANDS, threshold=_MH_TAU
+    ).select("doc_a", "doc_b")
+    clusters = G.connected_components(pairs)
+    dropped = (F.col("cluster_id").isNotNull()) & (F.col("cluster_id") != F.col("doc_id"))
+    return (
+        docs.join(clusters, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(dropped.cast("long")).alias("n_dropped"),
+            F.sum((~dropped).cast("long")).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+def _dedup_summary_sql() -> str:
+    return f"""
+WITH clusters AS ({_clusters_sql()})
+SELECT source,
+       count(*) AS n_docs,
+       sum(CASE WHEN cluster_id IS NOT NULL AND cluster_id <> doc_id THEN 1 ELSE 0 END) AS n_dropped,
+       sum(CASE WHEN cluster_id IS NOT NULL AND cluster_id <> doc_id THEN 0 ELSE 1 END) AS n_kept
+FROM documents LEFT JOIN clusters USING (doc_id)
+GROUP BY source ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------- C12
 
 
@@ -454,4 +563,7 @@ ORACLES: dict[str, str] = {
     "dedup_clusters": _clusters_sql(),
     "text_pii_redact": _pii_sql(),
     "doc_term_topk": _term_topk_sql(),
+    "embedding_centroids": _centroids_sql(),
+    "ann_ivf_topk": _ann_ivf_sql(),
+    "corpus_dedup_summary": _dedup_summary_sql(),
 }

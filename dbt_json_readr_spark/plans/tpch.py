@@ -238,3 +238,117 @@ WHERE EXISTS (
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join (customers with zero orders must
+    survive) → per-customer count → histogram of counts.  Two shuffles
+    (join key, then count key); the outer join cannot broadcast-build the
+    customer side away at scale, so it shuffles on custkey."""
+    prep(spark)
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("c_count"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS n_customers FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY n_customers DESC, c_count DESC
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING on a fact aggregate, then join the
+    surviving keys back to the dims.  The qualifying-orders set is tiny →
+    broadcast it into orders/customer instead of re-joining the fact."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.desc("sum_qty"), "o_orderkey")
+    )
+
+
+Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 250
+) big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY sum_qty DESC, o_orderkey
+"""
+
+
+def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: supplier-nation × customer-nation trade matrix.
+    Both nation hops broadcast; the fact shuffles once per fact-fact
+    equi-join (lineitem⋈orders)."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    revenue = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    supp_n = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cust_n = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp_n), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cust_n), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("supp_nation", "cust_nation")
+    )
+
+
+Q7_SQL = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name <> cn.n_name
+GROUP BY sn.n_name, cn.n_name
+ORDER BY supp_nation, cust_nation
+"""

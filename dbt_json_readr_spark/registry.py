@@ -49,6 +49,9 @@ register("q3_shipping_priority", tpch.q3_shipping_priority, tpch.Q3_SQL)
 register("q5_region_revenue", tpch.q5_region_revenue, tpch.Q5_SQL)
 register("q6_forecast_revenue", tpch.q6_forecast_revenue, tpch.Q6_SQL)
 register("q4_late_shipments", tpch.q4_late_shipments, tpch.Q4_SQL)
+register("q7_nation_trade", tpch.q7_nation_trade, tpch.Q7_SQL)
+register("q13_order_distribution", tpch.q13_order_distribution, tpch.Q13_SQL)
+register("q18_large_orders", tpch.q18_large_orders, tpch.Q18_SQL)
 register("top_customers_per_nation", events.top_customers_per_nation, events.TOP_CUSTOMERS_SQL)
 register("order_priority_pivot", events.order_priority_pivot, events.ORDER_PRIORITY_PIVOT_SQL)
 register("revenue_rollup", events.revenue_rollup, events.REVENUE_ROLLUP_SQL)
