@@ -388,3 +388,23 @@ def dbt_lineage_depth() -> str:
     cols = [("unique_id", "VARCHAR"), ("depth", "INTEGER")]
     rows = [(uid, max_depth.get(uid, 0)) for uid in all_ids]
     return _values_sql(cols, rows)
+
+
+def dbt_run_summary() -> str:
+    return f"""
+SELECT status, count(*) AS n_nodes,
+       CAST(sum(CAST(execution_time AS DECIMAL(18,4))) AS DOUBLE) AS total_time,
+       max(execution_time) AS max_time,
+       sum(rows_affected) AS total_rows
+FROM ({dbt_run_results()}) GROUP BY status ORDER BY status
+"""
+
+
+def dbt_model_fanout() -> str:
+    return f"""
+SELECT parent_unique_id, count(*) AS n_children
+FROM ({dbt_manifest_edges()})
+WHERE dep_type = 'nodes'
+GROUP BY parent_unique_id
+ORDER BY n_children DESC, parent_unique_id
+"""

@@ -155,3 +155,32 @@ def dbt_lineage_depth(spark: SparkSession, sf_dir: str, target: str = FIXTURE_TA
         A.manifest_sources(spark, _manifest(target)).select("unique_id")
     )
     return lineage.lineage_depth(nodes, _data_edges(spark, target))
+
+
+def dbt_run_summary(spark: SparkSession, sf_dir: str, target: str = FIXTURE_TARGET) -> DataFrame:
+    """Invocation health rollup over run_results: per-status node count,
+    decimal-exact total runtime, slowest node time, rows touched."""
+    prep(spark)
+    rr = A.run_results(spark, f"{target}/run_results.json")
+    return (
+        rr.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(F.col("execution_time").cast("decimal(18,4)")).cast("double").alias("total_time"),
+            F.max("execution_time").alias("max_time"),
+            F.sum("rows_affected").alias("total_rows"),
+        )
+        .orderBy("status")
+    )
+
+
+def dbt_model_fanout(spark: SparkSession, sf_dir: str, target: str = FIXTURE_TARGET) -> DataFrame:
+    """Blast-radius ranking: direct downstream dependents per node —
+    the impact-analysis primitive on the depends_on edge list."""
+    prep(spark)
+    edges = _data_edges(spark, target)
+    return (
+        edges.groupBy("parent_unique_id")
+        .agg(F.count(F.lit(1)).alias("n_children"))
+        .orderBy(F.desc("n_children"), "parent_unique_id")
+    )

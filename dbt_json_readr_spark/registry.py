@@ -40,6 +40,8 @@ for _key in [
     "dbt_source_freshness",
     "dbt_lineage_closure",
     "dbt_lineage_depth",
+    "dbt_run_summary",
+    "dbt_model_fanout",
 ]:
     register(_key, getattr(dbt, _key), getattr(oracles, _key)())
 
@@ -82,6 +84,11 @@ register(
     streaming_jobs.STREAMING_SESSIONIZATION_SQL,
 )
 register("streaming_dedup", streaming_jobs.streaming_dedup, streaming_jobs.STREAMING_DEDUP_SQL)
+register(
+    "streaming_stateful_counts",
+    streaming_jobs.streaming_stateful_counts,
+    streaming_jobs.STREAMING_STATEFUL_COUNTS_SQL,
+)
 
 
 def queries() -> dict[str, QueryFn]:

@@ -173,3 +173,47 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAMING_DEDUP_SQL = """
 SELECT event_id, user_id, event_type, value FROM events
 """
+
+
+# ---------------------------------------------------------------- D4
+
+
+def _stateful_counts_func(key, pdfs, state):
+    """Per-user running totals in explicit state.  Everything integer
+    (count + floor-quantized value sum) so the result is independent of
+    batch/row order — a float accumulator would drift with batching."""
+    import numpy as np
+    import pandas as pd
+
+    n, vsum = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        vsum += int(np.floor(pdf["value"].to_numpy() * 1_000_000).sum())
+    state.update((n, vsum))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "value_micros": [vsum]})
+
+
+def streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    event count + fixed-point value sum carried in group state across
+    micro-batches (the escape hatch for stateful logic Spark's built-in
+    streaming aggs can't express)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    prep(spark)
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    counted = ev.groupBy("user_id").applyInPandasWithState(
+        _stateful_counts_func,
+        outputStructType="user_id long, n_events long, value_micros long",
+        stateStructType="n long, vsum long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(counted, "stream_stateful_counts", "update")
+
+
+STREAMING_STATEFUL_COUNTS_SQL = """
+SELECT user_id, count(*) AS n_events,
+       sum(CAST(floor(value * 1000000) AS BIGINT)) AS value_micros
+FROM events GROUP BY user_id
+"""

@@ -224,3 +224,22 @@ def test_pii_redaction_counts_and_scrubs(spark):
     assert row.e == 1 and row.p == 1
     assert "<EMAIL>" in row.r and "<PHONE>" in row.r
     assert "site.org" not in row.r and "555" not in row.r
+
+
+# ------------------------------------------------------------ skew
+
+
+def test_salted_join_matches_plain_join(spark):
+    from dbt_json_readr_spark.functions.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, 1000), (3, 2000)], "k long, v long"
+    )
+    right = spark.createDataFrame([(1, "hot"), (2, "warm"), (4, "unused")], "k long, name string")
+    got = salted_join(left, right, "k", n_salts=4)
+    want = left.join(right, "k")
+    assert got.count() == want.count() == 501
+    assert sorted(tuple(r) for r in got.collect()) == sorted(tuple(r) for r in want.collect())
+    # outer variants preserve unmatched left rows
+    got_left = salted_join(left, right, "k", n_salts=4, how="left")
+    assert got_left.count() == left.count()

@@ -55,3 +55,16 @@ def test_streaming_dedup_drops_redelivered_copies(spark):
     assert _rows(out.select("event_id"), "event_id") == _rows(
         src.select("event_id"), "event_id"
     )
+
+
+def test_streaming_stateful_counts_matches_batch(spark):
+    got = _rows(jobs.streaming_stateful_counts(spark, SF), "user_id")
+    ev = load(spark, SF, "events")
+    want = _rows(
+        ev.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1_000_000).cast("long")).alias("value_micros"),
+        ),
+        "user_id",
+    )
+    assert got == want
