@@ -85,21 +85,21 @@ def minhash_lsh_pairs(
     b = sized.select(
         F.col("band"), F.col("bkey"), F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
     )
-    cand = (
-        a.join(b, ["band", "bkey"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    # verify IN the bucket join (jaccard is identical for every band copy
+    # of a pair), so the final dedup shuffles narrow (doc_a, doc_b,
+    # jaccard) rows — the shingle arrays never cross a second exchange
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (
-        cand.select(
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
             "doc_a",
             "doc_b",
             (inter.cast("double") / union.cast("double")).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 

@@ -352,3 +352,50 @@ WHERE sn.n_name <> cn.n_name
 GROUP BY sn.n_name, cn.n_name
 ORDER BY supp_nation, cust_nation
 """
+
+
+def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand price moments WITHOUT float-sum drift: n / Σx / Σx² are
+    exact DECIMAL aggregates (order-independent under any partitioning);
+    mean and population variance derive from them in one fixed-order
+    double expression — so stddev-style analytics stay oracle-exact."""
+    prep(spark)
+    part = load(spark, sf_dir, "part")
+    x = _dec("p_retailprice")
+    agg = part.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(x).alias("_s"),
+        F.sum(x * x).alias("_ss"),
+        F.min("p_retailprice").alias("min_price"),
+        F.max("p_retailprice").alias("max_price"),
+    )
+    s = F.col("_s").cast("double")
+    ss = F.col("_ss").cast("double")
+    n = F.col("n_parts").cast("double")
+    return agg.select(
+        "p_brand",
+        "n_parts",
+        (s / n).alias("avg_price"),
+        ((ss - s * s / n) / n).alias("var_price"),
+        "min_price",
+        "max_price",
+    ).orderBy("p_brand")
+
+
+PART_BRAND_STATS_SQL = """
+SELECT p_brand, n_parts,
+       s / n AS avg_price,
+       (ss - s * s / n) / n AS var_price,
+       min_price, max_price
+FROM (
+  SELECT p_brand,
+         count(*) AS n_parts,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS s,
+         CAST(sum(CAST(p_retailprice AS DECIMAL(18,4)) * CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS ss,
+         min(p_retailprice) AS min_price,
+         max(p_retailprice) AS max_price
+  FROM part GROUP BY p_brand
+)
+ORDER BY p_brand
+"""

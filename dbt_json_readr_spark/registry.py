@@ -54,6 +54,7 @@ register("q4_late_shipments", tpch.q4_late_shipments, tpch.Q4_SQL)
 register("q7_nation_trade", tpch.q7_nation_trade, tpch.Q7_SQL)
 register("q13_order_distribution", tpch.q13_order_distribution, tpch.Q13_SQL)
 register("q18_large_orders", tpch.q18_large_orders, tpch.Q18_SQL)
+register("part_brand_stats", tpch.part_brand_stats, tpch.PART_BRAND_STATS_SQL)
 register("top_customers_per_nation", events.top_customers_per_nation, events.TOP_CUSTOMERS_SQL)
 register("order_priority_pivot", events.order_priority_pivot, events.ORDER_PRIORITY_PIVOT_SQL)
 register("revenue_rollup", events.revenue_rollup, events.REVENUE_ROLLUP_SQL)
