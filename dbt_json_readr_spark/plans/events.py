@@ -465,3 +465,120 @@ SELECT funnel_stage, count(*) AS n_users FROM (
   FROM per_user
 ) GROUP BY funnel_stage ORDER BY funnel_stage
 """
+
+
+# ---------------------------------------------------------------- B18b
+
+
+def lineitem_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot via ``stack`` — the inverse of B6's pivot; the
+    per-flag aggregates stay decimal-exact before melting."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    base = li.groupBy("l_returnflag").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+        F.sum(_dec("l_discount")).cast("double").alias("sum_disc"),
+    )
+    return base.selectExpr(
+        "l_returnflag",
+        "stack(3, 'qty', sum_qty, 'price', sum_price, 'disc', sum_disc) AS (metric, value)",
+    ).orderBy("l_returnflag", "metric")
+
+
+LINEITEM_UNPIVOT_SQL = """
+WITH base AS (
+  SELECT l_returnflag,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+         CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, metric, value FROM (
+  SELECT l_returnflag, 'qty' AS metric, sum_qty AS value FROM base
+  UNION ALL SELECT l_returnflag, 'price', sum_price FROM base
+  UNION ALL SELECT l_returnflag, 'disc', sum_disc FROM base
+)
+ORDER BY l_returnflag, metric
+"""
+
+
+# ---------------------------------------------------------------- B22
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week,
+    distinct-active counts per (cohort_week, weeks_since).  Two shuffles:
+    first-seen agg on user, then the cohort-cell distinct."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    return (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                (
+                    F.unix_timestamp(F.date_trunc("week", F.col("ts")))
+                    - F.unix_timestamp("cohort_week")
+                )
+                / 604800
+            )
+            .cast("int")
+            .alias("weeks_since"),
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "weeks_since")
+    )
+
+
+EVENTS_RETENTION_SQL = """
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+  FROM events GROUP BY user_id
+)
+SELECT cohort_week,
+       CAST((epoch(date_trunc('week', ts)) - epoch(cohort_week)) / 604800 AS INTEGER) AS weeks_since,
+       count(DISTINCT e.user_id) AS n_active
+FROM events e JOIN first USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------- B23
+
+
+def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue with lag deltas.  The time-series window
+    is unpartitioned but only |months| rows reach it (post-aggregate), so
+    the single-partition sort is trivially bounded at any corpus size."""
+    prep(spark)
+    orders = load(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(F.sum(_dec("o_totalprice")).cast("double").alias("revenue"))
+    w = W.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        (F.col("revenue") - prev).alias("delta"),
+        ((F.col("revenue") - prev) / prev).alias("pct_change"),
+    ).orderBy("month")
+
+
+ORDERS_MONTHLY_GROWTH_SQL = """
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT month, revenue,
+       revenue - lag(revenue) OVER (ORDER BY month) AS delta,
+       (revenue - lag(revenue) OVER (ORDER BY month)) / lag(revenue) OVER (ORDER BY month) AS pct_change
+FROM monthly ORDER BY month
+"""

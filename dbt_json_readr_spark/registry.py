@@ -67,6 +67,9 @@ register("asof_join_events_orders", events.asof_join_events_orders, events.ASOF_
 register("events_approx_quantiles", events.events_approx_quantiles, events.EVENTS_QUANTILES_SQL)
 register("orders_running_total", events.orders_running_total, events.ORDERS_RUNNING_TOTAL_SQL)
 register("events_funnel", events.events_funnel, events.EVENTS_FUNNEL_SQL)
+register("lineitem_unpivot_metrics", events.lineitem_unpivot_metrics, events.LINEITEM_UNPIVOT_SQL)
+register("events_retention_cohorts", events.events_retention_cohorts, events.EVENTS_RETENTION_SQL)
+register("orders_monthly_growth", events.orders_monthly_growth, events.ORDERS_MONTHLY_GROWTH_SQL)
 
 # C. LLM-data-pipeline operators (dedup / similarity / text analysis)
 for _key, _sql in llm.ORACLES.items():

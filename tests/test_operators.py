@@ -243,3 +243,42 @@ def test_salted_join_matches_plain_join(spark):
     # outer variants preserve unmatched left rows
     got_left = salted_join(left, right, "k", n_salts=4, how="left")
     assert got_left.count() == left.count()
+
+
+# ------------------------------------------------------------ scd2
+
+
+def test_scd2_apply_closes_changed_and_inserts_new(spark):
+    from dbt_json_readr_spark.operators.scd2 import scd2_apply
+
+    cur = spark.createDataFrame(
+        [
+            (1, "gold", ts(0), None, True),       # will change → close + new version
+            (1, "silver", dt.datetime(2023, 12, 1), ts(0), False),  # history: untouched
+            (2, "bronze", ts(0), None, True),     # update with SAME value: untouched
+            (3, "gold", ts(0), None, True),       # no update: untouched
+        ],
+        "k long, tier string, effective_from timestamp, effective_to timestamp, is_current boolean",
+    )
+    upd = spark.createDataFrame(
+        [(1, "platinum", ts(10)), (2, "bronze", ts(10)), (4, "new", ts(10))],
+        "k long, tier string, effective_from timestamp",
+    )
+    out = scd2_apply(cur, upd, key="k", tracked=["tier"])
+    rows = sorted(
+        (r.k, r.tier, r.effective_from, r.effective_to, r.is_current)
+        for r in out.collect()
+    )
+    assert rows == sorted(
+        [
+            (1, "gold", ts(0), ts(10), False),
+            (1, "silver", dt.datetime(2023, 12, 1), ts(0), False),
+            (1, "platinum", ts(10), None, True),
+            (2, "bronze", ts(0), None, True),
+            (3, "gold", ts(0), None, True),
+            (4, "new", ts(10), None, True),
+        ]
+    )
+    # exactly one current row per live key
+    cur_counts = {r.k: r.n for r in out.filter("is_current").groupBy("k").agg(F.count("*").alias("n")).collect()}
+    assert cur_counts == {1: 1, 2: 1, 3: 1, 4: 1}
