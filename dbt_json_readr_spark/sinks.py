@@ -48,3 +48,17 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def write_delta(df: DataFrame, path: str, mode: str = "append") -> None:
+    """Delta Lake sink — requires delta-spark jars, which this image does
+    not ship.  Gated behind import so the engine degrades loudly, not
+    silently."""
+    try:
+        import delta  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "delta-spark is not installed in this environment; use "
+            "write_partitioned/write_bucketed, or add the Delta jars"
+        ) from e
+    df.write.format("delta").mode(mode).save(path)

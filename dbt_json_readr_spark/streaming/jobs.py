@@ -217,3 +217,29 @@ SELECT user_id, count(*) AS n_events,
        sum(CAST(floor(value * 1000000) AS BIGINT)) AS value_micros
 FROM events GROUP BY user_id
 """
+
+
+# ------------------------------------------------------- durable sink
+
+
+def run_to_parquet(df: DataFrame, path: str, name: str, mode: str = "update") -> None:
+    """Durable streaming sink via ``foreachBatch``: each micro-batch
+    lands as parquet under an epoch-keyed subdirectory, so a replayed
+    epoch overwrites its own output instead of duplicating it — the
+    exactly-once recipe for sinks without transactional append.  (With
+    Delta/Iceberg on the classpath, replace with a direct
+    ``toTable``/``MERGE`` — see sinks.write_delta.)"""
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{path}/epoch={epoch_id}")
+
+    q = (
+        df.writeStream.foreachBatch(_sink)
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", f"{path}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()

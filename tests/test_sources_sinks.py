@@ -95,3 +95,28 @@ def test_write_bucketed_join_is_exchange_free(spark, tmp_path):
         assert joined.count() == 1000
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
+def test_write_delta_raises_without_delta_jars(spark):
+    import pytest as _pytest
+
+    df = spark.range(3)
+    with _pytest.raises(NotImplementedError):
+        sinks.write_delta(df, "/tmp/never-written")
+
+
+def test_artifact_reader_scales_over_many_files(spark, tmp_path):
+    """The 100 TB posture: a glob of N manifest files parses as N rows
+    ×nodes in ONE distributed scan (reference reads exactly one file)."""
+    import shutil
+
+    from dbt_json_readr_spark.sources import artifacts as A
+
+    src = "/root/repo/tests/fixtures/dbt/target/manifest.json"
+    for i in range(3):
+        shutil.copy(src, tmp_path / f"manifest_{i}.json")
+    one = A.manifest_nodes(spark, src)
+    many = A.manifest_nodes(spark, str(tmp_path / "manifest_*.json"))
+    assert many.count() == 3 * one.count()
+    # rows from different files are distinguished by artifact_path
+    assert many.select("artifact_path").distinct().count() == 3

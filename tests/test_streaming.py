@@ -68,3 +68,20 @@ def test_streaming_stateful_counts_matches_batch(spark):
         "user_id",
     )
     assert got == want
+
+
+def test_streaming_foreachbatch_parquet_sink(spark, tmp_path):
+    out = str(tmp_path / "sink")
+    agg = (
+        jobs.events_stream(spark, SF)
+        .withWatermark("ts", "1 hour")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    jobs.run_to_parquet(agg, out, "stream_to_parquet", mode="complete")
+    back = spark.read.parquet(f"{out}/epoch=*")
+    want = {
+        (r.event_type, r.n)
+        for r in load(spark, SF, "events").groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert {(r.event_type, r.n) for r in back.collect()} == want
