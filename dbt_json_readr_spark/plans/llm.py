@@ -537,6 +537,92 @@ GROUP BY source ORDER BY source
 """
 
 
+# ---------------------------------------------------------------- C19
+
+
+def corpus_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation rollup: per-source doc counts + mean quality/tokens.
+    Means use fixed-point accumulation (floor(q·1e6) summed as longs) so
+    the aggregate is order-independent — a float mean would drift with
+    partitioning."""
+    prep(spark)
+    docs = spread(load(spark, sf_dir, "documents"))
+    feats = X.quality_features(F.col("text"))
+    q = X.quality_score(feats)
+    per_doc = docs.select(
+        "source",
+        F.floor(q * 1_000_000).cast("long").alias("q_micros"),
+        feats["n_tokens"].alias("n_tokens"),
+    )
+    n = F.count(F.lit(1))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            n.alias("n_docs"),
+            (F.sum("q_micros").cast("double") / (F.lit(1_000_000) * n)).alias("mean_quality"),
+            (F.sum("n_tokens").cast("double") / n).alias("mean_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def _quality_by_source_sql() -> str:
+    return f"""
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CAST(floor(quality * 1000000) AS BIGINT)) AS DOUBLE) / (1000000 * count(*)) AS mean_quality,
+       CAST(sum(n_tokens) AS DOUBLE) / count(*) AS mean_tokens
+FROM ({_quality_sql()}) q JOIN documents USING (doc_id)
+GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------- C20
+
+
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation: recall@k of the LSH index against the
+    brute-force ground truth, per query — the measurement loop every
+    production ANN deployment runs before trading accuracy for speed."""
+    prep(spark)
+    embs = load(spark, sf_dir, "embeddings")
+    qs = embs.filter(F.col("vec_id") < _ANN_NQ)
+    bf = S.brute_force_topk(qs, embs, k=_ANN_K).select("query_id", "neighbor_id")
+    lsh = S.lsh_topk(qs, embs, k=_ANN_K).select("query_id", "neighbor_id")
+    overlap = (
+        bf.join(lsh, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        bf.select("query_id")
+        .distinct()
+        .join(overlap, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)).cast("double") / _ANN_K).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _ann_recall_sql() -> str:
+    return f"""
+WITH bf AS (SELECT query_id, neighbor_id FROM ({_ann_bruteforce_sql()}) b),
+lsh AS (SELECT query_id, neighbor_id FROM ({_ann_lsh_sql()}) l),
+overlap AS (
+  SELECT bf.query_id, count(*) AS n_overlap
+  FROM bf JOIN lsh USING (query_id, neighbor_id)
+  GROUP BY bf.query_id
+)
+SELECT q.query_id,
+       COALESCE(n_overlap, 0) AS n_overlap,
+       CAST(COALESCE(n_overlap, 0) AS DOUBLE) / {_ANN_K} AS recall_at_k
+FROM (SELECT DISTINCT query_id FROM bf) q LEFT JOIN overlap USING (query_id)
+ORDER BY query_id
+"""
+
+
 # ---------------------------------------------------------------- C12
 
 
@@ -566,4 +652,6 @@ ORACLES: dict[str, str] = {
     "embedding_centroids": _centroids_sql(),
     "ann_ivf_topk": _ann_ivf_sql(),
     "corpus_dedup_summary": _dedup_summary_sql(),
+    "corpus_quality_by_source": _quality_by_source_sql(),
+    "ann_recall_eval": _ann_recall_sql(),
 }

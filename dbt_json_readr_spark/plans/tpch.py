@@ -399,3 +399,105 @@ FROM (
 )
 ORDER BY p_brand
 """
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-lineitem revenue per customer, top-20.
+    The selective returnflag filter pushes into the fact scan; customer
+    and nation broadcast."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    revenue = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio (promo share of
+    revenue in one month).  Single fact pass; part broadcasts; both
+    legs of the ratio come from the same decimal sums, divided once."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    revenue = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0).cast("decimal(18,4)"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (F.sum(promo).cast("double") * 100.0 / F.sum(revenue).cast("double")).alias("promo_pct"),
+            F.sum(revenue).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+Q14_SQL = """
+SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) * 100.0
+       / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS promo_pct,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+"""
+
+
+def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive bracket predicates (brand × size ×
+    quantity OR-chains).  Expressed as one join condition so Catalyst
+    can still prune part columns; the OR prevents scan pushdown of the
+    compound — the join itself stays a single broadcast."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    revenue = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    brackets = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10) & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20) & (F.col("l_quantity") >= 5) & (F.col("l_quantity") <= 30))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 30) & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 40))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(brackets)
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q19_SQL = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size <= 20 AND l_quantity BETWEEN 5 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size <= 30 AND l_quantity BETWEEN 10 AND 40)
+"""

@@ -55,6 +55,9 @@ register("q7_nation_trade", tpch.q7_nation_trade, tpch.Q7_SQL)
 register("q13_order_distribution", tpch.q13_order_distribution, tpch.Q13_SQL)
 register("q18_large_orders", tpch.q18_large_orders, tpch.Q18_SQL)
 register("part_brand_stats", tpch.part_brand_stats, tpch.PART_BRAND_STATS_SQL)
+register("q10_returned_items", tpch.q10_returned_items, tpch.Q10_SQL)
+register("q14_promo_revenue", tpch.q14_promo_revenue, tpch.Q14_SQL)
+register("q19_bracket_revenue", tpch.q19_bracket_revenue, tpch.Q19_SQL)
 register("top_customers_per_nation", events.top_customers_per_nation, events.TOP_CUSTOMERS_SQL)
 register("order_priority_pivot", events.order_priority_pivot, events.ORDER_PRIORITY_PIVOT_SQL)
 register("revenue_rollup", events.revenue_rollup, events.REVENUE_ROLLUP_SQL)
