@@ -95,3 +95,60 @@ def test_sessionize_matches_bruteforce(spark, rows):
     )
     got = {r.event_id: r.session_id for r in sessionize(df).collect()}
     assert got == _naive_sessions(rows)
+
+
+def _naive_scd2(current, updates):
+    """Pure-Python SCD2: current rows (k, v, eff, end, cur); updates
+    (k, v, eff) pre-deduped per key."""
+    upd = {k: (v, eff) for k, v, eff in updates}
+    out = []
+    live_keys = set()
+    for k, v, eff, end, cur in current:
+        live_keys.add(k)
+        if cur and k in upd and upd[k][0] != v:
+            out.append((k, v, eff, upd[k][1], False))
+            out.append((k, upd[k][0], upd[k][1], None, True))
+        else:
+            out.append((k, v, eff, end, cur))
+    for k, (v, eff) in upd.items():
+        if k not in live_keys:
+            out.append((k, v, eff, None, True))
+    return sorted(out)
+
+
+@settings(**SETTINGS)
+@given(
+    current=st.lists(
+        st.tuples(key_strategy, st.sampled_from(["a", "b", "c"]), ts_strategy),
+        max_size=3, unique_by=lambda r: r[0],
+    ),
+    updates=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),
+            st.sampled_from(["a", "b", "z"]),
+        ),
+        max_size=3, unique_by=lambda r: r[0],
+    ),
+)
+def test_scd2_matches_bruteforce(spark, current, updates):
+    from dbt_json_readr_spark.operators.scd2 import scd2_apply
+
+    upd_ts = BASE + dt.timedelta(hours=1)
+    cur_rows = [(k, v, eff, None, True) for k, v, eff in current]
+    upd_rows = [(k, v, upd_ts) for k, v in updates]
+    cur_df = spark.createDataFrame(
+        cur_rows or [(99, "x", BASE, None, True)],
+        "k long, v string, effective_from timestamp, effective_to timestamp, is_current boolean",
+    )
+    upd_df = spark.createDataFrame(
+        upd_rows or [(98, "x", upd_ts)], "k long, v string, effective_from timestamp"
+    )
+    got = sorted(
+        (r.k, r.v, r.effective_from, r.effective_to, r.is_current)
+        for r in scd2_apply(cur_df, upd_df, key="k", tracked=["v"]).collect()
+    )
+    want = _naive_scd2(
+        cur_rows or [(99, "x", BASE, None, True)],
+        upd_rows or [(98, "x", upd_ts)],
+    )
+    assert got == want
