@@ -78,7 +78,14 @@ def sql_tokens(expr: str) -> str:
 
 def minhash_array(shingles: Column, n_hashes: int) -> Column:
     """n independent minhashes via salted hash64 — one array pass per
-    hash, all inside whole-stage codegen."""
+    hash, all inside whole-stage codegen.
+
+    Measured dead end (keep it dead): deriving the n hashes as affine
+    permutations (a_i·h+b_i mod 2³¹-1) of ONE base md5 halves the hash
+    cost but the permutations are correlated (one-permutation-hashing
+    weakness) — LSH candidate volume nearly doubled at sf0.1
+    (60k vs 32.5k) and end-to-end the operator got SLOWER.  Independent
+    salted hashes are both statistically correct and cheaper overall."""
 
     def _mh(i: int):
         # closure factory: F.transform inspects lambda arity, so a
