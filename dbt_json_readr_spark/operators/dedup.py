@@ -103,9 +103,13 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 3, bucket_cap: int = DEFAULT_BUCKET_CAP
+) -> DataFrame:
     """Near-dup pairs whose 32-bit simhash hamming distance ≤ 3; the four
-    8-bit bands guarantee recall by pigeonhole."""
+    8-bit bands guarantee recall by pigeonhole.  Band buckets above
+    ``bucket_cap`` are excluded before the self-join — same quadratic
+    guard as minhash (a degenerate band value must not O(n²) the run)."""
     sims = spread(docs).select(
         "doc_id", H.simhash32(H.tokens(F.col("text"))).alias("simhash")
     )
@@ -124,8 +128,11 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
-    a = banded.select("band", "bval", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
-    b = banded.select("band", "bval", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
+    sized = banded.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(W.partitionBy("band", "bval"))
+    ).filter(F.col("bucket_n") <= bucket_cap)
+    a = sized.select("band", "bval", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
+    b = sized.select("band", "bval", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
     return (
         a.join(b, ["band", "bval"])
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -136,13 +143,22 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 
 def token_jaccard_pairs(
-    docs: DataFrame, block_col: str = "lang", threshold: float = 0.9
+    docs: DataFrame,
+    block_col: str = "lang",
+    threshold: float = 0.9,
+    block_cap: int = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """Exact token-set jaccard within a blocking column — the precise
-    (non-sketch) dedup for short docs; blocking bounds the pair space."""
+    (non-sketch) dedup for short docs; blocking bounds the pair space
+    and ``block_cap`` hard-bounds it: a block bigger than the cap is
+    excluded (use a finer blocking key instead of letting one block go
+    quadratic over the corpus)."""
     t = spread(docs).select(
         "doc_id", F.col(block_col).alias("block"), F.array_distinct(H.tokens(F.col("text"))).alias("tok")
     )
+    t = t.withColumn(
+        "block_n", F.count(F.lit(1)).over(W.partitionBy("block"))
+    ).filter(F.col("block_n") <= block_cap)
     a = t.select("block", F.col("doc_id").alias("doc_a"), F.col("tok").alias("tok_a"))
     b = t.select("block", F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b"))
     inter = F.size(F.array_intersect("tok_a", "tok_b"))

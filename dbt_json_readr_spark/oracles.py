@@ -408,3 +408,12 @@ WHERE dep_type = 'nodes'
 GROUP BY parent_unique_id
 ORDER BY n_children DESC, parent_unique_id
 """
+
+
+def dbt_description_coverage() -> str:
+    return f"""
+SELECT resource_type, count(*) AS n_objects,
+       sum(CASE WHEN description IS NOT NULL AND description <> '' THEN 1 ELSE 0 END) AS n_documented,
+       CAST(sum(CASE WHEN description IS NOT NULL AND description <> '' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS coverage
+FROM ({dbt_manifest_unified()}) GROUP BY resource_type ORDER BY resource_type
+"""

@@ -184,3 +184,20 @@ def dbt_model_fanout(spark: SparkSession, sf_dir: str, target: str = FIXTURE_TAR
         .agg(F.count(F.lit(1)).alias("n_children"))
         .orderBy(F.desc("n_children"), "parent_unique_id")
     )
+
+
+def dbt_description_coverage(spark: SparkSession, sf_dir: str, target: str = FIXTURE_TARGET) -> DataFrame:
+    """Documentation hygiene: share of documented objects per
+    resource_type across the unified manifest."""
+    prep(spark)
+    uni = dbt_manifest_unified(spark, sf_dir, target)
+    documented = (F.col("description").isNotNull() & (F.col("description") != "")).cast("long")
+    return (
+        uni.groupBy("resource_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_objects"),
+            F.sum(documented).alias("n_documented"),
+            (F.sum(documented).cast("double") / F.count(F.lit(1))).alias("coverage"),
+        )
+        .orderBy("resource_type")
+    )

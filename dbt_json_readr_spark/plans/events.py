@@ -582,3 +582,63 @@ SELECT month, revenue,
        (revenue - lag(revenue) OVER (ORDER BY month)) / lag(revenue) OVER (ORDER BY month) AS pct_change
 FROM monthly ORDER BY month
 """
+
+
+# ---------------------------------------------------------------- B28
+
+
+def events_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity heatmap — the calendar-function
+    coverage query (engine-portable: Spark dayofweek is 1=Sunday,
+    DuckDB's is 0=Sunday, aligned in the oracle)."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.dayofweek("ts").alias("dow"),
+            F.hour("ts").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy("dow", "hour")
+    )
+
+
+EVENTS_HOURLY_HEATMAP_SQL = """
+SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+       CAST(hour(ts) AS BIGINT) AS hour,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------- B29
+
+
+def part_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width numeric binning (the width_bucket pattern via integer
+    floor division — deterministic in any engine, unlike float bin
+    edges)."""
+    prep(spark)
+    part = load(spark, sf_dir, "part")
+    bucket = F.floor((F.col("p_size") - 1) / 10).cast("int")
+    return (
+        part.groupBy(bucket.alias("size_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("p_size").alias("min_size"),
+            F.max("p_size").alias("max_size"),
+        )
+        .orderBy("size_bucket")
+    )
+
+
+PART_SIZE_HISTOGRAM_SQL = """
+SELECT CAST(floor((p_size - 1) / 10) AS INTEGER) AS size_bucket,
+       count(*) AS n_parts, min(p_size) AS min_size, max(p_size) AS max_size
+FROM part GROUP BY 1 ORDER BY 1
+"""

@@ -73,9 +73,14 @@ mh AS (
 banded AS (
   {band_selects}
 ),
+sized AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bucket_n FROM banded
+  ) WHERE bucket_n <= {D.DEFAULT_BUCKET_CAP}
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
-  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+  FROM sized a JOIN sized b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b,
        len(list_intersect(sh_a, sh_b))::DOUBLE / len(list_distinct(sh_a || sh_b))::DOUBLE AS jaccard
@@ -104,10 +109,15 @@ WITH sims AS (
 ),
 banded AS (
   {band_selects}
+),
+sized AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY band, bval) AS bucket_n FROM banded
+  ) WHERE bucket_n <= {D.DEFAULT_BUCKET_CAP}
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        {H.sql_hamming32('a.simhash', 'b.simhash')} AS hamming
-FROM banded a JOIN banded b
+FROM sized a JOIN sized b
   ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
 WHERE {H.sql_hamming32('a.simhash', 'b.simhash')} <= 3
 """
@@ -128,8 +138,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _token_jaccard_sql() -> str:
     toks = f"list_distinct({H.sql_tokens('text')})"
     return f"""
-WITH t AS (
+WITH t0 AS (
   SELECT doc_id, lang AS block, {toks} AS tok FROM documents
+),
+t AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY block) AS block_n FROM t0
+  ) WHERE block_n <= {D.DEFAULT_BUCKET_CAP}
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        len(list_intersect(a.tok, b.tok))::DOUBLE / len(list_distinct(a.tok || b.tok))::DOUBLE AS jaccard

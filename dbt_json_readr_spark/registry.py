@@ -42,6 +42,7 @@ for _key in [
     "dbt_lineage_depth",
     "dbt_run_summary",
     "dbt_model_fanout",
+    "dbt_description_coverage",
 ]:
     register(_key, getattr(dbt, _key), getattr(oracles, _key)())
 
@@ -73,6 +74,8 @@ register("events_funnel", events.events_funnel, events.EVENTS_FUNNEL_SQL)
 register("lineitem_unpivot_metrics", events.lineitem_unpivot_metrics, events.LINEITEM_UNPIVOT_SQL)
 register("events_retention_cohorts", events.events_retention_cohorts, events.EVENTS_RETENTION_SQL)
 register("orders_monthly_growth", events.orders_monthly_growth, events.ORDERS_MONTHLY_GROWTH_SQL)
+register("events_hourly_heatmap", events.events_hourly_heatmap, events.EVENTS_HOURLY_HEATMAP_SQL)
+register("part_size_histogram", events.part_size_histogram, events.PART_SIZE_HISTOGRAM_SQL)
 
 # C. LLM-data-pipeline operators (dedup / similarity / text analysis)
 for _key, _sql in llm.ORACLES.items():
