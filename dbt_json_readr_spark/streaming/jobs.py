@@ -193,23 +193,29 @@ def _stateful_counts_func(key, pdfs, state):
     yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "value_micros": [vsum]})
 
 
-def streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful operator via ``applyInPandasWithState``: per-user
-    event count + fixed-point value sum carried in group state across
-    micro-batches (the escape hatch for stateful logic Spark's built-in
-    streaming aggs can't express)."""
+def stateful_counts(ev: DataFrame) -> DataFrame:
+    """Wire any events stream through the stateful-counts operator
+    (exposed separately so tests can drive it with a multi-file source
+    and prove state survives across micro-batches)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    prep(spark)
-    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
-    counted = ev.groupBy("user_id").applyInPandasWithState(
+    return ev.groupBy("user_id").applyInPandasWithState(
         _stateful_counts_func,
         outputStructType="user_id long, n_events long, value_micros long",
         stateStructType="n long, vsum long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _run_to_memory(counted, "stream_stateful_counts", "update")
+
+
+def streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    event count + fixed-point value sum carried in group state across
+    micro-batches (the escape hatch for stateful logic Spark's built-in
+    streaming aggs can't express)."""
+    prep(spark)
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    return _run_to_memory(stateful_counts(ev), "stream_stateful_counts", "update")
 
 
 STREAMING_STATEFUL_COUNTS_SQL = """

@@ -282,3 +282,22 @@ def test_scd2_apply_closes_changed_and_inserts_new(spark):
     # exactly one current row per live key
     cur_counts = {r.k: r.n for r in out.filter("is_current").groupBy("k").agg(F.count("*").alias("n")).collect()}
     assert cur_counts == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+# ------------------------------------------------------------ empties
+
+
+def test_operators_tolerate_empty_inputs(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string, lang string")
+    assert D.exact_dedup(empty).count() == 0
+    assert D.minhash_lsh_pairs(empty).count() == 0
+    assert D.simhash_pairs(empty).count() == 0
+    assert D.token_jaccard_pairs(empty).count() == 0
+    empty_ev = spark.createDataFrame(
+        [], "user_id long, ts timestamp, event_id long, value double"
+    )
+    assert sessionize(empty_ev).count() == 0
+    from dbt_json_readr_spark.operators.graph import connected_components
+
+    empty_pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(empty_pairs).count() == 0

@@ -85,3 +85,48 @@ def test_streaming_foreachbatch_parquet_sink(spark, tmp_path):
         for r in load(spark, SF, "events").groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert {(r.event_type, r.n) for r in back.collect()} == want
+
+
+def test_stateful_counts_state_survives_micro_batches(spark, tmp_path):
+    """Split the events into two parquet files and force one file per
+    micro-batch: the second batch must ACCUMULATE onto state from the
+    first, proving applyInPandasWithState really carries state across
+    batches (the single-batch oracle run can't distinguish that)."""
+    import glob
+    import shutil
+
+    ev = load(spark, SF, "events")
+    for i, pred in enumerate(["event_id % 2 = 0", "event_id % 2 = 1"]):
+        part_dir = str(tmp_path / f"w{i}")
+        ev.filter(pred).coalesce(1).write.parquet(part_dir)
+        [f] = glob.glob(f"{part_dir}/part-*.parquet")
+        shutil.move(f, tmp_path / f"events_{i}.parquet")
+        shutil.rmtree(part_dir)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events_*.parquet")
+        .parquet(str(tmp_path))
+        .withWatermark("ts", "1 hour")
+    )
+    out = jobs._run_to_memory(jobs.stateful_counts(stream), "stream_multibatch", "update")
+    rows = out.collect()
+    # update mode emits once per (user, batch-touched): users present in
+    # both halves appear twice — proof two micro-batches actually ran
+    assert len(rows) > out.select("user_id").distinct().count()
+    # final (max, monotonic) counts must equal the batch ground truth
+    final = {}
+    for r in rows:
+        if r.user_id not in final or r.n_events > final[r.user_id][0]:
+            final[r.user_id] = (r.n_events, r.value_micros)
+    want = {
+        r.user_id: (r.n, r.v)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 1_000_000).cast("long")).alias("v"),
+        )
+        .collect()
+    }
+    assert final == want
