@@ -306,12 +306,18 @@ def manifest_macros(spark: SparkSession, manifest_path: str) -> DataFrame:
 
 def manifest_unified(spark: SparkSession, manifest_path: str) -> DataFrame:
     """import_manifest_json (explore.R:228-241): nodes ∪ sources ∪ macros,
-    sorted by resource_type, database, schema, name, unique_id."""
+    sorted by resource_type, database, schema, name, unique_id —
+    nulls LAST to match R ``arrange`` (macros carry NULL database/schema)."""
     return (
         manifest_nodes(spark, manifest_path)
         .unionByName(manifest_sources(spark, manifest_path))
         .unionByName(manifest_macros(spark, manifest_path))
-        .orderBy("resource_type", "database", "schema", "name", "unique_id")
+        .orderBy(
+            *[
+                F.col(c).asc_nulls_last()
+                for c in ("resource_type", "database", "schema", "name", "unique_id")
+            ]
+        )
     )
 
 
