@@ -501,3 +501,282 @@ WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity BETWEEN 1 AND 20)
    OR (p_brand = 'Brand#2' AND p_size <= 20 AND l_quantity BETWEEN 5 AND 30)
    OR (p_brand = 'Brand#3' AND p_size <= 30 AND l_quantity BETWEEN 10 AND 40)
 """
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — for PROMO-type parts sold
+    to AMERICA-region customers in 1996-1997, the per-year share of
+    revenue supplied by NATION_7 suppliers.
+
+    Scale posture: part/supplier/nation/region/customer are all dims →
+    broadcast on both the fact side (part, supplier⋈nation) and the
+    orders side (customer⋈nation⋈region).  The only shuffle is the
+    lineitem⋈orders equi-join on orderkey, then a tiny per-year agg.
+    The share ratio divides two exact decimal sums once, at the end.
+    """
+    prep(spark)
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    nation_s = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation_s), F.col("s_nationkey") == F.col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+    )
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    nation_c = load(spark, sf_dir, "nation")
+    cust = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(nation_c), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    volume = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_7", volume).otherwise(zero)).cast("double")
+                / F.sum(volume).cast("double")
+            ).alias("mkt_share"),
+            F.sum(volume).cast("double").alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = """
+SELECT
+  CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+  CAST(sum(CASE WHEN n_s.n_name = 'NATION_7'
+                THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+  / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS mkt_share,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS total_volume
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n_s ON s_nationkey = n_s.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n_c ON c_nationkey = n_c.n_nationkey
+JOIN region ON n_c.n_regionkey = r_regionkey
+WHERE p_type = 'PROMO'
+  AND r_name = 'AMERICA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (lite: testdata has no partsupp, so profit =
+    revenue without supply cost): revenue by supplier nation × order
+    year for parts whose name contains 'red'.
+
+    Scale posture: part filter + supplier⋈nation broadcast on the fact
+    side; lineitem⋈orders shuffles on orderkey; agg output is
+    #nations × #years rows, so the final shuffle is negligible.
+    """
+    prep(spark)
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").contains("red")).select("p_partkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "nation")
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem")
+    amount = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue per supplier over one quarter, return the
+    supplier(s) achieving the maximum.
+
+    Scale posture: the fact agg reduces lineitem to #suppliers rows
+    BEFORE the max is taken; the max scalar then broadcasts back as a
+    1-row cross join, so nothing ever funnels raw fact rows to one
+    task.  The max comparison stays in exact DECIMAL; cast to double
+    only for output.
+    """
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(revenue).alias("total_rev_dec"))
+    max_rev = per_supp.agg(F.max("total_rev_dec").alias("max_rev_dec"))
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_supp.join(F.broadcast(max_rev), F.col("total_rev_dec") == F.col("max_rev_dec"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev_dec").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS total_rev_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_rev_dec AS DOUBLE) AS total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev_dec = (SELECT max(total_rev_dec) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: average yearly revenue lost if small-quantity
+    orders (qty < 20% of the part's average) for Brand#12 small parts
+    were not taken.
+
+    Scale posture: the per-part average is a second agg over the SAME
+    brand-filtered join output, re-joined by partkey — both sides are
+    already reduced to the filtered part set, so the stats join
+    broadcasts.  The qty < 0.2×avg predicate is cross-multiplied
+    (5·qty·cnt < sum_qty) so it is evaluated in exact DECIMAL with no
+    division — bit-identical across engines and partitionings.
+    """
+    prep(spark)
+    part = (
+        load(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#12") & (F.col("p_size") <= 5))
+        .select("p_partkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    stats = joined.groupBy(F.col("l_partkey").alias("sp_partkey")).agg(
+        F.sum(_dec("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        joined.join(F.broadcast(stats), F.col("l_partkey") == F.col("sp_partkey"))
+        .filter(_dec("l_quantity") * 5 * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+Q17_SQL = """
+WITH joined AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#12' AND p_size <= 5
+), stats AS (
+  SELECT l_partkey AS sp_partkey,
+         sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+         count(*) AS cnt
+  FROM joined GROUP BY 1
+)
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly,
+       count(*) AS n_small
+FROM joined JOIN stats ON l_partkey = sp_partkey
+WHERE CAST(l_quantity AS DECIMAL(18,4)) * 5 * cnt < sum_qty
+"""
+
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted: testdata has no c_phone, so the country
+    -code filter becomes a positive-balance population): customers with
+    above-average account balance and no orders since 1999, rolled up
+    by market segment.
+
+    Scale posture: the global average is one scalar (sum+count agg →
+    1-row broadcast cross join); the above-average predicate is
+    cross-multiplied (acctbal·cnt > total) for exact-DECIMAL
+    stability; the no-orders check is a left_anti shuffle join on
+    custkey against orders' custkey projection.
+    """
+    prep(spark)
+    cust = load(spark, sf_dir, "customer")
+    pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(_dec("c_acctbal")).alias("total_bal"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(_dec("c_acctbal") * F.col("n_pos") > F.col("total_bal"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q22_SQL = """
+WITH pos AS (
+  SELECT sum(CAST(c_acctbal AS DECIMAL(18,4))) AS total_bal, count(*) AS n_pos
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment,
+       count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+FROM customer, pos
+WHERE CAST(c_acctbal AS DECIMAL(18,4)) * n_pos > total_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""

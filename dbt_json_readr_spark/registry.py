@@ -59,6 +59,11 @@ register("part_brand_stats", tpch.part_brand_stats, tpch.PART_BRAND_STATS_SQL)
 register("q10_returned_items", tpch.q10_returned_items, tpch.Q10_SQL)
 register("q14_promo_revenue", tpch.q14_promo_revenue, tpch.Q14_SQL)
 register("q19_bracket_revenue", tpch.q19_bracket_revenue, tpch.Q19_SQL)
+register("q8_market_share", tpch.q8_market_share, tpch.Q8_SQL)
+register("q9_nation_profit", tpch.q9_nation_profit, tpch.Q9_SQL)
+register("q15_top_supplier", tpch.q15_top_supplier, tpch.Q15_SQL)
+register("q17_small_qty_revenue", tpch.q17_small_qty_revenue, tpch.Q17_SQL)
+register("q22_dormant_customers", tpch.q22_dormant_customers, tpch.Q22_SQL)
 register("top_customers_per_nation", events.top_customers_per_nation, events.TOP_CUSTOMERS_SQL)
 register("order_priority_pivot", events.order_priority_pivot, events.ORDER_PRIORITY_PIVOT_SQL)
 register("revenue_rollup", events.revenue_rollup, events.REVENUE_ROLLUP_SQL)
