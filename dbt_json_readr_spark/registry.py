@@ -104,6 +104,11 @@ register(
     streaming_jobs.streaming_stateful_counts,
     streaming_jobs.STREAMING_STATEFUL_COUNTS_SQL,
 )
+register(
+    "streaming_funnel",
+    streaming_jobs.streaming_funnel,
+    streaming_jobs.STREAMING_FUNNEL_SQL,
+)
 
 
 def queries() -> dict[str, QueryFn]:

@@ -249,3 +249,95 @@ def run_to_parquet(df: DataFrame, path: str, name: str, mode: str = "update") ->
     )
     q.awaitTermination()
     q.stop()
+
+# ---------------------------------------------------------------- D5
+
+
+def _funnel_state_func(key, pdfs, state):
+    """Per-user funnel state: the min event-time of each stage, carried
+    as int64 nanos (-1 = unseen).  Mins are commutative/associative, so
+    the final state — and therefore the emitted stage — is independent
+    of micro-batch boundaries and row order."""
+    import pandas as pd
+
+    t_view, t_click, t_purchase = state.get if state.exists else (-1, -1, -1)
+
+    def _merge(cur, series):
+        if series.empty:
+            return cur
+        m = int(series.min())
+        return m if cur < 0 else min(cur, m)
+
+    for pdf in pdfs:
+        ns = pd.Series(pdf["ts"].to_numpy().astype("datetime64[ns]").astype("int64"))
+        et = pdf["event_type"]
+        t_view = _merge(t_view, ns[et == "view"])
+        t_click = _merge(t_click, ns[et == "click"])
+        t_purchase = _merge(t_purchase, ns[et == "purchase"])
+    state.update((t_view, t_click, t_purchase))
+
+    if t_view >= 0 and t_click > t_view and t_purchase > t_click:
+        stage = "purchase"
+    elif t_view >= 0 and t_click > t_view:
+        stage = "click"
+    elif t_view >= 0:
+        stage = "view"
+    else:
+        stage = "none"
+    yield pd.DataFrame({"user_id": [key[0]], "funnel_stage": [stage]})
+
+
+def funnel_stages(ev: DataFrame) -> DataFrame:
+    """Wire any events stream through the stateful funnel operator
+    (separate so tests can drive it with a multi-file source and prove
+    a 'click' in batch 2 upgrades a 'view' state from batch 1)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _funnel_state_func,
+        outputStructType="user_id long, funnel_stage string",
+        stateStructType="t_view long, t_click long, t_purchase long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming view→click→purchase funnel (the multi-level streaming
+    aggregation Spark's built-in ops can't chain): per-user ordered-stage
+    detection runs as unbounded keyed state via ``applyInPandasWithState``;
+    the tiny stage histogram is a downstream batch rollup over the sink
+    (production: the per-user stage upserts into a KV/Delta sink keyed by
+    user_id, and the histogram is a view over it — chaining a second
+    streaming agg after a stateful op is unsupported in update mode).
+
+    Matches batch B17 (``events_funnel``) exactly: same conditional
+    min-ts semantics, so the batch oracle is the correctness gate."""
+    prep(spark)
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    per_user = _run_to_memory(funnel_stages(ev), "stream_funnel", "update")
+    return (
+        per_user.groupBy("funnel_stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("funnel_stage")
+    )
+
+
+STREAMING_FUNNEL_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT funnel_stage, count(*) AS n_users FROM (
+  SELECT CASE
+    WHEN t_view IS NOT NULL AND t_click IS NOT NULL AND t_purchase IS NOT NULL
+         AND t_click > t_view AND t_purchase > t_click THEN 'purchase'
+    WHEN t_view IS NOT NULL AND t_click IS NOT NULL AND t_click > t_view THEN 'click'
+    WHEN t_view IS NOT NULL THEN 'view'
+    ELSE 'none' END AS funnel_stage
+  FROM per_user
+) GROUP BY funnel_stage ORDER BY funnel_stage
+"""

@@ -130,3 +130,51 @@ def test_stateful_counts_state_survives_micro_batches(spark, tmp_path):
         .collect()
     }
     assert final == want
+
+
+def test_streaming_funnel_matches_batch(spark):
+    from dbt_json_readr_spark.plans.events import events_funnel
+
+    got = _rows(jobs.streaming_funnel(spark, SF), "funnel_stage")
+    want = _rows(events_funnel(spark, SF), "funnel_stage")
+    assert got == want
+
+
+def test_funnel_state_survives_micro_batches(spark, tmp_path):
+    """A 'click' arriving in batch 2 can only upgrade the user to stage
+    'click' if the 'view' min-ts from batch 1 is still in state — batch
+    2 alone would classify the user as 'none'."""
+    import datetime as dt
+
+    schema = load(spark, SF, "events").schema
+    t1 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    t2 = dt.datetime(2024, 1, 1, 10, 5, 0)
+    batches = [
+        [(1, t1, 100, "view", 1.0, "{}"), (2, t1, 200, "view", 1.0, "{}")],
+        [(3, t2, 100, "click", 1.0, "{}"), (4, t2, 200, "purchase", 1.0, "{}")],
+    ]
+    import glob
+    import shutil
+
+    for i, rows in enumerate(batches):
+        part_dir = str(tmp_path / f"w{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(part_dir)
+        [f] = glob.glob(f"{part_dir}/part-*.parquet")
+        shutil.move(f, tmp_path / f"events_{i}.parquet")
+        shutil.rmtree(part_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events_*.parquet")
+        .parquet(str(tmp_path))
+        .withWatermark("ts", "1 hour")
+    )
+    out = jobs._run_to_memory(jobs.funnel_stages(stream), "stream_funnel_mb", "update")
+    emitted = {(r.user_id, r.funnel_stage) for r in out.collect()}
+    # user 100: view (batch 1) then upgraded to click (batch 2, via state)
+    assert (100, "click") in emitted
+    # user 200: purchase without click never passes 'view'
+    assert (200, "view") in emitted
+    # nobody ever classified 'none' — batch 2 alone would have
+    assert not any(s == "none" for _, s in emitted)
