@@ -57,8 +57,15 @@ def minhash_lsh_pairs(
     shingle jaccard.  rows/band = n_hashes//bands; P(candidate) ≈
     1-(1-j^r)^b, tuned so ~j≥threshold pairs are likely candidates."""
     r = n_hashes // bands
+    # shingles are hashed to 60-bit longs immediately: every downstream
+    # stage (minhash, the band self-join carrying sh for verify, the
+    # bucket-size window) then shuffles/compares 8-byte longs instead of
+    # k-char strings — ~2.5× narrower rows in the two fat exchanges
     sh = spread(docs).select(
-        "doc_id", H.char_shingles(F.col("text"), k).alias("sh")
+        "doc_id",
+        F.array_distinct(
+            F.transform(H.char_shingles(F.col("text"), k), lambda s: H.hash64(s, "sh"))
+        ).alias("sh"),
     )
     mh = sh.select("doc_id", "sh", H.minhash_array(F.col("sh"), n_hashes).alias("mh"))
     banded = mh.select(
@@ -75,27 +82,40 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "sh", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
-    # cap degenerate buckets before the self-join
-    sized = banded.withColumn(
-        "bucket_n", F.count(F.lit(1)).over(W.partitionBy("band", "bkey"))
-    ).filter(F.col("bucket_n") <= bucket_cap)
-    a = sized.select(
-        F.col("band"), F.col("bkey"), F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    # Pair generation via groupBy + in-bucket explode instead of a
+    # self-join: a DataFrame self-join recomputes the whole sketch
+    # pipeline once PER SIDE (and Catalyst may broadcast the fat side
+    # wholesale), where collect_list computes the sketch once and
+    # shuffles it once, keyed by bucket.  The cap bounds the collected
+    # array (≤ bucket_cap × |sh| longs); a degenerate bucket still
+    # buffers in the agg before exclusion, but that hazard is identical
+    # to the window formulation and ObjectHashAggregate spills.
+    members = (
+        banded.groupBy("band", "bkey")
+        .agg(F.collect_list(F.struct("doc_id", "sh")).alias("ms"))
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= bucket_cap))
     )
-    b = sized.select(
-        F.col("band"), F.col("bkey"), F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ms"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        )
     )
-    # verify IN the bucket join (jaccard is identical for every band copy
-    # of a pair), so the final dedup shuffles narrow (doc_a, doc_b,
+    # verify IN the bucket (jaccard is identical for every band copy of
+    # a pair), so the final dedup shuffles narrow (doc_a, doc_b,
     # jaccard) rows — the shingle arrays never cross a second exchange
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
+    inter = F.size(F.array_intersect("p.a.sh", "p.b.sh"))
+    union = F.size(F.array_union("p.a.sh", "p.b.sh"))
     return (
-        a.join(b, ["band", "bkey"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        members.select(pair.alias("p"))
         .select(
-            "doc_a",
-            "doc_b",
+            F.least("p.a.doc_id", "p.b.doc_id").alias("doc_a"),
+            F.greatest("p.a.doc_id", "p.b.doc_id").alias("doc_b"),
             (inter.cast("double") / union.cast("double")).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -128,15 +148,33 @@ def simhash_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
-    sized = banded.withColumn(
-        "bucket_n", F.count(F.lit(1)).over(W.partitionBy("band", "bval"))
-    ).filter(F.col("bucket_n") <= bucket_cap)
-    a = sized.select("band", "bval", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
-    b = sized.select("band", "bval", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
+    # groupBy + in-bucket explode: one sketch computation and one
+    # shuffle instead of a per-side recompute self-join (see
+    # minhash_lsh_pairs) — simhash32 is 32 F.aggregate passes per doc,
+    # so computing it once matters even more here
+    members = (
+        banded.groupBy("band", "bval")
+        .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("ms"))
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= bucket_cap))
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ms"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        )
+    )
     return (
-        a.join(b, ["band", "bval"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", H.hamming32(F.col("sim_a"), F.col("sim_b")).alias("hamming"))
+        members.select(pair.alias("p"))
+        .select(
+            F.least("p.a.doc_id", "p.b.doc_id").alias("doc_a"),
+            F.greatest("p.a.doc_id", "p.b.doc_id").alias("doc_b"),
+            H.hamming32(F.col("p.a.simhash"), F.col("p.b.simhash")).alias("hamming"),
+        )
         .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
@@ -156,19 +194,29 @@ def token_jaccard_pairs(
     t = spread(docs).select(
         "doc_id", F.col(block_col).alias("block"), F.array_distinct(H.tokens(F.col("text"))).alias("tok")
     )
-    t = t.withColumn(
-        "block_n", F.count(F.lit(1)).over(W.partitionBy("block"))
-    ).filter(F.col("block_n") <= block_cap)
-    a = t.select("block", F.col("doc_id").alias("doc_a"), F.col("tok").alias("tok_a"))
-    b = t.select("block", F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b"))
-    inter = F.size(F.array_intersect("tok_a", "tok_b"))
-    union = F.size(F.array_union("tok_a", "tok_b"))
+    members = (
+        t.groupBy("block")
+        .agg(F.collect_list(F.struct("doc_id", "tok")).alias("ms"))
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= block_cap))
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ms"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        )
+    )
+    inter = F.size(F.array_intersect("p.a.tok", "p.b.tok"))
+    union = F.size(F.array_union("p.a.tok", "p.b.tok"))
     return (
-        a.join(b, "block")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        members.select(pair.alias("p"))
         .select(
-            "doc_a",
-            "doc_b",
+            F.least("p.a.doc_id", "p.b.doc_id").alias("doc_a"),
+            F.greatest("p.a.doc_id", "p.b.doc_id").alias("doc_b"),
             (inter.cast("double") / union.cast("double")).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)

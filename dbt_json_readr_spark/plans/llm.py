@@ -57,7 +57,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_sql() -> str:
     r = _MH_N // _MH_BANDS
-    sh = H.sql_char_shingles("text", _MH_K)
+    raw = H.sql_char_shingles("text", _MH_K)
+    sh = f"list_distinct(list_transform({raw}, s -> {H.sql_hash64('s', 'sh')}))"
     mh = H.sql_minhash_array("sh", _MH_N)
     band_selects = "\n  UNION ALL ".join(
         f"SELECT doc_id, sh, {b} AS band, {H.sql_band_key('mh', b, r)} AS bkey FROM mh"
