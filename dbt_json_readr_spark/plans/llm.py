@@ -650,6 +650,110 @@ def multimodal_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_features(media)
 
 
+# ---------------------------------------------------------------- C21
+
+# deterministic per-stratum sampling rates; thresholds are exact 60-bit
+# integers computed HERE so Spark and the oracle compare against the
+# same literal (no float rounding inside either engine)
+_SAMPLE_RATES = {"en": 0.25, "de": 1.0, "es": 0.5, "fr": 0.75, "zh": 0.1}
+_SAMPLE_THRESH = {s: int(r * (1 << 60)) for s, r in _SAMPLE_RATES.items()}
+
+
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — THE training-data mixing
+    primitive: accept a doc iff md5-hash64(doc_id) falls below its
+    stratum's 60-bit threshold.  Hash-gated (not rand()-gated) so the
+    sample is reproducible across runs, engines, and cluster
+    topologies, and any doc's membership is auditable after the fact.
+    One narrow scan + one tiny agg; no shuffle wider than the rollup."""
+    prep(spark)
+    docs = spread(load(spark, sf_dir, "documents"))
+    thresh = F.create_map(
+        *[F.lit(x) for kv in _SAMPLE_THRESH.items() for x in kv]
+    )[F.col("lang")]
+    keep = H.hash64(F.col("doc_id").cast("string"), "sample") < thresh
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(keep.cast("long")).alias("n_sampled"),
+            (F.sum(keep.cast("long")).cast("double") / F.count(F.lit(1))).alias("observed_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _stratified_sample_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{s}' THEN {t}" for s, t in sorted(_SAMPLE_THRESH.items())
+    )
+    h = H.sql_hash64("CAST(doc_id AS VARCHAR)", "sample")
+    return f"""
+SELECT lang,
+       count(*) AS n_docs,
+       sum(CASE WHEN {h} < (CASE lang {cases} END) THEN 1 ELSE 0 END) AS n_sampled,
+       CAST(sum(CASE WHEN {h} < (CASE lang {cases} END) THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS observed_rate
+FROM documents
+GROUP BY lang ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------- C22
+
+_MIX_TARGET = {"en": 0.40, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+
+
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture planning: per-stratum acceptance rates that hit a target
+    language composition while keeping ALL of the limiting stratum
+    (rate 1.0 for the scarcest-vs-target language, proportionally lower
+    elsewhere).  rate_s = target_s · min_j(count_j/target_j) / count_s —
+    the whole computation is one tiny agg + a 1-row broadcast scalar,
+    independent of corpus size."""
+    prep(spark)
+    docs = spread(load(spark, sf_dir, "documents"))
+    target = F.create_map(
+        *[F.lit(x) for kv in _MIX_TARGET.items() for x in kv]
+    )[F.col("lang")]
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    ratio = counts.select(
+        "lang", "n_docs", (F.col("n_docs").cast("double") / target).alias("cap_ratio"),
+        target.alias("target_share"),
+    )
+    min_ratio = ratio.agg(F.min("cap_ratio").alias("min_ratio"))
+    return (
+        ratio.crossJoin(F.broadcast(min_ratio))
+        .select(
+            "lang",
+            "n_docs",
+            "target_share",
+            F.least(
+                F.lit(1.0),
+                F.col("target_share") * F.col("min_ratio") / F.col("n_docs").cast("double"),
+            ).alias("acceptance_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _mixture_weights_sql() -> str:
+    cases = " ".join(f"WHEN '{s}' THEN {t}" for s, t in sorted(_MIX_TARGET.items()))
+    return f"""
+WITH counts AS (
+  SELECT lang, count(*) AS n_docs, (CASE lang {cases} END) AS target_share
+  FROM documents GROUP BY lang
+),
+ratio AS (
+  SELECT lang, n_docs, target_share,
+         CAST(n_docs AS DOUBLE) / target_share AS cap_ratio
+  FROM counts
+)
+SELECT lang, n_docs, target_share,
+       least(1.0, target_share * (SELECT min(cap_ratio) FROM ratio) / CAST(n_docs AS DOUBLE)) AS acceptance_rate
+FROM ratio ORDER BY lang
+"""
+
+
 ORACLES: dict[str, str] = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
@@ -670,4 +774,6 @@ ORACLES: dict[str, str] = {
     "corpus_dedup_summary": _dedup_summary_sql(),
     "corpus_quality_by_source": _quality_by_source_sql(),
     "ann_recall_eval": _ann_recall_sql(),
+    "corpus_stratified_sample": _stratified_sample_sql(),
+    "corpus_mixture_weights": _mixture_weights_sql(),
 }
