@@ -109,6 +109,11 @@ register(
     streaming_jobs.streaming_funnel,
     streaming_jobs.STREAMING_FUNNEL_SQL,
 )
+register(
+    "streaming_enrich_segments",
+    streaming_jobs.streaming_enrich_segments,
+    streaming_jobs.STREAMING_ENRICH_SQL,
+)
 
 
 def queries() -> dict[str, QueryFn]:

@@ -341,3 +341,37 @@ SELECT funnel_stage, count(*) AS n_users FROM (
   FROM per_user
 ) GROUP BY funnel_stage ORDER BY funnel_stage
 """
+
+# ---------------------------------------------------------------- D6
+
+
+def streaming_enrich_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the unbounded events stream joined to
+    the static customer dimension — Spark re-broadcasts the static side
+    per micro-batch, so the join is STATELESS (no streaming state at
+    all, unlike stream-stream joins) and dimension updates between
+    batches are picked up for free.  The canonical pattern for
+    enriching a firehose with slowly-changing reference data."""
+    prep(spark)
+    from ..sources.tables import load
+
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    agg = (
+        ev.join(F.broadcast(cust), ev.user_id == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+    )
+    return _run_to_memory(agg, "stream_enrich_segments", "complete")
+
+
+STREAMING_ENRICH_SQL = """
+SELECT c_mktsegment, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+"""

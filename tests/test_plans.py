@@ -47,3 +47,22 @@ def test_no_row_python_in_any_plan(spark, key):
     assert explain.python_eval_nodes(df) == []
     if key not in ARROW_ALLOWED:
         assert explain.arrow_eval_nodes(df) == []
+
+
+def test_minhash_dedup_single_sketch_no_fat_broadcast(spark):
+    """The LSH pair stage must be grouped (one sketch computation, one
+    bucket shuffle) — a bucket SELF-JOIN recomputes the sketch per side
+    and broadcasts the fat shingle-carrying side wholesale.  One parquet
+    scan of documents and no broadcast join in the plan pin that."""
+    from dbt_json_readr_spark.plans.explain import formatted_plan, has_broadcast_join
+    from dbt_json_readr_spark.plans.llm import dedup_minhash_lsh
+
+    import re
+
+    df = dedup_minhash_lsh(spark, "/root/testdata/sf0.001")
+    plan = formatted_plan(df)
+    # each scan node appears once in the tree ("+- Scan parquet (1)") and
+    # once as a detail header ("(1) Scan parquet") — count the headers
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M))
+    assert n_scans == 1, f"documents must be scanned exactly once, saw {n_scans}"
+    assert not has_broadcast_join(df), "pair generation must not broadcast the sketch side"

@@ -178,3 +178,20 @@ def test_funnel_state_survives_micro_batches(spark, tmp_path):
     assert (200, "view") in emitted
     # nobody ever classified 'none' — batch 2 alone would have
     assert not any(s == "none" for _, s in emitted)
+
+
+def test_streaming_enrich_segments_matches_batch(spark):
+    got = _rows(jobs.streaming_enrich_segments(spark, SF), "c_mktsegment", "event_type")
+    ev = load(spark, SF, "events")
+    cust = load(spark, SF, "customer").select("c_custkey", "c_mktsegment")
+    want = _rows(
+        ev.join(cust, ev.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        ),
+        "c_mktsegment",
+        "event_type",
+    )
+    assert got == want
