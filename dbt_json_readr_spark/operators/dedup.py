@@ -235,19 +235,40 @@ def embedding_bucket(vec) -> F.Column:
     return out.cast("int")
 
 
-def embedding_cosine_pairs(embs: DataFrame, threshold: float = 0.4) -> DataFrame:
+def embedding_cosine_pairs(
+    embs: DataFrame, threshold: float = 0.4, bucket_cap: int = DEFAULT_BUCKET_CAP
+) -> DataFrame:
     """Near-dup embedding pairs within a sign-LSH bucket with cosine ≥
-    threshold."""
+    threshold.  Grouped pair generation + the same quadratic-guard cap
+    as the sketch dedups (a 4-bit LSH leaves ~n/16 vectors per bucket;
+    above the cap the bucket needs more hash bits, not an O(n²) scan)."""
     e = spread(embs).select(
         F.col("vec_id"),
         V.to_double(F.col("embedding")).alias("v"),
         embedding_bucket(F.col("embedding")).alias("bucket"),
     )
-    a = e.select("bucket", F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a"))
-    b = e.select("bucket", F.col("vec_id").alias("vec_b"), F.col("v").alias("v_b"))
+    members = (
+        e.groupBy("bucket")
+        .agg(F.collect_list(F.struct("vec_id", "v")).alias("ms"))
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= bucket_cap))
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ms"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        )
+    )
     return (
-        a.join(b, "bucket")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", V.cosine(F.col("v_a"), F.col("v_b")).alias("cosine"))
+        members.select(pair.alias("p"))
+        .select(
+            F.least("p.a.vec_id", "p.b.vec_id").alias("vec_a"),
+            F.greatest("p.a.vec_id", "p.b.vec_id").alias("vec_b"),
+            V.cosine(F.col("p.a.v"), F.col("p.b.v")).alias("cosine"),
+        )
         .filter(F.col("cosine") >= threshold)
     )

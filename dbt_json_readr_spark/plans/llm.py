@@ -172,10 +172,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _embedding_cosine_sql() -> str:
     cos = V.sql_cosine("a.v", "b.v")
     return f"""
-WITH e AS (
+WITH e0 AS (
   SELECT vec_id, {V.sql_to_double('embedding')} AS v,
          CAST({_SQL_BUCKET} AS INTEGER) AS bucket
   FROM embeddings
+),
+e AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY bucket) AS bucket_n FROM e0
+  ) WHERE bucket_n <= {D.DEFAULT_BUCKET_CAP}
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cosine
 FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
