@@ -642,3 +642,74 @@ SELECT CAST(floor((p_size - 1) / 10) AS INTEGER) AS size_bucket,
        count(*) AS n_parts, min(p_size) AS min_size, max(p_size) AS max_size
 FROM part GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------- B35
+
+
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event scored against the
+    PREVIOUS 20 events of the same user (trailing frame excludes the
+    current row, so an outlier cannot suppress its own score).
+
+    Determinism: the window's sum / sum-of-squares accumulate in exact
+    DECIMAL over a totally-ordered frame (ts, event_id tiebreak), then
+    ONE double conversion feeds the identical mean/var/z expression in
+    both engines — bit-equal scores at any parallelism.  One shuffle
+    (by user) for the window, one tiny agg."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    v = _dec("value")
+    n = F.count(F.lit(1)).over(w)
+    s1 = F.sum(v).over(w).cast("double")
+    s2 = F.sum(v * v).over(w).cast("double")
+    nd = n.cast("double")
+    var = (s2 - s1 * s1 / nd) / nd
+    z = F.when(
+        (n >= 10) & (var > 0),
+        (F.col("value") - s1 / nd) / F.sqrt(var),
+    )
+    scored = ev.select("user_id", z.alias("z"))
+    return (
+        scored.filter(F.col("z").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.sum((F.abs("z") > 3.0).cast("long")).alias("n_anomalies"),
+            F.max(F.abs("z")).alias("max_abs_z"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_ANOMALY_SQL = """
+WITH win AS (
+  SELECT user_id, value,
+         count(*) OVER w AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS s1,
+         CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS s2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+),
+scored AS (
+  SELECT user_id,
+         CASE WHEN n >= 10 AND (s2 - s1 * s1 / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) > 0
+              THEN (value - s1 / CAST(n AS DOUBLE))
+                   / sqrt((s2 - s1 * s1 / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+         END AS z
+  FROM win
+)
+SELECT user_id,
+       count(*) AS n_scored,
+       sum(CASE WHEN abs(z) > 3.0 THEN 1 ELSE 0 END) AS n_anomalies,
+       max(abs(z)) AS max_abs_z
+FROM scored
+WHERE z IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id
+"""

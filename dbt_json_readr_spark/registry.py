@@ -81,6 +81,7 @@ register("events_retention_cohorts", events.events_retention_cohorts, events.EVE
 register("orders_monthly_growth", events.orders_monthly_growth, events.ORDERS_MONTHLY_GROWTH_SQL)
 register("events_hourly_heatmap", events.events_hourly_heatmap, events.EVENTS_HOURLY_HEATMAP_SQL)
 register("part_size_histogram", events.part_size_histogram, events.PART_SIZE_HISTOGRAM_SQL)
+register("events_anomaly_zscore", events.events_anomaly_zscore, events.EVENTS_ANOMALY_SQL)
 
 # C. LLM-data-pipeline operators (dedup / similarity / text analysis)
 for _key, _sql in llm.ORACLES.items():
