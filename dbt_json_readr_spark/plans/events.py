@@ -713,3 +713,43 @@ WHERE z IS NOT NULL
 GROUP BY user_id
 ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------- B36
+
+
+def skew_salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment order revenue computed through the MANUAL salted-join
+    path (functions/skew.py): orders fan out across 8 salt sub-keys and
+    the customer side replicates once per salt, so a power-law hot key
+    would land on 8 reducers instead of one.  Join semantics — and so
+    this rollup — are identical to the unsalted join, which is exactly
+    what the oracle checks; the salt column never escapes the operator."""
+    prep(spark)
+    from ..functions.skew import salted_join
+
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), _dec("o_totalprice").alias("price")
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    return (
+        salted_join(orders, cust, on="custkey", n_salts=8)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price").cast("double").alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SKEW_SALTED_SQL = """
+SELECT c_mktsegment,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""

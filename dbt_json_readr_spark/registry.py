@@ -82,6 +82,9 @@ register("orders_monthly_growth", events.orders_monthly_growth, events.ORDERS_MO
 register("events_hourly_heatmap", events.events_hourly_heatmap, events.EVENTS_HOURLY_HEATMAP_SQL)
 register("part_size_histogram", events.part_size_histogram, events.PART_SIZE_HISTOGRAM_SQL)
 register("events_anomaly_zscore", events.events_anomaly_zscore, events.EVENTS_ANOMALY_SQL)
+register(
+    "skew_salted_segment_revenue", events.skew_salted_segment_revenue, events.SKEW_SALTED_SQL
+)
 
 # C. LLM-data-pipeline operators (dedup / similarity / text analysis)
 for _key, _sql in llm.ORACLES.items():
