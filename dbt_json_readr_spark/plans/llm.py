@@ -759,6 +759,69 @@ FROM ratio ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------- C23
+
+
+def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 terms by tf×(N/df) — the tf-idf feature primitive
+    with a RATIONAL idf (N/df instead of ln(N/df)): the ranking is
+    order-isomorphic for fixed tf and keeps every score a single IEEE
+    division of exact integers, so Spark and the oracle agree bit-for-
+    bit (libm vs JVM ``log`` can differ in the last ulp).
+
+    Scale: tf is one explode+groupBy shuffle on (doc, term); df is a
+    map-side-combined rollup of that (terms ≪ postings); N broadcasts
+    as a 1-row scalar; the final per-doc top-k is a window over the
+    (doc, term) postings — never the raw corpus."""
+    prep(spark)
+    from pyspark.sql import Window as W
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    tf = (
+        docs.select("doc_id", F.explode(H.tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+def _tfidf_sql() -> str:
+    toks = H.sql_tokens("text")
+    return f"""
+WITH tf AS (
+  SELECT doc_id, t.term, count(*) AS tf
+  FROM documents, unnest({toks}) AS t(term)
+  GROUP BY doc_id, t.term
+),
+df_t AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, term, tf, df, score, rank FROM (
+  SELECT doc_id, term, tf, df,
+         CAST(tf * n_docs AS DOUBLE) / df AS score,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY CAST(tf * n_docs AS DOUBLE) / df DESC, term) AS INTEGER) AS rank
+  FROM tf JOIN df_t USING (term), n
+) WHERE rank <= 3
+"""
+
+
 ORACLES: dict[str, str] = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
@@ -781,4 +844,5 @@ ORACLES: dict[str, str] = {
     "ann_recall_eval": _ann_recall_sql(),
     "corpus_stratified_sample": _stratified_sample_sql(),
     "corpus_mixture_weights": _mixture_weights_sql(),
+    "doc_tfidf_topk": _tfidf_sql(),
 }
