@@ -417,3 +417,21 @@ SELECT resource_type, count(*) AS n_objects,
        CAST(sum(CASE WHEN description IS NOT NULL AND description <> '' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS coverage
 FROM ({dbt_manifest_unified()}) GROUP BY resource_type ORDER BY resource_type
 """
+
+
+def dbt_tag_usage() -> str:
+    """Independent stdlib aggregation of tag usage across all three
+    manifest groups (never touches the Spark reader's output)."""
+    m = _load("manifest.json")
+    agg: dict[str, list] = {}
+    for grp in ("nodes", "sources", "macros"):
+        for n in m.get(grp, {}).values():
+            for t in n.get("tags") or []:
+                s = agg.setdefault(t, [0, set()])
+                s[0] += 1
+                s[1].add(n["resource_type"])
+    rows = [(t, c, len(rts)) for t, (c, rts) in sorted(agg.items())]
+    return _values_sql(
+        [("tag", "VARCHAR"), ("n_objects", "BIGINT"), ("n_resource_types", "BIGINT")],
+        rows,
+    )

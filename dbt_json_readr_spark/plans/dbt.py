@@ -201,3 +201,23 @@ def dbt_description_coverage(spark: SparkSession, sf_dir: str, target: str = FIX
         )
         .orderBy("resource_type")
     )
+
+
+def dbt_tag_usage(spark: SparkSession, sf_dir: str, target: str = FIXTURE_TARGET) -> DataFrame:
+    """Tag taxonomy rollup over the unified manifest (nodes ∪ sources ∪
+    macros carry `tags` per explore.R:139-241's parsed surface): objects
+    and distinct resource types per tag — the governance query behind
+    `dbt run --select tag:x`."""
+    prep(spark)
+    # the raw unified reader keeps the nested `tags` array that the
+    # flat query surface projects away
+    uni = A.manifest_unified(spark, _manifest(target))
+    return (
+        uni.select("resource_type", F.explode("tags").alias("tag"))
+        .groupBy("tag")
+        .agg(
+            F.count(F.lit(1)).alias("n_objects"),
+            F.countDistinct("resource_type").alias("n_resource_types"),
+        )
+        .orderBy("tag")
+    )

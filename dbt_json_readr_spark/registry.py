@@ -43,6 +43,7 @@ for _key in [
     "dbt_run_summary",
     "dbt_model_fanout",
     "dbt_description_coverage",
+    "dbt_tag_usage",
 ]:
     register(_key, getattr(dbt, _key), getattr(oracles, _key)())
 
