@@ -66,3 +66,20 @@ def test_minhash_dedup_single_sketch_no_fat_broadcast(spark):
     n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M))
     assert n_scans == 1, f"documents must be scanned exactly once, saw {n_scans}"
     assert not has_broadcast_join(df), "pair generation must not broadcast the sketch side"
+
+
+def test_topk_windows_get_partial_group_limit(spark):
+    """Per-group top-k windows must show a PARTIAL WindowGroupLimit
+    BEFORE the exchange — Catalyst's map-side rank pruning means only
+    ≤k rows per group per map partition cross the shuffle.  Without it
+    a 100 TB corpus funnels entirely through one reducer per query."""
+    from dbt_json_readr_spark.plans.explain import formatted_plan
+    from dbt_json_readr_spark.plans.events import top_customers_per_nation
+    from dbt_json_readr_spark.plans.llm import ann_bruteforce_topk
+
+    for fn in (ann_bruteforce_topk, top_customers_per_nation):
+        plan = formatted_plan(fn(spark, "/root/testdata/sf0.001"))
+        assert "WindowGroupLimit" in plan, f"{fn.__name__}: rank pruning missing"
+        assert "Partial" in plan.split("WindowGroupLimit")[-1] or plan.count("WindowGroupLimit") >= 2, (
+            f"{fn.__name__}: no partial (map-side) group limit"
+        )
