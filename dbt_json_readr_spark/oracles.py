@@ -395,7 +395,7 @@ def dbt_run_summary() -> str:
 SELECT status, count(*) AS n_nodes,
        CAST(sum(CAST(execution_time AS DECIMAL(18,4))) AS DOUBLE) AS total_time,
        max(execution_time) AS max_time,
-       sum(rows_affected) AS total_rows
+       CAST(sum(rows_affected) AS BIGINT) AS total_rows
 FROM ({dbt_run_results()}) GROUP BY status ORDER BY status
 """
 
@@ -413,7 +413,7 @@ ORDER BY n_children DESC, parent_unique_id
 def dbt_description_coverage() -> str:
     return f"""
 SELECT resource_type, count(*) AS n_objects,
-       sum(CASE WHEN description IS NOT NULL AND description <> '' THEN 1 ELSE 0 END) AS n_documented,
+       CAST(sum(CASE WHEN description IS NOT NULL AND description <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_documented,
        CAST(sum(CASE WHEN description IS NOT NULL AND description <> '' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS coverage
 FROM ({dbt_manifest_unified()}) GROUP BY resource_type ORDER BY resource_type
 """

@@ -277,7 +277,7 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_JSON_PROPS_SQL = """
 SELECT event_type,
        count(k) AS n_with_k,
-       sum(k) AS sum_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
        min(k) AS min_k,
        max(k) AS max_k
 FROM (
@@ -706,7 +706,7 @@ scored AS (
 )
 SELECT user_id,
        count(*) AS n_scored,
-       sum(CASE WHEN abs(z) > 3.0 THEN 1 ELSE 0 END) AS n_anomalies,
+       CAST(sum(CASE WHEN abs(z) > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
        max(abs(z)) AS max_abs_z
 FROM scored
 WHERE z IS NOT NULL

@@ -551,8 +551,8 @@ def _dedup_summary_sql() -> str:
 WITH clusters AS ({_clusters_sql()})
 SELECT source,
        count(*) AS n_docs,
-       sum(CASE WHEN cluster_id IS NOT NULL AND cluster_id <> doc_id THEN 1 ELSE 0 END) AS n_dropped,
-       sum(CASE WHEN cluster_id IS NOT NULL AND cluster_id <> doc_id THEN 0 ELSE 1 END) AS n_kept
+       CAST(sum(CASE WHEN cluster_id IS NOT NULL AND cluster_id <> doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(sum(CASE WHEN cluster_id IS NOT NULL AND cluster_id <> doc_id THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
 FROM documents LEFT JOIN clusters USING (doc_id)
 GROUP BY source ORDER BY source
 """
@@ -696,7 +696,7 @@ def _stratified_sample_sql() -> str:
     return f"""
 SELECT lang,
        count(*) AS n_docs,
-       sum(CASE WHEN {h} < (CASE lang {cases} END) THEN 1 ELSE 0 END) AS n_sampled,
+       CAST(sum(CASE WHEN {h} < (CASE lang {cases} END) THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
        CAST(sum(CASE WHEN {h} < (CASE lang {cases} END) THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS observed_rate
 FROM documents
 GROUP BY lang ORDER BY lang
@@ -745,7 +745,7 @@ def _mixture_weights_sql() -> str:
     cases = " ".join(f"WHEN '{s}' THEN {t}" for s, t in sorted(_MIX_TARGET.items()))
     return f"""
 WITH counts AS (
-  SELECT lang, count(*) AS n_docs, (CASE lang {cases} END) AS target_share
+  SELECT lang, count(*) AS n_docs, CAST((CASE lang {cases} END) AS DOUBLE) AS target_share
   FROM documents GROUP BY lang
 ),
 ratio AS (
@@ -754,7 +754,7 @@ ratio AS (
   FROM counts
 )
 SELECT lang, n_docs, target_share,
-       least(1.0, target_share * (SELECT min(cap_ratio) FROM ratio) / CAST(n_docs AS DOUBLE)) AS acceptance_rate
+       CAST(least(1.0, target_share * (SELECT min(cap_ratio) FROM ratio) / CAST(n_docs AS DOUBLE)) AS DOUBLE) AS acceptance_rate
 FROM ratio ORDER BY lang
 """
 

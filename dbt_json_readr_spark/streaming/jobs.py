@@ -220,7 +220,7 @@ def streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STREAMING_STATEFUL_COUNTS_SQL = """
 SELECT user_id, count(*) AS n_events,
-       sum(CAST(floor(value * 1000000) AS BIGINT)) AS value_micros
+       CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micros
 FROM events GROUP BY user_id
 """
 
