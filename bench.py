@@ -1,8 +1,13 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) and prints ONE JSON line.
 
-Each query is timed as a full action (plan + execute + collect).  A tiny
-warm-up action first so JVM/codegen startup is not billed to q1.
+Each query is timed as a full action (plan + execute + collect), TWICE:
+run 1 is the cold number (includes codegen compile + JIT warm-up for
+that query's expression shapes), run 2 is steady-state.  The headline
+`value`/`queries` report run 2 and `queries_cold` reports run 1 — both
+are printed so the record is explicit about which regime it measures
+(r1 lesson: a sf0.001 warm-up compiles codegen but does not JIT-warm or
+touch sf0.1 I/O, so a single-run number is neither cold nor steady).
 """
 
 from __future__ import annotations
@@ -45,20 +50,26 @@ def main() -> None:
             warm[key](spark, "/root/testdata/sf0.001").count()
 
     available = registry.queries()
-    timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    steady: dict[str, float] = {}
     for key in HEADLINE:
         if key not in available:
             continue
-        t0 = time.perf_counter()
-        n = available[key](spark, sf_dir).count()
-        timings[key] = round(time.perf_counter() - t0, 3)
-        print(f"# {key}: {timings[key]}s ({n} rows)", file=sys.stderr)
+        for run, book in ((1, cold), (2, steady)):
+            t0 = time.perf_counter()
+            n = available[key](spark, sf_dir).count()
+            book[key] = round(time.perf_counter() - t0, 3)
+            print(f"# {key} run{run}: {book[key]}s ({n} rows)", file=sys.stderr)
 
     out = {
         "metric": "headline_total",
-        "value": round(sum(timings.values()), 3),
+        "value": round(sum(steady.values()), 3),
         "unit": "sec",
-        "queries": timings,
+        "runs": 2,
+        "regime": "steady_state_run2",
+        "queries": steady,
+        "queries_cold": cold,
+        "cold_total": round(sum(cold.values()), 3),
         "sf": sf,
     }
     print(json.dumps(out))

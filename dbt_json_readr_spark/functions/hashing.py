@@ -76,11 +76,20 @@ def sql_tokens(expr: str) -> str:
 # ------------------------------------------------------------ minhash
 
 
-def minhash_array(shingles: Column, n_hashes: int) -> Column:
-    """n independent minhashes, two per md5 call: an md5 digest is 128
-    bits, so hex chars 1-15 and 16-30 are two INDEPENDENT 60-bit hash
-    functions — n//2 salted digests give n minhashes at half the hash
-    cost, with none of the affine-permutation correlation (below).
+def minhash_lane_cols(sh: Column, n_hashes: int, prefix: str = "mh") -> list[Column]:
+    """n independent minhash lanes as FLAT columns over one exploded
+    shingle row, four per md5 call: an md5 digest is 128 bits = four
+    independent 32-bit hash functions (hex chars 1-8, 9-16, 17-24,
+    25-32), so n//4 salted digests give n lanes at a quarter of the
+    digest cost of one-per-call.  32-bit lanes are plenty for a min
+    statistic (ties need a within-doc 2⁻³² collision).
+
+    Flat columns instead of an array-HOF pipeline on purpose: Spark's
+    higher-order functions (transform/aggregate) are CodegenFallback —
+    every md5+conv inside them runs on the interpreted expression path.
+    Exploding shingles to rows keeps the whole hash in whole-stage
+    codegen, and groupBy(doc).min(lane) gets map-side partial
+    aggregation for free (measured ~2× end-to-end on the LSH operator).
 
     Measured dead end (keep it dead): deriving the n hashes as affine
     permutations (a_i·h+b_i mod 2³¹-1) of ONE base md5 halves the hash
@@ -88,7 +97,24 @@ def minhash_array(shingles: Column, n_hashes: int) -> Column:
     weakness) — LSH candidate volume nearly doubled at sf0.1
     (60k vs 32.5k) and end-to-end the operator got SLOWER.  Distinct
     output bits of one cryptographic digest carry no such coupling."""
-    assert n_hashes % 2 == 0
+    assert n_hashes % 4 == 0
+    out = []
+    for p in range(n_hashes // 4):
+        d = F.md5(F.concat(F.lit(f"mhp{p}:"), sh.cast("string")))
+        for lane in range(4):
+            out.append(
+                F.conv(F.substring(d, 1 + 8 * lane, 8), 16, 10)
+                .cast("long")
+                .alias(f"{prefix}{4 * p + lane}")
+            )
+    return out
+
+
+def minhash_array(shingles: Column, n_hashes: int) -> Column:
+    """Array-input twin of ``minhash_lane_cols`` (same values, same
+    digest/lane layout) for callers that already hold a shingle array.
+    Interpreted-HOF path — prefer the flat columns in hot operators."""
+    assert n_hashes % 4 == 0
 
     def _digests(p: int):
         # closure factory: F.transform inspects lambda arity, so a
@@ -96,35 +122,47 @@ def minhash_array(shingles: Column, n_hashes: int) -> Column:
         return lambda s: F.md5(F.concat(F.lit(f"mhp{p}:"), s.cast("string")))
 
     # one F.aggregate pass per digest so each md5 is evaluated exactly
-    # once: referencing a transform result in two array_min expressions
+    # once: referencing a transform result in four array_min expressions
     # would duplicate the md5 subtree (no CSE inside interpreted HOFs)
-    init = F.array(F.lit(2**62).cast("long"), F.lit(2**62).cast("long"))
+    init = F.array(*[F.lit(2**62).cast("long") for _ in range(4)])
 
-    def _pair_min(acc, d):
+    def _lane_min(acc, d):
         return F.array(
-            F.least(acc.getItem(0), F.conv(F.substring(d, 1, 15), 16, 10).cast("long")),
-            F.least(acc.getItem(1), F.conv(F.substring(d, 16, 15), 16, 10).cast("long")),
+            *[
+                F.least(
+                    acc.getItem(lane),
+                    F.conv(F.substring(d, 1 + 8 * lane, 8), 16, 10).cast("long"),
+                )
+                for lane in range(4)
+            ]
         )
 
-    pairs = [
-        F.aggregate(F.transform(shingles, _digests(p)), init, _pair_min)
-        for p in range(n_hashes // 2)
+    quads = [
+        F.aggregate(F.transform(shingles, _digests(p)), init, _lane_min)
+        for p in range(n_hashes // 4)
     ]
-    return F.concat(*pairs)
+    return F.concat(*quads)
 
 
 def sql_minhash_array(shingles_expr: str, n_hashes: int) -> str:
-    assert n_hashes % 2 == 0
+    assert n_hashes % 4 == 0
     mins = []
-    for p in range(n_hashes // 2):
+    for p in range(n_hashes // 4):
         digest = f"md5('mhp{p}:' || CAST(s AS VARCHAR))"
-        mins.append(
-            f"list_min(list_transform({shingles_expr}, s -> ('0x' || substr({digest}, 1, 15))::BIGINT))"
-        )
-        mins.append(
-            f"list_min(list_transform({shingles_expr}, s -> ('0x' || substr({digest}, 16, 15))::BIGINT))"
-        )
+        for lane in range(4):
+            mins.append(
+                f"list_min(list_transform({shingles_expr}, "
+                f"s -> ('0x' || substr({digest}, {1 + 8 * lane}, 8))::BIGINT))"
+            )
     return f"[{', '.join(mins)}]"
+
+
+def band_key_flat(lane_cols: list[Column], band: int) -> Column:
+    """Band key from flat minhash lane columns — identical string
+    contract to ``band_key``/``sql_band_key`` (comma-joined decimal
+    lanes, salted per band), but codegen-friendly (no array HOF)."""
+    joined = F.concat_ws(",", *[c.cast("string") for c in lane_cols])
+    return hash64(joined, f"band{band}")
 
 
 def band_key(mh: Column, band: int, rows_per_band: int) -> Column:

@@ -45,6 +45,18 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+def _shingle_rows(docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, sh) rows: distinct char-k-gram 60-bit hashes, one row
+    per shingle.  The explode keeps the md5+conv hashing in whole-stage
+    codegen (higher-order functions are CodegenFallback — interpreted);
+    only the cheap substr shingling stays inside the HOF."""
+    return (
+        spread(docs)
+        .select("doc_id", F.explode(H.char_shingles(F.col("text"), k)).alias("s"))
+        .select("doc_id", H.hash64(F.col("s"), "sh").alias("sh"))
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     k: int = 5,
@@ -52,47 +64,53 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.25,
     bucket_cap: int = DEFAULT_BUCKET_CAP,
+    broadcast_verify: bool = True,
 ) -> DataFrame:
     """Near-dup candidate pairs via minhash LSH, verified with exact
     shingle jaccard.  rows/band = n_hashes//bands; P(candidate) ≈
-    1-(1-j^r)^b, tuned so ~j≥threshold pairs are likely candidates."""
+    1-(1-j^r)^b, tuned so ~j≥threshold pairs are likely candidates.
+
+    Scale shape (two corpus passes, both codegen'd, no fat buckets):
+    1. sketch pass — exploded shingle rows → flat 32-bit minhash lanes
+       (functions/hashing.py) → groupBy(doc_id) with map-side partial
+       MINs; per-doc rows are n_hashes longs, no shingle arrays.
+    2. band buckets collect ONLY doc_ids (≤ bucket_cap × 8 bytes per
+       bucket — a degenerate bucket buffers kilobytes, not the
+       shingle-array megabytes of a struct-collecting formulation),
+       pairs are deduped across bands BEFORE verification.
+    3. verify pass — exact jaccard for the candidate pairs only, via
+       one of two shapes chosen by ``broadcast_verify`` (see inline
+       docs): broadcast-candidates (default; zero array shuffles) or
+       all-shuffle narrow-row intersection counting (for corpora whose
+       candidate set outgrows the driver)."""
     r = n_hashes // bands
-    # shingles are hashed to 60-bit longs immediately: every downstream
-    # stage (minhash, the band self-join carrying sh for verify, the
-    # bucket-size window) then shuffles/compares 8-byte longs instead of
-    # k-char strings — ~2.5× narrower rows in the two fat exchanges
-    sh = spread(docs).select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(H.char_shingles(F.col("text"), k), lambda s: H.hash64(s, "sh"))
-        ).alias("sh"),
+    rows = _shingle_rows(docs, k)
+    lanes = rows.select("doc_id", *H.minhash_lane_cols(F.col("sh"), n_hashes))
+    mins = lanes.groupBy("doc_id").agg(
+        *[F.min(f"mh{i}").alias(f"mh{i}") for i in range(n_hashes)]
     )
-    mh = sh.select("doc_id", "sh", H.minhash_array(F.col("sh"), n_hashes).alias("mh"))
-    banded = mh.select(
-        "doc_id",
-        "sh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"), H.band_key(F.col("mh"), b, r).alias("bkey")
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "sh", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
-    # Pair generation via groupBy + in-bucket explode instead of a
-    # self-join: a DataFrame self-join recomputes the whole sketch
-    # pipeline once PER SIDE (and Catalyst may broadcast the fat side
-    # wholesale), where collect_list computes the sketch once and
-    # shuffles it once, keyed by bucket.  The cap bounds the collected
-    # array (≤ bucket_cap × |sh| longs); a degenerate bucket still
-    # buffers in the agg before exclusion, but that hazard is identical
-    # to the window formulation and ObjectHashAggregate spills.
+    banded = (
+        mins.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            H.band_key_flat(
+                                [F.col(f"mh{i}") for i in range(b * r, (b + 1) * r)], b
+                            ).alias("bkey"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    )
     members = (
         banded.groupBy("band", "bkey")
-        .agg(F.collect_list(F.struct("doc_id", "sh")).alias("ms"))
+        .agg(F.collect_list("doc_id").alias("ms"))
         .filter((F.size("ms") >= 2) & (F.size("ms") <= bucket_cap))
     )
     pair = F.explode(
@@ -106,20 +124,55 @@ def minhash_lsh_pairs(
             )
         )
     )
-    # verify IN the bucket (jaccard is identical for every band copy of
-    # a pair), so the final dedup shuffles narrow (doc_a, doc_b,
-    # jaccard) rows — the shingle arrays never cross a second exchange
-    inter = F.size(F.array_intersect("p.a.sh", "p.b.sh"))
-    union = F.size(F.array_union("p.a.sh", "p.b.sh"))
-    return (
+    cand = (
         members.select(pair.alias("p"))
         .select(
-            F.least("p.a.doc_id", "p.b.doc_id").alias("doc_a"),
-            F.greatest("p.a.doc_id", "p.b.doc_id").alias("doc_b"),
-            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+            F.least("p.a", "p.b").alias("doc_a"),
+            F.greatest("p.a", "p.b").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    if broadcast_verify:
+        # Candidate pairs broadcast; the per-doc shingle SETS then
+        # stream map-side through both hash joins in one codegen stage —
+        # no shingle array ever crosses an exchange.  Right when the
+        # deduped candidate set fits the driver (band buckets are
+        # cap-bounded, so candidates ≤ bands · Σ C(bucket,2) and in
+        # practice ~10× the true-pair count).
+        sets = rows.groupBy("doc_id").agg(F.collect_set("sh").alias("sh"))
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size(F.array_union("sh_a", "sh_b"))
+        return (
+            F.broadcast(cand)
+            .join(sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+            .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                (inter.cast("double") / union.cast("double")).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+    # All-shuffle fallback for corpora where the candidate set itself is
+    # too large to broadcast: intersection sizes come from joining the
+    # NARROW (doc_id, sh) shingle rows through the pairs — every shuffle
+    # is hash-partitioned 24-byte rows, no arrays, no driver-side state.
+    counts = rows.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ra = cand.join(rows.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
+    ri = ra.join(rows.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"])
+    ic = ri.groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter"))
+    return (
+        ic.join(counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
-        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
@@ -130,9 +183,37 @@ def simhash_pairs(
     8-bit bands guarantee recall by pigeonhole.  Band buckets above
     ``bucket_cap`` are excluded before the self-join — same quadratic
     guard as minhash (a degenerate band value must not O(n²) the run)."""
-    sims = spread(docs).select(
-        "doc_id", H.simhash32(H.tokens(F.col("text"))).alias("simhash")
+    # flat simhash: explode (non-distinct) tokens, hash each once in
+    # whole-stage codegen, then 32 conditional-sum vote columns with
+    # map-side partial aggregation — the array-HOF formulation
+    # (functions/hashing.py simhash32) is 32 interpreted F.aggregate
+    # passes per doc and benches ~5× slower on this operator
+    tok = spread(docs).select(
+        "doc_id", F.explode(H.tokens(F.col("text"))).alias("t")
     )
+    votes = tok.select("doc_id", H.hash64(F.col("t"), "sim").alias("h")).groupBy(
+        "doc_id"
+    ).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(32)
+        ]
+    )
+    simhash = votes.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"v{j}") > 0, F.lit(2**j).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+                for j in range(32)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    sims = simhash
     banded = sims.select(
         "doc_id",
         "simhash",

@@ -22,6 +22,15 @@ def get_spark(app_name: str = "dbt_json_readr_spark") -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # whole-stage codegen emits one class per stage; a run over many
+        # wide queries fills the default 240 MB JIT code cache, after
+        # which HotSpot stops compiling and hot loops run interpreted
+        # (measured: the LSH sketch goes 7 s → 18 s cold when benched
+        # after five other queries).  512 MB + flushing keeps C2 alive.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()

@@ -66,6 +66,20 @@ def test_minhash_near_duplicates_survive_banding(spark):
     assert (a, b) == (1, 2) and 0.8 < j < 1.0
 
 
+def test_minhash_verify_paths_agree(spark):
+    """broadcast-candidates and all-shuffle verify must be value-equal:
+    inter/(na+nb-inter) on narrow rows is the same jaccard as
+    |∩|/|∪| on collected sets."""
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
+    rows = [(1, base, "en"), (2, base.replace("lazy", "very lazy", 1), "en"),
+            (3, base + " tail", "en"), (4, "totally unrelated text here", "en")]
+    a = D.minhash_lsh_pairs(docs(spark, rows), broadcast_verify=True)
+    b = D.minhash_lsh_pairs(docs(spark, rows), broadcast_verify=False)
+    sa = {(r.doc_a, r.doc_b, r.jaccard) for r in a.collect()}
+    sb = {(r.doc_a, r.doc_b, r.jaccard) for r in b.collect()}
+    assert sa == sb and sa
+
+
 def test_simhash_identical_zero_hamming_and_banding_recall(spark):
     base = "alpha beta gamma delta epsilon zeta eta theta " * 4
     near = base.replace("delta", "delta2", 1)
