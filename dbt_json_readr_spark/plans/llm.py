@@ -655,6 +655,71 @@ def multimodal_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_features(media)
 
 
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode, hash-gated: synthesize genuine PNG/WAV
+    payloads per doc (integer content patterns, operators/multimodal.py),
+    parse them back with a pure-stdlib decoder over Arrow-batched
+    mapInPandas, and emit per-file stats.  The oracle recomputes every
+    stat from the closed-form content formulas — if the PNG chunk walk,
+    zlib inflate, scanline unfilter, or RIFF parse were wrong, the hash
+    would not match.  Video rows exercise the honest no-codec path
+    (decoded=false, null features) as part of the gated schema."""
+    prep(spark)
+    docs = spread(load(spark, sf_dir, "documents"))
+    return M.decode_features(M.synthesize_media(docs))
+
+
+MULTIMODAL_DECODE_SQL = """
+WITH m AS (
+  SELECT doc_id, ['image','audio','video'][(doc_id % 3) + 1] AS modality
+  FROM documents
+),
+img AS (
+  SELECT doc_id, 16 + doc_id % 16 AS w, 16 + doc_id % 8 AS h
+  FROM m WHERE modality = 'image'
+),
+img_stats AS (
+  SELECT i.doc_id,
+         CAST(sum((x.x * 7 + y.y * 13 + i.doc_id) % 256) AS BIGINT) AS content_sum,
+         CAST(min((x.x * 7 + y.y * 13 + i.doc_id) % 256) AS BIGINT) AS content_min,
+         CAST(max((x.x * 7 + y.y * 13 + i.doc_id) % 256) AS BIGINT) AS content_max
+  FROM img i,
+       LATERAL (SELECT unnest(range(0, i.w)) AS x) x,
+       LATERAL (SELECT unnest(range(0, i.h)) AS y) y
+  GROUP BY i.doc_id
+),
+aud AS (
+  SELECT doc_id,
+         CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS sr,
+         400 + doc_id % 100 AS n
+  FROM m WHERE modality = 'audio'
+),
+aud_stats AS (
+  SELECT a.doc_id,
+         CAST(sum(((i.i * 17 + a.doc_id * 31) % 65536) - 32768) AS BIGINT) AS content_sum,
+         CAST(min(((i.i * 17 + a.doc_id * 31) % 65536) - 32768) AS BIGINT) AS content_min,
+         CAST(max(((i.i * 17 + a.doc_id * 31) % 65536) - 32768) AS BIGINT) AS content_max
+  FROM aud a, LATERAL (SELECT unnest(range(0, a.n)) AS i) i
+  GROUP BY a.doc_id
+)
+SELECT i.doc_id, 'image' AS modality, 'png' AS fmt, true AS decoded,
+       CAST(i.w AS INTEGER) AS width, CAST(i.h AS INTEGER) AS height,
+       CAST(NULL AS INTEGER) AS sample_rate,
+       CAST(i.w * i.h AS BIGINT) AS n_units,
+       s.content_sum, s.content_min, s.content_max
+FROM img i JOIN img_stats s USING (doc_id)
+UNION ALL
+SELECT a.doc_id, 'audio', 'wav', true,
+       NULL, NULL, a.sr, CAST(a.n AS BIGINT),
+       s.content_sum, s.content_min, s.content_max
+FROM aud a JOIN aud_stats s USING (doc_id)
+UNION ALL
+SELECT doc_id, 'video', 'mp4', false,
+       NULL, NULL, NULL, NULL, NULL, NULL, NULL
+FROM m WHERE modality = 'video'
+"""
+
+
 # ---------------------------------------------------------------- C21
 
 # deterministic per-stratum sampling rates; thresholds are exact 60-bit
@@ -845,4 +910,5 @@ ORACLES: dict[str, str] = {
     "corpus_stratified_sample": _stratified_sample_sql(),
     "corpus_mixture_weights": _mixture_weights_sql(),
     "doc_tfidf_topk": _tfidf_sql(),
+    "multimodal_decode": MULTIMODAL_DECODE_SQL,
 }

@@ -152,6 +152,7 @@ _GATE_PRIORITY = [
     "corpus_stratified_sample",
     "corpus_mixture_weights",
     "doc_tfidf_topk",
+    "multimodal_decode",
     "multimodal_stub",
     # D. streaming (ungated in r1)
     "streaming_windowed_agg",

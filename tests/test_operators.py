@@ -210,6 +210,90 @@ def test_multimodal_decode_stub_raises(spark):
         M.decode_media(b"bytes", "image", {})
 
 
+def test_png_synth_decode_roundtrip():
+    doc_id = 21  # image modality (21 % 3 == 0)
+    payload = M.synth_png(doc_id)
+    assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+    d = M.decode_png(payload)
+    w, h = 16 + doc_id % 16, 16 + doc_id % 8
+    pix = [(x * 7 + y * 13 + doc_id) % 256 for y in range(h) for x in range(w)]
+    assert d == {
+        "width": w, "height": h, "n_units": w * h,
+        "content_sum": sum(pix), "content_min": min(pix), "content_max": max(pix),
+    }
+
+
+def test_png_decoder_handles_all_filter_types():
+    """Our encoder emits filter 0, but a real decoder reconstructs
+    types 1-4 too — build one PNG per filter type and check pixels."""
+    import struct as _s
+    import zlib as _z
+
+    w, h = 6, 3
+    pix = [[(x * 11 + y * 5) % 256 for x in range(w)] for y in range(h)]
+    for ftype in (1, 2, 3, 4):
+        raw = bytearray()
+        prev = [0] * w
+        for y in range(h):
+            raw.append(ftype)
+            line = pix[y]
+            for i in range(w):
+                a = line[i - 1] if i else 0
+                b = prev[i]
+                c = prev[i - 1] if i else 0
+                if ftype == 1:
+                    raw.append((line[i] - a) & 0xFF)
+                elif ftype == 2:
+                    raw.append((line[i] - b) & 0xFF)
+                elif ftype == 3:
+                    raw.append((line[i] - (a + b) // 2) & 0xFF)
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    raw.append((line[i] - pred) & 0xFF)
+            prev = line
+        ihdr = _s.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + M._png_chunk(b"IHDR", ihdr)
+            + M._png_chunk(b"IDAT", _z.compress(bytes(raw)))
+            + M._png_chunk(b"IEND", b"")
+        )
+        d = M.decode_png(png)
+        flat = [v for row in pix for v in row]
+        assert d["content_sum"] == sum(flat), f"filter {ftype}"
+        assert (d["width"], d["height"]) == (w, h)
+
+
+def test_wav_synth_decode_roundtrip():
+    doc_id = 22  # audio modality (22 % 3 == 1)
+    payload = M.synth_wav(doc_id)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    d = M.decode_wav(payload)
+    n = 400 + doc_id % 100
+    samples = [((i * 17 + doc_id * 31) % 65536) - 32768 for i in range(n)]
+    assert d == {
+        "sample_rate": 8000 + (doc_id % 4) * 4000, "n_units": n,
+        "content_sum": sum(samples), "content_min": min(samples),
+        "content_max": max(samples),
+    }
+
+
+def test_multimodal_decode_pipeline(spark):
+    rows = [(i, f"doc {i}", "en") for i in range(30, 36)]
+    out = {r.doc_id: r for r in M.decode_features(
+        M.synthesize_media(docs(spark, rows))
+    ).collect()}
+    assert len(out) == 6
+    img = out[30 if 30 % 3 == 0 else 33]
+    assert img.modality == "image" and img.decoded and img.width == 16 + img.doc_id % 16
+    aud = out[31]
+    assert aud.modality == "audio" and aud.decoded and aud.sample_rate == 8000 + (31 % 4) * 4000
+    vid = out[32]
+    assert vid.modality == "video" and not vid.decoded and vid.content_sum is None
+
+
 # ------------------------------------------------------------ graph
 
 

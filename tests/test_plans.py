@@ -13,7 +13,7 @@ from dbt_json_readr_spark.plans.tpch import q5_region_revenue, q6_forecast_reven
 SF = "/root/testdata/sf0.001"
 
 # mapInPandas is the sanctioned Arrow path for exactly one operator
-ARROW_ALLOWED = {"multimodal_stub"}
+ARROW_ALLOWED = {"multimodal_stub", "multimodal_decode"}
 # streaming queries materialize through a memory sink — their returned
 # DataFrame is the sink table, so plan introspection happens on the
 # batch twins instead (test_streaming.py covers equivalence)
