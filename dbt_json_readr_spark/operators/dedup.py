@@ -57,34 +57,13 @@ def _shingle_rows(docs: DataFrame, k: int) -> DataFrame:
     )
 
 
-def minhash_lsh_pairs(
-    docs: DataFrame,
-    k: int = 5,
-    n_hashes: int = 16,
-    bands: int = 4,
-    threshold: float = 0.25,
-    bucket_cap: int = DEFAULT_BUCKET_CAP,
-    broadcast_verify: bool = True,
+def _minhash_candidates(
+    rows: DataFrame, n_hashes: int, bands: int, bucket_cap: int
 ) -> DataFrame:
-    """Near-dup candidate pairs via minhash LSH, verified with exact
-    shingle jaccard.  rows/band = n_hashes//bands; P(candidate) ≈
-    1-(1-j^r)^b, tuned so ~j≥threshold pairs are likely candidates.
-
-    Scale shape (two corpus passes, both codegen'd, no fat buckets):
-    1. sketch pass — exploded shingle rows → flat 32-bit minhash lanes
-       (functions/hashing.py) → groupBy(doc_id) with map-side partial
-       MINs; per-doc rows are n_hashes longs, no shingle arrays.
-    2. band buckets collect ONLY doc_ids (≤ bucket_cap × 8 bytes per
-       bucket — a degenerate bucket buffers kilobytes, not the
-       shingle-array megabytes of a struct-collecting formulation),
-       pairs are deduped across bands BEFORE verification.
-    3. verify pass — exact jaccard for the candidate pairs only, via
-       one of two shapes chosen by ``broadcast_verify`` (see inline
-       docs): broadcast-candidates (default; zero array shuffles) or
-       all-shuffle narrow-row intersection counting (for corpora whose
-       candidate set outgrows the driver)."""
+    """(doc_a, doc_b) LSH candidate pairs (pre-verification) from
+    (doc_id, sh) shingle rows: flat lane mins → band keys → doc_id-only
+    buckets → in-bucket pair explode → cross-band dedup."""
     r = n_hashes // bands
-    rows = _shingle_rows(docs, k)
     lanes = rows.select("doc_id", *H.minhash_lane_cols(F.col("sh"), n_hashes))
     mins = lanes.groupBy("doc_id").agg(
         *[F.min(f"mh{i}").alias(f"mh{i}") for i in range(n_hashes)]
@@ -124,7 +103,7 @@ def minhash_lsh_pairs(
             )
         )
     )
-    cand = (
+    return (
         members.select(pair.alias("p"))
         .select(
             F.least("p.a", "p.b").alias("doc_a"),
@@ -132,6 +111,58 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    k: int = 5,
+    n_hashes: int = 16,
+    bands: int = 4,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
+) -> DataFrame:
+    """Public pre-verification candidate pairs — the measurable half of
+    the LSH recall/cost tradeoff (see plans/llm.py dedup_lsh_recall)."""
+    return _minhash_candidates(_shingle_rows(docs, k), n_hashes, bands, bucket_cap)
+
+
+def shingle_sets(docs: DataFrame, k: int = 5) -> DataFrame:
+    """(doc_id, sh: array<long>) distinct hashed shingle sets."""
+    return _shingle_rows(docs, k).groupBy("doc_id").agg(
+        F.collect_set("sh").alias("sh")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    k: int = 5,
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
+    broadcast_verify: bool = True,
+) -> DataFrame:
+    """Near-dup candidate pairs via minhash LSH, verified with exact
+    shingle jaccard.  rows/band = n_hashes//bands; P(candidate) ≈
+    1-(1-j^r)^b.  ``threshold`` must sit in that curve's high-recall
+    region or the verified output is an arbitrary sample of the sub-τ
+    candidate tail — plans/llm.py dedup_lsh_recall measures exactly
+    this, and re-anchored the default from 0.25 (1.6% recall) to 0.8.
+
+    Scale shape (two corpus passes, both codegen'd, no fat buckets):
+    1. sketch pass — exploded shingle rows → flat 32-bit minhash lanes
+       (functions/hashing.py) → groupBy(doc_id) with map-side partial
+       MINs; per-doc rows are n_hashes longs, no shingle arrays.
+    2. band buckets collect ONLY doc_ids (≤ bucket_cap × 8 bytes per
+       bucket — a degenerate bucket buffers kilobytes, not the
+       shingle-array megabytes of a struct-collecting formulation),
+       pairs are deduped across bands BEFORE verification.
+    3. verify pass — exact jaccard for the candidate pairs only, via
+       one of two shapes chosen by ``broadcast_verify`` (see inline
+       docs): broadcast-candidates (default; zero array shuffles) or
+       all-shuffle narrow-row intersection counting (for corpora whose
+       candidate set outgrows the driver)."""
+    rows = _shingle_rows(docs, k)
+    cand = _minhash_candidates(rows, n_hashes, bands, bucket_cap)
     if broadcast_verify:
         # Candidate pairs broadcast; the per-doc shingle SETS then
         # stream map-side through both hash joins in one codegen stage —
@@ -176,18 +207,12 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash_pairs(
-    docs: DataFrame, max_hamming: int = 3, bucket_cap: int = DEFAULT_BUCKET_CAP
-) -> DataFrame:
-    """Near-dup pairs whose 32-bit simhash hamming distance ≤ 3; the four
-    8-bit bands guarantee recall by pigeonhole.  Band buckets above
-    ``bucket_cap`` are excluded before the self-join — same quadratic
-    guard as minhash (a degenerate band value must not O(n²) the run)."""
-    # flat simhash: explode (non-distinct) tokens, hash each once in
-    # whole-stage codegen, then 32 conditional-sum vote columns with
-    # map-side partial aggregation — the array-HOF formulation
-    # (functions/hashing.py simhash32) is 32 interpreted F.aggregate
-    # passes per doc and benches ~5× slower on this operator
+def simhash_values(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): flat simhash — explode (non-distinct) tokens,
+    hash each once in whole-stage codegen, then 32 conditional-sum vote
+    columns with map-side partial aggregation.  The array-HOF
+    formulation (functions/hashing.py simhash32) is 32 interpreted
+    F.aggregate passes per doc and benches ~5× slower."""
     tok = spread(docs).select(
         "doc_id", F.explode(H.tokens(F.col("text"))).alias("t")
     )
@@ -201,7 +226,7 @@ def simhash_pairs(
             for j in range(32)
         ]
     )
-    simhash = votes.select(
+    return votes.select(
         "doc_id",
         sum(
             [
@@ -213,7 +238,14 @@ def simhash_pairs(
             F.lit(0).cast("long"),
         ).alias("simhash"),
     )
-    sims = simhash
+
+
+def simhash_band_pairs(
+    docs: DataFrame, bucket_cap: int = DEFAULT_BUCKET_CAP
+) -> DataFrame:
+    """All same-band candidate pairs with their exact hamming distance
+    (pre-threshold) — the measurable half of the banding guarantee."""
+    sims = simhash_values(docs)
     banded = sims.select(
         "doc_id",
         "simhash",
@@ -257,7 +289,20 @@ def simhash_pairs(
             H.hamming32(F.col("p.a.simhash"), F.col("p.b.simhash")).alias("hamming"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
-        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 3, bucket_cap: int = DEFAULT_BUCKET_CAP
+) -> DataFrame:
+    """Near-dup pairs whose 32-bit simhash hamming distance ≤ 3; the four
+    8-bit bands guarantee recall by pigeonhole (any pair with ≤3
+    differing bits agrees on ≥1 band — dedup_lsh_recall measures this).
+    Band buckets above ``bucket_cap`` are excluded before pairing — same
+    quadratic guard as minhash (a degenerate band value must not O(n²)
+    the run)."""
+    return simhash_band_pairs(docs, bucket_cap).filter(
+        F.col("hamming") <= max_hamming
     )
 
 

@@ -24,6 +24,11 @@ def transitive_closure(edges: DataFrame, max_iters: int = 30) -> DataFrame:
         F.col("parent_unique_id").alias("ancestor"),
         F.lit(1).alias("depth"),
     ).distinct()
+    # Cache discipline: every persist() here is either unpersisted once
+    # its successor is MATERIALIZED (count/isEmpty below — never release
+    # a handle that later plans would recompute through), or is the
+    # returned result.  Exactly one handle stays pinned at exit; on a
+    # 100×-deep graph storage stays O(|closure|), not O(depth·|closure|).
     closure = base.persist()
     frontier = closure
     for _ in range(max_iters):
@@ -41,9 +46,17 @@ def transitive_closure(edges: DataFrame, max_iters: int = 30) -> DataFrame:
             closure, on=["descendant", "ancestor", "depth"], how="left_anti"
         ).persist()
         if new.isEmpty():
+            new.unpersist()
             break
-        closure = closure.union(new).persist()
-        frontier = new
+        nxt = closure.union(new).persist()
+        nxt.count()  # materialize before releasing the lineage parents
+        prev_closure, prev_frontier = closure, frontier
+        closure, frontier = nxt, new
+        prev_closure.unpersist()
+        if prev_frontier is not prev_closure:
+            prev_frontier.unpersist()
+    if frontier is not closure:
+        frontier.unpersist()  # its rows are a subset of the cached union
     return closure
 
 

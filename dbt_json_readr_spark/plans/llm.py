@@ -41,7 +41,14 @@ FROM documents
 
 # ---------------------------------------------------------------- C2
 
-_MH_K, _MH_N, _MH_BANDS, _MH_TAU = 5, 16, 4, 0.25
+# τ sits inside the banding curve's high-recall region ON PURPOSE:
+# with r = n/bands = 4 rows/band, P(candidate|j) = 1-(1-j⁴)⁴ ≈ 88% at
+# j=0.8 and ~1.6% at j=0.25.  dedup_lsh_recall MEASURED the r1 setting
+# (τ=0.25) at 1.6% recall — the result was an arbitrary sliver of the
+# corpus's template-similar band, not a dedup.  τ=0.8 is the near-dup
+# contract minhash banding actually delivers (measured recall ≈ 1.0 on
+# this corpus's bimodal pair distribution: j≥0.8 pairs are j≥0.9).
+_MH_K, _MH_N, _MH_BANDS, _MH_TAU = 5, 16, 4, 0.8
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -720,6 +727,161 @@ FROM m WHERE modality = 'video'
 """
 
 
+# ---------------------------------------------------------------- C24
+
+# hash-gated evaluation stratum (~20% of docs): small enough that exact
+# all-pairs ground truth is affordable, deterministic across engines
+_RECALL_THRESH = int(0.2 * (1 << 60))
+
+
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate recall of the sketch dedups, measured — the evidence
+    loop for sketch parameters (VERDICT r1 #8).  On a hash-gated ~20%
+    stratum: ground truth = exact all-pairs similarity (jaccard ≥ τ for
+    minhash; hamming ≤ 3 for simhash) via a broadcast self-join (the
+    declared exact-baseline pattern, stratum-bounded); candidates = the
+    operators' own pre-verification band pairs.  recall = |cand ∩
+    truth| / |truth|.  Simhash should read 1.0 — its 4×8-bit banding is
+    a pigeonhole guarantee for hamming ≤ 3 — so a sub-1.0 value there
+    is a bucket-cap artifact, while minhash recall quantifies the
+    1-(1-j^r)^b curve against this corpus's pair distribution."""
+    prep(spark)
+    docs = spread(load(spark, sf_dir, "documents"))
+    stratum = docs.filter(
+        H.hash64(F.col("doc_id").cast("string"), "recall") < F.lit(_RECALL_THRESH)
+    )
+
+    # --- minhash: truth (exact jaccard on shingle sets) vs candidates
+    sets = D.shingle_sets(stratum, k=_MH_K)
+    a, b = sets.alias("a"), sets.alias("b")
+    jac = (
+        F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+        / F.size(F.array_union("a.sh", "b.sh")).cast("double")
+    )
+    truth_mh = (
+        a.join(F.broadcast(b), F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(jac >= _MH_TAU)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    cand_mh = D.minhash_candidate_pairs(
+        stratum, k=_MH_K, n_hashes=_MH_N, bands=_MH_BANDS
+    ).select("doc_a", "doc_b")
+
+    # --- simhash: truth (exact hamming over full sketches) vs candidates
+    sims = D.simhash_values(stratum)
+    sa, sb = sims.alias("a"), sims.alias("b")
+    truth_sim = (
+        sa.join(F.broadcast(sb), F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(H.hamming32(F.col("a.simhash"), F.col("b.simhash")) <= 3)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    cand_sim = D.simhash_band_pairs(stratum).select("doc_a", "doc_b")
+
+    def _method_row(method: str, truth: DataFrame, cand: DataFrame) -> DataFrame:
+        hits = truth.join(cand, ["doc_a", "doc_b"])
+        return (
+            truth.agg(F.count("*").alias("n_truth"))
+            .crossJoin(F.broadcast(cand.agg(F.count("*").alias("n_cand"))))
+            .crossJoin(F.broadcast(hits.agg(F.count("*").alias("n_hit"))))
+            .select(
+                F.lit(method).alias("method"),
+                "n_truth",
+                "n_cand",
+                "n_hit",
+                F.when(
+                    F.col("n_truth") > 0,
+                    F.col("n_hit").cast("double") / F.col("n_truth").cast("double"),
+                ).alias("recall"),
+            )
+        )
+
+    return (
+        _method_row("minhash_lsh", truth_mh, cand_mh)
+        .unionAll(_method_row("simhash", truth_sim, cand_sim))
+        .orderBy("method")
+    )
+
+
+def _lsh_recall_sql() -> str:
+    r = _MH_N // _MH_BANDS
+    gate = f"{H.sql_hash64('CAST(doc_id AS VARCHAR)', 'recall')} < {_RECALL_THRESH}"
+    raw = H.sql_char_shingles("text", _MH_K)
+    sh = f"list_distinct(list_transform({raw}, s -> {H.sql_hash64('s', 'sh')}))"
+    mh = H.sql_minhash_array("sh", _MH_N)
+    jac = (
+        "len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh))::DOUBLE"
+    )
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {H.sql_band_key('mh', b, r)} AS bkey FROM mh"
+        for b in range(_MH_BANDS)
+    )
+    sim_expr = H.sql_simhash32(H.sql_tokens("text"))
+    sim_band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {8 * b}) & 255 AS bval FROM sims"
+        for b in range(4)
+    )
+    return f"""
+WITH stratum AS (
+  SELECT doc_id, text FROM documents WHERE {gate}
+),
+sh AS (SELECT doc_id, {sh} AS sh FROM stratum),
+truth_mh AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE {jac} >= {_MH_TAU}
+),
+mh AS (SELECT doc_id, {mh} AS mh FROM sh),
+banded AS (
+  {band_selects}
+),
+sized AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bucket_n FROM banded
+  ) WHERE bucket_n <= {D.DEFAULT_BUCKET_CAP}
+),
+cand_mh AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sized a JOIN sized b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+sims AS (SELECT doc_id, {sim_expr} AS simhash FROM stratum),
+truth_sim AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+  WHERE {H.sql_hamming32('a.simhash', 'b.simhash')} <= 3
+),
+sim_banded AS (
+  {sim_band_selects}
+),
+sim_sized AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY band, bval) AS bucket_n FROM sim_banded
+  ) WHERE bucket_n <= {D.DEFAULT_BUCKET_CAP}
+),
+cand_sim AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sim_sized a JOIN sim_sized b
+    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+),
+stats AS (
+  SELECT 'minhash_lsh' AS method,
+         (SELECT count(*) FROM truth_mh) AS n_truth,
+         (SELECT count(*) FROM cand_mh) AS n_cand,
+         (SELECT count(*) FROM truth_mh t JOIN cand_mh c
+            ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_hit
+  UNION ALL
+  SELECT 'simhash',
+         (SELECT count(*) FROM truth_sim),
+         (SELECT count(*) FROM cand_sim),
+         (SELECT count(*) FROM truth_sim t JOIN cand_sim c
+            ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+)
+SELECT method, n_truth, n_cand, n_hit,
+       CASE WHEN n_truth > 0
+            THEN CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE) END AS recall
+FROM stats ORDER BY method
+"""
+
+
 # ---------------------------------------------------------------- C21
 
 # deterministic per-stratum sampling rates; thresholds are exact 60-bit
@@ -911,4 +1073,5 @@ ORACLES: dict[str, str] = {
     "corpus_mixture_weights": _mixture_weights_sql(),
     "doc_tfidf_topk": _tfidf_sql(),
     "multimodal_decode": MULTIMODAL_DECODE_SQL,
+    "dedup_lsh_recall": _lsh_recall_sql(),
 }

@@ -153,6 +153,7 @@ _GATE_PRIORITY = [
     "corpus_mixture_weights",
     "doc_tfidf_topk",
     "multimodal_decode",
+    "dedup_lsh_recall",
     "multimodal_stub",
     # D. streaming (ungated in r1)
     "streaming_windowed_agg",

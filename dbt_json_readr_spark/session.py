@@ -45,9 +45,14 @@ def spread(df, factor: int = 1):
     task.  On a real lake with thousands of splits this is a no-op, so
     it never adds a shuffle at 100 TB."""
     target = df.sparkSession.sparkContext.defaultParallelism * factor
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    # file-count probe instead of df.rdd.getNumPartitions(): the .rdd
+    # conversion builds (and analyzes) a whole RDD translation of the
+    # plan on the driver per call; inputFiles() is a listed-files lookup
+    # the scan already has.  Non-file sources report 0 files and get the
+    # repartition, which is the safe direction for per-row-heavy work.
+    if len(df.inputFiles()) >= target:
+        return df
+    return df.repartition(target)
 
 
 def prep(spark: SparkSession) -> SparkSession:
