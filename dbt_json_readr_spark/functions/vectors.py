@@ -36,6 +36,16 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_prenormed(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """cosine with the norms precomputed ONCE per vector instead of per
+    pair — HOF folds are interpreted (CodegenFallback), so the per-pair
+    cost drops 3× and a corpus vector's norm is no longer re-folded for
+    every query it meets.  Bit-identical to ``cosine``: same left-fold
+    dot, same ``dot / (na * nb)`` association, so oracles need no
+    restructuring."""
+    return dot(a, b) / (na * nb)
+
+
 # --------------------------------------------------- DuckDB SQL twins
 
 

@@ -372,10 +372,10 @@ def embedding_cosine_pairs(
         F.col("vec_id"),
         V.to_double(F.col("embedding")).alias("v"),
         embedding_bucket(F.col("embedding")).alias("bucket"),
-    )
+    ).withColumn("n", V.norm(F.col("v")))
     members = (
         e.groupBy("bucket")
-        .agg(F.collect_list(F.struct("vec_id", "v")).alias("ms"))
+        .agg(F.collect_list(F.struct("vec_id", "v", "n")).alias("ms"))
         .filter((F.size("ms") >= 2) & (F.size("ms") <= bucket_cap))
     )
     pair = F.explode(
@@ -394,7 +394,9 @@ def embedding_cosine_pairs(
         .select(
             F.least("p.a.vec_id", "p.b.vec_id").alias("vec_a"),
             F.greatest("p.a.vec_id", "p.b.vec_id").alias("vec_b"),
-            V.cosine(F.col("p.a.v"), F.col("p.b.v")).alias("cosine"),
+            V.cosine_prenormed(
+                F.col("p.a.v"), F.col("p.b.v"), F.col("p.a.n"), F.col("p.b.n")
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -20,17 +20,26 @@ from .dedup import embedding_bucket
 
 
 def _scored(queries: DataFrame, corpus: DataFrame) -> DataFrame:
+    # norms are computed once per vector BEFORE the cross join; scoring
+    # inside the join is one fold per pair, not three (see
+    # functions/vectors.py cosine_prenormed)
     q = queries.select(
         F.col("vec_id").alias("query_id"), V.to_double(F.col("embedding")).alias("q_v")
-    )
+    ).withColumn("q_n", V.norm(F.col("q_v")))
     c = spread(corpus).select(
         F.col("vec_id").alias("neighbor_id"), V.to_double(F.col("embedding")).alias("c_v")
-    )
+    ).withColumn("c_n", V.norm(F.col("c_v")))
     return (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", V.cosine(F.col("q_v"), F.col("c_v")).alias("cosine"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            V.cosine_prenormed(
+                F.col("q_v"), F.col("c_v"), F.col("q_n"), F.col("c_n")
+            ).alias("cosine"),
+        )
     )
 
 
@@ -49,18 +58,24 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 5) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         V.to_double(F.col("embedding")).alias("q_v"),
         embedding_bucket(F.col("embedding")).alias("bucket"),
-    )
+    ).withColumn("q_n", V.norm(F.col("q_v")))
     c = spread(corpus).select(
         F.col("vec_id").alias("neighbor_id"),
         V.to_double(F.col("embedding")).alias("c_v"),
         embedding_bucket(F.col("embedding")).alias("bucket"),
-    )
+    ).withColumn("c_n", V.norm(F.col("c_v")))
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
         F.broadcast(q)
         .join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", V.cosine(F.col("q_v"), F.col("c_v")).alias("cosine"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            V.cosine_prenormed(
+                F.col("q_v"), F.col("c_v"), F.col("q_n"), F.col("c_n")
+            ).alias("cosine"),
+        )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
@@ -114,13 +129,19 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5) -> DataFrame:
     )
     c = spread(corpus).select(
         "label", F.col("vec_id").alias("neighbor_id"), V.to_double(F.col("embedding")).alias("c_v")
-    )
+    ).withColumn("c_n", V.norm(F.col("c_v")))
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
-        F.broadcast(probed)
+        F.broadcast(probed.withColumn("q_n", V.norm(F.col("q_v"))))
         .join(c, "label")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", V.cosine(F.col("q_v"), F.col("c_v")).alias("cosine"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            V.cosine_prenormed(
+                F.col("q_v"), F.col("c_v"), F.col("q_n"), F.col("c_n")
+            ).alias("cosine"),
+        )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
