@@ -882,6 +882,171 @@ FROM stats ORDER BY method
 """
 
 
+# ---------------------------------------------------------------- C26
+
+# eval-set gate (~5% of docs stand in for a held-out benchmark) and the
+# n-gram width/flag threshold of the decontamination contract
+_EVAL_THRESH = int(0.05 * (1 << 60))
+_DECON_N = 5
+_DECON_FLAG_MIN = 3
+
+
+def _token_gram_hashes(n: int):
+    """Distinct hashed token n-grams of ``text`` as a Column (Spark) —
+    grams are space-joined token windows hashed to 60-bit longs, so the
+    contamination join moves 8-byte keys, never gram strings."""
+    toks = H.tokens(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(toks) - (n - 1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(F.transform(grams, lambda g: H.hash64(g, "decon")))
+
+
+def _sql_token_gram_hashes(n: int) -> str:
+    toks = H.sql_tokens("text")
+    grams = (
+        f"list_transform(range(1, greatest(1, len({toks}) - {n - 1}) + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' '))"
+    )
+    return f"list_distinct(list_transform({grams}, g -> {H.sql_hash64('g', 'decon')}))"
+
+
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the train-set hygiene pass every
+    LLM data pipeline runs: flag training docs sharing ≥3 token
+    5-grams with the held-out eval set.  Scale shape: the eval set is
+    tiny by construction (benchmarks are), so its distinct gram hashes
+    BROADCAST; the corpus streams through one exploded-gram semi-join
+    with map-side partial counts — no corpus-sized shuffle, no gram
+    strings past the hash."""
+    prep(spark)
+    docs = spread(load(spark, sf_dir, "documents"))
+    is_eval = H.hash64(F.col("doc_id").cast("string"), "eval") < F.lit(_EVAL_THRESH)
+    grams = docs.select("doc_id", is_eval.alias("is_eval"), _token_gram_hashes(_DECON_N).alias("gh"))
+    eval_grams = (
+        grams.filter("is_eval").select(F.explode("gh").alias("gh")).distinct()
+    )
+    train = grams.filter(~F.col("is_eval"))
+    exploded = train.select("doc_id", F.size("gh").alias("n_grams"), F.explode("gh").alias("gh"))
+    hits = (
+        exploded.join(F.broadcast(eval_grams), "gh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        train.select("doc_id", F.size("gh").cast("long").alias("n_grams"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
+            (
+                F.coalesce("n_contaminated", F.lit(0)).cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("contamination_rate"),
+            (F.coalesce("n_contaminated", F.lit(0)) >= _DECON_FLAG_MIN).alias(
+                "is_contaminated"
+            ),
+        )
+    )
+
+
+def _decontaminate_sql() -> str:
+    gh = _sql_token_gram_hashes(_DECON_N)
+    gate = f"{H.sql_hash64('CAST(doc_id AS VARCHAR)', 'eval')} < {_EVAL_THRESH}"
+    return f"""
+WITH grams AS (
+  SELECT doc_id, ({gate}) AS is_eval, {gh} AS gh FROM documents
+),
+eval_grams AS (
+  SELECT DISTINCT unnest(gh) AS g FROM grams WHERE is_eval
+),
+train AS (SELECT doc_id, gh FROM grams WHERE NOT is_eval),
+exploded AS (SELECT doc_id, unnest(gh) AS g FROM train),
+hits AS (
+  SELECT doc_id, count(*) AS n_contaminated
+  FROM exploded WHERE g IN (SELECT g FROM eval_grams)
+  GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.gh) AS BIGINT) AS n_grams,
+       CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / CAST(len(t.gh) AS DOUBLE)
+         AS contamination_rate,
+       COALESCE(h.n_contaminated, 0) >= {_DECON_FLAG_MIN} AS is_contaminated
+FROM train t LEFT JOIN hits h USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------- C27
+
+_REP_N = 3
+_REP_FLAG = 0.2
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition — the boilerplate/spam signal: ratio of
+    repeated token 3-grams (1 - distinct/total) plus the hottest gram's
+    count.  Flat two-level aggregation (doc×gram counts, then per-doc
+    rollup), all map-side-combining, no arrays cross a shuffle."""
+    prep(spark)
+    docs = spread(load(spark, sf_dir, "documents"))
+    toks = H.tokens(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(toks) - (_REP_N - 1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, _REP_N)),
+    )
+    g = docs.select("doc_id", F.explode(grams).alias("gram")).select(
+        "doc_id", H.hash64(F.col("gram"), "rep").alias("gh")
+    )
+    per_gram = g.groupBy("doc_id", "gh").agg(F.count(F.lit(1)).alias("c"))
+    ratio = F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_grams").cast("double")
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").cast("long").alias("max_gram_count"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_distinct",
+            "max_gram_count",
+            ratio.alias("repetition_ratio"),
+            (ratio > _REP_FLAG).alias("is_repetitive"),
+        )
+    )
+
+
+def _repetition_sql() -> str:
+    toks = H.sql_tokens("text")
+    grams = (
+        f"list_transform(range(1, greatest(1, len({toks}) - {_REP_N - 1}) + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {_REP_N - 1}), ' '))"
+    )
+    ratio = "1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE)"
+    return f"""
+WITH g AS (
+  SELECT doc_id, {H.sql_hash64('g', 'rep')} AS gh
+  FROM (SELECT doc_id, unnest({grams}) AS g FROM documents)
+),
+pg AS (SELECT doc_id, gh, count(*) AS c FROM g GROUP BY doc_id, gh),
+pd AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_grams,
+         count(*) AS n_distinct,
+         CAST(max(c) AS BIGINT) AS max_gram_count
+  FROM pg GROUP BY doc_id
+)
+SELECT doc_id, n_grams, n_distinct, max_gram_count,
+       {ratio} AS repetition_ratio,
+       ({ratio}) > {_REP_FLAG} AS is_repetitive
+FROM pd
+"""
+
+
 # ---------------------------------------------------------------- C21
 
 # deterministic per-stratum sampling rates; thresholds are exact 60-bit
@@ -1074,4 +1239,6 @@ ORACLES: dict[str, str] = {
     "doc_tfidf_topk": _tfidf_sql(),
     "multimodal_decode": MULTIMODAL_DECODE_SQL,
     "dedup_lsh_recall": _lsh_recall_sql(),
+    "corpus_decontaminate": _decontaminate_sql(),
+    "text_repetition": _repetition_sql(),
 }

@@ -154,6 +154,8 @@ _GATE_PRIORITY = [
     "doc_tfidf_topk",
     "multimodal_decode",
     "dedup_lsh_recall",
+    "corpus_decontaminate",
+    "text_repetition",
     "multimodal_stub",
     # D. streaming (ungated in r1)
     "streaming_windowed_agg",
