@@ -109,12 +109,16 @@ def label_centroids(corpus: DataFrame) -> DataFrame:
     )
 
 
-def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5) -> DataFrame:
-    """IVF-style ANN: probe the nearest centroid cell (nprobe=1), then
-    exact top-k inside that cell only.  Centroids broadcast (|labels|
+def ivf_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 5, nprobe: int = 1
+) -> DataFrame:
+    """IVF-style ANN: probe the ``nprobe`` nearest centroid cells, then
+    exact top-k inside those cells only.  Centroids broadcast (|labels|
     rows); the only corpus-wide shuffle is the cell-key join — the
     pattern that keeps 100 TB of vectors out of the scoring cross
-    product."""
+    product.  Scoring cost grows linearly with nprobe; recall per
+    nprobe is MEASURED by plans/llm.py ann_recall_eval (cells are
+    disjoint, so no cross-cell dedup is needed)."""
     cents = label_centroids(corpus)
     q = queries.select(
         F.col("vec_id").alias("query_id"), V.to_double(F.col("embedding")).alias("q_v")
@@ -124,7 +128,7 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5) -> DataFrame:
         q.crossJoin(F.broadcast(cents))
         .select("query_id", "q_v", "label", V.cosine(F.col("q_v"), F.col("centroid")).alias("c_cos"))
         .withColumn("rn", F.row_number().over(probe_w))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= nprobe)
         .select("query_id", "q_v", "label")
     )
     c = spread(corpus).select(

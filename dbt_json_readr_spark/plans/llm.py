@@ -492,13 +492,22 @@ SELECT label, CAST(dim AS INTEGER) AS dim, c AS centroid_val FROM cent_dim
 # ---------------------------------------------------------------- C17
 
 
+# nprobe=2 per ann_recall_eval's measurement (sf0.1: recall@5 0.12 at
+# nprobe=1 → 0.28 at nprobe=2 for 2× in-cell scoring) — on this
+# synthetic corpus labels are weak clusters, so probing one cell is not
+# a defensible default; the eval key keeps both settings measurable.
+_IVF_NPROBE = 2
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     embs = load(spark, sf_dir, "embeddings")
-    return S.ivf_topk(embs.filter(F.col("vec_id") < _ANN_NQ), embs, k=_ANN_K)
+    return S.ivf_topk(
+        embs.filter(F.col("vec_id") < _ANN_NQ), embs, k=_ANN_K, nprobe=_IVF_NPROBE
+    )
 
 
-def _ann_ivf_sql() -> str:
+def _ann_ivf_sql(nprobe: int = 1) -> str:
     cos_probe = V.sql_cosine("q.v", "cent.cv")
     cos = V.sql_cosine("q.v", "c.v")
     return f"""
@@ -512,7 +521,7 @@ probe AS (
            row_number() OVER (PARTITION BY q.vec_id
                               ORDER BY {cos_probe} DESC, cent.label) AS rn
     FROM (SELECT * FROM e WHERE vec_id < {_ANN_NQ}) q CROSS JOIN cent
-  ) WHERE rn = 1
+  ) WHERE rn <= {nprobe}
 ),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cosine
@@ -608,46 +617,67 @@ GROUP BY source ORDER BY source
 
 
 def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Index-quality evaluation: recall@k of the LSH index against the
-    brute-force ground truth, per query — the measurement loop every
-    production ANN deployment runs before trading accuracy for speed."""
+    """Index-quality evaluation: recall@k of every approximate index
+    (sign-LSH, IVF at nprobe=1 and nprobe=2) against the brute-force
+    ground truth, per query — the measurement loop every production ANN
+    deployment runs before trading accuracy for speed, and the evidence
+    behind this engine's nprobe default."""
     prep(spark)
     embs = load(spark, sf_dir, "embeddings")
     qs = embs.filter(F.col("vec_id") < _ANN_NQ)
     bf = S.brute_force_topk(qs, embs, k=_ANN_K).select("query_id", "neighbor_id")
-    lsh = S.lsh_topk(qs, embs, k=_ANN_K).select("query_id", "neighbor_id")
-    overlap = (
-        bf.join(lsh, ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
-    )
-    return (
-        bf.select("query_id")
-        .distinct()
-        .join(overlap, "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
-            (F.coalesce("n_overlap", F.lit(0)).cast("double") / _ANN_K).alias("recall_at_k"),
+
+    def _method(method: str, ann: DataFrame) -> DataFrame:
+        overlap = (
+            bf.join(ann.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_overlap"))
         )
-        .orderBy("query_id")
+        return (
+            bf.select("query_id")
+            .distinct()
+            .join(overlap, "query_id", "left")
+            .select(
+                F.lit(method).alias("method"),
+                "query_id",
+                F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+                (F.coalesce("n_overlap", F.lit(0)).cast("double") / _ANN_K).alias(
+                    "recall_at_k"
+                ),
+            )
+        )
+
+    return (
+        _method("lsh", S.lsh_topk(qs, embs, k=_ANN_K))
+        .unionAll(_method("ivf_p1", S.ivf_topk(qs, embs, k=_ANN_K, nprobe=1)))
+        .unionAll(_method("ivf_p2", S.ivf_topk(qs, embs, k=_ANN_K, nprobe=2)))
+        .orderBy("method", "query_id")
     )
 
 
 def _ann_recall_sql() -> str:
+    def _method(method: str, sub: str) -> str:
+        return f"""
+  SELECT '{method}' AS method, q.query_id,
+         COALESCE(o.n_overlap, 0) AS n_overlap,
+         CAST(COALESCE(o.n_overlap, 0) AS DOUBLE) / {_ANN_K} AS recall_at_k
+  FROM (SELECT DISTINCT query_id FROM bf) q
+  LEFT JOIN (
+    SELECT bf.query_id, count(*) AS n_overlap
+    FROM bf JOIN ({sub}) a USING (query_id, neighbor_id)
+    GROUP BY bf.query_id
+  ) o USING (query_id)"""
+
     return f"""
-WITH bf AS (SELECT query_id, neighbor_id FROM ({_ann_bruteforce_sql()}) b),
-lsh AS (SELECT query_id, neighbor_id FROM ({_ann_lsh_sql()}) l),
-overlap AS (
-  SELECT bf.query_id, count(*) AS n_overlap
-  FROM bf JOIN lsh USING (query_id, neighbor_id)
-  GROUP BY bf.query_id
+WITH bf AS (SELECT query_id, neighbor_id FROM ({_ann_bruteforce_sql()}) b)
+SELECT * FROM (
+{_method("lsh", _ann_lsh_sql())}
+  UNION ALL
+{_method("ivf_p1", _ann_ivf_sql(nprobe=1))}
+  UNION ALL
+{_method("ivf_p2", _ann_ivf_sql(nprobe=2))}
 )
-SELECT q.query_id,
-       COALESCE(n_overlap, 0) AS n_overlap,
-       CAST(COALESCE(n_overlap, 0) AS DOUBLE) / {_ANN_K} AS recall_at_k
-FROM (SELECT DISTINCT query_id FROM bf) q LEFT JOIN overlap USING (query_id)
-ORDER BY query_id
+ORDER BY method, query_id
 """
 
 
@@ -1230,7 +1260,7 @@ ORACLES: dict[str, str] = {
     "text_pii_redact": _pii_sql(),
     "doc_term_topk": _term_topk_sql(),
     "embedding_centroids": _centroids_sql(),
-    "ann_ivf_topk": _ann_ivf_sql(),
+    "ann_ivf_topk": _ann_ivf_sql(nprobe=_IVF_NPROBE),
     "corpus_dedup_summary": _dedup_summary_sql(),
     "corpus_quality_by_source": _quality_by_source_sql(),
     "ann_recall_eval": _ann_recall_sql(),
