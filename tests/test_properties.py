@@ -152,3 +152,92 @@ def test_scd2_matches_bruteforce(spark, current, updates):
         upd_rows or [(98, "x", upd_ts)],
     )
     assert got == want
+
+
+# ------------------------------------------------- multimodal decoders
+# Pure-function properties (no Spark): the PNG/WAV decoders must invert
+# arbitrary synthesized content, not just the doc_id patterns — in
+# particular the scanline unfilter across random filter-type sequences.
+
+import struct as _struct
+import zlib as _zlib
+
+from dbt_json_readr_spark.operators import multimodal as MM
+
+
+def _encode_png_gray(pix: list[list[int]], ftypes: list[int]) -> bytes:
+    """Reference grayscale PNG encoder applying a given filter type per
+    scanline (the inverse of multimodal._unfilter_scanline)."""
+    w, h = len(pix[0]), len(pix)
+    raw = bytearray()
+    prev = [0] * w
+    for y in range(h):
+        ft = ftypes[y]
+        raw.append(ft)
+        line = pix[y]
+        for i in range(w):
+            a = line[i - 1] if i else 0
+            b = prev[i]
+            c = prev[i - 1] if i else 0
+            if ft == 0:
+                v = line[i]
+            elif ft == 1:
+                v = line[i] - a
+            elif ft == 2:
+                v = line[i] - b
+            elif ft == 3:
+                v = line[i] - (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = line[i] - pred
+            raw.append(v & 0xFF)
+        prev = line
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + MM._png_chunk(b"IHDR", ihdr)
+        + MM._png_chunk(b"IDAT", _zlib.compress(bytes(raw)))
+        + MM._png_chunk(b"IEND", b"")
+    )
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.data())
+def test_png_decode_inverts_any_filtered_encoding(data):
+    w = data.draw(st.integers(min_value=1, max_value=12))
+    h = data.draw(st.integers(min_value=1, max_value=8))
+    pix = data.draw(
+        st.lists(
+            st.lists(st.integers(0, 255), min_size=w, max_size=w),
+            min_size=h, max_size=h,
+        )
+    )
+    ftypes = data.draw(st.lists(st.sampled_from([0, 1, 2, 3, 4]), min_size=h, max_size=h))
+    d = MM.decode_png(_encode_png_gray(pix, ftypes))
+    flat = [v for row in pix for v in row]
+    assert d["width"] == w and d["height"] == h and d["n_units"] == w * h
+    assert d["content_sum"] == sum(flat)
+    assert d["content_min"] == min(flat) and d["content_max"] == max(flat)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    samples=st.lists(st.integers(-32768, 32767), min_size=1, max_size=200),
+    sr=st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_decode_inverts_any_pcm(samples, sr):
+    import io as _io
+    import wave as _wave
+
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        wf.writeframes(_struct.pack(f"<{len(samples)}h", *samples))
+    d = MM.decode_wav(buf.getvalue())
+    assert d["sample_rate"] == sr and d["n_units"] == len(samples)
+    assert d["content_sum"] == sum(samples)
+    assert d["content_min"] == min(samples) and d["content_max"] == max(samples)
