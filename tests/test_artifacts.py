@@ -96,3 +96,31 @@ def test_schema_drift_catches_planted_drift(spark):
         & (F.col("column_name") == "_loaded_at")
     ).collect()
     assert len(extra) == 1 and extra[0]["in_catalog"] and not extra[0]["in_manifest"]
+
+
+# ------------------------------------------------------------ api façade
+
+
+def test_api_names_mirror_reference(spark):
+    """dbt_json_readr_spark.api exposes the reference's function names
+    over the same fixtures; each returns a non-empty DataFrame whose
+    shape matches the underlying reader it fronts."""
+    from dbt_json_readr_spark import api
+
+    target = FIXTURE_TARGET
+    manifest, catalog = f"{target}/manifest.json", f"{target}/catalog.json"
+    uni = api.import_manifest_json(spark, manifest)
+    parts = [
+        api.read_manifest_nodes(spark, manifest),
+        api.read_manifest_sources(spark, manifest),
+        api.read_manifest_macros(spark, manifest),
+    ]
+    assert uni.count() == sum(p.count() for p in parts) > 0
+    cat = api.import_catalog_json(spark, catalog)
+    nodes_only = api.read_catalog_objects(spark, catalog, group="nodes")
+    assert 0 < nodes_only.count() < cat.count()
+    assert api.catalog_columns(spark, catalog).count() > 0
+    assert api.manifest_edges(spark, manifest).count() > 0
+    assert api.manifest_columns(spark, manifest).count() > 0
+    assert api.read_run_results(spark, f"{target}/run_results.json").count() > 0
+    assert api.read_source_freshness(spark, f"{target}/sources.json").count() > 0
