@@ -1077,6 +1077,79 @@ FROM pd
 """
 
 
+# ---------------------------------------------------------------- C28
+
+_NOV_RARE_MAX = 2
+
+
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative novelty — the integer-deterministic core of
+    perplexity-style quality filtering (no log(): libm last-ulp drift
+    would break cross-engine hashes; rational stats carry the same
+    signal).  Per doc over token 3-grams: mean corpus frequency of its
+    grams (high = boilerplate) and the fraction occurring ≤2 times
+    corpus-wide (high = gibberish/novel).  Shape: one exploded-gram
+    pass builds the global frequency table (map-side combine), one
+    hash join attaches frequencies, one per-doc rollup — all narrow
+    8-byte gram keys."""
+    prep(spark)
+    docs = spread(load(spark, sf_dir, "documents"))
+    toks = H.tokens(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(toks) - (_REP_N - 1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, _REP_N)),
+    )
+    g = docs.select("doc_id", F.explode(grams).alias("gram")).select(
+        "doc_id", H.hash64(F.col("gram"), "nov").alias("gh")
+    )
+    freq = g.groupBy("gh").agg(F.count(F.lit(1)).alias("freq"))
+    return (
+        g.join(freq, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("freq").cast("long").alias("freq_sum"),
+            F.sum((F.col("freq") <= _NOV_RARE_MAX).cast("long")).cast("long").alias("n_rare"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            (F.col("freq_sum").cast("double") / F.col("n_grams").cast("double")).alias(
+                "mean_gram_freq"
+            ),
+            (F.col("n_rare").cast("double") / F.col("n_grams").cast("double")).alias(
+                "rare_frac"
+            ),
+        )
+    )
+
+
+def _ngram_novelty_sql() -> str:
+    toks = H.sql_tokens("text")
+    grams = (
+        f"list_transform(range(1, greatest(1, len({toks}) - {_REP_N - 1}) + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {_REP_N - 1}), ' '))"
+    )
+    return f"""
+WITH g AS (
+  SELECT doc_id, {H.sql_hash64('g', 'nov')} AS gh
+  FROM (SELECT doc_id, unnest({grams}) AS g FROM documents)
+),
+freq AS (SELECT gh, count(*) AS freq FROM g GROUP BY gh),
+pd AS (
+  SELECT doc_id,
+         count(*) AS n_grams,
+         CAST(sum(freq) AS BIGINT) AS freq_sum,
+         CAST(sum(CASE WHEN freq <= {_NOV_RARE_MAX} THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+  FROM g JOIN freq USING (gh) GROUP BY doc_id
+)
+SELECT doc_id, n_grams,
+       CAST(freq_sum AS DOUBLE) / CAST(n_grams AS DOUBLE) AS mean_gram_freq,
+       CAST(n_rare AS DOUBLE) / CAST(n_grams AS DOUBLE) AS rare_frac
+FROM pd
+"""
+
+
 # ---------------------------------------------------------------- C21
 
 # deterministic per-stratum sampling rates; thresholds are exact 60-bit
@@ -1271,4 +1344,5 @@ ORACLES: dict[str, str] = {
     "dedup_lsh_recall": _lsh_recall_sql(),
     "corpus_decontaminate": _decontaminate_sql(),
     "text_repetition": _repetition_sql(),
+    "text_ngram_novelty": _ngram_novelty_sql(),
 }

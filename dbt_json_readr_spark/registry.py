@@ -156,6 +156,7 @@ _GATE_PRIORITY = [
     "dedup_lsh_recall",
     "corpus_decontaminate",
     "text_repetition",
+    "text_ngram_novelty",
     "multimodal_stub",
     # D. streaming (ungated in r1)
     "streaming_windowed_agg",
