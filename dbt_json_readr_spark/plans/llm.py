@@ -1150,6 +1150,48 @@ FROM pd
 """
 
 
+# ---------------------------------------------------------------- C29
+
+_N_SHARDS = 8
+
+
+def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard assignment — the write-side primitive of a data
+    pipeline: a deterministic global shuffle order (hash-keyed, so the
+    'random' order is reproducible and auditable) mapped to
+    (shard, pos_in_shard).  Shard = hash % N spreads docs uniformly;
+    position = rank within shard by the same hash.  One shuffle
+    (partitionBy shard), rank map-side-prunable; at 100 TB this is
+    exactly the partitionBy('shard').sortWithinPartitions(...) write
+    plan, expressed as a queryable table."""
+    prep(spark)
+    docs = spread(load(spark, sf_dir, "documents"))
+    h = H.hash64(F.col("doc_id").cast("string"), "shuffle")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", h.alias("h"))
+        .withColumn("shard", (F.col("h") % _N_SHARDS).cast("int"))
+        .withColumn("pos_in_shard", (F.row_number().over(w) - 1).cast("long"))
+        .select("doc_id", "shard", "pos_in_shard")
+    )
+
+
+def _shard_plan_sql() -> str:
+    h = H.sql_hash64("CAST(doc_id AS VARCHAR)", "shuffle")
+    return f"""
+WITH hashed AS (
+  SELECT doc_id, {h} AS h, CAST(({h}) % {_N_SHARDS} AS INTEGER) AS shard
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1 AS BIGINT)
+         AS pos_in_shard
+FROM hashed
+"""
+
+
 # ---------------------------------------------------------------- C21
 
 # deterministic per-stratum sampling rates; thresholds are exact 60-bit
@@ -1345,4 +1387,5 @@ ORACLES: dict[str, str] = {
     "corpus_decontaminate": _decontaminate_sql(),
     "text_repetition": _repetition_sql(),
     "text_ngram_novelty": _ngram_novelty_sql(),
+    "corpus_shard_plan": _shard_plan_sql(),
 }

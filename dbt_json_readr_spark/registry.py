@@ -157,6 +157,7 @@ _GATE_PRIORITY = [
     "corpus_decontaminate",
     "text_repetition",
     "text_ngram_novelty",
+    "corpus_shard_plan",
     "multimodal_stub",
     # D. streaming (ungated in r1)
     "streaming_windowed_agg",
