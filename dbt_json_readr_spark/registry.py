@@ -119,6 +119,11 @@ register(
     streaming_jobs.streaming_enrich_segments,
     streaming_jobs.STREAMING_ENRICH_SQL,
 )
+register(
+    "streaming_stream_join",
+    streaming_jobs.streaming_stream_join,
+    streaming_jobs.STREAMING_STREAM_JOIN_SQL,
+)
 
 
 # -------------------------------------------------------------------
@@ -166,6 +171,7 @@ _GATE_PRIORITY = [
     "streaming_stateful_counts",
     "streaming_funnel",
     "streaming_enrich_segments",
+    "streaming_stream_join",
     # B keys ungated in r1
     "part_size_histogram",
     "events_anomaly_zscore",

@@ -375,3 +375,69 @@ SELECT c_mktsegment, event_type,
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY 1, 2
 """
+
+# ---------------------------------------------------------------- D7
+
+
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM inner join with event-time bounds — the stateful
+    join Structured Streaming is known for: each purchase matches the
+    same user's clicks in the preceding 10 minutes.  Both sides carry
+    watermarks, and the range condition lets Spark derive the state
+    eviction horizon (a click older than watermark+10min can never
+    match again, so join state is bounded — without the time bound this
+    join would buffer both streams forever).  Output rows append as
+    matches become final."""
+    prep(spark)
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        [
+            clicks.user_id == purchases.user_id,
+            purchases.purchase_ts >= clicks.click_ts,
+            purchases.purchase_ts <= clicks.click_ts + F.expr("INTERVAL 10 MINUTES"),
+        ],
+    ).select(
+        clicks.user_id.alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (
+            (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")) / F.lit(1_000_000.0)
+        ).alias("gap_seconds"),
+        F.col("value").alias("purchase_value"),
+    )
+    return _run_to_memory(joined, "stream_stream_join", "append")
+
+
+STREAMING_STREAM_JOIN_SQL = """
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS DOUBLE) / 1000000.0 AS gap_seconds,
+       p.value AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 10 MINUTE
+"""
