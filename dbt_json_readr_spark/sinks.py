@@ -50,6 +50,32 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    n_shards: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the training-shard layout (plans/llm.py
+    corpus_shard_plan): docs land in ``shard=K`` directories, rows
+    inside each file sorted by the deterministic shuffle hash — so a
+    trainer streams shard files sequentially and gets the reproducible
+    global shuffle order with zero read-time work.  One shuffle
+    (repartition on shard) then sortWithinPartitions; no global sort."""
+    from pyspark.sql import functions as F
+
+    from .functions.hashing import hash64
+
+    h = hash64(F.col("doc_id").cast("string"), "shuffle")
+    sharded = (
+        docs.withColumn("_h", h)
+        .withColumn("shard", (F.col("_h") % n_shards).cast("int"))
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "_h", "doc_id")
+    )
+    sharded.drop("_h").write.mode(mode).partitionBy("shard").parquet(path)
+
+
 def write_delta(df: DataFrame, path: str, mode: str = "append") -> None:
     """Delta Lake sink — requires delta-spark jars, which this image does
     not ship.  Gated behind import so the engine degrades loudly, not

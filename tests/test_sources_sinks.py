@@ -120,3 +120,39 @@ def test_artifact_reader_scales_over_many_files(spark, tmp_path):
     assert many.count() == 3 * one.count()
     # rows from different files are distinguished by artifact_path
     assert many.select("artifact_path").distinct().count() == 3
+
+
+def test_write_training_shards_layout_and_order(spark, tmp_path):
+    """Shard dirs must exist per shard value, every doc lands in the
+    shard its hash dictates, and rows inside a shard file are stored in
+    the deterministic shuffle-hash order (read back without sorting)."""
+    from pyspark.sql import functions as F
+
+    from dbt_json_readr_spark.functions.hashing import hash64
+    from dbt_json_readr_spark.sinks import write_training_shards
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("t"), F.col("id")).alias("text")
+    )
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, n_shards=4)
+
+    back = spark.read.parquet(out)
+    assert back.count() == 200
+    assert back.select("shard").distinct().count() == 4
+    expect = docs.select(
+        "doc_id",
+        (hash64(F.col("doc_id").cast("string"), "shuffle") % 4).cast("int").alias("shard"),
+    )
+    mismatch = back.select("doc_id", "shard").exceptAll(expect).count()
+    assert mismatch == 0
+    # within one shard file, rows must already be in hash order
+    one = back.filter(F.col("shard") == back.select("shard").first().shard)
+    ids = [r.doc_id for r in one.select("doc_id").collect()]
+    hashes = {
+        r.doc_id: r.h
+        for r in docs.select(
+            "doc_id", hash64(F.col("doc_id").cast("string"), "shuffle").alias("h")
+        ).collect()
+    }
+    assert ids == sorted(ids, key=lambda d: (hashes[d], d))
