@@ -955,29 +955,34 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_eval = H.hash64(F.col("doc_id").cast("string"), "eval") < F.lit(_EVAL_THRESH)
     grams = docs.select("doc_id", is_eval.alias("is_eval"), _token_gram_hashes(_DECON_N).alias("gh"))
     eval_grams = (
-        grams.filter("is_eval").select(F.explode("gh").alias("gh")).distinct()
+        grams.filter("is_eval")
+        .select(F.explode("gh").alias("gh"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
     )
-    train = grams.filter(~F.col("is_eval"))
-    exploded = train.select("doc_id", F.size("gh").alias("n_grams"), F.explode("gh").alias("gh"))
-    hits = (
-        exploded.join(F.broadcast(eval_grams), "gh", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    # ONE train-corpus pass: n_grams rides along the exploded rows, hit
+    # markers come from a broadcast LEFT join (not semi + join-back,
+    # which would run the gram pipeline over the corpus twice), and the
+    # per-doc rollup needs no second branch because every doc has ≥1
+    # gram row
+    exploded = grams.filter(~F.col("is_eval")).select(
+        "doc_id", F.size("gh").cast("long").alias("n_grams"), F.explode("gh").alias("gh")
     )
     return (
-        train.select("doc_id", F.size("gh").cast("long").alias("n_grams"))
-        .join(hits, "doc_id", "left")
+        exploded.join(F.broadcast(eval_grams), "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_grams").alias("n_grams"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_contaminated"),
+        )
         .select(
             "doc_id",
             "n_grams",
-            F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
+            "n_contaminated",
             (
-                F.coalesce("n_contaminated", F.lit(0)).cast("double")
-                / F.col("n_grams").cast("double")
+                F.col("n_contaminated").cast("double") / F.col("n_grams").cast("double")
             ).alias("contamination_rate"),
-            (F.coalesce("n_contaminated", F.lit(0)) >= _DECON_FLAG_MIN).alias(
-                "is_contaminated"
-            ),
+            (F.col("n_contaminated") >= _DECON_FLAG_MIN).alias("is_contaminated"),
         )
     )
 
