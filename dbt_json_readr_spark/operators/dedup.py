@@ -351,31 +351,53 @@ def token_jaccard_pairs(
 
 EMB_BUCKET_DIMS = [0, 7, 19, 31]
 
+# Banded sign-LSH for the dedup path: 4 independent 4-bit bucket tables
+# (disjoint fixed dims, no RNG — byte-reproducible across engines).  One
+# 4-bit table measures 0.18 candidate recall at cos≥0.4 on this corpus
+# (dedup_lsh_recall r2); OR-ing B tables lifts recall to 1-(1-p)^B at
+# B× the bucket-join volume — the same curve logic as minhash banding.
+EMB_BANDS = [
+    EMB_BUCKET_DIMS,
+    [3, 11, 23, 40],
+    [45, 50, 55, 60],
+    [13, 27, 37, 58],
+]
 
-def embedding_bucket(vec) -> F.Column:
-    """Deterministic 4-bit sign-LSH bucket (fixed dims, no RNG — byte-
-    reproducible across runs and engines)."""
+
+def embedding_bucket(vec, dims: list[int] | None = None) -> F.Column:
+    """Deterministic 4-bit sign-LSH bucket over fixed dims (default:
+    EMB_BUCKET_DIMS — the single-table bucketing the ANN speed path
+    uses)."""
     out = F.lit(0)
-    for i, d in enumerate(EMB_BUCKET_DIMS):
+    for i, d in enumerate(dims or EMB_BUCKET_DIMS):
         out = out + F.when(vec.getItem(d) >= 0, F.lit(2**i)).otherwise(F.lit(0))
     return out.cast("int")
 
 
-def embedding_cosine_pairs(
-    embs: DataFrame, threshold: float = 0.4, bucket_cap: int = DEFAULT_BUCKET_CAP
+def embedding_candidate_pairs(
+    embs: DataFrame, bucket_cap: int = DEFAULT_BUCKET_CAP
 ) -> DataFrame:
-    """Near-dup embedding pairs within a sign-LSH bucket with cosine ≥
-    threshold.  Grouped pair generation + the same quadratic-guard cap
-    as the sketch dedups (a 4-bit LSH leaves ~n/16 vectors per bucket;
-    above the cap the bucket needs more hash bits, not an O(n²) scan)."""
-    e = spread(embs).select(
-        F.col("vec_id"),
-        V.to_double(F.col("embedding")).alias("v"),
-        embedding_bucket(F.col("embedding")).alias("bucket"),
-    ).withColumn("n", V.norm(F.col("v")))
+    """(vec_a, vec_b) banded sign-LSH candidates (pre-verification):
+    same-bucket in ANY of the EMB_BANDS tables, buckets collect bare
+    vec_ids (cap × 8 bytes), pairs deduped across bands."""
+    e = spread(embs).select("vec_id", F.col("embedding").alias("emb"))
+    banded = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        embedding_bucket(F.col("emb"), dims).alias("bval"),
+                    )
+                    for b, dims in enumerate(EMB_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
     members = (
-        e.groupBy("bucket")
-        .agg(F.collect_list(F.struct("vec_id", "v", "n")).alias("ms"))
+        banded.groupBy("band", "bval")
+        .agg(F.collect_list("vec_id").alias("ms"))
         .filter((F.size("ms") >= 2) & (F.size("ms") <= bucket_cap))
     )
     pair = F.explode(
@@ -392,10 +414,43 @@ def embedding_cosine_pairs(
     return (
         members.select(pair.alias("p"))
         .select(
-            F.least("p.a.vec_id", "p.b.vec_id").alias("vec_a"),
-            F.greatest("p.a.vec_id", "p.b.vec_id").alias("vec_b"),
+            F.least("p.a", "p.b").alias("vec_a"),
+            F.greatest("p.a", "p.b").alias("vec_b"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+
+
+def embedding_cosine_pairs(
+    embs: DataFrame, threshold: float = 0.4, bucket_cap: int = DEFAULT_BUCKET_CAP
+) -> DataFrame:
+    """Near-dup embedding pairs with cosine ≥ threshold, candidates from
+    banded sign-LSH (see embedding_candidate_pairs), verified by exact
+    cosine via a broadcast-candidates join — vectors stream map-side,
+    never shuffle, mirroring the minhash verify shape."""
+    cand = embedding_candidate_pairs(embs, bucket_cap)
+    vecs = spread(embs).select(
+        "vec_id", V.to_double(F.col("embedding")).alias("v")
+    ).withColumn("n", V.norm(F.col("v")))
+    return (
+        F.broadcast(cand)
+        .join(
+            vecs.select(
+                F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("n").alias("na")
+            ),
+            "vec_a",
+        )
+        .join(
+            vecs.select(
+                F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+            ),
+            "vec_b",
+        )
+        .select(
+            "vec_a",
+            "vec_b",
             V.cosine_prenormed(
-                F.col("p.a.v"), F.col("p.b.v"), F.col("p.a.n"), F.col("p.b.n")
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)

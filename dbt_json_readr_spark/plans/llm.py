@@ -165,10 +165,36 @@ WHERE len(list_intersect(a.tok, b.tok))::DOUBLE / len(list_distinct(a.tok || b.t
 
 _EC_TAU = 0.4
 
-_SQL_BUCKET = " + ".join(
-    f"(CASE WHEN embedding[{d + 1}] >= 0 THEN {2**i} ELSE 0 END)"
-    for i, d in enumerate(D.EMB_BUCKET_DIMS)
-)
+def _sql_bucket(dims: list[int]) -> str:
+    return " + ".join(
+        f"(CASE WHEN embedding[{d + 1}] >= 0 THEN {2**i} ELSE 0 END)"
+        for i, d in enumerate(dims)
+    )
+
+
+_SQL_BUCKET = _sql_bucket(D.EMB_BUCKET_DIMS)
+
+# banded candidate CTEs shared by the dedup oracle and the recall eval:
+# expects a CTE named `{src}` with (vec_id, embedding available via the
+# base table) — built over a named source table expression
+def _sql_emb_banded_cand(src: str) -> str:
+    band_selects = "\n    UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, CAST({_sql_bucket(dims)} AS INTEGER) AS bval FROM {src}"
+        for b, dims in enumerate(D.EMB_BANDS)
+    )
+    return f"""
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM (
+    SELECT * FROM (
+      SELECT *, count(*) OVER (PARTITION BY band, bval) AS bucket_n
+      FROM ({band_selects})
+    ) WHERE bucket_n <= {D.DEFAULT_BUCKET_CAP}
+  ) a JOIN (
+    SELECT * FROM (
+      SELECT *, count(*) OVER (PARTITION BY band, bval) AS bucket_n
+      FROM ({band_selects})
+    ) WHERE bucket_n <= {D.DEFAULT_BUCKET_CAP}
+  ) b ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id"""
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -179,18 +205,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _embedding_cosine_sql() -> str:
     cos = V.sql_cosine("a.v", "b.v")
     return f"""
-WITH e0 AS (
-  SELECT vec_id, {V.sql_to_double('embedding')} AS v,
-         CAST({_SQL_BUCKET} AS INTEGER) AS bucket
-  FROM embeddings
+WITH src AS (SELECT vec_id, embedding FROM embeddings),
+cand AS (
+{_sql_emb_banded_cand("src")}
 ),
 e AS (
-  SELECT * FROM (
-    SELECT *, count(*) OVER (PARTITION BY bucket) AS bucket_n FROM e0
-  ) WHERE bucket_n <= {D.DEFAULT_BUCKET_CAP}
+  SELECT vec_id, {V.sql_to_double('embedding')} AS v FROM embeddings
 )
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cosine
-FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+SELECT c.vec_a, c.vec_b, {cos} AS cosine
+FROM cand c
+JOIN e a ON a.vec_id = c.vec_a
+JOIN e b ON b.vec_id = c.vec_b
 WHERE {cos} >= {_EC_TAU}
 """
 
@@ -807,6 +832,29 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand_sim = D.simhash_band_pairs(stratum).select("doc_a", "doc_b")
 
+    # --- embedding sign-LSH: truth (exact cosine) vs banded candidates
+    embs = spread(load(spark, sf_dir, "embeddings"))
+    stratum_emb = embs.filter(
+        H.hash64(F.col("vec_id").cast("string"), "recall") < F.lit(_RECALL_THRESH)
+    )
+    estrat = stratum_emb.select(
+        "vec_id", V.to_double(F.col("embedding")).alias("v")
+    ).withColumn("n", V.norm(F.col("v")))
+    ea, eb = estrat.alias("a"), estrat.alias("b")
+    truth_emb = (
+        ea.join(F.broadcast(eb), F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(
+            V.cosine_prenormed(
+                F.col("a.v"), F.col("b.v"), F.col("a.n"), F.col("b.n")
+            )
+            >= _EC_TAU
+        )
+        .select(F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b"))
+    )
+    cand_emb = D.embedding_candidate_pairs(stratum_emb).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+
     def _method_row(method: str, truth: DataFrame, cand: DataFrame) -> DataFrame:
         hits = truth.join(cand, ["doc_a", "doc_b"])
         return (
@@ -828,6 +876,7 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _method_row("minhash_lsh", truth_mh, cand_mh)
         .unionAll(_method_row("simhash", truth_sim, cand_sim))
+        .unionAll(_method_row("embedding_cosine", truth_emb, cand_emb))
         .orderBy("method")
     )
 
@@ -850,6 +899,8 @@ def _lsh_recall_sql() -> str:
         f"SELECT doc_id, simhash, {b} AS band, (simhash >> {8 * b}) & 255 AS bval FROM sims"
         for b in range(4)
     )
+    egate = f"{H.sql_hash64('CAST(vec_id AS VARCHAR)', 'recall')} < {_RECALL_THRESH}"
+    ecos = V.sql_cosine("a.v", "b.v")
     return f"""
 WITH stratum AS (
   SELECT doc_id, text FROM documents WHERE {gate}
@@ -892,6 +943,22 @@ cand_sim AS (
   FROM sim_sized a JOIN sim_sized b
     ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
 ),
+esrc AS (
+  SELECT vec_id, embedding FROM embeddings WHERE {egate}
+),
+estrat AS (
+  SELECT vec_id, {V.sql_to_double("embedding")} AS v FROM esrc
+),
+truth_emb AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM estrat a JOIN estrat b ON a.vec_id < b.vec_id
+  WHERE {ecos} >= {_EC_TAU}
+),
+cand_emb AS (
+  SELECT vec_a AS doc_a, vec_b AS doc_b FROM (
+{_sql_emb_banded_cand("esrc")}
+  )
+),
 stats AS (
   SELECT 'minhash_lsh' AS method,
          (SELECT count(*) FROM truth_mh) AS n_truth,
@@ -903,6 +970,12 @@ stats AS (
          (SELECT count(*) FROM truth_sim),
          (SELECT count(*) FROM cand_sim),
          (SELECT count(*) FROM truth_sim t JOIN cand_sim c
+            ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+  UNION ALL
+  SELECT 'embedding_cosine',
+         (SELECT count(*) FROM truth_emb),
+         (SELECT count(*) FROM cand_emb),
+         (SELECT count(*) FROM truth_emb t JOIN cand_emb c
             ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
 )
 SELECT method, n_truth, n_cand, n_hit,
