@@ -753,3 +753,64 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
+
+
+# ---------------------------------------------------------------- B37
+
+
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey transition matrix: per (event_type → next
+    event_type) counts and row-normalized probabilities, next = the
+    user's next event by (ts, event_id).  One shuffle on user_id for
+    the lag window, then a tiny (|types|²) rollup — the markov-chain
+    input for funnel/journey modeling at any corpus size."""
+    prep(spark)
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        "user_id",
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    totals = counts.groupBy("from_type").agg(
+        F.sum("n_transitions").cast("long").alias("n_from")
+    )
+    return (
+        counts.join(totals, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            (
+                F.col("n_transitions").cast("double") / F.col("n_from").cast("double")
+            ).alias("p_transition"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+EVENTS_TRANSITION_SQL = """
+WITH steps AS (
+  SELECT user_id, event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, count(*) AS n_transitions
+  FROM steps WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+),
+totals AS (
+  SELECT from_type, CAST(sum(n_transitions) AS BIGINT) AS n_from
+  FROM counts GROUP BY from_type
+)
+SELECT c.from_type, c.to_type, c.n_transitions,
+       CAST(c.n_transitions AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS p_transition
+FROM counts c JOIN totals t USING (from_type)
+ORDER BY from_type, to_type
+"""

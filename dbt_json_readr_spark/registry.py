@@ -86,6 +86,9 @@ register("events_anomaly_zscore", events.events_anomaly_zscore, events.EVENTS_AN
 register(
     "skew_salted_segment_revenue", events.skew_salted_segment_revenue, events.SKEW_SALTED_SQL
 )
+register(
+    "events_transition_matrix", events.events_transition_matrix, events.EVENTS_TRANSITION_SQL
+)
 
 # C. LLM-data-pipeline operators (dedup / similarity / text analysis)
 for _key, _sql in llm.ORACLES.items():
@@ -176,6 +179,7 @@ _GATE_PRIORITY = [
     "part_size_histogram",
     "events_anomaly_zscore",
     "skew_salted_segment_revenue",
+    "events_transition_matrix",
     # r1 hash-fails, fixed this round (uncast integer sums → BIGINT)
     "dbt_description_coverage",
     "events_json_props",

@@ -49,6 +49,31 @@ def test_no_row_python_in_any_plan(spark, key):
         assert explain.arrow_eval_nodes(df) == []
 
 
+def test_new_llm_ops_scan_and_bucket_contracts(spark):
+    """Scale-shape pins for the r2 operators: bounded corpus passes and
+    no array-carrying collect_list anywhere (buckets hold bare ids)."""
+    import re
+
+    from dbt_json_readr_spark.plans import llm
+    from dbt_json_readr_spark.plans.explain import formatted_plan
+
+    budgets = {
+        # (max parquet scans, rationale)
+        "corpus_decontaminate": 2,   # eval-gram branch + ONE train pass
+        "text_ngram_novelty": 2,     # freq-table build + join pass
+        "text_repetition": 1,        # single exploded-gram pipeline
+        "corpus_shard_plan": 1,      # hash + one shard shuffle
+        "dedup_embedding_cosine": 3, # band pass + verify join sides
+    }
+    for key, max_scans in budgets.items():
+        plan = formatted_plan(getattr(llm, key)(spark, SF))
+        n = len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M))
+        assert n <= max_scans, f"{key}: {n} scans > budget {max_scans}"
+        assert not re.search(r"collect_list\(\s*struct", plan), (
+            f"{key}: buckets must not collect payload-carrying structs"
+        )
+
+
 def test_minhash_dedup_two_pass_no_fat_buckets(spark):
     """The LSH operator is a two-pass plan by design: a sketch pass
     (exploded shingles → flat lane mins, pruned to lanes only) and a
