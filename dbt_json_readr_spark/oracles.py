@@ -390,6 +390,30 @@ def dbt_lineage_depth() -> str:
     return _values_sql(cols, rows)
 
 
+def dbt_pagerank() -> str:
+    """Pure-stdlib fixed-point PageRank over the same edge set as the
+    Spark operator (operators/lineage.py pagerank) — identical integer
+    arithmetic (rank // outdeg per edge, ·17 // 20 damping, 10
+    iterations), so values are byte-equal."""
+    m = _load("manifest.json")
+    pairs = sorted(set(_data_edge_pairs(m)))
+    all_ids = [n["unique_id"] for n in m["nodes"].values()] + [
+        s["unique_id"] for s in m["sources"].values()
+    ]
+    outdeg: dict[str, int] = {}
+    for c, _p in pairs:
+        outdeg[c] = outdeg.get(c, 0) + 1
+    scale, base = 1_000_000_000, 150_000_000
+    rank = {i: scale for i in all_ids}
+    for _ in range(10):
+        contrib: dict[str, int] = {}
+        for c, p in pairs:
+            contrib[p] = contrib.get(p, 0) + rank[c] // outdeg[c]
+        rank = {i: base + (contrib.get(i, 0) * 17) // 20 for i in all_ids}
+    cols = [("unique_id", "VARCHAR"), ("rank_fp", "BIGINT")]
+    return _values_sql(cols, [(i, rank[i]) for i in all_ids])
+
+
 def dbt_run_summary() -> str:
     return f"""
 SELECT status, count(*) AS n_nodes,

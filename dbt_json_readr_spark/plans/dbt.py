@@ -157,6 +157,19 @@ def dbt_lineage_depth(spark: SparkSession, sf_dir: str, target: str = FIXTURE_TA
     return lineage.lineage_depth(nodes, _data_edges(spark, target))
 
 
+def dbt_pagerank(spark: SparkSession, sf_dir: str, target: str = FIXTURE_TARGET) -> DataFrame:
+    """Blast-radius ranking of the dependency DAG via fixed-point
+    integer PageRank (operators/lineage.py): the models most of the
+    project depends on, directly or transitively, float to the top.
+    A query surface the reference's flat edge list (explore.R:105-138)
+    enables but never computes."""
+    prep(spark)
+    nodes = A.manifest_nodes(spark, _manifest(target)).select("unique_id").unionByName(
+        A.manifest_sources(spark, _manifest(target)).select("unique_id")
+    )
+    return lineage.pagerank(nodes, _data_edges(spark, target))
+
+
 def dbt_run_summary(spark: SparkSession, sf_dir: str, target: str = FIXTURE_TARGET) -> DataFrame:
     """Invocation health rollup over run_results: per-status node count,
     decimal-exact total runtime, slowest node time, rows touched."""

@@ -40,6 +40,7 @@ for _key in [
     "dbt_source_freshness",
     "dbt_lineage_closure",
     "dbt_lineage_depth",
+    "dbt_pagerank",
     "dbt_run_summary",
     "dbt_model_fanout",
     "dbt_description_coverage",
@@ -183,6 +184,8 @@ _GATE_PRIORITY = [
     # r1 hash-fails, fixed this round (uncast integer sums → BIGINT)
     "dbt_description_coverage",
     "events_json_props",
+    # new this round
+    "dbt_pagerank",
 ]
 
 
