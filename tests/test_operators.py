@@ -443,3 +443,37 @@ def test_operators_tolerate_empty_inputs(spark):
 
     empty_pairs = spark.createDataFrame([], "doc_a long, doc_b long")
     assert connected_components(empty_pairs).count() == 0
+
+
+# ------------------------------------------------------------ invariants
+
+
+def test_pagerank_invariants(spark):
+    """Every rank ≥ the damping base; total rank ≤ n·SCALE (rank only
+    leaks through dangling nodes, never inflates); deterministic across
+    two runs."""
+    from dbt_json_readr_spark.operators.lineage import PR_BASE, PR_SCALE, pagerank
+
+    nodes = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",)], "unique_id string"
+    )
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "a"), ("c", "b"), ("d", "c")],
+        "child_unique_id string, parent_unique_id string",
+    )
+    r1 = {r.unique_id: r.rank_fp for r in pagerank(nodes, edges).collect()}
+    r2 = {r.unique_id: r.rank_fp for r in pagerank(nodes, edges).collect()}
+    assert r1 == r2
+    assert all(v >= PR_BASE for v in r1.values())
+    assert sum(r1.values()) <= 4 * PR_SCALE
+    # 'a' is depended on by everything upstream-transitively → max rank
+    assert max(r1, key=r1.get) == "a"
+
+
+def test_transition_matrix_rows_sum_to_one(spark):
+    from dbt_json_readr_spark.plans.events import events_transition_matrix
+    from pyspark.sql import functions as F
+
+    out = events_transition_matrix(spark, "/root/testdata/sf0.001")
+    sums = out.groupBy("from_type").agg(F.sum("p_transition").alias("s")).collect()
+    assert sums and all(abs(r.s - 1.0) < 1e-9 for r in sums)
