@@ -191,7 +191,14 @@ def minhash_lsh_pairs(
     counts = rows.groupBy("doc_id").agg(F.count("*").alias("n"))
     ra = cand.join(rows.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
     ri = ra.join(rows.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"])
-    ic = ri.groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter"))
+    # left-join back onto cand so zero-intersection candidates keep a
+    # jaccard=0.0 row — without it the two verify shapes diverge for
+    # threshold <= 0 (broadcast emits those rows, inner-join drops them)
+    ic = cand.join(
+        ri.groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter")),
+        ["doc_a", "doc_b"],
+        "left",
+    ).select("doc_a", "doc_b", F.coalesce("inter", F.lit(0)).alias("inter"))
     return (
         ic.join(counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
         .join(counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
@@ -422,18 +429,30 @@ def embedding_candidate_pairs(
 
 
 def embedding_cosine_pairs(
-    embs: DataFrame, threshold: float = 0.4, bucket_cap: int = DEFAULT_BUCKET_CAP
+    embs: DataFrame,
+    threshold: float = 0.4,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
+    broadcast_verify: bool = True,
 ) -> DataFrame:
     """Near-dup embedding pairs with cosine ≥ threshold, candidates from
     banded sign-LSH (see embedding_candidate_pairs), verified by exact
-    cosine via a broadcast-candidates join — vectors stream map-side,
-    never shuffle, mirroring the minhash verify shape."""
+    cosine.  Default shape broadcasts the candidate pairs so vectors
+    stream map-side and never shuffle (mirrors the minhash verify).
+
+    Broadcast bound: candidates ≤ len(EMB_BANDS) · Σ C(bucket, 2) with
+    bucket ≤ bucket_cap, i.e. worst-case ~4 · n_buckets · C(cap, 2)
+    16-byte rows; past ~10⁸ candidate rows (≈ driver GBs / the 8 GB
+    broadcast-table ceiling) set ``broadcast_verify=False`` — the same
+    joins then run as ordinary shuffles (vectors are hash-partitioned
+    on vec_id; still no corpus-wide cross product)."""
     cand = embedding_candidate_pairs(embs, bucket_cap)
+    if broadcast_verify:
+        cand = F.broadcast(cand)
     vecs = spread(embs).select(
         "vec_id", V.to_double(F.col("embedding")).alias("v")
     ).withColumn("n", V.norm(F.col("v")))
     return (
-        F.broadcast(cand)
+        cand
         .join(
             vecs.select(
                 F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("n").alias("na")

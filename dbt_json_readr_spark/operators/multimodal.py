@@ -214,8 +214,13 @@ def decode_png(payload: bytes) -> dict:
         tag = payload[pos + 4 : pos + 8]
         body = payload[pos + 8 : pos + 8 + length]
         if tag == b"IHDR":
-            w, h, depth, ctype = struct.unpack(">IIBB", body[:10])
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body[:13]
+            )
             assert depth == 8 and ctype == 0, "decoder supports 8-bit grayscale"
+            # an Adam7-interlaced file would pass the per-field asserts but
+            # decode to silently wrong pixel stats — reject it explicitly
+            assert interlace == 0, "Adam7 interlace not supported"
         elif tag == b"IDAT":
             idat += body
         pos += 12 + length

@@ -711,10 +711,23 @@ ORDER BY method, query_id
 
 def multimodal_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column + typed metadata → Arrow-batched feature
-    extraction (rows-only: mapInPandas output is non-SQL-expressible)."""
+    extraction (rows-only: mapInPandas output is non-SQL-expressible).
+
+    The gated projection flattens the feature vector into scalar columns
+    (f0..f3): the driver's canonicalizer sorts every column with pandas,
+    which cannot order array cells (r2 gate error: ``unhashable type:
+    'list'``).  The array-valued operator output stays available via
+    operators/multimodal.py extract_features."""
     prep(spark)
     media = M.as_media_table(spread(load(spark, sf_dir, "documents")))
-    return M.extract_features(media)
+    feats = M.extract_features(media)
+    return feats.select(
+        "doc_id",
+        "modality",
+        "n_bytes",
+        "checksum",
+        *[F.col("feature").getItem(i).alias(f"f{i}") for i in range(4)],
+    )
 
 
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -48,9 +48,15 @@ def spread(df, factor: int = 1):
     # file-count probe instead of df.rdd.getNumPartitions(): the .rdd
     # conversion builds (and analyzes) a whole RDD translation of the
     # plan on the driver per call; inputFiles() is a listed-files lookup
-    # the scan already has.  Non-file sources report 0 files and get the
-    # repartition, which is the safe direction for per-row-heavy work.
-    if len(df.inputFiles()) >= target:
+    # the scan already has.
+    files = df.inputFiles()
+    if files:
+        return df if len(files) >= target else df.repartition(target)
+    # Non-file-backed frames (createDataFrame, memory-sink tables, JDBC)
+    # report zero files; for those fall back to the real partition count
+    # so an already-well-partitioned frame is not unconditionally
+    # re-shuffled.  The .rdd cost is paid only on this rare path.
+    if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
 
