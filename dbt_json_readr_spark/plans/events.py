@@ -794,6 +794,161 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- B38
+
+
+def scd2_customer_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 merge over the customer dimension (operators/scd2.py):
+    a deterministic update batch (promo segment for custkey%11==0, +100
+    balance for custkey%7==3, effective 2024-01-01) applied to the
+    current snapshot — closed rows + fresh versions + pass-through, the
+    lakehouse-less MERGE INTO.  One broadcast of the (tiny) update batch
+    against the dimension; no Delta required."""
+    prep(spark)
+    from ..operators.scd2 import scd2_apply
+
+    cust = load(spark, sf_dir, "customer")
+    current = cust.select(
+        "c_custkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.lit("2020-01-01 00:00:00").cast("timestamp").alias("effective_from"),
+        F.lit(None).cast("timestamp").alias("effective_to"),
+        F.lit(True).alias("is_current"),
+    )
+    is_bal = F.col("c_custkey") % 7 == 3
+    is_seg = F.col("c_custkey") % 11 == 0
+    updates = cust.filter(is_bal | is_seg).select(
+        "c_custkey",
+        F.when(is_bal, F.col("c_acctbal") + F.lit(100.0))
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+        F.when(is_seg, F.lit("PROMO")).otherwise(F.col("c_mktsegment")).alias("c_mktsegment"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("effective_from"),
+    )
+    return scd2_apply(current, updates, key="c_custkey", tracked=["c_acctbal", "c_mktsegment"])
+
+
+SCD2_CUSTOMER_SQL = """
+WITH cur AS (
+  SELECT c_custkey, c_acctbal, c_mktsegment,
+         TIMESTAMP '2020-01-01 00:00:00' AS effective_from,
+         CAST(NULL AS TIMESTAMP) AS effective_to,
+         true AS is_current
+  FROM customer
+),
+upd AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 3 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+         CASE WHEN c_custkey % 11 = 0 THEN 'PROMO' ELSE c_mktsegment END AS c_mktsegment,
+         TIMESTAMP '2024-01-01 00:00:00' AS effective_from
+  FROM customer
+  WHERE c_custkey % 7 = 3 OR c_custkey % 11 = 0
+),
+changed AS (
+  SELECT c.c_custkey FROM cur c JOIN upd u USING (c_custkey)
+  WHERE c.c_acctbal IS DISTINCT FROM u.c_acctbal
+     OR c.c_mktsegment IS DISTINCT FROM u.c_mktsegment
+)
+SELECT c.c_custkey, c.c_acctbal, c.c_mktsegment, c.effective_from,
+       CASE WHEN ch.c_custkey IS NOT NULL
+            THEN TIMESTAMP '2024-01-01 00:00:00' ELSE c.effective_to END AS effective_to,
+       CASE WHEN ch.c_custkey IS NOT NULL THEN false ELSE c.is_current END AS is_current
+FROM cur c LEFT JOIN changed ch USING (c_custkey)
+UNION ALL
+SELECT u.c_custkey, u.c_acctbal, u.c_mktsegment, u.effective_from,
+       CAST(NULL AS TIMESTAMP) AS effective_to, true AS is_current
+FROM upd u JOIN changed ch USING (c_custkey)
+"""
+
+
+# ---------------------------------------------------------------- B39
+
+
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-aggregate range join: for every purchase event, the
+    count and value of the same user's clicks in the preceding hour
+    [ts-1h, ts).  Unlike the as-of join (B13: last click only), this
+    aggregates the whole bounded interval.  Scale shape: a hash
+    equi-join on user_id carries the range bound as a residual
+    predicate — the fact stream shuffles once on the join key and the
+    interval filter runs inside the join, never as a cross product."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") < F.col("ts")),
+        "left",
+    )
+    return joined.groupBy("event_id", "user_id", "ts").agg(
+        F.count("click_ts").alias("n_clicks"),
+        F.coalesce(
+            F.sum(F.col("click_value").cast("decimal(18,4)")).cast("double"), F.lit(0.0)
+        ).alias("click_value_1h"),
+    )
+
+
+EVENTS_RANGE_JOIN_SQL = """
+SELECT p.event_id, p.user_id, p.ts,
+       count(c.ts) AS n_clicks,
+       coalesce(CAST(sum(CAST(c.value AS DECIMAL(18,4))) AS DOUBLE), 0.0) AS click_value_1h
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+ AND c.ts < p.ts
+GROUP BY p.event_id, p.user_id, p.ts
+"""
+
+
+# ---------------------------------------------------------------- B40
+
+
+def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-vs-exact cardinality audit: per event_type, the exact
+    distinct-user count next to a boolean asserting Spark's HLL++
+    (approx_count_distinct, rsd=0.05) landed within 3·rsd of it.  The
+    approximate value itself is engine-private (not cross-engine
+    comparable), so the gated contract is the exact count plus the
+    within-bound check — the honest way to gate a sketch.  At 100 TB
+    the HLL path is the one that survives: fixed-size state per group,
+    no distinct shuffle of raw user_ids."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", rsd=0.05).alias("hll"),
+    )
+    return agg.select(
+        "event_type",
+        "n_users_exact",
+        (
+            F.abs(F.col("hll") - F.col("n_users_exact"))
+            <= F.lit(0.15) * F.col("n_users_exact").cast("double")
+        ).alias("hll_within_3rsd"),
+    ).orderBy("event_type")
+
+
+EVENTS_APPROX_DISTINCT_SQL = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+       true AS hll_within_3rsd
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 EVENTS_TRANSITION_SQL = """
 WITH steps AS (
   SELECT user_id, event_type AS from_type,

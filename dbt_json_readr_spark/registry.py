@@ -90,6 +90,13 @@ register(
 register(
     "events_transition_matrix", events.events_transition_matrix, events.EVENTS_TRANSITION_SQL
 )
+register(
+    "scd2_customer_snapshot", events.scd2_customer_snapshot, events.SCD2_CUSTOMER_SQL
+)
+register("events_range_join", events.events_range_join, events.EVENTS_RANGE_JOIN_SQL)
+register(
+    "events_approx_distinct", events.events_approx_distinct, events.EVENTS_APPROX_DISTINCT_SQL
+)
 
 # C. LLM-data-pipeline operators (dedup / similarity / text analysis)
 for _key, _sql in llm.ORACLES.items():
@@ -188,6 +195,9 @@ _GATE_PRIORITY = [
     "orders_monthly_growth",
     "events_hourly_heatmap",
     # new this round (never gated) — appended as they are implemented
+    "scd2_customer_snapshot",
+    "events_range_join",
+    "events_approx_distinct",
 ]
 
 
