@@ -1450,6 +1450,176 @@ SELECT doc_id, term, tf, df, score, rank FROM (
 """
 
 
+# ---------------------------------------------------------------- C30
+
+_CHUNK_SIZE, _CHUNK_STRIDE = 64, 48
+
+
+def doc_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunk plan: split every doc into 64-token windows
+    advancing by 48 tokens (16-token overlap) — the tokenize-and-window
+    step in front of embedding / training-sequence generation.  Pure
+    per-row sequence+explode: no shuffle at all, chunk rows are born on
+    the partition that read the doc, so at 100 TB this runs at scan
+    speed."""
+    prep(spark)
+    docs = spread(load(spark, sf_dir, "documents"))
+    d = docs.select("doc_id", F.size(H.tokens(F.col("text"))).alias("n_tok"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("n_tok") - 1, F.lit(0)), F.lit(_CHUNK_STRIDE)
+    )
+    return d.select(
+        "doc_id", "n_tok", F.posexplode(starts).alias("chunk_idx", "start_tok")
+    ).select(
+        "doc_id",
+        "n_tok",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("start_tok").cast("int").alias("start_tok"),
+        F.least(F.lit(_CHUNK_SIZE), F.col("n_tok") - F.col("start_tok"))
+        .cast("int")
+        .alias("n_chunk_tok"),
+    )
+
+
+def _chunk_plan_sql() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, CAST(len({H.sql_tokens('text')}) AS INTEGER) AS n_tok FROM documents
+)
+SELECT doc_id, n_tok,
+       CAST(t.s // {_CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+       CAST(t.s AS INTEGER) AS start_tok,
+       CAST(least({_CHUNK_SIZE}, n_tok - t.s) AS INTEGER) AS n_chunk_tok
+FROM d, UNNEST(range(0, greatest(n_tok, 1), {_CHUNK_STRIDE})) AS t(s)
+"""
+
+
+# ---------------------------------------------------------------- C31
+
+_PACK_BUDGET = 512
+
+
+def token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: docs are laid out in the
+    deterministic hash-shuffle order (same order corpus_shard_plan
+    writes), then packed contiguously into 512-token training
+    sequences — pack = exclusive-prefix-token-count // budget.  The
+    cumulative window runs PER SHARD (partitionBy shard), so the global
+    sort a naive corpus-wide cumsum would need — a single-task
+    bottleneck at 100 TB — never happens; every shard packs in
+    parallel, matching how shards are written and read."""
+    prep(spark)
+    from pyspark.sql import Window as W
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    h = H.hash64(F.col("doc_id").cast("string"), "shuffle")
+    d = docs.select(
+        "doc_id", h.alias("h"), F.size(H.tokens(F.col("text"))).alias("n_tok")
+    ).withColumn("shard", (F.col("h") % _N_SHARDS).cast("int"))
+    w = W.partitionBy("shard").orderBy("h", "doc_id").rowsBetween(W.unboundedPreceding, -1)
+    packed = d.select(
+        "shard",
+        "doc_id",
+        "n_tok",
+        (F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / F.lit(_PACK_BUDGET))
+        .cast("long")
+        .alias("pack_id"),
+    )
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("pack_tokens"),
+    )
+
+
+def _token_pack_sql() -> str:
+    h = H.sql_hash64("CAST(doc_id AS VARCHAR)", "shuffle")
+    return f"""
+WITH d AS (
+  SELECT doc_id, {h} AS h,
+         CAST(({h}) % {_N_SHARDS} AS INTEGER) AS shard,
+         len({H.sql_tokens('text')}) AS n_tok
+  FROM documents
+),
+packed AS (
+  SELECT shard, doc_id, n_tok,
+         CAST(coalesce(sum(n_tok) OVER (
+             PARTITION BY shard ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           // {_PACK_BUDGET} AS BIGINT) AS pack_id
+  FROM d
+)
+SELECT shard, pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS pack_tokens
+FROM packed GROUP BY shard, pack_id
+"""
+
+
+# ---------------------------------------------------------------- C32
+
+_Q_SCALE = 1_000_000
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization audit per vector — the compression
+    step an ANN index applies before serving: scale = maxabs/127,
+    q_i = floor(v_i·127/maxabs + 0.5) ∈ [-127, 127].  Emits the scale
+    (fixed-point), quantized min/max/sum, and saturation count, so the
+    quantization error profile is queryable corpus-wide.  Per-row folds
+    only — no shuffle, runs at scan speed on any corpus size."""
+    prep(spark)
+    embs = spread(load(spark, sf_dir, "embeddings"))
+    v = V.to_double(F.col("embedding"))
+    e = embs.select("vec_id", v.alias("v")).withColumn(
+        "maxabs",
+        F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))),
+    )
+    q = F.when(F.col("maxabs") == 0.0, F.transform(F.col("v"), lambda x: F.lit(0).cast("long"))).otherwise(
+        F.transform(
+            F.col("v"),
+            lambda x: F.floor(x * F.lit(127.0) / F.col("maxabs") + F.lit(0.5)).cast("long"),
+        )
+    )
+    qd = e.select("vec_id", "maxabs", q.alias("q"))
+    return qd.select(
+        "vec_id",
+        F.floor(F.col("maxabs") * _Q_SCALE).cast("long").alias("scale_fp"),
+        F.array_min("q").alias("q_min"),
+        F.array_max("q").alias("q_max"),
+        F.aggregate("q", F.lit(0).cast("long"), lambda acc, x: acc + x).alias("q_sum"),
+        F.size(F.filter("q", lambda x: F.abs(x) == 127)).alias("n_saturated"),
+    )
+
+
+def _quantize_sql() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, {V.sql_to_double('embedding')} AS v FROM embeddings
+),
+m AS (
+  SELECT vec_id, v,
+         list_reduce(list_prepend(0.0::DOUBLE, list_transform(v, x -> abs(x))),
+                     (acc, x) -> greatest(acc, x)) AS maxabs
+  FROM e
+),
+qd AS (
+  SELECT vec_id, maxabs,
+         CASE WHEN maxabs = 0.0
+              THEN list_transform(v, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(v, x -> CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT))
+         END AS q
+  FROM m
+)
+SELECT vec_id,
+       CAST(floor(maxabs * {_Q_SCALE}) AS BIGINT) AS scale_fp,
+       list_min(q) AS q_min,
+       list_max(q) AS q_max,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), q), (acc, x) -> acc + x) AS BIGINT) AS q_sum,
+       CAST(len(list_filter(q, x -> abs(x) = 127)) AS INTEGER) AS n_saturated
+FROM qd
+"""
+
+
 ORACLES: dict[str, str] = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
@@ -1479,4 +1649,7 @@ ORACLES: dict[str, str] = {
     "text_repetition": _repetition_sql(),
     "text_ngram_novelty": _ngram_novelty_sql(),
     "corpus_shard_plan": _shard_plan_sql(),
+    "doc_chunk_plan": _chunk_plan_sql(),
+    "token_budget_pack": _token_pack_sql(),
+    "embedding_quantize": _quantize_sql(),
 }

@@ -198,6 +198,9 @@ _GATE_PRIORITY = [
     "scd2_customer_snapshot",
     "events_range_join",
     "events_approx_distinct",
+    "doc_chunk_plan",
+    "token_budget_pack",
+    "embedding_quantize",
 ]
 
 
