@@ -1,0 +1,111 @@
+"""Fixed-point Lloyd's k-means over embedding columns (SURVEY.md §2 C33).
+
+Iterative ML expressed as DataFrame ops, engine-exact:
+
+- Components quantize to fixed-point longs (floor(v·1e6)) once; every
+  distance, argmin, and centroid update after that is INTEGER
+  arithmetic — bit-identical across engines, partitionings, and
+  cluster topologies, so a 2-iteration run is oracle-checkable like
+  any relational query (a float Lloyd's would drift in tie-breaks).
+- Assignment: components join the (k·dims)-row centroid table
+  BROADCAST on dim; squared diffs partial-aggregate map-side, so the
+  only shuffle per iteration is the (n_vecs·k)-row narrow distance
+  table, then an (n_vecs)-row argmin window.  Vectors never shuffle.
+- Update: floor(sum/count) per (cluster, dim) stays in the integer
+  domain, so the next iteration's inputs are exact.
+- Ties break deterministically by (dist, cid) — the property that
+  makes the result reproducible at all.
+
+Magnitude bounds (64 dims, |v| ≤ ~2): q ~ 2e6, diff² ~ 1.6e13, per-pair
+dist ~ 1e15 < 2⁶³; inertia sums fit BIGINT for corpora to ~10⁴ vecs per
+stats group — beyond that, move inertia to DECIMAL(38,0).
+
+Scale posture: each Lloyd iteration is one broadcast join + two narrow
+shuffles — the exact shape MLlib's distributed KMeans uses (centroids
+driver-side between rounds; here they stay in a DataFrame, which AQE
+still plans broadcast because the side is k·dims rows).  Cost grows
+linearly in k; for k beyond broadcast reach, pre-bucket with a coarse
+quantizer (see operators/similarity.py ivf_topk).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..functions import vectors as V
+
+QUANT = 1_000_000
+
+
+def components(embs: DataFrame) -> DataFrame:
+    """(vec_id, dim, qv): fixed-point vector components, one row per
+    dimension — the narrow long-format table every stage joins on."""
+    return embs.select(
+        "vec_id", F.posexplode(V.to_double(F.col("embedding"))).alias("dim", "val")
+    ).select("vec_id", "dim", F.floor(F.col("val") * QUANT).cast("long").alias("qv"))
+
+
+def init_centroids(comp: DataFrame, k: int) -> DataFrame:
+    """Deterministic seeding: the first k vec_ids are the initial
+    centroids (the reproducible stand-in for kmeans++ sampling)."""
+    return comp.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cid"), "dim", F.col("qv").alias("qc")
+    )
+
+
+def assign(comp: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cid, dist): nearest centroid per vector by integer
+    squared-L2, ties broken by cid."""
+    diff = F.col("qv") - F.col("qc")
+    dist = (
+        comp.join(F.broadcast(cents), "dim")
+        .groupBy("vec_id", "cid")
+        .agg(F.sum(diff * diff).alias("dist"))
+    )
+    w = W.partitionBy("vec_id").orderBy("dist", "cid")
+    return (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "dist")
+    )
+
+
+def update(assigned: DataFrame, comp: DataFrame) -> DataFrame:
+    """New centroids: per-(cluster, dim) floor(mean) in fixed point.
+    Clusters that lost all members drop out (standard Lloyd's)."""
+    return (
+        assigned.select("vec_id", "cid")
+        .join(comp, "vec_id")
+        .groupBy("cid", "dim")
+        .agg(
+            F.floor(F.sum("qv").cast("double") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("qc")
+        )
+    )
+
+
+def kmeans_stats(embs: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
+    """Run ``iters`` Lloyd iterations and emit per-cluster stats from
+    the final assignment: member count, integer inertia (squared-L2 to
+    the PREVIOUS round's centroids — the quantity Lloyd's just
+    minimized), and the final centroid's component checksum."""
+    comp = components(embs)
+    cents = init_centroids(comp, k)
+    assigned = None
+    for _ in range(iters):
+        assigned = assign(comp, cents)
+        cents = update(assigned, comp)
+    stats = assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("dist").cast("long").alias("inertia_fp"),
+    )
+    checksum = cents.groupBy("cid").agg(F.sum("qc").cast("long").alias("centroid_checksum"))
+    return (
+        stats.join(checksum, "cid")
+        .select(
+            F.col("cid").alias("cluster_id"), "n_vecs", "inertia_fp", "centroid_checksum"
+        )
+        .orderBy("cluster_id")
+    )

@@ -108,6 +108,52 @@ def pagerank(all_nodes: DataFrame, edges: DataFrame, iters: int = 10) -> DataFra
     return ranks.select(F.col("id").alias("unique_id"), F.col("rank").alias("rank_fp"))
 
 
+def critical_path(nodes_w: DataFrame, edges: DataFrame, max_iters: int = 30) -> DataFrame:
+    """nodes_w(unique_id, wt_fp) + edges(child_unique_id,
+    parent_unique_id) → (unique_id, wt_fp, critical_cost_fp): the
+    longest node-weighted dependency chain ending at each node
+    (inclusive of the node itself) — the dbt scheduling critical path
+    when wt is execution time.
+
+    Bellman-Ford-style relaxation: cost(child) = wt(child) +
+    max(cost(parent)); one hash join + max-agg per round, converges in
+    DAG-depth rounds with a left-anti change probe for early exit (the
+    fixed point is unique on a DAG, so the early exit cannot change the
+    result).  All integer arithmetic — byte-stable across engines.
+    Same cache discipline as transitive_closure: one materialized
+    handle alive at a time."""
+    e = edges.select(
+        F.col("child_unique_id").alias("c"), F.col("parent_unique_id").alias("p")
+    ).distinct()
+    nodes = nodes_w.select("unique_id", F.col("wt_fp").cast("long").alias("wt_fp"))
+    cost = nodes.select("unique_id", "wt_fp", F.col("wt_fp").alias("critical_cost_fp")).persist()
+    cost.count()
+    for _ in range(max_iters):
+        pmax = (
+            e.join(cost, e.p == cost.unique_id)
+            .groupBy("c")
+            .agg(F.max("critical_cost_fp").alias("pmax"))
+        )
+        nxt = (
+            nodes.join(pmax, nodes.unique_id == pmax.c, "left")
+            .select(
+                "unique_id",
+                "wt_fp",
+                (F.col("wt_fp") + F.coalesce("pmax", F.lit(0).cast("long"))).alias(
+                    "critical_cost_fp"
+                ),
+            )
+            .persist()
+        )
+        nxt.count()
+        done = nxt.join(cost, ["unique_id", "critical_cost_fp"], "left_anti").isEmpty()
+        cost.unpersist()
+        cost = nxt
+        if done:
+            break
+    return cost
+
+
 def lineage_closure(edges: DataFrame) -> DataFrame:
     """(descendant, ancestor, min path length) — 'does A depend on B, how
     directly'."""

@@ -414,6 +414,37 @@ def dbt_pagerank() -> str:
     return _values_sql(cols, [(i, rank[i]) for i in all_ids])
 
 
+def dbt_critical_path() -> str:
+    """Pure-stdlib longest node-weighted dependency chain per node —
+    memoized DFS over the same edge set and fixed-point weights
+    (floor(execution_time·1e6)) as the Spark Bellman-Ford relaxation
+    (operators/lineage.py critical_path): two independent algorithms
+    that must agree byte-for-byte."""
+    import math
+
+    m = _load("manifest.json")
+    r = _load("run_results.json")
+    all_ids = [n["unique_id"] for n in m["nodes"].values()] + [
+        s["unique_id"] for s in m["sources"].values()
+    ]
+    wt = {uid: 0 for uid in all_ids}
+    for x in r["results"]:
+        if x["unique_id"] in wt:
+            wt[x["unique_id"]] = int(math.floor(x["execution_time"] * 1_000_000))
+    parents: dict[str, list[str]] = {}
+    for c, p in sorted(set(_data_edge_pairs(m))):
+        parents.setdefault(c, []).append(p)
+    memo: dict[str, int] = {}
+
+    def cost(u: str) -> int:
+        if u not in memo:
+            memo[u] = wt.get(u, 0) + max((cost(p) for p in parents.get(u, [])), default=0)
+        return memo[u]
+
+    cols = [("unique_id", "VARCHAR"), ("wt_fp", "BIGINT"), ("critical_cost_fp", "BIGINT")]
+    return _values_sql(cols, [(uid, wt[uid], cost(uid)) for uid in all_ids])
+
+
 def dbt_run_summary() -> str:
     return f"""
 SELECT status, count(*) AS n_nodes,

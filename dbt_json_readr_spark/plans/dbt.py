@@ -170,6 +170,30 @@ def dbt_pagerank(spark: SparkSession, sf_dir: str, target: str = FIXTURE_TARGET)
     return lineage.pagerank(nodes, _data_edges(spark, target))
 
 
+def dbt_critical_path(spark: SparkSession, sf_dir: str, target: str = FIXTURE_TARGET) -> DataFrame:
+    """Execution-time-weighted critical path through the dependency DAG
+    (operators/lineage.py critical_path): per node, the longest chain
+    of upstream execution time that must complete before it — the
+    wall-clock floor for a fully parallel dbt run, and the chain to
+    optimize first.  Weights are run_results execution times in
+    fixed-point microseconds (floor(t·1e6); 0 for sources and unrun
+    nodes), so the costs are byte-exact.  A scheduling query the
+    reference's edge list (explore.R:98-128) + run_results load
+    (explore.R:252-256) jointly enable but never compute."""
+    prep(spark)
+    nodes = A.manifest_nodes(spark, _manifest(target)).select("unique_id").unionByName(
+        A.manifest_sources(spark, _manifest(target)).select("unique_id")
+    )
+    rr = A.run_results(spark, f"{target}/run_results.json").select(
+        "unique_id",
+        F.floor(F.col("execution_time") * 1_000_000).cast("long").alias("wt_fp"),
+    )
+    nodes_w = nodes.join(rr, "unique_id", "left").select(
+        "unique_id", F.coalesce("wt_fp", F.lit(0).cast("long")).alias("wt_fp")
+    )
+    return lineage.critical_path(nodes_w, _data_edges(spark, target))
+
+
 def dbt_run_summary(spark: SparkSession, sf_dir: str, target: str = FIXTURE_TARGET) -> DataFrame:
     """Invocation health rollup over run_results: per-status node count,
     decimal-exact total runtime, slowest node time, rows touched."""

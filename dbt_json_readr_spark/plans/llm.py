@@ -1620,6 +1620,84 @@ FROM qd
 """
 
 
+# ---------------------------------------------------------------- C33
+
+_KM_K, _KM_ITERS = 8, 2
+
+
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations of fixed-point k-means (operators/
+    kmeans.py) — distributed iterative ML whose every step is integer
+    arithmetic, so the oracle replays the identical iterations in SQL
+    and the hashes must agree."""
+    prep(spark)
+    from ..operators import kmeans as KM
+
+    return KM.kmeans_stats(spread(load(spark, sf_dir, "embeddings")), k=_KM_K, iters=_KM_ITERS)
+
+
+def _km_assign_sql(cent: str, name: str) -> str:
+    return f"""{name}_d AS (
+  SELECT c.vec_id, t.cid, CAST(sum((c.qv - t.qc) * (c.qv - t.qc)) AS BIGINT) AS dist
+  FROM comp c JOIN {cent} t USING (dim)
+  GROUP BY c.vec_id, t.cid
+),
+{name} AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT vec_id, cid, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM {name}_d
+  ) WHERE rn = 1
+)"""
+
+
+def _km_update_sql(assigned: str, name: str) -> str:
+    return f"""{name} AS (
+  SELECT a.cid, c.dim,
+         CAST(floor(CAST(sum(c.qv) AS DOUBLE) / count(*)) AS BIGINT) AS qc
+  FROM {assigned} a JOIN comp c USING (vec_id)
+  GROUP BY a.cid, c.dim
+)"""
+
+
+def _kmeans_sql() -> str:
+    from ..operators.kmeans import QUANT as _KMQ
+
+    parts = [
+        f"""e AS (
+  SELECT vec_id, {V.sql_to_double('embedding')} AS v FROM embeddings
+),
+comp AS (
+  SELECT vec_id, CAST(t.dim - 1 AS INTEGER) AS dim,
+         CAST(floor(v[t.dim] * {_KMQ}) AS BIGINT) AS qv
+  FROM e, UNNEST(range(1, len(v)+1)) AS t(dim)
+),
+cent0 AS (
+  SELECT CAST(vec_id AS INTEGER) AS cid, dim, qv AS qc FROM comp WHERE vec_id < {_KM_K}
+)"""
+    ]
+    cent = "cent0"
+    assigned = None
+    for i in range(1, _KM_ITERS + 1):
+        assigned = f"a{i}"
+        parts.append(_km_assign_sql(cent, assigned))
+        cent = f"cent{i}"
+        parts.append(_km_update_sql(assigned, cent))
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT s.cid AS cluster_id, s.n_vecs, s.inertia_fp, ch.centroid_checksum
+FROM (
+  SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs, CAST(sum(dist) AS BIGINT) AS inertia_fp
+  FROM {assigned} GROUP BY cid
+) s
+JOIN (
+  SELECT cid, CAST(sum(qc) AS BIGINT) AS centroid_checksum FROM {cent} GROUP BY cid
+) ch USING (cid)
+ORDER BY cluster_id
+"""
+
+
 ORACLES: dict[str, str] = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
@@ -1652,4 +1730,5 @@ ORACLES: dict[str, str] = {
     "doc_chunk_plan": _chunk_plan_sql(),
     "token_budget_pack": _token_pack_sql(),
     "embedding_quantize": _quantize_sql(),
+    "embedding_kmeans": _kmeans_sql(),
 }

@@ -41,6 +41,7 @@ for _key in [
     "dbt_lineage_closure",
     "dbt_lineage_depth",
     "dbt_pagerank",
+    "dbt_critical_path",
     "dbt_run_summary",
     "dbt_model_fanout",
     "dbt_description_coverage",
@@ -201,6 +202,8 @@ _GATE_PRIORITY = [
     "doc_chunk_plan",
     "token_budget_pack",
     "embedding_quantize",
+    "embedding_kmeans",
+    "dbt_critical_path",
 ]
 
 

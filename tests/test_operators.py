@@ -477,3 +477,80 @@ def test_transition_matrix_rows_sum_to_one(spark):
     out = events_transition_matrix(spark, "/root/testdata/sf0.001")
     sums = out.groupBy("from_type").agg(F.sum("p_transition").alias("s")).collect()
     assert sums and all(abs(r.s - 1.0) < 1e-9 for r in sums)
+
+
+# ------------------------------------------------------------ k-means
+
+
+def embs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_kmeans_recovers_separated_clusters(spark):
+    from dbt_json_readr_spark.operators import kmeans as KM
+
+    # two tight blobs far apart; seeds 0 and 1 land one in each
+    blob_a = [(i, [0.9 + 0.001 * i, 0.0]) for i in range(0, 4)]
+    blob_b = [(i, [-0.9 - 0.001 * i, 0.0]) for i in range(4, 8)]
+    # seed vectors are vec_id 0 (blob a) and 1 (also blob a) — after one
+    # update the far blob pulls a centroid over, classic Lloyd behavior:
+    # use ids 0 and 4 as seeds instead by reordering ids
+    rows = [(0, [0.9, 0.0]), (1, [-0.9, 0.0])] + [
+        (i + 2, v) for i, (j, v) in enumerate(blob_a[1:] + blob_b[1:])
+    ]
+    out = {r.cluster_id: r for r in KM.kmeans_stats(embs(spark, rows), k=2, iters=2).collect()}
+    assert set(out) == {0, 1}
+    assert out[0].n_vecs + out[1].n_vecs == len(rows)
+    # all positive-x vectors together (cluster of seed 0), negatives with seed 1
+    assert out[0].n_vecs == 4 and out[1].n_vecs == 4
+
+
+def test_kmeans_inertia_nonincreasing_over_iterations(spark):
+    from dbt_json_readr_spark.operators import kmeans as KM
+
+    rows = [(i, [((i * 37) % 11) / 11.0, ((i * 53) % 7) / 7.0]) for i in range(24)]
+    e = embs(spark, rows)
+    i1 = sum(r.inertia_fp for r in KM.kmeans_stats(e, k=3, iters=1).collect())
+    i2 = sum(r.inertia_fp for r in KM.kmeans_stats(e, k=3, iters=2).collect())
+    assert i2 <= i1
+
+
+def test_kmeans_total_membership_and_determinism(spark):
+    from dbt_json_readr_spark.operators import kmeans as KM
+
+    rows = [(i, [((i * 29) % 13) / 13.0, ((i * 17) % 5) / 5.0]) for i in range(30)]
+    a = KM.kmeans_stats(embs(spark, rows), k=4, iters=2).collect()
+    b = KM.kmeans_stats(embs(spark, rows).repartition(7), k=4, iters=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # partitioning-independent
+    assert sum(r.n_vecs for r in a) == 30
+
+
+# ------------------------------------------------------------ critical path
+
+
+def test_critical_path_weighted_chain(spark):
+    from dbt_json_readr_spark.operators.lineage import critical_path
+
+    nodes = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("c", 2), ("d", 10)], "unique_id string, wt_fp long"
+    )
+    # c depends on b depends on a; d isolated
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b")], "child_unique_id string, parent_unique_id string"
+    )
+    out = {r.unique_id: r.critical_cost_fp for r in critical_path(nodes, edges).collect()}
+    assert out == {"a": 5, "b": 8, "c": 10, "d": 10}
+
+
+def test_critical_path_takes_max_branch(spark):
+    from dbt_json_readr_spark.operators.lineage import critical_path
+
+    nodes = spark.createDataFrame(
+        [("root1", 1), ("root2", 100), ("sink", 7)], "unique_id string, wt_fp long"
+    )
+    edges = spark.createDataFrame(
+        [("sink", "root1"), ("sink", "root2")],
+        "child_unique_id string, parent_unique_id string",
+    )
+    out = {r.unique_id: r.critical_cost_fp for r in critical_path(nodes, edges).collect()}
+    assert out["sink"] == 107  # longest branch, not the sum of branches
