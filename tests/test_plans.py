@@ -117,3 +117,23 @@ def test_topk_windows_get_partial_group_limit(spark):
         assert "Partial" in plan.split("WindowGroupLimit")[-1] or plan.count("WindowGroupLimit") >= 2, (
             f"{fn.__name__}: no partial (map-side) group limit"
         )
+
+
+def test_kmeans_single_scan_and_bounded_cache(spark):
+    """Iterative k-means must read the embeddings ONCE (comp persists
+    across Lloyd rounds) and leave exactly the two result-backing
+    handles pinned — without the cache discipline the 2-iteration
+    lineage re-derives everything from the scan (measured 9 scans / 60
+    exchanges)."""
+    import re
+
+    from dbt_json_readr_spark.plans import llm
+    from dbt_json_readr_spark.plans.explain import formatted_plan
+
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    df = llm.embedding_kmeans(spark, SF)
+    plan = formatted_plan(df)
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M))
+    assert n_scans <= 1, f"kmeans re-scans the corpus: {n_scans} scans"
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after - before <= 2, f"cache leak: {after - before} pinned handles"
