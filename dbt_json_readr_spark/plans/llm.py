@@ -42,13 +42,18 @@ FROM documents
 # ---------------------------------------------------------------- C2
 
 # τ sits inside the banding curve's high-recall region ON PURPOSE:
-# with r = n/bands = 4 rows/band, P(candidate|j) = 1-(1-j⁴)⁴ ≈ 88% at
-# j=0.8 and ~1.6% at j=0.25.  dedup_lsh_recall MEASURED the r1 setting
-# (τ=0.25) at 1.6% recall — the result was an arbitrary sliver of the
-# corpus's template-similar band, not a dedup.  τ=0.8 is the near-dup
-# contract minhash banding actually delivers (measured recall ≈ 1.0 on
-# this corpus's bimodal pair distribution: j≥0.8 pairs are j≥0.9).
-_MH_K, _MH_N, _MH_BANDS, _MH_TAU = 5, 16, 4, 0.8
+# with r = n/bands = 4 rows/band, P(candidate|j) = 1-(1-j⁴)^b ≈ 80% at
+# j=0.8 (b=3) and ≈ 96% at j=0.9.  dedup_lsh_recall MEASURED the r1
+# setting (τ=0.25) at 1.6% recall — the result was an arbitrary sliver
+# of the corpus's template-similar band, not a dedup.  τ=0.8 is the
+# near-dup contract minhash banding actually delivers (measured recall
+# 1.0 on this corpus's bimodal pair distribution: j≥0.8 pairs are
+# j≥0.9).  (n, bands) re-anchored 16/4 → 12/3 on r3 measurement at
+# sf0.1: SAME r=4 selectivity and identical verified pairs (256), but
+# 25% fewer digests and fewer OR-noise candidates (39.6k vs 49.2k) —
+# 2.6 s → 2.0 s steady.  The rejected direction, r=3 (12/4), keeps the
+# hash saving but 5.8×es the candidate noise (283k) and got SLOWER.
+_MH_K, _MH_N, _MH_BANDS, _MH_TAU = 5, 12, 3, 0.8
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
