@@ -1703,6 +1703,119 @@ ORDER BY cluster_id
 """
 
 
+# ---------------------------------------------------------------- C34
+
+_PCA_ITERS = 5
+
+
+def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding corpus via 5
+    fixed-point power iterations (operators/pca.py) — distributed
+    linear algebra whose every step is integer arithmetic; the oracle
+    replays the identical Gram-matrix build and iterations in SQL."""
+    prep(spark)
+    from ..operators import pca
+
+    return pca.power_iteration_topvec(
+        spread(load(spark, sf_dir, "embeddings")), iters=_PCA_ITERS
+    )
+
+
+def _power_iter_sql() -> str:
+    from ..operators.kmeans import QUANT as _Q
+
+    parts = [
+        f"""e AS (
+  SELECT vec_id, {V.sql_to_double('embedding')} AS v FROM embeddings
+),
+comp AS (
+  SELECT vec_id, CAST(t.dim - 1 AS INTEGER) AS dim,
+         CAST(floor(v[t.dim] * {_Q}) AS BIGINT) AS qv
+  FROM e, UNNEST(range(1, len(v)+1)) AS t(dim)
+),
+means AS (
+  SELECT dim, CAST(sum(qv) // count(*) AS BIGINT) AS m FROM comp GROUP BY dim
+),
+centered AS (
+  SELECT c.vec_id, c.dim, c.qv - m.m AS qc FROM comp c JOIN means m USING (dim)
+),
+cov AS (
+  SELECT a.dim AS i, b.dim AS j, CAST(sum(a.qc * b.qc) // count(*) AS BIGINT) AS c
+  FROM centered a JOIN centered b USING (vec_id) GROUP BY a.dim, b.dim
+),
+x0 AS (
+  SELECT DISTINCT i AS dim, CAST({_Q} AS BIGINT) AS x FROM cov
+)"""
+    ]
+    prev = "x0"
+    for it in range(1, _PCA_ITERS + 1):
+        parts.append(
+            f"""y{it} AS (
+  SELECT cov.i, CAST(sum((cov.c * x.x) // {_Q}) AS BIGINT) AS y
+  FROM cov JOIN {prev} x ON x.dim = cov.j GROUP BY cov.i
+),
+x{it} AS (
+  SELECT y.i AS dim, CAST(y.y // greatest(m.mx // {_Q}, 1) AS BIGINT) AS x
+  FROM y{it} y CROSS JOIN (SELECT max(abs(y)) AS mx FROM y{it}) m
+)"""
+        )
+        prev = f"x{it}"
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT dim, x AS eigvec_fp FROM {prev} ORDER BY dim
+"""
+
+
+# ---------------------------------------------------------------- C35
+
+
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-eval confusion matrix for the language-ID heuristic:
+    (labeled, predicted) counts plus per-label recall share — the
+    quality gate a filtering pipeline needs before trusting a cheap
+    classifier to route a 100 TB corpus.  Single scan + a |langs|²
+    rollup."""
+    prep(spark)
+    docs = spread(load(spark, sf_dir, "documents"))
+    lang, _score = X.predict_lang(F.col("text"))
+    pred = docs.select(F.col("lang").alias("labeled_lang"), lang.alias("predicted_lang"))
+    counts = pred.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    totals = counts.groupBy("labeled_lang").agg(F.sum("n_docs").cast("long").alias("n_label"))
+    return (
+        counts.join(totals, "labeled_lang")
+        .select(
+            "labeled_lang",
+            "predicted_lang",
+            "n_docs",
+            (F.col("n_docs").cast("double") / F.col("n_label").cast("double")).alias("share"),
+        )
+        .orderBy("labeled_lang", "predicted_lang")
+    )
+
+
+def _langid_confusion_sql() -> str:
+    lang_expr, _ = X.sql_predict_lang(H.sql_tokens("text"))
+    return f"""
+WITH pred AS (
+  SELECT lang AS labeled_lang, {lang_expr} AS predicted_lang FROM documents
+),
+counts AS (
+  SELECT labeled_lang, predicted_lang, count(*) AS n_docs
+  FROM pred GROUP BY labeled_lang, predicted_lang
+),
+totals AS (
+  SELECT labeled_lang, CAST(sum(n_docs) AS BIGINT) AS n_label FROM counts GROUP BY labeled_lang
+)
+SELECT c.labeled_lang, c.predicted_lang, c.n_docs,
+       CAST(c.n_docs AS DOUBLE) / CAST(t.n_label AS DOUBLE) AS share
+FROM counts c JOIN totals t USING (labeled_lang)
+ORDER BY labeled_lang, predicted_lang
+"""
+
+
 ORACLES: dict[str, str] = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
@@ -1736,4 +1849,6 @@ ORACLES: dict[str, str] = {
     "token_budget_pack": _token_pack_sql(),
     "embedding_quantize": _quantize_sql(),
     "embedding_kmeans": _kmeans_sql(),
+    "embedding_power_iteration": _power_iter_sql(),
+    "text_langid_confusion": _langid_confusion_sql(),
 }

@@ -554,3 +554,26 @@ def test_critical_path_takes_max_branch(spark):
     )
     out = {r.unique_id: r.critical_cost_fp for r in critical_path(nodes, edges).collect()}
     assert out["sink"] == 107  # longest branch, not the sum of branches
+
+
+# ------------------------------------------------------------ PCA
+
+
+def test_power_iteration_finds_dominant_axis(spark):
+    from dbt_json_readr_spark.operators.pca import power_iteration_topvec
+
+    # variance overwhelmingly along dim 1 (values ±0.5), noise on dim 0
+    rows = [(i, [0.001 * ((i * 7) % 5), 0.5 if i % 2 else -0.5, 0.0]) for i in range(40)]
+    out = {r.dim: r.eigvec_fp for r in power_iteration_topvec(embs(spark, rows), iters=5).collect()}
+    assert set(out) == {0, 1, 2}
+    assert abs(out[1]) == max(abs(v) for v in out.values())  # dominant axis wins
+    assert abs(out[1]) >= 100 * max(1, abs(out[2]))  # and by a wide margin
+
+
+def test_power_iteration_partitioning_independent(spark):
+    from dbt_json_readr_spark.operators.pca import power_iteration_topvec
+
+    rows = [(i, [((i * 13) % 7) / 7.0 - 0.5, ((i * 5) % 3) / 3.0, 0.25]) for i in range(30)]
+    a = power_iteration_topvec(embs(spark, rows), iters=4).collect()
+    b = power_iteration_topvec(embs(spark, rows).repartition(11), iters=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
