@@ -136,6 +136,11 @@ register(
     streaming_jobs.streaming_stream_join,
     streaming_jobs.STREAMING_STREAM_JOIN_SQL,
 )
+register(
+    "streaming_sliding_window",
+    streaming_jobs.streaming_sliding_window,
+    streaming_jobs.STREAMING_SLIDING_WINDOW_SQL,
+)
 
 
 # -------------------------------------------------------------------

@@ -441,3 +441,48 @@ JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
  AND p.ts >= c.ts
  AND p.ts <= c.ts + INTERVAL 10 MINUTE
 """
+
+
+# ---------------------------------------------------------------- D8
+
+
+def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping event-time windows: 10-minute windows sliding every
+    5 minutes (each event lands in exactly two), per event_type — the
+    shape behind rate alerting and trend detection, distinct from D1's
+    tumbling partitions.  Watermark bounds state to the slide horizon;
+    state per key is (window ÷ slide) entries, constant in stream
+    length."""
+    prep(spark)
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run_to_memory(agg, "stream_sliding_window", "complete")
+
+
+# batch replay: every event belongs to the two 10-min windows starting
+# at floor5(ts) and floor5(ts) - 5 min — enumerated with UNION ALL, the
+# relational unfolding of the sliding window
+STREAMING_SLIDING_WINDOW_SQL = """
+WITH placed AS (
+  SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start, event_type, value FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE, event_type, value FROM events
+)
+SELECT window_start, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM placed
+GROUP BY 1, 2
+"""
