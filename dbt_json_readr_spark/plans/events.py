@@ -949,6 +949,112 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------- B41
+
+
+def customer_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile segmentation: ntile(10) over per-customer order revenue
+    within each market segment, rolled up to per-decile stats.  Covers
+    the distribution-window family (ntile) the row_number/lag/cumsum
+    keys don't.  Ties are broken by c_custkey so the decile assignment
+    is deterministic cross-engine.  Scale shape: one shuffle for the
+    per-customer agg, one for the segment window — the window state is
+    a single pass per segment partition (no buffering beyond ntile's
+    counters); the rollup reuses the window's partitioning."""
+    prep(spark)
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(F.sum(_dec("o_totalprice")).alias("revenue"))
+    joined = cust.join(rev, cust.c_custkey == rev.o_custkey).select(
+        "c_mktsegment", "c_custkey", "revenue"
+    )
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    deciled = joined.withColumn("decile", F.ntile(10).over(w))
+    return (
+        deciled.groupBy("c_mktsegment", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("revenue").cast("double").alias("decile_revenue"),
+            F.min("revenue").cast("double").alias("min_revenue"),
+            F.max("revenue").cast("double").alias("max_revenue"),
+        )
+        .orderBy("c_mktsegment", "decile")
+    )
+
+
+CUSTOMER_REVENUE_DECILES_SQL = """
+WITH rev AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS revenue
+  FROM orders GROUP BY o_custkey
+),
+d AS (
+  SELECT c.c_mktsegment, c.c_custkey, r.revenue,
+         CAST(ntile(10) OVER (PARTITION BY c.c_mktsegment
+                              ORDER BY r.revenue DESC, c.c_custkey) AS INTEGER) AS decile
+  FROM customer c JOIN rev r ON r.o_custkey = c.c_custkey
+)
+SELECT c_mktsegment, decile, count(*) AS n_customers,
+       CAST(sum(revenue) AS DOUBLE) AS decile_revenue,
+       CAST(min(revenue) AS DOUBLE) AS min_revenue,
+       CAST(max(revenue) AS DOUBLE) AS max_revenue
+FROM d
+GROUP BY c_mktsegment, decile
+ORDER BY c_mktsegment, decile
+"""
+
+
+# ---------------------------------------------------------------- B42
+
+
+def events_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user consecutive-day activity streaks via
+    the classic day − row_number() island key (pure window arithmetic —
+    no self-join, no iteration).  Output: days active, streak count,
+    longest streak per user.  Scale shape: one distinct shuffle on
+    (user_id, day) — already tiny vs raw events — then a user-partition
+    window and two flat aggs that reuse its partitioning."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    isl = days.withColumn(
+        "grp",
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+        - F.row_number().over(w),
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("streak_len"))
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.sum("streak_len").alias("n_days"),
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.max("streak_len").alias("longest_streak"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_GAP_ISLANDS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+isl AS (
+  SELECT user_id, day,
+         datediff('day', DATE '1970-01-01', day)
+           - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM days
+),
+streaks AS (
+  SELECT user_id, grp, count(*) AS streak_len FROM isl GROUP BY user_id, grp
+)
+SELECT user_id,
+       CAST(sum(streak_len) AS BIGINT) AS n_days,
+       count(*) AS n_streaks,
+       max(streak_len) AS longest_streak
+FROM streaks GROUP BY user_id ORDER BY user_id
+"""
+
+
 EVENTS_TRANSITION_SQL = """
 WITH steps AS (
   SELECT user_id, event_type AS from_type,

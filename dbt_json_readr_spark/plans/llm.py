@@ -148,7 +148,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _token_jaccard_sql() -> str:
+def _token_jaccard_sql(tau: float = _TJ_TAU) -> str:
     toks = f"list_distinct({H.sql_tokens('text')})"
     return f"""
 WITH t0 AS (
@@ -162,7 +162,7 @@ t AS (
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        len(list_intersect(a.tok, b.tok))::DOUBLE / len(list_distinct(a.tok || b.tok))::DOUBLE AS jaccard
 FROM t a JOIN t b ON a.block = b.block AND a.doc_id < b.doc_id
-WHERE len(list_intersect(a.tok, b.tok))::DOUBLE / len(list_distinct(a.tok || b.tok))::DOUBLE >= {_TJ_TAU}
+WHERE len(list_intersect(a.tok, b.tok))::DOUBLE / len(list_distinct(a.tok || b.tok))::DOUBLE >= {tau}
 """
 
 
@@ -1816,6 +1816,233 @@ ORDER BY labeled_lang, predicted_lang
 """
 
 
+# ---------------------------------------------------------------- C36
+
+_BPE_TOPK = 20
+
+
+def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge step — the tokenizer-training primitive: global
+    counts of adjacent character pairs within whitespace tokens, top-20
+    by frequency.  Scale shape: the exploded pair stream map-side
+    combines into a vocabulary bounded by |charset|² (a few thousand
+    rows regardless of corpus size), so the final global-order window
+    runs over a tiny aggregate, never the corpus."""
+    prep(spark)
+    from pyspark.sql import Window as W
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    tok = docs.select(F.explode(H.tokens(F.col("text"))).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = tok.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    w = W.orderBy(F.col("n_occurrences").desc(), F.col("pair"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _BPE_TOPK)
+        .select("rank", "pair", "n_occurrences")
+        .orderBy("rank")
+    )
+
+
+def _bpe_pair_sql() -> str:
+    toks = H.sql_tokens("text")
+    return f"""
+WITH tok AS (
+  SELECT unnest({toks}) AS w FROM documents
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(w)), i -> substr(w, i, 2))) AS pair
+  FROM tok WHERE len(w) >= 2
+),
+counts AS (SELECT pair, count(*) AS n_occurrences FROM pairs GROUP BY pair)
+SELECT rank, pair, n_occurrences FROM (
+  SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, pair) AS INTEGER) AS rank,
+         pair, n_occurrences
+  FROM counts
+) WHERE rank <= {_BPE_TOPK}
+ORDER BY rank
+"""
+
+
+# ---------------------------------------------------------------- C37
+
+_SPAN_N = 8
+_SPAN_FLAG = 0.5
+
+
+def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span detection — the 'dedup training data at
+    the substring level' primitive: for every doc, how many of its
+    8-token windows (stride 1, so any alignment is caught) also occur
+    in at least one other document.  Scale shape: the classic
+    exact-substring MapReduce — only 60-bit span hashes cross the
+    shuffle (8 B/row, never gram strings), doc frequency is one
+    hash-partitioned count, and the join back to docs rides the same
+    partitioning.  No pairwise comparisons anywhere."""
+    prep(spark)
+    docs = spread(load(spark, sf_dir, "documents"))
+    toks = H.tokens(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(toks) - (_SPAN_N - 1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, _SPAN_N)),
+    )
+    spans = docs.select(
+        "doc_id",
+        F.array_distinct(F.transform(grams, lambda g: H.hash64(g, "span"))).alias("sh"),
+    )
+    ds = spans.select(
+        "doc_id", F.size("sh").cast("long").alias("n_spans"), F.explode("sh").alias("s")
+    )
+    freq = ds.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    shared = F.sum((F.col("df") >= 2).cast("long"))
+    return (
+        ds.join(freq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_spans").alias("n_spans"),
+            shared.alias("n_shared_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_shared_spans",
+            (
+                F.col("n_shared_spans").cast("double") / F.col("n_spans").cast("double")
+            ).alias("shared_frac"),
+            (
+                F.col("n_shared_spans").cast("double")
+                >= F.lit(_SPAN_FLAG) * F.col("n_spans").cast("double")
+            ).alias("is_dup_heavy"),
+        )
+    )
+
+
+def _dup_spans_sql() -> str:
+    toks = H.sql_tokens("text")
+    grams = (
+        f"list_transform(range(1, greatest(1, len({toks}) - {_SPAN_N - 1}) + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {_SPAN_N - 1}), ' '))"
+    )
+    return f"""
+WITH spans AS (
+  SELECT doc_id,
+         list_distinct(list_transform({grams}, g -> {H.sql_hash64('g', 'span')})) AS sh
+  FROM documents
+),
+ds AS (SELECT doc_id, len(sh) AS n_spans, unnest(sh) AS s FROM spans),
+freq AS (SELECT s, count(*) AS df FROM ds GROUP BY s)
+SELECT d.doc_id,
+       CAST(max(d.n_spans) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_spans,
+       CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(max(d.n_spans) AS DOUBLE) AS shared_frac,
+       CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         >= {_SPAN_FLAG} * CAST(max(d.n_spans) AS DOUBLE) AS is_dup_heavy
+FROM ds d JOIN freq f USING (s)
+GROUP BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------- C38
+
+_CURVE_TAUS = [0.5, 0.6, 0.7, 0.8, 0.9]
+
+
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sweep evidence for picking a dedup τ: verified pair
+    counts at five jaccard thresholds from ONE pass over the exact
+    within-block pair set (same machinery as C4) — five conditional
+    sums in a single aggregate, unpivoted with ``stack``.  This is the
+    curve an operator reads before committing a 100 TB dedup to a
+    threshold; computing it costs one pair-set pass, not five."""
+    prep(spark)
+    pairs = D.token_jaccard_pairs(
+        load(spark, sf_dir, "documents"), block_col="lang", threshold=min(_CURVE_TAUS)
+    )
+    agg = pairs.agg(
+        *[
+            F.coalesce(F.sum((F.col("jaccard") >= F.lit(t)).cast("long")), F.lit(0))
+            .cast("long")
+            .alias(f"n{i}")
+            for i, t in enumerate(_CURVE_TAUS)
+        ]
+    )
+    stack_args = ", ".join(f"CAST({t} AS DOUBLE), n{i}" for i, t in enumerate(_CURVE_TAUS))
+    return agg.select(
+        F.expr(f"stack({len(_CURVE_TAUS)}, {stack_args}) AS (threshold, n_pairs)")
+    ).orderBy("threshold")
+
+
+def _threshold_curve_sql() -> str:
+    taus = ", ".join(f"{t}e0" for t in _CURVE_TAUS)
+    return f"""
+WITH pairs AS ({_token_jaccard_sql(tau=min(_CURVE_TAUS))}),
+t AS (SELECT unnest([{taus}]) AS threshold)
+SELECT t.threshold,
+       CAST(coalesce(sum(CASE WHEN p.jaccard >= t.threshold THEN 1 END), 0) AS BIGINT)
+         AS n_pairs
+FROM t LEFT JOIN pairs p ON true
+GROUP BY t.threshold
+ORDER BY t.threshold
+"""
+
+
+# ---------------------------------------------------------------- C39
+
+
+def corpus_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two token-length histogram per source — the batch-shape
+    / padding-waste planning view for training: docs and token mass per
+    [2^(b-1), 2^b) bucket.  The bucket is the integer bit length of the
+    token count (via base-2 string conversion) — integer-exact on both
+    engines, no floor(log2(double)) boundary risk at exact powers of
+    two.  Single scan, map-side combine into |sources|×64 rows."""
+    prep(spark)
+    docs = spread(load(spark, sf_dir, "documents"))
+    n = F.size(H.tokens(F.col("text")))
+    bits = F.length(F.conv(n.cast("string"), 10, 2)).cast("integer")
+    d = docs.select(
+        "source", n.cast("long").alias("n_tokens"), bits.alias("bucket_bits")
+    )
+    return (
+        d.groupBy("source", "bucket_bits")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy("source", "bucket_bits")
+    )
+
+
+def _token_histogram_sql() -> str:
+    toks = H.sql_tokens("text")
+    n = f"CAST(len({toks}) AS BIGINT)"
+    return f"""
+WITH d AS (
+  SELECT source, {n} AS n_tokens,
+         CAST(length(bin({n})) AS INTEGER) AS bucket_bits
+  FROM documents
+)
+SELECT source, bucket_bits, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       min(n_tokens) AS min_tokens,
+       max(n_tokens) AS max_tokens
+FROM d GROUP BY source, bucket_bits
+ORDER BY source, bucket_bits
+"""
+
+
 ORACLES: dict[str, str] = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
@@ -1851,4 +2078,8 @@ ORACLES: dict[str, str] = {
     "embedding_kmeans": _kmeans_sql(),
     "embedding_power_iteration": _power_iter_sql(),
     "text_langid_confusion": _langid_confusion_sql(),
+    "bpe_pair_stats": _bpe_pair_sql(),
+    "text_dup_spans": _dup_spans_sql(),
+    "dedup_threshold_curve": _threshold_curve_sql(),
+    "corpus_token_histogram": _token_histogram_sql(),
 }
