@@ -147,6 +147,7 @@ register(
     streaming_jobs.streaming_sliding_window,
     streaming_jobs.STREAMING_SLIDING_WINDOW_SQL,
 )
+register("streaming_topk", streaming_jobs.streaming_topk, streaming_jobs.STREAMING_TOPK_SQL)
 
 
 # -------------------------------------------------------------------
@@ -188,6 +189,7 @@ _NEVER_GATED = [
     "text_dup_spans",
     "dedup_threshold_curve",
     "corpus_token_histogram",
+    "streaming_topk",
 ]
 
 # r1-green revalidation sentinels, most-load-bearing first; the tail is

@@ -61,6 +61,29 @@ def read_jsonl(
     )
 
 
+def read_orc(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Schema-asserted ORC scan — same pushdown/pruning contract as
+    parquet (ORC carries min/max stripe stats Spark's reader uses), for
+    lakes standardized on ORC instead of parquet."""
+    return spark.read.schema(schema).orc(path)
+
+
+def read_text(
+    spark: SparkSession, path: str, wholetext: bool = False
+) -> DataFrame:
+    """Raw text corpus reader: one row per LINE (splittable — the right
+    layout for big line-oriented corpora) or one row per FILE
+    (``wholetext=True``; the unit of parallelism becomes the file, as
+    with multiline JSON).  Emits (value, file) so downstream doc ids
+    can be derived deterministically from provenance, not row order."""
+    from pyspark.sql import functions as F
+
+    # NB: must be the .text() keyword — a .option("wholetext", …) string
+    # is silently ignored by the text datasource
+    df = spark.read.text(path, wholetext=wholetext)
+    return df.select(F.col("value"), F.input_file_name().alias("file"))
+
+
 def read_json_multiline(
     spark: SparkSession, path: str, schema: T.StructType, mode: str = "PERMISSIVE"
 ) -> DataFrame:

@@ -471,6 +471,79 @@ def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "stream_sliding_window", "complete")
 
 
+# ---------------------------------------------------------------- D9
+
+_TOPK_K = 5
+
+
+def _topk_state_func(key, pdfs, state):
+    """Per-type top-k in explicit state.  Selection, not accumulation:
+    float values pass through exactly (no summation drift), and the
+    (value desc, event_id asc) order makes the retained set — and
+    therefore the emitted rows — independent of micro-batch boundaries
+    and row order."""
+    import pandas as pd
+
+    if state.exists:
+        vals, ids = list(state.get[0]), list(state.get[1])
+    else:
+        vals, ids = [], []
+    for pdf in pdfs:
+        vals.extend(float(v) for v in pdf["value"])
+        ids.extend(int(i) for i in pdf["event_id"])
+    order = sorted(range(len(vals)), key=lambda i: (-vals[i], ids[i]))[:_TOPK_K]
+    vals = [vals[i] for i in order]
+    ids = [ids[i] for i in order]
+    state.update((vals, ids))
+    yield pd.DataFrame(
+        {
+            "event_type": key[0],
+            "rank": pd.Series(range(1, len(ids) + 1), dtype="int32"),
+            "event_id": ids,
+            "value": vals,
+        }
+    )
+
+
+def topk_per_type(ev: DataFrame) -> DataFrame:
+    """Wire any events stream through the stateful top-k operator
+    (separate so tests can drive it with a multi-file source and prove
+    the retained set merges across micro-batches)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return ev.groupBy("event_type").applyInPandasWithState(
+        _topk_state_func,
+        outputStructType="event_type string, rank integer, event_id long, value double",
+        stateStructType="vals array<double>, ids array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming leaderboard: per event_type, the running top-5 events
+    by value held in keyed state — the continuous-top-k shape (alert on
+    new extremes, live rankings) that Spark's built-in streaming aggs
+    can't express because rank/row_number aren't supported on streams.
+    State per key is O(k): each batch folds into the retained k-set and
+    the rest of the batch is forgotten — constant state regardless of
+    stream length, no watermark needed."""
+    prep(spark)
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    return _run_to_memory(topk_per_type(ev), "stream_topk", "update")
+
+
+STREAMING_TOPK_SQL = f"""
+SELECT event_type, rank, event_id, value FROM (
+  SELECT event_type, event_id, value,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY value DESC, event_id) AS INTEGER) AS rank
+  FROM events
+) WHERE rank <= {_TOPK_K}
+ORDER BY event_type, rank
+"""
+
+
 # batch replay: every event belongs to the two 10-min windows starting
 # at floor5(ts) and floor5(ts) - 5 min — enumerated with UNION ALL, the
 # relational unfolding of the sliding window

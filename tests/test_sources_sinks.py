@@ -156,3 +156,30 @@ def test_write_training_shards_layout_and_order(spark, tmp_path):
         ).collect()
     }
     assert ids == sorted(ids, key=lambda d: (hashes[d], d))
+
+
+def test_read_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC roundtrip keeps values and the scan accepts pushed filters
+    (PushedFilters shows up in the formatted plan like parquet)."""
+    src = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("k"), (F.col("id") * 2.5).alias("v")
+    )
+    path = str(tmp_path / "orc")
+    src.write.orc(path)
+    back = files.read_orc(spark, path, src.schema)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in src.collect()
+    )
+    plan = formatted_plan(back.filter(F.col("k") == 3).select("id"))
+    assert "PushedFilters: [" in plan and "EqualTo(k,3)" in plan
+
+
+def test_read_text_lines_and_wholetext(spark, tmp_path):
+    (tmp_path / "a.txt").write_text("line one\nline two\n")
+    (tmp_path / "b.txt").write_text("solo doc\nsecond line\n")
+    lines = files.read_text(spark, str(tmp_path))
+    assert lines.count() == 4
+    assert set(lines.columns) == {"value", "file"}
+    whole = files.read_text(spark, str(tmp_path), wholetext=True)
+    rows = {r.file.rsplit("/", 1)[-1]: r.value for r in whole.collect()}
+    assert rows["b.txt"] == "solo doc\nsecond line\n"

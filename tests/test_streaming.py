@@ -195,3 +195,67 @@ def test_streaming_enrich_segments_matches_batch(spark):
         "event_type",
     )
     assert got == want
+
+
+def test_streaming_topk_state_merges_across_micro_batches(spark, tmp_path):
+    """The global top-5 per type must survive a 2-batch split: an event
+    from batch 1 that belongs in the final top-5 can only be emitted
+    after batch 2 if the retained k-set carried it in state."""
+    import glob
+    import shutil
+
+    from pyspark.sql import Window as W
+
+    ev = load(spark, SF, "events")
+    for i, pred in enumerate(["event_id % 2 = 0", "event_id % 2 = 1"]):
+        part_dir = str(tmp_path / f"w{i}")
+        ev.filter(pred).coalesce(1).write.parquet(part_dir)
+        [f] = glob.glob(f"{part_dir}/part-*.parquet")
+        shutil.move(f, tmp_path / f"events_{i}.parquet")
+        shutil.rmtree(part_dir)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events_*.parquet")
+        .parquet(str(tmp_path))
+        .withWatermark("ts", "1 hour")
+    )
+    out = jobs._run_to_memory(jobs.topk_per_type(stream), "stream_topk_mb", "update")
+    emitted = {tuple(r) for r in out.collect()}
+    # two emits per type — proof two micro-batches ran
+    assert len(emitted) > out.select("event_type").distinct().count() * jobs._TOPK_K / 2
+    w = W.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id"))
+    want = {
+        tuple(r)
+        for r in ev.select(
+            "event_type",
+            F.row_number().over(w).alias("rank"),
+            "event_id",
+            "value",
+        )
+        .filter(F.col("rank") <= jobs._TOPK_K)
+        .collect()
+    }
+    # the full-data top-5 includes batch-1 events; batch 2 alone could
+    # not have emitted them
+    assert want <= emitted
+
+
+def test_streaming_topk_matches_batch_oracle(spark):
+    got = _rows(jobs.streaming_topk(spark, SF), "event_type", "rank")
+    ev = load(spark, SF, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id"))
+    want = _rows(
+        ev.select(
+            "event_type",
+            F.row_number().over(w).cast("integer").alias("rank"),
+            "event_id",
+            "value",
+        ).filter(F.col("rank") <= jobs._TOPK_K),
+        "event_type",
+        "rank",
+    )
+    assert got == want
