@@ -1055,6 +1055,200 @@ FROM streaks GROUP BY user_id ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------- B43
+
+
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase is credited to the user's
+    most recent non-purchase event at or before it (the as-of operator,
+    B13's machinery, pointed at a marketing question), rolled up to
+    attributed value per touch type.  Touches are pre-deduplicated to
+    one per (user, ts) with a deterministic max_by(event_id) rule — the
+    as-of contract requires a unique right side.  Scale shape: one
+    shuffle on user_id for the tagged union + window; the rollup is a
+    five-row aggregate."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    touches = (
+        ev.filter(F.col("event_type") != "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("event_type", "event_id").alias("event_type"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    j = asof_join(purchases, touches, on="user_id", right_cols=["event_type"])
+    return (
+        j.groupBy(F.coalesce("event_type_asof", F.lit("none")).alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias(
+                "attributed_value"
+            ),
+        )
+        .orderBy("touch_type")
+    )
+
+
+EVENTS_ATTRIBUTION_SQL = """
+WITH touches AS (
+  SELECT user_id, ts, arg_max(event_type, event_id) AS event_type
+  FROM events WHERE event_type <> 'purchase'
+  GROUP BY user_id, ts
+),
+purch AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+attributed AS (
+  SELECT p.event_id, p.value,
+         (SELECT t.event_type FROM touches t
+          WHERE t.user_id = p.user_id AND t.ts <= p.ts
+          ORDER BY t.ts DESC LIMIT 1) AS touch_type
+  FROM purch p
+)
+SELECT coalesce(touch_type, 'none') AS touch_type,
+       count(*) AS n_purchases,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS attributed_value
+FROM attributed GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------- B44
+
+
+def customer_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-standing windows: percent_rank and cume_dist of each
+    customer's revenue within their market segment — the distribution
+    functions B41's ntile doesn't cover.  Both are rank-based on the
+    revenue ORDER alone (ties share a value on both engines), so no
+    tie-break column is needed for determinism."""
+    prep(spark)
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(F.sum(_dec("o_totalprice")).alias("revenue"))
+    joined = cust.join(rev, cust.c_custkey == rev.o_custkey).select(
+        "c_mktsegment", "c_custkey", "revenue"
+    )
+    w = W.partitionBy("c_mktsegment").orderBy("revenue")
+    return joined.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_dist"),
+    ).orderBy("c_mktsegment", "c_custkey")
+
+
+CUSTOMER_PERCENTILE_RANK_SQL = """
+WITH rev AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS revenue
+  FROM orders GROUP BY o_custkey
+)
+SELECT c.c_mktsegment, c.c_custkey,
+       CAST(r.revenue AS DOUBLE) AS revenue,
+       percent_rank() OVER (PARTITION BY c.c_mktsegment ORDER BY r.revenue) AS pct_rank,
+       cume_dist() OVER (PARTITION BY c.c_mktsegment ORDER BY r.revenue) AS cume_dist
+FROM customer c JOIN rev r ON r.o_custkey = c.c_custkey
+ORDER BY c.c_mktsegment, c.c_custkey
+"""
+
+
+# ---------------------------------------------------------------- B45
+
+
+def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: revenue over every combination of (market
+    segment, order priority) including both one-dimension margins and
+    the grand total — the full-lattice complement of B7's ROLLUP.
+    Grouping-set aggregation is a single shuffle (Spark expands the
+    lattice map-side); NULL group keys are disambiguated with explicit
+    GROUPING() flags, coalesced to '(all)' so the contract has no NULL
+    semantics to argue about."""
+    prep(spark)
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = load(spark, sf_dir, "orders")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    return (
+        j.cube("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.grouping("c_mktsegment").cast("integer").alias("is_seg_margin"),
+            F.grouping("o_orderpriority").cast("integer").alias("is_prio_margin"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+        )
+        .select(
+            F.coalesce("c_mktsegment", F.lit("(all)")).alias("mktsegment"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("orderpriority"),
+            "is_seg_margin",
+            "is_prio_margin",
+            "n_orders",
+            "revenue",
+        )
+        .orderBy("mktsegment", "orderpriority")
+    )
+
+
+REVENUE_CUBE_SQL = """
+SELECT coalesce(c_mktsegment, '(all)') AS mktsegment,
+       coalesce(o_orderpriority, '(all)') AS orderpriority,
+       CAST(GROUPING(c_mktsegment) AS INTEGER) AS is_seg_margin,
+       CAST(GROUPING(o_orderpriority) AS INTEGER) AS is_prio_margin,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY CUBE (c_mktsegment, o_orderpriority)
+ORDER BY mktsegment, orderpriority
+"""
+
+
+# ---------------------------------------------------------------- B46
+
+
+def order_year_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational set operators as first-class citizens: the 1994 vs
+    1995 customer cohorts compared with INTERSECT / EXCEPT (retained,
+    churned, acquired).  Distinct-key inputs make INTERSECT/EXCEPT and
+    their ALL variants coincide, so the contract is unambiguous.  Scale
+    shape: set ops hash-shuffle on the full row — here a single bigint
+    key — and AQE picks the build side."""
+    prep(spark)
+    orders = load(spark, sf_dir, "orders")
+
+    def cohort(year: int) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == year)
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y94, y95 = cohort(1994), cohort(1995)
+
+    def tagged(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_customers")).select(
+            F.lit(name).alias("cohort"), "n_customers"
+        )
+
+    return (
+        tagged("both", y94.intersect(y95))
+        .unionByName(tagged("only_1994", y94.subtract(y95)))
+        .unionByName(tagged("only_1995", y95.subtract(y94)))
+        .orderBy("cohort")
+    )
+
+
+ORDER_YEAR_SET_OPS_SQL = """
+WITH y94 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1994),
+     y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995)
+SELECT 'both' AS cohort, count(*) AS n_customers
+FROM (SELECT * FROM y94 INTERSECT SELECT * FROM y95)
+UNION ALL
+SELECT 'only_1994', count(*)
+FROM (SELECT * FROM y94 EXCEPT SELECT * FROM y95)
+UNION ALL
+SELECT 'only_1995', count(*)
+FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y94)
+ORDER BY cohort
+"""
+
+
 EVENTS_TRANSITION_SQL = """
 WITH steps AS (
   SELECT user_id, event_type AS from_type,

@@ -2043,6 +2043,87 @@ ORDER BY source, bucket_bits
 """
 
 
+# ---------------------------------------------------------------- C40
+
+# funnel stage predicates (cumulative ANDs, all per-row column exprs)
+_FUNNEL_MIN_CHARS = 100
+_FUNNEL_MIN_TOKENS = 20
+_FUNNEL_MIN_DISTINCT = 0.3
+_FUNNEL_TOKLEN_LO, _FUNNEL_TOKLEN_HI = 3.0, 12.0
+
+
+def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-yield funnel — the pipeline-dashboard view every training
+    corpus build needs: how many docs survive each successive quality
+    gate (min chars → min tokens → distinct-token ratio → mean token
+    length), as cumulative counts and yield fractions.  All four gates
+    are per-row column expressions, so the whole funnel is ONE corpus
+    scan with five conditional sums, unpivoted to stage rows."""
+    prep(spark)
+    docs = spread(load(spark, sf_dir, "documents"))
+    toks = H.tokens(F.col("text"))
+    n_tok = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok.cast("double")
+    mean_toklen = (F.length(F.concat_ws("", toks))).cast("double") / n_tok.cast("double")
+    s1 = F.col("n_chars") >= _FUNNEL_MIN_CHARS
+    s2 = s1 & (n_tok >= _FUNNEL_MIN_TOKENS)
+    s3 = s2 & (distinct_ratio >= _FUNNEL_MIN_DISTINCT)
+    s4 = s3 & mean_toklen.between(_FUNNEL_TOKLEN_LO, _FUNNEL_TOKLEN_HI)
+    stages = [
+        ("0_total", F.lit(True)),
+        ("1_min_chars", s1),
+        ("2_min_tokens", s2),
+        ("3_distinct_ratio", s3),
+        ("4_token_length", s4),
+    ]
+    agg = docs.agg(
+        *[F.sum(pred.cast("long")).alias(f"n{i}") for i, (_, pred) in enumerate(stages)]
+    )
+    stack_args = ", ".join(f"'{name}', n{i}" for i, (name, _) in enumerate(stages))
+    return agg.select(
+        F.expr(f"stack({len(stages)}, {stack_args}) AS (stage, n_docs)"),
+        F.col("n0").alias("_total"),
+    ).select(
+        "stage",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.col("_total").cast("double")).alias("yield_frac"),
+    ).orderBy("stage")
+
+
+def _quality_funnel_sql() -> str:
+    toks = H.sql_tokens("text")
+    n_tok = f"len({toks})"
+    distinct_ratio = f"CAST(len(list_distinct({toks})) AS DOUBLE) / CAST({n_tok} AS DOUBLE)"
+    mean_toklen = (
+        f"CAST(len(array_to_string({toks}, '')) AS DOUBLE) / CAST({n_tok} AS DOUBLE)"
+    )
+    s1 = f"(n_chars >= {_FUNNEL_MIN_CHARS})"
+    s2 = f"({s1} AND {n_tok} >= {_FUNNEL_MIN_TOKENS})"
+    s3 = f"({s2} AND {distinct_ratio} >= {_FUNNEL_MIN_DISTINCT})"
+    s4 = (
+        f"({s3} AND {mean_toklen} BETWEEN {_FUNNEL_TOKLEN_LO} AND {_FUNNEL_TOKLEN_HI})"
+    )
+    preds = [("0_total", "true"), ("1_min_chars", s1), ("2_min_tokens", s2),
+             ("3_distinct_ratio", s3), ("4_token_length", s4)]
+    sums = ",\n         ".join(
+        f"CAST(sum(CASE WHEN {p} THEN 1 ELSE 0 END) AS BIGINT) AS n{i}"
+        for i, (_, p) in enumerate(preds)
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT '{name}' AS stage, n{i} AS n_docs, "
+        f"CAST(n{i} AS DOUBLE) / CAST(n0 AS DOUBLE) AS yield_frac FROM agg"
+        for i, (name, _) in enumerate(preds)
+    )
+    return f"""
+WITH agg AS (
+  SELECT {sums}
+  FROM documents
+)
+{rows}
+ORDER BY stage
+"""
+
+
 ORACLES: dict[str, str] = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
@@ -2082,4 +2163,5 @@ ORACLES: dict[str, str] = {
     "text_dup_spans": _dup_spans_sql(),
     "dedup_threshold_curve": _threshold_curve_sql(),
     "corpus_token_histogram": _token_histogram_sql(),
+    "corpus_quality_funnel": _quality_funnel_sql(),
 }

@@ -95,6 +95,14 @@ register(
     "scd2_customer_snapshot", events.scd2_customer_snapshot, events.SCD2_CUSTOMER_SQL
 )
 register("events_range_join", events.events_range_join, events.EVENTS_RANGE_JOIN_SQL)
+register("events_attribution", events.events_attribution, events.EVENTS_ATTRIBUTION_SQL)
+register(
+    "customer_percentile_rank",
+    events.customer_percentile_rank,
+    events.CUSTOMER_PERCENTILE_RANK_SQL,
+)
+register("revenue_cube", events.revenue_cube, events.REVENUE_CUBE_SQL)
+register("order_year_set_ops", events.order_year_set_ops, events.ORDER_YEAR_SET_OPS_SQL)
 register(
     "events_approx_distinct", events.events_approx_distinct, events.EVENTS_APPROX_DISTINCT_SQL
 )
@@ -190,6 +198,11 @@ _NEVER_GATED = [
     "dedup_threshold_curve",
     "corpus_token_histogram",
     "streaming_topk",
+    "events_attribution",
+    "customer_percentile_rank",
+    "revenue_cube",
+    "order_year_set_ops",
+    "corpus_quality_funnel",
 ]
 
 # r1-green revalidation sentinels, most-load-bearing first; the tail is
