@@ -9,7 +9,6 @@ prefix).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 SCHEMAS: dict[str, T.StructType] = {
@@ -78,13 +77,13 @@ SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampType()),
         ]
     ),
-    # ts is stored as TIMESTAMP(NANOS) which Spark cannot read natively;
-    # read as raw int64 (legacy.parquet.nanosAsLong) and truncate to
-    # micros in load() — same truncation DuckDB applies.
+    # ts is stored as TIMESTAMP_NTZ(MICROS); requesting LTZ reads the
+    # same micros with UTC wall-clock semantics (session TZ is pinned
+    # UTC in prep()), matching DuckDB's naive read bit-for-bit.
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -112,8 +111,4 @@ SCHEMAS: dict[str, T.StructType] = {
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one benchmark table with its explicit schema."""
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")

@@ -29,16 +29,14 @@ from ..sources.tables import SCHEMAS
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unbounded events source: file-source readStream with the explicit
-    schema (streaming scans never infer), nanos ts → micros timestamp —
-    same normalization as the batch loader (sources/tables.py)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema (streaming scans never infer) — same schema as the batch
+    loader (sources/tables.py), ts read as micros timestamp."""
     # the file source wants a directory; glob-filter to the events table
-    raw = (
+    return (
         spark.readStream.schema(SCHEMAS["events"])
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def _run_to_memory(df: DataFrame, name: str, mode: str) -> DataFrame:
