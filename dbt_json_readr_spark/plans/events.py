@@ -1269,3 +1269,112 @@ SELECT c.from_type, c.to_type, c.n_transitions,
 FROM counts c JOIN totals t USING (from_type)
 ORDER BY from_type, to_type
 """
+
+# ---------------------------------------------------------------- B47
+
+
+def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-weighted exponential moving average of hourly event volume
+    per type: ewma = (8·c₀ + 4·c₁ + 2·c₂ + 1·c₃) / 15 over the current
+    and three trailing hourly buckets (row-lag semantics; the hour grid
+    is dense in this corpus).  Integer weights keep the numerator an
+    exact BIGINT in both engines; ONE double division at the end makes
+    the score bit-equal at any parallelism.
+
+    Scale shape: the hourly pre-aggregation collapses the raw stream to
+    |types|×|hours| rows BEFORE the window (partial agg map-side), so
+    the window shuffle moves a tiny frame no matter the corpus size."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = W.partitionBy("event_type").orderBy("hour")
+    num = (
+        F.col("n_events") * 8
+        + F.lag("n_events", 1, 0).over(w) * 4
+        + F.lag("n_events", 2, 0).over(w) * 2
+        + F.lag("n_events", 3, 0).over(w)
+    )
+    return (
+        hourly.select(
+            "event_type",
+            "hour",
+            "n_events",
+            (num.cast("double") / F.lit(15.0)).alias("ewma"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+EVENTS_EWMA_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n_events
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+)
+SELECT event_type, hour, n_events,
+       CAST(8 * n_events
+            + 4 * lag(n_events, 1, 0) OVER w
+            + 2 * lag(n_events, 2, 0) OVER w
+            + 1 * lag(n_events, 3, 0) OVER w AS DOUBLE) / CAST(15.0 AS DOUBLE) AS ewma
+FROM hourly
+WINDOW w AS (PARTITION BY event_type ORDER BY hour)
+ORDER BY event_type, hour
+"""
+
+# ---------------------------------------------------------------- B50
+
+
+def events_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew audit: per event_type, the per-user row-count
+    distribution summarized as max share and HHI concentration
+    (Σcᵢ²/total² — 1/n_keys for uniform keys, →1 for one hot key).
+    This is the measurement that decides whether a join/agg key needs
+    salting (functions/skew.py) or AQE skew handling BEFORE a 100 TB
+    shuffle hits one executor.  Two-level integer aggregation, exact at
+    any parallelism; one double division per output row."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    per_key = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        per_key.groupBy("event_type")
+        .agg(
+            F.sum("c").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("c").alias("max_key_rows"),
+            F.sum(F.col("c") * F.col("c")).alias("_ss"),
+        )
+        .select(
+            "event_type",
+            "n_rows",
+            "n_keys",
+            "max_key_rows",
+            (F.col("max_key_rows").cast("double") / F.col("n_rows").cast("double")).alias(
+                "top_share"
+            ),
+            (
+                F.col("_ss").cast("double")
+                / (F.col("n_rows").cast("double") * F.col("n_rows").cast("double"))
+            ).alias("hhi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_SKEW_AUDIT_SQL = """
+WITH per_key AS (
+  SELECT event_type, user_id, count(*) AS c
+  FROM events GROUP BY event_type, user_id
+)
+SELECT event_type,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       count(*) AS n_keys,
+       max(c) AS max_key_rows,
+       CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_share,
+       CAST(sum(c * c) AS DOUBLE) / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)) AS hhi
+FROM per_key
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -2124,6 +2124,78 @@ ORDER BY stage
 """
 
 
+
+# ---------------------------------------------------------------- C41
+
+_POSTINGS_TERMS, _POSTINGS_SAMPLE = 10, 5
+
+
+def doc_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index posting lists for the top-10 document-frequency
+    terms: df count plus the first 5 doc_ids as a comma-joined sample —
+    the search-index build primitive.  The term→doc explode aggregates
+    partially map-side (|vocab|-sized shuffle); the top-term set is
+    broadcast back so posting assembly only touches rows for 10 terms,
+    and the per-term top-5 window runs on that tiny filtered frame."""
+    from pyspark.sql import Window as W
+
+    prep(spark)
+    docs = spread(load(spark, sf_dir, "documents"))
+    t = docs.select(
+        "doc_id", F.explode(F.array_distinct(H.tokens(F.col("text")))).alias("term")
+    )
+    top = (
+        t.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), "term")
+        .limit(_POSTINGS_TERMS)
+    )
+    w = W.partitionBy("term").orderBy("doc_id")
+    sample = (
+        t.join(F.broadcast(top.select("term")), "term")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _POSTINGS_SAMPLE)
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("posting_sample")
+        )
+    )
+    return (
+        top.join(sample, "term")
+        .select("term", "n_docs", "posting_sample")
+        .orderBy(F.desc("n_docs"), "term")
+    )
+
+
+def _posting_lists_sql() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, unnest(list_distinct({H.sql_tokens('text')})) AS term FROM documents
+),
+top AS (
+  SELECT term, count(*) AS n_docs FROM t
+  GROUP BY term ORDER BY n_docs DESC, term LIMIT {_POSTINGS_TERMS}
+),
+ranked AS (
+  SELECT t.term, t.doc_id,
+         row_number() OVER (PARTITION BY t.term ORDER BY t.doc_id) AS rn
+  FROM t JOIN top USING (term)
+),
+sample AS (
+  SELECT term, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS posting_sample
+  FROM ranked WHERE rn <= {_POSTINGS_SAMPLE} GROUP BY term
+)
+SELECT term, n_docs, posting_sample
+FROM top JOIN sample USING (term)
+ORDER BY n_docs DESC, term
+"""
+
 ORACLES: dict[str, str] = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
@@ -2164,4 +2236,5 @@ ORACLES: dict[str, str] = {
     "dedup_threshold_curve": _threshold_curve_sql(),
     "corpus_token_histogram": _token_histogram_sql(),
     "corpus_quality_funnel": _quality_funnel_sql(),
+    "doc_posting_lists": _posting_lists_sql(),
 }

@@ -780,3 +780,161 @@ WHERE CAST(c_acctbal AS DECIMAL(18,4)) * n_pos > total_bal
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
+
+# ---------------------------------------------------------------- B48
+
+_Z_BITS = 8  # low bits of each key interleaved into a 2·_Z_BITS z-value
+
+
+def lineitem_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout audit over (l_orderkey, l_partkey):
+    interleave the low 8 bits of both keys into a 16-bit z-value, split
+    the curve into 16 equal ranges, and report per-range row counts and
+    the span/distinct-count of each key's low byte.  The measurable
+    z-curve property — each range covers a ~64×64 key tile, so BOTH
+    dimensions stay local — is exactly why lakehouse table formats
+    z-order sort files for multi-column pruning; this is the audit you
+    run before choosing clustering columns.  Pure bit arithmetic in
+    whole-stage codegen; one small-keyed aggregation."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    z = F.lit(0)
+    for i in range(_Z_BITS):
+        z = z + F.shiftright("l_orderkey", i).bitwiseAND(F.lit(1)) * F.lit(
+            1 << (2 * i + 1)
+        )
+        z = z + F.shiftright("l_partkey", i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i))
+    o_lo = F.col("l_orderkey").bitwiseAND(F.lit((1 << _Z_BITS) - 1))
+    p_lo = F.col("l_partkey").bitwiseAND(F.lit((1 << _Z_BITS) - 1))
+    return (
+        li.select(
+            F.shiftright(z, 12).alias("z_bucket"),
+            o_lo.alias("o_lo"),
+            p_lo.alias("p_lo"),
+        )
+        .groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.max("o_lo") - F.min("o_lo")).alias("o_span"),
+            (F.max("p_lo") - F.min("p_lo")).alias("p_span"),
+            F.countDistinct("o_lo").alias("n_o_distinct"),
+            F.countDistinct("p_lo").alias("n_p_distinct"),
+        )
+        .orderBy("z_bucket")
+    )
+
+
+def _zorder_sql() -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((l_orderkey >> {i}) & 1) * {1 << (2 * i + 1)}")
+        terms.append(f"((l_partkey >> {i}) & 1) * {1 << (2 * i)}")
+    zexpr = " + ".join(terms)
+    mask = (1 << _Z_BITS) - 1
+    return f"""
+WITH zed AS (
+  SELECT ({zexpr}) >> 12 AS z_bucket,
+         l_orderkey & {mask} AS o_lo,
+         l_partkey & {mask} AS p_lo
+  FROM lineitem
+)
+SELECT z_bucket, count(*) AS n_rows,
+       max(o_lo) - min(o_lo) AS o_span,
+       max(p_lo) - min(p_lo) AS p_span,
+       count(DISTINCT o_lo) AS n_o_distinct,
+       count(DISTINCT p_lo) AS n_p_distinct
+FROM zed GROUP BY z_bucket ORDER BY z_bucket
+"""
+
+
+LINEITEM_ZORDER_SQL = _zorder_sql()
+
+# ---------------------------------------------------------------- B49
+
+_PREFILTER_SIZES = [256, 1024, 4096]
+
+
+def join_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter (Bloom-style) pre-join pruning audit: how many
+    lineitem rows would a key-bucket membership filter of m buckets pass
+    through to the orders join, vs the true match count?  Reports the
+    false-positive rate per filter size — the evidence you need to size
+    `spark.sql.optimizer.runtime.bloomFilter.*` before a 100 TB join.
+
+    Shape: the filtered order-key set is dim-sized → its bucket sets
+    broadcast; the fact side is scanned ONCE (exploded ×|sizes| for the
+    sweep — an audit-only 3× that a production filter wouldn't pay) and
+    every join here is a broadcast semi-join, so nothing corpus-sized
+    shuffles."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    keys = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+        .distinct()
+    )
+    sizes = F.array([F.lit(s) for s in _PREFILTER_SIZES])
+    buckets = (
+        keys.select(F.explode(sizes).alias("filter_size"), "o_orderkey")
+        .select("filter_size", (F.col("o_orderkey") % F.col("filter_size")).alias("bucket"))
+        .distinct()
+    )
+    fact = li.select("l_orderkey", F.explode(sizes).alias("filter_size")).select(
+        "filter_size", (F.col("l_orderkey") % F.col("filter_size")).alias("bucket")
+    )
+    passed = (
+        fact.join(F.broadcast(buckets), ["filter_size", "bucket"], "left_semi")
+        .groupBy("filter_size")
+        .agg(F.count(F.lit(1)).alias("n_candidates"))
+    )
+    n_true = (
+        li.join(F.broadcast(keys), li.l_orderkey == keys.o_orderkey, "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_true"))
+    )
+    n_rows = li.agg(F.count(F.lit(1)).alias("n_rows"))
+    return (
+        passed.crossJoin(F.broadcast(n_true))
+        .crossJoin(F.broadcast(n_rows))
+        .select(
+            "filter_size",
+            "n_rows",
+            "n_true",
+            "n_candidates",
+            (
+                (F.col("n_candidates") - F.col("n_true")).cast("double")
+                / (F.col("n_rows") - F.col("n_true")).cast("double")
+            ).alias("fp_rate"),
+        )
+        .orderBy("filter_size")
+    )
+
+
+JOIN_PREFILTER_SQL = f"""
+WITH sizes(filter_size) AS (VALUES (256), (1024), (4096)),
+keys AS (
+  SELECT DISTINCT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+buckets AS (
+  SELECT DISTINCT s.filter_size, k.o_orderkey % s.filter_size AS bucket
+  FROM keys k CROSS JOIN sizes s
+),
+tot AS (SELECT count(*) AS n_rows FROM lineitem),
+tr AS (
+  SELECT count(*) AS n_true FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM keys)
+),
+pass AS (
+  SELECT s.filter_size, count(*) AS n_candidates
+  FROM lineitem l CROSS JOIN sizes s
+  WHERE EXISTS (SELECT 1 FROM buckets b
+                WHERE b.filter_size = s.filter_size
+                  AND b.bucket = l.l_orderkey % s.filter_size)
+  GROUP BY s.filter_size
+)
+SELECT p.filter_size, t.n_rows, r.n_true, p.n_candidates,
+       CAST(p.n_candidates - r.n_true AS DOUBLE)
+         / CAST(t.n_rows - r.n_true AS DOUBLE) AS fp_rate
+FROM pass p CROSS JOIN tot t CROSS JOIN tr r
+ORDER BY p.filter_size
+"""

@@ -112,6 +112,10 @@ register(
     events.CUSTOMER_REVENUE_DECILES_SQL,
 )
 register("events_gap_islands", events.events_gap_islands, events.EVENTS_GAP_ISLANDS_SQL)
+register("events_ewma_hourly", events.events_ewma_hourly, events.EVENTS_EWMA_SQL)
+register("events_skew_audit", events.events_skew_audit, events.EVENTS_SKEW_AUDIT_SQL)
+register("lineitem_zorder_layout", tpch.lineitem_zorder_layout, tpch.LINEITEM_ZORDER_SQL)
+register("join_prefilter_audit", tpch.join_prefilter_audit, tpch.JOIN_PREFILTER_SQL)
 
 # C. LLM-data-pipeline operators (dedup / similarity / text analysis)
 for _key, _sql in llm.ORACLES.items():
@@ -156,6 +160,11 @@ register(
     streaming_jobs.STREAMING_SLIDING_WINDOW_SQL,
 )
 register("streaming_topk", streaming_jobs.streaming_topk, streaming_jobs.STREAMING_TOPK_SQL)
+register(
+    "streaming_anomaly",
+    streaming_jobs.streaming_anomaly,
+    streaming_jobs.STREAMING_ANOMALY_SQL,
+)
 
 
 # -------------------------------------------------------------------
@@ -203,6 +212,12 @@ _NEVER_GATED = [
     "revenue_cube",
     "order_year_set_ops",
     "corpus_quality_funnel",
+    "events_ewma_hourly",
+    "events_skew_audit",
+    "lineitem_zorder_layout",
+    "join_prefilter_audit",
+    "doc_posting_lists",
+    "streaming_anomaly",
 ]
 
 # r1-green revalidation sentinels, most-load-bearing first; the tail is

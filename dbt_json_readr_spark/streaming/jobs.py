@@ -557,3 +557,64 @@ SELECT window_start, event_type,
 FROM placed
 GROUP BY 1, 2
 """
+
+# ---------------------------------------------------------------- D10
+
+
+def streaming_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming anomaly flagging against a static baseline: per-type
+    mean/σ are computed ONCE batch-side (decimal-exact moments, one
+    double conversion) and broadcast into the stream — the canonical
+    production split where the expensive global statistic is a nightly
+    batch job and the stream only pays a stateless broadcast join plus
+    a running aggregate.  Events beyond 2σ of their type's mean count
+    as anomalies."""
+    prep(spark)
+    from ..sources.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,4)")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).cast("double").alias("s1"),
+        F.sum(v * v).cast("double").alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    stats = stats.select(
+        "event_type",
+        (F.col("s1") / nd).alias("mean"),
+        F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / nd) / nd).alias("std"),
+    )
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                (F.abs(F.col("value") - F.col("mean")) > 2.0 * F.col("std")).cast(
+                    "long"
+                )
+            ).alias("n_anomalies"),
+        )
+    )
+    return _run_to_memory(agg, "stream_anomaly", "complete")
+
+
+STREAMING_ANOMALY_SQL = """
+WITH stats AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s2
+  FROM events GROUP BY event_type
+),
+base AS (
+  SELECT event_type, s1 / CAST(n AS DOUBLE) AS mean,
+         sqrt((s2 - s1 * s1 / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) AS std
+  FROM stats
+)
+SELECT e.event_type, count(*) AS n_events,
+       CAST(sum(CASE WHEN abs(e.value - b.mean) > 2.0 * b.std THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM events e JOIN base b USING (event_type)
+GROUP BY e.event_type
+"""
