@@ -577,3 +577,66 @@ def test_power_iteration_partitioning_independent(spark):
     a = power_iteration_topvec(embs(spark, rows), iters=4).collect()
     b = power_iteration_topvec(embs(spark, rows).repartition(11), iters=4).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ------------------------------------------------------ layout / skew audits
+
+
+def test_zorder_buckets_bound_both_key_spans(spark, sf_dir):
+    from dbt_json_readr_spark.plans.tpch import lineitem_zorder_layout
+
+    rows = lineitem_zorder_layout(spark, sf_dir).collect()
+    assert rows, "no z-buckets"
+    for r in rows:
+        # bucket = top 4 z bits = 2 high bits of each key's low byte →
+        # each bucket confines BOTH dims to a 64-wide tile
+        assert 0 <= r.z_bucket < 16
+        assert r.o_span <= 63 and r.p_span <= 63
+        assert r.n_o_distinct <= 64 and r.n_p_distinct <= 64
+
+
+def test_prefilter_fp_rate_shrinks_with_filter_size(spark, sf_dir):
+    from dbt_json_readr_spark.plans.tpch import join_prefilter_audit
+
+    rows = sorted(join_prefilter_audit(spark, sf_dir).collect(),
+                  key=lambda r: r.filter_size)
+    assert [r.filter_size for r in rows] == [256, 1024, 4096]
+    for r in rows:
+        assert r.n_true <= r.n_candidates <= r.n_rows
+        assert 0.0 <= r.fp_rate <= 1.0
+    # more buckets can only remove false positives (same hash family)
+    fps = [r.fp_rate for r in rows]
+    assert fps[0] >= fps[1] >= fps[2]
+
+
+def test_skew_audit_hhi_bounds(spark, sf_dir):
+    from dbt_json_readr_spark.plans.events import events_skew_audit
+
+    rows = events_skew_audit(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.max_key_rows <= r.n_rows
+        assert 1.0 / r.n_keys <= r.hhi + 1e-12 <= 1.0 + 1e-12
+        assert r.top_share >= 1.0 / r.n_keys - 1e-12
+
+
+def test_ewma_first_bucket_is_scaled_current_count(spark, sf_dir):
+    from dbt_json_readr_spark.plans.events import events_ewma_hourly
+
+    rows = events_ewma_hourly(spark, sf_dir).collect()
+    first = {}
+    for r in rows:
+        first.setdefault(r.event_type, r)  # rows ordered (type, hour)
+    for r in first.values():
+        assert r.ewma == pytest.approx(8 * r.n_events / 15.0)
+
+
+def test_posting_lists_samples_are_sorted_and_capped(spark, sf_dir):
+    from dbt_json_readr_spark.plans.llm import doc_posting_lists
+
+    rows = doc_posting_lists(spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        ids = [int(x) for x in r.posting_sample.split(",")]
+        assert ids == sorted(ids) and 1 <= len(ids) <= 5
+        assert r.n_docs >= len(ids)
