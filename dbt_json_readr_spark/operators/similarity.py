@@ -84,10 +84,9 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 5) -> DataFrame:
 QUANT = 1_000_000
 
 
-def label_centroids(corpus: DataFrame) -> DataFrame:
-    """Per-label centroid vectors — the IVF coarse quantizer (labels
-    stand in for k-means cell assignments, which a real pipeline
-    precomputes the same way).
+def centroid_components(corpus: DataFrame) -> DataFrame:
+    """Flat per-(label, dim) centroid components — the fixed-point core
+    shared by the IVF quantizer and the PQ codebook.
 
     Determinism: components accumulate as FIXED-POINT integers
     (floor(v·1e6) summed exactly as longs, divided once at the end), so
@@ -99,9 +98,16 @@ def label_centroids(corpus: DataFrame) -> DataFrame:
     ).select(
         "label", "dim", F.floor(F.col("val") * QUANT).cast("long").alias("q")
     )
-    per_dim = comp.groupBy("label", "dim").agg(
+    return comp.groupBy("label", "dim").agg(
         (F.sum("q").cast("double") / (F.lit(QUANT) * F.count(F.lit(1)))).alias("c")
     )
+
+
+def label_centroids(corpus: DataFrame) -> DataFrame:
+    """Per-label centroid vectors — the IVF coarse quantizer (labels
+    stand in for k-means cell assignments, which a real pipeline
+    precomputes the same way)."""
+    per_dim = centroid_components(corpus)
     return per_dim.groupBy("label").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda x: x["c"]
@@ -148,4 +154,44 @@ def ivf_topk(
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def pq_assign(corpus: DataFrame, n_subdim: int = 8, n_codes: int = 4) -> DataFrame:
+    """Product-quantization assignment: split each vector into
+    ``dims/n_subdim`` subspaces and snap each subvector to the nearest
+    of ``n_codes`` codebook entries (per-label centroid subvectors —
+    the same deterministic codebook source as IVF).  Returns one row
+    per (vec_id, subspace) with the chosen code and its quantized
+    squared distance.
+
+    Determinism: per-dim squared residuals are floor-quantized to
+    integers BEFORE the 8-term sum, so the argmin ranking is exact
+    integer comparison — no float-accumulation ties.  Scale shape: the
+    codebook broadcasts (n_codes × dims rows); the per-vector work is
+    an explode + map-side partial agg keyed (vec, sub, code), then one
+    vec-keyed window — nothing corpus × corpus."""
+    codes = (
+        centroid_components(corpus)
+        .filter(F.col("label") < n_codes)
+        .select(F.col("label").alias("code"), "dim", "c")
+    )
+    comp = spread(corpus).select(
+        "vec_id", F.posexplode(V.to_double(F.col("embedding"))).alias("dim", "val")
+    )
+    resid = F.col("val") - F.col("c")
+    dq = (
+        comp.join(F.broadcast(codes), "dim")
+        .groupBy(
+            "vec_id",
+            (F.col("dim").cast("long") / n_subdim).cast("int").alias("subspace"),
+            "code",
+        )
+        .agg(
+            F.sum(F.floor(resid * resid * F.lit(QUANT)).cast("long")).alias("dqsum")
+        )
+    )
+    w = W.partitionBy("vec_id", "subspace").orderBy("dqsum", "code")
+    return dq.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop(
+        "rn"
     )

@@ -2196,6 +2196,64 @@ FROM top JOIN sample USING (term)
 ORDER BY n_docs DESC, term
 """
 
+
+# ---------------------------------------------------------------- C42
+
+_PQ_SUBDIM, _PQ_CODES = 8, 4
+
+
+def embedding_pq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization audit: per (subspace, code) cell population
+    and mean quantized squared distance for an 8×8-dim PQ over the
+    embedding corpus — the compression-quality evidence you gather
+    before settling a PQ layout for a billion-vector index.  Codebook =
+    per-label centroid subvectors (deterministic fixed-point, shared
+    with IVF); assignment arithmetic is integer end-to-end
+    (operators/similarity.py pq_assign)."""
+    prep(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    assign = S.pq_assign(emb, n_subdim=_PQ_SUBDIM, n_codes=_PQ_CODES)
+    return (
+        assign.groupBy("subspace", "code")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            (
+                F.sum("dqsum").cast("double")
+                / (F.lit(S.QUANT) * F.count(F.lit(1)))
+            ).alias("mean_sq_dist"),
+        )
+        .orderBy("subspace", "code")
+    )
+
+
+def _pq_audit_sql() -> str:
+    return f"""
+WITH {_CENT_SQL_BASE},
+codes AS (
+  SELECT label AS code, dim, c FROM cent_dim WHERE label < {_PQ_CODES}
+),
+vcomp AS (
+  SELECT vec_id, t.dim AS dim, v[t.dim] AS val
+  FROM e, UNNEST(range(1, len(v)+1)) AS t(dim)
+),
+dq AS (
+  SELECT v.vec_id, CAST((v.dim - 1) // {_PQ_SUBDIM} AS INTEGER) AS subspace, k.code,
+         CAST(sum(CAST(floor((v.val - k.c) * (v.val - k.c) * {S.QUANT}) AS BIGINT)) AS BIGINT) AS dqsum
+  FROM vcomp v JOIN codes k USING (dim)
+  GROUP BY v.vec_id, (v.dim - 1) // {_PQ_SUBDIM}, k.code
+),
+best AS (
+  SELECT vec_id, subspace, code, dqsum,
+         row_number() OVER (PARTITION BY vec_id, subspace ORDER BY dqsum, code) AS rn
+  FROM dq
+)
+SELECT subspace, code, count(*) AS n_vectors,
+       CAST(sum(dqsum) AS DOUBLE) / ({S.QUANT} * count(*)) AS mean_sq_dist
+FROM best WHERE rn = 1
+GROUP BY subspace, code
+ORDER BY subspace, code
+"""
+
 ORACLES: dict[str, str] = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
@@ -2237,4 +2295,5 @@ ORACLES: dict[str, str] = {
     "corpus_token_histogram": _token_histogram_sql(),
     "corpus_quality_funnel": _quality_funnel_sql(),
     "doc_posting_lists": _posting_lists_sql(),
+    "embedding_pq_audit": _pq_audit_sql(),
 }

@@ -218,6 +218,7 @@ _NEVER_GATED = [
     "join_prefilter_audit",
     "doc_posting_lists",
     "streaming_anomaly",
+    "embedding_pq_audit",
 ]
 
 # r1-green revalidation sentinels, most-load-bearing first; the tail is

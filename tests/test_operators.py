@@ -640,3 +640,19 @@ def test_posting_lists_samples_are_sorted_and_capped(spark, sf_dir):
         ids = [int(x) for x in r.posting_sample.split(",")]
         assert ids == sorted(ids) and 1 <= len(ids) <= 5
         assert r.n_docs >= len(ids)
+
+
+def test_pq_assignment_partitions_corpus_per_subspace(spark, sf_dir):
+    from dbt_json_readr_spark.plans.llm import embedding_pq_audit
+    from dbt_json_readr_spark.sources.tables import load
+
+    n_vecs = load(spark, sf_dir, "embeddings").count()
+    rows = embedding_pq_audit(spark, sf_dir).collect()
+    subs = sorted({r.subspace for r in rows})
+    assert subs == list(range(8))
+    for s in subs:
+        cell = [r for r in rows if r.subspace == s]
+        # every vector lands in exactly one cell per subspace
+        assert sum(r.n_vectors for r in cell) == n_vecs
+        assert {r.code for r in cell} <= set(range(4))
+        assert all(r.mean_sq_dist >= 0 for r in cell)
