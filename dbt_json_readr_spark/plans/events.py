@@ -1378,3 +1378,78 @@ FROM per_key
 GROUP BY event_type
 ORDER BY event_type
 """
+
+# ---------------------------------------------------------------- B52
+
+_LATE_PARTS = 32  # simulated source partitions (kafka-style)
+
+
+def events_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-lateness audit — the measurement that sizes a streaming
+    watermark: within each simulated source partition (user_id mod 32;
+    watermarks advance per source partition), how far behind the
+    partition's event-time high-water mark does each event arrive
+    (arrival order = event_id)?  Reported as a lateness histogram with
+    per-bucket share.  The per-partition cummax window parallelizes
+    across partitions — no global ordered window, so the audit itself
+    scales.  Pick the watermark at the bucket covering ~99% of rows."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy(F.pmod(F.col("user_id"), F.lit(_LATE_PARTS)))
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    # lateness compared in raw MICROS: no division, so no float-cast
+    # rounding divergence between engines (DuckDB CAST rounds, Spark
+    # truncates) and no precision loss
+    late_us = F.max(F.unix_micros("ts")).over(w) - F.unix_micros("ts")
+    bucket = (
+        F.when(late_us.isNull() | (late_us <= 0), "0_on_time")
+        .when(late_us < 60 * 1_000_000, "1_under_1m")
+        .when(late_us < 300 * 1_000_000, "2_under_5m")
+        .when(late_us < 1800 * 1_000_000, "3_under_30m")
+        .otherwise("4_over_30m")
+    )
+    total = ev.agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        ev.select(bucket.alias("lateness_bucket"))
+        .groupBy("lateness_bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lateness_bucket",
+            "n_events",
+            (F.col("n_events").cast("double") / F.col("_total").cast("double")).alias(
+                "share"
+            ),
+        )
+        .orderBy("lateness_bucket")
+    )
+
+
+EVENTS_LATENESS_SQL = f"""
+WITH hw AS (
+  SELECT event_id, ts,
+         max(epoch_us(ts)) OVER (
+           PARTITION BY user_id % {_LATE_PARTS} ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS hw_us
+  FROM events
+),
+late AS (
+  SELECT CASE
+           WHEN hw_us IS NULL OR hw_us - epoch_us(ts) <= 0 THEN '0_on_time'
+           WHEN hw_us - epoch_us(ts) < 60000000 THEN '1_under_1m'
+           WHEN hw_us - epoch_us(ts) < 300000000 THEN '2_under_5m'
+           WHEN hw_us - epoch_us(ts) < 1800000000 THEN '3_under_30m'
+           ELSE '4_over_30m'
+         END AS lateness_bucket
+  FROM hw
+)
+SELECT lateness_bucket, count(*) AS n_events,
+       CAST(count(*) AS DOUBLE) / (SELECT CAST(count(*) AS DOUBLE) FROM events) AS share
+FROM late
+GROUP BY lateness_bucket
+ORDER BY lateness_bucket
+"""

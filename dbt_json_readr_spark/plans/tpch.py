@@ -938,3 +938,68 @@ SELECT p.filter_size, t.n_rows, r.n_true, p.n_candidates,
 FROM pass p CROSS JOIN tot t CROSS JOIN tr r
 ORDER BY p.filter_size
 """
+
+# ---------------------------------------------------------------- B51
+
+_ZONE_FILE_KEYS = 4096  # orderkeys per simulated file / row-group
+
+
+def zone_map_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max statistics) file-skipping audit: simulate
+    row-group-sized files of 4096 consecutive orderkeys, collect each
+    file's l_shipdate min/max, and measure what fraction of files —
+    and rows — a shipdate predicate could skip without reading.  This
+    is the decision input for sort-order / partition-column choices:
+    if the skip rate is ~0 the data is not clustered on the predicate
+    column and a z-order/sort rewrite (B48) pays for itself.  One
+    map-side bucketing agg + one tiny summary agg."""
+    prep(spark)
+    cutoff = "1998-06-01 00:00:00"
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    files = li.groupBy(
+        (F.col("l_orderkey") / _ZONE_FILE_KEYS).cast("long").alias("file_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("l_shipdate").alias("max_ship"),
+        F.count(F.when(F.col("l_shipdate") >= F.lit(cutoff).cast("timestamp"), 1)).alias(
+            "n_match"
+        ),
+    )
+    skippable = F.col("max_ship") < F.lit(cutoff).cast("timestamp")
+    return files.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(skippable.cast("long")).alias("n_skippable_files"),
+        F.sum("n_rows").alias("n_rows"),
+        F.sum(F.when(skippable, F.col("n_rows")).otherwise(F.lit(0))).alias(
+            "n_rows_skipped"
+        ),
+        F.sum("n_match").alias("n_rows_matching"),
+    ).select(
+        "n_files",
+        "n_skippable_files",
+        (F.col("n_skippable_files").cast("double") / F.col("n_files").cast("double")).alias(
+            "file_skip_rate"
+        ),
+        "n_rows",
+        "n_rows_skipped",
+        "n_rows_matching",
+    )
+
+
+ZONE_MAP_SKIPPING_SQL = f"""
+WITH files AS (
+  SELECT l_orderkey // {_ZONE_FILE_KEYS} AS file_id,
+         count(*) AS n_rows,
+         max(l_shipdate) AS max_ship,
+         count(CASE WHEN l_shipdate >= TIMESTAMP '1998-06-01 00:00:00' THEN 1 END) AS n_match
+  FROM lineitem GROUP BY l_orderkey // {_ZONE_FILE_KEYS}
+)
+SELECT count(*) AS n_files,
+       CAST(sum(CASE WHEN max_ship < TIMESTAMP '1998-06-01 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS n_skippable_files,
+       CAST(sum(CASE WHEN max_ship < TIMESTAMP '1998-06-01 00:00:00' THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS file_skip_rate,
+       CAST(sum(n_rows) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN max_ship < TIMESTAMP '1998-06-01 00:00:00' THEN n_rows ELSE 0 END) AS BIGINT) AS n_rows_skipped,
+       CAST(sum(n_match) AS BIGINT) AS n_rows_matching
+FROM files
+"""

@@ -116,6 +116,10 @@ register("events_ewma_hourly", events.events_ewma_hourly, events.EVENTS_EWMA_SQL
 register("events_skew_audit", events.events_skew_audit, events.EVENTS_SKEW_AUDIT_SQL)
 register("lineitem_zorder_layout", tpch.lineitem_zorder_layout, tpch.LINEITEM_ZORDER_SQL)
 register("join_prefilter_audit", tpch.join_prefilter_audit, tpch.JOIN_PREFILTER_SQL)
+register(
+    "zone_map_skipping_audit", tpch.zone_map_skipping_audit, tpch.ZONE_MAP_SKIPPING_SQL
+)
+register("events_lateness_audit", events.events_lateness_audit, events.EVENTS_LATENESS_SQL)
 
 # C. LLM-data-pipeline operators (dedup / similarity / text analysis)
 for _key, _sql in llm.ORACLES.items():
@@ -219,6 +223,8 @@ _NEVER_GATED = [
     "doc_posting_lists",
     "streaming_anomaly",
     "embedding_pq_audit",
+    "zone_map_skipping_audit",
+    "events_lateness_audit",
 ]
 
 # r1-green revalidation sentinels, most-load-bearing first; the tail is
