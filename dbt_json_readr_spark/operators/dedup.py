@@ -63,11 +63,48 @@ def _minhash_candidates(
     """(doc_a, doc_b) LSH candidate pairs (pre-verification) from
     (doc_id, sh) shingle rows: flat lane mins → band keys → doc_id-only
     buckets → in-bucket pair explode → cross-band dedup."""
-    r = n_hashes // bands
     lanes = rows.select("doc_id", *H.minhash_lane_cols(F.col("sh"), n_hashes))
     mins = lanes.groupBy("doc_id").agg(
         *[F.min(f"mh{i}").alias(f"mh{i}") for i in range(n_hashes)]
     )
+    return _cand_from_mins(mins, n_hashes, bands, bucket_cap)
+
+
+# latest-wins rotation of the one persisted per-doc sketch handle, so
+# repeated invocations (bench loops, recall evals) pin at most ONE
+# cached frame — same discipline as operators/kmeans.py, regression-
+# tested in tests/test_plans.py.
+_SKETCH_HANDLES: list[DataFrame] = []
+
+
+def _per_doc_sketch(rows: DataFrame, n_hashes: int) -> DataFrame:
+    """One combined pass: per-doc minhash lanes AND the distinct shingle
+    set from a single scan + single aggregation.  The sketch and verify
+    stages both consume this frame; without the cache each would re-run
+    the exploded md5 scan (measured ~1 s of the operator's ~3 s steady
+    state at sf0.1).  MEMORY_AND_DISK: per-doc sketch+set is the
+    dedup'd shingle corpus — it spills rather than OOMs at scale, and
+    corpora past executor-storage comfort should set
+    ``broadcast_verify=False``, which never builds sets at all."""
+    from pyspark import StorageLevel
+
+    lanes = rows.select(
+        "doc_id", "sh", *H.minhash_lane_cols(F.col("sh"), n_hashes)
+    )
+    per_doc = lanes.groupBy("doc_id").agg(
+        *[F.min(f"mh{i}").alias(f"mh{i}") for i in range(n_hashes)],
+        F.collect_set("sh").alias("sh"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    while _SKETCH_HANDLES:
+        _SKETCH_HANDLES.pop().unpersist()
+    _SKETCH_HANDLES.append(per_doc)
+    return per_doc
+
+
+def _cand_from_mins(
+    mins: DataFrame, n_hashes: int, bands: int, bucket_cap: int
+) -> DataFrame:
+    r = n_hashes // bands
     banded = (
         mins.select(
             "doc_id",
@@ -162,15 +199,17 @@ def minhash_lsh_pairs(
        all-shuffle narrow-row intersection counting (for corpora whose
        candidate set outgrows the driver)."""
     rows = _shingle_rows(docs, k)
-    cand = _minhash_candidates(rows, n_hashes, bands, bucket_cap)
     if broadcast_verify:
         # Candidate pairs broadcast; the per-doc shingle SETS then
         # stream map-side through both hash joins in one codegen stage —
         # no shingle array ever crosses an exchange.  Right when the
         # deduped candidate set fits the driver (band buckets are
         # cap-bounded, so candidates ≤ bands · Σ C(bucket,2) and in
-        # practice ~10× the true-pair count).
-        sets = rows.groupBy("doc_id").agg(F.collect_set("sh").alias("sh"))
+        # practice ~10× the true-pair count).  Sketch mins and sets
+        # come from ONE cached scan+agg (_per_doc_sketch).
+        per_doc = _per_doc_sketch(rows, n_hashes)
+        cand = _cand_from_mins(per_doc.drop("sh"), n_hashes, bands, bucket_cap)
+        sets = per_doc.select("doc_id", "sh")
         inter = F.size(F.array_intersect("sh_a", "sh_b"))
         union = F.size(F.array_union("sh_a", "sh_b"))
         return (
@@ -188,6 +227,8 @@ def minhash_lsh_pairs(
     # too large to broadcast: intersection sizes come from joining the
     # NARROW (doc_id, sh) shingle rows through the pairs — every shuffle
     # is hash-partitioned 24-byte rows, no arrays, no driver-side state.
+    # No per-doc sets are built (and nothing is cached) on this path.
+    cand = _minhash_candidates(rows, n_hashes, bands, bucket_cap)
     counts = rows.groupBy("doc_id").agg(F.count("*").alias("n"))
     ra = cand.join(rows.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
     ri = ra.join(rows.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"])

@@ -137,3 +137,16 @@ def test_kmeans_single_scan_and_bounded_cache(spark):
     assert n_scans <= 1, f"kmeans re-scans the corpus: {n_scans} scans"
     after = spark.sparkContext._jsc.getPersistentRDDs().size()
     assert after - before <= 2, f"cache leak: {after - before} pinned handles"
+
+
+def test_minhash_sketch_cache_rotates_not_leaks(spark):
+    """Repeated minhash invocations must pin at most ONE per-doc sketch
+    handle (latest-wins rotation in operators/dedup.py) — a bench loop
+    over the operator would otherwise accumulate a cache per call."""
+    from dbt_json_readr_spark.plans import llm
+
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    for _ in range(3):
+        llm.dedup_minhash_lsh(spark, SF).count()
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after - before <= 1, f"cache leak: {after - before} pinned handles"
