@@ -86,20 +86,30 @@ def update(assigned: DataFrame, comp: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_stats(embs: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
-    """Run ``iters`` Lloyd iterations and emit per-cluster stats from
-    the final assignment: member count, integer inertia (squared-L2 to
-    the PREVIOUS round's centroids — the quantity Lloyd's just
-    minimized), and the final centroid's component checksum.
+# latest-wins rotation of the persisted handles that back the most
+# recent Lloyd result (≤2 pinned across ANY number of invocations —
+# same discipline as operators/dedup.py's sketch cache).  Unpersisting
+# a previous caller's frames is safe: their plans recompute.
+_LLOYD_HANDLES: list[DataFrame] = []
+
+
+def _rotate_handles(new: list[DataFrame]) -> None:
+    while _LLOYD_HANDLES:
+        _LLOYD_HANDLES.pop().unpersist()
+    _LLOYD_HANDLES.extend(new)
+
+
+def _lloyd_loop(comp: DataFrame, k: int, iters: int):
+    """``iters`` Lloyd rounds over a PERSISTED components frame.
+    Returns (assigned, cents), both persisted and materialized;
+    ``assigned`` carries squared-L2 to the PREVIOUS round's centroids —
+    the quantity Lloyd's just minimized.
 
     Cache discipline (same as operators/lineage.py): without it every
     iteration's lineage re-derives ``comp`` from the scan — measured 9
-    parquet scans / 60 exchanges for 2 iterations at sf0.001.  ``comp``
-    persists across the loop (it feeds every assign AND update);
-    per-round results materialize via count() before their parents are
-    released.  The final assigned/cents handles back the returned plan
-    and stay pinned (two handles at exit, both materialized)."""
-    comp = components(embs).persist()
+    parquet scans / 60 exchanges for 2 iterations at sf0.001; per-round
+    results materialize via count() before their parents are
+    released."""
     cents = init_centroids(comp, k).persist()
     cents.count()
     assigned = None
@@ -112,7 +122,33 @@ def kmeans_stats(embs: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
         cents = update(assigned, comp).persist()
         cents.count()
         prev_cents.unpersist()
+    return assigned, cents
+
+
+def kmeans_cells(embs: DataFrame, k: int = 8, iters: int = 2):
+    """(cells, cents) under the FINAL centroids: the IVF coarse
+    quantizer refined by Lloyd rounds instead of taken from labels.
+    ``cells`` is the full-corpus (vec_id, cid, dist) assignment."""
+    comp = components(embs).persist()
+    assigned, cents = _lloyd_loop(comp, k, iters)
+    cells = assign(comp, cents).persist()
+    cells.count()
+    assigned.unpersist()
+    comp.unpersist()
+    _rotate_handles([cells, cents])
+    return cells, cents
+
+
+def kmeans_stats(embs: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
+    """Run ``iters`` Lloyd iterations and emit per-cluster stats from
+    the final assignment (see _lloyd_loop for semantics + cache
+    discipline).  The final assigned/cents handles back the returned
+    plan and stay pinned until the next Lloyd invocation rotates them
+    out."""
+    comp = components(embs).persist()
+    assigned, cents = _lloyd_loop(comp, k, iters)
     comp.unpersist()  # assigned/cents are materialized; comp is spent
+    _rotate_handles([assigned, cents])
     stats = assigned.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.sum("dist").cast("long").alias("inertia_fp"),

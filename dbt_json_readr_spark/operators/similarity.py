@@ -195,3 +195,65 @@ def pq_assign(corpus: DataFrame, n_subdim: int = 8, n_codes: int = 4) -> DataFra
     return dq.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop(
         "rn"
     )
+
+
+def kmeans_ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    km_k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """IVF ANN over Lloyd-REFINED cells: the coarse quantizer is a
+    2-iteration fixed-point k-means (operators/kmeans.py) instead of
+    the given labels — the production IVF build, where cell quality is
+    trained, not inherited.  Probing is integer squared-L2 against the
+    final centroids (bit-exact argmin, same arithmetic as training);
+    in-cell scoring is the usual prenormed cosine.  Scale shape
+    matches ivf_topk: centroids broadcast, the corpus shuffles only on
+    its cell key."""
+    from . import kmeans as KM
+
+    cells, cents = KM.kmeans_cells(corpus, k=km_k, iters=iters)
+    qcomp = KM.components(queries)
+    diff = F.col("qv") - F.col("qc")
+    qdist = (
+        qcomp.join(F.broadcast(cents), "dim")
+        .groupBy("vec_id", "cid")
+        .agg(F.sum(diff * diff).alias("dist"))
+    )
+    probe_w = W.partitionBy("vec_id").orderBy("dist", "cid")
+    probed = (
+        qdist.withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= nprobe)
+        .select(F.col("vec_id").alias("query_id"), "cid")
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), V.to_double(F.col("embedding")).alias("q_v")
+    ).withColumn("q_n", V.norm(F.col("q_v")))
+    c = (
+        spread(corpus)
+        .join(cells.select("vec_id", "cid"), "vec_id")
+        .select(
+            "cid",
+            F.col("vec_id").alias("neighbor_id"),
+            V.to_double(F.col("embedding")).alias("c_v"),
+        )
+        .withColumn("c_n", V.norm(F.col("c_v")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        F.broadcast(probed.join(q, "query_id"))
+        .join(c, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            V.cosine_prenormed(
+                F.col("q_v"), F.col("c_v"), F.col("q_n"), F.col("c_n")
+            ).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -681,6 +681,14 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         _method("lsh", S.lsh_topk(qs, embs, k=_ANN_K))
         .unionAll(_method("ivf_p1", S.ivf_topk(qs, embs, k=_ANN_K, nprobe=1)))
         .unionAll(_method("ivf_p2", S.ivf_topk(qs, embs, k=_ANN_K, nprobe=2)))
+        .unionAll(
+            _method(
+                "ivf_kmeans_p2",
+                S.kmeans_ivf_topk(
+                    qs, embs, k=_ANN_K, nprobe=2, km_k=_KM_K, iters=_KM_ITERS
+                ),
+            )
+        )
         .orderBy("method", "query_id")
     )
 
@@ -706,6 +714,8 @@ SELECT * FROM (
 {_method("ivf_p1", _ann_ivf_sql(nprobe=1))}
   UNION ALL
 {_method("ivf_p2", _ann_ivf_sql(nprobe=2))}
+  UNION ALL
+{_method("ivf_kmeans_p2", _ann_ivf_kmeans_sql(nprobe=2))}
 )
 ORDER BY method, query_id
 """
@@ -2254,6 +2264,84 @@ GROUP BY subspace, code
 ORDER BY subspace, code
 """
 
+
+# ---------------------------------------------------------------- C43
+
+
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over Lloyd-refined cells (operators/similarity.py
+    kmeans_ivf_topk): the same probe-then-score IVF shape as C17, but
+    the coarse quantizer is the 2-iteration fixed-point k-means instead
+    of the given labels — the trained-cell production build.  The
+    oracle replays the identical Lloyd rounds as unrolled CTEs, then
+    the integer probe and the cosine top-k."""
+    prep(spark)
+    embs = load(spark, sf_dir, "embeddings")
+    return S.kmeans_ivf_topk(
+        embs.filter(F.col("vec_id") < _ANN_NQ),
+        embs,
+        k=_ANN_K,
+        nprobe=_IVF_NPROBE,
+        km_k=_KM_K,
+        iters=_KM_ITERS,
+    )
+
+
+def _ann_ivf_kmeans_sql(nprobe: int = 2) -> str:
+    from ..operators.kmeans import QUANT as _KMQ
+
+    cos = V.sql_cosine("q.v", "c.v")
+    parts = [
+        f"""e AS (
+  SELECT vec_id, {V.sql_to_double('embedding')} AS v FROM embeddings
+),
+comp AS (
+  SELECT vec_id, CAST(t.dim - 1 AS INTEGER) AS dim,
+         CAST(floor(v[t.dim] * {_KMQ}) AS BIGINT) AS qv
+  FROM e, UNNEST(range(1, len(v)+1)) AS t(dim)
+),
+cent0 AS (
+  SELECT CAST(vec_id AS INTEGER) AS cid, dim, qv AS qc FROM comp WHERE vec_id < {_KM_K}
+)"""
+    ]
+    cent = "cent0"
+    for i in range(1, _KM_ITERS + 1):
+        parts.append(_km_assign_sql(cent, f"a{i}"))
+        cent = f"cent{i}"
+        parts.append(_km_update_sql(f"a{i}", cent))
+    parts.append(_km_assign_sql(cent, "cells"))
+    parts.append(
+        f"""qd AS (
+  SELECT c.vec_id, t.cid, CAST(sum((c.qv - t.qc) * (c.qv - t.qc)) AS BIGINT) AS dist
+  FROM comp c JOIN {cent} t USING (dim)
+  WHERE c.vec_id < {_ANN_NQ}
+  GROUP BY c.vec_id, t.cid
+),
+probe AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM qd
+  ) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cosine
+  FROM (SELECT * FROM e WHERE vec_id < {_ANN_NQ}) q
+  JOIN probe p ON p.query_id = q.vec_id
+  JOIN cells cl ON cl.cid = p.cid
+  JOIN e c ON c.vec_id = cl.vec_id AND c.vec_id <> q.vec_id
+)"""
+    )
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT * FROM (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {_ANN_K}
+"""
+
 ORACLES: dict[str, str] = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
@@ -2296,4 +2384,5 @@ ORACLES: dict[str, str] = {
     "corpus_quality_funnel": _quality_funnel_sql(),
     "doc_posting_lists": _posting_lists_sql(),
     "embedding_pq_audit": _pq_audit_sql(),
+    "ann_ivf_kmeans_topk": _ann_ivf_kmeans_sql(nprobe=_IVF_NPROBE),
 }

@@ -225,6 +225,7 @@ _NEVER_GATED = [
     "embedding_pq_audit",
     "zone_map_skipping_audit",
     "events_lateness_audit",
+    "ann_ivf_kmeans_topk",
 ]
 
 # r1-green revalidation sentinels, most-load-bearing first; the tail is

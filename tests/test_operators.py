@@ -656,3 +656,18 @@ def test_pq_assignment_partitions_corpus_per_subspace(spark, sf_dir):
         assert sum(r.n_vectors for r in cell) == n_vecs
         assert {r.code for r in cell} <= set(range(4))
         assert all(r.mean_sq_dist >= 0 for r in cell)
+
+
+def test_kmeans_ivf_beats_label_ivf_recall(spark, sf_dir):
+    """The trained coarse quantizer must beat the label-inherited one —
+    the measured reason ann_ivf_kmeans_topk exists (sf0.01 recall@5:
+    kmeans cells 0.86 vs label cells 0.32 at nprobe=2).  Deterministic
+    corpus + integer-exact training ⇒ exact, not flaky."""
+    from dbt_json_readr_spark.plans import llm
+
+    rows = llm.ann_recall_eval(spark, sf_dir).collect()
+    mean = {}
+    for m in ["ivf_p2", "ivf_kmeans_p2"]:
+        rs = [r.recall_at_k for r in rows if r.method == m]
+        mean[m] = sum(rs) / len(rs)
+    assert mean["ivf_kmeans_p2"] > mean["ivf_p2"], mean
