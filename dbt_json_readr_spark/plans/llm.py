@@ -2342,6 +2342,132 @@ SELECT * FROM (
 ) WHERE rank <= {_ANN_K}
 """
 
+
+# ---------------------------------------------------------------- C44
+
+
+def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: verified near-dup pair counts
+    per (source, source) cell — the measurement that tells you which
+    corpus feeds duplicate each other (and how much of a source is
+    recycled) BEFORE you assign mixture weights.  Reuses the minhash
+    pair pipeline; the join back to sources is dim-sized and broadcast,
+    the matrix is |sources|² rows."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, k=_MH_K, n_hashes=_MH_N, bands=_MH_BANDS, threshold=_MH_TAU
+    ).select("doc_a", "doc_b")
+    src = docs.select("doc_id", "source")
+    tagged = pairs.join(
+        src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")), "doc_a"
+    ).join(
+        src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")), "doc_b"
+    )
+    return (
+        tagged.select(
+            F.least("sa", "sb").alias("source_lo"),
+            F.greatest("sa", "sb").alias("source_hi"),
+        )
+        .groupBy("source_lo", "source_hi")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("source_lo", "source_hi")
+    )
+
+
+def _source_matrix_sql() -> str:
+    return f"""
+WITH p AS ({_minhash_sql()}),
+src AS (SELECT doc_id, source FROM documents)
+SELECT least(a.source, b.source) AS source_lo,
+       greatest(a.source, b.source) AS source_hi,
+       count(*) AS n_pairs
+FROM p
+JOIN src a ON a.doc_id = p.doc_a
+JOIN src b ON b.doc_id = p.doc_b
+GROUP BY least(a.source, b.source), greatest(a.source, b.source)
+ORDER BY source_lo, source_hi
+"""
+
+
+# ---------------------------------------------------------------- C45
+
+
+def corpus_dedup_priority_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup canonicalization: within each near-dup
+    cluster keep the HIGHEST-quality member (fixed-point score,
+    doc_id tiebreak) instead of the arbitrary min-id — what a curation
+    pipeline actually ships.  Output per source: docs, kept docs, and
+    how many cluster winners CHANGED vs naive min-id keeping (the
+    measurable value of quality-aware selection).  Cluster membership
+    is corpus-sparse; the quality score is a single-scan column
+    expression, and the per-cluster argmax is a window over only the
+    clustered rows."""
+    prep(spark)
+    docs = spread(load(spark, sf_dir, "documents"))
+    pairs = D.minhash_lsh_pairs(
+        docs, k=_MH_K, n_hashes=_MH_N, bands=_MH_BANDS, threshold=_MH_TAU
+    ).select("doc_a", "doc_b")
+    clusters = G.connected_components(pairs)
+    feats = X.quality_features(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.floor(X.quality_score(feats) * 1_000_000).cast("long").alias("qm"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("cluster_id").orderBy(F.desc("qm"), "doc_id")
+    winners = (
+        scored.join(clusters, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            (F.col("doc_id") != F.col("cluster_id")).cast("long").alias("upgraded"),
+        )
+    )
+    member = scored.join(clusters, "doc_id", "left").join(winners, "doc_id", "left")
+    kept = F.col("cluster_id").isNull() | F.col("upgraded").isNotNull()
+    return (
+        member.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.sum(F.coalesce("upgraded", F.lit(0))).alias("n_quality_upgrades"),
+        )
+        .orderBy("source")
+    )
+
+
+def _priority_keep_sql() -> str:
+    return f"""
+WITH clusters AS ({_clusters_sql()}),
+q AS (
+  SELECT doc_id, CAST(floor(quality * 1000000) AS BIGINT) AS qm
+  FROM ({_quality_sql()})
+),
+scored AS (
+  SELECT d.doc_id, d.source, q.qm FROM documents d JOIN q USING (doc_id)
+),
+winners AS (
+  SELECT doc_id, CASE WHEN doc_id <> cluster_id THEN 1 ELSE 0 END AS upgraded
+  FROM (
+    SELECT s.doc_id, c.cluster_id,
+           row_number() OVER (PARTITION BY c.cluster_id ORDER BY s.qm DESC, s.doc_id) AS rn
+    FROM scored s JOIN clusters c USING (doc_id)
+  ) WHERE rn = 1
+)
+SELECT s.source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN c.cluster_id IS NULL OR w.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(COALESCE(w.upgraded, 0)) AS BIGINT) AS n_quality_upgrades
+FROM scored s
+LEFT JOIN clusters c USING (doc_id)
+LEFT JOIN winners w ON w.doc_id = s.doc_id
+GROUP BY s.source ORDER BY s.source
+"""
+
 ORACLES: dict[str, str] = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
@@ -2385,4 +2511,6 @@ ORACLES: dict[str, str] = {
     "doc_posting_lists": _posting_lists_sql(),
     "embedding_pq_audit": _pq_audit_sql(),
     "ann_ivf_kmeans_topk": _ann_ivf_kmeans_sql(nprobe=_IVF_NPROBE),
+    "dedup_source_matrix": _source_matrix_sql(),
+    "corpus_dedup_priority_keep": _priority_keep_sql(),
 }

@@ -169,6 +169,11 @@ register(
     streaming_jobs.streaming_anomaly,
     streaming_jobs.STREAMING_ANOMALY_SQL,
 )
+register(
+    "streaming_cdc_latest",
+    streaming_jobs.streaming_cdc_latest,
+    streaming_jobs.STREAMING_CDC_LATEST_SQL,
+)
 
 
 # -------------------------------------------------------------------
@@ -226,6 +231,9 @@ _NEVER_GATED = [
     "zone_map_skipping_audit",
     "events_lateness_audit",
     "ann_ivf_kmeans_topk",
+    "dedup_source_matrix",
+    "streaming_cdc_latest",
+    "corpus_dedup_priority_keep",
 ]
 
 # r1-green revalidation sentinels, most-load-bearing first; the tail is

@@ -618,3 +618,76 @@ SELECT e.event_type, count(*) AS n_events,
 FROM events e JOIN base b USING (event_type)
 GROUP BY e.event_type
 """
+
+# ---------------------------------------------------------------- D11
+
+
+def _cdc_latest_func(key, pdfs, state):
+    """Last-write-wins per user in explicit state.  The retained row is
+    the max (ts_micros, event_id) — an exact integer comparison, so the
+    materialized view is independent of micro-batch boundaries and
+    arrival order (the CDC upsert invariant)."""
+    import pandas as pd
+
+    ts_us, eid, val, n = state.get if state.exists else (-1, -1, 0.0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        for t, e, v in zip(
+            pdf["ts_us"].astype("int64"),
+            pdf["event_id"].astype("int64"),
+            pdf["value"].astype("float64"),
+        ):
+            if (int(t), int(e)) > (ts_us, eid):
+                ts_us, eid, val = int(t), int(e), float(v)
+    state.update((ts_us, eid, val, n))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_updates": [n],
+            "last_event_id": [eid],
+            "last_value": [val],
+        }
+    )
+
+
+def cdc_latest(ev: DataFrame) -> DataFrame:
+    """Wire any events stream through the last-write-wins operator
+    (separate so tests can drive it across micro-batches)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = ev.select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id", "value"
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _cdc_latest_func,
+        outputStructType="user_id long, n_updates long, last_event_id long, last_value double",
+        stateStructType="ts_us long, event_id long, value double, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style materialized latest-state view: the canonical
+    last-write-wins upsert consumer, built on applyInPandasWithState
+    with integer (ts, event_id) ordering in state.  Update mode means
+    only touched keys re-emit per micro-batch; the memory sink's final
+    table is the converged view the oracle checks."""
+    prep(spark)
+    out = cdc_latest(events_stream(spark, sf_dir))
+    return _run_to_memory(out, "stream_cdc_latest", "update")
+
+
+STREAMING_CDC_LATEST_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_updates
+  FROM events
+)
+SELECT user_id,
+       CAST(n_updates AS BIGINT) AS n_updates,
+       event_id AS last_event_id,
+       value AS last_value
+FROM ranked WHERE rn = 1
+"""
