@@ -2468,6 +2468,69 @@ LEFT JOIN winners w ON w.doc_id = s.doc_id
 GROUP BY s.source ORDER BY s.source
 """
 
+
+# ---------------------------------------------------------------- C46
+
+# 60-bit hash-gate thresholds: test = 5%, val = next 10%, train = rest
+_SPLIT_TEST = (1 << 60) * 5 // 100
+_SPLIT_VAL = (1 << 60) * 15 // 100
+
+
+def corpus_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split — the holdout primitive every
+    training pipeline needs: membership is a pure function of
+    md5-hash64(doc_id) against fixed 60-bit thresholds (test 5%, val
+    10%, train 85%), so the split is reproducible across runs, engines,
+    and topologies, leak-free under re-sharding, and any doc's
+    assignment is auditable.  One scan; per-split rollup with
+    fixed-point token totals."""
+    prep(spark)
+    docs = spread(load(spark, sf_dir, "documents"))
+    h = H.hash64(F.col("doc_id").cast("string"), "split")
+    split = (
+        F.when(h < _SPLIT_TEST, "test")
+        .when(h < _SPLIT_VAL, "val")
+        .otherwise("train")
+    )
+    n_tokens = F.size(H.tokens(F.col("text")))
+    total = docs.agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        docs.select(split.alias("split"), n_tokens.alias("n_tokens"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "split",
+            "n_docs",
+            (F.col("n_docs").cast("double") / F.col("_total").cast("double")).alias(
+                "share"
+            ),
+            "total_tokens",
+        )
+        .orderBy("split")
+    )
+
+
+def _holdout_split_sql() -> str:
+    h = H.sql_hash64("CAST(doc_id AS VARCHAR)", "split")
+    return f"""
+WITH tagged AS (
+  SELECT CASE WHEN {h} < {_SPLIT_TEST} THEN 'test'
+              WHEN {h} < {_SPLIT_VAL} THEN 'val'
+              ELSE 'train' END AS split,
+         len({H.sql_tokens('text')}) AS n_tokens
+  FROM documents
+)
+SELECT split, count(*) AS n_docs,
+       CAST(count(*) AS DOUBLE) / (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS share,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM tagged
+GROUP BY split ORDER BY split
+"""
+
 ORACLES: dict[str, str] = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
@@ -2513,4 +2576,5 @@ ORACLES: dict[str, str] = {
     "ann_ivf_kmeans_topk": _ann_ivf_kmeans_sql(nprobe=_IVF_NPROBE),
     "dedup_source_matrix": _source_matrix_sql(),
     "corpus_dedup_priority_keep": _priority_keep_sql(),
+    "corpus_holdout_split": _holdout_split_sql(),
 }

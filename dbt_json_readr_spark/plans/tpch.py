@@ -1003,3 +1003,86 @@ SELECT count(*) AS n_files,
        CAST(sum(n_match) AS BIGINT) AS n_rows_matching
 FROM files
 """
+
+# ---------------------------------------------------------------- B53
+
+
+def supplier_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of suppliers by revenue: cumulative
+    revenue share in descending order → class A (first 50% of revenue),
+    B (to 80%), C (tail).  Classification compares EXACT decimals
+    cross-multiplied against integer ratios (2·cum ≤ total, 5·cum ≤
+    4·total) — no decimal division, so the class boundary cannot
+    diverge between engines.  The fact scan aggregates down to the
+    supplier dimension BEFORE the ordered window, so the cumsum runs
+    over |suppliers| rows, not the fact table."""
+    prep(spark)
+    from pyspark.sql import Window as W
+
+    li = load(spark, sf_dir, "lineitem")
+    revenue = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    # scale-4 fixed point: the exact decimal revenue floors identically
+    # in both engines, and every later sum/compare/share is BIGINT
+    # arithmetic + ONE int64→double conversion — a DECIMAL→DOUBLE cast
+    # here would double-round in DuckDB (int128→double, then /10^scale)
+    # and diverge from Spark's correctly-rounded conversion in the last
+    # ulp.  Headroom: total_fp ≈ 3e14 at sf0.1 — safe to ~sf10⁵.
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.floor(F.sum(revenue) * 10000).cast("long").alias("rev_fp")
+    )
+    w = W.orderBy(F.desc("rev_fp"), "l_suppkey").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    tot = per_supp.agg(F.sum("rev_fp").alias("total_fp"))
+    classed = (
+        per_supp.withColumn("cum", F.sum("rev_fp").over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "l_suppkey",
+            "rev_fp",
+            F.when(F.col("cum") * 2 <= F.col("total_fp"), "A")
+            .when(F.col("cum") * 5 <= F.col("total_fp") * 4, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+    ctot = classed.crossJoin(F.broadcast(tot))
+    return (
+        ctot.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            (F.sum("rev_fp").cast("double") / F.lit(10000.0)).alias("class_revenue"),
+            (
+                F.sum("rev_fp").cast("double") / F.first("total_fp").cast("double")
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+SUPPLIER_ABC_SQL = """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) * 10000) AS BIGINT) AS rev_fp
+  FROM lineitem GROUP BY l_suppkey
+),
+tot AS (SELECT CAST(sum(rev_fp) AS BIGINT) AS total_fp FROM per_supp),
+classed AS (
+  SELECT l_suppkey, rev_fp,
+         CASE WHEN cum * 2 <= total_fp THEN 'A'
+              WHEN cum * 5 <= total_fp * 4 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM (
+    SELECT l_suppkey, rev_fp,
+           CAST(sum(rev_fp) OVER (ORDER BY rev_fp DESC, l_suppkey
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+    FROM per_supp
+  ) c CROSS JOIN tot
+)
+SELECT abc_class,
+       count(*) AS n_suppliers,
+       CAST(CAST(sum(rev_fp) AS BIGINT) AS DOUBLE) / 10000.0 AS class_revenue,
+       CAST(CAST(sum(rev_fp) AS BIGINT) AS DOUBLE) / CAST(any_value(total_fp) AS DOUBLE) AS revenue_share
+FROM classed CROSS JOIN tot
+GROUP BY abc_class ORDER BY abc_class
+"""

@@ -119,6 +119,7 @@ register("join_prefilter_audit", tpch.join_prefilter_audit, tpch.JOIN_PREFILTER_
 register(
     "zone_map_skipping_audit", tpch.zone_map_skipping_audit, tpch.ZONE_MAP_SKIPPING_SQL
 )
+register("supplier_abc_classes", tpch.supplier_abc_classes, tpch.SUPPLIER_ABC_SQL)
 register("events_lateness_audit", events.events_lateness_audit, events.EVENTS_LATENESS_SQL)
 
 # C. LLM-data-pipeline operators (dedup / similarity / text analysis)
@@ -234,6 +235,8 @@ _NEVER_GATED = [
     "dedup_source_matrix",
     "streaming_cdc_latest",
     "corpus_dedup_priority_keep",
+    "supplier_abc_classes",
+    "corpus_holdout_split",
 ]
 
 # r1-green revalidation sentinels, most-load-bearing first; the tail is
