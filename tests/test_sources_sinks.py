@@ -183,3 +183,46 @@ def test_read_text_lines_and_wholetext(spark, tmp_path):
     whole = files.read_text(spark, str(tmp_path), wholetext=True)
     rows = {r.file.rsplit("/", 1)[-1]: r.value for r in whole.collect()}
     assert rows["b.txt"] == "solo doc\nsecond line\n"
+
+
+def test_sql_front_door_runs_pushdown_queries(spark, sf_dir):
+    """spark.sql over the registered views must behave exactly like the
+    DataFrame API (same scans underneath): a q6-shaped SQL query gets
+    the same answer as the B4 plan."""
+    from dbt_json_readr_spark import sql as Q
+    from dbt_json_readr_spark.plans.tpch import q6_forecast_revenue
+
+    views = Q.register_tables(spark, sf_dir)
+    assert "lineitem" in views and "documents" in views
+    got = Q.sql(
+        spark,
+        """
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_discount BETWEEN 0.03 AND 0.05
+          AND l_quantity < 24
+        """,
+    ).collect()
+    ref = q6_forecast_revenue(spark, sf_dir).collect()
+    assert len(got) == len(ref) == 1
+
+
+def test_sql_front_door_artifact_views(spark):
+    from dbt_json_readr_spark import sql as Q
+    from dbt_json_readr_spark.plans.dbt import FIXTURE_TARGET
+
+    views = Q.register_artifacts(spark, FIXTURE_TARGET)
+    n = Q.sql(spark, "SELECT count(*) AS n FROM dbt_nodes").collect()[0].n
+    assert n == 10
+    joined = Q.sql(
+        spark,
+        """
+        SELECT r.status, count(*) AS n
+        FROM dbt_run_results r JOIN dbt_nodes n USING (unique_id)
+        GROUP BY r.status
+        """,
+    ).collect()
+    assert sum(r.n for r in joined) > 0
