@@ -1,13 +1,16 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) and prints ONE JSON line.
 
-Each query is timed as a full action (plan + execute + collect), TWICE:
-run 1 is the cold number (includes codegen compile + JIT warm-up for
-that query's expression shapes), run 2 is steady-state.  The headline
-`value`/`queries` report run 2 and `queries_cold` reports run 1 — both
-are printed so the record is explicit about which regime it measures
-(r1 lesson: a sf0.001 warm-up compiles codegen but does not JIT-warm or
-touch sf0.1 I/O, so a single-run number is neither cold nor steady).
+Each query is timed as a full action (plan + execute + collect), THREE
+times: run 1 is the cold number (includes codegen compile + JIT warm-up
+for that query's expression shapes), the LAST run is steady-state.  The
+headline `value`/`queries` report the last run and `queries_cold`
+reports run 1 — both are printed so the record is explicit about which
+regime it measures (r1 lesson: a sf0.001 warm-up compiles codegen but
+does not JIT-warm or touch sf0.1 I/O; r3 lesson: pyspark 4.1's JIT
+needs ~3 invocations before the md5-sketch hot loop tiers up — measured
+2.6/3.0/2.6/1.9/1.9 s across five runs, so a 2-run "steady" overstates
+the converged cost by ~50%).
 """
 
 from __future__ import annotations
@@ -50,27 +53,36 @@ def main() -> None:
             warm[key](spark, "/root/testdata/sf0.001").count()
 
     available = registry.queries()
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     cold: dict[str, float] = {}
     steady: dict[str, float] = {}
     for key in HEADLINE:
         if key not in available:
             continue
-        for run, book in ((1, cold), (2, steady)):
+        for run in range(1, n_runs + 1):
             t0 = time.perf_counter()
             n = available[key](spark, sf_dir).count()
-            book[key] = round(time.perf_counter() - t0, 3)
-            print(f"# {key} run{run}: {book[key]}s ({n} rows)", file=sys.stderr)
+            dt = round(time.perf_counter() - t0, 3)
+            if run == 1:
+                cold[key] = dt
+            steady[key] = dt  # last run wins
+            print(f"# {key} run{run}: {dt}s ({n} rows)", file=sys.stderr)
 
     out = {
         "metric": "headline_total",
         "value": round(sum(steady.values()), 3),
         "unit": "sec",
-        "runs": 2,
-        "regime": "steady_state_run2",
+        "runs": n_runs,
+        "regime": f"steady_state_run{n_runs}",
         "queries": steady,
         "queries_cold": cold,
         "cold_total": round(sum(cold.values()), 3),
         "sf": sf,
+        # environment stamp: r2 ran on a different container (pyspark
+        # 4.0-era); cross-round comparisons are only meaningful within
+        # the same runtime version
+        "pyspark": __import__("pyspark").__version__,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     }
     print(json.dumps(out))
     spark.stop()

@@ -2531,6 +2531,68 @@ FROM tagged
 GROUP BY split ORDER BY split
 """
 
+
+# ---------------------------------------------------------------- C47
+
+_VOCAB_SIZE = 256
+
+
+def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage audit: build a top-256 term vocabulary by
+    corpus frequency (deterministic (count, term) tiebreak), then
+    measure per-source token coverage and OOV rate — the go/no-go
+    check before freezing a tokenizer vocabulary.  The vocab is
+    broadcast; tokens never shuffle (the left-semi membership test is
+    map-side), so the only exchange is the per-source rollup."""
+    prep(spark)
+    docs = spread(load(spark, sf_dir, "documents"))
+    tok = docs.select("source", F.explode(H.tokens(F.col("text"))).alias("term"))
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "term")
+        .limit(_VOCAB_SIZE)
+        .select("term")
+    )
+    tagged = tok.join(F.broadcast(vocab.withColumn("_in", F.lit(1))), "term", "left")
+    return (
+        tagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "oov_rate"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _vocab_coverage_sql() -> str:
+    return f"""
+WITH tok AS (
+  SELECT source, unnest({H.sql_tokens('text')}) AS term FROM documents
+),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS n FROM tok GROUP BY term
+    ORDER BY n DESC, term LIMIT {_VOCAB_SIZE}
+  )
+)
+SELECT source,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS oov_rate
+FROM tok t LEFT JOIN vocab v USING (term)
+GROUP BY source ORDER BY source
+"""
+
 ORACLES: dict[str, str] = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
@@ -2577,4 +2639,5 @@ ORACLES: dict[str, str] = {
     "dedup_source_matrix": _source_matrix_sql(),
     "corpus_dedup_priority_keep": _priority_keep_sql(),
     "corpus_holdout_split": _holdout_split_sql(),
+    "tokenizer_vocab_coverage": _vocab_coverage_sql(),
 }

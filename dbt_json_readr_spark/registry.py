@@ -237,6 +237,7 @@ _NEVER_GATED = [
     "corpus_dedup_priority_keep",
     "supplier_abc_classes",
     "corpus_holdout_split",
+    "tokenizer_vocab_coverage",
 ]
 
 # r1-green revalidation sentinels, most-load-bearing first; the tail is
