@@ -671,3 +671,31 @@ def test_kmeans_ivf_beats_label_ivf_recall(spark, sf_dir):
         rs = [r.recall_at_k for r in rows if r.method == m]
         mean[m] = sum(rs) / len(rs)
     assert mean["ivf_kmeans_p2"] > mean["ivf_p2"], mean
+
+
+def test_abc_classes_partition_suppliers(spark, sf_dir):
+    from dbt_json_readr_spark.plans.tpch import supplier_abc_classes
+    from dbt_json_readr_spark.sources.tables import load
+
+    n_supp = (
+        load(spark, sf_dir, "lineitem").select("l_suppkey").distinct().count()
+    )
+    rows = supplier_abc_classes(spark, sf_dir).collect()
+    assert [r.abc_class for r in rows] == ["A", "B", "C"]
+    assert sum(r.n_suppliers for r in rows) == n_supp
+    shares = [r.revenue_share for r in rows]
+    assert abs(sum(shares) - 1.0) < 1e-9
+    # class-boundary contract (holds for ANY revenue distribution):
+    # A stops at half the total, A+B at 80%
+    assert shares[0] <= 0.5 + 1e-9
+    assert shares[0] + shares[1] <= 0.8 + 1e-9
+
+
+def test_holdout_split_shares_near_targets(spark, sf_dir):
+    from dbt_json_readr_spark.plans.llm import corpus_holdout_split
+
+    rows = {r.split: r for r in corpus_holdout_split(spark, sf_dir).collect()}
+    assert set(rows) == {"train", "val", "test"}
+    assert abs(rows["test"].share - 0.05) < 0.03
+    assert abs(rows["val"].share - 0.10) < 0.03
+    assert abs(sum(r.share for r in rows.values()) - 1.0) < 1e-9
