@@ -150,3 +150,32 @@ def test_minhash_sketch_cache_rotates_not_leaks(spark):
         llm.dedup_minhash_lsh(spark, SF).count()
     after = spark.sparkContext._jsc.getPersistentRDDs().size()
     assert after - before <= 1, f"cache leak: {after - before} pinned handles"
+
+
+def test_new_audit_ops_broadcast_their_small_sides(spark):
+    """The r3 audit/index operators must keep their dim-sized frames on
+    the broadcast path — a shuffle join here is the 100 TB regression
+    these pins exist to catch."""
+    from dbt_json_readr_spark.plans import llm, tpch
+
+    for fn in (
+        tpch.join_prefilter_audit,     # bucket sets + key set broadcast
+        llm.doc_posting_lists,         # top-term set broadcast
+        llm.tokenizer_vocab_coverage,  # vocabulary broadcast
+        llm.ann_ivf_kmeans_topk,       # centroids + probed queries broadcast
+    ):
+        df = fn(spark, SF)
+        assert explain.has_broadcast_join(df), fn.__name__
+
+
+def test_zone_map_and_skew_audits_are_single_scan(spark):
+    """Layout audits must stay one pass over the fact table."""
+    import re
+
+    from dbt_json_readr_spark.plans import events, tpch
+    from dbt_json_readr_spark.plans.explain import formatted_plan
+
+    for fn, expected in ((tpch.lineitem_zorder_layout, 1), (events.events_skew_audit, 1)):
+        plan = formatted_plan(fn(spark, SF))
+        n = len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M))
+        assert n <= expected, f"{fn.__name__}: {n} scans"
