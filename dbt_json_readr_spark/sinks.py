@@ -88,3 +88,26 @@ def write_delta(df: DataFrame, path: str, mode: str = "append") -> None:
             "write_partitioned/write_bucketed, or add the Delta jars"
         ) from e
     df.write.format("delta").mode(mode).save(path)
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    sort_col: str,
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partition + sort-within-partition layout — the remedy the
+    zone-map audit (plans/tpch.py zone_map_skipping_audit) motivates:
+    when file min/max statistics on the predicate column overlap
+    everywhere, a range-sorted rewrite makes them DISJOINT, so engines
+    skip whole files from footer stats alone.  repartitionByRange
+    samples the column to build balanced range bounds (one shuffle);
+    the within-file sort keeps row-group stats tight too.  The
+    disjointness property is verified in tests/test_sources_sinks.py."""
+    (
+        df.repartitionByRange(n_files, sort_col)
+        .sortWithinPartitions(sort_col)
+        .write.mode(mode)
+        .parquet(path)
+    )

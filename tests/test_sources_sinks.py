@@ -226,3 +226,30 @@ def test_sql_front_door_artifact_views(spark):
         """,
     ).collect()
     assert sum(r.n for r in joined) > 0
+
+
+def test_range_sorted_layout_has_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    """write_range_sorted must produce files whose [min, max] spans on
+    the sort column do not overlap — the zone-map property that lets a
+    predicate skip whole files from footer statistics (the remedy for
+    a zone_map_skipping_audit showing skip_rate ≈ 0)."""
+    from pyspark.sql import functions as F
+
+    from dbt_json_readr_spark.sinks import write_range_sorted
+    from dbt_json_readr_spark.sources.tables import load
+
+    li = load(spark, sf_dir, "lineitem")
+    out = str(tmp_path / "li_sorted")
+    write_range_sorted(li, out, "l_shipdate", n_files=8)
+
+    back = spark.read.parquet(out)
+    assert back.count() == li.count()
+    spans = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("l_shipdate").alias("lo"), F.max("l_shipdate").alias("hi"))
+        .collect()
+    )
+    assert len(spans) >= 2
+    ordered = sorted(spans, key=lambda r: r.lo)
+    for a, b in zip(ordered, ordered[1:]):
+        assert a.hi <= b.lo, f"overlapping file ranges: {a} vs {b}"
