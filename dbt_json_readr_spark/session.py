@@ -72,3 +72,16 @@ def prep(spark: SparkSession) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark.conf.set("spark.sql.shuffle.partitions", cpus)
     return spark
+
+
+def observed(df, name: str, *metrics):
+    """Attach named accumulator-style metrics to a DataFrame
+    (``pyspark.sql.Observation``): the production pattern for emitting
+    row counts / sums from a job WITHOUT a second pass over the data —
+    the metrics ride along with whatever action materializes ``df``.
+    Returns (df, observation); read ``observation.get`` after an
+    action."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *metrics), obs

@@ -98,3 +98,14 @@ def read_json_multiline(
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .json(path)
     )
+
+
+def read_parquet_evolving(spark: SparkSession, *paths: str) -> DataFrame:
+    """Schema-evolution read: union parquet written under DIFFERENT
+    schema versions (columns added over time) into one frame via
+    ``mergeSchema`` — the lake reality where yesterday's files lack
+    today's columns.  Missing columns surface as NULLs; pushdown and
+    pruning still reach each file's own footer.  Footer-merge costs one
+    metadata pass over the file list, so gate it to evolution
+    boundaries rather than defaulting it on for every petabyte scan."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)

@@ -253,3 +253,36 @@ def test_range_sorted_layout_has_disjoint_file_ranges(spark, sf_dir, tmp_path):
     ordered = sorted(spans, key=lambda r: r.lo)
     for a, b in zip(ordered, ordered[1:]):
         assert a.hi <= b.lo, f"overlapping file ranges: {a} vs {b}"
+
+
+def test_parquet_schema_evolution_merges_columns(spark, tmp_path):
+    from dbt_json_readr_spark.sources.files import read_parquet_evolving
+
+    v1 = str(tmp_path / "v1")
+    v2 = str(tmp_path / "v2")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(v1)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.parquet(v2)
+    df = read_parquet_evolving(spark, v1, v2)
+    assert set(df.columns) == {"id", "name", "score"}
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
+
+
+def test_observed_metrics_ride_along_with_the_action(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from dbt_json_readr_spark.session import observed
+    from dbt_json_readr_spark.sources.tables import load
+
+    li = load(spark, sf_dir, "lineitem")
+    df, obs = observed(
+        li.filter(F.col("l_quantity") > 25),
+        "scan_metrics",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("qty"),
+    )
+    n = df.count()  # one action materializes data AND metrics
+    got = obs.get
+    assert got["n_rows"] == n and got["qty"] > 0
