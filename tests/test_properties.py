@@ -241,3 +241,32 @@ def test_wav_decode_inverts_any_pcm(samples, sr):
     assert d["sample_rate"] == sr and d["n_units"] == len(samples)
     assert d["content_sum"] == sum(samples)
     assert d["content_min"] == min(samples) and d["content_max"] == max(samples)
+
+
+def test_zorder_interleave_bounds_tile_span(spark):
+    """Property of the Morton interleave used by lineitem_zorder_layout:
+    any two keys landing in the same top-4-bit z-range agree on the top
+    2 bits of BOTH low bytes, so each bucket's per-dimension span is
+    < 64 — checked exhaustively over a 256×16 key grid."""
+    from pyspark.sql import functions as F
+
+    rows = [(a, b) for a in range(0, 256, 1) for b in range(0, 256, 16)]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    z = F.lit(0)
+    for i in range(8):
+        z = z + F.shiftright("l_orderkey", i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1))
+        z = z + F.shiftright("l_partkey", i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i))
+    got = (
+        df.select(
+            F.shiftright(z, 12).alias("bucket"),
+            F.col("l_orderkey").bitwiseAND(F.lit(255)).alias("o"),
+            F.col("l_partkey").bitwiseAND(F.lit(255)).alias("p"),
+        )
+        .groupBy("bucket")
+        .agg(
+            (F.max("o") - F.min("o")).alias("o_span"),
+            (F.max("p") - F.min("p")).alias("p_span"),
+        )
+        .collect()
+    )
+    assert got and all(r.o_span < 64 and r.p_span < 64 for r in got)

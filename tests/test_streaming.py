@@ -259,3 +259,51 @@ def test_streaming_topk_matches_batch_oracle(spark):
         "rank",
     )
     assert got == want
+
+
+def test_cdc_latest_state_survives_micro_batches(spark, tmp_path):
+    """Two forced micro-batches, events split by parity of event_id: the
+    converged latest-state view must equal the batch max-by ground
+    truth regardless of which batch carried each user's newest event —
+    proof that the keyed (ts, event_id) ordering is applied across
+    batch boundaries, not within one batch."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    ev = load(spark, SF, "events")
+    for i, pred in enumerate(["event_id % 2 = 0", "event_id % 2 = 1"]):
+        part_dir = str(tmp_path / f"w{i}")
+        ev.filter(pred).coalesce(1).write.parquet(part_dir)
+        [f] = glob.glob(f"{part_dir}/part-*.parquet")
+        shutil.move(f, tmp_path / f"events_{i}.parquet")
+        shutil.rmtree(part_dir)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events_*.parquet")
+        .parquet(str(tmp_path))
+    )
+    out = jobs._run_to_memory(jobs.cdc_latest(stream), "stream_cdc_mb", "update")
+    final = {}
+    for r in out.collect():  # update mode: keep the max-n emission per user
+        if r.user_id not in final or r.n_updates > final[r.user_id].n_updates:
+            final[r.user_id] = r
+    want = {
+        r.user_id: r
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max_by("event_id", F.struct("ts", "event_id")).alias("last_id"),
+            F.max_by("value", F.struct("ts", "event_id")).alias("last_v"),
+        )
+        .collect()
+    }
+    assert set(final) == set(want)
+    for uid, w in want.items():
+        got = final[uid]
+        assert got.n_updates == w.n
+        assert got.last_event_id == w.last_id
+        assert got.last_value == w.last_v
