@@ -1086,3 +1086,84 @@ SELECT abc_class,
 FROM classed CROSS JOIN tot
 GROUP BY abc_class ORDER BY abc_class
 """
+
+# ---------------------------------------------------------------- B54
+
+
+def lineitem_runlength_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encodability audit: within each simulated file (4096
+    orderkeys, natural (l_orderkey, l_linenumber) storage order), count
+    the value runs of the low-cardinality columns — mean run length is
+    the direct predictor of RLE/dictionary win, the companion evidence
+    to the zone-map audit when choosing a sort order.  One windowed
+    pass computes both columns' change flags; the per-file window
+    parallelizes across files."""
+    prep(spark)
+    from pyspark.sql import Window as W
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"
+    )
+    fid = (F.col("l_orderkey") / _ZONE_FILE_KEYS).cast("long")
+    # (l_orderkey, l_linenumber) is not unique in this corpus; the
+    # audited columns join the sort key so rows tied on every key have
+    # constant audited values — run counts are then order-independent
+    w = W.partitionBy(fid.alias("f")).orderBy(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"
+    )
+    flags = li.select(
+        *[
+            (
+                F.lag(c).over(w).isNull() | (F.lag(c).over(w) != F.col(c))
+            ).cast("long").alias(f"new_{c}")
+            for c in ("l_returnflag", "l_linestatus")
+        ]
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("new_l_returnflag").alias("runs_rf"),
+        F.sum("new_l_linestatus").alias("runs_ls"),
+    )
+    return (
+        agg.selectExpr(
+            "stack(2, 'l_returnflag', n_rows, runs_rf, "
+            "'l_linestatus', n_rows, runs_ls) AS (col_name, n_rows, n_runs)"
+        )
+        .select(
+            "col_name",
+            "n_rows",
+            "n_runs",
+            (F.col("n_rows").cast("double") / F.col("n_runs").cast("double")).alias(
+                "mean_run_len"
+            ),
+        )
+        .orderBy("col_name")
+    )
+
+
+LINEITEM_RUNLENGTH_SQL = f"""
+WITH flags AS (
+  SELECT
+    CASE WHEN lag(l_returnflag) OVER w IS NULL
+           OR lag(l_returnflag) OVER w <> l_returnflag THEN 1 ELSE 0 END AS new_rf,
+    CASE WHEN lag(l_linestatus) OVER w IS NULL
+           OR lag(l_linestatus) OVER w <> l_linestatus THEN 1 ELSE 0 END AS new_ls
+  FROM lineitem
+  WINDOW w AS (PARTITION BY l_orderkey // {_ZONE_FILE_KEYS}
+               ORDER BY l_orderkey, l_linenumber, l_returnflag, l_linestatus)
+),
+agg AS (
+  SELECT count(*) AS n_rows,
+         CAST(sum(new_rf) AS BIGINT) AS runs_rf,
+         CAST(sum(new_ls) AS BIGINT) AS runs_ls
+  FROM flags
+)
+SELECT col_name, n_rows, n_runs,
+       CAST(n_rows AS DOUBLE) / CAST(n_runs AS DOUBLE) AS mean_run_len
+FROM (
+  SELECT 'l_returnflag' AS col_name, n_rows, runs_rf AS n_runs FROM agg
+  UNION ALL
+  SELECT 'l_linestatus', n_rows, runs_ls FROM agg
+)
+ORDER BY col_name
+"""

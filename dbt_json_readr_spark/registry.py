@@ -120,6 +120,9 @@ register(
     "zone_map_skipping_audit", tpch.zone_map_skipping_audit, tpch.ZONE_MAP_SKIPPING_SQL
 )
 register("supplier_abc_classes", tpch.supplier_abc_classes, tpch.SUPPLIER_ABC_SQL)
+register(
+    "lineitem_runlength_audit", tpch.lineitem_runlength_audit, tpch.LINEITEM_RUNLENGTH_SQL
+)
 register("events_lateness_audit", events.events_lateness_audit, events.EVENTS_LATENESS_SQL)
 
 # C. LLM-data-pipeline operators (dedup / similarity / text analysis)
@@ -174,6 +177,11 @@ register(
     "streaming_cdc_latest",
     streaming_jobs.streaming_cdc_latest,
     streaming_jobs.STREAMING_CDC_LATEST_SQL,
+)
+register(
+    "streaming_windowed_distinct",
+    streaming_jobs.streaming_windowed_distinct,
+    streaming_jobs.STREAMING_WINDOWED_DISTINCT_SQL,
 )
 
 
@@ -238,6 +246,8 @@ _NEVER_GATED = [
     "supplier_abc_classes",
     "corpus_holdout_split",
     "tokenizer_vocab_coverage",
+    "streaming_windowed_distinct",
+    "lineitem_runlength_audit",
 ]
 
 # r1-green revalidation sentinels, most-load-bearing first; the tail is

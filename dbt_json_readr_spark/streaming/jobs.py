@@ -691,3 +691,33 @@ SELECT user_id,
        value AS last_value
 FROM ranked WHERE rn = 1
 """
+
+# ---------------------------------------------------------------- D12
+
+
+def streaming_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly distinct-user counts on a stream — the dedup-then-
+    aggregate composition: COUNT(DISTINCT) is unsupported in streaming
+    aggregates, so the stream first drops duplicate (hour, user) pairs
+    inside the watermark (keyed state holds one row per pair, evicted
+    as the watermark passes), then a plain windowed count over the
+    deduplicated stream gives the exact distinct cardinality."""
+    prep(spark)
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    hourly_users = ev.select(
+        F.date_trunc("hour", "ts").alias("hour"), "user_id", "ts"
+    ).dropDuplicates(["hour", "user_id"])
+    agg = (
+        hourly_users.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_distinct_users"))
+        .select(F.col("w.start").alias("window_start"), "n_distinct_users")
+    )
+    return _run_to_memory(agg, "stream_windowed_distinct", "complete")
+
+
+STREAMING_WINDOWED_DISTINCT_SQL = """
+SELECT date_trunc('hour', ts) AS window_start,
+       count(DISTINCT user_id) AS n_distinct_users
+FROM events
+GROUP BY date_trunc('hour', ts)
+"""
