@@ -1453,3 +1453,48 @@ FROM late
 GROUP BY lateness_bucket
 ORDER BY lateness_bucket
 """
+
+# ---------------------------------------------------------------- B55
+
+
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via the VARIANT type (Spark 4): parse the
+    JSON once into variant, then typed `try_variant_get` extractions —
+    the engine-native path for the reference tool's whole domain
+    (JSON → typed columns).  Against B12's per-field get_json_object
+    re-parse, variant parses each document ONCE into a binary form and
+    every extraction is a cheap path lookup — the difference compounds
+    with fields extracted per row.  Malformed/missing paths yield NULL
+    (try_ semantics), counted explicitly."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_VARIANT_PROPS_SQL = """
+WITH x AS (
+  SELECT event_type, TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_events,
+       count(k) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k,
+       max(k) AS max_k
+FROM x
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -113,6 +113,7 @@ register(
 )
 register("events_gap_islands", events.events_gap_islands, events.EVENTS_GAP_ISLANDS_SQL)
 register("events_ewma_hourly", events.events_ewma_hourly, events.EVENTS_EWMA_SQL)
+register("events_variant_props", events.events_variant_props, events.EVENTS_VARIANT_PROPS_SQL)
 register("events_skew_audit", events.events_skew_audit, events.EVENTS_SKEW_AUDIT_SQL)
 register("lineitem_zorder_layout", tpch.lineitem_zorder_layout, tpch.LINEITEM_ZORDER_SQL)
 register("join_prefilter_audit", tpch.join_prefilter_audit, tpch.JOIN_PREFILTER_SQL)
@@ -248,6 +249,7 @@ _NEVER_GATED = [
     "tokenizer_vocab_coverage",
     "streaming_windowed_distinct",
     "lineitem_runlength_audit",
+    "events_variant_props",
 ]
 
 # r1-green revalidation sentinels, most-load-bearing first; the tail is
