@@ -185,19 +185,24 @@ def minhash_lsh_pairs(
     candidate tail — plans/llm.py dedup_lsh_recall measures exactly
     this, and re-anchored the default from 0.25 (1.6% recall) to 0.8.
 
-    Scale shape (two corpus passes, both codegen'd, no fat buckets):
-    1. sketch pass — exploded shingle rows → flat 32-bit minhash lanes
-       (functions/hashing.py) → groupBy(doc_id) with map-side partial
-       MINs; per-doc rows are n_hashes longs, no shingle arrays.
+    Scale shape (ONE cached corpus pass on the default path, codegen'd,
+    no fat buckets):
+    1. fused sketch pass — exploded shingle rows → flat 32-bit minhash
+       lanes (functions/hashing.py) → a single groupBy(doc_id)
+       computing the lane MINs AND collect_set(sh) together, persisted
+       (latest-wins rotation, ≤1 pinned frame) so the band stage and
+       the verify stage share one scan+agg.
     2. band buckets collect ONLY doc_ids (≤ bucket_cap × 8 bytes per
        bucket — a degenerate bucket buffers kilobytes, not the
        shingle-array megabytes of a struct-collecting formulation),
        pairs are deduped across bands BEFORE verification.
-    3. verify pass — exact jaccard for the candidate pairs only, via
-       one of two shapes chosen by ``broadcast_verify`` (see inline
-       docs): broadcast-candidates (default; zero array shuffles) or
-       all-shuffle narrow-row intersection counting (for corpora whose
-       candidate set outgrows the driver)."""
+    3. verify — exact jaccard for the candidate pairs only, via one of
+       two shapes chosen by ``broadcast_verify``: broadcast-candidates
+       (default; zero array shuffles, reads the cached sets) or the
+       all-shuffle narrow-row intersection counting below, which keeps
+       TWO uncached corpus passes but never builds sets nor caches —
+       for corpora whose candidate set outgrows the driver or whose
+       per-doc sketch+set exceeds executor storage comfort."""
     rows = _shingle_rows(docs, k)
     if broadcast_verify:
         # Candidate pairs broadcast; the per-doc shingle SETS then
