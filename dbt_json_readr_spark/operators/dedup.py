@@ -104,6 +104,20 @@ def _per_doc_sketch(rows: DataFrame, n_hashes: int) -> DataFrame:
 def _cand_from_mins(
     mins: DataFrame, n_hashes: int, bands: int, bucket_cap: int
 ) -> DataFrame:
+    return (
+        _band_pairs(mins, n_hashes, bands, bucket_cap)
+        .dropDuplicates(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b")
+    )
+
+
+def _band_pairs(
+    mins: DataFrame, n_hashes: int, bands: int, bucket_cap: int
+) -> DataFrame:
+    """(doc_a, doc_b, band) candidate pairs WITH their band — the
+    pre-dedup view _cand_from_mins collapses; kept separate so the
+    band-utility evidence key can attribute each pair to the earliest
+    band that surfaced it."""
     r = n_hashes // bands
     banded = (
         mins.select(
@@ -140,13 +154,10 @@ def _cand_from_mins(
             )
         )
     )
-    return (
-        members.select(pair.alias("p"))
-        .select(
-            F.least("p.a", "p.b").alias("doc_a"),
-            F.greatest("p.a", "p.b").alias("doc_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+    return members.select("band", pair.alias("p")).select(
+        "band",
+        F.least("p.a", "p.b").alias("doc_a"),
+        F.greatest("p.a", "p.b").alias("doc_b"),
     )
 
 

@@ -2593,6 +2593,108 @@ FROM tok t LEFT JOIN vocab v USING (term)
 GROUP BY source ORDER BY source
 """
 
+
+# ---------------------------------------------------------------- C48
+
+
+def dedup_band_utility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal utility of each LSH band: cumulative candidate count,
+    verified-pair count, and precision using only the first 1..b bands
+    — the evidence for choosing the band count (each extra band buys
+    recall at the price of candidate volume; this table shows exactly
+    what band b added).  Reuses the cached per-doc sketch; pairs are
+    attributed to the EARLIEST band that surfaced them, so the levels
+    are a strict cumulative hierarchy."""
+    prep(spark)
+    from pyspark.sql import Window as W
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    rows = D._shingle_rows(docs, _MH_K)
+    per_doc = D._per_doc_sketch(rows, _MH_N)
+    pairs = (
+        D._band_pairs(per_doc.drop("sh"), _MH_N, _MH_BANDS, D.DEFAULT_BUCKET_CAP)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min("band").alias("min_band"))
+    )
+    sets = per_doc.select("doc_id", "sh")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = (
+        F.broadcast(pairs)
+        .join(sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .select(
+            "min_band", (inter.cast("double") / union.cast("double")).alias("j")
+        )
+    )
+    levels = spark.range(1, _MH_BANDS + 1).select(
+        F.col("id").cast("int").alias("n_bands")
+    )
+    return (
+        F.broadcast(levels)
+        .join(jac, jac.min_band < levels.n_bands)
+        .groupBy("n_bands")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum((F.col("j") >= _MH_TAU).cast("long")).alias("n_verified"),
+            (
+                F.sum((F.col("j") >= _MH_TAU).cast("long")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("precision"),
+        )
+        .orderBy("n_bands")
+    )
+
+
+def _band_utility_sql() -> str:
+    raw = H.sql_char_shingles("text", _MH_K)
+    sh = f"list_distinct(list_transform({raw}, s -> {H.sql_hash64('s', 'sh')}))"
+    mh = H.sql_minhash_array("sh", _MH_N)
+    r = _MH_N // _MH_BANDS
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, sh, {b} AS band, {H.sql_band_key('mh', b, r)} AS bkey FROM mh"
+        for b in range(_MH_BANDS)
+    )
+    levels = ", ".join(f"({b})" for b in range(1, _MH_BANDS + 1))
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {sh} AS sh FROM documents
+),
+mh AS (
+  SELECT doc_id, sh, {mh} AS mh FROM sh
+),
+banded AS (
+  {band_selects}
+),
+sized AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bucket_n FROM banded
+  ) WHERE bucket_n <= {D.DEFAULT_BUCKET_CAP}
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, min(a.band) AS min_band
+  FROM sized a JOIN sized b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+jac AS (
+  SELECT p.min_band,
+         len(list_intersect(sa.sh, sb.sh))::DOUBLE
+           / len(list_distinct(sa.sh || sb.sh))::DOUBLE AS j
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.doc_a
+  JOIN sh sb ON sb.doc_id = p.doc_b
+),
+levels(n_bands) AS (VALUES {levels})
+SELECT l.n_bands,
+       count(*) AS n_candidates,
+       CAST(sum(CASE WHEN j >= {_MH_TAU} THEN 1 ELSE 0 END) AS BIGINT) AS n_verified,
+       CAST(sum(CASE WHEN j >= {_MH_TAU} THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS precision
+FROM levels l JOIN jac ON jac.min_band < l.n_bands
+GROUP BY l.n_bands
+ORDER BY l.n_bands
+"""
+
 ORACLES: dict[str, str] = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
@@ -2640,4 +2742,5 @@ ORACLES: dict[str, str] = {
     "corpus_dedup_priority_keep": _priority_keep_sql(),
     "corpus_holdout_split": _holdout_split_sql(),
     "tokenizer_vocab_coverage": _vocab_coverage_sql(),
+    "dedup_band_utility": _band_utility_sql(),
 }

@@ -250,6 +250,7 @@ _NEVER_GATED = [
     "streaming_windowed_distinct",
     "lineitem_runlength_audit",
     "events_variant_props",
+    "dedup_band_utility",
 ]
 
 # r1-green revalidation sentinels, most-load-bearing first; the tail is
