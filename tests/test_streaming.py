@@ -307,3 +307,50 @@ def test_cdc_latest_state_survives_micro_batches(spark, tmp_path):
         assert got.n_updates == w.n
         assert got.last_event_id == w.last_id
         assert got.last_value == w.last_v
+
+
+def test_windowed_distinct_dedups_across_micro_batches(spark, tmp_path):
+    """Chained stateful ops under multi-batch execution: duplicate the
+    whole event file into TWO source files (every (hour, user) pair
+    redelivered in a later batch) — the dedup state must suppress the
+    second copy before the windowed count, so distinct counts match the
+    single-copy batch ground truth exactly."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    ev = load(spark, SF, "events")
+    for i in range(2):
+        part_dir = str(tmp_path / f"w{i}")
+        ev.coalesce(1).write.parquet(part_dir)
+        [f] = glob.glob(f"{part_dir}/part-*.parquet")
+        shutil.move(f, tmp_path / f"events_{i}.parquet")
+        shutil.rmtree(part_dir)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events_*.parquet")
+        .parquet(str(tmp_path))
+        .withWatermark("ts", "10 hours")  # wide enough to keep all dedup state
+    )
+    hourly_users = stream.select(
+        F.date_trunc("hour", "ts").alias("hour"), "user_id", "ts"
+    ).dropDuplicates(["hour", "user_id"])
+    agg = (
+        hourly_users.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("h"), "n")
+    )
+    out = jobs._run_to_memory(agg, "stream_wd_mb", "complete")
+    got = {r.h: r.n for r in out.collect()}
+    want = {
+        r.h: r.n
+        for r in ev.select(F.date_trunc("hour", "ts").alias("h"), "user_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
