@@ -1167,3 +1167,47 @@ FROM (
 )
 ORDER BY col_name
 """
+
+# ---------------------------------------------------------------- B56
+
+
+def q16_supplier_part_types_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (-lite: the testdata has no partsupp table, so
+    the part↔supplier relation is DERIVED as the distinct
+    (l_partkey, l_suppkey) pairs actually shipped — same join/aggregate
+    skeleton, honest provenance): supplier counts per (brand, type,
+    size) excluding one brand and suppliers with below-par balance.
+    Scale shape: the distinct pair set partial-aggregates map-side
+    before its shuffle; part and the excluded-supplier set broadcast;
+    the final count-distinct reuses the pair shuffle's partitioning."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_size").isin(5, 11, 17, 23, 29))
+    )
+    bad_supp = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad_supp), pairs.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_LITE_SQL = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (5, 11, 17, 23, 29)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""

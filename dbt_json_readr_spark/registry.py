@@ -124,6 +124,11 @@ register("supplier_abc_classes", tpch.supplier_abc_classes, tpch.SUPPLIER_ABC_SQ
 register(
     "lineitem_runlength_audit", tpch.lineitem_runlength_audit, tpch.LINEITEM_RUNLENGTH_SQL
 )
+register(
+    "q16_supplier_part_types_lite",
+    tpch.q16_supplier_part_types_lite,
+    tpch.Q16_LITE_SQL,
+)
 register("events_lateness_audit", events.events_lateness_audit, events.EVENTS_LATENESS_SQL)
 
 # C. LLM-data-pipeline operators (dedup / similarity / text analysis)
@@ -251,6 +256,7 @@ _NEVER_GATED = [
     "lineitem_runlength_audit",
     "events_variant_props",
     "dedup_band_utility",
+    "q16_supplier_part_types_lite",
 ]
 
 # r1-green revalidation sentinels, most-load-bearing first; the tail is
