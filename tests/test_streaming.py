@@ -354,3 +354,48 @@ def test_windowed_distinct_dedups_across_micro_batches(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_parquet_sink_checkpoint_resume_is_exactly_once(spark, tmp_path):
+    """Durable-sink recovery contract: drain file 1 through the
+    checkpointed parquet sink, then add file 2 and RESTART the query on
+    the same checkpoint — only the new file may be processed (the
+    checkpoint remembers consumed sources), and the union of epoch
+    outputs must hold every event exactly once."""
+    import glob
+    import shutil
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    src.mkdir()
+    ev = load(spark, SF, "events")
+    halves = []
+    for i, pred in enumerate(["event_id % 2 = 0", "event_id % 2 = 1"]):
+        part_dir = str(tmp_path / f"w{i}")
+        half = ev.filter(pred)
+        halves.append({r.event_id for r in half.select("event_id").collect()})
+        half.coalesce(1).write.parquet(part_dir)
+        [f] = glob.glob(f"{part_dir}/part-*.parquet")
+        shutil.move(f, tmp_path / f"half_{i}.parquet")
+        shutil.rmtree(part_dir)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("pathGlobFilter", "events_*.parquet")
+            .parquet(str(src))
+            .select("event_id", "event_type", "value")
+        )
+        jobs.run_to_parquet(stream, out, "stream_ckpt_resume", mode="append")
+
+    shutil.copy(tmp_path / "half_0.parquet", src / "events_0.parquet")
+    run_once()
+    first = {r.event_id for r in spark.read.parquet(f"{out}/epoch=*").collect()}
+    assert first == halves[0]
+
+    shutil.copy(tmp_path / "half_1.parquet", src / "events_1.parquet")
+    run_once()  # same checkpoint: must process ONLY the new file
+    rows = spark.read.parquet(f"{out}/epoch=*").collect()
+    ids = [r.event_id for r in rows]
+    assert len(ids) == len(set(ids)), "duplicate events after resume"
+    assert set(ids) == halves[0] | halves[1]
