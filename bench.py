@@ -73,7 +73,7 @@ def main() -> None:
         "value": round(sum(steady.values()), 3),
         "unit": "sec",
         "runs": n_runs,
-        "regime": f"steady_state_run{n_runs}",
+        "regime": "cold" if n_runs == 1 else f"steady_state_run{n_runs}",
         "queries": steady,
         "queries_cold": cold,
         "cold_total": round(sum(cold.values()), 3),

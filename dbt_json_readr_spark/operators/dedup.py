@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..functions import hashing as H
 from ..functions import vectors as V
-from ..session import spread
+from ..session import rotate_cached, spread
 
 DEFAULT_BUCKET_CAP = 2000
 
@@ -70,13 +70,6 @@ def _minhash_candidates(
     return _cand_from_mins(mins, n_hashes, bands, bucket_cap)
 
 
-# latest-wins rotation of the one persisted per-doc sketch handle, so
-# repeated invocations (bench loops, recall evals) pin at most ONE
-# cached frame — same discipline as operators/kmeans.py, regression-
-# tested in tests/test_plans.py.
-_SKETCH_HANDLES: list[DataFrame] = []
-
-
 def _per_doc_sketch(rows: DataFrame, n_hashes: int) -> DataFrame:
     """One combined pass: per-doc minhash lanes AND the distinct shingle
     set from a single scan + single aggregation.  The sketch and verify
@@ -95,9 +88,11 @@ def _per_doc_sketch(rows: DataFrame, n_hashes: int) -> DataFrame:
         *[F.min(f"mh{i}").alias(f"mh{i}") for i in range(n_hashes)],
         F.collect_set("sh").alias("sh"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    while _SKETCH_HANDLES:
-        _SKETCH_HANDLES.pop().unpersist()
-    _SKETCH_HANDLES.append(per_doc)
+    # latest-wins rotation keyed per SparkSession (session.rotate_cached):
+    # repeated invocations pin at most ONE cached frame per session —
+    # same discipline as operators/kmeans.py, regression-tested in
+    # tests/test_plans.py.
+    rotate_cached("minhash_sketch", [per_doc])
     return per_doc
 
 

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from ..functions import vectors as V
+from ..session import rotate_cached
 
 QUANT = 1_000_000
 
@@ -87,16 +88,12 @@ def update(assigned: DataFrame, comp: DataFrame) -> DataFrame:
 
 
 # latest-wins rotation of the persisted handles that back the most
-# recent Lloyd result (≤2 pinned across ANY number of invocations —
-# same discipline as operators/dedup.py's sketch cache).  Unpersisting
-# a previous caller's frames is safe: their plans recompute.
-_LLOYD_HANDLES: list[DataFrame] = []
-
-
+# recent Lloyd result (≤2 pinned per session across ANY number of
+# invocations — same discipline as operators/dedup.py's sketch cache,
+# keyed per SparkSession via session.rotate_cached).  Unpersisting a
+# previous caller's frames is safe: their plans recompute.
 def _rotate_handles(new: list[DataFrame]) -> None:
-    while _LLOYD_HANDLES:
-        _LLOYD_HANDLES.pop().unpersist()
-    _LLOYD_HANDLES.extend(new)
+    rotate_cached("lloyd", new)
 
 
 def _lloyd_loop(comp: DataFrame, k: int, iters: int):

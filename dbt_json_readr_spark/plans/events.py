@@ -1468,7 +1468,10 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     (try_ semantics), counted explicitly."""
     prep(spark)
     ev = load(spark, sf_dir, "events")
-    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    # try_parse_json (not parse_json): a malformed document must yield
+    # NULL — matching this docstring's try_ contract and the DuckDB
+    # oracle's TRY_CAST path — instead of failing the whole query.
+    k = F.try_variant_get(F.try_parse_json(F.col("props")), "$.k", "int")
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")

@@ -74,6 +74,38 @@ def prep(spark: SparkSession) -> SparkSession:
     return spark
 
 
+# Per-session persisted-handle slots.  Latest-wins rotation within one
+# (session, slot): invoking the same cached operator again releases the
+# frames backing the PREVIOUS invocation's result (safe — lazy plans
+# recompute deterministically).  Keyed by SparkSession so concurrent
+# sessions never release each other's caches; weak keys let a stopped
+# session's bookkeeping vanish with it.  Still assumes one logical
+# caller per slot within a session — interleaving two live consumers of
+# the same slot degrades to recompute, never to wrong results.
+from weakref import WeakKeyDictionary  # noqa: E402
+
+_CACHE_SLOTS: WeakKeyDictionary = WeakKeyDictionary()
+
+
+def rotate_cached(slot: str, frames: list) -> None:
+    """Register persisted ``frames`` as the live cache for ``slot`` in
+    their own SparkSession, unpersisting whatever that (session, slot)
+    held before.  The bound on live handles is per slot per session."""
+    if not frames:
+        return
+    session = frames[0].sparkSession
+    slots = _CACHE_SLOTS.setdefault(session, {})
+    for old in slots.get(slot, []):
+        old.unpersist()
+    slots[slot] = list(frames)
+
+
+def live_cached(slot: str, session) -> list:
+    """The frames currently pinned for (session, slot) — test hook for
+    the ≤N-live-handles regression contracts."""
+    return list(_CACHE_SLOTS.get(session, {}).get(slot, []))
+
+
 def observed(df, name: str, *metrics):
     """Attach named accumulator-style metrics to a DataFrame
     (``pyspark.sql.Observation``): the production pattern for emitting

@@ -699,14 +699,22 @@ def streaming_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly distinct-user counts on a stream — the dedup-then-
     aggregate composition: COUNT(DISTINCT) is unsupported in streaming
     aggregates, so the stream first drops duplicate (hour, user) pairs
-    inside the watermark (keyed state holds one row per pair, evicted
-    as the watermark passes), then a plain windowed count over the
-    deduplicated stream gives the exact distinct cardinality."""
+    inside the watermark, then a plain windowed count over the
+    deduplicated stream gives the exact distinct cardinality.
+
+    State boundedness: plain dropDuplicates on (hour, user_id) would
+    never evict — neither key is the watermarked event-time column, so
+    its state grows forever on an unbounded stream.
+    dropDuplicatesWithinWatermark keys eviction off the row's event
+    time instead: a pair's state expires one watermark delay after its
+    newest ts.  Exactness holds because duplicates of a (hour, user)
+    pair have ts inside that same hour by construction, so they land
+    within the 1-hour delay of each other."""
     prep(spark)
     ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
     hourly_users = ev.select(
         F.date_trunc("hour", "ts").alias("hour"), "user_id", "ts"
-    ).dropDuplicates(["hour", "user_id"])
+    ).dropDuplicatesWithinWatermark(["hour", "user_id"])
     agg = (
         hourly_users.groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_distinct_users"))

@@ -335,9 +335,14 @@ def test_windowed_distinct_dedups_across_micro_batches(spark, tmp_path):
         .parquet(str(tmp_path))
         .withWatermark("ts", "10 hours")  # wide enough to keep all dedup state
     )
+    # Same shape as the production op (jobs.streaming_windowed_distinct):
+    # dropDuplicatesWithinWatermark, so dedup state is evicted by event
+    # time instead of growing forever — the redelivered copies here land
+    # within the watermark delay, so dedup must still be exact.
     hourly_users = stream.select(
         F.date_trunc("hour", "ts").alias("hour"), "user_id", "ts"
-    ).dropDuplicates(["hour", "user_id"])
+    ).dropDuplicatesWithinWatermark(["hour", "user_id"])
+    assert "DeduplicateWithinWatermark" in hourly_users._jdf.queryExecution().logical().toString()
     agg = (
         hourly_users.groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count(F.lit(1)).alias("n"))
