@@ -19,11 +19,32 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..session import prep
-from ..sources.tables import load
+from ..sources.tables import load, load_partsupp
 
 
 def _dec(col: str) -> F.Column:
     return F.col(col).cast("decimal(18,4)")
+
+
+# DuckDB rendering of the synthesized partsupp (sources/tables.py
+# load_partsupp) — IDENTICAL integer/decimal arithmetic, spliced into the
+# oracle of every partsupp-family query (Q2/Q9/Q11/Q16/Q20) so both
+# engines see the same table bit-for-bit.  Never divides a DECIMAL
+# (DuckDB decimal÷int returns DOUBLE); supplycost is cents × 0.01 as an
+# exact decimal multiply.
+PARTSUPP_CTE = """s_cnt AS (SELECT count(*) AS s_cnt FROM supplier),
+partsupp_base AS (
+  SELECT p_partkey AS ps_partkey,
+         ((p_partkey * 4 + i) % s_cnt) + 1 AS ps_suppkey
+  FROM part, s_cnt, (SELECT unnest([CAST(0 AS BIGINT), 1, 2, 3]) AS i)
+),
+partsupp AS (
+  SELECT ps_partkey, ps_suppkey,
+         CAST((ps_partkey * 47 + ps_suppkey * 31) % 9999 + 1 AS INTEGER) AS ps_availqty,
+         CAST(CAST((ps_partkey * 97 + ps_suppkey * 61) % 99901 + 100 AS DECIMAL(14,0))
+              * CAST(0.01 AS DECIMAL(4,2)) AS DECIMAL(12,2)) AS ps_supplycost
+  FROM partsupp_base
+)"""
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -585,13 +606,18 @@ ORDER BY 1
 
 
 def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q9 shape (lite: testdata has no partsupp, so profit =
-    revenue without supply cost): revenue by supplier nation × order
-    year for parts whose name contains 'red'.
+    """TPC-H Q9 (real shape): profit — revenue minus supply cost —
+    by supplier nation × order year for parts whose name contains
+    'red'.  Supply cost comes from the synthesized partsupp
+    (sources/tables.py load_partsupp), joined on the composite
+    (partkey, suppkey) just as dbgen's table would be; lineitem pairs
+    not present in partsupp (the synthetic assignment covers ~4% of
+    shipped pairs) contribute no profit row, exactly as in the oracle.
 
-    Scale posture: part filter + supplier⋈nation broadcast on the fact
-    side; lineitem⋈orders shuffles on orderkey; agg output is
-    #nations × #years rows, so the final shuffle is negligible.
+    Scale posture: part filter broadcasts into BOTH fact sides —
+    lineitem and partsupp — so the composite-key join is between a
+    filtered fact and a small broadcast table; lineitem⋈orders
+    shuffles on orderkey; agg output is #nations × #years rows.
     """
     prep(spark)
     part = load(spark, sf_dir, "part").filter(F.col("p_name").contains("red")).select("p_partkey")
@@ -601,11 +627,19 @@ def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", "nation")
     )
+    ps = load_partsupp(spark, sf_dir).join(
+        F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey")
+    ).select("ps_partkey", "ps_suppkey", "ps_supplycost")
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     li = load(spark, sf_dir, "lineitem")
-    amount = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    amount = _dec("l_extendedprice") * (1 - _dec("l_discount")) - F.col(
+        "ps_supplycost"
+    ) * _dec("l_quantity")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(
+            F.broadcast(ps),
+            (li.l_partkey == F.col("ps_partkey")) & (li.l_suppkey == F.col("ps_suppkey")),
+        )
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
@@ -614,11 +648,14 @@ def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q9_SQL = """
+Q9_SQL = f"""
+WITH {PARTSUPP_CTE}
 SELECT n_name AS nation,
        CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_profit
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                - ps_supplycost * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
 FROM lineitem
+JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
 JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
@@ -1171,17 +1208,18 @@ ORDER BY col_name
 # ---------------------------------------------------------------- B56
 
 
-def q16_supplier_part_types_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q16 shape (-lite: the testdata has no partsupp table, so
-    the part↔supplier relation is DERIVED as the distinct
-    (l_partkey, l_suppkey) pairs actually shipped — same join/aggregate
-    skeleton, honest provenance): supplier counts per (brand, type,
-    size) excluding one brand and suppliers with below-par balance.
-    Scale shape: the distinct pair set partial-aggregates map-side
-    before its shuffle; part and the excluded-supplier set broadcast;
-    the final count-distinct reuses the pair shuffle's partitioning."""
+def q16_supplier_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (real shape, over the synthesized partsupp): supplier
+    counts per (brand, type, size) excluding one brand and suppliers
+    with below-par balance — the NOT IN anti-join + count-distinct over
+    the part↔supplier relation.
+
+    Scale shape: part (brand/size-filtered) and the excluded-supplier
+    set broadcast into the partsupp scan; the only shuffle is the final
+    3-key count-distinct aggregate, which partial-aggregates map-side.
+    """
     prep(spark)
-    li = load(spark, sf_dir, "lineitem")
+    ps = load_partsupp(spark, sf_dir)
     part = load(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1") & (F.col("p_size").isin(5, 11, 17, 23, 29))
     )
@@ -1190,24 +1228,249 @@ def q16_supplier_part_types_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("s_acctbal") < 0)
         .select("s_suppkey")
     )
-    pairs = li.select("l_partkey", "l_suppkey").distinct()
     return (
-        pairs.join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
-        .join(F.broadcast(bad_supp), pairs.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .join(F.broadcast(bad_supp), ps.ps_suppkey == bad_supp.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
     )
 
 
-Q16_LITE_SQL = """
+Q16_SQL = f"""
+WITH {PARTSUPP_CTE}
 SELECT p_brand, p_type, p_size,
-       count(DISTINCT l_suppkey) AS supplier_cnt
-FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
-JOIN part ON p_partkey = l_partkey
+       count(DISTINCT ps_suppkey) AS supplier_cnt
+FROM partsupp
+JOIN part ON p_partkey = ps_partkey
 WHERE p_brand <> 'Brand#1'
   AND p_size IN (5, 11, 17, 23, 29)
-  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
 GROUP BY p_brand, p_type, p_size
 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# partsupp family (Q2/Q11/Q20 + the real Q9/Q16 shapes).  partsupp is
+# synthesized deterministically from part × supplier (sources/tables.py
+# load_partsupp); PARTSUPP_CTE (defined at the top of this module) is
+# the SAME arithmetic in DuckDB SQL so every oracle sees an identical
+# table.
+# ---------------------------------------------------------------------------
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each STANDARD part, the European supplier(s)
+    offering the minimum supply cost (correlated-min subquery pattern).
+
+    Spark-first: the correlated ``= (SELECT min(..))`` becomes a
+    per-part min aggregate joined back on (partkey, cost) — both sides
+    of that join are already reduced to the filtered part set, so the
+    min table broadcasts.  Supplier⋈nation⋈region is a pure dim chain →
+    broadcast; partsupp is the fact side and never shuffles: filter,
+    broadcast-join, aggregate, broadcast-join back, top-100.
+    """
+    prep(spark)
+    part_f = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "STANDARD")
+        .select("p_partkey", "p_brand")
+    )
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps = load_partsupp(spark, sf_dir)
+    cand = ps.join(F.broadcast(part_f), ps.ps_partkey == part_f.p_partkey).join(
+        F.broadcast(supp), ps.ps_suppkey == F.col("s_suppkey")
+    )
+    mins = cand.groupBy(F.col("ps_partkey").alias("m_partkey")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        cand.join(
+            F.broadcast(mins),
+            (F.col("ps_partkey") == F.col("m_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            F.col("ps_supplycost").cast("double").alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q2_SQL = f"""
+WITH {PARTSUPP_CTE},
+europe_supp AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+cand AS (
+  SELECT p_partkey, p_brand, s_name, s_acctbal, n_name, ps_supplycost
+  FROM partsupp
+  JOIN part ON ps_partkey = p_partkey
+  JOIN europe_supp ON ps_suppkey = s_suppkey
+  WHERE p_type = 'STANDARD'
+),
+mins AS (
+  SELECT p_partkey AS m_partkey, min(ps_supplycost) AS min_cost
+  FROM cand GROUP BY 1
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+       CAST(ps_supplycost AS DOUBLE) AS supplycost
+FROM cand
+JOIN mins ON p_partkey = m_partkey AND ps_supplycost = min_cost
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part stock value held by European suppliers,
+    keeping parts whose value exceeds 0.1% of the total (HAVING against
+    a global scalar).
+
+    Spark-first: the global total is a 1-row aggregate cross-joined
+    back by broadcast — the classic scalar-subquery decorrelation; the
+    comparison stays in exact DECIMAL (total × 0.001 as decimal
+    multiply, never a double) so the boundary is bit-identical to the
+    oracle at any partitioning.  partsupp aggregates map-side before
+    its one shuffle on ps_partkey.
+    """
+    prep(spark)
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    ps = load_partsupp(spark, sf_dir)
+    value = F.col("ps_availqty").cast("decimal(18,4)") * F.col("ps_supplycost")
+    eu_ps = ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey).select(
+        "ps_partkey", value.alias("value_dec")
+    )
+    per_part = eu_ps.groupBy("ps_partkey").agg(F.sum("value_dec").alias("part_value_dec"))
+    total = eu_ps.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("part_value_dec")
+            > F.col("total_dec") * F.lit("0.001").cast("decimal(6,4)")
+        )
+        .select("ps_partkey", F.col("part_value_dec").cast("double").alias("stock_value"))
+        .orderBy(F.desc("stock_value"), "ps_partkey")
+    )
+
+
+Q11_SQL = f"""
+WITH {PARTSUPP_CTE},
+europe_supp AS (
+  SELECT s_suppkey
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+eu_ps AS (
+  SELECT ps_partkey,
+         CAST(ps_availqty AS DECIMAL(18,4)) * ps_supplycost AS value_dec
+  FROM partsupp JOIN europe_supp ON ps_suppkey = s_suppkey
+),
+tot AS (SELECT sum(value_dec) AS total_dec FROM eu_ps)
+SELECT ps_partkey, CAST(sum(value_dec) AS DOUBLE) AS stock_value
+FROM eu_ps, tot
+GROUP BY ps_partkey, total_dec
+HAVING sum(value_dec) > total_dec * CAST(0.001 AS DECIMAL(6,4))
+ORDER BY stock_value DESC, ps_partkey
+"""
+
+
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding surplus stock (availqty >
+    half of what they shipped in 1996) of 'cold' parts — the nested
+    semi-join (suppkey IN … partkey IN … qty > correlated sum) pattern.
+
+    Spark-first: the correlated per-(part,supplier) shipped-quantity
+    subquery becomes one grouped aggregate of the date-filtered
+    lineitem; partsupp (pre-filtered by broadcast to 'cold' parts, ~1/8
+    of parts × 4 rows) broadcasts INTO that aggregate's output, so the
+    only shuffle is lineitem's own pair-key aggregation.  The ×0.5 is
+    cross-multiplied (2·availqty > Σqty) in exact DECIMAL.
+    """
+    prep(spark)
+    cold_parts = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("cold"))
+        .select("p_partkey")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_dec("l_quantity")).alias("ship_qty")
+    )
+    ps = load_partsupp(spark, sf_dir).join(
+        F.broadcast(cold_parts), F.col("ps_partkey") == F.col("p_partkey")
+    )
+    qualified = (
+        shipped.join(
+            F.broadcast(ps),
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .filter((F.col("ps_availqty") * 2).cast("decimal(18,4)") > F.col("ship_qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = load(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        qualified.join(F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_name", "s_suppkey")
+    )
+
+
+Q20_SQL = f"""
+WITH {PARTSUPP_CTE},
+cold_parts AS (SELECT p_partkey FROM part WHERE p_name LIKE '%cold%'),
+shipped AS (
+  SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS DECIMAL(18,4))) AS ship_qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY 1, 2
+),
+qualified AS (
+  SELECT DISTINCT ps_suppkey
+  FROM partsupp
+  JOIN cold_parts ON ps_partkey = p_partkey
+  JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+  WHERE CAST(ps_availqty * 2 AS DECIMAL(18,4)) > ship_qty
+)
+SELECT s_suppkey, s_name, n_name
+FROM qualified
+JOIN supplier ON ps_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+ORDER BY s_name, s_suppkey
 """

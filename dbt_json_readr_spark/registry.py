@@ -124,11 +124,10 @@ register("supplier_abc_classes", tpch.supplier_abc_classes, tpch.SUPPLIER_ABC_SQ
 register(
     "lineitem_runlength_audit", tpch.lineitem_runlength_audit, tpch.LINEITEM_RUNLENGTH_SQL
 )
-register(
-    "q16_supplier_part_types_lite",
-    tpch.q16_supplier_part_types_lite,
-    tpch.Q16_LITE_SQL,
-)
+register("q16_supplier_part_types", tpch.q16_supplier_part_types, tpch.Q16_SQL)
+register("q2_min_cost_supplier", tpch.q2_min_cost_supplier, tpch.Q2_SQL)
+register("q11_important_stock", tpch.q11_important_stock, tpch.Q11_SQL)
+register("q20_promotion_suppliers", tpch.q20_promotion_suppliers, tpch.Q20_SQL)
 register("events_lateness_audit", events.events_lateness_audit, events.EVENTS_LATENESS_SQL)
 
 # C. LLM-data-pipeline operators (dedup / similarity / text analysis)
@@ -256,7 +255,10 @@ _NEVER_GATED = [
     "lineitem_runlength_audit",
     "events_variant_props",
     "dedup_band_utility",
-    "q16_supplier_part_types_lite",
+    "q16_supplier_part_types",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q20_promotion_suppliers",
 ]
 
 # r1-green revalidation sentinels, most-load-bearing first; the tail is

@@ -9,6 +9,7 @@ prefix).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 SCHEMAS: dict[str, T.StructType] = {
@@ -112,3 +113,58 @@ SCHEMAS: dict[str, T.StructType] = {
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one benchmark table with its explicit schema."""
     return spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic `partsupp` synthesized from part × supplier.
+
+    The benchmark testdata ships no partsupp.parquet, so the TPC-H
+    shapes that need it (Q2/Q9/Q11/Q16/Q20) build it from pure integer
+    arithmetic over the tables that DO exist — the same construction a
+    generator would use, not a derivation from lineitem:
+
+    - every part gets exactly 4 supplier rows, ``ps_suppkey =
+      (p_partkey*4 + i) % S + 1`` for ``i ∈ 0..3`` where S = |supplier|
+      (TPC-H dbgen assigns 4 suppliers per part with a modular stride;
+      consecutive residues are used here because they stay collision-free
+      for ANY supplier count ≥ 4, which dbgen's stride does not at the
+      tiny test-scale S);
+    - ``ps_availqty``/``ps_supplycost`` are integer hashes of the key
+      pair, supplycost carried as exact DECIMAL(12,2) built from cents.
+
+    The identical arithmetic is expressed in DuckDB SQL as
+    :data:`plans.tpch.PARTSUPP_CTE`, so oracle comparisons are
+    bit-exact.  Scale posture: the build is one broadcast of a 1-row
+    supplier count + a 4-way explode of the part scan — no shuffle; at
+    lake scale partsupp would simply be a real table and `load` replaces
+    this function.
+    """
+    part = load(spark, sf_dir, "part").select("p_partkey")
+    s_cnt = (
+        load(spark, sf_dir, "supplier")
+        .agg(F.count(F.lit(1)).cast("long").alias("s_cnt"))
+    )
+    keyed = (
+        part.crossJoin(F.broadcast(s_cnt))
+        .select(
+            "p_partkey",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.lit(3).cast("long"))).alias("i"),
+            "s_cnt",
+        )
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            ((F.col("p_partkey") * 4 + F.col("i")) % F.col("s_cnt") + 1).alias("ps_suppkey"),
+        )
+    )
+    cents = (F.col("ps_partkey") * 97 + F.col("ps_suppkey") * 61) % 99901 + 100
+    return keyed.select(
+        "ps_partkey",
+        "ps_suppkey",
+        ((F.col("ps_partkey") * 47 + F.col("ps_suppkey") * 31) % 9999 + 1)
+        .cast("int")
+        .alias("ps_availqty"),
+        # DECIMAL multiply (never divide: DuckDB decimal÷int yields DOUBLE)
+        (cents.cast("decimal(14,0)") * F.lit("0.01").cast("decimal(4,2)"))
+        .cast("decimal(12,2)")
+        .alias("ps_supplycost"),
+    )

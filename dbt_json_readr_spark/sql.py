@@ -13,18 +13,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from .session import prep
-from .sources.tables import SCHEMAS, load
+from .sources.tables import SCHEMAS, load, load_partsupp
 
 TABLES = tuple(SCHEMAS)
 
 
 def register_tables(spark: SparkSession, sf_dir: str) -> list[str]:
-    """Create/replace one temp view per benchmark table; returns the
-    view names."""
+    """Create/replace one temp view per benchmark table (plus the
+    synthesized ``partsupp``); returns the view names."""
     prep(spark)
     for name in TABLES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
-    return list(TABLES)
+    load_partsupp(spark, sf_dir).createOrReplaceTempView("partsupp")
+    return [*TABLES, "partsupp"]
 
 
 def register_artifacts(spark: SparkSession, target_dir: str) -> list[str]:

@@ -160,7 +160,7 @@ def test_new_audit_ops_broadcast_their_small_sides(spark):
 
     for fn in (
         tpch.join_prefilter_audit,         # bucket sets + key set broadcast
-        tpch.q16_supplier_part_types_lite, # part dim + excluded suppliers broadcast
+        tpch.q16_supplier_part_types,  # part dim + excluded suppliers broadcast
         llm.doc_posting_lists,             # top-term set broadcast
         llm.tokenizer_vocab_coverage,      # vocabulary broadcast
         llm.ann_ivf_kmeans_topk,           # centroids + probed queries broadcast
