@@ -24,6 +24,11 @@ from ..functions import vectors as V
 from ..session import rotate_cached, spread
 
 DEFAULT_BUCKET_CAP = 2000
+# auto-gate bound for the broadcast-candidates verify shape: 5M pairs
+# ≈ 80 MB on the driver / per executor copy — comfortably inside a
+# default 1-4 GiB driver, far under spark.sql.autoBroadcastJoinThreshold
+# ambitions for explicit broadcasts of this width.
+DEFAULT_BROADCAST_CAND_CAP = 5_000_000
 
 
 def normalize_text(col):
@@ -182,7 +187,8 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.8,
     bucket_cap: int = DEFAULT_BUCKET_CAP,
-    broadcast_verify: bool = True,
+    broadcast_verify: bool | None = None,
+    broadcast_cand_cap: int = DEFAULT_BROADCAST_CAND_CAP,
 ) -> DataFrame:
     """Near-dup candidate pairs via minhash LSH, verified with exact
     shingle jaccard.  rows/band = n_hashes//bands; P(candidate) ≈
@@ -204,12 +210,36 @@ def minhash_lsh_pairs(
        pairs are deduped across bands BEFORE verification.
     3. verify — exact jaccard for the candidate pairs only, via one of
        two shapes chosen by ``broadcast_verify``: broadcast-candidates
-       (default; zero array shuffles, reads the cached sets) or the
-       all-shuffle narrow-row intersection counting below, which keeps
-       TWO uncached corpus passes but never builds sets nor caches —
-       for corpora whose candidate set outgrows the driver or whose
-       per-doc sketch+set exceeds executor storage comfort."""
+       (zero array shuffles, reads the cached sets) or the all-shuffle
+       narrow-row intersection counting below, which keeps TWO uncached
+       corpus passes but never builds sets nor caches — for corpora
+       whose candidate set outgrows the driver or whose per-doc
+       sketch+set exceeds executor storage comfort.
+
+    ``broadcast_verify=None`` (default) AUTO-gates the shape from data
+    instead of trusting the caller (r3 advice): the candidate pairs are
+    computed from the cached sketch, persisted, and COUNTED — a cheap
+    band-aggregate action over already-cached data — and the broadcast
+    shape is taken only when the count fits ``broadcast_cand_cap``
+    (default 5M pairs ≈ 80 MB broadcast).  Over the cap, the sketch
+    cache is released immediately and the all-shuffle shape runs with
+    the persisted candidates reused.  Callers at scales where even the
+    cached sketch is unaffordable should pass ``broadcast_verify=False``
+    explicitly — that path still touches nothing but narrow rows."""
     rows = _shingle_rows(docs, k)
+    per_doc = cand = None
+    if broadcast_verify is None:
+        per_doc = _per_doc_sketch(rows, n_hashes)
+        cand = _cand_from_mins(per_doc.drop("sh"), n_hashes, bands, bucket_cap).persist()
+        rotate_cached("minhash_cand", [cand])
+        n_cand = cand.count()
+        broadcast_verify = n_cand <= broadcast_cand_cap
+        if not broadcast_verify:
+            # bailing to the shuffle shape: the per-doc sets will not be
+            # read — release the fused sketch cache now, keep only the
+            # (narrow) candidate pairs.
+            per_doc.unpersist()
+            per_doc = None
     if broadcast_verify:
         # Candidate pairs broadcast; the per-doc shingle SETS then
         # stream map-side through both hash joins in one codegen stage —
@@ -218,8 +248,10 @@ def minhash_lsh_pairs(
         # cap-bounded, so candidates ≤ bands · Σ C(bucket,2) and in
         # practice ~10× the true-pair count).  Sketch mins and sets
         # come from ONE cached scan+agg (_per_doc_sketch).
-        per_doc = _per_doc_sketch(rows, n_hashes)
-        cand = _cand_from_mins(per_doc.drop("sh"), n_hashes, bands, bucket_cap)
+        if per_doc is None:
+            per_doc = _per_doc_sketch(rows, n_hashes)
+        if cand is None:
+            cand = _cand_from_mins(per_doc.drop("sh"), n_hashes, bands, bucket_cap)
         sets = per_doc.select("doc_id", "sh")
         inter = F.size(F.array_intersect("sh_a", "sh_b"))
         union = F.size(F.array_union("sh_a", "sh_b"))
@@ -238,8 +270,11 @@ def minhash_lsh_pairs(
     # too large to broadcast: intersection sizes come from joining the
     # NARROW (doc_id, sh) shingle rows through the pairs — every shuffle
     # is hash-partitioned 24-byte rows, no arrays, no driver-side state.
-    # No per-doc sets are built (and nothing is cached) on this path.
-    cand = _minhash_candidates(rows, n_hashes, bands, bucket_cap)
+    # No per-doc sets are built (and nothing is cached) on this path —
+    # unless auto-gating above already persisted the candidate pairs,
+    # which are then reused instead of recomputed.
+    if cand is None:
+        cand = _minhash_candidates(rows, n_hashes, bands, bucket_cap)
     counts = rows.groupBy("doc_id").agg(F.count("*").alias("n"))
     ra = cand.join(rows.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
     ri = ra.join(rows.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"])

@@ -216,6 +216,15 @@ def kmeans_ivf_topk(
     from . import kmeans as KM
 
     cells, cents = KM.kmeans_cells(corpus, k=km_k, iters=iters)
+    return ivf_topk_from_cells(queries, corpus, cells, cents, k=k, nprobe=nprobe)
+
+
+def kmeans_probe(queries: DataFrame, cents: DataFrame, nprobe: int) -> DataFrame:
+    """(query_id, cid): the ``nprobe`` nearest trained cells per query —
+    integer squared-L2 against the broadcast centroids, bit-exact
+    argmin (same fixed-point arithmetic as training)."""
+    from . import kmeans as KM
+
     qcomp = KM.components(queries)
     diff = F.col("qv") - F.col("qc")
     qdist = (
@@ -224,11 +233,25 @@ def kmeans_ivf_topk(
         .agg(F.sum(diff * diff).alias("dist"))
     )
     probe_w = W.partitionBy("vec_id").orderBy("dist", "cid")
-    probed = (
+    return (
         qdist.withColumn("rn", F.row_number().over(probe_w))
         .filter(F.col("rn") <= nprobe)
         .select(F.col("vec_id").alias("query_id"), "cid")
     )
+
+
+def ivf_topk_from_cells(
+    queries: DataFrame,
+    corpus: DataFrame,
+    cells: DataFrame,
+    cents: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """The probe-then-score half of kmeans_ivf_topk, split out so sweep
+    evaluations (plans/llm.py ann_sweep_eval) can reuse ONE trained
+    quantizer across several nprobe settings."""
+    probed = kmeans_probe(queries, cents, nprobe)
     q = queries.select(
         F.col("vec_id").alias("query_id"), V.to_double(F.col("embedding")).alias("q_v")
     ).withColumn("q_n", V.norm(F.col("q_v")))

@@ -726,13 +726,18 @@ ORDER BY method, query_id
 
 def multimodal_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column + typed metadata → Arrow-batched feature
-    extraction (rows-only: mapInPandas output is non-SQL-expressible).
+    extraction over mapInPandas.
 
     The gated projection flattens the feature vector into scalar columns
     (f0..f3): the driver's canonicalizer sorts every column with pandas,
     which cannot order array cells (r2 gate error: ``unhashable type:
     'list'``).  The array-valued operator output stays available via
-    operators/multimodal.py extract_features."""
+    operators/multimodal.py extract_features.
+
+    Content-gated since r4: the oracle replays the md5-derived features
+    digit-by-digit in SQL (MULTIMODAL_STUB_SQL), so the Arrow-batched
+    mapInPandas path — batch shape, byte counts, checksums, feature
+    floats — is value-verified, not just row-counted."""
     prep(spark)
     media = M.as_media_table(spread(load(spark, sf_dir, "documents")))
     feats = M.extract_features(media)
@@ -743,6 +748,23 @@ def multimodal_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "checksum",
         *[F.col("feature").getItem(i).alias(f"f{i}") for i in range(4)],
     )
+
+
+MULTIMODAL_STUB_SQL = """
+WITH hx AS (
+  SELECT doc_id,
+         (['image','audio','video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS modality,
+         CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+         md5(text) AS checksum
+  FROM documents
+)
+SELECT doc_id, modality, n_bytes, checksum,
+       ((strpos('0123456789abcdef', substr(checksum, 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(checksum, 2, 1)) - 1)) / 255.0 AS f0,
+       ((strpos('0123456789abcdef', substr(checksum, 3, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(checksum, 4, 1)) - 1)) / 255.0 AS f1,
+       ((strpos('0123456789abcdef', substr(checksum, 5, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(checksum, 6, 1)) - 1)) / 255.0 AS f2,
+       ((strpos('0123456789abcdef', substr(checksum, 7, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(checksum, 8, 1)) - 1)) / 255.0 AS f3
+FROM hx
+"""
 
 
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2287,10 +2309,12 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_ivf_kmeans_sql(nprobe: int = 2) -> str:
+def _km_chain_parts(iters: int) -> tuple[list[str], str]:
+    """Shared CTE chain for every kmeans-IVF oracle: components →
+    seeded centroids → ``iters`` unrolled Lloyd rounds → final `cells`
+    assignment.  Returns (parts, final_centroid_cte_name)."""
     from ..operators.kmeans import QUANT as _KMQ
 
-    cos = V.sql_cosine("q.v", "c.v")
     parts = [
         f"""e AS (
   SELECT vec_id, {V.sql_to_double('embedding')} AS v FROM embeddings
@@ -2305,11 +2329,16 @@ cent0 AS (
 )"""
     ]
     cent = "cent0"
-    for i in range(1, _KM_ITERS + 1):
+    for i in range(1, iters + 1):
         parts.append(_km_assign_sql(cent, f"a{i}"))
         cent = f"cent{i}"
         parts.append(_km_update_sql(f"a{i}", cent))
     parts.append(_km_assign_sql(cent, "cells"))
+    return parts, cent
+
+
+def _km_probe_parts(nprobe: int, iters: int) -> list[str]:
+    parts, cent = _km_chain_parts(iters)
     parts.append(
         f"""qd AS (
   SELECT c.vec_id, t.cid, CAST(sum((c.qv - t.qc) * (c.qv - t.qc)) AS BIGINT) AS dist
@@ -2323,8 +2352,16 @@ probe AS (
            row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
     FROM qd
   ) WHERE rn <= {nprobe}
-),
-scored AS (
+)"""
+    )
+    return parts
+
+
+def _ann_ivf_kmeans_sql(nprobe: int = 2, iters: int | None = None) -> str:
+    cos = V.sql_cosine("q.v", "c.v")
+    parts = _km_probe_parts(nprobe, _KM_ITERS if iters is None else iters)
+    parts.append(
+        f"""scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cosine
   FROM (SELECT * FROM e WHERE vec_id < {_ANN_NQ}) q
   JOIN probe p ON p.query_id = q.vec_id
@@ -2340,6 +2377,114 @@ SELECT * FROM (
          CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
   FROM scored
 ) WHERE rank <= {_ANN_K}
+"""
+
+
+def _ann_ivf_kmeans_scan_sql(nprobe: int, iters: int) -> str:
+    """Probe cost of one sweep config: Σ probed-cell sizes (candidates
+    examined, including the query's own row) — the denominator of the
+    recall/cost tradeoff."""
+    ctes = ",\n".join(_km_probe_parts(nprobe, iters))
+    return f"""
+WITH {ctes}
+SELECT CAST(sum(cn) AS BIGINT) AS scanned
+FROM probe JOIN (SELECT cid, count(*) AS cn FROM cells GROUP BY cid) s USING (cid)
+"""
+
+
+# ---------------------------------------------------------------- C49
+
+
+_SWEEP_CONFIGS = [(2, 1), (2, 2), (2, 4), (2, 6), (5, 1), (5, 2), (5, 4)]
+
+
+def ann_sweep_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/cost SWEEP over the trained IVF index (VERDICT r3 item
+    10): Lloyd iterations × nprobe, one row per config with aggregate
+    recall@k against brute force AND the probe cost (Σ probed-cell
+    sizes) — the curve an operator reads to pick the cheapest config
+    above a recall floor.  Exactness: recall comes from integer overlap
+    counts (one double division at the end); the oracle replays every
+    config's Lloyd chain as unrolled CTEs.
+
+    Scale shape: ONE trained quantizer per iteration count is shared by
+    all nprobe settings (ivf_topk_from_cells), brute-force ground truth
+    is computed once, and every per-config result is a 1-row aggregate
+    — the sweep's output is |configs| rows regardless of corpus size.
+    """
+    prep(spark)
+    embs = load(spark, sf_dir, "embeddings")
+    qs = embs.filter(F.col("vec_id") < _ANN_NQ)
+    bf = S.brute_force_topk(qs, embs, k=_ANN_K).select("query_id", "neighbor_id")
+    denom = qs.agg(
+        (F.count(F.lit(1)) * _ANN_K).cast("long").alias("n_possible"),
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+    )
+    corpus_n = embs.agg(F.count(F.lit(1)).cast("long").alias("n_corpus"))
+    from ..operators import kmeans as KM
+
+    out = None
+    for iters in sorted({i for i, _ in _SWEEP_CONFIGS}):
+        cells, cents = KM.kmeans_cells(embs, k=_KM_K, iters=iters)
+        sizes = cells.groupBy("cid").agg(F.count(F.lit(1)).alias("cn"))
+        for it, nprobe in _SWEEP_CONFIGS:
+            if it != iters:
+                continue
+            topk = S.ivf_topk_from_cells(qs, embs, cells, cents, k=_ANN_K, nprobe=nprobe)
+            overlap = bf.join(
+                topk.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+            ).agg(F.count(F.lit(1)).cast("long").alias("total_overlap"))
+            scanned = (
+                S.kmeans_probe(qs, cents, nprobe)
+                .join(F.broadcast(sizes), "cid")
+                .agg(F.sum("cn").cast("long").alias("scanned_rows"))
+            )
+            row = (
+                overlap.crossJoin(F.broadcast(scanned))
+                .crossJoin(F.broadcast(denom))
+                .crossJoin(F.broadcast(corpus_n))
+                .select(
+                    F.lit(f"ivf_i{iters}_p{nprobe}").alias("method"),
+                    "total_overlap",
+                    (
+                        F.col("total_overlap").cast("double")
+                        / F.col("n_possible").cast("double")
+                    ).alias("recall_at_k"),
+                    "scanned_rows",
+                    (
+                        F.col("scanned_rows").cast("double")
+                        / (F.col("n_queries") * F.col("n_corpus")).cast("double")
+                    ).alias("scanned_frac"),
+                )
+            )
+            out = row if out is None else out.unionAll(row)
+    return out.orderBy("method")
+
+
+def _ann_sweep_sql() -> str:
+    blocks = []
+    for iters, nprobe in _SWEEP_CONFIGS:
+        blocks.append(
+            f"""  SELECT 'ivf_i{iters}_p{nprobe}' AS method,
+         (SELECT CAST(count(*) AS BIGINT)
+          FROM ({_ann_ivf_kmeans_sql(nprobe, iters)}) a
+          JOIN bf ON a.query_id = bf.query_id AND a.neighbor_id = bf.neighbor_id) AS total_overlap,
+         (SELECT scanned FROM ({_ann_ivf_kmeans_scan_sql(nprobe, iters)}) sc) AS scanned_rows"""
+        )
+        blocks.append("  UNION ALL")
+    union = "\n".join(blocks[:-1])
+    return f"""
+WITH bf AS (SELECT query_id, neighbor_id FROM ({_ann_bruteforce_sql()}) b),
+nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM embeddings WHERE vec_id < {_ANN_NQ}),
+nc AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM embeddings)
+SELECT method, total_overlap,
+       CAST(total_overlap AS DOUBLE) / CAST(n_queries * {_ANN_K} AS DOUBLE) AS recall_at_k,
+       scanned_rows,
+       CAST(scanned_rows AS DOUBLE) / CAST(n_queries * n_corpus AS DOUBLE) AS scanned_frac
+FROM (
+{union}
+), nq, nc
+ORDER BY method
 """
 
 
@@ -2738,6 +2883,7 @@ ORACLES: dict[str, str] = {
     "doc_posting_lists": _posting_lists_sql(),
     "embedding_pq_audit": _pq_audit_sql(),
     "ann_ivf_kmeans_topk": _ann_ivf_kmeans_sql(nprobe=_IVF_NPROBE),
+    "ann_sweep_eval": _ann_sweep_sql(),
     "dedup_source_matrix": _source_matrix_sql(),
     "corpus_dedup_priority_keep": _priority_keep_sql(),
     "corpus_holdout_split": _holdout_split_sql(),

@@ -1474,3 +1474,167 @@ JOIN supplier ON ps_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
 ORDER BY s_name, s_suppkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Q12/Q21 family.  The testdata lineitem carries no
+# l_shipmode/l_commitdate/l_receiptdate, so they are DERIVED
+# deterministically from columns that do exist — pure integer arithmetic
+# on the unique (l_orderkey, l_linenumber) key, identical in both
+# engines (LINEITEM_EXT_CTE), exactly like the partsupp synthesis above.
+# ---------------------------------------------------------------------------
+
+_SHIP_MODES = ["REG AIR", "AIR", "RAIL", "SHIP", "TRUCK", "MAIL", "FOB"]
+
+
+def _lineitem_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem + derived l_shipmode / l_commitdate / l_receiptdate.
+
+    commitdate sits −30..+30 days around shipdate (so ~half the rows
+    ship before commit) and receiptdate 1..30 days after shipdate (so
+    lateness receipt>commit is common but not universal) — the mix the
+    Q12/Q21 predicates need to be selective rather than degenerate.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    h = F.col("l_orderkey") * 31 + F.col("l_linenumber")
+    return li.select(
+        "*",
+        F.element_at(
+            F.array(*[F.lit(m) for m in _SHIP_MODES]), (h % 7).cast("int") + 1
+        ).alias("l_shipmode"),
+        F.date_add(
+            F.to_date("l_shipdate"), ((h * 13) % 61 - 30).cast("int")
+        ).alias("l_commitdate"),
+        F.date_add(
+            F.to_date("l_shipdate"), ((h * 17) % 30 + 1).cast("int")
+        ).alias("l_receiptdate"),
+    )
+
+
+LINEITEM_EXT_CTE = """lineitem_ext AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate,
+         (['REG AIR','AIR','RAIL','SHIP','TRUCK','MAIL','FOB'])[CAST(((l_orderkey * 31 + l_linenumber) % 7) AS INTEGER) + 1] AS l_shipmode,
+         CAST(l_shipdate AS DATE) + CAST((((l_orderkey * 31 + l_linenumber) * 13) % 61) - 30 AS INTEGER) AS l_commitdate,
+         CAST(l_shipdate AS DATE) + CAST((((l_orderkey * 31 + l_linenumber) * 17) % 30) + 1 AS INTEGER) AS l_receiptdate
+  FROM lineitem
+)"""
+
+
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12: for MAIL/SHIP lineitems received late in 1996 that
+    were committed after shipping, count high- vs low-priority orders
+    per ship mode (conditional-sum over a fact⋈fact join).
+
+    Scale posture: every derived-column predicate collapses to
+    arithmetic over scanned columns, so the lineitem side reduces
+    BEFORE the orderkey join; the join shuffles both sides on
+    o_orderkey with AQE sizing (at bench scale the filtered lineitem
+    side is broadcast-eligible and AQE will pick that).  Aggregate is
+    2 groups — map-side partial.
+    """
+    prep(spark)
+    le = _lineitem_ext(spark, sf_dir).filter(
+        F.col("l_shipmode").isin("MAIL", "SHIP")
+        & (F.col("l_commitdate") < F.col("l_receiptdate"))
+        & (F.to_date("l_shipdate") < F.col("l_commitdate"))
+        & (F.col("l_receiptdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_receiptdate") < F.lit("1997-01-01").cast("date"))
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        le.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_shipmode")
+    )
+
+
+Q12_SQL = f"""
+WITH {LINEITEM_EXT_CTE}
+SELECT l_shipmode,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem_ext
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipmode IN ('MAIL', 'SHIP')
+  AND l_commitdate < l_receiptdate
+  AND CAST(l_shipdate AS DATE) < l_commitdate
+  AND l_receiptdate >= DATE '1996-01-01'
+  AND l_receiptdate < DATE '1997-01-01'
+GROUP BY l_shipmode
+ORDER BY l_shipmode
+"""
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21: European suppliers who were the SOLE late supplier on
+    a finished multi-supplier order — the double-correlated
+    EXISTS / NOT EXISTS shape.
+
+    Spark-first decorrelation: both correlated subqueries collapse into
+    ONE per-order aggregate over lineitem_ext — n_supp =
+    countDistinct(suppkey) (EXISTS another supplier ⇔ n_supp ≥ 2) and
+    n_late_supp = countDistinct(suppkey | late) (NOT EXISTS another
+    late supplier ⇔ the late set is exactly {this supplier} ⇔
+    n_late_supp = 1, given the probe row is itself late).  The oracle
+    keeps the textbook EXISTS/NOT-EXISTS form, so the gate proves the
+    rewrite.  One lineitem shuffle on orderkey feeds both the stats and
+    the probe join; supplier⋈nation⋈region broadcasts.
+    """
+    prep(spark)
+    le = _lineitem_ext(spark, sf_dir).select(
+        "l_orderkey", "l_suppkey", (F.col("l_receiptdate") > F.col("l_commitdate")).alias("late")
+    )
+    stats = le.groupBy(F.col("l_orderkey").alias("st_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    orders_f = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        le.filter(F.col("late"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(stats, F.col("l_orderkey") == F.col("st_orderkey"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+Q21_SQL = f"""
+WITH {LINEITEM_EXT_CTE}
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM lineitem_ext l1
+JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND l1.l_receiptdate > l1.l_commitdate
+  AND EXISTS (
+    SELECT 1 FROM lineitem_ext l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem_ext l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_receiptdate > l3.l_commitdate
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""

@@ -125,6 +125,8 @@ register(
     "lineitem_runlength_audit", tpch.lineitem_runlength_audit, tpch.LINEITEM_RUNLENGTH_SQL
 )
 register("q16_supplier_part_types", tpch.q16_supplier_part_types, tpch.Q16_SQL)
+register("q12_shipmode_priority", tpch.q12_shipmode_priority, tpch.Q12_SQL)
+register("q21_waiting_suppliers", tpch.q21_waiting_suppliers, tpch.Q21_SQL)
 register("q2_min_cost_supplier", tpch.q2_min_cost_supplier, tpch.Q2_SQL)
 register("q11_important_stock", tpch.q11_important_stock, tpch.Q11_SQL)
 register("q20_promotion_suppliers", tpch.q20_promotion_suppliers, tpch.Q20_SQL)
@@ -133,7 +135,7 @@ register("events_lateness_audit", events.events_lateness_audit, events.EVENTS_LA
 # C. LLM-data-pipeline operators (dedup / similarity / text analysis)
 for _key, _sql in llm.ORACLES.items():
     register(_key, getattr(llm, _key), _sql)
-register("multimodal_stub", llm.multimodal_stub, None)  # rows-only (mapInPandas)
+register("multimodal_stub", llm.multimodal_stub, llm.MULTIMODAL_STUB_SQL)
 
 # D. Structured Streaming jobs
 register(
@@ -192,123 +194,129 @@ register(
 
 # -------------------------------------------------------------------
 # Driver-gate ordering.  The driver records CORRECTNESS rows for only the
-# FIRST 50 keys in queries() insertion order (VERDICT.md r1), so
-# registration order IS the correctness gate.  Round-3 rotation: keys
-# with no driver row yet (new this round, plus multimodal_stub whose r2
-# gate errored on its array column — now flattened to scalars) claim
-# window slots FIRST; the remainder of the window is filled with
-# sentinel keys whose last driver row is from r1 (rotated out of the r2
-# window).  Sentinels are ordered most-load-bearing first so that as new
-# keys are added the least-critical sentinels fall out of the window;
-# rotated-out keys stay covered by the local oracle-parity suite
-# (tests/test_oracle_parity.py, every key at sf0.01) and the sf0.1
-# bench row counts — after r3 every key has had at least one
-# driver-green row across rounds.
+# FIRST 50 keys in queries() insertion order, so registration order IS
+# the correctness gate.  Round-4 rotation policy (VERDICT r3 item 2):
+# the container was rebuilt mid-r3 (pyspark 4.1.2, regenerated
+# testdata), so every key whose newest driver row predates the rebuild
+# must earn a fresh row.  Priority: (1) keys that are new or changed
+# this round, (2) keys whose newest green row is r1, oldest evidence
+# first, (3) keys whose newest green row is r2 — the overflow rotates
+# into the r5 window.  Rotated-out keys stay covered by
+# tests/test_oracle_parity.py (every key, sf0.01, exact values).
 GATE_WINDOW = 50
 
-# Never had a driver-green CORRECTNESS row — every entry here MUST be in
-# the window.  Append new keys as they are implemented.
-_NEVER_GATED = [
-    # r2 gate error, fixed this round (array column → f0..f3 scalars)
+# New or semantically changed this round — a driver row under the NEW
+# definition does not exist yet.  multimodal_stub leads: it gained a
+# content oracle in r4 (was rows-only), q9/q16 moved from -lite to the
+# real partsupp shapes, the rest are brand-new keys.
+_NEW_THIS_ROUND = [
     "multimodal_stub",
-    # new this round (never gated)
-    "scd2_customer_snapshot",
-    "events_range_join",
-    "events_approx_distinct",
-    "doc_chunk_plan",
-    "token_budget_pack",
-    "embedding_quantize",
-    "embedding_kmeans",
-    "dbt_critical_path",
-    "embedding_power_iteration",
-    "text_langid_confusion",
-    "streaming_sliding_window",
-    "customer_revenue_deciles",
-    "events_gap_islands",
-    "bpe_pair_stats",
-    "text_dup_spans",
-    "dedup_threshold_curve",
-    "corpus_token_histogram",
-    "streaming_topk",
-    "events_attribution",
-    "customer_percentile_rank",
-    "revenue_cube",
-    "order_year_set_ops",
-    "corpus_quality_funnel",
-    "events_ewma_hourly",
-    "events_skew_audit",
-    "lineitem_zorder_layout",
-    "join_prefilter_audit",
-    "doc_posting_lists",
-    "streaming_anomaly",
-    "embedding_pq_audit",
-    "zone_map_skipping_audit",
-    "events_lateness_audit",
-    "ann_ivf_kmeans_topk",
-    "dedup_source_matrix",
-    "streaming_cdc_latest",
-    "corpus_dedup_priority_keep",
-    "supplier_abc_classes",
-    "corpus_holdout_split",
-    "tokenizer_vocab_coverage",
-    "streaming_windowed_distinct",
-    "lineitem_runlength_audit",
-    "events_variant_props",
-    "dedup_band_utility",
-    "q16_supplier_part_types",
     "q2_min_cost_supplier",
     "q11_important_stock",
     "q20_promotion_suppliers",
+    "q12_shipmode_priority",
+    "q21_waiting_suppliers",
+    "q16_supplier_part_types",
+    "q9_nation_profit",
+    "ann_sweep_eval",
 ]
 
-# r1-green revalidation sentinels, most-load-bearing first; the tail is
-# truncated to fit the window as _NEVER_GATED grows.
-_SENTINELS = [
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "events_sessionization",
+# Newest driver row is r1 (pre-rebuild container, old timestamp
+# encoding) — re-gate before the r2 cohort.
+_STALE_R1 = [
+    "asof_join_events_orders",
+    "dbt_catalog_columns",
     "dbt_lineage_closure",
     "dbt_lineage_depth",
+    "dbt_model_fanout",
+    "dbt_run_results",
     "dbt_run_summary",
     "dbt_schema_drift",
-    "dbt_catalog_columns",
-    "dbt_run_results",
     "dbt_source_freshness",
-    "dbt_model_fanout",
     "dbt_tag_usage",
-    "q4_late_shipments",
-    "q7_nation_trade",
-    "q13_order_distribution",
-    "q18_large_orders",
-    "part_brand_stats",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q19_bracket_revenue",
-    "q8_market_share",
-    "q9_nation_profit",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q22_dormant_customers",
-    "top_customers_per_nation",
-    "revenue_rollup",
+    "events_approx_quantiles",
+    "events_funnel",
+    "events_hourly_heatmap",
+    "events_retention_cohorts",
     "events_user_counts",
     "events_windowed_agg",
-    "asof_join_events_orders",
-    "events_approx_quantiles",
-    "orders_running_total",
-    "events_funnel",
     "lineitem_unpivot_metrics",
-    "events_retention_cohorts",
-    "orders_monthly_growth",
-    "events_hourly_heatmap",
     "order_priority_pivot",
+    "orders_monthly_growth",
+    "orders_running_total",
+    "part_brand_stats",
+    "q10_returned_items",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_bracket_revenue",
+    "q22_dormant_customers",
+    "q4_late_shipments",
+    "q7_nation_trade",
+    "q8_market_share",
+    "revenue_rollup",
     "supplier_semi_anti",
+    "top_customers_per_nation",
 ]
 
-assert len(_NEVER_GATED) <= GATE_WINDOW, "more never-gated keys than window slots"
-_GATE_PRIORITY = (_NEVER_GATED + _SENTINELS)[:GATE_WINDOW]
+# Newest driver row is r2 (also pre-rebuild).  Ordered most
+# load-bearing first; the tail past the window rotates into r5.
+_STALE_R2 = [
+    "dbt_manifest_nodes",
+    "dbt_manifest_unified",
+    "dbt_manifest_edges",
+    "dedup_minhash_lsh",
+    "dedup_exact",
+    "streaming_windowed_agg",
+    "ann_recall_eval",
+    "multimodal_decode",
+    "text_quality_score",
+    "streaming_sessionization",
+    "dedup_lsh_recall",
+    "corpus_decontaminate",
+    "dbt_manifest_sources",
+    "dbt_manifest_macros",
+    "dbt_manifest_columns",
+    "dbt_catalog_objects",
+    "dbt_description_coverage",
+    "dbt_pagerank",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "corpus_dedup_summary",
+    "corpus_mixture_weights",
+    "corpus_quality_by_source",
+    "corpus_shard_plan",
+    "corpus_stratified_sample",
+    "doc_term_topk",
+    "doc_tfidf_topk",
+    "embedding_centroids",
+    "events_anomaly_zscore",
+    "events_json_props",
+    "events_transition_matrix",
+    "part_size_histogram",
+    "skew_salted_segment_revenue",
+    "streaming_dedup",
+    "streaming_enrich_segments",
+    "streaming_funnel",
+    "streaming_stateful_counts",
+    "streaming_stream_join",
+    "text_fingerprint",
+    "text_langid",
+    "text_ngram_novelty",
+    "text_pii_redact",
+    "text_repetition",
+    "text_token_count",
+]
+
+assert len(_NEW_THIS_ROUND) + len(_STALE_R1) <= GATE_WINDOW
+_GATE_PRIORITY = (_NEW_THIS_ROUND + _STALE_R1 + _STALE_R2)[:GATE_WINDOW]
 
 
 def _gate_ordered() -> dict[str, tuple[QueryFn, str | None]]:

@@ -71,6 +71,15 @@ def prep(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark.conf.set("spark.sql.shuffle.partitions", cpus)
+    # RocksDB-backed streaming state (OSS provider, ships in Spark ≥3.2):
+    # keyed state spills to local disk instead of growing the JVM heap —
+    # the provider a 1000-executor stateful job runs with.  Batch-only
+    # queries ignore it; every streaming op in streaming/jobs.py is
+    # oracle-gated under it (tests/test_streaming.py pins the conf).
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
     return spark
 
 

@@ -103,6 +103,25 @@ def test_minhash_verify_paths_agree(spark):
     assert sa == sb and sa
 
 
+def test_minhash_auto_gate_picks_shuffle_over_cand_cap(spark):
+    """broadcast_verify=None must flip to the all-shuffle verify when the
+    candidate-pair count exceeds broadcast_cand_cap: the resulting plan
+    may not broadcast the candidate set (no broadcast hint on the verify
+    join) and must still produce the exact pair set (r3 advice item 5)."""
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
+    rows = [(i, base + f" tail {i % 2}", "en") for i in range(1, 31)]
+    over = D.minhash_lsh_pairs(docs(spark, rows), broadcast_cand_cap=10)
+    # all 30 docs near-dup → C(30,2)=435 candidates > 10 → shuffle shape:
+    # the broadcast shape wraps the candidate set in an explicit
+    # broadcast hint; the shuffle shape must not.
+    assert "ResolvedHint" not in over._jdf.queryExecution().analyzed().toString()
+    under = D.minhash_lsh_pairs(docs(spark, rows), broadcast_cand_cap=5_000_000)
+    assert "ResolvedHint" in under._jdf.queryExecution().analyzed().toString()
+    so = {(r.doc_a, r.doc_b, r.jaccard) for r in over.collect()}
+    su = {(r.doc_a, r.doc_b, r.jaccard) for r in under.collect()}
+    assert so == su and len(so) == 435
+
+
 def test_simhash_identical_zero_hamming_and_banding_recall(spark):
     base = "alpha beta gamma delta epsilon zeta eta theta " * 4
     near = base.replace("delta", "delta2", 1)

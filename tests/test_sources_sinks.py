@@ -286,3 +286,123 @@ def test_observed_metrics_ride_along_with_the_action(spark, sf_dir):
     n = df.count()  # one action materializes data AND metrics
     got = obs.get
     assert got["n_rows"] == n and got["qty"] > 0
+
+
+# ------------------------------------------------- manifest-commit table
+
+
+def _mt(spark, tmp_path):
+    from dbt_json_readr_spark.manifest_commit import ManifestTable
+
+    return ManifestTable(spark, str(tmp_path / "mtable"))
+
+
+def test_manifest_commit_publish_and_read(spark, tmp_path):
+    t = _mt(spark, tmp_path)
+    df = spark.range(10).selectExpr("id", "id * 2 AS v")
+    assert t.commit(df, expected_rows=10) == 1
+    assert t.read().count() == 10
+    t.commit(spark.range(10, 15).selectExpr("id", "id * 2 AS v"), expected_rows=5)
+    assert t.read().count() == 15
+    assert t.read(version=1).count() == 10  # time travel to v1
+    t.commit(spark.range(3).selectExpr("id", "id * 2 AS v"), mode="overwrite")
+    assert t.read().count() == 3
+
+
+def test_manifest_commit_crash_between_write_and_publish_is_invisible(spark, tmp_path):
+    """The write-audit-publish guarantee: a writer that dies AFTER
+    staging data files but BEFORE the manifest/pointer swap must leave
+    readers exactly at the old version — no partial files readable."""
+    import os
+
+    t = _mt(spark, tmp_path)
+    t.commit(spark.range(10).selectExpr("id", "id * 2 AS v"))
+    # simulate the crashed second batch: files staged, never published
+    orphan_dir = os.path.join(t._data, "deadbeefcrash")
+    spark.range(100, 200).selectExpr("id", "id * 2 AS v").write.parquet(orphan_dir)
+    assert t.current_version() == 1
+    rows = {r.id for r in t.read().collect()}
+    assert rows == set(range(10)), "orphaned staged files leaked into a read"
+    # vacuum removes exactly the orphan, never referenced data
+    removed = t.vacuum()
+    assert removed == ["deadbeefcrash"]
+    assert {r.id for r in t.read().collect()} == set(range(10))
+
+
+def test_manifest_commit_audit_failure_aborts_publish(spark, tmp_path):
+    import pytest
+
+    from dbt_json_readr_spark.manifest_commit import CommitAuditError
+
+    t = _mt(spark, tmp_path)
+    with pytest.raises(CommitAuditError):
+        t.commit(spark.range(7).selectExpr("id", "id AS v"), expected_rows=99)
+    assert t.current_version() == 0
+    assert t.read().count() == 0
+
+
+def test_manifest_commit_replayed_batch_id_is_idempotent(spark, tmp_path):
+    """foreachBatch replays the last micro-batch after a restart that
+    crashed between sink commit and checkpoint write; the writer must
+    drop the duplicate by batch id."""
+    t = _mt(spark, tmp_path)
+    w = t.foreach_batch_writer()
+    df = spark.range(5).selectExpr("id", "id AS v")
+    w(df, 0)
+    w(df, 0)  # replay
+    w(spark.range(5, 8).selectExpr("id", "id AS v"), 1)
+    assert t.read().count() == 8
+    assert t.committed_batch_ids() == {0, 1}
+
+
+def test_manifest_commit_streaming_restart_exactly_once(spark, tmp_path):
+    """End-to-end: a checkpointed stream drains into the manifest table,
+    the query restarts with more input, and the published table holds
+    every source row exactly once — the no-jars stand-in for a Delta
+    streaming sink."""
+    import glob
+    import shutil
+
+    from dbt_json_readr_spark.sources.tables import load
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+    src = tmp_path / "src"
+    src.mkdir()
+    ev = load(spark, sf, "events")
+    halves = []
+    for i, pred in enumerate(["event_id % 2 = 0", "event_id % 2 = 1"]):
+        part_dir = str(tmp_path / f"w{i}")
+        half = ev.filter(pred).select("event_id", "event_type", "value")
+        halves.append({r.event_id for r in half.select("event_id").collect()})
+        half.coalesce(1).write.parquet(part_dir)
+        [f] = glob.glob(f"{part_dir}/part-*.parquet")
+        shutil.move(f, tmp_path / f"half_{i}.parquet")
+        shutil.rmtree(part_dir)
+
+    t = _mt(spark, tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("pathGlobFilter", "events_*.parquet")
+            .parquet(str(src))
+            .select("event_id", "event_type", "value")
+        )
+        q = (
+            stream.writeStream.foreachBatch(t.foreach_batch_writer())
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    shutil.copy(tmp_path / "half_0.parquet", src / "events_0.parquet")
+    run_once()
+    assert {r.event_id for r in t.read().select("event_id").collect()} == halves[0]
+
+    shutil.copy(tmp_path / "half_1.parquet", src / "events_1.parquet")
+    run_once()
+    ids = [r.event_id for r in t.read().select("event_id").collect()]
+    assert len(ids) == len(set(ids)), "duplicates after restart"
+    assert set(ids) == halves[0] | halves[1]

@@ -404,3 +404,40 @@ def test_parquet_sink_checkpoint_resume_is_exactly_once(spark, tmp_path):
     ids = [r.event_id for r in rows]
     assert len(ids) == len(set(ids)), "duplicate events after resume"
     assert set(ids) == halves[0] | halves[1]
+
+
+def test_streaming_state_store_is_rocksdb(spark):
+    """prep() must select the RocksDB provider — the disk-backed state
+    store a large stateful job runs with; every streaming oracle green
+    in this suite therefore ran under it."""
+    from dbt_json_readr_spark.session import prep
+
+    prep(spark)
+    assert "RocksDBStateStoreProvider" in spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass"
+    )
+
+
+def test_stateful_counts_tws_gates_or_matches(spark):
+    """transformWithStateInPandas migration contract: without protobuf
+    the op must gate loudly; with it, it must equal the
+    applyInPandasWithState implementation row-for-row."""
+    import pytest
+
+    from dbt_json_readr_spark.streaming.jobs import (
+        _run_to_memory,
+        events_stream,
+        stateful_counts,
+        stateful_counts_tws,
+    )
+
+    ev = events_stream(spark, SF).withWatermark("ts", "1 hour")
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            stateful_counts_tws(ev)
+        return
+    new = _run_to_memory(stateful_counts_tws(ev), "tws_counts", "update")
+    old = _run_to_memory(stateful_counts(ev), "aip_counts", "update")
+    assert sorted(map(tuple, new.collect())) == sorted(map(tuple, old.collect()))
