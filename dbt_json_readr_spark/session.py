@@ -99,13 +99,29 @@ _CACHE_SLOTS: WeakKeyDictionary = WeakKeyDictionary()
 def rotate_cached(slot: str, frames: list) -> None:
     """Register persisted ``frames`` as the live cache for ``slot`` in
     their own SparkSession, unpersisting whatever that (session, slot)
-    held before.  The bound on live handles is per slot per session."""
+    held before.  The bound on live handles is per slot per session.
+
+    Semantic reuse (r4): an old frame whose plan is ``sameSemantics``
+    as a new one is KEPT, not unpersisted — Spark's CacheManager dedups
+    identical canonicalized plans into one cache entry, so the new
+    ``persist()`` attached to the OLD entry and unpersisting the old
+    handle would drop the data both share.  Repeated invocations of a
+    cached operator on the same inputs (bench steady runs; the dedup
+    keys that all start from one minhash sketch) therefore hit a warm
+    cache instead of rebuilding it, while a changed input plan still
+    rotates the stale cache out.  Deterministic plans make the reuse
+    value-safe; the handle bound per slot is unchanged."""
     if not frames:
         return
     session = frames[0].sparkSession
     slots = _CACHE_SLOTS.setdefault(session, {})
     for old in slots.get(slot, []):
-        old.unpersist()
+        try:
+            reused = any(new.sameSemantics(old) for new in frames)
+        except Exception:
+            reused = False
+        if not reused:
+            old.unpersist()
     slots[slot] = list(frames)
 
 

@@ -151,6 +151,12 @@ def test_minhash_sketch_cache_rotates_not_leaks(spark):
         llm.dedup_minhash_lsh(spark, SF).count()
     after = spark.sparkContext._jsc.getPersistentRDDs().size()
     assert after - before <= 2, f"cache leak: {after - before} pinned handles"
+    # semantic reuse must not defeat rotation: a DIFFERENT input plan
+    # (other sf_dir) must rotate the stale cache out, keeping the bound
+    llm.dedup_minhash_lsh(spark, "/root/testdata/sf0.001").count()
+    llm.dedup_minhash_lsh(spark, SF).count()
+    after2 = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after2 - before <= 2, f"rotation leak: {after2 - before} pinned handles"
 
 
 def test_new_audit_ops_broadcast_their_small_sides(spark):

@@ -14,7 +14,9 @@ from dbt_json_readr_spark import registry
 GATE_WINDOW = 50
 
 # Keys allowed to have no DuckDB oracle (rows-only driver check).
-ROWS_ONLY = {"multimodal_stub"}
+# Empty since r4: multimodal_stub gained a digit-exact md5-replay oracle,
+# so every registered key is value-verified.
+ROWS_ONLY: set[str] = set()
 
 
 def test_priority_keys_inside_gate_window():
