@@ -73,18 +73,56 @@ class ManifestTable:
         with open(os.path.join(self._manifests, f"manifest-{version}.json")) as f:
             return json.load(f)
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        version: int | None = None,
+        partition_values: list[str] | None = None,
+    ) -> DataFrame:
         """The table AS OF ``version`` (default: latest) — exactly the
         files that manifest lists, with its pinned schema.  Orphaned /
-        in-flight data files are unreachable by construction."""
+        in-flight data files are unreachable by construction.
+
+        On a partitioned table, ``partition_values`` prunes files from
+        MANIFEST METADATA alone — no directory listing, no footer reads
+        for skipped partitions — and the partition column is
+        reconstructed from the manifest with its original type."""
         v = self.current_version() if version is None else version
         if v == 0:
             return self.spark.createDataFrame([], T.StructType([]))
         m = self._manifest(v)
         schema = T.StructType.fromJson(m["schema"])
-        reader = self.spark.read.schema(schema)
-        files = [os.path.join(self.path, f["path"]) for f in m["files"]]
-        return reader.parquet(*files)
+        pcol = m.get("partition_by")
+        files = m["files"]
+        if pcol is None:
+            if partition_values is not None:
+                raise ValueError("table is not partitioned")
+            return self.spark.read.schema(schema).parquet(
+                *[os.path.join(self.path, f["path"]) for f in files]
+            )
+        from pyspark.sql import functions as F
+
+        ptype = schema[pcol].dataType
+        data_schema = T.StructType([f for f in schema.fields if f.name != pcol])
+        groups: dict[str, list[str]] = {}
+        for f in files:
+            if partition_values is not None and f["partition"] not in partition_values:
+                continue
+            groups.setdefault(f["partition"], []).append(
+                os.path.join(self.path, f["path"])
+            )
+        if not groups:
+            return self.spark.createDataFrame([], schema)
+        parts = [
+            self.spark.read.schema(data_schema)
+            .parquet(*paths)
+            .withColumn(pcol, F.lit(val).cast(ptype))
+            .select(*[f.name for f in schema.fields])
+            for val, paths in sorted(groups.items())
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def committed_batch_ids(self) -> set[int]:
         v = self.current_version()
@@ -103,6 +141,8 @@ class ManifestTable:
         mode: str = "append",
         batch_id: int | None = None,
         expected_rows: int | None = None,
+        partition_by: str | None = None,
+        replace_partitions: bool = False,
     ) -> int:
         """Write-audit-publish one batch; returns the new version.
 
@@ -110,21 +150,51 @@ class ManifestTable:
         files are re-counted from disk and a mismatch aborts BEFORE
         publish.  ``mode='overwrite'`` publishes a manifest listing only
         this batch's files; ``'append'`` carries the parent's list
-        forward."""
+        forward.
+
+        ``partition_by`` stages the batch hive-partitioned and records
+        each file's partition VALUE in the manifest — so ``read`` can
+        prune whole files from manifest metadata alone, and
+        ``replace_partitions=True`` (dynamic partition overwrite)
+        carries forward only the parent files whose partition the batch
+        does NOT touch: the rewrite cost of an upsert becomes
+        O(touched partitions), not O(table)."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unsupported mode: {mode}")
         commit_id = uuid.uuid4().hex
         staging = os.path.join(self._data, commit_id)
         # WRITE — crash here leaves an unreferenced directory, nothing more
-        df.write.mode("errorifexists").parquet(staging)
+        writer = df.write.mode("errorifexists")
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(staging)
         # AUDIT — list + recount from disk, never trusting the in-memory df
-        staged = sorted(
-            os.path.join("data", commit_id, f)
-            for f in os.listdir(staging)
-            if f.endswith(".parquet")
+        if partition_by:
+            staged = []
+            parts: dict[str, str] = {}
+            for d in sorted(os.listdir(staging)):
+                full = os.path.join(staging, d)
+                if not (os.path.isdir(full) and d.startswith(f"{partition_by}=")):
+                    continue
+                for f in sorted(os.listdir(full)):
+                    if f.endswith(".parquet"):
+                        rel = os.path.join("data", commit_id, d, f)
+                        staged.append(rel)
+                        parts[rel] = d.split("=", 1)[1]
+        else:
+            staged = sorted(
+                os.path.join("data", commit_id, f)
+                for f in os.listdir(staging)
+                if f.endswith(".parquet")
+            )
+            parts = {}
+        out_schema = (
+            self.spark.read.parquet(os.path.join(self.path, staged[0])).schema
+            if partition_by and staged
+            else df.schema
         )
         actual = (
-            self.spark.read.schema(df.schema)
+            self.spark.read.schema(out_schema)
             .parquet(*[os.path.join(self.path, p) for p in staged])
             .count()
             if staged
@@ -138,15 +208,26 @@ class ManifestTable:
         # PUBLISH — manifest then pointer, each via atomic os.replace
         parent = self.current_version()
         version = parent + 1
-        files = [{"path": p} for p in staged]
-        if mode == "append" and parent > 0:
-            files = self._manifest(parent)["files"] + files
+        files = [
+            {"path": p, **({"partition": parts[p]} if p in parts else {})}
+            for p in staged
+        ]
+        if parent > 0:
+            carried = self._manifest(parent)["files"]
+            if replace_partitions and partition_by:
+                touched = set(parts.values())
+                files = [
+                    f for f in carried if f.get("partition") not in touched
+                ] + files
+            elif mode == "append":
+                files = carried + files
         manifest = {
             "version": version,
             "parent": parent,
             "batch_id": batch_id,
             "commit_id": commit_id,
             "rows_added": actual,
+            "partition_by": partition_by,
             "schema": df.schema.jsonValue(),
             "files": files,
         }
@@ -156,6 +237,30 @@ class ManifestTable:
         )
         self._atomic_write(os.path.join(self._manifests, "_latest"), str(version))
         return version
+
+    def merge(
+        self,
+        updates: DataFrame,
+        keys: list[str],
+        batch_id: int | None = None,
+    ) -> int:
+        """Keyed upsert (the MERGE a Delta/Iceberg user reaches for):
+        rows in the current snapshot whose ``keys`` match an update row
+        are replaced; everything else is carried forward; new keys
+        append.  Published as one atomic overwrite version, so readers
+        see pre-merge or post-merge, never a mix.
+
+        Scale note: without file-level pruning this is a full-snapshot
+        rewrite — exactly what format-native MERGE costs on an
+        unpartitioned table; partition the table (commit per partition
+        dir) to localize rewrites, as the real formats do."""
+        current = self.read()
+        if current.columns:
+            kept = current.join(updates.select(*keys).distinct(), keys, "left_anti")
+            merged = kept.unionByName(updates)
+        else:
+            merged = updates
+        return self.commit(merged, mode="overwrite", batch_id=batch_id)
 
     def foreach_batch_writer(self) -> Callable[[DataFrame, int], None]:
         """Idempotent ``foreachBatch`` hook: a batch id that is already

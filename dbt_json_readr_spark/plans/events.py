@@ -1501,3 +1501,55 @@ FROM x
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------- B62
+
+
+def orders_rolling_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-30-day order revenue per customer via a TIME-RANGE
+    window frame — the frame type (RANGE BETWEEN n PRECEDING on an
+    event-time axis) the B-series hadn't covered: unlike a rows frame,
+    peers at the same timestamp share one value and gaps in the
+    calendar shrink the frame.
+
+    Portability: Spark's rangeBetween needs a numeric order key, so the
+    frame runs over unix epoch seconds — the oracle orders by the same
+    integer, making the frame boundary arithmetic identical.  Sums stay
+    in DECIMAL inside the frame; one double cast at the end."""
+    prep(spark)
+    orders = load(spark, sf_dir, "orders")
+    epoch = F.unix_timestamp("o_orderdate").alias("epoch_s")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("epoch_s")
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            epoch,
+            F.col("o_totalprice").cast("decimal(18,4)").alias("price_dec"),
+        )
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.sum("price_dec").over(w).cast("double").alias("rolling_30d_revenue"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+ORDERS_ROLLING_WINDOW_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+         PARTITION BY o_custkey
+         ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+         RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS rolling_30d_revenue
+FROM orders
+ORDER BY o_custkey, o_orderkey
+"""

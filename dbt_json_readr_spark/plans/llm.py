@@ -11,6 +11,7 @@ anchored on md5.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions import hashing as H
@@ -2392,6 +2393,175 @@ FROM probe JOIN (SELECT cid, count(*) AS cn FROM cells GROUP BY cid) s USING (ci
 """
 
 
+# ---------------------------------------------------------------- C52
+
+
+def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster SIZE histogram: how many clusters of 2, 3, …
+    docs the corpus holds (plus singletons counted from the
+    complement) — the power-law evidence that sizes dedup batch
+    planning (a handful of mega-clusters vs a long tail changes the
+    keep-strategy and the bucket caps).  Two tiny aggregates over the
+    component output; the pair pipeline is the shared cached minhash."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, k=_MH_K, n_hashes=_MH_N, bands=_MH_BANDS, threshold=_MH_TAU
+    ).select("doc_a", "doc_b")
+    comp = G.connected_components(pairs)
+    sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+def _cluster_histogram_sql() -> str:
+    return f"""
+WITH clusters AS ({_clusters_sql()}),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM clusters GROUP BY cluster_id)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+
+# ---------------------------------------------------------------- C50
+
+
+def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-classifier evaluation over the embedding corpus: predict each
+    query vector's label by majority vote among its brute-force top-k
+    cosine neighbors (ties → smaller label), and emit the
+    (true_label, predicted_label) confusion counts — the quality probe
+    a labeling/classification pipeline runs on its embedding space.
+
+    Scale shape: reuses the broadcast-query brute-force top-k (bounded
+    by construction); the vote is a |queries|·k-row aggregate; output
+    is ≤ |labels|² rows."""
+    prep(spark)
+    embs = load(spark, sf_dir, "embeddings")
+    qs = embs.filter(F.col("vec_id") < _ANN_NQ)
+    labels = embs.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label"))
+    votes = (
+        S.brute_force_topk(qs, embs, k=_ANN_K)
+        .join(F.broadcast(labels), "neighbor_id")
+        .groupBy("query_id", "n_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("n_votes"), "n_label")
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("n_label").alias("predicted_label"))
+    )
+    truth = qs.select(F.col("vec_id").alias("query_id"), F.col("label").alias("true_label"))
+    return (
+        pred.join(F.broadcast(truth), "query_id")
+        .groupBy("true_label", "predicted_label")
+        .agg(F.count(F.lit(1)).alias("n_queries"))
+        .orderBy("true_label", "predicted_label")
+    )
+
+
+KNN_LABEL_EVAL_SQL = f"""
+WITH bf AS (SELECT query_id, neighbor_id FROM ({{BF}}) b),
+votes AS (
+  SELECT bf.query_id, e.label AS n_label, count(*) AS n_votes
+  FROM bf JOIN embeddings e ON e.vec_id = bf.neighbor_id
+  GROUP BY bf.query_id, e.label
+),
+pred AS (
+  SELECT query_id, n_label AS predicted_label FROM (
+    SELECT query_id, n_label,
+           row_number() OVER (PARTITION BY query_id ORDER BY n_votes DESC, n_label) AS rn
+    FROM votes
+  ) WHERE rn = 1
+)
+SELECT t.label AS true_label, p.predicted_label,
+       CAST(count(*) AS BIGINT) AS n_queries
+FROM pred p JOIN embeddings t ON t.vec_id = p.query_id
+GROUP BY t.label, p.predicted_label
+ORDER BY true_label, predicted_label
+"""
+KNN_LABEL_EVAL_SQL = KNN_LABEL_EVAL_SQL.replace("{BF}", _ann_bruteforce_sql())
+
+
+# ---------------------------------------------------------------- C51
+
+
+_ABLATION_DIMS = [8, 16, 32, 64]
+
+
+def ann_dim_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension ablation: recall@k of brute-force
+    cosine top-k computed on only the FIRST d dimensions, against the
+    full-width ground truth — the measurement behind truncating stored
+    embeddings (a 2-8× storage/compute lever if the head dims carry the
+    signal).  One row per width: (n_dims, total_overlap, recall_at_k).
+
+    Exactness: integer overlap totals, one double division per row."""
+    prep(spark)
+    embs = load(spark, sf_dir, "embeddings")
+    qs = embs.filter(F.col("vec_id") < _ANN_NQ)
+    bf = S.brute_force_topk(qs, embs, k=_ANN_K).select("query_id", "neighbor_id")
+    denom = qs.agg((F.count(F.lit(1)) * _ANN_K).cast("long").alias("n_possible"))
+    out = None
+    for d in _ABLATION_DIMS:
+        trunc = embs.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
+        tq = trunc.filter(F.col("vec_id") < _ANN_NQ)
+        tk = S.brute_force_topk(tq, trunc, k=_ANN_K).select("query_id", "neighbor_id")
+        row = (
+            bf.join(tk, ["query_id", "neighbor_id"])
+            .agg(F.count(F.lit(1)).cast("long").alias("total_overlap"))
+            .crossJoin(F.broadcast(denom))
+            .select(
+                F.lit(d).alias("n_dims"),
+                "total_overlap",
+                (
+                    F.col("total_overlap").cast("double")
+                    / F.col("n_possible").cast("double")
+                ).alias("recall_at_k"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("n_dims")
+
+
+def _ann_dim_ablation_sql() -> str:
+    def _trunc_topk(d: int) -> str:
+        cos = V.sql_cosine("q.v", "c.v")
+        return f"""
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY {cos} DESC, c.vec_id) AS rank
+    FROM (SELECT vec_id, {V.sql_to_double(f'embedding[1:{d}]')} AS v FROM embeddings WHERE vec_id < {_ANN_NQ}) q
+    JOIN (SELECT vec_id, {V.sql_to_double(f'embedding[1:{d}]')} AS v FROM embeddings) c
+      ON q.vec_id <> c.vec_id
+  ) WHERE rank <= {_ANN_K}"""
+
+    blocks = []
+    for d in _ABLATION_DIMS:
+        blocks.append(
+            f"""  SELECT {d} AS n_dims,
+         (SELECT CAST(count(*) AS BIGINT) FROM ({_trunc_topk(d)}) t
+          JOIN bf ON t.query_id = bf.query_id AND t.neighbor_id = bf.neighbor_id) AS total_overlap"""
+        )
+        blocks.append("  UNION ALL")
+    union = "\n".join(blocks[:-1])
+    return f"""
+WITH bf AS (SELECT query_id, neighbor_id FROM ({_ann_bruteforce_sql()}) b),
+nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM embeddings WHERE vec_id < {_ANN_NQ})
+SELECT n_dims, total_overlap,
+       CAST(total_overlap AS DOUBLE) / CAST(n_queries * {_ANN_K} AS DOUBLE) AS recall_at_k
+FROM (
+{union}
+), nq
+ORDER BY n_dims
+"""
+
+
 # ---------------------------------------------------------------- C49
 
 
@@ -2884,6 +3054,9 @@ ORACLES: dict[str, str] = {
     "embedding_pq_audit": _pq_audit_sql(),
     "ann_ivf_kmeans_topk": _ann_ivf_kmeans_sql(nprobe=_IVF_NPROBE),
     "ann_sweep_eval": _ann_sweep_sql(),
+    "knn_label_eval": KNN_LABEL_EVAL_SQL,
+    "ann_dim_ablation": _ann_dim_ablation_sql(),
+    "dedup_cluster_histogram": _cluster_histogram_sql(),
     "dedup_source_matrix": _source_matrix_sql(),
     "corpus_dedup_priority_keep": _priority_keep_sql(),
     "corpus_holdout_split": _holdout_split_sql(),

@@ -131,6 +131,11 @@ register("q2_min_cost_supplier", tpch.q2_min_cost_supplier, tpch.Q2_SQL)
 register("q11_important_stock", tpch.q11_important_stock, tpch.Q11_SQL)
 register("q20_promotion_suppliers", tpch.q20_promotion_suppliers, tpch.Q20_SQL)
 register("events_lateness_audit", events.events_lateness_audit, events.EVENTS_LATENESS_SQL)
+register(
+    "orders_rolling_window_revenue",
+    events.orders_rolling_window_revenue,
+    events.ORDERS_ROLLING_WINDOW_SQL,
+)
 
 # C. LLM-data-pipeline operators (dedup / similarity / text analysis)
 for _key, _sql in llm.ORACLES.items():
@@ -190,6 +195,11 @@ register(
     streaming_jobs.streaming_windowed_distinct,
     streaming_jobs.STREAMING_WINDOWED_DISTINCT_SQL,
 )
+register(
+    "streaming_daily_rollup",
+    streaming_jobs.streaming_daily_rollup,
+    streaming_jobs.STREAMING_DAILY_ROLLUP_SQL,
+)
 
 
 # -------------------------------------------------------------------
@@ -219,6 +229,11 @@ _NEW_THIS_ROUND = [
     "q16_supplier_part_types",
     "q9_nation_profit",
     "ann_sweep_eval",
+    "knn_label_eval",
+    "ann_dim_ablation",
+    "streaming_daily_rollup",
+    "dedup_cluster_histogram",
+    "orders_rolling_window_revenue",
 ]
 
 # Newest driver row is r1 (pre-rebuild container, old timestamp

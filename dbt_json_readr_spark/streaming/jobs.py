@@ -223,6 +223,52 @@ FROM events GROUP BY user_id
 """
 
 
+# ---------------------------------------------------------------- D13
+
+
+def streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained streaming aggregations (Spark ≥3.4/4 multi-stateful-op
+    support): hourly windowed counts re-aggregated into daily windows
+    in ONE streaming query, append mode — the two-tier rollup a
+    metrics pipeline runs as a single job instead of a sink-and-reread.
+
+    Event-time propagation: the second groupBy windows over
+    ``window_time(w)`` (the hourly window's event-time column); the
+    watermark from the source propagates through, so a daily window
+    finalizes — and appends — once the watermark passes its end.  On a
+    bounded drain the final no-data micro-batch advances the watermark
+    to max(ts) − 1 h, flushing every day whose end ≤ that bound; the
+    oracle encodes exactly that horizon (the trailing partial day stays
+    in state, as it would on a live stream)."""
+    prep(spark)
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    hourly = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    daily = (
+        hourly.groupBy(
+            F.window(F.window_time("w"), "1 day").alias("d"), "event_type"
+        )
+        .agg(F.sum("n").alias("n_events"))
+        .select(F.col("d.start").alias("day_start"), "event_type", "n_events")
+    )
+    return _run_to_memory(daily, "stream_daily_rollup", "append")
+
+
+STREAMING_DAILY_ROLLUP_SQL = """
+WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+d AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start, event_type
+  FROM events
+)
+SELECT day_start, event_type, CAST(count(*) AS BIGINT) AS n_events
+FROM d, wm
+GROUP BY day_start, event_type, wm.w
+HAVING day_start + INTERVAL 1 DAY <= wm.w
+ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------- transformWithState migration
 
 

@@ -406,3 +406,46 @@ def test_manifest_commit_streaming_restart_exactly_once(spark, tmp_path):
     ids = [r.event_id for r in t.read().select("event_id").collect()]
     assert len(ids) == len(set(ids)), "duplicates after restart"
     assert set(ids) == halves[0] | halves[1]
+
+
+def test_manifest_commit_merge_upserts_by_key(spark, tmp_path):
+    """MERGE contract: matched keys replaced, unmatched carried forward,
+    new keys appended — atomically, with the old version still readable
+    (time travel)."""
+    t = _mt(spark, tmp_path)
+    t.commit(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id LONG, v STRING"))
+    v2 = t.merge(
+        spark.createDataFrame([(2, "B2"), (4, "d")], "id LONG, v STRING"), keys=["id"]
+    )
+    rows = {(r.id, r.v) for r in t.read().collect()}
+    assert rows == {(1, "a"), (2, "B2"), (3, "c"), (4, "d")}
+    assert {(r.id, r.v) for r in t.read(version=v2 - 1).collect()} == {
+        (1, "a"), (2, "b"), (3, "c"),
+    }
+
+
+def test_manifest_commit_partitioned_prune_and_replace(spark, tmp_path):
+    """Partition-aware commits: (a) reads prune files from manifest
+    metadata alone and reconstruct the partition column with its type;
+    (b) replace_partitions rewrites ONLY touched partitions — untouched
+    parent files carry forward into the new version (O(touched)
+    upsert, the dynamic-partition-overwrite contract)."""
+    t = _mt(spark, tmp_path)
+    df = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0), (2, "2024-01-01", 20.0), (3, "2024-01-02", 30.0)],
+        "id LONG, day STRING, v DOUBLE",
+    )
+    t.commit(df, partition_by="day")
+    pruned = t.read(partition_values=["2024-01-01"])
+    assert {r.id for r in pruned.collect()} == {1, 2}
+    assert dict(pruned.dtypes)["day"] == "string"
+    # dynamic partition overwrite: replace day 2 only
+    upd = spark.createDataFrame([(9, "2024-01-02", 99.0)], "id LONG, day STRING, v DOUBLE")
+    v2 = t.commit(upd, partition_by="day", replace_partitions=True)
+    rows = {(r.id, r.day) for r in t.read().collect()}
+    assert rows == {(1, "2024-01-01"), (2, "2024-01-01"), (9, "2024-01-02")}
+    # untouched partition's files are the SAME paths as in version 1
+    m1, m2 = t._manifest(1), t._manifest(v2)
+    day1_v1 = {f["path"] for f in m1["files"] if f["partition"] == "2024-01-01"}
+    day1_v2 = {f["path"] for f in m2["files"] if f["partition"] == "2024-01-01"}
+    assert day1_v1 == day1_v2 and day1_v1, "untouched partition was rewritten"
