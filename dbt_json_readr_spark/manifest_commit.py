@@ -274,6 +274,27 @@ class ManifestTable:
 
         return _write
 
+    def compact(self, target_files: int = 1, batch_id: int | None = None) -> int:
+        """OPTIMIZE: rewrite the current snapshot into ``target_files``
+        files per partition (or per table when unpartitioned) and
+        publish atomically — the small-file compaction every streaming
+        append table eventually needs.  Readers on the old version are
+        untouched; vacuum() reclaims the superseded files once no
+        manifest ≤ latest needs them (superseded files stay reachable
+        through OLD manifests, so vacuum keeps them — drop old
+        manifests first for real reclamation, as the real formats'
+        retention windows do)."""
+        pcol = self._manifest(self.current_version()).get("partition_by")
+        current = self.read()
+        if pcol:
+            compacted = current.repartition(target_files, pcol)
+            return self.commit(
+                compacted, mode="overwrite", partition_by=pcol, batch_id=batch_id
+            )
+        return self.commit(
+            current.coalesce(target_files), mode="overwrite", batch_id=batch_id
+        )
+
     def vacuum(self) -> list[str]:
         """Delete data directories referenced by NO manifest ≤ latest —
         the orphans crashed writers and aborted audits leave behind.

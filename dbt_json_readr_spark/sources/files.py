@@ -109,3 +109,22 @@ def read_parquet_evolving(spark: SparkSession, *paths: str) -> DataFrame:
     metadata pass over the file list, so gate it to evolution
     boundaries rather than defaulting it on for every petabyte scan."""
     return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+def read_binary_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+) -> DataFrame:
+    """Raw media ingestion via Spark's built-in ``binaryFile`` source:
+    one row per file — (path, modificationTime, length, content) — the
+    entry point that turns a lake directory of images/audio into the
+    binary-column multimodal table operators/multimodal.py consumes.
+    The source parallelizes file reads across executors and prunes on
+    the metadata columns (path/length predicates never open a file);
+    pair with ``pathGlobFilter`` so non-media files are skipped at
+    listing time, not after a read."""
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path)

@@ -168,6 +168,11 @@ def test_new_audit_ops_broadcast_their_small_sides(spark):
     for fn in (
         tpch.join_prefilter_audit,         # bucket sets + key set broadcast
         tpch.q16_supplier_part_types,  # part dim + excluded suppliers broadcast
+        tpch.q2_min_cost_supplier,     # part/supp dims + per-part mins broadcast
+        tpch.q11_important_stock,      # EU supplier keys + scalar total broadcast
+        tpch.q20_promotion_suppliers,  # cold parts + filtered partsupp broadcast
+        tpch.q9_nation_profit,         # red-part partsupp + supplier-nation broadcast
+        tpch.q21_waiting_suppliers,    # EU supplier dim broadcast
         llm.doc_posting_lists,             # top-term set broadcast
         llm.tokenizer_vocab_coverage,      # vocabulary broadcast
         llm.ann_ivf_kmeans_topk,           # centroids + probed queries broadcast

@@ -270,3 +270,34 @@ def test_zorder_interleave_bounds_tile_span(spark):
         .collect()
     )
     assert got and all(r.o_span < 64 and r.p_span < 64 for r in got)
+
+
+@given(
+    s_cnt=st.integers(min_value=4, max_value=10_000),
+    partkey=st.integers(min_value=1, max_value=10_000_000),
+)
+@settings(max_examples=200, deadline=None)
+def test_partsupp_supplier_assignment_collision_free(s_cnt, partkey):
+    """The synthesized partsupp (sources/tables.py load_partsupp) must
+    give every part exactly 4 DISTINCT suppliers for ANY supplier count
+    ≥ 4 — the property dbgen's stride formula loses at tiny scale,
+    which is why consecutive residues are used instead."""
+    supps = {(partkey * 4 + i) % s_cnt + 1 for i in range(4)}
+    assert len(supps) == 4
+    assert all(1 <= s <= s_cnt for s in supps)
+
+
+@given(
+    s_cnt=st.integers(min_value=4, max_value=1000),
+    partkey=st.integers(min_value=1, max_value=1_000_000),
+)
+@settings(max_examples=100, deadline=None)
+def test_partsupp_cost_and_qty_are_in_domain(s_cnt, partkey):
+    """availqty ∈ [1, 9999]; supplycost cents ∈ [100, 100000] — the
+    DECIMAL(12,2) construction can never overflow or go non-positive."""
+    for i in range(4):
+        sk = (partkey * 4 + i) % s_cnt + 1
+        qty = (partkey * 47 + sk * 31) % 9999 + 1
+        cents = (partkey * 97 + sk * 61) % 99901 + 100
+        assert 1 <= qty <= 9999
+        assert 100 <= cents <= 100000

@@ -449,3 +449,31 @@ def test_manifest_commit_partitioned_prune_and_replace(spark, tmp_path):
     day1_v1 = {f["path"] for f in m1["files"] if f["partition"] == "2024-01-01"}
     day1_v2 = {f["path"] for f in m2["files"] if f["partition"] == "2024-01-01"}
     assert day1_v1 == day1_v2 and day1_v1, "untouched partition was rewritten"
+
+
+def test_read_binary_dir_rows_and_content(spark, tmp_path):
+    """binaryFile ingestion: one row per matched file, exact bytes in
+    `content`, non-matching files pruned at listing time."""
+    (tmp_path / "a.png").write_bytes(b"\x89PNG-fake-a")
+    (tmp_path / "b.png").write_bytes(b"\x89PNG-fake-bb")
+    (tmp_path / "skip.txt").write_text("not media")
+    df = files.read_binary_dir(spark, str(tmp_path), glob="*.png")
+    rows = {r.path.split("/")[-1]: bytes(r.content) for r in df.collect()}
+    assert rows == {"a.png": b"\x89PNG-fake-a", "b.png": b"\x89PNG-fake-bb"}
+    assert df.filter("length > 11").count() == 1
+
+
+def test_manifest_commit_compact_reduces_files_atomically(spark, tmp_path):
+    """OPTIMIZE contract: many small appended files → one compacted
+    file, same rows, old version still readable."""
+    t = _mt(spark, tmp_path)
+    for i in range(4):
+        t.commit(spark.range(i * 10, (i + 1) * 10).selectExpr("id", "id AS v"))
+    v_before = t.current_version()
+    n_files_before = len(t._manifest(v_before)["files"])
+    assert n_files_before >= 4
+    v = t.compact(target_files=1)
+    assert len(t._manifest(v)["files"]) < n_files_before
+    assert t.read().count() == 40
+    assert {r.id for r in t.read().collect()} == set(range(40))
+    assert t.read(version=v_before).count() == 40  # time travel intact
