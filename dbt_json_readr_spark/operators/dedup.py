@@ -301,6 +301,106 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_incremental_pairs(
+    base: DataFrame,
+    incoming: DataFrame,
+    k: int = 5,
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
+) -> DataFrame:
+    """Incremental-ingest dedup: near-dup pairs that TOUCH the incoming
+    batch — incoming↔base and incoming↔incoming — WITHOUT re-pairing
+    the base corpus against itself.  The production shape for a corpus
+    that grows by batches: the base×base pair space (the quadratic bulk
+    a full re-run would redo every ingest) is never generated, because
+    the in-bucket pair explode keeps only pairs with ≥1 incoming
+    member.
+
+    Same banding, caps, and jaccard verify as minhash_lsh_pairs, so the
+    full-pipeline oracle filtered to incoming-touching pairs is the
+    correctness contract (plans/llm.py dedup_incremental).  Buckets
+    collect (doc_id, is_inc) — 16 B per member, still cap-bounded.
+    Returns (doc_a, doc_b, jaccard, pair_type) with pair_type
+    'cross' (base↔incoming) or 'new' (incoming↔incoming)."""
+    tagged = base.select("doc_id", "text").withColumn(
+        "is_inc", F.lit(False)
+    ).unionByName(incoming.select("doc_id", "text").withColumn("is_inc", F.lit(True)))
+    rows = _shingle_rows(tagged, k)
+    flags = tagged.select("doc_id", "is_inc")
+    lanes = rows.select("doc_id", "sh", *H.minhash_lane_cols(F.col("sh"), n_hashes))
+    per_doc = lanes.groupBy("doc_id").agg(
+        *[F.min(f"mh{i}").alias(f"mh{i}") for i in range(n_hashes)],
+        F.collect_set("sh").alias("sh"),
+    )
+    mins = per_doc.drop("sh").join(flags, "doc_id")
+    r = n_hashes // bands
+    banded = (
+        mins.select(
+            "doc_id",
+            "is_inc",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            H.band_key_flat(
+                                [F.col(f"mh{i}") for i in range(b * r, (b + 1) * r)], b
+                            ).alias("bkey"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select("doc_id", "is_inc", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    )
+    members = (
+        banded.groupBy("band", "bkey")
+        .agg(F.collect_list(F.struct("doc_id", "is_inc")).alias("ms"))
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= bucket_cap))
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ms"),
+                lambda x, i: F.filter(
+                    F.transform(
+                        F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                    lambda p: p["a"]["is_inc"] | p["b"]["is_inc"],
+                ),
+            )
+        )
+    )
+    cand = (
+        members.select(pair.alias("p"))
+        .select(
+            F.least("p.a.doc_id", "p.b.doc_id").alias("doc_a"),
+            F.greatest("p.a.doc_id", "p.b.doc_id").alias("doc_b"),
+            (F.col("p.a.is_inc") & F.col("p.b.is_inc")).alias("both_inc"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sets = per_doc.select("doc_id", "sh")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        F.broadcast(cand)
+        .join(sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+            F.when(F.col("both_inc"), F.lit("new")).otherwise(F.lit("cross")).alias("pair_type"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash_values(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash): flat simhash — explode (non-distinct) tokens,
     hash each once in whole-stage codegen, then 32 conditional-sum vote

@@ -46,7 +46,7 @@ SELECT * FROM (
     CAST(row_number() OVER (PARTITION BY n_name ORDER BY revenue DESC, c_custkey) AS INTEGER) AS rank_in_nation
   FROM (
     SELECT n_name, c_custkey, c_name,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM orders JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
     GROUP BY n_name, c_custkey, c_name
@@ -114,7 +114,7 @@ REVENUE_ROLLUP_SQL = """
 SELECT
   n_name,
   CAST(year(o_orderdate) AS INTEGER) AS order_year,
-  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue,
   count(*) AS n_orders,
   CAST(GROUPING(n_name) * 2 + GROUPING(year(o_orderdate)) AS INTEGER) AS gid
 FROM orders
@@ -186,7 +186,7 @@ EVENTS_USER_COUNTS_SQL = """
 SELECT event_type,
        count(*) AS n_events,
        count(DISTINCT user_id) AS n_users,
-       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+       CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_value
 FROM events GROUP BY event_type
 """
 
@@ -219,7 +219,7 @@ SELECT user_id, session_id,
        min(ts) AS session_start,
        max(ts) AS session_end,
        count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+       CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_value
 FROM ({EVENTS_SESSIONIZATION_SQL}) GROUP BY user_id, session_id
 """
 
@@ -250,7 +250,7 @@ EVENTS_WINDOWED_AGG_SQL = """
 SELECT date_trunc('hour', ts) AS window_start,
        event_type,
        count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+       CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_value
 FROM events
 GROUP BY 1, 2
 """
@@ -399,9 +399,9 @@ def orders_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORDERS_RUNNING_TOTAL_SQL = """
 SELECT o_custkey, o_orderkey, o_orderdate,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_revenue
+                  ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE) AS cum_revenue
 FROM orders
 """
 
@@ -489,9 +489,9 @@ def lineitem_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 LINEITEM_UNPIVOT_SQL = """
 WITH base AS (
   SELECT l_returnflag,
-         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
-         CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc
+         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_price,
+         CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_disc
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag, metric, value FROM (
@@ -574,7 +574,7 @@ def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORDERS_MONTHLY_GROWTH_SQL = """
 WITH monthly AS (
   SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
-         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue
   FROM orders GROUP BY 1
 )
 SELECT month, revenue,
@@ -691,8 +691,8 @@ EVENTS_ANOMALY_SQL = """
 WITH win AS (
   SELECT user_id, value,
          count(*) OVER w AS n,
-         CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS s1,
-         CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS s2
+         CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS VARCHAR) AS DOUBLE) AS s1,
+         CAST(CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) OVER w AS VARCHAR) AS DOUBLE) AS s2
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
 ),
@@ -748,7 +748,7 @@ def skew_salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 SKEW_SALTED_SQL = """
 SELECT c_mktsegment,
        count(*) AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
@@ -901,7 +901,7 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_RANGE_JOIN_SQL = """
 SELECT p.event_id, p.user_id, p.ts,
        count(c.ts) AS n_clicks,
-       coalesce(CAST(sum(CAST(c.value AS DECIMAL(18,4))) AS DOUBLE), 0.0) AS click_value_1h
+       coalesce(CAST(CAST(sum(CAST(c.value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE), 0.0) AS click_value_1h
 FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
 LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
   ON c.user_id = p.user_id
@@ -994,7 +994,7 @@ d AS (
   FROM customer c JOIN rev r ON r.o_custkey = c.c_custkey
 )
 SELECT c_mktsegment, decile, count(*) AS n_customers,
-       CAST(sum(revenue) AS DOUBLE) AS decile_revenue,
+       CAST(CAST(sum(revenue) AS VARCHAR) AS DOUBLE) AS decile_revenue,
        CAST(min(revenue) AS DOUBLE) AS min_revenue,
        CAST(max(revenue) AS DOUBLE) AS max_revenue
 FROM d
@@ -1106,7 +1106,7 @@ attributed AS (
 )
 SELECT coalesce(touch_type, 'none') AS touch_type,
        count(*) AS n_purchases,
-       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS attributed_value
+       CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS attributed_value
 FROM attributed GROUP BY 1 ORDER BY 1
 """
 
@@ -1192,7 +1192,7 @@ SELECT coalesce(c_mktsegment, '(all)') AS mktsegment,
        CAST(GROUPING(c_mktsegment) AS INTEGER) AS is_seg_margin,
        CAST(GROUPING(o_orderpriority) AS INTEGER) AS is_prio_margin,
        count(*) AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY CUBE (c_mktsegment, o_orderpriority)
 ORDER BY mktsegment, orderpriority
@@ -1372,8 +1372,8 @@ SELECT event_type,
        CAST(sum(c) AS BIGINT) AS n_rows,
        count(*) AS n_keys,
        max(c) AS max_key_rows,
-       CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_share,
-       CAST(sum(c * c) AS DOUBLE) / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)) AS hhi
+       CAST(max(c) AS DOUBLE) / CAST(CAST(sum(c) AS VARCHAR) AS DOUBLE) AS top_share,
+       CAST(CAST(sum(c * c) AS VARCHAR) AS DOUBLE) / (CAST(CAST(sum(c) AS VARCHAR) AS DOUBLE) * CAST(CAST(sum(c) AS VARCHAR) AS DOUBLE)) AS hhi
 FROM per_key
 GROUP BY event_type
 ORDER BY event_type
@@ -1545,11 +1545,11 @@ def orders_rolling_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
 
 ORDERS_ROLLING_WINDOW_SQL = """
 SELECT o_custkey, o_orderkey, o_orderdate,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
          PARTITION BY o_custkey
          ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
          RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
-       ) AS DOUBLE) AS rolling_30d_revenue
+       ) AS VARCHAR) AS DOUBLE) AS rolling_30d_revenue
 FROM orders
 ORDER BY o_custkey, o_orderkey
 """

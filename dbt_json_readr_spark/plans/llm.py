@@ -508,7 +508,7 @@ comp AS (
   FROM e, UNNEST(range(1, len(v)+1)) AS t(dim)
 ),
 cent_dim AS (
-  SELECT label, dim, CAST(sum(q) AS DOUBLE) / ({S.QUANT} * count(*)) AS c
+  SELECT label, dim, CAST(CAST(sum(q) AS VARCHAR) AS DOUBLE) / ({S.QUANT} * count(*)) AS c
   FROM comp GROUP BY label, dim
 )"""
 
@@ -637,8 +637,8 @@ def corpus_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _quality_by_source_sql() -> str:
     return f"""
 SELECT source, count(*) AS n_docs,
-       CAST(sum(CAST(floor(quality * 1000000) AS BIGINT)) AS DOUBLE) / (1000000 * count(*)) AS mean_quality,
-       CAST(sum(n_tokens) AS DOUBLE) / count(*) AS mean_tokens
+       CAST(CAST(sum(CAST(floor(quality * 1000000) AS BIGINT)) AS VARCHAR) AS DOUBLE) / (1000000 * count(*)) AS mean_quality,
+       CAST(CAST(sum(n_tokens) AS VARCHAR) AS DOUBLE) / count(*) AS mean_tokens
 FROM ({_quality_sql()}) q JOIN documents USING (doc_id)
 GROUP BY source ORDER BY source
 """
@@ -1363,7 +1363,7 @@ def _stratified_sample_sql() -> str:
 SELECT lang,
        count(*) AS n_docs,
        CAST(sum(CASE WHEN {h} < (CASE lang {cases} END) THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
-       CAST(sum(CASE WHEN {h} < (CASE lang {cases} END) THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS observed_rate
+       CAST(CAST(sum(CASE WHEN {h} < (CASE lang {cases} END) THEN 1 ELSE 0 END) AS VARCHAR) AS DOUBLE) / count(*) AS observed_rate
 FROM documents
 GROUP BY lang ORDER BY lang
 """
@@ -1692,7 +1692,7 @@ def _km_assign_sql(cent: str, name: str) -> str:
 def _km_update_sql(assigned: str, name: str) -> str:
     return f"""{name} AS (
   SELECT a.cid, c.dim,
-         CAST(floor(CAST(sum(c.qv) AS DOUBLE) / count(*)) AS BIGINT) AS qc
+         CAST(floor(CAST(CAST(sum(c.qv) AS VARCHAR) AS DOUBLE) / count(*)) AS BIGINT) AS qc
   FROM {assigned} a JOIN comp c USING (vec_id)
   GROUP BY a.cid, c.dim
 )"""
@@ -1976,9 +1976,9 @@ freq AS (SELECT s, count(*) AS df FROM ds GROUP BY s)
 SELECT d.doc_id,
        CAST(max(d.n_spans) AS BIGINT) AS n_spans,
        CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_spans,
-       CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+       CAST(CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS VARCHAR) AS DOUBLE)
          / CAST(max(d.n_spans) AS DOUBLE) AS shared_frac,
-       CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+       CAST(CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS VARCHAR) AS DOUBLE)
          >= {_SPAN_FLAG} * CAST(max(d.n_spans) AS DOUBLE) AS is_dup_heavy
 FROM ds d JOIN freq f USING (s)
 GROUP BY d.doc_id
@@ -2281,7 +2281,7 @@ best AS (
   FROM dq
 )
 SELECT subspace, code, count(*) AS n_vectors,
-       CAST(sum(dqsum) AS DOUBLE) / ({S.QUANT} * count(*)) AS mean_sq_dist
+       CAST(CAST(sum(dqsum) AS VARCHAR) AS DOUBLE) / ({S.QUANT} * count(*)) AS mean_sq_dist
 FROM best WHERE rn = 1
 GROUP BY subspace, code
 ORDER BY subspace, code
@@ -2390,6 +2390,50 @@ def _ann_ivf_kmeans_scan_sql(nprobe: int, iters: int) -> str:
 WITH {ctes}
 SELECT CAST(sum(cn) AS BIGINT) AS scanned
 FROM probe JOIN (SELECT cid, count(*) AS cn FROM cells GROUP BY cid) s USING (cid)
+"""
+
+
+# ---------------------------------------------------------------- C53
+
+
+_INCR_THRESH = int(0.2 * (1 << 60))
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup (operators/dedup.py
+    minhash_incremental_pairs): a hash-gated ~20% of the corpus plays
+    the incoming batch, the rest is the already-deduped base — the
+    operator finds exactly the near-dup pairs touching the batch
+    WITHOUT regenerating the base×base pair space.  The oracle runs the
+    FULL pair pipeline and filters to incoming-touching pairs, so the
+    gate proves the structural shortcut loses nothing."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    gate = H.hash64(F.col("doc_id").cast("string"), "incr") < F.lit(_INCR_THRESH)
+    return (
+        D.minhash_incremental_pairs(
+            docs.filter(~gate),
+            docs.filter(gate),
+            k=_MH_K,
+            n_hashes=_MH_N,
+            bands=_MH_BANDS,
+            threshold=_MH_TAU,
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _dedup_incremental_sql() -> str:
+    ga = H.sql_hash64("CAST(doc_a AS VARCHAR)", "incr")
+    gb = H.sql_hash64("CAST(doc_b AS VARCHAR)", "incr")
+    return f"""
+WITH p AS ({_minhash_sql()})
+SELECT doc_a, doc_b, jaccard,
+       CASE WHEN {ga} < {_INCR_THRESH} AND {gb} < {_INCR_THRESH}
+            THEN 'new' ELSE 'cross' END AS pair_type
+FROM p
+WHERE {ga} < {_INCR_THRESH} OR {gb} < {_INCR_THRESH}
+ORDER BY doc_a, doc_b
 """
 
 
@@ -2902,7 +2946,7 @@ vocab AS (
 SELECT source,
        count(*) AS n_tokens,
        CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-       CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       CAST(CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS VARCHAR) AS DOUBLE)
          / CAST(count(*) AS DOUBLE) AS oov_rate
 FROM tok t LEFT JOIN vocab v USING (term)
 GROUP BY source ORDER BY source
@@ -3003,7 +3047,7 @@ levels(n_bands) AS (VALUES {levels})
 SELECT l.n_bands,
        count(*) AS n_candidates,
        CAST(sum(CASE WHEN j >= {_MH_TAU} THEN 1 ELSE 0 END) AS BIGINT) AS n_verified,
-       CAST(sum(CASE WHEN j >= {_MH_TAU} THEN 1 ELSE 0 END) AS DOUBLE)
+       CAST(CAST(sum(CASE WHEN j >= {_MH_TAU} THEN 1 ELSE 0 END) AS VARCHAR) AS DOUBLE)
          / CAST(count(*) AS DOUBLE) AS precision
 FROM levels l JOIN jac ON jac.min_band < l.n_bands
 GROUP BY l.n_bands
@@ -3057,6 +3101,7 @@ ORACLES: dict[str, str] = {
     "knn_label_eval": KNN_LABEL_EVAL_SQL,
     "ann_dim_ablation": _ann_dim_ablation_sql(),
     "dedup_cluster_histogram": _cluster_histogram_sql(),
+    "dedup_incremental": _dedup_incremental_sql(),
     "dedup_source_matrix": _source_matrix_sql(),
     "corpus_dedup_priority_keep": _priority_keep_sql(),
     "corpus_holdout_split": _holdout_split_sql(),

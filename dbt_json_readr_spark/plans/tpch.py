@@ -79,13 +79,13 @@ Q1_SQL = """
 SELECT
   l_returnflag,
   l_linestatus,
-  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE) AS sum_charge,
-  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
-  CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_disc,
+  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_qty,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_price,
+  CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_disc,
   count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -127,7 +127,7 @@ SELECT
   l_orderkey,
   o_orderdate,
   o_orderpriority,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders ON o_custkey = c_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -173,7 +173,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q5_SQL = """
 SELECT
   n_name,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders ON o_custkey = c_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -213,7 +213,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q6_SQL = """
 SELECT
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue,
   count(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -317,9 +317,9 @@ Q18_SQL = """
 SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
 FROM orders
 JOIN (
-  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+  SELECT l_orderkey, CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty
   FROM lineitem GROUP BY l_orderkey
-  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 250
+  HAVING CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) > 250
 ) big ON o_orderkey = big.l_orderkey
 JOIN customer ON o_custkey = c_custkey
 ORDER BY sum_qty DESC, o_orderkey
@@ -361,7 +361,7 @@ def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q7_SQL = """
 SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
@@ -412,8 +412,8 @@ FROM (
   SELECT p_brand,
          count(*) AS n_parts,
          CAST(count(*) AS DOUBLE) AS n,
-         CAST(sum(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS s,
-         CAST(sum(CAST(p_retailprice AS DECIMAL(18,4)) * CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS ss,
+         CAST(CAST(sum(CAST(p_retailprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS s,
+         CAST(CAST(sum(CAST(p_retailprice AS DECIMAL(18,4)) * CAST(p_retailprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS ss,
          min(p_retailprice) AS min_price,
          max(p_retailprice) AS max_price
   FROM part GROUP BY p_brand
@@ -445,7 +445,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q10_SQL = """
 SELECT c_custkey, c_name, c_acctbal, n_name,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -479,11 +479,11 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q14_SQL = """
-SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+SELECT CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
                      THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))
-                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) * 100.0
-       / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS promo_pct,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS total_revenue
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE) * 100.0
+       / CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS promo_pct,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS total_revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
@@ -515,7 +515,7 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q19_SQL = """
-SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity BETWEEN 1 AND 20)
@@ -583,11 +583,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q8_SQL = """
 SELECT
   CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
-  CAST(sum(CASE WHEN n_s.n_name = 'NATION_7'
+  CAST(CAST(sum(CASE WHEN n_s.n_name = 'NATION_7'
                 THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))
-                ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-  / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS mkt_share,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS total_volume
+                ELSE CAST(0 AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE)
+  / CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS mkt_share,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS total_volume
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -652,8 +652,8 @@ Q9_SQL = f"""
 WITH {PARTSUPP_CTE}
 SELECT n_name AS nation,
        CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))
-                - ps_supplycost * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                - ps_supplycost * CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_profit
 FROM lineitem
 JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
 JOIN part ON l_partkey = p_partkey
@@ -758,7 +758,7 @@ WITH joined AS (
          count(*) AS cnt
   FROM joined GROUP BY 1
 )
-SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly,
+SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / 7.0 AS avg_yearly,
        count(*) AS n_small
 FROM joined JOIN stats ON l_partkey = sp_partkey
 WHERE CAST(l_quantity AS DECIMAL(18,4)) * 5 * cnt < sum_qty
@@ -808,7 +808,7 @@ WITH pos AS (
 )
 SELECT c_mktsegment,
        count(*) AS numcust,
-       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+       CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS totacctbal
 FROM customer, pos
 WHERE CAST(c_acctbal AS DECIMAL(18,4)) * n_pos > total_bal
   AND NOT EXISTS (SELECT 1 FROM orders
@@ -1033,7 +1033,7 @@ WITH files AS (
 )
 SELECT count(*) AS n_files,
        CAST(sum(CASE WHEN max_ship < TIMESTAMP '1998-06-01 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS n_skippable_files,
-       CAST(sum(CASE WHEN max_ship < TIMESTAMP '1998-06-01 00:00:00' THEN 1 ELSE 0 END) AS DOUBLE)
+       CAST(CAST(sum(CASE WHEN max_ship < TIMESTAMP '1998-06-01 00:00:00' THEN 1 ELSE 0 END) AS VARCHAR) AS DOUBLE)
          / CAST(count(*) AS DOUBLE) AS file_skip_rate,
        CAST(sum(n_rows) AS BIGINT) AS n_rows,
        CAST(sum(CASE WHEN max_ship < TIMESTAMP '1998-06-01 00:00:00' THEN n_rows ELSE 0 END) AS BIGINT) AS n_rows_skipped,
@@ -1394,7 +1394,7 @@ eu_ps AS (
   FROM partsupp JOIN europe_supp ON ps_suppkey = s_suppkey
 ),
 tot AS (SELECT sum(value_dec) AS total_dec FROM eu_ps)
-SELECT ps_partkey, CAST(sum(value_dec) AS DOUBLE) AS stock_value
+SELECT ps_partkey, CAST(CAST(sum(value_dec) AS VARCHAR) AS DOUBLE) AS stock_value
 FROM eu_ps, tot
 GROUP BY ps_partkey, total_dec
 HAVING sum(value_dec) > total_dec * CAST(0.001 AS DECIMAL(6,4))
@@ -1582,8 +1582,12 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     late supplier ⇔ the late set is exactly {this supplier} ⇔
     n_late_supp = 1, given the probe row is itself late).  The oracle
     keeps the textbook EXISTS/NOT-EXISTS form, so the gate proves the
-    rewrite.  One lineitem shuffle on orderkey feeds both the stats and
-    the probe join; supplier⋈nation⋈region broadcasts.
+    rewrite.  Plan shape: the stats aggregate and the probe side each
+    read lineitem once (two column-pruned scans — Catalyst does not
+    exchange-reuse the differing projections; a persist of the narrow
+    (orderkey, suppkey, late) frame would single-scan at the cost of
+    caching the whole fact, the wrong trade at 100 TB), then join on
+    orderkey; supplier⋈nation⋈region broadcasts.
     """
     prep(spark)
     le = _lineitem_ext(spark, sf_dir).select(

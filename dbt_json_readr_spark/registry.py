@@ -234,6 +234,7 @@ _NEW_THIS_ROUND = [
     "streaming_daily_rollup",
     "dedup_cluster_histogram",
     "orders_rolling_window_revenue",
+    "dedup_incremental",
 ]
 
 # Newest driver row is r1 (pre-rebuild container, old timestamp

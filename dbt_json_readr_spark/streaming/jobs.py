@@ -90,7 +90,7 @@ STREAMING_WINDOWED_AGG_SQL = """
 SELECT date_trunc('hour', ts) AS window_start,
        event_type,
        count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+       CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_value
 FROM events
 GROUP BY 1, 2
 """
@@ -145,7 +145,7 @@ SELECT user_id,
        min(ts) AS session_start,
        max(ts) + INTERVAL {_GAP_S} SECOND AS session_end,
        count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+       CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_value
 FROM sess GROUP BY user_id, session_id
 """
 
@@ -475,7 +475,7 @@ def streaming_enrich_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAMING_ENRICH_SQL = """
 SELECT c_mktsegment, event_type,
        count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+       CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_value
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY 1, 2
 """
@@ -659,7 +659,7 @@ WITH placed AS (
 )
 SELECT window_start, event_type,
        count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+       CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_value
 FROM placed
 GROUP BY 1, 2
 """
@@ -710,8 +710,8 @@ def streaming_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAMING_ANOMALY_SQL = """
 WITH stats AS (
   SELECT event_type, count(*) AS n,
-         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s1,
-         CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s2
+         CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS s1,
+         CAST(CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS s2
   FROM events GROUP BY event_type
 ),
 base AS (

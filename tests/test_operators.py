@@ -122,6 +122,21 @@ def test_minhash_auto_gate_picks_shuffle_over_cand_cap(spark):
     assert so == su and len(so) == 435
 
 
+def test_minhash_incremental_excludes_base_base_pairs(spark):
+    """The incremental operator must find cross and new pairs but NEVER
+    a base-base pair, even when base docs duplicate each other — that
+    pair space belongs to the previous ingest's run."""
+    text = "the quick brown fox jumps over the lazy dog and runs far away " * 4
+    base = docs(spark, [(1, text, "en"), (2, text, "en")])          # base dups
+    inc = docs(spark, [(10, text, "en"), (11, text, "en")])         # incoming dups
+    out = D.minhash_incremental_pairs(base, inc, threshold=0.8)
+    got = {(r.doc_a, r.doc_b): r.pair_type for r in out.collect()}
+    assert (1, 2) not in got, "base-base pair leaked into incremental output"
+    assert got[(10, 11)] == "new"
+    assert got[(1, 10)] == "cross" and got[(2, 11)] == "cross"
+    assert set(got) == {(10, 11), (1, 10), (1, 11), (2, 10), (2, 11)}
+
+
 def test_simhash_identical_zero_hamming_and_banding_recall(spark):
     base = "alpha beta gamma delta epsilon zeta eta theta " * 4
     near = base.replace("delta", "delta2", 1)
