@@ -30,13 +30,21 @@ from ..sources.tables import SCHEMAS
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unbounded events source: file-source readStream with the explicit
     schema (streaming scans never infer) — same schema as the batch
-    loader (sources/tables.py), ts read as micros timestamp."""
-    # the file source wants a directory; glob-filter to the events table
-    return (
-        spark.readStream.schema(SCHEMAS["events"])
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    loader (sources/tables.py), ts read as micros timestamp.
+
+    Layout-robust: the driver testdata stores the table as a single
+    ``events.parquet`` FILE next to its siblings (→ glob-filter the
+    parent dir), while a lake layout (and the sf1 soak data) stores a
+    table DIRECTORY of part files (→ stream the directory itself; a
+    glob for the table name would silently exclude every part file —
+    observed as 0 rows in the r4 sf1 streaming soak)."""
+    import os
+
+    path = f"{sf_dir}/events.parquet"
+    reader = spark.readStream.schema(SCHEMAS["events"])
+    if os.path.isdir(path):
+        return reader.parquet(path)
+    return reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
 
 
 def _run_to_memory(df: DataFrame, name: str, mode: str) -> DataFrame:
