@@ -376,6 +376,33 @@ def dbt_lineage_closure() -> str:
     return _values_sql(cols, rows)
 
 
+def dbt_lineage_closure_rcte() -> str:
+    """DuckDB's own recursive-CTE evaluator over an independently
+    parsed edge list — NOT the stdlib BFS used for A12 — so the Spark
+    recursive CTE is checked against a second engine's native
+    recursion, not a replay of the same algorithm."""
+    m = _load("manifest.json")
+    pairs = sorted(set(_data_edge_pairs(m)))
+    body = ",\n  ".join(
+        f"({_lit(c, 'VARCHAR')}, {_lit(p, 'VARCHAR')})" for c, p in pairs
+    )
+    return f"""
+WITH RECURSIVE edges(descendant, ancestor) AS (
+  SELECT * FROM (VALUES
+  {body}) v(descendant, ancestor)
+),
+paths(descendant, ancestor, depth) AS (
+  SELECT descendant, ancestor, 1 AS depth FROM edges
+  UNION ALL
+  SELECT p.descendant, e.ancestor, p.depth + 1
+  FROM paths p JOIN edges e ON p.ancestor = e.descendant
+)
+SELECT descendant, ancestor, CAST(min(depth) AS INTEGER) AS depth
+FROM paths
+GROUP BY descendant, ancestor
+"""
+
+
 def dbt_lineage_depth() -> str:
     m = _load("manifest.json")
     closure = _closure_bfs(_data_edge_pairs(m))

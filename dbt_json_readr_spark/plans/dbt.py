@@ -149,6 +149,47 @@ def dbt_lineage_closure(spark: SparkSession, sf_dir: str, target: str = FIXTURE_
     return lineage.lineage_closure(_data_edges(spark, target))
 
 
+def dbt_lineage_closure_rcte(
+    spark: SparkSession, sf_dir: str, target: str = FIXTURE_TARGET
+) -> DataFrame:
+    """The same (descendant, ancestor, min-depth) closure as A12, but
+    computed by Spark 4's NATIVE recursive CTE (``WITH RECURSIVE``,
+    new in 4.0) instead of the hand-rolled iterative self-join in
+    operators/lineage.py — the planner owns the fixed-point loop, so
+    each recursion level is a distributed join with AQE, no driver-side
+    iteration or persist/unpersist choreography.  The DuckDB oracle
+    runs its OWN ``WITH RECURSIVE`` over an independently parsed edge
+    list, so two engines' recursive evaluators (plus A12's stdlib BFS
+    oracle and iterative-join operator) must all agree on the closure.
+
+    Same capability surface the reference's edge list enables
+    (parse_depends_on, explore.R:98-128); UNION ALL + final min()
+    terminates on a DAG because path depth is bounded by graph depth."""
+    prep(spark)
+    edges = (
+        _data_edges(spark, target)
+        .select(
+            F.col("child_unique_id").alias("descendant"),
+            F.col("parent_unique_id").alias("ancestor"),
+        )
+        .distinct()
+    )
+    edges.createOrReplaceTempView("dbt_edges_rcte")
+    return spark.sql(
+        """
+        WITH RECURSIVE paths (descendant, ancestor, depth) AS (
+          SELECT descendant, ancestor, 1 AS depth FROM dbt_edges_rcte
+          UNION ALL
+          SELECT p.descendant, e.ancestor, p.depth + 1
+          FROM paths p JOIN dbt_edges_rcte e ON p.ancestor = e.descendant
+        )
+        SELECT descendant, ancestor, CAST(min(depth) AS INT) AS depth
+        FROM paths
+        GROUP BY descendant, ancestor
+        """
+    )
+
+
 def dbt_lineage_depth(spark: SparkSession, sf_dir: str, target: str = FIXTURE_TARGET) -> DataFrame:
     prep(spark)
     nodes = A.manifest_nodes(spark, _manifest(target)).select("unique_id").unionByName(

@@ -1553,3 +1553,114 @@ SELECT o_custkey, o_orderkey, o_orderdate,
 FROM orders
 ORDER BY o_custkey, o_orderkey
 """
+
+
+# ---------------------------------------------------------------- B63
+
+
+def events_topk_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``approx_top_k`` sketch audit in its EXACT regime: the
+    frequent-items sketch tracks up to 10,000 items by default, so on a
+    domain it fully covers (event_type, |domain| = 5) its counts are
+    exact and deterministic — the audit joins the sketch output back to
+    the exact per-type counts and gates item-by-item equality, the same
+    honesty pattern as the HLL++ audit (B40).  At 100 TB the sketch is
+    the right tool precisely because it keeps this exactness while
+    merging map-side (bounded memory per partition, one shuffle of
+    sketch state instead of a full groupBy when the domain is bounded);
+    when the domain outgrows the tracked capacity the counts degrade to
+    overestimates — which this gate would catch as a hash mismatch."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    sketch = (
+        ev.agg(F.expr("approx_top_k(event_type, 5)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("event_type"), F.col("e.count").alias("approx_n"))
+    )
+    exact = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_n"))
+    w = W.orderBy(F.col("exact_n").desc(), F.col("event_type"))
+    return (
+        exact.join(F.broadcast(sketch), "event_type")
+        .select(
+            F.row_number().over(w).alias("rank"),
+            "event_type",
+            "approx_n",
+            "exact_n",
+            (F.col("approx_n") == F.col("exact_n")).alias("is_exact"),
+        )
+        .orderBy("rank")
+    )
+
+
+EVENTS_TOPK_SKETCH_SQL = """
+WITH exact AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS exact_n
+  FROM events GROUP BY event_type
+)
+SELECT row_number() OVER (ORDER BY exact_n DESC, event_type) AS rank,
+       event_type,
+       exact_n AS approx_n,
+       exact_n,
+       TRUE AS is_exact
+FROM exact
+ORDER BY rank
+"""
+
+
+# ---------------------------------------------------------------- B64
+
+_PYSOURCE_N, _PYSOURCE_USERS = 5000, 200
+
+
+def pysource_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query over the Spark 4 Python Data Source API connector
+    (sources/pysource.py): the md5-deterministic synthetic-events
+    source read through `spark.read.format("synthetic_events")`, rolled
+    up per event_type.  The oracle replays the connector's generator
+    arithmetic in DuckDB (range() + the same md5-derived fields), so
+    the gate proves the connector delivers byte-identical rows across
+    engines and partitionings — the contract a custom connector must
+    honor before it can feed a 100-TB pipeline.  Value sums follow the
+    decimal-exact convention; everything else is integer-exact."""
+    prep(spark)
+    from ..sources import pysource
+
+    pysource.register(spark)
+    ev = (
+        spark.read.format("synthetic_events")
+        .option("n", _PYSOURCE_N)
+        .option("n_users", _PYSOURCE_USERS)
+        .option("partitions", 8)
+        .load()
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+            F.min("ts_us").alias("min_ts_us"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _pysource_rollup_sql() -> str:
+    from ..sources.pysource import sql_generator_cte
+
+    return f"""
+WITH gen AS ({sql_generator_cte(_PYSOURCE_N, _PYSOURCE_USERS)})
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_value,
+       CAST(min(ts_us) AS BIGINT) AS min_ts_us,
+       CAST(max(event_id) AS BIGINT) AS max_event_id
+FROM gen
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+PYSOURCE_EVENTS_ROLLUP_SQL = _pysource_rollup_sql()

@@ -3054,6 +3054,86 @@ GROUP BY l.n_bands
 ORDER BY l.n_bands
 """
 
+# ---------------------------------------------------------------- C54
+
+
+def bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second tokenizer-training step: take the globally most frequent
+    adjacent character pair (C36's rank-1, same count-desc/pair-asc
+    tie-break) and APPLY the merge across the corpus — per source, how
+    many merge operations fire and what the token stream compresses to.
+    This is the train-pass → apply-pass shape of a real BPE trainer:
+    pass 1 aggregates pair counts into a vocabulary-bounded table
+    (|charset|² rows regardless of corpus size), the winning pair
+    broadcasts back as a one-row scalar join, and pass 2 rewrites at
+    scan speed with no shuffle beyond the per-source agg.
+
+    Merge-count arithmetic is engine-portable: ``replace`` is greedy
+    left-to-right non-overlapping in both Spark and DuckDB, so
+    len(w) − len(replace(w, pair, '0')) counts exactly the merges BPE
+    would perform within each token ('0' is outside the corpus
+    charset; each merge shrinks the token by one symbol)."""
+    prep(spark)
+    docs = spread(load(spark, sf_dir, "documents"))
+    tok = docs.select("source", F.explode(H.tokens(F.col("text"))).alias("w"))
+    pair_counts = (
+        tok.filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - 1),
+                    lambda i: F.col("w").substr(i, F.lit(2)),
+                )
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top_pair = pair_counts.orderBy(F.col("n").desc(), F.col("pair")).limit(1).select("pair")
+    merged = tok.crossJoin(F.broadcast(top_pair)).select(
+        "source",
+        "pair",
+        F.length("w").alias("len_w"),
+        (F.length("w") - F.length(F.expr("replace(w, pair, '0')"))).alias("n_merge"),
+    )
+    return (
+        merged.groupBy("source", "pair")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("len_w").alias("chars_before"),
+            F.sum("n_merge").alias("n_merges"),
+            (F.sum("len_w") - F.sum("n_merge")).alias("chars_after"),
+        )
+        .orderBy("source")
+    )
+
+
+def _bpe_merge_apply_sql() -> str:
+    toks = H.sql_tokens("text")
+    return f"""
+WITH tok AS (
+  SELECT source, unnest({toks}) AS w FROM documents
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(w)), i -> substr(w, i, 2))) AS pair
+  FROM tok WHERE len(w) >= 2
+),
+top_pair AS (
+  SELECT pair FROM (SELECT pair, count(*) AS n FROM pairs GROUP BY pair)
+  ORDER BY n DESC, pair LIMIT 1
+)
+SELECT source,
+       (SELECT pair FROM top_pair) AS pair,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(len(w)) AS BIGINT) AS chars_before,
+       CAST(sum(len(w) - len(replace(w, (SELECT pair FROM top_pair), '0'))) AS BIGINT) AS n_merges,
+       CAST(sum(len(replace(w, (SELECT pair FROM top_pair), '0'))) AS BIGINT) AS chars_after
+FROM tok
+GROUP BY source
+ORDER BY source
+"""
+
+
 ORACLES: dict[str, str] = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
@@ -3107,4 +3187,5 @@ ORACLES: dict[str, str] = {
     "corpus_holdout_split": _holdout_split_sql(),
     "tokenizer_vocab_coverage": _vocab_coverage_sql(),
     "dedup_band_utility": _band_utility_sql(),
+    "bpe_merge_apply": _bpe_merge_apply_sql(),
 }

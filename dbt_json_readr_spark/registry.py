@@ -39,6 +39,7 @@ for _key in [
     "dbt_run_results",
     "dbt_source_freshness",
     "dbt_lineage_closure",
+    "dbt_lineage_closure_rcte",
     "dbt_lineage_depth",
     "dbt_pagerank",
     "dbt_critical_path",
@@ -136,6 +137,12 @@ register(
     events.orders_rolling_window_revenue,
     events.ORDERS_ROLLING_WINDOW_SQL,
 )
+register(
+    "events_topk_sketch_audit", events.events_topk_sketch_audit, events.EVENTS_TOPK_SKETCH_SQL
+)
+register(
+    "pysource_events_rollup", events.pysource_events_rollup, events.PYSOURCE_EVENTS_ROLLUP_SQL
+)
 
 # C. LLM-data-pipeline operators (dedup / similarity / text analysis)
 for _key, _sql in llm.ORACLES.items():
@@ -199,6 +206,11 @@ register(
     "streaming_daily_rollup",
     streaming_jobs.streaming_daily_rollup,
     streaming_jobs.STREAMING_DAILY_ROLLUP_SQL,
+)
+register(
+    "streaming_left_outer_join",
+    streaming_jobs.streaming_left_outer_join,
+    streaming_jobs.STREAMING_LEFT_OUTER_JOIN_SQL,
 )
 
 
@@ -277,6 +289,17 @@ _STALE_R1 = [
     "top_customers_per_nation",
 ]
 
+# Landed after the r4 window was locked (15 new + 35 stale-r1 filled
+# all 50 slots): covered by the local parity suite this round, first
+# in line for driver rows in the r5 window.
+_NEW_R4_LATE = [
+    "dbt_lineage_closure_rcte",
+    "streaming_left_outer_join",
+    "pysource_events_rollup",
+    "events_topk_sketch_audit",
+    "bpe_merge_apply",
+]
+
 # Newest driver row is r2 (also pre-rebuild).  Ordered most
 # load-bearing first; the tail past the window rotates into r5.
 _STALE_R2 = [
@@ -332,7 +355,7 @@ _STALE_R2 = [
 ]
 
 assert len(_NEW_THIS_ROUND) + len(_STALE_R1) <= GATE_WINDOW
-_GATE_PRIORITY = (_NEW_THIS_ROUND + _STALE_R1 + _STALE_R2)[:GATE_WINDOW]
+_GATE_PRIORITY = (_NEW_THIS_ROUND + _STALE_R1 + _NEW_R4_LATE + _STALE_R2)[:GATE_WINDOW]
 
 
 def _gate_ordered() -> dict[str, tuple[QueryFn, str | None]]:

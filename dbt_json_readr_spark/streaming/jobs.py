@@ -555,6 +555,108 @@ JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
 """
 
 
+# ---------------------------------------------------------------- D14
+
+
+def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join — D7's inner join plus the part
+    only a stateful streaming engine can decide: a click with NO
+    purchase in its 10-minute window emits a null-padded row, but only
+    once the watermark proves no future purchase can still match
+    (click_ts + 10 min < watermark).  Matches emit as they occur;
+    null rows emit on state eviction.  Clicks whose windows are still
+    open when the stream drains stay buffered and never emit — the
+    oracle encodes that exact horizon: with both sides watermarked at
+    1 h, the final global watermark is min(max click_ts, max
+    purchase_ts) − 1 h (multipleWatermarkPolicy=min), and the
+    availableNow no-data final batch flushes evictions up to it."""
+    prep(spark)
+    joined = left_outer_click_purchase(
+        events_stream(spark, sf_dir), events_stream(spark, sf_dir)
+    )
+    return _run_to_memory(joined, "stream_left_outer_join", "append")
+
+
+def left_outer_click_purchase(ev_clicks: DataFrame, ev_purchases: DataFrame) -> DataFrame:
+    """Wire any pair of events streams through the left-outer join
+    (separate so tests can drive it with a multi-file source and prove
+    a purchase in batch 2 matches click state from batch 1, while an
+    unmatched click null-pads only after the watermark passes its
+    window)."""
+    clicks = (
+        ev_clicks.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        ev_purchases.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    return clicks.join(
+        purchases,
+        [
+            clicks.user_id == purchases.p_user_id,
+            purchases.purchase_ts >= clicks.click_ts,
+            purchases.purchase_ts <= clicks.click_ts + F.expr("INTERVAL 10 MINUTES"),
+        ],
+        "left_outer",
+    ).select(
+        clicks.user_id.alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (
+            (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")) / F.lit(1_000_000.0)
+        ).alias("gap_seconds"),
+        F.col("value").alias("purchase_value"),
+        F.col("purchase_id").isNotNull().alias("matched"),
+    )
+
+
+STREAMING_LEFT_OUTER_JOIN_SQL = """
+WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+wm AS (
+  SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+         - INTERVAL 1 HOUR AS w
+)
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS DOUBLE) / 1000000.0 AS gap_seconds,
+       p.value AS purchase_value,
+       TRUE AS matched
+FROM c JOIN p
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 10 MINUTE
+UNION ALL
+SELECT c.user_id,
+       c.event_id AS click_id,
+       CAST(NULL AS BIGINT) AS purchase_id,
+       CAST(NULL AS DOUBLE) AS gap_seconds,
+       CAST(NULL AS DOUBLE) AS purchase_value,
+       FALSE AS matched
+FROM c, wm
+WHERE c.ts + INTERVAL 10 MINUTE < wm.w
+  AND NOT EXISTS (
+    SELECT 1 FROM p
+    WHERE p.user_id = c.user_id
+      AND p.ts >= c.ts
+      AND p.ts <= c.ts + INTERVAL 10 MINUTE
+  )
+"""
+
+
 # ---------------------------------------------------------------- D8
 
 

@@ -210,6 +210,33 @@ def test_sql_front_door_runs_pushdown_queries(spark, sf_dir):
     assert len(got) == len(ref) == 1
 
 
+def test_sql_front_door_pipe_syntax(spark, sf_dir):
+    """Spark 4's SQL pipe syntax (`|>`) works against the registered
+    views and produces the same rows as the classic formulation — the
+    front door supports both dialects over the identical scans."""
+    from dbt_json_readr_spark import sql as Q
+
+    Q.register_tables(spark, sf_dir)
+    piped = Q.sql(
+        spark,
+        """
+        FROM orders
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE count(*) AS n GROUP BY o_orderpriority
+        |> ORDER BY o_orderpriority
+        """,
+    ).collect()
+    classic = Q.sql(
+        spark,
+        """
+        SELECT o_orderpriority, count(*) AS n FROM orders
+        WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+    ).collect()
+    assert [tuple(r) for r in piped] == [tuple(r) for r in classic] and len(piped) > 0
+
+
 def test_sql_front_door_artifact_views(spark):
     from dbt_json_readr_spark import sql as Q
     from dbt_json_readr_spark.plans.dbt import FIXTURE_TARGET
@@ -477,3 +504,84 @@ def test_manifest_commit_compact_reduces_files_atomically(spark, tmp_path):
     assert t.read().count() == 40
     assert {r.id for r in t.read().collect()} == set(range(40))
     assert t.read(version=v_before).count() == 40  # time travel intact
+
+
+def test_pysource_batch_partitions_and_determinism(spark):
+    """The Python Data Source connector plans one partition per row
+    range and yields md5-deterministic rows: two reads with different
+    partition counts must return identical row sets (the determinism
+    contract a custom connector owes its consumers)."""
+    from dbt_json_readr_spark.sources import pysource
+
+    pysource.register(spark)
+
+    def rows(parts):
+        return sorted(
+            tuple(r)
+            for r in spark.read.format("synthetic_events")
+            .option("n", 500)
+            .option("n_users", 50)
+            .option("partitions", parts)
+            .load()
+            .collect()
+        )
+
+    a, b = rows(2), rows(13)
+    assert a == b and len(a) == 500
+    # pure-Python replay of the contract for row 0
+    assert a[0] == pysource._row(0, 50)
+
+
+def test_pysource_stream_drains_to_batch_equality(spark):
+    """The streaming side (DataSourceStreamReader, partition-planned
+    micro-batches) must converge to exactly the batch read's rows."""
+    from dbt_json_readr_spark.sources import pysource
+
+    pysource.register(spark)
+    batch = sorted(
+        tuple(r)
+        for r in spark.read.format("synthetic_events")
+        .option("n", 400)
+        .option("n_users", 40)
+        .load()
+        .collect()
+    )
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("n", 400)
+        .option("n_users", 40)
+        .option("rows_per_batch", 100)
+        .option("partitions", 4)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pysource_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = sorted(tuple(r) for r in spark.table("pysource_stream").collect())
+    assert got == batch
+
+
+def test_pysource_stream_reader_plans_bounded_batches():
+    """Offset planning: each micro-batch advances by at most
+    rows_per_batch × partitions rows and splits into ≤ partitions
+    ranges — no batch ever materializes the whole row space."""
+    from dbt_json_readr_spark.sources.pysource import _StreamReader
+
+    r = _StreamReader({"n": "1000", "rows_per_batch": "100", "partitions": "4"})
+    assert r.initialOffset() == {"i": 0}
+    assert r.latestOffset() == {"i": 1000}
+    parts = r.partitions({"i": 0}, {"i": 1000})
+    assert len(parts) <= 4
+    hi = max(p.end for p in parts)
+    assert hi <= 400  # bounded by rows_per_batch * partitions
+    # ranges tile [0, hi) exactly
+    covered = sorted((p.start, p.end) for p in parts)
+    assert covered[0][0] == 0
+    for (s1, e1), (s2, _e2) in zip(covered, covered[1:]):
+        assert e1 == s2

@@ -441,3 +441,56 @@ def test_stateful_counts_tws_gates_or_matches(spark):
     new = _run_to_memory(stateful_counts_tws(ev), "tws_counts", "update")
     old = _run_to_memory(stateful_counts(ev), "aip_counts", "update")
     assert sorted(map(tuple, new.collect())) == sorted(map(tuple, old.collect()))
+
+
+def test_left_outer_join_state_and_eviction_across_micro_batches(spark, tmp_path):
+    """Two forced micro-batches: user 1's purchase arrives a batch AFTER
+    its click (must match via buffered join state), user 2's click never
+    matches (must null-pad once the watermark passes its 10-min window),
+    and the late sentinel click/purchase pair that advances the
+    watermark is itself still inside its window (must NOT emit)."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    schema = load(spark, SF, "events").schema
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    t5 = dt.datetime(2024, 1, 1, 10, 5, 0)
+    late = dt.datetime(2024, 1, 1, 13, 0, 0)
+    batches = [
+        [(1, t0, 1, "click", 1.0, "{}"), (2, t0, 2, "click", 1.0, "{}")],
+        [
+            (3, t5, 1, "purchase", 9.5, "{}"),
+            # sentinels push both sides' watermarks to 12:00 (> 10:10)
+            (4, late, 98, "click", 1.0, "{}"),
+            (5, late, 99, "purchase", 1.0, "{}"),
+        ],
+    ]
+    for i, rows in enumerate(batches):
+        part_dir = str(tmp_path / f"w{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(part_dir)
+        [f] = glob.glob(f"{part_dir}/part-*.parquet")
+        shutil.move(f, tmp_path / f"events_{i}.parquet")
+        shutil.rmtree(part_dir)
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "events_*.parquet")
+            .parquet(str(tmp_path))
+        )
+
+    out = jobs._run_to_memory(
+        jobs.left_outer_click_purchase(stream(), stream()),
+        "stream_loj_mb",
+        "append",
+    )
+    rows = {(r.user_id, r.click_id, r.purchase_id, r.matched) for r in out.collect()}
+    # click (batch 1) matched by purchase (batch 2) through join state
+    assert (1, 1, 3, True) in rows
+    # unmatched click null-padded after watermark passed 10:10
+    assert (2, 2, None, False) in rows
+    # the sentinel click's window is still open at the final watermark
+    assert not any(u == 98 for u, *_ in rows)
+    assert len(rows) == 2
