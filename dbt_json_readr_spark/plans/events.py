@@ -1664,3 +1664,98 @@ ORDER BY event_type
 
 
 PYSOURCE_EVENTS_ROLLUP_SQL = _pysource_rollup_sql()
+
+
+# ------------------------------------------------------------- B67
+# Time-series gap-fill: the hypertable/rollup primitive OLAP stores
+# ship natively (timescale gapfill / flink fill) — a calendar spine
+# join + LOCF imputation, no UDF.
+
+
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-type series on a dense calendar spine with
+    last-observation-carried-forward imputation.
+
+    Spine = sequence(min_hour, max_hour) × distinct event_type — built
+    from two 1-row/row-tiny frames, so both joins broadcast; the only
+    data-sized shuffle is the hourly pre-aggregation.  Missing hours
+    get n_events=0 and a LOCF'd hourly_max via last(ignorenulls) over a
+    rows-unbounded-preceding frame (per-type partition — no global
+    window).  All imputed values are exact copies (no interpolation
+    arithmetic), so the result is bit-portable across engines.
+    """
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    hourly = (
+        ev.groupBy(F.col("event_type"), hour.alias("hour_ts"))
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.max("value").alias("hourly_max"),
+        )
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("min_h"),
+        F.date_trunc("hour", F.max("ts")).alias("max_h"),
+    )
+    types = ev.select("event_type").distinct()
+    spine = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("min_h", "max_h", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour_ts"),
+        )
+    )
+    locf_w = (
+        W.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        spine.join(hourly, ["event_type", "hour_ts"], "left")
+        .select(
+            "event_type",
+            "hour_ts",
+            F.coalesce("n_obs", F.lit(0)).alias("n_events"),
+            "hourly_max",
+            F.last("hourly_max", ignorenulls=True).over(locf_w).alias("locf_max"),
+            F.col("n_obs").isNull().alias("is_gap"),
+        )
+        .orderBy("event_type", "hour_ts")
+    )
+
+
+EVENTS_GAPFILL_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+         count(*) AS n_obs, max(value) AS hourly_max
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS min_h, date_trunc('hour', max(ts)) AS max_h
+  FROM events
+),
+hours AS (
+  -- scalar generate_series returns a LIST and accepts column args
+  -- (the table-function form requires constants)
+  SELECT unnest(generate_series(min_h, max_h, INTERVAL 1 HOUR)) AS hour_ts
+  FROM bounds
+),
+spine AS (
+  SELECT t.event_type, hours.hour_ts
+  FROM (SELECT DISTINCT event_type FROM events) t, hours
+)
+SELECT s.event_type,
+       s.hour_ts,
+       COALESCE(h.n_obs, 0) AS n_events,
+       h.hourly_max,
+       last_value(h.hourly_max IGNORE NULLS) OVER (
+         PARTITION BY s.event_type ORDER BY s.hour_ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_max,
+       h.n_obs IS NULL AS is_gap
+FROM spine s
+LEFT JOIN hourly h ON h.event_type = s.event_type AND h.hour_ts = s.hour_ts
+ORDER BY s.event_type, s.hour_ts
+"""

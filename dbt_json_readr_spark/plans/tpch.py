@@ -1642,3 +1642,205 @@ GROUP BY s_name
 ORDER BY numwait DESC, s_name
 LIMIT 100
 """
+
+
+# ------------------------------------------------------------- B65
+# Deequ-style data-quality profiling — the first thing a lake operator
+# runs against an unfamiliar 100 TB table.
+
+_PROFILE_NUM_COLS = [
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_linenumber",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+]
+_PROFILE_STR_COLS = ["l_returnflag", "l_linestatus"]
+_PROFILE_TS_COLS = ["l_shipdate"]
+
+
+def table_profile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of lineitem in ONE scan: null count, exact
+    distinct count, min/max (numeric as DOUBLE, strings lexically,
+    timestamps as exact epoch micros).
+
+    Scale posture: all 11 columns profile in a single aggregate — one
+    scan, map-side partials.  The exact multi-column COUNT(DISTINCT)
+    uses Spark's Expand (rows × distinct-agg count before the partial
+    agg); at 100 TB the same operator swaps count_distinct for
+    approx_count_distinct (HLL, no Expand) — the audit schema is
+    unchanged, which is why distinct counts get their own column rather
+    than being folded into min/max rows.  min/max/null-counts are
+    engine-portable by construction: no double arithmetic, only exact
+    comparisons and integer counts.
+    """
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+
+    aggs: list[F.Column] = []
+    for c in _PROFILE_NUM_COLS + _PROFILE_TS_COLS + _PROFILE_STR_COLS:
+        aggs.append(F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__nulls"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__nd"))
+    for c in _PROFILE_NUM_COLS:
+        aggs.append(F.min(F.col(c).cast("double")).alias(f"{c}__min"))
+        aggs.append(F.max(F.col(c).cast("double")).alias(f"{c}__max"))
+    for c in _PROFILE_TS_COLS:
+        # epoch micros ≈ 9e14 < 2^53: the double is exact
+        aggs.append(F.min(F.unix_micros(F.col(c))).cast("double").alias(f"{c}__min"))
+        aggs.append(F.max(F.unix_micros(F.col(c))).cast("double").alias(f"{c}__max"))
+    for c in _PROFILE_STR_COLS:
+        aggs.append(F.min(F.col(c)).alias(f"{c}__min"))
+        aggs.append(F.max(F.col(c)).alias(f"{c}__max"))
+    one = li.agg(*aggs)
+
+    structs = []
+    for c in _PROFILE_NUM_COLS + _PROFILE_TS_COLS:
+        structs.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"{c}__nulls").alias("null_count"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_num"),
+                F.col(f"{c}__max").alias("max_num"),
+                F.lit(None).cast("string").alias("min_str"),
+                F.lit(None).cast("string").alias("max_str"),
+            )
+        )
+    for c in _PROFILE_STR_COLS:
+        structs.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"{c}__nulls").alias("null_count"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                F.lit(None).cast("double").alias("min_num"),
+                F.lit(None).cast("double").alias("max_num"),
+                F.col(f"{c}__min").alias("min_str"),
+                F.col(f"{c}__max").alias("max_str"),
+            )
+        )
+    return (
+        one.select(F.explode(F.array(*structs)).alias("p"))
+        .select("p.*")
+        .orderBy("col_name")
+    )
+
+
+def _profile_sql() -> str:
+    parts = []
+    for c in _PROFILE_NUM_COLS:
+        parts.append(
+            f"SELECT '{c}' AS col_name, count(*) - count({c}) AS null_count,"
+            f" CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,"
+            f" CAST(min({c}) AS DOUBLE) AS min_num, CAST(max({c}) AS DOUBLE) AS max_num,"
+            f" CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str"
+            f" FROM lineitem"
+        )
+    for c in _PROFILE_TS_COLS:
+        parts.append(
+            f"SELECT '{c}' AS col_name, count(*) - count({c}) AS null_count,"
+            f" CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,"
+            f" CAST(epoch_us(min({c})) AS DOUBLE) AS min_num,"
+            f" CAST(epoch_us(max({c})) AS DOUBLE) AS max_num,"
+            f" CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str"
+            f" FROM lineitem"
+        )
+    for c in _PROFILE_STR_COLS:
+        parts.append(
+            f"SELECT '{c}' AS col_name, count(*) - count({c}) AS null_count,"
+            f" CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,"
+            f" CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,"
+            f" min({c}) AS min_str, max({c}) AS max_str"
+            f" FROM lineitem"
+        )
+    return "SELECT * FROM (\n" + "\nUNION ALL\n".join(parts) + "\n) ORDER BY col_name"
+
+
+TABLE_PROFILE_SQL = _profile_sql()
+
+
+# ------------------------------------------------------------- B66
+# Referential-integrity audit across the star schema: the Deequ/DQ
+# "is my lake consistent" check, expressed as distinct-FK anti-joins.
+
+_RI_RELS = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphaned-foreign-key audit for every FK edge in the star schema.
+
+    Scale posture: the child side pre-aggregates to DISTINCT fk values
+    (carrying the row count) BEFORE the anti-join, so the join input is
+    key-cardinality, not row-cardinality — at 100 TB the lineitem→part
+    check anti-joins ~200M distinct keys, not 600B rows.  Parent key
+    sets are distinct-projected and broadcast where small (nation,
+    region, customer); the fact-sized parents (orders, part) take the
+    shuffle anti-join, which AQE plans from the pre-aggregated size.
+    NULL FKs are counted separately, never treated as orphans.
+    """
+    prep(spark)
+    out: DataFrame | None = None
+    for name, child_t, fk, parent_t, pk in _RI_RELS:
+        child = load(spark, sf_dir, child_t)
+        parent = load(spark, sf_dir, parent_t).select(F.col(pk).alias("__pk")).distinct()
+        fkc = child.groupBy(F.col(fk).alias("__fk")).agg(F.count(F.lit(1)).alias("__cnt"))
+        orph = (
+            fkc.filter(F.col("__fk").isNotNull())
+            .join(parent, F.col("__fk") == F.col("__pk"), "left_anti")
+            .agg(
+                F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("orphan_keys"),
+                F.coalesce(F.sum("__cnt"), F.lit(0)).alias("orphan_rows"),
+            )
+        )
+        stats = fkc.agg(
+            F.sum("__cnt").alias("child_rows"),
+            F.sum(F.when(F.col("__fk").isNull(), F.col("__cnt")).otherwise(0)).alias(
+                "null_fk_rows"
+            ),
+            F.count(F.col("__fk")).alias("distinct_fk"),
+        )
+        row = (
+            stats.crossJoin(orph)
+            .select(
+                F.lit(name).alias("relationship"),
+                "child_rows",
+                "null_fk_rows",
+                "distinct_fk",
+                "orphan_keys",
+                "orphan_rows",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    assert out is not None
+    return out.orderBy("relationship")
+
+
+def _ri_sql() -> str:
+    parts = []
+    for name, child_t, fk, parent_t, pk in _RI_RELS:
+        parts.append(
+            f"SELECT '{name}' AS relationship,\n"
+            f" (SELECT count(*) FROM {child_t}) AS child_rows,\n"
+            f" (SELECT count(*) FROM {child_t} WHERE {fk} IS NULL) AS null_fk_rows,\n"
+            f" CAST((SELECT count(DISTINCT {fk}) FROM {child_t}) AS BIGINT) AS distinct_fk,\n"
+            f" CAST((SELECT count(DISTINCT {fk}) FROM {child_t} c WHERE {fk} IS NOT NULL\n"
+            f"   AND NOT EXISTS (SELECT 1 FROM {parent_t} p WHERE p.{pk} = c.{fk})) AS BIGINT)"
+            f" AS orphan_keys,\n"
+            f" (SELECT count(*) FROM {child_t} c WHERE {fk} IS NOT NULL\n"
+            f"   AND NOT EXISTS (SELECT 1 FROM {parent_t} p WHERE p.{pk} = c.{fk}))"
+            f" AS orphan_rows"
+        )
+    return "SELECT * FROM (\n" + "\nUNION ALL\n".join(parts) + "\n) ORDER BY relationship"
+
+
+REFERENTIAL_INTEGRITY_SQL = _ri_sql()

@@ -143,6 +143,13 @@ register(
 register(
     "pysource_events_rollup", events.pysource_events_rollup, events.PYSOURCE_EVENTS_ROLLUP_SQL
 )
+register("table_profile_audit", tpch.table_profile_audit, tpch.TABLE_PROFILE_SQL)
+register(
+    "referential_integrity_audit",
+    tpch.referential_integrity_audit,
+    tpch.REFERENTIAL_INTEGRITY_SQL,
+)
+register("events_gapfill_locf", events.events_gapfill_locf, events.EVENTS_GAPFILL_SQL)
 
 # C. LLM-data-pipeline operators (dedup / similarity / text analysis)
 for _key, _sql in llm.ORACLES.items():
@@ -298,6 +305,9 @@ _NEW_R4_LATE = [
     "pysource_events_rollup",
     "events_topk_sketch_audit",
     "bpe_merge_apply",
+    "table_profile_audit",
+    "referential_integrity_audit",
+    "events_gapfill_locf",
 ]
 
 # Newest driver row is r2 (also pre-rebuild).  Ordered most
