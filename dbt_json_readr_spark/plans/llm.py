@@ -3189,3 +3189,220 @@ ORACLES: dict[str, str] = {
     "dedup_band_utility": _band_utility_sql(),
     "bpe_merge_apply": _bpe_merge_apply_sql(),
 }
+
+
+# ---------------------------------------------------------------- C55
+# Sparse tf-idf cosine self-join via an inverted index — the classic
+# all-pairs similarity search (Bayardo et al., WWW'07): pairs are
+# generated ONLY through shared posting lists, never all-pairs.
+
+_SPARSE_K = 5          # char-shingle width (same representation as minhash)
+_SPARSE_DF_MIN = 2     # df=1 terms can't produce a pair
+_SPARSE_DF_CAP = 64    # posting-list cap: the quadratic-blowup guard
+_SPARSE_SCALE = 256    # fixed-point idf scale (integer-exact everywhere)
+_SPARSE_TOPK = 3
+
+
+def doc_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most-similar docs per doc by idf²-weighted shared-shingle
+    score, computed through an inverted index.
+
+    Weight per (doc, shingle) is integer fixed-point idf
+    ``(N·256) DIV df``; a pair's score is Σ w² over shared shingles —
+    BIGINT-exact end to end, so Spark and DuckDB agree bit-for-bit (no
+    float dot products, which would be partitioning-order-dependent).
+
+    Scale posture: the join key is the shingle, and the df-window
+    [2, 64] bounds every posting list — worst-case pair fan-out per
+    term is cap², independent of corpus size, and high-df (stopword)
+    shingles carry ~zero idf weight anyway.  This is the same
+    hot-bucket cap discipline as the minhash LSH path; at 100 TB the
+    cap is the knob that trades recall on mid-frequency shingles for a
+    hard upper bound on shuffle volume.  df pre-aggregation is
+    |vocab|-sized; only qualifying postings shuffle.
+    """
+    prep(spark)
+    docs = spread(load(spark, sf_dir, "documents"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n")).withColumnRenamed("n", "n_docs")
+    posting = docs.select(
+        "doc_id", F.explode(H.char_shingles(F.col("text"), _SPARSE_K)).alias("term")
+    )
+    df_t = posting.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    weighted = (
+        posting.join(F.broadcast(df_t), "term")
+        .filter((F.col("df") >= _SPARSE_DF_MIN) & (F.col("df") <= _SPARSE_DF_CAP))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.expr(f"CAST(n_docs * {_SPARSE_SCALE} AS BIGINT) DIV CAST(df AS BIGINT)").alias(
+                "w"
+            ),
+        )
+    )
+    a = weighted.select(
+        F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("w_a")
+    )
+    b = weighted.select(
+        F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("w_b")
+    )
+    pairs = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("w_a") * F.col("w_b")).alias("score"))
+    )
+    directed = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"), "score"
+        )
+    )
+    w_rank = W.partitionBy("doc_a").orderBy(F.desc("score"), "doc_b")
+    return (
+        directed.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= _SPARSE_TOPK)
+        .select(
+            F.col("doc_a").alias("doc_id"),
+            F.col("doc_b").alias("neighbor_id"),
+            "score",
+            "rank",
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
+def _sparse_cosine_sql() -> str:
+    sh = H.sql_char_shingles("text", _SPARSE_K)
+    return f"""
+WITH posting AS (
+  SELECT doc_id, unnest({sh}) AS term FROM documents
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+df_t AS (SELECT term, count(*) AS df FROM posting GROUP BY term),
+weighted AS (
+  SELECT p.doc_id, p.term,
+         CAST(n.n_docs * {_SPARSE_SCALE} AS BIGINT) // CAST(d.df AS BIGINT) AS w
+  FROM posting p JOIN df_t d ON p.term = d.term, n
+  WHERE d.df BETWEEN {_SPARSE_DF_MIN} AND {_SPARSE_DF_CAP}
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(sum(a.w * b.w) AS BIGINT) AS score
+  FROM weighted a JOIN weighted b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+directed AS (
+  SELECT doc_a, doc_b, score FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a, score FROM pairs
+),
+ranked AS (
+  SELECT doc_a AS doc_id, doc_b AS neighbor_id, score,
+         CAST(row_number() OVER (PARTITION BY doc_a ORDER BY score DESC, doc_b) AS INTEGER)
+           AS rank
+  FROM directed
+)
+SELECT doc_id, neighbor_id, score, rank FROM ranked
+WHERE rank <= {_SPARSE_TOPK}
+ORDER BY doc_id, rank
+"""
+
+
+# ---------------------------------------------------------------- C56
+# Edit-distance fuzzy matching with length-band blocking — the entity-
+# resolution primitive (record linkage / near-identical titles) that
+# hash-based dedup misses because one edit changes every shingle hash.
+
+_FUZZY_BAND = 16       # chars per length band; candidates = same or adjacent band
+_FUZZY_LEN_DELTA = 16  # max |n_chars| difference
+_FUZZY_PREFIX = 40     # edit distance computed over this prefix
+_FUZZY_MAX_LEV = 20
+
+
+def dedup_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-match pairs by Levenshtein distance over 40-char prefixes,
+    blocked by (lang, 16-char length band).
+
+    Blocking is lossless for the declared predicate: each doc emits its
+    band and band+1, and |Δn_chars| ≤ 16 forces band distance ≤ 1, so
+    every qualifying pair shares a key — the oracle states the CLEAN
+    unblocked predicate and the gate proves the blocked plan equals it.
+
+    Scale posture: Levenshtein is O(prefix²) per comparison and cannot
+    be indexed directly — the block join is what keeps the candidate
+    set linear-ish (band × lang cells) instead of N²; the prefix cap
+    bounds per-pair cost.  Candidates dedup on the pair key BEFORE the
+    distance compute so a pair sharing both keys is scored once.
+    """
+    prep(spark)
+    docs = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "n_chars", F.substring("text", 1, _FUZZY_PREFIX).alias("prefix")
+    )
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "prefix",
+        F.explode(
+            F.array(
+                (F.col("n_chars") / _FUZZY_BAND).cast("bigint"),
+                (F.col("n_chars") / _FUZZY_BAND).cast("bigint") + 1,
+            )
+        ).alias("band"),
+    )
+    a = keyed.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("n_chars").alias("len_a"),
+        F.col("prefix").alias("pref_a"),
+        "band",
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("n_chars").alias("len_b"),
+        F.col("prefix").alias("pref_b"),
+        "band",
+    )
+    cands = (
+        a.join(b, ["band"])
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("lang_a") == F.col("lang_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= _FUZZY_LEN_DELTA)
+        )
+        .select("doc_a", "doc_b", "lang_a", "len_a", "len_b", "pref_a", "pref_b")
+        .distinct()
+    )
+    return (
+        cands.withColumn("lev", F.levenshtein("pref_a", "pref_b"))
+        .filter(F.col("lev") <= _FUZZY_MAX_LEV)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("lang_a").alias("lang"),
+            (F.col("len_b") - F.col("len_a")).alias("len_delta"),
+            "lev",
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+FUZZY_EDITDIST_SQL = f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
+       b.n_chars - a.n_chars AS len_delta,
+       CAST(levenshtein(substr(a.text, 1, {_FUZZY_PREFIX}),
+                        substr(b.text, 1, {_FUZZY_PREFIX})) AS INTEGER) AS lev
+FROM documents a JOIN documents b
+  ON a.lang = b.lang AND a.doc_id < b.doc_id
+ AND abs(a.n_chars - b.n_chars) <= {_FUZZY_LEN_DELTA}
+WHERE levenshtein(substr(a.text, 1, {_FUZZY_PREFIX}),
+                  substr(b.text, 1, {_FUZZY_PREFIX})) <= {_FUZZY_MAX_LEV}
+ORDER BY doc_a, doc_b
+"""
+
+
+# Registered here (not in the dict literal above) because the defs sit
+# below the dict in file order.
+ORACLES["doc_sparse_cosine_topk"] = _sparse_cosine_sql()
+ORACLES["dedup_fuzzy_editdist"] = FUZZY_EDITDIST_SQL

@@ -308,6 +308,8 @@ _NEW_R4_LATE = [
     "table_profile_audit",
     "referential_integrity_audit",
     "events_gapfill_locf",
+    "doc_sparse_cosine_topk",
+    "dedup_fuzzy_editdist",
 ]
 
 # Newest driver row is r2 (also pre-rebuild).  Ordered most
