@@ -219,6 +219,11 @@ register(
     streaming_jobs.streaming_left_outer_join,
     streaming_jobs.STREAMING_LEFT_OUTER_JOIN_SQL,
 )
+register(
+    "streaming_manifest_rollup",
+    streaming_jobs.streaming_manifest_rollup,
+    streaming_jobs.STREAMING_MANIFEST_ROLLUP_SQL,
+)
 
 
 # -------------------------------------------------------------------
@@ -310,6 +315,7 @@ _NEW_R4_LATE = [
     "events_gapfill_locf",
     "doc_sparse_cosine_topk",
     "dedup_fuzzy_editdist",
+    "streaming_manifest_rollup",
 ]
 
 # Newest driver row is r2 (also pre-rebuild).  Ordered most

@@ -945,3 +945,74 @@ SELECT date_trunc('hour', ts) AS window_start,
 FROM events
 GROUP BY date_trunc('hour', ts)
 """
+
+
+# --------------------------------------------------------------- D15
+# End-to-end exactly-once pipeline: stream → write-audit-publish
+# manifest table → rollup of the COMMITTED snapshot.  The durable-sink
+# keys above stop at the memory sink; this one gates the real sink
+# path (foreachBatch + batch-id replay dedup + atomic publish) as a
+# first-class correctness key instead of only a unit test.
+
+
+def streaming_manifest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the events stream through ``ManifestTable``'s idempotent
+    foreachBatch writer (each micro-batch = one audited atomic commit),
+    then aggregate what the PUBLISHED manifest exposes.
+
+    The rollup must equal the batch oracle regardless of how the file
+    source split the backlog into micro-batches — commit atomicity,
+    replay dedup, and manifest-scoped reads are all load-bearing for
+    that equality.  maxFilesPerTrigger is NOT pinned, so the oracle
+    equality holds for any micro-batch planning.
+
+    Scale posture: this is the no-jars table format — at 100 TB the
+    same writer gives readers snapshot isolation while 1000 executors
+    append; the rollup reads only manifest-listed files (no directory
+    listing race with in-flight writers).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from ..manifest_commit import ManifestTable
+
+    prep(spark)
+    root = os.path.join(
+        tempfile.gettempdir(), "dbt_json_readr_spark_stream_manifest"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = ManifestTable(spark, os.path.join(root, "table"))
+    q = (
+        events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(table.foreach_batch_writer())
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    committed = table.read()
+    return (
+        committed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+STREAMING_MANIFEST_ROLLUP_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_value,
+       min(event_id) AS min_event_id,
+       max(event_id) AS max_event_id
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
