@@ -77,6 +77,7 @@ class ManifestTable:
         self,
         version: int | None = None,
         partition_values: list[str] | None = None,
+        added_since: int | None = None,
     ) -> DataFrame:
         """The table AS OF ``version`` (default: latest) — exactly the
         files that manifest lists, with its pinned schema.  Orphaned /
@@ -85,7 +86,15 @@ class ManifestTable:
         On a partitioned table, ``partition_values`` prunes files from
         MANIFEST METADATA alone — no directory listing, no footer reads
         for skipped partitions — and the partition column is
-        reconstructed from the manifest with its original type."""
+        reconstructed from the manifest with its original type.
+
+        ``added_since=v`` restricts to files present in the target
+        version but NOT listed by manifest ``v`` — the change-data feed
+        an incremental view maintainer consumes: re-aggregate ONLY the
+        delta files and merge partial states, never rescan the base.
+        (Append-only delta: an overwrite/compaction rewrites paths and
+        shows up as all-new files — the maintainer's signal to fall
+        back to a full refresh, matching the real table formats.)"""
         v = self.current_version() if version is None else version
         if v == 0:
             return self.spark.createDataFrame([], T.StructType([]))
@@ -93,6 +102,11 @@ class ManifestTable:
         schema = T.StructType.fromJson(m["schema"])
         pcol = m.get("partition_by")
         files = m["files"]
+        if added_since is not None and added_since > 0:
+            prior = {f["path"] for f in self._manifest(added_since)["files"]}
+            files = [f for f in files if f["path"] not in prior]
+        if not files:
+            return self.spark.createDataFrame([], schema)
         if pcol is None:
             if partition_values is not None:
                 raise ValueError("table is not partitioned")

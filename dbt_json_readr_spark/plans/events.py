@@ -1759,3 +1759,80 @@ FROM spine s
 LEFT JOIN hourly h ON h.event_type = s.event_type AND h.hour_ts = s.hour_ts
 ORDER BY s.event_type, s.hour_ts
 """
+
+
+# ------------------------------------------------------------- B68
+# Sweep-line interval concurrency — the "how many X were open at once"
+# shape (concurrent sessions / overlapping jobs), answered without an
+# interval self-join.
+
+
+def events_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent 10-minute event intervals per type via the
+    classic endpoint sweep: +1 at start, −1 at end, running sum, max.
+
+    The naive formulation is an interval self-join (O(n²) per type);
+    the sweep is O(n log n) — endpoints shuffle ONCE on event_type and
+    the running sum is a per-type window, no join at all.  Half-open
+    [start, end) semantics via the (t, delta) sort: ends order before
+    coincident starts.  Tie-safety: rows tied on (t, delta) produce
+    the same multiset of running values under any secondary order, so
+    max and argmax-min-t are deterministic.
+
+    Scale posture: per-type partitions bound window state; at 100 TB
+    with few types, re-key the sweep by (type, day-bucket) and stitch
+    bucket boundaries with per-bucket offsets (documented variant).
+    """
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    starts = ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("d")
+    )
+    ends = ev.select(
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("t"),
+        F.lit(-1).alias("d"),
+    )
+    sweep_w = (
+        W.partitionBy("event_type")
+        .orderBy("t", "d")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    runs = starts.unionByName(ends).withColumn("run", F.sum("d").over(sweep_w))
+    mx = runs.withColumn(
+        "mx", F.max("run").over(W.partitionBy("event_type"))
+    )
+    return (
+        mx.groupBy("event_type")
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("bigint").alias("n_intervals"),
+            F.max("run").alias("max_concurrent"),
+            F.min(F.when(F.col("run") == F.col("mx"), F.col("t"))).alias("peak_ts"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_CONCURRENCY_SQL = """
+WITH ep AS (
+  SELECT event_type, ts AS t, 1 AS d FROM events
+  UNION ALL
+  SELECT event_type, ts + INTERVAL 10 MINUTE AS t, -1 AS d FROM events
+),
+runs AS (
+  SELECT event_type, t, d,
+         sum(d) OVER (PARTITION BY event_type ORDER BY t, d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM ep
+),
+mx AS (
+  SELECT *, max(run) OVER (PARTITION BY event_type) AS mxr FROM runs
+)
+SELECT event_type,
+       CAST(count(*) / 2 AS BIGINT) AS n_intervals,
+       CAST(max(run) AS BIGINT) AS max_concurrent,
+       min(CASE WHEN run = mxr THEN t END) AS peak_ts
+FROM mx
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -3406,3 +3406,90 @@ ORDER BY doc_a, doc_b
 # below the dict in file order.
 ORACLES["doc_sparse_cosine_topk"] = _sparse_cosine_sql()
 ORACLES["dedup_fuzzy_editdist"] = FUZZY_EDITDIST_SQL
+
+
+# ---------------------------------------------------------------- C57
+# Asymmetric containment dedup: catches SUBSET duplicates (a doc
+# embedded inside a larger one — quotes, boilerplate wrappers) that
+# symmetric jaccard under-scores, because the union in the denominator
+# is dominated by the larger doc.
+
+_CONT_K = 5
+_CONT_TAU = 0.6
+_CONT_BLOCK_CAP = 2000
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-set containment pairs within language blocks: keep pairs
+    where max(|A∩B|/|A|, |A∩B|/|B|) ≥ 0.6, emitting BOTH directed
+    containments plus jaccard for contrast.
+
+    All three ratios are small-integer divisions (set sizes ≤ text
+    length), so the doubles are exact and engine-portable.  Blocks over
+    the cap are dropped loudly-by-contract (same cap discipline as the
+    LSH bucket caps) — at 100 TB the block key would be an LSH band,
+    not lang; the containment arithmetic is unchanged.
+    """
+    prep(spark)
+    docs = spread(load(spark, sf_dir, "documents"))
+    shingled = docs.select(
+        "doc_id", "lang", H.char_shingles(F.col("text"), _CONT_K).alias("sh")
+    )
+    block_n = shingled.withColumn(
+        "block_n", F.count(F.lit(1)).over(W.partitionBy("lang"))
+    ).filter(F.col("block_n") <= _CONT_BLOCK_CAP)
+    a = block_n.select(
+        F.col("doc_id").alias("doc_a"), "lang", F.col("sh").alias("sh_a")
+    )
+    b = block_n.select(
+        F.col("doc_id").alias("doc_b"), "lang", F.col("sh").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    cont_ab = inter.cast("double") / F.size("sh_a").cast("double")
+    cont_ba = inter.cast("double") / F.size("sh_b").cast("double")
+    return (
+        a.join(b, "lang")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("inter_n"),
+            cont_ab.alias("cont_a_in_b"),
+            cont_ba.alias("cont_b_in_a"),
+            (
+                inter.cast("double")
+                / F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.greatest(F.col("cont_a_in_b"), F.col("cont_b_in_a")) >= _CONT_TAU)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _containment_sql() -> str:
+    sh = H.sql_char_shingles("text", _CONT_K)
+    return f"""
+WITH t0 AS (
+  SELECT doc_id, lang, {sh} AS sh FROM documents
+),
+t AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY lang) AS block_n FROM t0
+  ) WHERE block_n <= {_CONT_BLOCK_CAP}
+)
+SELECT doc_a, doc_b, inter_n, cont_a_in_b, cont_b_in_a, jaccard
+FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS INTEGER) AS inter_n,
+         len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh)::DOUBLE AS cont_a_in_b,
+         len(list_intersect(a.sh, b.sh))::DOUBLE / len(b.sh)::DOUBLE AS cont_b_in_a,
+         len(list_intersect(a.sh, b.sh))::DOUBLE
+           / len(list_distinct(a.sh || b.sh))::DOUBLE AS jaccard
+  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+)
+WHERE greatest(cont_a_in_b, cont_b_in_a) >= {_CONT_TAU}
+ORDER BY doc_a, doc_b
+"""
+
+
+ORACLES["dedup_containment"] = _containment_sql()

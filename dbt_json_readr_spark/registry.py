@@ -150,6 +150,12 @@ register(
     tpch.REFERENTIAL_INTEGRITY_SQL,
 )
 register("events_gapfill_locf", events.events_gapfill_locf, events.EVENTS_GAPFILL_SQL)
+register(
+    "events_concurrency_sweep", events.events_concurrency_sweep, events.EVENTS_CONCURRENCY_SQL
+)
+register(
+    "incremental_view_maintain", tpch.incremental_view_maintain, tpch.INCREMENTAL_VIEW_SQL
+)
 
 # C. LLM-data-pipeline operators (dedup / similarity / text analysis)
 for _key, _sql in llm.ORACLES.items():
@@ -316,6 +322,9 @@ _NEW_R4_LATE = [
     "doc_sparse_cosine_topk",
     "dedup_fuzzy_editdist",
     "streaming_manifest_rollup",
+    "events_concurrency_sweep",
+    "incremental_view_maintain",
+    "dedup_containment",
 ]
 
 # Newest driver row is r2 (also pre-rebuild).  Ordered most

@@ -585,3 +585,20 @@ def test_pysource_stream_reader_plans_bounded_batches():
     assert covered[0][0] == 0
     for (s1, e1), (s2, _e2) in zip(covered, covered[1:]):
         assert e1 == s2
+
+
+def test_manifest_read_added_since_is_the_change_feed(spark, tmp_path):
+    """read(added_since=v) returns exactly the rows whose files were
+    appended after v — the IVM delta — and an overwrite surfaces as
+    all-new files (the full-refresh fallback signal)."""
+    t = _mt(spark, tmp_path)
+    t.commit(spark.range(10).selectExpr("id", "id * 2 AS v"))
+    v1 = t.current_version()
+    t.commit(spark.range(10, 15).selectExpr("id", "id * 2 AS v"))
+    delta = t.read(added_since=v1)
+    assert sorted(r.id for r in delta.collect()) == list(range(10, 15))
+    # nothing new relative to the latest version itself
+    assert t.read(added_since=t.current_version()).count() == 0
+    # overwrite rewrites every path: the whole table shows as "added"
+    t.commit(spark.range(3).selectExpr("id", "id * 2 AS v"), mode="overwrite")
+    assert t.read(added_since=v1).count() == 3
