@@ -21,7 +21,7 @@ from ..operators import graph as G
 from ..operators import multimodal as M
 from ..operators import similarity as S
 from ..operators import textops as X
-from ..session import prep, spread
+from ..session import prep, rotate_cached, spread
 from ..sources.tables import load
 
 # ---------------------------------------------------------------- C1
@@ -3220,6 +3220,12 @@ def doc_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap is the knob that trades recall on mid-frequency shingles for a
     hard upper bound on shuffle volume.  df pre-aggregation is
     |vocab|-sized; only qualifying postings shuffle.
+
+    Cache discipline: Spark does not dedup common subtrees across a
+    DAG, so without pinning, the posting pipeline would evaluate 4×
+    (self-join sides × mirror union).  ``weighted`` and ``pairs`` are
+    persisted under the session's rotate_cached slot — one posting
+    compute, one join, and the mirror union reads the cached pairs.
     """
     prep(spark)
     docs = spread(load(spark, sf_dir, "documents"))
@@ -3239,6 +3245,7 @@ def doc_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "w"
             ),
         )
+        .persist()
     )
     a = weighted.select(
         F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("w_a")
@@ -3251,7 +3258,9 @@ def doc_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.sum(F.col("w_a") * F.col("w_b")).alias("score"))
+        .persist()
     )
+    rotate_cached("sparse_cosine", [weighted, pairs])
     directed = pairs.unionByName(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"), "score"

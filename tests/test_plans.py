@@ -192,3 +192,41 @@ def test_zone_map_and_skew_audits_are_single_scan(spark):
         plan = formatted_plan(fn(spark, SF))
         n = len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M))
         assert n <= expected, f"{fn.__name__}: {n} scans"
+
+
+def test_r4_new_op_plan_contracts(spark):
+    """Scale-shape pins for the r4 session-2 operators.
+
+    - sparse cosine: candidate pairs come ONLY from the term equi-join
+      (df/n broadcast; no nested-loop or cartesian anywhere)
+    - fuzzy editdist: the band blocking must plan as an equi-join, not
+      a cartesian + filter
+    - table profile: all 11 columns profile from ONE scan (Expand for
+      the multi-distinct, not one pass per column)
+    - concurrency sweep: NO join of any kind — the whole point of the
+      endpoint sweep is replacing the interval self-join
+    """
+    from dbt_json_readr_spark.plans import events as ev
+    from dbt_json_readr_spark.plans import llm, tpch
+    from dbt_json_readr_spark.plans.explain import formatted_plan, has_broadcast_join
+
+    sparse = llm.doc_sparse_cosine_topk(spark, SF)
+    p = formatted_plan(sparse)
+    assert has_broadcast_join(sparse)
+    # the only nested-loop is the 1-row broadcast-scalar n_docs join,
+    # and it sits beneath the cached `weighted` frame — the pair join
+    # itself is an equi-join on the term
+    assert "CartesianProduct" not in p
+    from dbt_json_readr_spark.session import live_cached
+
+    assert len(live_cached("sparse_cosine", spark)) == 2
+
+    p = formatted_plan(llm.dedup_fuzzy_editdist(spark, SF))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+    p = formatted_plan(tpch.table_profile_audit(spark, SF))
+    assert p.count(") Scan parquet") == 1
+    assert "Expand" in p
+
+    p = formatted_plan(ev.events_concurrency_sweep(spark, SF))
+    assert "Join" not in p
