@@ -3502,3 +3502,90 @@ ORDER BY doc_a, doc_b
 
 
 ORACLES["dedup_containment"] = _containment_sql()
+
+
+# ---------------------------------------------------------------- C58
+# Bigram-LM fluency scoring — the quality-filter family's perplexity
+# stand-in (CCNet-style LM filtering), kept log-free and fixed-point so
+# both engines agree bit-for-bit (ln() differs in the last ulp across
+# libms; a sum of per-token logs would drift).
+
+_LM_SCALE = 1_000_000
+
+
+def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc corpus-bigram fluency: mean scaled conditional frequency
+    ``(c(w1,w2)·10⁶) DIV c(w1·)`` over the doc's adjacent token pairs.
+
+    The conditional universe is observed bigram starts (c(w1·) =
+    Σ_w2 c(w1,w2)), so the score is a closed-form rational per bigram —
+    BIGINT-exact — and the only float op is one final division per doc.
+
+    Scale posture: the bigram count table is |bigram vocab|-sized and
+    aggregates map-side before its shuffle; scoring joins are equi-joins
+    on (w1,w2) and w1.  High-frequency bigrams score high by
+    construction — this is the fluency prior, not topicality.
+    """
+    prep(spark)
+    docs = spread(load(spark, sf_dir, "documents"))
+    bigrams = docs.select(
+        "doc_id", H.tokens(F.col("text")).alias("toks")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) < 2 THEN CAST(array() AS array<struct<w1:string,w2:string>>) "
+                "ELSE transform(sequence(0, size(toks)-2), i -> struct(toks[i] AS w1, toks[i+1] AS w2)) END"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    c2 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    scored = (
+        bigrams.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .select(
+            "doc_id",
+            F.expr(f"(c2 * CAST({_LM_SCALE} AS BIGINT)) DIV c1").alias("fp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("fp").alias("score_sum"),
+            (
+                F.sum("fp").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("mean_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _lm_score_sql() -> str:
+    toks = H.sql_tokens("text")
+    return f"""
+WITH tk AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+),
+bigrams AS (
+  SELECT doc_id, u.bg['w1'] AS w1, u.bg['w2'] AS w2
+  FROM tk, unnest(list_transform(range(1, len(toks)),
+                  i -> {{'w1': toks[i], 'w2': toks[i+1]}})) u(bg)
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bigrams GROUP BY 1, 2),
+c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1)
+SELECT b.doc_id,
+       count(*) AS n_bigrams,
+       CAST(sum((c2.c2 * {_LM_SCALE}) // c1.c1) AS BIGINT) AS score_sum,
+       CAST(sum((c2.c2 * {_LM_SCALE}) // c1.c1) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS mean_score
+FROM bigrams b
+JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+JOIN c1 ON b.w1 = c1.w1
+GROUP BY b.doc_id
+ORDER BY b.doc_id
+"""
+
+
+ORACLES["text_ngram_lm_score"] = _lm_score_sql()

@@ -230,6 +230,11 @@ register(
     streaming_jobs.streaming_manifest_rollup,
     streaming_jobs.STREAMING_MANIFEST_ROLLUP_SQL,
 )
+register(
+    "streaming_dynamic_gap_sessions",
+    streaming_jobs.streaming_dynamic_gap_sessions,
+    streaming_jobs.STREAMING_DYNAMIC_GAP_SQL,
+)
 
 
 # -------------------------------------------------------------------
@@ -325,6 +330,8 @@ _NEW_R4_LATE = [
     "events_concurrency_sweep",
     "incremental_view_maintain",
     "dedup_containment",
+    "text_ngram_lm_score",
+    "streaming_dynamic_gap_sessions",
 ]
 
 # Newest driver row is r2 (also pre-rebuild).  Ordered most

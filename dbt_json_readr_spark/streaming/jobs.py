@@ -1016,3 +1016,70 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# --------------------------------------------------------------- D16
+# Dynamic-gap sessions: Spark 4 session_window with a per-ROW gap
+# expression — checkout flows idle longer than browse flows, so one
+# global gap mis-splits one of them.
+
+_DYN_GAP_SLOW_S = 3600  # purchase journeys may idle an hour
+_DYN_GAP_FAST_S = 900   # everything else: 15 minutes
+
+
+def streaming_dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessions per (user, event_type) where the merge gap is an
+    EXPRESSION of the row (60 min for purchases, 15 min otherwise) —
+    the dynamic-gap form of ``session_window``.
+
+    The gap is constant within each grouping key here, so the batch
+    oracle can replay it exactly with a per-type CASE gap in the lag
+    rebuild (same >= boundary semantics as D2).  State is still
+    watermark-bounded: a session closes once the watermark passes its
+    end, whichever gap produced it.
+    """
+    prep(spark)
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit(f"{_DYN_GAP_SLOW_S} seconds")
+    ).otherwise(F.lit(f"{_DYN_GAP_FAST_S} seconds"))
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    agg = (
+        ev.groupBy(F.session_window("ts", gap).alias("sw"), "user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, "stream_dyn_gap_sessions", "complete")
+
+
+STREAMING_DYNAMIC_GAP_SQL = f"""
+WITH g AS (
+  SELECT user_id, event_type, ts,
+         CASE WHEN event_type = 'purchase' THEN {_DYN_GAP_SLOW_S}
+              ELSE {_DYN_GAP_FAST_S} END AS gap_s
+  FROM events
+),
+marked AS (
+  SELECT user_id, event_type, ts, gap_s,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts) IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts)) >= gap_s
+              THEN 1 ELSE 0 END AS is_new
+  FROM g
+),
+sess AS (
+  SELECT user_id, event_type, ts, gap_s,
+         sum(is_new) OVER (PARTITION BY user_id, event_type ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, event_type,
+       min(ts) AS session_start,
+       max(ts) + to_seconds(gap_s) AS session_end,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, event_type, session_id, gap_s
+"""
