@@ -1785,12 +1785,19 @@ def events_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     prep(spark)
     ev = load(spark, sf_dir, "events")
+    return concurrency_sweep(ev, "INTERVAL 10 MINUTES")
+
+
+def concurrency_sweep(ev: DataFrame, interval: str) -> DataFrame:
+    """Core sweep over (event_type, ts) rows; each row holds an
+    ``interval``-long half-open slot.  Property-tested against a naive
+    per-start overlap count (tests/test_properties.py)."""
     starts = ev.select(
         "event_type", F.col("ts").alias("t"), F.lit(1).alias("d")
     )
     ends = ev.select(
         "event_type",
-        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("t"),
+        (F.col("ts") + F.expr(interval)).alias("t"),
         F.lit(-1).alias("d"),
     )
     sweep_w = (

@@ -301,3 +301,54 @@ def test_partsupp_cost_and_qty_are_in_domain(s_cnt, partkey):
         cents = (partkey * 97 + sk * 61) % 99901 + 100
         assert 1 <= qty <= 9999
         assert 100 <= cents <= 100000
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), ts_strategy),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_concurrency_sweep_matches_naive_overlap(spark, rows):
+    """Sweep-line max concurrency == naive per-start overlap count,
+    including equal-timestamp pileups and the half-open boundary (an
+    interval ending exactly when another starts does NOT overlap)."""
+    from dbt_json_readr_spark.plans.events import concurrency_sweep
+
+    dur = dt.timedelta(minutes=10)
+    got = {
+        r["event_type"]: (r["max_concurrent"], r["peak_ts"])
+        for r in concurrency_sweep(
+            spark.createDataFrame(rows, "event_type string, ts timestamp"),
+            "INTERVAL 10 MINUTES",
+        ).collect()
+    }
+    for typ in {t for t, _ in rows}:
+        starts = sorted(ts for t, ts in rows if t == typ)
+        # concurrency only changes at a start; evaluate at each start
+        best, best_t = 0, None
+        for s in starts:
+            c = sum(1 for x in starts if x <= s < x + dur)
+            if c > best:
+                best, best_t = c, s
+        assert got[typ][0] == best
+        assert got[typ][1] == best_t
+
+
+@settings(deadline=None)
+@given(
+    a=st.integers(min_value=0, max_value=10_000),
+    b=st.integers(min_value=0, max_value=10_000),
+)
+def test_fuzzy_length_banding_is_lossless(a, b):
+    """Any pair within the declared length window shares a block key
+    under band/band+1 emission — the C56 blocking-covers-predicate
+    invariant, checked over the whole integer domain."""
+    from dbt_json_readr_spark.plans.llm import _FUZZY_BAND, _FUZZY_LEN_DELTA
+
+    ka = {a // _FUZZY_BAND, a // _FUZZY_BAND + 1}
+    kb = {b // _FUZZY_BAND, b // _FUZZY_BAND + 1}
+    if abs(a - b) <= _FUZZY_LEN_DELTA:
+        assert ka & kb
