@@ -3589,3 +3589,62 @@ ORDER BY b.doc_id
 
 
 ORACLES["text_ngram_lm_score"] = _lm_score_sql()
+
+
+# ---------------------------------------------------------------- C59
+# Weighted importance sampling — the quality-UPSAMPLING half of data
+# mixing (C21/C22 are uniform-within-stratum; real training mixes also
+# weight WITHIN a stratum by a per-document score).
+
+_IS_BASE = (1 << 60) // 8  # acceptance quantum: p = bucket/8
+
+
+def corpus_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-document importance sampling: a doc's
+    acceptance probability is ``w/8`` where ``w ∈ [1, 5]`` is its
+    length-derived weight bucket (any integer score column slots in).
+    Accept iff md5-hash64(doc_id) < w · (2⁶⁰/8) — the same auditable
+    hash-gate family as the stratified sampler, so membership is
+    reproducible across runs, engines, and re-sharding, and upweighted
+    docs form a SUPERSET of what a lower weight would admit (nested
+    samples: lowering a doc's weight can only remove it).
+
+    Scale posture: embarrassingly parallel row predicate + one tiny
+    rollup; no shuffle wider than (source, bucket).
+    """
+    prep(spark)
+    docs = spread(load(spark, sf_dir, "documents"))
+    w = F.least(F.col("n_chars") / 100, F.lit(4)).cast("bigint") + 1
+    keep = H.hash64(F.col("doc_id").cast("string"), "isample") < w * F.lit(_IS_BASE)
+    return (
+        docs.select("source", w.alias("w_bucket"), keep.alias("keep"))
+        .groupBy("source", "w_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_sampled"),
+            (
+                F.sum(F.col("keep").cast("long")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("observed_rate"),
+        )
+        .orderBy("source", "w_bucket")
+    )
+
+
+def _importance_sample_sql() -> str:
+    h = H.sql_hash64("CAST(doc_id AS VARCHAR)", "isample")
+    w = "(least(n_chars // 100, 4) + 1)"
+    return f"""
+SELECT source,
+       CAST({w} AS BIGINT) AS w_bucket,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN {h} < {w} * {_IS_BASE} THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       CAST(CAST(sum(CASE WHEN {h} < {w} * {_IS_BASE} THEN 1 ELSE 0 END) AS VARCHAR) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS observed_rate
+FROM documents
+GROUP BY source, {w}
+ORDER BY source, w_bucket
+"""
+
+
+ORACLES["corpus_importance_sample"] = _importance_sample_sql()

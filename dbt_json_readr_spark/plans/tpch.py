@@ -1917,3 +1917,75 @@ FROM lineitem
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
+
+
+# ------------------------------------------------------------- B70
+# Exact weighted median by threshold crossing — no interpolation, so
+# the result is a VALUE FROM THE DATA and bit-portable (percentile_cont
+# interpolates in float and is the wrong tool for money).
+
+
+def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median extended price per return flag: the
+    smallest price whose cumulative quantity reaches half the total.
+
+    Cumulative weights stay DECIMAL (exact, order-independent) and the
+    threshold test is cross-multiplied (2·cum ≥ total) — no division
+    anywhere.  Rows tied on price may cross the threshold in any order
+    but yield the same price, so the argmin is deterministic.
+
+    Scale posture: one shuffle on the group key; the cumulative window
+    sorts within partition.  At 100 TB the same operator runs on a
+    pre-aggregated (price, Σweight) table — same threshold logic, rows
+    reduced to distinct prices first.
+    """
+    from pyspark.sql import Window as W
+
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    # unique (orderkey, linenumber) tiebreak → a total order, so the
+    # cumulative sum is reproducible row-for-row
+    cum_w = F.sum(_dec("l_quantity")).over(
+        W.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tot_w = F.sum(_dec("l_quantity")).over(W.partitionBy("l_returnflag"))
+    marked = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        cum_w.alias("cum_w"),
+        tot_w.alias("tot_w"),
+    )
+    return (
+        marked.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max("tot_w").cast("double").alias("total_weight"),
+            F.min(
+                F.when(F.col("cum_w") * 2 >= F.col("tot_w"), F.col("price"))
+            ).alias("weighted_median_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+LINEITEM_WEIGHTED_MEDIAN_SQL = """
+WITH marked AS (
+  SELECT l_returnflag, l_extendedprice AS price,
+         sum(CAST(l_quantity AS DECIMAL(18,4))) OVER (
+           PARTITION BY l_returnflag
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w,
+         sum(CAST(l_quantity AS DECIMAL(18,4))) OVER (
+           PARTITION BY l_returnflag) AS tot_w
+  FROM lineitem
+)
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       CAST(CAST(max(tot_w) AS VARCHAR) AS DOUBLE) AS total_weight,
+       min(CASE WHEN cum_w * 2 >= tot_w THEN price END) AS weighted_median_price
+FROM marked
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""

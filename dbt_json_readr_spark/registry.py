@@ -131,6 +131,11 @@ register("q21_waiting_suppliers", tpch.q21_waiting_suppliers, tpch.Q21_SQL)
 register("q2_min_cost_supplier", tpch.q2_min_cost_supplier, tpch.Q2_SQL)
 register("q11_important_stock", tpch.q11_important_stock, tpch.Q11_SQL)
 register("q20_promotion_suppliers", tpch.q20_promotion_suppliers, tpch.Q20_SQL)
+register(
+    "lineitem_weighted_median",
+    tpch.lineitem_weighted_median,
+    tpch.LINEITEM_WEIGHTED_MEDIAN_SQL,
+)
 register("events_lateness_audit", events.events_lateness_audit, events.EVENTS_LATENESS_SQL)
 register(
     "orders_rolling_window_revenue",
@@ -332,6 +337,8 @@ _NEW_R4_LATE = [
     "dedup_containment",
     "text_ngram_lm_score",
     "streaming_dynamic_gap_sessions",
+    "lineitem_weighted_median",
+    "corpus_importance_sample",
 ]
 
 # Newest driver row is r2 (also pre-rebuild).  Ordered most
