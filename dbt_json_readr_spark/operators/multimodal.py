@@ -8,18 +8,22 @@ record batches and the bytes never leave the executor.
 
 Two tiers:
 
-- REAL decode (``multimodal_decode``): payloads are genuine PNG and
-  WAV files synthesized deterministically from ``doc_id``
-  (integer-only pixel/sample patterns — no float transcendentals), and
-  ``decode_media`` parses them with pure stdlib (zlib chunk walk +
-  scanline unfiltering for PNG, RIFF parsing for WAV).  Because the
-  content patterns are closed-form in doc_id, a DuckDB oracle
-  recomputes every decoded stat arithmetically — decode correctness is
-  hash-gated like any relational query.
+- REAL decode (``multimodal_decode``): payloads are genuine PNG, JPEG
+  (baseline JFIF — huffman entropy decode, dequantize, IDCT), and WAV
+  files synthesized deterministically from ``doc_id``, and the
+  decoders parse them with pure stdlib (zlib chunk walk + scanline
+  unfiltering for PNG; segment walk + canonical huffman + DC-only
+  integer reconstruction for JPEG; RIFF parsing for WAV).  Because the
+  content patterns are closed-form in doc_id — including the LOSSY
+  jpeg round-trip, which for solid blocks is exact integer arithmetic
+  — a DuckDB oracle recomputes every decoded stat arithmetically;
+  decode correctness is hash-gated like any relational query.
 - Declared stub (video, and the legacy ``extract_features`` path):
   mp4 needs a codec stack this container doesn't ship, so video rows
   flow through with ``decoded = false`` and null features — the gated
-  escape hatch is part of the schema, not an exception.
+  escape hatch is part of the schema, not an exception.  (JPEG was in
+  this tier until r4; its baseline decoder below moved it to the real
+  tier.)
 """
 
 from __future__ import annotations
@@ -267,18 +271,31 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
     payload as an opaque binary column."""
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def _fmt(d: int, m: str) -> str:
+            if m == "image":
+                # image rows alternate codecs: d%3==0, so d%6 is 0 or 3
+                return "png" if d % 6 == 0 else "jpeg"
+            return "wav" if m == "audio" else "mp4"
+
         for pdf in batches:
             ids = pdf["doc_id"]
             mods = ids.map(lambda d: _MODALITIES[d % 3])
+            fmts = [_fmt(d, m) for d, m in zip(ids, mods)]
             payloads = [
-                synth_png(d) if m == "image" else (synth_wav(d) if m == "audio" else b"")
-                for d, m in zip(ids, mods)
+                synth_png(d)
+                if f == "png"
+                else (
+                    synth_jpeg(d)
+                    if f == "jpeg"
+                    else (synth_wav(d) if f == "wav" else b"")
+                )
+                for d, f in zip(ids, fmts)
             ]
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
                     "modality": mods,
-                    "fmt": mods.map({"image": "png", "audio": "wav", "video": "mp4"}.get),
+                    "fmt": fmts,
                     "payload": payloads,
                 }
             )
@@ -295,10 +312,13 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
 
 
 def decode_media_row(payload: bytes, fmt: str) -> dict | None:
-    """Real decoder entry point: png/wav parse with stdlib; formats
-    needing absent codec stacks (mp4) return None → decoded=false."""
+    """Real decoder entry point: png/jpeg/wav parse with stdlib;
+    formats needing absent codec stacks (mp4) return None →
+    decoded=false."""
     if fmt == "png":
         return decode_png(payload)
+    if fmt == "jpeg":
+        return decode_jpeg(payload)
     if fmt == "wav":
         return decode_wav(payload)
     return None
@@ -356,3 +376,353 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+# ------------------------------------------------- baseline JPEG codec
+#
+# Pure-stdlib baseline JFIF (SOF0) grayscale codec: DQT/SOF0/DHT/SOS
+# parsing, canonical huffman entropy coding with byte unstuffing, and
+# dequantize+IDCT reconstruction.  Tables are the JPEG spec's Annex K
+# examples (public standard).  Synthetic payloads are solid-shade 8×8
+# blocks, whose lossy round-trip is CLOSED-FORM integer arithmetic
+# (constant block → DC-only: decoded pixel = clamp(iround(dc·Q₀₀/8)+128))
+# — so the DuckDB oracle replays real lossy decode results exactly,
+# the same content-gating pattern as the PNG/WAV decoders above.
+# The general path (float IDCT, AC runs) exists and is exercised by the
+# gradient round-trip unit test; only solid blocks flow through the
+# gated key, because only they are engine-exact by construction.
+
+_JPEG_QTBL = [  # Annex K luminance, zigzag order NOT applied (natural order)
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K huffman specs: (BITS counts per code length 1..16, HUFFVAL)
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical codes: symbol → (code, length)."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) → symbol."""
+    return {(ln, c): s for s, (c, ln) in _huff_codes(bits, vals).items()}
+
+
+def _iround_away(num: int, den: int) -> int:
+    """round(num/den) half away from zero, exact integer arithmetic —
+    the rounding contract shared by encoder, decoder DC path, and the
+    SQL oracle."""
+    a = abs(num)
+    q = (2 * a + den) // (2 * den)
+    return q if num >= 0 else -q
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+        return bytes(self.out)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """JPEG magnitude category + appended bits for a coefficient."""
+    if v == 0:
+        return 0, 0
+    cat = abs(v).bit_length()
+    bits = v if v >= 0 else v + (1 << cat) - 1
+    return cat, bits
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def jpeg_block_value(doc_id: int, bx: int, by: int) -> int:
+    """The synthetic per-block shade (shared with the SQL oracle)."""
+    return (doc_id * 7 + bx * 11 + by * 23) % 256
+
+
+def jpeg_decoded_shade(v: int) -> int:
+    """Closed-form lossy round-trip of a solid 8×8 block of shade v:
+    F00 = 8·(v−128); dc_q = round_away(F00/Q₀₀); pixel =
+    clamp(round_away(dc_q·Q₀₀/8)+128).  With Q₀₀=16 the second round
+    is exact (2·dc_q)."""
+    q00 = _JPEG_QTBL[0]
+    dc_q = _iround_away(8 * (v - 128), q00)
+    rec = _iround_away(dc_q * q00, 8) + 128
+    return max(0, min(255, rec))
+
+
+def synth_jpeg(doc_id: int, blocks: int = 2) -> bytes:
+    """Real baseline JFIF grayscale file: ``blocks×blocks`` solid-shade
+    8×8 blocks, spec huffman tables, byte-stuffed entropy stream."""
+    size = blocks * 8
+    dqt = bytes([0x00]) + bytes(_JPEG_QTBL[_ZIGZAG[i]] for i in range(64))
+    sof = struct.pack(">BHHB", 8, size, size, 1) + bytes([1, 0x11, 0])
+    dht_dc = bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+    dht_ac = bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+    q00 = _JPEG_QTBL[0]
+    w = _BitWriter()
+    prev = 0
+    for by in range(blocks):
+        for bx in range(blocks):
+            v = jpeg_block_value(doc_id, bx, by)
+            dc_q = _iround_away(8 * (v - 128), q00)
+            cat, bits = _magnitude(dc_q - prev)
+            code, ln = dc_codes[cat]
+            w.write(code, ln)
+            if cat:
+                w.write(bits, cat)
+            prev = dc_q
+            code, ln = ac_codes[0x00]  # EOB: all AC zero
+            w.write(code, ln)
+    return (
+        b"\xff\xd8"  # SOI
+        + _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + _seg(0xDB, dqt)
+        + _seg(0xC0, sof)
+        + _seg(0xC4, dht_dc)
+        + _seg(0xC4, dht_ac)
+        + _seg(0xDA, sos)
+        + w.flush()
+        + b"\xff\xd9"  # EOI
+    )
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # unstuff
+            else:
+                raise ValueError(f"unexpected marker 0xFF{nxt:02x} in entropy data")
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _extend(bits: int, cat: int) -> int:
+    if cat == 0:
+        return 0
+    return bits if bits >= (1 << (cat - 1)) else bits - (1 << cat) + 1
+
+
+def _huff_read(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 17:
+        code = (code << 1) | r.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid huffman code")
+
+
+def _idct_2d(coef: list[int]) -> list[float]:
+    """Reference float IDCT (general path; the DC-only path below is
+    integer-exact and used when every AC coefficient is zero)."""
+    import math
+
+    out = []
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for v in range(8):
+                for u in range(8):
+                    cu = (1 / math.sqrt(2)) if u == 0 else 1.0
+                    cv = (1 / math.sqrt(2)) if v == 0 else 1.0
+                    s += (
+                        cu * cv * coef[v * 8 + u]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            out.append(s / 4)
+    return out
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """Pure-stdlib baseline JPEG decode: segment walk → DQT/SOF0/DHT →
+    huffman entropy decode (byte unstuffing, DC prediction, AC run
+    lengths, EOB/ZRL) → dequantize → IDCT → clamp → pixel stats."""
+    assert payload[:2] == b"\xff\xd8", "not a JPEG"
+    pos = 2
+    qtbl: dict[int, list[int]] = {}
+    dc_tbl: dict[int, dict] = {}
+    ac_tbl: dict[int, dict] = {}
+    w = h = None
+    comp_q = comp_dc = comp_ac = 0
+    data = b""
+    while pos < len(payload):
+        assert payload[pos] == 0xFF, "marker desync"
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                assert pq == 0, "8-bit quant tables only"
+                zz = list(body[i + 1 : i + 65])
+                nat = [0] * 64
+                for k in range(64):
+                    nat[_ZIGZAG[k]] = zz[k]
+                qtbl[tq] = nat
+                i += 65
+        elif marker == 0xC0:
+            precision, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            assert precision == 8 and ncomp == 1, "baseline grayscale only"
+            assert body[7] == 0x11, "no subsampling for 1 component"
+            comp_q = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise AssertionError("baseline SOF0 only")
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                nvals = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nvals])
+                (dc_tbl if tc == 0 else ac_tbl)[th] = _huff_decode_table(bits, vals)
+                i += 17 + nvals
+        elif marker == 0xDA:
+            comp_dc = body[2] >> 4
+            comp_ac = body[2] & 0xF
+            data = payload[pos + 2 + seglen :]
+            pos = len(payload)  # entropy data runs to EOI
+            continue
+        pos += 2 + seglen
+    assert w and h and data, "truncated JPEG"
+    q = qtbl[comp_q]
+    r = _BitReader(data)
+    bx_n, by_n = (w + 7) // 8, (h + 7) // 8
+    pixels = [[0] * (bx_n * 8) for _ in range(by_n * 8)]
+    prev_dc = 0
+    for by in range(by_n):
+        for bx in range(bx_n):
+            zz = [0] * 64
+            cat = _huff_read(r, dc_tbl[comp_dc])
+            prev_dc += _extend(r.read_bits(cat), cat)
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                sym = _huff_read(r, ac_tbl[comp_ac])
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += sym >> 4
+                size = sym & 0xF
+                zz[k] = _extend(r.read_bits(size), size)
+                k += 1
+            coef = [0] * 64
+            for i in range(64):
+                coef[_ZIGZAG[i]] = zz[i] * q[_ZIGZAG[i]]
+            if all(c == 0 for c in coef[1:]):
+                # DC-only: integer-exact reconstruction (the path the
+                # closed-form oracle replays)
+                val = max(0, min(255, _iround_away(coef[0], 8) + 128))
+                block = [val] * 64
+            else:
+                import math
+
+                # single half-up rounding — a round(f*2)/2 double-round
+                # here shifted values near .28 up a full level
+                block = [
+                    max(0, min(255, int(math.floor(f + 0.5)) + 128))
+                    for f in _idct_2d(coef)
+                ]
+            for yy in range(8):
+                for xx in range(8):
+                    pixels[by * 8 + yy][bx * 8 + xx] = block[yy * 8 + xx]
+    flat = [pixels[y][x] for y in range(h) for x in range(w)]
+    return {
+        "width": w,
+        "height": h,
+        "n_units": len(flat),
+        "content_sum": sum(flat),
+        "content_min": min(flat),
+        "content_max": max(flat),
+    }

@@ -789,7 +789,31 @@ WITH m AS (
 ),
 img AS (
   SELECT doc_id, 16 + doc_id % 16 AS w, 16 + doc_id % 8 AS h
-  FROM m WHERE modality = 'image'
+  FROM m WHERE modality = 'image' AND doc_id % 6 = 0
+),
+-- jpeg: solid-shade 8x8 blocks; lossy round-trip is closed-form integer
+-- arithmetic (DC-only: F00=8*(v-128); dc_q=round_away(F00/16);
+-- pixel=clamp(2*dc_q+128)) -- replays operators/multimodal.py exactly
+jpg_blocks AS (
+  SELECT i.doc_id,
+         (i.doc_id * 7 + bx.bx * 11 + by.by * 23) % 256 AS v
+  FROM (SELECT doc_id FROM m WHERE modality = 'image' AND doc_id % 6 = 3) i,
+       LATERAL (SELECT unnest(range(0, 2)) AS bx) bx,
+       LATERAL (SELECT unnest(range(0, 2)) AS by) by
+),
+jpg_px AS (
+  SELECT doc_id,
+         least(greatest(2 * (CASE WHEN 8 * (v - 128) >= 0
+                  THEN (2 * (8 * (v - 128)) + 16) // 32
+                  ELSE -((2 * (8 * (128 - v)) + 16) // 32) END) + 128, 0), 255) AS px
+  FROM jpg_blocks
+),
+jpg_stats AS (
+  SELECT doc_id,
+         CAST(64 * sum(px) AS BIGINT) AS content_sum,
+         CAST(min(px) AS BIGINT) AS content_min,
+         CAST(max(px) AS BIGINT) AS content_max
+  FROM jpg_px GROUP BY doc_id
 ),
 img_stats AS (
   SELECT i.doc_id,
@@ -821,6 +845,11 @@ SELECT i.doc_id, 'image' AS modality, 'png' AS fmt, true AS decoded,
        CAST(i.w * i.h AS BIGINT) AS n_units,
        s.content_sum, s.content_min, s.content_max
 FROM img i JOIN img_stats s USING (doc_id)
+UNION ALL
+SELECT s.doc_id, 'image', 'jpeg', true,
+       16, 16, NULL, CAST(256 AS BIGINT),
+       s.content_sum, s.content_min, s.content_max
+FROM jpg_stats s
 UNION ALL
 SELECT a.doc_id, 'audio', 'wav', true,
        NULL, NULL, a.sr, CAST(a.n AS BIGINT),

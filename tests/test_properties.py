@@ -352,3 +352,98 @@ def test_fuzzy_length_banding_is_lossless(a, b):
     kb = {b // _FUZZY_BAND, b // _FUZZY_BAND + 1}
     if abs(a - b) <= _FUZZY_LEN_DELTA:
         assert ka & kb
+
+
+@settings(deadline=None, max_examples=25)
+@given(doc_id=st.integers(min_value=0, max_value=1_000_000))
+def test_jpeg_decode_matches_closed_form_for_any_doc(doc_id):
+    """The full decoder (segment walk, huffman, DC prediction,
+    dequantize) inverts the encoder to the closed-form lossy shade for
+    every doc_id — the contract the multimodal_decode oracle replays."""
+    from dbt_json_readr_spark.operators import multimodal as M
+
+    got = M.decode_jpeg(M.synth_jpeg(doc_id))
+    shades = [
+        M.jpeg_decoded_shade(M.jpeg_block_value(doc_id, bx, by))
+        for by in range(2)
+        for bx in range(2)
+    ]
+    assert got["n_units"] == 256
+    assert got["content_sum"] == 64 * sum(shades)
+    assert got["content_min"] == min(shades)
+    assert got["content_max"] == max(shades)
+
+
+def test_jpeg_ac_path_decodes_nonsolid_block():
+    """General-path coverage: a hand-encoded block with a nonzero AC
+    coefficient routes through the run-length decode + float IDCT and
+    reconstructs the independently computed (numpy) IDCT values."""
+    import struct
+
+    import numpy as np
+
+    from dbt_json_readr_spark.operators import multimodal as M
+
+    dc_q, ac_q, ac_pos = 4, 3, 1  # zigzag position 1 = coefficient (1,0)
+    dc_codes = M._huff_codes(M._DC_BITS, M._DC_VALS)
+    ac_codes = M._huff_codes(M._AC_BITS, M._AC_VALS)
+    w = M._BitWriter()
+    cat, bits = M._magnitude(dc_q)
+    code, ln = dc_codes[cat]
+    w.write(code, ln)
+    w.write(bits, cat)
+    cat, bits = M._magnitude(ac_q)
+    code, ln = ac_codes[(0 << 4) | cat]  # run 0, size cat
+    w.write(code, ln)
+    w.write(bits, cat)
+    code, ln = ac_codes[0x00]
+    w.write(code, ln)
+
+    size = 8
+    dqt = bytes([0x00]) + bytes(M._JPEG_QTBL[M._ZIGZAG[i]] for i in range(64))
+    sof = struct.pack(">BHHB", 8, size, size, 1) + bytes([1, 0x11, 0])
+    payload = (
+        b"\xff\xd8"
+        + M._seg(0xDB, dqt)
+        + M._seg(0xC0, sof)
+        + M._seg(0xC4, bytes([0x00]) + bytes(M._DC_BITS) + bytes(M._DC_VALS))
+        + M._seg(0xC4, bytes([0x10]) + bytes(M._AC_BITS) + bytes(M._AC_VALS))
+        + M._seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + w.flush()
+        + b"\xff\xd9"
+    )
+    got = M.decode_jpeg(payload)
+
+    # independent reference: numpy cosine-matrix IDCT of the same
+    # dequantized coefficients
+    coef = np.zeros((8, 8))
+    coef[0, 0] = dc_q * M._JPEG_QTBL[0]
+    # zigzag position 1 is (row 0, col 1) in natural order
+    nat = M._ZIGZAG[ac_pos]
+    coef[nat // 8, nat % 8] = ac_q * M._JPEG_QTBL[nat]
+    c = np.array([1 / np.sqrt(2)] + [1.0] * 7)
+    basis = np.array(
+        [[np.cos((2 * x + 1) * u * np.pi / 16) for u in range(8)] for x in range(8)]
+    )
+    ref = (basis * c) @ coef @ (basis * c).T / 4
+    want = np.clip(np.floor(ref + 0.5) + 128, 0, 255).astype(int)  # half-up, as decoder
+    assert got["n_units"] == 64
+    assert got["content_sum"] == int(want.T.sum())  # ref is [x][y]; sum symmetric
+    assert got["content_min"] == int(want.min())
+    assert got["content_max"] == int(want.max())
+    # non-solid: the AC coefficient must actually modulate the block
+    assert got["content_min"] != got["content_max"]
+
+
+def test_jpeg_bitstream_stuffing_roundtrip():
+    """A code pattern producing an 0xFF byte is stuffed on write and
+    unstuffed on read."""
+    from dbt_json_readr_spark.operators import multimodal as M
+
+    w = M._BitWriter()
+    w.write(0xFF, 8)
+    w.write(0xAB, 8)
+    data = w.flush()
+    assert data[0] == 0xFF and data[1] == 0x00  # stuffed
+    r = M._BitReader(data)
+    assert r.read_bits(8) == 0xFF and r.read_bits(8) == 0xAB
