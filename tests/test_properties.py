@@ -447,3 +447,33 @@ def test_jpeg_bitstream_stuffing_roundtrip():
     assert data[0] == 0xFF and data[1] == 0x00  # stuffed
     r = M._BitReader(data)
     assert r.read_bits(8) == 0xFF and r.read_bits(8) == 0xAB
+
+
+@settings(deadline=None, max_examples=30)
+@given(data=st.data())
+def test_jpeg_decoder_rejects_corruption_cleanly(data):
+    """Truncation or byte corruption must raise, never return wrong
+    stats silently (decode is a correctness gate, not best-effort)."""
+    from dbt_json_readr_spark.operators import multimodal as M
+
+    payload = bytes(M.synth_jpeg(data.draw(st.integers(0, 10_000))))
+    mode = data.draw(st.sampled_from(["truncate", "flip_marker", "drop_segment"]))
+    if mode == "truncate":
+        cut = data.draw(st.integers(2, len(payload) - 3))
+        corrupted = payload[:cut]
+    elif mode == "flip_marker":
+        i = payload.find(b"\xff\xc0")  # SOF0 → progressive SOF2
+        corrupted = payload[:i] + b"\xff\xc2" + payload[i + 2 :]
+    else:
+        import struct as _s
+
+        i = payload.find(b"\xff\xdb")  # excise the DQT segment entirely
+        (ln,) = _s.unpack(">H", payload[i + 2 : i + 4])
+        corrupted = payload[:i] + payload[i + 2 + ln :]
+    try:
+        got = M.decode_jpeg(corrupted)
+    except Exception:
+        return  # clean rejection is the contract
+    # a decode that still succeeds (e.g. only trailing bytes cut) is
+    # acceptable ONLY if it yields the true content — never wrong stats
+    assert got == M.decode_jpeg(payload), "corrupt payload decoded silently wrong"
