@@ -517,3 +517,28 @@ def dbt_tag_usage() -> str:
         [("tag", "VARCHAR"), ("n_objects", "BIGINT"), ("n_resource_types", "BIGINT")],
         rows,
     )
+
+
+def dbt_test_coverage() -> str:
+    """Stdlib recomputation: tests-per-model from the raw fixture."""
+    m = _load("manifest.json")
+    counts: dict[str, int] = {}
+    for n in m["nodes"].values():
+        if n["resource_type"] != "test":
+            continue
+        for parent in set(n.get("depends_on", {}).get("nodes") or []):
+            counts[parent] = counts.get(parent, 0) + 1
+    rows = [
+        (uid, n["resource_type"], counts.get(uid, 0), counts.get(uid, 0) > 0)
+        for uid, n in sorted(m["nodes"].items())
+        if n["resource_type"] != "test"
+    ]
+    return _values_sql(
+        [
+            ("unique_id", "VARCHAR"),
+            ("resource_type", "VARCHAR"),
+            ("n_tests", "BIGINT"),
+            ("is_tested", "BOOLEAN"),
+        ],
+        rows,
+    )

@@ -299,3 +299,36 @@ def dbt_tag_usage(spark: SparkSession, sf_dir: str, target: str = FIXTURE_TARGET
         )
         .orderBy("tag")
     )
+
+
+def dbt_test_coverage(spark: SparkSession, sf_dir: str, target: str = FIXTURE_TARGET) -> DataFrame:
+    """A21: schema-test coverage per non-test node — how many tests
+    depend on each model, and which models ship untested (the dbt
+    governance dashboard's first column).  Relationship tests attach to
+    BOTH endpoints, so a two-parent test counts once per model."""
+    prep(spark)
+    nodes = A.manifest_nodes(spark, _manifest(target))
+    tests = nodes.filter(F.col("resource_type") == "test").select(
+        F.col("unique_id").alias("test_id")
+    )
+    edges = A.manifest_edges(spark, _manifest(target)).filter(
+        F.col("dep_type") == "nodes"
+    )
+    per_model = (
+        edges.join(F.broadcast(tests), edges["child_unique_id"] == tests["test_id"])
+        .groupBy("parent_unique_id")
+        .agg(F.count_distinct("test_id").alias("n_tests"))
+    )
+    models = nodes.filter(F.col("resource_type") != "test").select(
+        "unique_id", "resource_type"
+    )
+    return (
+        models.join(per_model, models["unique_id"] == per_model["parent_unique_id"], "left")
+        .select(
+            "unique_id",
+            "resource_type",
+            F.coalesce("n_tests", F.lit(0)).alias("n_tests"),
+            (F.coalesce("n_tests", F.lit(0)) > 0).alias("is_tested"),
+        )
+        .orderBy("unique_id")
+    )

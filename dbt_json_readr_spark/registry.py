@@ -47,6 +47,7 @@ for _key in [
     "dbt_model_fanout",
     "dbt_description_coverage",
     "dbt_tag_usage",
+    "dbt_test_coverage",
 ]:
     register(_key, getattr(dbt, _key), getattr(oracles, _key)())
 
@@ -339,6 +340,7 @@ _NEW_R4_LATE = [
     "streaming_dynamic_gap_sessions",
     "lineitem_weighted_median",
     "corpus_importance_sample",
+    "dbt_test_coverage",
 ]
 
 # Newest driver row is r2 (also pre-rebuild).  Ordered most

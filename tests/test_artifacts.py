@@ -82,7 +82,7 @@ def test_glob_of_many_manifests_is_one_distributed_scan(spark, tmp_path):
     df = A.manifest_nodes(spark, str(tmp_path / "*" / "manifest.json"))
     per_file = df.groupBy("artifact_path").count().collect()
     assert len(per_file) == 20
-    assert all(r["count"] == 10 for r in per_file)
+    assert all(r["count"] == 16 for r in per_file)  # 10 models + 6 tests
     # and the scan parallelizes: more than one input partition for 20 files
     assert df.rdd.getNumPartitions() > 1
 
