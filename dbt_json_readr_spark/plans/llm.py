@@ -3677,3 +3677,100 @@ ORDER BY source, w_bucket
 
 
 ORACLES["corpus_importance_sample"] = _importance_sample_sql()
+
+
+# ---------------------------------------------------------------- C60
+# The containment SCALE path C57's docstring promises: candidates from
+# minhash LSH bands (corpus-size-independent bucket costs) instead of
+# quadratic lang blocks — at sf1, where C57's blocks saturate their
+# cap, this variant keeps producing pairs.
+
+_CONT_LSH_TAU = 0.6
+
+
+def dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment over minhash-LSH candidate pairs: band
+    buckets generate candidates (same sketch parameters as C2), exact
+    shingle containment verifies.
+
+    Recall contract: banding admits pairs by JACCARD, and containment ≥
+    τ with very different set sizes can have low jaccard (j ≥
+    τ·|A|/|B| only) — so this is the high-throughput screen for
+    near-size subset dups, not a guarantee for tiny-inside-huge pairs;
+    the band curve bounds what it can see, and dedup_lsh_recall is the
+    harness that would measure it.  The oracle replays band generation
+    + verify exactly, so the gate pins candidates AND ratios.
+    """
+    prep(spark)
+    docs = spread(load(spark, sf_dir, "documents"))
+    cand = D.minhash_candidate_pairs(
+        docs, k=_MH_K, n_hashes=_MH_N, bands=_MH_BANDS
+    ).select("doc_a", "doc_b").distinct()
+    sets = D.shingle_sets(docs, k=_MH_K)
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    cont_ab = inter.cast("double") / F.size("sh_a").cast("double")
+    cont_ba = inter.cast("double") / F.size("sh_b").cast("double")
+    # merge-hint EVERY side of both set joins: at sf1 the candidates
+    # are ~5M rows and the shingle-set side is 50k × ~400-long arrays —
+    # AQE's broadcast pick OOMs the driver on either one.  The shuffle
+    # shape is size-independent (the same lesson the minhash verify
+    # auto-gate encodes; join input is pair-count-sized either way).
+    return (
+        cand.hint("merge")
+        .join(a.hint("merge"), "doc_a")
+        .join(b.hint("merge"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("inter_n"),
+            cont_ab.alias("cont_a_in_b"),
+            cont_ba.alias("cont_b_in_a"),
+        )
+        .filter(F.greatest(F.col("cont_a_in_b"), F.col("cont_b_in_a")) >= _CONT_LSH_TAU)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _containment_lsh_sql() -> str:
+    r = _MH_N // _MH_BANDS
+    raw = H.sql_char_shingles("text", _MH_K)
+    sh = f"list_distinct(list_transform({raw}, s -> {H.sql_hash64('s', 'sh')}))"
+    mh = H.sql_minhash_array("sh", _MH_N)
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, sh, {b} AS band, {H.sql_band_key('mh', b, r)} AS bkey FROM mh"
+        for b in range(_MH_BANDS)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {sh} AS sh FROM documents
+),
+mh AS (
+  SELECT doc_id, sh, {mh} AS mh FROM sh
+),
+banded AS (
+  {band_selects}
+),
+sized AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bucket_n FROM banded
+  ) WHERE bucket_n <= {D.DEFAULT_BUCKET_CAP}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
+  FROM sized a JOIN sized b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(len(list_intersect(sh_a, sh_b)) AS INTEGER) AS inter_n,
+       len(list_intersect(sh_a, sh_b))::DOUBLE / len(sh_a)::DOUBLE AS cont_a_in_b,
+       len(list_intersect(sh_a, sh_b))::DOUBLE / len(sh_b)::DOUBLE AS cont_b_in_a
+FROM cand
+WHERE greatest(len(list_intersect(sh_a, sh_b))::DOUBLE / len(sh_a)::DOUBLE,
+               len(list_intersect(sh_a, sh_b))::DOUBLE / len(sh_b)::DOUBLE)
+      >= {_CONT_LSH_TAU}
+ORDER BY doc_a, doc_b
+"""
+
+
+ORACLES["dedup_containment_lsh"] = _containment_lsh_sql()

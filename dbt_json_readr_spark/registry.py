@@ -341,6 +341,7 @@ _NEW_R4_LATE = [
     "lineitem_weighted_median",
     "corpus_importance_sample",
     "dbt_test_coverage",
+    "dedup_containment_lsh",
 ]
 
 # Newest driver row is r2 (also pre-rebuild).  Ordered most
