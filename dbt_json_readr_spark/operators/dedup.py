@@ -661,3 +661,53 @@ def embedding_cosine_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def minhash_containment_pairs(
+    docs: DataFrame,
+    k: int = 5,
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.6,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
+) -> DataFrame:
+    """Directed shingle containment over minhash-LSH band candidates,
+    computed entirely from NARROW rows — the all-shuffle verify shape
+    of ``minhash_lsh_pairs`` generalized to asymmetric overlap ratios.
+
+    No shingle array ever crosses an exchange and nothing broadcasts:
+    intersection sizes come from joining (doc_id, sh) 24-byte rows
+    through the deduped candidate pairs, set sizes from a per-doc
+    count.  That makes the operator size-independent end-to-end —
+    the array-carrying formulation needed merge hints to survive sf1
+    (AQE broadcast OOM) and still shuffled megabyte rows; this one has
+    nothing wide to move.  Returns (doc_a, doc_b, inter_n,
+    cont_a_in_b, cont_b_in_a) for pairs with max containment ≥ τ."""
+    rows = _shingle_rows(docs, k)
+    cand = (
+        _minhash_candidates(rows, n_hashes, bands, bucket_cap)
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    counts = rows.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ra = cand.join(rows.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
+    ri = ra.join(rows.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"])
+    ic = cand.join(
+        ri.groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter")),
+        ["doc_a", "doc_b"],
+        "left",
+    ).select("doc_a", "doc_b", F.coalesce("inter", F.lit(0)).alias("inter"))
+    return (
+        ic.join(counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter").cast("int").alias("inter_n"),
+            (F.col("inter").cast("double") / F.col("na").cast("double")).alias("cont_a_in_b"),
+            (F.col("inter").cast("double") / F.col("nb").cast("double")).alias("cont_b_in_a"),
+        )
+        .filter(
+            F.greatest(F.col("cont_a_in_b"), F.col("cont_b_in_a")) >= threshold
+        )
+    )

@@ -3700,37 +3700,23 @@ def dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the band curve bounds what it can see, and dedup_lsh_recall is the
     harness that would measure it.  The oracle replays band generation
     + verify exactly, so the gate pins candidates AND ratios.
+
+    Verify shape: narrow-row overlap counting (operators/dedup.py
+    minhash_containment_pairs) — nothing wide shuffles, nothing
+    broadcasts.  The first cut joined candidate pairs to collected
+    shingle-set ARRAYS: AQE's broadcast pick OOM'd the driver at sf1
+    (5M-pair candidates / 50k wide sets) and even merge-hinted it
+    shuffled megabyte rows; the narrow shape replaced it outright.
     """
     prep(spark)
     docs = spread(load(spark, sf_dir, "documents"))
-    cand = D.minhash_candidate_pairs(
-        docs, k=_MH_K, n_hashes=_MH_N, bands=_MH_BANDS
-    ).select("doc_a", "doc_b").distinct()
-    sets = D.shingle_sets(docs, k=_MH_K)
-    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    cont_ab = inter.cast("double") / F.size("sh_a").cast("double")
-    cont_ba = inter.cast("double") / F.size("sh_b").cast("double")
-    # merge-hint EVERY side of both set joins: at sf1 the candidates
-    # are ~5M rows and the shingle-set side is 50k × ~400-long arrays —
-    # AQE's broadcast pick OOMs the driver on either one.  The shuffle
-    # shape is size-independent (the same lesson the minhash verify
-    # auto-gate encodes; join input is pair-count-sized either way).
-    return (
-        cand.hint("merge")
-        .join(a.hint("merge"), "doc_a")
-        .join(b.hint("merge"), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            inter.alias("inter_n"),
-            cont_ab.alias("cont_a_in_b"),
-            cont_ba.alias("cont_b_in_a"),
-        )
-        .filter(F.greatest(F.col("cont_a_in_b"), F.col("cont_b_in_a")) >= _CONT_LSH_TAU)
-        .orderBy("doc_a", "doc_b")
-    )
+    return D.minhash_containment_pairs(
+        docs,
+        k=_MH_K,
+        n_hashes=_MH_N,
+        bands=_MH_BANDS,
+        threshold=_CONT_LSH_TAU,
+    ).orderBy("doc_a", "doc_b")
 
 
 def _containment_lsh_sql() -> str:
