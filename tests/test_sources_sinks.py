@@ -243,7 +243,7 @@ def test_sql_front_door_artifact_views(spark):
 
     views = Q.register_artifacts(spark, FIXTURE_TARGET)
     n = Q.sql(spark, "SELECT count(*) AS n FROM dbt_nodes").collect()[0].n
-    assert n == 10
+    assert n == 16  # 10 models + 6 schema tests (r4 fixture)
     joined = Q.sql(
         spark,
         """
