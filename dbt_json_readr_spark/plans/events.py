@@ -1843,3 +1843,68 @@ FROM mx
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# ------------------------------------------------------------- B71
+# Mergeable HLL datasketches (Spark 4 / Apache DataSketches): THE
+# distributed distinct-counting primitive — per-partition sketches
+# merge associatively, so a 1000-executor count-distinct needs one
+# tiny-sketch shuffle, and pre-aggregated sketches can roll up later
+# without the raw data (the cube/rollup use case HLL exists for).
+
+
+def events_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type user sketches + their UNION re-estimate, audited in
+    B40's honesty pattern: the sketch estimate is not oracle-portable
+    (DuckDB cannot replay DataSketches), so the gated columns are the
+    EXACT counts plus within-tolerance flags the oracle asserts true —
+    lgConfigK=12 ⇒ rsd ≈ 1.04/√2¹² ≈ 1.6%, gated at 3·rsd (≈5%).
+
+    The union row is the point of the exercise: its estimate comes
+    from MERGING the per-type sketches (hll_union_agg), never
+    re-scanning raw rows — what makes sketches the 100 TB answer."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    tol = 3 * 1.04 / (2**12) ** 0.5
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    typed = per_type.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(
+                F.hll_sketch_estimate("sk").cast("double") - F.col("exact_users")
+            )
+            <= F.col("exact_users") * tol
+        ).alias("within_tol"),
+    )
+    union_exact = ev.agg(F.count_distinct("user_id").alias("exact_users"))
+    union_row = (
+        per_type.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_all")
+        )
+        .crossJoin(F.broadcast(union_exact))
+        .select(
+            F.lit("__union__").alias("event_type"),
+            "exact_users",
+            (
+                F.abs(F.col("est_all").cast("double") - F.col("exact_users"))
+                <= F.col("exact_users") * tol
+            ).alias("within_tol"),
+        )
+    )
+    return typed.unionByName(union_row).orderBy("event_type")
+
+
+EVENTS_HLL_SKETCH_SQL = """
+SELECT event_type, exact_users, true AS within_tol
+FROM (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM events GROUP BY event_type
+  UNION ALL
+  SELECT '__union__', CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+)
+ORDER BY event_type
+"""

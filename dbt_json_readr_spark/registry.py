@@ -157,6 +157,9 @@ register(
 )
 register("events_gapfill_locf", events.events_gapfill_locf, events.EVENTS_GAPFILL_SQL)
 register(
+    "events_hll_sketch_rollup", events.events_hll_sketch_rollup, events.EVENTS_HLL_SKETCH_SQL
+)
+register(
     "events_concurrency_sweep", events.events_concurrency_sweep, events.EVENTS_CONCURRENCY_SQL
 )
 register(
@@ -342,6 +345,7 @@ _NEW_R4_LATE = [
     "corpus_importance_sample",
     "dbt_test_coverage",
     "dedup_containment_lsh",
+    "events_hll_sketch_rollup",
 ]
 
 # Newest driver row is r2 (also pre-rebuild).  Ordered most
