@@ -1989,3 +1989,73 @@ FROM marked
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
+
+
+# ------------------------------------------------------------- B72
+# Histogram-based join-size estimation — what a cost-based optimizer
+# does before picking a join strategy, expressed as a first-class
+# auditable query (estimate AND truth side by side).
+
+
+def join_size_histogram_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimate |lineitem ⋈ orders| from 64-bucket key histograms and
+    audit against the exact join count.
+
+    est = Σ_buckets cnt_lineitem(b) · cnt_orders(b) — the classic
+    equi-width histogram estimate, an upper bound that collapses to
+    exact when each bucket holds one key (here o_orderkey is unique, so
+    est ≥ exact comes only from orderkeys sharing a bucket with
+    lineitem keys absent from orders).  All arithmetic is BIGINT — the
+    estimate, truth, and their difference are engine-exact, so the
+    whole audit hash-gates (no floats anywhere).
+
+    Scale posture: both histograms are 64-row aggregates (map-side
+    partial), the estimate is a 64-row join — the statistics cost is
+    INDEPENDENT of table size, which is why real CBOs can afford it.
+    """
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    li_h = li.groupBy((F.col("l_orderkey") % 64).alias("b")).agg(
+        F.count(F.lit(1)).alias("cnt_l")
+    )
+    o_h = orders.groupBy((F.col("o_orderkey") % 64).alias("b")).agg(
+        F.count(F.lit(1)).alias("cnt_o")
+    )
+    est = li_h.join(o_h, "b").agg(
+        F.sum(F.col("cnt_l") * F.col("cnt_o")).alias("est_rows")
+    )
+    exact = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).agg(
+        F.count(F.lit(1)).alias("exact_rows")
+    )
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            "est_rows",
+            "exact_rows",
+            (F.col("est_rows") - F.col("exact_rows")).alias("overcount"),
+            (F.col("est_rows") >= F.col("exact_rows")).alias("est_is_upper_bound"),
+        )
+    )
+
+
+JOIN_SIZE_HISTOGRAM_SQL = """
+WITH li_h AS (
+  SELECT l_orderkey % 64 AS b, count(*) AS cnt_l FROM lineitem GROUP BY 1
+),
+o_h AS (
+  SELECT o_orderkey % 64 AS b, count(*) AS cnt_o FROM orders GROUP BY 1
+),
+est AS (
+  SELECT CAST(sum(cnt_l * cnt_o) AS BIGINT) AS est_rows
+  FROM li_h JOIN o_h USING (b)
+),
+ex AS (
+  SELECT count(*) AS exact_rows
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT est_rows, exact_rows,
+       est_rows - exact_rows AS overcount,
+       est_rows >= exact_rows AS est_is_upper_bound
+FROM est, ex
+"""

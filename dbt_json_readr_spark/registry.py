@@ -137,6 +137,11 @@ register(
     tpch.lineitem_weighted_median,
     tpch.LINEITEM_WEIGHTED_MEDIAN_SQL,
 )
+register(
+    "join_size_histogram_estimate",
+    tpch.join_size_histogram_estimate,
+    tpch.JOIN_SIZE_HISTOGRAM_SQL,
+)
 register("events_lateness_audit", events.events_lateness_audit, events.EVENTS_LATENESS_SQL)
 register(
     "orders_rolling_window_revenue",
@@ -244,6 +249,11 @@ register(
     streaming_jobs.streaming_dynamic_gap_sessions,
     streaming_jobs.STREAMING_DYNAMIC_GAP_SQL,
 )
+register(
+    "streaming_cdc_merge_sink",
+    streaming_jobs.streaming_cdc_merge_sink,
+    streaming_jobs.STREAMING_CDC_MERGE_SQL,
+)
 
 
 # -------------------------------------------------------------------
@@ -346,6 +356,8 @@ _NEW_R4_LATE = [
     "dbt_test_coverage",
     "dedup_containment_lsh",
     "events_hll_sketch_rollup",
+    "join_size_histogram_estimate",
+    "streaming_cdc_merge_sink",
 ]
 
 # Newest driver row is r2 (also pre-rebuild).  Ordered most

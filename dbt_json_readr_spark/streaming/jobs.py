@@ -1083,3 +1083,121 @@ SELECT user_id, event_type,
        count(*) AS n_events
 FROM sess GROUP BY user_id, event_type, session_id, gap_s
 """
+
+
+# --------------------------------------------------------------- D17
+# Streaming CDC → durable MERGE sink: D11 materializes latest-state in
+# MEMORY; this key lands it in the manifest table via keyed upsert —
+# the streaming half of what a Delta MERGE pipeline does, with replay
+# dedup and batch-order-independent conflict resolution.
+
+
+def cdc_merge_writer(table) -> "Callable[[DataFrame, int], None]":
+    """foreachBatch hook: reduce the micro-batch to one latest-state
+    row per user, resolve against the current snapshot by
+    MAX(last_ts, last_event_id) — associative + commutative, so ANY
+    batch split converges to the same table — accumulate n_updates
+    additively, and MERGE.  Replayed batch ids are dropped.
+    Module-level (not a closure inside the job) so the forced
+    multi-batch test can drive it with its own split stream."""
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in table.committed_batch_ids():
+            return
+        b = (
+            batch_df.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_updates"),
+                F.max(F.struct("ts", "event_id", "value")).alias("w"),
+            )
+            .select(
+                "user_id",
+                "n_updates",
+                F.col("w.ts").alias("last_ts"),
+                F.col("w.event_id").alias("last_event_id"),
+                F.col("w.value").alias("last_value"),
+            )
+        )
+        cur = table.read()
+        if cur.columns:
+            prev = cur.select(
+                "user_id",
+                F.col("n_updates").alias("p_n"),
+                F.col("last_ts").alias("p_ts"),
+                F.col("last_event_id").alias("p_eid"),
+                F.col("last_value").alias("p_val"),
+            )
+            j = b.join(prev, "user_id", "left")
+            batch_wins = F.col("p_ts").isNull() | (
+                F.struct("last_ts", "last_event_id")
+                >= F.struct(
+                    F.col("p_ts").alias("last_ts"), F.col("p_eid").alias("last_event_id")
+                )
+            )
+            b = j.select(
+                "user_id",
+                (F.coalesce("p_n", F.lit(0)) + F.col("n_updates")).alias("n_updates"),
+                F.when(batch_wins, F.col("last_ts")).otherwise(F.col("p_ts")).alias("last_ts"),
+                F.when(batch_wins, F.col("last_event_id"))
+                .otherwise(F.col("p_eid"))
+                .alias("last_event_id"),
+                F.when(batch_wins, F.col("last_value"))
+                .otherwise(F.col("p_val"))
+                .alias("last_value"),
+            )
+        table.merge(b, keys=["user_id"], batch_id=batch_id)
+
+    return _merge
+
+
+def streaming_cdc_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the events stream through per-micro-batch keyed MERGE
+    upserts into a ManifestTable, then read the converged table.
+
+    Batch-order independence is the load-bearing design point: a
+    user's events may straddle micro-batches in any order, so each
+    merge resolves (current row, batch row) by MAX(last_ts,
+    last_event_id) — an associative, commutative combine — and
+    n_updates accumulates additively.  Replayed batch ids are dropped
+    before merging (exactly-once on restart).  The batch oracle states
+    the global last-write-wins truth; any micro-batch planning must
+    converge to it.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from ..manifest_commit import ManifestTable
+
+    prep(spark)
+    root = os.path.join(tempfile.gettempdir(), "dbt_json_readr_spark_cdc_merge")
+    shutil.rmtree(root, ignore_errors=True)
+    table = ManifestTable(spark, os.path.join(root, "table"))
+    q = (
+        events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(cdc_merge_writer(table))
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return table.read().select(
+        "user_id", "n_updates", "last_ts", "last_event_id", "last_value"
+    ).orderBy("user_id")
+
+
+STREAMING_CDC_MERGE_SQL = """
+WITH ranked AS (
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_updates
+  FROM events
+)
+SELECT user_id,
+       CAST(n_updates AS BIGINT) AS n_updates,
+       ts AS last_ts,
+       event_id AS last_event_id,
+       value AS last_value
+FROM ranked WHERE rn = 1
+ORDER BY user_id
+"""

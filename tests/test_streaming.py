@@ -494,3 +494,56 @@ def test_left_outer_join_state_and_eviction_across_micro_batches(spark, tmp_path
     # the sentinel click's window is still open at the final watermark
     assert not any(u == 98 for u, *_ in rows)
     assert len(rows) == 2
+
+
+def test_cdc_merge_sink_converges_across_forced_micro_batches(spark, tmp_path):
+    """Two forced micro-batches (events split by event_id parity) into
+    the MERGE manifest sink: the published table must equal the global
+    last-write-wins truth — proving the (current, batch) conflict
+    resolution works ACROSS batches, not just within one (the
+    single-file drain never exercises it)."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dbt_json_readr_spark.manifest_commit import ManifestTable
+
+    ev = load(spark, SF, "events")
+    for i, pred in enumerate(["event_id % 2 = 0", "event_id % 2 = 1"]):
+        part_dir = str(tmp_path / f"w{i}")
+        ev.filter(pred).coalesce(1).write.parquet(part_dir)
+        [f] = glob.glob(f"{part_dir}/part-*.parquet")
+        shutil.move(f, tmp_path / f"events_{i}.parquet")
+        shutil.rmtree(part_dir)
+
+    table = ManifestTable(spark, str(tmp_path / "mtable"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events_*.parquet")
+        .parquet(str(tmp_path))
+    )
+    q = (
+        stream.writeStream.foreachBatch(jobs.cdc_merge_writer(table))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert table.current_version() >= 2  # two micro-batches really merged
+    got = {
+        r.user_id: (r.n_updates, r.last_event_id, r.last_value)
+        for r in table.read().collect()
+    }
+    want = {
+        r.user_id: (r.n, r.last_id, r.last_v)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max_by("event_id", F.struct("ts", "event_id")).alias("last_id"),
+            F.max_by("value", F.struct("ts", "event_id")).alias("last_v"),
+        )
+        .collect()
+    }
+    assert got == want
