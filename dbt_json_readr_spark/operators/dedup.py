@@ -711,3 +711,10 @@ def minhash_containment_pairs(
             F.greatest(F.col("cont_a_in_b"), F.col("cont_b_in_a")) >= threshold
         )
     )
+
+
+def shingle_rows(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Public (doc_id, sh) hashed-shingle rows — the narrow corpus
+    representation every sketch op builds on (estimator-calibration
+    evidence key consumes it directly)."""
+    return _shingle_rows(docs, k)

@@ -542,3 +542,24 @@ def dbt_test_coverage() -> str:
         ],
         rows,
     )
+
+
+def dbt_source_coverage() -> str:
+    """Stdlib recount: distinct consumers per declared source."""
+    m = _load("manifest.json")
+    consumers: dict[str, set] = {}
+    for uid, n in m["nodes"].items():
+        for parent in n.get("depends_on", {}).get("nodes") or []:
+            consumers.setdefault(parent, set()).add(uid)
+    rows = [
+        (sid, len(consumers.get(sid, ())), len(consumers.get(sid, ())) == 0)
+        for sid in sorted(m.get("sources", {}))
+    ]
+    return _values_sql(
+        [
+            ("unique_id", "VARCHAR"),
+            ("n_consumers", "BIGINT"),
+            ("is_dead", "BOOLEAN"),
+        ],
+        rows,
+    )

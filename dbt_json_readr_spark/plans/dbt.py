@@ -332,3 +332,31 @@ def dbt_test_coverage(spark: SparkSession, sf_dir: str, target: str = FIXTURE_TA
         )
         .orderBy("unique_id")
     )
+
+
+def dbt_source_coverage(spark: SparkSession, sf_dir: str, target: str = FIXTURE_TARGET) -> DataFrame:
+    """A22: dead-source audit — declared sources with NO downstream
+    consumer are ingestion cost with zero value (the first cleanup a
+    lake governance pass makes).  Direct consumers counted per source
+    from the full edge list."""
+    prep(spark)
+    sources = A.manifest_sources(spark, _manifest(target)).select(
+        F.col("unique_id").alias("source_id")
+    )
+    edges = A.manifest_edges(spark, _manifest(target)).filter(
+        F.col("dep_type") == "nodes"
+    )
+    consumers = edges.groupBy("parent_unique_id").agg(
+        F.count_distinct("child_unique_id").alias("n_consumers")
+    )
+    return (
+        sources.join(
+            consumers, sources["source_id"] == consumers["parent_unique_id"], "left"
+        )
+        .select(
+            F.col("source_id").alias("unique_id"),
+            F.coalesce("n_consumers", F.lit(0)).alias("n_consumers"),
+            (F.coalesce("n_consumers", F.lit(0)) == 0).alias("is_dead"),
+        )
+        .orderBy("unique_id")
+    )

@@ -3760,3 +3760,108 @@ ORDER BY doc_a, doc_b
 
 
 ORACLES["dedup_containment_lsh"] = _containment_lsh_sql()
+
+
+# ---------------------------------------------------------------- C61
+# Estimator calibration for the minhash sketch itself: the LSH curve
+# 1-(1-j^r)^b assumes lane-match probability == jaccard — this key
+# MEASURES that, pair by pair, with both sides oracle-replayable
+# (lanes are md5-anchored, so DuckDB computes the identical sketch).
+
+
+def dedup_minhash_est_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every verified near-dup pair: exact jaccard vs the sketch
+    estimate (matching lanes / n_lanes) and the absolute error — the
+    per-pair calibration behind every banding-curve argument.
+
+    12 lanes ⇒ σ ≈ √(j(1−j)/12) ≈ 0.12 at j=0.8, so single-pair
+    estimates are coarse by design; what the evidence shows is the
+    estimator's spread, which is what the band curve integrates over.
+    """
+    prep(spark)
+    docs = spread(load(spark, sf_dir, "documents"))
+    pairs = D.minhash_lsh_pairs(
+        docs, k=_MH_K, n_hashes=_MH_N, bands=_MH_BANDS, threshold=_MH_TAU
+    )
+    rows = D.shingle_rows(docs, k=_MH_K)
+    mins = rows.select(
+        "doc_id", *H.minhash_lane_cols(F.col("sh"), _MH_N)
+    ).groupBy("doc_id").agg(
+        *[F.min(f"mh{i}").alias(f"mh{i}") for i in range(_MH_N)]
+    )
+    a = mins.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_MH_N)],
+    )
+    b = mins.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(_MH_N)],
+    )
+    n_match = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(_MH_N)
+    )
+    est = n_match.cast("double") / F.lit(float(_MH_N))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            n_match.alias("n_match_lanes"),
+            est.alias("est_jaccard"),
+            F.abs(est - F.col("jaccard")).alias("abs_err"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _minhash_calibration_sql() -> str:
+    r = _MH_N // _MH_BANDS
+    raw = H.sql_char_shingles("text", _MH_K)
+    sh = f"list_distinct(list_transform({raw}, s -> {H.sql_hash64('s', 'sh')}))"
+    mh = H.sql_minhash_array("sh", _MH_N)
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, sh, mh, {b} AS band, {H.sql_band_key('mh', b, r)} AS bkey FROM mh"
+        for b in range(_MH_BANDS)
+    )
+    n_match = (
+        f"len(list_filter(range(1, {_MH_N + 1}), i -> a.mh[i] = b.mh[i]))"
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {sh} AS sh FROM documents
+),
+mh AS (
+  SELECT doc_id, sh, {mh} AS mh FROM sh
+),
+banded AS (
+  {band_selects}
+),
+sized AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bucket_n FROM banded
+  ) WHERE bucket_n <= {D.DEFAULT_BUCKET_CAP}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.sh AS sh_a, b.sh AS sh_b,
+         CAST({n_match} AS INTEGER) AS n_match_lanes
+  FROM sized a JOIN sized b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT doc_a, doc_b,
+         len(list_intersect(sh_a, sh_b))::DOUBLE / len(list_distinct(sh_a || sh_b))::DOUBLE AS jaccard,
+         n_match_lanes
+  FROM cand
+  WHERE len(list_intersect(sh_a, sh_b))::DOUBLE / len(list_distinct(sh_a || sh_b))::DOUBLE >= {_MH_TAU}
+)
+SELECT doc_a, doc_b, jaccard, n_match_lanes,
+       n_match_lanes::DOUBLE / {float(_MH_N)} AS est_jaccard,
+       abs(n_match_lanes::DOUBLE / {float(_MH_N)} - jaccard) AS abs_err
+FROM verified
+ORDER BY doc_a, doc_b
+"""
+
+
+ORACLES["dedup_minhash_est_calibration"] = _minhash_calibration_sql()

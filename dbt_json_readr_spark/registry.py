@@ -48,6 +48,7 @@ for _key in [
     "dbt_description_coverage",
     "dbt_tag_usage",
     "dbt_test_coverage",
+    "dbt_source_coverage",
 ]:
     register(_key, getattr(dbt, _key), getattr(oracles, _key)())
 
@@ -358,6 +359,8 @@ _NEW_R4_LATE = [
     "events_hll_sketch_rollup",
     "join_size_histogram_estimate",
     "streaming_cdc_merge_sink",
+    "dbt_source_coverage",
+    "dedup_minhash_est_calibration",
 ]
 
 # Newest driver row is r2 (also pre-rebuild).  Ordered most
