@@ -3865,3 +3865,67 @@ ORDER BY doc_a, doc_b
 
 
 ORACLES["dedup_minhash_est_calibration"] = _minhash_calibration_sql()
+
+
+# ---------------------------------------------------------------- C62
+# Temperature-scaled source mixing (α = 1/2): the multilingual /
+# multi-source sampling standard — w_s ∝ n_s^α flattens the source
+# distribution so low-resource sources are upsampled relative to their
+# natural share.  Complements C22 (hit a GIVEN target mixture) and C59
+# (per-document weights): this one DERIVES the target mixture.
+
+
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source α=0.5 temperature weights: scaled integer
+    ``floor(√(n·10⁶))``, the normalized share, and the boost factor vs
+    the natural share.
+
+    Exactness: √ of an exact BIGINT is one correctly-rounded IEEE op
+    (identical in both engines), floor pins it to an integer, the sum
+    of 5 BIGINTs is exact, and each share/boost is a division of exact
+    integers — no accumulation of doubles anywhere.
+    """
+    prep(spark)
+    docs = spread(load(spark, sf_dir, "documents"))
+    per_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = F.floor(F.sqrt(F.col("n_docs") * F.lit(1_000_000))).cast("bigint")
+    weighted = per_src.select("source", "n_docs", w.alias("w_scaled"))
+    totals = weighted.agg(
+        F.sum("n_docs").alias("tot_n"), F.sum("w_scaled").alias("tot_w")
+    )
+    return (
+        weighted.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "w_scaled",
+            (F.col("w_scaled").cast("double") / F.col("tot_w").cast("double")).alias(
+                "share"
+            ),
+            (
+                (F.col("w_scaled").cast("double") / F.col("tot_w").cast("double"))
+                / (F.col("n_docs").cast("double") / F.col("tot_n").cast("double"))
+            ).alias("boost"),
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_TEMPERATURE_MIX_SQL = """
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(floor(sqrt(count(*) * 1000000)) AS BIGINT) AS w_scaled
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS tot_n, CAST(sum(w_scaled) AS BIGINT) AS tot_w
+  FROM per_src
+)
+SELECT source, n_docs, w_scaled,
+       w_scaled::DOUBLE / tot_w::DOUBLE AS share,
+       (w_scaled::DOUBLE / tot_w::DOUBLE) / (n_docs::DOUBLE / tot_n::DOUBLE) AS boost
+FROM per_src, tot
+ORDER BY source
+"""
+
+ORACLES["corpus_temperature_mix"] = CORPUS_TEMPERATURE_MIX_SQL

@@ -361,6 +361,7 @@ _NEW_R4_LATE = [
     "streaming_cdc_merge_sink",
     "dbt_source_coverage",
     "dedup_minhash_est_calibration",
+    "corpus_temperature_mix",
 ]
 
 # Newest driver row is r2 (also pre-rebuild).  Ordered most
