@@ -171,6 +171,20 @@ def pq_assign(corpus: DataFrame, n_subdim: int = 8, n_codes: int = 4) -> DataFra
     codebook broadcasts (n_codes × dims rows); the per-vector work is
     an explode + map-side partial agg keyed (vec, sub, code), then one
     vec-keyed window — nothing corpus × corpus."""
+    dq = pq_distance_table(corpus, n_subdim=n_subdim, n_codes=n_codes)
+    w = W.partitionBy("vec_id", "subspace").orderBy("dqsum", "code")
+    return dq.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop(
+        "rn"
+    )
+
+
+def pq_distance_table(
+    corpus: DataFrame, n_subdim: int = 8, n_codes: int = 4
+) -> DataFrame:
+    """(vec_id, subspace, code, dqsum) for EVERY code — the shared
+    building block: argmin over it is PQ assignment (``pq_assign``),
+    and the query-side slice is the ADC lookup table asymmetric-
+    distance search sums over.  Same integer-exact arithmetic."""
     codes = (
         centroid_components(corpus)
         .filter(F.col("label") < n_codes)
@@ -180,7 +194,7 @@ def pq_assign(corpus: DataFrame, n_subdim: int = 8, n_codes: int = 4) -> DataFra
         "vec_id", F.posexplode(V.to_double(F.col("embedding"))).alias("dim", "val")
     )
     resid = F.col("val") - F.col("c")
-    dq = (
+    return (
         comp.join(F.broadcast(codes), "dim")
         .groupBy(
             "vec_id",
@@ -190,10 +204,6 @@ def pq_assign(corpus: DataFrame, n_subdim: int = 8, n_codes: int = 4) -> DataFra
         .agg(
             F.sum(F.floor(resid * resid * F.lit(QUANT)).cast("long")).alias("dqsum")
         )
-    )
-    w = W.partitionBy("vec_id", "subspace").orderBy("dqsum", "code")
-    return dq.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop(
-        "rn"
     )
 
 

@@ -3929,3 +3929,100 @@ ORDER BY source
 """
 
 ORACLES["corpus_temperature_mix"] = CORPUS_TEMPERATURE_MIX_SQL
+
+
+# ---------------------------------------------------------------- C63
+# PQ asymmetric-distance search (ADC, Jégou et al. 2011): the
+# memory-bound production ANN — the database lives as 8 one-byte codes
+# per vector, and a query scans it by summing 8 table lookups, never
+# touching a raw database vector.
+
+
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 neighbors per query by PQ asymmetric distance: db vectors
+    are their pq_assign codes, each query precomputes its distance to
+    every (subspace, code) cell, and the estimated distance is the
+    8-term sum of lookups — BIGINT-exact end to end, so Spark and
+    DuckDB agree bit-for-bit (same floor-quantized arithmetic as the
+    PQ audit, argmin/ranking on integers).
+
+    Scale shape: the db side carries only (vec_id, subspace, code)
+    — compressed 64× vs raw floats — and the join key is
+    (subspace, code): 32 cells total, so the per-query cost is a
+    broadcast-sized lookup table against code rows, never a
+    vector-by-vector distance.  One pq_distance_table pass feeds BOTH
+    the db assignment and the query tables (persisted via the session
+    cache-rotation slot).
+    """
+    prep(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    dq = S.pq_distance_table(emb, n_subdim=_PQ_SUBDIM, n_codes=_PQ_CODES).persist()
+    rotate_cached("pq_adc", [dq])
+    w_assign = W.partitionBy("vec_id", "subspace").orderBy("dqsum", "code")
+    db = (
+        dq.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "subspace", "code")
+    )
+    qtab = dq.filter(F.col("vec_id") < _ANN_NQ).select(
+        F.col("vec_id").alias("query_id"), "subspace", "code", F.col("dqsum").alias("qd")
+    )
+    est = (
+        db.join(qtab, ["subspace", "code"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("qd").alias("est_dist"))
+    )
+    w_rank = W.partitionBy("query_id").orderBy("est_dist", "vec_id")
+    return (
+        est.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= _ANN_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _ann_pq_adc_sql() -> str:
+    return f"""
+WITH {_CENT_SQL_BASE},
+codes AS (
+  SELECT label AS code, dim, c FROM cent_dim WHERE label < {_PQ_CODES}
+),
+vcomp AS (
+  SELECT vec_id, t.dim AS dim, v[t.dim] AS val
+  FROM e, UNNEST(range(1, len(v)+1)) AS t(dim)
+),
+dq AS (
+  SELECT v.vec_id, CAST((v.dim - 1) // {_PQ_SUBDIM} AS INTEGER) AS subspace, k.code,
+         CAST(sum(CAST(floor((v.val - k.c) * (v.val - k.c) * {S.QUANT}) AS BIGINT)) AS BIGINT) AS dqsum
+  FROM vcomp v JOIN codes k USING (dim)
+  GROUP BY v.vec_id, (v.dim - 1) // {_PQ_SUBDIM}, k.code
+),
+db AS (
+  SELECT vec_id, subspace, code FROM (
+    SELECT vec_id, subspace, code,
+           row_number() OVER (PARTITION BY vec_id, subspace ORDER BY dqsum, code) AS rn
+    FROM dq
+  ) WHERE rn = 1
+),
+qtab AS (
+  SELECT vec_id AS query_id, subspace, code, dqsum AS qd
+  FROM dq WHERE vec_id < {_ANN_NQ}
+),
+est AS (
+  SELECT q.query_id, d.vec_id, CAST(sum(q.qd) AS BIGINT) AS est_dist
+  FROM db d JOIN qtab q ON d.subspace = q.subspace AND d.code = q.code
+  WHERE q.query_id <> d.vec_id
+  GROUP BY q.query_id, d.vec_id
+)
+SELECT query_id, vec_id, est_dist,
+       CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY est_dist, vec_id) AS rank
+  FROM est
+)
+WHERE rank <= {_ANN_K}
+ORDER BY query_id, rank
+"""
+
+
+ORACLES["ann_pq_adc_topk"] = _ann_pq_adc_sql()

@@ -362,6 +362,7 @@ _NEW_R4_LATE = [
     "dbt_source_coverage",
     "dedup_minhash_est_calibration",
     "corpus_temperature_mix",
+    "ann_pq_adc_topk",
 ]
 
 # Newest driver row is r2 (also pre-rebuild).  Ordered most
