@@ -4026,3 +4026,67 @@ ORDER BY query_id, rank
 
 
 ORACLES["ann_pq_adc_topk"] = _ann_pq_adc_sql()
+
+
+# ---------------------------------------------------------------- C64
+# Closing the ADC quality loop: ann_recall_eval measures the
+# candidate-generation indexes; this key measures the ADC DISTANCE
+# APPROXIMATION itself against brute-force cosine ground truth.
+
+
+def ann_adc_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@5 of PQ-ADC top-5 vs exact cosine top-5 —
+    integer overlap counts, one exact double division per query.
+
+    Note the metric mismatch is PART of what is measured: ADC ranks by
+    quantized squared L2, ground truth by cosine — on unnormalized
+    embeddings the best possible ADC recall is bounded by that metric
+    gap, not just quantization error.  The number is evidence for
+    sizing (n_codes, n_subdim), not a correctness bar.
+    """
+    prep(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    adc = ann_pq_adc_topk(spark, sf_dir).select(
+        "query_id", F.col("vec_id").alias("neighbor_id")
+    )
+    exact = S.brute_force_topk(
+        emb.filter(F.col("vec_id") < _ANN_NQ), emb, k=_ANN_K
+    ).select("query_id", "neighbor_id")
+    hits = adc.join(exact, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    base = exact.select("query_id").distinct()
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (
+                F.coalesce("n_hits", F.lit(0)).cast("double") / F.lit(float(_ANN_K))
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _ann_adc_recall_sql() -> str:
+    adc = _ann_pq_adc_sql().strip().rstrip()
+    bf = _ann_bruteforce_sql().strip()
+    return f"""
+WITH adc AS ({adc}),
+bf AS ({bf}),
+hits AS (
+  SELECT a.query_id, count(*) AS n_hits
+  FROM adc a JOIN bf b ON a.query_id = b.query_id AND a.vec_id = b.neighbor_id
+  GROUP BY a.query_id
+)
+SELECT q.query_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {float(_ANN_K)} AS recall_at_k
+FROM (SELECT DISTINCT query_id FROM bf) q
+LEFT JOIN hits h USING (query_id)
+ORDER BY q.query_id
+"""
+
+
+ORACLES["ann_adc_recall_eval"] = _ann_adc_recall_sql()

@@ -363,6 +363,7 @@ _NEW_R4_LATE = [
     "dedup_minhash_est_calibration",
     "corpus_temperature_mix",
     "ann_pq_adc_topk",
+    "ann_adc_recall_eval",
 ]
 
 # Newest driver row is r2 (also pre-rebuild).  Ordered most
