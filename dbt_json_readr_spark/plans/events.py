@@ -1908,3 +1908,67 @@ FROM (
 )
 ORDER BY event_type
 """
+
+
+# ------------------------------------------------------------- B73
+# New-vs-returning decomposition — the growth-analytics staple that
+# needs a DISTINCT-over-time-prefix, answered with a first-seen flag
+# instead of an (unsupported) windowed COUNT DISTINCT.
+
+
+def orders_new_customers_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per month: orders from first-ever customers vs returning ones,
+    plus the running total of acquired customers.
+
+    The trick: ``row_number() = 1`` over (customer, orderdate, okey)
+    marks each customer's first order — one window — and a month-level
+    cumulative sum of those flags IS the running distinct-customer
+    count, which a windowed COUNT(DISTINCT) cannot express in either
+    engine.  Unique (date, orderkey) tiebreak keeps the flag
+    deterministic under same-day first orders.
+    """
+    prep(spark)
+    orders = load(spark, sf_dir, "orders")
+    first_w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    flagged = orders.select(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        (F.row_number().over(first_w) == 1).cast("long").alias("is_first"),
+    )
+    monthly = flagged.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("is_first").alias("new_customers"),
+    )
+    cum_w = W.orderBy("month").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        monthly.select(
+            "month",
+            "n_orders",
+            "new_customers",
+            (F.col("n_orders") - F.col("new_customers")).alias("returning_orders"),
+            F.sum("new_customers").over(cum_w).alias("customers_to_date"),
+        )
+        .orderBy("month")
+    )
+
+
+ORDERS_NEW_CUSTOMERS_SQL = """
+WITH flagged AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+         CASE WHEN row_number() OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) = 1
+              THEN 1 ELSE 0 END AS is_first
+  FROM orders
+),
+monthly AS (
+  SELECT month, count(*) AS n_orders,
+         CAST(sum(is_first) AS BIGINT) AS new_customers
+  FROM flagged GROUP BY month
+)
+SELECT month, n_orders, new_customers,
+       n_orders - new_customers AS returning_orders,
+       CAST(sum(new_customers) OVER (ORDER BY month
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS customers_to_date
+FROM monthly
+ORDER BY month
+"""

@@ -4090,3 +4090,68 @@ ORDER BY q.query_id
 
 
 ORACLES["ann_adc_recall_eval"] = _ann_adc_recall_sql()
+
+
+# ---------------------------------------------------------------- C65
+# Vocabulary growth curve (Heaps' law evidence): how fast does the
+# distinct-shingle vocabulary grow as the corpus grows?  The input to
+# tokenizer-vocab sizing and dedup-memory forecasting.
+
+_VG_BUCKETS = 10
+
+
+def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct 5-gram count over 10 hash-ordered corpus
+    prefixes, in ONE pass: each shingle records the FIRST (min) bucket
+    it appears in; the bucket histogram's running sum IS the growth
+    curve.  No per-prefix rescans — the naive formulation is 10 full
+    distinct-aggregations, this is one.
+
+    Hash-ordered prefixes make the curve sampling-stable: bucket
+    membership is md5(doc_id), so re-sharding or reordering the corpus
+    does not move the curve (same property as the holdout split).
+    """
+    prep(spark)
+    docs = spread(load(spark, sf_dir, "documents"))
+    bucketed = docs.select(
+        (H.hash64(F.col("doc_id").cast("string"), "vg") % _VG_BUCKETS).alias("bucket"),
+        F.explode(H.char_shingles(F.col("text"), 5)).alias("s"),
+    )
+    first_seen = bucketed.groupBy("s").agg(F.min("bucket").alias("first_bucket"))
+    hist = first_seen.groupBy("first_bucket").agg(
+        F.count(F.lit(1)).alias("new_shingles")
+    )
+    cum_w = W.orderBy("first_bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        hist.select(
+            F.col("first_bucket").cast("int").alias("prefix_bucket"),
+            "new_shingles",
+            F.sum("new_shingles").over(cum_w).alias("vocab_to_date"),
+        )
+        .orderBy("prefix_bucket")
+    )
+
+
+def _vocab_growth_sql() -> str:
+    sh = H.sql_char_shingles("text", 5)
+    h = H.sql_hash64("CAST(doc_id AS VARCHAR)", "vg")
+    return f"""
+WITH bucketed AS (
+  SELECT {h} % {_VG_BUCKETS} AS bucket, unnest({sh}) AS s FROM documents
+),
+first_seen AS (
+  SELECT s, min(bucket) AS first_bucket FROM bucketed GROUP BY s
+),
+hist AS (
+  SELECT first_bucket, count(*) AS new_shingles FROM first_seen GROUP BY first_bucket
+)
+SELECT CAST(first_bucket AS INTEGER) AS prefix_bucket, new_shingles,
+       CAST(sum(new_shingles) OVER (ORDER BY first_bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS vocab_to_date
+FROM hist
+ORDER BY prefix_bucket
+"""
+
+
+ORACLES["corpus_vocab_growth"] = _vocab_growth_sql()

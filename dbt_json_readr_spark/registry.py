@@ -166,6 +166,11 @@ register(
     "events_hll_sketch_rollup", events.events_hll_sketch_rollup, events.EVENTS_HLL_SKETCH_SQL
 )
 register(
+    "orders_new_customers_monthly",
+    events.orders_new_customers_monthly,
+    events.ORDERS_NEW_CUSTOMERS_SQL,
+)
+register(
     "events_concurrency_sweep", events.events_concurrency_sweep, events.EVENTS_CONCURRENCY_SQL
 )
 register(
@@ -364,6 +369,8 @@ _NEW_R4_LATE = [
     "corpus_temperature_mix",
     "ann_pq_adc_topk",
     "ann_adc_recall_eval",
+    "orders_new_customers_monthly",
+    "corpus_vocab_growth",
 ]
 
 # Newest driver row is r2 (also pre-rebuild).  Ordered most
