@@ -477,3 +477,65 @@ def test_jpeg_decoder_rejects_corruption_cleanly(data):
     # a decode that still succeeds (e.g. only trailing bytes cut) is
     # acceptable ONLY if it yields the true content — never wrong stats
     assert got == M.decode_jpeg(payload), "corrupt payload decoded silently wrong"
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "N"]),           # group
+            st.integers(1, 8),                     # weight (quantity)
+            st.sampled_from([10.0, 20.0, 20.0, 30.0, 40.0]),  # price w/ ties
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_weighted_median_matches_naive_threshold(spark, rows):
+    """DECIMAL threshold-crossing weighted median == naive sorted-scan
+    reference, including tied prices straddling the crossing and
+    single-row groups."""
+    from dbt_json_readr_spark.plans.tpch import (
+        LINEITEM_WEIGHTED_MEDIAN_SQL,  # noqa: F401 — shape documented there
+        lineitem_weighted_median,
+    )
+
+    df = spark.createDataFrame(
+        [(g, i, i, float(w), p) for i, (g, w, p) in enumerate(rows)],
+        "l_returnflag string, l_orderkey long, l_linenumber long,"
+        " l_quantity double, l_extendedprice double",
+    )
+    # drive the operator's core directly on the micro-frame: same
+    # expressions as the registry fn, minus the parquet load
+    import dbt_json_readr_spark.plans.tpch as tp
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    cum_w = F.sum(tp._dec("l_quantity")).over(
+        W.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tot_w = F.sum(tp._dec("l_quantity")).over(W.partitionBy("l_returnflag"))
+    got = {
+        r.l_returnflag: r.med
+        for r in df.select(
+            "l_returnflag",
+            F.col("l_extendedprice").alias("price"),
+            cum_w.alias("cum_w"),
+            tot_w.alias("tot_w"),
+        )
+        .groupBy("l_returnflag")
+        .agg(F.min(F.when(F.col("cum_w") * 2 >= F.col("tot_w"), F.col("price"))).alias("med"))
+        .collect()
+    }
+    for grp in {g for g, _, _ in rows}:
+        seq = sorted((p, w) for g, w, p in rows if g == grp)
+        total = sum(w for _, w in seq)
+        acc, want = 0, None
+        for p, w in seq:
+            acc += w
+            if 2 * acc >= total:
+                want = p
+                break
+        assert got[grp] == want
