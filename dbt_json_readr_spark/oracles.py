@@ -563,3 +563,27 @@ def dbt_source_coverage() -> str:
         ],
         rows,
     )
+
+
+def dbt_macro_usage() -> str:
+    """Stdlib recount: distinct referencing objects per macro —
+    across ALL manifest groups (a macro wrapped by another macro is
+    not dead; the fixture's money→clean_strings edge pins this)."""
+    m = _load("manifest.json")
+    refs: dict[str, set] = {}
+    for grp in ("nodes", "sources", "macros"):
+        for uid, n in m.get(grp, {}).items():
+            for mac in n.get("depends_on", {}).get("macros") or []:
+                refs.setdefault(mac, set()).add(uid)
+    rows = [
+        (mid, len(refs.get(mid, ())), len(refs.get(mid, ())) == 0)
+        for mid in sorted(m.get("macros", {}))
+    ]
+    return _values_sql(
+        [
+            ("unique_id", "VARCHAR"),
+            ("n_referencing_nodes", "BIGINT"),
+            ("is_unused", "BOOLEAN"),
+        ],
+        rows,
+    )

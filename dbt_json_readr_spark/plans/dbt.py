@@ -360,3 +360,29 @@ def dbt_source_coverage(spark: SparkSession, sf_dir: str, target: str = FIXTURE_
         )
         .orderBy("unique_id")
     )
+
+
+def dbt_macro_usage(spark: SparkSession, sf_dir: str, target: str = FIXTURE_TARGET) -> DataFrame:
+    """A23: dead-macro audit — macros referenced by zero nodes are
+    copy-paste debt (the fixture plants ``unused_macro`` exactly for
+    this).  Reference counts come from the macro-edge slice of the
+    SAME exploded edge list the node lineage uses."""
+    prep(spark)
+    macros = A.manifest_macros(spark, _manifest(target)).select(
+        F.col("unique_id").alias("macro_id")
+    )
+    edges = A.manifest_edges(spark, _manifest(target)).filter(
+        F.col("dep_type") == "macros"
+    )
+    refs = edges.groupBy("parent_unique_id").agg(
+        F.count_distinct("child_unique_id").alias("n_referencing_nodes")
+    )
+    return (
+        macros.join(refs, macros["macro_id"] == refs["parent_unique_id"], "left")
+        .select(
+            F.col("macro_id").alias("unique_id"),
+            F.coalesce("n_referencing_nodes", F.lit(0)).alias("n_referencing_nodes"),
+            (F.coalesce("n_referencing_nodes", F.lit(0)) == 0).alias("is_unused"),
+        )
+        .orderBy("unique_id")
+    )

@@ -2059,3 +2059,81 @@ SELECT est_rows, exact_rows,
        est_rows >= exact_rows AS est_is_upper_bound
 FROM est, ex
 """
+
+
+# ------------------------------------------------------------- B74
+# Robust (trimmed) statistics — outlier-insensitive aggregates by
+# integer rank arithmetic: no percentile interpolation, no float
+# boundaries, so the trim is bit-portable.
+
+
+def customer_acctbal_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per market segment: account-balance mean, then the 10%-trimmed
+    mean and min/max of the retained middle — rows ranked by
+    (acctbal, custkey), the lowest and highest ``floor(n/10)`` DROPPED
+    by integer rank comparison.
+
+    Integer trim bounds (rank > n/10 ∧ rank ≤ n − n/10) instead of
+    percentile values: no interpolation, identical row retention in
+    both engines even with duplicate balances straddling the cut
+    (unique custkey tiebreak makes the rank total).  Sums stay DECIMAL
+    until the final division.
+    """
+    from pyspark.sql import Window as W
+
+    prep(spark)
+    cust = load(spark, sf_dir, "customer")
+    w_rank = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    w_all = W.partitionBy("c_mktsegment")
+    ranked = cust.select(
+        "c_mktsegment",
+        "c_acctbal",
+        F.row_number().over(w_rank).alias("rk"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    trim = (F.col("n") / 10).cast("bigint")
+    kept = ranked.filter((F.col("rk") > trim) & (F.col("rk") <= F.col("n") - trim))
+    full = cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("mean_bal"),
+    )
+    trimmed = kept.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias(
+            "trimmed_mean_bal"
+        ),
+        F.min("c_acctbal").alias("trim_lo"),
+        F.max("c_acctbal").alias("trim_hi"),
+    )
+    return full.join(trimmed, "c_mktsegment").orderBy("c_mktsegment")
+
+
+CUSTOMER_TRIMMED_STATS_SQL = """
+WITH ranked AS (
+  SELECT c_mktsegment, c_acctbal,
+         row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS rk,
+         count(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM customer
+),
+kept AS (
+  SELECT * FROM ranked WHERE rk > n // 10 AND rk <= n - n // 10
+),
+full_stats AS (
+  SELECT c_mktsegment, count(*) AS n_customers,
+         CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / count(*)
+           AS mean_bal
+  FROM customer GROUP BY c_mktsegment
+),
+trimmed AS (
+  SELECT c_mktsegment, count(*) AS n_kept,
+         CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / count(*)
+           AS trimmed_mean_bal,
+         min(c_acctbal) AS trim_lo,
+         max(c_acctbal) AS trim_hi
+  FROM kept GROUP BY c_mktsegment
+)
+SELECT f.c_mktsegment, f.n_customers, f.mean_bal,
+       t.n_kept, t.trimmed_mean_bal, t.trim_lo, t.trim_hi
+FROM full_stats f JOIN trimmed t USING (c_mktsegment)
+ORDER BY f.c_mktsegment
+"""

@@ -49,6 +49,7 @@ for _key in [
     "dbt_tag_usage",
     "dbt_test_coverage",
     "dbt_source_coverage",
+    "dbt_macro_usage",
 ]:
     register(_key, getattr(dbt, _key), getattr(oracles, _key)())
 
@@ -142,6 +143,11 @@ register(
     "join_size_histogram_estimate",
     tpch.join_size_histogram_estimate,
     tpch.JOIN_SIZE_HISTOGRAM_SQL,
+)
+register(
+    "customer_acctbal_trimmed_stats",
+    tpch.customer_acctbal_trimmed_stats,
+    tpch.CUSTOMER_TRIMMED_STATS_SQL,
 )
 register("events_lateness_audit", events.events_lateness_audit, events.EVENTS_LATENESS_SQL)
 register(
@@ -371,6 +377,8 @@ _NEW_R4_LATE = [
     "ann_adc_recall_eval",
     "orders_new_customers_monthly",
     "corpus_vocab_growth",
+    "dbt_macro_usage",
+    "customer_acctbal_trimmed_stats",
 ]
 
 # Newest driver row is r2 (also pre-rebuild).  Ordered most
