@@ -682,7 +682,14 @@ def minhash_containment_pairs(
     the array-carrying formulation needed merge hints to survive sf1
     (AQE broadcast OOM) and still shuffled megabyte rows; this one has
     nothing wide to move.  Returns (doc_a, doc_b, inter_n,
-    cont_a_in_b, cont_b_in_a) for pairs with max containment ≥ τ."""
+    cont_a_in_b, cont_b_in_a) for pairs with max containment ≥ τ.
+
+    The exploded shingle scan feeds four subtrees and is deliberately
+    NOT persisted: measured at sf0.1 (4.7 s steady both ways) and sf1,
+    caching the ~20M-row shingle frame bought nothing — the candidate
+    pair join dominates this operator, unlike the jaccard path where
+    _per_doc_sketch's fused scan+agg is the documented 1 s win — and
+    the persist only occupied executor storage."""
     rows = _shingle_rows(docs, k)
     cand = (
         _minhash_candidates(rows, n_hashes, bands, bucket_cap)
@@ -718,3 +725,12 @@ def shingle_rows(docs: DataFrame, k: int = 5) -> DataFrame:
     representation every sketch op builds on (estimator-calibration
     evidence key consumes it directly)."""
     return _shingle_rows(docs, k)
+
+
+def per_doc_sketch(docs: DataFrame, k: int = 5, n_hashes: int = 16) -> DataFrame:
+    """Public per-doc minhash sketch (mh0..mhN lanes + shingle set).
+    Same canonical plan as the frame ``minhash_lsh_pairs`` builds and
+    caches internally, so a caller computing BOTH (e.g. the estimator-
+    calibration key) shares ONE cache entry via the CacheManager's
+    same-plan dedup instead of re-scanning the corpus."""
+    return _per_doc_sketch(_shingle_rows(docs, k), n_hashes)

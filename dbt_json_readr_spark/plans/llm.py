@@ -3783,12 +3783,10 @@ def dedup_minhash_est_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
     pairs = D.minhash_lsh_pairs(
         docs, k=_MH_K, n_hashes=_MH_N, bands=_MH_BANDS, threshold=_MH_TAU
     )
-    rows = D.shingle_rows(docs, k=_MH_K)
-    mins = rows.select(
-        "doc_id", *H.minhash_lane_cols(F.col("sh"), _MH_N)
-    ).groupBy("doc_id").agg(
-        *[F.min(f"mh{i}").alias(f"mh{i}") for i in range(_MH_N)]
-    )
+    # same canonical plan as the sketch minhash_lsh_pairs just cached —
+    # the CacheManager dedups them into one entry, so the lanes come
+    # from the warm cache instead of a second explode+md5 corpus pass
+    mins = D.per_doc_sketch(docs, k=_MH_K, n_hashes=_MH_N).drop("sh")
     a = mins.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_MH_N)],

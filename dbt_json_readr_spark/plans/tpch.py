@@ -1871,14 +1871,12 @@ def incremental_view_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-refresh fallback signal.
     """
     import os
-    import shutil
-    import tempfile
 
     from ..manifest_commit import ManifestTable
+    from ..session import scratch_dir
 
     prep(spark)
-    root = os.path.join(tempfile.gettempdir(), "dbt_json_readr_spark_ivm")
-    shutil.rmtree(root, ignore_errors=True)
+    root = scratch_dir("ivm")
     table = ManifestTable(spark, os.path.join(root, "table"))
     li = load(spark, sf_dir, "lineitem")
     table.commit(li.filter(F.col("l_orderkey") % 2 == 0), mode="append")

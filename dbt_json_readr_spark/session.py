@@ -142,3 +142,27 @@ def observed(df, name: str, *metrics):
 
     obs = Observation(name)
     return df.observe(obs, *metrics), obs
+
+
+_SCRATCH_DIRS: dict[tuple, str] = {}
+
+
+def scratch_dir(slot: str) -> str:
+    """Fresh per-call scratch directory with latest-wins cleanup.
+
+    mkdtemp gives every call (and every concurrent process) its own
+    directory — no cross-run rmtree races on a fixed path, and a lazy
+    DataFrame returned by the PREVIOUS call keeps its files until the
+    next call on the same (process, slot) rotates them out: the same
+    latest-wins discipline as rotate_cached, bounding /tmp growth to
+    one live dir per slot."""
+    import shutil
+    import tempfile
+
+    key = (slot,)
+    old = _SCRATCH_DIRS.get(key)
+    if old:
+        shutil.rmtree(old, ignore_errors=True)
+    path = tempfile.mkdtemp(prefix=f"dbt_json_readr_spark_{slot}_")
+    _SCRATCH_DIRS[key] = path
+    return path

@@ -972,16 +972,12 @@ def streaming_manifest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     listing race with in-flight writers).
     """
     import os
-    import shutil
-    import tempfile
 
     from ..manifest_commit import ManifestTable
+    from ..session import scratch_dir
 
     prep(spark)
-    root = os.path.join(
-        tempfile.gettempdir(), "dbt_json_readr_spark_stream_manifest"
-    )
-    shutil.rmtree(root, ignore_errors=True)
+    root = scratch_dir("stream_manifest")
     table = ManifestTable(spark, os.path.join(root, "table"))
     q = (
         events_stream(spark, sf_dir)
@@ -1164,14 +1160,12 @@ def streaming_cdc_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     converge to it.
     """
     import os
-    import shutil
-    import tempfile
 
     from ..manifest_commit import ManifestTable
+    from ..session import scratch_dir
 
     prep(spark)
-    root = os.path.join(tempfile.gettempdir(), "dbt_json_readr_spark_cdc_merge")
-    shutil.rmtree(root, ignore_errors=True)
+    root = scratch_dir("cdc_merge")
     table = ManifestTable(spark, os.path.join(root, "table"))
     q = (
         events_stream(spark, sf_dir)
