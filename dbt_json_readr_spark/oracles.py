@@ -587,3 +587,34 @@ def dbt_macro_usage() -> str:
         ],
         rows,
     )
+
+
+def dbt_column_name_lineage() -> str:
+    """Stdlib recount of name-match column flow edges."""
+    m = _load("manifest.json")
+    groups = {}
+    for grp in ("nodes", "sources", "macros"):
+        for uid, n in m.get(grp, {}).items():
+            groups[uid] = n
+    agg: dict[tuple, list] = {}
+    for uid, n in m["nodes"].items():
+        child_cols = set(n.get("columns") or {})
+        for parent in n.get("depends_on", {}).get("nodes") or []:
+            pcols = set(groups.get(parent, {}).get("columns") or {})
+            for c in child_cols & pcols:
+                e = agg.setdefault((uid, c), [0, []])
+                e[0] += 1
+                e[1].append(parent)
+    rows = [
+        (uid, c, n, min(parents))
+        for (uid, c), (n, parents) in sorted(agg.items())
+    ]
+    return _values_sql(
+        [
+            ("child_unique_id", "VARCHAR"),
+            ("column_name", "VARCHAR"),
+            ("n_parents", "BIGINT"),
+            ("first_parent", "VARCHAR"),
+        ],
+        rows,
+    )

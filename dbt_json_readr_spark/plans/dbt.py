@@ -386,3 +386,36 @@ def dbt_macro_usage(spark: SparkSession, sf_dir: str, target: str = FIXTURE_TARG
         )
         .orderBy("unique_id")
     )
+
+
+def dbt_column_name_lineage(spark: SparkSession, sf_dir: str, target: str = FIXTURE_TARGET) -> DataFrame:
+    """A24: name-match column lineage — the heuristic real dbt doc
+    tools use when explicit column provenance is absent: a child
+    column whose name also exists on a direct parent is a candidate
+    flow edge.  Derived entirely from the manifest (edge list ⋈
+    exploded column inventories on both endpoints); `n_parents` > 1
+    flags ambiguous provenance (same-named column on several
+    parents)."""
+    prep(spark)
+    cols = A.manifest_unified(spark, _manifest(target)).select(
+        "unique_id", F.explode(F.col("columns.name")).alias("column_name")
+    )
+    edges = A.manifest_edges(spark, _manifest(target)).filter(
+        F.col("dep_type") == "nodes"
+    )
+    child_cols = cols.select(
+        F.col("unique_id").alias("child_unique_id"), "column_name"
+    )
+    parent_cols = cols.select(
+        F.col("unique_id").alias("parent_unique_id"), "column_name"
+    )
+    return (
+        edges.join(child_cols, "child_unique_id")
+        .join(parent_cols, ["parent_unique_id", "column_name"])
+        .groupBy("child_unique_id", "column_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_parents"),
+            F.min("parent_unique_id").alias("first_parent"),
+        )
+        .orderBy("child_unique_id", "column_name")
+    )

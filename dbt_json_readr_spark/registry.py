@@ -50,6 +50,7 @@ for _key in [
     "dbt_test_coverage",
     "dbt_source_coverage",
     "dbt_macro_usage",
+    "dbt_column_name_lineage",
 ]:
     register(_key, getattr(dbt, _key), getattr(oracles, _key)())
 
@@ -379,6 +380,7 @@ _NEW_R4_LATE = [
     "corpus_vocab_growth",
     "dbt_macro_usage",
     "customer_acctbal_trimmed_stats",
+    "dbt_column_name_lineage",
 ]
 
 # Newest driver row is r2 (also pre-rebuild).  Ordered most
