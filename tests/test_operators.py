@@ -733,3 +733,79 @@ def test_holdout_split_shares_near_targets(spark, sf_dir):
     assert abs(rows["test"].share - 0.05) < 0.03
     assert abs(rows["val"].share - 0.10) < 0.03
     assert abs(sum(r.share for r in rows.values()) - 1.0) < 1e-9
+
+
+def test_referential_integrity_audit_counts_planted_orphans(spark, tmp_path):
+    """The benchmark tables are referentially clean, so the gate never
+    sees a nonzero orphan count — plant orphans + NULL FKs in
+    micro-tables and pin every output column."""
+    import dbt_json_readr_spark.plans.tpch as tp
+    from pyspark.sql import functions as F
+
+    # nation(1, 2); customers referencing 1, 1, 2, 9(orphan), 9, NULL
+    (tmp_path / "d").mkdir()
+    spark.createDataFrame(
+        [(1, "A", 0), (2, "B", 0)], "n_nationkey int, n_name string, n_regionkey int"
+    ).write.parquet(str(tmp_path / "d" / "nation.parquet"))
+    spark.createDataFrame(
+        [
+            (1, "c1", 1, 0.0, "S"),
+            (2, "c2", 1, 0.0, "S"),
+            (3, "c3", 2, 0.0, "S"),
+            (4, "c4", 9, 0.0, "S"),
+            (5, "c5", 9, 0.0, "S"),
+            (6, "c6", None, 0.0, "S"),
+        ],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    ).write.parquet(str(tmp_path / "d" / "customer.parquet"))
+
+    from dbt_json_readr_spark.sources.tables import load
+
+    child = load(spark, str(tmp_path / "d"), "customer")
+    parent = load(spark, str(tmp_path / "d"), "nation")
+    # drive one relationship through the same code path the key uses
+    rels = [("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey")]
+    orig = tp._RI_RELS
+    tp._RI_RELS = rels
+    try:
+        [row] = tp.referential_integrity_audit(spark, str(tmp_path / "d")).collect()
+    finally:
+        tp._RI_RELS = orig
+    assert row.child_rows == 6
+    assert row.null_fk_rows == 1
+    assert row.distinct_fk == 3  # 1, 2, 9 (NULL excluded)
+    assert row.orphan_keys == 1  # key 9
+    assert row.orphan_rows == 2  # customers 4 and 5
+
+
+def test_table_profile_audit_counts_planted_nulls(spark, tmp_path):
+    """lineitem has no NULLs, so null_count is never nonzero at the
+    gate — profile a micro-lineitem with NULLs planted in a numeric,
+    a string, and the timestamp column."""
+    import datetime as dt
+
+    import dbt_json_readr_spark.plans.tpch as tp
+
+    ts = dt.datetime(2024, 1, 2, 3, 4, 5)
+    rows = [
+        (1, 1, 1, 1, 5.0, 100.0, 0.1, 0.02, "A", "F", ts),
+        (2, 2, 2, 1, None, 200.0, 0.0, 0.00, None, "O", None),
+        (3, 3, 3, 2, 7.0, None, 0.2, 0.01, "R", None, ts),
+    ]
+    schema = (
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp"
+    )
+    (tmp_path / "d").mkdir()
+    spark.createDataFrame(rows, schema).write.parquet(
+        str(tmp_path / "d" / "lineitem.parquet")
+    )
+    prof = {
+        r.col_name: r for r in tp.table_profile_audit(spark, str(tmp_path / "d")).collect()
+    }
+    assert prof["l_quantity"].null_count == 1 and prof["l_quantity"].n_distinct == 2
+    assert prof["l_returnflag"].null_count == 1 and prof["l_returnflag"].min_str == "A"
+    assert prof["l_shipdate"].null_count == 1
+    assert prof["l_extendedprice"].max_num == 200.0  # NULL ignored by max
+    assert prof["l_linestatus"].null_count == 1 and prof["l_linestatus"].max_str == "O"
