@@ -4153,3 +4153,87 @@ ORDER BY prefix_bucket
 
 
 ORACLES["corpus_vocab_growth"] = _vocab_growth_sql()
+
+
+# ---------------------------------------------------------------- C66
+# The last un-swept sketch parameter: shingle width k.  Bands (C48),
+# threshold (C38), and lanes (C2's design note) all have measured
+# curves; k controls shingle-set granularity — smaller k inflates
+# cross-doc overlap (more candidates, looser jaccard), larger k
+# sharpens it.
+
+_KSWEEP = [3, 5, 7]
+
+
+def dedup_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate and verified pair counts at shingle widths 3/5/7,
+    same (n, bands, τ) as the production C2 contract — the evidence
+    for WHY k=5: each k runs the identical banding pipeline, so the
+    row differences isolate the k effect.
+
+    Three bounded pipelines over one corpus; each is the same
+    cap-disciplined shape as C2 (no all-pairs anywhere)."""
+    prep(spark)
+    docs = spread(load(spark, sf_dir, "documents"))
+    out = None
+    for k in _KSWEEP:
+        cand = D.minhash_candidate_pairs(
+            docs, k=k, n_hashes=_MH_N, bands=_MH_BANDS
+        ).select("doc_a", "doc_b").distinct()
+        verified = D.minhash_lsh_pairs(
+            docs, k=k, n_hashes=_MH_N, bands=_MH_BANDS, threshold=_MH_TAU
+        )
+        row = (
+            cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+            .crossJoin(
+                F.broadcast(verified.agg(F.count(F.lit(1)).alias("n_verified")))
+            )
+            .select(F.lit(k).alias("k"), "n_candidates", "n_verified")
+        )
+        out = row if out is None else out.unionByName(row)
+    assert out is not None
+    return out.orderBy("k")
+
+
+def _k_sweep_sql() -> str:
+    r = _MH_N // _MH_BANDS
+    ctes = []
+    for k in _KSWEEP:
+        raw = H.sql_char_shingles("text", k)
+        sh = f"list_distinct(list_transform({raw}, s -> {H.sql_hash64('s', 'sh')}))"
+        mh = H.sql_minhash_array("sh", _MH_N)
+        band_selects = "\n    UNION ALL ".join(
+            f"SELECT doc_id, sh, {b} AS band, {H.sql_band_key('mh', b, r)} AS bkey FROM mh_{k}"
+            for b in range(_MH_BANDS)
+        )
+        ctes.append(f"""sh_{k} AS (
+  SELECT doc_id, {sh} AS sh FROM documents
+),
+mh_{k} AS (
+  SELECT doc_id, sh, {mh} AS mh FROM sh_{k}
+),
+banded_{k} AS (
+  {band_selects}
+),
+sized_{k} AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bucket_n FROM banded_{k}
+  ) WHERE bucket_n <= {D.DEFAULT_BUCKET_CAP}
+),
+cand_{k} AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
+  FROM sized_{k} a JOIN sized_{k} b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)""")
+    selects = "\nUNION ALL\n".join(
+        f"""SELECT {k} AS k,
+       CAST((SELECT count(*) FROM cand_{k}) AS BIGINT) AS n_candidates,
+       CAST((SELECT count(*) FROM cand_{k}
+        WHERE len(list_intersect(sh_a, sh_b))::DOUBLE
+              / len(list_distinct(sh_a || sh_b))::DOUBLE >= {_MH_TAU}) AS BIGINT) AS n_verified"""
+        for k in _KSWEEP
+    )
+    return "WITH " + ",\n".join(ctes) + "\nSELECT * FROM (\n" + selects + "\n) ORDER BY k"
+
+
+ORACLES["dedup_k_sweep"] = _k_sweep_sql()

@@ -381,6 +381,7 @@ _NEW_R4_LATE = [
     "dbt_macro_usage",
     "customer_acctbal_trimmed_stats",
     "dbt_column_name_lineage",
+    "dedup_k_sweep",
 ]
 
 # Newest driver row is r2 (also pre-rebuild).  Ordered most
