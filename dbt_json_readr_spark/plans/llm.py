@@ -4237,3 +4237,70 @@ cand_{k} AS (
 
 
 ORACLES["dedup_k_sweep"] = _k_sweep_sql()
+
+
+# ---------------------------------------------------------------- C67
+# The business metric of dedup: TRAINING TOKENS SAVED.  C18 counts
+# documents kept/dropped; budgets are set in tokens, and near-dup
+# clusters skew long (templates), so doc counts understate the win.
+
+
+def corpus_dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source: total whitespace tokens, tokens carried by dropped
+    (non-canonical) cluster members, and the savings fraction — one
+    exact integer division per row.
+
+    Same pairs → components → min-id-keep chain as C18, joined to
+    per-doc token counts; the only new shuffle is the per-source
+    rollup."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, k=_MH_K, n_hashes=_MH_N, bands=_MH_BANDS, threshold=_MH_TAU
+    ).select("doc_a", "doc_b")
+    clusters = G.connected_components(pairs)
+    dropped = (F.col("cluster_id").isNotNull()) & (
+        F.col("cluster_id") != F.col("doc_id")
+    )
+    toks = F.size(H.tokens(F.col("text"))).cast("long")
+    return (
+        docs.join(clusters, "doc_id", "left")
+        .select("source", toks.alias("n_tok"), dropped.alias("dropped"))
+        .groupBy("source")
+        .agg(
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum(F.when(F.col("dropped"), F.col("n_tok")).otherwise(0)).alias(
+                "dropped_tokens"
+            ),
+            (
+                F.sum(F.when(F.col("dropped"), F.col("n_tok")).otherwise(0)).cast(
+                    "double"
+                )
+                / F.sum("n_tok").cast("double")
+            ).alias("savings_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+def _dedup_token_savings_sql() -> str:
+    toks = f"len({H.sql_tokens('text')})"
+    return f"""
+WITH clusters AS ({_clusters_sql()}),
+t AS (
+  SELECT d.source, CAST({toks} AS BIGINT) AS n_tok,
+         (c.cluster_id IS NOT NULL AND c.cluster_id <> d.doc_id) AS dropped
+  FROM documents d LEFT JOIN clusters c USING (doc_id)
+)
+SELECT source,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN dropped THEN n_tok ELSE 0 END) AS BIGINT) AS dropped_tokens,
+       CAST(sum(CASE WHEN dropped THEN n_tok ELSE 0 END) AS DOUBLE)
+         / CAST(sum(n_tok) AS DOUBLE) AS savings_frac
+FROM t
+GROUP BY source
+ORDER BY source
+"""
+
+
+ORACLES["corpus_dedup_token_savings"] = _dedup_token_savings_sql()

@@ -382,6 +382,7 @@ _NEW_R4_LATE = [
     "customer_acctbal_trimmed_stats",
     "dbt_column_name_lineage",
     "dedup_k_sweep",
+    "corpus_dedup_token_savings",
 ]
 
 # Newest driver row is r2 (also pre-rebuild).  Ordered most
