@@ -618,3 +618,39 @@ def dbt_column_name_lineage() -> str:
         ],
         rows,
     )
+
+
+def dbt_test_results_rollup() -> str:
+    """Stdlib recount: test-run outcomes routed to guarded models."""
+    m = _load("manifest.json")
+    rr = _load("run_results.json")
+    parents = {
+        uid: n.get("depends_on", {}).get("nodes") or []
+        for uid, n in m["nodes"].items()
+        if n["resource_type"] == "test"
+    }
+    agg: dict[str, list] = {}
+    for r in rr["results"]:
+        uid = r["unique_id"]
+        if not uid.startswith("test."):
+            continue
+        for model in parents.get(uid, []):
+            e = agg.setdefault(model, [0, 0, 0, 0, 0])
+            e[0] += 1
+            st = r["status"]
+            e[1] += st == "pass"
+            e[2] += st in ("fail", "error")
+            e[3] += st == "warn"
+            e[4] += r.get("adapter_response", {}).get("rows_affected") or 0
+    rows = [(k, *v) for k, v in sorted(agg.items())]
+    return _values_sql(
+        [
+            ("model_unique_id", "VARCHAR"),
+            ("n_tests_run", "BIGINT"),
+            ("n_passed", "BIGINT"),
+            ("n_failed", "BIGINT"),
+            ("n_warn", "BIGINT"),
+            ("total_failing_rows", "BIGINT"),
+        ],
+        rows,
+    )

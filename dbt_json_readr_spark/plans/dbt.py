@@ -419,3 +419,37 @@ def dbt_column_name_lineage(spark: SparkSession, sf_dir: str, target: str = FIXT
         )
         .orderBy("child_unique_id", "column_name")
     )
+
+
+def dbt_test_results_rollup(spark: SparkSession, sf_dir: str, target: str = FIXTURE_TARGET) -> DataFrame:
+    """A25: per-MODEL test outcomes — A21 says which models HAVE
+    tests; this says how those tests WENT on the last run.  Test-run
+    rows (run_results over the r4-extended fixture: pass/fail/warn
+    statuses, failing-row counts) route to the models they guard via
+    the manifest's test→parent edges, so a two-parent relationship
+    test reports into BOTH endpoints."""
+    prep(spark)
+    rr = A.run_results(spark, f"{target}/run_results.json").filter(
+        F.col("unique_id").startswith("test.")
+    )
+    edges = A.manifest_edges(spark, _manifest(target)).filter(
+        F.col("dep_type") == "nodes"
+    )
+    routed = rr.join(
+        edges.select(
+            F.col("child_unique_id").alias("unique_id"),
+            F.col("parent_unique_id").alias("model_unique_id"),
+        ),
+        "unique_id",
+    )
+    return (
+        routed.groupBy("model_unique_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tests_run"),
+            F.sum((F.col("status") == "pass").cast("long")).alias("n_passed"),
+            F.sum(F.col("status").isin("fail", "error").cast("long")).alias("n_failed"),
+            F.sum((F.col("status") == "warn").cast("long")).alias("n_warn"),
+            F.sum("rows_affected").alias("total_failing_rows"),
+        )
+        .orderBy("model_unique_id")
+    )

@@ -51,6 +51,7 @@ for _key in [
     "dbt_source_coverage",
     "dbt_macro_usage",
     "dbt_column_name_lineage",
+    "dbt_test_results_rollup",
 ]:
     register(_key, getattr(dbt, _key), getattr(oracles, _key)())
 
@@ -383,6 +384,7 @@ _NEW_R4_LATE = [
     "dbt_column_name_lineage",
     "dedup_k_sweep",
     "corpus_dedup_token_savings",
+    "dbt_test_results_rollup",
 ]
 
 # Newest driver row is r2 (also pre-rebuild).  Ordered most
