@@ -268,6 +268,11 @@ register(
     streaming_jobs.streaming_cdc_merge_sink,
     streaming_jobs.STREAMING_CDC_MERGE_SQL,
 )
+register(
+    "streaming_hll_distinct",
+    streaming_jobs.streaming_hll_distinct,
+    streaming_jobs.STREAMING_HLL_DISTINCT_SQL,
+)
 
 
 # -------------------------------------------------------------------
@@ -385,6 +390,7 @@ _NEW_R4_LATE = [
     "dedup_k_sweep",
     "corpus_dedup_token_savings",
     "dbt_test_results_rollup",
+    "streaming_hll_distinct",
 ]
 
 # Newest driver row is r2 (also pre-rebuild).  Ordered most

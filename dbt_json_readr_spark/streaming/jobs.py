@@ -1195,3 +1195,59 @@ SELECT user_id,
 FROM ranked WHERE rn = 1
 ORDER BY user_id
 """
+
+
+# --------------------------------------------------------------- D18
+# Mergeable sketches ON THE STREAM: B71 proves HLL union in batch;
+# here the sketch aggregate runs inside the streaming engine itself —
+# per-partition sketches merge across micro-batches, which is how a
+# continuous distinct-users dashboard avoids unbounded exact state.
+
+
+def streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type distinct-user ESTIMATE maintained by hll_sketch_agg on
+    the stream (complete mode), audited in the honesty pattern: the
+    estimate is not oracle-portable, so the gated columns are the exact
+    batch counts plus within-3·rsd flags computed against the streamed
+    sketch (lgConfigK=12 ⇒ rsd ≈ 1.6%).
+
+    State posture: per (type) sketch bytes — KB per key regardless of
+    stream length — vs the exact formulation's per-user state (D12),
+    which grows with cardinality.  That exchange is the whole point of
+    sketches in streaming."""
+    prep(spark)
+    ev = events_stream(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_users")
+    )
+    streamed = _run_to_memory(agg, "stream_hll_distinct", "complete")
+    from ..sources.tables import load
+
+    tol = 3 * 1.04 / (2**12) ** 0.5
+    exact = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+    )
+    return (
+        streamed.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("est_users").cast("double") - F.col("exact_users"))
+                <= F.col("exact_users") * tol
+            ).alias("within_tol"),
+        )
+        .orderBy("event_type")
+    )
+
+
+STREAMING_HLL_DISTINCT_SQL = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       true AS within_tol
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
