@@ -4304,3 +4304,110 @@ ORDER BY source
 
 
 ORACLES["corpus_dedup_token_savings"] = _dedup_token_savings_sql()
+
+
+# ---------------------------------------------------------------- C68
+# From "how MUCH is duplicated" (C37) to "WHERE": positional merge of
+# duplicated windows into maximal spans — the unit you actually excise
+# in substring-level dedup (cutting mid-span corrupts both halves).
+
+
+def text_dup_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per doc: duplicated 8-token windows merged into maximal
+    consecutive runs via the gap-islands trick (pos − row_number() is
+    constant within a run), reporting span count and the longest
+    extent in tokens.
+
+    Cross-doc means df over DISTINCT docs (a phrase repeated inside
+    ONE doc is repetition (C27), not duplication).  Same
+    hash-only-shuffle shape as C37 — positions ride the 8-byte hash
+    rows; no gram strings, no pairwise comparisons."""
+    prep(spark)
+    docs = spread(load(spark, sf_dir, "documents"))
+    toks = H.tokens(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(toks) - (_SPAN_N - 1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, _SPAN_N)),
+    )
+    pos_spans = docs.select(
+        "doc_id", F.posexplode(F.transform(grams, lambda g: H.hash64(g, "span")))
+    ).select("doc_id", (F.col("pos") + 1).alias("pos"), F.col("col").alias("s"))
+    freq = pos_spans.groupBy("s").agg(
+        F.count_distinct("doc_id").alias("df_docs")
+    )
+    flagged = pos_spans.join(freq, "s").filter(F.col("df_docs") >= 2)
+    isl_w = W.partitionBy("doc_id").orderBy("pos")
+    islands = flagged.withColumn(
+        "island", F.col("pos") - F.row_number().over(isl_w)
+    )
+    per_island = islands.groupBy("doc_id", "island").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    totals = pos_spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_windows"))
+    agg = per_island.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("run_len").alias("n_dup_windows"),
+        (F.max("run_len") + (_SPAN_N - 1)).alias("longest_span_tokens"),
+    )
+    return (
+        totals.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.coalesce("longest_span_tokens", F.lit(0)).alias("longest_span_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _dup_span_extents_sql() -> str:
+    toks = H.sql_tokens("text")
+    return f"""
+WITH tk AS (
+  SELECT doc_id, {toks} AS t FROM documents
+),
+gr AS (
+  -- grams materialize HERE: DuckDB's binder rejects nested calls over
+  -- a captured column inside struct-literal values in a correlated
+  -- lambda, but plain list indexing (g[i]) binds fine
+  SELECT doc_id,
+         list_transform(range(1, greatest(1, len(t) - {_SPAN_N - 1}) + 1),
+                        i -> array_to_string(list_slice(t, i, i + {_SPAN_N - 1}), ' ')) AS g
+  FROM tk
+),
+pos_spans AS (
+  SELECT doc_id, u.pg['pos'] AS pos, {H.sql_hash64("u.pg['g']", 'span')} AS s
+  FROM gr, UNNEST(list_transform(range(1, len(g) + 1),
+                                 i -> {{'pos': i, 'g': g[i]}})) AS u(pg)
+),
+freq AS (SELECT s, count(DISTINCT doc_id) AS df_docs FROM pos_spans GROUP BY s),
+flagged AS (
+  SELECT p.doc_id, p.pos FROM pos_spans p JOIN freq f USING (s) WHERE f.df_docs >= 2
+),
+islands AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM flagged
+),
+per_island AS (
+  SELECT doc_id, island, count(*) AS run_len FROM islands GROUP BY doc_id, island
+),
+totals AS (SELECT doc_id, count(*) AS n_windows FROM pos_spans GROUP BY doc_id),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(run_len) AS BIGINT) AS n_dup_windows,
+         CAST(max(run_len) + {_SPAN_N - 1} AS BIGINT) AS longest_span_tokens
+  FROM per_island GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_windows,
+       COALESCE(a.n_spans, 0) AS n_spans,
+       COALESCE(a.n_dup_windows, 0) AS n_dup_windows,
+       COALESCE(a.longest_span_tokens, 0) AS longest_span_tokens
+FROM totals t LEFT JOIN agg a USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+ORACLES["text_dup_span_extents"] = _dup_span_extents_sql()

@@ -391,6 +391,7 @@ _NEW_R4_LATE = [
     "corpus_dedup_token_savings",
     "dbt_test_results_rollup",
     "streaming_hll_distinct",
+    "text_dup_span_extents",
 ]
 
 # Newest driver row is r2 (also pre-rebuild).  Ordered most
