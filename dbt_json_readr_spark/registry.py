@@ -273,6 +273,11 @@ register(
     streaming_jobs.streaming_hll_distinct,
     streaming_jobs.STREAMING_HLL_DISTINCT_SQL,
 )
+register(
+    "streaming_pysource_rollup",
+    streaming_jobs.streaming_pysource_rollup,
+    streaming_jobs.STREAMING_PYSOURCE_SQL,
+)
 
 
 # -------------------------------------------------------------------
@@ -392,6 +397,7 @@ _NEW_R4_LATE = [
     "dbt_test_results_rollup",
     "streaming_hll_distinct",
     "text_dup_span_extents",
+    "streaming_pysource_rollup",
 ]
 
 # Newest driver row is r2 (also pre-rebuild).  Ordered most

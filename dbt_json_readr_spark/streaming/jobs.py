@@ -1251,3 +1251,61 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# --------------------------------------------------------------- D19
+# The Python Data Source connector in STREAMING mode, gated: B64
+# proves batch determinism; this drains the partition-planned
+# DataSourceStreamReader (micro-batches over the generator's row
+# space) and must land on the identical rollup — connector
+# determinism across the streaming execution path, not just one scan.
+
+_PYSRC_N, _PYSRC_USERS = 5000, 200
+
+
+def streaming_pysource_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """availableNow drain of the synthetic-events streaming source
+    (several planned micro-batches of executor-side generated rows) →
+    per-type rollup.  Oracle = the same DuckDB replay of the
+    generator arithmetic B64 uses — stream and batch paths must be
+    byte-identical."""
+    prep(spark)
+    from ..sources import pysource
+
+    pysource.register(spark)
+    ev = (
+        spark.readStream.format("synthetic_events")
+        .option("n", _PYSRC_N)
+        .option("n_users", _PYSRC_USERS)
+        .option("rows_per_batch", 1250)
+        .option("partitions", 8)
+        .load()
+    )
+    # NOTE no count_distinct: distinct aggregates are unsupported on
+    # streams (that limitation is D12/D18's whole subject)
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        F.min("ts_us").alias("min_ts_us"),
+        F.max("event_id").alias("max_event_id"),
+    )
+    return _run_to_memory(agg, "stream_pysource_rollup", "complete")
+
+
+def _streaming_pysource_sql() -> str:
+    from ..sources.pysource import sql_generator_cte
+
+    return f"""
+WITH gen AS ({sql_generator_cte(_PYSRC_N, _PYSRC_USERS)})
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_value,
+       min(ts_us) AS min_ts_us,
+       max(event_id) AS max_event_id
+FROM gen
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+STREAMING_PYSOURCE_SQL = _streaming_pysource_sql()
