@@ -691,11 +691,8 @@ def minhash_containment_pairs(
     _per_doc_sketch's fused scan+agg is the documented 1 s win — and
     the persist only occupied executor storage."""
     rows = _shingle_rows(docs, k)
-    cand = (
-        _minhash_candidates(rows, n_hashes, bands, bucket_cap)
-        .select("doc_a", "doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    # _minhash_candidates already returns cross-band-deduped pairs
+    cand = _minhash_candidates(rows, n_hashes, bands, bucket_cap)
     counts = rows.groupBy("doc_id").agg(F.count("*").alias("n"))
     ra = cand.join(rows.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
     ri = ra.join(rows.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"])

@@ -641,7 +641,7 @@ def dbt_test_results_rollup() -> str:
             e[1] += st == "pass"
             e[2] += st in ("fail", "error")
             e[3] += st == "warn"
-            e[4] += r.get("adapter_response", {}).get("rows_affected") or 0
+            e[4] += (r.get("adapter_response") or {}).get("rows_affected") or 0
     rows = [(k, *v) for k, v in sorted(agg.items())]
     return _values_sql(
         [

@@ -449,7 +449,9 @@ def dbt_test_results_rollup(spark: SparkSession, sf_dir: str, target: str = FIXT
             F.sum((F.col("status") == "pass").cast("long")).alias("n_passed"),
             F.sum(F.col("status").isin("fail", "error").cast("long")).alias("n_failed"),
             F.sum((F.col("status") == "warn").cast("long")).alias("n_warn"),
-            F.sum("rows_affected").alias("total_failing_rows"),
+            # per-row coalesce: tests with no adapter_response (errored
+            # runs) must sum as 0, matching the oracle, not NULL the group
+            F.sum(F.coalesce("rows_affected", F.lit(0))).alias("total_failing_rows"),
         )
         .orderBy("model_unique_id")
     )

@@ -4177,11 +4177,17 @@ def dedup_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load(spark, sf_dir, "documents"))
     out = None
     for k in _KSWEEP:
-        cand = D.minhash_candidate_pairs(
-            docs, k=k, n_hashes=_MH_N, bands=_MH_BANDS
-        ).select("doc_a", "doc_b").distinct()
+        # candidate pairs come back already cross-band-deduped; the
+        # verified count takes the broadcast shape explicitly (this is
+        # an sf0.01-scale evidence key — skip the auto-gate's probe)
+        cand = D.minhash_candidate_pairs(docs, k=k, n_hashes=_MH_N, bands=_MH_BANDS)
         verified = D.minhash_lsh_pairs(
-            docs, k=k, n_hashes=_MH_N, bands=_MH_BANDS, threshold=_MH_TAU
+            docs,
+            k=k,
+            n_hashes=_MH_N,
+            bands=_MH_BANDS,
+            threshold=_MH_TAU,
+            broadcast_verify=True,
         )
         row = (
             cand.agg(F.count(F.lit(1)).alias("n_candidates"))
@@ -4343,11 +4349,16 @@ def text_dup_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_island = islands.groupBy("doc_id", "island").agg(
         F.count(F.lit(1)).alias("run_len")
     )
-    totals = pos_spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_windows"))
+    totals = docs.select(
+        "doc_id", F.size(H.tokens(F.col("text"))).cast("long").alias("n_tokens")
+    ).join(
+        pos_spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_windows")),
+        "doc_id",
+    )
     agg = per_island.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_spans"),
         F.sum("run_len").alias("n_dup_windows"),
-        (F.max("run_len") + (_SPAN_N - 1)).alias("longest_span_tokens"),
+        (F.max("run_len") + (_SPAN_N - 1)).alias("span_raw"),
     )
     return (
         totals.join(agg, "doc_id", "left")
@@ -4356,7 +4367,11 @@ def text_dup_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_windows",
             F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
             F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
-            F.coalesce("longest_span_tokens", F.lit(0)).alias("longest_span_tokens"),
+            # docs shorter than the window get ONE undersized window via
+            # the greatest() floor — a span can never exceed the doc
+            F.least(
+                F.coalesce("span_raw", F.lit(0)), F.col("n_tokens")
+            ).alias("longest_span_tokens"),
         )
         .orderBy("doc_id")
     )
@@ -4394,17 +4409,21 @@ islands AS (
 per_island AS (
   SELECT doc_id, island, count(*) AS run_len FROM islands GROUP BY doc_id, island
 ),
-totals AS (SELECT doc_id, count(*) AS n_windows FROM pos_spans GROUP BY doc_id),
+totals AS (
+  SELECT p.doc_id, count(*) AS n_windows, CAST(max(len(tk.t)) AS BIGINT) AS n_tokens
+  FROM pos_spans p JOIN tk ON tk.doc_id = p.doc_id
+  GROUP BY p.doc_id
+),
 agg AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
          CAST(sum(run_len) AS BIGINT) AS n_dup_windows,
-         CAST(max(run_len) + {_SPAN_N - 1} AS BIGINT) AS longest_span_tokens
+         CAST(max(run_len) + {_SPAN_N - 1} AS BIGINT) AS span_raw
   FROM per_island GROUP BY doc_id
 )
 SELECT t.doc_id, t.n_windows,
        COALESCE(a.n_spans, 0) AS n_spans,
        COALESCE(a.n_dup_windows, 0) AS n_dup_windows,
-       COALESCE(a.longest_span_tokens, 0) AS longest_span_tokens
+       least(COALESCE(a.span_raw, 0), t.n_tokens) AS longest_span_tokens
 FROM totals t LEFT JOIN agg a USING (doc_id)
 ORDER BY t.doc_id
 """

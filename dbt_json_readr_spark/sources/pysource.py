@@ -101,11 +101,18 @@ class _StreamReader(DataSourceStreamReader):
         return {"i": self.n}
 
     def partitions(self, start: dict, end: dict):
-        lo, hi = start["i"], min(end["i"], start["i"] + self.rows_per_batch * self.n_parts)
-        hi = max(hi, min(end["i"], lo + 1)) if lo < end["i"] else lo
+        # MUST cover [start, end) COMPLETELY: the engine commits `end`
+        # regardless of what we plan, so truncating here (the original
+        # rows_per_batch*n_parts cap) silently LOST rows whenever a
+        # batch spanned more than the cap — under availableNow the
+        # plain MicroBatchStream API captures latestOffset() once and
+        # plans ONE batch of the whole backlog (no admission control in
+        # pyspark 4.1.2's PythonMicroBatchStream).  rows_per_batch now
+        # bounds the PARTITION size (executor memory), never the batch.
+        lo, hi = start["i"], end["i"]
         if lo >= hi:
             return [_Range(lo, lo)]
-        step = max(1, -(-(hi - lo) // self.n_parts))
+        step = max(1, min(self.rows_per_batch, -(-(hi - lo) // self.n_parts)))
         return [_Range(a, min(a + step, hi)) for a in range(lo, hi, step)]
 
     def read(self, partition: _Range):

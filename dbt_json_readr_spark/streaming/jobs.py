@@ -1256,18 +1256,21 @@ ORDER BY event_type
 # --------------------------------------------------------------- D19
 # The Python Data Source connector in STREAMING mode, gated: B64
 # proves batch determinism; this drains the partition-planned
-# DataSourceStreamReader (micro-batches over the generator's row
-# space) and must land on the identical rollup — connector
-# determinism across the streaming execution path, not just one scan.
+# DataSourceStreamReader and must land on the identical rollup —
+# connector determinism across the streaming execution path (offset
+# lifecycle, stream planner, commit), not just one scan.  Under
+# availableNow the plain MicroBatchStream API plans ONE batch of the
+# whole backlog split into bounded partitions; incremental multi-batch
+# progress is exercised by the plumbing tests with repeated triggers.
 
 _PYSRC_N, _PYSRC_USERS = 5000, 200
 
 
 def streaming_pysource_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """availableNow drain of the synthetic-events streaming source
-    (several planned micro-batches of executor-side generated rows) →
-    per-type rollup.  Oracle = the same DuckDB replay of the
-    generator arithmetic B64 uses — stream and batch paths must be
+    (one full-backlog batch split into bounded executor-side-generated
+    partitions) → per-type rollup.  Oracle = the same DuckDB replay of
+    the generator arithmetic B64 uses — stream and batch paths must be
     byte-identical."""
     prep(spark)
     from ..sources import pysource

@@ -759,10 +759,6 @@ def test_referential_integrity_audit_counts_planted_orphans(spark, tmp_path):
         "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
     ).write.parquet(str(tmp_path / "d" / "customer.parquet"))
 
-    from dbt_json_readr_spark.sources.tables import load
-
-    child = load(spark, str(tmp_path / "d"), "customer")
-    parent = load(spark, str(tmp_path / "d"), "nation")
     # drive one relationship through the same code path the key uses
     rels = [("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey")]
     orig = tp._RI_RELS
@@ -809,3 +805,24 @@ def test_table_profile_audit_counts_planted_nulls(spark, tmp_path):
     assert prof["l_shipdate"].null_count == 1
     assert prof["l_extendedprice"].max_num == 200.0  # NULL ignored by max
     assert prof["l_linestatus"].null_count == 1 and prof["l_linestatus"].max_str == "O"
+
+
+def test_dup_span_extents_caps_span_at_short_doc_length(spark, tmp_path):
+    """A doc shorter than the 8-token window gets ONE undersized window
+    via the greatest() floor; its reported span must be capped at the
+    doc's own token count, not window_len + 7 (r4 review finding)."""
+    import dbt_json_readr_spark.plans.llm as lp
+
+    rows = [
+        (1, "alpha beta gamma delta eps", "en", "web", 25),      # 5 tokens
+        (2, "alpha beta gamma delta eps", "en", "web", 25),      # exact dup
+        (3, "one two three four five six seven eight nine", "en", "web", 44),
+    ]
+    (tmp_path / "d").mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "d" / "documents.parquet"))
+    got = {r.doc_id: r for r in lp.text_dup_span_extents(spark, str(tmp_path / "d")).collect()}
+    assert got[1].n_spans == 1 and got[2].n_spans == 1
+    assert got[1].longest_span_tokens == 5  # capped at doc length, not 8
+    assert got[3].n_spans == 0 and got[3].longest_span_tokens == 0

@@ -567,24 +567,28 @@ def test_pysource_stream_drains_to_batch_equality(spark):
     assert got == batch
 
 
-def test_pysource_stream_reader_plans_bounded_batches():
-    """Offset planning: each micro-batch advances by at most
-    rows_per_batch × partitions rows and splits into ≤ partitions
-    ranges — no batch ever materializes the whole row space."""
+def test_pysource_stream_reader_tiles_batches_completely():
+    """Offset planning: partitions(start, end) must tile [start, end)
+    COMPLETELY with rows_per_batch-bounded ranges.  The original
+    formulation capped coverage at rows_per_batch × partitions — but
+    the plain MicroBatchStream API commits `end` regardless of what
+    partitions() planned, so truncation silently DROPPED the rows past
+    the cap (caught by r4 code review; under availableNow the engine
+    plans the whole backlog as one batch)."""
     from dbt_json_readr_spark.sources.pysource import _StreamReader
 
     r = _StreamReader({"n": "1000", "rows_per_batch": "100", "partitions": "4"})
     assert r.initialOffset() == {"i": 0}
     assert r.latestOffset() == {"i": 1000}
     parts = r.partitions({"i": 0}, {"i": 1000})
-    assert len(parts) <= 4
-    hi = max(p.end for p in parts)
-    assert hi <= 400  # bounded by rows_per_batch * partitions
-    # ranges tile [0, hi) exactly
+    # complete coverage of the committed range — nothing lost
     covered = sorted((p.start, p.end) for p in parts)
     assert covered[0][0] == 0
+    assert max(p.end for p in parts) == 1000
     for (s1, e1), (s2, _e2) in zip(covered, covered[1:]):
         assert e1 == s2
+    # every partition stays executor-memory-bounded
+    assert all(p.end - p.start <= 100 for p in parts)
 
 
 def test_manifest_read_added_since_is_the_change_feed(spark, tmp_path):
