@@ -4430,3 +4430,88 @@ ORDER BY t.doc_id
 
 
 ORACLES["text_dup_span_extents"] = _dup_span_extents_sql()
+
+
+# ---------------------------------------------------------------- C69
+# Pearson correlation from exact integer moments — "does my quality
+# score just measure length?" is the first validity question against
+# any heuristic filter, and corr() must be partitioning-stable to be
+# gated (Spark's native corr() is a float accumulator — order-
+# dependent across partitions, so it could never hash-match).
+
+
+def corpus_length_quality_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Pearson r between doc length (chars) and the C9
+    quality score, computed from five BIGINT-exact sums (Σx, Σy, Σxy,
+    Σx², Σy² over integer chars × fixed-point quality micros).
+
+    The moments are emitted alongside r: they are the auditable part
+    (exact, order-independent), and r itself is three IEEE ops over
+    exact integers (two correctly-rounded sqrts + one division) —
+    bit-identical across engines because the expression trees match.
+    """
+    prep(spark)
+    docs = spread(load(spark, sf_dir, "documents"))
+    q = X.quality_score(X.quality_features(F.col("text")))
+    per_doc = docs.select(
+        "source",
+        F.col("n_chars").cast("long").alias("x"),
+        F.floor(q * 1_000_000).cast("long").alias("y"),
+    )
+    n = F.count(F.lit(1))
+    agg = per_doc.groupBy("source").agg(
+        n.alias("n_docs"),
+        F.sum("x").alias("sum_x"),
+        F.sum("y").alias("sum_y"),
+        F.sum(F.col("x") * F.col("y")).alias("sum_xy"),
+        F.sum(F.col("x") * F.col("x")).alias("sum_xx"),
+        F.sum(F.col("y") * F.col("y")).alias("sum_yy"),
+    )
+    num = F.col("n_docs") * F.col("sum_xy") - F.col("sum_x") * F.col("sum_y")
+    var_x = F.col("n_docs") * F.col("sum_xx") - F.col("sum_x") * F.col("sum_x")
+    var_y = F.col("n_docs") * F.col("sum_yy") - F.col("sum_y") * F.col("sum_y")
+    return (
+        agg.select(
+            "source",
+            "n_docs",
+            num.alias("cov_num"),
+            var_x.alias("var_x_num"),
+            var_y.alias("var_y_num"),
+            (
+                num.cast("double")
+                / (F.sqrt(var_x.cast("double")) * F.sqrt(var_y.cast("double")))
+            ).alias("pearson_r"),
+        )
+        .orderBy("source")
+    )
+
+
+def _length_quality_corr_sql() -> str:
+    # reuse the full C9 quality subquery (same pattern as C19's rollup)
+    return f"""
+WITH per_doc AS (
+  SELECT d.source, CAST(d.n_chars AS BIGINT) AS x,
+         CAST(floor(q.quality * 1000000) AS BIGINT) AS y
+  FROM ({_quality_sql()}) q JOIN documents d USING (doc_id)
+),
+agg AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+         CAST(sum(x * y) AS BIGINT) AS sum_xy,
+         CAST(sum(x * x) AS BIGINT) AS sum_xx,
+         CAST(sum(y * y) AS BIGINT) AS sum_yy
+  FROM per_doc GROUP BY source
+)
+SELECT source, n_docs,
+       CAST(n_docs * sum_xy - sum_x * sum_y AS BIGINT) AS cov_num,
+       CAST(n_docs * sum_xx - sum_x * sum_x AS BIGINT) AS var_x_num,
+       CAST(n_docs * sum_yy - sum_y * sum_y AS BIGINT) AS var_y_num,
+       CAST(n_docs * sum_xy - sum_x * sum_y AS DOUBLE)
+         / (sqrt(CAST(n_docs * sum_xx - sum_x * sum_x AS DOUBLE))
+            * sqrt(CAST(n_docs * sum_yy - sum_y * sum_y AS DOUBLE))) AS pearson_r
+FROM agg
+ORDER BY source
+"""
+
+
+ORACLES["corpus_length_quality_corr"] = _length_quality_corr_sql()

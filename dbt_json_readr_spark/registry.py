@@ -398,6 +398,7 @@ _NEW_R4_LATE = [
     "streaming_hll_distinct",
     "text_dup_span_extents",
     "streaming_pysource_rollup",
+    "corpus_length_quality_corr",
 ]
 
 # Newest driver row is r2 (also pre-rebuild).  Ordered most
