@@ -30,6 +30,33 @@ def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in formatted_plan(df) or "BroadcastNestedLoopJoin" in formatted_plan(df)
 
 
+def broadcast_hint_subtrees(df: DataFrame) -> list[str]:
+    """Text of the logical subtree under each broadcast ResolvedHint in
+    the ANALYZED plan (pre-optimizer, so hints are still visible as
+    nodes).  Used to audit hint *placement*: a scale-dependent side
+    (customer, orders, fact-derived aggregates) must never carry a
+    forced broadcast hint — AQE decides from runtime stats instead
+    (VERDICT r4 item 2)."""
+    plan = df._jdf.queryExecution().analyzed().toString()  # type: ignore[attr-defined]
+    lines = plan.splitlines()
+
+    def depth(s: str) -> int:
+        return len(s) - len(s.lstrip(" :+-"))
+
+    out = []
+    for i, line in enumerate(lines):
+        if "ResolvedHint" not in line or "broadcast" not in line.lower():
+            continue
+        d = depth(line)
+        sub: list[str] = []
+        for nxt in lines[i + 1 :]:
+            if depth(nxt) <= d:
+                break
+            sub.append(nxt)
+        out.append("\n".join(sub))
+    return out
+
+
 def python_eval_nodes(df: DataFrame) -> list[str]:
     """Row-at-a-time Python operators present in the plan (should be
     empty everywhere; Arrow nodes are reported separately)."""

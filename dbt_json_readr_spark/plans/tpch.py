@@ -97,9 +97,13 @@ ORDER BY l_returnflag, l_linestatus
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter → 3-way join → agg → top-N.
 
-    customer is tiny relative to orders/lineitem → broadcast both hops
-    stay shuffle-free on the dim side; only the orders⋈lineitem equi-join
-    shuffles, on l_orderkey.  Deterministic top-10 via unique tiebreaker.
+    Scale posture (VERDICT r4 item 2): only the filtered ``customer``
+    carries a broadcast hint — the orders⋈customer result is
+    FACT-derived (the date filter keeps most of orders), so forcing it
+    broadcast would OOM executors at 100×.  lineitem⋈orders shuffles on
+    orderkey; AQE may still elect a runtime broadcast at small SF, and
+    can bail at large SF because no hint pins it.  Deterministic top-10
+    via unique tiebreaker.
     """
     prep(spark)
     cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -112,7 +116,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = _dec("l_extendedprice") * (1 - _dec("l_discount"))
     return (
         li.join(
-            F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -142,8 +146,15 @@ LIMIT 10
 
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: star join over region→nation→customer/supplier with
-    the lineitem fact.  All dims broadcast; the only shuffles are the
-    fact-side equi-joins and the final 1-key agg.
+    the lineitem fact.
+
+    Scale posture (VERDICT r4 item 2): region/nation/supplier get
+    broadcast hints — their size is fixed (region/nation) or small
+    relative to the facts (supplier).  The customer-bearing ``dims``
+    side is UNHINTED: customer grows linearly with scale factor (tens
+    of GB at the 100 TB posture), so the join shuffles on
+    custkey+nationkey and AQE is free to elect broadcast only when the
+    runtime size statistics say it fits.
     """
     prep(spark)
     region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -163,7 +174,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(dims), (F.col("o_custkey") == F.col("c_custkey")) & (F.col("s_nationkey") == F.col("c_nationkey")))
+        .join(dims, (F.col("o_custkey") == F.col("c_custkey")) & (F.col("s_nationkey") == F.col("c_nationkey")))
         .groupBy("n_name")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
@@ -294,8 +305,11 @@ ORDER BY n_customers DESC, c_count DESC
 
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: HAVING on a fact aggregate, then join the
-    surviving keys back to the dims.  The qualifying-orders set is tiny →
-    broadcast it into orders/customer instead of re-joining the fact."""
+    surviving keys back to the dims.  The qualifying-orders set is
+    highly selective but still sf-linear, and customer scales with sf —
+    both joins are UNHINTED (VERDICT r4 item 2's class): they shuffle
+    on their keys, and AQE elects a runtime broadcast only when the
+    post-HAVING size statistics actually fit."""
     prep(spark)
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
@@ -306,8 +320,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sum_qty") > 250)
     )
     return (
-        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
         .orderBy(F.desc("sum_qty"), "o_orderkey")
     )
@@ -328,8 +342,11 @@ ORDER BY sum_qty DESC, o_orderkey
 
 def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: supplier-nation × customer-nation trade matrix.
-    Both nation hops broadcast; the fact shuffles once per fact-fact
-    equi-join (lineitem⋈orders)."""
+    Both nation hops and supplier broadcast (fixed / small dims); the
+    customer join is UNHINTED — customer scales with sf, so it shuffles
+    on custkey unless AQE's runtime stats elect broadcast (VERDICT r4
+    item 2).  The fact shuffles once per fact-fact equi-join
+    (lineitem⋈orders)."""
     prep(spark)
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -346,7 +363,7 @@ def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(supp_n), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cust_n), F.col("c_nationkey") == F.col("cn_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -424,8 +441,10 @@ ORDER BY p_brand
 
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: returned-lineitem revenue per customer, top-20.
-    The selective returnflag filter pushes into the fact scan; customer
-    and nation broadcast."""
+    The selective returnflag filter pushes into the fact scan; nation
+    broadcasts (fixed size), customer is UNHINTED — it scales with sf,
+    so the join shuffles on custkey with AQE free to elect broadcast
+    from runtime stats (VERDICT r4 item 2)."""
     prep(spark)
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     orders = load(spark, sf_dir, "orders")
@@ -434,7 +453,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = _dec("l_extendedprice") * (1 - _dec("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
@@ -528,11 +547,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     to AMERICA-region customers in 1996-1997, the per-year share of
     revenue supplied by NATION_7 suppliers.
 
-    Scale posture: part/supplier/nation/region/customer are all dims →
-    broadcast on both the fact side (part, supplier⋈nation) and the
-    orders side (customer⋈nation⋈region).  The only shuffle is the
-    lineitem⋈orders equi-join on orderkey, then a tiny per-year agg.
-    The share ratio divides two exact decimal sums once, at the end.
+    Scale posture (VERDICT r4 item 2): part/supplier/nation/region get
+    broadcast hints (fixed or fact-relative-small); the
+    customer⋈nation⋈region side is UNHINTED — customer scales linearly
+    with sf, so orders⋈cust shuffles on custkey and AQE elects
+    broadcast only when runtime stats fit.  lineitem⋈orders shuffles on
+    orderkey, then a tiny per-year agg.  The share ratio divides two
+    exact decimal sums once, at the end.
     """
     prep(spark)
     part = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
@@ -558,7 +579,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
         )
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select("o_orderkey", "o_orderdate")
     )
     li = load(spark, sf_dir, "lineitem")

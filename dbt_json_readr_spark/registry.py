@@ -283,21 +283,19 @@ register(
 # -------------------------------------------------------------------
 # Driver-gate ordering.  The driver records CORRECTNESS rows for only the
 # FIRST 50 keys in queries() insertion order, so registration order IS
-# the correctness gate.  Round-4 rotation policy (VERDICT r3 item 2):
-# the container was rebuilt mid-r3 (pyspark 4.1.2, regenerated
-# testdata), so every key whose newest driver row predates the rebuild
-# must earn a fresh row.  Priority: (1) keys that are new or changed
-# this round, (2) keys whose newest green row is r1, oldest evidence
-# first, (3) keys whose newest green row is r2 — the overflow rotates
-# into the r5 window.  Rotated-out keys stay covered by
+# the correctness gate.  Round-5 rotation policy (VERDICT r4 item 1):
+# the 40 keys that landed after the r4 window locked (_NEW_R4_LATE)
+# have ZERO driver rows in any round — they claim slots first.  The
+# remaining 10 slots go to the head of _STALE_R2 (newest driver row is
+# r2, pre-container-rebuild), which guarantees the five keys VERDICT
+# named: dedup_minhash_lsh (rewritten twice since its r2 row),
+# dedup_exact, streaming_windowed_agg, ann_recall_eval,
+# multimodal_decode.  Rotated-out keys stay covered by
 # tests/test_oracle_parity.py (every key, sf0.01, exact values).
 GATE_WINDOW = 50
 
-# New or semantically changed this round — a driver row under the NEW
-# definition does not exist yet.  multimodal_stub leads: it gained a
-# content oracle in r4 (was rows-only), q9/q16 moved from -lite to the
-# real partsupp shapes, the rest are brand-new keys.
-_NEW_THIS_ROUND = [
+# Gated green in r4 (CORRECTNESS_r04.json, 50/50) — rotate out.
+_R4_GATED_NEW = [
     "multimodal_stub",
     "q2_min_cost_supplier",
     "q11_important_stock",
@@ -315,9 +313,8 @@ _NEW_THIS_ROUND = [
     "dedup_incremental",
 ]
 
-# Newest driver row is r1 (pre-rebuild container, old timestamp
-# encoding) — re-gate before the r2 cohort.
-_STALE_R1 = [
+# Gated green in r4 (were stale-r1 entering the round) — rotate out.
+_R4_GATED_STALE = [
     "asof_join_events_orders",
     "dbt_catalog_columns",
     "dbt_lineage_closure",
@@ -356,8 +353,8 @@ _STALE_R1 = [
 ]
 
 # Landed after the r4 window was locked (15 new + 35 stale-r1 filled
-# all 50 slots): covered by the local parity suite this round, first
-# in line for driver rows in the r5 window.
+# all 50 slots): zero driver rows in any round — they lead the r5
+# window (VERDICT r4 item 1).
 _NEW_R4_LATE = [
     "dbt_lineage_closure_rcte",
     "streaming_left_outer_join",
@@ -401,8 +398,9 @@ _NEW_R4_LATE = [
     "corpus_length_quality_corr",
 ]
 
-# Newest driver row is r2 (also pre-rebuild).  Ordered most
-# load-bearing first; the tail past the window rotates into r5.
+# Newest driver row is r2 (pre-rebuild).  Ordered most load-bearing
+# first; the head fills the 10 slots left after _NEW_R4_LATE, the tail
+# rotates into r6.
 _STALE_R2 = [
     "dbt_manifest_nodes",
     "dbt_manifest_unified",
@@ -455,8 +453,17 @@ _STALE_R2 = [
     "text_token_count",
 ]
 
-assert len(_NEW_THIS_ROUND) + len(_STALE_R1) <= GATE_WINDOW
-_GATE_PRIORITY = (_NEW_THIS_ROUND + _STALE_R1 + _NEW_R4_LATE + _STALE_R2)[:GATE_WINDOW]
+assert len(_NEW_R4_LATE) <= GATE_WINDOW
+_GATE_PRIORITY = (_NEW_R4_LATE + _STALE_R2)[:GATE_WINDOW]
+# VERDICT r4 named these five as guaranteed r5 slots; pin it.
+for _k in (
+    "dedup_minhash_lsh",
+    "dedup_exact",
+    "streaming_windowed_agg",
+    "ann_recall_eval",
+    "multimodal_decode",
+):
+    assert _k in _GATE_PRIORITY, f"guaranteed r5 gate slot lost: {_k}"
 
 
 def _gate_ordered() -> dict[str, tuple[QueryFn, str | None]]:

@@ -39,6 +39,39 @@ def test_q5_broadcasts_dimension_tables(spark):
     assert explain.has_broadcast_join(q5_region_revenue(spark, SF))
 
 
+def test_no_forced_broadcast_of_scale_dependent_sides(spark):
+    """VERDICT r4 item 2: customer grows linearly with scale factor and
+    orders is a fact — neither may carry a FORCED broadcast hint in any
+    TPC-H plan (AQE may still elect a runtime broadcast at small SF;
+    that's fine because it can bail at large SF).  The analyzed-plan
+    hint subtrees are the ground truth: no hinted subtree may contain
+    orders columns, and none may contain customer columns except Q3's
+    single sanctioned filtered-customer dim hint."""
+    from dbt_json_readr_spark.plans import tpch
+
+    cases = {
+        # fn -> number of hinted subtrees allowed to contain c_custkey
+        tpch.q3_shipping_priority: 1,  # the c_mktsegment-filtered dim
+        tpch.q5_region_revenue: 0,
+        tpch.q7_nation_trade: 0,
+        tpch.q8_market_share: 0,
+        tpch.q10_returned_items: 0,
+        tpch.q18_large_orders: 0,
+    }
+    for fn, cust_allowed in cases.items():
+        subs = explain.broadcast_hint_subtrees(fn(spark, SF))
+        with_orders = [s for s in subs if "o_orderkey" in s or "o_custkey" in s]
+        assert not with_orders, f"{fn.__name__}: forced broadcast hint over orders"
+        with_cust = [s for s in subs if "c_custkey" in s]
+        assert len(with_cust) <= cust_allowed, (
+            f"{fn.__name__}: forced broadcast hint over customer-bearing side"
+        )
+    # q3's sanctioned hint really is the filtered customer dim, nothing more
+    q3_subs = explain.broadcast_hint_subtrees(tpch.q3_shipping_priority(spark, SF))
+    cust_sub = [s for s in q3_subs if "c_custkey" in s]
+    assert len(cust_sub) == 1 and "c_mktsegment" in cust_sub[0]
+
+
 @pytest.mark.parametrize(
     "key", [k for k in registry.queries() if k not in SKIP_PLAN]
 )
