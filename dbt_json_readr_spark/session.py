@@ -144,25 +144,34 @@ def observed(df, name: str, *metrics):
     return df.observe(obs, *metrics), obs
 
 
-_SCRATCH_DIRS: dict[tuple, str] = {}
+_SCRATCH_LIVE: list[str] = []
 
 
 def scratch_dir(slot: str) -> str:
-    """Fresh per-call scratch directory with latest-wins cleanup.
+    """Fresh per-call scratch directory; deletion deferred to process
+    exit (atexit), NOT to the next call on the same slot.
 
     mkdtemp gives every call (and every concurrent process) its own
-    directory — no cross-run rmtree races on a fixed path, and a lazy
-    DataFrame returned by the PREVIOUS call keeps its files until the
-    next call on the same (process, slot) rotates them out: the same
-    latest-wins discipline as rotate_cached, bounding /tmp growth to
-    one live dir per slot."""
+    directory — no cross-run rmtree races on a fixed path — and because
+    nothing is deleted until the interpreter exits, a lazy DataFrame
+    returned by an EARLIER call of the same key (incremental view
+    maintenance, the streaming manifest sinks) stays readable after a
+    newer invocation (ADVICE r4: the old latest-wins rotation broke
+    prior same-process handles with missing-file errors).  /tmp growth
+    is bounded by one process's calls; dirs from a crashed process
+    persist until the host clears /tmp — the price of never deleting
+    another live process's files."""
+    import atexit
     import shutil
     import tempfile
 
-    key = (slot,)
-    old = _SCRATCH_DIRS.get(key)
-    if old:
-        shutil.rmtree(old, ignore_errors=True)
+    if not _SCRATCH_LIVE:
+
+        def _cleanup() -> None:
+            for d in _SCRATCH_LIVE:
+                shutil.rmtree(d, ignore_errors=True)
+
+        atexit.register(_cleanup)
     path = tempfile.mkdtemp(prefix=f"dbt_json_readr_spark_{slot}_")
-    _SCRATCH_DIRS[key] = path
+    _SCRATCH_LIVE.append(path)
     return path

@@ -826,3 +826,45 @@ def test_dup_span_extents_caps_span_at_short_doc_length(spark, tmp_path):
     assert got[1].n_spans == 1 and got[2].n_spans == 1
     assert got[1].longest_span_tokens == 5  # capped at doc length, not 8
     assert got[3].n_spans == 0 and got[3].longest_span_tokens == 0
+
+
+def test_containment_emits_dropped_block_evidence(spark, tmp_path, monkeypatch):
+    """VERDICT r4 item 6: an over-cap lang block must surface a
+    status='dropped_block' row (lang + block size) instead of silently
+    contributing nothing — and the oracle SQL replays the same rows."""
+    import duckdb
+
+    import dbt_json_readr_spark.plans.llm as lp
+    from tests.oracle_utils import normalize_rows
+
+    rows = [
+        # 'en' block: 3 docs > cap of 2 → dropped, with evidence
+        (1, "aaaa bbbb cccc dddd", "en", "web", 19),
+        (2, "aaaa bbbb cccc dddd", "en", "web", 19),
+        (3, "something else entirely", "en", "web", 23),
+        # 'fr' block: 2 docs ≤ cap → pair survives (exact dup → containment 1.0)
+        (4, "bonjour le monde entier", "fr", "web", 23),
+        (5, "bonjour le monde entier", "fr", "web", 23),
+    ]
+    (tmp_path / "d").mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "d" / "documents.parquet"))
+    monkeypatch.setattr(lp, "_CONT_BLOCK_CAP", 2)
+    got = lp.dedup_containment(spark, str(tmp_path / "d")).collect()
+    dropped = [r for r in got if r.status == "dropped_block"]
+    pairs = [r for r in got if r.status == "pair"]
+    assert [(r.block_lang, r.block_n) for r in dropped] == [("en", 3)]
+    assert [(r.doc_a, r.doc_b) for r in pairs] == [(4, 5)]
+    assert pairs[0].cont_a_in_b == 1.0 and pairs[0].block_n == 2
+
+    con = duckdb.connect()
+    glob = str(tmp_path / "d" / "documents.parquet" / "*.parquet")
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
+    rel = con.sql(lp._containment_sql())
+    s = normalize_rows(
+        lp.dedup_containment(spark, str(tmp_path / "d")).columns,
+        [tuple(r) for r in got],
+    )
+    d = normalize_rows(list(rel.columns), rel.fetchall())
+    assert s == d
