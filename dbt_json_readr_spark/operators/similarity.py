@@ -207,6 +207,101 @@ def pq_distance_table(
     )
 
 
+def normalized_subspace_components(
+    corpus: DataFrame, n_subdim: int = 8
+) -> DataFrame:
+    """(vec_id, ss, sd, qv): fixed-point components of the UNIT-
+    normalized vector, keyed by (subspace, subdim).
+
+    Normalizing first makes quantized squared-L2 track cosine exactly
+    (for unit vectors ‖a−b‖² = 2−2·cos(a,b)), which closes the
+    L2-vs-cosine metric gap VERDICT r4 measured at recall@5 = 0.12 on
+    the unnormalized ADC.  The norm is the portable left-fold
+    (functions/vectors.py) and the division happens BEFORE the floor
+    quantization, so both engines produce identical integers."""
+    base = corpus.select(
+        "vec_id", V.to_double(F.col("embedding")).alias("v")
+    ).withColumn("nrm", V.norm(F.col("v")))
+    return base.select(
+        "vec_id", "nrm", F.posexplode("v").alias("dim", "val")
+    ).select(
+        "vec_id",
+        (F.col("dim").cast("long") / n_subdim).cast("int").alias("ss"),
+        (F.col("dim") % n_subdim).cast("int").alias("sd"),
+        F.floor(F.col("val") / F.col("nrm") * QUANT).cast("long").alias("qv"),
+    )
+
+
+def _pq_codebook_assign(comp_sub: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, ss, code): nearest code per (vector, subspace) by
+    integer squared-L2 — Lloyd's assignment step generalized with the
+    subspace key (all subspaces train simultaneously)."""
+    diff = F.col("qv") - F.col("qc")
+    dist = (
+        comp_sub.join(F.broadcast(cent), ["ss", "sd"])
+        .groupBy("vec_id", "ss", "code")
+        .agg(F.sum(diff * diff).alias("dist"))
+    )
+    w = W.partitionBy("vec_id", "ss").orderBy("dist", "code")
+    return (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "ss", "code")
+    )
+
+
+def pq_train_codebooks(
+    comp_sub: DataFrame, n_codes: int = 16, iters: int = 2
+) -> DataFrame:
+    """Per-subspace PQ codebooks trained with fixed-point Lloyd rounds
+    (the real PQ trainer — Jégou's codebooks are per-subspace k-means,
+    not shared label centroids).  Returns (ss, code, sd, qc),
+    materialized (the table is tiny: subspaces × codes × subdims rows).
+
+    Seeding is deterministic (first ``n_codes`` vec_ids' subvectors),
+    every distance/update is integer arithmetic on the fixed-point
+    components, and empty codes drop out — so an unrolled-CTE oracle
+    replays the identical rounds bit-for-bit, the same contract as
+    operators/kmeans.py.  ``comp_sub`` should be persisted by the
+    caller (it is scanned ``2·iters + 1`` times)."""
+    cent = (
+        comp_sub.filter(F.col("vec_id") < n_codes)
+        .select("ss", F.col("vec_id").cast("int").alias("code"), "sd", F.col("qv").alias("qc"))
+        .persist()
+    )
+    cent.count()
+    for _ in range(iters):
+        assigned = _pq_codebook_assign(comp_sub, cent)
+        prev = cent
+        cent = (
+            assigned.join(comp_sub, ["vec_id", "ss"])
+            .groupBy("ss", "code", "sd")
+            .agg(
+                F.floor(F.sum("qv").cast("double") / F.count(F.lit(1)))
+                .cast("long")
+                .alias("qc")
+            )
+            .persist()
+        )
+        cent.count()
+        prev.unpersist()
+    return cent
+
+
+def pq_distance_table_trained(
+    comp_sub: DataFrame, cent: DataFrame
+) -> DataFrame:
+    """(vec_id, subspace, code, dqsum) against TRAINED codebooks —
+    integer-exact, the shared block for trained-PQ assignment and the
+    ADC query lookup tables."""
+    diff = F.col("qv") - F.col("qc")
+    return (
+        comp_sub.join(F.broadcast(cent), ["ss", "sd"])
+        .groupBy("vec_id", F.col("ss").alias("subspace"), "code")
+        .agg(F.sum(diff * diff).alias("dqsum"))
+    )
+
+
 def kmeans_ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

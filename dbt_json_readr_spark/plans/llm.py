@@ -2262,6 +2262,14 @@ ORDER BY n_docs DESC, term
 # ---------------------------------------------------------------- C42
 
 _PQ_SUBDIM, _PQ_CODES = 8, 4
+# trained-ADC knobs (C63/C64): Lloyd-trained per-subspace codebooks over
+# unit-normalized vectors.  Chosen from a measured sf0.01 sweep (r5):
+#   subdim=8 codes=16 → recall@5 0.28; 4/16 → 0.34; 4/32 → 0.42;
+#   2/16 → 0.60 (128 bits/vec); 4/64 → 0.66 (96 bits/vec, 21×
+#   compression) ← picked: best recall at the best compression.
+# Extra Lloyd rounds beyond 2 did not help (structure-free synthetic
+# embeddings — same finding as ann_sweep_eval's IVF curve).
+_ADC_SUBDIM, _ADC_CODES, _ADC_ITERS = 4, 64, 2
 
 
 def embedding_pq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3973,25 +3981,38 @@ ORACLES["corpus_temperature_mix"] = CORPUS_TEMPERATURE_MIX_SQL
 
 
 def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-5 neighbors per query by PQ asymmetric distance: db vectors
-    are their pq_assign codes, each query precomputes its distance to
-    every (subspace, code) cell, and the estimated distance is the
-    8-term sum of lookups — BIGINT-exact end to end, so Spark and
-    DuckDB agree bit-for-bit (same floor-quantized arithmetic as the
-    PQ audit, argmin/ranking on integers).
+    """Top-5 neighbors per query by PQ asymmetric distance over UNIT-
+    NORMALIZED vectors and Lloyd-TRAINED per-subspace codebooks
+    (VERDICT r4 item 4): db vectors are their trained-code assignments
+    (16 subspaces × 6 bits = 96 bits per vector, 21× compression), each
+    query precomputes its distance to every (subspace, code) cell, and
+    the estimated distance is the 16-term sum of lookups — BIGINT-exact
+    end to end, so Spark and DuckDB agree bit-for-bit (fixed-point
+    arithmetic throughout, argmin/ranking on integers).
 
-    Scale shape: the db side carries only (vec_id, subspace, code)
-    — compressed 64× vs raw floats — and the join key is
-    (subspace, code): 32 cells total, so the per-query cost is a
-    broadcast-sized lookup table against code rows, never a
-    vector-by-vector distance.  One pq_distance_table pass feeds BOTH
-    the db assignment and the query tables (persisted via the session
+    Why this tracks cosine: for unit vectors ‖a−b‖² = 2−2·cos(a,b), so
+    exact squared-L2 ranking IS cosine ranking — the r4 metric gap
+    (quantized L2 on raw vectors vs cosine truth, recall@5 0.12) is
+    structural zero here; the only remaining error is quantization,
+    which the trained 64-code 4-dim-subspace codebooks minimize
+    (measured recall@5 0.66 at sf0.01, ann_adc_recall_eval).
+
+    Scale shape: the db side carries only (vec_id, subspace, code) —
+    compressed 64× vs raw floats — and the join key is
+    (subspace, code): subspaces × codes cells total, so the per-query
+    cost is a broadcast-sized lookup table against code rows, never a
+    vector-by-vector distance.  Codebook training touches only the
+    narrow component table (persisted; Lloyd's update is
+    codes × subdims rows); one distance-table pass feeds BOTH the db
+    assignment and the query tables (persisted via the session
     cache-rotation slot).
     """
     prep(spark)
     emb = load(spark, sf_dir, "embeddings")
-    dq = S.pq_distance_table(emb, n_subdim=_PQ_SUBDIM, n_codes=_PQ_CODES).persist()
-    rotate_cached("pq_adc", [dq])
+    sub = S.normalized_subspace_components(emb, n_subdim=_ADC_SUBDIM).persist()
+    cents = S.pq_train_codebooks(sub, n_codes=_ADC_CODES, iters=_ADC_ITERS)
+    dq = S.pq_distance_table_trained(sub, cents).persist()
+    rotate_cached("pq_adc", [sub, cents, dq])
     w_assign = W.partitionBy("vec_id", "subspace").orderBy("dqsum", "code")
     db = (
         dq.withColumn("rn", F.row_number().over(w_assign))
@@ -4015,22 +4036,68 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _adc_trained_ctes() -> str:
+    """Unrolled-CTE replay of the normalized components + per-subspace
+    Lloyd codebook training + distance table (ends with CTE ``dq``) —
+    the same contract as the kmeans oracle (_km_assign_sql): identical
+    fixed-point arithmetic, so hashes must agree."""
+    parts = [
+        f"""e AS (
+  SELECT vec_id, {V.sql_to_double('embedding')} AS v FROM embeddings
+),
+en AS (
+  SELECT vec_id, v, sqrt({V.sql_dot('v', 'v')}) AS nrm FROM e
+),
+scomp AS (
+  SELECT vec_id,
+         CAST((t.dim - 1) // {_ADC_SUBDIM} AS INTEGER) AS ss,
+         CAST((t.dim - 1) % {_ADC_SUBDIM} AS INTEGER) AS sd,
+         CAST(floor(v[t.dim] / nrm * {S.QUANT}) AS BIGINT) AS qv
+  FROM en, UNNEST(range(1, len(v)+1)) AS t(dim)
+),
+pcent0 AS (
+  SELECT ss, CAST(vec_id AS INTEGER) AS code, sd, qv AS qc
+  FROM scomp WHERE vec_id < {_ADC_CODES}
+)"""
+    ]
+    cent = "pcent0"
+    for i in range(1, _ADC_ITERS + 1):
+        parts.append(
+            f"""pa{i}_d AS (
+  SELECT c.vec_id, c.ss, t.code,
+         CAST(sum((c.qv - t.qc) * (c.qv - t.qc)) AS BIGINT) AS dist
+  FROM scomp c JOIN {cent} t ON c.ss = t.ss AND c.sd = t.sd
+  GROUP BY c.vec_id, c.ss, t.code
+),
+pa{i} AS (
+  SELECT vec_id, ss, code FROM (
+    SELECT vec_id, ss, code,
+           row_number() OVER (PARTITION BY vec_id, ss ORDER BY dist, code) AS rn
+    FROM pa{i}_d
+  ) WHERE rn = 1
+),
+pcent{i} AS (
+  SELECT a.ss, a.code, c.sd,
+         CAST(floor(CAST(CAST(sum(c.qv) AS VARCHAR) AS DOUBLE) / count(*)) AS BIGINT) AS qc
+  FROM pa{i} a JOIN scomp c ON a.vec_id = c.vec_id AND a.ss = c.ss
+  GROUP BY a.ss, a.code, c.sd
+)"""
+        )
+        cent = f"pcent{i}"
+    parts.append(
+        f"""dq AS (
+  SELECT c.vec_id, c.ss AS subspace, t.code,
+         CAST(sum((c.qv - t.qc) * (c.qv - t.qc)) AS BIGINT) AS dqsum
+  FROM scomp c JOIN {cent} t ON c.ss = t.ss AND c.sd = t.sd
+  GROUP BY c.vec_id, c.ss, t.code
+)"""
+    )
+    return ",\n".join(parts)
+
+
 def _ann_pq_adc_sql() -> str:
     return f"""
-WITH {_CENT_SQL_BASE},
-codes AS (
-  SELECT label AS code, dim, c FROM cent_dim WHERE label < {_PQ_CODES}
-),
-vcomp AS (
-  SELECT vec_id, t.dim AS dim, v[t.dim] AS val
-  FROM e, UNNEST(range(1, len(v)+1)) AS t(dim)
-),
-dq AS (
-  SELECT v.vec_id, CAST((v.dim - 1) // {_PQ_SUBDIM} AS INTEGER) AS subspace, k.code,
-         CAST(sum(CAST(floor((v.val - k.c) * (v.val - k.c) * {S.QUANT}) AS BIGINT)) AS BIGINT) AS dqsum
-  FROM vcomp v JOIN codes k USING (dim)
-  GROUP BY v.vec_id, (v.dim - 1) // {_PQ_SUBDIM}, k.code
-),
+WITH {_adc_trained_ctes()},
 db AS (
   SELECT vec_id, subspace, code FROM (
     SELECT vec_id, subspace, code,
@@ -4072,11 +4139,12 @@ def ann_adc_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query recall@5 of PQ-ADC top-5 vs exact cosine top-5 —
     integer overlap counts, one exact double division per query.
 
-    Note the metric mismatch is PART of what is measured: ADC ranks by
-    quantized squared L2, ground truth by cosine — on unnormalized
-    embeddings the best possible ADC recall is bounded by that metric
-    gap, not just quantization error.  The number is evidence for
-    sizing (n_codes, n_subdim), not a correctness bar.
+    Since r5 the ADC operates on unit-normalized vectors (squared-L2
+    ranking == cosine ranking for unit vectors), so this measures pure
+    quantization error — no metric gap.  Measured mean recall@5 at
+    sf0.01: 0.66 with the trained 4-dim/64-code codebooks (was 0.12 in
+    r4 with 4 shared label centroids on raw vectors; the sweep behind
+    the chosen config is recorded at the _ADC_* constants).
     """
     prep(spark)
     emb = load(spark, sf_dir, "embeddings")
