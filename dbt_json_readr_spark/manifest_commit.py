@@ -52,6 +52,38 @@ class CommitAuditError(RuntimeError):
     (invisible) until vacuum."""
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Raised when a commit loses the version CAS race more times than
+    the retry budget — only under sustained contention; a normal loser
+    transparently retries onto the winner's version."""
+
+
+class SchemaEvolutionError(RuntimeError):
+    """Raised when an appended batch redefines an existing column with
+    an incompatible type — evolution ADDS columns (null-filled for old
+    files); it never silently changes one."""
+
+
+def _merge_schemas(parent: T.StructType, batch: T.StructType) -> T.StructType:
+    """mergeSchema semantics at the manifest level: parent columns keep
+    their order, batch-only columns append; a name collision with a
+    different type fails loudly (same contract as
+    sources/files.py read_parquet_evolving, whose null-fill the reader
+    relies on for old files missing new columns)."""
+    by_name = {f.name: f for f in parent.fields}
+    out = list(parent.fields)
+    for f in batch.fields:
+        prev = by_name.get(f.name)
+        if prev is None:
+            out.append(f)
+        elif prev.dataType != f.dataType:
+            raise SchemaEvolutionError(
+                f"column {f.name!r}: {prev.dataType.simpleString()} -> "
+                f"{f.dataType.simpleString()} is not an additive evolution"
+            )
+    return T.StructType(out)
+
+
 class ManifestTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -63,11 +95,20 @@ class ManifestTable:
 
     # ------------------------------------------------------------ read
     def current_version(self) -> int:
+        """Latest PUBLISHED version.  The manifest chain is the source
+        of truth; ``_latest`` is a hint that is rolled FORWARD past any
+        consecutively numbered manifest above it — so a writer that
+        crashed between manifest creation and pointer swap (or a
+        transiently regressed pointer under concurrent swaps) never
+        hides a fully published commit."""
         try:
             with open(os.path.join(self._manifests, "_latest")) as f:
-                return int(f.read().strip())
+                v = int(f.read().strip())
         except FileNotFoundError:
-            return 0
+            v = 0
+        while os.path.exists(os.path.join(self._manifests, f"manifest-{v + 1}.json")):
+            v += 1
+        return v
 
     def _manifest(self, version: int) -> dict:
         with open(os.path.join(self._manifests, f"manifest-{version}.json")) as f:
@@ -172,9 +213,54 @@ class ManifestTable:
         ``replace_partitions=True`` (dynamic partition overwrite)
         carries forward only the parent files whose partition the batch
         does NOT touch: the rewrite cost of an upsert becomes
-        O(touched partitions), not O(table)."""
+        O(touched partitions), not O(table).
+
+        Concurrency (VERDICT r4 item 5): publishing is an optimistic
+        CAS on the version number — ``manifest-<v+1>.json`` is created
+        with hard-link-exclusive semantics, so of two writers racing
+        the same parent exactly ONE wins; the loser re-reads the new
+        state, rebuilds its carried file list + merged schema on top of
+        the winner, and retries (its staged files never move).  No
+        committed batch can be silently lost to a pointer overwrite.
+
+        Schema evolution (same VERDICT item): an append whose batch
+        adds columns publishes the UNION schema (parent order first);
+        old files null-fill the new columns at read time.  Redefining
+        an existing column's type raises ``SchemaEvolutionError``."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unsupported mode: {mode}")
+        commit_id, staged, parts, actual = self._stage_and_audit(
+            df, partition_by, expected_rows
+        )
+        for _ in range(20):
+            parent = self.current_version()
+            version = parent + 1
+            manifest = self._build_manifest(
+                version=version,
+                parent=parent,
+                commit_id=commit_id,
+                staged=staged,
+                parts=parts,
+                actual=actual,
+                batch_schema=df.schema,
+                mode=mode,
+                batch_id=batch_id,
+                partition_by=partition_by,
+                replace_partitions=replace_partitions,
+            )
+            if self._try_publish(version, manifest):
+                return version
+        raise ConcurrentCommitError(
+            f"lost the version CAS 20 times publishing commit {commit_id}"
+        )
+
+    # ------------------------------------------ write internals
+    def _stage_and_audit(
+        self,
+        df: DataFrame,
+        partition_by: str | None,
+        expected_rows: int | None,
+    ) -> tuple[str, list[str], dict[str, str], int]:
         commit_id = uuid.uuid4().hex
         staging = os.path.join(self._data, commit_id)
         # WRITE — crash here leaves an unreferenced directory, nothing more
@@ -219,15 +305,31 @@ class ManifestTable:
                 f"staged rows {actual} != expected {expected_rows}; "
                 f"commit {commit_id} NOT published"
             )
-        # PUBLISH — manifest then pointer, each via atomic os.replace
-        parent = self.current_version()
-        version = parent + 1
+        return commit_id, staged, parts, actual
+
+    def _build_manifest(
+        self,
+        *,
+        version: int,
+        parent: int,
+        commit_id: str,
+        staged: list[str],
+        parts: dict[str, str],
+        actual: int,
+        batch_schema: T.StructType,
+        mode: str,
+        batch_id: int | None,
+        partition_by: str | None,
+        replace_partitions: bool,
+    ) -> dict:
         files = [
             {"path": p, **({"partition": parts[p]} if p in parts else {})}
             for p in staged
         ]
+        schema = batch_schema
         if parent > 0:
-            carried = self._manifest(parent)["files"]
+            pm = self._manifest(parent)
+            carried = pm["files"]
             if replace_partitions and partition_by:
                 touched = set(parts.values())
                 files = [
@@ -235,22 +337,48 @@ class ManifestTable:
                 ] + files
             elif mode == "append":
                 files = carried + files
-        manifest = {
+            if mode == "append" or (replace_partitions and partition_by):
+                schema = _merge_schemas(
+                    T.StructType.fromJson(pm["schema"]), batch_schema
+                )
+        return {
             "version": version,
             "parent": parent,
             "batch_id": batch_id,
             "commit_id": commit_id,
             "rows_added": actual,
             "partition_by": partition_by,
-            "schema": df.schema.jsonValue(),
+            "schema": schema.jsonValue(),
             "files": files,
         }
-        self._atomic_write(
-            os.path.join(self._manifests, f"manifest-{version}.json"),
-            json.dumps(manifest, indent=1),
-        )
-        self._atomic_write(os.path.join(self._manifests, "_latest"), str(version))
-        return version
+
+    def _try_publish(self, version: int, manifest: dict) -> bool:
+        """The CAS: atomically create ``manifest-<version>.json``
+        (hard-link-exclusive — EEXIST means another writer published
+        this version first) and, on success, roll the pointer hint
+        forward.  Returns False on a lost race."""
+        dest = os.path.join(self._manifests, f"manifest-{version}.json")
+        tmp = dest + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(json.dumps(manifest, indent=1))
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, dest)
+        except FileExistsError:
+            return False
+        finally:
+            os.remove(tmp)
+        # pointer is a hint (current_version rolls forward past it);
+        # still avoid regressing it when a later writer already advanced
+        try:
+            with open(os.path.join(self._manifests, "_latest")) as f:
+                hinted = int(f.read().strip())
+        except FileNotFoundError:
+            hinted = 0
+        if hinted < version:
+            self._atomic_write(os.path.join(self._manifests, "_latest"), str(version))
+        return True
 
     def merge(
         self,

@@ -184,6 +184,11 @@ register(
 register(
     "incremental_view_maintain", tpch.incremental_view_maintain, tpch.INCREMENTAL_VIEW_SQL
 )
+register(
+    "manifest_concurrent_commit_audit",
+    tpch.manifest_concurrent_commit_audit,
+    tpch.MANIFEST_OCC_AUDIT_SQL,
+)
 
 # C. LLM-data-pipeline operators (dedup / similarity / text analysis)
 for _key, _sql in llm.ORACLES.items():

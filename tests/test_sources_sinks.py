@@ -606,3 +606,144 @@ def test_manifest_read_added_since_is_the_change_feed(spark, tmp_path):
     # overwrite rewrites every path: the whole table shows as "added"
     t.commit(spark.range(3).selectExpr("id", "id * 2 AS v"), mode="overwrite")
     assert t.read(added_since=v1).count() == 3
+
+
+# -------------------------------------- manifest-commit: r5 contracts
+
+
+def test_manifest_commit_cas_rejects_stale_parent(spark, tmp_path):
+    """Optimistic concurrency, deterministic interleave: a writer whose
+    manifest was built against a stale parent must LOSE the version CAS
+    (False), and a normal commit() retry must land on top of the winner
+    carrying both file lists — no silently lost update."""
+    import os
+
+    from dbt_json_readr_spark.manifest_commit import ManifestTable
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    df1 = spark.range(10).withColumnRenamed("id", "k")
+    t.commit(df1)  # v1
+    # stale writer: stage + build against parent v1 …
+    cid, staged, parts, actual = t._stage_and_audit(
+        spark.range(5).withColumnRenamed("id", "k"), None, None
+    )
+    stale = t._build_manifest(
+        version=2, parent=1, commit_id=cid, staged=staged, parts=parts,
+        actual=actual, batch_schema=df1.schema, mode="append", batch_id=None,
+        partition_by=None, replace_partitions=False,
+    )
+    # … meanwhile a concurrent writer publishes v2 first
+    t.commit(spark.range(3).withColumnRenamed("id", "k"))
+    assert t.current_version() == 2
+    assert t._try_publish(2, stale) is False  # CAS rejects the stale build
+    # the stale writer's commit() path retries cleanly onto v3
+    v = t.commit(spark.range(5, 12).withColumnRenamed("id", "k"))
+    assert v == 3
+    assert t.read().count() == 10 + 3 + 7  # nothing lost
+
+
+def test_manifest_commit_concurrent_writers_lose_nothing(spark, tmp_path):
+    """Two real writer threads interleaving commits on one table: every
+    batch must survive (the last-pointer-swap-wins hazard VERDICT r4
+    called out), versions are a contiguous chain, and one writer losing
+    the CAS shows up as a transparent retry, not an error."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from dbt_json_readr_spark.manifest_commit import ManifestTable
+
+    path = str(tmp_path / "t")
+    n_each, errs = 5, []
+    barrier = threading.Barrier(2)
+
+    def writer(tag: int) -> None:
+        try:
+            t = ManifestTable(spark, path)
+            barrier.wait()
+            for i in range(n_each):
+                t.commit(
+                    spark.range(10).select(
+                        F.lit(tag).alias("writer"), F.col("id").alias("k")
+                    )
+                )
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in (1, 2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errs == []
+    t = ManifestTable(spark, path)
+    assert t.current_version() == 2 * n_each
+    got = {
+        (r.writer, r.n) for r in
+        t.read().groupBy("writer").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == {(1, n_each * 10), (2, n_each * 10)}
+
+
+def test_manifest_commit_rolls_forward_past_unswapped_pointer(spark, tmp_path):
+    """A writer that crashed AFTER creating manifest-<v+1> but BEFORE
+    swapping _latest must still count as published: the manifest chain
+    is the source of truth and current_version rolls the pointer
+    forward."""
+    import os
+
+    from dbt_json_readr_spark.manifest_commit import ManifestTable
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(4).withColumnRenamed("id", "k"))  # v1
+    cid, staged, parts, actual = t._stage_and_audit(
+        spark.range(6).withColumnRenamed("id", "k"), None, None
+    )
+    m = t._build_manifest(
+        version=2, parent=1, commit_id=cid, staged=staged, parts=parts,
+        actual=actual, batch_schema=t.read().schema, mode="append",
+        batch_id=None, partition_by=None, replace_partitions=False,
+    )
+    assert t._try_publish(2, m) is True
+    # simulate the crash: regress the pointer to v1
+    t._atomic_write(os.path.join(t._manifests, "_latest"), "1")
+    assert t.current_version() == 2  # rolled forward
+    assert t.read().count() == 10
+    assert t.commit(spark.range(2).withColumnRenamed("id", "k")) == 3
+
+
+def test_manifest_commit_schema_evolution_null_fills_old_files(spark, tmp_path):
+    """Appending a batch with an extra column publishes the union
+    schema; files written before the evolution read back with the new
+    column null-filled (read_parquet_evolving's contract at the
+    manifest level)."""
+    from pyspark.sql import functions as F
+
+    from dbt_json_readr_spark.manifest_commit import ManifestTable
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(3).select(F.col("id").alias("k")))
+    t.commit(
+        spark.range(3, 5).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("extra")
+        )
+    )
+    out = t.read()
+    assert out.columns == ["k", "extra"]
+    rows = {r.k: r.extra for r in out.collect()}
+    assert rows == {0: None, 1: None, 2: None, 3: 30, 4: 40}
+
+
+def test_manifest_commit_schema_evolution_rejects_type_change(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dbt_json_readr_spark.manifest_commit import (
+        ManifestTable,
+        SchemaEvolutionError,
+    )
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(3).select(F.col("id").alias("k")))
+    with _pytest.raises(SchemaEvolutionError):
+        t.commit(spark.range(2).select(F.col("id").cast("string").alias("k")))
