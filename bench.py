@@ -35,6 +35,12 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ann_bruteforce_topk",
     "text_quality_score",
+    # r5 (VERDICT r4 item 7): the 3 most expensive non-headline keys,
+    # so their round-over-round regressions become driver artifacts —
+    # same 3-run cold/steady regime as the rest
+    "doc_sparse_cosine_topk",
+    "dedup_containment_lsh",
+    "dedup_minhash_est_calibration",
 ]
 
 
