@@ -654,3 +654,74 @@ def dbt_test_results_rollup() -> str:
         ],
         rows,
     )
+
+
+def dbt_schema_drift_classes() -> str:
+    """Independent recount for A26: classify every manifest↔catalog
+    column pair with the same int/float widening lattices, roll up per
+    model — pure stdlib, shares no code with the Spark path."""
+    m = _load("manifest.json")
+    c = _load("catalog.json")
+    man: dict[tuple[str, str], str] = {}
+    cat: dict[tuple[str, str], str] = {}
+    for group in ("nodes", "sources"):
+        for n in m[group].values():
+            for col in (n.get("columns") or {}).values():
+                man[(n["unique_id"], col["name"])] = col["data_type"]
+        for n in c[group].values():
+            for col in (n.get("columns") or {}).values():
+                cat[(n["unique_id"], col["name"])] = col["type"]
+    int_rank = {"tinyint": 1, "smallint": 2, "int": 3, "integer": 3, "bigint": 4}
+    float_rank = {"real": 1, "float": 1, "double": 2, "double precision": 2}
+
+    def classify(mt: str | None, ct: str | None) -> str:
+        if mt is None:
+            return "missing_in_manifest"
+        if ct is None:
+            return "missing_in_catalog"
+        lo_m, lo_c = mt.lower(), ct.lower()
+        if lo_m == lo_c:
+            return "match"
+        for rank in (int_rank, float_rank):
+            if lo_m in rank and lo_c in rank and rank[lo_m] < rank[lo_c]:
+                return "safe_widening"
+        return "breaking"
+
+    per_model: dict[str, dict[str, int]] = {}
+    for uid, col in sorted(set(man) | set(cat)):
+        cls = classify(man.get((uid, col)), cat.get((uid, col)))
+        d = per_model.setdefault(
+            uid,
+            {
+                "n_columns": 0, "match": 0, "safe_widening": 0, "breaking": 0,
+                "missing_in_catalog": 0, "missing_in_manifest": 0,
+            },
+        )
+        d["n_columns"] += 1
+        d[cls] += 1
+    cols = [
+        ("unique_id", "VARCHAR"),
+        ("n_columns", "BIGINT"),
+        ("n_match", "BIGINT"),
+        ("n_safe_widening", "BIGINT"),
+        ("n_breaking", "BIGINT"),
+        ("n_missing_in_catalog", "BIGINT"),
+        ("n_missing_in_manifest", "BIGINT"),
+        ("drift_score", "BIGINT"),
+    ]
+    rows = []
+    for uid, d in per_model.items():
+        score = (
+            3 * d["breaking"]
+            + 2 * d["missing_in_catalog"]
+            + d["missing_in_manifest"]
+            + d["safe_widening"]
+        )
+        rows.append(
+            (
+                uid, d["n_columns"], d["match"], d["safe_widening"], d["breaking"],
+                d["missing_in_catalog"], d["missing_in_manifest"], score,
+            )
+        )
+    rows.sort(key=lambda r: (-r[-1], r[0]))
+    return _values_sql(cols, rows)

@@ -455,3 +455,90 @@ def dbt_test_results_rollup(spark: SparkSession, sf_dir: str, target: str = FIXT
         )
         .orderBy("model_unique_id")
     )
+
+
+# ------------------------------------------------------------- A26
+# Schema-drift CLASSIFICATION — from A9's raw column diff to the page
+# a dbt operator actually triages: which drifts are benign widenings
+# and which break consumers, scored per model.
+
+# additive type lattices (case-insensitive).  A manifest→catalog change
+# that climbs WITHIN one lattice is a safe widening; any other type
+# change is breaking.
+_INT_RANK = {"tinyint": 1, "smallint": 2, "int": 3, "integer": 3, "bigint": 4}
+_FLOAT_RANK = {"real": 1, "float": 1, "double": 2, "double precision": 2}
+
+
+def _rank_col(col: F.Column, ranks: dict[str, int]) -> F.Column:
+    m = F.create_map(*[F.lit(x) for kv in ranks.items() for x in kv])
+    return m[F.lower(col)]
+
+
+def dbt_schema_drift_classes(
+    spark: SparkSession, sf_dir: str, target: str = FIXTURE_TARGET
+) -> DataFrame:
+    """Per-model drift triage over the manifest↔catalog column diff:
+    each column classifies as match / safe_widening (type climbed
+    within the int or float lattice — consumers keep working) /
+    breaking (any other type change) / missing_in_catalog (documented,
+    never built) / missing_in_manifest (built, undocumented), and the
+    model's drift_score = 3·breaking + 2·missing_in_catalog +
+    1·missing_in_manifest + 1·safe_widening — the paging severity
+    order.  The r5-extended fixtures plant every class (int→bigint,
+    real→double, varchar→bigint, double→bigint, one unbuilt column,
+    one undocumented column).
+
+    Scale posture: artifact-sized inputs; one full-outer join on
+    (unique_id, column) + one rollup — same shape as A9.
+    """
+    prep(spark)
+    man = A.manifest_columns(spark, _manifest(target)).select(
+        "unique_id", "column_name", F.col("data_type").alias("manifest_type")
+    )
+    cat = A.catalog_columns(spark, f"{target}/catalog.json").select(
+        "unique_id", "column_name", F.col("data_type").alias("catalog_type")
+    )
+    mt, ct = F.col("manifest_type"), F.col("catalog_type")
+    int_w = (
+        _rank_col(mt, _INT_RANK).isNotNull()
+        & _rank_col(ct, _INT_RANK).isNotNull()
+        & (_rank_col(mt, _INT_RANK) < _rank_col(ct, _INT_RANK))
+    )
+    float_w = (
+        _rank_col(mt, _FLOAT_RANK).isNotNull()
+        & _rank_col(ct, _FLOAT_RANK).isNotNull()
+        & (_rank_col(mt, _FLOAT_RANK) < _rank_col(ct, _FLOAT_RANK))
+    )
+    cls = (
+        F.when(mt.isNull(), F.lit("missing_in_manifest"))
+        .when(ct.isNull(), F.lit("missing_in_catalog"))
+        .when(F.lower(ct) == F.lower(mt), F.lit("match"))
+        .when(int_w | float_w, F.lit("safe_widening"))
+        .otherwise(F.lit("breaking"))
+    )
+    classed = man.join(cat, ["unique_id", "column_name"], "full_outer").select(
+        "unique_id", cls.alias("drift_class")
+    )
+
+    def n_of(c: str) -> F.Column:
+        return F.sum((F.col("drift_class") == c).cast("long")).alias(f"n_{c}")
+
+    return (
+        classed.groupBy("unique_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_columns"),
+            n_of("match"),
+            n_of("safe_widening"),
+            n_of("breaking"),
+            n_of("missing_in_catalog"),
+            n_of("missing_in_manifest"),
+        )
+        .withColumn(
+            "drift_score",
+            3 * F.col("n_breaking")
+            + 2 * F.col("n_missing_in_catalog")
+            + F.col("n_missing_in_manifest")
+            + F.col("n_safe_widening"),
+        )
+        .orderBy(F.desc("drift_score"), "unique_id")
+    )

@@ -52,6 +52,7 @@ for _key in [
     "dbt_macro_usage",
     "dbt_column_name_lineage",
     "dbt_test_results_rollup",
+    "dbt_schema_drift_classes",
 ]:
     register(_key, getattr(dbt, _key), getattr(oracles, _key)())
 

@@ -40,6 +40,21 @@ TABLES = {
 
 COLTYPES = {"key": "bigint", "name": "varchar", "date": "timestamp", "num": "double"}
 
+# r5 (VERDICT r4 item 10): deterministic TYPE DRIFT between what the
+# manifest documents and what the catalog says got built — the four
+# classes dbt_schema_drift_classes must separate.  Manifest overrides
+# document NARROWER types; catalog overrides build DIFFERENT types.
+MANIFEST_TYPE_OVERRIDES = {
+    ("stg_orders", "o_orderkey"): "int",           # documented int …
+    ("rpt_region_revenue", "o_totalprice"): "real",  # documented real …
+}
+CATALOG_TYPE_OVERRIDES = {
+    ("stg_orders", "o_orderkey"): "BIGINT",        # … built bigint: safe widening
+    ("rpt_region_revenue", "o_totalprice"): "DOUBLE",  # … built double: float-family widening
+    ("stg_customer", "c_name"): "BIGINT",          # varchar → bigint: breaking
+    ("stg_events", "value"): "BIGINT",             # double → bigint: breaking (narrows)
+}
+
 
 def _ctype(col: str) -> str:
     if col.endswith(("key", "_id", "number", "size", "chars", "label")):
@@ -64,6 +79,149 @@ MODELS = [
     ("rpt_daily_events", None, "view", True, [], ["fct_sessions"], [], ["report"]),
     ("tmp_scratch", None, "ephemeral", False, [], [], [], []),  # disabled, no cols, no deps
 ]
+
+# r4 test-node extension (A21/A25), now owned by this generator so
+# regeneration is lossless: 6 schema tests (not_null/unique/
+# accepted_values, a two-parent relationships test, checksum name
+# 'none') and their run_results entries (pass/fail/warn + failing
+# row counts).  Extracted verbatim from the r4 fixtures.
+TEST_NODES = {'test.analytics.accepted_values_stg_events_event_type': {'alias': None,
+                                                          'checksum': {'checksum': '',
+                                                                       'name': 'none'},
+                                                          'columns': {},
+                                                          'config': {'enabled': True,
+                                                                     'materialized': 'test',
+                                                                     'severity': 'error'},
+                                                          'database': 'analytics',
+                                                          'depends_on': {'macros': [],
+                                                                         'nodes': ['model.analytics.stg_events']},
+                                                          'description': '',
+                                                          'meta': {},
+                                                          'name': 'accepted_values_stg_events_event_type',
+                                                          'resource_type': 'test',
+                                                          'schema': 'dbt_test__audit',
+                                                          'tags': [],
+                                                          'unique_id': 'test.analytics.accepted_values_stg_events_event_type'},
+ 'test.analytics.not_null_dim_customer_c_custkey': {'alias': None,
+                                                    'checksum': {'checksum': '', 'name': 'none'},
+                                                    'columns': {},
+                                                    'config': {'enabled': True,
+                                                               'materialized': 'test',
+                                                               'severity': 'error'},
+                                                    'database': 'analytics',
+                                                    'depends_on': {'macros': ['macro.analytics.clean_strings'],
+                                                                   'nodes': ['model.analytics.dim_customer']},
+                                                    'description': '',
+                                                    'meta': {},
+                                                    'name': 'not_null_dim_customer_c_custkey',
+                                                    'resource_type': 'test',
+                                                    'schema': 'dbt_test__audit',
+                                                    'tags': ['data_quality'],
+                                                    'unique_id': 'test.analytics.not_null_dim_customer_c_custkey'},
+ 'test.analytics.not_null_fct_order_revenue_revenue': {'alias': None,
+                                                       'checksum': {'checksum': '', 'name': 'none'},
+                                                       'columns': {},
+                                                       'config': {'enabled': True,
+                                                                  'materialized': 'test',
+                                                                  'severity': 'error'},
+                                                       'database': 'analytics',
+                                                       'depends_on': {'macros': [],
+                                                                      'nodes': ['model.analytics.fct_order_revenue']},
+                                                       'description': '',
+                                                       'meta': {},
+                                                       'name': 'not_null_fct_order_revenue_revenue',
+                                                       'resource_type': 'test',
+                                                       'schema': 'dbt_test__audit',
+                                                       'tags': ['data_quality', 'finance'],
+                                                       'unique_id': 'test.analytics.not_null_fct_order_revenue_revenue'},
+ 'test.analytics.not_null_stg_customer_c_custkey': {'alias': None,
+                                                    'checksum': {'checksum': '', 'name': 'none'},
+                                                    'columns': {},
+                                                    'config': {'enabled': True,
+                                                               'materialized': 'test',
+                                                               'severity': 'error'},
+                                                    'database': 'analytics',
+                                                    'depends_on': {'macros': [],
+                                                                   'nodes': ['model.analytics.stg_customer']},
+                                                    'description': '',
+                                                    'meta': {},
+                                                    'name': 'not_null_stg_customer_c_custkey',
+                                                    'resource_type': 'test',
+                                                    'schema': 'dbt_test__audit',
+                                                    'tags': [],
+                                                    'unique_id': 'test.analytics.not_null_stg_customer_c_custkey'},
+ 'test.analytics.relationships_fct_order_revenue_custkey': {'alias': None,
+                                                            'checksum': {'checksum': '',
+                                                                         'name': 'none'},
+                                                            'columns': {},
+                                                            'config': {'enabled': True,
+                                                                       'materialized': 'test',
+                                                                       'severity': 'error'},
+                                                            'database': 'analytics',
+                                                            'depends_on': {'macros': [],
+                                                                           'nodes': ['model.analytics.fct_order_revenue',
+                                                                                     'model.analytics.dim_customer']},
+                                                            'description': '',
+                                                            'meta': {},
+                                                            'name': 'relationships_fct_order_revenue_custkey',
+                                                            'resource_type': 'test',
+                                                            'schema': 'dbt_test__audit',
+                                                            'tags': ['data_quality'],
+                                                            'unique_id': 'test.analytics.relationships_fct_order_revenue_custkey'},
+ 'test.analytics.unique_dim_customer_c_custkey': {'alias': None,
+                                                  'checksum': {'checksum': '', 'name': 'none'},
+                                                  'columns': {},
+                                                  'config': {'enabled': True,
+                                                             'materialized': 'test',
+                                                             'severity': 'error'},
+                                                  'database': 'analytics',
+                                                  'depends_on': {'macros': [],
+                                                                 'nodes': ['model.analytics.dim_customer']},
+                                                  'description': '',
+                                                  'meta': {},
+                                                  'name': 'unique_dim_customer_c_custkey',
+                                                  'resource_type': 'test',
+                                                  'schema': 'dbt_test__audit',
+                                                  'tags': ['data_quality'],
+                                                  'unique_id': 'test.analytics.unique_dim_customer_c_custkey'}}
+
+TEST_RESULTS = [{'adapter_response': {'rows_affected': 0},
+  'execution_time': 0.41,
+  'message': None,
+  'status': 'pass',
+  'thread_id': 'Thread-2',
+  'unique_id': 'test.analytics.not_null_dim_customer_c_custkey'},
+ {'adapter_response': {'rows_affected': 0},
+  'execution_time': 0.38,
+  'message': None,
+  'status': 'pass',
+  'thread_id': 'Thread-2',
+  'unique_id': 'test.analytics.unique_dim_customer_c_custkey'},
+ {'adapter_response': {'rows_affected': 17},
+  'execution_time': 1.22,
+  'message': 'Got 17 results',
+  'status': 'fail',
+  'thread_id': 'Thread-2',
+  'unique_id': 'test.analytics.not_null_fct_order_revenue_revenue'},
+ {'adapter_response': {'rows_affected': 3},
+  'execution_time': 0.77,
+  'message': 'Got 3 results',
+  'status': 'warn',
+  'thread_id': 'Thread-2',
+  'unique_id': 'test.analytics.accepted_values_stg_events_event_type'},
+ {'adapter_response': {'rows_affected': 0},
+  'execution_time': 2.05,
+  'message': None,
+  'status': 'pass',
+  'thread_id': 'Thread-2',
+  'unique_id': 'test.analytics.relationships_fct_order_revenue_custkey'},
+ {'adapter_response': {'rows_affected': 0},
+  'execution_time': 0.29,
+  'message': None,
+  'status': 'pass',
+  'thread_id': 'Thread-2',
+  'unique_id': 'test.analytics.not_null_stg_customer_c_custkey'}]
+
 
 MACROS = [
     ("clean_strings", "select trim(lower({{ col }}))"),
@@ -107,7 +265,7 @@ def build_manifest(rng: random.Random) -> dict:
                 cols[c] = {
                     "name": c,
                     "description": f"column {c}",
-                    "data_type": _ctype(c),
+                    "data_type": MANIFEST_TYPE_OVERRIDES.get((name, c), _ctype(c)),
                     "meta": {"owner": "data-eng"} if rng.random() < 0.5 else {},
                     "tags": ["pii"] if c.endswith("name") else [],
                 }
@@ -131,6 +289,7 @@ def build_manifest(rng: random.Random) -> dict:
             "tags": tags,
             "checksum": {"name": checksum_kind, "checksum": sha(body) if checksum_kind == "sha256" else sha(body)[:32]},
         }
+    nodes.update(TEST_NODES)
     sources = {}
     for t, cols in TABLES.items():
         uid = source_uid(t)
@@ -190,8 +349,15 @@ def build_catalog(manifest: dict, rng: random.Random) -> dict:
         # catalog drift on purpose: one model has an extra physical column
         if name == "dim_customer":
             cols = cols + ["_loaded_at"]
-        nodes[uid] = cat_entry(uid, "VIEW" if mat == "view" else "BASE TABLE",
-                               m["database"], m["schema"], alias or name, cols)
+        # … and one documented column was never built (missing_in_catalog)
+        if name == "rpt_region_revenue" and len(cols) > 1:
+            cols = cols[:-1]
+        entry = cat_entry(uid, "VIEW" if mat == "view" else "BASE TABLE",
+                          m["database"], m["schema"], alias or name, cols)
+        for c, col in entry["columns"].items():
+            if (name, c) in CATALOG_TYPE_OVERRIDES:
+                col["type"] = CATALOG_TYPE_OVERRIDES[(name, c)]
+        nodes[uid] = entry
     sources = {}
     for t, cols in TABLES.items():
         uid = source_uid(t)
@@ -213,6 +379,7 @@ def build_run_results(rng: random.Random) -> dict:
             "adapter_response": {"rows_affected": rng.randint(0, 100000)} if status == "success" else {},
             "message": None if status == "success" else "division by zero",
         })
+    results.extend(TEST_RESULTS)
     return {"metadata": {"generated_at": "2025-01-17T00:10:00Z"}, "elapsed_time": 42.75, "results": results}
 
 
