@@ -769,14 +769,17 @@ FROM hx
 
 
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL media decode, hash-gated: synthesize genuine PNG/WAV
-    payloads per doc (integer content patterns, operators/multimodal.py),
-    parse them back with a pure-stdlib decoder over Arrow-batched
-    mapInPandas, and emit per-file stats.  The oracle recomputes every
-    stat from the closed-form content formulas — if the PNG chunk walk,
-    zlib inflate, scanline unfilter, or RIFF parse were wrong, the hash
-    would not match.  Video rows exercise the honest no-codec path
-    (decoded=false, null features) as part of the gated schema."""
+    """REAL media decode, hash-gated: synthesize genuine PNG/JPEG/WAV/
+    MJPEG-AVI payloads per doc (integer content patterns,
+    operators/multimodal.py), parse them back with pure-stdlib decoders
+    over Arrow-batched mapInPandas, and emit per-file stats.  The
+    oracle recomputes every stat from the closed-form content formulas
+    — if the PNG chunk walk, zlib inflate, scanline unfilter, JPEG
+    huffman decode, RIFF walk, or per-frame MJPEG aggregation were
+    wrong, the hash would not match.  Since r5 half the video rows are
+    real multi-frame AVI (decoded frame-by-frame through the JPEG
+    machinery, n_frames surfaced); the other half stay mp4 — the one
+    honestly codec-gated format (decoded=false, null features)."""
     prep(spark)
     docs = spread(load(spark, sf_dir, "documents"))
     return M.decode_features(M.synthesize_media(docs))
@@ -838,27 +841,59 @@ aud_stats AS (
          CAST(max(((i.i * 17 + a.doc_id * 31) % 65536) - 32768) AS BIGINT) AS content_max
   FROM aud a, LATERAL (SELECT unnest(range(0, a.n)) AS i) i
   GROUP BY a.doc_id
+),
+-- MJPEG/AVI (r5): frame f shifts the solid-block shade by f*29; the
+-- per-frame lossy round-trip is the same closed-form integer arithmetic
+-- as jpg_px, aggregated over 2 + doc_id % 3 frames
+avi_blocks AS (
+  SELECT i.doc_id, i.nf,
+         (i.doc_id * 7 + f.f * 29 + bx.bx * 11 + by.by * 23) % 256 AS v
+  FROM (SELECT doc_id, 2 + doc_id % 3 AS nf
+        FROM m WHERE modality = 'video' AND doc_id % 6 = 2) i,
+       LATERAL (SELECT unnest(range(0, i.nf)) AS f) f,
+       LATERAL (SELECT unnest(range(0, 2)) AS bx) bx,
+       LATERAL (SELECT unnest(range(0, 2)) AS by) by
+),
+avi_px AS (
+  SELECT doc_id, nf,
+         least(greatest(2 * (CASE WHEN 8 * (v - 128) >= 0
+                  THEN (2 * (8 * (v - 128)) + 16) // 32
+                  ELSE -((2 * (8 * (128 - v)) + 16) // 32) END) + 128, 0), 255) AS px
+  FROM avi_blocks
+),
+avi_stats AS (
+  SELECT doc_id, max(nf) AS nf,
+         CAST(64 * sum(px) AS BIGINT) AS content_sum,
+         CAST(min(px) AS BIGINT) AS content_min,
+         CAST(max(px) AS BIGINT) AS content_max
+  FROM avi_px GROUP BY doc_id
 )
 SELECT i.doc_id, 'image' AS modality, 'png' AS fmt, true AS decoded,
        CAST(i.w AS INTEGER) AS width, CAST(i.h AS INTEGER) AS height,
        CAST(NULL AS INTEGER) AS sample_rate,
        CAST(i.w * i.h AS BIGINT) AS n_units,
-       s.content_sum, s.content_min, s.content_max
+       s.content_sum, s.content_min, s.content_max,
+       CAST(1 AS BIGINT) AS n_frames
 FROM img i JOIN img_stats s USING (doc_id)
 UNION ALL
 SELECT s.doc_id, 'image', 'jpeg', true,
        16, 16, NULL, CAST(256 AS BIGINT),
-       s.content_sum, s.content_min, s.content_max
+       s.content_sum, s.content_min, s.content_max, CAST(1 AS BIGINT)
 FROM jpg_stats s
 UNION ALL
 SELECT a.doc_id, 'audio', 'wav', true,
        NULL, NULL, a.sr, CAST(a.n AS BIGINT),
-       s.content_sum, s.content_min, s.content_max
+       s.content_sum, s.content_min, s.content_max, CAST(NULL AS BIGINT)
 FROM aud a JOIN aud_stats s USING (doc_id)
 UNION ALL
+SELECT s.doc_id, 'video', 'avi', true,
+       16, 16, NULL, CAST(256 * s.nf AS BIGINT),
+       s.content_sum, s.content_min, s.content_max, CAST(s.nf AS BIGINT)
+FROM avi_stats s
+UNION ALL
 SELECT doc_id, 'video', 'mp4', false,
-       NULL, NULL, NULL, NULL, NULL, NULL, NULL
-FROM m WHERE modality = 'video'
+       NULL, NULL, NULL, NULL, NULL, NULL, NULL, CAST(NULL AS BIGINT)
+FROM m WHERE modality = 'video' AND doc_id % 6 = 5
 """
 
 

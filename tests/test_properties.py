@@ -539,3 +539,60 @@ def test_weighted_median_matches_naive_threshold(spark, rows):
                 want = p
                 break
         assert got[grp] == want
+
+
+@settings(deadline=None, max_examples=25)
+@given(doc_id=st.integers(min_value=0, max_value=1_000_000))
+def test_avi_decode_matches_closed_form_for_any_doc(doc_id):
+    """The MJPEG/AVI decoder (RIFF walk → per-'00dc' JPEG decode →
+    frame aggregation) matches the closed-form per-frame shades for
+    every doc_id — the contract the multimodal_decode oracle's avi
+    branch replays."""
+    from dbt_json_readr_spark.operators import multimodal as M
+
+    got = M.decode_avi(M.synth_avi(doc_id))
+    nf = M.avi_frame_count(doc_id)
+    shades = [
+        M.jpeg_decoded_shade(M.jpeg_block_value(doc_id, bx, by, f))
+        for f in range(nf)
+        for by in range(2)
+        for bx in range(2)
+    ]
+    assert got["n_frames"] == nf
+    assert got["n_units"] == 256 * nf
+    assert got["content_sum"] == 64 * sum(shades)
+    assert got["content_min"] == min(shades)
+    assert got["content_max"] == max(shades)
+
+
+@settings(deadline=None, max_examples=30)
+@given(data=st.data())
+def test_avi_decoder_rejects_corruption_cleanly(data):
+    """Container corruption must raise (typed), never return wrong
+    stats: truncation, a non-MJPG codec tag, a frame-count lie in the
+    stream header, or a damaged frame chunk."""
+    import struct as _s
+
+    import pytest as _pytest
+
+    from dbt_json_readr_spark.operators import multimodal as M
+
+    payload = bytes(M.synth_avi(data.draw(st.integers(0, 10_000))))
+    mode = data.draw(
+        st.sampled_from(["truncate", "wrong_codec", "frame_lie", "bad_frame"])
+    )
+    if mode == "truncate":
+        corrupted = payload[: data.draw(st.integers(4, len(payload) - 5))]
+    elif mode == "wrong_codec":
+        i = payload.find(b"vidsMJPG")
+        corrupted = payload[:i] + b"vidsH264" + payload[i + 8 :]
+    elif mode == "frame_lie":
+        i = payload.find(b"vidsMJPG")
+        # dwLength lives at strh offset 32 = i + 32
+        corrupted = payload[: i + 32] + _s.pack("<I", 99) + payload[i + 36 :]
+    else:
+        i = payload.find(b"00dc")
+        # zero out two bytes inside the first frame's JPEG
+        corrupted = payload[: i + 12] + b"\x00\x00" + payload[i + 14 :]
+    with _pytest.raises((ValueError, AssertionError)):
+        M.decode_avi(corrupted)

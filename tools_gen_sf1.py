@@ -26,7 +26,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from dbt_json_readr_spark.session import get_spark  # noqa: E402
 from dbt_json_readr_spark.sources.tables import load  # noqa: E402
 
-REPLICAS = 10
+# r5: REPLICAS is env-tunable so the same construction yields the sf10
+# soak decade (SPARK_GRAFT_GEN_REPLICAS=100 → /tmp/spark_graft_sf10)
+REPLICAS = int(os.environ.get("SPARK_GRAFT_GEN_REPLICAS", "10"))
 SRC = "/root/testdata/sf0.1"
 
 # per-table integer key columns to offset per replica (dims region/nation
