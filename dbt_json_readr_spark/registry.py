@@ -291,11 +291,11 @@ register(
 # FIRST 50 keys in queries() insertion order, so registration order IS
 # the correctness gate.  Round-5 rotation policy (VERDICT r4 item 1):
 # the 40 keys that landed after the r4 window locked (_NEW_R4_LATE)
-# have ZERO driver rows in any round — they claim slots first.  The
-# remaining 10 slots go to the head of _STALE_R2 (newest driver row is
-# r2, pre-container-rebuild), which guarantees the five keys VERDICT
-# named: dedup_minhash_lsh (rewritten twice since its r2 row),
-# dedup_exact, streaming_windowed_agg, ann_recall_eval,
+# have ZERO driver rows in any round — they claim slots first, then the
+# keys new or changed IN r5 (_NEW_R5), then the head of _STALE_R2
+# (newest driver row is r2, pre-container-rebuild), which guarantees
+# the five keys VERDICT named: dedup_minhash_lsh (rewritten twice since
+# its r2 row), dedup_exact, streaming_windowed_agg, ann_recall_eval,
 # multimodal_decode.  Rotated-out keys stay covered by
 # tests/test_oracle_parity.py (every key, sf0.01, exact values).
 GATE_WINDOW = 50
@@ -404,18 +404,29 @@ _NEW_R4_LATE = [
     "corpus_length_quality_corr",
 ]
 
+# New or semantically CHANGED in r5 — the driver has no row under the
+# current definition: streaming_stateful_counts now runs
+# transformWithStateInPandas (vendored-protobuf state protocol), and
+# the other two are brand-new r5 keys (OCC audit, drift classes).
+_NEW_R5 = [
+    "streaming_stateful_counts",
+    "manifest_concurrent_commit_audit",
+    "dbt_schema_drift_classes",
+]
+
 # Newest driver row is r2 (pre-rebuild).  Ordered most load-bearing
-# first; the head fills the 10 slots left after _NEW_R4_LATE, the tail
+# first; the head fills the slots left after _NEW_R4_LATE + _NEW_R5
+# (the five keys VERDICT r4 named as guaranteed lead), the tail
 # rotates into r6.
 _STALE_R2 = [
-    "dbt_manifest_nodes",
-    "dbt_manifest_unified",
-    "dbt_manifest_edges",
     "dedup_minhash_lsh",
     "dedup_exact",
     "streaming_windowed_agg",
     "ann_recall_eval",
     "multimodal_decode",
+    "dbt_manifest_nodes",
+    "dbt_manifest_unified",
+    "dbt_manifest_edges",
     "text_quality_score",
     "streaming_sessionization",
     "dedup_lsh_recall",
@@ -459,8 +470,8 @@ _STALE_R2 = [
     "text_token_count",
 ]
 
-assert len(_NEW_R4_LATE) <= GATE_WINDOW
-_GATE_PRIORITY = (_NEW_R4_LATE + _STALE_R2)[:GATE_WINDOW]
+assert len(_NEW_R4_LATE) + len(_NEW_R5) <= GATE_WINDOW
+_GATE_PRIORITY = (_NEW_R4_LATE + _NEW_R5 + _STALE_R2)[:GATE_WINDOW]
 # VERDICT r4 named these five as guaranteed r5 slots; pin it.
 for _k in (
     "dedup_minhash_lsh",
