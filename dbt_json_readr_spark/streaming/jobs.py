@@ -289,6 +289,22 @@ ORDER BY 1, 2
 # ---------------------------------------- transformWithState migration
 
 
+def _require_tws(ev: DataFrame) -> None:
+    """Gate + session prep shared by every transformWithState operator:
+    the Python state protocol speaks protobuf (vendored runtime in
+    ``_vendor/`` since r5 — a real install wins), and TWS keyed state
+    needs the RocksDB provider (multiple column families)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires the protobuf package "
+            "(streaming state-server protocol); install protobuf or use "
+            "the applyInPandasWithState twin"
+        ) from e
+    prep(ev.sparkSession)
+
+
 def stateful_counts_tws(ev: DataFrame) -> DataFrame:
     """The Spark-4 native form of ``stateful_counts``:
     ``transformWithStateInPandas`` with a typed ValueState — the
@@ -303,18 +319,7 @@ def stateful_counts_tws(ev: DataFrame) -> DataFrame:
     BOTH behaviors: the gate fires without protobuf, and when the
     dependency is present the op must match ``stateful_counts``.
     """
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "transformWithStateInPandas requires the protobuf package "
-            "(streaming state-server protocol); install protobuf or use "
-            "stateful_counts (applyInPandasWithState)"
-        ) from e
-    # TWS keyed state uses multiple column families — RocksDB only
-    # (HDFSBackedStateStoreProvider rejects them); pin the provider here
-    # since callers may hand in a stream built on an un-prepped session
-    prep(ev.sparkSession)
+    _require_tws(ev)
     import math
 
     import pandas as pd
@@ -345,6 +350,170 @@ def stateful_counts_tws(ev: DataFrame) -> DataFrame:
     return ev.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=_Counts(),
         outputStructType="user_id long, n_events long, value_micros long",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def funnel_stages_tws(ev: DataFrame) -> DataFrame:
+    """``funnel_stages`` on native transformWithState (r5 migration):
+    per-user min event-time per stage in a typed ValueState — same
+    commutative min-merge, so equality with the applyInPandasWithState
+    twin is exact (pinned by test)."""
+    _require_tws(ev)
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _Funnel(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "stages", "t_view LONG, t_click LONG, t_purchase LONG"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            tv, tc, tp = self._st.get() if self._st.exists() else (-1, -1, -1)
+
+            def merge(cur: int, series) -> int:
+                if series.empty:
+                    return cur
+                m = int(series.min())
+                return m if cur < 0 else min(cur, m)
+
+            for pdf in rows:
+                ns = pd.Series(
+                    pdf["ts"].to_numpy().astype("datetime64[ns]").astype("int64")
+                )
+                et = pdf["event_type"]
+                tv = merge(tv, ns[et == "view"])
+                tc = merge(tc, ns[et == "click"])
+                tp = merge(tp, ns[et == "purchase"])
+            self._st.update((tv, tc, tp))
+            if tv >= 0 and tc > tv and tp > tc:
+                stage = "purchase"
+            elif tv >= 0 and tc > tv:
+                stage = "click"
+            elif tv >= 0:
+                stage = "view"
+            else:
+                stage = "none"
+            yield pd.DataFrame({"user_id": [key[0]], "funnel_stage": [stage]})
+
+        def close(self) -> None:
+            pass
+
+    return ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_Funnel(),
+        outputStructType="user_id long, funnel_stage string",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def topk_per_type_tws(ev: DataFrame) -> DataFrame:
+    """``topk_per_type`` on native transformWithState (r5 migration):
+    the retained top-k set lives in a ValueState with array columns —
+    O(k) state per key in the JVM state server; same deterministic
+    (value desc, event_id asc) selection as the twin."""
+    _require_tws(ev)
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    k = _TOPK_K
+
+    class _TopK(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "topk", "vals ARRAY<DOUBLE>, ids ARRAY<LONG>"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            if self._st.exists():
+                st_vals, st_ids = self._st.get()
+                vals, ids = list(st_vals), list(st_ids)
+            else:
+                vals, ids = [], []
+            for pdf in rows:
+                vals.extend(float(v) for v in pdf["value"])
+                ids.extend(int(i) for i in pdf["event_id"])
+            order = sorted(range(len(vals)), key=lambda i: (-vals[i], ids[i]))[:k]
+            vals = [vals[i] for i in order]
+            ids = [ids[i] for i in order]
+            self._st.update((vals, ids))
+            yield pd.DataFrame(
+                {
+                    "event_type": key[0],
+                    "rank": pd.Series(range(1, len(ids) + 1), dtype="int32"),
+                    "event_id": ids,
+                    "value": vals,
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return ev.groupBy("event_type").transformWithStateInPandas(
+        statefulProcessor=_TopK(),
+        outputStructType="event_type string, rank integer, event_id long, value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def cdc_latest_tws(ev: DataFrame) -> DataFrame:
+    """``cdc_latest`` on native transformWithState (r5 migration):
+    last-write-wins by exact integer (ts_micros, event_id) max in a
+    typed ValueState — identical upsert invariant as the twin."""
+    _require_tws(ev)
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _Latest(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "latest", "ts_us LONG, event_id LONG, value DOUBLE, n LONG"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            ts_us, eid, val, n = (
+                self._st.get() if self._st.exists() else (-1, -1, 0.0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                for t, e, v in zip(
+                    pdf["ts_us"].astype("int64"),
+                    pdf["event_id"].astype("int64"),
+                    pdf["value"].astype("float64"),
+                ):
+                    if (int(t), int(e)) > (ts_us, eid):
+                        ts_us, eid, val = int(t), int(e), float(v)
+            self._st.update((ts_us, eid, float(val), n))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_updates": [n],
+                    "last_event_id": [eid],
+                    "last_value": [val],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    keyed = ev.select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id", "value"
+    )
+    return keyed.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_Latest(),
+        outputStructType="user_id long, n_updates long, last_event_id long, last_value double",
         outputMode="Update",
         timeMode="None",
     )
@@ -440,7 +609,11 @@ def streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-ts semantics, so the batch oracle is the correctness gate."""
     prep(spark)
     ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
-    per_user = _run_to_memory(funnel_stages(ev), "stream_funnel", "update")
+    try:
+        staged = funnel_stages_tws(ev)  # r5: native TWS, JVM-side state
+    except NotImplementedError:
+        staged = funnel_stages(ev)
+    per_user = _run_to_memory(staged, "stream_funnel", "update")
     return (
         per_user.groupBy("funnel_stage")
         .agg(F.count(F.lit(1)).alias("n_users"))
@@ -757,7 +930,11 @@ def streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream length, no watermark needed."""
     prep(spark)
     ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
-    return _run_to_memory(topk_per_type(ev), "stream_topk", "update")
+    try:
+        ranked = topk_per_type_tws(ev)  # r5: native TWS, JVM-side state
+    except NotImplementedError:
+        ranked = topk_per_type(ev)
+    return _run_to_memory(ranked, "stream_topk", "update")
 
 
 STREAMING_TOPK_SQL = f"""
@@ -903,7 +1080,10 @@ def streaming_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     only touched keys re-emit per micro-batch; the memory sink's final
     table is the converged view the oracle checks."""
     prep(spark)
-    out = cdc_latest(events_stream(spark, sf_dir))
+    try:
+        out = cdc_latest_tws(events_stream(spark, sf_dir))  # r5: native TWS
+    except NotImplementedError:
+        out = cdc_latest(events_stream(spark, sf_dir))
     return _run_to_memory(out, "stream_cdc_latest", "update")
 
 

@@ -443,6 +443,40 @@ def test_stateful_counts_tws_gates_or_matches(spark):
     assert sorted(map(tuple, new.collect())) == sorted(map(tuple, old.collect()))
 
 
+def test_tws_twins_match_applyinpandas_ops(spark):
+    """r5 migration breadth: funnel, top-k, and CDC-latest on native
+    transformWithState must each equal their applyInPandasWithState
+    twins row-for-row (same folds, state moved into the JVM/RocksDB
+    state server).  Skips only if protobuf is genuinely absent —
+    the vendored runtime makes that the exceptional case."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from dbt_json_readr_spark.streaming.jobs import (
+        _run_to_memory,
+        cdc_latest,
+        cdc_latest_tws,
+        events_stream,
+        funnel_stages,
+        funnel_stages_tws,
+        topk_per_type,
+        topk_per_type_tws,
+    )
+
+    pairs = [
+        (funnel_stages, funnel_stages_tws, "funnel"),
+        (topk_per_type, topk_per_type_tws, "topk"),
+        (cdc_latest, cdc_latest_tws, "cdc"),
+    ]
+    for old_fn, new_fn, tag in pairs:
+        ev = events_stream(spark, SF).withWatermark("ts", "1 hour")
+        new = _run_to_memory(new_fn(ev), f"tws_{tag}", "update")
+        old = _run_to_memory(old_fn(ev), f"aip_{tag}", "update")
+        assert sorted(map(tuple, new.collect())) == sorted(
+            map(tuple, old.collect())
+        ), tag
+
+
 def test_left_outer_join_state_and_eviction_across_micro_batches(spark, tmp_path):
     """Two forced micro-batches: user 1's purchase arrives a batch AFTER
     its click (must match via buffered join state), user 2's click never
@@ -547,3 +581,49 @@ def test_cdc_merge_sink_converges_across_forced_micro_batches(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_tws_state_survives_micro_batches(spark, tmp_path):
+    """Native transformWithState across two forced micro-batches: the
+    second batch must accumulate onto ValueState written by the first —
+    proving the vendored-protobuf state protocol round-trips JVM state
+    between batches, not just within one."""
+    import glob
+    import shutil
+
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    ev = load(spark, SF, "events")
+    for i, pred in enumerate(["event_id % 2 = 0", "event_id % 2 = 1"]):
+        part_dir = str(tmp_path / f"w{i}")
+        ev.filter(pred).coalesce(1).write.parquet(part_dir)
+        [f] = glob.glob(f"{part_dir}/part-*.parquet")
+        shutil.move(f, tmp_path / f"events_{i}.parquet")
+        shutil.rmtree(part_dir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events_*.parquet")
+        .parquet(str(tmp_path))
+        .withWatermark("ts", "1 hour")
+    )
+    out = jobs._run_to_memory(
+        jobs.stateful_counts_tws(stream), "tws_multibatch", "update"
+    )
+    rows = out.collect()
+    assert len(rows) > out.select("user_id").distinct().count()  # 2 batches ran
+    final = {}
+    for r in rows:
+        if r.user_id not in final or r.n_events > final[r.user_id][0]:
+            final[r.user_id] = (r.n_events, r.value_micros)
+    want = {
+        r.user_id: (r.n, r.v)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 1_000_000).cast("long")).alias("v"),
+        )
+        .collect()
+    }
+    assert final == want
