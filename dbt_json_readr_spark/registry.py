@@ -284,6 +284,11 @@ register(
     streaming_jobs.streaming_pysource_rollup,
     streaming_jobs.STREAMING_PYSOURCE_SQL,
 )
+register(
+    "streaming_session_timeout",
+    streaming_jobs.streaming_session_timeout,
+    streaming_jobs.STREAMING_SESSION_TIMEOUT_SQL,
+)
 
 
 # -------------------------------------------------------------------

@@ -1505,3 +1505,143 @@ ORDER BY event_type
 
 
 STREAMING_PYSOURCE_SQL = _streaming_pysource_sql()
+
+
+# ---------------------------------------------------------------- D20
+# Event-time TIMERS — the transformWithState capability the vendored
+# protobuf runtime unblocked that applyInPandasWithState fundamentally
+# lacks: state that acts WITHOUT new input for its key.
+
+_SESS_GAP_US = 1_800_000_000  # 30 min
+_SESS_GAP_MS = 1_800_000
+
+
+def session_timeout_sessions(ev: DataFrame) -> DataFrame:
+    """Gap sessions closed by EVENT-TIME TIMERS: each user's open
+    session registers a timer at last_event + 30 min; when the
+    watermark passes it, ``handleExpiredTimer`` emits the closed
+    session and clears state — no poll, no per-batch rescan, and a
+    user who simply stops producing events still gets their session
+    closed (the op applyInPandasWithState cannot express: it only runs
+    on keys present in a batch; its timeout API is processing-time).
+
+    Determinism contract: in-batch gap splits emit sessions closed by
+    a successor event; the per-user LAST session emits only when the
+    ms-precision watermark (floor(max_ts_us/1000) − delay) reaches
+    last + gap — exactly the horizon the oracle encodes.  Stale timers
+    (superseded by a later event in the same batch chain) are deleted
+    on arrival and double-checked against state at fire time.
+    """
+    _require_tws(ev)
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_us, gap_ms = _SESS_GAP_US, _SESS_GAP_MS
+
+    class _Sessions(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._h = handle
+            self._st = handle.getValueState(
+                "sess", "start_us LONG, last_us LONG, n LONG"
+            )
+
+        @staticmethod
+        def _row(key, start, last, n):
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start_us": [start],
+                    "session_end_us": [last],
+                    "n_events": [n],
+                }
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            evs: list[int] = []
+            for pdf in rows:
+                us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+                evs.extend(int(u) for u in us)
+            evs.sort()
+            if self._st.exists():
+                start, last, n = self._st.get()
+                self._h.deleteTimer(last // 1000 + gap_ms)
+            else:
+                start = last = None
+                n = 0
+            for u in evs:
+                if start is None:
+                    start, last, n = u, u, 1
+                elif u - last > gap_us:
+                    yield self._row(key, start, last, n)  # closed by successor
+                    start, last, n = u, u, 1
+                else:
+                    last, n = max(last, u), n + 1
+            self._st.update((start, last, n))
+            self._h.registerTimer(last // 1000 + gap_ms)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):  # noqa: N803
+            if self._st.exists():
+                start, last, n = self._st.get()
+                if expiredTimerInfo.getExpiryTimeInMs() == last // 1000 + gap_ms:
+                    self._st.clear()
+                    yield self._row(key, start, last, n)
+
+        def close(self) -> None:
+            pass
+
+    return ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_Sessions(),
+        outputStructType=(
+            "user_id long, session_start_us long, session_end_us long, n_events long"
+        ),
+        outputMode="Update",
+        timeMode="EventTime",
+    )
+
+
+def streaming_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D20: timer-closed gap sessions (see session_timeout_sessions)."""
+    prep(spark)
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    return _run_to_memory(
+        session_timeout_sessions(ev), "stream_session_timeout", "update"
+    )
+
+
+STREAMING_SESSION_TIMEOUT_SQL = f"""
+WITH wm AS (
+  SELECT (epoch_us(max(ts)) // 1000 - 3600000) AS wm_ms FROM events
+),
+seq AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events
+),
+marked AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN prev_us IS NULL OR ts_us - prev_us > {_SESS_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM seq
+),
+sess AS (
+  SELECT user_id, ts_us,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+),
+agg AS (
+  SELECT user_id, sid,
+         min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM sess GROUP BY user_id, sid
+),
+lastsid AS (SELECT user_id, max(sid) AS max_sid FROM agg GROUP BY user_id)
+SELECT a.user_id, a.session_start_us, a.session_end_us, a.n_events
+FROM agg a JOIN lastsid l USING (user_id), wm
+WHERE a.sid < l.max_sid
+   OR (a.session_end_us // 1000 + {_SESS_GAP_MS}) <= wm.wm_ms
+ORDER BY a.user_id, a.session_start_us
+"""

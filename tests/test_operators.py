@@ -347,8 +347,14 @@ def test_multimodal_decode_pipeline(spark):
     assert img.modality == "image" and img.decoded and img.width == 16 + img.doc_id % 16
     aud = out[31]
     assert aud.modality == "audio" and aud.decoded and aud.sample_rate == 8000 + (31 % 4) * 4000
-    vid = out[32]
-    assert vid.modality == "video" and not vid.decoded and vid.content_sum is None
+    # video rows split since r5: doc_id%6==2 → REAL MJPEG/AVI decode,
+    # doc_id%6==5 → mp4, the one honestly codec-gated format
+    avi = out[32]
+    assert avi.modality == "video" and avi.fmt == "avi" and avi.decoded
+    assert avi.n_frames == 2 + 32 % 3 and avi.n_units == 256 * avi.n_frames
+    mp4 = out[35]
+    assert mp4.modality == "video" and mp4.fmt == "mp4"
+    assert not mp4.decoded and mp4.content_sum is None
 
 
 # ------------------------------------------------------------ lineage

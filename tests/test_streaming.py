@@ -627,3 +627,51 @@ def test_tws_state_survives_micro_batches(spark, tmp_path):
         .collect()
     }
     assert final == want
+
+
+def test_session_timeout_timer_fires_without_new_events_for_key(spark, tmp_path):
+    """THE event-time-timer capability claim: user 1's session must be
+    emitted by handleExpiredTimer when a LATER batch advances the
+    watermark past last+gap — even though user 1 has no events in that
+    batch (applyInPandasWithState only runs on keys present in a batch,
+    so it structurally cannot do this).  The sentinel user's own
+    session stays open (still inside the watermark horizon)."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    schema = load(spark, SF, "events").schema
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    t1 = dt.datetime(2024, 1, 1, 10, 2, 0)
+    late = dt.datetime(2024, 1, 1, 13, 0, 0)
+    batches = [
+        [(1, t0, 1, "view", 1.0, "{}"), (2, t1, 1, "click", 1.0, "{}")],
+        # watermark after this batch: 13:00 - 1h = 12:00 > 10:32
+        [(3, late, 99, "view", 1.0, "{}")],
+    ]
+    for i, rows in enumerate(batches):
+        part_dir = str(tmp_path / f"w{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(part_dir)
+        [f] = glob.glob(f"{part_dir}/part-*.parquet")
+        shutil.move(f, tmp_path / f"events_{i}.parquet")
+        shutil.rmtree(part_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events_*.parquet")
+        .parquet(str(tmp_path))
+        .withWatermark("ts", "1 hour")
+    )
+    out = jobs._run_to_memory(
+        jobs.session_timeout_sessions(stream), "sess_timer_mb", "update"
+    )
+    rows = {(r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+            for r in out.collect()}
+    us = lambda d: int(d.timestamp() * 1_000_000)  # noqa: E731
+    # user 1's 2-event session closed BY TIMER in a batch without user-1 rows
+    assert (1, us(t0), us(t1), 2) in rows
+    # sentinel session not emitted: its last+gap is past the final watermark
+    assert not any(u == 99 for u, *_ in rows)
