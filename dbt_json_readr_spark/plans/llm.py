@@ -4654,3 +4654,71 @@ ORDER BY source
 
 
 ORACLES["corpus_length_quality_corr"] = _length_quality_corr_sql()
+
+
+# ---------------------------------------------------------------- C70
+# Dedup-stack agreement: do the three text-sketch families find the
+# SAME pairs?  The evidence for choosing (or stacking) dedup methods —
+# a pair found by all three is a high-confidence duplicate; a
+# single-method region quantifies what dropping that method would miss.
+
+
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Venn-region counts over the verified pair sets of the three
+    text dedup families: minhash-LSH (jaccard ≥ τ on char shingles),
+    simhash (hamming ≤ 3), and blocked token-jaccard (≥ 0.9).  One row
+    per non-empty (in_minhash, in_simhash, in_ngram) region.
+
+    Scale posture: each member pipeline is its own already-gated
+    scale-shaped operator (bucketed LSH / banded simhash / blocked
+    jaccard — nothing quadratic); the agreement layer adds only
+    pair-keyed unions and two narrow aggregations.  The oracle
+    recomputes all three pair sets from scratch in SQL and must land
+    on identical region counts.
+    """
+    prep(spark)
+    docs = spread(load(spark, sf_dir, "documents"))
+    mh = D.minhash_lsh_pairs(docs).select("doc_a", "doc_b", F.lit("minhash").alias("method"))
+    sh = D.simhash_pairs(docs, max_hamming=3).select(
+        "doc_a", "doc_b", F.lit("simhash").alias("method")
+    )
+    tj = D.token_jaccard_pairs(docs, block_col="lang", threshold=_TJ_TAU).select(
+        "doc_a", "doc_b", F.lit("ngram").alias("method")
+    )
+    u = mh.unionByName(sh).unionByName(tj)
+    venn = u.groupBy("doc_a", "doc_b").agg(
+        F.max((F.col("method") == "minhash").cast("int")).alias("in_minhash"),
+        F.max((F.col("method") == "simhash").cast("int")).alias("in_simhash"),
+        F.max((F.col("method") == "ngram").cast("int")).alias("in_ngram"),
+    )
+    return (
+        venn.groupBy("in_minhash", "in_simhash", "in_ngram")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("in_minhash", "in_simhash", "in_ngram")
+    )
+
+
+def _method_agreement_sql() -> str:
+    return f"""
+WITH u AS (
+  SELECT doc_a, doc_b, 'minhash' AS method FROM ({_minhash_sql()})
+  UNION ALL
+  SELECT doc_a, doc_b, 'simhash' FROM ({_simhash_sql()})
+  UNION ALL
+  SELECT doc_a, doc_b, 'ngram' FROM ({_token_jaccard_sql()})
+),
+venn AS (
+  SELECT doc_a, doc_b,
+         CAST(max(CASE WHEN method = 'minhash' THEN 1 ELSE 0 END) AS INTEGER) AS in_minhash,
+         CAST(max(CASE WHEN method = 'simhash' THEN 1 ELSE 0 END) AS INTEGER) AS in_simhash,
+         CAST(max(CASE WHEN method = 'ngram' THEN 1 ELSE 0 END) AS INTEGER) AS in_ngram
+  FROM u GROUP BY doc_a, doc_b
+)
+SELECT in_minhash, in_simhash, in_ngram, CAST(count(*) AS BIGINT) AS n_pairs
+FROM venn
+GROUP BY in_minhash, in_simhash, in_ngram
+ORDER BY in_minhash, in_simhash, in_ngram
+"""
+
+
+ORACLES["dedup_method_agreement"] = _method_agreement_sql()
