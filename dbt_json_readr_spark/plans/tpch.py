@@ -2256,3 +2256,154 @@ SELECT tag, n_rows, n_channel_null, final_version FROM (
 )
 ORDER BY tag
 """
+
+
+# ------------------------------------------------------------- B76
+# dbt-style schema tests EXECUTED on the warehouse — the bridge between
+# the reference's domain (dbt artifacts: A21 tracks which tests are
+# declared, A25 what their runs reported) and the engine itself: this
+# key IS the test runner, evaluating the five canonical dbt test types
+# against the live tables.
+
+
+def dbt_style_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the canonical dbt schema-test battery (not_null, unique,
+    accepted_values, range, relationships) against orders/lineitem/
+    customer, one result row per test: status pass/fail + exact
+    violation count.
+
+    Scale posture: per-table tests share ONE aggregate per table
+    (not_null + range + accepted_values are counters in the same pass);
+    unique tests aggregate per key then count violators map-side; the
+    relationships test reuses the distinct-FK-before-anti-join shape of
+    the RI audit (join input is key cardinality).  The clean benchmark
+    tables should pass everything — the planted-violation path is
+    pinned by a unit test, and the oracle recomputes every count
+    independently.
+    """
+    prep(spark)
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cust = load(spark, sf_dir, "customer")
+
+    # one-pass counters per table
+    o_agg = orders.agg(
+        F.sum(F.col("o_orderkey").isNull().cast("long")).alias("nn_orderkey"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("nn_custkey"),
+        F.sum(
+            (~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")
+        ).alias("bad_status"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("bad_price"),
+    )
+    l_agg = li.agg(
+        F.sum(F.col("l_orderkey").isNull().cast("long")).alias("l_nn_orderkey"),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).cast("long")
+        ).alias("bad_discount"),
+        F.sum((F.col("l_quantity") <= 0).cast("long")).alias("bad_qty"),
+    )
+    dup_orders = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0)).alias("dup_rows"))
+    )
+    dup_li = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0)).alias("dup_rows"))
+    )
+    orphans = (
+        orders.groupBy(F.col("o_custkey").alias("fk"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(
+            cust.select(F.col("c_custkey").alias("pk")).distinct(),
+            F.col("fk") == F.col("pk"),
+            "left",
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("fk").isNotNull() & F.col("pk").isNull(), F.col("n"))
+                .otherwise(0)
+            ).alias("orphan_rows")
+        )
+    )
+
+    def row(test: str, table: str, column: str, viol: F.Column) -> F.Column:
+        return F.struct(
+            F.lit(test).alias("test_type"),
+            F.lit(table).alias("table_name"),
+            F.lit(column).alias("column_name"),
+            viol.cast("long").alias("n_violations"),
+            F.when(viol == 0, F.lit("pass")).otherwise(F.lit("fail")).alias("status"),
+        )
+
+    combined = (
+        o_agg.crossJoin(F.broadcast(l_agg))
+        .crossJoin(F.broadcast(dup_orders.withColumnRenamed("dup_rows", "o_dups")))
+        .crossJoin(F.broadcast(dup_li.withColumnRenamed("dup_rows", "l_dups")))
+        .crossJoin(F.broadcast(orphans))
+    )
+    tests = combined.select(
+        F.explode(
+            F.array(
+                row("not_null", "orders", "o_orderkey", F.col("nn_orderkey")),
+                row("not_null", "orders", "o_custkey", F.col("nn_custkey")),
+                row("not_null", "lineitem", "l_orderkey", F.col("l_nn_orderkey")),
+                row("accepted_values", "orders", "o_orderstatus", F.col("bad_status")),
+                row("range", "orders", "o_totalprice", F.col("bad_price")),
+                row("range", "lineitem", "l_discount", F.col("bad_discount")),
+                row("range", "lineitem", "l_quantity", F.col("bad_qty")),
+                row("unique", "orders", "o_orderkey", F.col("o_dups")),
+                row("unique", "lineitem", "l_orderkey,l_linenumber", F.col("l_dups")),
+                row("relationships", "orders", "o_custkey", F.col("orphan_rows")),
+            )
+        ).alias("t")
+    ).select("t.*")
+    return tests.orderBy("test_type", "table_name", "column_name")
+
+
+DBT_STYLE_EXPECTATIONS_SQL = """
+WITH o AS (
+  SELECT CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_orderkey,
+         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_custkey,
+         CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+         CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_price
+  FROM orders
+),
+l AS (
+  SELECT CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_nn_orderkey,
+         CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS bad_discount,
+         CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_qty
+  FROM lineitem
+),
+od AS (
+  SELECT CAST(COALESCE(sum(CASE WHEN n > 1 THEN n ELSE 0 END), 0) AS BIGINT) AS o_dups
+  FROM (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY o_orderkey)
+),
+ld AS (
+  SELECT CAST(COALESCE(sum(CASE WHEN n > 1 THEN n ELSE 0 END), 0) AS BIGINT) AS l_dups
+  FROM (SELECT l_orderkey, l_linenumber, count(*) AS n FROM lineitem GROUP BY 1, 2)
+),
+orph AS (
+  SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) AS orphan_rows
+  FROM (SELECT o_custkey AS fk, count(*) AS n FROM orders GROUP BY 1) f
+  WHERE fk IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = f.fk)
+),
+t AS (
+  SELECT 'not_null' AS test_type, 'orders' AS table_name, 'o_orderkey' AS column_name, nn_orderkey AS n_violations FROM o
+  UNION ALL SELECT 'not_null', 'orders', 'o_custkey', nn_custkey FROM o
+  UNION ALL SELECT 'not_null', 'lineitem', 'l_orderkey', l_nn_orderkey FROM l
+  UNION ALL SELECT 'accepted_values', 'orders', 'o_orderstatus', bad_status FROM o
+  UNION ALL SELECT 'range', 'orders', 'o_totalprice', bad_price FROM o
+  UNION ALL SELECT 'range', 'lineitem', 'l_discount', bad_discount FROM l
+  UNION ALL SELECT 'range', 'lineitem', 'l_quantity', bad_qty FROM l
+  UNION ALL SELECT 'unique', 'orders', 'o_orderkey', o_dups FROM od
+  UNION ALL SELECT 'unique', 'lineitem', 'l_orderkey,l_linenumber', l_dups FROM ld
+  UNION ALL SELECT 'relationships', 'orders', 'o_custkey', orphan_rows FROM orph
+)
+SELECT test_type, table_name, column_name, n_violations,
+       CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
+FROM t
+ORDER BY test_type, table_name, column_name
+"""

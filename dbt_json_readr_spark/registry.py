@@ -190,6 +190,11 @@ register(
     tpch.manifest_concurrent_commit_audit,
     tpch.MANIFEST_OCC_AUDIT_SQL,
 )
+register(
+    "dbt_style_expectations",
+    tpch.dbt_style_expectations,
+    tpch.DBT_STYLE_EXPECTATIONS_SQL,
+)
 
 # C. LLM-data-pipeline operators (dedup / similarity / text analysis)
 for _key, _sql in llm.ORACLES.items():

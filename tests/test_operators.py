@@ -874,3 +874,63 @@ def test_containment_emits_dropped_block_evidence(spark, tmp_path, monkeypatch):
     )
     d = normalize_rows(list(rel.columns), rel.fetchall())
     assert s == d
+
+
+def test_dbt_style_expectations_counts_planted_violations(spark, tmp_path):
+    """The clean benchmark tables pass every expectation, so the fail
+    paths need planted violations: a NULL key, a duplicate key, an
+    out-of-range price/discount, a bad status, and an orphan FK must
+    each be counted by exactly the right test."""
+    import dbt_json_readr_spark.plans.tpch as tp
+
+    (tmp_path / "d").mkdir()
+    orders = [
+        # (o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority)
+        (1, 10, "O", 100.0, "2024-01-01", "1-URGENT"),
+        (1, 10, "F", 50.0, "2024-01-02", "2-HIGH"),     # duplicate key (2 rows)
+        (2, None, "O", 10.0, "2024-01-03", "3-MEDIUM"),  # null custkey
+        (3, 99, "X", -5.0, "2024-01-04", "4-LOW"),       # bad status + bad price + orphan fk
+    ]
+    li = [
+        (1, 1, 1, 1, 5.0, 10.0, 0.5, 0.1, "N", "O", "2024-01-05"),
+        (1, 1, 1, 1, 0.0, 10.0, 1.5, 0.1, "N", "O", "2024-01-05"),  # dup (okey,line) + qty<=0 + disc>1
+    ]
+    cust = [(10, "c10", 1, 0.0, "BUILDING")]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double,"
+        " o_orderdate string, o_orderpriority string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "CAST(o_orderdate AS TIMESTAMP) AS o_orderdate", "o_orderpriority",
+    ).write.parquet(str(tmp_path / "d" / "orders.parquet"))
+    spark.createDataFrame(
+        li,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double, l_tax double,"
+        " l_returnflag string, l_linestatus string, l_shipdate string",
+    ).selectExpr(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "CAST(l_shipdate AS TIMESTAMP) AS l_shipdate",
+    ).write.parquet(str(tmp_path / "d" / "lineitem.parquet"))
+    spark.createDataFrame(
+        cust,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    ).write.parquet(str(tmp_path / "d" / "customer.parquet"))
+
+    got = {
+        (r.test_type, r.table_name, r.column_name): (r.status, r.n_violations)
+        for r in tp.dbt_style_expectations(spark, str(tmp_path / "d")).collect()
+    }
+    assert got[("unique", "orders", "o_orderkey")] == ("fail", 2)
+    assert got[("not_null", "orders", "o_custkey")] == ("fail", 1)
+    assert got[("accepted_values", "orders", "o_orderstatus")] == ("fail", 1)
+    assert got[("range", "orders", "o_totalprice")] == ("fail", 1)
+    assert got[("relationships", "orders", "o_custkey")] == ("fail", 1)
+    assert got[("unique", "lineitem", "l_orderkey,l_linenumber")] == ("fail", 2)
+    assert got[("range", "lineitem", "l_quantity")] == ("fail", 1)
+    assert got[("range", "lineitem", "l_discount")] == ("fail", 1)
+    assert got[("not_null", "orders", "o_orderkey")] == ("pass", 0)
+    assert got[("not_null", "lineitem", "l_orderkey")] == ("pass", 0)
