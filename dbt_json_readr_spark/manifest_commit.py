@@ -229,13 +229,13 @@ class ManifestTable:
         an existing column's type raises ``SchemaEvolutionError``."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unsupported mode: {mode}")
-        commit_id, staged, parts, actual = self._stage_and_audit(
+        commit_id, staged, parts, actual = self.stage_and_audit(
             df, partition_by, expected_rows
         )
         for _ in range(20):
             parent = self.current_version()
             version = parent + 1
-            manifest = self._build_manifest(
+            manifest = self.build_manifest(
                 version=version,
                 parent=parent,
                 commit_id=commit_id,
@@ -248,14 +248,14 @@ class ManifestTable:
                 partition_by=partition_by,
                 replace_partitions=replace_partitions,
             )
-            if self._try_publish(version, manifest):
+            if self.try_publish(version, manifest):
                 return version
         raise ConcurrentCommitError(
             f"lost the version CAS 20 times publishing commit {commit_id}"
         )
 
     # ------------------------------------------ write internals
-    def _stage_and_audit(
+    def stage_and_audit(
         self,
         df: DataFrame,
         partition_by: str | None,
@@ -307,7 +307,7 @@ class ManifestTable:
             )
         return commit_id, staged, parts, actual
 
-    def _build_manifest(
+    def build_manifest(
         self,
         *,
         version: int,
@@ -352,7 +352,7 @@ class ManifestTable:
             "files": files,
         }
 
-    def _try_publish(self, version: int, manifest: dict) -> bool:
+    def try_publish(self, version: int, manifest: dict) -> bool:
         """The CAS: atomically create ``manifest-<version>.json``
         (hard-link-exclusive — EEXIST means another writer published
         this version first) and, on success, roll the pointer hint

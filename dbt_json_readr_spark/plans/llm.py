@@ -4678,7 +4678,13 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     prep(spark)
     docs = spread(load(spark, sf_dir, "documents"))
-    mh = D.minhash_lsh_pairs(docs).select("doc_a", "doc_b", F.lit("minhash").alias("method"))
+    # MUST mirror _minhash_sql()'s knobs (k/_MH_N/_MH_BANDS/τ) — the
+    # operator defaults are a DIFFERENT sketch (16 hashes / 4 bands)
+    # and only coincidentally produce the same pairs on this corpus
+    # (r5 code-review finding)
+    mh = D.minhash_lsh_pairs(
+        docs, k=_MH_K, n_hashes=_MH_N, bands=_MH_BANDS, threshold=_MH_TAU
+    ).select("doc_a", "doc_b", F.lit("minhash").alias("method"))
     sh = D.simhash_pairs(docs, max_hamming=3).select(
         "doc_a", "doc_b", F.lit("simhash").alias("method")
     )

@@ -2204,8 +2204,8 @@ def manifest_concurrent_commit_audit(spark: SparkSession, sf_dir: str) -> DataFr
     )
     t.commit(base)  # v1
     # the loser stages and builds against parent v1 …
-    cid, staged, parts, actual = t._stage_and_audit(w1, None, None)
-    stale = t._build_manifest(
+    cid, staged, parts, actual = t.stage_and_audit(w1, None, None)
+    stale = t.build_manifest(
         version=2, parent=1, commit_id=cid, staged=staged, parts=parts,
         actual=actual, batch_schema=w1.schema, mode="append", batch_id=None,
         partition_by=None, replace_partitions=False,
@@ -2213,15 +2213,15 @@ def manifest_concurrent_commit_audit(spark: SparkSession, sf_dir: str) -> DataFr
     # … while the winner publishes v2 first, evolving the schema
     if t.commit(w2) != 2:
         raise RuntimeError("winner did not land at v2")
-    if t._try_publish(2, stale):
+    if t.try_publish(2, stale):
         raise RuntimeError("version CAS accepted a stale manifest")
     # retry: rebuild the SAME staged files on top of the winner
-    retry = t._build_manifest(
+    retry = t.build_manifest(
         version=3, parent=2, commit_id=cid, staged=staged, parts=parts,
         actual=actual, batch_schema=w1.schema, mode="append", batch_id=None,
         partition_by=None, replace_partitions=False,
     )
-    if not t._try_publish(3, retry):
+    if not t.try_publish(3, retry):
         raise RuntimeError("retry publish lost an impossible race")
     final_version = t.current_version()
     snap = t.read()

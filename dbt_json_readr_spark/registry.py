@@ -301,13 +301,12 @@ register(
 # FIRST 50 keys in queries() insertion order, so registration order IS
 # the correctness gate.  Round-5 rotation policy (VERDICT r4 item 1):
 # the 40 keys that landed after the r4 window locked (_NEW_R4_LATE)
-# have ZERO driver rows in any round — they claim slots first, then the
-# keys new or changed IN r5 (_NEW_R5), then the head of _STALE_R2
-# (newest driver row is r2, pre-container-rebuild), which guarantees
-# the five keys VERDICT named: dedup_minhash_lsh (rewritten twice since
-# its r2 row), dedup_exact, streaming_windowed_agg, ann_recall_eval,
-# multimodal_decode.  Rotated-out keys stay covered by
-# tests/test_oracle_parity.py (every key, sf0.01, exact values).
+# have ZERO driver rows in any round — they claim slots first; then the
+# five keys VERDICT named as guaranteed (_R5_GUARANTEED); the last five
+# slots go to keys new or changed IN r5 (_NEW_R5; its sixth entry
+# overflows to r6 by design).  _STALE_R2 rotates into r6 entirely.
+# Rotated-out keys stay covered by tests/test_oracle_parity.py
+# (every key, sf0.01, exact values).
 GATE_WINDOW = 50
 
 # Gated green in r4 (CORRECTNESS_r04.json, 50/50) — rotate out.
@@ -414,26 +413,35 @@ _NEW_R4_LATE = [
     "corpus_length_quality_corr",
 ]
 
-# New or semantically CHANGED in r5 — the driver has no row under the
-# current definition: streaming_stateful_counts now runs
-# transformWithStateInPandas (vendored-protobuf state protocol), and
-# the other two are brand-new r5 keys (OCC audit, drift classes).
-_NEW_R5 = [
-    "streaming_stateful_counts",
-    "manifest_concurrent_commit_audit",
-    "dbt_schema_drift_classes",
-]
-
-# Newest driver row is r2 (pre-rebuild).  Ordered most load-bearing
-# first; the head fills the slots left after _NEW_R4_LATE + _NEW_R5
-# (the five keys VERDICT r4 named as guaranteed lead), the tail
-# rotates into r6.
-_STALE_R2 = [
+# The five keys VERDICT r4 named as guaranteed r5 slots — they lead
+# the non-never-gated portion of the window.
+_R5_GUARANTEED = [
     "dedup_minhash_lsh",
     "dedup_exact",
     "streaming_windowed_agg",
     "ann_recall_eval",
     "multimodal_decode",
+]
+
+# New or semantically CHANGED in r5 — the driver has no row under the
+# current definition: streaming_stateful_counts now runs native
+# transformWithStateInPandas (vendored-protobuf state protocol), the
+# others are brand-new r5 keys.  They fill the window's remaining five
+# slots; dedup_method_agreement (also new in r5) overflows to r6 — its
+# member pipelines are each individually gated/parity-covered, making
+# it the least-risky key to leave with local-parity-only evidence.
+_NEW_R5 = [
+    "streaming_stateful_counts",
+    "manifest_concurrent_commit_audit",
+    "dbt_schema_drift_classes",
+    "streaming_session_timeout",
+    "dbt_style_expectations",
+    "dedup_method_agreement",
+]
+
+# Newest driver row is r2 (pre-rebuild).  Ordered most load-bearing
+# first; rotates into r6 (the r5 window is full with the above).
+_STALE_R2 = [
     "dbt_manifest_nodes",
     "dbt_manifest_unified",
     "dbt_manifest_edges",
@@ -480,16 +488,10 @@ _STALE_R2 = [
     "text_token_count",
 ]
 
-assert len(_NEW_R4_LATE) + len(_NEW_R5) <= GATE_WINDOW
-_GATE_PRIORITY = (_NEW_R4_LATE + _NEW_R5 + _STALE_R2)[:GATE_WINDOW]
+assert len(_NEW_R4_LATE) + len(_R5_GUARANTEED) <= GATE_WINDOW
+_GATE_PRIORITY = (_NEW_R4_LATE + _R5_GUARANTEED + _NEW_R5 + _STALE_R2)[:GATE_WINDOW]
 # VERDICT r4 named these five as guaranteed r5 slots; pin it.
-for _k in (
-    "dedup_minhash_lsh",
-    "dedup_exact",
-    "streaming_windowed_agg",
-    "ann_recall_eval",
-    "multimodal_decode",
-):
+for _k in _R5_GUARANTEED:
     assert _k in _GATE_PRIORITY, f"guaranteed r5 gate slot lost: {_k}"
 
 

@@ -1531,6 +1531,15 @@ def session_timeout_sessions(ev: DataFrame) -> DataFrame:
     last + gap — exactly the horizon the oracle encodes.  Stale timers
     (superseded by a later event in the same batch chain) are deleted
     on arrival and double-checked against state at fire time.
+
+    Cross-batch disorder: a straggler inside the open session's gap
+    window merges exactly (extending session_start downward, as the
+    globally-sorted oracle does); stragglers OLDER than start − gap
+    sessionize among themselves and close immediately — they cannot
+    re-open an already-timer-emitted session, the one approximation
+    vs a global sort.  Exact for single-batch drains (the gate) and
+    time-ordered batch sequences; `session_window` (D2/D16) is the
+    native op when arbitrary cross-batch disorder must merge exactly.
     """
     _require_tws(ev)
     import pandas as pd
@@ -1571,14 +1580,38 @@ def session_timeout_sessions(ev: DataFrame) -> DataFrame:
             else:
                 start = last = None
                 n = 0
+            # cross-batch stragglers OLDER than the open session's gap
+            # window (possible only across unordered micro-batches,
+            # within the watermark) sessionize among themselves and
+            # close immediately — they cannot re-open a session the
+            # timer already emitted, and their last run is > gap away
+            # from `start` by construction (r5 code-review finding)
+            if start is not None:
+                pre = [u for u in evs if u < start - gap_us]
+                evs = [u for u in evs if u >= start - gap_us]
+                ps = pl = pn = None
+                for u in pre:
+                    if ps is None:
+                        ps, pl, pn = u, u, 1
+                    elif u > pl + gap_us:
+                        yield self._row(key, ps, pl, pn)
+                        ps, pl, pn = u, u, 1
+                    else:
+                        pl, pn = u, pn + 1
+                if ps is not None:
+                    yield self._row(key, ps, pl, pn)
             for u in evs:
                 if start is None:
                     start, last, n = u, u, 1
-                elif u - last > gap_us:
+                elif u > last + gap_us:
                     yield self._row(key, start, last, n)  # closed by successor
                     start, last, n = u, u, 1
                 else:
-                    last, n = max(last, u), n + 1
+                    # within [start − gap, last + gap]: merge, extending
+                    # the session DOWNWARD too — a straggler inside the
+                    # gap window must move session_start, as the
+                    # globally-sorted oracle does
+                    start, last, n = min(start, u), max(last, u), n + 1
             self._st.update((start, last, n))
             self._h.registerTimer(last // 1000 + gap_ms)
 

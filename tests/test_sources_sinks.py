@@ -624,10 +624,10 @@ def test_manifest_commit_cas_rejects_stale_parent(spark, tmp_path):
     df1 = spark.range(10).withColumnRenamed("id", "k")
     t.commit(df1)  # v1
     # stale writer: stage + build against parent v1 …
-    cid, staged, parts, actual = t._stage_and_audit(
+    cid, staged, parts, actual = t.stage_and_audit(
         spark.range(5).withColumnRenamed("id", "k"), None, None
     )
-    stale = t._build_manifest(
+    stale = t.build_manifest(
         version=2, parent=1, commit_id=cid, staged=staged, parts=parts,
         actual=actual, batch_schema=df1.schema, mode="append", batch_id=None,
         partition_by=None, replace_partitions=False,
@@ -635,7 +635,7 @@ def test_manifest_commit_cas_rejects_stale_parent(spark, tmp_path):
     # … meanwhile a concurrent writer publishes v2 first
     t.commit(spark.range(3).withColumnRenamed("id", "k"))
     assert t.current_version() == 2
-    assert t._try_publish(2, stale) is False  # CAS rejects the stale build
+    assert t.try_publish(2, stale) is False  # CAS rejects the stale build
     # the stale writer's commit() path retries cleanly onto v3
     v = t.commit(spark.range(5, 12).withColumnRenamed("id", "k"))
     assert v == 3
@@ -696,15 +696,15 @@ def test_manifest_commit_rolls_forward_past_unswapped_pointer(spark, tmp_path):
 
     t = ManifestTable(spark, str(tmp_path / "t"))
     t.commit(spark.range(4).withColumnRenamed("id", "k"))  # v1
-    cid, staged, parts, actual = t._stage_and_audit(
+    cid, staged, parts, actual = t.stage_and_audit(
         spark.range(6).withColumnRenamed("id", "k"), None, None
     )
-    m = t._build_manifest(
+    m = t.build_manifest(
         version=2, parent=1, commit_id=cid, staged=staged, parts=parts,
         actual=actual, batch_schema=t.read().schema, mode="append",
         batch_id=None, partition_by=None, replace_partitions=False,
     )
-    assert t._try_publish(2, m) is True
+    assert t.try_publish(2, m) is True
     # simulate the crash: regress the pointer to v1
     t._atomic_write(os.path.join(t._manifests, "_latest"), "1")
     assert t.current_version() == 2  # rolled forward

@@ -675,3 +675,58 @@ def test_session_timeout_timer_fires_without_new_events_for_key(spark, tmp_path)
     assert (1, us(t0), us(t1), 2) in rows
     # sentinel session not emitted: its last+gap is past the final watermark
     assert not any(u == 99 for u, *_ in rows)
+
+
+def test_session_timeout_merges_in_window_stragglers_across_batches(spark, tmp_path):
+    """r5 code-review fold contract: a cross-batch straggler INSIDE the
+    open session's gap window must merge and move session_start
+    downward (as the globally-sorted oracle does); stragglers OLDER
+    than start − gap sessionize among themselves and close
+    immediately."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    schema = load(spark, SF, "events").schema
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m, 0)  # noqa: E731
+    batches = [
+        # open sessions: user 1 at 10:00+10:02, user 2 at 11:45
+        [(1, t(10, 0), 1, "view", 1.0, "{}"), (2, t(10, 2), 1, "click", 1.0, "{}"),
+         (3, t(11, 45), 2, "view", 1.0, "{}")],
+        # stragglers: user 1 at 09:50 (inside 09:32..10:32 → merges,
+        # start moves down); user 2 at 08:00+08:10 (older than
+        # 11:15 − 30min → own closed session); sentinel drives the
+        # watermark to 12:00
+        [(4, t(9, 50), 1, "view", 1.0, "{}"),
+         (5, t(8, 0), 2, "view", 1.0, "{}"), (6, t(8, 10), 2, "view", 1.0, "{}"),
+         (7, t(13, 0), 99, "view", 1.0, "{}")],
+    ]
+    for i, rows in enumerate(batches):
+        part_dir = str(tmp_path / f"w{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(part_dir)
+        [f] = glob.glob(f"{part_dir}/part-*.parquet")
+        shutil.move(f, tmp_path / f"events_{i}.parquet")
+        shutil.rmtree(part_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events_*.parquet")
+        .parquet(str(tmp_path))
+        .withWatermark("ts", "1 hour")
+    )
+    out = jobs._run_to_memory(
+        jobs.session_timeout_sessions(stream), "sess_straggler_mb", "update"
+    )
+    rows = {(r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+            for r in out.collect()}
+    us = lambda d: int(d.timestamp() * 1_000_000)  # noqa: E731
+    # user 1: merged straggler moved the start to 09:50; closed by timer
+    # (10:32 <= watermark 12:00)
+    assert (1, us(t(9, 50)), us(t(10, 2)), 3) in rows
+    # user 2: the two pre-window stragglers form ONE closed session
+    assert (2, us(t(8, 0)), us(t(8, 10)), 2) in rows
+    # user 2's open 11:45 session must NOT emit (12:15 > watermark)
+    assert not any(u == 2 and s == us(t(11, 45)) for u, s, *_ in rows)
