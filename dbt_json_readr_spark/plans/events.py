@@ -1972,3 +1972,205 @@ SELECT month, n_orders, new_customers,
 FROM monthly
 ORDER BY month
 """
+
+
+# ------------------------------------------------------------- B77
+# Mergeable KLL quantile sketches (Spark 4 DataSketches) — the
+# distributed-percentile primitive pairing B71's HLL (distincts) and
+# B63's frequent items: per-group sketches union into rollups WITHOUT
+# rescanning raw rows.  Audited in B40's honesty pattern: sketch
+# internals are partitioning-dependent, so the gated output carries
+# engine-exact facts (counts, a rank-based exact median) plus
+# guarantee-backed booleans, never raw sketch estimates.
+
+
+def events_kll_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type KLL(value) sketches + a MERGED overall sketch, audited:
+    ``sk_n`` must equal the exact row count (the sketch saw every row —
+    deterministic), and the sketch's p50 estimate must have a true rank
+    whose tie-interval [#(<est)/n, #(≤est)/n] intersects 0.5 ± 0.05 —
+    KLL's rank-error guarantee at k=200 is ~1.6%, so the boolean is
+    robustly TRUE under any partitioning while an implementation bug
+    (dropped rows, wrong merge) flips it.  The exact median is
+    rank-based (a value FROM the data at rank ⌊(n+1)/2⌋ under the
+    (value, event_id) total order — no float interpolation), so both
+    engines agree bit-for-bit.
+
+    Scale shape: sketches partial-aggregate map-side; the merged
+    rollup unions |types| sketches, never raw rows — the 100 TB
+    re-aggregation path.
+    """
+    prep(spark)
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("value").cast("double").alias("v")
+    )
+    per_type = ev.groupBy("event_type").agg(
+        F.kll_sketch_agg_double("v").alias("sk"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    merged = per_type.agg(
+        F.kll_merge_agg_double("sk").alias("sk"),
+        F.sum("n").alias("n"),
+    ).select(F.lit("__all__").alias("event_type"), "sk", "n")
+    w = W.partitionBy("scope").orderBy("v", "event_id")
+    ranked = ev.select(F.col("event_type").alias("scope"), "v", "event_id").unionByName(
+        ev.select(F.lit("__all__").alias("scope"), "v", "event_id")
+    ).withColumn("rn", F.row_number().over(w))
+    sizes = ranked.groupBy("scope").agg(F.count(F.lit(1)).alias("n_rows"))
+    medians = (
+        ranked.join(F.broadcast(sizes), "scope")
+        .filter(F.col("rn") == F.floor((F.col("n_rows") + 1) / 2))
+        .select("scope", F.col("v").alias("exact_median"))
+    )
+    sketches = per_type.select("event_type", "sk", "n").unionByName(merged)
+    est = sketches.select(
+        "event_type",
+        "n",
+        F.kll_sketch_get_n_double("sk").alias("sk_n"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("est_p50"),
+    )
+    withm = est.join(
+        F.broadcast(medians.withColumnRenamed("scope", "event_type")), "event_type"
+    )
+    # true-rank tie interval of the (partitioning-dependent) estimate,
+    # computed exactly; only the guarantee-backed boolean is emitted
+    rk = (
+        ev.select(F.col("event_type").alias("scope"), "v")
+        .unionByName(ev.select(F.lit("__all__").alias("scope"), "v"))
+        .join(
+            F.broadcast(withm.select(F.col("event_type").alias("scope"), "est_p50")),
+            "scope",
+        )
+        .groupBy("scope")
+        .agg(
+            F.sum((F.col("v") < F.col("est_p50")).cast("long")).alias("n_lt"),
+            F.sum((F.col("v") <= F.col("est_p50")).cast("long")).alias("n_le"),
+        )
+    )
+    return (
+        withm.join(F.broadcast(rk.withColumnRenamed("scope", "event_type")), "event_type")
+        .select(
+            "event_type",
+            "n",
+            (F.col("sk_n") == F.col("n")).alias("sketch_saw_every_row"),
+            "exact_median",
+            (
+                (F.col("n_lt").cast("double") / F.col("n") <= 0.55)
+                & (F.col("n_le").cast("double") / F.col("n") >= 0.45)
+            ).alias("p50_within_bound"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_KLL_QUANTILE_SQL = """
+WITH base AS (
+  SELECT event_type AS scope, value AS v, event_id FROM events
+  UNION ALL
+  SELECT '__all__', value, event_id FROM events
+),
+ranked AS (
+  SELECT scope, v,
+         row_number() OVER (PARTITION BY scope ORDER BY v, event_id) AS rn,
+         count(*) OVER (PARTITION BY scope) AS n_rows
+  FROM base
+)
+SELECT scope AS event_type,
+       CAST(n_rows AS BIGINT) AS n,
+       TRUE AS sketch_saw_every_row,
+       v AS exact_median,
+       TRUE AS p50_within_bound
+FROM ranked
+WHERE rn = CAST(floor((n_rows + 1) / 2) AS BIGINT)
+ORDER BY event_type
+"""
+
+
+# ------------------------------------------------------------- B78
+# Theta sketches (Spark 4 DataSketches) — the SET-OPERATION sketch: HLL
+# can only union, theta also intersects and differences, which is what
+# cohort-overlap questions ("users who viewed AND purchased") need at
+# 100 TB without an exact distinct join.
+
+
+def events_theta_set_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type theta sketches over user_id, audited on every
+    type pair: exact distinct-user intersection and union (key-
+    cardinality semi-join work, never row×row) vs the sketch
+    estimates, which in the sub-nominal EXACT REGIME (distinct users ≤
+    2^14 nominal entries — tracked like B63's top-k audit) must match
+    to the integer.  ``n_users_a/b`` evidence the regime; beyond it
+    the booleans report the divergence honestly rather than emitting
+    partitioning-dependent estimates into the hash.
+
+    Scale shape: sketches partial-aggregate map-side; pair math
+    operates on |types|² sketch pairs, never on users.
+    """
+    prep(spark)
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    per_type = ev.groupBy("event_type").agg(
+        F.theta_sketch_agg(F.col("user_id"), 14).alias("th"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    a = per_type.select(
+        F.col("event_type").alias("type_a"), F.col("th").alias("sa"),
+        F.col("n_users").alias("n_users_a"),
+    )
+    b = per_type.select(
+        F.col("event_type").alias("type_b"), F.col("th").alias("sb"),
+        F.col("n_users").alias("n_users_b"),
+    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    distinct_tu = ev.distinct()
+    ea = distinct_tu.select(F.col("event_type").alias("type_a"), "user_id")
+    eb = distinct_tu.select(F.col("event_type").alias("type_b"), "user_id")
+    exact = (
+        ea.join(eb, ["user_id"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    est = pairs.select(
+        "type_a", "type_b", "n_users_a", "n_users_b",
+        F.theta_sketch_estimate(F.theta_intersection("sa", "sb")).alias("est_inter"),
+        F.theta_sketch_estimate(F.theta_union("sa", "sb")).alias("est_union"),
+    )
+    return (
+        est.join(exact, ["type_a", "type_b"], "left")
+        .select(
+            "type_a", "type_b", "n_users_a", "n_users_b",
+            F.coalesce("exact_inter", F.lit(0)).alias("exact_inter"),
+            (F.col("n_users_a") + F.col("n_users_b")
+             - F.coalesce("exact_inter", F.lit(0))).alias("exact_union"),
+            (F.col("est_inter") == F.coalesce("exact_inter", F.lit(0)))
+            .alias("inter_exact_regime_match"),
+            (
+                F.col("est_union")
+                == F.col("n_users_a") + F.col("n_users_b")
+                - F.coalesce("exact_inter", F.lit(0))
+            ).alias("union_exact_regime_match"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+EVENTS_THETA_SET_SQL = """
+WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+counts AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users FROM tu GROUP BY 1),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS exact_inter
+  FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+       ca.n_users AS n_users_a, cb.n_users AS n_users_b,
+       COALESCE(i.exact_inter, 0) AS exact_inter,
+       ca.n_users + cb.n_users - COALESCE(i.exact_inter, 0) AS exact_union,
+       TRUE AS inter_exact_regime_match,
+       TRUE AS union_exact_regime_match
+FROM counts ca
+JOIN counts cb ON ca.event_type < cb.event_type
+LEFT JOIN inter i ON i.type_a = ca.event_type AND i.type_b = cb.event_type
+ORDER BY type_a, type_b
+"""

@@ -186,6 +186,12 @@ register(
     "incremental_view_maintain", tpch.incremental_view_maintain, tpch.INCREMENTAL_VIEW_SQL
 )
 register(
+    "events_kll_quantile_audit", events.events_kll_quantile_audit, events.EVENTS_KLL_QUANTILE_SQL
+)
+register(
+    "events_theta_set_audit", events.events_theta_set_audit, events.EVENTS_THETA_SET_SQL
+)
+register(
     "manifest_concurrent_commit_audit",
     tpch.manifest_concurrent_commit_audit,
     tpch.MANIFEST_OCC_AUDIT_SQL,
