@@ -300,6 +300,11 @@ register(
     streaming_jobs.streaming_session_timeout,
     streaming_jobs.STREAMING_SESSION_TIMEOUT_SQL,
 )
+register(
+    "streaming_cdc_warmstart",
+    streaming_jobs.streaming_cdc_warmstart,
+    streaming_jobs.STREAMING_CDC_WARMSTART_SQL,
+)
 
 
 # -------------------------------------------------------------------

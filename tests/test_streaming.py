@@ -730,3 +730,57 @@ def test_session_timeout_merges_in_window_stragglers_across_batches(spark, tmp_p
     assert (2, us(t(8, 0)), us(t(8, 10)), 2) in rows
     # user 2's open 11:45 session must NOT emit (12:15 > watermark)
     assert not any(u == 2 and s == us(t(11, 45)) for u, s, *_ in rows)
+
+
+def test_cdc_warmstart_snapshot_state_survives_older_live_events(spark, tmp_path):
+    """Initial-state bootstrap semantics: a live event OLDER than the
+    user's snapshot state must not displace it (the LWW max is over
+    snapshot+live), and n_updates must count the snapshot rows the
+    stream never saw — both only possible if handleInitialState really
+    seeded the ValueState."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    pytest.importorskip("google.protobuf")
+    schema = load(spark, SF, "events").schema
+    t = lambda h: dt.datetime(2024, 1, 1, h, 0, 0)  # noqa: E731
+    # snapshot (batch): user 1 has 3 rows, latest at 12:00 value 9.0
+    snap_rows = [(2, t(10), 1, "view", 1.0, "{}"), (4, t(11), 1, "view", 2.0, "{}"),
+                 (6, t(12), 1, "view", 9.0, "{}")]
+    snap_df = spark.createDataFrame(snap_rows, schema)
+    snap = (
+        snap_df.groupBy("user_id")
+        .agg(
+            F.max(F.struct(F.unix_micros("ts").alias("ts_us"), "event_id", "value")).alias("m"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("user_id", "m.ts_us", "m.event_id", "m.value", "n")
+    )
+    # live stream: user 1 gets an OLDER event (11:30, value 5.0);
+    # user 2 is stream-only
+    live_rows = [(7, t(11) + dt.timedelta(minutes=30), 1, "view", 5.0, "{}"),
+                 (9, t(13), 2, "view", 7.0, "{}")]
+    part_dir = str(tmp_path / "w0")
+    spark.createDataFrame(live_rows, schema).coalesce(1).write.parquet(part_dir)
+    [f] = glob.glob(f"{part_dir}/part-*.parquet")
+    shutil.move(f, tmp_path / "events_0.parquet")
+    shutil.rmtree(part_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events_*.parquet")
+        .parquet(str(tmp_path))
+        .withWatermark("ts", "1 hour")
+    )
+    out = jobs._run_to_memory(
+        jobs.cdc_latest_warmstart(stream, snap), "cdc_warm_unit", "update"
+    )
+    got = {r.user_id: (r.n_updates, r.last_event_id, r.last_value) for r in out.collect()}
+    # user 1: snapshot state (12:00, id 6, 9.0) survives the older live
+    # event; n_updates = 3 snapshot + 1 live
+    assert got[1] == (4, 6, 9.0)
+    # user 2: no snapshot -> plain fold over the live rows
+    assert got[2] == (1, 9, 7.0)
