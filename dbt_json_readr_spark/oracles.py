@@ -725,3 +725,19 @@ def dbt_schema_drift_classes() -> str:
         )
     rows.sort(key=lambda r: (-r[-1], r[0]))
     return _values_sql(cols, rows)
+
+
+def dbt_manifest_lake() -> str:
+    """A27: stdlib re-parse of every lake manifest (lake_fixture.
+    lake_rollup_rows) — fully independent of the Spark glob reader."""
+    from .sources.lake_fixture import lake_rollup_rows
+
+    cols = [
+        ("unique_id", "VARCHAR"),
+        ("n_runs", "BIGINT"),
+        ("n_files", "BIGINT"),
+        ("n_versions", "BIGINT"),
+        ("first_seen_at", "TIMESTAMP"),
+        ("last_seen_at", "TIMESTAMP"),
+    ]
+    return _values_sql(cols, lake_rollup_rows()) + ' ORDER BY "unique_id"'

@@ -542,3 +542,50 @@ def dbt_schema_drift_classes(
         )
         .orderBy(F.desc("drift_score"), "unique_id")
     )
+
+
+# ----------------------------------------------------------------- A27
+# The many-file artifact-lake path: SURVEY §4's 100× of
+# import_manifest_json (explore.R:223-259), which reads ONE file.  A
+# fleet writes one manifest.json per dbt invocation; per-model history
+# questions (how often does this model ship? how fast does its code
+# churn?) are glob-the-lake rollups.
+
+
+def dbt_manifest_lake(spark: SparkSession, sf_dir: str, lake: str | None = None) -> DataFrame:
+    """Per-model rollup over a 1,200-invocation manifest lake.
+
+    Scale shape: one glob → ``wholetext`` (one row per file, files packed
+    into splits by openCostInBytes, so 1,200 tiny files still fan out
+    across executors) → ``from_json`` with the NARROW ``LAKE_MANIFEST_
+    SCHEMA`` (metadata + per-node checksum only — the JSON analogue of
+    column pruning; the full MANIFEST_SCHEMA would deserialize every
+    depends_on/columns map in every file for nothing) → explode →
+    groupBy(unique_id).  Zero driver-side JSON parsing; the rollup is a
+    single shuffle at model-key cardinality (8 keys), not file
+    cardinality.  ``n_files`` is a broadcast 1-row scalar.
+    """
+    prep(spark)
+    from ..sources.lake_fixture import LAKE_DIR, ensure_lake
+
+    root = str(ensure_lake(lake or LAKE_DIR))
+    doc = A.read_artifact(spark, f"{root}/run_*/manifest.json", A.LAKE_MANIFEST_SCHEMA)
+    nodes = doc.select(
+        F.to_timestamp(F.col("doc.metadata")["generated_at"]).alias("generated_at"),
+        F.explode("doc.nodes").alias("map_uid", "node"),
+    )
+    n_files = doc.agg(F.count(F.lit(1)).alias("n_files"))
+    return (
+        nodes.groupBy(F.col("node.unique_id").alias("unique_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_runs"),
+            F.countDistinct("node.checksum.checksum").alias("n_versions"),
+            F.min("generated_at").alias("first_seen_at"),
+            F.max("generated_at").alias("last_seen_at"),
+        )
+        .crossJoin(F.broadcast(n_files))
+        .select(
+            "unique_id", "n_runs", "n_files", "n_versions", "first_seen_at", "last_seen_at"
+        )
+        .orderBy("unique_id")
+    )

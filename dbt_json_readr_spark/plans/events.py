@@ -2097,11 +2097,14 @@ def events_theta_set_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type theta sketches over user_id, audited on every
     type pair: exact distinct-user intersection and union (key-
     cardinality semi-join work, never row×row) vs the sketch
-    estimates, which in the sub-nominal EXACT REGIME (distinct users ≤
-    2^14 nominal entries — tracked like B63's top-k audit) must match
-    to the integer.  ``n_users_a/b`` evidence the regime; beyond it
-    the booleans report the divergence honestly rather than emitting
-    partitioning-dependent estimates into the hash.
+    estimates, which in the sub-nominal EXACT REGIME (pair union ≤
+    2^14 nominal entries, so neither input sketch nor the union ever
+    sampled — tracked like B63's top-k audit) must match to the
+    integer.  ``in_exact_regime`` is computed FROM THE DATA
+    (exact_union ≤ 16384) on both engines, and the match booleans are
+    guarded by it (trivially TRUE outside the regime, guarantee-backed
+    inside), so the audit stays green at sf10's ~150k users instead of
+    hash-mismatching a hardcoded-TRUE oracle (ADVICE r5).
 
     Scale shape: sketches partial-aggregate map-side; pair math
     operates on |types|² sketch pairs, never on users.
@@ -2135,23 +2138,23 @@ def events_theta_set_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.theta_sketch_estimate(F.theta_intersection("sa", "sb")).alias("est_inter"),
         F.theta_sketch_estimate(F.theta_union("sa", "sb")).alias("est_union"),
     )
-    return (
-        est.join(exact, ["type_a", "type_b"], "left")
-        .select(
-            "type_a", "type_b", "n_users_a", "n_users_b",
-            F.coalesce("exact_inter", F.lit(0)).alias("exact_inter"),
-            (F.col("n_users_a") + F.col("n_users_b")
-             - F.coalesce("exact_inter", F.lit(0))).alias("exact_union"),
-            (F.col("est_inter") == F.coalesce("exact_inter", F.lit(0)))
-            .alias("inter_exact_regime_match"),
-            (
-                F.col("est_union")
-                == F.col("n_users_a") + F.col("n_users_b")
-                - F.coalesce("exact_inter", F.lit(0))
-            ).alias("union_exact_regime_match"),
-        )
-        .orderBy("type_a", "type_b")
+    joined = est.join(exact, ["type_a", "type_b"], "left").select(
+        "type_a", "type_b", "n_users_a", "n_users_b",
+        F.coalesce("exact_inter", F.lit(0)).alias("exact_inter"),
+        (F.col("n_users_a") + F.col("n_users_b")
+         - F.coalesce("exact_inter", F.lit(0))).alias("exact_union"),
+        "est_inter", "est_union",
     )
+    regime = F.col("exact_union") <= F.lit(1 << 14)
+    return joined.select(
+        "type_a", "type_b", "n_users_a", "n_users_b",
+        "exact_inter", "exact_union",
+        regime.alias("in_exact_regime"),
+        (~regime | (F.col("est_inter") == F.col("exact_inter")))
+        .alias("inter_exact_regime_match"),
+        (~regime | (F.col("est_union") == F.col("exact_union")))
+        .alias("union_exact_regime_match"),
+    ).orderBy("type_a", "type_b")
 
 
 EVENTS_THETA_SET_SQL = """
@@ -2167,6 +2170,8 @@ SELECT ca.event_type AS type_a, cb.event_type AS type_b,
        ca.n_users AS n_users_a, cb.n_users AS n_users_b,
        COALESCE(i.exact_inter, 0) AS exact_inter,
        ca.n_users + cb.n_users - COALESCE(i.exact_inter, 0) AS exact_union,
+       ca.n_users + cb.n_users - COALESCE(i.exact_inter, 0) <= 16384
+         AS in_exact_regime,
        TRUE AS inter_exact_regime_match,
        TRUE AS union_exact_regime_match
 FROM counts ca

@@ -53,6 +53,7 @@ for _key in [
     "dbt_column_name_lineage",
     "dbt_test_results_rollup",
     "dbt_schema_drift_classes",
+    "dbt_manifest_lake",
 ]:
     register(_key, getattr(dbt, _key), getattr(oracles, _key)())
 

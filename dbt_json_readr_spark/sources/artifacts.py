@@ -87,6 +87,30 @@ MANIFEST_SCHEMA = T.StructType(
     ]
 )
 
+# Narrow projection of MANIFEST_SCHEMA for LAKE-wide rollups: when a glob
+# matches thousands/millions of manifests, from_json should only pay for
+# the fields the query needs (metadata + per-node checksum identity) —
+# the JSON-parse analogue of parquet column pruning.  from_json skips
+# unlisted fields entirely.
+LAKE_MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("metadata", T.MapType(T.StringType(), T.StringType())),
+        T.StructField(
+            "nodes",
+            T.MapType(
+                T.StringType(),
+                T.StructType(
+                    [
+                        T.StructField("unique_id", T.StringType()),
+                        T.StructField("resource_type", T.StringType()),
+                        T.StructField("checksum", _CHECKSUM),
+                    ]
+                ),
+            ),
+        ),
+    ]
+)
+
 _CATALOG_COLUMN = T.StructType(
     [
         T.StructField("name", T.StringType()),

@@ -124,3 +124,34 @@ def test_api_names_mirror_reference(spark):
     assert api.manifest_columns(spark, manifest).count() > 0
     assert api.read_run_results(spark, f"{target}/run_results.json").count() > 0
     assert api.read_source_freshness(spark, f"{target}/sources.json").count() > 0
+
+
+def test_manifest_lake_rollup_and_scan_packing(spark):
+    """A27 (r6): the 1,200-invocation lake reads as ONE distributed scan
+    whose splits PACK many small files (task count ≪ file count — task
+    overhead, not parse time, dominates tiny-file lakes), and the rollup
+    agrees with a stdlib recount of every file."""
+    from dbt_json_readr_spark.plans.dbt import dbt_manifest_lake
+    from dbt_json_readr_spark.sources import lake_fixture as LF
+
+    root = LF.ensure_lake()
+    # idempotent re-ensure is a cheap stat, not a rebuild
+    marker = (root / "_LAKE_VERSION").stat().st_mtime_ns
+    assert LF.ensure_lake() == root
+    assert (root / "_LAKE_VERSION").stat().st_mtime_ns == marker
+
+    df = dbt_manifest_lake(spark, "unused")
+    scan = df.sparkSession.read.text(
+        f"{root}/run_*/manifest.json", wholetext=True
+    )
+    n_splits = scan.rdd.getNumPartitions()
+    assert 1 < n_splits < LF.N_RUNS / 4, n_splits  # packed, still parallel
+
+    rows = {r["unique_id"]: r for r in df.collect()}
+    oracle = {t[0]: t for t in LF.lake_rollup_rows()}
+    assert rows.keys() == oracle.keys() and len(rows) == 8
+    for uid, t in oracle.items():
+        r = rows[uid]
+        assert (r["n_runs"], r["n_files"], r["n_versions"]) == (t[1], t[2], t[3])
+        # checksum cadences differ by model → version counts must differ
+    assert len({r["n_versions"] for r in rows.values()}) > 1
