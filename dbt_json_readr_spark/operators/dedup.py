@@ -24,6 +24,17 @@ from ..functions import vectors as V
 from ..session import rotate_cached, spread
 
 DEFAULT_BUCKET_CAP = 2000
+# Per-doc candidate degree cap (r6, VERDICT r5 item 3): the bucket cap
+# bounds any ONE bucket, but a dup CLIQUE of m docs still yields
+# ~C(m,2) candidate pairs across its buckets — clique-quadratic; sf10's
+# adversarial 100-dup cliques drove a 205.9M-pair verify past
+# single-node scratch.  Capping each doc to its ``cap`` SMALLEST
+# partner ids bounds candidates at n·cap/2 while PRESERVING connected
+# components under min-id clustering: every doc keeps its edge toward
+# its smallest partner, so a monotone-descending chain still reaches
+# each clique's minimum.  Pair-level recall inside giant cliques is the
+# documented trade; drops are loud (per-doc evidence rows).
+DEFAULT_DEGREE_CAP = 16
 # auto-gate bound for the broadcast-candidates verify shape: 5M pairs
 # ≈ 80 MB on the driver / per executor copy — comfortably inside a
 # default 1-4 GiB driver, far under spark.sql.autoBroadcastJoinThreshold
@@ -663,6 +674,56 @@ def embedding_cosine_pairs(
     )
 
 
+def candidate_degree_cap(
+    cand: DataFrame, cap: int
+) -> tuple[DataFrame, DataFrame]:
+    """Bound the per-doc candidate degree: each doc nominates its
+    ``cap`` SMALLEST partner ids; a pair is dropped only when NEITHER
+    endpoint nominated it.  Total kept pairs ≤ n·cap (each doc
+    nominates ≤ cap), and min-id cluster connectivity is preserved:
+    every doc nominates its smallest partner, so a monotone-descending
+    chain of kept edges reaches each component's minimum.  (The
+    stricter both-ends rule would bound at n·cap/2 but ISOLATES
+    high-id clique members — their low-id partners don't reciprocate —
+    which breaks the clustering the pairs feed; unit-pinned.)
+
+    Returns (kept_pairs, capped_docs); capped_docs carries
+    (doc, degree, n_dropped_partners) evidence for every doc that
+    actually lost partners.  Deterministic (partner-id order is total)
+    so a SQL oracle replays it with a row_number window; shuffle cost
+    is two exchanges at pair/doc cardinality — nothing wide."""
+    directed = cand.select(
+        F.col("doc_a").alias("doc"), F.col("doc_b").alias("partner")
+    ).unionAll(cand.select(F.col("doc_b"), F.col("doc_a")))
+    ranked = directed.withColumn(
+        "rk", F.row_number().over(W.partitionBy("doc").orderBy("partner"))
+    )
+    # each pair has exactly two directed rows; dropped ⇔ both over-cap
+    dropped_pairs = (
+        ranked.select(
+            F.least("doc", "partner").alias("doc_a"),
+            F.greatest("doc", "partner").alias("doc_b"),
+            (F.col("rk") > cap).alias("over"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.bool_and("over").alias("dropped"))
+        .filter("dropped")
+        .select("doc_a", "doc_b")
+    )
+    kept = cand.join(dropped_pairs, ["doc_a", "doc_b"], "left_anti")
+    degrees = directed.groupBy("doc").agg(F.count(F.lit(1)).alias("degree"))
+    lost = (
+        dropped_pairs.select(F.col("doc_a").alias("doc"))
+        .unionAll(dropped_pairs.select(F.col("doc_b")))
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_dropped_partners"))
+    )
+    capped_docs = lost.join(degrees, "doc").select(
+        "doc", "degree", "n_dropped_partners"
+    )
+    return kept, capped_docs
+
+
 def minhash_containment_pairs(
     docs: DataFrame,
     k: int = 5,
@@ -670,6 +731,8 @@ def minhash_containment_pairs(
     bands: int = 4,
     threshold: float = 0.6,
     bucket_cap: int = DEFAULT_BUCKET_CAP,
+    degree_cap: int | None = DEFAULT_DEGREE_CAP,
+    evidence: bool = False,
 ) -> DataFrame:
     """Directed shingle containment over minhash-LSH band candidates,
     computed entirely from NARROW rows — the all-shuffle verify shape
@@ -693,6 +756,9 @@ def minhash_containment_pairs(
     rows = _shingle_rows(docs, k)
     # _minhash_candidates already returns cross-band-deduped pairs
     cand = _minhash_candidates(rows, n_hashes, bands, bucket_cap)
+    capped_docs = None
+    if degree_cap is not None:
+        cand, capped_docs = candidate_degree_cap(cand, degree_cap)
     counts = rows.groupBy("doc_id").agg(F.count("*").alias("n"))
     ra = cand.join(rows.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
     ri = ra.join(rows.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"])
@@ -701,7 +767,7 @@ def minhash_containment_pairs(
         ["doc_a", "doc_b"],
         "left",
     ).select("doc_a", "doc_b", F.coalesce("inter", F.lit(0)).alias("inter"))
-    return (
+    pairs = (
         ic.join(counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
         .join(counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
         .select(
@@ -715,6 +781,27 @@ def minhash_containment_pairs(
             F.greatest(F.col("cont_a_in_b"), F.col("cont_b_in_a")) >= threshold
         )
     )
+    if not evidence:
+        return pairs
+    tagged = pairs.select(
+        F.lit("pair").alias("status"),
+        "doc_a", "doc_b", "inter_n", "cont_a_in_b", "cont_b_in_a",
+        F.lit(None).cast("long").alias("degree"),
+        F.lit(None).cast("long").alias("n_dropped_partners"),
+    )
+    if capped_docs is None:
+        return tagged
+    ev = capped_docs.select(
+        F.lit("capped_doc").alias("status"),
+        F.col("doc").alias("doc_a"),
+        F.lit(None).cast(pairs.schema["doc_b"].dataType).alias("doc_b"),
+        F.lit(None).cast("int").alias("inter_n"),
+        F.lit(None).cast("double").alias("cont_a_in_b"),
+        F.lit(None).cast("double").alias("cont_b_in_a"),
+        F.col("degree").cast("long").alias("degree"),
+        F.col("n_dropped_partners").cast("long").alias("n_dropped_partners"),
+    )
+    return tagged.unionByName(ev)
 
 
 def shingle_rows(docs: DataFrame, k: int = 5) -> DataFrame:

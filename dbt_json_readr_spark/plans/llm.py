@@ -3786,6 +3786,15 @@ def dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle-set ARRAYS: AQE's broadcast pick OOM'd the driver at sf1
     (5M-pair candidates / 50k wide sets) and even merge-hinted it
     shuffled megabyte rows; the narrow shape replaced it outright.
+
+    r6 (VERDICT r5 item 3): candidate volume is clique-quadratic —
+    sf10's 100-dup cliques produced 205.9M verify pairs and overflowed
+    single-node scratch.  A per-doc DEGREE CAP (keep each doc's 16
+    smallest partner ids; pair survives only if kept from both ends)
+    bounds the verify at n·cap/2 pairs while preserving min-id cluster
+    connectivity; every capped doc emits a loud ``status='capped_doc'``
+    evidence row carrying (degree, n_dropped_partners), replayed
+    identically by the oracle's row_number window.
     """
     prep(spark)
     docs = spread(load(spark, sf_dir, "documents"))
@@ -3795,7 +3804,9 @@ def dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_hashes=_MH_N,
         bands=_MH_BANDS,
         threshold=_CONT_LSH_TAU,
-    ).orderBy("doc_a", "doc_b")
+        degree_cap=D.DEFAULT_DEGREE_CAP,
+        evidence=True,
+    ).orderBy("status", "doc_a", "doc_b")
 
 
 def _containment_lsh_sql() -> str:
@@ -3822,19 +3833,62 @@ sized AS (
     SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bucket_n FROM banded
   ) WHERE bucket_n <= {D.DEFAULT_BUCKET_CAP}
 ),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
+candp AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM sized a JOIN sized b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+directed AS (
+  SELECT doc_a AS doc, doc_b AS partner FROM candp
+  UNION ALL SELECT doc_b, doc_a FROM candp
+),
+ranked AS (
+  SELECT doc, partner,
+         row_number() OVER (PARTITION BY doc ORDER BY partner) AS rk
+  FROM directed
+),
+droppedp AS (
+  SELECT least(doc, partner) AS doc_a, greatest(doc, partner) AS doc_b
+  FROM ranked
+  GROUP BY 1, 2
+  HAVING bool_and(rk > {D.DEFAULT_DEGREE_CAP})
+),
+kept AS (
+  SELECT c.doc_a, c.doc_b FROM candp c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM droppedp d WHERE d.doc_a = c.doc_a AND d.doc_b = c.doc_b
+  )
+),
+pairs AS (
+  SELECT k.doc_a, k.doc_b, sa.sh AS sh_a, sb.sh AS sh_b
+  FROM kept k
+  JOIN sh sa ON sa.doc_id = k.doc_a
+  JOIN sh sb ON sb.doc_id = k.doc_b
 )
-SELECT doc_a, doc_b,
-       CAST(len(list_intersect(sh_a, sh_b)) AS INTEGER) AS inter_n,
-       len(list_intersect(sh_a, sh_b))::DOUBLE / len(sh_a)::DOUBLE AS cont_a_in_b,
-       len(list_intersect(sh_a, sh_b))::DOUBLE / len(sh_b)::DOUBLE AS cont_b_in_a
-FROM cand
-WHERE greatest(len(list_intersect(sh_a, sh_b))::DOUBLE / len(sh_a)::DOUBLE,
-               len(list_intersect(sh_a, sh_b))::DOUBLE / len(sh_b)::DOUBLE)
-      >= {_CONT_LSH_TAU}
-ORDER BY doc_a, doc_b
+SELECT * FROM (
+  SELECT CAST('pair' AS VARCHAR) AS status, doc_a, doc_b,
+         CAST(len(list_intersect(sh_a, sh_b)) AS INTEGER) AS inter_n,
+         len(list_intersect(sh_a, sh_b))::DOUBLE / len(sh_a)::DOUBLE AS cont_a_in_b,
+         len(list_intersect(sh_a, sh_b))::DOUBLE / len(sh_b)::DOUBLE AS cont_b_in_a,
+         CAST(NULL AS BIGINT) AS degree,
+         CAST(NULL AS BIGINT) AS n_dropped_partners
+  FROM pairs
+  WHERE greatest(len(list_intersect(sh_a, sh_b))::DOUBLE / len(sh_a)::DOUBLE,
+                 len(list_intersect(sh_a, sh_b))::DOUBLE / len(sh_b)::DOUBLE)
+        >= {_CONT_LSH_TAU}
+  UNION ALL
+  SELECT 'capped_doc', lost.doc, CAST(NULL AS BIGINT), CAST(NULL AS INTEGER),
+         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         CAST(deg.degree AS BIGINT) AS degree,
+         CAST(lost.n_dropped AS BIGINT) AS n_dropped_partners
+  FROM (
+    SELECT doc, count(*) AS n_dropped FROM (
+      SELECT doc_a AS doc FROM droppedp UNION ALL SELECT doc_b FROM droppedp
+    ) GROUP BY doc
+  ) lost
+  JOIN (SELECT doc, count(*) AS degree FROM directed GROUP BY doc) deg
+    ON deg.doc = lost.doc
+)
+ORDER BY status, doc_a, doc_b
 """
 
 

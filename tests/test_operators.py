@@ -934,3 +934,59 @@ def test_dbt_style_expectations_counts_planted_violations(spark, tmp_path):
     assert got[("range", "lineitem", "l_discount")] == ("fail", 1)
     assert got[("not_null", "orders", "o_orderkey")] == ("pass", 0)
     assert got[("not_null", "lineitem", "l_orderkey")] == ("pass", 0)
+
+
+def test_degree_cap_bounds_clique_and_keeps_min_id_connectivity(spark):
+    """r6 (VERDICT r5 item 3): a dup clique of m docs must not emit
+    ~C(m,2) candidate pairs.  With cap c, each doc keeps its c smallest
+    partners, so (a) pair count is bounded by n*c/2, (b) every capped
+    doc emits a loud evidence row with exact drop accounting, and
+    (c) min-id clustering still connects the whole clique (each doc
+    keeps an edge toward lower ids — monotone descent reaches the min)."""
+    from pyspark.sql import functions as F
+
+    from dbt_json_readr_spark.operators import dedup as D
+
+    m, cap = 12, 4
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(1, m + 1)], "doc_id long, text string"
+    )
+    out = D.minhash_containment_pairs(
+        docs, k=5, n_hashes=16, bands=4, threshold=0.6,
+        degree_cap=cap, evidence=True,
+    ).collect()
+    pairs = [(r.doc_a, r.doc_b) for r in out if r.status == "pair"]
+    capped = {r.doc_a: r for r in out if r.status == "capped_doc"}
+    assert len(pairs) < m * (m - 1) / 2          # cap bit
+    assert len(pairs) <= m * cap                 # hard bound (either-side keep)
+    # identical docs → full clique pre-cap: pair (a,b) dropped iff
+    # NEITHER end nominates it (rk(b→a)=a > cap AND rk(a→b)=b-1 > cap),
+    # so docs cap+1 .. m lose partners and must carry evidence rows
+    assert set(capped) == set(range(cap + 1, m + 1))
+    for r in capped.values():
+        assert r.degree == m - 1
+        assert r.n_dropped_partners == m - cap - 1
+    # total dropped pair-slots: each dropped pair contributes 2
+    total_dropped = sum(r.n_dropped_partners for r in capped.values())
+    n_dropped_pairs = m * (m - 1) / 2 - len(pairs)
+    assert total_dropped == 2 * n_dropped_pairs
+    # min-id connectivity: union-find over kept pairs → one component
+    parent = {i: i for i in range(1, m + 1)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    assert len({find(i) for i in range(1, m + 1)}) == 1
+
+    # uncapped path unchanged: degree_cap=None yields the full clique
+    full = D.minhash_containment_pairs(
+        docs, k=5, n_hashes=16, bands=4, threshold=0.6, degree_cap=None
+    )
+    assert full.count() == m * (m - 1) / 2
+    assert "status" not in full.columns
