@@ -26,7 +26,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from dbt_json_readr_spark import registry  # noqa: E402
 from dbt_json_readr_spark.session import get_spark  # noqa: E402
 
-HEADLINE = [
+# The 8 queries benched since r2 — their subtotal is the stable
+# round-over-round comparison line (VERDICT r5 item 5: the r5 additions
+# contribute most of the full total and obscured the q3/q5 regression).
+STABLE_8 = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
@@ -35,12 +38,17 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ann_bruteforce_topk",
     "text_quality_score",
+]
+
+HEADLINE = STABLE_8 + [
     # r5 (VERDICT r4 item 7): the 3 most expensive non-headline keys,
     # so their round-over-round regressions become driver artifacts —
     # same 3-run cold/steady regime as the rest
     "doc_sparse_cosine_topk",
     "dedup_containment_lsh",
     "dedup_minhash_est_calibration",
+    # r6: the many-file artifact-lake parse (1,200 manifests; sf-invariant)
+    "dbt_manifest_lake",
 ]
 
 
@@ -83,6 +91,11 @@ def main() -> None:
         "queries": steady,
         "queries_cold": cold,
         "cold_total": round(sum(cold.values()), 3),
+        # stable 8-query subtotal, benched unchanged since r2 — THE
+        # round-over-round comparison line (full totals shift whenever
+        # the headline set grows)
+        "stable8_total": round(sum(steady.get(k, 0.0) for k in STABLE_8), 3),
+        "stable8_cold_total": round(sum(cold.get(k, 0.0) for k in STABLE_8), 3),
         "sf": sf,
         # environment stamp: r2 ran on a different container (pyspark
         # 4.0-era); cross-round comparisons are only meaningful within

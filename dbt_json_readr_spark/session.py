@@ -98,6 +98,10 @@ def prep(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    # skew-join splitting must survive into the DRIVER's plain session
+    # too, not just get_spark's — the big dedup/sparse-cosine shuffles
+    # rely on it at scale (r6; asserted by test_plans.py skew tests)
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark.conf.set("spark.sql.shuffle.partitions", cpus)
     # RocksDB-backed streaming state (OSS provider, ships in Spark ≥3.2):

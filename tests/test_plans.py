@@ -263,3 +263,101 @@ def test_r4_new_op_plan_contracts(spark):
 
     p = formatted_plan(ev.events_concurrency_sweep(spark, SF))
     assert "Join" not in p
+
+
+# ---------------------------------------------------------------- r6
+# VERDICT r5 item 7: the big shuffles (containment-LSH, sparse-cosine,
+# minhash calibration) rely on AQE skew-join splitting at scale — B36
+# salts manually, these do not.  Two contracts: (1) the splitting
+# machinery actually FIRES in this engine's session when a shuffle is
+# skewed past threshold, (2) the three largest shuffle plans execute as
+# ADAPTIVE shuffle joins — the shape OptimizeSkewedJoin can split.  At
+# sf0.1 their partitions sit far under the 256 MB default threshold, so
+# asserting skew=true on them would be asserting a tuning accident;
+# firing is proven on a synthetic skew with thresholds lowered.
+
+
+def _executed_plan(df) -> str:
+    # collect() drives THIS DataFrame's QueryExecution (count() would
+    # build a different one), so AQE's final re-planned tree is visible
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_aqe_skew_join_machinery_fires(spark):
+    from pyspark.sql import functions as F
+
+    from dbt_json_readr_spark.session import prep
+
+    prep(spark)
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+            "spark.sql.shuffle.partitions",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        # 95% of left rows share one key → one shuffle partition far over
+        # 2× the median → OptimizeSkewedJoin must split it
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), F.lit("dim").alias("v")
+        )
+        joined = left.join(right, "k").select(F.count(F.lit(1)).alias("n"))
+        plan = _executed_plan(joined)
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+@pytest.mark.parametrize(
+    "key",
+    ["dedup_containment_lsh", "doc_sparse_cosine_topk", "dedup_minhash_est_calibration"],
+)
+def test_largest_shuffles_are_adaptive_and_skew_eligible(spark, key):
+    """The three most expensive shuffle plans must run under
+    AdaptiveSparkPlan with skewJoin enabled and execute at least one
+    SHUFFLE join (sort-merge / shuffled-hash) — the physical shape the
+    skew splitter operates on.  A refactor that silently turns these
+    into broadcast-only or non-adaptive plans loses the scale story.
+
+    What is size-INVARIANT here is hint freedom, not the chosen join:
+    at sf0.01 both the static planner (parquet size estimates) and AQE
+    legitimately pick broadcasts; at 100× the same code plans shuffle
+    joins that OptimizeSkewedJoin can split.  So the contract is:
+    (a) the plan executes under AdaptiveSparkPlan with skewJoin
+    enabled, and (b) NO analyzed-plan broadcast hint subtree contains
+    corpus-scale columns (doc text / embeddings / per-doc rows) — a
+    forced hint is the one thing that would pin the small-SF shape at
+    100 TB and OOM (the sanctioned 1-row scalar broadcasts carry no
+    corpus columns)."""
+    df = registry.queries()[key](spark, "/root/testdata/sf0.01")
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    for sub in explain.broadcast_hint_subtrees(df):
+        assert "documents.parquet" not in sub and "embeddings.parquet" not in sub, (
+            f"{key}: forced broadcast hint over a corpus-scale side"
+        )
+    plan = _executed_plan(df)
+    assert "AdaptiveSparkPlan" in plan
