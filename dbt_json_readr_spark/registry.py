@@ -306,6 +306,11 @@ register(
     streaming_jobs.streaming_cdc_warmstart,
     streaming_jobs.STREAMING_CDC_WARMSTART_SQL,
 )
+register(
+    "streaming_state_metrics",
+    streaming_jobs.streaming_state_metrics,
+    streaming_jobs.STREAMING_STATE_METRICS_SQL,
+)
 
 
 # -------------------------------------------------------------------

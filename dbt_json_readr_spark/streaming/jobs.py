@@ -1816,3 +1816,149 @@ FROM ranked r JOIN live_users USING (user_id)
 WHERE r.rn = 1
 ORDER BY r.user_id
 """
+
+
+# ---------------------------------------------------------------- D22
+# State observability (VERDICT r5 item 8): the watermark/state-size
+# evidence a 100× stream needs.  Spark publishes per-operator state
+# metrics (rows held / updated / removed, bytes, RocksDB custom
+# metrics) in every StreamingQueryProgress; this key runs the three
+# core stateful operator SHAPES (window agg / session windows /
+# watermark dedup) and surfaces those metrics as a gated table.
+
+
+def run_with_progress(
+    df: DataFrame, name: str, mode: str, options: dict | None = None
+) -> tuple[DataFrame, list[dict]]:
+    """_run_to_memory plus the query's full progress history — the
+    observability hook a production job would ship to its metrics
+    sink via a StreamingQueryListener."""
+    spark = df.sparkSession
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    w = df.writeStream.format("memory").queryName(name).outputMode(mode)
+    for k, v in (options or {}).items():
+        w = w.option(k, v)
+    q = w.trigger(availableNow=True).start()
+    q.awaitTermination()
+    progress = list(q.recentProgress)
+    q.stop()
+    return spark.table(name), progress
+
+
+def state_metric_summary(job: str, progress: list[dict]) -> dict:
+    """Collapse a progress history into one row per (job, operator):
+    final-batch state rows, cumulative updates/removals, and the two
+    booleans that pin the storage story (bytes accounted > 0; RocksDB
+    custom metrics present, i.e. the provider prep() pins actually
+    loaded).  Only deterministic quantities are emitted as numbers —
+    byte sizes vary with storage format versions, so they gate as
+    booleans."""
+    ops: dict[str, dict] = {}
+    for p in progress:
+        for so in p.get("stateOperators") or []:
+            name = so.get("operatorName") or "unknown"
+            o = ops.setdefault(
+                name,
+                {"rows": 0, "upd": 0, "rem": 0, "bytes_pos": False, "rocks": False},
+            )
+            o["rows"] = int(so.get("numRowsTotal") or 0)  # last batch wins
+            o["upd"] += int(so.get("numRowsUpdated") or 0)
+            o["rem"] += int(so.get("numRowsRemoved") or 0)
+            o["bytes_pos"] = o["bytes_pos"] or int(so.get("memoryUsedBytes") or 0) > 0
+            custom = so.get("customMetrics") or {}
+            o["rocks"] = o["rocks"] or any(k.startswith("rocksdb") for k in custom)
+    return {
+        f"{job}/{name}": (
+            job,
+            name,
+            o["rows"],
+            o["upd"],
+            o["rem"],
+            o["bytes_pos"],
+            o["rocks"],
+        )
+        for name, o in ops.items()
+    }
+
+
+def streaming_state_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-operator state-store metrics for the three stateful shapes.
+
+    The numeric columns are exactly predictable from the data — state
+    rows for a windowed agg are its distinct (window, type) groups, for
+    session windows its merged session count, for watermark dedup its
+    distinct keys — so a DuckDB oracle recomputes them from the events
+    table and the gate verifies the ENGINE'S OWN accounting of its
+    state, not just query results.  rows_removed stays 0 in a bounded
+    availableNow drain (the watermark only passes data already
+    processed); the multi-batch eviction path is pinned by
+    tests/test_streaming.py instead.
+
+    Scale shape: metrics come from StreamingQueryProgress — driver-side
+    metadata of O(operators) size, regardless of stream volume."""
+    prep(spark)
+
+    def _ev():
+        return events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+
+    win = _ev().groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    sess = _ev().groupBy(
+        F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    ded = _ev().dropDuplicates(["event_id"]).select("event_id")
+
+    rows: dict[str, tuple] = {}
+    for job, df, mode in (
+        ("dedup", ded, "append"),
+        ("gap_sessions", sess, "complete"),
+        ("windowed_agg", win, "complete"),
+    ):
+        _, progress = run_with_progress(df, f"sm_{job}", mode)
+        rows.update(state_metric_summary(job, progress))
+
+    out = spark.createDataFrame(
+        sorted(rows.values()),
+        "job string, operator string, state_rows long, rows_updated long, "
+        "rows_removed long, state_bytes_positive boolean, uses_rocksdb boolean",
+    )
+    return out.orderBy("job", "operator")
+
+
+STREAMING_STATE_METRICS_SQL = f"""
+WITH sessions AS (
+  SELECT user_id,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= {_GAP_S}
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+  )
+),
+n_sessions AS (SELECT count(*) AS n FROM (SELECT DISTINCT user_id, sid FROM sessions)),
+n_groups AS (
+  SELECT count(*) AS n FROM (SELECT DISTINCT date_trunc('hour', ts), event_type FROM events)
+),
+n_keys AS (SELECT count(DISTINCT event_id) AS n FROM events)
+SELECT * FROM (
+  SELECT CAST('dedup' AS VARCHAR) AS job, CAST('dedupe' AS VARCHAR) AS operator,
+         CAST(n AS BIGINT) AS state_rows, CAST(n AS BIGINT) AS rows_updated,
+         CAST(0 AS BIGINT) AS rows_removed,
+         TRUE AS state_bytes_positive, TRUE AS uses_rocksdb
+  FROM n_keys
+  UNION ALL
+  SELECT 'gap_sessions', 'sessionWindowStateStoreSaveExec',
+         CAST(n AS BIGINT), CAST(n AS BIGINT), CAST(0 AS BIGINT), TRUE, TRUE
+  FROM n_sessions
+  UNION ALL
+  SELECT 'windowed_agg', 'stateStoreSave',
+         CAST(n AS BIGINT), CAST(n AS BIGINT), CAST(0 AS BIGINT), TRUE, TRUE
+  FROM n_groups
+)
+ORDER BY job, operator
+"""

@@ -784,3 +784,76 @@ def test_cdc_warmstart_snapshot_state_survives_older_live_events(spark, tmp_path
     assert got[1] == (4, 6, 9.0)
     # user 2: no snapshot -> plain fold over the live rows
     assert got[2] == (1, 9, 7.0)
+
+
+def test_state_metrics_growth_bounded_across_forced_micro_batches(spark, tmp_path):
+    """D22 (VERDICT r5 item 8): drive the dedup and windowed-agg state
+    stores through FOUR forced micro-batches and pin the growth law the
+    100× stream depends on: per-batch state rows are monotone
+    non-decreasing, never exceed the data-derivable bound (distinct
+    keys / distinct groups), and land exactly ON the bound — while
+    cumulative updates reconcile with input volume."""
+    import glob
+    import shutil
+
+    ev = load(spark, SF, "events")
+    for i in range(4):
+        part_dir = str(tmp_path / f"w{i}")
+        ev.filter(f"event_id % 4 = {i}").coalesce(1).write.parquet(part_dir)
+        [f] = glob.glob(f"{part_dir}/part-*.parquet")
+        shutil.move(f, tmp_path / f"events_{i}.parquet")
+        shutil.rmtree(part_dir)
+
+    def stream():
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "events_*.parquet")
+            .parquet(str(tmp_path))
+            .withWatermark("ts", "1 hour")
+        )
+
+    n_events = ev.count()
+    n_keys = ev.select("event_id").distinct().count()
+    n_groups = (
+        ev.select(F.date_trunc("hour", "ts"), "event_type").distinct().count()
+    )
+
+    ded = stream().dropDuplicates(["event_id"]).select("event_id")
+    out, progress = jobs.run_with_progress(ded, "growth_ded", "append")
+    assert out.count() == n_keys
+    totals = [
+        so["numRowsTotal"]
+        for p in progress
+        for so in p.get("stateOperators") or []
+        if p.get("numInputRows")
+    ]
+    assert len(totals) == 4  # one per forced data batch
+    assert totals == sorted(totals)          # monotone growth
+    assert all(t <= n_keys for t in totals)  # bounded by distinct keys
+    assert totals[-1] == n_keys              # converges exactly
+    upd = sum(
+        so["numRowsUpdated"] for p in progress for so in p.get("stateOperators") or []
+    )
+    assert upd == n_keys  # every key written once, redeliveries none here
+
+    win = stream().groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    out, progress = jobs.run_with_progress(win, "growth_win", "complete")
+    assert out.count() == n_groups
+    totals = [
+        so["numRowsTotal"]
+        for p in progress
+        for so in p.get("stateOperators") or []
+        if p.get("numInputRows")
+    ]
+    assert len(totals) == 4
+    assert totals == sorted(totals) and totals[-1] == n_groups
+    assert all(t <= n_groups for t in totals)
+    # updates across batches ≥ final groups (hot groups rewritten), and
+    # can never exceed one write per input row
+    upd = sum(
+        so["numRowsUpdated"] for p in progress for so in p.get("stateOperators") or []
+    )
+    assert n_groups <= upd <= n_events
