@@ -1,0 +1,516 @@
+"""External-format bridge keys (SURVEY §2 E: Delta / Iceberg interop,
+VERDICT r5 item 6) over deterministic hand-built metadata fixtures.
+
+The fixtures are materialized on demand (same discipline as
+sources/lake_fixture.py — atomic build, version marker, nothing
+committed): a real 3-commit Delta table (pyarrow data files + stdlib
+JSON log, partitioned, with a remove action so time travel has teeth)
+and an Iceberg metadata.json with schema evolution and a 3-snapshot
+lineage.  Both oracles re-derive expectations with INDEPENDENT stdlib
+parses — the bridge module never touches its own oracle.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import prep
+from ..sources import lakeformats as LF
+
+FIXTURE_ROOT = Path(__file__).resolve().parents[2] / "tests" / "fixtures" / "lake"
+DELTA_DIR = FIXTURE_ROOT / "delta_sales"
+ICEBERG_DIR = FIXTURE_ROOT / "iceberg_sales"
+ICEBERG_META = ICEBERG_DIR / "metadata" / "v3.metadata.json"
+_VERSION = "2"
+
+# ------------------------------------------------------- fixtures
+
+_DELTA_SCHEMA_STRING = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": False, "metadata": {}},
+            {"name": "amount_cents", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "year", "type": "string", "nullable": True, "metadata": {}},
+        ],
+    }
+)
+
+# (path, partition year, [(id, amount_cents), ...])
+_DELTA_FILES = {
+    "year=2024/part-0.parquet": ("2024", [(i, i * 100 + 7) for i in range(1, 11)]),
+    "year=2025/part-0.parquet": ("2025", [(i, i * 100 + 7) for i in range(11, 16)]),
+    "year=2025/part-1.parquet": ("2025", [(i, i * 100 + 7) for i in range(16, 21)]),
+    "year=2024/part-1.parquet": ("2024", [(i, i * 100 + 7) for i in range(21, 26)]),
+}
+
+# commit → actions; v2 RESTATES 2024 (remove + add), so time travel to
+# v0/v1 must resurface the removed file and drop the restated one
+_DELTA_COMMITS: list[list[dict]] = [
+    [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": "4b1f5a6e-delta-fixture",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": _DELTA_SCHEMA_STRING,
+                "partitionColumns": ["year"],
+                "configuration": {},
+            }
+        },
+        {"add": {"path": "year=2024/part-0.parquet", "partitionValues": {"year": "2024"}, "size": 0, "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "year=2025/part-0.parquet", "partitionValues": {"year": "2025"}, "size": 0, "modificationTime": 0, "dataChange": True}},
+    ],
+    [
+        {"add": {"path": "year=2025/part-1.parquet", "partitionValues": {"year": "2025"}, "size": 0, "modificationTime": 0, "dataChange": True}},
+    ],
+    [
+        {"remove": {"path": "year=2024/part-0.parquet", "dataChange": True}},
+        {"add": {"path": "year=2024/part-1.parquet", "partitionValues": {"year": "2024"}, "size": 0, "modificationTime": 0, "dataChange": True}},
+    ],
+]
+
+_ICEBERG_METADATA = {
+    "format-version": 2,
+    "table-uuid": "0f6d7b1c-iceberg-fixture",
+    "location": "warehouse/sales",
+    "last-sequence-number": 3,
+    "last-updated-ms": 1735689600000,
+    "last-column-id": 3,
+    "current-schema-id": 1,
+    "schemas": [
+        {
+            "type": "struct",
+            "schema-id": 0,
+            "fields": [
+                {"id": 1, "name": "id", "required": True, "type": "long"},
+                {"id": 2, "name": "amount", "required": False, "type": "decimal(12,2)"},
+            ],
+        },
+        {
+            "type": "struct",
+            "schema-id": 1,
+            "fields": [
+                {"id": 1, "name": "id", "required": True, "type": "long"},
+                {"id": 2, "name": "amount", "required": False, "type": "decimal(12,2)"},
+                {"id": 3, "name": "channel", "required": False, "type": "string"},
+            ],
+        },
+    ],
+    "default-spec-id": 0,
+    "partition-specs": [{"spec-id": 0, "fields": []}],
+    "last-partition-id": 999,
+    "default-sort-order-id": 0,
+    "sort-orders": [{"order-id": 0, "fields": []}],
+    "current-snapshot-id": 1003,
+    "snapshots": [
+        {
+            "snapshot-id": 1001,
+            "sequence-number": 1,
+            "timestamp-ms": 1735603200000,
+            "schema-id": 0,
+            "manifest-list": "metadata/snap-1001.avro",
+            "summary": {"operation": "append", "total-data-files": "2", "total-records": "20"},
+        },
+        {
+            "snapshot-id": 1002,
+            "parent-snapshot-id": 1001,
+            "sequence-number": 2,
+            "timestamp-ms": 1735646400000,
+            "schema-id": 1,
+            "manifest-list": "metadata/snap-1002.avro",
+            "summary": {"operation": "append", "total-data-files": "3", "total-records": "35"},
+        },
+        {
+            "snapshot-id": 1003,
+            "parent-snapshot-id": 1002,
+            "sequence-number": 3,
+            "timestamp-ms": 1735689600000,
+            "schema-id": 1,
+            "manifest-list": "metadata/snap-1003.avro",
+            "summary": {"operation": "overwrite", "total-data-files": "2", "total-records": "25"},
+        },
+    ],
+}
+
+
+def ensure_lake_fixtures(root: Path | str = FIXTURE_ROOT) -> Path:
+    """Idempotent, atomic materialization of both fixtures."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = Path(root)
+    marker = root / "_VERSION"
+    try:
+        if marker.read_text() == _VERSION:
+            return root
+    except OSError:
+        pass
+    tmp = Path(tempfile.mkdtemp(prefix=".lake-fmt-", dir=str(root.parent)))
+    try:
+        delta = tmp / DELTA_DIR.name
+        for rel, (_, rows) in _DELTA_FILES.items():
+            dest = delta / rel
+            dest.parent.mkdir(parents=True, exist_ok=True)
+            pq.write_table(
+                pa.table(
+                    {
+                        "id": pa.array([r[0] for r in rows], pa.int64()),
+                        "amount_cents": pa.array([r[1] for r in rows], pa.int64()),
+                    }
+                ),
+                dest,
+            )
+        log = delta / "_delta_log"
+        log.mkdir(parents=True)
+        for v, actions in enumerate(_DELTA_COMMITS):
+            (log / f"{v:020d}.json").write_text(
+                "\n".join(json.dumps(a, sort_keys=True) for a in actions) + "\n"
+            )
+        iceberg = tmp / ICEBERG_DIR.name
+        (iceberg / "metadata").mkdir(parents=True)
+        (iceberg / "metadata" / ICEBERG_META.name).write_text(
+            json.dumps(_ICEBERG_METADATA, sort_keys=True, indent=1)
+        )
+        (iceberg / "data").mkdir()
+        from decimal import Decimal
+
+        for rel, (has_channel, rows) in _ICEBERG_FILES.items():
+            cols = {
+                "id": pa.array(list(rows), pa.int64()),
+                # amount = id * 1.25, exact at scale 2
+                "amount": pa.array(
+                    [Decimal(r * 125).scaleb(-2) for r in rows],
+                    pa.decimal128(12, 2),
+                ),
+            }
+            if has_channel:
+                cols["channel"] = pa.array(
+                    ["web" if r % 2 else "store" for r in rows], pa.string()
+                )
+            pq.write_table(pa.table(cols), iceberg / rel)
+        (tmp / "_VERSION").write_text(_VERSION)
+        if root.exists():
+            old = root.with_name(root.name + f".old-{os.getpid()}")
+            os.replace(root, old)
+            os.replace(tmp, root)
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            root.parent.mkdir(parents=True, exist_ok=True)
+            os.replace(tmp, root)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return root
+
+
+# ------------------------------------------------------- E1 key
+
+
+def delta_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition rollup of the Delta fixture at TWO snapshots
+    (v0 and latest): proves the bridge pins exact file lists — v0 must
+    resurface the later-removed 2024 file and exclude every later add;
+    the latest must reflect the restatement.  Data files are read by
+    executors with the LOG's schema (never inferred); the partition
+    column is reconstructed from partitionValues, so a wrong partition
+    mapping shifts rows between groups and fails the hash."""
+    prep(spark)
+    ensure_lake_fixtures()
+    outs = []
+    for v in (0, None):
+        df = LF.read_delta_snapshot(spark, str(DELTA_DIR), version=v)
+        resolved = LF.delta_snapshot(str(DELTA_DIR), v)["version"]
+        outs.append(
+            df.groupBy("year").agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("amount_cents").alias("sum_amount_cents"),
+                F.min("id").alias("min_id"),
+                F.max("id").alias("max_id"),
+            ).select(F.lit(resolved).alias("snapshot_version"), "*")
+        )
+    return outs[0].unionByName(outs[1]).orderBy("snapshot_version", "year")
+
+
+def _delta_oracle_sql() -> str:
+    """INDEPENDENT stdlib replay of the commit log (no lakeformats
+    import): active file set per version → duckdb read_parquet with the
+    partition value injected per file."""
+    ensure_lake_fixtures()
+    log = DELTA_DIR / "_delta_log"
+    versions = sorted(int(p.stem) for p in log.glob("*.json"))
+    selects = []
+    for target in (0, versions[-1]):
+        active: dict[str, str] = {}
+        for v in versions:
+            if v > target:
+                break
+            for line in (log / f"{v:020d}.json").read_text().splitlines():
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "add" in a:
+                    active[a["add"]["path"]] = a["add"]["partitionValues"]["year"]
+                elif "remove" in a:
+                    active.pop(a["remove"]["path"], None)
+        for path, year in sorted(active.items()):
+            f = (DELTA_DIR / path).as_posix()
+            selects.append(
+                f"SELECT {target} AS snapshot_version, '{year}' AS year, "
+                f"id, amount_cents FROM read_parquet('{f}')"
+            )
+    body = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH rows_all AS (
+{body}
+)
+SELECT snapshot_version, year,
+       count(*) AS n_rows,
+       CAST(sum(amount_cents) AS BIGINT) AS sum_amount_cents,
+       min(id) AS min_id,
+       max(id) AS max_id
+FROM rows_all
+GROUP BY snapshot_version, year
+ORDER BY snapshot_version, year
+"""
+
+
+# ------------------------------------------------------- E2 key
+
+
+def iceberg_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-lineage audit over the Iceberg metadata.json: one row
+    per snapshot with its operation, schema generation (schema-id and
+    that schema's translated Spark field count — pinning the type
+    translation), metadata-tracked file/record totals, lineage depth,
+    and current-ness.  Metadata-only by design: the avro data path is
+    gated (see lakeformats.read_iceberg_snapshot)."""
+    prep(spark)
+    ensure_lake_fixtures()
+    meta = LF.iceberg_metadata(str(ICEBERG_META))
+    rows = []
+    for s in meta["snapshots"]:
+        info = LF.iceberg_snapshot_info(str(ICEBERG_META), s["snapshot-id"])
+        rows.append(
+            (
+                s["snapshot-id"],
+                s.get("parent-snapshot-id"),
+                s["summary"]["operation"],
+                s.get("schema-id", meta["current-schema-id"]),
+                len(info["schema"].fields),
+                int(s["summary"]["total-data-files"]),
+                int(s["summary"]["total-records"]),
+                info["lineage_depth"],
+                s["snapshot-id"] == meta["current-snapshot-id"],
+            )
+        )
+    return spark.createDataFrame(
+        sorted(rows),
+        "snapshot_id long, parent_snapshot_id long, operation string, "
+        "schema_id int, n_schema_fields int, total_data_files long, "
+        "total_records long, lineage_depth int, is_current boolean",
+    ).orderBy("snapshot_id")
+
+
+def _iceberg_oracle_sql() -> str:
+    """Independent stdlib re-parse: lineage depth by walking
+    parent-snapshot-id, field counts straight off the schema JSON."""
+    ensure_lake_fixtures()
+    meta = json.loads(Path(ICEBERG_META).read_text())
+    snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    schemas = {s["schema-id"]: s for s in meta["schemas"]}
+    lines = []
+    for sid in sorted(snaps):
+        s = snaps[sid]
+        depth, cur = 0, s
+        while cur.get("parent-snapshot-id") in snaps:
+            depth += 1
+            cur = snaps[cur["parent-snapshot-id"]]
+        parent = s.get("parent-snapshot-id")
+        parent_lit = "CAST(NULL AS BIGINT)" if parent is None else f"CAST({parent} AS BIGINT)"
+        schema_id = s.get("schema-id", meta["current-schema-id"])
+        lines.append(
+            f"SELECT CAST({sid} AS BIGINT) AS snapshot_id, {parent_lit} AS parent_snapshot_id, "
+            f"'{s['summary']['operation']}' AS operation, CAST({schema_id} AS INTEGER) AS schema_id, "
+            f"CAST({len(schemas[schema_id]['fields'])} AS INTEGER) AS n_schema_fields, "
+            f"CAST({int(s['summary']['total-data-files'])} AS BIGINT) AS total_data_files, "
+            f"CAST({int(s['summary']['total-records'])} AS BIGINT) AS total_records, "
+            f"CAST({depth} AS INTEGER) AS lineage_depth, "
+            f"{'TRUE' if sid == meta['current-snapshot-id'] else 'FALSE'} AS is_current"
+        )
+    return "\nUNION ALL\n".join(lines) + "\nORDER BY snapshot_id"
+
+
+# Iceberg data files (schema-0-era files lack the channel column; the
+# snapshot schema resurfaces it as NULL — schema evolution on read).
+# Totals reconcile with the snapshot summaries in _ICEBERG_METADATA.
+_ICEBERG_FILES = {
+    "data/da.parquet": (False, range(1, 11)),
+    "data/db.parquet": (False, range(26, 36)),
+    "data/dc.parquet": (True, range(11, 26)),
+    "data/dd.parquet": (True, range(36, 46)),
+}
+
+# snapshot → [(manifest entry status, data file)] — 1003's manifest
+# carries DELETED (status 2) entries for the overwritten files, which
+# the walk must skip.
+_ICEBERG_SNAP_FILES = {
+    1001: [(1, "data/da.parquet"), (1, "data/db.parquet")],
+    1002: [(0, "data/da.parquet"), (0, "data/db.parquet"), (1, "data/dc.parquet")],
+    1003: [
+        (2, "data/da.parquet"),
+        (2, "data/db.parquet"),
+        (0, "data/dc.parquet"),
+        (1, "data/dd.parquet"),
+    ],
+}
+
+
+def ensure_iceberg_manifests(spark: SparkSession) -> None:
+    """Write the avro manifest list + manifest per snapshot via the
+    bundled avro-core container writer (lakeformats.write_avro_records
+    — needs a JVM, so it runs lazily from a session; the stdlib
+    ensure_lake_fixtures covers everything else).  Idempotent."""
+    ensure_lake_fixtures()
+    meta_dir = ICEBERG_DIR / "metadata"
+    if all(
+        (meta_dir / f"snap-{sid}.avro").exists() and (meta_dir / f"m-{sid}.avro").exists()
+        for sid in _ICEBERG_SNAP_FILES
+    ):
+        return
+
+    manifest_schema = json.dumps(
+        {
+            "type": "record",
+            "name": "manifest_entry",
+            "fields": [
+                {"name": "status", "type": "int"},
+                {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+                {
+                    "name": "data_file",
+                    "type": {
+                        "type": "record",
+                        "name": "r2",
+                        "fields": [
+                            {"name": "content", "type": "int"},
+                            {"name": "file_path", "type": "string"},
+                            {"name": "file_format", "type": "string"},
+                            {"name": "record_count", "type": "long"},
+                        ],
+                    },
+                },
+            ],
+        }
+    )
+    mlist_schema = json.dumps(
+        {
+            "type": "record",
+            "name": "manifest_file",
+            "fields": [
+                {"name": "manifest_path", "type": "string"},
+                {"name": "manifest_length", "type": "long"},
+                {"name": "content", "type": "int"},
+                {"name": "added_snapshot_id", "type": ["null", "long"], "default": None},
+            ],
+        }
+    )
+    for sid, entries in _ICEBERG_SNAP_FILES.items():
+        LF.write_avro_records(
+            spark,
+            str(meta_dir / f"m-{sid}.avro"),
+            manifest_schema,
+            [
+                {
+                    "status": status,
+                    "snapshot_id": sid,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": path,
+                        "file_format": "PARQUET",
+                        "record_count": len(list(_ICEBERG_FILES[path][1])),
+                    },
+                }
+                for status, path in entries
+            ],
+        )
+        LF.write_avro_records(
+            spark,
+            str(meta_dir / f"snap-{sid}.avro"),
+            mlist_schema,
+            [
+                {
+                    "manifest_path": f"metadata/m-{sid}.avro",
+                    "manifest_length": 0,
+                    "content": 0,
+                    "added_snapshot_id": sid,
+                }
+            ],
+        )
+
+
+# ------------------------------------------------------- E3 key
+
+
+def iceberg_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Iceberg DATA read through the real metadata chain
+    (metadata.json → avro manifest list → avro manifests → parquet) at
+    two snapshots: 1002 (pre-overwrite) and current (1003, whose
+    manifest carries DELETED entries the walk must skip).  Schema-0-era
+    files surface channel=NULL under the evolved schema.  Executors
+    read the parquet; the driver touches only pointer rows."""
+    prep(spark)
+    ensure_iceberg_manifests(spark)
+    outs = []
+    for sid in (1002, 1003):
+        df = LF.read_iceberg_snapshot(spark, str(ICEBERG_META), sid)
+        outs.append(
+            df.groupBy("channel").agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("id").alias("min_id"),
+                F.max("id").alias("max_id"),
+                F.sum((F.col("amount") * 100).cast("long")).alias("sum_amount_cents"),
+            ).select(F.lit(sid).alias("snapshot_id"), "*")
+        )
+    return outs[0].unionByName(outs[1]).orderBy("snapshot_id", "channel")
+
+
+def _iceberg_read_oracle_sql() -> str:
+    """Oracle from the AUTHORING spec (_ICEBERG_SNAP_FILES), bypassing
+    the avro indirection entirely: the Spark side must recover the same
+    live-file set THROUGH the manifest walk."""
+    ensure_lake_fixtures()
+    selects = []
+    for sid, entries in _ICEBERG_SNAP_FILES.items():
+        if sid == 1001:
+            continue  # key reads 1002 + current
+        for status, path in entries:
+            if status == 2:
+                continue
+            has_channel = _ICEBERG_FILES[path][0]
+            chan = "channel" if has_channel else "CAST(NULL AS VARCHAR) AS channel"
+            f = (ICEBERG_DIR / path).as_posix()
+            selects.append(
+                f"SELECT {sid} AS snapshot_id, id, amount, {chan} "
+                f"FROM read_parquet('{f}')"
+            )
+    body = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH rows_all AS (
+{body}
+)
+SELECT snapshot_id, channel,
+       count(*) AS n_rows,
+       min(id) AS min_id,
+       max(id) AS max_id,
+       CAST(sum(CAST(amount * 100 AS BIGINT)) AS BIGINT) AS sum_amount_cents
+FROM rows_all
+GROUP BY snapshot_id, channel
+ORDER BY snapshot_id, channel
+"""

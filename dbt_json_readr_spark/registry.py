@@ -12,7 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import oracles
-from .plans import dbt, events, llm, tpch
+from .plans import dbt, events, lake, llm, tpch
 from .streaming import jobs as streaming_jobs
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -311,6 +311,11 @@ register(
     streaming_jobs.streaming_state_metrics,
     streaming_jobs.STREAMING_STATE_METRICS_SQL,
 )
+
+# E. external table-format bridges (r6)
+register("delta_snapshot_read", lake.delta_snapshot_read, lake._delta_oracle_sql())
+register("iceberg_metadata_audit", lake.iceberg_metadata_audit, lake._iceberg_oracle_sql())
+register("iceberg_snapshot_read", lake.iceberg_snapshot_read, lake._iceberg_read_oracle_sql())
 
 
 # -------------------------------------------------------------------

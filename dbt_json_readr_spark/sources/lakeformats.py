@@ -1,0 +1,455 @@
+"""External table-format READ bridges: Delta Lake ``_delta_log`` and
+Iceberg ``metadata.json`` snapshots (VERDICT r5 item 6).
+
+``manifest_commit.ManifestTable`` is this engine's homegrown
+write-audit-publish format; a real lake already has tables in Delta or
+Iceberg.  Both formats keep their commit METADATA as JSON (Delta: one
+JSON-lines action file per commit; Iceberg: a versioned metadata.json
+with snapshot lineage), so a snapshot's schema + active-file list is
+recoverable with the stdlib — no format jars — and the files themselves
+are plain parquet Spark reads natively.
+
+Scope is explicit and loud:
+- Delta: JSON commits replayed from version 0.  Checkpoint-parquet
+  replay (``_last_checkpoint`` present AND commit 0 pruned) raises
+  ``LakeFormatGatedError`` — resolvable by reading the checkpoint
+  parquet, deliberately out of scope until a fixture needs it.
+  Deletion vectors / column mapping raise the same gate (reader
+  protocol ≥ 3 features this bridge must not silently mis-read).
+- Iceberg: metadata.json parse (snapshot lineage, schema translation to
+  Spark types, current-snapshot resolution) is full-fidelity; the DATA
+  path needs the avro manifest list, which requires spark-avro —
+  ``read_iceberg_snapshot`` gates loudly when the avro reader is
+  absent (this image ships no jars).
+
+Driver-side work is O(metadata) — identical posture to ManifestTable:
+the driver parses pointers, executors read parquet.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class LakeFormatError(RuntimeError):
+    """Malformed / unsupported table metadata."""
+
+
+class LakeFormatGatedError(LakeFormatError):
+    """The metadata is valid but reading it needs a component this
+    environment lacks (checkpoint replay, spark-avro).  Message says
+    exactly which."""
+
+
+# ------------------------------------------------------------- Delta
+
+
+def _delta_log_dir(table_path: str) -> Path:
+    d = Path(table_path) / "_delta_log"
+    if not d.is_dir():
+        raise LakeFormatError(f"not a Delta table (no _delta_log): {table_path}")
+    return d
+
+
+def delta_snapshot(table_path: str, version: int | None = None) -> dict:
+    """Replay the JSON commit log through ``version`` (default: latest)
+    → {"version", "schema" (Spark StructType), "partition_columns",
+    "files": [{"path", "partitionValues"}]}.
+
+    Pure stdlib; add/remove actions are applied in commit order, so the
+    result is exactly the snapshot a Delta reader pins — time travel is
+    just stopping the replay early."""
+    log = _delta_log_dir(table_path)
+    if (log / "_last_checkpoint").exists():
+        commits = sorted(log.glob("*.json"))
+        if not commits or int(commits[0].stem) != 0:
+            raise LakeFormatGatedError(
+                "Delta checkpoint replay required (_last_checkpoint present and "
+                "JSON commit 0 no longer retained); checkpoint-parquet reading "
+                "is out of scope for this bridge"
+            )
+    versions = sorted(int(p.stem) for p in log.glob("*.json") if p.stem.isdigit())
+    if not versions:
+        raise LakeFormatError(f"empty Delta log: {table_path}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise LakeFormatError(f"Delta version {version} not in log {versions}")
+    schema: T.StructType | None = None
+    partition_columns: list[str] = []
+    files: dict[str, dict] = {}
+    for v in versions:
+        if v > version:
+            break
+        with open(log / f"{v:020d}.json") as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "protocol" in action:
+                    p = action["protocol"]
+                    if p.get("minReaderVersion", 1) >= 3:
+                        feats = p.get("readerFeatures") or []
+                        raise LakeFormatGatedError(
+                            f"Delta reader protocol {p['minReaderVersion']} with "
+                            f"features {feats} — this bridge reads protocol ≤ 2 "
+                            "only (no deletion vectors / column mapping)"
+                        )
+                elif "metaData" in action:
+                    md = action["metaData"]
+                    if md.get("format", {}).get("provider", "parquet") != "parquet":
+                        raise LakeFormatError(
+                            f"non-parquet Delta table: {md['format']}"
+                        )
+                    schema = T.StructType.fromJson(json.loads(md["schemaString"]))
+                    partition_columns = list(md.get("partitionColumns") or [])
+                elif "add" in action:
+                    a = action["add"]
+                    files[a["path"]] = {
+                        "path": a["path"],
+                        "partitionValues": a.get("partitionValues") or {},
+                    }
+                elif "remove" in action:
+                    files.pop(action["remove"]["path"], None)
+    if schema is None:
+        raise LakeFormatError(f"no metaData action in Delta log: {table_path}")
+    return {
+        "version": version,
+        "schema": schema,
+        "partition_columns": partition_columns,
+        "files": sorted(files.values(), key=lambda f: f["path"]),
+    }
+
+
+def read_delta_snapshot(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame:
+    """The Delta table AS OF ``version`` as a DataFrame — the exact
+    file list the snapshot pins, schema from the log (never inferred),
+    partition columns reconstructed from partitionValues with their
+    declared types (they are NOT in the data files), mirroring
+    ManifestTable.read's partition handling."""
+    snap = delta_snapshot(table_path, version)
+    schema: T.StructType = snap["schema"]
+    pcols = snap["partition_columns"]
+    if not snap["files"]:
+        return spark.createDataFrame([], schema)
+    if not pcols:
+        return spark.read.schema(schema).parquet(
+            *[os.path.join(table_path, f["path"]) for f in snap["files"]]
+        )
+    data_schema = T.StructType([f for f in schema.fields if f.name not in pcols])
+    groups: dict[tuple, list[str]] = {}
+    for f in snap["files"]:
+        key = tuple(f["partitionValues"].get(c) for c in pcols)
+        groups.setdefault(key, []).append(os.path.join(table_path, f["path"]))
+    parts = []
+    for key, paths in sorted(groups.items(), key=lambda kv: kv[0]):
+        part = spark.read.schema(data_schema).parquet(*paths)
+        for c, val in zip(pcols, key):
+            part = part.withColumn(c, F.lit(val).cast(schema[c].dataType))
+        parts.append(part.select(*[f.name for f in schema.fields]))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def delta_to_manifest(table_path: str, version: int | None = None) -> dict:
+    """A Delta snapshot re-expressed as a ManifestTable manifest dict
+    (schema json + file list) — the shape ``ManifestTable._manifest``
+    returns, so downstream tooling written against the homegrown format
+    (incremental view maintenance, partition pruning audits) can run
+    over an imported Delta snapshot unchanged."""
+    snap = delta_snapshot(table_path, version)
+    pcols = snap["partition_columns"]
+    if len(pcols) > 1:
+        raise LakeFormatGatedError(
+            "ManifestTable models at most one partition column; "
+            f"Delta table has {pcols}"
+        )
+    return {
+        "version": snap["version"],
+        "schema": snap["schema"].jsonValue(),
+        "partition_by": pcols[0] if pcols else None,
+        "files": [
+            {
+                "path": f["path"],
+                **(
+                    {"partition": f["partitionValues"][pcols[0]]}
+                    if pcols
+                    else {}
+                ),
+            }
+            for f in snap["files"]
+        ],
+    }
+
+
+# ------------------------------------------------------------ Iceberg
+
+_ICEBERG_PRIMITIVES = {
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "date": T.DateType(),
+    "timestamp": T.TimestampNTZType(),
+    "timestamptz": T.TimestampType(),
+    "string": T.StringType(),
+    "uuid": T.StringType(),
+    "binary": T.BinaryType(),
+}
+
+
+def _iceberg_type(t) -> T.DataType:
+    if isinstance(t, str):
+        if t in _ICEBERG_PRIMITIVES:
+            return _ICEBERG_PRIMITIVES[t]
+        if t.startswith("decimal("):
+            p, s = t[len("decimal(") : -1].split(",")
+            return T.DecimalType(int(p), int(s))
+        if t.startswith("fixed["):
+            return T.BinaryType()
+        raise LakeFormatError(f"unsupported Iceberg type: {t}")
+    kind = t.get("type")
+    if kind == "struct":
+        return T.StructType(
+            [
+                T.StructField(
+                    f["name"], _iceberg_type(f["type"]), not f.get("required", False)
+                )
+                for f in t["fields"]
+            ]
+        )
+    if kind == "list":
+        return T.ArrayType(
+            _iceberg_type(t["element"]), not t.get("element-required", False)
+        )
+    if kind == "map":
+        return T.MapType(
+            _iceberg_type(t["key"]),
+            _iceberg_type(t["value"]),
+            not t.get("value-required", False),
+        )
+    raise LakeFormatError(f"unsupported Iceberg type: {t}")
+
+
+def iceberg_schema_to_spark(schema: dict) -> T.StructType:
+    """Iceberg schema JSON (spec v2 §Schemas) → Spark StructType.
+    ``required`` maps to non-nullable; uuid/fixed land on the closest
+    Spark type (string/binary) — the same mapping iceberg-spark uses."""
+    out = _iceberg_type({"type": "struct", "fields": schema["fields"]})
+    assert isinstance(out, T.StructType)
+    return out
+
+
+def iceberg_metadata(metadata_path: str) -> dict:
+    with open(metadata_path) as f:
+        meta = json.load(f)
+    if meta.get("format-version") not in (1, 2):
+        raise LakeFormatError(
+            f"unsupported Iceberg format-version: {meta.get('format-version')}"
+        )
+    return meta
+
+
+def iceberg_snapshot_info(metadata_path: str, snapshot_id: int | None = None) -> dict:
+    """Resolve one snapshot (default: current) against metadata.json:
+    schema (translated), snapshot row, and lineage depth — everything
+    the JSON holds; the avro manifest list is NOT touched here."""
+    meta = iceberg_metadata(metadata_path)
+    sid = snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if sid not in snaps:
+        raise LakeFormatError(f"snapshot {sid} not in metadata {sorted(snaps)}")
+    snap = snaps[sid]
+    if meta["format-version"] == 1:
+        schema_json = meta["schema"]
+    else:
+        by_id = {s["schema-id"]: s for s in meta["schemas"]}
+        schema_json = by_id[snap.get("schema-id", meta["current-schema-id"])]
+    depth, cur = 0, snap
+    while cur.get("parent-snapshot-id") in snaps:
+        depth += 1
+        cur = snaps[cur["parent-snapshot-id"]]
+    return {
+        "snapshot": snap,
+        "schema": iceberg_schema_to_spark(schema_json),
+        "lineage_depth": depth,
+        "metadata": meta,
+    }
+
+
+def _avro_available(spark: SparkSession) -> bool:
+    """Spark bundles avro-core (org.apache.avro) for its own internals
+    even when the spark-avro DATA SOURCE is absent — and manifest
+    reading only needs the container-file reader, so that is what the
+    gate keys on."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.avro.file.DataFileReader")
+        return True
+    except Exception:
+        return False
+
+
+def _resolve(path: str, table_root: str) -> str:
+    """Iceberg metadata stores manifest/file locations as URIs; for a
+    local table they resolve against the table root."""
+    for scheme in ("file://",):
+        if path.startswith(scheme):
+            path = path[len(scheme) :]
+    if os.path.isabs(path) or os.path.exists(path):
+        return path
+    return os.path.join(table_root, path)
+
+
+def _java_to_py(jvm, obj):
+    if obj is None:
+        return None
+    cls = obj.getClass().getName() if hasattr(obj, "getClass") else None
+    if cls is None:
+        return obj  # py4j already converted primitives
+    if cls == "org.apache.avro.util.Utf8" or cls == "java.lang.String":
+        return obj.toString()
+    if cls in ("java.lang.Long", "java.lang.Integer"):
+        return int(obj.longValue() if cls == "java.lang.Long" else obj.intValue())
+    if cls == "java.lang.Boolean":
+        return bool(obj.booleanValue())
+    if cls == "java.lang.Double" or cls == "java.lang.Float":
+        return float(obj.doubleValue())
+    if cls.startswith("org.apache.avro.generic.GenericData$Record"):
+        out = {}
+        for f in obj.getSchema().getFields():
+            name = f.name()
+            out[name] = _java_to_py(jvm, obj.get(name))
+        return out
+    return obj.toString()
+
+
+def _read_avro_records(spark: SparkSession, *paths: str) -> list[dict]:
+    """Driver-side read of avro MANIFEST files via the avro-core
+    container reader Spark already bundles (the spark-avro DataSource
+    is a separate jar this image lacks — and is not needed: manifests
+    are metadata, O(#files) pointer rows, the avro analogue of
+    ManifestTable's ``open(manifest-<v>.json)``, and their content has
+    to reach ``spark.read.parquet`` as driver strings anyway).  Data
+    rows never take this path."""
+    jvm = spark._jvm
+    out: list[dict] = []
+    for path in paths:
+        reader = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(path),
+            jvm.org.apache.avro.generic.GenericDatumReader(),
+        )
+        try:
+            while reader.hasNext():
+                out.append(_java_to_py(jvm, reader.next()))
+        finally:
+            reader.close()
+    return out
+
+
+def write_avro_records(
+    spark: SparkSession, dest: str, schema_json: str, records: list[dict]
+) -> None:
+    """Counterpart writer (fixtures / manifest export) via avro-core:
+    spec-true container files any Iceberg reader can open."""
+    jvm = spark._jvm
+    schema = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+
+    # py4j auto-unboxes java.lang.Long returns to Python ints, so
+    # hand-built GenericData.Record fields lose their Java types and
+    # fail avro's union resolution.  Routing each record through
+    # avro's OWN json decoder sidesteps the bridge: types come from
+    # the schema, not from py4j marshalling.
+    def _avro_json(sch, v):
+        kind = sch.getType().getName()
+        if kind == "union":
+            if v is None:
+                return None
+            branch = [
+                b for b in sch.getTypes() if b.getType().getName() != "null"
+            ][0]
+            bkind = branch.getType().getName()
+            name = (
+                branch.getFullName()
+                if bkind in ("record", "enum", "fixed")
+                else bkind
+            )
+            return {name: _avro_json(branch, v)}
+        if kind == "record":
+            return {
+                f.name(): _avro_json(f.schema(), (v or {}).get(f.name()))
+                for f in sch.getFields()
+            }
+        return v
+
+    reader = jvm.org.apache.avro.generic.GenericDatumReader(schema)
+    factory = jvm.org.apache.avro.io.DecoderFactory.get()
+    writer = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+    )
+    tmp = f"{dest}.tmp-{os.getpid()}"
+    writer.create(schema, jvm.java.io.File(tmp))
+    try:
+        for d in records:
+            dec = factory.jsonDecoder(schema, json.dumps(_avro_json(schema, d)))
+            writer.append(reader.read(None, dec))
+    finally:
+        writer.close()
+    os.replace(tmp, dest)
+
+
+def read_iceberg_snapshot(
+    spark: SparkSession, metadata_path: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """Data read for an Iceberg snapshot: metadata.json → manifest-list
+    (avro) → manifests (avro) → live parquet data files, read by
+    executors with the snapshot's TRANSLATED schema (Iceberg data files
+    carry all columns, so no partition reconstruction is needed —
+    unlike Delta's Hive-style layout).
+
+    Loud gates: spark-avro absent; delete manifests / delete files
+    (v2 row-level deletes change read semantics this bridge must not
+    silently ignore); non-parquet data files."""
+    info = iceberg_snapshot_info(metadata_path, snapshot_id)
+    snap = info["snapshot"]
+    if not _avro_available(spark):
+        raise LakeFormatGatedError(
+            "Iceberg data reads need the avro manifest list; avro-core "
+            "(org.apache.avro, normally bundled in Spark's jars — or add "
+            "org.apache.spark:spark-avro) is not on this classpath. Snapshot "
+            f"metadata itself resolved fine: {snap['snapshot-id']}"
+        )
+    table_root = os.path.dirname(os.path.dirname(os.path.abspath(metadata_path)))
+    mlist = _resolve(snap["manifest-list"], table_root)
+    manifests = _read_avro_records(spark, mlist)
+    if any(int(m.get("content") or 0) != 0 for m in manifests):
+        raise LakeFormatGatedError(
+            "snapshot has DELETE manifests (v2 row-level deletes); applying "
+            "them is out of scope for this bridge"
+        )
+    mpaths = [_resolve(m["manifest_path"], table_root) for m in manifests]
+    files: list[str] = []
+    for e in _read_avro_records(spark, *mpaths):
+        if int(e.get("status") or 0) == 2:  # DELETED entry
+            continue
+        d = e["data_file"]
+        if int(d.get("content") or 0) != 0:
+            raise LakeFormatGatedError(
+                "manifest lists delete FILES (position/equality); out of scope"
+            )
+        if str(d.get("file_format", "PARQUET")).upper() != "PARQUET":
+            raise LakeFormatError(f"non-parquet data file: {d}")
+        files.append(_resolve(d["file_path"], table_root))
+    if not files:
+        return spark.createDataFrame([], info["schema"])
+    return spark.read.schema(info["schema"]).parquet(*sorted(set(files)))

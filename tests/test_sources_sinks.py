@@ -747,3 +747,154 @@ def test_manifest_commit_schema_evolution_rejects_type_change(spark, tmp_path):
     t.commit(spark.range(3).select(F.col("id").alias("k")))
     with _pytest.raises(SchemaEvolutionError):
         t.commit(spark.range(2).select(F.col("id").cast("string").alias("k")))
+
+
+# ---------------------------------------------------------------- r6
+# External-format bridges (VERDICT r5 item 6): read-path correctness is
+# covered by the gated E-keys; these pin the LOUD gates and the Iceberg
+# type translation.
+
+
+def test_delta_bridge_gates_and_time_travel(spark, tmp_path):
+    import json
+
+    import pytest
+
+    from dbt_json_readr_spark.plans import lake as LP
+    from dbt_json_readr_spark.sources import lakeformats as LF
+
+    LP.ensure_lake_fixtures()
+    # time travel pins exact file sets (v1 = v0 files + one add,
+    # restated file not yet visible)
+    v0 = {f["path"] for f in LF.delta_snapshot(str(LP.DELTA_DIR), 0)["files"]}
+    v1 = {f["path"] for f in LF.delta_snapshot(str(LP.DELTA_DIR), 1)["files"]}
+    v2 = {f["path"] for f in LF.delta_snapshot(str(LP.DELTA_DIR))["files"]}
+    assert v1 == v0 | {"year=2025/part-1.parquet"}
+    assert "year=2024/part-0.parquet" in v0 and "year=2024/part-0.parquet" not in v2
+
+    # ManifestTable-shaped export
+    m = LF.delta_to_manifest(str(LP.DELTA_DIR))
+    assert m["partition_by"] == "year"
+    assert {f["partition"] for f in m["files"]} == {"2024", "2025"}
+    assert m["schema"]["type"] == "struct"
+
+    # reader-protocol 3 gates loudly
+    t = tmp_path / "dv_table"
+    (t / "_delta_log").mkdir(parents=True)
+    (t / "_delta_log" / f"{0:020d}.json").write_text(
+        json.dumps({"protocol": {"minReaderVersion": 3, "readerFeatures": ["deletionVectors"]}})
+        + "\n"
+    )
+    with pytest.raises(LF.LakeFormatGatedError, match="deletionVectors"):
+        LF.delta_snapshot(str(t))
+
+    # checkpoint-only log gates loudly
+    t2 = tmp_path / "ckpt_table"
+    (t2 / "_delta_log").mkdir(parents=True)
+    (t2 / "_delta_log" / "_last_checkpoint").write_text('{"version": 10}')
+    (t2 / "_delta_log" / f"{11:020d}.json").write_text("{}\n")
+    with pytest.raises(LF.LakeFormatGatedError, match="checkpoint"):
+        LF.delta_snapshot(str(t2))
+
+    # non-Delta dir is a plain error
+    with pytest.raises(LF.LakeFormatError, match="_delta_log"):
+        LF.delta_snapshot(str(tmp_path / "nope"))
+
+
+def test_iceberg_schema_translation_and_avro_gate(spark):
+    import pytest
+    from pyspark.sql import types as T
+
+    from dbt_json_readr_spark.plans import lake as LP
+    from dbt_json_readr_spark.sources import lakeformats as LF
+
+    schema = LF.iceberg_schema_to_spark(
+        {
+            "type": "struct",
+            "fields": [
+                {"id": 1, "name": "id", "required": True, "type": "long"},
+                {"id": 2, "name": "amt", "required": False, "type": "decimal(12,2)"},
+                {
+                    "id": 3,
+                    "name": "tags",
+                    "required": False,
+                    "type": {"type": "list", "element": "string", "element-required": True},
+                },
+                {
+                    "id": 4,
+                    "name": "props",
+                    "required": False,
+                    "type": {"type": "map", "key": "string", "value": "double"},
+                },
+                {
+                    "id": 5,
+                    "name": "nested",
+                    "required": False,
+                    "type": {
+                        "type": "struct",
+                        "fields": [
+                            {"id": 6, "name": "ts", "required": False, "type": "timestamptz"}
+                        ],
+                    },
+                },
+            ],
+        }
+    )
+    assert schema["id"].dataType == T.LongType() and not schema["id"].nullable
+    assert schema["amt"].dataType == T.DecimalType(12, 2)
+    assert schema["tags"].dataType == T.ArrayType(T.StringType(), False)
+    assert schema["props"].dataType == T.MapType(T.StringType(), T.DoubleType(), True)
+    assert schema["nested"].dataType["ts"].dataType == T.TimestampType()
+    with pytest.raises(LF.LakeFormatError, match="unsupported"):
+        LF.iceberg_schema_to_spark(
+            {"type": "struct", "fields": [{"id": 1, "name": "x", "type": "geometry"}]}
+        )
+
+    # unknown snapshot id is a plain metadata error
+    LP.ensure_lake_fixtures()
+    with pytest.raises(LF.LakeFormatError, match="not in metadata"):
+        LF.iceberg_snapshot_info(str(LP.ICEBERG_META), 9999)
+
+
+def test_iceberg_data_walk_gates(spark, tmp_path, monkeypatch):
+    """The avro manifest walk is real in this image (avro-core ships in
+    Spark's jars), so the gates that remain are semantic: delete
+    manifests / delete files must refuse loudly, and an avro-less
+    environment still gets the classpath gate."""
+    import json
+    import shutil
+
+    import pytest
+
+    from dbt_json_readr_spark.plans import lake as LP
+    from dbt_json_readr_spark.sources import lakeformats as LF
+
+    LP.ensure_iceberg_manifests(spark)
+    # clone the fixture table, point snapshot 1003 at a DELETE manifest list
+    t = tmp_path / "tbl"
+    shutil.copytree(LP.ICEBERG_DIR, t)
+    LF.write_avro_records(
+        spark,
+        str(t / "metadata" / "snap-1003.avro"),
+        json.dumps(
+            {
+                "type": "record",
+                "name": "manifest_file",
+                "fields": [
+                    {"name": "manifest_path", "type": "string"},
+                    {"name": "manifest_length", "type": "long"},
+                    {"name": "content", "type": "int"},
+                    {"name": "added_snapshot_id", "type": ["null", "long"], "default": None},
+                ],
+            }
+        ),
+        [{"manifest_path": "metadata/m-1003.avro", "manifest_length": 0,
+          "content": 1, "added_snapshot_id": 1003}],
+    )
+    with pytest.raises(LF.LakeFormatGatedError, match="DELETE manifests"):
+        LF.read_iceberg_snapshot(spark, str(t / "metadata" / "v3.metadata.json"))
+
+    # avro-less classpath → loud gate naming the missing piece
+    monkeypatch.setattr(LF, "_avro_available", lambda _s: False)
+    with pytest.raises(LF.LakeFormatGatedError, match="avro-core"):
+        LF.read_iceberg_snapshot(spark, str(LP.ICEBERG_META))
