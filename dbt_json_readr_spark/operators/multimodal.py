@@ -278,11 +278,18 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
                 return "png" if d % 6 == 0 else "jpeg"
             if m == "audio":
                 return "wav"
-            # video rows alternate: d%3==2, so d%6 is 2 (avi, REAL
-            # MJPEG decode since r5) or 5 (mp4, honestly codec-gated)
+            # video rows alternate: d%3==2, so d%6 is 2 (avi) or 5
+            # (mp4) — both REAL MJPEG decodes since r6; only the
+            # container walk differs (RIFF vs ISO-BMFF)
             return "avi" if d % 6 == 2 else "mp4"
 
-        _SYNTH = {"png": synth_png, "jpeg": synth_jpeg, "wav": synth_wav, "avi": synth_avi}
+        _SYNTH = {
+            "png": synth_png,
+            "jpeg": synth_jpeg,
+            "wav": synth_wav,
+            "avi": synth_avi,
+            "mp4": synth_mp4,
+        }
 
         for pdf in batches:
             ids = pdf["doc_id"]
@@ -312,9 +319,8 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
 
 
 def decode_media_row(payload: bytes, fmt: str) -> dict | None:
-    """Real decoder entry point: png/jpeg/wav/avi parse with stdlib;
-    formats needing absent codec stacks (mp4) return None →
-    decoded=false."""
+    """Real decoder entry point: png/jpeg/wav/avi/mp4 parse with
+    stdlib; an unrecognized format returns None → decoded=false."""
     if fmt == "png":
         return {**decode_png(payload), "n_frames": 1}
     if fmt == "jpeg":
@@ -323,6 +329,8 @@ def decode_media_row(payload: bytes, fmt: str) -> dict | None:
         return decode_wav(payload)
     if fmt == "avi":
         return decode_avi(payload)
+    if fmt == "mp4":
+        return decode_mp4(payload)
     return None
 
 
@@ -860,6 +868,258 @@ def decode_avi(payload: bytes) -> dict:
     return {
         "width": widths.pop(),
         "height": heights.pop(),
+        "n_frames": len(frames),
+        "n_units": sum(f["n_units"] for f in frames),
+        "content_sum": sum(f["content_sum"] for f in frames),
+        "content_min": min(f["content_min"] for f in frames),
+        "content_max": max(f["content_max"] for f in frames),
+    }
+
+
+# ------------------------------------------------------------ mp4
+# ISO-BMFF (MP4) container with an MJPEG ('jpeg' VisualSampleEntry)
+# video track — r6, VERDICT r5 item 4: the same move AVI made in r5
+# (container walk feeding the existing JPEG machinery), now for the
+# box-tree layout.  H.264/avc1 stays declared out-of-scope: the walk
+# REFUSES any non-jpeg sample entry rather than mis-decoding.
+# All multi-byte integers big-endian per the spec (RIFF is little).
+
+
+def _box(tag: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + tag + body
+
+
+def _full(tag: bytes, body: bytes, version: int = 0, flags: int = 0) -> bytes:
+    return _box(tag, struct.pack(">B3s", version, flags.to_bytes(3, "big")) + body)
+
+
+def synth_mp4(doc_id: int, blocks: int = 2) -> bytes:
+    """Real MP4: ftyp + mdat (concatenated JPEG samples) + moov with a
+    complete stbl (stsd 'jpeg' entry, stts/stsc/stsz/stco) — the
+    self-contained progressive-download layout.  Frame content shares
+    the AVI cadence/formulas so one closed-form oracle covers both."""
+    size = blocks * 8
+    n_frames = avi_frame_count(doc_id)
+    frames = [synth_jpeg(doc_id, blocks=blocks, frame=f) for f in range(n_frames)]
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isommp41")
+    mdat = _box(b"mdat", b"".join(frames))
+    first_off = len(ftyp) + 8  # absolute offset of sample 1
+
+    mvhd = _full(
+        b"mvhd",
+        struct.pack(">IIII", 0, 0, 25, n_frames)  # created/modified/timescale/duration
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)  # rate/volume/reserved
+        + b"\x00" * 8
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),  # next track id
+    )
+    tkhd = _full(
+        b"tkhd",
+        struct.pack(">IIIII", 0, 0, 1, 0, n_frames)  # created/modified/id/rsvd/duration
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)  # layer/group/volume/reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", size << 16, size << 16),  # width/height 16.16
+        flags=3,
+    )
+    mdhd = _full(
+        b"mdhd", struct.pack(">IIIIHH", 0, 0, 25, n_frames, 0x55C4, 0)
+    )
+    hdlr = _full(b"hdlr", struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"mjpeg\x00")
+    stsd_entry = (
+        struct.pack(">I", 86)
+        + b"jpeg"
+        + b"\x00" * 6
+        + struct.pack(">H", 1)  # data_reference_index
+        + b"\x00" * 16  # pre_defined / reserved
+        + struct.pack(">HH", size, size)
+        + struct.pack(">IIIH", 0x00480000, 0x00480000, 0, 1)
+        + b"\x00" * 32  # compressorname
+        + struct.pack(">Hh", 24, -1)
+    )
+    stbl = (
+        _full(b"stsd", struct.pack(">I", 1) + stsd_entry)
+        + _full(b"stts", struct.pack(">III", 1, n_frames, 1))
+        + _full(b"stsc", struct.pack(">IIII", 1, 1, n_frames, 1))
+        + _full(
+            b"stsz",
+            struct.pack(">II", 0, n_frames)
+            + b"".join(struct.pack(">I", len(f)) for f in frames),
+        )
+        + _full(b"stco", struct.pack(">II", 1, first_off))
+    )
+    dinf = _box(
+        b"dinf", _full(b"dref", struct.pack(">I", 1) + _full(b"url ", b"", flags=1))
+    )
+    minf = _box(
+        b"minf",
+        _full(b"vmhd", struct.pack(">HHHH", 0, 0, 0, 0), flags=1)
+        + dinf
+        + _box(b"stbl", stbl),
+    )
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def _walk_boxes(data: bytes, pos: int = 0, end: int | None = None):
+    """Yield (tag, body_start, body_end) over a box sequence, bounds-
+    checked; raises ValueError on truncation — never yields a partial
+    box."""
+    end = len(data) if end is None else end
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("truncated box header")
+        (size,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated largesize box")
+            (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            raise ValueError(f"truncated box {tag!r}")
+        yield tag, body, pos + size
+        pos += size
+
+
+def _find_box(data: bytes, start: int, end: int, tag: bytes) -> tuple[int, int]:
+    for t, b, e in _walk_boxes(data, start, end):
+        if t == tag:
+            return b, e
+    raise ValueError(f"missing {tag!r} box")
+
+
+def decode_mp4(payload: bytes) -> dict:
+    """Pure-stdlib MP4/MJPEG decode: box walk → first 'vide' trak →
+    stbl sample tables (stts/stsc/stsz/stco|co64) → absolute sample
+    offsets → one ``decode_jpeg`` per sample.  Container-consistency
+    contract mirrors decode_avi: stts total must equal the stsz sample
+    count, the stsd entry must be 'jpeg' (avc1/h264 refuse loudly),
+    and the stsd dimensions must match what the frames decode to."""
+    tops = list(_walk_boxes(payload))
+    if not tops or tops[0][0] != b"ftyp":
+        raise ValueError("not an MP4 file (no leading ftyp)")
+    moov = [(b, e) for t, b, e in tops if t == b"moov"]
+    if not moov:
+        raise ValueError("missing moov box")
+    moov_b, moov_e = moov[0]
+
+    video_stbl = None
+    for t, b, e in _walk_boxes(payload, moov_b, moov_e):
+        if t != b"trak":
+            continue
+        mdia_b, mdia_e = _find_box(payload, b, e, b"mdia")
+        hdlr_b, _ = _find_box(payload, mdia_b, mdia_e, b"hdlr")
+        if payload[hdlr_b + 8 : hdlr_b + 12] != b"vide":
+            continue
+        minf_b, minf_e = _find_box(payload, mdia_b, mdia_e, b"minf")
+        video_stbl = _find_box(payload, minf_b, minf_e, b"stbl")
+        break
+    if video_stbl is None:
+        raise ValueError("no video track")
+    stbl_b, stbl_e = video_stbl
+
+    boxes = {t: (b, e) for t, b, e in _walk_boxes(payload, stbl_b, stbl_e)}
+    for req in (b"stsd", b"stts", b"stsc", b"stsz"):
+        if req not in boxes:
+            raise ValueError(f"missing {req!r} box")
+    if b"stco" not in boxes and b"co64" not in boxes:
+        raise ValueError("missing chunk-offset box (stco/co64)")
+
+    sd_b, _ = boxes[b"stsd"]
+    fmt = payload[sd_b + 12 : sd_b + 16]
+    if fmt != b"jpeg":
+        raise ValueError(f"unsupported mp4 codec {fmt!r} (only 'jpeg' MJPEG)")
+    entry = sd_b + 8  # first sample entry start
+    declared_w, declared_h = struct.unpack(
+        ">HH", payload[entry + 32 : entry + 36]
+    )
+
+    tt_b, _ = boxes[b"stts"]
+    (n_tt,) = struct.unpack(">I", payload[tt_b + 4 : tt_b + 8])
+    stts_total = sum(
+        struct.unpack(">I", payload[tt_b + 8 + i * 8 : tt_b + 12 + i * 8])[0]
+        for i in range(n_tt)
+    )
+
+    sz_b, _ = boxes[b"stsz"]
+    uniform, n_samples = struct.unpack(">II", payload[sz_b + 4 : sz_b + 12])
+    if uniform:
+        sizes = [uniform] * n_samples
+    else:
+        sizes = [
+            struct.unpack(">I", payload[sz_b + 12 + i * 4 : sz_b + 16 + i * 4])[0]
+            for i in range(n_samples)
+        ]
+    if stts_total != n_samples:
+        raise ValueError(
+            f"stts declares {stts_total} samples, stsz has {n_samples}"
+        )
+    if not n_samples:
+        raise ValueError("mp4 contains no video samples")
+
+    if b"stco" in boxes:
+        co_b, _ = boxes[b"stco"]
+        (n_ch,) = struct.unpack(">I", payload[co_b + 4 : co_b + 8])
+        chunk_offs = [
+            struct.unpack(">I", payload[co_b + 8 + i * 4 : co_b + 12 + i * 4])[0]
+            for i in range(n_ch)
+        ]
+    else:
+        co_b, _ = boxes[b"co64"]
+        (n_ch,) = struct.unpack(">I", payload[co_b + 4 : co_b + 8])
+        chunk_offs = [
+            struct.unpack(">Q", payload[co_b + 8 + i * 8 : co_b + 16 + i * 8])[0]
+            for i in range(n_ch)
+        ]
+
+    sc_b, _ = boxes[b"stsc"]
+    (n_sc,) = struct.unpack(">I", payload[sc_b + 4 : sc_b + 8])
+    sc = [
+        struct.unpack(">III", payload[sc_b + 8 + i * 12 : sc_b + 20 + i * 12])
+        for i in range(n_sc)
+    ]
+    # expand sample → absolute offset via chunk runs
+    offsets: list[int] = []
+    si = 0
+    for i, (first_chunk, per_chunk, _desc) in enumerate(sc):
+        last_chunk = sc[i + 1][0] - 1 if i + 1 < len(sc) else len(chunk_offs)
+        for chunk in range(first_chunk, last_chunk + 1):
+            off = chunk_offs[chunk - 1]
+            for _ in range(per_chunk):
+                if si >= n_samples:
+                    break
+                offsets.append(off)
+                off += sizes[si]
+                si += 1
+    if si != n_samples:
+        raise ValueError(
+            f"sample-to-chunk tables place {si} of {n_samples} samples"
+        )
+
+    frames = []
+    for off, size in zip(offsets, sizes):
+        if off + size > len(payload):
+            raise ValueError("sample extends past end of file")
+        frames.append(decode_jpeg(payload[off : off + size]))
+    widths = {f["width"] for f in frames}
+    heights = {f["height"] for f in frames}
+    if len(widths) != 1 or len(heights) != 1:
+        raise ValueError("inconsistent frame dimensions")
+    w, h = widths.pop(), heights.pop()
+    if (declared_w, declared_h) != (w, h):
+        raise ValueError(
+            f"stsd declares {declared_w}x{declared_h}, frames decode {w}x{h}"
+        )
+    return {
+        "width": w,
+        "height": h,
         "n_frames": len(frames),
         "n_units": sum(f["n_units"] for f in frames),
         "content_sum": sum(f["content_sum"] for f in frames),

@@ -775,11 +775,12 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     over Arrow-batched mapInPandas, and emit per-file stats.  The
     oracle recomputes every stat from the closed-form content formulas
     — if the PNG chunk walk, zlib inflate, scanline unfilter, JPEG
-    huffman decode, RIFF walk, or per-frame MJPEG aggregation were
-    wrong, the hash would not match.  Since r5 half the video rows are
-    real multi-frame AVI (decoded frame-by-frame through the JPEG
-    machinery, n_frames surfaced); the other half stay mp4 — the one
-    honestly codec-gated format (decoded=false, null features)."""
+    huffman decode, RIFF walk, ISO-BMFF box walk, or per-frame MJPEG
+    aggregation were wrong, the hash would not match.  Video rows split
+    between MJPEG-AVI (r5) and MJPEG-MP4 (r6: ftyp/moov/mdat walk, stbl
+    sample tables → per-sample JPEG decode) — same frame formulas, so
+    one closed-form oracle covers both containers; H.264 stays declared
+    out-of-scope (the stsd walk refuses non-jpeg entries loudly)."""
     prep(spark)
     docs = spread(load(spark, sf_dir, "documents"))
     return M.decode_features(M.synthesize_media(docs))
@@ -849,7 +850,7 @@ avi_blocks AS (
   SELECT i.doc_id, i.nf,
          (i.doc_id * 7 + f.f * 29 + bx.bx * 11 + by.by * 23) % 256 AS v
   FROM (SELECT doc_id, 2 + doc_id % 3 AS nf
-        FROM m WHERE modality = 'video' AND doc_id % 6 = 2) i,
+        FROM m WHERE modality = 'video') i,
        LATERAL (SELECT unnest(range(0, i.nf)) AS f) f,
        LATERAL (SELECT unnest(range(0, 2)) AS bx) bx,
        LATERAL (SELECT unnest(range(0, 2)) AS by) by
@@ -886,14 +887,10 @@ SELECT a.doc_id, 'audio', 'wav', true,
        s.content_sum, s.content_min, s.content_max, CAST(NULL AS BIGINT)
 FROM aud a JOIN aud_stats s USING (doc_id)
 UNION ALL
-SELECT s.doc_id, 'video', 'avi', true,
+SELECT s.doc_id, 'video', CASE WHEN s.doc_id % 6 = 2 THEN 'avi' ELSE 'mp4' END, true,
        16, 16, NULL, CAST(256 * s.nf AS BIGINT),
        s.content_sum, s.content_min, s.content_max, CAST(s.nf AS BIGINT)
 FROM avi_stats s
-UNION ALL
-SELECT doc_id, 'video', 'mp4', false,
-       NULL, NULL, NULL, NULL, NULL, NULL, NULL, CAST(NULL AS BIGINT)
-FROM m WHERE modality = 'video' AND doc_id % 6 = 5
 """
 
 

@@ -18,9 +18,10 @@ Scope is explicit and loud:
   protocol ≥ 3 features this bridge must not silently mis-read).
 - Iceberg: metadata.json parse (snapshot lineage, schema translation to
   Spark types, current-snapshot resolution) is full-fidelity; the DATA
-  path needs the avro manifest list, which requires spark-avro —
-  ``read_iceberg_snapshot`` gates loudly when the avro reader is
-  absent (this image ships no jars).
+  path walks the avro manifest list with the avro-core container
+  reader Spark bundles (no spark-avro DataSource needed — manifests
+  are driver-side pointer rows).  ``read_iceberg_snapshot`` gates
+  loudly when avro-core is absent, and on v2 row-level deletes.
 
 Driver-side work is O(metadata) — identical posture to ManifestTable:
 the driver parses pointers, executors read parquet.

@@ -596,3 +596,51 @@ def test_avi_decoder_rejects_corruption_cleanly(data):
         corrupted = payload[: i + 12] + b"\x00\x00" + payload[i + 14 :]
     with _pytest.raises((ValueError, AssertionError)):
         M.decode_avi(corrupted)
+
+
+@settings(deadline=None, max_examples=60)
+@given(doc_id=st.integers(0, 100_000))
+def test_mp4_decode_matches_avi_for_any_doc(doc_id):
+    """r6: the ISO-BMFF walk and the RIFF walk wrap the SAME frame
+    payloads, so both containers must decode to identical stats for
+    every doc_id — one closed-form oracle covers both by construction."""
+    from dbt_json_readr_spark.operators import multimodal as M
+
+    assert M.decode_mp4(M.synth_mp4(doc_id)) == M.decode_avi(M.synth_avi(doc_id))
+
+
+@settings(deadline=None, max_examples=30)
+@given(data=st.data())
+def test_mp4_decoder_rejects_corruption_cleanly(data):
+    """Box-tree corruption must raise (typed), never return wrong
+    stats: truncation, an avc1 sample entry (H.264 — declared out of
+    scope, must refuse), an stts/stsz sample-count lie, and a stated
+    width the frames do not decode to."""
+    import struct as _s
+
+    import pytest as _pytest
+
+    from dbt_json_readr_spark.operators import multimodal as M
+
+    payload = bytes(M.synth_mp4(data.draw(st.integers(0, 10_000))))
+    mode = data.draw(
+        st.sampled_from(["truncate", "avc1", "count_lie", "dim_lie"])
+    )
+    if mode == "truncate":
+        corrupted = payload[: data.draw(st.integers(4, len(payload) - 5))]
+    elif mode == "avc1":
+        i = payload.index(b"jpeg", payload.index(b"stsd"))
+        corrupted = payload[:i] + b"avc1" + payload[i + 4 :]
+    elif mode == "count_lie":
+        i = payload.index(b"stts") + 4 + 4 + 4  # fullbox hdr + entry_count
+        (n,) = _s.unpack(">I", payload[i : i + 4])
+        corrupted = payload[:i] + _s.pack(">I", n + 1) + payload[i + 4 :]
+    else:  # dim_lie: stsd width field off by 8
+        i = payload.index(b"stsd") + 4 + 4 + 4 + 4 + 4 + 24  # into entry width
+        (w,) = _s.unpack(">H", payload[i : i + 2])
+        corrupted = payload[:i] + _s.pack(">H", w + 8) + payload[i + 2 :]
+    try:
+        got = M.decode_mp4(corrupted)
+    except (ValueError, IndexError, _s.error):
+        return
+    assert got == M.decode_mp4(payload), "corrupt payload decoded silently wrong"
