@@ -347,14 +347,15 @@ def test_multimodal_decode_pipeline(spark):
     assert img.modality == "image" and img.decoded and img.width == 16 + img.doc_id % 16
     aud = out[31]
     assert aud.modality == "audio" and aud.decoded and aud.sample_rate == 8000 + (31 % 4) * 4000
-    # video rows split since r5: doc_id%6==2 → REAL MJPEG/AVI decode,
-    # doc_id%6==5 → mp4, the one honestly codec-gated format
+    # video rows since r6: both containers decode for real —
+    # doc_id%6==2 → MJPEG/AVI (RIFF), doc_id%6==5 → MJPEG/MP4 (ISO-BMFF)
     avi = out[32]
     assert avi.modality == "video" and avi.fmt == "avi" and avi.decoded
     assert avi.n_frames == 2 + 32 % 3 and avi.n_units == 256 * avi.n_frames
     mp4 = out[35]
-    assert mp4.modality == "video" and mp4.fmt == "mp4"
-    assert not mp4.decoded and mp4.content_sum is None
+    assert mp4.modality == "video" and mp4.fmt == "mp4" and mp4.decoded
+    assert mp4.n_frames == 2 + 35 % 3 and mp4.n_units == 256 * mp4.n_frames
+    assert mp4.content_sum is not None and mp4.width == 16
 
 
 # ------------------------------------------------------------ lineage
