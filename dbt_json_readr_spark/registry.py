@@ -319,150 +319,42 @@ register("iceberg_snapshot_read", lake.iceberg_snapshot_read, lake._iceberg_read
 
 
 # -------------------------------------------------------------------
-# Driver-gate ordering.  The driver records CORRECTNESS rows for only the
-# FIRST 50 keys in queries() insertion order, so registration order IS
-# the correctness gate.  Round-5 rotation policy (VERDICT r4 item 1):
-# the 40 keys that landed after the r4 window locked (_NEW_R4_LATE)
-# have ZERO driver rows in any round — they claim slots first; then the
-# five keys VERDICT named as guaranteed (_R5_GUARANTEED); the last five
-# slots go to keys new or changed IN r5 (_NEW_R5; its sixth entry
-# overflows to r6 by design).  _STALE_R2 rotates into r6 entirely.
-# Rotated-out keys stay covered by tests/test_oracle_parity.py
-# (every key, sf0.01, exact values).
+# Driver-gate ordering.  The driver records CORRECTNESS rows for only
+# the FIRST 50 keys in queries() insertion order, so registration order
+# IS the correctness gate.  Round-6 rotation (VERDICT r5 item 1): the
+# four keys that have NEVER been through the hard gate lead; then the
+# keys NEW or semantically CHANGED in r6 (the three lake-format bridge
+# keys, the manifest-lake glob key, streaming state metrics — plus
+# dedup_containment_lsh, whose output contract now carries the degree
+# cap, and multimodal_decode, whose mp4 rows became real decodes);
+# the remaining 39 slots rotate through the stale-r2 backlog, most
+# load-bearing first.  Rotated-out keys stay covered by
+# tests/test_oracle_parity.py (every key, sf0.01, exact values).
 GATE_WINDOW = 50
 
-# Gated green in r4 (CORRECTNESS_r04.json, 50/50) — rotate out.
-_R4_GATED_NEW = [
-    "multimodal_stub",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q20_promotion_suppliers",
-    "q12_shipmode_priority",
-    "q21_waiting_suppliers",
-    "q16_supplier_part_types",
-    "q9_nation_profit",
-    "ann_sweep_eval",
-    "knn_label_eval",
-    "ann_dim_ablation",
-    "streaming_daily_rollup",
-    "dedup_cluster_histogram",
-    "orders_rolling_window_revenue",
-    "dedup_incremental",
+# Implemented in r5 but landed after its window locked — zero driver
+# rows anywhere (VERDICT r5 "Counts" note).
+_R6_NEVER_GATED = [
+    "dedup_method_agreement",
+    "events_kll_quantile_audit",
+    "events_theta_set_audit",
+    "streaming_cdc_warmstart",
 ]
 
-# Gated green in r4 (were stale-r1 entering the round) — rotate out.
-_R4_GATED_STALE = [
-    "asof_join_events_orders",
-    "dbt_catalog_columns",
-    "dbt_lineage_closure",
-    "dbt_lineage_depth",
-    "dbt_model_fanout",
-    "dbt_run_results",
-    "dbt_run_summary",
-    "dbt_schema_drift",
-    "dbt_source_freshness",
-    "dbt_tag_usage",
-    "events_approx_quantiles",
-    "events_funnel",
-    "events_hourly_heatmap",
-    "events_retention_cohorts",
-    "events_user_counts",
-    "events_windowed_agg",
-    "lineitem_unpivot_metrics",
-    "order_priority_pivot",
-    "orders_monthly_growth",
-    "orders_running_total",
-    "part_brand_stats",
-    "q10_returned_items",
-    "q13_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_bracket_revenue",
-    "q22_dormant_customers",
-    "q4_late_shipments",
-    "q7_nation_trade",
-    "q8_market_share",
-    "revenue_rollup",
-    "supplier_semi_anti",
-    "top_customers_per_nation",
-]
-
-# Landed after the r4 window was locked (15 new + 35 stale-r1 filled
-# all 50 slots): zero driver rows in any round — they lead the r5
-# window (VERDICT r4 item 1).
-_NEW_R4_LATE = [
-    "dbt_lineage_closure_rcte",
-    "streaming_left_outer_join",
-    "pysource_events_rollup",
-    "events_topk_sketch_audit",
-    "bpe_merge_apply",
-    "table_profile_audit",
-    "referential_integrity_audit",
-    "events_gapfill_locf",
-    "doc_sparse_cosine_topk",
-    "dedup_fuzzy_editdist",
-    "streaming_manifest_rollup",
-    "events_concurrency_sweep",
-    "incremental_view_maintain",
-    "dedup_containment",
-    "text_ngram_lm_score",
-    "streaming_dynamic_gap_sessions",
-    "lineitem_weighted_median",
-    "corpus_importance_sample",
-    "dbt_test_coverage",
+# New in r6, or r5 keys whose DEFINITION changed in r6 (the driver's
+# newest row no longer describes them).
+_NEW_R6 = [
+    "dbt_manifest_lake",
+    "streaming_state_metrics",
+    "delta_snapshot_read",
+    "iceberg_metadata_audit",
+    "iceberg_snapshot_read",
     "dedup_containment_lsh",
-    "events_hll_sketch_rollup",
-    "join_size_histogram_estimate",
-    "streaming_cdc_merge_sink",
-    "dbt_source_coverage",
-    "dedup_minhash_est_calibration",
-    "corpus_temperature_mix",
-    "ann_pq_adc_topk",
-    "ann_adc_recall_eval",
-    "orders_new_customers_monthly",
-    "corpus_vocab_growth",
-    "dbt_macro_usage",
-    "customer_acctbal_trimmed_stats",
-    "dbt_column_name_lineage",
-    "dedup_k_sweep",
-    "corpus_dedup_token_savings",
-    "dbt_test_results_rollup",
-    "streaming_hll_distinct",
-    "text_dup_span_extents",
-    "streaming_pysource_rollup",
-    "corpus_length_quality_corr",
-]
-
-# The five keys VERDICT r4 named as guaranteed r5 slots — they lead
-# the non-never-gated portion of the window.
-_R5_GUARANTEED = [
-    "dedup_minhash_lsh",
-    "dedup_exact",
-    "streaming_windowed_agg",
-    "ann_recall_eval",
     "multimodal_decode",
 ]
 
-# New or semantically CHANGED in r5 — the driver has no row under the
-# current definition: streaming_stateful_counts now runs native
-# transformWithStateInPandas (vendored-protobuf state protocol), the
-# others are brand-new r5 keys.  They fill the window's remaining five
-# slots; dedup_method_agreement (also new in r5) overflows to r6 — its
-# member pipelines are each individually gated/parity-covered, making
-# it the least-risky key to leave with local-parity-only evidence.
-_NEW_R5 = [
-    "streaming_stateful_counts",
-    "manifest_concurrent_commit_audit",
-    "dbt_schema_drift_classes",
-    "streaming_session_timeout",
-    "dbt_style_expectations",
-    "dedup_method_agreement",
-]
-
-# Newest driver row is r2 (pre-rebuild).  Ordered most load-bearing
-# first; rotates into r6 (the r5 window is full with the above).
+# Newest driver row is r2 (pre-rebuild); ordered most load-bearing
+# first.  43 keys − 39 slots: the last 4 rotate to r7.
 _STALE_R2 = [
     "dbt_manifest_nodes",
     "dbt_manifest_unified",
@@ -500,7 +392,6 @@ _STALE_R2 = [
     "streaming_dedup",
     "streaming_enrich_segments",
     "streaming_funnel",
-    "streaming_stateful_counts",
     "streaming_stream_join",
     "text_fingerprint",
     "text_langid",
@@ -510,11 +401,10 @@ _STALE_R2 = [
     "text_token_count",
 ]
 
-assert len(_NEW_R4_LATE) + len(_R5_GUARANTEED) <= GATE_WINDOW
-_GATE_PRIORITY = (_NEW_R4_LATE + _R5_GUARANTEED + _NEW_R5 + _STALE_R2)[:GATE_WINDOW]
-# VERDICT r4 named these five as guaranteed r5 slots; pin it.
-for _k in _R5_GUARANTEED:
-    assert _k in _GATE_PRIORITY, f"guaranteed r5 gate slot lost: {_k}"
+_GATE_PRIORITY = (_R6_NEVER_GATED + _NEW_R6 + _STALE_R2)[:GATE_WINDOW]
+# VERDICT r5 item 1 names these as required r6 gate rows; pin them.
+for _k in _R6_NEVER_GATED + _NEW_R6:
+    assert _k in _GATE_PRIORITY, f"required r6 gate slot lost: {_k}"
 
 
 def _gate_ordered() -> dict[str, tuple[QueryFn, str | None]]:

@@ -177,23 +177,30 @@ def observed(df, name: str, *metrics):
     return df.observe(obs, *metrics), obs
 
 
-_SCRATCH_LIVE: list[str] = []
+_SCRATCH_LIVE: dict[str, list[str]] = {}
+# generations kept per slot: the current call's dir plus the previous
+# one.  The r4 regression this protects against was the IMMEDIATELY
+# PRIOR same-process handle going stale mid-plan; no flow in the repo
+# holds a lazy frame across two newer invocations of the same key
+# (bench's 3-run regime collects each run before the next), so older
+# generations are unreferenceable and safe to reclaim.
+_SCRATCH_KEEP = 2
 
 
 def scratch_dir(slot: str) -> str:
-    """Fresh per-call scratch directory; deletion deferred to process
-    exit (atexit), NOT to the next call on the same slot.
+    """Fresh per-call scratch directory; the previous generation for
+    the slot stays on disk, OLDER generations are reclaimed eagerly
+    (ADVICE r5: the pure-atexit scheme accumulated one data-sized dir
+    per call, unbounded across a bench 3-run regime or an sf10 soak).
 
     mkdtemp gives every call (and every concurrent process) its own
-    directory — no cross-run rmtree races on a fixed path — and because
-    nothing is deleted until the interpreter exits, a lazy DataFrame
-    returned by an EARLIER call of the same key (incremental view
-    maintenance, the streaming manifest sinks) stays readable after a
-    newer invocation (ADVICE r4: the old latest-wins rotation broke
-    prior same-process handles with missing-file errors).  /tmp growth
-    is bounded by one process's calls; dirs from a crashed process
-    persist until the host clears /tmp — the price of never deleting
-    another live process's files."""
+    directory — no cross-run rmtree races on a fixed path — and keeping
+    the previous generation preserves the ADVICE-r4 contract: a lazy
+    DataFrame returned by the PRIOR call of the same key (incremental
+    view maintenance, the streaming manifest sinks) stays readable
+    after a newer invocation.  Remaining dirs are removed at process
+    exit; dirs from a crashed process persist until the host clears
+    /tmp — the price of never deleting another live process's files."""
     import atexit
     import shutil
     import tempfile
@@ -201,10 +208,14 @@ def scratch_dir(slot: str) -> str:
     if not _SCRATCH_LIVE:
 
         def _cleanup() -> None:
-            for d in _SCRATCH_LIVE:
-                shutil.rmtree(d, ignore_errors=True)
+            for dirs in _SCRATCH_LIVE.values():
+                for d in dirs:
+                    shutil.rmtree(d, ignore_errors=True)
 
         atexit.register(_cleanup)
+    gens = _SCRATCH_LIVE.setdefault(slot, [])
     path = tempfile.mkdtemp(prefix=f"dbt_json_readr_spark_{slot}_")
-    _SCRATCH_LIVE.append(path)
+    gens.append(path)
+    while len(gens) > _SCRATCH_KEEP:
+        shutil.rmtree(gens.pop(0), ignore_errors=True)
     return path

@@ -361,3 +361,25 @@ def test_largest_shuffles_are_adaptive_and_skew_eligible(spark, key):
         )
     plan = _executed_plan(df)
     assert "AdaptiveSparkPlan" in plan
+
+
+def test_scratch_dir_bounded_per_slot(tmp_path, monkeypatch):
+    """ADVICE r5: scratch dirs must not grow unboundedly in a long-
+    lived driver.  Contract: per slot, the current AND previous
+    generation stay readable (the r4 prior-handle guarantee), anything
+    older is reclaimed."""
+    import os
+
+    from dbt_json_readr_spark import session as S
+
+    monkeypatch.setattr(S, "_SCRATCH_LIVE", {})
+    d1 = S.scratch_dir("slotA")
+    d2 = S.scratch_dir("slotA")
+    assert os.path.isdir(d1) and os.path.isdir(d2)  # prior survives
+    d3 = S.scratch_dir("slotA")
+    assert not os.path.exists(d1)                   # 2 generations back: gone
+    assert os.path.isdir(d2) and os.path.isdir(d3)
+    other = S.scratch_dir("slotB")                  # slots are independent
+    assert os.path.isdir(d2) and os.path.isdir(d3) and os.path.isdir(other)
+    for d in (d2, d3, other):
+        __import__("shutil").rmtree(d, ignore_errors=True)

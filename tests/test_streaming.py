@@ -857,3 +857,122 @@ def test_state_metrics_growth_bounded_across_forced_micro_batches(spark, tmp_pat
         so["numRowsUpdated"] for p in progress for so in p.get("stateOperators") or []
     )
     assert n_groups <= upd <= n_events
+
+
+def test_vendored_protobuf_submessage_writes_through():
+    """ADVICE r5: `msg.sub.field = x` on an unset message field must
+    write through (real protobuf auto-vivifies), while an untouched
+    vivified child must NOT flip HasField or appear on the wire —
+    a pyspark upgrade using write-through nested access would
+    otherwise silently send empty requests."""
+    import sys
+    from pathlib import Path
+
+    vendor = Path(__file__).resolve().parents[1] / "dbt_json_readr_spark" / "_vendor"
+    sys.path.insert(0, str(vendor))
+    try:
+        for m in [k for k in list(sys.modules) if k.startswith("google")]:
+            del sys.modules[m]
+        import google.protobuf.message as pm
+
+        if not hasattr(pm.Message, "_present"):
+            import pytest
+
+            pytest.skip("real protobuf installed; vendored runtime not in play")
+        from google.protobuf import descriptor as D
+        from google.protobuf.internal import builder as B
+
+        FD = D.FieldDescriptor
+        inner = D.Descriptor(
+            "Inner", "test.Inner",
+            [FD("x", 1, FD.TYPE_INT64, FD.LABEL_OPTIONAL)], [], [],
+        )
+        fsub = FD("sub", 1, FD.TYPE_MESSAGE, FD.LABEL_OPTIONAL, ".test.Inner")
+        fsub.message_type = inner
+        outer = D.Descriptor(
+            "Outer", "test.Outer",
+            [fsub, FD("y", 2, FD.TYPE_INT64, FD.LABEL_OPTIONAL)], [], [],
+        )
+        B._make_class(inner, "t")
+        B._make_class(outer, "t")
+        Outer = outer._concrete_class
+        m = Outer()
+        # read-only vivification: no presence, nothing on the wire
+        assert m.sub.x == 0
+        assert not m.HasField("sub")
+        assert m.SerializeToString() == b""
+        # write-through: presence + wire bytes appear
+        m.sub.x = 7
+        assert m.HasField("sub")
+        rt = Outer()
+        rt.ParseFromString(m.SerializeToString())
+        assert rt.sub.x == 7 and rt.HasField("sub")
+        # Clear resets both maps
+        m.Clear()
+        assert not m.HasField("sub") and m.SerializeToString() == b""
+    finally:
+        sys.path.remove(str(vendor))
+        for k in [k for k in list(sys.modules) if k.startswith("google")]:
+            del sys.modules[k]
+
+
+def test_session_timeout_two_stragglers_across_three_batches_split(spark, tmp_path):
+    """ADVICE r5: pin the documented APPROXIMATION so it cannot drift
+    silently.  A straggler older than start − gap closes immediately as
+    its own session; a LATER straggler within gap of that already-
+    closed session cannot merge into it (the state is gone) and starts
+    a second session — where a globally-sorted batch truth would emit
+    ONE two-event session.  This split is the intentional cross-batch
+    contract; if a refactor starts merging (or dropping) these rows,
+    this test fails and the docstring must change with it.
+
+    Timing note: Spark's TWS late-record filter uses the PREVIOUS
+    batch's watermark, so the second straggler must sit at or above
+    that (batch 3 filters below 11:00 = batch-1 max − 1 h) while still
+    preceding the open session's gap window (11:30) — stragglers below
+    the late filter never reach the operator at all, which is Spark's
+    own drop, not this operator's."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    schema = load(spark, SF, "events").schema
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m, 0)  # noqa: E731
+    batches = [
+        # open session: user 1 at 12:00 + 12:05
+        [(1, t(12, 0), 1, "view", 1.0, "{}"), (2, t(12, 5), 1, "click", 1.0, "{}")],
+        # straggler 1: 10:50 < start − gap (11:30) → own closed session
+        [(3, t(10, 50), 1, "view", 1.0, "{}"), (4, t(12, 30), 99, "view", 1.0, "{}")],
+        # straggler 2: 11:10 — within gap of the CLOSED 10:50 session
+        # and above batch 3's late filter (11:00); sentinel at 14:00
+        # drives the watermark past 12:35
+        [(5, t(11, 10), 1, "view", 1.0, "{}"), (6, t(14, 0), 99, "view", 1.0, "{}")],
+    ]
+    for i, rows in enumerate(batches):
+        part_dir = str(tmp_path / f"w{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(part_dir)
+        [f] = glob.glob(f"{part_dir}/part-*.parquet")
+        shutil.move(f, tmp_path / f"events_{i}.parquet")
+        shutil.rmtree(part_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events_*.parquet")
+        .parquet(str(tmp_path))
+        .withWatermark("ts", "1 hour")
+    )
+    out = jobs._run_to_memory(
+        jobs.session_timeout_sessions(stream), "sess_two_straggler", "update"
+    )
+    us = lambda d: int(d.timestamp() * 1_000_000)  # noqa: E731
+    u1 = {(r.session_start_us, r.session_end_us, r.n_events)
+          for r in out.collect() if r.user_id == 1}
+    # the split: two singleton sessions, NOT one merged (10:50,11:10,2)
+    assert (us(t(10, 50)), us(t(10, 50)), 1) in u1
+    assert (us(t(11, 10)), us(t(11, 10)), 1) in u1
+    assert (us(t(10, 50)), us(t(11, 10)), 2) not in u1
+    # the open session closed normally via its timer
+    assert (us(t(12, 0)), us(t(12, 5)), 2) in u1
