@@ -17,6 +17,7 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..session import prep
 from ..sources import lakeformats as LF
@@ -514,3 +515,83 @@ FROM rows_all
 GROUP BY snapshot_id, channel
 ORDER BY snapshot_id, channel
 """
+
+
+# ------------------------------------------------------- F4 key
+
+
+def delta_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change feed BETWEEN Delta versions from metadata alone: for each
+    commit step (v→v+1), the file-set diff gives added/removed files,
+    and reading ONLY those files gives row-level change counts — the
+    O(delta) incremental-maintenance signal (same contract as
+    ManifestTable.read(added_since=...)), never a full-table rescan.
+    The restatement commit must show both an add and a remove in the
+    same partition."""
+    prep(spark)
+    ensure_lake_fixtures()
+    snaps = {
+        v: LF.delta_snapshot(str(DELTA_DIR), v) for v in (0, 1, 2)
+    }
+    outs = []
+    for v in (1, 2):
+        prev = {f["path"]: f for f in snaps[v - 1]["files"]}
+        cur = {f["path"]: f for f in snaps[v]["files"]}
+        for kind, paths in (
+            ("added", [f for p, f in cur.items() if p not in prev]),
+            ("removed", [f for p, f in prev.items() if p not in cur]),
+        ):
+            for f in paths:
+                # data files lack the partition column
+                data_schema = T.StructType(
+                    [x for x in snaps[v]["schema"].fields if x.name != "year"]
+                )
+                df = spark.read.schema(data_schema).parquet(str(DELTA_DIR / f["path"]))
+                outs.append(
+                    df.agg(F.count(F.lit(1)).alias("n_rows")).select(
+                        F.lit(v).alias("to_version"),
+                        F.lit(kind).alias("change"),
+                        F.lit(f["partitionValues"]["year"]).alias("year"),
+                        F.lit(f["path"]).alias("path"),
+                        "n_rows",
+                    )
+                )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("to_version", "change", "path")
+
+
+def _delta_diff_oracle_sql() -> str:
+    """Independent stdlib replay of the per-version file-set diff."""
+    ensure_lake_fixtures()
+    log = DELTA_DIR / "_delta_log"
+
+    def active(target: int) -> dict[str, str]:
+        out: dict[str, str] = {}
+        for v in range(target + 1):
+            for line in (log / f"{v:020d}.json").read_text().splitlines():
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "add" in a:
+                    out[a["add"]["path"]] = a["add"]["partitionValues"]["year"]
+                elif "remove" in a:
+                    out.pop(a["remove"]["path"], None)
+        return out
+
+    selects = []
+    for v in (1, 2):
+        prev, cur = active(v - 1), active(v)
+        for kind, paths in (
+            ("added", {p: y for p, y in cur.items() if p not in prev}),
+            ("removed", {p: y for p, y in prev.items() if p not in cur}),
+        ):
+            for path, year in sorted(paths.items()):
+                f = (DELTA_DIR / path).as_posix()
+                selects.append(
+                    f"SELECT {v} AS to_version, '{kind}' AS change, "
+                    f"'{year}' AS year, '{path}' AS path, "
+                    f"count(*) AS n_rows FROM read_parquet('{f}')"
+                )
+    return "\nUNION ALL\n".join(selects) + "\nORDER BY to_version, change, path"

@@ -4779,3 +4779,117 @@ ORDER BY in_minhash, in_simhash, in_ngram
 
 
 ORACLES["dedup_method_agreement"] = _method_agreement_sql()
+
+
+# ---------------------------------------------------------------- C71
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public): semantic
+# dedup that makes embedding near-dup removal corpus-scale by bounding
+# the pair space to WITHIN k-means clusters instead of banding.
+
+_SD_TAU = 0.6
+
+
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style pruning: Lloyd-refined coarse clusters (the C33
+    machinery — fixed-point, oracle-replayable) bound the pair space;
+    within a cluster a vector is DROPPED when any SMALLER-id clustermate
+    has cosine ≥ τ (deterministic keep-the-minimum rule, the same
+    canonicalization the dedup family uses).  Emits per-cluster
+    (n_members, n_dropped, n_kept).
+
+    Scale shape: pairs exist only inside a cluster — with k scaled so
+    clusters stay bounded (k≈n/1000 in the paper), the quadratic term
+    is per-cluster constant; here k is fixture-small (8).  The join is
+    cid-partitioned; vectors shuffle once on cid."""
+    prep(spark)
+    from ..operators import kmeans as KM
+
+    embs = spread(load(spark, sf_dir, "embeddings"))
+    cells, _ = KM.kmeans_cells(embs, k=_KM_K, iters=_KM_ITERS)
+    vecs = embs.select(
+        "vec_id", V.to_double(F.col("embedding")).alias("v")
+    ).withColumn("nrm", V.norm(F.col("v")))
+    side = cells.select("vec_id", "cid").join(vecs, "vec_id")
+    a = side.select(
+        F.col("cid"), F.col("vec_id").alias("va"),
+        F.col("v").alias("xa"), F.col("nrm").alias("na"),
+    )
+    b = side.select(
+        F.col("cid"), F.col("vec_id").alias("vb"),
+        F.col("v").alias("xb"), F.col("nrm").alias("nb"),
+    )
+    dropped = (
+        a.join(b, "cid")
+        .filter(F.col("vb") < F.col("va"))
+        .filter(
+            V.cosine_prenormed(
+                F.col("xa"), F.col("xb"), F.col("na"), F.col("nb")
+            )
+            >= _SD_TAU
+        )
+        .select("cid", F.col("va").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(1))
+    )
+    return (
+        cells.select("vec_id", "cid")
+        .join(dropped, ["cid", "vec_id"], "left")
+        .groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.coalesce("is_dropped", F.lit(0))).alias("n_dropped"),
+            (F.count(F.lit(1)) - F.sum(F.coalesce("is_dropped", F.lit(0)))).alias("n_kept"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _semdedup_sql() -> str:
+    """Replays the identical fixed-point Lloyd rounds (the C33 oracle
+    CTEs) + a final assignment under the converged centroids, then the
+    within-cluster smaller-id cosine rule in doubles."""
+    from ..operators.kmeans import QUANT as _KMQ
+
+    parts = [
+        f"""e AS (
+  SELECT vec_id, {V.sql_to_double('embedding')} AS v FROM embeddings
+),
+comp AS (
+  SELECT vec_id, CAST(t.dim - 1 AS INTEGER) AS dim,
+         CAST(floor(v[t.dim] * {_KMQ}) AS BIGINT) AS qv
+  FROM e, UNNEST(range(1, len(v)+1)) AS t(dim)
+),
+cent0 AS (
+  SELECT CAST(vec_id AS INTEGER) AS cid, dim, qv AS qc FROM comp WHERE vec_id < {_KM_K}
+)"""
+    ]
+    cent = "cent0"
+    for i in range(1, _KM_ITERS + 1):
+        parts.append(_km_assign_sql(cent, f"a{i}"))
+        cent = f"cent{i}"
+        parts.append(_km_update_sql(f"a{i}", cent))
+    parts.append(_km_assign_sql(cent, "cells"))
+    cos = V.sql_cosine("ea.v", "eb.v")
+    parts.append(f"""dropped AS (
+  SELECT DISTINCT a.cid, a.vec_id
+  FROM cells a
+  JOIN cells b ON b.cid = a.cid AND b.vec_id < a.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE {cos} >= {_SD_TAU}
+)""")
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT c.cid AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(count(d.vec_id) AS BIGINT) AS n_dropped,
+       CAST(count(*) - count(d.vec_id) AS BIGINT) AS n_kept
+FROM cells c
+LEFT JOIN dropped d ON d.cid = c.cid AND d.vec_id = c.vec_id
+GROUP BY c.cid
+ORDER BY cluster_id
+"""
+
+
+ORACLES["semdedup_prune"] = _semdedup_sql()

@@ -316,6 +316,8 @@ register(
 register("delta_snapshot_read", lake.delta_snapshot_read, lake._delta_oracle_sql())
 register("iceberg_metadata_audit", lake.iceberg_metadata_audit, lake._iceberg_oracle_sql())
 register("iceberg_snapshot_read", lake.iceberg_snapshot_read, lake._iceberg_read_oracle_sql())
+register("delta_version_diff", lake.delta_version_diff, lake._delta_diff_oracle_sql())
+register("semdedup_prune", llm.semdedup_prune, llm.ORACLES["semdedup_prune"])
 
 
 # -------------------------------------------------------------------
@@ -344,6 +346,8 @@ _R6_NEVER_GATED = [
 # New in r6, or r5 keys whose DEFINITION changed in r6 (the driver's
 # newest row no longer describes them).
 _NEW_R6 = [
+    "delta_version_diff",
+    "semdedup_prune",
     "dbt_manifest_lake",
     "streaming_state_metrics",
     "delta_snapshot_read",

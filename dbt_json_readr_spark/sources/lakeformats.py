@@ -454,3 +454,45 @@ def read_iceberg_snapshot(
     if not files:
         return spark.createDataFrame([], info["schema"])
     return spark.read.schema(info["schema"]).parquet(*sorted(set(files)))
+
+
+def manifest_to_delta_log(manifest: dict, table_path: str) -> None:
+    """EXPORT: write a ManifestTable manifest as a single-commit Delta
+    ``_delta_log`` next to the (already-present) data files — the
+    inverse of ``delta_to_manifest``.  The emitted log is reader
+    protocol 1 / writer 2 JSON any Delta reader replays; data files are
+    referenced in place (no copy).  One commit = the snapshot; history
+    does not round-trip (ManifestTable keeps its own versions)."""
+    log = Path(table_path) / "_delta_log"
+    log.mkdir(parents=True, exist_ok=True)
+    pcol = manifest.get("partition_by")
+    schema_json = manifest["schema"]
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": "dbt-json-readr-spark-export",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(schema_json),
+                "partitionColumns": [pcol] if pcol else [],
+                "configuration": {},
+            }
+        },
+    ]
+    for f in manifest["files"]:
+        actions.append(
+            {
+                "add": {
+                    "path": f["path"],
+                    "partitionValues": (
+                        {pcol: str(f["partition"])} if pcol else {}
+                    ),
+                    "size": 0,
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            }
+        )
+    tmp = log / f"_commit-{os.getpid()}.tmp"
+    tmp.write_text("\n".join(json.dumps(a, sort_keys=True) for a in actions) + "\n")
+    os.replace(tmp, log / f"{0:020d}.json")

@@ -898,3 +898,31 @@ def test_iceberg_data_walk_gates(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(LF, "_avro_available", lambda _s: False)
     with pytest.raises(LF.LakeFormatGatedError, match="avro-core"):
         LF.read_iceberg_snapshot(spark, str(LP.ICEBERG_META))
+
+
+def test_manifest_to_delta_round_trip(spark, tmp_path):
+    """Bridge closure: ManifestTable snapshot → exported _delta_log →
+    read back through the Delta bridge equals the original table (and
+    the exported manifest dict round-trips the other way too)."""
+    from pyspark.sql import functions as F
+
+    from dbt_json_readr_spark.manifest_commit import ManifestTable
+    from dbt_json_readr_spark.sources import lakeformats as LF
+
+    table = ManifestTable(spark, str(tmp_path / "mt"))
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("bucket")
+    )
+    table.commit(df, expected_rows=100, partition_by="bucket")
+    m = table._manifest(table.current_version())
+    LF.manifest_to_delta_log(m, str(tmp_path / "mt"))
+
+    back = LF.read_delta_snapshot(spark, str(tmp_path / "mt"))
+    orig = table.read()
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in orig.collect()
+    )
+    # and delta_to_manifest inverts the export
+    m2 = LF.delta_to_manifest(str(tmp_path / "mt"))
+    assert m2["partition_by"] == "bucket"
+    assert {f["path"] for f in m2["files"]} == {f["path"] for f in m["files"]}
