@@ -566,15 +566,26 @@ def dbt_manifest_lake(spark: SparkSession, sf_dir: str, lake: str | None = None)
     cardinality.  ``n_files`` is a broadcast 1-row scalar.
     """
     prep(spark)
+    from ..session import rotate_cached
     from ..sources.lake_fixture import LAKE_DIR, ensure_lake
 
     root = str(ensure_lake(lake or LAKE_DIR))
     doc = A.read_artifact(spark, f"{root}/run_*/manifest.json", A.LAKE_MANIFEST_SCHEMA)
     nodes = doc.select(
+        "artifact_path",
         F.to_timestamp(F.col("doc.metadata")["generated_at"]).alias("generated_at"),
         F.explode("doc.nodes").alias("map_uid", "node"),
-    )
-    n_files = doc.agg(F.count(F.lit(1)).alias("n_files"))
+    ).persist()
+    # two aggregations (per-model rollup + file count) consume the
+    # parsed-nodes frame; without the persist each re-runs the whole
+    # glob scan + from_json (measured 2× the wall time at 1,200 files).
+    # Latest-wins rotation: repeated calls pin ≤1 cached frame.
+    rotate_cached("manifest_lake", [nodes])
+    # distinct-paths over parsed nodes == file count because every
+    # invocation writes ≥1 node (the generator guarantees ≥7; an
+    # empty-manifest lake would need the doc-level count back, and the
+    # stdlib oracle's n_files would flag the drift immediately)
+    n_files = nodes.agg(F.countDistinct("artifact_path").alias("n_files"))
     return (
         nodes.groupBy(F.col("node.unique_id").alias("unique_id"))
         .agg(

@@ -102,6 +102,15 @@ def prep(spark: SparkSession) -> SparkSession:
     # too, not just get_spark's — the big dedup/sparse-cosine shuffles
     # rely on it at scale (r6; asserted by test_plans.py skew tests)
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    # File-listing strategy (r6, measured on the 1,200-dir manifest
+    # lake): the default parallel-discovery threshold (32 paths) turns
+    # every multi-dir glob into a one-task-per-path Spark JOB — 1,200
+    # tasks ≈ 2 s of pure scheduling to list dirs the driver walks in
+    # ~50 ms.  Up to a few thousand paths, driver-side listing (itself
+    # thread-pooled) wins on any filesystem; past the threshold the
+    # distributed job takes over — which is the right shape for a
+    # millions-of-manifests object-store lake.
+    spark.conf.set("spark.sql.sources.parallelPartitionDiscovery.threshold", "4096")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark.conf.set("spark.sql.shuffle.partitions", cpus)
     # RocksDB-backed streaming state (OSS provider, ships in Spark ≥3.2):
