@@ -29,7 +29,7 @@ DEFAULT_BUCKET_CAP = 2000
 # ~C(m,2) candidate pairs across its buckets — clique-quadratic; sf10's
 # adversarial 100-dup cliques drove a 205.9M-pair verify past
 # single-node scratch.  Capping each doc to its ``cap`` SMALLEST
-# partner ids bounds candidates at n·cap/2 while PRESERVING connected
+# partner ids bounds candidates at n·cap while PRESERVING connected
 # components under min-id clustering: every doc keeps its edge toward
 # its smallest partner, so a monotone-descending chain still reaches
 # each clique's minimum.  Pair-level recall inside giant cliques is the

@@ -3788,7 +3788,7 @@ def dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf10's 100-dup cliques produced 205.9M verify pairs and overflowed
     single-node scratch.  A per-doc DEGREE CAP (keep each doc's 16
     smallest partner ids; pair survives only if kept from both ends)
-    bounds the verify at n·cap/2 pairs while preserving min-id cluster
+    bounds the verify at n·cap pairs while preserving min-id cluster
     connectivity; every capped doc emits a loud ``status='capped_doc'``
     evidence row carrying (degree, n_dropped_partners), replayed
     identically by the oracle's row_number window.

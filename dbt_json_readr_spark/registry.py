@@ -17,11 +17,24 @@ from .streaming import jobs as streaming_jobs
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+# oracle may be registered as a zero-arg CALLABLE, resolved (and then
+# cached in place) on first oracle_sql() access — oracle builders that
+# materialize fixtures (the lake keys) or stdlib-parse fixture trees
+# (the dbt keys) must not run, or write to disk, merely because the
+# registry was imported (r6 code-review finding).
+_REGISTRY: dict[str, tuple[QueryFn, "str | Callable[[], str] | None"]] = {}
 
 
-def register(key: str, fn: QueryFn, oracle: str | None) -> None:
+def register(key: str, fn: QueryFn, oracle: "str | Callable[[], str] | None") -> None:
     _REGISTRY[key] = (fn, oracle)
+
+
+def _resolved_oracle(key: str) -> str | None:
+    fn, oracle = _REGISTRY[key]
+    if callable(oracle):
+        oracle = oracle()
+        _REGISTRY[key] = (fn, oracle)
+    return oracle
 
 
 # A. dbt artifact engine (reference parity; oracles derived independently
@@ -55,7 +68,7 @@ for _key in [
     "dbt_schema_drift_classes",
     "dbt_manifest_lake",
 ]:
-    register(_key, getattr(dbt, _key), getattr(oracles, _key)())
+    register(_key, getattr(dbt, _key), getattr(oracles, _key))
 
 # B. relational / OLAP core
 register("q1_pricing_summary", tpch.q1_pricing_summary, tpch.Q1_SQL)
@@ -313,10 +326,10 @@ register(
 )
 
 # E. external table-format bridges (r6)
-register("delta_snapshot_read", lake.delta_snapshot_read, lake._delta_oracle_sql())
-register("iceberg_metadata_audit", lake.iceberg_metadata_audit, lake._iceberg_oracle_sql())
-register("iceberg_snapshot_read", lake.iceberg_snapshot_read, lake._iceberg_read_oracle_sql())
-register("delta_version_diff", lake.delta_version_diff, lake._delta_diff_oracle_sql())
+register("delta_snapshot_read", lake.delta_snapshot_read, lake._delta_oracle_sql)
+register("iceberg_metadata_audit", lake.iceberg_metadata_audit, lake._iceberg_oracle_sql)
+register("iceberg_snapshot_read", lake.iceberg_snapshot_read, lake._iceberg_read_oracle_sql)
+register("delta_version_diff", lake.delta_version_diff, lake._delta_diff_oracle_sql)
 register("semdedup_prune", llm.semdedup_prune, llm.ORACLES["semdedup_prune"])
 
 
@@ -329,8 +342,9 @@ register("semdedup_prune", llm.semdedup_prune, llm.ORACLES["semdedup_prune"])
 # keys, the manifest-lake glob key, streaming state metrics — plus
 # dedup_containment_lsh, whose output contract now carries the degree
 # cap, and multimodal_decode, whose mp4 rows became real decodes);
-# the remaining 39 slots rotate through the stale-r2 backlog, most
-# load-bearing first.  Rotated-out keys stay covered by
+# the remaining 37 slots rotate through the stale-r2 backlog, most
+# load-bearing first (43 − 37 = the last 6 rotate to r7).  Rotated-out
+# keys stay covered by
 # tests/test_oracle_parity.py (every key, sf0.01, exact values).
 GATE_WINDOW = 50
 
@@ -358,7 +372,7 @@ _NEW_R6 = [
 ]
 
 # Newest driver row is r2 (pre-rebuild); ordered most load-bearing
-# first.  43 keys − 39 slots: the last 4 rotate to r7.
+# first.  43 keys, 37 slots: the last 6 rotate to r7.
 _STALE_R2 = [
     "dbt_manifest_nodes",
     "dbt_manifest_unified",
@@ -424,4 +438,9 @@ def queries() -> dict[str, QueryFn]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {k: sql for k, (_, sql) in _gate_ordered().items() if sql is not None}
+    out = {}
+    for k in _gate_ordered():
+        sql = _resolved_oracle(k)
+        if sql is not None:
+            out[k] = sql
+    return out

@@ -68,7 +68,7 @@ def delta_snapshot(table_path: str, version: int | None = None) -> dict:
     just stopping the replay early."""
     log = _delta_log_dir(table_path)
     if (log / "_last_checkpoint").exists():
-        commits = sorted(log.glob("*.json"))
+        commits = sorted(p for p in log.glob("*.json") if p.stem.isdigit())
         if not commits or int(commits[0].stem) != 0:
             raise LakeFormatGatedError(
                 "Delta checkpoint replay required (_last_checkpoint present and "
@@ -151,7 +151,11 @@ def read_delta_snapshot(
         key = tuple(f["partitionValues"].get(c) for c in pcols)
         groups.setdefault(key, []).append(os.path.join(table_path, f["path"]))
     parts = []
-    for key, paths in sorted(groups.items(), key=lambda kv: kv[0]):
+    # None-safe ordering: nullable partition columns write
+    # partitionValues of null (Hive default partition)
+    for key, paths in sorted(
+        groups.items(), key=lambda kv: tuple((v is None, v) for v in kv[0])
+    ):
         part = spark.read.schema(data_schema).parquet(*paths)
         for c, val in zip(pcols, key):
             part = part.withColumn(c, F.lit(val).cast(schema[c].dataType))
@@ -302,12 +306,13 @@ def _avro_available(spark: SparkSession) -> bool:
 
 
 def _resolve(path: str, table_root: str) -> str:
-    """Iceberg metadata stores manifest/file locations as URIs; for a
-    local table they resolve against the table root."""
+    """Iceberg metadata stores manifest/file locations as URIs; a
+    relative path resolves STRICTLY against the table root — never the
+    process cwd, which could silently hit another table's files."""
     for scheme in ("file://",):
         if path.startswith(scheme):
             path = path[len(scheme) :]
-    if os.path.isabs(path) or os.path.exists(path):
+    if os.path.isabs(path):
         return path
     return os.path.join(table_root, path)
 

@@ -1830,10 +1830,16 @@ ORDER BY r.user_id
 def run_with_progress(
     df: DataFrame, name: str, mode: str, options: dict | None = None
 ) -> tuple[DataFrame, list[dict]]:
-    """_run_to_memory plus the query's full progress history — the
-    observability hook a production job would ship to its metrics
-    sink via a StreamingQueryListener."""
+    """_run_to_memory plus the query's progress history — the
+    observability hook a production job would ship to its metrics sink
+    via a StreamingQueryListener.  ``recentProgress`` is a ring buffer
+    (spark.sql.streaming.numRecentProgressUpdates, default 100 — an
+    sf10 drain at maxFilesPerTrigger=1 would silently drop its early
+    batches and break the cumulative-update reconciliation), so the
+    buffer is raised here to cover any bounded drain this repo runs;
+    an unbounded production job must use the listener instead."""
     spark = df.sparkSession
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "100000")
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
