@@ -5,7 +5,7 @@ import __spark_entry__ as E
 from tests.oracle_utils import duckdb_conn, normalize_rows
 spark = (SparkSession.builder.master("local[8]")
          .config("spark.sql.session.timeZone", "America/New_York")
-         .config("spark.driver.memory", "4g")
+         .config("spark.driver.memory", "6g")
          .config("spark.ui.enabled", "false").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 print("entry:", len(E.entry(spark).collect()), flush=True)
