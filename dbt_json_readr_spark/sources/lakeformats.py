@@ -10,12 +10,13 @@ recoverable with the stdlib — no format jars — and the files themselves
 are plain parquet Spark reads natively.
 
 Scope is explicit and loud:
-- Delta: JSON commits replayed from version 0.  Checkpoint-parquet
-  replay (``_last_checkpoint`` present AND commit 0 pruned) raises
-  ``LakeFormatGatedError`` — resolvable by reading the checkpoint
-  parquet, deliberately out of scope until a fixture needs it.
-  Deletion vectors / column mapping raise the same gate (reader
-  protocol ≥ 3 features this bridge must not silently mis-read).
+- Delta: checkpoint-parquet state (pyarrow, driver-side — r6) seeds the
+  file set when ``_last_checkpoint`` covers the target version, with
+  later JSON commits replayed on top; a fully-retained JSON log replays
+  from 0.  Time travel BEHIND the retained log gates loudly (that
+  history is vacuumed), as do deletion vectors / column mapping
+  (reader protocol ≥ 3 features this bridge must not silently
+  mis-read).
 - Iceberg: metadata.json parse (snapshot lineage, schema translation to
   Spark types, current-snapshot resolution) is full-fidelity; the DATA
   path walks the avro manifest list with the avro-core container
@@ -58,73 +59,144 @@ def _delta_log_dir(table_path: str) -> Path:
     return d
 
 
-def delta_snapshot(table_path: str, version: int | None = None) -> dict:
-    """Replay the JSON commit log through ``version`` (default: latest)
-    → {"version", "schema" (Spark StructType), "partition_columns",
-    "files": [{"path", "partitionValues"}]}.
+class _DeltaState:
+    def __init__(self):
+        self.schema: T.StructType | None = None
+        self.partition_columns: list[str] = []
+        self.files: dict[str, dict] = {}
 
-    Pure stdlib; add/remove actions are applied in commit order, so the
-    result is exactly the snapshot a Delta reader pins — time travel is
-    just stopping the replay early."""
-    log = _delta_log_dir(table_path)
-    if (log / "_last_checkpoint").exists():
-        commits = sorted(p for p in log.glob("*.json") if p.stem.isdigit())
-        if not commits or int(commits[0].stem) != 0:
+    def check_protocol(self, p: dict) -> None:
+        if p.get("minReaderVersion", 1) >= 3:
+            feats = p.get("readerFeatures") or []
             raise LakeFormatGatedError(
-                "Delta checkpoint replay required (_last_checkpoint present and "
-                "JSON commit 0 no longer retained); checkpoint-parquet reading "
-                "is out of scope for this bridge"
+                f"Delta reader protocol {p['minReaderVersion']} with "
+                f"features {feats} — this bridge reads protocol ≤ 2 "
+                "only (no deletion vectors / column mapping)"
             )
-    versions = sorted(int(p.stem) for p in log.glob("*.json") if p.stem.isdigit())
-    if not versions:
+
+    def meta(self, md: dict) -> None:
+        if md.get("format", {}).get("provider", "parquet") != "parquet":
+            raise LakeFormatError(f"non-parquet Delta table: {md['format']}")
+        self.schema = T.StructType.fromJson(json.loads(md["schemaString"]))
+        self.partition_columns = list(md.get("partitionColumns") or [])
+
+    def add(self, a: dict) -> None:
+        pv = a.get("partitionValues") or {}
+        if not isinstance(pv, dict):  # pyarrow map → list of (k, v)
+            pv = dict(pv)
+        self.files[a["path"]] = {"path": a["path"], "partitionValues": pv}
+
+    def remove(self, path: str) -> None:
+        self.files.pop(path, None)
+
+
+def _read_checkpoint(log: Path, ck_version: int, parts: int | None) -> _DeltaState:
+    """Load a checkpoint's complete snapshot state.  Checkpoints are
+    plain parquet with one action struct per row; pyarrow reads them
+    driver-side (metadata-scale — O(#files) rows, no Spark job).
+    ``remove`` rows are retention tombstones, already absent from the
+    live set."""
+    import pyarrow.parquet as pq
+
+    if parts:
+        paths = [
+            log / f"{ck_version:020d}.checkpoint.{i + 1:010d}.{parts:010d}.parquet"
+            for i in range(parts)
+        ]
+    else:
+        paths = [log / f"{ck_version:020d}.checkpoint.parquet"]
+    state = _DeltaState()
+    for p in paths:
+        if not p.exists():
+            raise LakeFormatError(f"missing checkpoint part: {p.name}")
+        for row in pq.read_table(str(p)).to_pylist():
+            if row.get("protocol"):
+                state.check_protocol(row["protocol"])
+            if row.get("metaData"):
+                md = dict(row["metaData"])
+                if isinstance(md.get("format"), dict) is False and md.get("format"):
+                    md["format"] = dict(md["format"])
+                state.meta(md)
+            if row.get("add"):
+                state.add(dict(row["add"]))
+    if state.schema is None:
+        raise LakeFormatError(
+            f"checkpoint {ck_version} has no metaData row (spec violation)"
+        )
+    return state
+
+
+def delta_snapshot(table_path: str, version: int | None = None) -> dict:
+    """The snapshot a Delta reader pins AS OF ``version`` (default:
+    latest) → {"version", "schema" (Spark StructType),
+    "partition_columns", "files": [{"path", "partitionValues"}]}.
+
+    Replay strategy (r6: checkpoint support landed, removing the old
+    gate): if ``_last_checkpoint`` points at a checkpoint ≤ the target
+    version, its parquet state seeds the file set and only JSON commits
+    AFTER it replay; otherwise the JSON log replays from 0.  Time
+    travel BEHIND the retained log (target < checkpoint and commit 0
+    vacuumed) gates loudly — that history is physically gone."""
+    log = _delta_log_dir(table_path)
+    json_versions = sorted(int(p.stem) for p in log.glob("*.json") if p.stem.isdigit())
+    ck_version: int | None = None
+    ck_parts: int | None = None
+    if (log / "_last_checkpoint").exists():
+        ck = json.loads((log / "_last_checkpoint").read_text())
+        ck_version, ck_parts = int(ck["version"]), ck.get("parts")
+    if not json_versions and ck_version is None:
         raise LakeFormatError(f"empty Delta log: {table_path}")
+    latest = max(json_versions[-1] if json_versions else 0, ck_version or 0)
     if version is None:
-        version = versions[-1]
-    if version not in versions:
-        raise LakeFormatError(f"Delta version {version} not in log {versions}")
-    schema: T.StructType | None = None
-    partition_columns: list[str] = []
-    files: dict[str, dict] = {}
-    for v in versions:
-        if v > version:
-            break
+        version = latest
+    replay_from_zero = json_versions and json_versions[0] == 0
+    use_checkpoint = ck_version is not None and ck_version <= version
+    if use_checkpoint and replay_from_zero:
+        use_checkpoint = False  # full JSON history retained; no parquet read needed
+    if not use_checkpoint and not replay_from_zero:
+        raise LakeFormatGatedError(
+            f"version {version} predates the retained log (checkpoint at "
+            f"{ck_version}, earliest JSON commit "
+            f"{json_versions[0] if json_versions else None}) — that history "
+            "was vacuumed"
+        )
+    if use_checkpoint:
+        state = _read_checkpoint(log, ck_version, ck_parts)
+        start_after = ck_version
+    else:
+        state = _DeltaState()
+        start_after = -1
+    known = set(json_versions) | ({ck_version} if ck_version is not None else set())
+    if version not in known:
+        raise LakeFormatError(f"Delta version {version} not in log {sorted(known)}")
+    # commits between checkpoint and target must be contiguous
+    needed = [v for v in range(start_after + 1, version + 1)]
+    missing = [v for v in needed if v not in set(json_versions)]
+    if missing:
+        raise LakeFormatError(
+            f"missing JSON commits {missing} between checkpoint and {version}"
+        )
+    for v in needed:
         with open(log / f"{v:020d}.json") as f:
             for line in f:
                 if not line.strip():
                     continue
                 action = json.loads(line)
                 if "protocol" in action:
-                    p = action["protocol"]
-                    if p.get("minReaderVersion", 1) >= 3:
-                        feats = p.get("readerFeatures") or []
-                        raise LakeFormatGatedError(
-                            f"Delta reader protocol {p['minReaderVersion']} with "
-                            f"features {feats} — this bridge reads protocol ≤ 2 "
-                            "only (no deletion vectors / column mapping)"
-                        )
+                    state.check_protocol(action["protocol"])
                 elif "metaData" in action:
-                    md = action["metaData"]
-                    if md.get("format", {}).get("provider", "parquet") != "parquet":
-                        raise LakeFormatError(
-                            f"non-parquet Delta table: {md['format']}"
-                        )
-                    schema = T.StructType.fromJson(json.loads(md["schemaString"]))
-                    partition_columns = list(md.get("partitionColumns") or [])
+                    state.meta(action["metaData"])
                 elif "add" in action:
-                    a = action["add"]
-                    files[a["path"]] = {
-                        "path": a["path"],
-                        "partitionValues": a.get("partitionValues") or {},
-                    }
+                    state.add(action["add"])
                 elif "remove" in action:
-                    files.pop(action["remove"]["path"], None)
-    if schema is None:
+                    state.remove(action["remove"]["path"])
+    if state.schema is None:
         raise LakeFormatError(f"no metaData action in Delta log: {table_path}")
     return {
         "version": version,
-        "schema": schema,
-        "partition_columns": partition_columns,
-        "files": sorted(files.values(), key=lambda f: f["path"]),
+        "schema": state.schema,
+        "partition_columns": state.partition_columns,
+        "files": sorted(state.files.values(), key=lambda f: f["path"]),
     }
 
 

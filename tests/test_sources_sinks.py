@@ -788,17 +788,105 @@ def test_delta_bridge_gates_and_time_travel(spark, tmp_path):
     with pytest.raises(LF.LakeFormatGatedError, match="deletionVectors"):
         LF.delta_snapshot(str(t))
 
-    # checkpoint-only log gates loudly
-    t2 = tmp_path / "ckpt_table"
-    (t2 / "_delta_log").mkdir(parents=True)
-    (t2 / "_delta_log" / "_last_checkpoint").write_text('{"version": 10}')
-    (t2 / "_delta_log" / f"{11:020d}.json").write_text("{}\n")
-    with pytest.raises(LF.LakeFormatGatedError, match="checkpoint"):
-        LF.delta_snapshot(str(t2))
-
     # non-Delta dir is a plain error
     with pytest.raises(LF.LakeFormatError, match="_delta_log"):
         LF.delta_snapshot(str(tmp_path / "nope"))
+
+
+def test_delta_checkpoint_replay_and_vacuumed_history_gate(spark, tmp_path):
+    """r6: checkpoint-parquet replay is REAL (the old loud gate became
+    an implementation): a vacuumed table (JSON commits 0-1 gone, state
+    at the checkpoint) must read exactly — checkpoint seeds the file
+    set, later JSON commits replay on top; time travel BEHIND the
+    retained log still gates loudly because that history is gone."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from dbt_json_readr_spark.sources import lakeformats as LF
+
+    t = tmp_path / "ckpt_table"
+    log = t / "_delta_log"
+    log.mkdir(parents=True)
+    for name, lo in (("part-a.parquet", 1), ("part-b.parquet", 6), ("part-c.parquet", 11)):
+        pq.write_table(
+            pa.table({"id": pa.array(range(lo, lo + 5), pa.int64())}), t / name
+        )
+    schema_string = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [{"name": "id", "type": "long", "nullable": False, "metadata": {}}],
+        }
+    )
+
+    # checkpoint at version 1: protocol + metaData + adds for a, b
+    pv_type = pa.map_(pa.string(), pa.string())
+    add_type = pa.struct([("path", pa.string()), ("partitionValues", pv_type)])
+    meta_type = pa.struct(
+        [
+            ("id", pa.string()),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("format", pa.struct([("provider", pa.string())])),
+        ]
+    )
+    proto_type = pa.struct([("minReaderVersion", pa.int32())])
+    rows = [
+        {"add": None, "metaData": None, "protocol": {"minReaderVersion": 1}},
+        {
+            "add": None,
+            "metaData": {
+                "id": "ck",
+                "schemaString": schema_string,
+                "partitionColumns": [],
+                "format": {"provider": "parquet"},
+            },
+            "protocol": None,
+        },
+        {"add": {"path": "part-a.parquet", "partitionValues": []}, "metaData": None, "protocol": None},
+        {"add": {"path": "part-b.parquet", "partitionValues": []}, "metaData": None, "protocol": None},
+    ]
+    ck = pa.table(
+        {
+            "add": pa.array([r["add"] for r in rows], add_type),
+            "metaData": pa.array([r["metaData"] for r in rows], meta_type),
+            "protocol": pa.array([r["protocol"] for r in rows], proto_type),
+        }
+    )
+    pq.write_table(ck, log / f"{1:020d}.checkpoint.parquet")
+    (log / "_last_checkpoint").write_text('{"version": 1}')
+    # JSON commit 2 (the only retained one): restate a -> c
+    (log / f"{2:020d}.json").write_text(
+        "\n".join(
+            _json.dumps(a)
+            for a in [
+                {"remove": {"path": "part-a.parquet", "dataChange": True}},
+                {"add": {"path": "part-c.parquet", "partitionValues": {}, "size": 0, "modificationTime": 0, "dataChange": True}},
+            ]
+        )
+        + "\n"
+    )
+
+    snap = LF.delta_snapshot(str(t))
+    assert snap["version"] == 2
+    assert {f["path"] for f in snap["files"]} == {"part-b.parquet", "part-c.parquet"}
+    got = sorted(r.id for r in LF.read_delta_snapshot(spark, str(t)).collect())
+    assert got == list(range(6, 16))
+
+    # time travel TO the checkpoint itself: its state alone
+    snap1 = LF.delta_snapshot(str(t), 1)
+    assert {f["path"] for f in snap1["files"]} == {"part-a.parquet", "part-b.parquet"}
+
+    # behind the retained log: loud gate, history is vacuumed
+    with pytest.raises(LF.LakeFormatGatedError, match="vacuumed"):
+        LF.delta_snapshot(str(t), 0)
+
+    # a missing checkpoint part is a metadata error, not silence
+    (log / f"{1:020d}.checkpoint.parquet").unlink()
+    with pytest.raises(LF.LakeFormatError, match="missing checkpoint part"):
+        LF.delta_snapshot(str(t))
 
 
 def test_iceberg_schema_translation_and_avro_gate(spark):
