@@ -26,7 +26,7 @@ FIXTURE_ROOT = Path(__file__).resolve().parents[2] / "tests" / "fixtures" / "lak
 DELTA_DIR = FIXTURE_ROOT / "delta_sales"
 ICEBERG_DIR = FIXTURE_ROOT / "iceberg_sales"
 ICEBERG_META = ICEBERG_DIR / "metadata" / "v3.metadata.json"
-_VERSION = "2"
+_VERSION = "3"
 
 # ------------------------------------------------------- fixtures
 
@@ -79,7 +79,7 @@ _ICEBERG_METADATA = {
     "format-version": 2,
     "table-uuid": "0f6d7b1c-iceberg-fixture",
     "location": "warehouse/sales",
-    "last-sequence-number": 3,
+    "last-sequence-number": 4,
     "last-updated-ms": 1735689600000,
     "last-column-id": 3,
     "current-schema-id": 1,
@@ -107,7 +107,7 @@ _ICEBERG_METADATA = {
     "last-partition-id": 999,
     "default-sort-order-id": 0,
     "sort-orders": [{"order-id": 0, "fields": []}],
-    "current-snapshot-id": 1003,
+    "current-snapshot-id": 1004,
     "snapshots": [
         {
             "snapshot-id": 1001,
@@ -134,6 +134,15 @@ _ICEBERG_METADATA = {
             "schema-id": 1,
             "manifest-list": "metadata/snap-1003.avro",
             "summary": {"operation": "overwrite", "total-data-files": "2", "total-records": "25"},
+        },
+        {
+            "snapshot-id": 1004,
+            "parent-snapshot-id": 1003,
+            "sequence-number": 4,
+            "timestamp-ms": 1735776000000,
+            "schema-id": 1,
+            "manifest-list": "metadata/snap-1004.avro",
+            "summary": {"operation": "delete", "total-data-files": "2", "total-records": "23"},
         },
     ],
 }
@@ -371,7 +380,14 @@ _ICEBERG_SNAP_FILES = {
         (0, "data/dc.parquet"),
         (1, "data/dd.parquet"),
     ],
+    1004: [(0, "data/dc.parquet"), (0, "data/dd.parquet")],
 }
+
+# snapshot → {target data file: [deleted row positions]} — snapshot
+# 1004 carries a v2 POSITION-delete manifest removing dc's first two
+# rows (ids 11, 12; dc is written in id order so position p ↔ id 11+p,
+# which is how the authoring-spec oracle translates positions to ids)
+_ICEBERG_POS_DELETES = {1004: {"data/dc.parquet": [0, 1]}}
 
 
 def ensure_iceberg_manifests(spark: SparkSession) -> None:
@@ -382,7 +398,9 @@ def ensure_iceberg_manifests(spark: SparkSession) -> None:
     ensure_lake_fixtures()
     meta_dir = ICEBERG_DIR / "metadata"
     if all(
-        (meta_dir / f"snap-{sid}.avro").exists() and (meta_dir / f"m-{sid}.avro").exists()
+        (meta_dir / f"snap-{sid}.avro").exists()
+        and (meta_dir / f"m-{sid}.avro").exists()
+        and (sid not in _ICEBERG_POS_DELETES or (meta_dir / f"dm-{sid}.avro").exists())
         for sid in _ICEBERG_SNAP_FILES
     ):
         return
@@ -422,6 +440,9 @@ def ensure_iceberg_manifests(spark: SparkSession) -> None:
             ],
         }
     )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     for sid, entries in _ICEBERG_SNAP_FILES.items():
         LF.write_avro_records(
             spark,
@@ -441,18 +462,62 @@ def ensure_iceberg_manifests(spark: SparkSession) -> None:
                 for status, path in entries
             ],
         )
+        mlist_rows = [
+            {
+                "manifest_path": f"metadata/m-{sid}.avro",
+                "manifest_length": 0,
+                "content": 0,
+                "added_snapshot_id": sid,
+            }
+        ]
+        if sid in _ICEBERG_POS_DELETES:
+            # position-delete parquet: (file_path URI, pos) rows — the
+            # spec stores full URIs, written HERE (post-move) so the
+            # absolute path matches what _metadata.file_path reports
+            fps, poss = [], []
+            for target, positions in _ICEBERG_POS_DELETES[sid].items():
+                uri = "file://" + str(ICEBERG_DIR / target)
+                fps += [uri] * len(positions)
+                poss += positions
+            pq.write_table(
+                pa.table(
+                    {
+                        "file_path": pa.array(fps, pa.string()),
+                        "pos": pa.array(poss, pa.int64()),
+                    }
+                ),
+                ICEBERG_DIR / "data" / f"posdel-{sid}.parquet",
+            )
+            LF.write_avro_records(
+                spark,
+                str(meta_dir / f"dm-{sid}.avro"),
+                manifest_schema,
+                [
+                    {
+                        "status": 1,
+                        "snapshot_id": sid,
+                        "data_file": {
+                            "content": 1,
+                            "file_path": f"data/posdel-{sid}.parquet",
+                            "file_format": "PARQUET",
+                            "record_count": len(poss),
+                        },
+                    }
+                ],
+            )
+            mlist_rows.append(
+                {
+                    "manifest_path": f"metadata/dm-{sid}.avro",
+                    "manifest_length": 0,
+                    "content": 1,
+                    "added_snapshot_id": sid,
+                }
+            )
         LF.write_avro_records(
             spark,
             str(meta_dir / f"snap-{sid}.avro"),
             mlist_schema,
-            [
-                {
-                    "manifest_path": f"metadata/m-{sid}.avro",
-                    "manifest_length": 0,
-                    "content": 0,
-                    "added_snapshot_id": sid,
-                }
-            ],
+            mlist_rows,
         )
 
 
@@ -462,14 +527,16 @@ def ensure_iceberg_manifests(spark: SparkSession) -> None:
 def iceberg_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full Iceberg DATA read through the real metadata chain
     (metadata.json → avro manifest list → avro manifests → parquet) at
-    two snapshots: 1002 (pre-overwrite) and current (1003, whose
-    manifest carries DELETED entries the walk must skip).  Schema-0-era
-    files surface channel=NULL under the evolved schema.  Executors
-    read the parquet; the driver touches only pointer rows."""
+    three snapshots: 1002 (pre-overwrite), 1003 (whose manifest carries
+    DELETED entries the walk must skip), and current (1004, whose v2
+    POSITION-delete manifest removes dc's first two rows — applied via
+    the _metadata.row_index anti-join).  Schema-0-era files surface
+    channel=NULL under the evolved schema.  Executors read the parquet;
+    the driver touches only pointer rows."""
     prep(spark)
     ensure_iceberg_manifests(spark)
     outs = []
-    for sid in (1002, 1003):
+    for sid in (1002, 1003, 1004):
         df = LF.read_iceberg_snapshot(spark, str(ICEBERG_META), sid)
         outs.append(
             df.groupBy("channel").agg(
@@ -479,7 +546,10 @@ def iceberg_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum((F.col("amount") * 100).cast("long")).alias("sum_amount_cents"),
             ).select(F.lit(sid).alias("snapshot_id"), "*")
         )
-    return outs[0].unionByName(outs[1]).orderBy("snapshot_id", "channel")
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("snapshot_id", "channel")
 
 
 def _iceberg_read_oracle_sql() -> str:
@@ -490,16 +560,24 @@ def _iceberg_read_oracle_sql() -> str:
     selects = []
     for sid, entries in _ICEBERG_SNAP_FILES.items():
         if sid == 1001:
-            continue  # key reads 1002 + current
+            continue  # key reads 1002 / 1003 / 1004
         for status, path in entries:
             if status == 2:
                 continue
             has_channel = _ICEBERG_FILES[path][0]
             chan = "channel" if has_channel else "CAST(NULL AS VARCHAR) AS channel"
             f = (ICEBERG_DIR / path).as_posix()
+            where = ""
+            positions = _ICEBERG_POS_DELETES.get(sid, {}).get(path)
+            if positions:
+                # files are written in id order: position p ↔ the
+                # (p+1)-th id of the authoring range
+                ids = sorted(list(_ICEBERG_FILES[path][1]))
+                gone = ", ".join(str(ids[p]) for p in positions)
+                where = f" WHERE id NOT IN ({gone})"
             selects.append(
                 f"SELECT {sid} AS snapshot_id, id, amount, {chan} "
-                f"FROM read_parquet('{f}')"
+                f"FROM read_parquet('{f}'){where}"
             )
     body = "\nUNION ALL\n".join(selects)
     return f"""

@@ -495,9 +495,14 @@ def read_iceberg_snapshot(
     carry all columns, so no partition reconstruction is needed —
     unlike Delta's Hive-style layout).
 
-    Loud gates: spark-avro absent; delete manifests / delete files
-    (v2 row-level deletes change read semantics this bridge must not
-    silently ignore); non-parquet data files."""
+    v2 POSITION deletes apply (r6): delete manifests (content=1)
+    resolve to position-delete parquet files — (file_path, pos) rows —
+    and the scan anti-joins them against Spark's ``_metadata.file_path``
+    / ``row_index`` hidden columns.  Fully distributed: delete rows
+    shuffle at delete cardinality, never the data.  Loud gates remain
+    for avro-core absent, EQUALITY deletes (content=2 — need a value
+    join against the delete schema, out of scope), and non-parquet
+    files."""
     info = iceberg_snapshot_info(metadata_path, snapshot_id)
     snap = info["snapshot"]
     if not _avro_available(spark):
@@ -509,28 +514,53 @@ def read_iceberg_snapshot(
         )
     table_root = os.path.dirname(os.path.dirname(os.path.abspath(metadata_path)))
     mlist = _resolve(snap["manifest-list"], table_root)
-    manifests = _read_avro_records(spark, mlist)
-    if any(int(m.get("content") or 0) != 0 for m in manifests):
-        raise LakeFormatGatedError(
-            "snapshot has DELETE manifests (v2 row-level deletes); applying "
-            "them is out of scope for this bridge"
-        )
-    mpaths = [_resolve(m["manifest_path"], table_root) for m in manifests]
     files: list[str] = []
-    for e in _read_avro_records(spark, *mpaths):
-        if int(e.get("status") or 0) == 2:  # DELETED entry
-            continue
-        d = e["data_file"]
-        if int(d.get("content") or 0) != 0:
-            raise LakeFormatGatedError(
-                "manifest lists delete FILES (position/equality); out of scope"
-            )
-        if str(d.get("file_format", "PARQUET")).upper() != "PARQUET":
-            raise LakeFormatError(f"non-parquet data file: {d}")
-        files.append(_resolve(d["file_path"], table_root))
+    delete_files: list[str] = []
+    for m in _read_avro_records(spark, mlist):
+        is_delete_manifest = int(m.get("content") or 0) == 1
+        for e in _read_avro_records(spark, _resolve(m["manifest_path"], table_root)):
+            if int(e.get("status") or 0) == 2:  # DELETED entry
+                continue
+            d = e["data_file"]
+            content = int(d.get("content") or 0)
+            if str(d.get("file_format", "PARQUET")).upper() != "PARQUET":
+                raise LakeFormatError(f"non-parquet data file: {d}")
+            if is_delete_manifest or content == 1:
+                if content == 2:
+                    raise LakeFormatGatedError(
+                        "snapshot carries EQUALITY deletes (content=2); "
+                        "out of scope for this bridge"
+                    )
+                delete_files.append(_resolve(d["file_path"], table_root))
+            elif content == 2:
+                raise LakeFormatGatedError(
+                    "snapshot carries EQUALITY deletes (content=2); "
+                    "out of scope for this bridge"
+                )
+            else:
+                files.append(_resolve(d["file_path"], table_root))
     if not files:
         return spark.createDataFrame([], info["schema"])
-    return spark.read.schema(info["schema"]).parquet(*sorted(set(files)))
+    cols = [f.name for f in info["schema"].fields]
+    if not delete_files:
+        return spark.read.schema(info["schema"]).parquet(*sorted(set(files)))
+    # position-delete application: hidden _metadata columns identify
+    # each row's (file, index); delete rows are (file_path, pos).
+    # Normalize both sides' URIs (file:///x vs /x) before the anti-join.
+    norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+    data = (
+        spark.read.schema(info["schema"])
+        .parquet(*sorted(set(files)))
+        .select(
+            *cols,
+            norm(F.col("_metadata.file_path")).alias("__fp"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+    )
+    dels = spark.read.parquet(*sorted(set(delete_files))).select(
+        norm(F.col("file_path")).alias("__fp"), F.col("pos").alias("__pos")
+    )
+    return data.join(dels, ["__fp", "__pos"], "left_anti").select(*cols)
 
 
 def manifest_to_delta_log(manifest: dict, table_path: str) -> None:

@@ -945,9 +945,9 @@ def test_iceberg_schema_translation_and_avro_gate(spark):
 
 
 def test_iceberg_data_walk_gates(spark, tmp_path, monkeypatch):
-    """The avro manifest walk is real in this image (avro-core ships in
-    Spark's jars), so the gates that remain are semantic: delete
-    manifests / delete files must refuse loudly, and an avro-less
+    """The avro manifest walk is real (avro-core ships in Spark's
+    jars) and POSITION deletes now apply (r6), so the gates that remain
+    are semantic: EQUALITY deletes must refuse loudly, and an avro-less
     environment still gets the classpath gate."""
     import json
     import shutil
@@ -958,28 +958,40 @@ def test_iceberg_data_walk_gates(spark, tmp_path, monkeypatch):
     from dbt_json_readr_spark.sources import lakeformats as LF
 
     LP.ensure_iceberg_manifests(spark)
-    # clone the fixture table, point snapshot 1003 at a DELETE manifest list
+    # clone the fixture, swap 1004's delete manifest for an EQUALITY one
     t = tmp_path / "tbl"
     shutil.copytree(LP.ICEBERG_DIR, t)
     LF.write_avro_records(
         spark,
-        str(t / "metadata" / "snap-1003.avro"),
+        str(t / "metadata" / "dm-1004.avro"),
         json.dumps(
             {
                 "type": "record",
-                "name": "manifest_file",
+                "name": "manifest_entry",
                 "fields": [
-                    {"name": "manifest_path", "type": "string"},
-                    {"name": "manifest_length", "type": "long"},
-                    {"name": "content", "type": "int"},
-                    {"name": "added_snapshot_id", "type": ["null", "long"], "default": None},
+                    {"name": "status", "type": "int"},
+                    {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+                    {
+                        "name": "data_file",
+                        "type": {
+                            "type": "record",
+                            "name": "r2",
+                            "fields": [
+                                {"name": "content", "type": "int"},
+                                {"name": "file_path", "type": "string"},
+                                {"name": "file_format", "type": "string"},
+                                {"name": "record_count", "type": "long"},
+                            ],
+                        },
+                    },
                 ],
             }
         ),
-        [{"manifest_path": "metadata/m-1003.avro", "manifest_length": 0,
-          "content": 1, "added_snapshot_id": 1003}],
+        [{"status": 1, "snapshot_id": 1004,
+          "data_file": {"content": 2, "file_path": "data/eqdel.parquet",
+                        "file_format": "PARQUET", "record_count": 2}}],
     )
-    with pytest.raises(LF.LakeFormatGatedError, match="DELETE manifests"):
+    with pytest.raises(LF.LakeFormatGatedError, match="EQUALITY deletes"):
         LF.read_iceberg_snapshot(spark, str(t / "metadata" / "v3.metadata.json"))
 
     # avro-less classpath → loud gate naming the missing piece
