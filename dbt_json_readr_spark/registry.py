@@ -324,6 +324,11 @@ register(
     streaming_jobs.streaming_state_metrics,
     streaming_jobs.STREAMING_STATE_METRICS_SQL,
 )
+register(
+    "streaming_manifest_lake_rollup",
+    streaming_jobs.streaming_manifest_lake_rollup,
+    streaming_jobs._streaming_lake_rollup_sql,
+)
 
 # E. external table-format bridges (r6)
 register("delta_snapshot_read", lake.delta_snapshot_read, lake._delta_oracle_sql)
@@ -363,6 +368,7 @@ _NEW_R6 = [
     "delta_version_diff",
     "semdedup_prune",
     "dbt_manifest_lake",
+    "streaming_manifest_lake_rollup",
     "streaming_state_metrics",
     "delta_snapshot_read",
     "iceberg_metadata_audit",

@@ -1968,3 +1968,66 @@ SELECT * FROM (
 )
 ORDER BY job, operator
 """
+
+
+# ---------------------------------------------------------------- D23
+# Streaming ingestion of the ARTIFACT LAKE (A27's source, incremental):
+# a fleet keeps writing manifest.json files; the rollup should absorb
+# new invocations as they land instead of re-scanning the lake.
+
+
+def streaming_manifest_lake_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the 1,200-manifest lake (wholetext, one
+    row per file, ``maxFilesPerTrigger=500`` → a forced 3-batch drain so
+    the incremental path is actually exercised), parsed with the NARROW
+    lake schema and rolled up per model in complete mode.  The converged
+    table must equal the batch truth (stdlib oracle) under ANY batch
+    planning — count/min/max are merge-associative, which is exactly
+    why they stream; the batch key's distinct-checksum column is NOT
+    here (chained distinct aggregation is unsupported in streaming —
+    the honest cut, use A27 for code-churn questions).
+
+    Scale shape: state is one row per model (key cardinality), files
+    stream through once; at a real lake the file-source maxFilesPer
+    Trigger bounds per-batch listing work."""
+    prep(spark)
+    from ..sources.artifacts import LAKE_MANIFEST_SCHEMA
+    from ..sources.lake_fixture import ensure_lake
+
+    root = str(ensure_lake())
+    stream = (
+        spark.readStream.option("wholetext", "true")
+        .option("pathGlobFilter", "manifest.json")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "500")
+        .text(root)
+    )
+    nodes = (
+        stream.select(F.from_json("value", LAKE_MANIFEST_SCHEMA).alias("doc"))
+        .select(
+            F.to_timestamp(F.col("doc.metadata")["generated_at"]).alias("generated_at"),
+            F.explode("doc.nodes").alias("map_uid", "node"),
+        )
+    )
+    agg = nodes.groupBy(F.col("node.unique_id").alias("unique_id")).agg(
+        F.count(F.lit(1)).alias("n_runs"),
+        F.min("generated_at").alias("first_seen_at"),
+        F.max("generated_at").alias("last_seen_at"),
+    )
+    return _run_to_memory(agg, "stream_lake_rollup", "complete")
+
+
+def _streaming_lake_rollup_sql() -> str:
+    """Stdlib recount (lake_fixture.lake_rollup_rows), minus the
+    distinct-checksum column streaming cannot chain."""
+    from ..oracles import _values_sql
+    from ..sources.lake_fixture import lake_rollup_rows
+
+    cols = [
+        ("unique_id", "VARCHAR"),
+        ("n_runs", "BIGINT"),
+        ("first_seen_at", "TIMESTAMP"),
+        ("last_seen_at", "TIMESTAMP"),
+    ]
+    rows = [(r[0], r[1], r[4], r[5]) for r in lake_rollup_rows()]
+    return _values_sql(cols, rows) + ' ORDER BY "unique_id"'
