@@ -26,7 +26,7 @@ FIXTURE_ROOT = Path(__file__).resolve().parents[2] / "tests" / "fixtures" / "lak
 DELTA_DIR = FIXTURE_ROOT / "delta_sales"
 ICEBERG_DIR = FIXTURE_ROOT / "iceberg_sales"
 ICEBERG_META = ICEBERG_DIR / "metadata" / "v3.metadata.json"
-_VERSION = "3"
+_VERSION = "4"
 
 # ------------------------------------------------------- fixtures
 
@@ -79,7 +79,7 @@ _ICEBERG_METADATA = {
     "format-version": 2,
     "table-uuid": "0f6d7b1c-iceberg-fixture",
     "location": "warehouse/sales",
-    "last-sequence-number": 4,
+    "last-sequence-number": 5,
     "last-updated-ms": 1735689600000,
     "last-column-id": 3,
     "current-schema-id": 1,
@@ -107,7 +107,7 @@ _ICEBERG_METADATA = {
     "last-partition-id": 999,
     "default-sort-order-id": 0,
     "sort-orders": [{"order-id": 0, "fields": []}],
-    "current-snapshot-id": 1004,
+    "current-snapshot-id": 1005,
     "snapshots": [
         {
             "snapshot-id": 1001,
@@ -143,6 +143,15 @@ _ICEBERG_METADATA = {
             "schema-id": 1,
             "manifest-list": "metadata/snap-1004.avro",
             "summary": {"operation": "delete", "total-data-files": "2", "total-records": "23"},
+        },
+        {
+            "snapshot-id": 1005,
+            "parent-snapshot-id": 1004,
+            "sequence-number": 5,
+            "timestamp-ms": 1735862400000,
+            "schema-id": 1,
+            "manifest-list": "metadata/snap-1005.avro",
+            "summary": {"operation": "delete", "total-data-files": "2", "total-records": "12"},
         },
     ],
 }
@@ -371,23 +380,40 @@ _ICEBERG_FILES = {
 # snapshot → [(manifest entry status, data file)] — 1003's manifest
 # carries DELETED (status 2) entries for the overwritten files, which
 # the walk must skip.
+# (manifest-entry status, path, data sequence number = seq of the
+# snapshot that ADDED the file — equality-delete ordering keys on it)
 _ICEBERG_SNAP_FILES = {
-    1001: [(1, "data/da.parquet"), (1, "data/db.parquet")],
-    1002: [(0, "data/da.parquet"), (0, "data/db.parquet"), (1, "data/dc.parquet")],
-    1003: [
-        (2, "data/da.parquet"),
-        (2, "data/db.parquet"),
-        (0, "data/dc.parquet"),
-        (1, "data/dd.parquet"),
+    1001: [(1, "data/da.parquet", 1), (1, "data/db.parquet", 1)],
+    1002: [
+        (0, "data/da.parquet", 1),
+        (0, "data/db.parquet", 1),
+        (1, "data/dc.parquet", 2),
     ],
-    1004: [(0, "data/dc.parquet"), (0, "data/dd.parquet")],
+    1003: [
+        (2, "data/da.parquet", 1),
+        (2, "data/db.parquet", 1),
+        (0, "data/dc.parquet", 2),
+        (1, "data/dd.parquet", 3),
+    ],
+    1004: [(0, "data/dc.parquet", 2), (0, "data/dd.parquet", 3)],
+    1005: [(0, "data/dc.parquet", 2), (0, "data/dd.parquet", 3)],
 }
 
 # snapshot → {target data file: [deleted row positions]} — snapshot
 # 1004 carries a v2 POSITION-delete manifest removing dc's first two
 # rows (ids 11, 12; dc is written in id order so position p ↔ id 11+p,
 # which is how the authoring-spec oracle translates positions to ids)
-_ICEBERG_POS_DELETES = {1004: {"data/dc.parquet": [0, 1]}}
+_ICEBERG_POS_DELETES = {
+    1004: {"data/dc.parquet": [0, 1]},
+    1005: {"data/dc.parquet": [0, 1]},  # 1004's delete file persists
+}
+
+# snapshot → EQUALITY delete: rows matching ``values`` are deleted from
+# every data file with sequence_number < ``seq`` (field id 3 = channel)
+_ICEBERG_EQ_DELETES = {
+    1005: {"file": "data/eqdel-1005.parquet", "seq": 5,
+           "equality_ids": [3], "values": [{"channel": "store"}]},
+}
 
 
 def ensure_iceberg_manifests(spark: SparkSession) -> None:
@@ -401,6 +427,7 @@ def ensure_iceberg_manifests(spark: SparkSession) -> None:
         (meta_dir / f"snap-{sid}.avro").exists()
         and (meta_dir / f"m-{sid}.avro").exists()
         and (sid not in _ICEBERG_POS_DELETES or (meta_dir / f"dm-{sid}.avro").exists())
+        and (sid not in _ICEBERG_EQ_DELETES or (meta_dir / f"em-{sid}.avro").exists())
         for sid in _ICEBERG_SNAP_FILES
     ):
         return
@@ -412,6 +439,7 @@ def ensure_iceberg_manifests(spark: SparkSession) -> None:
             "fields": [
                 {"name": "status", "type": "int"},
                 {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+                {"name": "sequence_number", "type": ["null", "long"], "default": None},
                 {
                     "name": "data_file",
                     "type": {
@@ -422,6 +450,11 @@ def ensure_iceberg_manifests(spark: SparkSession) -> None:
                             {"name": "file_path", "type": "string"},
                             {"name": "file_format", "type": "string"},
                             {"name": "record_count", "type": "long"},
+                            {
+                                "name": "equality_ids",
+                                "type": ["null", {"type": "array", "items": "int"}],
+                                "default": None,
+                            },
                         ],
                     },
                 },
@@ -452,14 +485,16 @@ def ensure_iceberg_manifests(spark: SparkSession) -> None:
                 {
                     "status": status,
                     "snapshot_id": sid,
+                    "sequence_number": seq,
                     "data_file": {
                         "content": 0,
                         "file_path": path,
                         "file_format": "PARQUET",
                         "record_count": len(list(_ICEBERG_FILES[path][1])),
+                        "equality_ids": None,
                     },
                 }
-                for status, path in entries
+                for status, path, seq in entries
             ],
         )
         mlist_rows = [
@@ -470,6 +505,7 @@ def ensure_iceberg_manifests(spark: SparkSession) -> None:
                 "added_snapshot_id": sid,
             }
         ]
+        posdel_owner = 1004  # the snapshot that WROTE the delete file
         if sid in _ICEBERG_POS_DELETES:
             # position-delete parquet: (file_path URI, pos) rows — the
             # spec stores full URIs, written HERE (post-move) so the
@@ -486,7 +522,7 @@ def ensure_iceberg_manifests(spark: SparkSession) -> None:
                         "pos": pa.array(poss, pa.int64()),
                     }
                 ),
-                ICEBERG_DIR / "data" / f"posdel-{sid}.parquet",
+                ICEBERG_DIR / "data" / f"posdel-{posdel_owner}.parquet",
             )
             LF.write_avro_records(
                 spark,
@@ -496,11 +532,13 @@ def ensure_iceberg_manifests(spark: SparkSession) -> None:
                     {
                         "status": 1,
                         "snapshot_id": sid,
+                        "sequence_number": sid - 1000,
                         "data_file": {
                             "content": 1,
-                            "file_path": f"data/posdel-{sid}.parquet",
+                            "file_path": f"data/posdel-{posdel_owner}.parquet",
                             "file_format": "PARQUET",
                             "record_count": len(poss),
+                            "equality_ids": None,
                         },
                     }
                 ],
@@ -508,6 +546,43 @@ def ensure_iceberg_manifests(spark: SparkSession) -> None:
             mlist_rows.append(
                 {
                     "manifest_path": f"metadata/dm-{sid}.avro",
+                    "manifest_length": 0,
+                    "content": 1,
+                    "added_snapshot_id": sid,
+                }
+            )
+        if sid in _ICEBERG_EQ_DELETES:
+            eq = _ICEBERG_EQ_DELETES[sid]
+            cols = sorted({k for row in eq["values"] for k in row})
+            pq.write_table(
+                pa.table(
+                    {c: pa.array([row.get(c) for row in eq["values"]], pa.string())
+                     for c in cols}
+                ),
+                ICEBERG_DIR / eq["file"],
+            )
+            LF.write_avro_records(
+                spark,
+                str(meta_dir / f"em-{sid}.avro"),
+                manifest_schema,
+                [
+                    {
+                        "status": 1,
+                        "snapshot_id": sid,
+                        "sequence_number": eq["seq"],
+                        "data_file": {
+                            "content": 2,
+                            "file_path": eq["file"],
+                            "file_format": "PARQUET",
+                            "record_count": len(eq["values"]),
+                            "equality_ids": eq["equality_ids"],
+                        },
+                    }
+                ],
+            )
+            mlist_rows.append(
+                {
+                    "manifest_path": f"metadata/em-{sid}.avro",
                     "manifest_length": 0,
                     "content": 1,
                     "added_snapshot_id": sid,
@@ -527,16 +602,18 @@ def ensure_iceberg_manifests(spark: SparkSession) -> None:
 def iceberg_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full Iceberg DATA read through the real metadata chain
     (metadata.json → avro manifest list → avro manifests → parquet) at
-    three snapshots: 1002 (pre-overwrite), 1003 (whose manifest carries
-    DELETED entries the walk must skip), and current (1004, whose v2
-    POSITION-delete manifest removes dc's first two rows — applied via
-    the _metadata.row_index anti-join).  Schema-0-era files surface
-    channel=NULL under the evolved schema.  Executors read the parquet;
-    the driver touches only pointer rows."""
+    four snapshots: 1002 (pre-overwrite), 1003 (whose manifest carries
+    DELETED entries the walk must skip), 1004 (v2 POSITION-delete
+    manifest removing dc's first two rows — the _metadata.row_index
+    anti-join), and current (1005, a v2 EQUALITY delete on channel —
+    null-safe value anti-join applied only to data files with lower
+    sequence numbers, on top of the persisting position deletes).
+    Schema-0-era files surface channel=NULL under the evolved schema.
+    Executors read the parquet; the driver touches only pointer rows."""
     prep(spark)
     ensure_iceberg_manifests(spark)
     outs = []
-    for sid in (1002, 1003, 1004):
+    for sid in (1002, 1003, 1004, 1005):
         df = LF.read_iceberg_snapshot(spark, str(ICEBERG_META), sid)
         outs.append(
             df.groupBy("channel").agg(
@@ -560,21 +637,28 @@ def _iceberg_read_oracle_sql() -> str:
     selects = []
     for sid, entries in _ICEBERG_SNAP_FILES.items():
         if sid == 1001:
-            continue  # key reads 1002 / 1003 / 1004
-        for status, path in entries:
+            continue  # key reads 1002 / 1003 / 1004 / 1005
+        for status, path, seq in entries:
             if status == 2:
                 continue
             has_channel = _ICEBERG_FILES[path][0]
             chan = "channel" if has_channel else "CAST(NULL AS VARCHAR) AS channel"
             f = (ICEBERG_DIR / path).as_posix()
-            where = ""
+            conds = []
             positions = _ICEBERG_POS_DELETES.get(sid, {}).get(path)
             if positions:
                 # files are written in id order: position p ↔ the
                 # (p+1)-th id of the authoring range
                 ids = sorted(list(_ICEBERG_FILES[path][1]))
-                gone = ", ".join(str(ids[p]) for p in positions)
-                where = f" WHERE id NOT IN ({gone})"
+                conds.append(
+                    "id NOT IN (" + ", ".join(str(ids[p]) for p in positions) + ")"
+                )
+            eq = _ICEBERG_EQ_DELETES.get(sid)
+            if eq and seq < eq["seq"] and has_channel:
+                for row in eq["values"]:
+                    for col, val in row.items():
+                        conds.append(f"{col} IS DISTINCT FROM '{val}'")
+            where = f" WHERE {' AND '.join(conds)}" if conds else ""
             selects.append(
                 f"SELECT {sid} AS snapshot_id, id, amount, {chan} "
                 f"FROM read_parquet('{f}'){where}"

@@ -360,6 +360,10 @@ def iceberg_snapshot_info(metadata_path: str, snapshot_id: int | None = None) ->
     return {
         "snapshot": snap,
         "schema": iceberg_schema_to_spark(schema_json),
+        # Iceberg identifies columns by FIELD ID (equality_ids in delete
+        # files reference these, surviving renames); top-level map only —
+        # nested equality deletes are out of this bridge's scope
+        "field_names_by_id": {f["id"]: f["name"] for f in schema_json["fields"]},
         "lineage_depth": depth,
         "metadata": meta,
     }
@@ -409,6 +413,8 @@ def _java_to_py(jvm, obj):
             name = f.name()
             out[name] = _java_to_py(jvm, obj.get(name))
         return out
+    if cls.startswith("org.apache.avro.generic.GenericData$Array"):
+        return [_java_to_py(jvm, obj.get(i)) for i in range(obj.size())]
     return obj.toString()
 
 
@@ -468,6 +474,9 @@ def write_avro_records(
                 f.name(): _avro_json(f.schema(), (v or {}).get(f.name()))
                 for f in sch.getFields()
             }
+        if kind == "array":
+            elem = sch.getElementType()
+            return [_avro_json(elem, x) for x in (v or [])]
         return v
 
     reader = jvm.org.apache.avro.generic.GenericDatumReader(schema)
@@ -495,14 +504,19 @@ def read_iceberg_snapshot(
     carry all columns, so no partition reconstruction is needed —
     unlike Delta's Hive-style layout).
 
-    v2 POSITION deletes apply (r6): delete manifests (content=1)
-    resolve to position-delete parquet files — (file_path, pos) rows —
-    and the scan anti-joins them against Spark's ``_metadata.file_path``
-    / ``row_index`` hidden columns.  Fully distributed: delete rows
-    shuffle at delete cardinality, never the data.  Loud gates remain
-    for avro-core absent, EQUALITY deletes (content=2 — need a value
-    join against the delete schema, out of scope), and non-parquet
-    files."""
+    v2 row-level deletes APPLY (r6):
+    - POSITION deletes (content=1): (file_path, pos) rows anti-join
+      against Spark's ``_metadata.file_path`` / ``row_index`` hidden
+      columns.
+    - EQUALITY deletes (content=2): value rows (columns named by
+      ``equality_ids`` field ids) anti-join null-safely against the
+      data, applied only to data files whose ``sequence_number`` is
+      LOWER than the delete file's — the spec's ordering rule, without
+      which a delete would wrongly erase rows written after it.
+    Fully distributed: delete rows shuffle at delete cardinality,
+    never the data.  Loud gates remain for avro-core absent, equality
+    deletes missing equality_ids/sequence numbers, nested equality
+    columns, and non-parquet files."""
     info = iceberg_snapshot_info(metadata_path, snapshot_id)
     snap = info["snapshot"]
     if not _avro_available(spark):
@@ -514,8 +528,9 @@ def read_iceberg_snapshot(
         )
     table_root = os.path.dirname(os.path.dirname(os.path.abspath(metadata_path)))
     mlist = _resolve(snap["manifest-list"], table_root)
-    files: list[str] = []
-    delete_files: list[str] = []
+    data_files: dict[str, int | None] = {}  # path -> sequence_number
+    pos_delete_files: list[str] = []
+    eq_deletes: list[tuple[str, int, list[int]]] = []  # (path, seq, field ids)
     for m in _read_avro_records(spark, mlist):
         is_delete_manifest = int(m.get("content") or 0) == 1
         for e in _read_avro_records(spark, _resolve(m["manifest_path"], table_root)):
@@ -525,42 +540,73 @@ def read_iceberg_snapshot(
             content = int(d.get("content") or 0)
             if str(d.get("file_format", "PARQUET")).upper() != "PARQUET":
                 raise LakeFormatError(f"non-parquet data file: {d}")
-            if is_delete_manifest or content == 1:
-                if content == 2:
-                    raise LakeFormatGatedError(
-                        "snapshot carries EQUALITY deletes (content=2); "
-                        "out of scope for this bridge"
-                    )
-                delete_files.append(_resolve(d["file_path"], table_root))
+            path = _resolve(d["file_path"], table_root)
+            seq = e.get("sequence_number")
+            if content == 1 or (is_delete_manifest and content == 0):
+                pos_delete_files.append(path)
             elif content == 2:
-                raise LakeFormatGatedError(
-                    "snapshot carries EQUALITY deletes (content=2); "
-                    "out of scope for this bridge"
-                )
+                eq_ids = d.get("equality_ids")
+                if not eq_ids or seq is None:
+                    raise LakeFormatGatedError(
+                        "equality delete without equality_ids/sequence_number "
+                        "— cannot be applied correctly"
+                    )
+                eq_deletes.append((path, int(seq), [int(i) for i in eq_ids]))
             else:
-                files.append(_resolve(d["file_path"], table_root))
-    if not files:
+                data_files[path] = None if seq is None else int(seq)
+    if not data_files:
         return spark.createDataFrame([], info["schema"])
     cols = [f.name for f in info["schema"].fields]
-    if not delete_files:
-        return spark.read.schema(info["schema"]).parquet(*sorted(set(files)))
-    # position-delete application: hidden _metadata columns identify
-    # each row's (file, index); delete rows are (file_path, pos).
-    # Normalize both sides' URIs (file:///x vs /x) before the anti-join.
-    norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
-    data = (
-        spark.read.schema(info["schema"])
-        .parquet(*sorted(set(files)))
-        .select(
-            *cols,
-            norm(F.col("_metadata.file_path")).alias("__fp"),
-            F.col("_metadata.row_index").alias("__pos"),
+    if eq_deletes and any(s is None for s in data_files.values()):
+        raise LakeFormatGatedError(
+            "equality deletes present but data files lack sequence numbers"
         )
+    data = spark.read.schema(info["schema"]).parquet(*sorted(data_files))
+    if not pos_delete_files and not eq_deletes:
+        return data
+    # Normalize URIs (file:///x vs /x) before any file_path comparison.
+    norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+    data = data.select(
+        *cols,
+        norm(F.col("_metadata.file_path")).alias("__fp"),
+        F.col("_metadata.row_index").alias("__pos"),
     )
-    dels = spark.read.parquet(*sorted(set(delete_files))).select(
-        norm(F.col("file_path")).alias("__fp"), F.col("pos").alias("__pos")
-    )
-    return data.join(dels, ["__fp", "__pos"], "left_anti").select(*cols)
+    if pos_delete_files:
+        dels = spark.read.parquet(*sorted(set(pos_delete_files))).select(
+            norm(F.col("file_path")).alias("__fp"), F.col("pos").alias("__pos")
+        )
+        data = data.join(dels, ["__fp", "__pos"], "left_anti")
+    if eq_deletes:
+        # attach each data row's sequence number from the manifest map
+        # (broadcast at file cardinality)
+        seq_map = spark.createDataFrame(
+            [(os.path.abspath(p), s) for p, s in data_files.items()],
+            "__fp string, __seq long",
+        )
+        data = data.join(F.broadcast(seq_map), "__fp")
+        names_by_id = info["field_names_by_id"]
+        for path, dseq, eq_ids in eq_deletes:
+            try:
+                names = [names_by_id[i] for i in eq_ids]
+            except KeyError as missing:
+                raise LakeFormatGatedError(
+                    f"equality_ids {eq_ids} reference unknown/nested field "
+                    f"{missing} — only top-level columns are supported"
+                ) from None
+            dels = spark.read.parquet(path).select(
+                *[F.col(n).alias(f"__d_{n}") for n in names]
+            )
+            cond = F.lit(True)
+            for n in names:
+                cond = cond & F.col(n).eqNullSafe(F.col(f"__d_{n}"))
+            # spec ordering: the delete hits only rows from files
+            # committed strictly BEFORE it.  No broadcast hint: the
+            # eqNullSafe keys drive an equi-join with the seq bound as
+            # residual; AQE broadcasts small delete files from measured
+            # size and shuffles big ones.
+            cond = cond & (F.col("__seq") < F.lit(dseq))
+            data = data.join(dels, on=cond, how="left_anti")
+    return data.select(*cols)
 
 
 def manifest_to_delta_log(manifest: dict, table_path: str) -> None:
