@@ -946,8 +946,10 @@ def test_iceberg_schema_translation_and_avro_gate(spark):
 
 def test_iceberg_data_walk_gates(spark, tmp_path, monkeypatch):
     """The avro manifest walk is real (avro-core ships in Spark's
-    jars) and POSITION deletes now apply (r6), so the gates that remain
-    are semantic: EQUALITY deletes must refuse loudly, and an avro-less
+    jars) and position AND equality deletes now apply (r6), so the
+    gates that remain are semantic: an equality delete that CANNOT be
+    applied correctly (no equality_ids / sequence numbers in the
+    manifest) must refuse loudly rather than guess, and an avro-less
     environment still gets the classpath gate."""
     import json
     import shutil
@@ -991,8 +993,10 @@ def test_iceberg_data_walk_gates(spark, tmp_path, monkeypatch):
           "data_file": {"content": 2, "file_path": "data/eqdel.parquet",
                         "file_format": "PARQUET", "record_count": 2}}],
     )
-    with pytest.raises(LF.LakeFormatGatedError, match="EQUALITY deletes"):
-        LF.read_iceberg_snapshot(spark, str(t / "metadata" / "v3.metadata.json"))
+    with pytest.raises(LF.LakeFormatGatedError, match="without equality_ids"):
+        LF.read_iceberg_snapshot(
+            spark, str(t / "metadata" / "v3.metadata.json"), 1004
+        )
 
     # avro-less classpath → loud gate naming the missing piece
     monkeypatch.setattr(LF, "_avro_available", lambda _s: False)
