@@ -2179,3 +2179,136 @@ JOIN counts cb ON ca.event_type < cb.event_type
 LEFT JOIN inter i ON i.type_a = ca.event_type AND i.type_b = cb.event_type
 ORDER BY type_a, type_b
 """
+
+
+# ------------------------------------------------------------- B80
+# Linear-interpolation gapfill — B67's LOCF sibling for metrics where
+# holding the last value flat misrepresents a trend (sensor readings,
+# spend counters).  Exactness discipline: interpolate INTEGER cent
+# sums over INTEGER hour indices, emitting the exact fixed-point
+# numerator/denominator plus one double division (the events_ewma
+# pattern) so both engines agree bit-for-bit.
+
+
+def events_gapfill_lerp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-type value sums on the dense spine with LINEAR
+    interpolation across gaps: a gap hour t between observations
+    (t0,v0) and (t1,v1) gets (v0·(t1−t) + v1·(t−t0)) / (t1−t0) — value
+    sums are fixed-point ×10⁴ integers (quantized THROUGH DECIMAL: a
+    raw double→BIGINT cast truncates on Spark but rounds on DuckDB)
+    and hour indices are integers, so the numerator is exact and the
+    single division is the only float op.  Hours before the first /
+    after the last observation have no bracketing pair and stay NULL
+    (no extrapolation).  Same scale shape as B67: the only data-sized
+    shuffle is the hourly pre-agg; spine joins broadcast."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    hourly = ev.groupBy(F.col("event_type"), hour.alias("hour_ts")).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        (F.sum(F.col("value").cast("decimal(18,4)")) * 10000)
+        .cast("long")
+        .alias("sum_fp4"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("min_h"),
+        F.date_trunc("hour", F.max("ts")).alias("max_h"),
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.sequence("min_h", "max_h", F.expr("INTERVAL 1 HOUR"))).alias(
+            "hour_ts"
+        ),
+    )
+    joined = spine.join(hourly, ["event_type", "hour_ts"], "left").withColumn(
+        "h_idx", (F.unix_timestamp("hour_ts") / 3600).cast("long")
+    )
+    obs_idx = F.when(F.col("sum_fp4").isNotNull(), F.col("h_idx"))
+    back = (
+        W.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fwd = (
+        W.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    prev_v = F.last("sum_fp4", ignorenulls=True).over(back)
+    prev_t = F.last(obs_idx, ignorenulls=True).over(back)
+    next_v = F.first("sum_fp4", ignorenulls=True).over(fwd)
+    next_t = F.first(obs_idx, ignorenulls=True).over(fwd)
+    num = prev_v * (next_t - F.col("h_idx")) + next_v * (F.col("h_idx") - prev_t)
+    den = next_t - prev_t
+    lerp = F.when(
+        F.col("sum_fp4").isNotNull(), F.col("sum_fp4").cast("double")
+    ).otherwise(
+        F.when(
+            prev_v.isNotNull() & next_v.isNotNull(),
+            num.cast("double") / den.cast("double"),
+        )
+    )
+    return joined.select(
+        "event_type",
+        "hour_ts",
+        F.coalesce("n_obs", F.lit(0)).alias("n_events"),
+        "sum_fp4",
+        lerp.alias("lerp_fp4"),
+        F.col("sum_fp4").isNull().alias("is_gap"),
+    ).orderBy("event_type", "hour_ts")
+
+
+EVENTS_GAPFILL_LERP_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+         count(*) AS n_obs,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS sum_fp4
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS min_h, date_trunc('hour', max(ts)) AS max_h
+  FROM events
+),
+hours AS (
+  SELECT unnest(generate_series(min_h, max_h, INTERVAL 1 HOUR)) AS hour_ts
+  FROM bounds
+),
+spine AS (
+  SELECT t.event_type, hours.hour_ts
+  FROM (SELECT DISTINCT event_type FROM events) t, hours
+),
+j AS (
+  SELECT s.event_type, s.hour_ts, h.n_obs, h.sum_fp4,
+         CAST(epoch(s.hour_ts) / 3600 AS BIGINT) AS h_idx
+  FROM spine s
+  LEFT JOIN hourly h ON h.event_type = s.event_type AND h.hour_ts = s.hour_ts
+),
+w AS (
+  SELECT *,
+         last_value(sum_fp4 IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY hour_ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+         last_value(CASE WHEN sum_fp4 IS NOT NULL THEN h_idx END IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY hour_ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+         first_value(sum_fp4 IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY hour_ts
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+         first_value(CASE WHEN sum_fp4 IS NOT NULL THEN h_idx END IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY hour_ts
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+  FROM j
+)
+SELECT event_type, hour_ts,
+       COALESCE(n_obs, 0) AS n_events,
+       sum_fp4,
+       CASE WHEN sum_fp4 IS NOT NULL THEN CAST(sum_fp4 AS DOUBLE)
+            WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+              CAST(prev_v * (next_t - h_idx) + next_v * (h_idx - prev_t) AS DOUBLE)
+              / CAST(next_t - prev_t AS DOUBLE)
+       END AS lerp_fp4,
+       sum_fp4 IS NULL AS is_gap
+FROM w
+ORDER BY event_type, hour_ts
+"""

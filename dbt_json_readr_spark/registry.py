@@ -186,6 +186,9 @@ register(
 )
 register("events_gapfill_locf", events.events_gapfill_locf, events.EVENTS_GAPFILL_SQL)
 register(
+    "events_gapfill_lerp", events.events_gapfill_lerp, events.EVENTS_GAPFILL_LERP_SQL
+)
+register(
     "events_hll_sketch_rollup", events.events_hll_sketch_rollup, events.EVENTS_HLL_SKETCH_SQL
 )
 register(
@@ -367,6 +370,7 @@ _R6_NEVER_GATED = [
 _NEW_R6 = [
     "delta_version_diff",
     "semdedup_prune",
+    "events_gapfill_lerp",
     "dbt_manifest_lake",
     "streaming_manifest_lake_rollup",
     "streaming_state_metrics",
