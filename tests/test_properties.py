@@ -644,3 +644,56 @@ def test_mp4_decoder_rejects_corruption_cleanly(data):
     except (ValueError, IndexError, _s.error):
         return
     assert got == M.decode_mp4(payload), "corrupt payload decoded silently wrong"
+
+
+@settings(**SETTINGS)
+@given(data=st.data())
+def test_degree_cap_invariants_on_random_graphs(spark, data):
+    """candidate_degree_cap invariants on arbitrary pair graphs (not
+    just cliques): kept ⊆ candidates; kept count ≤ Σ min(degree, cap)
+    (each kept pair is nominated by at least one end); every doc's
+    SMALLEST-partner edge survives (the min-id connectivity kernel);
+    evidence rows account exactly for the docs that lost partners."""
+    from dbt_json_readr_spark.operators.dedup import candidate_degree_cap
+
+    n = data.draw(st.integers(4, 14))
+    cap = data.draw(st.integers(1, 4))
+    edges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in data.draw(
+                st.lists(
+                    st.tuples(st.integers(1, n), st.integers(1, n)), max_size=40
+                )
+            )
+            if a != b
+        }
+    )
+    if not edges:
+        return
+    cand = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    kept_df, capped_df = candidate_degree_cap(cand, cap)
+    kept = {(r.doc_a, r.doc_b) for r in kept_df.collect()}
+    capped = {r.doc: r for r in capped_df.collect()}
+
+    assert kept <= set(edges)
+    from collections import defaultdict
+
+    deg = defaultdict(set)
+    for a, b in edges:
+        deg[a].add(b)
+        deg[b].add(a)
+    assert len(kept) <= sum(min(len(p), cap) for p in deg.values())
+    # min-edge preservation: each doc's smallest partner edge is kept
+    for d, partners in deg.items():
+        m = min(partners)
+        assert (min(d, m), max(d, m)) in kept
+    # evidence accounting: dropped pairs contribute 2 directed losses
+    dropped = set(edges) - kept
+    lost = defaultdict(int)
+    for a, b in dropped:
+        lost[a] += 1
+        lost[b] += 1
+    assert {d: r.n_dropped_partners for d, r in capped.items()} == dict(lost)
+    for d, r in capped.items():
+        assert r.degree == len(deg[d])
