@@ -350,9 +350,9 @@ register("semdedup_prune", llm.semdedup_prune, llm.ORACLES["semdedup_prune"])
 # keys, the manifest-lake glob key, streaming state metrics — plus
 # dedup_containment_lsh, whose output contract now carries the degree
 # cap, and multimodal_decode, whose mp4 rows became real decodes);
-# the remaining 36 slots rotate through the stale-r2 backlog, most
-# load-bearing first (43 − 36 = the last 7 rotate to r7).  Rotated-out
-# keys stay covered by
+# the remaining slots (GATE_WINDOW − len(never) − len(new)) rotate
+# through the stale-r2 backlog, most load-bearing first; stale keys
+# that miss the cut rotate to r7.  Rotated-out keys stay covered by
 # tests/test_oracle_parity.py (every key, sf0.01, exact values).
 GATE_WINDOW = 50
 
@@ -382,7 +382,7 @@ _NEW_R6 = [
 ]
 
 # Newest driver row is r2 (pre-rebuild); ordered most load-bearing
-# first.  43 keys, 36 slots: the last 7 rotate to r7.
+# first; the tail beyond the window's remaining slots rotates to r7.
 _STALE_R2 = [
     "dbt_manifest_nodes",
     "dbt_manifest_unified",
