@@ -399,13 +399,17 @@ _ICEBERG_SNAP_FILES = {
     1005: [(0, "data/dc.parquet", 2), (0, "data/dd.parquet", 3)],
 }
 
-# snapshot → {target data file: [deleted row positions]} — snapshot
-# 1004 carries a v2 POSITION-delete manifest removing dc's first two
-# rows (ids 11, 12; dc is written in id order so position p ↔ id 11+p,
-# which is how the authoring-spec oracle translates positions to ids)
+# POSITION-delete FILES (authored once) and which snapshots reference
+# them: 1004 writes a v2 position-delete removing dc's first two rows
+# (ids 11, 12; dc is written in id order so position p ↔ id 11+p — how
+# the authoring-spec oracle translates positions to ids); 1005 carries
+# the SAME file forward, as real snapshots do until compaction.
+_ICEBERG_POS_DELETE_FILES = {
+    "data/posdel-1004.parquet": {"data/dc.parquet": [0, 1]},
+}
 _ICEBERG_POS_DELETES = {
-    1004: {"data/dc.parquet": [0, 1]},
-    1005: {"data/dc.parquet": [0, 1]},  # 1004's delete file persists
+    1004: [("data/posdel-1004.parquet", 4)],
+    1005: [("data/posdel-1004.parquet", 4)],
 }
 
 # snapshot → EQUALITY delete: rows matching ``values`` are deleted from
@@ -421,9 +425,28 @@ def ensure_iceberg_manifests(spark: SparkSession) -> None:
     bundled avro-core container writer (lakeformats.write_avro_records
     — needs a JVM, so it runs lazily from a session; the stdlib
     ensure_lake_fixtures covers everything else).  Idempotent."""
+    import pyarrow.parquet as _pq
+
     ensure_lake_fixtures()
     meta_dir = ICEBERG_DIR / "metadata"
-    if all(
+
+    def _posdel_fresh() -> bool:
+        # the position-delete files bake ABSOLUTE file:// URIs of this
+        # checkout; a moved/copied tree keeps the avro files (so mere
+        # existence checks pass) while the URIs silently point at the
+        # old location and the anti-join deletes nothing — verify the
+        # prefix against the CURRENT dir (r6 review finding)
+        want = "file://" + str(ICEBERG_DIR)
+        for del_file in _ICEBERG_POS_DELETE_FILES:
+            f = ICEBERG_DIR / del_file
+            if not f.exists():
+                return False
+            col = _pq.read_table(str(f), columns=["file_path"]).column(0)
+            if len(col) and not str(col[0]).startswith(want):
+                return False
+        return True
+
+    if _posdel_fresh() and all(
         (meta_dir / f"snap-{sid}.avro").exists()
         and (meta_dir / f"m-{sid}.avro").exists()
         and (sid not in _ICEBERG_POS_DELETES or (meta_dir / f"dm-{sid}.avro").exists())
@@ -476,6 +499,25 @@ def ensure_iceberg_manifests(spark: SparkSession) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    # position-delete parquet: (file_path URI, pos) rows — the spec
+    # stores full URIs, written post-move so the absolute path matches
+    # what _metadata.file_path reports; one write per FILE, however
+    # many snapshots reference it
+    for del_file, targets in _ICEBERG_POS_DELETE_FILES.items():
+        fps, poss = [], []
+        for target, positions in targets.items():
+            uri = "file://" + str(ICEBERG_DIR / target)
+            fps += [uri] * len(positions)
+            poss += positions
+        pq.write_table(
+            pa.table(
+                {
+                    "file_path": pa.array(fps, pa.string()),
+                    "pos": pa.array(poss, pa.int64()),
+                }
+            ),
+            ICEBERG_DIR / del_file,
+        )
     for sid, entries in _ICEBERG_SNAP_FILES.items():
         LF.write_avro_records(
             spark,
@@ -505,43 +547,28 @@ def ensure_iceberg_manifests(spark: SparkSession) -> None:
                 "added_snapshot_id": sid,
             }
         ]
-        posdel_owner = 1004  # the snapshot that WROTE the delete file
         if sid in _ICEBERG_POS_DELETES:
-            # position-delete parquet: (file_path URI, pos) rows — the
-            # spec stores full URIs, written HERE (post-move) so the
-            # absolute path matches what _metadata.file_path reports
-            fps, poss = [], []
-            for target, positions in _ICEBERG_POS_DELETES[sid].items():
-                uri = "file://" + str(ICEBERG_DIR / target)
-                fps += [uri] * len(positions)
-                poss += positions
-            pq.write_table(
-                pa.table(
-                    {
-                        "file_path": pa.array(fps, pa.string()),
-                        "pos": pa.array(poss, pa.int64()),
-                    }
-                ),
-                ICEBERG_DIR / "data" / f"posdel-{posdel_owner}.parquet",
-            )
-            LF.write_avro_records(
-                spark,
-                str(meta_dir / f"dm-{sid}.avro"),
-                manifest_schema,
-                [
+            entries_pd = []
+            for del_file, dseq in _ICEBERG_POS_DELETES[sid]:
+                entries_pd.append(
                     {
                         "status": 1,
                         "snapshot_id": sid,
-                        "sequence_number": sid - 1000,
+                        "sequence_number": dseq,
                         "data_file": {
                             "content": 1,
-                            "file_path": f"data/posdel-{posdel_owner}.parquet",
+                            "file_path": del_file,
                             "file_format": "PARQUET",
-                            "record_count": len(poss),
+                            "record_count": sum(
+                                len(v)
+                                for v in _ICEBERG_POS_DELETE_FILES[del_file].values()
+                            ),
                             "equality_ids": None,
                         },
                     }
-                ],
+                )
+            LF.write_avro_records(
+                spark, str(meta_dir / f"dm-{sid}.avro"), manifest_schema, entries_pd
             )
             mlist_rows.append(
                 {
@@ -645,7 +672,9 @@ def _iceberg_read_oracle_sql() -> str:
             chan = "channel" if has_channel else "CAST(NULL AS VARCHAR) AS channel"
             f = (ICEBERG_DIR / path).as_posix()
             conds = []
-            positions = _ICEBERG_POS_DELETES.get(sid, {}).get(path)
+            positions = []
+            for del_file, _dseq in _ICEBERG_POS_DELETES.get(sid, []):
+                positions += _ICEBERG_POS_DELETE_FILES[del_file].get(path, [])
             if positions:
                 # files are written in id order: position p ↔ the
                 # (p+1)-th id of the authoring range

@@ -542,8 +542,19 @@ def read_iceberg_snapshot(
                 raise LakeFormatError(f"non-parquet data file: {d}")
             path = _resolve(d["file_path"], table_root)
             seq = e.get("sequence_number")
-            if content == 1 or (is_delete_manifest and content == 0):
+            if is_delete_manifest and d.get("content") is None:
+                raise LakeFormatGatedError(
+                    "delete-manifest entry without data_file.content — "
+                    "cannot distinguish position from equality deletes; "
+                    f"refusing: {d.get('file_path')}"
+                )
+            if content == 1:
                 pos_delete_files.append(path)
+            elif is_delete_manifest and content == 0:
+                raise LakeFormatGatedError(
+                    "delete-manifest entry declares content=0 (data); "
+                    f"malformed metadata, refusing: {d.get('file_path')}"
+                )
             elif content == 2:
                 eq_ids = d.get("equality_ids")
                 if not eq_ids or seq is None:
@@ -583,7 +594,26 @@ def read_iceberg_snapshot(
             [(os.path.abspath(p), s) for p, s in data_files.items()],
             "__fp string, __seq long",
         )
-        data = data.join(F.broadcast(seq_map), "__fp")
+        # LEFT join + per-row assertion: if Spark's URI rendering of
+        # _metadata.file_path ever diverges from the manifest-derived
+        # path (percent-encoding, exotic schemes), the read must FAIL
+        # loudly — an inner join would silently drop those rows and
+        # return a wrong "result"
+        # the assertion is folded INTO __seq (assert_true returns NULL
+        # on success) so column pruning cannot optimize the check away
+        data = data.join(F.broadcast(seq_map), "__fp", "left").withColumn(
+            "__seq",
+            F.when(
+                F.assert_true(
+                    F.col("__seq").isNotNull(),
+                    F.concat(
+                        F.lit("equality-delete seq map has no entry for data file "),
+                        F.col("__fp"),
+                    ),
+                ).isNull(),
+                F.col("__seq"),
+            ),
+        )
         names_by_id = info["field_names_by_id"]
         for path, dseq, eq_ids in eq_deletes:
             try:
