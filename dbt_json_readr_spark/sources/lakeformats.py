@@ -21,8 +21,13 @@ Scope is explicit and loud:
   Spark types, current-snapshot resolution) is full-fidelity; the DATA
   path walks the avro manifest list with the avro-core container
   reader Spark bundles (no spark-avro DataSource needed — manifests
-  are driver-side pointer rows).  ``read_iceberg_snapshot`` gates
-  loudly when avro-core is absent, and on v2 row-level deletes.
+  are driver-side pointer rows) and APPLIES v2 row-level deletes:
+  position deletes via the _metadata.row_index anti-join, equality
+  deletes via null-safe value anti-joins honoring sequence-number
+  ordering.  ``read_iceberg_snapshot`` gates loudly when avro-core is
+  absent, on delete metadata it cannot apply correctly (missing
+  equality_ids / sequence numbers, nested equality columns), and on
+  malformed delete manifests.
 
 Driver-side work is O(metadata) — identical posture to ManifestTable:
 the driver parses pointers, executors read parquet.
