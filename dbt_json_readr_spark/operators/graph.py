@@ -60,3 +60,60 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """One-row triangle audit of an undirected edge list (doc_a,
+    doc_b): n_docs / n_edges / n_wedges (Σ C(deg,2), exact) /
+    n_triangles + transitivity (3·T / wedges, one double division).
+
+    Degree-ordered orientation (Suri & Vassilvitskii's MR-friendly
+    formulation): each edge points low→high under the TOTAL order
+    (degree, id), so every triangle is counted exactly once as a wedge
+    at its smallest vertex closed by one oriented edge, and the wedge
+    join fans out from low-degree endpoints (out-degrees O(√m))
+    instead of Σ C(deg,2) on raw edges.  Edge-keyed shuffles only."""
+    deg = (
+        edges.select(F.col("doc_a").alias("doc"))
+        .unionAll(edges.select(F.col("doc_b")))
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e = edges.join(
+        deg.select(F.col("doc").alias("doc_a"), F.col("d").alias("da")), "doc_a"
+    ).join(deg.select(F.col("doc").alias("doc_b"), F.col("d").alias("db")), "doc_b")
+    a_first = F.struct("da", "doc_a") < F.struct("db", "doc_b")
+    oriented = e.select(
+        F.when(a_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("src"),
+        F.when(a_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dst_d"),
+    )
+    o1 = oriented.select("src", F.col("dst").alias("b"), F.col("dst_d").alias("bd"))
+    o2 = oriented.select("src", F.col("dst").alias("c"), F.col("dst_d").alias("cd"))
+    wedges = o1.join(o2, "src").filter(
+        F.struct(F.col("bd"), F.col("b")) < F.struct(F.col("cd"), F.col("c"))
+    )
+    tri = wedges.join(
+        oriented.select(F.col("src").alias("b"), F.col("dst").alias("c")),
+        ["b", "c"],
+    )
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    stats = (
+        deg.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long")).alias("n_wedges"),
+        )
+        .crossJoin(F.broadcast(edges.agg(F.count(F.lit(1)).alias("n_edges"))))
+        .crossJoin(F.broadcast(n_tri))
+    )
+    return stats.select(
+        "n_docs",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.when(
+            F.col("n_wedges") > 0,
+            (3 * F.col("n_triangles")).cast("double")
+            / F.col("n_wedges").cast("double"),
+        ).alias("transitivity"),
+    )

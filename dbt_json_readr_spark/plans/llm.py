@@ -4893,3 +4893,82 @@ ORDER BY cluster_id
 
 
 ORACLES["semdedup_prune"] = _semdedup_sql()
+
+
+# ---------------------------------------------------------------- C72
+# Triangle count / transitivity of the VERIFIED near-dup graph — the
+# classic distributed graph primitive (degree-ordered edge orientation,
+# Suri & Vassilvitskii's MR-friendly formulation): high transitivity
+# says near-dup pairs close into cliques (true duplicate clusters),
+# low says chains/stars (shingle coincidences) — evidence for whether
+# pair-level dedup can safely canonicalize whole components.
+
+
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row graph audit over the minhash-verified pair graph:
+    n_docs / n_edges / n_wedges (Σ C(deg,2), exact) / n_triangles +
+    global transitivity (3·T / wedges, the one double division).
+
+    Scale shape: each edge is oriented low→high by (degree, id) — a
+    total order — so every triangle is counted exactly once as a wedge
+    at its smallest vertex closed by one oriented edge.  The wedge join
+    fans out from the LOW-degree endpoint, which is what bounds the
+    join: Σ C(out-deg,2) with out-degrees ≤ O(√m) under this
+    orientation, vs Σ C(deg,2) for the naive wedge join on raw edges.
+    Joins are edge-keyed shuffles; nothing quadratic in docs."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    edges = D.minhash_lsh_pairs(
+        docs, k=_MH_K, n_hashes=_MH_N, bands=_MH_BANDS, threshold=_MH_TAU
+    ).select("doc_a", "doc_b")
+    from ..operators.graph import triangle_stats
+
+    return triangle_stats(edges)
+
+
+def _graph_triangles_sql() -> str:
+    base = _minhash_sql().strip().rstrip()
+    return f"""
+WITH pairs AS (
+{base}
+),
+edges AS (SELECT doc_a, doc_b FROM pairs),
+deg AS (
+  SELECT doc, count(*) AS d FROM (
+    SELECT doc_a AS doc FROM edges UNION ALL SELECT doc_b FROM edges
+  ) GROUP BY doc
+),
+oriented AS (
+  SELECT CASE WHEN (da.d, e.doc_a) < (db.d, e.doc_b) THEN e.doc_a ELSE e.doc_b END AS src,
+         CASE WHEN (da.d, e.doc_a) < (db.d, e.doc_b) THEN e.doc_b ELSE e.doc_a END AS dst,
+         CASE WHEN (da.d, e.doc_a) < (db.d, e.doc_b) THEN db.d ELSE da.d END AS dst_d
+  FROM edges e
+  JOIN deg da ON da.doc = e.doc_a
+  JOIN deg db ON db.doc = e.doc_b
+),
+wedges AS (
+  SELECT o1.src, o1.dst AS b, o2.dst AS c
+  FROM oriented o1
+  JOIN oriented o2 ON o1.src = o2.src
+  WHERE (o1.dst_d, o1.dst) < (o2.dst_d, o2.dst)
+),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM wedges w JOIN oriented o ON o.src = w.b AND o.dst = w.c
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+  FROM deg
+),
+ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges)
+SELECT s.n_docs, ne.n_edges, s.n_wedges,
+       CAST(t.n_triangles AS BIGINT) AS n_triangles,
+       CASE WHEN s.n_wedges > 0 THEN
+         CAST(3 * t.n_triangles AS DOUBLE) / CAST(s.n_wedges AS DOUBLE)
+       END AS transitivity
+FROM stats s, ne, tri t
+"""
+
+
+ORACLES["dedup_graph_triangles"] = _graph_triangles_sql()

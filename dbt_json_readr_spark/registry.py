@@ -339,6 +339,7 @@ register("iceberg_metadata_audit", lake.iceberg_metadata_audit, lake._iceberg_or
 register("iceberg_snapshot_read", lake.iceberg_snapshot_read, lake._iceberg_read_oracle_sql)
 register("delta_version_diff", lake.delta_version_diff, lake._delta_diff_oracle_sql)
 register("semdedup_prune", llm.semdedup_prune, llm.ORACLES["semdedup_prune"])
+register("dedup_graph_triangles", llm.dedup_graph_triangles, llm.ORACLES["dedup_graph_triangles"])
 
 
 # -------------------------------------------------------------------
@@ -371,6 +372,7 @@ _NEW_R6 = [
     "delta_version_diff",
     "semdedup_prune",
     "events_gapfill_lerp",
+    "dedup_graph_triangles",
     "dbt_manifest_lake",
     "streaming_manifest_lake_rollup",
     "streaming_state_metrics",

@@ -991,3 +991,39 @@ def test_degree_cap_bounds_clique_and_keeps_min_id_connectivity(spark):
     )
     assert full.count() == m * (m - 1) / 2
     assert "status" not in full.columns
+
+
+def test_triangle_stats_matches_bruteforce_on_known_graphs(spark):
+    """triangle_stats (degree-ordered orientation) vs hand-computed
+    truths: K4 (4 triangles, transitivity 1), a 4-path (0 triangles),
+    two triangles sharing an edge (2 triangles), and a star (0 — all
+    wedges open)."""
+    from itertools import combinations
+
+    from dbt_json_readr_spark.operators.graph import triangle_stats
+
+    def stats(edge_list):
+        df = spark.createDataFrame(edge_list, "doc_a long, doc_b long")
+        [r] = triangle_stats(df).collect()
+        return r
+
+    # K4: every vertex deg 3 → wedges 4*C(3,2)=12, triangles 4
+    k4 = list(combinations(range(1, 5), 2))
+    r = stats(k4)
+    assert (r.n_docs, r.n_edges, r.n_wedges, r.n_triangles) == (4, 6, 12, 4)
+    assert r.transitivity == 1.0
+
+    # path 1-2-3-4: two open wedges, no triangles
+    r = stats([(1, 2), (2, 3), (3, 4)])
+    assert (r.n_docs, r.n_edges, r.n_wedges, r.n_triangles) == (4, 3, 2, 0)
+    assert r.transitivity == 0.0
+
+    # bowtie: triangles {1,2,3} and {2,3,4} sharing edge 2-3
+    r = stats([(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)])
+    assert r.n_triangles == 2 and r.n_edges == 5
+    # degrees: 1→2, 2→3, 3→3, 4→2 ⇒ wedges 1+3+3+1 = 8
+    assert r.n_wedges == 8 and abs(r.transitivity - 6 / 8) < 1e-12
+
+    # star: center 1 to 5 leaves — C(5,2)=10 wedges, all open
+    r = stats([(1, x) for x in range(2, 7)])
+    assert (r.n_wedges, r.n_triangles, r.transitivity) == (10, 0, 0.0)
