@@ -29,11 +29,15 @@ DEFAULT_BUCKET_CAP = 2000
 # ~C(m,2) candidate pairs across its buckets — clique-quadratic; sf10's
 # adversarial 100-dup cliques drove a 205.9M-pair verify past
 # single-node scratch.  Capping each doc to its ``cap`` SMALLEST
-# partner ids bounds candidates at n·cap while PRESERVING connected
-# components under min-id clustering: every doc keeps its edge toward
-# its smallest partner, so a monotone-descending chain still reaches
-# each clique's minimum.  Pair-level recall inside giant cliques is the
-# documented trade; drops are loud (per-doc evidence rows).
+# partner ids bounds candidates at n·cap and guarantees the MIN-EDGE
+# KERNEL: each doc keeps the edge toward its smallest partner, so a
+# CLIQUE's members still reach the clique minimum by monotone-
+# descending chains.  On general graphs the guarantee is weaker — a
+# bridge edge between two dense clusters is dropped when both
+# endpoints rank it beyond the cap, so components CAN split (r6 advice
+# finding); pair-level recall inside giant cliques and cross-cluster
+# bridges are the documented trade, and every drop is loud
+# (per-doc ``capped_doc`` evidence rows).
 DEFAULT_DEGREE_CAP = 16
 # auto-gate bound for the broadcast-candidates verify shape: 5M pairs
 # ≈ 80 MB on the driver / per executor copy — comfortably inside a
@@ -680,9 +684,11 @@ def candidate_degree_cap(
     """Bound the per-doc candidate degree: each doc nominates its
     ``cap`` SMALLEST partner ids; a pair is dropped only when NEITHER
     endpoint nominated it.  Total kept pairs ≤ n·cap (each doc
-    nominates ≤ cap), and min-id cluster connectivity is preserved:
-    every doc nominates its smallest partner, so a monotone-descending
-    chain of kept edges reaches each component's minimum.  (The
+    nominates ≤ cap).  Guarantee = the MIN-EDGE KERNEL: each doc keeps
+    its smallest-partner edge, so cliques stay connected under min-id
+    clustering.  On general graphs an inter-cluster BRIDGE edge is
+    dropped when both endpoints rank it beyond the cap, so components
+    can split — the capped_docs evidence rows are the signal.  (The
     stricter both-ends rule would bound at n·cap/2 but ISOLATES
     high-id clique members — their low-id partners don't reciprocate —
     which breaks the clustering the pairs feed; unit-pinned.)
@@ -690,24 +696,53 @@ def candidate_degree_cap(
     Returns (kept_pairs, capped_docs); capped_docs carries
     (doc, degree, n_dropped_partners) evidence for every doc that
     actually lost partners.  Deterministic (partner-id order is total)
-    so a SQL oracle replays it with a row_number window; shuffle cost
-    is two exchanges at pair/doc cardinality — nothing wide."""
+    so a SQL oracle replays it with a row_number window.
+
+    Nomination is a TWO-STAGE bounded top-k aggregate, not a window
+    sort (r6 VERDICT item 5: the row_number formulation totally sorted
+    the full 2×-pair directed set per doc partition and cost 479.9 s
+    of sf10's 658.7 s verify).  Stage 1 keys on (doc, input-partition)
+    so the hash aggregate completes map-side and the exchange carries
+    at most ``cap`` partner ids per (doc, partition) instead of the
+    doc's full degree; stage 2 merges the per-partition top-ks —
+    any globally-top-cap partner is within the top cap of its own
+    partition, so the merge is lossless (classic two-phase top-k)."""
     directed = cand.select(
         F.col("doc_a").alias("doc"), F.col("doc_b").alias("partner")
     ).unionAll(cand.select(F.col("doc_b"), F.col("doc_a")))
-    ranked = directed.withColumn(
-        "rk", F.row_number().over(W.partitionBy("doc").orderBy("partner"))
+    # stage 1: per-input-partition smallest-cap partner ids per doc
+    part_topk = (
+        directed.withColumn("pid", F.spark_partition_id())
+        .groupBy("doc", "pid")
+        .agg(
+            F.slice(F.array_sort(F.collect_list("partner")), 1, cap).alias(
+                "partners"
+            )
+        )
     )
-    # each pair has exactly two directed rows; dropped ⇔ both over-cap
+    # stage 2: merge partition top-ks (candidate pairs are deduped, so
+    # partner ids never repeat across partitions for one doc)
+    nominated = (
+        part_topk.select("doc", F.explode("partners").alias("partner"))
+        .groupBy("doc")
+        .agg(
+            F.slice(F.array_sort(F.collect_list("partner")), 1, cap).alias(
+                "partners"
+            )
+        )
+        .select("doc", F.explode("partners").alias("partner"))
+    )
+    # each pair has exactly two directed rows; dropped ⇔ neither
+    # direction was nominated
+    un_nominated = directed.join(nominated, ["doc", "partner"], "left_anti")
     dropped_pairs = (
-        ranked.select(
+        un_nominated.select(
             F.least("doc", "partner").alias("doc_a"),
             F.greatest("doc", "partner").alias("doc_b"),
-            (F.col("rk") > cap).alias("over"),
         )
         .groupBy("doc_a", "doc_b")
-        .agg(F.bool_and("over").alias("dropped"))
-        .filter("dropped")
+        .agg(F.count(F.lit(1)).alias("n_over"))
+        .filter(F.col("n_over") == 2)
         .select("doc_a", "doc_b")
     )
     kept = cand.join(dropped_pairs, ["doc_a", "doc_b"], "left_anti")

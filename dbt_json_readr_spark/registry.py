@@ -345,96 +345,99 @@ register("dedup_graph_triangles", llm.dedup_graph_triangles, llm.ORACLES["dedup_
 # -------------------------------------------------------------------
 # Driver-gate ordering.  The driver records CORRECTNESS rows for only
 # the FIRST 50 keys in queries() insertion order, so registration order
-# IS the correctness gate.  Round-6 rotation (VERDICT r5 item 1): the
-# four keys that have NEVER been through the hard gate lead; then the
-# keys NEW or semantically CHANGED in r6 (the three lake-format bridge
-# keys, the manifest-lake glob key, streaming state metrics — plus
-# dedup_containment_lsh, whose output contract now carries the degree
-# cap, and multimodal_decode, whose mp4 rows became real decodes);
-# the remaining slots (GATE_WINDOW − len(never) − len(new)) rotate
-# through the stale-r2 backlog, most load-bearing first; stale keys
-# that miss the cut rotate to r7.  Rotated-out keys stay covered by
-# tests/test_oracle_parity.py (every key, sf0.01, exact values).
+# IS the correctness gate.  Round-7 rotation (VERDICT r6 item 1): the
+# nine keys whose newest driver row is still r2 — four rounds on local
+# evidence only — lead unconditionally; then keys NEW in r7; the
+# remaining slots rotate through the stale-r3 backlog, most
+# load-bearing first; stale keys that miss the cut rotate to r8.
+# Rotated-out keys stay covered by tests/test_oracle_parity.py (every
+# key, sf0.01, exact values).
 GATE_WINDOW = 50
 
-# Implemented in r5 but landed after its window locked — zero driver
-# rows anywhere (VERDICT r5 "Counts" note).
-_R6_NEVER_GATED = [
-    "dedup_method_agreement",
-    "events_kll_quantile_audit",
-    "events_theta_set_audit",
-    "streaming_cdc_warmstart",
-]
-
-# New in r6, or r5 keys whose DEFINITION changed in r6 (the driver's
-# newest row no longer describes them).
-_NEW_R6 = [
-    "delta_version_diff",
-    "semdedup_prune",
-    "events_gapfill_lerp",
-    "dedup_graph_triangles",
-    "dbt_manifest_lake",
-    "streaming_manifest_lake_rollup",
-    "streaming_state_metrics",
-    "delta_snapshot_read",
-    "iceberg_metadata_audit",
-    "iceberg_snapshot_read",
-    "dedup_containment_lsh",
-    "multimodal_decode",
-]
-
-# Newest driver row is r2 (pre-rebuild); ordered most load-bearing
-# first; the tail beyond the window's remaining slots rotates to r7.
-_STALE_R2 = [
-    "dbt_manifest_nodes",
-    "dbt_manifest_unified",
-    "dbt_manifest_edges",
-    "text_quality_score",
-    "streaming_sessionization",
-    "dedup_lsh_recall",
-    "corpus_decontaminate",
-    "dbt_manifest_sources",
-    "dbt_manifest_macros",
-    "dbt_manifest_columns",
-    "dbt_catalog_objects",
-    "dbt_description_coverage",
-    "dbt_pagerank",
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "ann_bruteforce_topk",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "corpus_dedup_summary",
-    "corpus_mixture_weights",
-    "corpus_quality_by_source",
-    "corpus_shard_plan",
-    "corpus_stratified_sample",
-    "doc_term_topk",
-    "doc_tfidf_topk",
-    "embedding_centroids",
-    "events_anomaly_zscore",
-    "events_json_props",
-    "events_transition_matrix",
-    "part_size_histogram",
-    "skew_salted_segment_revenue",
-    "streaming_dedup",
-    "streaming_enrich_segments",
-    "streaming_funnel",
-    "streaming_stream_join",
-    "text_fingerprint",
+# Newest driver row is r2 — VERDICT r6 "Next round" item 1 names these
+# nine verbatim; they must open the r7 window.
+_R7_STALE_R2 = [
     "text_langid",
-    "text_ngram_novelty",
+    "text_token_count",
+    "text_fingerprint",
     "text_pii_redact",
     "text_repetition",
-    "text_token_count",
+    "text_ngram_novelty",
+    "streaming_funnel",
+    "streaming_enrich_segments",
+    "streaming_stream_join",
 ]
 
-_GATE_PRIORITY = (_R6_NEVER_GATED + _NEW_R6 + _STALE_R2)[:GATE_WINDOW]
-# VERDICT r5 item 1 names these as required r6 gate rows; pin them.
-for _k in _R6_NEVER_GATED + _NEW_R6:
-    assert _k in _GATE_PRIORITY, f"required r6 gate slot lost: {_k}"
+# New in r7 (appended as they land this round; each must be registered
+# above before being listed here).
+_NEW_R7 = [
+    "iceberg_change_feed",
+    "delta_column_mapping_read",
+]
+
+# Newest driver row is r3; ordered most load-bearing first (flagship
+# TPC-H shapes, then events/streaming cores, then dedup/ANN/audit
+# sweeps); the tail beyond the window's remaining slots rotates to r8.
+_STALE_R3 = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "events_sessionization",
+    "events_range_join",
+    "events_gap_islands",
+    "events_attribution",
+    "events_ewma_hourly",
+    "events_approx_distinct",
+    "events_variant_props",
+    "scd2_customer_snapshot",
+    "revenue_cube",
+    "order_year_set_ops",
+    "customer_revenue_deciles",
+    "customer_percentile_rank",
+    "supplier_abc_classes",
+    "streaming_sliding_window",
+    "streaming_topk",
+    "streaming_anomaly",
+    "streaming_cdc_latest",
+    "streaming_windowed_distinct",
+    "dbt_critical_path",
+    "dedup_source_matrix",
+    "dedup_threshold_curve",
+    "dedup_band_utility",
+    "corpus_dedup_priority_keep",
+    "corpus_holdout_split",
+    "corpus_token_histogram",
+    "corpus_quality_funnel",
+    "doc_chunk_plan",
+    "doc_posting_lists",
+    "token_budget_pack",
+    "tokenizer_vocab_coverage",
+    "embedding_kmeans",
+    "embedding_power_iteration",
+    "embedding_quantize",
+    "embedding_pq_audit",
+    "ann_ivf_kmeans_topk",
+    "text_dup_spans",
+    "text_langid_confusion",
+    "bpe_pair_stats",
+    "events_skew_audit",
+    "events_lateness_audit",
+    "join_prefilter_audit",
+    "lineitem_zorder_layout",
+    "lineitem_runlength_audit",
+    "zone_map_skipping_audit",
+    "q16_supplier_part_types_lite",
+]
+
+_GATE_PRIORITY = (
+    _R7_STALE_R2
+    + [k for k in _NEW_R7 if k in _REGISTRY]
+    + _STALE_R3
+)[:GATE_WINDOW]
+# VERDICT r6 item 1 names these as required r7 gate rows; pin them.
+for _k in _R7_STALE_R2:
+    assert _k in _GATE_PRIORITY, f"required r7 gate slot lost: {_k}"
 
 
 def _gate_ordered() -> dict[str, tuple[QueryFn, str | None]]:

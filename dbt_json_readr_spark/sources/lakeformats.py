@@ -389,10 +389,18 @@ def _avro_available(spark: SparkSession) -> bool:
 def _resolve(path: str, table_root: str) -> str:
     """Iceberg metadata stores manifest/file locations as URIs; a
     relative path resolves STRICTLY against the table root — never the
-    process cwd, which could silently hit another table's files."""
+    process cwd, which could silently hit another table's files.  A
+    non-file URI scheme (s3://, hdfs://...) gates LOUDLY instead of
+    being joined onto the table root as a nonsense local path (r6
+    advice finding)."""
     for scheme in ("file://",):
         if path.startswith(scheme):
             path = path[len(scheme) :]
+    if "://" in path:
+        raise LakeFormatGatedError(
+            f"unsupported URI scheme in metadata location {path!r} — only "
+            "file:// and bare paths are readable in this environment"
+        )
     if os.path.isabs(path):
         return path
     return os.path.join(table_root, path)
@@ -534,7 +542,7 @@ def read_iceberg_snapshot(
     table_root = os.path.dirname(os.path.dirname(os.path.abspath(metadata_path)))
     mlist = _resolve(snap["manifest-list"], table_root)
     data_files: dict[str, int | None] = {}  # path -> sequence_number
-    pos_delete_files: list[str] = []
+    pos_delete_files: list[tuple[str, int | None]] = []  # (path, seq)
     eq_deletes: list[tuple[str, int, list[int]]] = []  # (path, seq, field ids)
     for m in _read_avro_records(spark, mlist):
         is_delete_manifest = int(m.get("content") or 0) == 1
@@ -554,7 +562,7 @@ def read_iceberg_snapshot(
                     f"refusing: {d.get('file_path')}"
                 )
             if content == 1:
-                pos_delete_files.append(path)
+                pos_delete_files.append((path, None if seq is None else int(seq)))
             elif is_delete_manifest and content == 0:
                 raise LakeFormatGatedError(
                     "delete-manifest entry declares content=0 (data); "
@@ -587,12 +595,17 @@ def read_iceberg_snapshot(
         norm(F.col("_metadata.file_path")).alias("__fp"),
         F.col("_metadata.row_index").alias("__pos"),
     )
-    if pos_delete_files:
-        dels = spark.read.parquet(*sorted(set(pos_delete_files))).select(
-            norm(F.col("file_path")).alias("__fp"), F.col("pos").alias("__pos")
-        )
-        data = data.join(dels, ["__fp", "__pos"], "left_anti")
-    if eq_deletes:
+    # Iceberg v2 scopes a position delete to data files whose sequence
+    # number is <= the delete file's (r6 advice finding); the bound is
+    # applied whenever both sides carry sequence numbers.  A v2 table
+    # with deletes always sequences its files, so the unbounded branch
+    # only covers metadata that omits them — documented global
+    # application, harmless while file paths are unique.
+    pos_bounded = bool(pos_delete_files) and (
+        all(s is not None for _, s in pos_delete_files)
+        and all(s is not None for s in data_files.values())
+    )
+    if eq_deletes or pos_bounded:
         # attach each data row's sequence number from the manifest map
         # (broadcast at file cardinality)
         seq_map = spark.createDataFrame(
@@ -612,13 +625,38 @@ def read_iceberg_snapshot(
                 F.assert_true(
                     F.col("__seq").isNotNull(),
                     F.concat(
-                        F.lit("equality-delete seq map has no entry for data file "),
+                        F.lit("delete seq map has no entry for data file "),
                         F.col("__fp"),
                     ),
                 ).isNull(),
                 F.col("__seq"),
             ),
         )
+    if pos_delete_files:
+        if pos_bounded:
+            dels = None
+            for path, dseq in sorted(set(pos_delete_files)):
+                one = spark.read.parquet(path).select(
+                    norm(F.col("file_path")).alias("__fp"),
+                    F.col("pos").alias("__pos"),
+                    F.lit(int(dseq)).alias("__dseq"),
+                )
+                dels = one if dels is None else dels.unionAll(one)
+            cond = (
+                (data["__fp"] == dels["__fp"])
+                & (data["__pos"] == dels["__pos"])
+                & (data["__seq"] <= dels["__dseq"])
+            )
+            data = data.join(dels, on=cond, how="left_anti")
+        else:
+            dels = spark.read.parquet(
+                *sorted({p for p, _ in pos_delete_files})
+            ).select(
+                norm(F.col("file_path")).alias("__fp"),
+                F.col("pos").alias("__pos"),
+            )
+            data = data.join(dels, ["__fp", "__pos"], "left_anti")
+    if eq_deletes:
         names_by_id = info["field_names_by_id"]
         for path, dseq, eq_ids in eq_deletes:
             try:
@@ -650,9 +688,20 @@ def manifest_to_delta_log(manifest: dict, table_path: str) -> None:
     inverse of ``delta_to_manifest``.  The emitted log is reader
     protocol 1 / writer 2 JSON any Delta reader replays; data files are
     referenced in place (no copy).  One commit = the snapshot; history
-    does not round-trip (ManifestTable keeps its own versions)."""
+    does not round-trip (ManifestTable keeps its own versions).
+    Refuses to export into a directory that already holds a Delta log:
+    silently overwriting commit 0 while later commits survive would
+    splice the exported snapshot into a stale history (r6 advice
+    finding)."""
     log = Path(table_path) / "_delta_log"
     log.mkdir(parents=True, exist_ok=True)
+    existing = sorted(p.name for p in log.glob("*.json"))
+    if existing:
+        raise LakeFormatError(
+            f"{log} already contains Delta commits ({existing[0]}..."
+            f"{existing[-1]}) — refusing to overwrite commit 0 of an "
+            "existing table; export to a fresh directory"
+        )
     pcol = manifest.get("partition_by")
     schema_json = manifest["schema"]
     actions = [
