@@ -24,9 +24,10 @@ from ..sources import lakeformats as LF
 
 FIXTURE_ROOT = Path(__file__).resolve().parents[2] / "tests" / "fixtures" / "lake"
 DELTA_DIR = FIXTURE_ROOT / "delta_sales"
+DELTA_CM_DIR = FIXTURE_ROOT / "delta_cm_orders"
 ICEBERG_DIR = FIXTURE_ROOT / "iceberg_sales"
 ICEBERG_META = ICEBERG_DIR / "metadata" / "v3.metadata.json"
-_VERSION = "4"
+_VERSION = "6"
 
 # ------------------------------------------------------- fixtures
 
@@ -72,6 +73,97 @@ _DELTA_COMMITS: list[list[dict]] = [
     [
         {"remove": {"path": "year=2024/part-0.parquet", "dataChange": True}},
         {"add": {"path": "year=2024/part-1.parquet", "partitionValues": {"year": "2024"}, "size": 0, "modificationTime": 0, "dataChange": True}},
+    ],
+]
+
+# --- column-mapped Delta fixture (r7, VERDICT r6 item 2) ---
+# Physical parquet column names are uuid-ish and NEVER change; logical
+# names live only in schemaString metadata.  Commit 1 RENAMES logical
+# "quantity" → "qty_renamed" without touching any data file — the
+# metadata-only rename column mapping exists to enable.  Protocol is
+# reader 3 + readerFeatures ["columnMapping"] to exercise the
+# table-features gate path (not just legacy reader 2).
+_CM_PHYS = {"id": "col-9f8e7d6c", "quantity": "col-1a2b3c4d", "region": "col-5e6f7a8b"}
+
+
+def _cm_schema_string(qty_logical: str) -> str:
+    return json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "id",
+                    "type": "long",
+                    "nullable": False,
+                    "metadata": {
+                        "delta.columnMapping.id": 1,
+                        "delta.columnMapping.physicalName": _CM_PHYS["id"],
+                    },
+                },
+                {
+                    "name": qty_logical,
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 2,
+                        "delta.columnMapping.physicalName": _CM_PHYS["quantity"],
+                    },
+                },
+                {
+                    "name": "region",
+                    "type": "string",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 3,
+                        "delta.columnMapping.physicalName": _CM_PHYS["region"],
+                    },
+                },
+            ],
+        }
+    )
+
+
+def _cm_metadata_action(qty_logical: str) -> dict:
+    return {
+        "metaData": {
+            "id": "7c2d9e0f-delta-cm-fixture",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _cm_schema_string(qty_logical),
+            "partitionColumns": ["region"],
+            "configuration": {
+                "delta.columnMapping.mode": "name",
+                "delta.columnMapping.maxColumnId": "3",
+            },
+        }
+    }
+
+
+# (path, partition region, [(id, quantity), ...]) — files store ONLY
+# physical names; region exists solely in partitionValues (physical key)
+_DELTA_CM_FILES = {
+    "part-cm-0.parquet": ("east", [(i, i * 3 + 1) for i in range(1, 9)]),
+    "part-cm-1.parquet": ("west", [(i, i * 3 + 1) for i in range(9, 15)]),
+    "part-cm-2.parquet": ("east", [(i, i * 3 + 1) for i in range(15, 20)]),
+}
+
+_DELTA_CM_COMMITS: list[list[dict]] = [
+    [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["columnMapping"],
+                "writerFeatures": ["columnMapping"],
+            }
+        },
+        _cm_metadata_action("quantity"),
+        {"add": {"path": "part-cm-0.parquet", "partitionValues": {_CM_PHYS["region"]: "east"}, "size": 0, "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "part-cm-1.parquet", "partitionValues": {_CM_PHYS["region"]: "west"}, "size": 0, "modificationTime": 0, "dataChange": True}},
+    ],
+    [
+        # logical rename + one more file; physical names untouched
+        _cm_metadata_action("qty_renamed"),
+        {"add": {"path": "part-cm-2.parquet", "partitionValues": {_CM_PHYS["region"]: "east"}, "size": 0, "modificationTime": 0, "dataChange": True}},
     ],
 ]
 
@@ -194,6 +286,26 @@ def ensure_lake_fixtures(root: Path | str = FIXTURE_ROOT) -> Path:
             (log / f"{v:020d}.json").write_text(
                 "\n".join(json.dumps(a, sort_keys=True) for a in actions) + "\n"
             )
+        cm = tmp / DELTA_CM_DIR.name
+        cm.mkdir(parents=True)
+        for rel, (_, rows) in _DELTA_CM_FILES.items():
+            pq.write_table(
+                pa.table(
+                    {
+                        _CM_PHYS["id"]: pa.array([r[0] for r in rows], pa.int64()),
+                        _CM_PHYS["quantity"]: pa.array(
+                            [r[1] for r in rows], pa.int64()
+                        ),
+                    }
+                ),
+                cm / rel,
+            )
+        cm_log = cm / "_delta_log"
+        cm_log.mkdir(parents=True)
+        for v, actions in enumerate(_DELTA_CM_COMMITS):
+            (cm_log / f"{v:020d}.json").write_text(
+                "\n".join(json.dumps(a, sort_keys=True) for a in actions) + "\n"
+            )
         iceberg = tmp / ICEBERG_DIR.name
         (iceberg / "metadata").mkdir(parents=True)
         (iceberg / "metadata" / ICEBERG_META.name).write_text(
@@ -298,6 +410,92 @@ SELECT snapshot_version, year,
 FROM rows_all
 GROUP BY snapshot_version, year
 ORDER BY snapshot_version, year
+"""
+
+
+# ------------------------------------------------------- E1b key
+
+
+def delta_column_mapping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-region rollup of the column-mapped Delta fixture at BOTH
+    snapshots (VERDICT r6 item 2).  v0's logical schema names the
+    metric column ``quantity``; v1 renames it ``qty_renamed`` without
+    rewriting a single data file — both versions must read the same
+    physical parquet column (``col-1a2b3c4d``) and the partition
+    column must resolve through its PHYSICAL partitionValues key.
+    A bridge that matched parquet columns by logical name, or looked
+    partitionValues up by logical name, returns nulls / empty groups
+    and fails the hash."""
+    prep(spark)
+    ensure_lake_fixtures()
+    outs = []
+    for v, qty_col in ((0, "quantity"), (1, "qty_renamed")):
+        df = LF.read_delta_snapshot(spark, str(DELTA_CM_DIR), version=v)
+        outs.append(
+            df.groupBy("region").agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(qty_col).alias("sum_qty"),
+                F.min("id").alias("min_id"),
+                F.max("id").alias("max_id"),
+            ).select(F.lit(v).alias("snapshot_version"), "*")
+        )
+    return outs[0].unionByName(outs[1]).orderBy("snapshot_version", "region")
+
+
+def _delta_cm_oracle_sql() -> str:
+    """INDEPENDENT stdlib replay: parse the commit log directly, map
+    physical→logical from each version's OWN schemaString metadata,
+    and read the parquet files by physical column name."""
+    ensure_lake_fixtures()
+    log = DELTA_CM_DIR / "_delta_log"
+    versions = sorted(int(p.stem) for p in log.glob("*.json"))
+    selects = []
+    for target in versions:
+        active: dict[str, str] = {}
+        phys_of: dict[str, str] = {}
+        pcols: list[str] = []
+        for v in versions:
+            if v > target:
+                break
+            for line in (log / f"{v:020d}.json").read_text().splitlines():
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "metaData" in a:
+                    sch = json.loads(a["metaData"]["schemaString"])
+                    phys_of = {
+                        f["name"]: f["metadata"]["delta.columnMapping.physicalName"]
+                        for f in sch["fields"]
+                    }
+                    pcols = list(a["metaData"]["partitionColumns"])
+                elif "add" in a:
+                    pv = a["add"]["partitionValues"]
+                    # spec keys partitionValues by PHYSICAL name
+                    active[a["add"]["path"]] = pv[phys_of[pcols[0]]]
+                elif "remove" in a:
+                    active.pop(a["remove"]["path"], None)
+        qty_logical = [n for n in phys_of if n not in ("id", "region")][0]
+        for path, region in sorted(active.items()):
+            f = (DELTA_CM_DIR / path).as_posix()
+            selects.append(
+                f"SELECT {target} AS snapshot_version, '{region}' AS region, "
+                f'"{phys_of["id"]}" AS id, '
+                f'"{phys_of[qty_logical]}" AS qty '
+                f"FROM read_parquet('{f}')"
+            )
+    body = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH rows_all AS (
+{body}
+)
+SELECT snapshot_version, region,
+       count(*) AS n_rows,
+       CAST(sum(qty) AS BIGINT) AS sum_qty,
+       min(id) AS min_id,
+       max(id) AS max_id
+FROM rows_all
+GROUP BY snapshot_version, region
+ORDER BY snapshot_version, region
 """
 
 
@@ -526,7 +724,12 @@ def ensure_iceberg_manifests(spark: SparkSession) -> None:
             [
                 {
                     "status": status,
-                    "snapshot_id": sid,
+                    # spec: EXISTING (status 0) entries keep the id of
+                    # the snapshot that ADDED the file — in this fixture
+                    # sequence-number n belongs to snapshot 1000+n;
+                    # ADDED/DELETED entries record THIS snapshot (the
+                    # change feed keys on exactly this distinction)
+                    "snapshot_id": sid if status != 0 else 1000 + seq,
                     "sequence_number": seq,
                     "data_file": {
                         "content": 0,
@@ -550,10 +753,13 @@ def ensure_iceberg_manifests(spark: SparkSession) -> None:
         if sid in _ICEBERG_POS_DELETES:
             entries_pd = []
             for del_file, dseq in _ICEBERG_POS_DELETES[sid]:
+                # a delete file carried FORWARD (1005 re-lists 1004's)
+                # is EXISTING, owned by the snapshot that added it —
+                # re-adding it would double-count in the change feed
                 entries_pd.append(
                     {
-                        "status": 1,
-                        "snapshot_id": sid,
+                        "status": 1 if sid == 1000 + dseq else 0,
+                        "snapshot_id": 1000 + dseq,
                         "sequence_number": dseq,
                         "data_file": {
                             "content": 1,
@@ -786,3 +992,92 @@ def _delta_diff_oracle_sql() -> str:
                     f"count(*) AS n_rows FROM read_parquet('{f}')"
                 )
     return "\nUNION ALL\n".join(selects) + "\nORDER BY to_version, change, path"
+
+
+# ------------------------------------------------------- F5 key
+
+
+def iceberg_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental change feed between Iceberg snapshots from manifest
+    metadata alone — F4 ``delta_version_diff``'s twin (VERDICT r6 item
+    4).  Each manifest entry's ``status``/``snapshot_id`` name the
+    snapshot that ADDED (status 1) or DELETED (status 2) the file, so
+    the per-snapshot diff needs no file-set comparison at all: walk the
+    snapshot's manifests, keep entries owned by it, and read ONLY those
+    files for row-level change counts — O(delta), never a rescan.
+    Covers the overwrite snapshot (1003: adds + removes in one commit),
+    the position-delete snapshot (1004) and the equality-delete
+    snapshot (1005); 1005's carried-forward position-delete file is
+    EXISTING (status 0, owner 1004) and must NOT re-appear."""
+    prep(spark)
+    ensure_lake_fixtures()
+    ensure_iceberg_manifests(spark)
+    kinds = {
+        (1, 0): "added",
+        (2, 0): "removed",
+        (1, 1): "pos_delete_added",
+        (1, 2): "eq_delete_added",
+    }
+    outs = []
+    meta = LF.iceberg_metadata(str(ICEBERG_META))
+    for s in sorted(meta["snapshots"], key=lambda s: s["snapshot-id"]):
+        sid = s["snapshot-id"]
+        for e in LF.iceberg_snapshot_entries(spark, str(ICEBERG_META), sid):
+            if e["snapshot_id"] != sid:
+                continue  # EXISTING entry owned by an earlier snapshot
+            kind = kinds.get((e["status"], e["content"]))
+            if kind is None:
+                continue
+            df = spark.read.parquet(e["path"])
+            outs.append(
+                df.agg(F.count(F.lit(1)).alias("n_rows")).select(
+                    F.lit(sid).cast("long").alias("to_snapshot_id"),
+                    F.lit(kind).alias("change"),
+                    F.lit(e["rel_path"]).alias("path"),
+                    "n_rows",
+                )
+            )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("to_snapshot_id", "change", "path")
+
+
+def _iceberg_change_feed_oracle_sql() -> str:
+    """Authoring-spec replay: the fixture dicts say which snapshot adds
+    or removes which file (status 1/2, delete files keyed by their
+    first-referencing snapshot); duckdb counts the same parquet."""
+    ensure_lake_fixtures()
+    selects = []
+    for sid in sorted(_ICEBERG_SNAP_FILES):
+        for status, path, seq in _ICEBERG_SNAP_FILES[sid]:
+            if status == 1 and 1000 + seq == sid:
+                kind = "added"
+            elif status == 2:
+                kind = "removed"
+            else:
+                continue
+            f = (ICEBERG_DIR / path).as_posix()
+            selects.append(
+                f"SELECT CAST({sid} AS BIGINT) AS to_snapshot_id, "
+                f"'{kind}' AS change, '{path}' AS path, "
+                f"count(*) AS n_rows FROM read_parquet('{f}')"
+            )
+        for del_file, dseq in _ICEBERG_POS_DELETES.get(sid, []):
+            if 1000 + dseq != sid:
+                continue  # carried forward, not added here
+            f = (ICEBERG_DIR / del_file).as_posix()
+            selects.append(
+                f"SELECT CAST({sid} AS BIGINT) AS to_snapshot_id, "
+                f"'pos_delete_added' AS change, '{del_file}' AS path, "
+                f"count(*) AS n_rows FROM read_parquet('{f}')"
+            )
+        if sid in _ICEBERG_EQ_DELETES:
+            eq = _ICEBERG_EQ_DELETES[sid]
+            f = (ICEBERG_DIR / eq["file"]).as_posix()
+            selects.append(
+                f"SELECT CAST({sid} AS BIGINT) AS to_snapshot_id, "
+                f"'eq_delete_added' AS change, '{eq['file']}' AS path, "
+                f"count(*) AS n_rows FROM read_parquet('{f}')"
+            )
+    return "\nUNION ALL\n".join(selects) + "\nORDER BY to_snapshot_id, change, path"

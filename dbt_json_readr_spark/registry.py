@@ -338,6 +338,16 @@ register("delta_snapshot_read", lake.delta_snapshot_read, lake._delta_oracle_sql
 register("iceberg_metadata_audit", lake.iceberg_metadata_audit, lake._iceberg_oracle_sql)
 register("iceberg_snapshot_read", lake.iceberg_snapshot_read, lake._iceberg_read_oracle_sql)
 register("delta_version_diff", lake.delta_version_diff, lake._delta_diff_oracle_sql)
+register(
+    "delta_column_mapping_read",
+    lake.delta_column_mapping_read,
+    lake._delta_cm_oracle_sql,
+)
+register(
+    "iceberg_change_feed",
+    lake.iceberg_change_feed,
+    lake._iceberg_change_feed_oracle_sql,
+)
 register("semdedup_prune", llm.semdedup_prune, llm.ORACLES["semdedup_prune"])
 register("dedup_graph_triangles", llm.dedup_graph_triangles, llm.ORACLES["dedup_graph_triangles"])
 

@@ -64,26 +64,71 @@ def _delta_log_dir(table_path: str) -> Path:
     return d
 
 
+# reader protocol-3 table features this bridge actually implements;
+# anything else in readerFeatures gates loudly (deletionVectors,
+# v2Checkpoint, timestampNtz...)
+_SUPPORTED_READER_FEATURES = {"columnMapping"}
+
+
 class _DeltaState:
     def __init__(self):
         self.schema: T.StructType | None = None
         self.partition_columns: list[str] = []
         self.files: dict[str, dict] = {}
+        self.column_mapping_mode: str = "none"
+        # logical field name -> physical parquet column name
+        self.physical_names: dict[str, str] = {}
 
     def check_protocol(self, p: dict) -> None:
         if p.get("minReaderVersion", 1) >= 3:
-            feats = p.get("readerFeatures") or []
-            raise LakeFormatGatedError(
-                f"Delta reader protocol {p['minReaderVersion']} with "
-                f"features {feats} — this bridge reads protocol ≤ 2 "
-                "only (no deletion vectors / column mapping)"
-            )
+            feats = set(p.get("readerFeatures") or [])
+            unsupported = feats - _SUPPORTED_READER_FEATURES
+            if unsupported:
+                raise LakeFormatGatedError(
+                    f"Delta reader protocol {p['minReaderVersion']} with "
+                    f"unsupported reader features {sorted(unsupported)} — "
+                    "this bridge implements columnMapping only (no "
+                    "deletion vectors / v2 checkpoints)"
+                )
 
     def meta(self, md: dict) -> None:
         if md.get("format", {}).get("provider", "parquet") != "parquet":
             raise LakeFormatError(f"non-parquet Delta table: {md['format']}")
-        self.schema = T.StructType.fromJson(json.loads(md["schemaString"]))
+        schema_json = json.loads(md["schemaString"])
+        self.schema = T.StructType.fromJson(schema_json)
         self.partition_columns = list(md.get("partitionColumns") or [])
+        conf = md.get("configuration") or {}
+        if not isinstance(conf, dict):  # pyarrow map → list of (k, v)
+            conf = dict(conf)
+        mode = conf.get("delta.columnMapping.mode", "none")
+        if mode not in ("none", "name"):
+            # "id" mode resolves columns by parquet FIELD ID, which the
+            # plain parquet reader here cannot key on — must not
+            # silently fall back to name matching
+            raise LakeFormatGatedError(
+                f"Delta column mapping mode {mode!r} — this bridge "
+                "supports modes 'none' and 'name' only"
+            )
+        self.column_mapping_mode = mode
+        self.physical_names = {}
+        if mode == "name":
+            for f in schema_json.get("fields", []):
+                fmeta = f.get("metadata") or {}
+                phys = fmeta.get("delta.columnMapping.physicalName")
+                if not phys:
+                    raise LakeFormatError(
+                        "column mapping mode 'name' but field "
+                        f"{f.get('name')!r} carries no "
+                        "delta.columnMapping.physicalName — malformed log"
+                    )
+                if isinstance(f.get("type"), dict):
+                    # nested remaps rename leaves inside struct/array/map
+                    # types too; only top-level remapping is implemented
+                    raise LakeFormatGatedError(
+                        f"column mapping on nested column {f.get('name')!r} "
+                        "— only top-level columns are supported"
+                    )
+                self.physical_names[f["name"]] = phys
 
     def add(self, a: dict) -> None:
         pv = a.get("partitionValues") or {}
@@ -201,6 +246,8 @@ def delta_snapshot(table_path: str, version: int | None = None) -> dict:
         "version": version,
         "schema": state.schema,
         "partition_columns": state.partition_columns,
+        "column_mapping_mode": state.column_mapping_mode,
+        "physical_names": dict(state.physical_names),
         "files": sorted(state.files.values(), key=lambda f: f["path"]),
     }
 
@@ -212,20 +259,50 @@ def read_delta_snapshot(
     file list the snapshot pins, schema from the log (never inferred),
     partition columns reconstructed from partitionValues with their
     declared types (they are NOT in the data files), mirroring
-    ManifestTable.read's partition handling."""
+    ManifestTable.read's partition handling.
+
+    Column mapping mode 'name' (r7, VERDICT r6 item 2): the parquet
+    files store PHYSICAL column names (``col-<uuid>``); the scan
+    schema uses those and a final projection aliases them back to the
+    logical names — a pure metadata remap, so logical renames need no
+    data rewrite.  Per the protocol, with mapping enabled the log
+    tracks partitionValues under the PHYSICAL name; the lookup falls
+    back to the logical name for writers that predate that rule."""
     snap = delta_snapshot(table_path, version)
     schema: T.StructType = snap["schema"]
     pcols = snap["partition_columns"]
+    phys = snap["physical_names"] if snap["column_mapping_mode"] == "name" else {}
+    pname = lambda c: phys.get(c, c)  # noqa: E731
     if not snap["files"]:
         return spark.createDataFrame([], schema)
     if not pcols:
-        return spark.read.schema(schema).parquet(
+        read_schema = T.StructType(
+            [
+                T.StructField(pname(f.name), f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+        df = spark.read.schema(read_schema).parquet(
             *[os.path.join(table_path, f["path"]) for f in snap["files"]]
         )
-    data_schema = T.StructType([f for f in schema.fields if f.name not in pcols])
+        if not phys:
+            return df
+        return df.select(
+            *[F.col(pname(f.name)).alias(f.name) for f in schema.fields]
+        )
+    data_schema = T.StructType(
+        [
+            T.StructField(pname(f.name), f.dataType, f.nullable)
+            for f in schema.fields
+            if f.name not in pcols
+        ]
+    )
     groups: dict[tuple, list[str]] = {}
     for f in snap["files"]:
-        key = tuple(f["partitionValues"].get(c) for c in pcols)
+        pv = f["partitionValues"]
+        key = tuple(
+            pv.get(pname(c), pv.get(c)) for c in pcols
+        )
         groups.setdefault(key, []).append(os.path.join(table_path, f["path"]))
     parts = []
     # None-safe ordering: nullable partition columns write
@@ -234,6 +311,14 @@ def read_delta_snapshot(
         groups.items(), key=lambda kv: tuple((v is None, v) for v in kv[0])
     ):
         part = spark.read.schema(data_schema).parquet(*paths)
+        if phys:
+            part = part.select(
+                *[
+                    F.col(pname(f.name)).alias(f.name)
+                    for f in schema.fields
+                    if f.name not in pcols
+                ]
+            )
         for c, val in zip(pcols, key):
             part = part.withColumn(c, F.lit(val).cast(schema[c].dataType))
         parts.append(part.select(*[f.name for f in schema.fields]))
@@ -506,6 +591,49 @@ def write_avro_records(
     finally:
         writer.close()
     os.replace(tmp, dest)
+
+
+def iceberg_snapshot_entries(
+    spark: SparkSession, metadata_path: str, snapshot_id: int | None = None
+) -> list[dict]:
+    """ALL manifest entries a snapshot's manifest list reaches —
+    including EXISTING (status 0) and DELETED (status 2) entries and
+    delete files — flattened to plain dicts.  This is the raw material
+    for an incremental change feed (r7, VERDICT r6 item 4): an entry's
+    ``status``/``snapshot_id`` say which snapshot added or removed the
+    file, so diffing two snapshots is pure metadata and reading only
+    the referenced files is O(delta).  Driver-side O(metadata), same
+    posture as the data read."""
+    info = iceberg_snapshot_info(metadata_path, snapshot_id)
+    snap = info["snapshot"]
+    if not _avro_available(spark):
+        raise LakeFormatGatedError(
+            "Iceberg manifest walks need avro-core (org.apache.avro) on "
+            "the classpath; snapshot metadata itself resolved fine: "
+            f"{snap['snapshot-id']}"
+        )
+    table_root = os.path.dirname(os.path.dirname(os.path.abspath(metadata_path)))
+    mlist = _resolve(snap["manifest-list"], table_root)
+    out = []
+    for m in _read_avro_records(spark, mlist):
+        is_delete_manifest = int(m.get("content") or 0) == 1
+        for e in _read_avro_records(spark, _resolve(m["manifest_path"], table_root)):
+            d = e["data_file"]
+            seq = e.get("sequence_number")
+            out.append(
+                {
+                    "status": int(e.get("status") or 0),
+                    "snapshot_id": e.get("snapshot_id"),
+                    "sequence_number": None if seq is None else int(seq),
+                    "is_delete_manifest": is_delete_manifest,
+                    "content": int(d.get("content") or 0),
+                    "path": _resolve(d["file_path"], table_root),
+                    "rel_path": d["file_path"],
+                    "file_format": str(d.get("file_format", "PARQUET")).upper(),
+                    "record_count": int(d.get("record_count") or 0),
+                }
+            )
+    return out
 
 
 def read_iceberg_snapshot(

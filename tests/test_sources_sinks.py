@@ -1030,3 +1030,148 @@ def test_manifest_to_delta_round_trip(spark, tmp_path):
     m2 = LF.delta_to_manifest(str(tmp_path / "mt"))
     assert m2["partition_by"] == "bucket"
     assert {f["path"] for f in m2["files"]} == {f["path"] for f in m["files"]}
+
+
+def test_delta_column_mapping_name_mode_read_and_rename(spark):
+    """Column mapping 'name' (r7): both snapshots of the column-mapped
+    fixture read the same physical parquet bytes; v1's metadata-only
+    rename changes the logical column name and nothing else."""
+    from dbt_json_readr_spark.plans import lake as LP
+    from dbt_json_readr_spark.sources import lakeformats as LF
+
+    LP.ensure_lake_fixtures()
+    v0 = LF.read_delta_snapshot(spark, str(LP.DELTA_CM_DIR), version=0)
+    v1 = LF.read_delta_snapshot(spark, str(LP.DELTA_CM_DIR), version=1)
+    assert v0.columns == ["id", "quantity", "region"]
+    assert v1.columns == ["id", "qty_renamed", "region"]
+    rows0 = {(r.id, r.quantity, r.region) for r in v0.collect()}
+    # v0 pins commits ≤0: two files, regions resolved via PHYSICAL
+    # partitionValues key
+    assert rows0 == {
+        (i, i * 3 + 1, "east") for i in range(1, 9)
+    } | {(i, i * 3 + 1, "west") for i in range(9, 15)}
+    rows1 = {(r.id, r.qty_renamed, r.region) for r in v1.collect()}
+    assert rows1 == rows0 | {(i, i * 3 + 1, "east") for i in range(15, 20)}
+
+
+def test_delta_column_mapping_gates(spark, tmp_path):
+    """'id' mode, missing physicalName, and non-columnMapping reader
+    features all gate loudly instead of mis-reading."""
+    import json
+
+    import pytest
+
+    from dbt_json_readr_spark.sources import lakeformats as LF
+
+    def write_log(actions):
+        import shutil
+
+        t = tmp_path / "t"
+        shutil.rmtree(t, ignore_errors=True)
+        (t / "_delta_log").mkdir(parents=True)
+        (t / "_delta_log" / f"{0:020d}.json").write_text(
+            "\n".join(json.dumps(a) for a in actions) + "\n"
+        )
+        return str(t)
+
+    proto = {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
+    base_field = {
+        "name": "id",
+        "type": "long",
+        "nullable": True,
+        "metadata": {"delta.columnMapping.physicalName": "col-x"},
+    }
+
+    # id mode gates
+    md = {
+        "metaData": {
+            "id": "x",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(
+                {"type": "struct", "fields": [base_field]}
+            ),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "id"},
+        }
+    }
+    with pytest.raises(LF.LakeFormatGatedError, match="mode 'id'"):
+        LF.delta_snapshot(write_log([proto, md]))
+
+    # name mode without physicalName is malformed
+    bare = dict(base_field, metadata={})
+    md2 = {
+        "metaData": {
+            "id": "x",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": [bare]}),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name"},
+        }
+    }
+    with pytest.raises(LF.LakeFormatError, match="physicalName"):
+        LF.delta_snapshot(write_log([proto, md2]))
+
+    # reader 3 with columnMapping alone is now READABLE; +v2Checkpoint gates
+    ok3 = {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["columnMapping"],
+        }
+    }
+    md3 = {
+        "metaData": {
+            "id": "x",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(
+                {"type": "struct", "fields": [base_field]}
+            ),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name"},
+        }
+    }
+    snap = LF.delta_snapshot(write_log([ok3, md3]))
+    assert snap["physical_names"] == {"id": "col-x"}
+    bad3 = {
+        "protocol": {
+            "minReaderVersion": 3,
+            "readerFeatures": ["columnMapping", "v2Checkpoint"],
+        }
+    }
+    with pytest.raises(LF.LakeFormatGatedError, match="v2Checkpoint"):
+        LF.delta_snapshot(write_log([bad3, md3]))
+
+
+def test_manifest_to_delta_log_refuses_existing_history(spark, tmp_path):
+    """Exporting into a directory that already holds Delta commits must
+    refuse — overwriting commit 0 under surviving later commits would
+    splice histories (r6 advice finding)."""
+    import json
+
+    import pytest
+
+    from dbt_json_readr_spark.sources import lakeformats as LF
+
+    t = tmp_path / "t"
+    (t / "_delta_log").mkdir(parents=True)
+    (t / "_delta_log" / f"{1:020d}.json").write_text("{}\n")
+    manifest = {
+        "partition_by": None,
+        "schema": {"type": "struct", "fields": []},
+        "files": [],
+    }
+    with pytest.raises(LF.LakeFormatError, match="already contains"):
+        LF.manifest_to_delta_log(manifest, str(t))
+
+
+def test_iceberg_resolve_gates_foreign_uri_schemes():
+    """s3:// (or any non-file scheme) in metadata locations gates
+    loudly instead of resolving to a nonsense local path."""
+    import pytest
+
+    from dbt_json_readr_spark.sources import lakeformats as LF
+
+    with pytest.raises(LF.LakeFormatGatedError, match="s3"):
+        LF._resolve("s3://bucket/warehouse/t/metadata/snap.avro", "/tmp/root")
+    assert LF._resolve("file:///x/y.avro", "/r") == "/x/y.avro"
+    assert LF._resolve("data/f.parquet", "/r") == "/r/data/f.parquet"
