@@ -49,6 +49,9 @@ HEADLINE = STABLE_8 + [
     "dedup_minhash_est_calibration",
     # r6: the many-file artifact-lake parse (1,200 manifests; sf-invariant)
     "dbt_manifest_lake",
+    # r7 (VERDICT r6 item 7): a bridge READ, so avro-walk + delete-apply
+    # cost is tracked round-over-round (sf-invariant fixture)
+    "iceberg_snapshot_read",
 ]
 
 
@@ -57,6 +60,13 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark("bench")
+    # ERROR-only JVM logging: the stderr tail the driver stamps into
+    # BENCH_r{N}.json must carry only the per-run timing lines and REAL
+    # failures — r6's record carried a benign WARN stack (Spark's
+    # FileStreamSink metadata probe during the lake read) that a real
+    # failure could hide behind.  Python exceptions still print (and
+    # set rc≠0) regardless of log4j level.
+    spark.sparkContext.setLogLevel("ERROR")
     # warm-up: JVM + whole-stage-codegen compile for the expression
     # shapes the headline uses (decimal aggs, md5 sketches, windows) on
     # the smoke-scale data, so compilation isn't billed to the timings

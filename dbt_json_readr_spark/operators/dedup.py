@@ -707,6 +707,15 @@ def candidate_degree_cap(
     doc's full degree; stage 2 merges the per-partition top-ks —
     any globally-top-cap partner is within the top cap of its own
     partition, so the merge is lossless (classic two-phase top-k)."""
+    # the candidate set feeds FOUR subtrees here (nomination, kept
+    # semi-join, dropped anti-join, degree evidence) and the caller's
+    # overlap-count joins after that — without a pin each one replays
+    # the whole LSH bucket join upstream.  Rows are two longs (~16 B);
+    # even sf10's 159M pre-cap candidates fit MEMORY_AND_DISK
+    # comfortably (same pattern as the auto-gated verify path above).
+    from pyspark import StorageLevel
+
+    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
     directed = cand.select(
         F.col("doc_a").alias("doc"), F.col("doc_b").alias("partner")
     ).unionAll(cand.select(F.col("doc_b"), F.col("doc_a")))
@@ -732,20 +741,18 @@ def candidate_degree_cap(
         )
         .select("doc", F.explode("partners").alias("partner"))
     )
-    # each pair has exactly two directed rows; dropped ⇔ neither
-    # direction was nominated
-    un_nominated = directed.join(nominated, ["doc", "partner"], "left_anti")
-    dropped_pairs = (
-        un_nominated.select(
-            F.least("doc", "partner").alias("doc_a"),
-            F.greatest("doc", "partner").alias("doc_b"),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_over"))
-        .filter(F.col("n_over") == 2)
-        .select("doc_a", "doc_b")
+    # a pair is kept ⇔ EITHER direction was nominated: fold the
+    # nominated directed edges to undirected pairs once (≤ n·cap rows,
+    # dropDuplicates is a bounded shuffle) and semi/anti-join the pair
+    # set against them — pair-cardinality joins, not 2×-directed ones
+    nom_pairs = nominated.select(
+        F.least("doc", "partner").alias("doc_a"),
+        F.greatest("doc", "partner").alias("doc_b"),
+    ).dropDuplicates(["doc_a", "doc_b"])
+    dropped_pairs = cand.select("doc_a", "doc_b").join(
+        nom_pairs, ["doc_a", "doc_b"], "left_anti"
     )
-    kept = cand.join(dropped_pairs, ["doc_a", "doc_b"], "left_anti")
+    kept = cand.join(nom_pairs, ["doc_a", "doc_b"], "left_semi")
     degrees = directed.groupBy("doc").agg(F.count(F.lit(1)).alias("degree"))
     lost = (
         dropped_pairs.select(F.col("doc_a").alias("doc"))
