@@ -516,6 +516,18 @@ def _java_to_py(jvm, obj):
     return obj.toString()
 
 
+# Manifest cache (r7): Iceberg manifest files are IMMUTABLE once
+# written (a new snapshot writes new manifests; reused ones are listed
+# by path), so a (path, size, mtime)-keyed cache is exact — the same
+# move every production Iceberg reader makes (manifest caching), and
+# here it also amortizes the py4j round-trips: a multi-snapshot audit
+# re-walks the same manifest files once per snapshot otherwise.
+# Bounded FIFO so a long-lived session over many tables cannot grow it
+# without limit.
+_AVRO_CACHE: dict[tuple[str, int, float], list[dict]] = {}
+_AVRO_CACHE_MAX = 4096
+
+
 def _read_avro_records(spark: SparkSession, *paths: str) -> list[dict]:
     """Driver-side read of avro MANIFEST files via the avro-core
     container reader Spark already bundles (the spark-avro DataSource
@@ -523,19 +535,31 @@ def _read_avro_records(spark: SparkSession, *paths: str) -> list[dict]:
     are metadata, O(#files) pointer rows, the avro analogue of
     ManifestTable's ``open(manifest-<v>.json)``, and their content has
     to reach ``spark.read.parquet`` as driver strings anyway).  Data
-    rows never take this path."""
+    rows never take this path.  Results are cached per (path, size,
+    mtime) — manifests are immutable, so the key is exact."""
     jvm = spark._jvm
     out: list[dict] = []
     for path in paths:
+        st = os.stat(path)
+        key = (os.path.abspath(path), st.st_size, st.st_mtime)
+        hit = _AVRO_CACHE.get(key)
+        if hit is not None:
+            out.extend(hit)
+            continue
         reader = jvm.org.apache.avro.file.DataFileReader(
             jvm.java.io.File(path),
             jvm.org.apache.avro.generic.GenericDatumReader(),
         )
+        recs: list[dict] = []
         try:
             while reader.hasNext():
-                out.append(_java_to_py(jvm, reader.next()))
+                recs.append(_java_to_py(jvm, reader.next()))
         finally:
             reader.close()
+        if len(_AVRO_CACHE) >= _AVRO_CACHE_MAX:
+            _AVRO_CACHE.pop(next(iter(_AVRO_CACHE)))
+        _AVRO_CACHE[key] = recs
+        out.extend(recs)
     return out
 
 
