@@ -348,6 +348,11 @@ register(
     lake.iceberg_change_feed,
     lake._iceberg_change_feed_oracle_sql,
 )
+register(
+    "streaming_delta_commits",
+    streaming_jobs.streaming_delta_commits,
+    streaming_jobs._streaming_delta_commits_sql,
+)
 register("semdedup_prune", llm.semdedup_prune, llm.ORACLES["semdedup_prune"])
 register("dedup_graph_triangles", llm.dedup_graph_triangles, llm.ORACLES["dedup_graph_triangles"])
 
@@ -383,6 +388,7 @@ _R7_STALE_R2 = [
 _NEW_R7 = [
     "iceberg_change_feed",
     "delta_column_mapping_read",
+    "streaming_delta_commits",
 ]
 
 # Newest driver row is r3; ordered most load-bearing first (flagship

@@ -2031,3 +2031,111 @@ def _streaming_lake_rollup_sql() -> str:
     ]
     rows = [(r[0], r[1], r[4], r[5]) for r in lake_rollup_rows()]
     return _values_sql(cols, rows) + ' ORDER BY "unique_id"'
+
+
+# ---------------------------------------------------------------- D24
+# Streaming ingestion of a DELTA COMMIT LOG (the F-family bridge meets
+# the D-family): a writer keeps appending _delta_log/<v>.json commits;
+# a downstream consumer should absorb each commit's action summary as
+# it lands — the change-data-capture entry point for a lake table —
+# instead of re-replaying the log.
+
+
+def streaming_delta_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the Delta fixture's ``_delta_log`` (one
+    row per action LINE, ``maxFilesPerTrigger=1`` → a forced 3-batch
+    drain so each commit arrives alone), the commit VERSION recovered
+    from ``_metadata.file_path`` (the log's one filename-encoded fact),
+    actions parsed with an explicit narrow schema, rolled up per
+    version in complete mode: adds, removes, whether the commit carries
+    metaData/protocol, and the distinct partitions its adds touch.
+    Merge-associative aggregates only, so the converged table equals
+    the batch truth under any batch planning.
+
+    Scale shape: state is one row per commit version (metadata
+    cardinality); a real table's log is O(commits), and
+    maxFilesPerTrigger bounds per-batch listing — the same incremental
+    posture as D23's manifest-lake ingestion, now over the EXTERNAL
+    format every lakehouse writer emits."""
+    prep(spark)
+    from ..plans.lake import DELTA_DIR, ensure_lake_fixtures
+
+    ensure_lake_fixtures()
+    action_schema = (
+        "add struct<path:string, partitionValues:map<string,string>>, "
+        "remove struct<path:string>, "
+        "metaData struct<id:string>, "
+        "protocol struct<minReaderVersion:int>"
+    )
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.json")
+        .text(str(DELTA_DIR / "_delta_log"))
+    )
+    acts = (
+        stream.filter(F.length(F.trim(F.col("value"))) > 0)
+        .select(
+            F.regexp_extract(
+                F.col("_metadata.file_path"), r"(\d+)\.json$", 1
+            ).cast("long").alias("version"),
+            F.from_json("value", action_schema).alias("a"),
+        )
+    )
+    agg = acts.groupBy("version").agg(
+        F.count(F.col("a.add.path")).alias("n_adds"),
+        F.count(F.col("a.remove.path")).alias("n_removes"),
+        F.count(F.col("a.metaData.id")).alias("n_metadata"),
+        F.count(F.col("a.protocol.minReaderVersion")).alias("n_protocol"),
+        # streaming forbids DISTINCT aggregates; a collect_set IS
+        # merge-associative and its size is the distinct count — state
+        # bounded by the partition-value domain, fine at partition
+        # cardinality (it would NOT be fine over an unbounded domain)
+        F.size(
+            F.collect_set(F.col("a.add.partitionValues")["year"])
+        ).cast("long").alias("n_partitions_touched"),
+    )
+    return _run_to_memory(agg, "stream_delta_commits", "complete").orderBy(
+        "version"
+    )
+
+
+def _streaming_delta_commits_sql() -> str:
+    """Independent stdlib replay of the same log: count the action
+    kinds per commit file directly from the JSON lines."""
+    import json as _json
+
+    from ..oracles import _values_sql
+    from ..plans.lake import DELTA_DIR, ensure_lake_fixtures
+
+    ensure_lake_fixtures()
+    log = DELTA_DIR / "_delta_log"
+    rows = []
+    for p in sorted(log.glob("*.json")):
+        v = int(p.stem)
+        n_adds = n_removes = n_meta = n_proto = 0
+        parts = set()
+        for line in p.read_text().splitlines():
+            if not line.strip():
+                continue
+            a = _json.loads(line)
+            if "add" in a:
+                n_adds += 1
+                y = (a["add"].get("partitionValues") or {}).get("year")
+                if y is not None:
+                    parts.add(y)
+            elif "remove" in a:
+                n_removes += 1
+            elif "metaData" in a:
+                n_meta += 1
+            elif "protocol" in a:
+                n_proto += 1
+        rows.append((v, n_adds, n_removes, n_meta, n_proto, len(parts)))
+    cols = [
+        ("version", "BIGINT"),
+        ("n_adds", "BIGINT"),
+        ("n_removes", "BIGINT"),
+        ("n_metadata", "BIGINT"),
+        ("n_protocol", "BIGINT"),
+        ("n_partitions_touched", "BIGINT"),
+    ]
+    return _values_sql(cols, rows) + ' ORDER BY "version"'
