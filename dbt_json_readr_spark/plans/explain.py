@@ -85,3 +85,30 @@ def scan_read_schema(df: DataFrame, table: str) -> str:
             if "ReadSchema:" in follow:
                 return follow.split("ReadSchema:", 1)[1].strip()
     return ""
+
+
+def live_parquet_scan_count(df: DataFrame) -> int:
+    """Number of parquet scans the execution will ACTUALLY run.
+
+    The formatted explain prints, inside every InMemoryRelation, the
+    stored REBUILD plan for that cache entry — including its parquet
+    scan — so a regex over the text over-counts whenever a result
+    reuses a cache entry pinned by an earlier operator in the session
+    (r7: semdedup_prune's Lloyd centroids being legitimately reused by
+    embedding_kmeans made the text show 2 scans while the execution
+    reads parquet zero times).  The JVM physical-plan tree stops at
+    InMemoryTableScan, so traversing it counts only live scans; the
+    AQE wrapper is unwrapped explicitly (it is a leaf node whose real
+    plan hangs off executedPlan)."""
+
+    def walk(node) -> int:
+        cls = node.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            return walk(node.executedPlan())
+        n = 1 if cls == "FileSourceScanExec" else 0
+        cs = node.children()
+        for i in range(cs.length()):
+            n += walk(cs.apply(i))
+        return n
+
+    return walk(df._jdf.queryExecution().executedPlan())  # type: ignore[attr-defined]

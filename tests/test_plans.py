@@ -158,15 +158,17 @@ def test_kmeans_single_scan_and_bounded_cache(spark):
     handles pinned — without the cache discipline the 2-iteration
     lineage re-derives everything from the scan (measured 9 scans / 60
     exchanges)."""
-    import re
-
     from dbt_json_readr_spark.plans import llm
-    from dbt_json_readr_spark.plans.explain import formatted_plan
+    from dbt_json_readr_spark.plans.explain import live_parquet_scan_count
 
     before = spark.sparkContext._jsc.getPersistentRDDs().size()
     df = llm.embedding_kmeans(spark, SF)
-    plan = formatted_plan(df)
-    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M))
+    # JVM-tree count, NOT a regex over the formatted text: the text
+    # prints each InMemoryRelation's stored rebuild plan (scan
+    # included), which over-counts when this result legitimately reuses
+    # a cache entry pinned by an earlier Lloyd caller in the session
+    # (order-dependent false positive, r7)
+    n_scans = live_parquet_scan_count(df)
     assert n_scans <= 1, f"kmeans re-scans the corpus: {n_scans} scans"
     after = spark.sparkContext._jsc.getPersistentRDDs().size()
     assert after - before <= 2, f"cache leak: {after - before} pinned handles"
