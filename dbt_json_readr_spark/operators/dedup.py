@@ -698,24 +698,34 @@ def candidate_degree_cap(
     actually lost partners.  Deterministic (partner-id order is total)
     so a SQL oracle replays it with a row_number window.
 
-    Nomination is a TWO-STAGE bounded top-k aggregate, not a window
-    sort (r6 VERDICT item 5: the row_number formulation totally sorted
+    Nomination is a TWO-STAGE top-k aggregate, not a window sort
+    (r6 VERDICT item 5: the row_number formulation totally sorted
     the full 2×-pair directed set per doc partition and cost 479.9 s
     of sf10's 658.7 s verify).  Stage 1 keys on (doc, input-partition)
-    so the hash aggregate completes map-side and the exchange carries
-    at most ``cap`` partner ids per (doc, partition) instead of the
-    doc's full degree; stage 2 merges the per-partition top-ks —
-    any globally-top-cap partner is within the top cap of its own
-    partition, so the merge is lossless (classic two-phase top-k)."""
+    and slices each group to its ``cap`` smallest partners; stage 2
+    merges the per-partition top-ks — any globally-top-cap partner is
+    within the top cap of its own partition, so the merge is lossless
+    (classic two-phase top-k).  NOTE the exchange is NOT size-bounded:
+    slice/array_sort are final-projection expressions, so the partial
+    collect_list buffers crossing stage 1's exchange still carry each
+    doc's full per-partition degree (total bytes ≈ the directed set
+    itself, grouped into arrays — no blowup, but no reduction either).
+    The measured 2× sf10 win comes from replacing the per-doc TOTAL
+    sort with per-group array sorts of already-complete groups."""
     # the candidate set feeds FOUR subtrees here (nomination, kept
     # semi-join, dropped anti-join, degree evidence) and the caller's
     # overlap-count joins after that — without a pin each one replays
     # the whole LSH bucket join upstream.  Rows are two longs (~16 B);
     # even sf10's 159M pre-cap candidates fit MEMORY_AND_DISK
     # comfortably (same pattern as the auto-gated verify path above).
+    # rotate_cached bounds live handles to one per session slot — a
+    # bare persist leaked one pinned entry per distinct input (caught
+    # by the r7 close review: the hypothesis property test alone calls
+    # this with dozens of distinct graphs in one session).
     from pyspark import StorageLevel
 
     cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+    rotate_cached("degree_cap_cand", [cand])
     directed = cand.select(
         F.col("doc_a").alias("doc"), F.col("doc_b").alias("partner")
     ).unionAll(cand.select(F.col("doc_b"), F.col("doc_a")))

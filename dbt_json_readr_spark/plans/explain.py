@@ -105,7 +105,30 @@ def live_parquet_scan_count(df: DataFrame) -> int:
         cls = node.getClass().getSimpleName()
         if cls == "AdaptiveSparkPlanExec":
             return walk(node.executedPlan())
+        if cls.endswith("QueryStageExec"):
+            # AQE stage wrappers are LEAVES whose real subtree hangs
+            # off .plan() — treating them as scan-free undercounted
+            # every scan below an exchange once AQE re-planned
+            # (r7 close review).
+            return walk(node.plan())
+        if cls == "InMemoryTableScanExec":
+            # a cache entry whose buffers are not yet materialized WILL
+            # run its stored rebuild plan (incl. its scans) on first
+            # action; only a loaded entry truly stops the traversal.
+            try:
+                loaded = (
+                    node.relation().cacheBuilder().isCachedColumnBuffersLoaded()
+                )
+            except Exception:
+                loaded = True
+            return 0 if loaded else walk(node.relation().cachedPlan())
         n = 1 if cls == "FileSourceScanExec" else 0
+        try:
+            subs = node.subqueries()
+            for i in range(subs.length()):
+                n += walk(subs.apply(i))
+        except Exception:
+            pass
         cs = node.children()
         for i in range(cs.length()):
             n += walk(cs.apply(i))

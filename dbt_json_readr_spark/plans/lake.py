@@ -1037,6 +1037,18 @@ def iceberg_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_rows",
                 )
             )
+    if not outs:
+        # an empty feed over a table WITH snapshots means the entry
+        # ownership metadata never matched any snapshot — gate loudly
+        # instead of returning a silently-empty diff (r7 close review;
+        # snapshot_id inheritance in iceberg_snapshot_entries is the
+        # usual missing piece for external writers).
+        from ..sources.lakeformats import LakeFormatGatedError
+
+        raise LakeFormatGatedError(
+            "iceberg_change_feed matched no manifest entries to any "
+            "snapshot — entry snapshot_id/inheritance metadata absent?"
+        )
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)

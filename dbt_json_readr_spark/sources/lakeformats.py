@@ -80,12 +80,30 @@ class _DeltaState:
         self.physical_names: dict[str, str] = {}
 
     def check_protocol(self, p: dict) -> None:
-        if p.get("minReaderVersion", 1) >= 3:
-            feats = set(p.get("readerFeatures") or [])
-            unsupported = feats - _SUPPORTED_READER_FEATURES
+        v = p.get("minReaderVersion", 1)
+        if v > 3:
+            # a future reader protocol's requirements are NOT expressed
+            # through the readerFeatures list this bridge knows — only
+            # exactly-3 is feature-gated; anything newer gates whole
+            # (r7 close review: `>= 3` silently read protocol-4 tables).
+            raise LakeFormatGatedError(
+                f"Delta reader protocol {v} is newer than this bridge "
+                "understands (max 3 with columnMapping)"
+            )
+        if v == 3:
+            feats = p.get("readerFeatures")
+            if feats is None:
+                # protocol 3 REQUIRES readerFeatures (Delta PROTOCOL.md
+                # table-features section); absence means a malformed or
+                # future-shaped log — gate, don't guess.
+                raise LakeFormatGatedError(
+                    "Delta reader protocol 3 without a readerFeatures "
+                    "list — malformed table-features log"
+                )
+            unsupported = set(feats) - _SUPPORTED_READER_FEATURES
             if unsupported:
                 raise LakeFormatGatedError(
-                    f"Delta reader protocol {p['minReaderVersion']} with "
+                    f"Delta reader protocol {v} with "
                     f"unsupported reader features {sorted(unsupported)} — "
                     "this bridge implements columnMapping only (no "
                     "deletion vectors / v2 checkpoints)"
@@ -641,13 +659,28 @@ def iceberg_snapshot_entries(
     out = []
     for m in _read_avro_records(spark, mlist):
         is_delete_manifest = int(m.get("content") or 0) == 1
+        # Iceberg metadata INHERITANCE (spec "Sequence Number
+        # Inheritance" / manifest-entry field notes): an entry's
+        # snapshot_id and (for ADDED entries) sequence numbers are
+        # optional in the manifest and inherited from the manifest
+        # list's added_snapshot_id / sequence_number when null.  Real
+        # writers rely on this — fast appends never rewrite entries —
+        # so without it every entry reads as ownerless and a change
+        # feed comes back silently empty (r7 close review).
+        inh_sid = m.get("added_snapshot_id")
+        inh_seq = m.get("sequence_number")
         for e in _read_avro_records(spark, _resolve(m["manifest_path"], table_root)):
             d = e["data_file"]
+            sid = e.get("snapshot_id")
+            if sid is None:
+                sid = inh_sid
             seq = e.get("sequence_number")
+            if seq is None and int(e.get("status") or 0) == 1:
+                seq = inh_seq
             out.append(
                 {
                     "status": int(e.get("status") or 0),
-                    "snapshot_id": e.get("snapshot_id"),
+                    "snapshot_id": None if sid is None else int(sid),
                     "sequence_number": None if seq is None else int(seq),
                     "is_delete_manifest": is_delete_manifest,
                     "content": int(d.get("content") or 0),
@@ -847,11 +880,18 @@ def manifest_to_delta_log(manifest: dict, table_path: str) -> None:
     finding)."""
     log = Path(table_path) / "_delta_log"
     log.mkdir(parents=True, exist_ok=True)
-    existing = sorted(p.name for p in log.glob("*.json"))
+    # ANY prior log artifact counts, not just *.json commits: a
+    # retention-expired table can hold only N.checkpoint.parquet +
+    # _last_checkpoint, and splicing a new commit 0 under that
+    # checkpoint is exactly the corruption this guard exists to stop
+    # (r7 close review tightened the r6-advice *.json-only glob).
+    existing = sorted(
+        p.name for p in log.iterdir() if not p.name.endswith(".tmp")
+    )
     if existing:
         raise LakeFormatError(
-            f"{log} already contains Delta commits ({existing[0]}..."
-            f"{existing[-1]}) — refusing to overwrite commit 0 of an "
+            f"{log} already contains Delta log artifacts ({existing[0]}..."
+            f"{existing[-1]}) — refusing to write commit 0 into an "
             "existing table; export to a fresh directory"
         )
     pcol = manifest.get("partition_by")
