@@ -1394,3 +1394,162 @@ def test_iceberg_bridge_reads_spec_appendix_shaped_metadata(tmp_path):
     assert info["schema"]["measurement"].dataType.precision == 9
     assert not info["schema"]["id"].nullable
     assert info["field_names_by_id"] == {1: "id", 2: "data", 3: "measurement"}
+
+
+def test_iceberg_entry_inheritance_from_manifest_list(spark, tmp_path):
+    """Iceberg metadata inheritance (spec: manifest-entry snapshot_id /
+    sequence numbers are optional and inherited from the manifest
+    list's added_snapshot_id / sequence_number when null).  Real fast
+    appends write entries exactly this way — before the r7 close
+    review every such entry read as ownerless (snapshot_id None), the
+    change feed silently skipped it, and an all-null table crashed
+    instead of gating."""
+    import json
+
+    from dbt_json_readr_spark.sources import lakeformats as LF
+
+    meta_dir = tmp_path / "metadata"
+    meta_dir.mkdir(parents=True)
+    manifest_schema = json.dumps(
+        {
+            "type": "record",
+            "name": "manifest_entry",
+            "fields": [
+                {"name": "status", "type": "int"},
+                {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+                {"name": "sequence_number", "type": ["null", "long"], "default": None},
+                {
+                    "name": "data_file",
+                    "type": {
+                        "type": "record",
+                        "name": "r2",
+                        "fields": [
+                            {"name": "content", "type": "int"},
+                            {"name": "file_path", "type": "string"},
+                            {"name": "file_format", "type": "string"},
+                            {"name": "record_count", "type": "long"},
+                        ],
+                    },
+                },
+            ],
+        }
+    )
+    mlist_schema = json.dumps(
+        {
+            "type": "record",
+            "name": "manifest_file",
+            "fields": [
+                {"name": "manifest_path", "type": "string"},
+                {"name": "manifest_length", "type": "long"},
+                {"name": "content", "type": "int"},
+                {"name": "added_snapshot_id", "type": ["null", "long"], "default": None},
+                {"name": "sequence_number", "type": ["null", "long"], "default": None},
+            ],
+        }
+    )
+    # fast-append style: ADDED entry with BOTH inheritable fields null,
+    # plus an EXISTING entry whose explicit ids must NOT be overwritten
+    LF.write_avro_records(
+        spark,
+        str(meta_dir / "m-77.avro"),
+        manifest_schema,
+        [
+            {
+                "status": 1,
+                "snapshot_id": None,
+                "sequence_number": None,
+                "data_file": {
+                    "content": 0,
+                    "file_path": "data/new.parquet",
+                    "file_format": "PARQUET",
+                    "record_count": 5,
+                },
+            },
+            {
+                "status": 0,
+                "snapshot_id": 42,
+                "sequence_number": 3,
+                "data_file": {
+                    "content": 0,
+                    "file_path": "data/old.parquet",
+                    "file_format": "PARQUET",
+                    "record_count": 7,
+                },
+            },
+        ],
+    )
+    LF.write_avro_records(
+        spark,
+        str(meta_dir / "snap-77.avro"),
+        mlist_schema,
+        [
+            {
+                "manifest_path": "metadata/m-77.avro",
+                "manifest_length": 0,
+                "content": 0,
+                "added_snapshot_id": 77,
+                "sequence_number": 9,
+            }
+        ],
+    )
+    (meta_dir / "v1.metadata.json").write_text(
+        json.dumps(
+            {
+                "format-version": 2,
+                "location": str(tmp_path),
+                "current-snapshot-id": 77,
+                "schemas": [
+                    {
+                        "type": "struct",
+                        "schema-id": 0,
+                        "fields": [
+                            {"id": 1, "name": "id", "required": False, "type": "long"}
+                        ],
+                    }
+                ],
+                "current-schema-id": 0,
+                "snapshots": [
+                    {
+                        "snapshot-id": 77,
+                        "sequence-number": 9,
+                        "timestamp-ms": 0,
+                        "manifest-list": "metadata/snap-77.avro",
+                        "summary": {"operation": "append"},
+                    }
+                ],
+            }
+        )
+    )
+
+    entries = LF.iceberg_snapshot_entries(
+        spark, str(meta_dir / "v1.metadata.json"), 77
+    )
+    by_path = {e["rel_path"]: e for e in entries}
+    added = by_path["data/new.parquet"]
+    assert added["snapshot_id"] == 77  # inherited from added_snapshot_id
+    assert added["sequence_number"] == 9  # inherited (status 1 only)
+    existing = by_path["data/old.parquet"]
+    assert existing["snapshot_id"] == 42  # explicit ids win
+    assert existing["sequence_number"] == 3
+
+
+def test_delta_protocol_gate_future_and_featureless():
+    """Protocol gate edges (r7 close review): a reader version NEWER
+    than 3 must gate whole — its requirements are not expressed via the
+    readerFeatures list this bridge knows — and a protocol-3 log
+    WITHOUT a readerFeatures list is malformed, not feature-free."""
+    import pytest
+
+    from dbt_json_readr_spark.sources.lakeformats import (
+        LakeFormatGatedError,
+        _DeltaState,
+    )
+
+    st = _DeltaState()
+    with pytest.raises(LakeFormatGatedError, match="newer"):
+        st.check_protocol({"minReaderVersion": 4, "readerFeatures": []})
+    with pytest.raises(LakeFormatGatedError, match="without a readerFeatures"):
+        st.check_protocol({"minReaderVersion": 3})
+    # exactly-3 with only supported features passes
+    st.check_protocol({"minReaderVersion": 3, "readerFeatures": ["columnMapping"]})
+    st.check_protocol({"minReaderVersion": 1})
