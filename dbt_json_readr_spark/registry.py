@@ -443,8 +443,15 @@ _STALE_R3 = [
     "lineitem_zorder_layout",
     "lineitem_runlength_audit",
     "zone_map_skipping_audit",
-    "q16_supplier_part_types_lite",
+    "q16_supplier_part_types",
 ]
+
+# every backlog name must resolve — a typo here is harmless until the
+# rotation pulls it into the window, where _gate_ordered's assert would
+# crash queries() for the whole driver run (r7: a stale "_lite" suffix
+# sat one rotation away from exactly that).
+for _k in _R7_STALE_R2 + _STALE_R3:
+    assert _k in _REGISTRY, f"gate backlog references unknown key: {_k}"
 
 _GATE_PRIORITY = (
     _R7_STALE_R2
