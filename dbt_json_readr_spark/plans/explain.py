@@ -101,6 +101,8 @@ def live_parquet_scan_count(df: DataFrame) -> int:
     AQE wrapper is unwrapped explicitly (it is a leaf node whose real
     plan hangs off executedPlan)."""
 
+    seen_caches: set[int] = set()
+
     def walk(node) -> int:
         cls = node.getClass().getSimpleName()
         if cls == "AdaptiveSparkPlanExec":
@@ -116,12 +118,33 @@ def live_parquet_scan_count(df: DataFrame) -> int:
             # run its stored rebuild plan (incl. its scans) on first
             # action; only a loaded entry truly stops the traversal.
             try:
-                loaded = (
-                    node.relation().cacheBuilder().isCachedColumnBuffersLoaded()
-                )
+                builder = node.relation().cacheBuilder()
+                loaded = builder.isCachedColumnBuffersLoaded()
             except Exception:
-                loaded = True
-            return 0 if loaded else walk(node.relation().cachedPlan())
+                # probe degraded (Spark API drift): fall back to the
+                # old loaded-assumption, but LOUDLY — a silent default
+                # turns every <=N-scan regression guard into a
+                # vacuous pass.
+                import warnings
+
+                warnings.warn(
+                    "live_parquet_scan_count: cache-materialization "
+                    "probe failed; treating InMemoryTableScan as "
+                    "loaded (may undercount)",
+                    stacklevel=2,
+                )
+                return 0
+            if loaded:
+                return 0
+            # the same unloaded relation referenced from several
+            # subtrees builds its buffers ONCE on first action — count
+            # its rebuild scans once, not per reference (case-class
+            # hashCode identifies the builder across proxies).
+            key = builder.hashCode()
+            if key in seen_caches:
+                return 0
+            seen_caches.add(key)
+            return walk(node.relation().cachedPlan())
         n = 1 if cls == "FileSourceScanExec" else 0
         try:
             subs = node.subqueries()

@@ -1043,9 +1043,7 @@ def iceberg_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         # instead of returning a silently-empty diff (r7 close review;
         # snapshot_id inheritance in iceberg_snapshot_entries is the
         # usual missing piece for external writers).
-        from ..sources.lakeformats import LakeFormatGatedError
-
-        raise LakeFormatGatedError(
+        raise LF.LakeFormatGatedError(
             "iceberg_change_feed matched no manifest entries to any "
             "snapshot — entry snapshot_id/inheritance metadata absent?"
         )

@@ -446,26 +446,29 @@ _STALE_R3 = [
     "q16_supplier_part_types",
 ]
 
-# every backlog name must resolve — a typo here is harmless until the
-# rotation pulls it into the window, where _gate_ordered's assert would
-# crash queries() for the whole driver run (r7: a stale "_lite" suffix
-# sat one rotation away from exactly that).
-for _k in _R7_STALE_R2 + _STALE_R3:
-    assert _k in _REGISTRY, f"gate backlog references unknown key: {_k}"
+# every gate-list name must resolve — a typo is harmless until the
+# rotation pulls it into the window, where the _gate_ordered check
+# would crash queries() for the whole driver run (r7: a stale "_lite"
+# suffix sat one rotation away from exactly that); _NEW_R7 is included
+# because its old tolerant `if k in _REGISTRY` filter silently DROPPED
+# a mistyped new key from the window instead of failing.  Explicit
+# raise, not assert: python -O strips asserts and would resurrect the
+# crash-one-rotation-later failure mode.
+for _k in _R7_STALE_R2 + _NEW_R7 + _STALE_R3:
+    if _k not in _REGISTRY:
+        raise RuntimeError(f"gate list references unknown key: {_k}")
 
-_GATE_PRIORITY = (
-    _R7_STALE_R2
-    + [k for k in _NEW_R7 if k in _REGISTRY]
-    + _STALE_R3
-)[:GATE_WINDOW]
+_GATE_PRIORITY = (_R7_STALE_R2 + _NEW_R7 + _STALE_R3)[:GATE_WINDOW]
 # VERDICT r6 item 1 names these as required r7 gate rows; pin them.
 for _k in _R7_STALE_R2:
-    assert _k in _GATE_PRIORITY, f"required r7 gate slot lost: {_k}"
+    if _k not in _GATE_PRIORITY:
+        raise RuntimeError(f"required r7 gate slot lost: {_k}")
 
 
 def _gate_ordered() -> dict[str, tuple[QueryFn, str | None]]:
     missing = [k for k in _GATE_PRIORITY if k not in _REGISTRY]
-    assert not missing, f"_GATE_PRIORITY references unknown keys: {missing}"
+    if missing:
+        raise RuntimeError(f"_GATE_PRIORITY references unknown keys: {missing}")
     ordered = {k: _REGISTRY[k] for k in _GATE_PRIORITY}
     ordered.update((k, v) for k, v in _REGISTRY.items() if k not in ordered)
     return ordered

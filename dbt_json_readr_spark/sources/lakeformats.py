@@ -684,6 +684,10 @@ def iceberg_snapshot_entries(
                     "sequence_number": None if seq is None else int(seq),
                     "is_delete_manifest": is_delete_manifest,
                     "content": int(d.get("content") or 0),
+                    # the data read's malformed-metadata gate needs to
+                    # know whether content was WRITTEN or defaulted
+                    "content_explicit": d.get("content") is not None,
+                    "equality_ids": d.get("equality_ids"),
                     "path": _resolve(d["file_path"], table_root),
                     "rel_path": d["file_path"],
                     "file_format": str(d.get("file_format", "PARQUET")).upper(),
@@ -724,45 +728,46 @@ def read_iceberg_snapshot(
             "org.apache.spark:spark-avro) is not on this classpath. Snapshot "
             f"metadata itself resolved fine: {snap['snapshot-id']}"
         )
-    table_root = os.path.dirname(os.path.dirname(os.path.abspath(metadata_path)))
-    mlist = _resolve(snap["manifest-list"], table_root)
+    # ONE manifest walk shared with the change feed — the r7 close
+    # review found the data path's duplicate walk skipped the spec's
+    # snapshot_id / sequence-number inheritance, so a fast-append table
+    # (null entry seqs, inherited from the manifest list) wrongly gated
+    # on "data files lack sequence numbers" and position deletes lost
+    # their sequence bound.
     data_files: dict[str, int | None] = {}  # path -> sequence_number
     pos_delete_files: list[tuple[str, int | None]] = []  # (path, seq)
     eq_deletes: list[tuple[str, int, list[int]]] = []  # (path, seq, field ids)
-    for m in _read_avro_records(spark, mlist):
-        is_delete_manifest = int(m.get("content") or 0) == 1
-        for e in _read_avro_records(spark, _resolve(m["manifest_path"], table_root)):
-            if int(e.get("status") or 0) == 2:  # DELETED entry
-                continue
-            d = e["data_file"]
-            content = int(d.get("content") or 0)
-            if str(d.get("file_format", "PARQUET")).upper() != "PARQUET":
-                raise LakeFormatError(f"non-parquet data file: {d}")
-            path = _resolve(d["file_path"], table_root)
-            seq = e.get("sequence_number")
-            if is_delete_manifest and d.get("content") is None:
+    for e in iceberg_snapshot_entries(spark, metadata_path, snapshot_id):
+        if e["status"] == 2:  # DELETED entry
+            continue
+        content = e["content"]
+        if e["file_format"] != "PARQUET":
+            raise LakeFormatError(f"non-parquet data file: {e['rel_path']}")
+        path = e["path"]
+        seq = e["sequence_number"]
+        if e["is_delete_manifest"] and not e["content_explicit"]:
+            raise LakeFormatGatedError(
+                "delete-manifest entry without data_file.content — "
+                "cannot distinguish position from equality deletes; "
+                f"refusing: {e['rel_path']}"
+            )
+        if content == 1:
+            pos_delete_files.append((path, seq))
+        elif e["is_delete_manifest"] and content == 0:
+            raise LakeFormatGatedError(
+                "delete-manifest entry declares content=0 (data); "
+                f"malformed metadata, refusing: {e['rel_path']}"
+            )
+        elif content == 2:
+            eq_ids = e["equality_ids"]
+            if not eq_ids or seq is None:
                 raise LakeFormatGatedError(
-                    "delete-manifest entry without data_file.content — "
-                    "cannot distinguish position from equality deletes; "
-                    f"refusing: {d.get('file_path')}"
+                    "equality delete without equality_ids/sequence_number "
+                    "— cannot be applied correctly"
                 )
-            if content == 1:
-                pos_delete_files.append((path, None if seq is None else int(seq)))
-            elif is_delete_manifest and content == 0:
-                raise LakeFormatGatedError(
-                    "delete-manifest entry declares content=0 (data); "
-                    f"malformed metadata, refusing: {d.get('file_path')}"
-                )
-            elif content == 2:
-                eq_ids = d.get("equality_ids")
-                if not eq_ids or seq is None:
-                    raise LakeFormatGatedError(
-                        "equality delete without equality_ids/sequence_number "
-                        "— cannot be applied correctly"
-                    )
-                eq_deletes.append((path, int(seq), [int(i) for i in eq_ids]))
-            else:
-                data_files[path] = None if seq is None else int(seq)
+            eq_deletes.append((path, seq, [int(i) for i in eq_ids]))
+        else:
+            data_files[path] = seq
     if not data_files:
         return spark.createDataFrame([], info["schema"])
     cols = [f.name for f in info["schema"].fields]

@@ -1532,6 +1532,102 @@ def test_iceberg_entry_inheritance_from_manifest_list(spark, tmp_path):
     assert existing["snapshot_id"] == 42  # explicit ids win
     assert existing["sequence_number"] == 3
 
+    # the DATA-read path shares the same walk (r7 second close review:
+    # its duplicate walk skipped inheritance, so a fast-append table
+    # wrongly gated on "data files lack sequence numbers" once any
+    # equality delete was present) — an eq delete with an INHERITED
+    # sequence number must apply against the inherited-seq data file.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    (tmp_path / "data").mkdir()
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2, 3], pa.int64())}),
+        tmp_path / "data" / "new.parquet",
+    )
+    pq.write_table(
+        pa.table({"id": pa.array([10, 11], pa.int64())}),
+        tmp_path / "data" / "old.parquet",
+    )
+    pq.write_table(
+        pa.table({"id": pa.array([2], pa.int64())}),
+        tmp_path / "data" / "eqdel.parquet",
+    )
+    eq_schema = json.loads(manifest_schema)
+    eq_schema["fields"][3]["type"]["name"] = "r2eq"
+    eq_schema["fields"][3]["type"]["fields"].append(
+        {
+            "name": "equality_ids",
+            "type": ["null", {"type": "array", "items": "int"}],
+            "default": None,
+        }
+    )
+    LF.write_avro_records(
+        spark,
+        str(meta_dir / "dm-77.avro"),
+        json.dumps(eq_schema),
+        [
+            {
+                "status": 1,
+                "snapshot_id": None,
+                # null → inherits seq 10 from the delete manifest's
+                # list row; eq deletes apply to data files with seq <
+                # the delete's, so inherited 10 beats the data's 9
+                "sequence_number": None,
+                "data_file": {
+                    "content": 2,
+                    "file_path": "data/eqdel.parquet",
+                    "file_format": "PARQUET",
+                    "record_count": 1,
+                    "equality_ids": [1],
+                },
+            }
+        ],
+    )
+    mlist2 = json.loads(mlist_schema)
+    LF.write_avro_records(
+        spark,
+        str(meta_dir / "snap-78.avro"),
+        json.dumps(mlist2),
+        [
+            {
+                "manifest_path": "metadata/m-77.avro",
+                "manifest_length": 0,
+                "content": 0,
+                "added_snapshot_id": 77,
+                "sequence_number": 9,
+            },
+            {
+                "manifest_path": "metadata/dm-77.avro",
+                "manifest_length": 0,
+                "content": 1,
+                "added_snapshot_id": 78,
+                "sequence_number": 10,
+            },
+        ],
+    )
+    meta2 = json.loads((meta_dir / "v1.metadata.json").read_text())
+    meta2["current-snapshot-id"] = 78
+    meta2["snapshots"].append(
+        {
+            "snapshot-id": 78,
+            "sequence-number": 10,
+            "timestamp-ms": 0,
+            "manifest-list": "metadata/snap-78.avro",
+            "summary": {"operation": "delete"},
+        }
+    )
+    (meta_dir / "v2.metadata.json").write_text(json.dumps(meta2))
+
+    got = sorted(
+        r["id"]
+        for r in LF.read_iceberg_snapshot(
+            spark, str(meta_dir / "v2.metadata.json"), 78
+        ).collect()
+    )
+    # id=2 equality-deleted (delete seq 10 > data seq 9); the rest live
+    assert got == [1, 3, 10, 11]
+
 
 def test_delta_protocol_gate_future_and_featureless():
     """Protocol gate edges (r7 close review): a reader version NEWER
