@@ -697,6 +697,86 @@ def iceberg_snapshot_entries(
     return out
 
 
+def _parquet_field_names_by_id(path: str) -> dict[int, str]:
+    """Top-level field-id → physical column name from a parquet footer
+    (pyarrow, O(metadata), driver-side — the same footer an Iceberg
+    reader consults at task setup).  Empty when the file carries no
+    field ids (non-Iceberg writer / imported files)."""
+    import pyarrow.parquet as pq
+
+    out: dict[int, str] = {}
+    for f in pq.read_schema(path):
+        fid = (f.metadata or {}).get(b"PARQUET:field_id")
+        if fid is not None:
+            out[int(fid)] = f.name
+    return out
+
+
+def _iceberg_grouped_read(
+    spark: SparkSession, files: list[str], info: dict, with_meta: bool
+) -> DataFrame:
+    """Read data files with FIELD-ID column resolution — the Iceberg
+    spec's rule (names are mutable; ids are identity).  A renamed
+    column's data files keep the OLD parquet name, so a name-based read
+    silently null-fills the renamed column; here each file's footer ids
+    are compared to the snapshot schema's ids and files are grouped by
+    their physical→logical rename mapping, each group scanned with its
+    physical names and projected back to logical ones (the same
+    metadata-only move as Delta column mapping, F5).  Files without
+    field ids keep the name-based read (today's schema-evolution
+    semantics: absent columns read as NULL).  Footer probing is one
+    driver-side O(metadata) read per file — the planning cost every
+    Iceberg reader pays; group count is bounded by distinct historical
+    schemas, so the union stays shallow."""
+    logical_by_id = info["field_names_by_id"]
+    schema: T.StructType = info["schema"]
+    groups: dict[tuple, list[str]] = {}
+    for p in files:
+        fids = _parquet_field_names_by_id(p)
+        remap = tuple(
+            sorted(
+                (phys, logical_by_id[fid])
+                for fid, phys in fids.items()
+                if fid in logical_by_id and logical_by_id[fid] != phys
+            )
+        )
+        groups.setdefault(remap, []).append(p)
+    norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+    dfs = []
+    for remap, fs in sorted(groups.items()):
+        inv = {log: phys for phys, log in remap}
+        read_names = [inv.get(f.name, f.name) for f in schema.fields]
+        if len(set(read_names)) != len(read_names):
+            # pathological rename/reuse: a schema field absent from
+            # these files shares its NAME with a renamed column's
+            # physical name — a name-keyed scan schema cannot express
+            # that; gate rather than guess
+            raise LakeFormatGatedError(
+                f"field-id rename mapping collides on physical names "
+                f"{sorted(read_names)} for files {fs[:2]}..."
+            )
+        read_schema = T.StructType(
+            [
+                T.StructField(n, f.dataType, f.nullable)
+                for n, f in zip(read_names, schema.fields)
+            ]
+        )
+        df = spark.read.schema(read_schema).parquet(*sorted(fs))
+        sel = [
+            F.col(inv.get(f.name, f.name)).alias(f.name) for f in schema.fields
+        ]
+        if with_meta:
+            sel += [
+                norm(F.col("_metadata.file_path")).alias("__fp"),
+                F.col("_metadata.row_index").alias("__pos"),
+            ]
+        dfs.append(df.select(*sel))
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
 def read_iceberg_snapshot(
     spark: SparkSession, metadata_path: str, snapshot_id: int | None = None
 ) -> DataFrame:
@@ -775,16 +855,20 @@ def read_iceberg_snapshot(
         raise LakeFormatGatedError(
             "equality deletes present but data files lack sequence numbers"
         )
-    data = spark.read.schema(info["schema"]).parquet(*sorted(data_files))
+    # field-id column resolution + (when deletes apply) the normalized
+    # file-path / row-index metadata columns, attached per scan group
+    data = _iceberg_grouped_read(
+        spark,
+        sorted(data_files),
+        info,
+        with_meta=bool(pos_delete_files or eq_deletes),
+    )
     if not pos_delete_files and not eq_deletes:
         return data
-    # Normalize URIs (file:///x vs /x) before any file_path comparison.
+    # Normalize URIs (file:///x vs /x) before any file_path comparison
+    # (delete-file paths; the data side is normalized in the grouped
+    # read's __fp projection).
     norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
-    data = data.select(
-        *cols,
-        norm(F.col("_metadata.file_path")).alias("__fp"),
-        F.col("_metadata.row_index").alias("__pos"),
-    )
     # Iceberg v2 scopes a position delete to data files whose sequence
     # number is <= the delete file's (r6 advice finding); the bound is
     # applied whenever both sides carry sequence numbers.  A v2 table

@@ -1649,3 +1649,170 @@ def test_delta_protocol_gate_future_and_featureless():
     # exactly-3 with only supported features passes
     st.check_protocol({"minReaderVersion": 3, "readerFeatures": ["columnMapping"]})
     st.check_protocol({"minReaderVersion": 1})
+
+
+def test_iceberg_field_id_rename_resolution(spark, tmp_path):
+    """Iceberg resolves columns by FIELD ID, not name (spec): after a
+    rename, data files keep the OLD parquet column name and only the
+    schema's name changes.  A name-based read silently null-fills the
+    renamed column; the grouped field-id read must return the real
+    values under the new name.  A second file WITHOUT field ids pins
+    the fallback: name-based schema evolution (absent column → NULL)."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dbt_json_readr_spark.sources import lakeformats as LF
+
+    meta_dir = tmp_path / "metadata"
+    meta_dir.mkdir(parents=True)
+    (tmp_path / "data").mkdir()
+    # old file: columns carry field ids; "amount" was later renamed
+    pq.write_table(
+        pa.table(
+            {"id": pa.array([1, 2], pa.int64()), "amount": pa.array([10.0, 20.0])},
+            schema=pa.schema(
+                [
+                    pa.field("id", pa.int64(), metadata={b"PARQUET:field_id": b"1"}),
+                    pa.field(
+                        "amount", pa.float64(), metadata={b"PARQUET:field_id": b"2"}
+                    ),
+                ]
+            ),
+        ),
+        tmp_path / "data" / "old-name.parquet",
+    )
+    # new file: written post-rename, current name, with ids
+    pq.write_table(
+        pa.table(
+            {"id": pa.array([3], pa.int64()), "revenue": pa.array([30.0])},
+            schema=pa.schema(
+                [
+                    pa.field("id", pa.int64(), metadata={b"PARQUET:field_id": b"1"}),
+                    pa.field(
+                        "revenue", pa.float64(), metadata={b"PARQUET:field_id": b"2"}
+                    ),
+                ]
+            ),
+        ),
+        tmp_path / "data" / "new-name.parquet",
+    )
+    # id-less file (imported/non-Iceberg writer): name-based fallback,
+    # its missing "revenue" column evolves to NULL
+    pq.write_table(
+        pa.table({"id": pa.array([4], pa.int64())}),
+        tmp_path / "data" / "no-ids.parquet",
+    )
+    manifest_schema = json.dumps(
+        {
+            "type": "record",
+            "name": "manifest_entry",
+            "fields": [
+                {"name": "status", "type": "int"},
+                {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+                {"name": "sequence_number", "type": ["null", "long"], "default": None},
+                {
+                    "name": "data_file",
+                    "type": {
+                        "type": "record",
+                        "name": "r2",
+                        "fields": [
+                            {"name": "content", "type": "int"},
+                            {"name": "file_path", "type": "string"},
+                            {"name": "file_format", "type": "string"},
+                            {"name": "record_count", "type": "long"},
+                        ],
+                    },
+                },
+            ],
+        }
+    )
+    mlist_schema = json.dumps(
+        {
+            "type": "record",
+            "name": "manifest_file",
+            "fields": [
+                {"name": "manifest_path", "type": "string"},
+                {"name": "manifest_length", "type": "long"},
+                {"name": "content", "type": "int"},
+                {"name": "added_snapshot_id", "type": ["null", "long"], "default": None},
+            ],
+        }
+    )
+    LF.write_avro_records(
+        spark,
+        str(meta_dir / "m-5.avro"),
+        manifest_schema,
+        [
+            {
+                "status": 1,
+                "snapshot_id": 5,
+                "sequence_number": 1,
+                "data_file": {
+                    "content": 0,
+                    "file_path": f"data/{n}.parquet",
+                    "file_format": "PARQUET",
+                    "record_count": 1,
+                },
+            }
+            for n in ("old-name", "new-name", "no-ids")
+        ],
+    )
+    LF.write_avro_records(
+        spark,
+        str(meta_dir / "snap-5.avro"),
+        mlist_schema,
+        [
+            {
+                "manifest_path": "metadata/m-5.avro",
+                "manifest_length": 0,
+                "content": 0,
+                "added_snapshot_id": 5,
+            }
+        ],
+    )
+    (meta_dir / "v1.metadata.json").write_text(
+        json.dumps(
+            {
+                "format-version": 2,
+                "location": str(tmp_path),
+                "current-snapshot-id": 5,
+                "current-schema-id": 1,
+                "schemas": [
+                    {
+                        "type": "struct",
+                        "schema-id": 1,
+                        "fields": [
+                            {"id": 1, "name": "id", "required": False, "type": "long"},
+                            {
+                                "id": 2,
+                                "name": "revenue",  # renamed from "amount"
+                                "required": False,
+                                "type": "double",
+                            },
+                        ],
+                    }
+                ],
+                "snapshots": [
+                    {
+                        "snapshot-id": 5,
+                        "sequence-number": 1,
+                        "timestamp-ms": 0,
+                        "manifest-list": "metadata/snap-5.avro",
+                        "summary": {"operation": "append"},
+                    }
+                ],
+            }
+        )
+    )
+
+    rows = {
+        r["id"]: r["revenue"]
+        for r in LF.read_iceberg_snapshot(
+            spark, str(meta_dir / "v1.metadata.json"), 5
+        ).collect()
+    }
+    # pre-rename file values surface under the NEW name (field-id map);
+    # post-rename file reads plain; id-less file evolves to NULL
+    assert rows == {1: 10.0, 2: 20.0, 3: 30.0, 4: None}
