@@ -25,9 +25,10 @@ from ..sources import lakeformats as LF
 FIXTURE_ROOT = Path(__file__).resolve().parents[2] / "tests" / "fixtures" / "lake"
 DELTA_DIR = FIXTURE_ROOT / "delta_sales"
 DELTA_CM_DIR = FIXTURE_ROOT / "delta_cm_orders"
+DELTA_DV_DIR = FIXTURE_ROOT / "delta_dv_events"
 ICEBERG_DIR = FIXTURE_ROOT / "iceberg_sales"
 ICEBERG_META = ICEBERG_DIR / "metadata" / "v3.metadata.json"
-_VERSION = "6"
+_VERSION = "7"
 
 # ------------------------------------------------------- fixtures
 
@@ -167,6 +168,32 @@ _DELTA_CM_COMMITS: list[list[dict]] = [
     ],
 ]
 
+# --- deletion-vector Delta fixture (r7) ---
+# Unpartitioned table, protocol 3 + deletionVectors.  Commit 1 puts a
+# 'u'-storage DV on fa (UUID-named bin file under a prefix dir, the
+# shape production writers emit); commit 2 puts an INLINE ('i') DV on
+# fb.  Both are remove+re-add of the same data file — a DV update
+# never rewrites data.  v0 must time-travel to the undeleted rows.
+_DV_SCHEMA_STRING = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": False, "metadata": {}},
+            {"name": "v", "type": "long", "nullable": True, "metadata": {}},
+        ],
+    }
+)
+# file → ids (v = id*7); positions are row indexes within the file
+_DV_FILES = {
+    "fa.parquet": list(range(1, 11)),
+    "fb.parquet": list(range(11, 21)),
+    "fc.parquet": list(range(21, 31)),
+}
+_DV_DELETES = {"fa.parquet": [0, 3], "fb.parquet": [5]}
+# deterministic UUID for the 'u'-storage DV file (fixture stability)
+_DV_UUID_HEX = "8d7f31c4b2a6401e9f0c5b3d7a291e46"
+_DV_PREFIX = "dv"
+
 _ICEBERG_METADATA = {
     "format-version": 2,
     "table-uuid": "0f6d7b1c-iceberg-fixture",
@@ -304,6 +331,100 @@ def ensure_lake_fixtures(root: Path | str = FIXTURE_ROOT) -> Path:
         cm_log.mkdir(parents=True)
         for v, actions in enumerate(_DELTA_CM_COMMITS):
             (cm_log / f"{v:020d}.json").write_text(
+                "\n".join(json.dumps(a, sort_keys=True) for a in actions) + "\n"
+            )
+        import uuid as _uuid
+
+        from ..sources import roaring
+
+        dv = tmp / DELTA_DV_DIR.name
+        dv.mkdir(parents=True)
+        for rel, ids in _DV_FILES.items():
+            pq.write_table(
+                pa.table(
+                    {
+                        "id": pa.array(ids, pa.int64()),
+                        "v": pa.array([i * 7 for i in ids], pa.int64()),
+                    }
+                ),
+                dv / rel,
+            )
+        uid = _uuid.UUID(_DV_UUID_HEX)
+        (dv / _DV_PREFIX).mkdir()
+        ((offset, size, card),) = roaring.write_dv_file(
+            str(dv / _DV_PREFIX / f"deletion_vector_{uid}.bin"),
+            [_DV_DELETES["fa.parquet"]],
+        )
+        inline_body, inline_size, inline_card = roaring.encode_inline(
+            _DV_DELETES["fb.parquet"]
+        )
+        dv_commits: list[list[dict]] = [
+            [
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["deletionVectors"],
+                        "writerFeatures": ["deletionVectors"],
+                    }
+                },
+                {
+                    "metaData": {
+                        "id": "2c8e4f1a-delta-dv-fixture",
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": _DV_SCHEMA_STRING,
+                        "partitionColumns": [],
+                        "configuration": {},
+                    }
+                },
+            ]
+            + [
+                {"add": {"path": rel, "partitionValues": {}, "size": 0, "modificationTime": 0, "dataChange": True}}
+                for rel in sorted(_DV_FILES)
+            ],
+            [
+                {"remove": {"path": "fa.parquet", "dataChange": True}},
+                {
+                    "add": {
+                        "path": "fa.parquet",
+                        "partitionValues": {},
+                        "size": 0,
+                        "modificationTime": 0,
+                        "dataChange": False,
+                        "deletionVector": {
+                            "storageType": "u",
+                            "pathOrInlineDv": _DV_PREFIX
+                            + roaring.z85_encode(uid.bytes),
+                            "offset": offset,
+                            "sizeInBytes": size,
+                            "cardinality": card,
+                        },
+                    }
+                },
+            ],
+            [
+                {"remove": {"path": "fb.parquet", "dataChange": True}},
+                {
+                    "add": {
+                        "path": "fb.parquet",
+                        "partitionValues": {},
+                        "size": 0,
+                        "modificationTime": 0,
+                        "dataChange": False,
+                        "deletionVector": {
+                            "storageType": "i",
+                            "pathOrInlineDv": inline_body,
+                            "sizeInBytes": inline_size,
+                            "cardinality": inline_card,
+                        },
+                    }
+                },
+            ],
+        ]
+        dv_log = dv / "_delta_log"
+        dv_log.mkdir(parents=True)
+        for v, actions in enumerate(dv_commits):
+            (dv_log / f"{v:020d}.json").write_text(
                 "\n".join(json.dumps(a, sort_keys=True) for a in actions) + "\n"
             )
         iceberg = tmp / ICEBERG_DIR.name
@@ -496,6 +617,67 @@ SELECT snapshot_version, region,
 FROM rows_all
 GROUP BY snapshot_version, region
 ORDER BY snapshot_version, region
+"""
+
+
+# ------------------------------------------------------- F7 key
+
+
+def delta_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the deletion-vector Delta fixture at v0 (no DVs — all 30
+    rows) and at the latest snapshot (a 'u'-storage UUID-file DV on fa
+    and an inline Z85 DV on fb — PROTOCOL.md's two main storage types,
+    decoded from the public RoaringBitmap portable format by
+    sources/roaring.py and applied as a distributed
+    (_metadata.file_path, row_index) anti-join).  A reader that
+    ignores DVs returns resurrected rows and fails the hash; one that
+    mis-decodes them trips the magic / size / CRC / cardinality
+    gates."""
+    prep(spark)
+    ensure_lake_fixtures()
+    outs = []
+    for label, ver in (("v0", 0), ("latest", None)):
+        df = LF.read_delta_snapshot(spark, str(DELTA_DV_DIR), version=ver)
+        outs.append(
+            df.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("id").cast("long").alias("sum_id"),
+                F.sum("v").cast("long").alias("sum_v"),
+            ).select(F.lit(label).alias("snapshot"), "*")
+        )
+    return outs[0].unionByName(outs[1]).orderBy("snapshot")
+
+
+def _delta_dv_oracle_sql() -> str:
+    """Authoring-spec replay: the fixture dicts say which row POSITIONS
+    each DV removes; DuckDB re-reads the same parquet with
+    file_row_number and excludes exactly those — fully independent of
+    the roaring decoder under test."""
+    ensure_lake_fixtures()
+    full, kept = [], []
+    for rel in sorted(_DV_FILES):
+        f = (DELTA_DV_DIR / rel).as_posix()
+        full.append(
+            f"SELECT id, v FROM read_parquet('{f}')"
+        )
+        dropped = _DV_DELETES.get(rel)
+        if dropped:
+            cond = ", ".join(str(p) for p in dropped)
+            kept.append(
+                f"SELECT id, v FROM read_parquet('{f}', "
+                f"file_row_number=true) WHERE file_row_number NOT IN ({cond})"
+            )
+        else:
+            kept.append(f"SELECT id, v FROM read_parquet('{f}')")
+    return f"""
+WITH v0 AS ({" UNION ALL ".join(full)}), latest AS ({" UNION ALL ".join(kept)})
+SELECT 'v0' AS snapshot, count(*) AS n_rows,
+       CAST(sum(id) AS BIGINT) AS sum_id, CAST(sum(v) AS BIGINT) AS sum_v
+FROM v0
+UNION ALL
+SELECT 'latest', count(*), CAST(sum(id) AS BIGINT), CAST(sum(v) AS BIGINT)
+FROM latest
+ORDER BY snapshot
 """
 
 

@@ -348,6 +348,7 @@ register(
     lake.iceberg_change_feed,
     lake._iceberg_change_feed_oracle_sql,
 )
+register("delta_dv_read", lake.delta_dv_read, lake._delta_dv_oracle_sql)
 register(
     "streaming_delta_commits",
     streaming_jobs.streaming_delta_commits,
@@ -389,6 +390,7 @@ _NEW_R7 = [
     "iceberg_change_feed",
     "delta_column_mapping_read",
     "streaming_delta_commits",
+    "delta_dv_read",
 ]
 
 # Newest driver row is r3; ordered most load-bearing first (flagship

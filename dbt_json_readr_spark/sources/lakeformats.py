@@ -65,9 +65,9 @@ def _delta_log_dir(table_path: str) -> Path:
 
 
 # reader protocol-3 table features this bridge actually implements;
-# anything else in readerFeatures gates loudly (deletionVectors,
-# v2Checkpoint, timestampNtz...)
-_SUPPORTED_READER_FEATURES = {"columnMapping"}
+# anything else in readerFeatures gates loudly (v2Checkpoint,
+# timestampNtz...)
+_SUPPORTED_READER_FEATURES = {"columnMapping", "deletionVectors"}
 
 
 class _DeltaState:
@@ -152,7 +152,14 @@ class _DeltaState:
         pv = a.get("partitionValues") or {}
         if not isinstance(pv, dict):  # pyarrow map → list of (k, v)
             pv = dict(pv)
-        self.files[a["path"]] = {"path": a["path"], "partitionValues": pv}
+        dv = a.get("deletionVector")
+        if isinstance(dv, dict) and not dv.get("storageType"):
+            dv = None  # checkpoint parquet yields all-None structs
+        self.files[a["path"]] = {
+            "path": a["path"],
+            "partitionValues": pv,
+            "deletionVector": dv,
+        }
 
     def remove(self, path: str) -> None:
         self.files.pop(path, None)
@@ -270,6 +277,64 @@ def delta_snapshot(table_path: str, version: int | None = None) -> dict:
     }
 
 
+def _dv_positions(table_path: str, desc: dict) -> list[int]:
+    """Resolve one deletion-vector descriptor to its sorted 64-bit row
+    indexes (driver-side metadata, like Iceberg position deletes).
+    Storage types per PROTOCOL.md: ``i`` inline (Z85 of the blob),
+    ``u`` UUID-relative (optional prefix + Z85 of the 16-byte UUID →
+    ``<prefix>/deletion_vector_<uuid>.bin``), ``p`` absolute path.
+    The decoded cardinality must equal the descriptor's — a decode that
+    'works' but disagrees with the log is corrupt, not usable."""
+    import uuid as _uuid
+
+    from . import roaring
+
+    st = desc.get("storageType")
+    body = desc.get("pathOrInlineDv") or ""
+    try:
+        if st == "i":
+            # Z85 encodes 4-byte groups, so writers zero-pad the blob
+            # and sizeInBytes records the TRUE length — decode, check
+            # the padding is consistent, then truncate.
+            blob = roaring.z85_decode(body)
+            want = int(desc["sizeInBytes"])
+            if not (want <= len(blob) < want + 4):
+                raise roaring.DeletionVectorError(
+                    f"inline DV decodes to {len(blob)} bytes, descriptor "
+                    f"says sizeInBytes {want} (padding may be ≤3 bytes)"
+                )
+            positions = roaring.decode_dv_blob(blob[:want])
+        elif st in ("u", "p"):
+            if st == "u":
+                if len(body) < 20:
+                    raise roaring.DeletionVectorError(
+                        f"'u' pathOrInlineDv too short for a z85 UUID: {body!r}"
+                    )
+                prefix, z85_uuid = body[:-20], body[-20:]
+                uid = _uuid.UUID(bytes=roaring.z85_decode(z85_uuid))
+                fpath = os.path.join(
+                    table_path, prefix, f"deletion_vector_{uid}.bin"
+                )
+            else:
+                fpath = _resolve(body, table_path)
+            positions = roaring.read_dv_from_file(
+                fpath, int(desc["offset"]), int(desc["sizeInBytes"])
+            )
+        else:
+            raise LakeFormatGatedError(
+                f"unknown deletion-vector storageType {st!r}"
+            )
+    except roaring.DeletionVectorError as e:
+        raise LakeFormatError(f"deletion vector unreadable: {e}") from e
+    if len(positions) != int(desc["cardinality"]):
+        raise LakeFormatError(
+            f"deletion vector decoded {len(positions)} positions but the "
+            f"log's descriptor says cardinality {desc['cardinality']} — "
+            "refusing a delete set that disagrees with the commit"
+        )
+    return positions
+
+
 def read_delta_snapshot(
     spark: SparkSession, table_path: str, version: int | None = None
 ) -> DataFrame:
@@ -293,6 +358,24 @@ def read_delta_snapshot(
     pname = lambda c: phys.get(c, c)  # noqa: E731
     if not snap["files"]:
         return spark.createDataFrame([], schema)
+    # deletion vectors (r7): resolve each file's DV to row indexes
+    # driver-side (metadata scale), then anti-join on the scan's hidden
+    # (_metadata.file_path, row_index) — the same distributed shape as
+    # Iceberg position deletes; the data itself never round-trips.
+    dv_map: dict[str, list[int]] = {}
+    for f in snap["files"]:
+        if f.get("deletionVector"):
+            p = os.path.abspath(os.path.join(table_path, f["path"]))
+            dv_map[p] = _dv_positions(table_path, f["deletionVector"])
+    norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+    meta_sel = (
+        [
+            norm(F.col("_metadata.file_path")).alias("__fp"),
+            F.col("_metadata.row_index").alias("__pos"),
+        ]
+        if dv_map
+        else []
+    )
     if not pcols:
         read_schema = T.StructType(
             [
@@ -303,11 +386,12 @@ def read_delta_snapshot(
         df = spark.read.schema(read_schema).parquet(
             *[os.path.join(table_path, f["path"]) for f in snap["files"]]
         )
-        if not phys:
-            return df
-        return df.select(
-            *[F.col(pname(f.name)).alias(f.name) for f in schema.fields]
-        )
+        if phys or dv_map:
+            df = df.select(
+                *[F.col(pname(f.name)).alias(f.name) for f in schema.fields],
+                *meta_sel,
+            )
+        return _apply_dv(spark, df, dv_map, schema)
     data_schema = T.StructType(
         [
             T.StructField(pname(f.name), f.dataType, f.nullable)
@@ -322,6 +406,9 @@ def read_delta_snapshot(
             pv.get(pname(c), pv.get(c)) for c in pcols
         )
         groups.setdefault(key, []).append(os.path.join(table_path, f["path"]))
+    out_names = [f.name for f in schema.fields] + (
+        ["__fp", "__pos"] if dv_map else []
+    )
     parts = []
     # None-safe ordering: nullable partition columns write
     # partitionValues of null (Hive default partition)
@@ -329,21 +416,48 @@ def read_delta_snapshot(
         groups.items(), key=lambda kv: tuple((v is None, v) for v in kv[0])
     ):
         part = spark.read.schema(data_schema).parquet(*paths)
-        if phys:
+        if phys or dv_map:
+            # metadata columns resolve against the scan relation — take
+            # them in the FIRST projection, before partition withColumns
             part = part.select(
                 *[
                     F.col(pname(f.name)).alias(f.name)
                     for f in schema.fields
                     if f.name not in pcols
-                ]
+                ],
+                *meta_sel,
             )
         for c, val in zip(pcols, key):
             part = part.withColumn(c, F.lit(val).cast(schema[c].dataType))
-        parts.append(part.select(*[f.name for f in schema.fields]))
+        parts.append(part.select(*out_names))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    return _apply_dv(spark, out, dv_map, schema)
+
+
+def _apply_dv(
+    spark: SparkSession,
+    out: DataFrame,
+    dv_map: dict[str, list[int]],
+    schema: T.StructType,
+) -> DataFrame:
+    """Anti-join the union of per-file deletion-vector positions; no
+    broadcast hint — AQE broadcasts small delete sets from measured
+    size and shuffles genuinely large ones (same posture as the
+    Iceberg equality-delete join)."""
+    if not dv_map:
+        return out
+    import pandas as pd
+
+    rows = [(p, int(pos)) for p, poss in dv_map.items() for pos in poss]
+    dels = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["__fp", "__pos"]),
+        schema="__fp string, __pos long",
+    )
+    return out.join(dels, ["__fp", "__pos"], "left_anti").select(
+        *[f.name for f in schema.fields]
+    )
 
 
 def delta_to_manifest(table_path: str, version: int | None = None) -> dict:
@@ -358,6 +472,15 @@ def delta_to_manifest(table_path: str, version: int | None = None) -> dict:
         raise LakeFormatGatedError(
             "ManifestTable models at most one partition column; "
             f"Delta table has {pcols}"
+        )
+    dv_files = [f["path"] for f in snap["files"] if f.get("deletionVector")]
+    if dv_files:
+        # a manifest is a FILE list — exporting one would silently
+        # resurrect every DV-deleted row in downstream tooling
+        raise LakeFormatGatedError(
+            "snapshot carries deletion vectors on "
+            f"{len(dv_files)} file(s) (e.g. {dv_files[0]}); ManifestTable "
+            "cannot express row-level deletes — compact first"
         )
     return {
         "version": snap["version"],

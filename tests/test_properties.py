@@ -849,3 +849,23 @@ def test_delta_snapshot_matches_independent_replay(case, tmp_path_factory):
         }
     else:
         assert snap["column_mapping_mode"] == "none"
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=(1 << 40) - 1),
+        max_size=400,
+    ),
+    st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_roaring_dv_blob_roundtrip(positions, dense):
+    """encode → decode recovers any position set exactly; the dense
+    flag appends a >4096-entry block so bitmap containers (not just
+    array containers) are exercised."""
+    from dbt_json_readr_spark.sources import roaring as R
+
+    if dense:
+        positions = positions + list(range(100000, 105000))
+    blob = R.encode_dv_blob(positions)
+    assert R.decode_dv_blob(blob) == sorted(set(positions))

@@ -778,14 +778,15 @@ def test_delta_bridge_gates_and_time_travel(spark, tmp_path):
     assert {f["partition"] for f in m["files"]} == {"2024", "2025"}
     assert m["schema"]["type"] == "struct"
 
-    # reader-protocol 3 gates loudly
-    t = tmp_path / "dv_table"
+    # reader-protocol 3 with an UNIMPLEMENTED feature gates loudly
+    # (deletionVectors and columnMapping are implemented and pass)
+    t = tmp_path / "v2ck_table"
     (t / "_delta_log").mkdir(parents=True)
     (t / "_delta_log" / f"{0:020d}.json").write_text(
-        json.dumps({"protocol": {"minReaderVersion": 3, "readerFeatures": ["deletionVectors"]}})
+        json.dumps({"protocol": {"minReaderVersion": 3, "readerFeatures": ["v2Checkpoint"]}})
         + "\n"
     )
-    with pytest.raises(LF.LakeFormatGatedError, match="deletionVectors"):
+    with pytest.raises(LF.LakeFormatGatedError, match="v2Checkpoint"):
         LF.delta_snapshot(str(t))
 
     # non-Delta dir is a plain error
@@ -1816,3 +1817,86 @@ def test_iceberg_field_id_rename_resolution(spark, tmp_path):
     # pre-rename file values surface under the NEW name (field-id map);
     # post-rename file reads plain; id-less file evolves to NULL
     assert rows == {1: 10.0, 2: 20.0, 3: 30.0, 4: None}
+
+
+def test_roaring_decode_spec_vectors():
+    """Hand-built blobs per the PUBLIC formats (independent of the
+    module's own encoder): RoaringFormatSpec portable cookies 12346
+    (array container, with offsets) and 12347 (run container, no
+    offsets under 4 containers), delta-io's 64-bit bucket framing, and
+    the Z85 test vector from ZeroMQ RFC 32."""
+    import struct
+
+    from dbt_json_readr_spark.sources import roaring as R
+
+    # array container under high bucket 0
+    hand = struct.pack("<iq", R.MAGIC, 1) + struct.pack("<i", 0)
+    hand += struct.pack("<ii", 12346, 1) + struct.pack("<HH", 0, 2)
+    hand += struct.pack("<i", 16)
+    hand += struct.pack("<3H", 1, 2, 7)
+    assert R.decode_dv_blob(hand) == [1, 2, 7]
+
+    # run container [10..14] in 16-bit key 3 under high bucket 2
+    hand = struct.pack("<iq", R.MAGIC, 1) + struct.pack("<i", 2)
+    hand += struct.pack("<i", 12347 | (0 << 16))
+    hand += b"\x01"
+    hand += struct.pack("<HH", 3, 4)
+    hand += struct.pack("<H", 1) + struct.pack("<HH", 10, 4)
+    assert R.decode_dv_blob(hand) == [
+        (2 << 32) | ((3 << 16) + v) for v in range(10, 15)
+    ]
+
+    # ZeroMQ RFC 32 Z85 test vector
+    assert R.z85_decode("HelloWorld") == bytes.fromhex("864FD26FB559F75B")
+    assert R.z85_encode(bytes.fromhex("864FD26FB559F75B")) == "HelloWorld"
+
+    # wrong magic gates loudly
+    import pytest
+
+    bad = struct.pack("<iq", 99, 0)
+    with pytest.raises(R.DeletionVectorError, match="magic"):
+        R.decode_dv_blob(bad)
+
+
+def test_delta_deletion_vectors_read_and_gates(spark, tmp_path):
+    """The DV fixture reads correctly at both snapshots (u-storage and
+    inline DVs applied; v0 time-travels to the undeleted rows), a
+    cardinality that disagrees with the log gates, and the
+    ManifestTable export refuses a DV-bearing snapshot instead of
+    silently resurrecting deleted rows."""
+    import json
+
+    import pytest
+
+    from dbt_json_readr_spark.plans import lake as LP
+    from dbt_json_readr_spark.sources import lakeformats as LF
+
+    LP.ensure_lake_fixtures()
+    cur = LF.read_delta_snapshot(spark, str(LP.DELTA_DV_DIR))
+    ids = sorted(r["id"] for r in cur.collect())
+    gone = {pos + 1 for pos in LP._DV_DELETES["fa.parquet"]} | {
+        pos + 11 for pos in LP._DV_DELETES["fb.parquet"]
+    }
+    assert ids == sorted(set(range(1, 31)) - gone)
+    v0 = LF.read_delta_snapshot(spark, str(LP.DELTA_DV_DIR), 0)
+    assert v0.count() == 30
+
+    with pytest.raises(LF.LakeFormatGatedError, match="deletion vectors"):
+        LF.delta_to_manifest(str(LP.DELTA_DV_DIR))
+
+    # corrupt cardinality: copy the table, bump the descriptor
+    import shutil
+
+    t = tmp_path / "bad_dv"
+    shutil.copytree(LP.DELTA_DV_DIR, t)
+    log = t / "_delta_log"
+    lines = (log / f"{1:020d}.json").read_text().splitlines()
+    out = []
+    for ln in lines:
+        a = json.loads(ln)
+        if "add" in a and a["add"].get("deletionVector"):
+            a["add"]["deletionVector"]["cardinality"] += 1
+        out.append(json.dumps(a))
+    (log / f"{1:020d}.json").write_text("\n".join(out) + "\n")
+    with pytest.raises(LF.LakeFormatError, match="cardinality"):
+        LF.read_delta_snapshot(spark, str(t))
