@@ -13,10 +13,13 @@ Scope is explicit and loud:
 - Delta: checkpoint-parquet state (pyarrow, driver-side — r6) seeds the
   file set when ``_last_checkpoint`` covers the target version, with
   later JSON commits replayed on top; a fully-retained JSON log replays
-  from 0.  Time travel BEHIND the retained log gates loudly (that
-  history is vacuumed), as do deletion vectors / column mapping
-  (reader protocol ≥ 3 features this bridge must not silently
-  mis-read).
+  from 0.  Column mapping mode 'name' and DELETION VECTORS (r7) are
+  implemented — DV positions decode driver-side (sources/roaring.py,
+  magic/size/CRC/cardinality all validated) and apply as a distributed
+  (_metadata.file_path, row_index) anti-join.  Time travel BEHIND the
+  retained log gates loudly (that history is vacuumed), as do mapping
+  mode 'id', nested mapped columns, and any other reader-protocol-3
+  feature (v2Checkpoint, timestampNtz, ...).
 - Iceberg: metadata.json parse (snapshot lineage, schema translation to
   Spark types, current-snapshot resolution) is full-fidelity; the DATA
   path walks the avro manifest list with the avro-core container
@@ -55,6 +58,13 @@ class LakeFormatGatedError(LakeFormatError):
 
 
 # ------------------------------------------------------------- Delta
+
+
+def _norm_uri(c):
+    """Normalize Spark's file-URI rendering (file:///x vs /x) before
+    any ``_metadata.file_path`` comparison — one definition so the
+    Delta and Iceberg paths can never silently diverge."""
+    return F.regexp_replace(c, "^file:/+", "/")
 
 
 def _delta_log_dir(table_path: str) -> Path:
@@ -105,8 +115,8 @@ class _DeltaState:
                 raise LakeFormatGatedError(
                     f"Delta reader protocol {v} with "
                     f"unsupported reader features {sorted(unsupported)} — "
-                    "this bridge implements columnMapping only (no "
-                    "deletion vectors / v2 checkpoints)"
+                    "this bridge implements "
+                    f"{sorted(_SUPPORTED_READER_FEATURES)} only"
                 )
 
     def meta(self, md: dict) -> None:
@@ -252,6 +262,15 @@ def delta_snapshot(table_path: str, version: int | None = None) -> dict:
             f"missing JSON commits {missing} between checkpoint and {version}"
         )
     for v in needed:
+        # A commit's actions are a SET, not a sequence: the protocol's
+        # reconciliation keys file actions by (path, dvId) and puts no
+        # meaning on JSON line order, and a DV update is remove(path) +
+        # add(path, dv) in ONE commit — replaying add-then-remove
+        # line-by-line would drop the file entirely (silent data loss,
+        # r7 third-review finding).  Apply removes before adds within
+        # each commit so the re-add always wins.
+        adds: list[dict] = []
+        removes: list[str] = []
         with open(log / f"{v:020d}.json") as f:
             for line in f:
                 if not line.strip():
@@ -262,9 +281,15 @@ def delta_snapshot(table_path: str, version: int | None = None) -> dict:
                 elif "metaData" in action:
                     state.meta(action["metaData"])
                 elif "add" in action:
-                    state.add(action["add"])
+                    adds.append(action["add"])
                 elif "remove" in action:
-                    state.remove(action["remove"]["path"])
+                    removes.append(action["remove"]["path"])
+        re_added = {a["path"] for a in adds}
+        for path in removes:
+            if path not in re_added:
+                state.remove(path)
+        for a in adds:
+            state.add(a)
     if state.schema is None:
         raise LakeFormatError(f"no metaData action in Delta log: {table_path}")
     return {
@@ -363,11 +388,13 @@ def read_delta_snapshot(
     # (_metadata.file_path, row_index) — the same distributed shape as
     # Iceberg position deletes; the data itself never round-trips.
     dv_map: dict[str, list[int]] = {}
+    all_paths: list[str] = []
     for f in snap["files"]:
+        ap = os.path.abspath(os.path.join(table_path, f["path"]))
+        all_paths.append(ap)
         if f.get("deletionVector"):
-            p = os.path.abspath(os.path.join(table_path, f["path"]))
-            dv_map[p] = _dv_positions(table_path, f["deletionVector"])
-    norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+            dv_map[ap] = _dv_positions(table_path, f["deletionVector"])
+    norm = _norm_uri
     meta_sel = (
         [
             norm(F.col("_metadata.file_path")).alias("__fp"),
@@ -391,7 +418,7 @@ def read_delta_snapshot(
                 *[F.col(pname(f.name)).alias(f.name) for f in schema.fields],
                 *meta_sel,
             )
-        return _apply_dv(spark, df, dv_map, schema)
+        return _apply_dv(spark, df, dv_map, schema, all_paths)
     data_schema = T.StructType(
         [
             T.StructField(pname(f.name), f.dataType, f.nullable)
@@ -433,7 +460,7 @@ def read_delta_snapshot(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return _apply_dv(spark, out, dv_map, schema)
+    return _apply_dv(spark, out, dv_map, schema, all_paths)
 
 
 def _apply_dv(
@@ -441,15 +468,42 @@ def _apply_dv(
     out: DataFrame,
     dv_map: dict[str, list[int]],
     schema: T.StructType,
+    all_paths: list[str],
 ) -> DataFrame:
     """Anti-join the union of per-file deletion-vector positions; no
     broadcast hint — AQE broadcasts small delete sets from measured
     size and shuffles genuinely large ones (same posture as the
-    Iceberg equality-delete join)."""
+    Iceberg equality-delete join).
+
+    Guard (r7 third review): if Spark's ``_metadata.file_path``
+    rendering ever diverges from the log-derived paths (percent
+    encoding, exotic schemes), the anti-join would match NOTHING and
+    silently resurrect every deleted row — so every data row must
+    first find its file in the broadcast path map (assert_true folded
+    into a used column, same pattern as the Iceberg seq-map join)."""
     if not dv_map:
         return out
     import pandas as pd
 
+    known = spark.createDataFrame(
+        pd.DataFrame({"__fp": sorted(all_paths)}), schema="__fp string"
+    ).withColumn("__known", F.lit(1))
+    # fold the assertion into __pos — the anti-join KEY — so column
+    # pruning cannot optimize the check away (select-then-drop of a
+    # dedicated flag column would be pruned to nothing)
+    out = out.join(F.broadcast(known), "__fp", "left").withColumn(
+        "__pos",
+        F.when(
+            F.assert_true(
+                F.col("__known").isNotNull(),
+                F.concat(
+                    F.lit("deletion-vector path map has no entry for "),
+                    F.col("__fp"),
+                ),
+            ).isNull(),
+            F.col("__pos"),
+        ),
+    )
     rows = [(p, int(pos)) for p, poss in dv_map.items() for pos in poss]
     dels = spark.createDataFrame(
         pd.DataFrame(rows, columns=["__fp", "__pos"]),
@@ -569,6 +623,30 @@ def iceberg_metadata(metadata_path: str) -> dict:
     return meta
 
 
+def _iceberg_nested_ids(schema_json: dict) -> dict[int, str]:
+    """field-id → name for every NESTED field of an Iceberg schema
+    (struct members, list elements, map keys/values carry ids too)."""
+    out: dict[int, str] = {}
+
+    def walk_type(t) -> None:
+        if not isinstance(t, dict):
+            return
+        kind = t.get("type")
+        if kind == "struct":
+            for f in t.get("fields", []):
+                out[f["id"]] = f["name"]
+                walk_type(f.get("type"))
+        elif kind == "list":
+            walk_type(t.get("element"))
+        elif kind == "map":
+            walk_type(t.get("key"))
+            walk_type(t.get("value"))
+
+    for f in schema_json.get("fields", []):
+        walk_type(f.get("type"))
+    return out
+
+
 def iceberg_snapshot_info(metadata_path: str, snapshot_id: int | None = None) -> dict:
     """Resolve one snapshot (default: current) against metadata.json:
     schema (translated), snapshot row, and lineage depth — everything
@@ -592,9 +670,12 @@ def iceberg_snapshot_info(metadata_path: str, snapshot_id: int | None = None) ->
         "snapshot": snap,
         "schema": iceberg_schema_to_spark(schema_json),
         # Iceberg identifies columns by FIELD ID (equality_ids in delete
-        # files reference these, surviving renames); top-level map only —
-        # nested equality deletes are out of this bridge's scope
+        # files reference these, surviving renames); the top-level map
+        # drives column resolution, the nested map exists so renamed
+        # nested fields GATE instead of silently null-filling (nested
+        # remap / nested equality deletes stay out of scope)
         "field_names_by_id": {f["id"]: f["name"] for f in schema_json["fields"]},
+        "nested_names_by_id": _iceberg_nested_ids(schema_json),
         "lineage_depth": depth,
         "metadata": meta,
     }
@@ -820,19 +901,53 @@ def iceberg_snapshot_entries(
     return out
 
 
-def _parquet_field_names_by_id(path: str) -> dict[int, str]:
-    """Top-level field-id → physical column name from a parquet footer
-    (pyarrow, O(metadata), driver-side — the same footer an Iceberg
-    reader consults at task setup).  Empty when the file carries no
-    field ids (non-Iceberg writer / imported files)."""
+# footer-probe cache keyed by (path, size, mtime) — data files are
+# immutable once committed, and the gated keys + oracle re-verifies
+# read the same snapshot repeatedly (same move as _AVRO_CACHE for
+# manifests).  Bounded FIFO so long sessions over many tables stay
+# flat.
+_FOOTER_CACHE: dict[tuple, tuple[dict, dict]] = {}
+_FOOTER_CACHE_MAX = 4096
+
+
+def _parquet_field_names_by_id(path: str) -> tuple[dict[int, str], dict[int, str]]:
+    """(top-level, nested) field-id → physical name maps from a parquet
+    footer (pyarrow, O(metadata), driver-side — the same footer an
+    Iceberg reader consults at task setup).  Empty when the file
+    carries no field ids (non-Iceberg writer / imported files).  The
+    nested map exists so a renamed nested field can GATE instead of
+    silently null-filling (nested remap is not implemented)."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
-    out: dict[int, str] = {}
-    for f in pq.read_schema(path):
-        fid = (f.metadata or {}).get(b"PARQUET:field_id")
+    st = os.stat(path)
+    key = (path, st.st_size, st.st_mtime_ns)
+    hit = _FOOTER_CACHE.get(key)
+    if hit is not None:
+        return hit
+    top: dict[int, str] = {}
+    nested: dict[int, str] = {}
+
+    def collect(field, is_top: bool) -> None:
+        fid = (field.metadata or {}).get(b"PARQUET:field_id")
         if fid is not None:
-            out[int(fid)] = f.name
-    return out
+            (top if is_top else nested)[int(fid)] = field.name
+        t = field.type
+        if pa.types.is_struct(t):
+            for i in range(t.num_fields):
+                collect(t.field(i), False)
+        elif pa.types.is_list(t) or pa.types.is_large_list(t):
+            collect(t.value_field, False)
+        elif pa.types.is_map(t):
+            collect(t.key_field, False)
+            collect(t.item_field, False)
+
+    for f in pq.read_schema(path):
+        collect(f, True)
+    while len(_FOOTER_CACHE) >= _FOOTER_CACHE_MAX:
+        _FOOTER_CACHE.pop(next(iter(_FOOTER_CACHE)))
+    _FOOTER_CACHE[key] = (top, nested)
+    return top, nested
 
 
 def _iceberg_grouped_read(
@@ -852,10 +967,24 @@ def _iceberg_grouped_read(
     Iceberg reader pays; group count is bounded by distinct historical
     schemas, so the union stays shallow."""
     logical_by_id = info["field_names_by_id"]
+    nested_by_id = info.get("nested_names_by_id") or {}
     schema: T.StructType = info["schema"]
     groups: dict[tuple, list[str]] = {}
     for p in files:
-        fids = _parquet_field_names_by_id(p)
+        fids, nested_fids = _parquet_field_names_by_id(p)
+        renamed_nested = sorted(
+            f"{phys}→{nested_by_id[fid]} (id {fid})"
+            for fid, phys in nested_fids.items()
+            if fid in nested_by_id and nested_by_id[fid] != phys
+        )
+        if renamed_nested:
+            # nested remap is NOT implemented — a name-based read would
+            # silently null-fill the renamed subfield, so gate (the
+            # Delta twin gates nested mapped columns the same way)
+            raise LakeFormatGatedError(
+                f"renamed NESTED field(s) {renamed_nested} in {p} — "
+                "field-id resolution covers top-level columns only"
+            )
         remap = tuple(
             sorted(
                 (phys, logical_by_id[fid])
@@ -864,7 +993,7 @@ def _iceberg_grouped_read(
             )
         )
         groups.setdefault(remap, []).append(p)
-    norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+    norm = _norm_uri
     dfs = []
     for remap, fs in sorted(groups.items()):
         inv = {log: phys for phys, log in remap}
@@ -991,7 +1120,7 @@ def read_iceberg_snapshot(
     # Normalize URIs (file:///x vs /x) before any file_path comparison
     # (delete-file paths; the data side is normalized in the grouped
     # read's __fp projection).
-    norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+    norm = _norm_uri
     # Iceberg v2 scopes a position delete to data files whose sequence
     # number is <= the delete file's (r6 advice finding); the bound is
     # applied whenever both sides carry sequence numbers.  A v2 table

@@ -83,7 +83,9 @@ def z85_encode(data: bytes) -> str:
 def _decode_roaring32(buf: bytes, pos: int) -> tuple[list[int], int]:
     """One standard portable 32-bit roaring bitmap starting at ``pos``;
     returns (sorted values, next position)."""
-    (first,) = struct.unpack_from("<i", buf, pos)
+    # unsigned: a run cookie with ≥0x8000 containers would go negative
+    # under '<i' and arithmetic-shift into a bogus size
+    (first,) = struct.unpack_from("<I", buf, pos)
     pos += 4
     if (first & 0xFFFF) == _SERIAL_COOKIE_RUN:
         size = (first >> 16) + 1
@@ -165,7 +167,9 @@ def _encode_roaring32(values: list[int]) -> bytes:
 def decode_dv_blob(buf: bytes) -> list[int]:
     """Delta DV data blob → sorted 64-bit row indexes.  Layout: int32
     LE magic, int64 LE bucket count, then per bucket int32 LE high key
-    + one portable 32-bit roaring bitmap."""
+    + one portable 32-bit roaring bitmap.  Truncated / corrupt bytes
+    raise DeletionVectorError (never a bare struct.error), so callers
+    gate on one exception class."""
     if len(buf) < 12:
         raise DeletionVectorError(f"DV blob too short ({len(buf)} bytes)")
     (magic,) = struct.unpack_from("<i", buf, 0)
@@ -177,11 +181,14 @@ def decode_dv_blob(buf: bytes) -> list[int]:
     (n_buckets,) = struct.unpack_from("<q", buf, 4)
     pos = 12
     out: list[int] = []
-    for _ in range(n_buckets):
-        (key,) = struct.unpack_from("<i", buf, pos)
-        pos += 4
-        vals, pos = _decode_roaring32(buf, pos)
-        out.extend((key << 32) | v for v in vals)
+    try:
+        for _ in range(n_buckets):
+            (key,) = struct.unpack_from("<i", buf, pos)
+            pos += 4
+            vals, pos = _decode_roaring32(buf, pos)
+            out.extend((key << 32) | v for v in vals)
+    except (struct.error, IndexError) as e:
+        raise DeletionVectorError(f"DV blob truncated/corrupt: {e}") from e
     if pos != len(buf):
         raise DeletionVectorError(
             f"DV blob has {len(buf) - pos} trailing bytes after the bitmap"
@@ -216,7 +223,12 @@ def read_dv_from_file(path: str, offset: int, size_in_bytes: int) -> list[int]:
                 f"DV file format version {version!r} (want 1): {path}"
             )
         f.seek(offset)
-        (size,) = struct.unpack(">i", f.read(4))
+        head = f.read(4)
+        if len(head) != 4:
+            raise DeletionVectorError(
+                f"DV offset {offset} points past EOF in {path}"
+            )
+        (size,) = struct.unpack(">i", head)
         if size != size_in_bytes:
             raise DeletionVectorError(
                 f"DV size prefix {size} != descriptor sizeInBytes "
@@ -225,7 +237,10 @@ def read_dv_from_file(path: str, offset: int, size_in_bytes: int) -> list[int]:
         data = f.read(size)
         if len(data) != size:
             raise DeletionVectorError(f"DV file truncated: {path}")
-        (crc,) = struct.unpack(">i", f.read(4))
+        tail = f.read(4)
+        if len(tail) != 4:
+            raise DeletionVectorError(f"DV checksum truncated: {path}")
+        (crc,) = struct.unpack(">i", tail)
         if crc != zlib.crc32(data) - (1 << 32 if zlib.crc32(data) >= 1 << 31 else 0):
             raise DeletionVectorError(f"DV checksum mismatch in {path}")
     return decode_dv_blob(data)

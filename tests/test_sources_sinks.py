@@ -1900,3 +1900,92 @@ def test_delta_deletion_vectors_read_and_gates(spark, tmp_path):
     (log / f"{1:020d}.json").write_text("\n".join(out) + "\n")
     with pytest.raises(LF.LakeFormatError, match="cardinality"):
         LF.read_delta_snapshot(spark, str(t))
+
+
+def test_delta_commit_action_order_is_immaterial(spark, tmp_path):
+    """PROTOCOL.md treats a commit's actions as a set keyed by
+    (path, dvId) — a DV update serialized add-BEFORE-remove must not
+    drop the file (r7 third review: sequential path-keyed replay lost
+    the whole file, silent data loss)."""
+    import json
+    import shutil
+
+    from dbt_json_readr_spark.plans import lake as LP
+    from dbt_json_readr_spark.sources import lakeformats as LF
+
+    LP.ensure_lake_fixtures()
+    t = tmp_path / "swapped"
+    shutil.copytree(LP.DELTA_DV_DIR, t)
+    log = t / "_delta_log"
+    for v in (1, 2):
+        actions = [
+            json.loads(ln)
+            for ln in (log / f"{v:020d}.json").read_text().splitlines()
+        ]
+        assert [list(a)[0] for a in actions] == ["remove", "add"]
+        (log / f"{v:020d}.json").write_text(
+            "\n".join(json.dumps(a) for a in reversed(actions)) + "\n"
+        )
+    swapped = LF.read_delta_snapshot(spark, str(t))
+    orig = LF.read_delta_snapshot(spark, str(LP.DELTA_DV_DIR))
+    assert sorted(r["id"] for r in swapped.collect()) == sorted(
+        r["id"] for r in orig.collect()
+    )
+
+
+def test_iceberg_nested_rename_gates(tmp_path):
+    """A renamed NESTED field cannot be resolved by the top-level
+    remap; the grouped read must gate, not null-fill silently."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from dbt_json_readr_spark.sources import lakeformats as LF
+
+    f = tmp_path / "d.parquet"
+    inner = pa.field("amount", pa.int64(), metadata={b"PARQUET:field_id": b"3"})
+    pq.write_table(
+        pa.table(
+            {"id": [1], "s": [{"amount": 5}]},
+            schema=pa.schema(
+                [
+                    pa.field("id", pa.int64(), metadata={b"PARQUET:field_id": b"1"}),
+                    pa.field(
+                        "s",
+                        pa.struct([inner]),
+                        metadata={b"PARQUET:field_id": b"2"},
+                    ),
+                ]
+            ),
+        ),
+        f,
+    )
+    schema_json = {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {
+                "id": 2,
+                "name": "s",
+                "required": False,
+                "type": {
+                    "type": "struct",
+                    "fields": [
+                        # renamed: amount → revenue, same field id 3
+                        {"id": 3, "name": "revenue", "required": False, "type": "long"}
+                    ],
+                },
+            },
+        ],
+    }
+    info = {
+        "schema": LF.iceberg_schema_to_spark(schema_json),
+        "field_names_by_id": {1: "id", 2: "s"},
+        "nested_names_by_id": LF._iceberg_nested_ids(schema_json),
+    }
+    assert info["nested_names_by_id"] == {3: "revenue"}
+    with pytest.raises(LF.LakeFormatGatedError, match="NESTED"):
+        LF._iceberg_grouped_read(None, [str(f)], info, with_meta=False)
