@@ -79,6 +79,11 @@ def _delta_log_dir(table_path: str) -> Path:
 # timestampNtz...)
 _SUPPORTED_READER_FEATURES = {"columnMapping", "deletionVectors"}
 
+# deletion-vector positions materialize on the DRIVER before the
+# distributed anti-join (50M positions ≈ 1 GB of python ints); beyond
+# this a snapshot wants compaction — gate loudly rather than OOM.
+_DV_DRIVER_CAP = 50_000_000
+
 
 class _DeltaState:
     def __init__(self):
@@ -387,6 +392,22 @@ def read_delta_snapshot(
     # driver-side (metadata scale), then anti-join on the scan's hidden
     # (_metadata.file_path, row_index) — the same distributed shape as
     # Iceberg position deletes; the data itself never round-trips.
+    # The driver materializes the positions, so the TOTAL cardinality
+    # (known from the descriptors before any decode) is capped loudly —
+    # a snapshot carrying ~10^8+ deleted rows wants compaction, not a
+    # driver OOM; the cap is the same declared-contract posture as the
+    # dedup bucket/degree caps.
+    dv_total = sum(
+        int(f["deletionVector"]["cardinality"])
+        for f in snap["files"]
+        if f.get("deletionVector")
+    )
+    if dv_total > _DV_DRIVER_CAP:
+        raise LakeFormatGatedError(
+            f"snapshot carries {dv_total:,} deletion-vector positions "
+            f"(driver-side cap {_DV_DRIVER_CAP:,}) — compact the table "
+            "or raise lakeformats._DV_DRIVER_CAP"
+        )
     dv_map: dict[str, list[int]] = {}
     all_paths: list[str] = []
     for f in snap["files"]:
