@@ -80,9 +80,14 @@ def _delta_log_dir(table_path: str) -> Path:
 _SUPPORTED_READER_FEATURES = {"columnMapping", "deletionVectors"}
 
 # deletion-vector positions materialize on the DRIVER before the
-# distributed anti-join (50M positions ≈ 1 GB of python ints); beyond
-# this a snapshot wants compaction — gate loudly rather than OOM.
-_DV_DRIVER_CAP = 50_000_000
+# distributed anti-join.  Honest accounting at the cap: the decoded
+# python int lists (~28 B each, ~0.6 GB), plus the numpy/pandas frame
+# (~8 B each) and its arrow copy — ~0.8 GB peak, safe under the 4-6 GB
+# driver the verify recipe budgets.  Beyond this a snapshot wants
+# compaction — gate loudly rather than OOM.  Per-call override via
+# read_delta_snapshot(dv_driver_cap=...), matching the dedup caps'
+# visible-parameter convention.
+_DV_DRIVER_CAP = 20_000_000
 
 
 class _DeltaState:
@@ -366,7 +371,10 @@ def _dv_positions(table_path: str, desc: dict) -> list[int]:
 
 
 def read_delta_snapshot(
-    spark: SparkSession, table_path: str, version: int | None = None
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    dv_driver_cap: int | None = None,
 ) -> DataFrame:
     """The Delta table AS OF ``version`` as a DataFrame — the exact
     file list the snapshot pins, schema from the log (never inferred),
@@ -397,16 +405,26 @@ def read_delta_snapshot(
     # a snapshot carrying ~10^8+ deleted rows wants compaction, not a
     # driver OOM; the cap is the same declared-contract posture as the
     # dedup bucket/degree caps.
-    dv_total = sum(
-        int(f["deletionVector"]["cardinality"])
-        for f in snap["files"]
-        if f.get("deletionVector")
-    )
-    if dv_total > _DV_DRIVER_CAP:
+    cap = _DV_DRIVER_CAP if dv_driver_cap is None else dv_driver_cap
+    dv_total = 0
+    for f in snap["files"]:
+        dv = f.get("deletionVector")
+        if not dv:
+            continue
+        card = dv.get("cardinality")
+        if card is None:
+            # loud, not a raw TypeError deep in a sum: cardinality is a
+            # required descriptor field (PROTOCOL.md)
+            raise LakeFormatError(
+                f"deletion-vector descriptor on {f['path']} has no "
+                "cardinality — malformed log"
+            )
+        dv_total += int(card)
+    if dv_total > cap:
         raise LakeFormatGatedError(
             f"snapshot carries {dv_total:,} deletion-vector positions "
-            f"(driver-side cap {_DV_DRIVER_CAP:,}) — compact the table "
-            "or raise lakeformats._DV_DRIVER_CAP"
+            f"(driver-side cap {cap:,}) — compact the table or pass "
+            "read_delta_snapshot(dv_driver_cap=...)"
         )
     dv_map: dict[str, list[int]] = {}
     all_paths: list[str] = []
@@ -525,9 +543,26 @@ def _apply_dv(
             F.col("__pos"),
         ),
     )
-    rows = [(p, int(pos)) for p, poss in dv_map.items() for pos in poss]
+    # numpy-backed frame, NOT a python tuple list: at the cap this is
+    # ~8 B/position plus one shared string reference per path (np.repeat
+    # on an object array repeats references), where a tuple list costs
+    # ~90 B/position and briefly tripled the footprint the cap budgets
+    import numpy as np
+
+    paths = list(dv_map)
     dels = spark.createDataFrame(
-        pd.DataFrame(rows, columns=["__fp", "__pos"]),
+        pd.DataFrame(
+            {
+                "__fp": np.repeat(
+                    np.array(paths, dtype=object),
+                    [len(dv_map[p]) for p in paths],
+                ),
+                "__pos": np.fromiter(
+                    (pos for p in paths for pos in dv_map[p]),
+                    dtype=np.int64,
+                ),
+            }
+        ),
         schema="__fp string, __pos long",
     )
     return out.join(dels, ["__fp", "__pos"], "left_anti").select(

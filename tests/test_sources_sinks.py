@@ -1989,3 +1989,20 @@ def test_iceberg_nested_rename_gates(tmp_path):
     assert info["nested_names_by_id"] == {3: "revenue"}
     with pytest.raises(LF.LakeFormatGatedError, match="NESTED"):
         LF._iceberg_grouped_read(None, [str(f)], info, with_meta=False)
+
+
+def test_delta_dv_driver_cap_gates(spark):
+    """The driver-side DV materialization cap fires loudly (per-call
+    override, matching the dedup caps' visible-parameter convention)
+    and a descriptor without cardinality is malformed, not a raw
+    TypeError."""
+    import pytest
+
+    from dbt_json_readr_spark.plans import lake as LP
+    from dbt_json_readr_spark.sources import lakeformats as LF
+
+    LP.ensure_lake_fixtures()
+    with pytest.raises(LF.LakeFormatGatedError, match="driver-side cap"):
+        LF.read_delta_snapshot(spark, str(LP.DELTA_DV_DIR), dv_driver_cap=1)
+    # default cap admits the tiny fixture
+    assert LF.read_delta_snapshot(spark, str(LP.DELTA_DV_DIR)).count() == 27
