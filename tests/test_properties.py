@@ -787,16 +787,27 @@ def _delta_log_strategy(draw):
     renamed = list(logical)
     for _ in range(n_more):
         actions = [{"commitInfo": {"operation": "WRITE"}}]
+        # PROTOCOL.md action reconciliation keys file actions by
+        # (path, dvId): a VALID commit carries at most one action per
+        # key, so the generator must not add and remove the same path
+        # (same null dvId) in one commit — that log is out of contract
+        # and its replay order is undefined (the legal remove+re-add DV
+        # pattern uses distinct dvIds; pinned by the dedicated
+        # line-order test in test_sources_sinks.py).
+        touched: set[str] = set()
         for _ in range(draw(st.integers(min_value=1, max_value=3))):
             kind = draw(st.sampled_from(["add", "remove", "rename"]))
+            free = [p for p in paths if p not in touched]
+            if kind in ("add", "remove") and not free:
+                kind = "rename"
             if kind == "add":
-                actions.append(
-                    add(draw(st.sampled_from(paths)), draw(st.sampled_from(["a", "b"])))
-                )
+                p = draw(st.sampled_from(free))
+                touched.add(p)
+                actions.append(add(p, draw(st.sampled_from(["a", "b"]))))
             elif kind == "remove":
-                actions.append(
-                    {"remove": {"path": draw(st.sampled_from(paths)), "dataChange": True}}
-                )
+                p = draw(st.sampled_from(free))
+                touched.add(p)
+                actions.append({"remove": {"path": p, "dataChange": True}})
             elif kind == "rename" and mapped:
                 i = draw(st.integers(min_value=0, max_value=n_cols - 1))
                 renamed = list(renamed)
