@@ -26,9 +26,10 @@ FIXTURE_ROOT = Path(__file__).resolve().parents[2] / "tests" / "fixtures" / "lak
 DELTA_DIR = FIXTURE_ROOT / "delta_sales"
 DELTA_CM_DIR = FIXTURE_ROOT / "delta_cm_orders"
 DELTA_DV_DIR = FIXTURE_ROOT / "delta_dv_events"
+DELTA_CDF_DIR = FIXTURE_ROOT / "delta_cdf_orders"
 ICEBERG_DIR = FIXTURE_ROOT / "iceberg_sales"
 ICEBERG_META = ICEBERG_DIR / "metadata" / "v3.metadata.json"
-_VERSION = "7"
+_VERSION = "8"
 
 # ------------------------------------------------------- fixtures
 
@@ -193,6 +194,63 @@ _DV_DELETES = {"fa.parquet": [0, 3], "fb.parquet": [5]}
 # deterministic UUID for the 'u'-storage DV file (fixture stability)
 _DV_UUID_HEX = "8d7f31c4b2a6401e9f0c5b3d7a291e46"
 _DV_PREFIX = "dv"
+
+# --- change-data-feed Delta fixture (r7) ---
+# Unpartitioned CDF-enabled table.  Commit 1 is an UPDATE that emits a
+# cdc action (_change_data file carrying update_preimage /
+# update_postimage rows) — per the protocol the cdc files are then
+# AUTHORITATIVE for that commit and its add/remove must not be double
+# counted; commits 0/2 derive inserts from add(dataChange=true) and
+# commit 3 derives deletes from remove(dataChange=true).
+_CDF_SCHEMA_STRING = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": False, "metadata": {}},
+            {"name": "qty", "type": "long", "nullable": True, "metadata": {}},
+        ],
+    }
+)
+_CDF_FILES = {
+    "f0.parquet": [(1, 10), (2, 20), (3, 30), (4, 40), (5, 50)],
+    "f1.parquet": [(6, 60), (7, 70), (8, 80), (9, 90), (10, 100)],
+    # f2 = the updated image of f1 (qty +1)
+    "f2.parquet": [(6, 61), (7, 71), (8, 81), (9, 91), (10, 101)],
+    "f3.parquet": [(11, 110), (12, 120), (13, 130)],
+}
+_CDF_CDC_FILES = {
+    "_change_data/c1.parquet": (
+        [(i, q, "update_preimage") for i, q in _CDF_FILES["f1.parquet"]]
+        + [(i, q, "update_postimage") for i, q in _CDF_FILES["f2.parquet"]]
+    ),
+}
+_CDF_COMMITS: list[list[dict]] = [
+    [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+        {
+            "metaData": {
+                "id": "7a3c9e2d-delta-cdf-fixture",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": _CDF_SCHEMA_STRING,
+                "partitionColumns": [],
+                "configuration": {"delta.enableChangeDataFeed": "true"},
+            }
+        },
+        {"add": {"path": "f0.parquet", "partitionValues": {}, "size": 0, "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "f1.parquet", "partitionValues": {}, "size": 0, "modificationTime": 0, "dataChange": True}},
+    ],
+    [
+        {"remove": {"path": "f1.parquet", "dataChange": True}},
+        {"add": {"path": "f2.parquet", "partitionValues": {}, "size": 0, "modificationTime": 0, "dataChange": True}},
+        {"cdc": {"path": "_change_data/c1.parquet", "partitionValues": {}, "size": 0, "dataChange": False}},
+    ],
+    [
+        {"add": {"path": "f3.parquet", "partitionValues": {}, "size": 0, "modificationTime": 0, "dataChange": True}},
+    ],
+    [
+        {"remove": {"path": "f0.parquet", "dataChange": True}},
+    ],
+]
 
 _ICEBERG_METADATA = {
     "format-version": 2,
@@ -425,6 +483,38 @@ def ensure_lake_fixtures(root: Path | str = FIXTURE_ROOT) -> Path:
         dv_log.mkdir(parents=True)
         for v, actions in enumerate(dv_commits):
             (dv_log / f"{v:020d}.json").write_text(
+                "\n".join(json.dumps(a, sort_keys=True) for a in actions) + "\n"
+            )
+        cdf = tmp / DELTA_CDF_DIR.name
+        cdf.mkdir(parents=True)
+        for rel, rows in _CDF_FILES.items():
+            pq.write_table(
+                pa.table(
+                    {
+                        "id": pa.array([r[0] for r in rows], pa.int64()),
+                        "qty": pa.array([r[1] for r in rows], pa.int64()),
+                    }
+                ),
+                cdf / rel,
+            )
+        (cdf / "_change_data").mkdir()
+        for rel, rows in _CDF_CDC_FILES.items():
+            pq.write_table(
+                pa.table(
+                    {
+                        "id": pa.array([r[0] for r in rows], pa.int64()),
+                        "qty": pa.array([r[1] for r in rows], pa.int64()),
+                        "_change_type": pa.array(
+                            [r[2] for r in rows], pa.string()
+                        ),
+                    }
+                ),
+                cdf / rel,
+            )
+        cdf_log = cdf / "_delta_log"
+        cdf_log.mkdir(parents=True)
+        for v, actions in enumerate(_CDF_COMMITS):
+            (cdf_log / f"{v:020d}.json").write_text(
                 "\n".join(json.dumps(a, sort_keys=True) for a in actions) + "\n"
             )
         iceberg = tmp / ICEBERG_DIR.name
@@ -678,6 +768,69 @@ UNION ALL
 SELECT 'latest', count(*), CAST(sum(id) AS BIGINT), CAST(sum(v) AS BIGINT)
 FROM latest
 ORDER BY snapshot
+"""
+
+
+# ------------------------------------------------------- F8 key
+
+
+def delta_cdf_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta CHANGE DATA FEED rollup over the CDF fixture's full commit
+    range: per (commit_version, change_type) row/sum aggregates.  The
+    update commit must contribute ONLY its _change_data rows
+    (update_preimage + update_postimage — the remove/add pair in the
+    same commit is not double-counted), the append commits derive
+    inserts, and the delete commit derives deletes from the previous
+    version's file content (lakeformats.read_delta_changes)."""
+    prep(spark)
+    ensure_lake_fixtures()
+    df = LF.read_delta_changes(spark, str(DELTA_CDF_DIR), 0)
+    return (
+        df.groupBy(
+            F.col("_commit_version").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("id").cast("long").alias("sum_id"),
+            F.sum("qty").cast("long").alias("sum_qty"),
+        )
+        .orderBy("commit_version", "change_type")
+    )
+
+
+def _delta_cdf_oracle_sql() -> str:
+    """Authoring-dict replay: the fixture says which files each commit
+    adds/removes/updates and the cdc parquet carries its own
+    _change_type — DuckDB recounts the same parquet, independent of
+    read_delta_changes."""
+    ensure_lake_fixtures()
+    parts = []
+    for rel in ("f0.parquet", "f1.parquet"):
+        f = (DELTA_CDF_DIR / rel).as_posix()
+        parts.append(
+            f"SELECT 0 AS commit_version, 'insert' AS change_type, id, qty "
+            f"FROM read_parquet('{f}')"
+        )
+    c1 = (DELTA_CDF_DIR / "_change_data/c1.parquet").as_posix()
+    parts.append(
+        f"SELECT 1, _change_type, id, qty FROM read_parquet('{c1}')"
+    )
+    f3 = (DELTA_CDF_DIR / "f3.parquet").as_posix()
+    parts.append(f"SELECT 2, 'insert', id, qty FROM read_parquet('{f3}')")
+    f0 = (DELTA_CDF_DIR / "f0.parquet").as_posix()
+    parts.append(f"SELECT 3, 'delete', id, qty FROM read_parquet('{f0}')")
+    return f"""
+WITH changes(commit_version, change_type, id, qty) AS (
+{" UNION ALL ".join(parts)}
+)
+SELECT CAST(commit_version AS BIGINT) AS commit_version, change_type,
+       count(*) AS n_rows,
+       CAST(sum(id) AS BIGINT) AS sum_id,
+       CAST(sum(qty) AS BIGINT) AS sum_qty
+FROM changes
+GROUP BY commit_version, change_type
+ORDER BY commit_version, change_type
 """
 
 

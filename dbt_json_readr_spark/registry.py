@@ -349,6 +349,7 @@ register(
     lake._iceberg_change_feed_oracle_sql,
 )
 register("delta_dv_read", lake.delta_dv_read, lake._delta_dv_oracle_sql)
+register("delta_cdf_read", lake.delta_cdf_read, lake._delta_cdf_oracle_sql)
 register(
     "streaming_delta_commits",
     streaming_jobs.streaming_delta_commits,
@@ -391,6 +392,7 @@ _NEW_R7 = [
     "delta_column_mapping_read",
     "streaming_delta_commits",
     "delta_dv_read",
+    "delta_cdf_read",
 ]
 
 # Newest driver row is r3; ordered most load-bearing first (flagship

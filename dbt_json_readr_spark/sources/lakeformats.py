@@ -96,6 +96,7 @@ class _DeltaState:
         self.partition_columns: list[str] = []
         self.files: dict[str, dict] = {}
         self.column_mapping_mode: str = "none"
+        self.configuration: dict[str, str] = {}
         # logical field name -> physical parquet column name
         self.physical_names: dict[str, str] = {}
 
@@ -138,6 +139,7 @@ class _DeltaState:
         conf = md.get("configuration") or {}
         if not isinstance(conf, dict):  # pyarrow map → list of (k, v)
             conf = dict(conf)
+        self.configuration = {str(k): str(v) for k, v in conf.items()}
         mode = conf.get("delta.columnMapping.mode", "none")
         if mode not in ("none", "name"):
             # "id" mode resolves columns by parquet FIELD ID, which the
@@ -308,6 +310,7 @@ def delta_snapshot(table_path: str, version: int | None = None) -> dict:
         "partition_columns": state.partition_columns,
         "column_mapping_mode": state.column_mapping_mode,
         "physical_names": dict(state.physical_names),
+        "configuration": dict(state.configuration),
         "files": sorted(state.files.values(), key=lambda f: f["path"]),
     }
 
@@ -568,6 +571,159 @@ def _apply_dv(
     return out.join(dels, ["__fp", "__pos"], "left_anti").select(
         *[f.name for f in schema.fields]
     )
+
+
+def read_delta_changes(
+    spark: SparkSession,
+    table_path: str,
+    start_version: int,
+    end_version: int | None = None,
+) -> DataFrame:
+    """Delta CHANGE DATA FEED for commits ``start_version..end_version``
+    (inclusive; default latest): table columns + ``_change_type`` +
+    ``_commit_version``, per PROTOCOL.md's Change Data Files rules —
+    - a commit WITH ``cdc`` actions: its ``_change_data`` files are the
+      AUTHORITATIVE change set (they physically carry ``_change_type``,
+      including update_preimage/update_postimage rows); add/remove
+      actions in that commit are NOT double-counted;
+    - a commit WITHOUT ``cdc`` actions derives changes from metadata:
+      ``add(dataChange=true)`` files are inserts, ``remove(dataChange=
+      true)`` files (content as of the PREVIOUS version) are deletes;
+      ``dataChange=false`` rewrites (compaction) contribute nothing.
+    Gates loudly when CDF was not enabled
+    (``delta.enableChangeDataFeed``), on column-mapped tables, when a
+    derived commit involves deletion vectors (row-level change needs
+    the cdc files the writer would have emitted), and when the range
+    precedes the retained JSON log."""
+    log = _delta_log_dir(table_path)
+    end_snap = delta_snapshot(table_path, end_version)
+    end_version = end_snap["version"]
+    if start_version > end_version:
+        raise LakeFormatError(
+            f"CDF range start {start_version} > end {end_version}"
+        )
+    if end_snap["column_mapping_mode"] != "none":
+        raise LakeFormatGatedError(
+            "change data feed over a column-mapped table — not supported"
+        )
+    conf = end_snap["configuration"]
+    if conf.get("delta.enableChangeDataFeed", "false").lower() != "true":
+        raise LakeFormatGatedError(
+            "delta.enableChangeDataFeed is not true for this table — "
+            "the log does not carry change data"
+        )
+    schema: T.StructType = end_snap["schema"]
+    pcols = end_snap["partition_columns"]
+    data_fields = [f for f in schema.fields if f.name not in pcols]
+    data_schema = T.StructType(data_fields)
+    cdc_schema = T.StructType(
+        data_fields + [T.StructField("_change_type", T.StringType(), True)]
+    )
+    out_cols = [f.name for f in schema.fields] + [
+        "_change_type",
+        "_commit_version",
+    ]
+
+    def finish(df, pv: dict, v: int, change_type: str | None):
+        for c in pcols:
+            df = df.withColumn(c, F.lit(pv.get(c)).cast(schema[c].dataType))
+        ct = (
+            F.col("_change_type")
+            if change_type is None
+            else F.lit(change_type)
+        )
+        return df.select(
+            *[f.name for f in schema.fields],
+            ct.alias("_change_type"),
+            F.lit(v).cast("long").alias("_commit_version"),
+        )
+
+    outs = []
+    for v in range(start_version, end_version + 1):
+        commit = log / f"{v:020d}.json"
+        if not commit.exists():
+            raise LakeFormatGatedError(
+                f"CDF commit {v} is not in the retained JSON log — "
+                "that history was vacuumed"
+            )
+        cdc, adds, removes = [], [], []
+        for line in commit.read_text().splitlines():
+            if not line.strip():
+                continue
+            a = json.loads(line)
+            if "cdc" in a:
+                cdc.append(a["cdc"])
+            elif "add" in a:
+                adds.append(a["add"])
+            elif "remove" in a:
+                removes.append(a["remove"])
+        if cdc:
+            for c in cdc:
+                df = spark.read.schema(cdc_schema).parquet(
+                    os.path.join(table_path, c["path"])
+                )
+                outs.append(finish(df, c.get("partitionValues") or {}, v, None))
+            continue
+        # ANY deletion-vector involvement in a cdc-less commit gates —
+        # including a DV re-add with dataChange=false: skipping it as
+        # 'compaction' while deriving the paired remove would report
+        # the WHOLE file deleted when the commit only DV-deleted a few
+        # rows (caught by this path's own gate test).
+        if any(a.get("deletionVector") for a in adds) or any(
+            r.get("deletionVector") for r in removes
+        ):
+            raise LakeFormatGatedError(
+                f"commit {v} changes deletion vectors without cdc "
+                "files — row-level changes cannot be derived"
+            )
+        derived_removes = [r for r in removes if r.get("dataChange", True)]
+        prev_files = (
+            {f["path"]: f for f in delta_snapshot(table_path, v - 1)["files"]}
+            if derived_removes
+            else {}
+        )
+        for a in adds:
+            if not a.get("dataChange", True):
+                continue  # compaction / metadata rewrite: no row changes
+            df = spark.read.schema(data_schema).parquet(
+                os.path.join(table_path, a["path"])
+            )
+            outs.append(
+                finish(df, a.get("partitionValues") or {}, v, "insert")
+            )
+        for r in derived_removes:
+            prev = prev_files.get(r["path"])
+            if prev is None:
+                raise LakeFormatError(
+                    f"commit {v} removes {r['path']} which version "
+                    f"{v - 1} does not contain — malformed log"
+                )
+            if prev.get("deletionVector"):
+                raise LakeFormatGatedError(
+                    f"commit {v} removes a DV-bearing file without cdc "
+                    "files — the already-deleted rows cannot be excluded"
+                )
+            df = spark.read.schema(data_schema).parquet(
+                os.path.join(table_path, r["path"])
+            )
+            outs.append(
+                finish(df, prev.get("partitionValues") or {}, v, "delete")
+            )
+    if not outs:
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                list(schema.fields)
+                + [
+                    T.StructField("_change_type", T.StringType(), True),
+                    T.StructField("_commit_version", T.LongType(), True),
+                ]
+            ),
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.select(*out_cols)
 
 
 def delta_to_manifest(table_path: str, version: int | None = None) -> dict:

@@ -2006,3 +2006,48 @@ def test_delta_dv_driver_cap_gates(spark):
         LF.read_delta_snapshot(spark, str(LP.DELTA_DV_DIR), dv_driver_cap=1)
     # default cap admits the tiny fixture
     assert LF.read_delta_snapshot(spark, str(LP.DELTA_DV_DIR)).count() == 27
+
+
+def test_delta_cdf_read_and_gates(spark, tmp_path):
+    """CDF reader semantics: the update commit contributes only its
+    _change_data rows (no double count of the same-commit remove/add
+    pair); a table without delta.enableChangeDataFeed gates; a derived
+    commit touching deletion vectors gates."""
+    import pytest
+
+    from dbt_json_readr_spark.plans import lake as LP
+    from dbt_json_readr_spark.sources import lakeformats as LF
+
+    LP.ensure_lake_fixtures()
+    df = LF.read_delta_changes(spark, str(LP.DELTA_CDF_DIR), 1, 1)
+    rows = sorted(
+        (r["_change_type"], r["id"], r["qty"]) for r in df.collect()
+    )
+    assert [t for t, _, _ in rows].count("update_preimage") == 5
+    assert [t for t, _, _ in rows].count("update_postimage") == 5
+    assert len(rows) == 10  # remove(f1)+add(f2) NOT double-counted
+
+    # CDF not enabled (the plain delta fixture) gates
+    with pytest.raises(LF.LakeFormatGatedError, match="enableChangeDataFeed"):
+        LF.read_delta_changes(spark, str(LP.DELTA_DIR), 0)
+
+    # a DV-bearing derived commit gates: enable CDF on a copy of the DV
+    # fixture's log (no cdc files exist there)
+    import json
+    import shutil
+
+    t = tmp_path / "dv_cdf"
+    shutil.copytree(LP.DELTA_DV_DIR, t)
+    log = t / "_delta_log"
+    lines = (log / f"{0:020d}.json").read_text().splitlines()
+    out = []
+    for ln in lines:
+        a = json.loads(ln)
+        if "metaData" in a:
+            a["metaData"]["configuration"] = {
+                "delta.enableChangeDataFeed": "true"
+            }
+        out.append(json.dumps(a))
+    (log / f"{0:020d}.json").write_text("\n".join(out) + "\n")
+    with pytest.raises(LF.LakeFormatGatedError, match="deletion vectors|cdc"):
+        LF.read_delta_changes(spark, str(t), 0)
