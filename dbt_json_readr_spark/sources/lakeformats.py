@@ -223,10 +223,50 @@ def _read_checkpoint(log: Path, ck_version: int, parts: int | None) -> _DeltaSta
     return state
 
 
-def delta_snapshot(table_path: str, version: int | None = None) -> dict:
-    """The snapshot a Delta reader pins AS OF ``version`` (default:
-    latest) → {"version", "schema" (Spark StructType),
-    "partition_columns", "files": [{"path", "partitionValues"}]}.
+def _parse_commit(log: Path, v: int) -> dict:
+    """One JSON commit parsed into action groups (order-free, per the
+    protocol's set semantics)."""
+    out: dict = {"protocol": [], "meta": [], "adds": [], "removes": [], "cdc": []}
+    with open(log / f"{v:020d}.json") as f:
+        for line in f:
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            if "protocol" in action:
+                out["protocol"].append(action["protocol"])
+            elif "metaData" in action:
+                out["meta"].append(action["metaData"])
+            elif "add" in action:
+                out["adds"].append(action["add"])
+            elif "remove" in action:
+                out["removes"].append(action["remove"])
+            elif "cdc" in action:
+                out["cdc"].append(action["cdc"])
+    return out
+
+
+def _apply_commit(state: _DeltaState, parsed: dict) -> None:
+    """Apply one commit's actions as a SET: the protocol's
+    reconciliation keys file actions by (path, dvId) and puts no
+    meaning on JSON line order, and a DV update is remove(path) +
+    add(path, dv) in ONE commit — replaying add-then-remove
+    line-by-line would drop the file entirely (silent data loss,
+    r7 third-review finding).  Removes apply before adds so the
+    re-add always wins."""
+    for pr in parsed["protocol"]:
+        state.check_protocol(pr)
+    for md in parsed["meta"]:
+        state.meta(md)
+    re_added = {a["path"] for a in parsed["adds"]}
+    for r in parsed["removes"]:
+        if r["path"] not in re_added:
+            state.remove(r["path"])
+    for a in parsed["adds"]:
+        state.add(a)
+
+
+def _state_as_of(table_path: str, version: int | None = None) -> tuple[_DeltaState, int]:
+    """Replay the log to the state AS OF ``version`` (default latest).
 
     Replay strategy (r6: checkpoint support landed, removing the old
     gate): if ``_last_checkpoint`` points at a checkpoint ≤ the target
@@ -274,36 +314,18 @@ def delta_snapshot(table_path: str, version: int | None = None) -> dict:
             f"missing JSON commits {missing} between checkpoint and {version}"
         )
     for v in needed:
-        # A commit's actions are a SET, not a sequence: the protocol's
-        # reconciliation keys file actions by (path, dvId) and puts no
-        # meaning on JSON line order, and a DV update is remove(path) +
-        # add(path, dv) in ONE commit — replaying add-then-remove
-        # line-by-line would drop the file entirely (silent data loss,
-        # r7 third-review finding).  Apply removes before adds within
-        # each commit so the re-add always wins.
-        adds: list[dict] = []
-        removes: list[str] = []
-        with open(log / f"{v:020d}.json") as f:
-            for line in f:
-                if not line.strip():
-                    continue
-                action = json.loads(line)
-                if "protocol" in action:
-                    state.check_protocol(action["protocol"])
-                elif "metaData" in action:
-                    state.meta(action["metaData"])
-                elif "add" in action:
-                    adds.append(action["add"])
-                elif "remove" in action:
-                    removes.append(action["remove"]["path"])
-        re_added = {a["path"] for a in adds}
-        for path in removes:
-            if path not in re_added:
-                state.remove(path)
-        for a in adds:
-            state.add(a)
+        _apply_commit(state, _parse_commit(log, v))
     if state.schema is None:
         raise LakeFormatError(f"no metaData action in Delta log: {table_path}")
+    return state, version
+
+
+def delta_snapshot(table_path: str, version: int | None = None) -> dict:
+    """The snapshot a Delta reader pins AS OF ``version`` (default:
+    latest) → {"version", "schema" (Spark StructType),
+    "partition_columns", "files": [{"path", "partitionValues"}]}.
+    See ``_state_as_of`` for the replay strategy."""
+    state, version = _state_as_of(table_path, version)
     return {
         "version": version,
         "schema": state.schema,
@@ -590,30 +612,26 @@ def read_delta_changes(
       ``add(dataChange=true)`` files are inserts, ``remove(dataChange=
       true)`` files (content as of the PREVIOUS version) are deletes;
       ``dataChange=false`` rewrites (compaction) contribute nothing.
-    Gates loudly when CDF was not enabled
-    (``delta.enableChangeDataFeed``), on column-mapped tables, when a
-    derived commit involves deletion vectors (row-level change needs
-    the cdc files the writer would have emitted), and when the range
-    precedes the retained JSON log."""
+    The range replays ONE incremental state walk (the start-1 snapshot
+    seeds it), so the gates are PER COMMIT, as real readers enforce:
+    ``delta.enableChangeDataFeed`` must be true at EVERY commit in the
+    range (a commit made before enablement recorded no change data —
+    deriving it would fabricate whole-file churn), the schema and
+    partitioning must not change inside the range, column-mapped
+    tables gate, a commit touching deletion vectors without cdc files
+    gates, and vacuumed ranges gate.  Scans batch per (commit,
+    change_type, partitionValues) so wide commits stay one relation."""
     log = _delta_log_dir(table_path)
-    end_snap = delta_snapshot(table_path, end_version)
-    end_version = end_snap["version"]
+    if start_version < 0:
+        raise LakeFormatError(f"invalid CDF start_version {start_version}")
+    end_state, end_version = _state_as_of(table_path, end_version)
     if start_version > end_version:
         raise LakeFormatError(
             f"CDF range start {start_version} > end {end_version}"
         )
-    if end_snap["column_mapping_mode"] != "none":
-        raise LakeFormatGatedError(
-            "change data feed over a column-mapped table — not supported"
-        )
-    conf = end_snap["configuration"]
-    if conf.get("delta.enableChangeDataFeed", "false").lower() != "true":
-        raise LakeFormatGatedError(
-            "delta.enableChangeDataFeed is not true for this table — "
-            "the log does not carry change data"
-        )
-    schema: T.StructType = end_snap["schema"]
-    pcols = end_snap["partition_columns"]
+    schema: T.StructType = end_state.schema
+    end_schema_json = schema.jsonValue()
+    pcols = end_state.partition_columns
     data_fields = [f for f in schema.fields if f.name not in pcols]
     data_schema = T.StructType(data_fields)
     cdc_schema = T.StructType(
@@ -639,59 +657,90 @@ def read_delta_changes(
         )
 
     outs = []
+
+    def scan_groups(actions, v, change_type, pv_of, use_cdc_schema=False):
+        groups: dict[tuple, tuple[dict, list[str]]] = {}
+        for a in actions:
+            pv = pv_of(a)
+            key = tuple(sorted(pv.items()))
+            groups.setdefault(key, (pv, []))[1].append(a["path"])
+        for _, (pv, paths) in sorted(groups.items()):
+            df = spark.read.schema(
+                cdc_schema if use_cdc_schema else data_schema
+            ).parquet(*[os.path.join(table_path, p) for p in sorted(paths)])
+            outs.append(finish(df, pv, v, change_type))
+
+    state, _ = (
+        _state_as_of(table_path, start_version - 1)
+        if start_version > 0
+        else (_DeltaState(), None)
+    )
     for v in range(start_version, end_version + 1):
-        commit = log / f"{v:020d}.json"
-        if not commit.exists():
+        if not (log / f"{v:020d}.json").exists():
             raise LakeFormatGatedError(
                 f"CDF commit {v} is not in the retained JSON log — "
                 "that history was vacuumed"
             )
-        cdc, adds, removes = [], [], []
-        for line in commit.read_text().splitlines():
-            if not line.strip():
-                continue
-            a = json.loads(line)
-            if "cdc" in a:
-                cdc.append(a["cdc"])
-            elif "add" in a:
-                adds.append(a["add"])
-            elif "remove" in a:
-                removes.append(a["remove"])
-        if cdc:
-            for c in cdc:
-                df = spark.read.schema(cdc_schema).parquet(
-                    os.path.join(table_path, c["path"])
-                )
-                outs.append(finish(df, c.get("partitionValues") or {}, v, None))
+        parsed = _parse_commit(log, v)
+        prev_files = dict(state.files)
+        _apply_commit(state, parsed)
+        if state.schema is None:
+            raise LakeFormatError(
+                f"commit {v} precedes the table's metaData — malformed log"
+            )
+        conf = state.configuration
+        if conf.get("delta.enableChangeDataFeed", "false").lower() != "true":
+            # per-commit, as real readers enforce: a commit made while
+            # CDF was off recorded no change data, and deriving it
+            # would fabricate whole-file delete+insert churn
+            raise LakeFormatGatedError(
+                f"change data was not recorded for commit {v} "
+                "(delta.enableChangeDataFeed was not true at that version)"
+            )
+        if state.column_mapping_mode != "none":
+            raise LakeFormatGatedError(
+                "change data feed over a column-mapped table — not supported"
+            )
+        if (
+            state.schema.jsonValue() != end_schema_json
+            or state.partition_columns != pcols
+        ):
+            raise LakeFormatGatedError(
+                f"table schema/partitioning changed inside the CDF range "
+                f"at commit {v} — reading earlier commits with the end "
+                "schema would be silently wrong"
+            )
+        if parsed["cdc"]:
+            scan_groups(
+                parsed["cdc"],
+                v,
+                None,
+                lambda c: c.get("partitionValues") or {},
+                use_cdc_schema=True,
+            )
             continue
         # ANY deletion-vector involvement in a cdc-less commit gates —
         # including a DV re-add with dataChange=false: skipping it as
         # 'compaction' while deriving the paired remove would report
         # the WHOLE file deleted when the commit only DV-deleted a few
         # rows (caught by this path's own gate test).
-        if any(a.get("deletionVector") for a in adds) or any(
-            r.get("deletionVector") for r in removes
+        if any(a.get("deletionVector") for a in parsed["adds"]) or any(
+            r.get("deletionVector") for r in parsed["removes"]
         ):
             raise LakeFormatGatedError(
                 f"commit {v} changes deletion vectors without cdc "
                 "files — row-level changes cannot be derived"
             )
-        derived_removes = [r for r in removes if r.get("dataChange", True)]
-        prev_files = (
-            {f["path"]: f for f in delta_snapshot(table_path, v - 1)["files"]}
-            if derived_removes
-            else {}
+        scan_groups(
+            [a for a in parsed["adds"] if a.get("dataChange", True)],
+            v,
+            "insert",
+            lambda a: a.get("partitionValues") or {},
         )
-        for a in adds:
-            if not a.get("dataChange", True):
-                continue  # compaction / metadata rewrite: no row changes
-            df = spark.read.schema(data_schema).parquet(
-                os.path.join(table_path, a["path"])
-            )
-            outs.append(
-                finish(df, a.get("partitionValues") or {}, v, "insert")
-            )
-        for r in derived_removes:
+        derived_removes = []
+        for r in parsed["removes"]:
+            if not r.get("dataChange", True):
+                continue
             prev = prev_files.get(r["path"])
             if prev is None:
                 raise LakeFormatError(
@@ -703,12 +752,13 @@ def read_delta_changes(
                     f"commit {v} removes a DV-bearing file without cdc "
                     "files — the already-deleted rows cannot be excluded"
                 )
-            df = spark.read.schema(data_schema).parquet(
-                os.path.join(table_path, r["path"])
-            )
-            outs.append(
-                finish(df, prev.get("partitionValues") or {}, v, "delete")
-            )
+            derived_removes.append(prev)
+        scan_groups(
+            derived_removes,
+            v,
+            "delete",
+            lambda f: f.get("partitionValues") or {},
+        )
     if not outs:
         return spark.createDataFrame(
             [],

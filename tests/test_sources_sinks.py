@@ -2051,3 +2051,53 @@ def test_delta_cdf_read_and_gates(spark, tmp_path):
     (log / f"{0:020d}.json").write_text("\n".join(out) + "\n")
     with pytest.raises(LF.LakeFormatGatedError, match="deletion vectors|cdc"):
         LF.read_delta_changes(spark, str(t), 0)
+
+
+def test_delta_cdf_per_commit_enablement(spark, tmp_path):
+    """CDF enablement is judged PER COMMIT, not from the end snapshot:
+    commits made before delta.enableChangeDataFeed was set recorded no
+    change data (deriving them would fabricate whole-file churn), while
+    the post-enablement tail of the range reads fine.  A same-schema
+    metaData re-issue inside the range must NOT trip the
+    schema-changed gate."""
+    import json
+    import shutil
+
+    import pytest
+
+    from dbt_json_readr_spark.plans import lake as LP
+    from dbt_json_readr_spark.sources import lakeformats as LF
+
+    LP.ensure_lake_fixtures()
+    t = tmp_path / "late_enable"
+    shutil.copytree(LP.DELTA_CDF_DIR, t)
+    log = t / "_delta_log"
+    # strip the flag from commit 0's metaData...
+    lines = [
+        json.loads(ln)
+        for ln in (log / f"{0:020d}.json").read_text().splitlines()
+    ]
+    meta = None
+    for a in lines:
+        if "metaData" in a:
+            a["metaData"]["configuration"] = {}
+            meta = json.loads(json.dumps(a["metaData"]))
+    (log / f"{0:020d}.json").write_text(
+        "\n".join(json.dumps(a) for a in lines) + "\n"
+    )
+    # ...and re-enable it via a metaData action in commit 2 (same schema)
+    meta["configuration"] = {"delta.enableChangeDataFeed": "true"}
+    c2 = (log / f"{2:020d}.json").read_text()
+    (log / f"{2:020d}.json").write_text(
+        json.dumps({"metaData": meta}) + "\n" + c2
+    )
+
+    # pre-enablement commits gate, naming the commit
+    with pytest.raises(LF.LakeFormatGatedError, match="commit 0"):
+        LF.read_delta_changes(spark, str(t), 0)
+    # the enabled tail reads: v2 insert + v3 delete, no schema-gate trip
+    rows = sorted(
+        (r["_commit_version"], r["_change_type"])
+        for r in LF.read_delta_changes(spark, str(t), 2).collect()
+    )
+    assert rows == [(2, "insert")] * 3 + [(3, "delete")] * 5
