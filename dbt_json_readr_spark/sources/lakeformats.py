@@ -613,25 +613,99 @@ def read_delta_changes(
       true)`` files (content as of the PREVIOUS version) are deletes;
       ``dataChange=false`` rewrites (compaction) contribute nothing.
     The range replays ONE incremental state walk (the start-1 snapshot
-    seeds it), so the gates are PER COMMIT, as real readers enforce:
+    seeds it; each commit is parsed exactly once and buffered), so the
+    gates are PER COMMIT, as real readers enforce:
     ``delta.enableChangeDataFeed`` must be true at EVERY commit in the
     range (a commit made before enablement recorded no change data —
     deriving it would fabricate whole-file churn), the schema and
-    partitioning must not change inside the range, column-mapped
+    partitioning must not change inside the range (gated naming the
+    CHANGING commit — a change at the range's first commit would
+    otherwise read its old-schema delete pre-images with the new
+    schema, silently null-filling renamed columns), column-mapped
     tables gate, a commit touching deletion vectors without cdc files
     gates, and vacuumed ranges gate.  Scans batch per (commit,
     change_type, partitionValues) so wide commits stay one relation."""
     log = _delta_log_dir(table_path)
     if start_version < 0:
         raise LakeFormatError(f"invalid CDF start_version {start_version}")
-    end_state, end_version = _state_as_of(table_path, end_version)
+    json_versions = sorted(
+        int(p.stem) for p in log.glob("*.json") if p.stem.isdigit()
+    )
+    ck_version: int | None = None
+    if (log / "_last_checkpoint").exists():
+        ck_version = int(json.loads((log / "_last_checkpoint").read_text())["version"])
+    if not json_versions and ck_version is None:
+        raise LakeFormatError(f"empty Delta log: {table_path}")
+    latest = max(json_versions[-1] if json_versions else 0, ck_version or 0)
+    if end_version is None:
+        end_version = latest
+    if end_version > latest:
+        raise LakeFormatError(
+            f"CDF end version {end_version} not in log (latest {latest})"
+        )
     if start_version > end_version:
         raise LakeFormatError(
             f"CDF range start {start_version} > end {end_version}"
         )
-    schema: T.StructType = end_state.schema
-    end_schema_json = schema.jsonValue()
-    pcols = end_state.partition_columns
+    state = (
+        _state_as_of(table_path, start_version - 1)[0]
+        if start_version > 0
+        else _DeltaState()
+    )
+    cur_schema_json = state.schema.jsonValue() if state.schema else None
+    # one pass: parse each range commit once, apply, buffer what the
+    # scan/validation phase needs (prev file map only when a derived
+    # remove will consult it; schema json only recomputed on metaData)
+    records = []
+    for v in range(start_version, end_version + 1):
+        if not (log / f"{v:020d}.json").exists():
+            raise LakeFormatGatedError(
+                f"CDF commit {v} is not in the retained JSON log — "
+                "that history was vacuumed"
+            )
+        parsed = _parse_commit(log, v)
+        need_prev = not parsed["cdc"] and any(
+            r.get("dataChange", True) for r in parsed["removes"]
+        )
+        prev_files = dict(state.files) if need_prev else None
+        pre_schema_json = cur_schema_json
+        pre_pcols = list(state.partition_columns)
+        _apply_commit(state, parsed)
+        if state.schema is None:
+            raise LakeFormatError(
+                f"commit {v} precedes the table's metaData — malformed log"
+            )
+        if parsed["meta"]:
+            cur_schema_json = state.schema.jsonValue()
+        if (
+            state.configuration.get(
+                "delta.enableChangeDataFeed", "false"
+            ).lower()
+            != "true"
+        ):
+            # per-commit, as real readers enforce: a commit made while
+            # CDF was off recorded no change data, and deriving it
+            # would fabricate whole-file delete+insert churn
+            raise LakeFormatGatedError(
+                f"change data was not recorded for commit {v} "
+                "(delta.enableChangeDataFeed was not true at that version)"
+            )
+        if state.column_mapping_mode != "none":
+            raise LakeFormatGatedError(
+                "change data feed over a column-mapped table — not supported"
+            )
+        if pre_schema_json is not None and (
+            cur_schema_json != pre_schema_json
+            or list(state.partition_columns) != pre_pcols
+        ):
+            raise LakeFormatGatedError(
+                f"commit {v} changes the table schema/partitioning inside "
+                "the CDF range — its old-schema delete pre-images cannot "
+                "be read with the new schema"
+            )
+        records.append((v, parsed, prev_files))
+    schema: T.StructType = state.schema
+    pcols = state.partition_columns
     data_fields = [f for f in schema.fields if f.name not in pcols]
     data_schema = T.StructType(data_fields)
     cdc_schema = T.StructType(
@@ -664,52 +738,20 @@ def read_delta_changes(
             pv = pv_of(a)
             key = tuple(sorted(pv.items()))
             groups.setdefault(key, (pv, []))[1].append(a["path"])
-        for _, (pv, paths) in sorted(groups.items()):
+        # None-safe ordering: nullable partition columns write
+        # partitionValues of null (same key as the snapshot reader)
+        for _, (pv, paths) in sorted(
+            groups.items(),
+            key=lambda kv: tuple(
+                (n, v is None, "" if v is None else v) for n, v in kv[0]
+            ),
+        ):
             df = spark.read.schema(
                 cdc_schema if use_cdc_schema else data_schema
             ).parquet(*[os.path.join(table_path, p) for p in sorted(paths)])
             outs.append(finish(df, pv, v, change_type))
 
-    state, _ = (
-        _state_as_of(table_path, start_version - 1)
-        if start_version > 0
-        else (_DeltaState(), None)
-    )
-    for v in range(start_version, end_version + 1):
-        if not (log / f"{v:020d}.json").exists():
-            raise LakeFormatGatedError(
-                f"CDF commit {v} is not in the retained JSON log — "
-                "that history was vacuumed"
-            )
-        parsed = _parse_commit(log, v)
-        prev_files = dict(state.files)
-        _apply_commit(state, parsed)
-        if state.schema is None:
-            raise LakeFormatError(
-                f"commit {v} precedes the table's metaData — malformed log"
-            )
-        conf = state.configuration
-        if conf.get("delta.enableChangeDataFeed", "false").lower() != "true":
-            # per-commit, as real readers enforce: a commit made while
-            # CDF was off recorded no change data, and deriving it
-            # would fabricate whole-file delete+insert churn
-            raise LakeFormatGatedError(
-                f"change data was not recorded for commit {v} "
-                "(delta.enableChangeDataFeed was not true at that version)"
-            )
-        if state.column_mapping_mode != "none":
-            raise LakeFormatGatedError(
-                "change data feed over a column-mapped table — not supported"
-            )
-        if (
-            state.schema.jsonValue() != end_schema_json
-            or state.partition_columns != pcols
-        ):
-            raise LakeFormatGatedError(
-                f"table schema/partitioning changed inside the CDF range "
-                f"at commit {v} — reading earlier commits with the end "
-                "schema would be silently wrong"
-            )
+    for v, parsed, prev_files in records:
         if parsed["cdc"]:
             scan_groups(
                 parsed["cdc"],
@@ -741,7 +783,7 @@ def read_delta_changes(
         for r in parsed["removes"]:
             if not r.get("dataChange", True):
                 continue
-            prev = prev_files.get(r["path"])
+            prev = prev_files.get(r["path"]) if prev_files else None
             if prev is None:
                 raise LakeFormatError(
                     f"commit {v} removes {r['path']} which version "

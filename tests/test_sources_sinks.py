@@ -2101,3 +2101,50 @@ def test_delta_cdf_per_commit_enablement(spark, tmp_path):
         for r in LF.read_delta_changes(spark, str(t), 2).collect()
     )
     assert rows == [(2, "insert")] * 3 + [(3, "delete")] * 5
+
+
+def test_delta_cdf_null_partition_groups(spark, tmp_path):
+    """Batched CDF scans group by partitionValues; a null (Hive default)
+    partition value must sort next to string values without crashing
+    (None-safe key, same as the snapshot reader's)."""
+    import json
+
+    from dbt_json_readr_spark.sources import lakeformats as LF
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = tmp_path / "nullpart"
+    (t / "_delta_log").mkdir(parents=True)
+    pq.write_table(pa.table({"id": pa.array([1, 2], pa.int64())}), t / "fn.parquet")
+    pq.write_table(pa.table({"id": pa.array([3], pa.int64())}), t / "fx.parquet")
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+        {
+            "metaData": {
+                "id": "np",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(
+                    {
+                        "type": "struct",
+                        "fields": [
+                            {"name": "id", "type": "long", "nullable": False, "metadata": {}},
+                            {"name": "p", "type": "string", "nullable": True, "metadata": {}},
+                        ],
+                    }
+                ),
+                "partitionColumns": ["p"],
+                "configuration": {"delta.enableChangeDataFeed": "true"},
+            }
+        },
+        {"add": {"path": "fn.parquet", "partitionValues": {"p": None}, "size": 0, "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "fx.parquet", "partitionValues": {"p": "x"}, "size": 0, "modificationTime": 0, "dataChange": True}},
+    ]
+    (t / "_delta_log" / f"{0:020d}.json").write_text(
+        "\n".join(json.dumps(a) for a in actions) + "\n"
+    )
+    rows = sorted(
+        (r["id"], r["p"], r["_change_type"])
+        for r in LF.read_delta_changes(spark, str(t), 0).collect()
+    )
+    assert rows == [(1, None, "insert"), (2, None, "insert"), (3, "x", "insert")]
