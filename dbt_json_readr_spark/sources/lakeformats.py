@@ -265,6 +265,24 @@ def _apply_commit(state: _DeltaState, parsed: dict) -> None:
         state.add(a)
 
 
+def _log_versions(log: Path) -> tuple[list[int], int | None, int]:
+    """(sorted JSON commit versions, checkpoint version or None,
+    latest version) — the one place version discovery lives, so the
+    snapshot and change-feed readers cannot disagree on 'latest'."""
+    json_versions = sorted(
+        int(p.stem) for p in log.glob("*.json") if p.stem.isdigit()
+    )
+    ck_version: int | None = None
+    if (log / "_last_checkpoint").exists():
+        ck_version = int(
+            json.loads((log / "_last_checkpoint").read_text())["version"]
+        )
+    if not json_versions and ck_version is None:
+        raise LakeFormatError(f"empty Delta log: {log.parent}")
+    latest = max(json_versions[-1] if json_versions else 0, ck_version or 0)
+    return json_versions, ck_version, latest
+
+
 def _state_as_of(table_path: str, version: int | None = None) -> tuple[_DeltaState, int]:
     """Replay the log to the state AS OF ``version`` (default latest).
 
@@ -275,15 +293,10 @@ def _state_as_of(table_path: str, version: int | None = None) -> tuple[_DeltaSta
     travel BEHIND the retained log (target < checkpoint and commit 0
     vacuumed) gates loudly — that history is physically gone."""
     log = _delta_log_dir(table_path)
-    json_versions = sorted(int(p.stem) for p in log.glob("*.json") if p.stem.isdigit())
-    ck_version: int | None = None
+    json_versions, ck_version, latest = _log_versions(log)
     ck_parts: int | None = None
-    if (log / "_last_checkpoint").exists():
-        ck = json.loads((log / "_last_checkpoint").read_text())
-        ck_version, ck_parts = int(ck["version"]), ck.get("parts")
-    if not json_versions and ck_version is None:
-        raise LakeFormatError(f"empty Delta log: {table_path}")
-    latest = max(json_versions[-1] if json_versions else 0, ck_version or 0)
+    if ck_version is not None:
+        ck_parts = json.loads((log / "_last_checkpoint").read_text()).get("parts")
     if version is None:
         version = latest
     replay_from_zero = json_versions and json_versions[0] == 0
@@ -628,15 +641,7 @@ def read_delta_changes(
     log = _delta_log_dir(table_path)
     if start_version < 0:
         raise LakeFormatError(f"invalid CDF start_version {start_version}")
-    json_versions = sorted(
-        int(p.stem) for p in log.glob("*.json") if p.stem.isdigit()
-    )
-    ck_version: int | None = None
-    if (log / "_last_checkpoint").exists():
-        ck_version = int(json.loads((log / "_last_checkpoint").read_text())["version"])
-    if not json_versions and ck_version is None:
-        raise LakeFormatError(f"empty Delta log: {table_path}")
-    latest = max(json_versions[-1] if json_versions else 0, ck_version or 0)
+    _, _, latest = _log_versions(log)
     if end_version is None:
         end_version = latest
     if end_version > latest:
@@ -664,10 +669,21 @@ def read_delta_changes(
                 "that history was vacuumed"
             )
         parsed = _parse_commit(log, v)
+        # buffer ONLY the removed paths' prior entries (O(removes)) —
+        # a full state.files copy per commit held O(range × files)
+        # driver memory across the buffered records
         need_prev = not parsed["cdc"] and any(
             r.get("dataChange", True) for r in parsed["removes"]
         )
-        prev_files = dict(state.files) if need_prev else None
+        prev_files = (
+            {
+                r["path"]: state.files.get(r["path"])
+                for r in parsed["removes"]
+                if r.get("dataChange", True)
+            }
+            if need_prev
+            else None
+        )
         pre_schema_json = cur_schema_json
         pre_pcols = list(state.partition_columns)
         _apply_commit(state, parsed)
@@ -743,7 +759,8 @@ def read_delta_changes(
         for _, (pv, paths) in sorted(
             groups.items(),
             key=lambda kv: tuple(
-                (n, v is None, "" if v is None else v) for n, v in kv[0]
+                (n, val is None, "" if val is None else val)
+                for n, val in kv[0]
             ),
         ):
             df = spark.read.schema(
