@@ -362,79 +362,21 @@ register("dedup_graph_triangles", llm.dedup_graph_triangles, llm.ORACLES["dedup_
 # -------------------------------------------------------------------
 # Driver-gate ordering.  The driver records CORRECTNESS rows for only
 # the FIRST 50 keys in queries() insertion order, so registration order
-# IS the correctness gate.  Round-7 rotation (VERDICT r6 item 1): the
-# nine keys whose newest driver row is still r2 — four rounds on local
-# evidence only — lead unconditionally; then keys NEW in r7; the
-# remaining slots rotate through the stale-r3 backlog, most
-# load-bearing first; stale keys that miss the cut rotate to r8.
+# IS the correctness gate.  Round-8 rotation (VERDICT r7 item 1): the
+# thirteen keys whose newest driver row is still r3/r4-under-an-old-name
+# lead unconditionally; then the five keys whose CODE was substantially
+# rewritten in r7 AFTER their last driver row (lakeformats +1099 lines
+# touched F1–F4; the degree-cap two-stage rewrite touched C60); then
+# keys NEW in r8; the remaining slots rotate through the stale-r4
+# backlog, most load-bearing first; the tail rotates to r9.
 # Rotated-out keys stay covered by tests/test_oracle_parity.py (every
 # key, sf0.01, exact values).
 GATE_WINDOW = 50
 
-# Newest driver row is r2 — VERDICT r6 "Next round" item 1 names these
-# nine verbatim; they must open the r7 window.
-_R7_STALE_R2 = [
-    "text_langid",
-    "text_token_count",
-    "text_fingerprint",
-    "text_pii_redact",
-    "text_repetition",
-    "text_ngram_novelty",
-    "streaming_funnel",
-    "streaming_enrich_segments",
-    "streaming_stream_join",
-]
-
-# New in r7 (appended as they land this round; each must be registered
-# above before being listed here).
-_NEW_R7 = [
-    "iceberg_change_feed",
-    "delta_column_mapping_read",
-    "streaming_delta_commits",
-    "delta_dv_read",
-    "delta_cdf_read",
-]
-
-# Newest driver row is r3; ordered most load-bearing first (flagship
-# TPC-H shapes, then events/streaming cores, then dedup/ANN/audit
-# sweeps); the tail beyond the window's remaining slots rotates to r8.
-_STALE_R3 = [
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "events_sessionization",
-    "events_range_join",
-    "events_gap_islands",
-    "events_attribution",
-    "events_ewma_hourly",
-    "events_approx_distinct",
-    "events_variant_props",
-    "scd2_customer_snapshot",
-    "revenue_cube",
-    "order_year_set_ops",
-    "customer_revenue_deciles",
-    "customer_percentile_rank",
-    "supplier_abc_classes",
-    "streaming_sliding_window",
-    "streaming_topk",
-    "streaming_anomaly",
-    "streaming_cdc_latest",
-    "streaming_windowed_distinct",
-    "dbt_critical_path",
-    "dedup_source_matrix",
-    "dedup_threshold_curve",
-    "dedup_band_utility",
-    "corpus_dedup_priority_keep",
-    "corpus_holdout_split",
-    "corpus_token_histogram",
-    "corpus_quality_funnel",
-    "doc_chunk_plan",
-    "doc_posting_lists",
-    "token_budget_pack",
-    "tokenizer_vocab_coverage",
-    "embedding_kmeans",
-    "embedding_power_iteration",
+# Newest driver row is r3 (12 keys) or r4-under-a-since-renamed key
+# (q16) — VERDICT r7 "Next round" item 1 names these verbatim; they
+# must open the r8 window.
+_R8_STALE = [
     "embedding_quantize",
     "embedding_pq_audit",
     "ann_ivf_kmeans_topk",
@@ -450,23 +392,94 @@ _STALE_R3 = [
     "q16_supplier_part_types",
 ]
 
+# Last driver row r6, but implementation materially rewritten in r7
+# (VERDICT r7 "What's missing" item 5) — the hard signal must re-cover
+# the code that actually ships.
+_R8_REWRITTEN_R7 = [
+    "delta_snapshot_read",
+    "iceberg_metadata_audit",
+    "iceberg_snapshot_read",
+    "delta_version_diff",
+    "dedup_containment_lsh",
+]
+
+# New in r8 (appended as they land this round; each must be registered
+# above before being listed here).
+_NEW_R8: list[str] = []
+
+# Newest driver row is r4; ordered most load-bearing first (flagship
+# TPC-H shapes, then dbt cores, then events/streaming, then ANN/dedup
+# evals); the tail beyond the window's remaining slots rotates to r9.
+_R8_STALE_R4 = [
+    "q4_late_shipments",
+    "q7_nation_trade",
+    "q13_order_distribution",
+    "q18_large_orders",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q19_bracket_revenue",
+    "q8_market_share",
+    "q9_nation_profit",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q22_dormant_customers",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q20_promotion_suppliers",
+    "q21_waiting_suppliers",
+    "part_brand_stats",
+    "dbt_lineage_closure",
+    "dbt_lineage_depth",
+    "dbt_run_results",
+    "dbt_run_summary",
+    "dbt_schema_drift",
+    "dbt_source_freshness",
+    "dbt_catalog_columns",
+    "dbt_model_fanout",
+    "dbt_tag_usage",
+    "asof_join_events_orders",
+    "events_user_counts",
+    "events_windowed_agg",
+    "events_funnel",
+    "events_approx_quantiles",
+    "orders_running_total",
+    "events_retention_cohorts",
+    "events_hourly_heatmap",
+    "orders_monthly_growth",
+    "order_priority_pivot",
+    "revenue_rollup",
+    "supplier_semi_anti",
+    "top_customers_per_nation",
+    "lineitem_unpivot_metrics",
+    "orders_rolling_window_revenue",
+    "streaming_daily_rollup",
+    "multimodal_stub",
+    "ann_sweep_eval",
+    "ann_dim_ablation",
+    "knn_label_eval",
+    "dedup_cluster_histogram",
+    "dedup_incremental",
+]
+
 # every gate-list name must resolve — a typo is harmless until the
 # rotation pulls it into the window, where the _gate_ordered check
 # would crash queries() for the whole driver run (r7: a stale "_lite"
-# suffix sat one rotation away from exactly that); _NEW_R7 is included
-# because its old tolerant `if k in _REGISTRY` filter silently DROPPED
-# a mistyped new key from the window instead of failing.  Explicit
+# suffix sat one rotation away from exactly that); _NEW_R8 is included
+# because a tolerant `if k in _REGISTRY` filter would silently DROP a
+# mistyped new key from the window instead of failing.  Explicit
 # raise, not assert: python -O strips asserts and would resurrect the
 # crash-one-rotation-later failure mode.
-for _k in _R7_STALE_R2 + _NEW_R7 + _STALE_R3:
+for _k in _R8_STALE + _R8_REWRITTEN_R7 + _NEW_R8 + _R8_STALE_R4:
     if _k not in _REGISTRY:
         raise RuntimeError(f"gate list references unknown key: {_k}")
 
-_GATE_PRIORITY = (_R7_STALE_R2 + _NEW_R7 + _STALE_R3)[:GATE_WINDOW]
-# VERDICT r6 item 1 names these as required r7 gate rows; pin them.
-for _k in _R7_STALE_R2:
+_GATE_PRIORITY = (_R8_STALE + _R8_REWRITTEN_R7 + _NEW_R8 + _R8_STALE_R4)[:GATE_WINDOW]
+# VERDICT r7 item 1 names the stale+rewritten tiers as required r8 gate
+# rows; pin them.
+for _k in _R8_STALE + _R8_REWRITTEN_R7:
     if _k not in _GATE_PRIORITY:
-        raise RuntimeError(f"required r7 gate slot lost: {_k}")
+        raise RuntimeError(f"required r8 gate slot lost: {_k}")
 
 
 def _gate_ordered() -> dict[str, tuple[QueryFn, str | None]]:

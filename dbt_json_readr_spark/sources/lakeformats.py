@@ -390,6 +390,18 @@ def _dv_positions(table_path: str, desc: dict) -> list[int]:
                 )
             else:
                 fpath = _resolve(body, table_path)
+            # the spec marks offset optional — a descriptor missing it
+            # (or sizeInBytes) must fail the module's loud contract,
+            # not a bare KeyError (r7 advice)
+            missing = [
+                k for k in ("offset", "sizeInBytes") if desc.get(k) is None
+            ]
+            if missing:
+                raise LakeFormatError(
+                    f"deletion-vector descriptor (storageType {st!r}) is "
+                    f"missing required field(s) {missing} for a file-backed "
+                    "DV — malformed log"
+                )
             positions = roaring.read_dv_from_file(
                 fpath, int(desc["offset"]), int(desc["sizeInBytes"])
             )
@@ -848,6 +860,18 @@ def delta_to_manifest(table_path: str, version: int | None = None) -> dict:
             "ManifestTable models at most one partition column; "
             f"Delta table has {pcols}"
         )
+    if snap["column_mapping_mode"] != "none":
+        # the exported manifest's schema would carry LOGICAL names over
+        # data files that store PHYSICAL (col-uuid) parquet columns, so
+        # downstream ManifestTable reads silently null-fill every
+        # column — and partitionValues are keyed by physical name, so a
+        # partitioned export crashes on the logical lookup (r7 advice)
+        raise LakeFormatGatedError(
+            "snapshot uses column mapping mode "
+            f"{snap['column_mapping_mode']!r}; ManifestTable manifests "
+            "carry logical names only and cannot express the "
+            "physical-name remap — read via read_delta_snapshot instead"
+        )
     dv_files = [f["path"] for f in snap["files"] if f.get("deletionVector")]
     if dv_files:
         # a manifest is a FILE list — exporting one would silently
@@ -1067,7 +1091,7 @@ def _java_to_py(jvm, obj):
 # re-walks the same manifest files once per snapshot otherwise.
 # Bounded FIFO so a long-lived session over many tables cannot grow it
 # without limit.
-_AVRO_CACHE: dict[tuple[str, int, float], list[dict]] = {}
+_AVRO_CACHE: dict[tuple[str, int, int], list[dict]] = {}
 _AVRO_CACHE_MAX = 4096
 
 
@@ -1084,7 +1108,11 @@ def _read_avro_records(spark: SparkSession, *paths: str) -> list[dict]:
     out: list[dict] = []
     for path in paths:
         st = os.stat(path)
-        key = (os.path.abspath(path), st.st_size, st.st_mtime)
+        # st_mtime_ns, not float st_mtime: a manifest rewritten with
+        # identical size within float-mtime precision (fixture
+        # regeneration in fast test loops) must not serve stale entries
+        # (r7 advice; the footer cache already keys on ns)
+        key = (os.path.abspath(path), st.st_size, st.st_mtime_ns)
         hit = _AVRO_CACHE.get(key)
         if hit is not None:
             out.extend(hit)

@@ -42,15 +42,15 @@ def test_entry_module_exports_registry():
 
 
 def test_new_round_keys_are_registered_and_in_window():
-    """_NEW_R7 lists keys meant to be gated this round; a key listed
+    """_NEW_R8 lists keys meant to be gated this round; a key listed
     there but never registered would silently fall out of the window —
     the exact 'landed after the window locked' failure VERDICT r5
     flagged."""
     keys = list(registry.queries())
     window = set(keys[:GATE_WINDOW])
-    for k in registry._NEW_R7:
-        assert k in registry._REGISTRY, f"_NEW_R7 key never registered: {k}"
-        assert k in window, f"_NEW_R7 key outside the gate window: {k}"
+    for k in registry._NEW_R8:
+        assert k in registry._REGISTRY, f"_NEW_R8 key never registered: {k}"
+        assert k in window, f"_NEW_R8 key outside the gate window: {k}"
 
 
 def test_survey_section2_matches_registry():

@@ -2148,3 +2148,60 @@ def test_delta_cdf_null_partition_groups(spark, tmp_path):
         for r in LF.read_delta_changes(spark, str(t), 0).collect()
     )
     assert rows == [(1, None, "insert"), (2, None, "insert"), (3, "x", "insert")]
+
+
+def test_delta_to_manifest_gates_column_mapping(spark):
+    """A column-mapped snapshot must not export to a ManifestTable
+    manifest: the manifest carries logical names over physical-named
+    parquet, so downstream reads silently null-fill (and a partitioned
+    mapped table crashed on the logical partitionValues lookup — r7
+    advice)."""
+    import pytest
+
+    from dbt_json_readr_spark.plans import lake as LP
+    from dbt_json_readr_spark.sources import lakeformats as LF
+
+    LP.ensure_lake_fixtures()
+    with pytest.raises(LF.LakeFormatGatedError, match="column mapping"):
+        LF.delta_to_manifest(str(LP.DELTA_CM_DIR))
+
+
+def test_dv_descriptor_missing_offset_is_loud(tmp_path):
+    """A file-backed DV descriptor missing offset/sizeInBytes fails the
+    module's loud LakeFormatError contract, not a bare KeyError (the
+    spec marks offset optional — r7 advice)."""
+    import pytest
+
+    from dbt_json_readr_spark.sources import lakeformats as LF
+
+    desc = {"storageType": "p", "pathOrInlineDv": "dv.bin", "cardinality": 1}
+    with pytest.raises(LF.LakeFormatError, match="missing required field"):
+        LF._dv_positions(str(tmp_path), desc)
+
+
+def test_avro_cache_keys_on_mtime_ns(spark, tmp_path):
+    """Rewriting a manifest with identical size and float-identical
+    mtime (fixture regeneration in fast loops) must serve the FRESH
+    content — the cache keys on st_mtime_ns (r7 advice; the footer
+    cache already did)."""
+    import json
+    import os
+
+    from dbt_json_readr_spark.sources import lakeformats as LF
+
+    schema = json.dumps(
+        {
+            "type": "record",
+            "name": "row",
+            "fields": [{"name": "v", "type": "string"}],
+        }
+    )
+    p = tmp_path / "m.avro"
+    LF.write_avro_records(spark, str(p), schema, [{"v": "aaaa"}])
+    t_ns = os.stat(p).st_mtime_ns
+    assert LF._read_avro_records(spark, str(p))[0]["v"] == "aaaa"
+    # same byte length, different content; +1 ns collides as float
+    LF.write_avro_records(spark, str(p), schema, [{"v": "bbbb"}])
+    os.utime(p, ns=(t_ns + 1, t_ns + 1))
+    assert os.stat(p).st_mtime == os.stat(p).st_mtime  # sanity
+    assert LF._read_avro_records(spark, str(p))[0]["v"] == "bbbb"
