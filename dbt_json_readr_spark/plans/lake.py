@@ -27,9 +27,12 @@ DELTA_DIR = FIXTURE_ROOT / "delta_sales"
 DELTA_CM_DIR = FIXTURE_ROOT / "delta_cm_orders"
 DELTA_DV_DIR = FIXTURE_ROOT / "delta_dv_events"
 DELTA_CDF_DIR = FIXTURE_ROOT / "delta_cdf_orders"
+DELTA_SKIP_DIR = FIXTURE_ROOT / "delta_stats_sales"
 ICEBERG_DIR = FIXTURE_ROOT / "iceberg_sales"
 ICEBERG_META = ICEBERG_DIR / "metadata" / "v3.metadata.json"
-_VERSION = "8"
+ICEBERG_BUCKET_DIR = FIXTURE_ROOT / "iceberg_bucketed"
+ICEBERG_BUCKET_META = ICEBERG_BUCKET_DIR / "metadata" / "v1.metadata.json"
+_VERSION = "9"
 
 # ------------------------------------------------------- fixtures
 
@@ -251,6 +254,121 @@ _CDF_COMMITS: list[list[dict]] = [
         {"remove": {"path": "f0.parquet", "dataChange": True}},
     ],
 ]
+
+# --- stats-skipping Delta fixture (r8, VERDICT r7 item 2) ---
+# Every add carries the PROTOCOL.md per-file statistics JSON
+# (numRecords / minValues / maxValues / nullCount), computed from the
+# authoring rows at fixture-build time.  s4's v column is ALL NULL so
+# is_not_null can prove a whole-file skip; cat is a partition column so
+# exact partitionValues pruning is exercised alongside the intervals.
+_SKIP_SCHEMA_STRING = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": False, "metadata": {}},
+            {"name": "v", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "cat", "type": "string", "nullable": True, "metadata": {}},
+        ],
+    }
+)
+# path → (partition cat, id range); v = id * 3 except s4 (all null)
+_SKIP_FILES = {
+    "cat=a/s0.parquet": ("a", range(1, 21)),
+    "cat=a/s1.parquet": ("a", range(21, 41)),
+    "cat=b/s2.parquet": ("b", range(41, 61)),
+    "cat=b/s3.parquet": ("b", range(61, 81)),
+    "cat=c/s4.parquet": ("c", range(81, 101)),
+}
+_SKIP_NULL_V = {"cat=c/s4.parquet"}
+
+# the audit's Delta predicates (label → conjunctive terms)
+_DELTA_SKIP_PREDICATES = [
+    ("d1_id_ge_70", [("id", ">=", 70)]),
+    ("d2_cat_a", [("cat", "=", "a")]),
+    ("d3_id_window", [("id", ">", 30), ("id", "<=", 50)]),
+    ("d4_v_not_null", [("v", "is_not_null", None)]),
+    ("d5_empty", [("id", ">", 1000)]),
+]
+
+# --- bucket-partitioned Iceberg fixture (r8, VERDICT r7 items 2+6) ---
+# ids 1..60 land in one file per (range half, bucket[2](id)) cell; the
+# bucket membership below is the murmur3_x86_32 split the Iceberg spec
+# mandates (Appendix B), authored here as LITERALS so the fixture and
+# the oracle never run the hash under test (the spec's own published
+# vectors pin the hash in tests/test_skipping.py).  Each manifest entry
+# carries the partition tuple plus id lower/upper bounds, so equality
+# predicates prune through the transform and range predicates through
+# the bounds.
+_IB_FILES = {
+    "data/low0.parquet": (0, [1, 2, 4, 10, 12, 15, 16, 18, 19, 24, 26, 27, 29]),
+    "data/low1.parquet": (
+        1,
+        [3, 5, 6, 7, 8, 9, 11, 13, 14, 17, 20, 21, 22, 23, 25, 28, 30],
+    ),
+    "data/high0.parquet": (0, [36, 37, 38, 41, 42, 43, 48, 50, 52, 57]),
+    "data/high1.parquet": (
+        1,
+        [31, 32, 33, 34, 35, 39, 40, 44, 45, 46, 47, 49, 51, 53, 54, 55, 56, 58, 59, 60],
+    ),
+}
+_IB_N_BUCKETS = 2
+
+# the audit's Iceberg predicates: probes 12 (bucket 0) and 33
+# (bucket 1) are literals consistent with the _IB_FILES split
+_ICEBERG_SKIP_PREDICATES = [
+    ("i1_eq_b0", [("id", "=", 12)]),
+    ("i2_eq_b1", [("id", "=", 33)]),
+    ("i3_gt_45", [("id", ">", 45)]),
+    ("i4_in_both", [("id", "in", [12, 33])]),
+]
+
+_ICEBERG_BUCKET_METADATA = {
+    "format-version": 2,
+    "table-uuid": "5a2b8c1d-iceberg-bucketed",
+    "location": "warehouse/bucketed",
+    "last-sequence-number": 1,
+    "last-updated-ms": 1735689600000,
+    "last-column-id": 1,
+    "current-schema-id": 0,
+    "schemas": [
+        {
+            "type": "struct",
+            "schema-id": 0,
+            "fields": [
+                {"id": 1, "name": "id", "required": False, "type": "long"}
+            ],
+        }
+    ],
+    "default-spec-id": 0,
+    "partition-specs": [
+        {
+            "spec-id": 0,
+            "fields": [
+                {
+                    "name": "id_bucket",
+                    "transform": f"bucket[{_IB_N_BUCKETS}]",
+                    "source-id": 1,
+                    "field-id": 1000,
+                }
+            ],
+        }
+    ],
+    "last-partition-id": 1000,
+    "default-sort-order-id": 0,
+    "sort-orders": [{"order-id": 0, "fields": []}],
+    "current-snapshot-id": 9001,
+    "snapshots": [
+        {
+            "snapshot-id": 9001,
+            "sequence-number": 1,
+            "timestamp-ms": 1735689600000,
+            "schema-id": 0,
+            "manifest-list": "metadata/snap-9001.avro",
+            "summary": {"operation": "append"},
+        }
+    ],
+}
+
 
 _ICEBERG_METADATA = {
     "format-version": 2,
@@ -539,6 +657,86 @@ def ensure_lake_fixtures(root: Path | str = FIXTURE_ROOT) -> Path:
                     ["web" if r % 2 else "store" for r in rows], pa.string()
                 )
             pq.write_table(pa.table(cols), iceberg / rel)
+        # stats-skipping Delta table: one commit, every add with stats
+        skip = tmp / DELTA_SKIP_DIR.name
+        skip_actions = [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {
+                "metaData": {
+                    "id": "9e4f2a7b-delta-stats-fixture",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": _SKIP_SCHEMA_STRING,
+                    "partitionColumns": ["cat"],
+                    "configuration": {},
+                }
+            },
+        ]
+        for rel, (cat, ids) in _SKIP_FILES.items():
+            ids = list(ids)
+            vals = (
+                [None] * len(ids)
+                if rel in _SKIP_NULL_V
+                else [i * 3 for i in ids]
+            )
+            dest = skip / rel
+            dest.parent.mkdir(parents=True, exist_ok=True)
+            pq.write_table(
+                pa.table(
+                    {
+                        "id": pa.array(ids, pa.int64()),
+                        "v": pa.array(vals, pa.int64()),
+                    }
+                ),
+                dest,
+            )
+            nn = [v for v in vals if v is not None]
+            skip_actions.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": {"cat": cat},
+                        "size": 0,
+                        "modificationTime": 0,
+                        "dataChange": True,
+                        "stats": json.dumps(
+                            {
+                                "numRecords": len(ids),
+                                "minValues": {
+                                    "id": min(ids),
+                                    **({"v": min(nn)} if nn else {}),
+                                },
+                                "maxValues": {
+                                    "id": max(ids),
+                                    **({"v": max(nn)} if nn else {}),
+                                },
+                                "nullCount": {
+                                    "id": 0,
+                                    "v": len(vals) - len(nn),
+                                },
+                            }
+                        ),
+                    }
+                }
+            )
+        skip_log = skip / "_delta_log"
+        skip_log.mkdir(parents=True)
+        (skip_log / f"{0:020d}.json").write_text(
+            "\n".join(json.dumps(a, sort_keys=True) for a in skip_actions)
+            + "\n"
+        )
+        # bucket-partitioned Iceberg table: parquet + metadata.json here
+        # (stdlib/pyarrow); avro manifests need a JVM — see
+        # ensure_iceberg_bucket_manifests
+        ib = tmp / ICEBERG_BUCKET_DIR.name
+        (ib / "metadata").mkdir(parents=True)
+        (ib / "data").mkdir()
+        for rel, (_bucket, ids) in _IB_FILES.items():
+            pq.write_table(
+                pa.table({"id": pa.array(ids, pa.int64())}), ib / rel
+            )
+        (ib / "metadata" / ICEBERG_BUCKET_META.name).write_text(
+            json.dumps(_ICEBERG_BUCKET_METADATA, sort_keys=True, indent=1)
+        )
         (tmp / "_VERSION").write_text(_VERSION)
         if root.exists():
             old = root.with_name(root.name + f".old-{os.getpid()}")
@@ -1426,3 +1624,344 @@ def _iceberg_change_feed_oracle_sql() -> str:
                 f"count(*) AS n_rows FROM read_parquet('{f}')"
             )
     return "\nUNION ALL\n".join(selects) + "\nORDER BY to_snapshot_id, change, path"
+
+
+# ------------------------------------------------------- F9 key
+
+_IB_MANIFEST_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+            {"name": "sequence_number", "type": ["null", "long"], "default": None},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {"name": "record_count", "type": "long"},
+                        {
+                            "name": "partition",
+                            "type": [
+                                "null",
+                                {
+                                    "type": "record",
+                                    "name": "pt",
+                                    "fields": [
+                                        {
+                                            "name": "id_bucket",
+                                            "type": ["null", "int"],
+                                            "default": None,
+                                        }
+                                    ],
+                                },
+                            ],
+                            "default": None,
+                        },
+                        {
+                            "name": "lower_bounds",
+                            "type": [
+                                "null",
+                                {
+                                    "type": "array",
+                                    "items": {
+                                        "type": "record",
+                                        "name": "kv1",
+                                        "fields": [
+                                            {"name": "key", "type": "int"},
+                                            {"name": "value", "type": "bytes"},
+                                        ],
+                                    },
+                                },
+                            ],
+                            "default": None,
+                        },
+                        {
+                            "name": "upper_bounds",
+                            "type": [
+                                "null",
+                                {
+                                    "type": "array",
+                                    "items": {
+                                        "type": "record",
+                                        "name": "kv2",
+                                        "fields": [
+                                            {"name": "key", "type": "int"},
+                                            {"name": "value", "type": "bytes"},
+                                        ],
+                                    },
+                                },
+                            ],
+                            "default": None,
+                        },
+                    ],
+                },
+            },
+        ],
+    }
+)
+
+_IB_MLIST_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "content", "type": "int"},
+            {"name": "added_snapshot_id", "type": ["null", "long"], "default": None},
+            {"name": "sequence_number", "type": ["null", "long"], "default": None},
+        ],
+    }
+)
+
+
+def ensure_iceberg_bucket_manifests(spark: SparkSession) -> None:
+    """Avro manifests for the bucket-partitioned fixture: each entry
+    carries the partition tuple (bucket[2] value) AND id lower/upper
+    bounds in the spec's key/value-array + Appendix-D binary encoding.
+    Needs a JVM (avro-core writer); everything else is materialized by
+    ensure_lake_fixtures.  Idempotent — the fixture-version bump wipes
+    the tree, so existence is freshness."""
+    import struct
+
+    ensure_lake_fixtures()
+    meta_dir = ICEBERG_BUCKET_DIR / "metadata"
+    if (meta_dir / "snap-9001.avro").exists() and (
+        meta_dir / "m-9001.avro"
+    ).exists():
+        return
+    entries = []
+    for rel, (bucket, ids) in sorted(_IB_FILES.items()):
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": 9001,
+                "sequence_number": 1,
+                "data_file": {
+                    "content": 0,
+                    "file_path": rel,
+                    "file_format": "PARQUET",
+                    "record_count": len(ids),
+                    "partition": {"id_bucket": bucket},
+                    "lower_bounds": [
+                        {"key": 1, "value": struct.pack("<q", min(ids))}
+                    ],
+                    "upper_bounds": [
+                        {"key": 1, "value": struct.pack("<q", max(ids))}
+                    ],
+                },
+            }
+        )
+    LF.write_avro_records(
+        spark, str(meta_dir / "m-9001.avro"), _IB_MANIFEST_SCHEMA, entries
+    )
+    LF.write_avro_records(
+        spark,
+        str(meta_dir / "snap-9001.avro"),
+        _IB_MLIST_SCHEMA,
+        [
+            {
+                "manifest_path": "metadata/m-9001.avro",
+                "manifest_length": 0,
+                "content": 0,
+                "added_snapshot_id": 9001,
+                "sequence_number": 1,
+            }
+        ],
+    )
+
+
+def lake_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-based file-skipping audit over BOTH bridges (VERDICT r7
+    items 2 and 6): for each predicate, one row with the scan-list size
+    the pruner actually handed Spark (``df.inputFiles()`` — the hard
+    evidence that fewer parquet paths reach the scan) next to the
+    row-level result, so a pruner that drops a LIVE file changes
+    n_rows/sum_id and fails the hash, while one that stops pruning
+    shows in files_kept.  Delta prunes on add.stats intervals + exact
+    partitionValues; Iceberg prunes on manifest lower/upper bounds +
+    the bucket[2] partition transform (murmur3, spec Appendix B)."""
+    prep(spark)
+    ensure_lake_fixtures()
+    ensure_iceberg_bucket_manifests(spark)
+    outs = []
+    jobs = [
+        (
+            "delta",
+            len(_SKIP_FILES),
+            _DELTA_SKIP_PREDICATES,
+            lambda pred: LF.read_delta_snapshot(
+                spark, str(DELTA_SKIP_DIR), predicate=pred
+            ),
+        ),
+        (
+            "iceberg",
+            len(_IB_FILES),
+            _ICEBERG_SKIP_PREDICATES,
+            lambda pred: LF.read_iceberg_snapshot(
+                spark, str(ICEBERG_BUCKET_META), predicate=pred
+            ),
+        ),
+    ]
+    for source, total, preds, read in jobs:
+        for label, pred in preds:
+            df = read(pred)
+            kept = len(df.inputFiles())
+            outs.append(
+                df.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.coalesce(F.sum("id"), F.lit(0))
+                    .cast("long")
+                    .alias("sum_id"),
+                ).select(
+                    F.lit(source).alias("source"),
+                    F.lit(label).alias("pred"),
+                    F.lit(total).cast("int").alias("files_total"),
+                    F.lit(kept).cast("int").alias("files_kept"),
+                    "*",
+                )
+            )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("source", "pred")
+
+
+def _lake_skipping_oracle_sql() -> str:
+    """INDEPENDENT stdlib replay of the skipping decision — the Delta
+    side re-parses the commit log's stats JSON and re-evaluates each
+    interval with its own inline logic; the Iceberg side replays bounds
+    and bucket membership from the authoring dicts (which file CONTAINS
+    which ids — ground truth the hash under test never touches).  Row
+    counts come from DuckDB over ALL files WHERE predicate, so a pruner
+    that drops a live file mismatches n_rows."""
+    ensure_lake_fixtures()
+    log = DELTA_SKIP_DIR / "_delta_log"
+    adds = []
+    for line in (log / f"{0:020d}.json").read_text().splitlines():
+        if not line.strip():
+            continue
+        a = json.loads(line)
+        if "add" in a:
+            adds.append(a["add"])
+
+    def d_keep(add: dict, terms) -> bool:
+        st = json.loads(add["stats"])
+        pv = add["partitionValues"]
+        for col, op, val in terms:
+            if col == "cat":  # partition column: exact
+                if op == "=" and pv["cat"] != val:
+                    return False
+                continue
+            lo = (st.get("minValues") or {}).get(col)
+            hi = (st.get("maxValues") or {}).get(col)
+            nulls = (st.get("nullCount") or {}).get(col)
+            n = st.get("numRecords")
+            if op == "is_not_null":
+                if nulls is not None and nulls == n:
+                    return False
+                continue
+            if nulls is not None and nulls == n:
+                return False  # all-null never matches a comparison
+            if lo is None or hi is None:
+                continue
+            if op == "=" and (val < lo or val > hi):
+                return False
+            if op == "<" and lo >= val:
+                return False
+            if op == "<=" and lo > val:
+                return False
+            if op == ">" and hi <= val:
+                return False
+            if op == ">=" and hi < val:
+                return False
+        return True
+
+    def ib_bucket_of(v: int) -> int | None:
+        for b, ids in _IB_FILES.values():
+            if v in ids:
+                return b
+        return None
+
+    def i_keep(bucket: int, ids: list, terms) -> bool:
+        lo, hi = min(ids), max(ids)
+
+        def one(v) -> bool:  # could v live in this file?
+            if v < lo or v > hi:
+                return False
+            vb = ib_bucket_of(v)
+            return vb is None or vb == bucket
+
+        for col, op, val in terms:
+            if op == "=" and not one(val):
+                return False
+            if op == "in" and not any(one(v) for v in val):
+                return False
+            if op == ">" and hi <= val:
+                return False
+            if op == "<" and lo >= val:
+                return False
+        return True
+
+    delta_rows = "\nUNION ALL\n".join(
+        f"SELECT id, v, '{cat}' AS cat "
+        f"FROM read_parquet('{(DELTA_SKIP_DIR / rel).as_posix()}')"
+        for rel, (cat, _ids) in sorted(_SKIP_FILES.items())
+    )
+    ib_rows = "\nUNION ALL\n".join(
+        f"SELECT id FROM read_parquet('{(ICEBERG_BUCKET_DIR / rel).as_posix()}')"
+        for rel in sorted(_IB_FILES)
+    )
+    delta_where = {
+        "d1_id_ge_70": "id >= 70",
+        "d2_cat_a": "cat = 'a'",
+        "d3_id_window": "id > 30 AND id <= 50",
+        "d4_v_not_null": "v IS NOT NULL",
+        "d5_empty": "id > 1000",
+    }
+    ib_where = {
+        "i1_eq_b0": "id = 12",
+        "i2_eq_b1": "id = 33",
+        "i3_gt_45": "id > 45",
+        "i4_in_both": "id IN (12, 33)",
+    }
+    selects = []
+    for label, terms in _DELTA_SKIP_PREDICATES:
+        kept = sum(1 for add in adds if d_keep(add, terms))
+        selects.append(
+            f"SELECT 'delta' AS source, '{label}' AS pred, "
+            f"CAST({len(adds)} AS INTEGER) AS files_total, "
+            f"CAST({kept} AS INTEGER) AS files_kept, "
+            f"count(*) AS n_rows, "
+            f"COALESCE(CAST(sum(id) AS BIGINT), 0) AS sum_id "
+            f"FROM delta_all WHERE {delta_where[label]}"
+        )
+    for label, terms in _ICEBERG_SKIP_PREDICATES:
+        kept = sum(
+            1 for b, ids in _IB_FILES.values() if i_keep(b, ids, terms)
+        )
+        selects.append(
+            f"SELECT 'iceberg' AS source, '{label}' AS pred, "
+            f"CAST({len(_IB_FILES)} AS INTEGER) AS files_total, "
+            f"CAST({kept} AS INTEGER) AS files_kept, "
+            f"count(*) AS n_rows, "
+            f"COALESCE(CAST(sum(id) AS BIGINT), 0) AS sum_id "
+            f"FROM ib_all WHERE {ib_where[label]}"
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH delta_all AS (
+{delta_rows}
+), ib_all AS (
+{ib_rows}
+)
+{body}
+ORDER BY source, pred
+"""

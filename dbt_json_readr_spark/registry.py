@@ -351,6 +351,11 @@ register(
 register("delta_dv_read", lake.delta_dv_read, lake._delta_dv_oracle_sql)
 register("delta_cdf_read", lake.delta_cdf_read, lake._delta_cdf_oracle_sql)
 register(
+    "lake_skipping_audit",
+    lake.lake_skipping_audit,
+    lake._lake_skipping_oracle_sql,
+)
+register(
     "streaming_delta_commits",
     streaming_jobs.streaming_delta_commits,
     streaming_jobs._streaming_delta_commits_sql,
@@ -405,7 +410,9 @@ _R8_REWRITTEN_R7 = [
 
 # New in r8 (appended as they land this round; each must be registered
 # above before being listed here).
-_NEW_R8: list[str] = []
+_NEW_R8 = [
+    "lake_skipping_audit",
+]
 
 # Newest driver row is r4; ordered most load-bearing first (flagship
 # TPC-H shapes, then dbt cores, then events/streaming, then ANN/dedup

@@ -181,6 +181,10 @@ class _DeltaState:
             "path": a["path"],
             "partitionValues": pv,
             "deletionVector": dv,
+            # per-file statistics JSON (PROTOCOL.md) — the raw string;
+            # skipping.delta_file_matches parses it lazily and treats
+            # absence/garbage as "keep the file"
+            "stats": a.get("stats"),
         }
 
     def remove(self, path: str) -> None:
@@ -420,11 +424,37 @@ def _dv_positions(table_path: str, desc: dict) -> list[int]:
     return positions
 
 
+def prune_delta_files(snap: dict, predicate: list | None) -> tuple[list[dict], int]:
+    """(kept files, skipped count) for a snapshot under a conjunctive
+    predicate — per-file ``add.stats`` interval checks plus exact
+    partitionValues evaluation (sources/skipping.py).  Strictly
+    conservative: files without stats are kept.  This is the 100 TB
+    lever: the pruned list is what reaches ``spark.read``, so a
+    selective predicate stops opening every file (VERDICT r7 item 2)."""
+    from . import skipping
+
+    if not predicate:
+        return list(snap["files"]), 0
+    skipping.validate_predicate(
+        predicate, [f.name for f in snap["schema"].fields]
+    )
+    phys = snap["physical_names"] if snap["column_mapping_mode"] != "none" else {}
+    kept = [
+        f
+        for f in snap["files"]
+        if skipping.delta_file_matches(
+            f, snap["schema"], snap["partition_columns"], predicate, phys
+        )
+    ]
+    return kept, len(snap["files"]) - len(kept)
+
+
 def read_delta_snapshot(
     spark: SparkSession,
     table_path: str,
     version: int | None = None,
     dv_driver_cap: int | None = None,
+    predicate: list | None = None,
 ) -> DataFrame:
     """The Delta table AS OF ``version`` as a DataFrame — the exact
     file list the snapshot pins, schema from the log (never inferred),
@@ -438,12 +468,26 @@ def read_delta_snapshot(
     logical names — a pure metadata remap, so logical renames need no
     data rewrite.  Per the protocol, with mapping enabled the log
     tracks partitionValues under the PHYSICAL name; the lookup falls
-    back to the logical name for writers that predate that rule."""
+    back to the logical name for writers that predate that rule.
+
+    ``predicate`` (r8, VERDICT r7 item 2) is a conjunction of
+    ``(column, op, value)`` terms: files whose ``add.stats`` /
+    partitionValues PROVE no match are dropped from the scan list
+    before ``spark.read`` ever sees them, and the predicate is then
+    ALSO applied row-level — skipping is a pure optimization, never a
+    semantics change."""
     snap = delta_snapshot(table_path, version)
     schema: T.StructType = snap["schema"]
     pcols = snap["partition_columns"]
     phys = snap["physical_names"] if snap["column_mapping_mode"] == "name" else {}
     pname = lambda c: phys.get(c, c)  # noqa: E731
+    row_filter = None
+    if predicate:
+        from . import skipping
+
+        kept, _ = prune_delta_files(snap, predicate)
+        snap = dict(snap, files=kept)
+        row_filter = skipping.predicate_column(predicate)
     if not snap["files"]:
         return spark.createDataFrame([], schema)
     # deletion vectors (r7): resolve each file's DV to row indexes
@@ -507,7 +551,8 @@ def read_delta_snapshot(
                 *[F.col(pname(f.name)).alias(f.name) for f in schema.fields],
                 *meta_sel,
             )
-        return _apply_dv(spark, df, dv_map, schema, all_paths)
+        out = _apply_dv(spark, df, dv_map, schema, all_paths)
+        return out if row_filter is None else out.filter(row_filter)
     data_schema = T.StructType(
         [
             T.StructField(pname(f.name), f.dataType, f.nullable)
@@ -549,7 +594,8 @@ def read_delta_snapshot(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return _apply_dv(spark, out, dv_map, schema, all_paths)
+    out = _apply_dv(spark, out, dv_map, schema, all_paths)
+    return out if row_filter is None else out.filter(row_filter)
 
 
 def _apply_dv(
@@ -1011,9 +1057,18 @@ def iceberg_snapshot_info(metadata_path: str, snapshot_id: int | None = None) ->
     while cur.get("parent-snapshot-id") in snaps:
         depth += 1
         cur = snaps[cur["parent-snapshot-id"]]
+    spec_fields: list[dict] = []
+    for spec in meta.get("partition-specs", []):
+        if spec.get("spec-id") == meta.get("default-spec-id"):
+            spec_fields = list(spec.get("fields", []))
     return {
         "snapshot": snap,
         "schema": iceberg_schema_to_spark(schema_json),
+        # raw schema JSON rides along for the skipping module: bound
+        # decoding (Appendix D) and bucket hashing (Appendix B) are
+        # keyed on the ICEBERG type, which the Spark translation loses
+        "schema_json": schema_json,
+        "partition_spec_fields": spec_fields,
         # Iceberg identifies columns by FIELD ID (equality_ids in delete
         # files reference these, surviving renames); the top-level map
         # drives column resolution, the nested map exists so renamed
@@ -1080,6 +1135,18 @@ def _java_to_py(jvm, obj):
         return out
     if cls.startswith("org.apache.avro.generic.GenericData$Array"):
         return [_java_to_py(jvm, obj.get(i)) for i in range(obj.size())]
+    if "ByteBuffer" in cls:
+        # avro 'bytes' fields (lower/upper bounds) arrive as
+        # java.nio.HeapByteBuffer; slice the live window out of the
+        # backing array (py4j converts byte[] → python bytes)
+        arr = bytes(obj.array())
+        start = obj.arrayOffset() + obj.position()
+        return arr[start : start + obj.remaining()]
+    if cls.startswith("java.util.") and obj.getClass().getName().endswith("Map"):
+        return {
+            _java_to_py(jvm, k): _java_to_py(jvm, obj.get(k))
+            for k in obj.keySet()
+        }
     return obj.toString()
 
 
@@ -1170,6 +1237,13 @@ def write_avro_records(
         if kind == "array":
             elem = sch.getElementType()
             return [_avro_json(elem, x) for x in (v or [])]
+        if kind == "map":
+            val = sch.getValueType()
+            return {k: _avro_json(val, x) for k, x in (v or {}).items()}
+        if kind in ("bytes", "fixed") and isinstance(v, (bytes, bytearray)):
+            # avro's JSON encoding for bytes: one char per byte,
+            # ISO-8859-1
+            return bytes(v).decode("latin-1")
         return v
 
     reader = jvm.org.apache.avro.generic.GenericDatumReader(schema)
@@ -1245,6 +1319,14 @@ def iceberg_snapshot_entries(
                     "rel_path": d["file_path"],
                     "file_format": str(d.get("file_format", "PARQUET")).upper(),
                     "record_count": int(d.get("record_count") or 0),
+                    # column stats + partition-transform values for the
+                    # file-skipping decision (sources/skipping.py);
+                    # absent fields read as None → keep the file
+                    "lower_bounds": d.get("lower_bounds"),
+                    "upper_bounds": d.get("upper_bounds"),
+                    "null_value_counts": d.get("null_value_counts"),
+                    "value_counts": d.get("value_counts"),
+                    "partition": d.get("partition"),
                 }
             )
     return out
@@ -1379,7 +1461,10 @@ def _iceberg_grouped_read(
 
 
 def read_iceberg_snapshot(
-    spark: SparkSession, metadata_path: str, snapshot_id: int | None = None
+    spark: SparkSession,
+    metadata_path: str,
+    snapshot_id: int | None = None,
+    predicate: list | None = None,
 ) -> DataFrame:
     """Data read for an Iceberg snapshot: metadata.json → manifest-list
     (avro) → manifests (avro) → live parquet data files, read by
@@ -1415,6 +1500,14 @@ def read_iceberg_snapshot(
     # (null entry seqs, inherited from the manifest list) wrongly gated
     # on "data files lack sequence numbers" and position deletes lost
     # their sequence bound.
+    row_filter = None
+    if predicate:
+        from . import skipping
+
+        skipping.validate_predicate(
+            predicate, [f.name for f in info["schema"].fields]
+        )
+        row_filter = skipping.predicate_column(predicate)
     data_files: dict[str, int | None] = {}  # path -> sequence_number
     pos_delete_files: list[tuple[str, int | None]] = []  # (path, seq)
     eq_deletes: list[tuple[str, int, list[int]]] = []  # (path, seq, field ids)
@@ -1448,6 +1541,18 @@ def read_iceberg_snapshot(
                 )
             eq_deletes.append((path, seq, [int(i) for i in eq_ids]))
         else:
+            # DATA file: lower/upper bounds + partition-transform
+            # pruning (r8, VERDICT r7 items 2/6) — skipped files never
+            # reach spark.read; delete files are never pruned (their
+            # targets may survive).  Conservative: missing stats keep.
+            if predicate and not skipping.iceberg_file_matches(
+                e,
+                info["schema_json"],
+                info["field_names_by_id"],
+                predicate,
+                info["partition_spec_fields"],
+            ):
+                continue
             data_files[path] = seq
     if not data_files:
         return spark.createDataFrame([], info["schema"])
@@ -1465,7 +1570,7 @@ def read_iceberg_snapshot(
         with_meta=bool(pos_delete_files or eq_deletes),
     )
     if not pos_delete_files and not eq_deletes:
-        return data
+        return data if row_filter is None else data.filter(row_filter)
     # Normalize URIs (file:///x vs /x) before any file_path comparison
     # (delete-file paths; the data side is normalized in the grouped
     # read's __fp projection).
@@ -1554,7 +1659,8 @@ def read_iceberg_snapshot(
             # size and shuffles big ones.
             cond = cond & (F.col("__seq") < F.lit(dseq))
             data = data.join(dels, on=cond, how="left_anti")
-    return data.select(*cols)
+    data = data.select(*cols)
+    return data if row_filter is None else data.filter(row_filter)
 
 
 def manifest_to_delta_log(manifest: dict, table_path: str) -> None:
