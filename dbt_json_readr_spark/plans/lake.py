@@ -32,7 +32,8 @@ ICEBERG_DIR = FIXTURE_ROOT / "iceberg_sales"
 ICEBERG_META = ICEBERG_DIR / "metadata" / "v3.metadata.json"
 ICEBERG_BUCKET_DIR = FIXTURE_ROOT / "iceberg_bucketed"
 ICEBERG_BUCKET_META = ICEBERG_BUCKET_DIR / "metadata" / "v1.metadata.json"
-_VERSION = "9"
+DELTA_CDFM_DIR = FIXTURE_ROOT / "delta_cdf_mapped"
+_VERSION = "10"
 
 # ------------------------------------------------------- fixtures
 
@@ -254,6 +255,120 @@ _CDF_COMMITS: list[list[dict]] = [
         {"remove": {"path": "f0.parquet", "dataChange": True}},
     ],
 ]
+
+# --- column-mapped CDF Delta fixture (r8, VERDICT r7 item 4) ---
+# Mode 'name' with CDF enabled, partitioned by region under its
+# PHYSICAL partitionValues key.  Commit 1 is a cdc update (physical
+# column names inside _change_data parquet); commit 2 RENAMES the
+# logical qty column mid-range (metadata only — the physical layout is
+# untouched, so the range stays readable); commit 3 derives a delete.
+_CDFM_PHYS = {"id": "col-i", "qty": "col-q", "region": "col-r"}
+
+
+def _cdfm_schema_string(qty_logical: str) -> str:
+    def fld(logical, key, typ="long"):
+        return {
+            "name": logical,
+            "type": typ,
+            "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": list(_CDFM_PHYS).index(key) + 1,
+                "delta.columnMapping.physicalName": _CDFM_PHYS[key],
+            },
+        }
+
+    return json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                fld("id", "id"),
+                fld(qty_logical, "qty"),
+                fld("region", "region", "string"),
+            ],
+        }
+    )
+
+
+def _cdfm_metadata_action(qty_logical: str) -> dict:
+    return {
+        "metaData": {
+            "id": "3f8d1c5a-delta-cdfm-fixture",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _cdfm_schema_string(qty_logical),
+            "partitionColumns": ["region"],
+            "configuration": {
+                "delta.columnMapping.mode": "name",
+                "delta.columnMapping.maxColumnId": "3",
+                "delta.enableChangeDataFeed": "true",
+            },
+        }
+    }
+
+
+# physical-name parquet content: path → (region, [(id, qty), ...])
+_CDFM_FILES = {
+    "m0.parquet": ("east", [(1, 10), (2, 20)]),
+    "m1.parquet": ("west", [(3, 30), (4, 40)]),
+    "m2.parquet": ("west", [(3, 31), (4, 41)]),  # updated image of m1
+    "m3.parquet": ("east", [(5, 50)]),
+}
+_CDFM_CDC_FILES = {
+    "_change_data/c1.parquet": (
+        "west",
+        [(i, q, "update_preimage") for i, q in _CDFM_FILES["m1.parquet"][1]]
+        + [(i, q, "update_postimage") for i, q in _CDFM_FILES["m2.parquet"][1]],
+    ),
+}
+
+
+def _cdfm_add(path: str, region: str, data_change: bool = True) -> dict:
+    return {
+        "add": {
+            "path": path,
+            "partitionValues": {_CDFM_PHYS["region"]: region},
+            "size": 0,
+            "modificationTime": 0,
+            "dataChange": data_change,
+        }
+    }
+
+
+_CDFM_COMMITS: list[list[dict]] = [
+    [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["columnMapping"],
+                "writerFeatures": ["columnMapping"],
+            }
+        },
+        _cdfm_metadata_action("qty"),
+        _cdfm_add("m0.parquet", "east"),
+        _cdfm_add("m1.parquet", "west"),
+    ],
+    [
+        {"remove": {"path": "m1.parquet", "dataChange": True}},
+        _cdfm_add("m2.parquet", "west"),
+        {
+            "cdc": {
+                "path": "_change_data/c1.parquet",
+                "partitionValues": {_CDFM_PHYS["region"]: "west"},
+                "size": 0,
+                "dataChange": False,
+            }
+        },
+    ],
+    [
+        # logical rename mid-range: physical layout untouched
+        _cdfm_metadata_action("qty_r"),
+        _cdfm_add("m3.parquet", "east"),
+    ],
+    [
+        {"remove": {"path": "m0.parquet", "dataChange": True}},
+    ],
+]
+
 
 # --- stats-skipping Delta fixture (r8, VERDICT r7 item 2) ---
 # Every add carries the PROTOCOL.md per-file statistics JSON
@@ -657,6 +772,48 @@ def ensure_lake_fixtures(root: Path | str = FIXTURE_ROOT) -> Path:
                     ["web" if r % 2 else "store" for r in rows], pa.string()
                 )
             pq.write_table(pa.table(cols), iceberg / rel)
+        # column-mapped CDF table: physical-name parquet + 4-commit log
+        cdfm = tmp / DELTA_CDFM_DIR.name
+        cdfm.mkdir(parents=True)
+        for rel, (_region, rows) in _CDFM_FILES.items():
+            pq.write_table(
+                pa.table(
+                    {
+                        _CDFM_PHYS["id"]: pa.array(
+                            [r[0] for r in rows], pa.int64()
+                        ),
+                        _CDFM_PHYS["qty"]: pa.array(
+                            [r[1] for r in rows], pa.int64()
+                        ),
+                    }
+                ),
+                cdfm / rel,
+            )
+        (cdfm / "_change_data").mkdir()
+        for rel, (_region, rows) in _CDFM_CDC_FILES.items():
+            pq.write_table(
+                pa.table(
+                    {
+                        _CDFM_PHYS["id"]: pa.array(
+                            [r[0] for r in rows], pa.int64()
+                        ),
+                        _CDFM_PHYS["qty"]: pa.array(
+                            [r[1] for r in rows], pa.int64()
+                        ),
+                        "_change_type": pa.array(
+                            [r[2] for r in rows], pa.string()
+                        ),
+                    }
+                ),
+                cdfm / rel,
+            )
+        cdfm_log = cdfm / "_delta_log"
+        cdfm_log.mkdir()
+        for v, actions in enumerate(_CDFM_COMMITS):
+            (cdfm_log / f"{v:020d}.json").write_text(
+                "\n".join(json.dumps(a, sort_keys=True) for a in actions)
+                + "\n"
+            )
         # stats-skipping Delta table: one commit, every add with stats
         skip = tmp / DELTA_SKIP_DIR.name
         skip_actions = [
@@ -1964,4 +2121,73 @@ WITH delta_all AS (
 )
 {body}
 ORDER BY source, pred
+"""
+
+
+# ------------------------------------------------------- F10 key
+
+
+def delta_cdf_mapped_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED over a COLUMN-MAPPED Delta table (VERDICT r7
+    item 4): cdc and data parquet carry PHYSICAL column names and
+    physically-keyed partitionValues per PROTOCOL.md, and commit 2
+    RENAMES the logical qty column mid-range — a metadata-only change
+    the physical-fingerprint gate must wave through (the old full
+    schema comparison wrongly gated it).  Output uses the END-of-range
+    logical names (id, qty_r, region); the update commit contributes
+    ONLY its _change_data rows, inserts/deletes derive as in F8.  A
+    reader that scanned by logical name would null-fill every column
+    and fail the hash."""
+    prep(spark)
+    ensure_lake_fixtures()
+    df = LF.read_delta_changes(spark, str(DELTA_CDFM_DIR), 0)
+    return (
+        df.groupBy(
+            F.col("_commit_version").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+            F.col("region"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("id").cast("long").alias("sum_id"),
+            F.sum("qty_r").cast("long").alias("sum_qty"),
+        )
+        .orderBy("commit_version", "change_type", "region")
+    )
+
+
+def _delta_cdf_mapped_oracle_sql() -> str:
+    """Authoring-dict replay: the fixture says which PHYSICAL files
+    each commit inserts/updates/deletes and in which region partition;
+    DuckDB re-reads the same parquet BY PHYSICAL NAME — independent of
+    read_delta_changes and of the logical rename under test."""
+    ensure_lake_fixtures()
+    pid, pqty = _CDFM_PHYS["id"], _CDFM_PHYS["qty"]
+    parts = []
+
+    def sel(commit, ct, rel, region):
+        f = (DELTA_CDFM_DIR / rel).as_posix()
+        ctexpr = "_change_type" if ct is None else f"'{ct}'"
+        parts.append(
+            f"SELECT {commit} AS commit_version, {ctexpr} AS change_type, "
+            f"'{region}' AS region, \"{pid}\" AS id, \"{pqty}\" AS qty "
+            f"FROM read_parquet('{f}')"
+        )
+
+    sel(0, "insert", "m0.parquet", "east")
+    sel(0, "insert", "m1.parquet", "west")
+    sel(1, None, "_change_data/c1.parquet", "west")
+    sel(2, "insert", "m3.parquet", "east")
+    sel(3, "delete", "m0.parquet", "east")
+    return f"""
+WITH changes(commit_version, change_type, region, id, qty) AS (
+{" UNION ALL ".join(parts)}
+)
+SELECT CAST(commit_version AS BIGINT) AS commit_version, change_type, region,
+       count(*) AS n_rows,
+       CAST(sum(id) AS BIGINT) AS sum_id,
+       CAST(sum(qty) AS BIGINT) AS sum_qty
+FROM changes
+GROUP BY commit_version, change_type, region
+ORDER BY commit_version, change_type, region
 """

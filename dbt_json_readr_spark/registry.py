@@ -356,6 +356,11 @@ register(
     lake._lake_skipping_oracle_sql,
 )
 register(
+    "delta_cdf_mapped_read",
+    lake.delta_cdf_mapped_read,
+    lake._delta_cdf_mapped_oracle_sql,
+)
+register(
     "streaming_delta_commits",
     streaming_jobs.streaming_delta_commits,
     streaming_jobs._streaming_delta_commits_sql,
@@ -412,6 +417,7 @@ _R8_REWRITTEN_R7 = [
 # above before being listed here).
 _NEW_R8 = [
     "lake_skipping_audit",
+    "delta_cdf_mapped_read",
 ]
 
 # Newest driver row is r4; ordered most load-bearing first (flagship

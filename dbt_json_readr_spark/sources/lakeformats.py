@@ -13,13 +13,15 @@ Scope is explicit and loud:
 - Delta: checkpoint-parquet state (pyarrow, driver-side — r6) seeds the
   file set when ``_last_checkpoint`` covers the target version, with
   later JSON commits replayed on top; a fully-retained JSON log replays
-  from 0.  Column mapping mode 'name' and DELETION VECTORS (r7) are
-  implemented — DV positions decode driver-side (sources/roaring.py,
+  from 0.  Column mapping modes 'name' and 'id' (r7/r8) and DELETION
+  VECTORS (r7) are implemented — mode 'id' resolves parquet columns by
+  footer FIELD ID per file (the Iceberg-style identity rule); DV
+  positions decode driver-side (sources/roaring.py,
   magic/size/CRC/cardinality all validated) and apply as a distributed
   (_metadata.file_path, row_index) anti-join.  Time travel BEHIND the
-  retained log gates loudly (that history is vacuumed), as do mapping
-  mode 'id', nested mapped columns, and any other reader-protocol-3
-  feature (v2Checkpoint, timestampNtz, ...).
+  retained log gates loudly (that history is vacuumed), as do nested
+  mapped columns and any other reader-protocol-3 feature (v2Checkpoint,
+  timestampNtz, ...).
 - Iceberg: metadata.json parse (snapshot lineage, schema translation to
   Spark types, current-snapshot resolution) is full-fidelity; the DATA
   path walks the avro manifest list with the avro-core container
@@ -99,6 +101,9 @@ class _DeltaState:
         self.configuration: dict[str, str] = {}
         # logical field name -> physical parquet column name
         self.physical_names: dict[str, str] = {}
+        # logical field name -> delta.columnMapping.id (mode 'id'
+        # resolves parquet columns by this against footer field ids)
+        self.field_ids: dict[str, int] = {}
 
     def check_protocol(self, p: dict) -> None:
         v = p.get("minReaderVersion", 1)
@@ -141,25 +146,32 @@ class _DeltaState:
             conf = dict(conf)
         self.configuration = {str(k): str(v) for k, v in conf.items()}
         mode = conf.get("delta.columnMapping.mode", "none")
-        if mode not in ("none", "name"):
-            # "id" mode resolves columns by parquet FIELD ID, which the
-            # plain parquet reader here cannot key on — must not
-            # silently fall back to name matching
+        if mode not in ("none", "name", "id"):
             raise LakeFormatGatedError(
                 f"Delta column mapping mode {mode!r} — this bridge "
-                "supports modes 'none' and 'name' only"
+                "supports modes 'none', 'name' and 'id' only"
             )
         self.column_mapping_mode = mode
         self.physical_names = {}
-        if mode == "name":
+        self.field_ids = {}
+        if mode in ("name", "id"):
             for f in schema_json.get("fields", []):
                 fmeta = f.get("metadata") or {}
                 phys = fmeta.get("delta.columnMapping.physicalName")
-                if not phys:
+                fid = fmeta.get("delta.columnMapping.id")
+                if mode == "name" and not phys:
                     raise LakeFormatError(
                         "column mapping mode 'name' but field "
                         f"{f.get('name')!r} carries no "
                         "delta.columnMapping.physicalName — malformed log"
+                    )
+                if mode == "id" and fid is None:
+                    # id mode resolves columns by FIELD ID; a field
+                    # without one cannot be resolved at all
+                    raise LakeFormatError(
+                        "column mapping mode 'id' but field "
+                        f"{f.get('name')!r} carries no "
+                        "delta.columnMapping.id — malformed log"
                     )
                 if isinstance(f.get("type"), dict):
                     # nested remaps rename leaves inside struct/array/map
@@ -168,7 +180,10 @@ class _DeltaState:
                         f"column mapping on nested column {f.get('name')!r} "
                         "— only top-level columns are supported"
                     )
-                self.physical_names[f["name"]] = phys
+                if phys:
+                    self.physical_names[f["name"]] = phys
+                if fid is not None:
+                    self.field_ids[f["name"]] = int(fid)
 
     def add(self, a: dict) -> None:
         pv = a.get("partitionValues") or {}
@@ -349,6 +364,7 @@ def delta_snapshot(table_path: str, version: int | None = None) -> dict:
         "partition_columns": state.partition_columns,
         "column_mapping_mode": state.column_mapping_mode,
         "physical_names": dict(state.physical_names),
+        "field_ids": dict(state.field_ids),
         "configuration": dict(state.configuration),
         "files": sorted(state.files.values(), key=lambda f: f["path"]),
     }
@@ -479,7 +495,8 @@ def read_delta_snapshot(
     snap = delta_snapshot(table_path, version)
     schema: T.StructType = snap["schema"]
     pcols = snap["partition_columns"]
-    phys = snap["physical_names"] if snap["column_mapping_mode"] == "name" else {}
+    mode = snap["column_mapping_mode"]
+    phys = snap["physical_names"] if mode != "none" else {}
     pname = lambda c: phys.get(c, c)  # noqa: E731
     row_filter = None
     if predicate:
@@ -536,59 +553,76 @@ def read_delta_snapshot(
         if dv_map
         else []
     )
-    if not pcols:
-        read_schema = T.StructType(
-            [
-                T.StructField(pname(f.name), f.dataType, f.nullable)
-                for f in schema.fields
-            ]
-        )
-        df = spark.read.schema(read_schema).parquet(
-            *[os.path.join(table_path, f["path"]) for f in snap["files"]]
-        )
-        if phys or dv_map:
-            df = df.select(
-                *[F.col(pname(f.name)).alias(f.name) for f in schema.fields],
-                *meta_sel,
-            )
-        out = _apply_dv(spark, df, dv_map, schema, all_paths)
-        return out if row_filter is None else out.filter(row_filter)
-    data_schema = T.StructType(
-        [
-            T.StructField(pname(f.name), f.dataType, f.nullable)
-            for f in schema.fields
-            if f.name not in pcols
-        ]
-    )
+    data_fields = [f for f in schema.fields if f.name not in pcols]
+    if mode == "id":
+        # mode 'id' resolves parquet columns by FIELD ID, not name: each
+        # file's footer ids (cached O(metadata) probe, same machinery as
+        # the Iceberg grouped read) map delta.columnMapping.id → that
+        # file's physical column name; files without footer ids fall
+        # back to the metadata physicalName when present, else gate.
+        fids = snap["field_ids"]
+
+        def file_names(ap: str) -> tuple:
+            top, _nested = _parquet_field_names_by_id(ap)
+            names = []
+            for fld in data_fields:
+                pn = top.get(fids[fld.name], phys.get(fld.name))
+                if pn is None:
+                    raise LakeFormatGatedError(
+                        f"column mapping mode 'id': {ap} carries no "
+                        f"parquet field id {fids[fld.name]} for column "
+                        f"{fld.name!r} and the log records no "
+                        "physicalName fallback"
+                    )
+                names.append((fld.name, pn))
+            if len({n for _, n in names}) != len(names):
+                raise LakeFormatGatedError(
+                    f"field-id resolution for {ap} collides on physical "
+                    f"names {sorted(n for _, n in names)}"
+                )
+            return tuple(names)
+
+    else:
+        _const_names = tuple((f.name, pname(f.name)) for f in data_fields)
+
+        def file_names(ap: str) -> tuple:
+            return _const_names
+
+    # group by (partition key, column remap): partition values inject
+    # per group, and each remap group scans with ITS physical names —
+    # group count is bounded by partitions × distinct historical
+    # schemas, so the union stays shallow
     groups: dict[tuple, list[str]] = {}
-    for f in snap["files"]:
+    for f, ap in zip(snap["files"], all_paths):
         pv = f["partitionValues"]
-        key = tuple(
-            pv.get(pname(c), pv.get(c)) for c in pcols
-        )
-        groups.setdefault(key, []).append(os.path.join(table_path, f["path"]))
+        pkey = tuple(pv.get(pname(c), pv.get(c)) for c in pcols)
+        groups.setdefault((pkey, file_names(ap)), []).append(ap)
     out_names = [f.name for f in schema.fields] + (
         ["__fp", "__pos"] if dv_map else []
     )
     parts = []
     # None-safe ordering: nullable partition columns write
     # partitionValues of null (Hive default partition)
-    for key, paths in sorted(
-        groups.items(), key=lambda kv: tuple((v is None, v) for v in kv[0])
+    for (pkey, remap), paths in sorted(
+        groups.items(),
+        key=lambda kv: (tuple((v is None, v) for v in kv[0][0]), kv[0][1]),
     ):
-        part = spark.read.schema(data_schema).parquet(*paths)
-        if phys or dv_map:
+        names = dict(remap)
+        read_schema = T.StructType(
+            [
+                T.StructField(names[f.name], f.dataType, f.nullable)
+                for f in data_fields
+            ]
+        )
+        part = spark.read.schema(read_schema).parquet(*paths)
+        if any(names[f.name] != f.name for f in data_fields) or dv_map:
             # metadata columns resolve against the scan relation — take
             # them in the FIRST projection, before partition withColumns
             part = part.select(
-                *[
-                    F.col(pname(f.name)).alias(f.name)
-                    for f in schema.fields
-                    if f.name not in pcols
-                ],
+                *[F.col(names[f.name]).alias(f.name) for f in data_fields],
                 *meta_sel,
             )
-        for c, val in zip(pcols, key):
+        for c, val in zip(pcols, pkey):
             part = part.withColumn(c, F.lit(val).cast(schema[c].dataType))
         parts.append(part.select(*out_names))
     out = parts[0]
@@ -666,6 +700,33 @@ def _apply_dv(
     )
 
 
+def _cdf_fingerprint(state: _DeltaState):
+    """What must stay FIXED across a CDF range for every commit's files
+    to be readable with the final schema: unmapped tables → the full
+    schema JSON + partitioning (a rename rewrote nothing but renamed
+    the parquet column the pre-images carry — gate); mapped tables →
+    the PHYSICAL layout (physical names, types, nullability) and the
+    physically-keyed partitioning, so a metadata-only logical rename
+    passes while add/drop/type/partitioning changes still gate."""
+    if state.column_mapping_mode == "none":
+        return (
+            "none",
+            json.dumps(state.schema.jsonValue(), sort_keys=True),
+            tuple(state.partition_columns),
+        )
+    pn = state.physical_names
+    return (
+        state.column_mapping_mode,
+        tuple(
+            sorted(
+                (pn.get(f.name, f.name), f.dataType.json(), f.nullable)
+                for f in state.schema.fields
+            )
+        ),
+        tuple(pn.get(c, c) for c in state.partition_columns),
+    )
+
+
 def read_delta_changes(
     spark: SparkSession,
     table_path: str,
@@ -689,10 +750,11 @@ def read_delta_changes(
     ``delta.enableChangeDataFeed`` must be true at EVERY commit in the
     range (a commit made before enablement recorded no change data —
     deriving it would fabricate whole-file churn), the schema and
-    partitioning must not change inside the range (gated naming the
-    CHANGING commit — a change at the range's first commit would
-    otherwise read its old-schema delete pre-images with the new
-    schema, silently null-filling renamed columns), column-mapped
+    partitioning must not change PHYSICALLY inside the range (gated
+    naming the CHANGING commit; on a mode-'name' column-mapped table a
+    metadata-only logical RENAME passes — the cdc/data parquet are
+    untouched and scans run under physical names, r8 VERDICT r7 item
+    4 — while add/drop/type changes still gate), mode-'id' mapped
     tables gate, a commit touching deletion vectors without cdc files
     gates, and vacuumed ranges gate.  Scans batch per (commit,
     change_type, partitionValues) so wide commits stay one relation."""
@@ -715,10 +777,10 @@ def read_delta_changes(
         if start_version > 0
         else _DeltaState()
     )
-    cur_schema_json = state.schema.jsonValue() if state.schema else None
+    cur_fingerprint = _cdf_fingerprint(state) if state.schema else None
     # one pass: parse each range commit once, apply, buffer what the
     # scan/validation phase needs (prev file map only when a derived
-    # remove will consult it; schema json only recomputed on metaData)
+    # remove will consult it; fingerprint only recomputed on metaData)
     records = []
     for v in range(start_version, end_version + 1):
         if not (log / f"{v:020d}.json").exists():
@@ -742,15 +804,14 @@ def read_delta_changes(
             if need_prev
             else None
         )
-        pre_schema_json = cur_schema_json
-        pre_pcols = list(state.partition_columns)
+        pre_fingerprint = cur_fingerprint
         _apply_commit(state, parsed)
         if state.schema is None:
             raise LakeFormatError(
                 f"commit {v} precedes the table's metaData — malformed log"
             )
         if parsed["meta"]:
-            cur_schema_json = state.schema.jsonValue()
+            cur_fingerprint = _cdf_fingerprint(state)
         if (
             state.configuration.get(
                 "delta.enableChangeDataFeed", "false"
@@ -764,14 +825,20 @@ def read_delta_changes(
                 f"change data was not recorded for commit {v} "
                 "(delta.enableChangeDataFeed was not true at that version)"
             )
-        if state.column_mapping_mode != "none":
+        if state.column_mapping_mode == "id":
+            # cdc/data files under id mode resolve by per-file footer
+            # ids; composing that into the range walk is not
+            # implemented — mode 'name' (the common case) is
             raise LakeFormatGatedError(
-                "change data feed over a column-mapped table — not supported"
+                "change data feed over a mode-'id' column-mapped table "
+                "— not supported (mode 'name' is)"
             )
-        if pre_schema_json is not None and (
-            cur_schema_json != pre_schema_json
-            or list(state.partition_columns) != pre_pcols
-        ):
+        if pre_fingerprint is not None and cur_fingerprint != pre_fingerprint:
+            # mapped tables compare the PHYSICAL layout, so a
+            # metadata-only logical rename mid-range is fine (the cdc
+            # and data parquet are untouched — VERDICT r7 item 4) while
+            # add/drop/type/partitioning changes still gate; unmapped
+            # tables keep the strict full-schema comparison
             raise LakeFormatGatedError(
                 f"commit {v} changes the table schema/partitioning inside "
                 "the CDF range — its old-schema delete pre-images cannot "
@@ -780,10 +847,24 @@ def read_delta_changes(
         records.append((v, parsed, prev_files))
     schema: T.StructType = state.schema
     pcols = state.partition_columns
+    # column mapping mode 'name' (r8, VERDICT r7 item 4): cdc and data
+    # parquet store PHYSICAL column names (partitionValues keyed the
+    # same way), so scans use the physical schema and the projection
+    # aliases back to the END-of-range logical names — the fingerprint
+    # gate above guarantees the physical layout is constant across the
+    # range, so one mapping serves every commit
+    phys = state.physical_names if state.column_mapping_mode != "none" else {}
+    pname = lambda c: phys.get(c, c)  # noqa: E731
     data_fields = [f for f in schema.fields if f.name not in pcols]
-    data_schema = T.StructType(data_fields)
+    data_schema = T.StructType(
+        [
+            T.StructField(pname(f.name), f.dataType, f.nullable)
+            for f in data_fields
+        ]
+    )
     cdc_schema = T.StructType(
-        data_fields + [T.StructField("_change_type", T.StringType(), True)]
+        list(data_schema.fields)
+        + [T.StructField("_change_type", T.StringType(), True)]
     )
     out_cols = [f.name for f in schema.fields] + [
         "_change_type",
@@ -791,8 +872,15 @@ def read_delta_changes(
     ]
 
     def finish(df, pv: dict, v: int, change_type: str | None):
+        sel = [F.col(pname(f.name)).alias(f.name) for f in data_fields]
+        if change_type is None:
+            sel.append(F.col("_change_type"))
+        df = df.select(*sel)
         for c in pcols:
-            df = df.withColumn(c, F.lit(pv.get(c)).cast(schema[c].dataType))
+            df = df.withColumn(
+                c,
+                F.lit(pv.get(pname(c), pv.get(c))).cast(schema[c].dataType),
+            )
         ct = (
             F.col("_change_type")
             if change_type is None

@@ -1056,8 +1056,9 @@ def test_delta_column_mapping_name_mode_read_and_rename(spark):
 
 
 def test_delta_column_mapping_gates(spark, tmp_path):
-    """'id' mode, missing physicalName, and non-columnMapping reader
-    features all gate loudly instead of mis-reading."""
+    """'id' mode without field ids, missing physicalName, and
+    non-columnMapping reader features all gate loudly instead of
+    mis-reading."""
     import json
 
     import pytest
@@ -1083,7 +1084,7 @@ def test_delta_column_mapping_gates(spark, tmp_path):
         "metadata": {"delta.columnMapping.physicalName": "col-x"},
     }
 
-    # id mode gates
+    # id mode (r8: supported) is MALFORMED without delta.columnMapping.id
     md = {
         "metaData": {
             "id": "x",
@@ -1095,7 +1096,7 @@ def test_delta_column_mapping_gates(spark, tmp_path):
             "configuration": {"delta.columnMapping.mode": "id"},
         }
     }
-    with pytest.raises(LF.LakeFormatGatedError, match="mode 'id'"):
+    with pytest.raises(LF.LakeFormatError, match="columnMapping.id"):
         LF.delta_snapshot(write_log([proto, md]))
 
     # name mode without physicalName is malformed
@@ -2205,3 +2206,189 @@ def test_avro_cache_keys_on_mtime_ns(spark, tmp_path):
     os.utime(p, ns=(t_ns + 1, t_ns + 1))
     assert os.stat(p).st_mtime == os.stat(p).st_mtime  # sanity
     assert LF._read_avro_records(spark, str(p))[0]["v"] == "bbbb"
+
+
+def test_delta_column_mapping_id_mode_read(spark, tmp_path):
+    """Column mapping mode 'id' (r8, VERDICT r7 item 3): parquet
+    columns resolve by FOOTER FIELD ID against delta.columnMapping.id —
+    file A's physical names match nothing in the metadata (only its
+    field ids do), file B has no field ids and falls back to the
+    metadata physicalName; a logical rename (ids unchanged) reads both
+    snapshots; a file with neither ids nor a physicalName fallback
+    gates loudly."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from dbt_json_readr_spark.sources import lakeformats as LF
+
+    def field_meta(logical, fid, phys=True):
+        m = {"delta.columnMapping.id": fid}
+        if phys:
+            m["delta.columnMapping.physicalName"] = f"col-{fid}"
+        return {
+            "name": logical,
+            "type": "long",
+            "nullable": True,
+            "metadata": m,
+        }
+
+    def schema_string(qty_logical, phys=True):
+        return json.dumps(
+            {
+                "type": "struct",
+                "fields": [
+                    field_meta("id", 1, phys),
+                    field_meta(qty_logical, 2, phys),
+                ],
+            }
+        )
+
+    def meta_action(qty_logical, phys=True):
+        return {
+            "metaData": {
+                "id": "id-mode-fixture",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_string(qty_logical, phys),
+                "partitionColumns": [],
+                "configuration": {"delta.columnMapping.mode": "id"},
+            }
+        }
+
+    t = tmp_path / "idmode"
+    t.mkdir()
+    # file A: arbitrary physical names, field ids present
+    pq.write_table(
+        pa.table(
+            {"zzz_a": [1, 2, 3], "zzz_b": [10, 20, 30]},
+            schema=pa.schema(
+                [
+                    pa.field("zzz_a", pa.int64(), metadata={b"PARQUET:field_id": b"1"}),
+                    pa.field("zzz_b", pa.int64(), metadata={b"PARQUET:field_id": b"2"}),
+                ]
+            ),
+        ),
+        t / "fa.parquet",
+    )
+    # file B: physicalName columns, NO field ids (older writer)
+    pq.write_table(
+        pa.table({"col-1": [4, 5], "col-2": [40, 50]}),
+        t / "fb.parquet",
+    )
+    log = t / "_delta_log"
+    log.mkdir()
+    commits = [
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            meta_action("qty"),
+            {"add": {"path": "fa.parquet", "partitionValues": {}, "size": 0, "modificationTime": 0, "dataChange": True}},
+            {"add": {"path": "fb.parquet", "partitionValues": {}, "size": 0, "modificationTime": 0, "dataChange": True}},
+        ],
+        [meta_action("qty_renamed")],  # rename by id: data untouched
+    ]
+    for v, actions in enumerate(commits):
+        (log / f"{v:020d}.json").write_text(
+            "\n".join(json.dumps(a) for a in actions) + "\n"
+        )
+    v0 = LF.read_delta_snapshot(spark, str(t), version=0)
+    assert sorted((r["id"], r["qty"]) for r in v0.collect()) == [
+        (1, 10),
+        (2, 20),
+        (3, 30),
+        (4, 40),
+        (5, 50),
+    ]
+    v1 = LF.read_delta_snapshot(spark, str(t), version=1)
+    assert v1.columns == ["id", "qty_renamed"]
+    assert sorted(r["qty_renamed"] for r in v1.collect()) == [10, 20, 30, 40, 50]
+    # stats-predicate pruning composes with id-mode resolution
+    df = LF.read_delta_snapshot(spark, str(t), predicate=[("id", ">=", 4)])
+    assert sorted(r["id"] for r in df.collect()) == [4, 5]
+
+    # no footer ids AND no physicalName fallback → loud gate
+    t2 = tmp_path / "idmode_bare"
+    t2.mkdir()
+    pq.write_table(pa.table({"col-1": [1], "col-2": [2]}), t2 / "fb.parquet")
+    log2 = t2 / "_delta_log"
+    log2.mkdir()
+    (log2 / f"{0:020d}.json").write_text(
+        "\n".join(
+            json.dumps(a)
+            for a in [
+                {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+                meta_action("qty", phys=False),
+                {"add": {"path": "fb.parquet", "partitionValues": {}, "size": 0, "modificationTime": 0, "dataChange": True}},
+            ]
+        )
+        + "\n"
+    )
+    with pytest.raises(LF.LakeFormatGatedError, match="no parquet field id"):
+        LF.read_delta_snapshot(spark, str(t2)).collect()
+
+
+def test_delta_cdf_mapped_rename_passes_layout_change_gates(spark, tmp_path):
+    """CDF over a mode-'name' mapped table (r8): the mid-range logical
+    RENAME in the fixture passes (physical fingerprint unchanged), a
+    mid-range ADD COLUMN still gates naming the commit, and mode-'id'
+    mapped tables gate."""
+    import json
+    import shutil
+
+    import pytest
+
+    from dbt_json_readr_spark.plans import lake as LP
+    from dbt_json_readr_spark.sources import lakeformats as LF
+
+    LP.ensure_lake_fixtures()
+    # the fixture range (with its commit-2 rename) reads end-to-end
+    df = LF.read_delta_changes(spark, str(LP.DELTA_CDFM_DIR), 0)
+    assert df.columns == ["id", "qty_r", "region", "_change_type", "_commit_version"]
+    # 4 inserts (v0) + 4 update images (v1 cdc) + 1 insert (v2) + 2 deletes (v3)
+    assert df.count() == 11
+
+    # mid-range physical layout change (add a column) gates
+    t = tmp_path / "addcol"
+    shutil.copytree(LP.DELTA_CDFM_DIR, t)
+    log = t / "_delta_log"
+    lines = [
+        json.loads(ln)
+        for ln in (log / f"{2:020d}.json").read_text().splitlines()
+    ]
+    for a in lines:
+        if "metaData" in a:
+            sch = json.loads(a["metaData"]["schemaString"])
+            sch["fields"].append(
+                {
+                    "name": "extra",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 4,
+                        "delta.columnMapping.physicalName": "col-x",
+                    },
+                }
+            )
+            a["metaData"]["schemaString"] = json.dumps(sch)
+    (log / f"{2:020d}.json").write_text(
+        "\n".join(json.dumps(a) for a in lines) + "\n"
+    )
+    with pytest.raises(LF.LakeFormatGatedError, match="commit 2 changes"):
+        LF.read_delta_changes(spark, str(t), 0)
+
+    # mode-'id' mapped CDF gates loudly
+    t2 = tmp_path / "idmode"
+    shutil.copytree(LP.DELTA_CDFM_DIR, t2)
+    log2 = t2 / "_delta_log"
+    for v in range(4):
+        p = log2 / f"{v:020d}.json"
+        lines = [json.loads(ln) for ln in p.read_text().splitlines()]
+        for a in lines:
+            if "metaData" in a:
+                a["metaData"]["configuration"][
+                    "delta.columnMapping.mode"
+                ] = "id"
+        p.write_text("\n".join(json.dumps(a) for a in lines) + "\n")
+    with pytest.raises(LF.LakeFormatGatedError, match="mode-'id'"):
+        LF.read_delta_changes(spark, str(t2), 0)
