@@ -81,12 +81,17 @@ def _delta_log_dir(table_path: str) -> Path:
 # timestampNtz...)
 _SUPPORTED_READER_FEATURES = {"columnMapping", "deletionVectors"}
 
-# deletion-vector positions materialize on the DRIVER before the
-# distributed anti-join.  Honest accounting at the cap: the decoded
-# python int lists (~28 B each, ~0.6 GB), plus the numpy/pandas frame
-# (~8 B each) and its arrow copy — ~0.8 GB peak, safe under the 4-6 GB
-# driver the verify recipe budgets.  Beyond this a snapshot wants
-# compaction — gate loudly rather than OOM.  Per-call override via
+# deletion-vector positions materialize on the DRIVER up to this total
+# cardinality (known from the descriptors before any decode).  Honest
+# accounting at the cap: the decoded python int lists (~28 B each,
+# ~0.6 GB), plus the numpy/pandas frame (~8 B each) and its arrow copy
+# — ~0.8 GB peak, safe under the 4-6 GB driver the verify recipe
+# budgets.  BEYOND the cap the decode moves EXECUTOR-side (r8, VERDICT
+# r7 item 5): descriptors ship as metadata rows, each task runs the
+# same roaring decode and emits (file_path, row_index) batches, so a
+# heavily-deleted 100 TB table decodes at DV-file parallelism with no
+# driver ceiling at all.  Small snapshots keep the driver path — one
+# decode, no extra stage.  Per-call override via
 # read_delta_snapshot(dv_driver_cap=...), matching the dedup caps'
 # visible-parameter convention.
 _DV_DRIVER_CAP = 20_000_000
@@ -507,18 +512,20 @@ def read_delta_snapshot(
         row_filter = skipping.predicate_column(predicate)
     if not snap["files"]:
         return spark.createDataFrame([], schema)
-    # deletion vectors (r7): resolve each file's DV to row indexes
-    # driver-side (metadata scale), then anti-join on the scan's hidden
-    # (_metadata.file_path, row_index) — the same distributed shape as
-    # Iceberg position deletes; the data itself never round-trips.
-    # The driver materializes the positions, so the TOTAL cardinality
-    # (known from the descriptors before any decode) is capped loudly —
-    # a snapshot carrying ~10^8+ deleted rows wants compaction, not a
-    # driver OOM; the cap is the same declared-contract posture as the
-    # dedup bucket/degree caps.
+    # deletion vectors (r7/r8): resolve each file's DV to row indexes
+    # and anti-join on the scan's hidden (_metadata.file_path,
+    # row_index) — the same distributed shape as Iceberg position
+    # deletes; the data itself never round-trips.  Below the cap the
+    # driver decodes (one pass, no extra stage); above it the decode
+    # runs EXECUTOR-side at DV-file parallelism (VERDICT r7 item 5) —
+    # no driver ceiling.
     cap = _DV_DRIVER_CAP if dv_driver_cap is None else dv_driver_cap
     dv_total = 0
+    dv_files: list[tuple[str, dict]] = []
+    all_paths: list[str] = []
     for f in snap["files"]:
+        ap = os.path.abspath(os.path.join(table_path, f["path"]))
+        all_paths.append(ap)
         dv = f.get("deletionVector")
         if not dv:
             continue
@@ -531,28 +538,23 @@ def read_delta_snapshot(
                 "cardinality — malformed log"
             )
         dv_total += int(card)
-    if dv_total > cap:
-        raise LakeFormatGatedError(
-            f"snapshot carries {dv_total:,} deletion-vector positions "
-            f"(driver-side cap {cap:,}) — compact the table or pass "
-            "read_delta_snapshot(dv_driver_cap=...)"
-        )
-    dv_map: dict[str, list[int]] = {}
-    all_paths: list[str] = []
-    for f in snap["files"]:
-        ap = os.path.abspath(os.path.join(table_path, f["path"]))
-        all_paths.append(ap)
-        if f.get("deletionVector"):
-            dv_map[ap] = _dv_positions(table_path, f["deletionVector"])
+        dv_files.append((ap, dv))
+    if not dv_files:
+        dels = None
+    elif dv_total > cap:
+        dels = _dv_positions_distributed(spark, table_path, dv_files)
+    else:
+        dels = _dv_positions_local(spark, table_path, dv_files)
     norm = _norm_uri
     meta_sel = (
         [
             norm(F.col("_metadata.file_path")).alias("__fp"),
             F.col("_metadata.row_index").alias("__pos"),
         ]
-        if dv_map
+        if dv_files
         else []
     )
+    has_dv = bool(dv_files)
     data_fields = [f for f in schema.fields if f.name not in pcols]
     if mode == "id":
         # mode 'id' resolves parquet columns by FIELD ID, not name: each
@@ -598,7 +600,7 @@ def read_delta_snapshot(
         pkey = tuple(pv.get(pname(c), pv.get(c)) for c in pcols)
         groups.setdefault((pkey, file_names(ap)), []).append(ap)
     out_names = [f.name for f in schema.fields] + (
-        ["__fp", "__pos"] if dv_map else []
+        ["__fp", "__pos"] if has_dv else []
     )
     parts = []
     # None-safe ordering: nullable partition columns write
@@ -615,7 +617,7 @@ def read_delta_snapshot(
             ]
         )
         part = spark.read.schema(read_schema).parquet(*paths)
-        if any(names[f.name] != f.name for f in data_fields) or dv_map:
+        if any(names[f.name] != f.name for f in data_fields) or has_dv:
             # metadata columns resolve against the scan relation — take
             # them in the FIRST projection, before partition withColumns
             part = part.select(
@@ -628,21 +630,90 @@ def read_delta_snapshot(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    out = _apply_dv(spark, out, dv_map, schema, all_paths)
+    out = _apply_dv(spark, out, dels, schema, all_paths)
     return out if row_filter is None else out.filter(row_filter)
+
+
+def _dv_positions_local(
+    spark: SparkSession, table_path: str, dv_files: list[tuple[str, dict]]
+) -> DataFrame:
+    """Driver-side decode (small DV totals): one pass, no extra stage.
+    numpy-backed frame, NOT a python tuple list: at the cap this is
+    ~8 B/position plus one shared string reference per path (np.repeat
+    on an object array repeats references), where a tuple list costs
+    ~90 B/position and briefly tripled the footprint the cap budgets."""
+    import numpy as np
+    import pandas as pd
+
+    dv_map = {ap: _dv_positions(table_path, desc) for ap, desc in dv_files}
+    paths = list(dv_map)
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "__fp": np.repeat(
+                    np.array(paths, dtype=object),
+                    [len(dv_map[p]) for p in paths],
+                ),
+                "__pos": np.fromiter(
+                    (pos for p in paths for pos in dv_map[p]),
+                    dtype=np.int64,
+                ),
+            }
+        ),
+        schema="__fp string, __pos long",
+    )
+
+
+def _dv_positions_distributed(
+    spark: SparkSession, table_path: str, dv_files: list[tuple[str, dict]]
+) -> DataFrame:
+    """EXECUTOR-side decode (r8, VERDICT r7 item 5): descriptors ship
+    as metadata rows — one per DV-bearing file — and each task runs the
+    SAME ``_dv_positions`` decode (roaring.py, all magic/CRC/
+    cardinality validation intact; a corrupt DV fails its task loudly)
+    and emits Arrow batches of (file_path, row_index).  Positions never
+    touch the driver, so total DV cardinality is unbounded; parallelism
+    is the DV-file count, the natural unit (one blob decodes
+    sequentially).  This is the sanctioned-Python pattern the
+    multimodal codec boundary uses: Python only where a byte format
+    needs decoding, Arrow-batched, at metadata cardinality."""
+    import pandas as pd
+
+    rows = [(ap, json.dumps(desc)) for ap, desc in dv_files]
+    n_parts = max(1, min(len(rows), spark.sparkContext.defaultParallelism))
+    desc_df = spark.createDataFrame(
+        rows, "__fp string, __dv string"
+    ).repartition(n_parts)
+
+    def decode(batches):
+        import numpy as np
+
+        for pdf in batches:
+            for ap, dv_json in zip(pdf["__fp"], pdf["__dv"]):
+                positions = _dv_positions(table_path, json.loads(dv_json))
+                yield pd.DataFrame(
+                    {
+                        "__fp": np.repeat(
+                            np.array([ap], dtype=object), len(positions)
+                        ),
+                        "__pos": np.asarray(positions, dtype=np.int64),
+                    }
+                )
+
+    return desc_df.mapInPandas(decode, "__fp string, __pos long")
 
 
 def _apply_dv(
     spark: SparkSession,
     out: DataFrame,
-    dv_map: dict[str, list[int]],
+    dels: DataFrame | None,
     schema: T.StructType,
     all_paths: list[str],
 ) -> DataFrame:
-    """Anti-join the union of per-file deletion-vector positions; no
-    broadcast hint — AQE broadcasts small delete sets from measured
-    size and shuffles genuinely large ones (same posture as the
-    Iceberg equality-delete join).
+    """Anti-join the (file_path, row_index) delete set — driver-decoded
+    or executor-decoded, same shape; no broadcast hint — AQE broadcasts
+    small delete sets from measured size and shuffles genuinely large
+    ones (same posture as the Iceberg equality-delete join).
 
     Guard (r7 third review): if Spark's ``_metadata.file_path``
     rendering ever diverges from the log-derived paths (percent
@@ -650,7 +721,7 @@ def _apply_dv(
     silently resurrect every deleted row — so every data row must
     first find its file in the broadcast path map (assert_true folded
     into a used column, same pattern as the Iceberg seq-map join)."""
-    if not dv_map:
+    if dels is None:
         return out
     import pandas as pd
 
@@ -672,28 +743,6 @@ def _apply_dv(
             ).isNull(),
             F.col("__pos"),
         ),
-    )
-    # numpy-backed frame, NOT a python tuple list: at the cap this is
-    # ~8 B/position plus one shared string reference per path (np.repeat
-    # on an object array repeats references), where a tuple list costs
-    # ~90 B/position and briefly tripled the footprint the cap budgets
-    import numpy as np
-
-    paths = list(dv_map)
-    dels = spark.createDataFrame(
-        pd.DataFrame(
-            {
-                "__fp": np.repeat(
-                    np.array(paths, dtype=object),
-                    [len(dv_map[p]) for p in paths],
-                ),
-                "__pos": np.fromiter(
-                    (pos for p in paths for pos in dv_map[p]),
-                    dtype=np.int64,
-                ),
-            }
-        ),
-        schema="__fp string, __pos long",
     )
     return out.join(dels, ["__fp", "__pos"], "left_anti").select(
         *[f.name for f in schema.fields]
