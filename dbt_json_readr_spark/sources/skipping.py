@@ -514,6 +514,98 @@ def iceberg_file_matches(
     return True
 
 
+def _transform_result_type(transform: str, source_type):
+    """The Iceberg type of a transform's OUTPUT (spec §Partition
+    Transforms): bucket and the date/time family yield int; identity
+    and truncate preserve the source type."""
+    if transform == "identity" or transform.startswith("truncate["):
+        return source_type
+    if transform.startswith("bucket[") or transform in (
+        "year",
+        "month",
+        "day",
+        "hour",
+    ):
+        return "int"
+    return None
+
+
+def iceberg_manifest_matches(
+    mlist_row: dict,
+    schema_json: dict,
+    field_names_by_id: dict[int, str],
+    predicate: list[Term],
+    spec_fields: list[dict] | None,
+) -> bool:
+    """MANIFEST-LIST-level pruning (spec: manifest_file.partitions
+    field summaries, ordered like the partition spec): False only when
+    a summary's [lower_bound, upper_bound] over the TRANSFORMED
+    partition values proves no entry in the manifest can match — the
+    whole manifest avro is then never read, so driver metadata work
+    scales with MATCHING manifests, not total manifests.  Bounds are
+    in the transform's result type; bucket prunes equality/in,
+    monotonic transforms prune ranges.  Missing summaries keep."""
+    summaries = mlist_row.get("partitions")
+    if not summaries or not spec_fields:
+        return True
+    types_by_id = {f["id"]: f["type"] for f in schema_json["fields"]}
+    terms_by_col: dict[str, list[Term]] = {}
+    for t in predicate:
+        terms_by_col.setdefault(t[0], []).append(t)
+    for i, sf in enumerate(spec_fields):
+        if i >= len(summaries):
+            break
+        s = summaries[i]
+        if not isinstance(s, dict):
+            continue
+        col = field_names_by_id.get(sf["source-id"])
+        if col is None or col not in terms_by_col:
+            continue
+        transform = sf["transform"]
+        src_type = types_by_id.get(sf["source-id"])
+        res_type = _transform_result_type(transform, src_type)
+        if res_type is None:
+            continue
+        lo = decode_iceberg_bound(res_type, s.get("lower_bound"))
+        hi = decode_iceberg_bound(res_type, s.get("upper_bound"))
+        if lo is None and hi is None:
+            continue
+        bucket = transform.startswith("bucket[")
+        for _, op, value in terms_by_col[col]:
+            if op in ("is_null", "is_not_null"):
+                continue
+            if op == "=":
+                tv = _apply_transform(transform, src_type, value)
+                if tv is not None and _interval_excludes(
+                    "=", tv, lo, hi, None, None
+                ):
+                    return False
+            elif op == "in":
+                tvs = [
+                    _apply_transform(transform, src_type, v) for v in value
+                ]
+                if all(t is not None for t in tvs) and all(
+                    _interval_excludes("=", t, lo, hi, None, None)
+                    for t in tvs
+                ):
+                    return False
+            elif not bucket:
+                # monotonic: x op v possible only if some transformed
+                # partition value satisfies t(x) (op∪=) t(v)
+                tv = _apply_transform(transform, src_type, value)
+                if tv is None:
+                    continue
+                if op in ("<", "<=") and lo is not None and _cmp_ready(
+                    lo, tv
+                ) and lo > tv:
+                    return False
+                if op in (">", ">=") and hi is not None and _cmp_ready(
+                    hi, tv
+                ) and hi < tv:
+                    return False
+    return True
+
+
 def _coerce_partition(stored, like: list):
     """Partition struct values arrive typed from avro (int/long/str);
     align int-vs-str mismatches against the transform's output type."""

@@ -618,3 +618,170 @@ def test_iceberg_bucket_partition_prune(spark, tmp_path):
     df = LF.read_iceberg_snapshot(spark, str(mp), predicate=[("id", "<", 4)])
     assert len(df.inputFiles()) == 2
     assert sorted(r["id"] for r in df.collect()) == [1, 2, 3]
+
+
+_MLIST_SCHEMA_SUMMARIES = json.dumps(
+    {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "content", "type": "int"},
+            {"name": "added_snapshot_id", "type": ["null", "long"], "default": None},
+            {"name": "sequence_number", "type": ["null", "long"], "default": None},
+            {
+                "name": "partitions",
+                "type": [
+                    "null",
+                    {
+                        "type": "array",
+                        "items": {
+                            "type": "record",
+                            "name": "field_summary",
+                            "fields": [
+                                {"name": "contains_null", "type": "boolean"},
+                                {"name": "lower_bound", "type": ["null", "bytes"], "default": None},
+                                {"name": "upper_bound", "type": ["null", "bytes"], "default": None},
+                            ],
+                        },
+                    },
+                ],
+                "default": None,
+            },
+        ],
+    }
+)
+
+
+def test_iceberg_manifest_list_summary_prune(spark, tmp_path, monkeypatch):
+    """Manifest-LIST-level pruning (r8): a data manifest whose
+    partition field summary proves no match is never even OPENED — the
+    driver walk scales with matching manifests.  Two manifests, one
+    per bucket; an equality predicate reads exactly one manifest avro
+    and returns the right rows."""
+    import struct
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = tmp_path / "icemlist"
+    (t / "metadata").mkdir(parents=True)
+    (t / "data").mkdir()
+    b_of = lambda v: (S.iceberg_bucket_hash("long", v) & 0x7FFFFFFF) % 2  # noqa: E731
+    by_bucket: dict[int, list[int]] = {}
+    for v in range(1, 31):
+        by_bucket.setdefault(b_of(v), []).append(v)
+    mlist_rows = []
+    for b, ids in sorted(by_bucket.items()):
+        rel = f"data/b{b}.parquet"
+        pq.write_table(pa.table({"id": pa.array(ids, pa.int64())}), t / rel)
+        LF.write_avro_records(
+            spark,
+            str(t / "metadata" / f"m-{b}.avro"),
+            _MANIFEST_SCHEMA_BOUNDS,
+            [
+                {
+                    "status": 1,
+                    "snapshot_id": 7,
+                    "sequence_number": 1,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": rel,
+                        "file_format": "PARQUET",
+                        "record_count": len(ids),
+                        "partition": {"id_bucket": b},
+                        "lower_bounds": [
+                            {"key": 1, "value": struct.pack("<q", min(ids))}
+                        ],
+                        "upper_bounds": [
+                            {"key": 1, "value": struct.pack("<q", max(ids))}
+                        ],
+                    },
+                }
+            ],
+        )
+        mlist_rows.append(
+            {
+                "manifest_path": f"metadata/m-{b}.avro",
+                "manifest_length": 0,
+                "content": 0,
+                "added_snapshot_id": 7,
+                "sequence_number": 1,
+                "partitions": [
+                    {
+                        "contains_null": False,
+                        # summary bounds are over the TRANSFORMED
+                        # (bucket) values — this manifest holds only b
+                        "lower_bound": struct.pack("<i", b),
+                        "upper_bound": struct.pack("<i", b),
+                    }
+                ],
+            }
+        )
+    LF.write_avro_records(
+        spark,
+        str(t / "metadata" / "snap-7.avro"),
+        _MLIST_SCHEMA_SUMMARIES,
+        mlist_rows,
+    )
+    meta = {
+        "format-version": 2,
+        "location": str(t),
+        "current-snapshot-id": 7,
+        "current-schema-id": 0,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "id", "required": False, "type": "long"}
+                ],
+            }
+        ],
+        "default-spec-id": 0,
+        "partition-specs": [
+            {
+                "spec-id": 0,
+                "fields": [
+                    {
+                        "name": "id_bucket",
+                        "transform": "bucket[2]",
+                        "source-id": 1,
+                        "field-id": 1000,
+                    }
+                ],
+            }
+        ],
+        "snapshots": [
+            {
+                "snapshot-id": 7,
+                "sequence-number": 1,
+                "timestamp-ms": 0,
+                "manifest-list": "metadata/snap-7.avro",
+                "summary": {"operation": "append"},
+            }
+        ],
+    }
+    mp = t / "metadata" / "v1.metadata.json"
+    mp.write_text(json.dumps(meta))
+
+    opened: list[str] = []
+    real = LF._read_avro_records
+
+    def spy(spark_, *paths):
+        opened.extend(str(p).rsplit("/", 1)[-1] for p in paths)
+        return real(spark_, *paths)
+
+    monkeypatch.setattr(LF, "_read_avro_records", spy)
+    v = by_bucket[0][len(by_bucket[0]) // 2]
+    df = LF.read_iceberg_snapshot(spark, str(mp), predicate=[("id", "=", v)])
+    assert [r["id"] for r in df.collect()] == [v]
+    # manifest list + ONLY bucket 0's manifest were opened
+    assert "snap-7.avro" in opened
+    assert "m-0.avro" in opened
+    assert "m-1.avro" not in opened
+    # no predicate → both manifests walked, all 30 rows
+    opened.clear()
+    assert LF.read_iceberg_snapshot(spark, str(mp)).count() == 30
+    assert "m-1.avro" in opened
