@@ -33,7 +33,7 @@ ICEBERG_META = ICEBERG_DIR / "metadata" / "v3.metadata.json"
 ICEBERG_BUCKET_DIR = FIXTURE_ROOT / "iceberg_bucketed"
 ICEBERG_BUCKET_META = ICEBERG_BUCKET_DIR / "metadata" / "v1.metadata.json"
 DELTA_CDFM_DIR = FIXTURE_ROOT / "delta_cdf_mapped"
-_VERSION = "10"
+_VERSION = "11"
 
 # ------------------------------------------------------- fixtures
 
@@ -1874,6 +1874,28 @@ _IB_MLIST_SCHEMA = json.dumps(
             {"name": "content", "type": "int"},
             {"name": "added_snapshot_id", "type": ["null", "long"], "default": None},
             {"name": "sequence_number", "type": ["null", "long"], "default": None},
+            {"name": "partition_spec_id", "type": ["null", "int"], "default": None},
+            {
+                # optional per-spec-field summaries (manifest-LIST-level
+                # pruning); fixtures that don't set them write null
+                "name": "partitions",
+                "type": [
+                    "null",
+                    {
+                        "type": "array",
+                        "items": {
+                            "type": "record",
+                            "name": "field_summary",
+                            "fields": [
+                                {"name": "contains_null", "type": "boolean"},
+                                {"name": "lower_bound", "type": ["null", "bytes"], "default": None},
+                                {"name": "upper_bound", "type": ["null", "bytes"], "default": None},
+                            ],
+                        },
+                    },
+                ],
+                "default": None,
+            },
         ],
     }
 )

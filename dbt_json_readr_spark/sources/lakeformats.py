@@ -90,11 +90,20 @@ _SUPPORTED_READER_FEATURES = {"columnMapping", "deletionVectors"}
 # r7 item 5): descriptors ship as metadata rows, each task runs the
 # same roaring decode and emits (file_path, row_index) batches, so a
 # heavily-deleted 100 TB table decodes at DV-file parallelism with no
-# driver ceiling at all.  Small snapshots keep the driver path — one
+# driver ceiling (the per-DV task bound below is the one that remains).  Small snapshots keep the driver path — one
 # decode, no extra stage.  Per-call override via
 # read_delta_snapshot(dv_driver_cap=...), matching the dedup caps'
 # visible-parameter convention.
 _DV_DRIVER_CAP = 20_000_000
+
+# executor-side decode bound: ONE deletion vector still decodes as a
+# single python position list inside its task (~28 B/position + the
+# int64 copy), so the ceiling the distributed path removes from the
+# driver reappears PER DV — declared here, gated loudly driver-side
+# (the cardinality is in the descriptor, no decode needed to check).
+# 200M positions ≈ 7 GB task peak; a single DV beyond that wants
+# compaction, not an opaque executor OOM.
+_DV_TASK_CAP = 200_000_000
 
 
 class _DeltaState:
@@ -393,7 +402,15 @@ def _dv_positions(table_path: str, desc: dict) -> list[int]:
         if st == "i":
             # Z85 encodes 4-byte groups, so writers zero-pad the blob
             # and sizeInBytes records the TRUE length — decode, check
-            # the padding is consistent, then truncate.
+            # the padding is consistent, then truncate.  Same loud
+            # missing-field contract as the file-backed branch (r8
+            # review: the r7-advice fix only covered 'u'/'p').
+            if desc.get("sizeInBytes") is None:
+                raise LakeFormatError(
+                    "deletion-vector descriptor (storageType 'i') is "
+                    "missing required field(s) ['sizeInBytes'] — "
+                    "malformed log"
+                )
             blob = roaring.z85_decode(body)
             want = int(desc["sizeInBytes"])
             if not (want <= len(blob) < want + 4):
@@ -542,6 +559,18 @@ def read_delta_snapshot(
     if not dv_files:
         dels = None
     elif dv_total > cap:
+        worst = max(int(d["cardinality"]) for _, d in dv_files)
+        if worst > _DV_TASK_CAP:
+            # the distributed path bounds DRIVER memory, but one DV
+            # still decodes whole inside its task — a single blob past
+            # the per-task budget gates loudly instead of OOMing an
+            # executor (r8 review finding: the moved ceiling must be
+            # declared, not silent)
+            raise LakeFormatGatedError(
+                f"a single deletion vector carries {worst:,} positions "
+                f"(per-task cap {_DV_TASK_CAP:,}) — compact the file; "
+                "the distributed decode bounds the driver, not one blob"
+            )
         dels = _dv_positions_distributed(spark, table_path, dv_files)
     else:
         dels = _dv_positions_local(spark, table_path, dv_files)
@@ -672,8 +701,9 @@ def _dv_positions_distributed(
     SAME ``_dv_positions`` decode (roaring.py, all magic/CRC/
     cardinality validation intact; a corrupt DV fails its task loudly)
     and emits Arrow batches of (file_path, row_index).  Positions never
-    touch the driver, so total DV cardinality is unbounded; parallelism
-    is the DV-file count, the natural unit (one blob decodes
+    touch the driver, so TOTAL DV cardinality is unbounded (one blob is
+    still bounded by _DV_TASK_CAP, gated loudly before launch);
+    parallelism is the DV-file count, the natural unit (one blob decodes
     sequentially).  This is the sanctioned-Python pattern the
     multimodal codec boundary uses: Python only where a byte format
     needs decoding, Arrow-batched, at metadata cardinality."""
@@ -1194,10 +1224,11 @@ def iceberg_snapshot_info(metadata_path: str, snapshot_id: int | None = None) ->
     while cur.get("parent-snapshot-id") in snaps:
         depth += 1
         cur = snaps[cur["parent-snapshot-id"]]
-    spec_fields: list[dict] = []
-    for spec in meta.get("partition-specs", []):
-        if spec.get("spec-id") == meta.get("default-spec-id"):
-            spec_fields = list(spec.get("fields", []))
+    specs_by_id = {
+        spec.get("spec-id"): list(spec.get("fields", []))
+        for spec in meta.get("partition-specs", [])
+    }
+    spec_fields = list(specs_by_id.get(meta.get("default-spec-id"), []))
     return {
         "snapshot": snap,
         "schema": iceberg_schema_to_spark(schema_json),
@@ -1206,6 +1237,13 @@ def iceberg_snapshot_info(metadata_path: str, snapshot_id: int | None = None) ->
         # keyed on the ICEBERG type, which the Spark translation loses
         "schema_json": schema_json,
         "partition_spec_fields": spec_fields,
+        # per-spec-id fields + evolution flag: transform pruning may
+        # only use a manifest's OWN spec (r8 review finding — default-
+        # spec transforms against old-spec partition tuples pruned
+        # live files); with one spec ever, every manifest shares it
+        "partition_specs_by_id": specs_by_id,
+        "partition_spec_unambiguous": len(specs_by_id) <= 1,
+        "default_spec_id": meta.get("default-spec-id"),
         # Iceberg identifies columns by FIELD ID (equality_ids in delete
         # files reference these, surviving renames); the top-level map
         # drives column resolution, the nested map exists so renamed
@@ -1432,18 +1470,31 @@ def iceberg_snapshot_entries(
     mlist = _resolve(snap["manifest-list"], table_root)
     if predicate:
         from . import skipping as _skipping
+
+        match_ctx = _skipping.make_iceberg_match_context(
+            info["schema_json"], info["field_names_by_id"]
+        )
+
+    def _spec_fields_of(row: dict) -> list | None:
+        """The spec a manifest was written under, or None when it
+        cannot be determined safely (evolved table, no spec id on the
+        row) — None disables transform/summary pruning for it."""
+        sid = row.get("partition_spec_id")
+        if sid is not None:
+            return info["partition_specs_by_id"].get(int(sid))
+        if info["partition_spec_unambiguous"]:
+            return info["partition_spec_fields"]
+        return None
+
     out = []
     for m in _read_avro_records(spark, mlist):
         is_delete_manifest = int(m.get("content") or 0) == 1
+        m_spec_fields = _spec_fields_of(m)
         if (
             predicate
             and not is_delete_manifest
             and not _skipping.iceberg_manifest_matches(
-                m,
-                info["schema_json"],
-                info["field_names_by_id"],
-                predicate,
-                info["partition_spec_fields"],
+                m, match_ctx, predicate, m_spec_fields
             )
         ):
             continue
@@ -1488,6 +1539,14 @@ def iceberg_snapshot_entries(
                     "null_value_counts": d.get("null_value_counts"),
                     "value_counts": d.get("value_counts"),
                     "partition": d.get("partition"),
+                    # the MANIFEST's spec id — entries inherit it; the
+                    # data read resolves transform pruning per entry
+                    # against this spec, never blindly the default
+                    "partition_spec_id": (
+                        None
+                        if m.get("partition_spec_id") is None
+                        else int(m.get("partition_spec_id"))
+                    ),
                 }
             )
     return out
@@ -1669,6 +1728,25 @@ def read_iceberg_snapshot(
             predicate, [f.name for f in info["schema"].fields]
         )
         row_filter = skipping.predicate_column(predicate)
+        match_ctx = skipping.make_iceberg_match_context(
+            info["schema_json"], info["field_names_by_id"]
+        )
+        # spec-by-source maps cached per spec id (one spec per
+        # manifest; entries inherit it — transform pruning uses the
+        # ENTRY's spec, or bounds-only when it cannot be determined)
+        _spec_maps: dict = {}
+
+        def _entry_spec_map(e: dict):
+            sid = e.get("partition_spec_id")
+            if sid is None:
+                if not info["partition_spec_unambiguous"]:
+                    return None
+                sid = info["default_spec_id"]
+            if sid not in _spec_maps:
+                _spec_maps[sid] = skipping.spec_by_source(
+                    info["partition_specs_by_id"].get(sid)
+                )
+            return _spec_maps[sid]
     data_files: dict[str, int | None] = {}  # path -> sequence_number
     pos_delete_files: list[tuple[str, int | None]] = []  # (path, seq)
     eq_deletes: list[tuple[str, int, list[int]]] = []  # (path, seq, field ids)
@@ -1709,11 +1787,7 @@ def read_iceberg_snapshot(
             # reach spark.read; delete files are never pruned (their
             # targets may survive).  Conservative: missing stats keep.
             if predicate and not skipping.iceberg_file_matches(
-                e,
-                info["schema_json"],
-                info["field_names_by_id"],
-                predicate,
-                info["partition_spec_fields"],
+                e, match_ctx, predicate, _entry_spec_map(e)
             ):
                 continue
             data_files[path] = seq

@@ -133,6 +133,8 @@ def _coerce(dtype: T.DataType, raw):
             return _dt.date.fromisoformat(str(raw))
         if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
             if isinstance(raw, _dt.datetime):
+                if raw.tzinfo is not None:
+                    raw = raw.astimezone(_dt.timezone.utc)
                 return raw.replace(tzinfo=None)
             s = str(raw).replace("Z", "+00:00")
             parsed = _dt.datetime.fromisoformat(s)
@@ -245,8 +247,17 @@ def delta_file_matches(
         key = phys.get(col, col)
         if col in partition_columns:
             raw = pv.get(key, pv.get(col))
-            if _exact_excludes(op, value, _coerce(dtype, raw)):
-                return False
+            if raw is None:
+                # genuine null partition value (Hive default partition)
+                if _exact_excludes(op, value, None):
+                    return False
+            else:
+                actual = _coerce(dtype, raw)
+                if actual is not None and _exact_excludes(op, value, actual):
+                    return False
+                # actual None = UN-COERCIBLE (unsupported type), NOT
+                # null — conflating the two pruned live files (r8
+                # review finding); keep conservatively
             continue
         if stats is None:
             continue
@@ -351,41 +362,80 @@ def murmur3_x86_32(data: bytes, seed: int = 0) -> int:
     return h
 
 
+def _min_twos_complement(v: int) -> bytes:
+    """Minimal big-endian two's-complement encoding — the byte layout
+    the Iceberg spec mandates for decimal hashing (e.g. -128 is ONE
+    byte 0x80, not 0xFF80; a non-minimal encoding hashes to a
+    different bucket — r8 review finding)."""
+    n = max(1, (abs(v).bit_length() + 7) // 8)
+    try:
+        return v.to_bytes(n, "big", signed=True)
+    except OverflowError:
+        return v.to_bytes(n + 1, "big", signed=True)
+
+
 def iceberg_bucket_hash(type_json, value) -> int | None:
     """The SIGNED 32-bit hash Appendix B defines per source type (ints
     and longs — and dates/timestamps via their int/long representation
     — hash as the little-endian 8-byte long; strings as UTF-8 bytes;
-    decimals as minimal big-endian unscaled bytes).  None = cannot
-    hash (keep the file)."""
-    t = type_json if isinstance(type_json, str) else None
-    if t in ("int", "long"):
-        h = murmur3_x86_32(struct.pack("<q", int(value)))
-    elif t == "date":
-        days = (value - _dt.date(1970, 1, 1)).days
-        h = murmur3_x86_32(struct.pack("<q", days))
-    elif t in ("timestamp", "timestamptz"):
-        if not isinstance(value, _dt.datetime):
+    decimals as MINIMAL big-endian unscaled bytes).  None = cannot
+    hash (keep the file) — including any type-mismatched predicate
+    value: the conservative-keep contract promises keep, never a raw
+    exception from inside hashing (r8 review finding)."""
+    try:
+        t = type_json if isinstance(type_json, str) else None
+        if t in ("int", "long"):
+            h = murmur3_x86_32(struct.pack("<q", int(value)))
+        elif t == "date":
+            if not isinstance(value, _dt.date) or isinstance(
+                value, _dt.datetime
+            ):
+                return None
+            days = (value - _dt.date(1970, 1, 1)).days
+            h = murmur3_x86_32(struct.pack("<q", days))
+        elif t in ("timestamp", "timestamptz"):
+            if not isinstance(value, _dt.datetime):
+                return None
+            if value.tzinfo is not None:
+                # convert, don't drop: naive-ifying an aware timestamp
+                # hashes local wall-time micros and picks the wrong
+                # bucket (r8 review finding; same rule as _coerce)
+                value = value.astimezone(_dt.timezone.utc)
+            micros = int(
+                (value.replace(tzinfo=None) - _dt.datetime(1970, 1, 1))
+                / _dt.timedelta(microseconds=1)
+            )
+            h = murmur3_x86_32(struct.pack("<q", micros))
+        elif t == "string":
+            if not isinstance(value, str):
+                return None
+            h = murmur3_x86_32(value.encode("utf-8"))
+        elif t is not None and t.startswith("decimal("):
+            if not isinstance(value, Decimal):
+                return None
+            unscaled = int(
+                value.scaleb(int(t[len("decimal(") : -1].split(",")[1]))
+            )
+            h = murmur3_x86_32(_min_twos_complement(unscaled))
+        else:
             return None
-        micros = int(
-            (value.replace(tzinfo=None) - _dt.datetime(1970, 1, 1))
-            / _dt.timedelta(microseconds=1)
-        )
-        h = murmur3_x86_32(struct.pack("<q", micros))
-    elif t == "string":
-        h = murmur3_x86_32(str(value).encode("utf-8"))
-    elif t is not None and t.startswith("decimal("):
-        unscaled = int(value.scaleb(int(t[len("decimal(") : -1].split(",")[1])))
-        nbytes = max(1, (unscaled.bit_length() + 8) // 8)
-        h = murmur3_x86_32(unscaled.to_bytes(nbytes, "big", signed=True))
-    else:
+    except (ValueError, TypeError, ArithmeticError, OverflowError):
         return None
     return h - (1 << 32) if h >= (1 << 31) else h
 
 
 def _apply_transform(transform: str, type_json, value):
     """transform(value), or None when this module cannot evaluate it
-    (→ keep the file).  All except bucket are order-preserving, so
-    range predicates prune through them."""
+    (→ keep the file) — including type-mismatched values, same
+    conservative contract as iceberg_bucket_hash.  All except bucket
+    are order-preserving, so range predicates prune through them."""
+    try:
+        return _apply_transform_inner(transform, type_json, value)
+    except (ValueError, TypeError, ArithmeticError, OverflowError):
+        return None
+
+
+def _apply_transform_inner(transform: str, type_json, value):
     if transform == "identity":
         return value
     if transform.startswith("bucket["):
@@ -426,25 +476,51 @@ def _apply_transform(transform: str, type_json, value):
     return None
 
 
+def make_iceberg_match_context(
+    schema_json: dict, field_names_by_id: dict[int, str]
+) -> dict:
+    """Per-SNAPSHOT lookup tables for the matchers below — built once
+    by the caller, not once per data-file entry (r8 review finding:
+    a 1M-file snapshot rebuilt identical dicts a million times)."""
+    return {
+        "types_by_id": {f["id"]: f["type"] for f in schema_json["fields"]},
+        "ids_by_name": {v: k for k, v in field_names_by_id.items()},
+        "names_by_id": dict(field_names_by_id),
+    }
+
+
+def spec_by_source(spec_fields: list[dict] | None) -> dict | None:
+    """source-id → [spec fields] for ONE partition spec; None in =
+    None out (unknown spec — transform pruning must stay off)."""
+    if spec_fields is None:
+        return None
+    out: dict[int, list[dict]] = {}
+    for sf in spec_fields:
+        out.setdefault(sf["source-id"], []).append(sf)
+    return out
+
+
 def iceberg_file_matches(
     entry: dict,
-    schema_json: dict,
-    field_names_by_id: dict[int, str],
+    ctx: dict,
     predicate: list[Term],
-    spec_fields: list[dict] | None = None,
+    spec_by_src: dict | None = None,
 ) -> bool:
     """False only when the manifest entry's column bounds / null counts
-    or partition-transform values PROVE no row matches."""
-    types_by_id = {f["id"]: f["type"] for f in schema_json["fields"]}
-    ids_by_name = {v: k for k, v in field_names_by_id.items()}
+    or partition-transform values PROVE no row matches.  ``spec_by_src``
+    must be THE ENTRY'S OWN partition spec (manifests written under an
+    older spec carry that spec's partition tuples — evaluating the
+    default spec's transforms against them pruned live files, r8
+    review finding); pass None when the entry's spec is unknown and
+    only bounds pruning applies."""
+    types_by_id = ctx["types_by_id"]
+    ids_by_name = ctx["ids_by_name"]
     lower = _bounds_map(entry.get("lower_bounds"))
     upper = _bounds_map(entry.get("upper_bounds"))
     null_counts = _bounds_map(entry.get("null_value_counts"))
     value_counts = _bounds_map(entry.get("value_counts"))
     partition = entry.get("partition")
-    spec_by_source = {}
-    for sf in spec_fields or []:
-        spec_by_source.setdefault(sf["source-id"], []).append(sf)
+    spec_by_source_map = spec_by_src or {}
     for col, op, value in predicate:
         fid = ids_by_name.get(col)
         if fid is None:
@@ -454,7 +530,9 @@ def iceberg_file_matches(
         hi = decode_iceberg_bound(type_json, upper.get(fid))
         nulls = null_counts.get(fid)
         nrows = value_counts.get(fid, entry.get("record_count"))
-        specs = spec_by_source.get(fid, []) if partition is not None else []
+        specs = (
+            spec_by_source_map.get(fid, []) if partition is not None else []
+        )
 
         def eq_possible(v) -> bool:
             """Could a row with col == v live in this file?  Bounds AND
@@ -532,8 +610,7 @@ def _transform_result_type(transform: str, source_type):
 
 def iceberg_manifest_matches(
     mlist_row: dict,
-    schema_json: dict,
-    field_names_by_id: dict[int, str],
+    ctx: dict,
     predicate: list[Term],
     spec_fields: list[dict] | None,
 ) -> bool:
@@ -544,11 +621,14 @@ def iceberg_manifest_matches(
     whole manifest avro is then never read, so driver metadata work
     scales with MATCHING manifests, not total manifests.  Bounds are
     in the transform's result type; bucket prunes equality/in,
-    monotonic transforms prune ranges.  Missing summaries keep."""
+    monotonic transforms prune ranges.  Missing summaries keep.
+    ``spec_fields`` must be THE MANIFEST'S OWN spec (resolved from its
+    partition_spec_id — summaries under an evolved spec are ordered
+    and valued differently, r8 review finding); None keeps."""
     summaries = mlist_row.get("partitions")
     if not summaries or not spec_fields:
         return True
-    types_by_id = {f["id"]: f["type"] for f in schema_json["fields"]}
+    types_by_id = ctx["types_by_id"]
     terms_by_col: dict[str, list[Term]] = {}
     for t in predicate:
         terms_by_col.setdefault(t[0], []).append(t)
@@ -558,7 +638,7 @@ def iceberg_manifest_matches(
         s = summaries[i]
         if not isinstance(s, dict):
             continue
-        col = field_names_by_id.get(sf["source-id"])
+        col = ctx["names_by_id"].get(sf["source-id"])
         if col is None or col not in terms_by_col:
             continue
         transform = sf["transform"]

@@ -17,6 +17,13 @@ import pytest
 from dbt_json_readr_spark.sources import lakeformats as LF
 from dbt_json_readr_spark.sources import skipping as S
 
+# ONE copy of the fixture avro schemas (r8 review finding: the lake
+# fixture and these tests each carried near-verbatim literals)
+from dbt_json_readr_spark.plans.lake import (  # noqa: E402
+    _IB_MANIFEST_SCHEMA as _MANIFEST_SCHEMA_BOUNDS,
+    _IB_MLIST_SCHEMA as _MLIST_SCHEMA,
+)
+
 
 def test_bucket_hashes_match_iceberg_spec_vectors():
     """Appendix B's published hash vectors pin murmur3_x86_32 and every
@@ -267,98 +274,7 @@ def test_delta_prune_is_conservative_on_garbage_stats(tmp_path):
     )
 
 
-_MANIFEST_SCHEMA_BOUNDS = json.dumps(
-    {
-        "type": "record",
-        "name": "manifest_entry",
-        "fields": [
-            {"name": "status", "type": "int"},
-            {"name": "snapshot_id", "type": ["null", "long"], "default": None},
-            {"name": "sequence_number", "type": ["null", "long"], "default": None},
-            {
-                "name": "data_file",
-                "type": {
-                    "type": "record",
-                    "name": "r2",
-                    "fields": [
-                        {"name": "content", "type": "int"},
-                        {"name": "file_path", "type": "string"},
-                        {"name": "file_format", "type": "string"},
-                        {"name": "record_count", "type": "long"},
-                        {
-                            "name": "partition",
-                            "type": [
-                                "null",
-                                {
-                                    "type": "record",
-                                    "name": "pt",
-                                    "fields": [
-                                        {
-                                            "name": "id_bucket",
-                                            "type": ["null", "int"],
-                                            "default": None,
-                                        }
-                                    ],
-                                },
-                            ],
-                            "default": None,
-                        },
-                        {
-                            "name": "lower_bounds",
-                            "type": [
-                                "null",
-                                {
-                                    "type": "array",
-                                    "items": {
-                                        "type": "record",
-                                        "name": "kv1",
-                                        "fields": [
-                                            {"name": "key", "type": "int"},
-                                            {"name": "value", "type": "bytes"},
-                                        ],
-                                    },
-                                },
-                            ],
-                            "default": None,
-                        },
-                        {
-                            "name": "upper_bounds",
-                            "type": [
-                                "null",
-                                {
-                                    "type": "array",
-                                    "items": {
-                                        "type": "record",
-                                        "name": "kv2",
-                                        "fields": [
-                                            {"name": "key", "type": "int"},
-                                            {"name": "value", "type": "bytes"},
-                                        ],
-                                    },
-                                },
-                            ],
-                            "default": None,
-                        },
-                    ],
-                },
-            },
-        ],
-    }
-)
 
-_MLIST_SCHEMA = json.dumps(
-    {
-        "type": "record",
-        "name": "manifest_file",
-        "fields": [
-            {"name": "manifest_path", "type": "string"},
-            {"name": "manifest_length", "type": "long"},
-            {"name": "content", "type": "int"},
-            {"name": "added_snapshot_id", "type": ["null", "long"], "default": None},
-            {"name": "sequence_number", "type": ["null", "long"], "default": None},
-        ],
-    }
-)
 
 
 def _write_iceberg_bounds_table(spark, tmp_path, n_buckets=4):
@@ -620,38 +536,6 @@ def test_iceberg_bucket_partition_prune(spark, tmp_path):
     assert sorted(r["id"] for r in df.collect()) == [1, 2, 3]
 
 
-_MLIST_SCHEMA_SUMMARIES = json.dumps(
-    {
-        "type": "record",
-        "name": "manifest_file",
-        "fields": [
-            {"name": "manifest_path", "type": "string"},
-            {"name": "manifest_length", "type": "long"},
-            {"name": "content", "type": "int"},
-            {"name": "added_snapshot_id", "type": ["null", "long"], "default": None},
-            {"name": "sequence_number", "type": ["null", "long"], "default": None},
-            {
-                "name": "partitions",
-                "type": [
-                    "null",
-                    {
-                        "type": "array",
-                        "items": {
-                            "type": "record",
-                            "name": "field_summary",
-                            "fields": [
-                                {"name": "contains_null", "type": "boolean"},
-                                {"name": "lower_bound", "type": ["null", "bytes"], "default": None},
-                                {"name": "upper_bound", "type": ["null", "bytes"], "default": None},
-                            ],
-                        },
-                    },
-                ],
-                "default": None,
-            },
-        ],
-    }
-)
 
 
 def test_iceberg_manifest_list_summary_prune(spark, tmp_path, monkeypatch):
@@ -722,7 +606,7 @@ def test_iceberg_manifest_list_summary_prune(spark, tmp_path, monkeypatch):
     LF.write_avro_records(
         spark,
         str(t / "metadata" / "snap-7.avro"),
-        _MLIST_SCHEMA_SUMMARIES,
+        _MLIST_SCHEMA,
         mlist_rows,
     )
     meta = {
@@ -785,3 +669,255 @@ def test_iceberg_manifest_list_summary_prune(spark, tmp_path, monkeypatch):
     opened.clear()
     assert LF.read_iceberg_snapshot(spark, str(mp)).count() == 30
     assert "m-1.avro" in opened
+
+
+def test_r8_review_regressions(spark, tmp_path):
+    """Pins for the r8 mid-round review findings — each of these was a
+    confirmed silent-wrong-answer or crash before the fix."""
+    import datetime as dtm
+    import struct
+
+    from pyspark.sql import types as T
+
+    # decimal bucket hash must use MINIMAL two's complement (-128 is
+    # one byte 0x80; two-byte 0xFF80 hashed to a different bucket)
+    assert S._min_twos_complement(-128) == b"\x80"
+    assert S._min_twos_complement(128) == b"\x00\x80"
+    assert S._min_twos_complement(-129) == b"\xff\x7f"
+    assert S._min_twos_complement(0) == b"\x00"
+    h_min = S.iceberg_bucket_hash("decimal(9,2)", Decimal("-1.28"))
+    assert h_min == S.murmur3_x86_32(b"\x80") - (
+        (1 << 32) if S.murmur3_x86_32(b"\x80") >= (1 << 31) else 0
+    )
+
+    # tz-aware timestamps hash their UTC instant, not local wall time
+    aware = dt.datetime(
+        2017, 11, 16, 22, 31, 8, tzinfo=dtm.timezone(dtm.timedelta(hours=5))
+    )
+    assert S.iceberg_bucket_hash("timestamptz", aware) == S.iceberg_bucket_hash(
+        "timestamp", dt.datetime(2017, 11, 16, 17, 31, 8)
+    )
+
+    # type-mismatched predicate values KEEP (None), never raise
+    assert S.iceberg_bucket_hash("long", "abc") is None
+    assert S.iceberg_bucket_hash("date", "2017-11-16") is None
+    assert S.iceberg_bucket_hash("decimal(9,2)", 14.2) is None
+    assert S._apply_transform("truncate[4]", "string", 99.5) is None
+
+    # un-coercible partition value (binary column) is NOT a null —
+    # the file stays in the scan list
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("b", T.BinaryType()),
+        ]
+    )
+    f = {"partitionValues": {"b": "abc"}, "stats": None}
+    assert S.delta_file_matches(f, schema, ["b"], [("b", "=", b"abc")])
+    # while a GENUINE null partition still prunes comparisons
+    fnull = {"partitionValues": {"b": None}, "stats": None}
+    assert not S.delta_file_matches(fnull, schema, ["b"], [("b", "=", b"abc")])
+
+
+def test_dv_descriptor_gates_inline_and_task_cap(spark, tmp_path):
+    """Inline DV descriptors missing sizeInBytes fail the loud
+    LakeFormatError contract (the r7-advice fix originally covered
+    only file-backed DVs), a descriptor without cardinality is
+    malformed, and one DV past the per-task cap gates loudly instead
+    of OOMing an executor."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from dbt_json_readr_spark.sources import roaring
+
+    with pytest.raises(LF.LakeFormatError, match="sizeInBytes"):
+        LF._dv_positions(
+            str(tmp_path), {"storageType": "i", "pathOrInlineDv": "x", "cardinality": 1}
+        )
+
+    body, size, card = roaring.encode_inline([1, 3])
+    t = tmp_path / "dvgates"
+    t.mkdir()
+    pq.write_table(pa.table({"id": pa.array([0, 1, 2, 3], pa.int64())}), t / "f.parquet")
+    log = t / "_delta_log"
+    log.mkdir()
+
+    def write(desc):
+        actions = [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors"],
+                }
+            },
+            {
+                "metaData": {
+                    "id": "dvgates",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(
+                        {
+                            "type": "struct",
+                            "fields": [
+                                {"name": "id", "type": "long", "nullable": False, "metadata": {}}
+                            ],
+                        }
+                    ),
+                    "partitionColumns": [],
+                    "configuration": {},
+                }
+            },
+            {
+                "add": {
+                    "path": "f.parquet",
+                    "partitionValues": {},
+                    "size": 0,
+                    "modificationTime": 0,
+                    "dataChange": True,
+                    "deletionVector": desc,
+                }
+            },
+        ]
+        (log / f"{0:020d}.json").write_text(
+            "\n".join(json.dumps(a) for a in actions) + "\n"
+        )
+
+    # missing cardinality is malformed, not a raw TypeError
+    write({"storageType": "i", "pathOrInlineDv": body, "sizeInBytes": size})
+    with pytest.raises(LF.LakeFormatError, match="cardinality"):
+        LF.read_delta_snapshot(spark, str(t))
+
+    # one DV past the per-task cap gates loudly (driver-side, from the
+    # descriptor — no decode attempted)
+    write(
+        {
+            "storageType": "i",
+            "pathOrInlineDv": body,
+            "sizeInBytes": size,
+            "cardinality": LF._DV_TASK_CAP + 1,
+        }
+    )
+    with pytest.raises(LF.LakeFormatGatedError, match="per-task cap"):
+        LF.read_delta_snapshot(spark, str(t), dv_driver_cap=1)
+
+
+def test_iceberg_spec_evolution_keeps_transform_pruning_off(spark, tmp_path):
+    """Partition-spec EVOLUTION (r8 review finding): a manifest written
+    under an older spec carries that spec's partition values — blindly
+    evaluating the default spec's transforms against them pruned live
+    files.  With multiple specs and no partition_spec_id on the
+    manifest-list row, transform/summary pruning must stay OFF (bounds
+    pruning still applies)."""
+    import struct
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = tmp_path / "icevolve"
+    (t / "metadata").mkdir(parents=True)
+    (t / "data").mkdir()
+    ids = list(range(1, 11))
+    pq.write_table(pa.table({"id": pa.array(ids, pa.int64())}), t / "data/d.parquet")
+    # the file's partition tuple is from the OLD bucket[4] spec; the
+    # (default) new spec is bucket[8] — value 3 lands in a different
+    # bucket under the two specs for most probes
+    LF.write_avro_records(
+        spark,
+        str(t / "metadata" / "m-1.avro"),
+        _MANIFEST_SCHEMA_BOUNDS,
+        [
+            {
+                "status": 1,
+                "snapshot_id": 5,
+                "sequence_number": 1,
+                "data_file": {
+                    "content": 0,
+                    "file_path": "data/d.parquet",
+                    "file_format": "PARQUET",
+                    "record_count": len(ids),
+                    "partition": {
+                        "id_bucket": (
+                            S.iceberg_bucket_hash("long", 3) & 0x7FFFFFFF
+                        )
+                        % 4
+                    },
+                    "lower_bounds": [
+                        {"key": 1, "value": struct.pack("<q", min(ids))}
+                    ],
+                    "upper_bounds": [
+                        {"key": 1, "value": struct.pack("<q", max(ids))}
+                    ],
+                },
+            }
+        ],
+    )
+    LF.write_avro_records(
+        spark,
+        str(t / "metadata" / "snap-5.avro"),
+        _MLIST_SCHEMA,
+        [
+            {
+                "manifest_path": "metadata/m-1.avro",
+                "manifest_length": 0,
+                "content": 0,
+                "added_snapshot_id": 5,
+                "sequence_number": 1,
+                # no partition_spec_id: ambiguous under 2 specs
+            }
+        ],
+    )
+    meta = {
+        "format-version": 2,
+        "location": str(t),
+        "current-snapshot-id": 5,
+        "current-schema-id": 0,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "id", "required": False, "type": "long"}
+                ],
+            }
+        ],
+        "default-spec-id": 1,
+        "partition-specs": [
+            {
+                "spec-id": 0,
+                "fields": [
+                    {"name": "id_bucket", "transform": "bucket[4]", "source-id": 1, "field-id": 1000}
+                ],
+            },
+            {
+                "spec-id": 1,
+                "fields": [
+                    {"name": "id_bucket", "transform": "bucket[8]", "source-id": 1, "field-id": 1000}
+                ],
+            },
+        ],
+        "snapshots": [
+            {
+                "snapshot-id": 5,
+                "sequence-number": 1,
+                "timestamp-ms": 0,
+                "manifest-list": "metadata/snap-5.avro",
+                "summary": {"operation": "append"},
+            }
+        ],
+    }
+    mp = t / "metadata" / "v1.metadata.json"
+    mp.write_text(json.dumps(meta))
+    # every id 1..10 must survive an equality probe — bucket[8] against
+    # the bucket[4] tuple would wrongly prune some of them
+    for v in ids:
+        got = [
+            r["id"]
+            for r in LF.read_iceberg_snapshot(
+                spark, str(mp), predicate=[("id", "=", v)]
+            ).collect()
+        ]
+        assert got == [v], f"id={v} lost to cross-spec transform pruning"
