@@ -1256,6 +1256,22 @@ def iceberg_snapshot_info(metadata_path: str, snapshot_id: int | None = None) ->
     }
 
 
+def _resolve_spec_fields(info: dict, sid) -> list | None:
+    """The partition spec a manifest (and its entries) was written
+    under, or None when it cannot be determined safely — an explicit
+    partition_spec_id wins; otherwise the default spec ONLY when the
+    table has never evolved its spec (r8 review: default-spec
+    transforms against old-spec partition tuples pruned live files).
+    None disables transform/summary pruning; bounds pruning is
+    unaffected.  ONE definition shared by the manifest walk and the
+    data read so the two policies can never diverge."""
+    if sid is not None:
+        return info["partition_specs_by_id"].get(int(sid))
+    if info["partition_spec_unambiguous"]:
+        return info["partition_spec_fields"]
+    return None
+
+
 def _avro_available(spark: SparkSession) -> bool:
     """Spark bundles avro-core (org.apache.avro) for its own internals
     even when the spark-avro DATA SOURCE is absent — and manifest
@@ -1475,26 +1491,17 @@ def iceberg_snapshot_entries(
             info["schema_json"], info["field_names_by_id"]
         )
 
-    def _spec_fields_of(row: dict) -> list | None:
-        """The spec a manifest was written under, or None when it
-        cannot be determined safely (evolved table, no spec id on the
-        row) — None disables transform/summary pruning for it."""
-        sid = row.get("partition_spec_id")
-        if sid is not None:
-            return info["partition_specs_by_id"].get(int(sid))
-        if info["partition_spec_unambiguous"]:
-            return info["partition_spec_fields"]
-        return None
-
     out = []
     for m in _read_avro_records(spark, mlist):
         is_delete_manifest = int(m.get("content") or 0) == 1
-        m_spec_fields = _spec_fields_of(m)
         if (
             predicate
             and not is_delete_manifest
             and not _skipping.iceberg_manifest_matches(
-                m, match_ctx, predicate, m_spec_fields
+                m,
+                match_ctx,
+                predicate,
+                _resolve_spec_fields(info, m.get("partition_spec_id")),
             )
         ):
             continue
@@ -1733,18 +1740,15 @@ def read_iceberg_snapshot(
         )
         # spec-by-source maps cached per spec id (one spec per
         # manifest; entries inherit it — transform pruning uses the
-        # ENTRY's spec, or bounds-only when it cannot be determined)
+        # ENTRY's spec via _resolve_spec_fields, the ONE policy shared
+        # with the manifest walk; bounds-only when undeterminable)
         _spec_maps: dict = {}
 
         def _entry_spec_map(e: dict):
             sid = e.get("partition_spec_id")
-            if sid is None:
-                if not info["partition_spec_unambiguous"]:
-                    return None
-                sid = info["default_spec_id"]
             if sid not in _spec_maps:
                 _spec_maps[sid] = skipping.spec_by_source(
-                    info["partition_specs_by_id"].get(sid)
+                    _resolve_spec_fields(info, sid)
                 )
             return _spec_maps[sid]
     data_files: dict[str, int | None] = {}  # path -> sequence_number

@@ -446,17 +446,32 @@ def _apply_transform_inner(transform: str, type_json, value):
         return (h & 0x7FFFFFFF) % n
     if transform.startswith("truncate["):
         w = int(transform[len("truncate[") : -1])
+        if isinstance(value, bool):
+            return None
         if isinstance(value, int):
             return value - (value % w)  # python % floors: correct for <0
         if isinstance(value, str):
             return value[:w]
         if isinstance(value, Decimal):
-            scale = -value.as_tuple().exponent
+            # the TYPE's declared scale, not the value's own exponent:
+            # Decimal('1E+2') == Decimal('100.00') but truncates to a
+            # different result under exponent-derived scale (r8 second
+            # review finding; the bucket branch already keyed on type)
+            if not (isinstance(type_json, str) and type_json.startswith("decimal(")):
+                return None
+            scale = int(type_json[len("decimal(") : -1].split(",")[1])
             unscaled = int(value.scaleb(scale))
             return Decimal(unscaled - (unscaled % w)).scaleb(-scale)
         return None
     if transform in ("year", "month", "day", "hour"):
         if isinstance(value, _dt.datetime):
+            if value.tzinfo is not None:
+                # convert, don't drop: the local wall-clock date of an
+                # aware timestamp can differ from its UTC date and
+                # prune the live file (r8 second review finding)
+                value = value.astimezone(_dt.timezone.utc).replace(
+                    tzinfo=None
+                )
             d, ts = value.date(), value
         elif isinstance(value, _dt.date):
             d, ts = value, _dt.datetime(value.year, value.month, value.day)
@@ -468,9 +483,10 @@ def _apply_transform_inner(transform: str, type_json, value):
             return (d.year - 1970) * 12 + (d.month - 1)
         if transform == "day":
             return (d - _dt.date(1970, 1, 1)).days
-        return int(
-            (ts - _dt.datetime(1970, 1, 1)) / _dt.timedelta(hours=1)
-        )
+        # floordiv, not int(): int() truncates toward zero, mapping
+        # pre-1970 timestamps to the wrong hour ordinal (r8 second
+        # review finding)
+        return (ts - _dt.datetime(1970, 1, 1)) // _dt.timedelta(hours=1)
     if transform == "void":
         return None
     return None

@@ -921,3 +921,33 @@ def test_iceberg_spec_evolution_keeps_transform_pruning_off(spark, tmp_path):
             ).collect()
         ]
         assert got == [v], f"id={v} lost to cross-spec transform pruning"
+
+
+def test_transform_edge_pins_second_review():
+    """Second-review pins: tz-aware datetimes convert to UTC before the
+    date-family transforms, truncate on Decimal keys on the TYPE's
+    scale (Decimal('1E+2') == Decimal('100.00') must truncate alike),
+    and hour floors rather than truncating toward zero pre-1970."""
+    import datetime as dtm
+
+    tz5 = dtm.timezone(dtm.timedelta(hours=5))
+    # 2017-11-17T02:00+05:00 is 2017-11-16T21:00 UTC → day 17486
+    aware = dt.datetime(2017, 11, 17, 2, 0, tzinfo=tz5)
+    assert S._apply_transform("day", "timestamptz", aware) == 17486
+    assert S._apply_transform("day", "timestamptz", aware) == S._apply_transform(
+        "day", "timestamp", dt.datetime(2017, 11, 16, 21, 0)
+    )
+
+    assert S._apply_transform(
+        "truncate[10]", "decimal(9,2)", Decimal("100.00")
+    ) == S._apply_transform("truncate[10]", "decimal(9,2)", Decimal("1E+2"))
+    assert S._apply_transform(
+        "truncate[10]", "decimal(9,2)", Decimal("100.07")
+    ) == Decimal("100.00")
+
+    assert S._apply_transform(
+        "hour", "timestamp", dt.datetime(1969, 12, 31, 23, 30)
+    ) == -1
+    assert S._apply_transform(
+        "hour", "timestamp", dt.datetime(1970, 1, 1, 0, 30)
+    ) == 0

@@ -117,6 +117,7 @@ def main() -> None:
     hi_key = max(
         json.loads(f["stats"])["maxValues"]["l_orderkey"]
         for f in snap["files"]
+        if f.get("stats")
     )
     # a ~1/64 selective range in the middle of the key space
     lo_v, hi_v = int(hi_key * 0.50), int(hi_key * 0.515)
