@@ -134,6 +134,8 @@ def _coerce(dtype: T.DataType, raw):
         if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
             if isinstance(raw, _dt.datetime):
                 if raw.tzinfo is not None:
+                    if isinstance(dtype, T.TimestampNTZType):
+                        return None  # aware vs NTZ: session-dependent
                     raw = raw.astimezone(_dt.timezone.utc)
                 return raw.replace(tzinfo=None)
             s = str(raw).replace("Z", "+00:00")
@@ -362,6 +364,35 @@ def murmur3_x86_32(data: bytes, seed: int = 0) -> int:
     return h
 
 
+def _decimal_scale(type_json) -> int | None:
+    """Declared scale of an Iceberg decimal type string, else None —
+    ONE parser shared by truncate and bucket hashing (r8 third
+    review)."""
+    if isinstance(type_json, str) and type_json.startswith("decimal("):
+        return int(type_json[len("decimal(") : -1].split(",")[1])
+    return None
+
+
+def _decimal_unscaled(value: Decimal, type_json) -> int | None:
+    """EXACT unscaled integer of ``value`` at the TYPE's declared
+    scale, or None when it cannot be represented (finer-scaled value,
+    non-decimal type).  Computed under a widened local context —
+    ``int(value.scaleb(scale))`` silently ROUNDS at the default
+    28-digit precision, which truncated/hashed 38-digit decimals to
+    the wrong partition (r8 third review finding)."""
+    import decimal as _decimal
+
+    scale = _decimal_scale(type_json)
+    if scale is None:
+        return None
+    with _decimal.localcontext() as ctx:
+        ctx.prec = 80
+        scaled = value.scaleb(scale)
+        if scaled != scaled.to_integral_value():
+            return None
+        return int(scaled.to_integral_value())
+
+
 def _min_twos_complement(v: int) -> bytes:
     """Minimal big-endian two's-complement encoding — the byte layout
     the Iceberg spec mandates for decimal hashing (e.g. -128 is ONE
@@ -397,14 +428,18 @@ def iceberg_bucket_hash(type_json, value) -> int | None:
             if not isinstance(value, _dt.datetime):
                 return None
             if value.tzinfo is not None:
+                if t != "timestamptz":
+                    # an aware value against an NTZ column: which wall
+                    # clock Spark's row filter uses is session-tz
+                    # dependent — keep, never guess (r8 third review)
+                    return None
                 # convert, don't drop: naive-ifying an aware timestamp
                 # hashes local wall-time micros and picks the wrong
                 # bucket (r8 review finding; same rule as _coerce)
                 value = value.astimezone(_dt.timezone.utc)
-            micros = int(
-                (value.replace(tzinfo=None) - _dt.datetime(1970, 1, 1))
-                / _dt.timedelta(microseconds=1)
-            )
+            micros = (
+                value.replace(tzinfo=None) - _dt.datetime(1970, 1, 1)
+            ) // _dt.timedelta(microseconds=1)
             h = murmur3_x86_32(struct.pack("<q", micros))
         elif t == "string":
             if not isinstance(value, str):
@@ -413,9 +448,9 @@ def iceberg_bucket_hash(type_json, value) -> int | None:
         elif t is not None and t.startswith("decimal("):
             if not isinstance(value, Decimal):
                 return None
-            unscaled = int(
-                value.scaleb(int(t[len("decimal(") : -1].split(",")[1]))
-            )
+            unscaled = _decimal_unscaled(value, t)
+            if unscaled is None:
+                return None
             h = murmur3_x86_32(_min_twos_complement(unscaled))
         else:
             return None
@@ -446,26 +481,46 @@ def _apply_transform_inner(transform: str, type_json, value):
         return (h & 0x7FFFFFFF) % n
     if transform.startswith("truncate["):
         w = int(transform[len("truncate[") : -1])
-        if isinstance(value, bool):
-            return None
-        if isinstance(value, int):
+        # dispatch on the COLUMN type, not the python type of the
+        # predicate value: an int literal against a decimal column
+        # truncates at granularity w instead of w·10^-scale and pruned
+        # live files (r8 third review finding)
+        t = type_json if isinstance(type_json, str) else None
+        if t in ("int", "long"):
+            if isinstance(value, bool) or not isinstance(value, int):
+                return None
             return value - (value % w)  # python % floors: correct for <0
-        if isinstance(value, str):
+        if t == "string":
+            if not isinstance(value, str):
+                return None
             return value[:w]
-        if isinstance(value, Decimal):
+        if t is not None and t.startswith("decimal("):
             # the TYPE's declared scale, not the value's own exponent:
             # Decimal('1E+2') == Decimal('100.00') but truncates to a
             # different result under exponent-derived scale (r8 second
-            # review finding; the bucket branch already keyed on type)
-            if not (isinstance(type_json, str) and type_json.startswith("decimal(")):
+            # review finding; the bucket branch keys the same way)
+            if not isinstance(value, Decimal):
                 return None
-            scale = int(type_json[len("decimal(") : -1].split(",")[1])
-            unscaled = int(value.scaleb(scale))
-            return Decimal(unscaled - (unscaled % w)).scaleb(-scale)
+            scale = _decimal_scale(t)
+            unscaled = _decimal_unscaled(value, t)
+            if unscaled is None:
+                return None
+            import decimal as _decimal
+
+            # scaleb under a widened context: the default 28-digit
+            # context rounds the reconstruction just like it rounded
+            # the unscaling (same third-review finding)
+            with _decimal.localcontext() as ctx:
+                ctx.prec = 80
+                return Decimal(unscaled - (unscaled % w)).scaleb(-scale)
         return None
     if transform in ("year", "month", "day", "hour"):
         if isinstance(value, _dt.datetime):
             if value.tzinfo is not None:
+                if type_json != "timestamptz":
+                    # aware value vs NTZ column: session-tz dependent
+                    # wall clock — keep, never guess (r8 third review)
+                    return None
                 # convert, don't drop: the local wall-clock date of an
                 # aware timestamp can differ from its UTC date and
                 # prune the live file (r8 second review finding)

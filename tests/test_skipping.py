@@ -951,3 +951,41 @@ def test_transform_edge_pins_second_review():
     assert S._apply_transform(
         "hour", "timestamp", dt.datetime(1970, 1, 1, 0, 30)
     ) == 0
+
+
+def test_truncate_and_decimal_pins_third_review():
+    """Third-review pins: truncate dispatches on the COLUMN type (an
+    int literal against a decimal column keeps, never truncates at the
+    wrong granularity), unscaled decimals compute exactly past the
+    default 28-digit context, and an aware value against an NTZ
+    timestamp column keeps."""
+    import datetime as dtm
+
+    # int literal vs decimal column: keep (None), not wrong-granularity
+    assert S._apply_transform("truncate[10]", "decimal(9,2)", 105) is None
+    # int vs string column / str vs long column: keep
+    assert S._apply_transform("truncate[4]", "string", 105) is None
+    assert S._apply_transform("truncate[10]", "long", "105") is None
+    # matched types still work
+    assert S._apply_transform("truncate[10]", "long", 105) == 100
+    assert S._apply_transform("truncate[4]", "string", "iceberg") == "iceb"
+
+    # 38-digit decimal: exact unscaled, no 28-digit context rounding
+    big = Decimal("123456789012345678901234567890.12")
+    assert S._decimal_unscaled(big, "decimal(38,2)") == int(
+        "12345678901234567890123456789012"
+    )
+    assert S._apply_transform("truncate[10]", "decimal(38,2)", big) == Decimal(
+        "123456789012345678901234567890.10"
+    )
+    # finer-scaled value than the type: keep
+    assert S._decimal_unscaled(Decimal("1.234"), "decimal(9,2)") is None
+
+    # aware predicate value against an NTZ column: keep (None)
+    aware = dt.datetime(
+        2017, 11, 17, 2, 0, tzinfo=dtm.timezone(dtm.timedelta(hours=5))
+    )
+    assert S._apply_transform("day", "timestamp", aware) is None
+    assert S.iceberg_bucket_hash("timestamp", aware) is None
+    # and still converts for timestamptz
+    assert S._apply_transform("day", "timestamptz", aware) == 17486

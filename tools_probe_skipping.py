@@ -114,11 +114,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     build(spark)
     snap = LF.delta_snapshot(DEST)
-    hi_key = max(
-        json.loads(f["stats"])["maxValues"]["l_orderkey"]
+    maxes = [
+        json.loads(f["stats"]).get("maxValues", {}).get("l_orderkey")
         for f in snap["files"]
         if f.get("stats")
-    )
+    ]
+    maxes = [m for m in maxes if m is not None]
+    if not maxes:
+        raise SystemExit("no file carries l_orderkey stats — nothing to probe")
+    hi_key = max(maxes)
     # a ~1/64 selective range in the middle of the key space
     lo_v, hi_v = int(hi_key * 0.50), int(hi_key * 0.515)
     pred = [("l_orderkey", ">=", lo_v), ("l_orderkey", "<", hi_v)]
