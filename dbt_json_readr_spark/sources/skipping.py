@@ -41,6 +41,7 @@ posture as every production Delta/Iceberg reader.
 from __future__ import annotations
 
 import datetime as _dt
+import decimal as _decimal
 import json
 import struct
 from decimal import Decimal
@@ -141,7 +142,15 @@ def _coerce(dtype: T.DataType, raw):
             s = str(raw).replace("Z", "+00:00")
             parsed = _dt.datetime.fromisoformat(s)
             if parsed.tzinfo is not None:
-                parsed = parsed.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                if isinstance(dtype, T.TimestampNTZType):
+                    # an offset-bearing stat on an NTZ column is
+                    # foreign-writer ambiguity — keep, never guess
+                    # (r8 fourth review: only the dead datetime branch
+                    # had this guard)
+                    return None
+                parsed = parsed.astimezone(_dt.timezone.utc).replace(
+                    tzinfo=None
+                )
             return parsed
         if isinstance(dtype, T.StringType):
             return str(raw)
@@ -156,6 +165,44 @@ def _cmp_ready(a, b) -> bool:
         return True
     except TypeError:
         return False
+
+
+_TS_UNUSABLE = object()  # sentinel: term cannot prune this column
+
+
+def _ts_term_value(is_tz: bool, is_ntz: bool, value):
+    """Predicate datetime values normalized to the matchers'
+    NAIVE-INSTANT convention, or the _TS_UNUSABLE sentinel when the
+    term cannot prune soundly (r8 fourth review): Spark converts a
+    NAIVE literal against a tz-typed column via the session/driver
+    timezone, and an AWARE literal against an NTZ column likewise —
+    in both cases the skip decision would depend on an environment
+    this module cannot see, so keep, never guess.  Aware values on tz
+    columns convert to their UTC instant; naive-on-NTZ pass through."""
+    if not isinstance(value, _dt.datetime):
+        return value
+    if is_tz:
+        if value.tzinfo is None:
+            return _TS_UNUSABLE
+        return value.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    if is_ntz:
+        if value.tzinfo is not None:
+            return _TS_UNUSABLE
+        return value
+    return _TS_UNUSABLE  # datetime literal vs non-timestamp column
+
+
+def _normalize_term_value(is_tz: bool, is_ntz: bool, op, value):
+    """Term value (or 'in' members) through _ts_term_value; returns
+    _TS_UNUSABLE when the whole term must be skipped."""
+    if op in _NULL_OPS:
+        return value
+    if op == "in":
+        vals = [_ts_term_value(is_tz, is_ntz, v) for v in value]
+        if any(v is _TS_UNUSABLE for v in vals):
+            return _TS_UNUSABLE
+        return vals
+    return _ts_term_value(is_tz, is_ntz, value)
 
 
 # ------------------------------------------------- interval logic
@@ -246,6 +293,14 @@ def delta_file_matches(
     pv = f.get("partitionValues") or {}
     for col, op, value in predicate:
         dtype = schema[col].dataType
+        value = _normalize_term_value(
+            isinstance(dtype, T.TimestampType),
+            isinstance(dtype, T.TimestampNTZType),
+            op,
+            value,
+        )
+        if value is _TS_UNUSABLE:
+            continue  # session-tz-dependent term: keep (never guess)
         key = phys.get(col, col)
         if col in partition_columns:
             raw = pv.get(key, pv.get(col))
@@ -304,9 +359,9 @@ def decode_iceberg_bound(type_json, raw: bytes):
             if t == "string":
                 return raw.decode("utf-8")
             if t.startswith("decimal("):
-                scale = int(t[len("decimal(") : -1].split(",")[1])
+                scale = _decimal_scale(t)
                 unscaled = int.from_bytes(raw, "big", signed=True)
-                return Decimal(unscaled).scaleb(-scale)
+                return _decimal_rescale(unscaled, scale)
     except (struct.error, ValueError, UnicodeDecodeError):
         return None
     return None
@@ -380,8 +435,6 @@ def _decimal_unscaled(value: Decimal, type_json) -> int | None:
     ``int(value.scaleb(scale))`` silently ROUNDS at the default
     28-digit precision, which truncated/hashed 38-digit decimals to
     the wrong partition (r8 third review finding)."""
-    import decimal as _decimal
-
     scale = _decimal_scale(type_json)
     if scale is None:
         return None
@@ -391,6 +444,14 @@ def _decimal_unscaled(value: Decimal, type_json) -> int | None:
         if scaled != scaled.to_integral_value():
             return None
         return int(scaled.to_integral_value())
+
+
+def _decimal_rescale(unscaled: int, scale: int) -> Decimal:
+    """unscaled·10^-scale, exactly — the widened-context policy lives
+    here once (fourth-review cleanup)."""
+    with _decimal.localcontext() as ctx:
+        ctx.prec = 80
+        return Decimal(unscaled).scaleb(-scale)
 
 
 def _min_twos_complement(v: int) -> bytes:
@@ -505,14 +566,7 @@ def _apply_transform_inner(transform: str, type_json, value):
             unscaled = _decimal_unscaled(value, t)
             if unscaled is None:
                 return None
-            import decimal as _decimal
-
-            # scaleb under a widened context: the default 28-digit
-            # context rounds the reconstruction just like it rounded
-            # the unscaling (same third-review finding)
-            with _decimal.localcontext() as ctx:
-                ctx.prec = 80
-                return Decimal(unscaled - (unscaled % w)).scaleb(-scale)
+            return _decimal_rescale(unscaled - (unscaled % w), scale)
         return None
     if transform in ("year", "month", "day", "hour"):
         if isinstance(value, _dt.datetime):
@@ -597,6 +651,11 @@ def iceberg_file_matches(
         if fid is None:
             continue  # column from another schema generation: keep
         type_json = types_by_id.get(fid)
+        value = _normalize_term_value(
+            type_json == "timestamptz", type_json == "timestamp", op, value
+        )
+        if value is _TS_UNUSABLE:
+            continue  # session-tz-dependent term: keep (never guess)
         lo = decode_iceberg_bound(type_json, lower.get(fid))
         hi = decode_iceberg_bound(type_json, upper.get(fid))
         nulls = null_counts.get(fid)
@@ -725,6 +784,11 @@ def iceberg_manifest_matches(
         for _, op, value in terms_by_col[col]:
             if op in ("is_null", "is_not_null"):
                 continue
+            value = _normalize_term_value(
+                src_type == "timestamptz", src_type == "timestamp", op, value
+            )
+            if value is _TS_UNUSABLE:
+                continue  # session-tz-dependent term: keep
             if op == "=":
                 tv = _apply_transform(transform, src_type, value)
                 if tv is not None and _interval_excludes(

@@ -989,3 +989,65 @@ def test_truncate_and_decimal_pins_third_review():
     assert S.iceberg_bucket_hash("timestamp", aware) is None
     # and still converts for timestamptz
     assert S._apply_transform("day", "timestamptz", aware) == 17486
+
+
+def test_session_tz_dependent_terms_keep_fourth_review():
+    """Fourth-review pins: a NAIVE datetime against a tz column (Spark
+    converts the literal via session/driver tz), an AWARE value or
+    offset-bearing stat string against an NTZ column, and a datetime
+    literal against a non-timestamp column all make the term UNUSABLE
+    for pruning — the file is kept."""
+    import datetime as dtm
+
+    from pyspark.sql import types as T
+
+    naive = dt.datetime(2017, 11, 16, 22, 31, 8)
+    aware = dt.datetime(
+        2017, 11, 16, 22, 31, 8, tzinfo=dtm.timezone(dtm.timedelta(hours=5))
+    )
+    U = S._TS_UNUSABLE
+    # iceberg: naive on timestamptz unusable; aware converts to UTC
+    assert S._normalize_term_value(True, False, "=", naive) is U
+    assert S._normalize_term_value(True, False, "=", aware) == dt.datetime(
+        2017, 11, 16, 17, 31, 8
+    )
+    # NTZ: aware unusable, naive passes
+    assert S._normalize_term_value(False, True, "=", aware) is U
+    assert S._normalize_term_value(False, True, "=", naive) == naive
+    # datetime vs non-timestamp column: unusable
+    assert S._normalize_term_value(False, False, "=", naive) is U
+    # one bad member poisons the whole 'in'
+    assert S._normalize_term_value(True, False, "in", [aware, naive]) is U
+
+    # delta: a naive literal on a TimestampType column never prunes
+    schema = T.StructType([T.StructField("ts", T.TimestampType())])
+    f = {
+        "partitionValues": {},
+        "stats": json.dumps(
+            {
+                "numRecords": 2,
+                "minValues": {"ts": "2021-01-01T00:00:00Z"},
+                "maxValues": {"ts": "2021-01-02T00:00:00Z"},
+                "nullCount": {"ts": 0},
+            }
+        ),
+    }
+    assert S.delta_file_matches(
+        f, schema, [], [("ts", "=", dt.datetime(2030, 1, 1))]
+    )
+    # while an aware literal prunes on its UTC instant
+    utc = dtm.timezone.utc
+    assert not S.delta_file_matches(
+        f, schema, [], [("ts", "=", dt.datetime(2030, 1, 1, tzinfo=utc))]
+    )
+    assert S.delta_file_matches(
+        f, schema, [], [("ts", "=", dt.datetime(2021, 1, 1, 12, tzinfo=utc))]
+    )
+
+    # NTZ column with an offset-bearing stat string: _coerce keeps
+    assert (
+        S._coerce(T.TimestampNTZType(), "2021-06-01T05:00:00+05:00") is None
+    )
+    assert S._coerce(
+        T.TimestampNTZType(), "2021-06-01T05:00:00"
+    ) == dt.datetime(2021, 6, 1, 5)
