@@ -477,11 +477,17 @@ def prune_delta_files(snap: dict, predicate: list | None) -> tuple[list[dict], i
         predicate, [f.name for f in snap["schema"].fields]
     )
     phys = snap["physical_names"] if snap["column_mapping_mode"] != "none" else {}
+    norm = skipping.normalize_predicate_delta(predicate, snap["schema"])
     kept = [
         f
         for f in snap["files"]
         if skipping.delta_file_matches(
-            f, snap["schema"], snap["partition_columns"], predicate, phys
+            f,
+            snap["schema"],
+            snap["partition_columns"],
+            norm,
+            phys,
+            prenormalized=True,
         )
     ]
     return kept, len(snap["files"]) - len(kept)
@@ -1490,6 +1496,9 @@ def iceberg_snapshot_entries(
         match_ctx = _skipping.make_iceberg_match_context(
             info["schema_json"], info["field_names_by_id"]
         )
+        norm_pred = _skipping.normalize_predicate_iceberg(
+            predicate, match_ctx
+        )
 
     out = []
     for m in _read_avro_records(spark, mlist):
@@ -1500,8 +1509,9 @@ def iceberg_snapshot_entries(
             and not _skipping.iceberg_manifest_matches(
                 m,
                 match_ctx,
-                predicate,
+                norm_pred,
                 _resolve_spec_fields(info, m.get("partition_spec_id")),
+                prenormalized=True,
             )
         ):
             continue
@@ -1738,6 +1748,7 @@ def read_iceberg_snapshot(
         match_ctx = skipping.make_iceberg_match_context(
             info["schema_json"], info["field_names_by_id"]
         )
+        norm_pred = skipping.normalize_predicate_iceberg(predicate, match_ctx)
         # spec-by-source maps cached per spec id (one spec per
         # manifest; entries inherit it — transform pruning uses the
         # ENTRY's spec via _resolve_spec_fields, the ONE policy shared
@@ -1791,7 +1802,11 @@ def read_iceberg_snapshot(
             # reach spark.read; delete files are never pruned (their
             # targets may survive).  Conservative: missing stats keep.
             if predicate and not skipping.iceberg_file_matches(
-                e, match_ctx, predicate, _entry_spec_map(e)
+                e,
+                match_ctx,
+                norm_pred,
+                _entry_spec_map(e),
+                prenormalized=True,
             ):
                 continue
             data_files[path] = seq

@@ -151,6 +151,14 @@ def _coerce(dtype: T.DataType, raw):
                 parsed = parsed.astimezone(_dt.timezone.utc).replace(
                     tzinfo=None
                 )
+            elif isinstance(dtype, T.TimestampType):
+                # the MIRROR ambiguity (r8 fifth review): writers have
+                # historically serialized offset-less timestamp stats /
+                # partitionValues in their own session tz — comparing
+                # them as UTC instants against a normalized literal
+                # pruned live files; only offset/Z-bearing strings are
+                # unambiguous instants
+                return None
             return parsed
         if isinstance(dtype, T.StringType):
             return str(raw)
@@ -203,6 +211,59 @@ def _normalize_term_value(is_tz: bool, is_ntz: bool, op, value):
             return _TS_UNUSABLE
         return vals
     return _ts_term_value(is_tz, is_ntz, value)
+
+
+def normalize_predicate_delta(
+    predicate: list[Term], schema: T.StructType
+) -> list[Term]:
+    """Predicate values normalized ONCE per scan (r8 fifth review: the
+    per-file matchers re-normalized the constant predicate per file);
+    unusable terms carry _TS_UNUSABLE as their value — the matchers
+    then apply only their value-INDEPENDENT checks (null counts)."""
+    out = []
+    for col, op, value in predicate:
+        dtype = schema[col].dataType
+        out.append(
+            (
+                col,
+                op,
+                _normalize_term_value(
+                    isinstance(dtype, T.TimestampType),
+                    isinstance(dtype, T.TimestampNTZType),
+                    op,
+                    value,
+                ),
+            )
+        )
+    return out
+
+
+def normalize_predicate_iceberg(
+    predicate: list[Term], ctx: dict
+) -> list[Term]:
+    """Iceberg twin of normalize_predicate_delta, keyed on the column's
+    Iceberg type; unknown columns pass through untouched (the matchers
+    skip them on the missing field id)."""
+    out = []
+    for col, op, value in predicate:
+        fid = ctx["ids_by_name"].get(col)
+        if fid is None:
+            out.append((col, op, value))
+            continue
+        type_json = ctx["types_by_id"].get(fid)
+        out.append(
+            (
+                col,
+                op,
+                _normalize_term_value(
+                    type_json == "timestamptz",
+                    type_json == "timestamp",
+                    op,
+                    value,
+                ),
+            )
+        )
+    return out
 
 
 # ------------------------------------------------- interval logic
@@ -276,11 +337,16 @@ def delta_file_matches(
     partition_columns: list[str],
     predicate: list[Term],
     physical_names: dict[str, str] | None = None,
+    prenormalized: bool = False,
 ) -> bool:
     """False only when the file's partitionValues or add.stats PROVE no
     row matches the conjunction.  Stats keys follow the PHYSICAL column
     names when column mapping is active (the stats are derived from the
-    parquet), same rule as partitionValues."""
+    parquet), same rule as partitionValues.  Bulk callers pass
+    ``prenormalized=True`` with a normalize_predicate_delta output so
+    the constant predicate is not re-normalized per file."""
+    if not prenormalized:
+        predicate = normalize_predicate_delta(predicate, schema)
     phys = physical_names or {}
     stats = f.get("stats")
     if isinstance(stats, str):
@@ -293,35 +359,42 @@ def delta_file_matches(
     pv = f.get("partitionValues") or {}
     for col, op, value in predicate:
         dtype = schema[col].dataType
-        value = _normalize_term_value(
-            isinstance(dtype, T.TimestampType),
-            isinstance(dtype, T.TimestampNTZType),
-            op,
-            value,
-        )
-        if value is _TS_UNUSABLE:
-            continue  # session-tz-dependent term: keep (never guess)
         key = phys.get(col, col)
         if col in partition_columns:
             raw = pv.get(key, pv.get(col))
             if raw is None:
-                # genuine null partition value (Hive default partition)
-                if _exact_excludes(op, value, None):
+                # genuine null partition value: no comparison matches,
+                # INDEPENDENT of how an unusable literal's tz would
+                # resolve (r8 fifth review: unusable terms must keep
+                # their value-independent prunes)
+                if op in _COMPARE_OPS or _exact_excludes(op, value, None):
                     return False
-            else:
-                actual = _coerce(dtype, raw)
-                if actual is not None and _exact_excludes(op, value, actual):
-                    return False
-                # actual None = UN-COERCIBLE (unsupported type), NOT
-                # null — conflating the two pruned live files (r8
-                # review finding); keep conservatively
+                continue
+            if value is _TS_UNUSABLE:
+                continue  # session-tz-dependent term: keep, never guess
+            actual = _coerce(dtype, raw)
+            if actual is not None and _exact_excludes(op, value, actual):
+                return False
+            # actual None = UN-COERCIBLE (unsupported type), NOT
+            # null — conflating the two pruned live files (r8
+            # review finding); keep conservatively
             continue
         if stats is None:
             continue
-        lo = _coerce(dtype, (stats.get("minValues") or {}).get(key))
-        hi = _coerce(dtype, (stats.get("maxValues") or {}).get(key))
         nulls = (stats.get("nullCount") or {}).get(key)
         nrows = stats.get("numRecords")
+        if value is _TS_UNUSABLE:
+            # the all-null prune is tz-independent and stays live
+            if (
+                op in _COMPARE_OPS
+                and nulls is not None
+                and nrows is not None
+                and int(nulls) == int(nrows)
+            ):
+                return False
+            continue
+        lo = _coerce(dtype, (stats.get("minValues") or {}).get(key))
+        hi = _coerce(dtype, (stats.get("maxValues") or {}).get(key))
         if _interval_excludes(op, value, lo, hi, nulls, nrows):
             return False
     return True
@@ -630,6 +703,7 @@ def iceberg_file_matches(
     ctx: dict,
     predicate: list[Term],
     spec_by_src: dict | None = None,
+    prenormalized: bool = False,
 ) -> bool:
     """False only when the manifest entry's column bounds / null counts
     or partition-transform values PROVE no row matches.  ``spec_by_src``
@@ -638,6 +712,8 @@ def iceberg_file_matches(
     default spec's transforms against them pruned live files, r8
     review finding); pass None when the entry's spec is unknown and
     only bounds pruning applies."""
+    if not prenormalized:
+        predicate = normalize_predicate_iceberg(predicate, ctx)
     types_by_id = ctx["types_by_id"]
     ids_by_name = ctx["ids_by_name"]
     lower = _bounds_map(entry.get("lower_bounds"))
@@ -651,15 +727,21 @@ def iceberg_file_matches(
         if fid is None:
             continue  # column from another schema generation: keep
         type_json = types_by_id.get(fid)
-        value = _normalize_term_value(
-            type_json == "timestamptz", type_json == "timestamp", op, value
-        )
-        if value is _TS_UNUSABLE:
-            continue  # session-tz-dependent term: keep (never guess)
-        lo = decode_iceberg_bound(type_json, lower.get(fid))
-        hi = decode_iceberg_bound(type_json, upper.get(fid))
         nulls = null_counts.get(fid)
         nrows = value_counts.get(fid, entry.get("record_count"))
+        if value is _TS_UNUSABLE:
+            # session-tz-dependent term: only its tz-INDEPENDENT
+            # all-null prune stays live (r8 fifth review)
+            if (
+                op in _COMPARE_OPS
+                and nulls is not None
+                and nrows is not None
+                and int(nulls) == int(nrows)
+            ):
+                return False
+            continue
+        lo = decode_iceberg_bound(type_json, lower.get(fid))
+        hi = decode_iceberg_bound(type_json, upper.get(fid))
         specs = (
             spec_by_source_map.get(fid, []) if partition is not None else []
         )
@@ -743,6 +825,7 @@ def iceberg_manifest_matches(
     ctx: dict,
     predicate: list[Term],
     spec_fields: list[dict] | None,
+    prenormalized: bool = False,
 ) -> bool:
     """MANIFEST-LIST-level pruning (spec: manifest_file.partitions
     field summaries, ordered like the partition spec): False only when
@@ -758,6 +841,8 @@ def iceberg_manifest_matches(
     summaries = mlist_row.get("partitions")
     if not summaries or not spec_fields:
         return True
+    if not prenormalized:
+        predicate = normalize_predicate_iceberg(predicate, ctx)
     types_by_id = ctx["types_by_id"]
     terms_by_col: dict[str, list[Term]] = {}
     for t in predicate:
@@ -784,9 +869,6 @@ def iceberg_manifest_matches(
         for _, op, value in terms_by_col[col]:
             if op in ("is_null", "is_not_null"):
                 continue
-            value = _normalize_term_value(
-                src_type == "timestamptz", src_type == "timestamp", op, value
-            )
             if value is _TS_UNUSABLE:
                 continue  # session-tz-dependent term: keep
             if op == "=":

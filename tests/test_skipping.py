@@ -1051,3 +1051,40 @@ def test_session_tz_dependent_terms_keep_fourth_review():
     assert S._coerce(
         T.TimestampNTZType(), "2021-06-01T05:00:00"
     ) == dt.datetime(2021, 6, 1, 5)
+
+
+def test_unusable_terms_keep_null_prunes_fifth_review():
+    """Fifth-review pins: an unusable (session-tz-dependent) term still
+    prunes ALL-NULL files and null partitions (tz-independent), and an
+    offset-LESS timestamp stat string on a tz column keeps while a
+    Z-bearing one prunes."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("p", T.TimestampType()),
+        ]
+    )
+    naive = dt.datetime(2030, 1, 1)
+    # all-null ts file: pruned even though the literal is naive
+    f_allnull = {
+        "partitionValues": {},
+        "stats": json.dumps(
+            {"numRecords": 5, "nullCount": {"ts": 5}},
+        ),
+    }
+    assert not S.delta_file_matches(
+        f_allnull, schema, [], [("ts", "=", naive)]
+    )
+    # null PARTITION value: pruned for any comparison op
+    f_nullpart = {"partitionValues": {"p": None}, "stats": None}
+    assert not S.delta_file_matches(
+        f_nullpart, schema, ["p"], [("p", "=", naive)]
+    )
+    # offset-less timestamp stat string on a tz column is ambiguous →
+    # keep; Z-bearing prunes
+    assert S._coerce(T.TimestampType(), "2021-01-01 05:30:00") is None
+    assert S._coerce(T.TimestampType(), "2021-01-01T05:30:00Z") == dt.datetime(
+        2021, 1, 1, 5, 30
+    )
