@@ -478,6 +478,7 @@ def prune_delta_files(snap: dict, predicate: list | None) -> tuple[list[dict], i
     )
     phys = snap["physical_names"] if snap["column_mapping_mode"] != "none" else {}
     norm = skipping.normalize_predicate_delta(predicate, snap["schema"])
+    dtypes = {f.name: f.dataType for f in snap["schema"].fields}
     kept = [
         f
         for f in snap["files"]
@@ -488,6 +489,7 @@ def prune_delta_files(snap: dict, predicate: list | None) -> tuple[list[dict], i
             norm,
             phys,
             prenormalized=True,
+            dtypes=dtypes,
         )
     ]
     return kept, len(snap["files"]) - len(kept)

@@ -138,6 +138,10 @@ def _coerce(dtype: T.DataType, raw):
                     if isinstance(dtype, T.TimestampNTZType):
                         return None  # aware vs NTZ: session-dependent
                     raw = raw.astimezone(_dt.timezone.utc)
+                elif isinstance(dtype, T.TimestampType):
+                    # naive datetime on a tz column: same writer-local
+                    # ambiguity as the offset-less string below
+                    return None
                 return raw.replace(tzinfo=None)
             s = str(raw).replace("Z", "+00:00")
             parsed = _dt.datetime.fromisoformat(s)
@@ -268,6 +272,18 @@ def normalize_predicate_iceberg(
 
 # ------------------------------------------------- interval logic
 
+def _all_null_excludes(op, nulls, nrows) -> bool:
+    """A file of ONLY nulls matches no comparison predicate —
+    tz-independent, so it stays live even for _TS_UNUSABLE terms; ONE
+    definition shared by both matchers and the interval logic."""
+    return (
+        op in _COMPARE_OPS
+        and nulls is not None
+        and nrows is not None
+        and int(nulls) == int(nrows)
+    )
+
+
 def _interval_excludes(op, value, lo, hi, nulls, nrows) -> bool:
     """True only when [lo, hi] (+ null counts) PROVES no row matches.
     Any unknown input disables the corresponding check.  lo/hi are
@@ -279,8 +295,7 @@ def _interval_excludes(op, value, lo, hi, nulls, nrows) -> bool:
         return (
             nulls is not None and nrows is not None and int(nulls) == int(nrows)
         )
-    # a file of ONLY nulls matches no comparison predicate
-    if nulls is not None and nrows is not None and int(nulls) == int(nrows):
+    if _all_null_excludes(op, nulls, nrows):
         return True
     if op == "in":
         return all(
@@ -338,6 +353,7 @@ def delta_file_matches(
     predicate: list[Term],
     physical_names: dict[str, str] | None = None,
     prenormalized: bool = False,
+    dtypes: "dict[str, T.DataType] | None" = None,
 ) -> bool:
     """False only when the file's partitionValues or add.stats PROVE no
     row matches the conjunction.  Stats keys follow the PHYSICAL column
@@ -347,6 +363,10 @@ def delta_file_matches(
     the constant predicate is not re-normalized per file."""
     if not prenormalized:
         predicate = normalize_predicate_delta(predicate, schema)
+    if dtypes is None:
+        # StructType[str] is a linear scan — bulk callers pass the
+        # per-scan map once (r8 sixth review)
+        dtypes = {f.name: f.dataType for f in schema.fields}
     phys = physical_names or {}
     stats = f.get("stats")
     if isinstance(stats, str):
@@ -358,7 +378,7 @@ def delta_file_matches(
         stats = None
     pv = f.get("partitionValues") or {}
     for col, op, value in predicate:
-        dtype = schema[col].dataType
+        dtype = dtypes[col]
         key = phys.get(col, col)
         if col in partition_columns:
             raw = pv.get(key, pv.get(col))
@@ -385,12 +405,7 @@ def delta_file_matches(
         nrows = stats.get("numRecords")
         if value is _TS_UNUSABLE:
             # the all-null prune is tz-independent and stays live
-            if (
-                op in _COMPARE_OPS
-                and nulls is not None
-                and nrows is not None
-                and int(nulls) == int(nrows)
-            ):
+            if _all_null_excludes(op, nulls, nrows):
                 return False
             continue
         lo = _coerce(dtype, (stats.get("minValues") or {}).get(key))
@@ -732,12 +747,7 @@ def iceberg_file_matches(
         if value is _TS_UNUSABLE:
             # session-tz-dependent term: only its tz-INDEPENDENT
             # all-null prune stays live (r8 fifth review)
-            if (
-                op in _COMPARE_OPS
-                and nulls is not None
-                and nrows is not None
-                and int(nulls) == int(nrows)
-            ):
+            if _all_null_excludes(op, nulls, nrows):
                 return False
             continue
         lo = decode_iceberg_bound(type_json, lower.get(fid))
