@@ -478,7 +478,7 @@ def prune_delta_files(snap: dict, predicate: list | None) -> tuple[list[dict], i
     )
     phys = snap["physical_names"] if snap["column_mapping_mode"] != "none" else {}
     norm = skipping.normalize_predicate_delta(predicate, snap["schema"])
-    dtypes = {f.name: f.dataType for f in snap["schema"].fields}
+    dtypes = skipping.dtype_map(snap["schema"])
     kept = [
         f
         for f in snap["files"]

@@ -217,6 +217,15 @@ def _normalize_term_value(is_tz: bool, is_ntz: bool, op, value):
     return _ts_term_value(is_tz, is_ntz, value)
 
 
+def dtype_map(schema: T.StructType) -> dict:
+    """name → dtype with FIRST-match-wins (same resolution as
+    StructType[name]); one definition for every caller."""
+    out: dict = {}
+    for fld in schema.fields:
+        out.setdefault(fld.name, fld.dataType)
+    return out
+
+
 def normalize_predicate_delta(
     predicate: list[Term], schema: T.StructType
 ) -> list[Term]:
@@ -366,7 +375,7 @@ def delta_file_matches(
     if dtypes is None:
         # StructType[str] is a linear scan — bulk callers pass the
         # per-scan map once (r8 sixth review)
-        dtypes = {f.name: f.dataType for f in schema.fields}
+        dtypes = dtype_map(schema)
     phys = physical_names or {}
     stats = f.get("stats")
     if isinstance(stats, str):
