@@ -886,8 +886,18 @@ def iceberg_manifest_matches(
             continue
         bucket = transform.startswith("bucket[")
         for _, op, value in terms_by_col[col]:
-            if op in ("is_null", "is_not_null"):
+            if op == "is_null":
+                # identity summaries carry the null signal exactly: a
+                # manifest whose identity-partition summary says
+                # contains_null=False holds no null source values
+                if (
+                    transform == "identity"
+                    and s.get("contains_null") is False
+                ):
+                    return False
                 continue
+            if op == "is_not_null":
+                continue  # summaries cannot prove all-null
             if value is _TS_UNUSABLE:
                 continue  # session-tz-dependent term: keep
             if op == "=":

@@ -1088,3 +1088,46 @@ def test_unusable_terms_keep_null_prunes_fifth_review():
     assert S._coerce(T.TimestampType(), "2021-01-01T05:30:00Z") == dt.datetime(
         2021, 1, 1, 5, 30
     )
+
+
+def test_manifest_summary_contains_null_prunes_is_null():
+    """An identity-partition summary with contains_null=False proves
+    the manifest holds no null source values — an is_null term prunes
+    the whole manifest; contains_null=True (or a bucket transform)
+    keeps it."""
+    import struct
+
+    ctx = S.make_iceberg_match_context(
+        {
+            "type": "struct",
+            "fields": [{"id": 1, "name": "cat", "required": False, "type": "string"}],
+        },
+        {1: "cat"},
+    )
+    spec = [
+        {"name": "cat", "transform": "identity", "source-id": 1, "field-id": 1000}
+    ]
+    row_no_nulls = {
+        "partitions": [
+            {"contains_null": False, "lower_bound": b"a", "upper_bound": b"z"}
+        ]
+    }
+    row_with_nulls = {
+        "partitions": [
+            {"contains_null": True, "lower_bound": b"a", "upper_bound": b"z"}
+        ]
+    }
+    pred = [("cat", "is_null", None)]
+    assert not S.iceberg_manifest_matches(row_no_nulls, ctx, pred, spec)
+    assert S.iceberg_manifest_matches(row_with_nulls, ctx, pred, spec)
+    # bucket transforms carry no per-source null proof here: keep
+    bspec = [
+        {"name": "cat_bucket", "transform": "bucket[4]", "source-id": 1, "field-id": 1000}
+    ]
+    assert S.iceberg_manifest_matches(
+        {"partitions": [{"contains_null": False}]}, ctx, pred, bspec
+    )
+    # is_not_null never prunes at summary level
+    assert S.iceberg_manifest_matches(
+        row_no_nulls, ctx, [("cat", "is_not_null", None)], spec
+    )
