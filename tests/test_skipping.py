@@ -1131,3 +1131,112 @@ def test_manifest_summary_contains_null_prunes_is_null():
     assert S.iceberg_manifest_matches(
         row_no_nulls, ctx, [("cat", "is_not_null", None)], spec
     )
+
+
+def test_delta_skipping_through_checkpoint_stats(spark, tmp_path):
+    """Stats survive the CHECKPOINT path: a vacuumed table whose state
+    seeds from checkpoint parquet (add.stats string column) must prune
+    exactly like a JSON-replayed one — a bridge that dropped stats at
+    the checkpoint boundary would silently stop skipping on every
+    long-lived table."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = tmp_path / "ckpt_stats"
+    log = t / "_delta_log"
+    log.mkdir(parents=True)
+    ranges = {"part-a.parquet": 1, "part-b.parquet": 11, "part-c.parquet": 21}
+    for name, lo in ranges.items():
+        pq.write_table(
+            pa.table({"id": pa.array(range(lo, lo + 10), pa.int64())}), t / name
+        )
+
+    def stats(lo):
+        return _json.dumps(
+            {
+                "numRecords": 10,
+                "minValues": {"id": lo},
+                "maxValues": {"id": lo + 9},
+                "nullCount": {"id": 0},
+            }
+        )
+
+    schema_string = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [{"name": "id", "type": "long", "nullable": False, "metadata": {}}],
+        }
+    )
+    pv_type = pa.map_(pa.string(), pa.string())
+    add_type = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pv_type),
+            ("stats", pa.string()),
+        ]
+    )
+    meta_type = pa.struct(
+        [
+            ("id", pa.string()),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("format", pa.struct([("provider", pa.string())])),
+        ]
+    )
+    proto_type = pa.struct([("minReaderVersion", pa.int32())])
+    rows = [
+        {"add": None, "metaData": None, "protocol": {"minReaderVersion": 1}},
+        {
+            "add": None,
+            "metaData": {
+                "id": "ck",
+                "schemaString": schema_string,
+                "partitionColumns": [],
+                "format": {"provider": "parquet"},
+            },
+            "protocol": None,
+        },
+        {
+            "add": {"path": "part-a.parquet", "partitionValues": [], "stats": stats(1)},
+            "metaData": None,
+            "protocol": None,
+        },
+        {
+            "add": {"path": "part-b.parquet", "partitionValues": [], "stats": stats(11)},
+            "metaData": None,
+            "protocol": None,
+        },
+    ]
+    ck = pa.table(
+        {
+            "add": pa.array([r["add"] for r in rows], add_type),
+            "metaData": pa.array([r["metaData"] for r in rows], meta_type),
+            "protocol": pa.array([r["protocol"] for r in rows], proto_type),
+        }
+    )
+    pq.write_table(ck, log / f"{1:020d}.checkpoint.parquet")
+    (log / "_last_checkpoint").write_text('{"version": 1}')
+    (log / f"{2:020d}.json").write_text(
+        _json.dumps(
+            {
+                "add": {
+                    "path": "part-c.parquet",
+                    "partitionValues": {},
+                    "size": 0,
+                    "modificationTime": 0,
+                    "dataChange": True,
+                    "stats": stats(21),
+                }
+            }
+        )
+        + "\n"
+    )
+    snap = LF.delta_snapshot(str(t))
+    kept, skipped = LF.prune_delta_files(snap, [("id", ">=", 25)])
+    assert [f["path"] for f in kept] == ["part-c.parquet"]
+    assert skipped == 2
+    df = LF.read_delta_snapshot(spark, str(t), predicate=[("id", "<", 5)])
+    assert [p.rsplit("/", 1)[-1] for p in df.inputFiles()] == ["part-a.parquet"]
+    assert sorted(r["id"] for r in df.collect()) == [1, 2, 3, 4]
