@@ -1902,9 +1902,12 @@ _IB_MLIST_SCHEMA = json.dumps(
 
 
 def ensure_iceberg_bucket_manifests(spark: SparkSession) -> None:
-    """Avro manifests for the bucket-partitioned fixture: each entry
-    carries the partition tuple (bucket[2] value) AND id lower/upper
-    bounds in the spec's key/value-array + Appendix-D binary encoding.
+    """Avro manifests for the bucket-partitioned fixture: ONE MANIFEST
+    PER BUCKET (the layout a real writer clustering on the partition
+    produces), each entry carrying the partition tuple (bucket[2]
+    value) and id lower/upper bounds in the spec's key/value-array +
+    Appendix-D binary encoding; the manifest LIST carries per-manifest
+    partition field summaries so list-level pruning has teeth (F11).
     Needs a JVM (avro-core writer); everything else is materialized by
     ensure_lake_fixtures.  Idempotent — the fixture-version bump wipes
     the tree, so existence is freshness."""
@@ -1912,48 +1915,65 @@ def ensure_iceberg_bucket_manifests(spark: SparkSession) -> None:
 
     ensure_lake_fixtures()
     meta_dir = ICEBERG_BUCKET_DIR / "metadata"
-    if (meta_dir / "snap-9001.avro").exists() and (
-        meta_dir / "m-9001.avro"
-    ).exists():
+    buckets = sorted({b for b, _ in _IB_FILES.values()})
+    if (meta_dir / "snap-9001.avro").exists() and all(
+        (meta_dir / f"m-9001-b{b}.avro").exists() for b in buckets
+    ):
         return
-    entries = []
-    for rel, (bucket, ids) in sorted(_IB_FILES.items()):
-        entries.append(
-            {
-                "status": 1,
-                "snapshot_id": 9001,
-                "sequence_number": 1,
-                "data_file": {
-                    "content": 0,
-                    "file_path": rel,
-                    "file_format": "PARQUET",
-                    "record_count": len(ids),
-                    "partition": {"id_bucket": bucket},
-                    "lower_bounds": [
-                        {"key": 1, "value": struct.pack("<q", min(ids))}
-                    ],
-                    "upper_bounds": [
-                        {"key": 1, "value": struct.pack("<q", max(ids))}
-                    ],
-                },
-            }
+    mlist_rows = []
+    for b in buckets:
+        entries = []
+        for rel, (bucket, ids) in sorted(_IB_FILES.items()):
+            if bucket != b:
+                continue
+            entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": 9001,
+                    "sequence_number": 1,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": rel,
+                        "file_format": "PARQUET",
+                        "record_count": len(ids),
+                        "partition": {"id_bucket": bucket},
+                        "lower_bounds": [
+                            {"key": 1, "value": struct.pack("<q", min(ids))}
+                        ],
+                        "upper_bounds": [
+                            {"key": 1, "value": struct.pack("<q", max(ids))}
+                        ],
+                    },
+                }
+            )
+        LF.write_avro_records(
+            spark,
+            str(meta_dir / f"m-9001-b{b}.avro"),
+            _IB_MANIFEST_SCHEMA,
+            entries,
         )
-    LF.write_avro_records(
-        spark, str(meta_dir / "m-9001.avro"), _IB_MANIFEST_SCHEMA, entries
-    )
-    LF.write_avro_records(
-        spark,
-        str(meta_dir / "snap-9001.avro"),
-        _IB_MLIST_SCHEMA,
-        [
+        mlist_rows.append(
             {
-                "manifest_path": "metadata/m-9001.avro",
+                "manifest_path": f"metadata/m-9001-b{b}.avro",
                 "manifest_length": 0,
                 "content": 0,
                 "added_snapshot_id": 9001,
                 "sequence_number": 1,
+                "partition_spec_id": 0,
+                "partitions": [
+                    {
+                        "contains_null": False,
+                        "lower_bound": struct.pack("<i", b),
+                        "upper_bound": struct.pack("<i", b),
+                    }
+                ],
             }
-        ],
+        )
+    LF.write_avro_records(
+        spark,
+        str(meta_dir / "snap-9001.avro"),
+        _IB_MLIST_SCHEMA,
+        mlist_rows,
     )
 
 
@@ -2213,3 +2233,80 @@ FROM changes
 GROUP BY commit_version, change_type, region
 ORDER BY commit_version, change_type, region
 """
+
+
+# ------------------------------------------------------- F11 key
+
+
+def iceberg_manifest_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANIFEST-LIST-level pruning audit (r8): for each predicate, how
+    many data manifests the list's partition field summaries say must
+    OPEN — the driver-metadata twin of F9's files_kept evidence.  On a
+    100 TB table with thousands of manifests this is what keeps the
+    driver walk O(matching manifests): the bucketed fixture's list
+    carries one summary per manifest (lower=upper=bucket), so equality
+    probes open exactly one manifest, range probes open both (bucket
+    is non-monotonic and never range-prunes), and delete manifests
+    are never summary-skipped."""
+    prep(spark)
+    ensure_lake_fixtures()
+    ensure_iceberg_bucket_manifests(spark)
+    rows = []
+    for label, pred in [("i0_no_predicate", None)] + _ICEBERG_SKIP_PREDICATES:
+        st = LF.iceberg_manifest_prune_stats(
+            spark, str(ICEBERG_BUCKET_META), predicate=pred
+        )
+        rows.append(
+            (
+                label,
+                st["manifests_total"],
+                st["manifests_matched"],
+                st["delete_manifests"],
+            )
+        )
+    return spark.createDataFrame(
+        sorted(rows),
+        "pred string, manifests_total int, manifests_matched int, "
+        "delete_manifests int",
+    ).orderBy("pred")
+
+
+def _iceberg_manifest_prune_oracle_sql() -> str:
+    """Authoring-dict replay: manifests are keyed by bucket, summaries
+    are [bucket, bucket], so a predicate's matched count is the number
+    of DISTINCT buckets its values could live in — equality/in resolve
+    the bucket via id MEMBERSHIP in the authored split (ground truth
+    the murmur3 hash under test never touches); range/none match all."""
+    ensure_lake_fixtures()
+    buckets = sorted({b for b, _ in _IB_FILES.values()})
+
+    def bucket_of(v: int) -> int | None:
+        for b, ids in _IB_FILES.values():
+            if v in ids:
+                return b
+        return None
+
+    def matched(pred) -> int:
+        if pred is None:
+            return len(buckets)
+        hit = set()
+        for col, op, val in pred:
+            if op == "=":
+                b = bucket_of(val)
+                return len([b] if b is not None else buckets)
+            if op == "in":
+                for v in val:
+                    b = bucket_of(v)
+                    hit.update([b] if b is not None else buckets)
+                return len(hit)
+        return len(buckets)  # ranges never prune through bucket
+
+    selects = []
+    for label, pred in [("i0_no_predicate", None)] + _ICEBERG_SKIP_PREDICATES:
+        selects.append(
+            f"SELECT '{label}' AS pred, "
+            f"CAST({len(buckets)} AS INTEGER) AS manifests_total, "
+            f"CAST({matched(pred)} AS INTEGER) AS manifests_matched, "
+            f"CAST(0 AS INTEGER) AS delete_manifests"
+        )
+    return "\nUNION ALL\n".join(selects) + "\nORDER BY pred"

@@ -361,6 +361,11 @@ register(
     lake._delta_cdf_mapped_oracle_sql,
 )
 register(
+    "iceberg_manifest_prune_audit",
+    lake.iceberg_manifest_prune_audit,
+    lake._iceberg_manifest_prune_oracle_sql,
+)
+register(
     "streaming_delta_commits",
     streaming_jobs.streaming_delta_commits,
     streaming_jobs._streaming_delta_commits_sql,
@@ -418,6 +423,7 @@ _R8_REWRITTEN_R7 = [
 _NEW_R8 = [
     "lake_skipping_audit",
     "delta_cdf_mapped_read",
+    "iceberg_manifest_prune_audit",
 ]
 
 # Newest driver row is r4; ordered most load-bearing first (flagship

@@ -1571,6 +1571,59 @@ def iceberg_snapshot_entries(
     return out
 
 
+def iceberg_manifest_prune_stats(
+    spark: SparkSession,
+    metadata_path: str,
+    snapshot_id: int | None = None,
+    predicate: list | None = None,
+) -> dict:
+    """MANIFEST-LIST-level pruning decision, measured: walks ONLY the
+    manifest list (never the manifests) and reports how many data
+    manifests a predicate's partition-summary check would open —
+    the driver-metadata twin of the file-level files_kept evidence.
+    Returns {"manifests_total", "manifests_matched",
+    "delete_manifests"} (delete manifests are never summary-skipped)."""
+    from . import skipping as _skipping
+
+    info = iceberg_snapshot_info(metadata_path, snapshot_id)
+    if not _avro_available(spark):
+        raise LakeFormatGatedError(
+            "Iceberg manifest walks need avro-core (org.apache.avro) on "
+            "the classpath"
+        )
+    if predicate:
+        _skipping.validate_predicate(
+            predicate, [f.name for f in info["schema"].fields]
+        )
+        ctx = _skipping.make_iceberg_match_context(
+            info["schema_json"], info["field_names_by_id"]
+        )
+        norm = _skipping.normalize_predicate_iceberg(predicate, ctx)
+    table_root = os.path.dirname(
+        os.path.dirname(os.path.abspath(metadata_path))
+    )
+    mlist = _resolve(info["snapshot"]["manifest-list"], table_root)
+    total = matched = deletes = 0
+    for m in _read_avro_records(spark, mlist):
+        if int(m.get("content") or 0) == 1:
+            deletes += 1
+            continue
+        total += 1
+        if not predicate or _skipping.iceberg_manifest_matches(
+            m,
+            ctx,
+            norm,
+            _resolve_spec_fields(info, m.get("partition_spec_id")),
+            prenormalized=True,
+        ):
+            matched += 1
+    return {
+        "manifests_total": total,
+        "manifests_matched": matched,
+        "delete_manifests": deletes,
+    }
+
+
 # footer-probe cache keyed by (path, size, mtime) — data files are
 # immutable once committed, and the gated keys + oracle re-verifies
 # read the same snapshot repeatedly (same move as _AVRO_CACHE for
