@@ -2286,20 +2286,28 @@ def _iceberg_manifest_prune_oracle_sql() -> str:
                 return b
         return None
 
+    def could_match(b: int, pred) -> bool:
+        # intersect ALL conjunctive terms, mirroring the matcher (r8
+        # seventh review: a first-term-only replay diverges on
+        # multi-term predicates); unauthored literals keep (unknown
+        # bucket — the matcher would still prune them via the hash,
+        # but the oracle must never run the hash under test)
+        for _col, op, val in pred:
+            if op == "=":
+                vb = bucket_of(val)
+                if vb is not None and vb != b:
+                    return False
+            elif op == "in":
+                vbs = [bucket_of(v) for v in val]
+                if all(v is not None for v in vbs) and b not in vbs:
+                    return False
+            # range / null terms: bucket summaries never prune them
+        return True
+
     def matched(pred) -> int:
         if pred is None:
             return len(buckets)
-        hit = set()
-        for col, op, val in pred:
-            if op == "=":
-                b = bucket_of(val)
-                return len([b] if b is not None else buckets)
-            if op == "in":
-                for v in val:
-                    b = bucket_of(v)
-                    hit.update([b] if b is not None else buckets)
-                return len(hit)
-        return len(buckets)  # ranges never prune through bucket
+        return sum(1 for b in buckets if could_match(b, pred))
 
     selects = []
     for label, pred in [("i0_no_predicate", None)] + _ICEBERG_SKIP_PREDICATES:

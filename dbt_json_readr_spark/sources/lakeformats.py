@@ -1264,6 +1264,34 @@ def iceberg_snapshot_info(metadata_path: str, snapshot_id: int | None = None) ->
     }
 
 
+def _manifest_keep_fn(info: dict, predicate: list | None):
+    """ONE manifest-list prune decision shared by the entries walk and
+    the F11 audit (r8 seventh review: two hand-maintained copies let
+    the measured prune drift from the executed one).  Returns
+    keep(mlist_row) — delete manifests always keep."""
+    if not predicate:
+        return lambda m: True
+    from . import skipping as _skipping
+
+    ctx = _skipping.make_iceberg_match_context(
+        info["schema_json"], info["field_names_by_id"]
+    )
+    norm = _skipping.normalize_predicate_iceberg(predicate, ctx)
+
+    def keep(m: dict) -> bool:
+        if int(m.get("content") or 0) == 1:
+            return True
+        return _skipping.iceberg_manifest_matches(
+            m,
+            ctx,
+            norm,
+            _resolve_spec_fields(info, m.get("partition_spec_id")),
+            prenormalized=True,
+        )
+
+    return keep
+
+
 def _resolve_spec_fields(info: dict, sid) -> list | None:
     """The partition spec a manifest (and its entries) was written
     under, or None when it cannot be determined safely — an explicit
@@ -1492,30 +1520,11 @@ def iceberg_snapshot_entries(
         )
     table_root = os.path.dirname(os.path.dirname(os.path.abspath(metadata_path)))
     mlist = _resolve(snap["manifest-list"], table_root)
-    if predicate:
-        from . import skipping as _skipping
-
-        match_ctx = _skipping.make_iceberg_match_context(
-            info["schema_json"], info["field_names_by_id"]
-        )
-        norm_pred = _skipping.normalize_predicate_iceberg(
-            predicate, match_ctx
-        )
-
+    keep_manifest = _manifest_keep_fn(info, predicate)
     out = []
     for m in _read_avro_records(spark, mlist):
         is_delete_manifest = int(m.get("content") or 0) == 1
-        if (
-            predicate
-            and not is_delete_manifest
-            and not _skipping.iceberg_manifest_matches(
-                m,
-                match_ctx,
-                norm_pred,
-                _resolve_spec_fields(info, m.get("partition_spec_id")),
-                prenormalized=True,
-            )
-        ):
+        if not keep_manifest(m):
             continue
         # Iceberg metadata INHERITANCE (spec "Sequence Number
         # Inheritance" / manifest-entry field notes): an entry's
@@ -1595,10 +1604,7 @@ def iceberg_manifest_prune_stats(
         _skipping.validate_predicate(
             predicate, [f.name for f in info["schema"].fields]
         )
-        ctx = _skipping.make_iceberg_match_context(
-            info["schema_json"], info["field_names_by_id"]
-        )
-        norm = _skipping.normalize_predicate_iceberg(predicate, ctx)
+    keep_manifest = _manifest_keep_fn(info, predicate)
     table_root = os.path.dirname(
         os.path.dirname(os.path.abspath(metadata_path))
     )
@@ -1609,13 +1615,7 @@ def iceberg_manifest_prune_stats(
             deletes += 1
             continue
         total += 1
-        if not predicate or _skipping.iceberg_manifest_matches(
-            m,
-            ctx,
-            norm,
-            _resolve_spec_fields(info, m.get("partition_spec_id")),
-            prenormalized=True,
-        ):
+        if keep_manifest(m):
             matched += 1
     return {
         "manifests_total": total,

@@ -877,6 +877,15 @@ def iceberg_manifest_matches(
             continue
         transform = sf["transform"]
         src_type = types_by_id.get(sf["source-id"])
+        # the null signal needs NO bounds and no decodable result type:
+        # every Iceberg transform maps null→null (spec §Partition
+        # Transforms), so contains_null=False on ANY transform's
+        # summary proves no null source values — evaluated before the
+        # bounds gates, which used to make it unreachable whenever
+        # bounds were absent/undecodable (r8 seventh review)
+        if transform != "void" and s.get("contains_null") is False:
+            if any(op == "is_null" for _, op, _v in terms_by_col[col]):
+                return False
         res_type = _transform_result_type(transform, src_type)
         if res_type is None:
             continue
@@ -886,18 +895,8 @@ def iceberg_manifest_matches(
             continue
         bucket = transform.startswith("bucket[")
         for _, op, value in terms_by_col[col]:
-            if op == "is_null":
-                # identity summaries carry the null signal exactly: a
-                # manifest whose identity-partition summary says
-                # contains_null=False holds no null source values
-                if (
-                    transform == "identity"
-                    and s.get("contains_null") is False
-                ):
-                    return False
-                continue
-            if op == "is_not_null":
-                continue  # summaries cannot prove all-null
+            if op in ("is_null", "is_not_null"):
+                continue  # is_null handled above; all-null unprovable
             if value is _TS_UNUSABLE:
                 continue  # session-tz-dependent term: keep
             if op == "=":

@@ -1120,12 +1120,16 @@ def test_manifest_summary_contains_null_prunes_is_null():
     pred = [("cat", "is_null", None)]
     assert not S.iceberg_manifest_matches(row_no_nulls, ctx, pred, spec)
     assert S.iceberg_manifest_matches(row_with_nulls, ctx, pred, spec)
-    # bucket transforms carry no per-source null proof here: keep
+    # null->null holds for every transform: a bucket summary with
+    # contains_null=False prunes is_null too, even WITHOUT bounds
     bspec = [
         {"name": "cat_bucket", "transform": "bucket[4]", "source-id": 1, "field-id": 1000}
     ]
-    assert S.iceberg_manifest_matches(
+    assert not S.iceberg_manifest_matches(
         {"partitions": [{"contains_null": False}]}, ctx, pred, bspec
+    )
+    assert S.iceberg_manifest_matches(
+        {"partitions": [{"contains_null": True}]}, ctx, pred, bspec
     )
     # is_not_null never prunes at summary level
     assert S.iceberg_manifest_matches(
