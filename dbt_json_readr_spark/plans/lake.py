@@ -2301,7 +2301,14 @@ def _iceberg_manifest_prune_oracle_sql() -> str:
                 vbs = [bucket_of(v) for v in val]
                 if all(v is not None for v in vbs) and b not in vbs:
                     return False
-            # range / null terms: bucket summaries never prune them
+            elif op == "is_null":
+                # the fixture authors contains_null=False on every
+                # summary (no authored id is null), and null→null
+                # holds for every transform — an is_null term prunes
+                # ALL manifests (kept in lockstep with the matcher,
+                # r8 eighth review)
+                return False
+            # range / is_not_null terms: summaries never prune them
         return True
 
     def matched(pred) -> int:
