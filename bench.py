@@ -52,6 +52,9 @@ HEADLINE = STABLE_8 + [
     # r7 (VERDICT r6 item 7): a bridge READ, so avro-walk + delete-apply
     # cost is tracked round-over-round (sf-invariant fixture)
     "iceberg_snapshot_read",
+    # r8: the stats-skipping audit (9 predicated bridge reads over both
+    # formats — tracks prune-path overhead; sf-invariant fixtures)
+    "lake_skipping_audit",
 ]
 
 
