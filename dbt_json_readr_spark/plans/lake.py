@@ -33,7 +33,7 @@ ICEBERG_META = ICEBERG_DIR / "metadata" / "v3.metadata.json"
 ICEBERG_BUCKET_DIR = FIXTURE_ROOT / "iceberg_bucketed"
 ICEBERG_BUCKET_META = ICEBERG_BUCKET_DIR / "metadata" / "v1.metadata.json"
 DELTA_CDFM_DIR = FIXTURE_ROOT / "delta_cdf_mapped"
-_VERSION = "11"
+_VERSION = "12"
 
 # ------------------------------------------------------- fixtures
 
@@ -255,6 +255,12 @@ _CDF_COMMITS: list[list[dict]] = [
         {"remove": {"path": "f0.parquet", "dataChange": True}},
     ],
 ]
+
+# deterministic commit timestamps for the delta_sales fixture (epoch
+# ms; set as the log files' mtimes — the protocol's default time-travel
+# clock): v0 at 2025-01-01T00:00Z, then +1h per commit
+_DELTA_COMMIT_TS = {0: 1735689600000, 1: 1735693200000, 2: 1735696800000}
+
 
 # --- column-mapped CDF Delta fixture (r8, VERDICT r7 item 4) ---
 # Mode 'name' with CDF enabled, partitioned by region under its
@@ -601,9 +607,15 @@ def ensure_lake_fixtures(root: Path | str = FIXTURE_ROOT) -> Path:
         log = delta / "_delta_log"
         log.mkdir(parents=True)
         for v, actions in enumerate(_DELTA_COMMITS):
-            (log / f"{v:020d}.json").write_text(
+            p = log / f"{v:020d}.json"
+            p.write_text(
                 "\n".join(json.dumps(a, sort_keys=True) for a in actions) + "\n"
             )
+            # deterministic commit clock for AS OF TIMESTAMP travel
+            # (mtime is the protocol's default timestamp source;
+            # os.replace of the tmp tree preserves it)
+            ns = _DELTA_COMMIT_TS[v] * 1_000_000
+            os.utime(p, ns=(ns, ns))
         cm = tmp / DELTA_CM_DIR.name
         cm.mkdir(parents=True)
         for rel, (_, rows) in _DELTA_CM_FILES.items():
@@ -2325,3 +2337,146 @@ def _iceberg_manifest_prune_oracle_sql() -> str:
             f"CAST(0 AS INTEGER) AS delete_manifests"
         )
     return "\nUNION ALL\n".join(selects) + "\nORDER BY pred"
+
+
+# ------------------------------------------------------- F12 key
+
+# AS OF TIMESTAMP probes: (label, source, epoch-ms) — mid-window,
+# exact-boundary (inclusive), and after-latest for each format
+_TT_PROBES = [
+    ("d1_mid", "delta", 1735691400000),     # T0 + 30 min → v0
+    ("d2_exact", "delta", 1735693200000),   # exactly T1 → v1 (inclusive)
+    ("d3_late", "delta", 1735698600000),    # T2 + 30 min → v2
+    ("i1_mid", "iceberg", 1735650000000),   # between 1002 and 1003
+    ("i2_exact", "iceberg", 1735689600000), # exactly 1003's ts
+    ("i3_late", "iceberg", 1735900000000),  # after 1005
+]
+
+
+def lake_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS OF TIMESTAMP time travel for BOTH bridges (r8): Delta
+    resolves the latest commit at-or-before the probe from the
+    protocol's commit clock (inCommitTimestamp when present, else
+    monotonic-adjusted log-file mtimes — the fixture pins
+    deterministic mtimes), Iceberg from the snapshots' own
+    timestamp-ms; the resolved snapshot then reads through the normal
+    data path (Iceberg's probes cross the delete snapshots, so
+    position/equality deletes must apply at the resolved point).
+    Exact-boundary probes are INCLUSIVE — an off-by-one returns the
+    previous snapshot's rollup and fails the hash."""
+    prep(spark)
+    ensure_lake_fixtures()
+    ensure_iceberg_manifests(spark)
+    outs = []
+    for label, source, ts_ms in _TT_PROBES:
+        if source == "delta":
+            resolved = LF.delta_version_at_timestamp(str(DELTA_DIR), ts_ms)
+            df = LF.read_delta_snapshot(
+                spark, str(DELTA_DIR), timestamp=ts_ms
+            )
+        else:
+            resolved = LF.iceberg_snapshot_at_timestamp(
+                str(ICEBERG_META), ts_ms
+            )
+            df = LF.read_iceberg_snapshot(spark, str(ICEBERG_META), resolved)
+        outs.append(
+            df.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.coalesce(F.sum("id"), F.lit(0)).cast("long").alias("sum_id"),
+            ).select(
+                F.lit(source).alias("source"),
+                F.lit(label).alias("probe"),
+                F.lit(resolved).cast("long").alias("resolved"),
+                "*",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("source", "probe")
+
+
+def _lake_time_travel_oracle_sql() -> str:
+    """INDEPENDENT replay: the Delta side re-derives the commit clock
+    from the log files' own mtimes (with its own monotonic adjustment)
+    and replays the active-file set; the Iceberg side resolves from
+    the authored timestamp-ms and replays the live-file set WITH the
+    authored position/equality deletes at the resolved snapshot."""
+    ensure_lake_fixtures()
+    import os as _os
+
+    log = DELTA_DIR / "_delta_log"
+    versions = sorted(int(p.stem) for p in log.glob("*.json"))
+    stamps: dict[int, int] = {}
+    prev = None
+    for v in versions:
+        ts = _os.stat(log / f"{v:020d}.json").st_mtime_ns // 1_000_000
+        if prev is not None and ts <= prev:
+            ts = prev + 1
+        stamps[v] = ts
+        prev = ts
+
+    def d_active(target: int) -> list[str]:
+        out: dict[str, bool] = {}
+        for v in versions:
+            if v > target:
+                break
+            for line in (log / f"{v:020d}.json").read_text().splitlines():
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "add" in a:
+                    out[a["add"]["path"]] = True
+                elif "remove" in a:
+                    out.pop(a["remove"]["path"], None)
+        return sorted(out)
+
+    meta = _ICEBERG_METADATA
+    selects = []
+    for label, source, ts_ms in _TT_PROBES:
+        if source == "delta":
+            resolved = max(v for v, t in stamps.items() if t <= ts_ms)
+            rows = " UNION ALL ".join(
+                f"SELECT id FROM read_parquet('{(DELTA_DIR / p).as_posix()}')"
+                for p in d_active(resolved)
+            )
+        else:
+            snaps = sorted(meta["snapshots"], key=lambda s: s["timestamp-ms"])
+            resolved = max(
+                (s for s in snaps if s["timestamp-ms"] <= ts_ms),
+                key=lambda s: s["timestamp-ms"],
+            )["snapshot-id"]
+            parts = []
+            for status, path, seq in _ICEBERG_SNAP_FILES[resolved]:
+                if status == 2:
+                    continue
+                f = (ICEBERG_DIR / path).as_posix()
+                conds = []
+                positions = []
+                for del_file, _dseq in _ICEBERG_POS_DELETES.get(resolved, []):
+                    positions += _ICEBERG_POS_DELETE_FILES[del_file].get(
+                        path, []
+                    )
+                if positions:
+                    ids = sorted(list(_ICEBERG_FILES[path][1]))
+                    conds.append(
+                        "id NOT IN ("
+                        + ", ".join(str(ids[p]) for p in positions)
+                        + ")"
+                    )
+                eq = _ICEBERG_EQ_DELETES.get(resolved)
+                if eq and seq < eq["seq"] and _ICEBERG_FILES[path][0]:
+                    for row in eq["values"]:
+                        for col, val in row.items():
+                            conds.append(f"{col} IS DISTINCT FROM '{val}'")
+                where = f" WHERE {' AND '.join(conds)}" if conds else ""
+                parts.append(f"SELECT id FROM read_parquet('{f}'){where}")
+            rows = " UNION ALL ".join(parts)
+        selects.append(
+            f"SELECT '{source}' AS source, '{label}' AS probe, "
+            f"CAST({resolved} AS BIGINT) AS resolved, "
+            f"count(*) AS n_rows, "
+            f"COALESCE(CAST(sum(id) AS BIGINT), 0) AS sum_id "
+            f"FROM ({rows})"
+        )
+    return "\nUNION ALL\n".join(selects) + "\nORDER BY source, probe"

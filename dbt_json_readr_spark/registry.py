@@ -366,6 +366,11 @@ register(
     lake._iceberg_manifest_prune_oracle_sql,
 )
 register(
+    "lake_time_travel_read",
+    lake.lake_time_travel_read,
+    lake._lake_time_travel_oracle_sql,
+)
+register(
     "streaming_delta_commits",
     streaming_jobs.streaming_delta_commits,
     streaming_jobs._streaming_delta_commits_sql,
@@ -424,6 +429,7 @@ _NEW_R8 = [
     "lake_skipping_audit",
     "delta_cdf_mapped_read",
     "iceberg_manifest_prune_audit",
+    "lake_time_travel_read",
 ]
 
 # Newest driver row is r4; ordered most load-bearing first (flagship

@@ -366,6 +366,90 @@ def _state_as_of(table_path: str, version: int | None = None) -> tuple[_DeltaSta
     return state, version
 
 
+def delta_commit_timestamps(table_path: str) -> dict[int, int]:
+    """version → commit timestamp (epoch ms) for every RETAINED JSON
+    commit, per the protocol's time-travel rules: a commitInfo action
+    carrying ``inCommitTimestamp`` is authoritative (the in-commit-
+    timestamp table feature); otherwise the log file's modification
+    time stands in.  Timestamps are then made MONOTONIC the way
+    production readers do (each commit at least 1 ms after its
+    predecessor) so clock skew between writers cannot make a later
+    version resolve before an earlier one."""
+    log = _delta_log_dir(table_path)
+    json_versions, _ck, _latest = _log_versions(log)
+    out: dict[int, int] = {}
+    prev = None
+    for v in json_versions:
+        p = log / f"{v:020d}.json"
+        ts = None
+        with open(p) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                ci = action.get("commitInfo")
+                if ci is not None and ci.get("inCommitTimestamp") is not None:
+                    ts = int(ci["inCommitTimestamp"])
+                break  # commitInfo, when present, is the first action
+        if ts is None:
+            ts = os.stat(p).st_mtime_ns // 1_000_000
+        if prev is not None and ts <= prev:
+            ts = prev + 1
+        out[v] = ts
+        prev = ts
+    return out
+
+
+def _to_epoch_ms(ts) -> int:
+    """Accept epoch ms (int) or datetime (naive = UTC; aware converts)."""
+    import datetime as _dt
+
+    if isinstance(ts, _dt.datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=_dt.timezone.utc)
+        return int(ts.timestamp() * 1000)
+    return int(ts)
+
+
+def delta_version_at_timestamp(table_path: str, ts) -> int:
+    """The version a Delta reader pins for AS OF TIMESTAMP ``ts``: the
+    LATEST retained commit whose timestamp is <= ts.  A timestamp
+    before the earliest retained commit gates loudly — either the
+    table did not exist yet or that history was vacuumed; both are
+    unanswerable, never guessed."""
+    ts_ms = _to_epoch_ms(ts)
+    stamps = delta_commit_timestamps(table_path)
+    if not stamps:
+        raise LakeFormatGatedError(
+            "no retained JSON commits — timestamp travel needs commit "
+            f"timestamps, which a checkpoint alone does not carry: {table_path}"
+        )
+    eligible = [v for v, t in stamps.items() if t <= ts_ms]
+    if not eligible:
+        raise LakeFormatGatedError(
+            f"timestamp {ts_ms} predates the earliest retained commit "
+            f"({min(stamps)} at {stamps[min(stamps)]}) — before table "
+            "creation or vacuumed history"
+        )
+    return max(eligible)
+
+
+def iceberg_snapshot_at_timestamp(metadata_path: str, ts) -> int:
+    """The snapshot an Iceberg reader pins for AS OF TIMESTAMP: the
+    latest snapshot with timestamp-ms <= ts (metadata.json carries the
+    timestamps directly — no file-mtime fallback needed)."""
+    ts_ms = _to_epoch_ms(ts)
+    meta = iceberg_metadata(metadata_path)
+    eligible = [
+        s for s in meta.get("snapshots", []) if int(s["timestamp-ms"]) <= ts_ms
+    ]
+    if not eligible:
+        raise LakeFormatGatedError(
+            f"timestamp {ts_ms} predates every snapshot in {metadata_path}"
+        )
+    return int(max(eligible, key=lambda s: int(s["timestamp-ms"]))["snapshot-id"])
+
+
 def delta_snapshot(table_path: str, version: int | None = None) -> dict:
     """The snapshot a Delta reader pins AS OF ``version`` (default:
     latest) → {"version", "schema" (Spark StructType),
@@ -501,6 +585,7 @@ def read_delta_snapshot(
     version: int | None = None,
     dv_driver_cap: int | None = None,
     predicate: list | None = None,
+    timestamp=None,
 ) -> DataFrame:
     """The Delta table AS OF ``version`` as a DataFrame — the exact
     file list the snapshot pins, schema from the log (never inferred),
@@ -521,7 +606,18 @@ def read_delta_snapshot(
     partitionValues PROVE no match are dropped from the scan list
     before ``spark.read`` ever sees them, and the predicate is then
     ALSO applied row-level — skipping is a pure optimization, never a
-    semantics change."""
+    semantics change.
+
+    ``timestamp`` (r8) is AS OF TIMESTAMP time travel: epoch ms or a
+    datetime (naive = UTC), resolved to the latest commit at-or-before
+    it via ``delta_version_at_timestamp`` (inCommitTimestamp when the
+    log carries it, else monotonic-adjusted file mtimes)."""
+    if timestamp is not None:
+        if version is not None:
+            raise LakeFormatError(
+                "pass either version or timestamp, not both"
+            )
+        version = delta_version_at_timestamp(table_path, timestamp)
     snap = delta_snapshot(table_path, version)
     schema: T.StructType = snap["schema"]
     pcols = snap["partition_columns"]

@@ -2466,3 +2466,101 @@ def test_delta_cdf_mapped_rename_passes_layout_change_gates(spark, tmp_path):
         p.write_text("\n".join(json.dumps(a) for a in lines) + "\n")
     with pytest.raises(LF.LakeFormatGatedError, match="mode-'id'"):
         LF.read_delta_changes(spark, str(t2), 0)
+
+
+def test_delta_timestamp_travel_clock_rules(spark, tmp_path):
+    """The commit clock honors inCommitTimestamp over file mtime,
+    adjusts non-monotonic mtimes forward (clock skew between writers
+    must not resolve a later version before an earlier one), and a
+    probe before the earliest retained commit gates loudly."""
+    import json
+    import os
+
+    import pytest
+
+    from dbt_json_readr_spark.sources import lakeformats as LF
+
+    t = tmp_path / "tt"
+    (t / "_delta_log").mkdir(parents=True)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for name, lo in (("f0.parquet", 1), ("f1.parquet", 11), ("f2.parquet", 21)):
+        pq.write_table(
+            pa.table({"id": pa.array(range(lo, lo + 3), pa.int64())}), t / name
+        )
+    md = {
+        "metaData": {
+            "id": "tt",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(
+                {
+                    "type": "struct",
+                    "fields": [
+                        {"name": "id", "type": "long", "nullable": False, "metadata": {}}
+                    ],
+                }
+            ),
+            "partitionColumns": [],
+            "configuration": {},
+        }
+    }
+    commits = [
+        # v0: commitInfo WITH inCommitTimestamp — mtime must be ignored
+        [
+            {"commitInfo": {"inCommitTimestamp": 1_000_000, "timestamp": 5}},
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            md,
+            {"add": {"path": "f0.parquet", "partitionValues": {}, "size": 0, "modificationTime": 0, "dataChange": True}},
+        ],
+        # v1/v2: mtime-clocked, with v2's mtime SKEWED BEHIND v1's
+        [{"add": {"path": "f1.parquet", "partitionValues": {}, "size": 0, "modificationTime": 0, "dataChange": True}}],
+        [{"add": {"path": "f2.parquet", "partitionValues": {}, "size": 0, "modificationTime": 0, "dataChange": True}}],
+    ]
+    log = t / "_delta_log"
+    for v, actions in enumerate(commits):
+        p = log / f"{v:020d}.json"
+        p.write_text("\n".join(json.dumps(a) for a in actions) + "\n")
+    # v0 mtime deliberately HUGE (ignored in favor of inCommitTimestamp)
+    os.utime(log / f"{0:020d}.json", ns=(9_000_000_000_000_000, 9_000_000_000_000_000))
+    os.utime(log / f"{1:020d}.json", ns=(3_000_000_000_000_000, 3_000_000_000_000_000))
+    # v2 mtime BEHIND v1 → adjusted to v1 + 1 ms
+    os.utime(log / f"{2:020d}.json", ns=(2_000_000_000_000_000, 2_000_000_000_000_000))
+
+    stamps = LF.delta_commit_timestamps(str(t))
+    assert stamps[0] == 1_000_000  # inCommitTimestamp wins
+    assert stamps[1] == 3_000_000_000
+    assert stamps[2] == 3_000_000_001  # monotonic adjustment
+
+    assert LF.delta_version_at_timestamp(str(t), 1_000_000) == 0
+    assert LF.delta_version_at_timestamp(str(t), 3_000_000_000) == 1
+    assert LF.delta_version_at_timestamp(str(t), 3_000_000_001) == 2
+    got = sorted(
+        r["id"]
+        for r in LF.read_delta_snapshot(
+            spark, str(t), timestamp=3_000_000_000
+        ).collect()
+    )
+    assert got == [1, 2, 3, 11, 12, 13]
+    with pytest.raises(LF.LakeFormatGatedError, match="predates"):
+        LF.delta_version_at_timestamp(str(t), 999_999)
+    with pytest.raises(LF.LakeFormatError, match="not both"):
+        LF.read_delta_snapshot(spark, str(t), version=1, timestamp=1_000_000)
+
+    # datetime probes: naive = UTC
+    import datetime as dt
+
+    assert LF.delta_version_at_timestamp(
+        str(t), dt.datetime(1970, 2, 1)
+    ) == 0  # ~2.7e9 ms > 1e6, < 3e9 → wait: Feb 1 1970 = 2678400000 ms
+
+    # Iceberg: before every snapshot gates
+    from dbt_json_readr_spark.plans import lake as LP
+
+    LP.ensure_lake_fixtures()
+    with pytest.raises(LF.LakeFormatGatedError, match="predates"):
+        LF.iceberg_snapshot_at_timestamp(str(LP.ICEBERG_META), 1)
+    assert (
+        LF.iceberg_snapshot_at_timestamp(str(LP.ICEBERG_META), 1735646400000)
+        == 1002
+    )
