@@ -957,18 +957,9 @@ def _delta_oracle_sql() -> str:
     versions = sorted(int(p.stem) for p in log.glob("*.json"))
     selects = []
     for target in (0, versions[-1]):
-        active: dict[str, str] = {}
-        for v in versions:
-            if v > target:
-                break
-            for line in (log / f"{v:020d}.json").read_text().splitlines():
-                if not line.strip():
-                    continue
-                a = json.loads(line)
-                if "add" in a:
-                    active[a["add"]["path"]] = a["add"]["partitionValues"]["year"]
-                elif "remove" in a:
-                    active.pop(a["remove"]["path"], None)
+        active = {
+            p: pv["year"] for p, pv in _delta_active_files(log, target).items()
+        }
         for path, year in sorted(active.items()):
             f = (DELTA_DIR / path).as_posix()
             selects.append(
@@ -1320,6 +1311,68 @@ _ICEBERG_EQ_DELETES = {
 }
 
 
+def _delta_active_files(log: Path, target: int) -> dict[str, dict]:
+    """Oracle-side stdlib replay of the active file set AS OF
+    ``target``, with the protocol's SET semantics per commit (removes
+    apply before adds, a same-commit re-add wins) — ONE replay rule
+    for every Delta oracle (r8 ninth review: per-oracle line-order
+    replays silently diverged from the bridge on same-commit
+    remove+add)."""
+    out: dict[str, dict] = {}
+    versions = sorted(int(q.stem) for q in log.glob("*.json"))
+    for v in versions:
+        if v > target:
+            break
+        adds: list[dict] = []
+        removes: list[dict] = []
+        for line in (log / f"{v:020d}.json").read_text().splitlines():
+            if not line.strip():
+                continue
+            a = json.loads(line)
+            if "add" in a:
+                adds.append(a["add"])
+            elif "remove" in a:
+                removes.append(a["remove"])
+        re_added = {a["path"] for a in adds}
+        for r in removes:
+            if r["path"] not in re_added:
+                out.pop(r["path"], None)
+        for a in adds:
+            out[a["path"]] = a.get("partitionValues") or {}
+    return out
+
+
+def _iceberg_live_where(sid: int) -> list:
+    """(posix parquet path, WHERE clause or '', has_channel) for each
+    LIVE data file at snapshot ``sid``, with the authored position /
+    equality deletes applied — the delete-replay rule lives once for
+    every Iceberg oracle (r8 ninth review)."""
+    out = []
+    for status, path, seq in _ICEBERG_SNAP_FILES[sid]:
+        if status == 2:
+            continue
+        has_channel = _ICEBERG_FILES[path][0]
+        conds = []
+        positions = []
+        for del_file, _dseq in _ICEBERG_POS_DELETES.get(sid, []):
+            positions += _ICEBERG_POS_DELETE_FILES[del_file].get(path, [])
+        if positions:
+            # files are written in id order: position p ↔ the
+            # (p+1)-th id of the authoring range
+            ids = sorted(list(_ICEBERG_FILES[path][1]))
+            conds.append(
+                "id NOT IN (" + ", ".join(str(ids[p]) for p in positions) + ")"
+            )
+        eq = _ICEBERG_EQ_DELETES.get(sid)
+        if eq and seq < eq["seq"] and has_channel:
+            for row in eq["values"]:
+                for col, val in row.items():
+                    conds.append(f"{col} IS DISTINCT FROM '{val}'")
+        where = f" WHERE {' AND '.join(conds)}" if conds else ""
+        out.append(((ICEBERG_DIR / path).as_posix(), where, has_channel))
+    return out
+
+
 def ensure_iceberg_manifests(spark: SparkSession) -> None:
     """Write the avro manifest list + manifest per snapshot via the
     bundled avro-core container writer (lakeformats.write_avro_records
@@ -1570,32 +1623,11 @@ def _iceberg_read_oracle_sql() -> str:
     live-file set THROUGH the manifest walk."""
     ensure_lake_fixtures()
     selects = []
-    for sid, entries in _ICEBERG_SNAP_FILES.items():
+    for sid in _ICEBERG_SNAP_FILES:
         if sid == 1001:
             continue  # key reads 1002 / 1003 / 1004 / 1005
-        for status, path, seq in entries:
-            if status == 2:
-                continue
-            has_channel = _ICEBERG_FILES[path][0]
+        for f, where, has_channel in _iceberg_live_where(sid):
             chan = "channel" if has_channel else "CAST(NULL AS VARCHAR) AS channel"
-            f = (ICEBERG_DIR / path).as_posix()
-            conds = []
-            positions = []
-            for del_file, _dseq in _ICEBERG_POS_DELETES.get(sid, []):
-                positions += _ICEBERG_POS_DELETE_FILES[del_file].get(path, [])
-            if positions:
-                # files are written in id order: position p ↔ the
-                # (p+1)-th id of the authoring range
-                ids = sorted(list(_ICEBERG_FILES[path][1]))
-                conds.append(
-                    "id NOT IN (" + ", ".join(str(ids[p]) for p in positions) + ")"
-                )
-            eq = _ICEBERG_EQ_DELETES.get(sid)
-            if eq and seq < eq["seq"] and has_channel:
-                for row in eq["values"]:
-                    for col, val in row.items():
-                        conds.append(f"{col} IS DISTINCT FROM '{val}'")
-            where = f" WHERE {' AND '.join(conds)}" if conds else ""
             selects.append(
                 f"SELECT {sid} AS snapshot_id, id, amount, {chan} "
                 f"FROM read_parquet('{f}'){where}"
@@ -1667,17 +1699,9 @@ def _delta_diff_oracle_sql() -> str:
     log = DELTA_DIR / "_delta_log"
 
     def active(target: int) -> dict[str, str]:
-        out: dict[str, str] = {}
-        for v in range(target + 1):
-            for line in (log / f"{v:020d}.json").read_text().splitlines():
-                if not line.strip():
-                    continue
-                a = json.loads(line)
-                if "add" in a:
-                    out[a["add"]["path"]] = a["add"]["partitionValues"]["year"]
-                elif "remove" in a:
-                    out.pop(a["remove"]["path"], None)
-        return out
+        return {
+            p: pv["year"] for p, pv in _delta_active_files(log, target).items()
+        }
 
     selects = []
     for v in (1, 2):
@@ -2371,8 +2395,10 @@ def lake_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     for label, source, ts_ms in _TT_PROBES:
         if source == "delta":
             resolved = LF.delta_version_at_timestamp(str(DELTA_DIR), ts_ms)
+            # resolve ONCE: timestamp= would re-derive the commit clock
+            # (glob + stat + first-line open per retained commit)
             df = LF.read_delta_snapshot(
-                spark, str(DELTA_DIR), timestamp=ts_ms
+                spark, str(DELTA_DIR), version=resolved
             )
         else:
             resolved = LF.iceberg_snapshot_at_timestamp(
@@ -2416,21 +2442,6 @@ def _lake_time_travel_oracle_sql() -> str:
         stamps[v] = ts
         prev = ts
 
-    def d_active(target: int) -> list[str]:
-        out: dict[str, bool] = {}
-        for v in versions:
-            if v > target:
-                break
-            for line in (log / f"{v:020d}.json").read_text().splitlines():
-                if not line.strip():
-                    continue
-                a = json.loads(line)
-                if "add" in a:
-                    out[a["add"]["path"]] = True
-                elif "remove" in a:
-                    out.pop(a["remove"]["path"], None)
-        return sorted(out)
-
     meta = _ICEBERG_METADATA
     selects = []
     for label, source, ts_ms in _TT_PROBES:
@@ -2438,40 +2449,20 @@ def _lake_time_travel_oracle_sql() -> str:
             resolved = max(v for v, t in stamps.items() if t <= ts_ms)
             rows = " UNION ALL ".join(
                 f"SELECT id FROM read_parquet('{(DELTA_DIR / p).as_posix()}')"
-                for p in d_active(resolved)
+                for p in sorted(_delta_active_files(log, resolved))
             )
         else:
-            snaps = sorted(meta["snapshots"], key=lambda s: s["timestamp-ms"])
+            # (ts, history index) tie-break — later entry wins, in
+            # lockstep with iceberg_snapshot_at_timestamp
             resolved = max(
-                (s for s in snaps if s["timestamp-ms"] <= ts_ms),
-                key=lambda s: s["timestamp-ms"],
-            )["snapshot-id"]
-            parts = []
-            for status, path, seq in _ICEBERG_SNAP_FILES[resolved]:
-                if status == 2:
-                    continue
-                f = (ICEBERG_DIR / path).as_posix()
-                conds = []
-                positions = []
-                for del_file, _dseq in _ICEBERG_POS_DELETES.get(resolved, []):
-                    positions += _ICEBERG_POS_DELETE_FILES[del_file].get(
-                        path, []
-                    )
-                if positions:
-                    ids = sorted(list(_ICEBERG_FILES[path][1]))
-                    conds.append(
-                        "id NOT IN ("
-                        + ", ".join(str(ids[p]) for p in positions)
-                        + ")"
-                    )
-                eq = _ICEBERG_EQ_DELETES.get(resolved)
-                if eq and seq < eq["seq"] and _ICEBERG_FILES[path][0]:
-                    for row in eq["values"]:
-                        for col, val in row.items():
-                            conds.append(f"{col} IS DISTINCT FROM '{val}'")
-                where = f" WHERE {' AND '.join(conds)}" if conds else ""
-                parts.append(f"SELECT id FROM read_parquet('{f}'){where}")
-            rows = " UNION ALL ".join(parts)
+                (int(s["timestamp-ms"]), i, s)
+                for i, s in enumerate(meta["snapshots"])
+                if int(s["timestamp-ms"]) <= ts_ms
+            )[2]["snapshot-id"]
+            rows = " UNION ALL ".join(
+                f"SELECT id FROM read_parquet('{f}'){where}"
+                for f, where, _hc in _iceberg_live_where(resolved)
+            )
         selects.append(
             f"SELECT '{source}' AS source, '{label}' AS probe, "
             f"CAST({resolved} AS BIGINT) AS resolved, "

@@ -391,10 +391,20 @@ def delta_commit_timestamps(table_path: str) -> dict[int, int]:
                 if ci is not None and ci.get("inCommitTimestamp") is not None:
                     ts = int(ci["inCommitTimestamp"])
                 break  # commitInfo, when present, is the first action
+        from_ict = ts is not None
         if ts is None:
             ts = os.stat(p).st_mtime_ns // 1_000_000
         if prev is not None and ts <= prev:
-            ts = prev + 1
+            if from_ict:
+                # the ICT feature GUARANTEES strict monotonicity — a
+                # regression is log corruption, not clock skew; gate
+                # like every other protocol violation (r8 ninth
+                # review: silently clamping resolved stale data)
+                raise LakeFormatGatedError(
+                    f"commit {v}'s inCommitTimestamp {ts} is not after "
+                    f"its predecessor's {prev} — corrupt commit clock"
+                )
+            ts = prev + 1  # mtime clock skew: documented adjustment
         out[v] = ts
         prev = ts
     return out
@@ -437,17 +447,22 @@ def delta_version_at_timestamp(table_path: str, ts) -> int:
 def iceberg_snapshot_at_timestamp(metadata_path: str, ts) -> int:
     """The snapshot an Iceberg reader pins for AS OF TIMESTAMP: the
     latest snapshot with timestamp-ms <= ts (metadata.json carries the
-    timestamps directly — no file-mtime fallback needed)."""
+    timestamps directly — no file-mtime fallback needed).  Same-ms
+    ties break toward the LATER history entry, matching the reference
+    reader's last-entry-wins rule (r8 ninth review: a bare max()
+    returned the FIRST maximal element)."""
     ts_ms = _to_epoch_ms(ts)
     meta = iceberg_metadata(metadata_path)
     eligible = [
-        s for s in meta.get("snapshots", []) if int(s["timestamp-ms"]) <= ts_ms
+        (int(s["timestamp-ms"]), i, s)
+        for i, s in enumerate(meta.get("snapshots", []))
+        if int(s["timestamp-ms"]) <= ts_ms
     ]
     if not eligible:
         raise LakeFormatGatedError(
             f"timestamp {ts_ms} predates every snapshot in {metadata_path}"
         )
-    return int(max(eligible, key=lambda s: int(s["timestamp-ms"]))["snapshot-id"])
+    return int(max(eligible)[2]["snapshot-id"])
 
 
 def delta_snapshot(table_path: str, version: int | None = None) -> dict:

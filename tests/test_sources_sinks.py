@@ -2550,9 +2550,8 @@ def test_delta_timestamp_travel_clock_rules(spark, tmp_path):
     # datetime probes: naive = UTC
     import datetime as dt
 
-    assert LF.delta_version_at_timestamp(
-        str(t), dt.datetime(1970, 2, 1)
-    ) == 0  # ~2.7e9 ms > 1e6, < 3e9 → wait: Feb 1 1970 = 2678400000 ms
+    # 1970-02-01 UTC = 2,678,400,000 ms: after v0 (1e6), before v1 (3e9)
+    assert LF.delta_version_at_timestamp(str(t), dt.datetime(1970, 2, 1)) == 0
 
     # Iceberg: before every snapshot gates
     from dbt_json_readr_spark.plans import lake as LP
