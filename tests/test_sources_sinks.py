@@ -2563,3 +2563,45 @@ def test_delta_timestamp_travel_clock_rules(spark, tmp_path):
         LF.iceberg_snapshot_at_timestamp(str(LP.ICEBERG_META), 1735646400000)
         == 1002
     )
+
+
+def test_delta_ict_regression_gates(tmp_path):
+    """A non-monotonic inCommitTimestamp is log corruption (the ICT
+    feature guarantees strict monotonicity) — gate, don't clamp."""
+    import json
+
+    import pytest
+
+    from dbt_json_readr_spark.sources import lakeformats as LF
+
+    t = tmp_path / "ict"
+    log = t / "_delta_log"
+    log.mkdir(parents=True)
+    md = {
+        "metaData": {
+            "id": "x",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(
+                {
+                    "type": "struct",
+                    "fields": [
+                        {"name": "id", "type": "long", "nullable": True, "metadata": {}}
+                    ],
+                }
+            ),
+            "partitionColumns": [],
+            "configuration": {},
+        }
+    }
+    c0 = [
+        {"commitInfo": {"inCommitTimestamp": 5000}},
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        md,
+    ]
+    c1 = [{"commitInfo": {"inCommitTimestamp": 4000}}]  # regressed
+    for v, actions in enumerate((c0, c1)):
+        (log / f"{v:020d}.json").write_text(
+            "\n".join(json.dumps(a) for a in actions) + "\n"
+        )
+    with pytest.raises(LF.LakeFormatGatedError, match="corrupt commit clock"):
+        LF.delta_commit_timestamps(str(t))
