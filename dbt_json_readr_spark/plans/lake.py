@@ -1311,7 +1311,7 @@ _ICEBERG_EQ_DELETES = {
 }
 
 
-def _delta_active_files(log: Path, target: int) -> dict[str, dict]:
+def _delta_active_files(log: Path, target: "int | None") -> dict[str, dict]:
     """Oracle-side stdlib replay of the active file set AS OF
     ``target``, with the protocol's SET semantics per commit (removes
     apply before adds, a same-commit re-add wins) — ONE replay rule
@@ -1320,6 +1320,8 @@ def _delta_active_files(log: Path, target: int) -> dict[str, dict]:
     remove+add)."""
     out: dict[str, dict] = {}
     versions = sorted(int(q.stem) for q in log.glob("*.json"))
+    if target is None:
+        target = versions[-1]
     for v in versions:
         if v > target:
             break
@@ -2392,11 +2394,14 @@ def lake_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_lake_fixtures()
     ensure_iceberg_manifests(spark)
     outs = []
+    # the commit clock derives ONCE for all probes (glob + stat +
+    # first-line open per retained commit, r8 tenth review)
+    stamps = LF.delta_commit_timestamps(str(DELTA_DIR))
     for label, source, ts_ms in _TT_PROBES:
         if source == "delta":
-            resolved = LF.delta_version_at_timestamp(str(DELTA_DIR), ts_ms)
-            # resolve ONCE: timestamp= would re-derive the commit clock
-            # (glob + stat + first-line open per retained commit)
+            resolved = LF.delta_version_at_timestamp(
+                str(DELTA_DIR), ts_ms, stamps=stamps
+            )
             df = LF.read_delta_snapshot(
                 spark, str(DELTA_DIR), version=resolved
             )

@@ -379,6 +379,7 @@ def delta_commit_timestamps(table_path: str) -> dict[int, int]:
     json_versions, _ck, _latest = _log_versions(log)
     out: dict[int, int] = {}
     prev = None
+    prev_from_ict = False
     for v in json_versions:
         p = log / f"{v:020d}.json"
         ts = None
@@ -395,18 +396,23 @@ def delta_commit_timestamps(table_path: str) -> dict[int, int]:
         if ts is None:
             ts = os.stat(p).st_mtime_ns // 1_000_000
         if prev is not None and ts <= prev:
-            if from_ict:
-                # the ICT feature GUARANTEES strict monotonicity — a
-                # regression is log corruption, not clock skew; gate
-                # like every other protocol violation (r8 ninth
-                # review: silently clamping resolved stale data)
+            if from_ict and prev_from_ict:
+                # the ICT feature GUARANTEES strict monotonicity AMONG
+                # ICT commits — a regression there is log corruption,
+                # not clock skew; gate like every other protocol
+                # violation.  Across the mtime/ICT boundary (feature
+                # enabled mid-history, or a restored log's skewed
+                # mtime preceding an honest ICT) the spec makes no
+                # ordering promise — clamp like any skewed clock
+                # (r8 tenth review: gating there failed valid tables).
                 raise LakeFormatGatedError(
                     f"commit {v}'s inCommitTimestamp {ts} is not after "
                     f"its predecessor's {prev} — corrupt commit clock"
                 )
-            ts = prev + 1  # mtime clock skew: documented adjustment
+            ts = prev + 1  # clock skew: documented adjustment
         out[v] = ts
         prev = ts
+        prev_from_ict = from_ict
     return out
 
 
@@ -421,14 +427,17 @@ def _to_epoch_ms(ts) -> int:
     return int(ts)
 
 
-def delta_version_at_timestamp(table_path: str, ts) -> int:
+def delta_version_at_timestamp(table_path: str, ts, stamps=None) -> int:
     """The version a Delta reader pins for AS OF TIMESTAMP ``ts``: the
     LATEST retained commit whose timestamp is <= ts.  A timestamp
     before the earliest retained commit gates loudly — either the
     table did not exist yet or that history was vacuumed; both are
-    unanswerable, never guessed."""
+    unanswerable, never guessed.  Callers resolving many probes pass a
+    precomputed ``delta_commit_timestamps`` map so the clock derives
+    once."""
     ts_ms = _to_epoch_ms(ts)
-    stamps = delta_commit_timestamps(table_path)
+    if stamps is None:
+        stamps = delta_commit_timestamps(table_path)
     if not stamps:
         raise LakeFormatGatedError(
             "no retained JSON commits — timestamp travel needs commit "
@@ -447,22 +456,33 @@ def delta_version_at_timestamp(table_path: str, ts) -> int:
 def iceberg_snapshot_at_timestamp(metadata_path: str, ts) -> int:
     """The snapshot an Iceberg reader pins for AS OF TIMESTAMP: the
     latest snapshot with timestamp-ms <= ts (metadata.json carries the
-    timestamps directly — no file-mtime fallback needed).  Same-ms
-    ties break toward the LATER history entry, matching the reference
-    reader's last-entry-wins rule (r8 ninth review: a bare max()
-    returned the FIRST maximal element)."""
+    timestamps directly — no file-mtime fallback needed).  Resolution
+    walks ``snapshot-log`` when present — the spec's COMMIT-ORDERED
+    history, the structure the reference reader consults — so same-ms
+    ties break toward the later COMMIT, not whatever order the
+    ``snapshots`` array was serialized in (r8 tenth review); metadata
+    without a snapshot-log falls back to the array with the same
+    last-entry-wins rule."""
     ts_ms = _to_epoch_ms(ts)
     meta = iceberg_metadata(metadata_path)
-    eligible = [
-        (int(s["timestamp-ms"]), i, s)
-        for i, s in enumerate(meta.get("snapshots", []))
-        if int(s["timestamp-ms"]) <= ts_ms
-    ]
+    slog = meta.get("snapshot-log") or []
+    if slog:
+        eligible = [
+            (int(e["timestamp-ms"]), i, int(e["snapshot-id"]))
+            for i, e in enumerate(slog)
+            if int(e["timestamp-ms"]) <= ts_ms
+        ]
+    else:
+        eligible = [
+            (int(s["timestamp-ms"]), i, int(s["snapshot-id"]))
+            for i, s in enumerate(meta.get("snapshots", []))
+            if int(s["timestamp-ms"]) <= ts_ms
+        ]
     if not eligible:
         raise LakeFormatGatedError(
             f"timestamp {ts_ms} predates every snapshot in {metadata_path}"
         )
-    return int(max(eligible)[2]["snapshot-id"])
+    return max(eligible)[2]
 
 
 def delta_snapshot(table_path: str, version: int | None = None) -> dict:

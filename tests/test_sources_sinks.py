@@ -2605,3 +2605,48 @@ def test_delta_ict_regression_gates(tmp_path):
         )
     with pytest.raises(LF.LakeFormatGatedError, match="corrupt commit clock"):
         LF.delta_commit_timestamps(str(t))
+
+
+def test_delta_ict_boundary_with_mtime_clamps_not_gates(tmp_path):
+    """Mixed clocks are spec-valid: an ICT commit whose timestamp sits
+    at-or-before a SKEWED mtime predecessor clamps forward (the spec
+    promises strict monotonicity only among ICT commits), while an
+    ICT-after-ICT regression still gates."""
+    import json
+    import os
+
+    from dbt_json_readr_spark.sources import lakeformats as LF
+
+    t = tmp_path / "mixed"
+    log = t / "_delta_log"
+    log.mkdir(parents=True)
+    md = {
+        "metaData": {
+            "id": "x",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(
+                {
+                    "type": "struct",
+                    "fields": [
+                        {"name": "id", "type": "long", "nullable": True, "metadata": {}}
+                    ],
+                }
+            ),
+            "partitionColumns": [],
+            "configuration": {},
+        }
+    }
+    c0 = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        md,
+    ]
+    c1 = [{"commitInfo": {"inCommitTimestamp": 4000}}]  # honest ICT
+    for v, actions in enumerate((c0, c1)):
+        (log / f"{v:020d}.json").write_text(
+            "\n".join(json.dumps(a) for a in actions) + "\n"
+        )
+    # v0's mtime far in the future (restored/copied log)
+    os.utime(log / f"{0:020d}.json", ns=(9_000_000_000_000_000,) * 2)
+    stamps = LF.delta_commit_timestamps(str(t))
+    assert stamps[0] == 9_000_000_000
+    assert stamps[1] == 9_000_000_001  # clamped, NOT gated
