@@ -1,0 +1,390 @@
+"""Write-path bridge keys (r8, SURVEY §2 F13–F16): the native Delta
+WRITER (sources/deltawriter.py) proven end-to-end through the
+INDEPENDENT read bridge, with pure-SQL oracles over the source tables.
+
+Each key derives a deterministic slice of a standard table, writes /
+mutates a Delta table with the writer under test, reads the result
+back through ``lakeformats.read_delta_snapshot`` (which never saw the
+writer's internals), and rolls it up.  The oracle recomputes the SAME
+rollup straight from the source parquet in DuckDB — the written table
+is never its own oracle — plus CLOSED-FORM physical-layout evidence
+(file counts from the colocate/maxRecordsPerFile contract, DV
+cardinalities from the delete predicate) so a layout regression fails
+the hash even when the data happens to round-trip.
+
+Tables build on demand under ``tests/fixtures/lake/_rt`` (gitignored),
+atomically, keyed on (version, sf_dir) — rebuilt only when stale, so
+bench steady-state measures the READ path."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import prep
+from ..sources import deltawriter as DW
+from ..sources import lakeformats as LF
+from ..sources.tables import load
+
+RT_ROOT = Path(__file__).resolve().parents[2] / "tests" / "fixtures" / "lake" / "_rt"
+_WVERSION = "1"
+
+# money convention (plans/tpch.py docstring): decimal-exact sums,
+# rendered double through a string round-trip on the DuckDB side
+
+
+def _dec(col: str) -> F.Column:
+    return F.col(col).cast("decimal(18,4)")
+
+
+_DSUM = "CAST(CAST(sum(CAST({c} AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)"
+
+
+def _rt_dir(name: str, sf_dir: str) -> Path:
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    return RT_ROOT / f"{name}-{tag}"
+
+
+def _ensure(name: str, sf_dir: str, build) -> Path:
+    """Idempotent atomic build: ``build(tmp_table_dir)`` authors the
+    table; a marker pins (writer version, sf_dir) so a stale or
+    foreign-sf build is replaced wholesale."""
+    root = _rt_dir(name, sf_dir)
+    marker = root / "_RT_READY"
+    want = f"{_WVERSION}\n{os.path.abspath(sf_dir)}"
+    try:
+        if marker.read_text() == want:
+            return root
+    except OSError:
+        pass
+    RT_ROOT.mkdir(parents=True, exist_ok=True)
+    tmp = root.with_name(f".{root.name}.tmp-{os.getpid()}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    tmp.mkdir(parents=True)
+    try:
+        build(str(tmp))
+        (tmp / "_RT_READY").write_text(want)
+        if root.exists():
+            old = root.with_name(root.name + f".old-{os.getpid()}")
+            os.replace(root, old)
+            os.replace(tmp, root)
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.replace(tmp, root)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return root
+
+
+# ---------------------------------------------------------------- F13
+
+
+def delta_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two appended commits (orders slices, partitioned by priority)
+    written by the native writer, read back AT BOTH VERSIONS through
+    the read bridge — per-priority rollups must equal SQL straight off
+    the source parquet, and the physical evidence must equal the
+    colocate contract's closed form: files_total(v) = Σ distinct
+    priorities per commit (one file per partition value per commit),
+    files_kept = files surviving a priority-equality predicate via the
+    writer's OWN footer-derived stats/partitionValues."""
+    prep(spark)
+    orders = load(spark, sf_dir, "orders")
+
+    def build(tbl: str) -> None:
+        a = orders.filter(F.col("o_orderkey") % 7 == 0)
+        b = orders.filter(F.col("o_orderkey") % 7 == 3)
+        DW.write_delta(spark, a, tbl, partition_by=["o_orderpriority"])
+        DW.write_delta(spark, b, tbl, partition_by=["o_orderpriority"])
+
+    tbl = str(_ensure("wrt_orders", sf_dir, build))
+    pred = [("o_orderpriority", "=", "1-URGENT")]
+    outs = []
+    for v in (0, 1):
+        snap = LF.delta_snapshot(tbl, version=v)
+        kept, _skipped = LF.prune_delta_files(snap, pred)
+        df = LF.read_delta_snapshot(spark, tbl, version=v)
+        outs.append(
+            df.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key"),
+            )
+            .select(
+                F.lit(v).cast("int").alias("snapshot_version"),
+                "*",
+                F.lit(len(snap["files"])).cast("int").alias("files_total"),
+                F.lit(len(kept)).cast("int").alias("files_kept_urgent"),
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
+def _delta_write_roundtrip_sql() -> str:
+    s = _DSUM.format(c="o_totalprice")
+    return f"""
+WITH a AS (SELECT * FROM orders WHERE o_orderkey % 7 = 0),
+b AS (SELECT * FROM orders WHERE o_orderkey % 7 = 3),
+versions AS (
+  SELECT 0 AS snapshot_version, * FROM a
+  UNION ALL SELECT 1, * FROM a
+  UNION ALL SELECT 1, * FROM b
+),
+fa AS (SELECT count(DISTINCT o_orderpriority) AS n,
+              count(DISTINCT CASE WHEN o_orderpriority = '1-URGENT'
+                                  THEN o_orderpriority END) AS u FROM a),
+fb AS (SELECT count(DISTINCT o_orderpriority) AS n,
+              count(DISTINCT CASE WHEN o_orderpriority = '1-URGENT'
+                                  THEN o_orderpriority END) AS u FROM b),
+files AS (
+  SELECT 0 AS v, (SELECT n FROM fa) AS files_total,
+         (SELECT u FROM fa) AS files_kept
+  UNION ALL
+  SELECT 1, (SELECT n FROM fa) + (SELECT n FROM fb),
+         (SELECT u FROM fa) + (SELECT u FROM fb)
+)
+SELECT
+  CAST(v.snapshot_version AS INTEGER) AS snapshot_version,
+  v.o_orderpriority,
+  count(*) AS n_rows,
+  {s} AS sum_price,
+  min(v.o_orderkey) AS min_key,
+  max(v.o_orderkey) AS max_key,
+  CAST(f.files_total AS INTEGER) AS files_total,
+  CAST(f.files_kept AS INTEGER) AS files_kept_urgent
+FROM versions v JOIN files f ON f.v = v.snapshot_version
+GROUP BY v.snapshot_version, v.o_orderpriority, f.files_total, f.files_kept
+"""
+
+
+# ---------------------------------------------------------------- F14
+
+
+def delta_delete_dv_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE WHERE c_acctbal < 0 executed as WRITTEN deletion vectors
+    (executor-encoded roaring bitmaps, protocol 3/7 upgrade), read back
+    through the bridge's DV anti-join.  Per-segment evidence is
+    closed-form from the predicate alone: a segment's single file
+    carries a DV iff it holds both deleted and surviving rows, with
+    cardinality = its deleted-row count; a fully-deleted file would
+    leave the table (and the rollup) entirely."""
+    prep(spark)
+    cust = load(spark, sf_dir, "customer")
+
+    def build(tbl: str) -> None:
+        DW.write_delta(spark, cust, tbl, partition_by=["c_mktsegment"])
+        DW.delete_delta(spark, tbl, [("c_acctbal", "<", 0.0)])
+
+    tbl = str(_ensure("wrt_cust_del", sf_dir, build))
+    snap = LF.delta_snapshot(tbl)
+    evidence = [
+        (
+            f["partitionValues"]["c_mktsegment"],
+            1 if f.get("deletionVector") else 0,
+            int((f.get("deletionVector") or {}).get("cardinality", 0)),
+        )
+        for f in snap["files"]
+    ]
+    ev = spark.createDataFrame(
+        evidence, "c_mktsegment string, has_dv int, dv_cardinality int"
+    )
+    df = LF.read_delta_snapshot(spark, tbl)
+    return (
+        df.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("sum_acctbal"),
+            F.min("c_custkey").alias("min_key"),
+            F.max("c_custkey").alias("max_key"),
+        )
+        .join(F.broadcast(ev), "c_mktsegment")
+        .select(
+            "c_mktsegment",
+            "n_rows",
+            "sum_acctbal",
+            "min_key",
+            "max_key",
+            "has_dv",
+            "dv_cardinality",
+        )
+    )
+
+
+def _delta_delete_dv_write_sql() -> str:
+    s = _DSUM.format(c="c_acctbal")
+    return f"""
+WITH per AS (
+  SELECT c_mktsegment,
+         count(*) FILTER (WHERE NOT (c_acctbal < 0)) AS n_surv,
+         count(*) FILTER (WHERE c_acctbal < 0) AS n_del
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT
+  c.c_mktsegment,
+  count(*) AS n_rows,
+  {s} AS sum_acctbal,
+  min(c.c_custkey) AS min_key,
+  max(c.c_custkey) AS max_key,
+  CAST(CASE WHEN p.n_del > 0 AND p.n_surv > 0 THEN 1 ELSE 0 END AS INTEGER)
+    AS has_dv,
+  CAST(CASE WHEN p.n_surv > 0 THEN p.n_del ELSE 0 END AS INTEGER)
+    AS dv_cardinality
+FROM customer c JOIN per p USING (c_mktsegment)
+WHERE NOT (c.c_acctbal < 0) AND p.n_surv > 0
+GROUP BY c.c_mktsegment, p.n_del, p.n_surv
+"""
+
+
+# ---------------------------------------------------------------- F15
+
+
+def delta_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (update-matched + insert-unmatched) through the
+    copy-on-write writer: updates bump matched orders' totalprice by
+    +100, inserts add a disjoint key slice.  The read-back rollup must
+    equal the SQL merge recomputed from source, and files_rewritten
+    must equal the closed form — the number of distinct priorities
+    holding a matched key (one file per priority at v0, and MERGE may
+    only rewrite files that contain a match)."""
+    prep(spark)
+    orders = load(spark, sf_dir, "orders")
+
+    def build(tbl: str) -> None:
+        base = orders.filter(F.col("o_orderkey") % 5 <= 2)
+        updates = base.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 100.0
+        )
+        inserts = orders.filter(F.col("o_orderkey") % 5 == 3)
+        DW.write_delta(spark, base, tbl, partition_by=["o_orderpriority"])
+        aud = DW.merge_delta(
+            spark, tbl, updates.unionByName(inserts), on=["o_orderkey"]
+        )
+        (Path(tbl) / "_RT_MERGE_AUDIT").write_text(str(aud["files_rewritten"]))
+
+    tbl = str(_ensure("wrt_orders_merge", sf_dir, build))
+    rewritten = int((Path(tbl) / "_RT_MERGE_AUDIT").read_text())
+    df = LF.read_delta_snapshot(spark, tbl)
+    return (
+        df.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .withColumn("files_rewritten", F.lit(rewritten).cast("int"))
+    )
+
+
+def _delta_merge_upsert_sql() -> str:
+    s = _DSUM.format(c="o_totalprice")
+    return f"""
+WITH base AS (SELECT * FROM orders WHERE o_orderkey % 5 <= 2),
+merged AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM base
+  UNION ALL
+  SELECT * FROM orders WHERE o_orderkey % 5 = 3
+),
+touched AS (
+  SELECT count(DISTINCT o_orderpriority) AS n FROM base
+  WHERE o_orderkey % 3 = 0
+)
+SELECT
+  o_orderpriority,
+  count(*) AS n_rows,
+  {s} AS sum_price,
+  min(o_orderkey) AS min_key,
+  max(o_orderkey) AS max_key,
+  CAST((SELECT n FROM touched) AS INTEGER) AS files_rewritten
+FROM merged
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------- F16
+
+
+def delta_optimize_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE over a deliberately fragmented table (maxRecordsPerFile
+    = 200 at write) — compaction must be INVISIBLE to the rollup
+    (dataChange=false, same rows) while the file counts move from the
+    write layout's closed form, ceil(rows/200) per returnflag, to one
+    file per flag."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+
+    def build(tbl: str) -> None:
+        frag = li.filter(F.col("l_orderkey") % 11 == 0)
+        DW.write_delta(
+            spark,
+            frag,
+            tbl,
+            partition_by=["l_returnflag"],
+            max_records_per_file=200,
+        )
+        DW.optimize_delta(spark, tbl)
+
+    tbl = str(_ensure("wrt_li_opt", sf_dir, build))
+    before = LF.delta_snapshot(tbl, version=0)["files"]
+    after = LF.delta_snapshot(tbl)["files"]
+    counts_before: dict[str, int] = {}
+    for f in before:
+        flag = f["partitionValues"]["l_returnflag"]
+        counts_before[flag] = counts_before.get(flag, 0) + 1
+    counts_after: dict[str, int] = {}
+    for f in after:
+        flag = f["partitionValues"]["l_returnflag"]
+        counts_after[flag] = counts_after.get(flag, 0) + 1
+    ev = spark.createDataFrame(
+        [
+            (flag, counts_before[flag], counts_after.get(flag, 0))
+            for flag in counts_before
+        ],
+        "l_returnflag string, files_before int, files_after int",
+    )
+    df = LF.read_delta_snapshot(spark, tbl)
+    return (
+        df.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+        )
+        .join(F.broadcast(ev), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_rows",
+            "sum_qty",
+            "sum_price",
+            "files_before",
+            "files_after",
+        )
+    )
+
+
+def _delta_optimize_compact_sql() -> str:
+    sq = _DSUM.format(c="l_quantity")
+    sp = _DSUM.format(c="l_extendedprice")
+    return f"""
+WITH frag AS (SELECT * FROM lineitem WHERE l_orderkey % 11 = 0)
+SELECT
+  l_returnflag,
+  count(*) AS n_rows,
+  {sq} AS sum_qty,
+  {sp} AS sum_price,
+  CAST(CEIL(count(*) / 200.0) AS INTEGER) AS files_before,
+  CAST(1 AS INTEGER) AS files_after
+FROM frag
+GROUP BY l_returnflag
+"""

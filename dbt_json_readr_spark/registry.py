@@ -12,7 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import oracles
-from .plans import dbt, events, lake, llm, tpch
+from .plans import dbt, events, lake, lakewrite, llm, tpch
 from .streaming import jobs as streaming_jobs
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -370,6 +370,29 @@ register(
     lake.lake_time_travel_read,
     lake._lake_time_travel_oracle_sql,
 )
+# F13–F16: the native Delta WRITE path (r8) — transactional appends,
+# DV-backed DELETE, copy-on-write MERGE, OPTIMIZE compaction, each
+# proven through the independent read bridge with pure-SQL oracles
+register(
+    "delta_write_roundtrip",
+    lakewrite.delta_write_roundtrip,
+    lakewrite._delta_write_roundtrip_sql,
+)
+register(
+    "delta_delete_dv_write",
+    lakewrite.delta_delete_dv_write,
+    lakewrite._delta_delete_dv_write_sql,
+)
+register(
+    "delta_merge_upsert",
+    lakewrite.delta_merge_upsert,
+    lakewrite._delta_merge_upsert_sql,
+)
+register(
+    "delta_optimize_compact",
+    lakewrite.delta_optimize_compact,
+    lakewrite._delta_optimize_compact_sql,
+)
 register(
     "streaming_delta_commits",
     streaming_jobs.streaming_delta_commits,
@@ -430,6 +453,10 @@ _NEW_R8 = [
     "delta_cdf_mapped_read",
     "iceberg_manifest_prune_audit",
     "lake_time_travel_read",
+    "delta_write_roundtrip",
+    "delta_delete_dv_write",
+    "delta_merge_upsert",
+    "delta_optimize_compact",
 ]
 
 # Newest driver row is r4; ordered most load-bearing first (flagship

@@ -1,0 +1,1317 @@
+"""Native Delta Lake WRITE path (r8): transactional commit authoring
+over Spark-written parquet — no delta-spark jars.
+
+The read bridge (``lakeformats.py``) replays ``_delta_log`` JSON into
+exact file lists; this module is its inverse: Spark writes the DATA
+(distributed, columnar, the only part that scales with rows) and the
+driver authors the METADATA (commit JSON, per-file stats, deletion
+vectors, checkpoints — O(#files), the same driver-side posture as the
+reader).  Every byte of table state this module emits is consumed by
+``lakeformats.read_delta_snapshot`` / ``skipping.delta_file_matches``
+and by any spec-conformant Delta reader:
+
+- commits are hard-link-exclusive (PUT-if-absent, the protocol's
+  requirement for the log store) so two concurrent writers cannot both
+  win a version — the loser raises ``DeltaConcurrentCommitError`` and
+  its staged files are orphans (vacuum-able), never corruption;
+- every ``add`` carries ``stats`` JSON (numRecords / minValues /
+  maxValues / nullCount) read from the parquet FOOTERS pyarrow already
+  has open — so tables written here are file-skippable from day one;
+- ``delete_delta`` encodes deletion vectors EXECUTOR-side (the
+  positions stream through ``applyInPandas`` into per-file roaring
+  bitmaps; the driver only handles O(#files) opaque blobs) and commits
+  the protocol-3/7 ``deletionVectors`` feature upgrade;
+- ``merge_delta`` rewrites ONLY the files that contain a matched key
+  (file-pruned copy-on-write, the standard MERGE physical plan);
+- ``optimize_delta`` bin-packs each partition to one file and applies
+  outstanding DVs physically (``dataChange: false``);
+- ``write_delta_checkpoint`` materializes the replay state as the
+  spec's checkpoint parquet + ``_last_checkpoint`` so readers seed
+  from O(#files) parquet instead of replaying every JSON commit.
+
+Reference anchor: the reference tool (explore.R) reads engine-written
+artifact JSON; this module is the artifact-WRITING half an engine
+needs once it owns the table format end to end.
+
+Scale notes (100 TB posture): data never round-trips the driver — the
+staging write is a plain distributed ``df.write.parquet``; stats come
+from footer reads (O(#files) random reads of ~KB footers, the same
+cost every Delta writer pays); DV encode is distributed with the
+driver seeing only encoded blobs; MERGE's touched-file discovery is a
+key-cardinality semi-join, not a table rewrite.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import hashlib
+import json
+import os
+import shutil
+import time
+import uuid as _uuid
+from decimal import Decimal
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import lakeformats as LF
+from . import roaring
+
+__all__ = [
+    "DeltaConcurrentCommitError",
+    "write_delta",
+    "delete_delta",
+    "merge_delta",
+    "optimize_delta",
+    "write_delta_checkpoint",
+    "last_txn_version",
+]
+
+
+class DeltaConcurrentCommitError(LF.LakeFormatError):
+    """Another writer committed this version first — re-read the
+    snapshot and retry (optimistic concurrency, PROTOCOL.md)."""
+
+
+# stats are only emitted for values the reader's ``skipping._coerce``
+# round-trips exactly; longer strings are omitted (conservative: a
+# missing stat keeps the file) rather than truncated, because a
+# truncated max that is not carefully incremented UNDER-covers the file
+_STATS_MAX_STR = 256
+
+# partition values that survive a ``col=value`` path segment and the
+# reader's partitionValues parse without escaping; anything else gates
+_PATH_SAFE = set(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-_. "
+)
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _now_ms() -> int:
+    return int(time.time() * 1000)
+
+
+# ------------------------------------------------------------------
+# commit plumbing
+# ------------------------------------------------------------------
+
+
+def _table_version(table_path: str) -> int | None:
+    """Latest version, or None when the directory holds no Delta log."""
+    log = Path(table_path) / "_delta_log"
+    if not log.is_dir():
+        return None
+    try:
+        _versions, _ck, latest = LF._log_versions(log)
+    except LF.LakeFormatError:
+        return None  # directory exists but holds no log artifacts
+    return latest
+
+
+def _commit(table_path: str, version: int, actions: list[dict]) -> None:
+    """PUT-if-absent commit: the JSON file is staged then HARD-LINKED
+    to its final name — ``link`` fails with EEXIST when another writer
+    already owns the version, which is the protocol's required
+    put-if-absent primitive on a POSIX filesystem."""
+    log = Path(table_path) / "_delta_log"
+    log.mkdir(parents=True, exist_ok=True)
+    final = log / f"{version:020d}.json"
+    tmp = log / f".{version:020d}.json.tmp-{os.getpid()}-{id(actions)}"
+    tmp.write_text(
+        "\n".join(json.dumps(a, separators=(",", ":")) for a in actions) + "\n"
+    )
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise DeltaConcurrentCommitError(
+            f"version {version} of {table_path} was committed concurrently "
+            "— re-read the snapshot and retry"
+        ) from None
+    finally:
+        tmp.unlink(missing_ok=True)
+
+
+def _schema_fingerprint(schema: T.StructType) -> str:
+    return json.dumps(schema.jsonValue(), sort_keys=True)
+
+
+def _commit_info(operation: str, params: dict | None = None) -> dict:
+    return {
+        "commitInfo": {
+            "timestamp": _now_ms(),
+            "operation": operation,
+            "operationParameters": {
+                k: json.dumps(v) if not isinstance(v, str) else v
+                for k, v in (params or {}).items()
+            },
+            "engineInfo": "dbt-json-readr-spark",
+        }
+    }
+
+
+def _all_txns(table_path: str) -> dict[str, int]:
+    """appId → highest committed ``txn.version`` across the retained
+    JSON commits AND the seeding checkpoint's txn rows — so log
+    cleanup cannot resurrect a replayed batch."""
+    log = Path(table_path) / "_delta_log"
+    out: dict[str, int] = {}
+    if not log.is_dir():
+        return out
+    try:
+        json_versions, ck_version, _latest = LF._log_versions(log)
+    except LF.LakeFormatError:
+        return out
+    if ck_version is not None:
+        import pyarrow.parquet as pq
+
+        parts = json.loads((log / "_last_checkpoint").read_text()).get("parts")
+        if parts:
+            paths = [
+                log
+                / f"{ck_version:020d}.checkpoint.{i + 1:010d}.{parts:010d}.parquet"
+                for i in range(parts)
+            ]
+        else:
+            paths = [log / f"{ck_version:020d}.checkpoint.parquet"]
+        for p in paths:
+            if not p.exists():
+                continue
+            tbl = pq.read_table(str(p))
+            if "txn" not in tbl.column_names:
+                continue
+            for row in tbl.column("txn").to_pylist():
+                if row and row.get("appId") is not None:
+                    app = str(row["appId"])
+                    v = int(row["version"])
+                    out[app] = max(out.get(app, v), v)
+    for v in json_versions:
+        with open(log / f"{v:020d}.json") as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                txn = action.get("txn")
+                if txn:
+                    app = str(txn["appId"])
+                    tv = int(txn["version"])
+                    out[app] = max(out.get(app, tv), tv)
+    return out
+
+
+def last_txn_version(table_path: str, app_id: str) -> int | None:
+    """Highest ``txn.version`` committed for ``app_id`` — the
+    idempotent-append primitive (a streaming sink skips a batch whose
+    txn version it already committed)."""
+    return _all_txns(table_path).get(app_id)
+
+
+# ------------------------------------------------------------------
+# staging write + footer stats
+# ------------------------------------------------------------------
+
+
+def _unescape_hive(s: str) -> str:
+    """Spark's ``escapePathName`` inverse: %XX char escapes."""
+    out: list[str] = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "%" and i + 3 <= len(s):
+            try:
+                out.append(chr(int(s[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _stat_json_value(v):
+    """A footer stat as the JSON value ``skipping._coerce`` reads back
+    exactly; None = not representable (omit the stat, keep the file)."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, int):
+        return v
+    if isinstance(v, float):
+        if v != v or v in (float("inf"), float("-inf")):
+            return None
+        return v
+    if isinstance(v, Decimal):
+        return str(v)
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            # offset-bearing instant — unambiguous for tz columns
+            return v.astimezone(_dt.timezone.utc).isoformat()
+        return v.isoformat()  # NTZ: naive wall time
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, str):
+        if len(v) > _STATS_MAX_STR:
+            return None
+        return v
+    return None  # bytes / nested — never emit
+
+
+def _footer_stats(path: str, data_cols: list[str]) -> tuple[str, int]:
+    """(add.stats JSON string, numRecords) from the parquet footer —
+    one ~KB metadata read per file, no data pages touched."""
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(path).metadata
+    nrows = meta.num_rows
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    wanted = set(data_cols)
+    # column order is identical across row groups; walk by index
+    for ci in range(meta.num_columns):
+        col0 = meta.row_group(0).column(ci) if meta.num_row_groups else None
+        if col0 is None:
+            continue
+        name = col0.path_in_schema
+        if name not in wanted:
+            continue  # nested leaves carry dotted paths — skip
+        lo = hi = None
+        nc = 0
+        ok_bounds = True
+        ok_nulls = True
+        for gi in range(meta.num_row_groups):
+            cm = meta.row_group(gi).column(ci)
+            st = cm.statistics
+            if st is None:
+                ok_bounds = ok_nulls = False
+                break
+            if st.null_count is None:
+                ok_nulls = False
+            else:
+                nc += st.null_count
+            if not st.has_min_max:
+                # bounds missing: fine ONLY if the group is all-null
+                # (its values add nothing to min/max); otherwise the
+                # file's true range is unknown — omit, keep the file
+                nonnull = cm.num_values - (st.null_count or 0)
+                if nonnull:
+                    ok_bounds = False
+                continue
+            try:
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            except TypeError:
+                ok_bounds = False
+                break
+        if ok_nulls:
+            nulls[name] = nc
+        if ok_bounds and lo is not None:
+            jlo, jhi = _stat_json_value(lo), _stat_json_value(hi)
+            if jlo is not None and jhi is not None:
+                mins[name] = jlo
+                maxs[name] = jhi
+    stats = {
+        "numRecords": nrows,
+        "minValues": mins,
+        "maxValues": maxs,
+        "nullCount": nulls,
+    }
+    return json.dumps(stats, separators=(",", ":")), nrows
+
+
+def _stage_and_collect(
+    spark: SparkSession,
+    df: DataFrame,
+    table_path: str,
+    partition_by: list[str],
+    version: int,
+    max_records_per_file: int | None,
+    colocate: bool,
+) -> tuple[list[dict], int]:
+    """Spark-write ``df`` into a staging dir, move the parquet files to
+    their final names under the table root, and return (add actions,
+    total rows).  ``colocate`` repartitions by the partition columns so
+    every partition value lands in exactly ONE task → one file per
+    value per ``max_records_per_file`` window (deterministic layout,
+    the property the audit oracles count on).  A caller that already
+    partitioned its DataFrame passes colocate=False and keeps its own
+    layout."""
+    stage = Path(table_path) / f"_staging-{os.getpid()}-{version}"
+    if stage.exists():
+        shutil.rmtree(stage)
+    out = df
+    if partition_by and colocate:
+        out = out.repartition(*[F.col(c) for c in partition_by])
+    w = out.write.mode("overwrite")
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    # Spark's default INT96 timestamps are a deprecated parquet type
+    # with no trustworthy footer statistics — written tables would lose
+    # timestamp file-skipping entirely; Delta writes TIMESTAMP_MICROS
+    ts_key = "spark.sql.parquet.outputTimestampType"
+    prev_ts = spark.conf.get(ts_key, None)
+    spark.conf.set(ts_key, "TIMESTAMP_MICROS")
+    try:
+        w.parquet(str(stage))
+    finally:
+        if prev_ts is None:
+            spark.conf.unset(ts_key)
+        else:
+            spark.conf.set(ts_key, prev_ts)
+
+    data_cols = [c for c in df.columns if c not in partition_by]
+    adds: list[dict] = []
+    total_rows = 0
+    staged: list[tuple[str, Path]] = []  # (rel partition dir, file)
+    for p in sorted(stage.rglob("*.parquet")):
+        rel_dir = p.parent.relative_to(stage).as_posix()
+        staged.append(("" if rel_dir == "." else rel_dir, p))
+    staged.sort(key=lambda t: (t[0], t[1].name))
+    for idx, (rel_dir, p) in enumerate(staged):
+        pv: dict[str, str | None] = {}
+        if rel_dir:
+            for seg in rel_dir.split("/"):
+                col, _, raw = seg.partition("=")
+                pv[col] = None if raw == _HIVE_NULL else _unescape_hive(raw)
+        missing = [c for c in partition_by if c not in pv]
+        if missing:
+            raise LF.LakeFormatError(
+                f"staged file {p} lacks partition dirs for {missing}"
+            )
+        stats, nrows = _footer_stats(str(p), data_cols)
+        total_rows += nrows
+        with open(p, "rb") as f:
+            head = f.read(1 << 16)
+        tag = hashlib.sha256(
+            head + f"{version}:{idx}".encode()
+        ).hexdigest()[:8]
+        fname = f"part-{version:05d}-{idx:04d}-{tag}.parquet"
+        rel_path = f"{rel_dir}/{fname}" if rel_dir else fname
+        dest = Path(table_path) / rel_path
+        dest.parent.mkdir(parents=True, exist_ok=True)
+        os.replace(p, dest)
+        adds.append(
+            {
+                "path": rel_path,
+                "partitionValues": pv,
+                "size": dest.stat().st_size,
+                "modificationTime": dest.stat().st_mtime_ns // 1_000_000,
+                "dataChange": True,
+                "stats": stats,
+            }
+        )
+    shutil.rmtree(stage, ignore_errors=True)
+    return adds, total_rows
+
+
+def _validate_partition_types(schema: T.StructType, partition_by: list[str]):
+    for c in partition_by:
+        if c not in schema.fieldNames():
+            raise LF.LakeFormatError(f"partition column {c!r} not in schema")
+        dt = schema[c].dataType
+        if not isinstance(
+            dt,
+            (
+                T.StringType,
+                T.IntegerType,
+                T.LongType,
+                T.ShortType,
+                T.ByteType,
+                T.DateType,
+                T.BooleanType,
+            ),
+        ):
+            raise LF.LakeFormatGatedError(
+                f"partition column {c!r} has type {dt.simpleString()} — "
+                "this writer partitions on string/integral/date/boolean "
+                "columns only (their path form round-trips exactly)"
+            )
+
+
+def _check_path_safe_partitions(adds: list[dict]) -> None:
+    for a in adds:
+        for col, val in a["partitionValues"].items():
+            if val is not None and not set(val) <= _PATH_SAFE:
+                raise LF.LakeFormatGatedError(
+                    f"partition value {val!r} for column {col!r} needs "
+                    "path escaping — write with a sanitized partition "
+                    "column (escaping round-trip not implemented)"
+                )
+
+
+# ------------------------------------------------------------------
+# write (append / overwrite / replaceWhere)
+# ------------------------------------------------------------------
+
+
+def write_delta(
+    spark: SparkSession,
+    df: DataFrame,
+    table_path: str,
+    *,
+    mode: str = "append",
+    partition_by: list[str] | tuple[str, ...] = (),
+    max_records_per_file: int | None = None,
+    colocate: bool = True,
+    replace_where: list | None = None,
+    configuration: dict[str, str] | None = None,
+    txn: tuple[str, int] | None = None,
+    data_change: bool = True,
+) -> dict:
+    """Write ``df`` as a Delta commit.  Returns an audit dict
+    {"version", "files_added", "files_removed", "rows_written"}.
+
+    - ``mode="append"``: add files (schema must match the table's).
+    - ``mode="overwrite"``: remove every live file, add the new ones.
+    - ``replace_where`` (with mode="overwrite"): a conjunction of
+      ``(partition_column, op, value)`` terms — only live files whose
+      partitionValues PROVABLY satisfy every term are replaced, and
+      every incoming file must satisfy them too (the classic
+      partition-overwrite contract).  Terms on non-partition columns
+      gate: row-level replaceWhere would silently drop rows this
+      writer never scanned.
+    - ``txn=(app_id, version)``: records an idempotent-append marker;
+      use ``last_txn_version`` to skip replayed batches.
+    """
+    from . import skipping
+
+    partition_by = list(partition_by)
+    if mode not in ("append", "overwrite"):
+        raise LF.LakeFormatError(f"unsupported write mode {mode!r}")
+    if replace_where is not None and mode != "overwrite":
+        raise LF.LakeFormatError("replace_where requires mode='overwrite'")
+    schema = df.schema
+    _validate_partition_types(schema, partition_by)
+
+    latest = _table_version(table_path)
+    removes: list[dict] = []
+    actions: list[dict] = [
+        _commit_info(
+            "WRITE",
+            {"mode": mode.upper(), "partitionBy": partition_by},
+        )
+    ]
+    if latest is None:
+        version = 0
+        actions.append(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        )
+        actions.append(
+            {
+                "metaData": {
+                    "id": str(
+                        _uuid.UUID(
+                            bytes=hashlib.sha256(
+                                os.path.abspath(table_path).encode()
+                            ).digest()[:16]
+                        )
+                    ),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(schema.jsonValue()),
+                    "partitionColumns": partition_by,
+                    "configuration": dict(configuration or {}),
+                    "createdTime": _now_ms(),
+                }
+            }
+        )
+    else:
+        snap = LF.delta_snapshot(table_path)
+        version = latest + 1
+        if snap["column_mapping_mode"] != "none":
+            raise LF.LakeFormatGatedError(
+                "writing to a column-mapped table is not implemented — "
+                "the writer would have to emit PHYSICAL column names"
+            )
+        if _schema_fingerprint(snap["schema"]) != _schema_fingerprint(schema):
+            raise LF.LakeFormatGatedError(
+                "incoming schema differs from the table schema — schema "
+                "evolution is not implemented; align the DataFrame "
+                f"(table: {snap['schema'].simpleString()}, "
+                f"incoming: {schema.simpleString()})"
+            )
+        if partition_by != snap["partition_columns"]:
+            raise LF.LakeFormatError(
+                f"partition_by {partition_by} != table partitioning "
+                f"{snap['partition_columns']}"
+            )
+        if mode == "overwrite":
+            victims = snap["files"]
+            if replace_where is not None:
+                pcols = set(snap["partition_columns"])
+                bad = [t for t in replace_where if t[0] not in pcols]
+                if bad:
+                    raise LF.LakeFormatGatedError(
+                        f"replace_where terms on non-partition columns {bad} "
+                        "— only partition-predicate overwrite is supported"
+                    )
+                skipping.validate_predicate(
+                    replace_where, [f.name for f in snap["schema"].fields]
+                )
+                dtypes = skipping.dtype_map(snap["schema"])
+                victims = [
+                    f
+                    for f in snap["files"]
+                    if _pv_satisfies(
+                        f,
+                        snap["partition_columns"],
+                        replace_where,
+                        dtypes,
+                        skipping,
+                    )
+                ]
+            now = _now_ms()
+            removes = [
+                {
+                    "remove": {
+                        "path": f["path"],
+                        "deletionTimestamp": now,
+                        "dataChange": True,
+                        "partitionValues": f["partitionValues"],
+                    }
+                }
+                for f in victims
+            ]
+
+    adds, rows = _stage_and_collect(
+        spark, df, table_path, partition_by, version,
+        max_records_per_file, colocate,
+    )
+    _check_path_safe_partitions(adds)
+    if replace_where is not None and adds:
+        dtypes = skipping.dtype_map(schema)
+        for a in adds:
+            if not _pv_satisfies(
+                {"partitionValues": a["partitionValues"]},
+                partition_by,
+                replace_where,
+                dtypes,
+                skipping,
+            ):
+                raise LF.LakeFormatError(
+                    f"replace_where violation: staged file {a['path']} has "
+                    f"partitionValues {a['partitionValues']} outside the "
+                    "replaced predicate — refusing a lossy overwrite"
+                )
+    if txn is not None:
+        actions.append(
+            {
+                "txn": {
+                    "appId": str(txn[0]),
+                    "version": int(txn[1]),
+                    "lastUpdated": _now_ms(),
+                }
+            }
+        )
+    actions.extend(removes)
+    for a in adds:
+        if not data_change:
+            a = dict(a, dataChange=False)
+        actions.append({"add": a})
+    _commit(table_path, version, actions)
+    return {
+        "version": version,
+        "files_added": len(adds),
+        "files_removed": len(removes),
+        "rows_written": rows,
+    }
+
+
+def _pv_satisfies(f: dict, pcols: list[str], predicate, dtypes, skipping) -> bool:
+    """True iff the file's partitionValues satisfy EVERY term, decided
+    EXACTLY (a partition column is one literal per file, so per-file
+    might-match and all-rows-match coincide) — and loudly when they
+    cannot be decided (an un-coercible stored value would otherwise be
+    kept 'conservatively', which for OVERWRITE victims means silently
+    deleting rows the predicate never named)."""
+    pv = f.get("partitionValues") or {}
+    for col, op, value in predicate:
+        raw = pv.get(col)
+        if raw is None:
+            if op == "is_null":
+                continue
+            return False  # null partition value: no comparison matches
+        actual = skipping._coerce(dtypes[col], raw)
+        if actual is None:
+            raise LF.LakeFormatGatedError(
+                f"partitionValues[{col!r}] = {raw!r} does not coerce to "
+                f"{dtypes[col].simpleString()} — cannot decide the "
+                "replace_where predicate exactly; refusing to overwrite"
+            )
+        try:
+            if op == "=":
+                ok = actual == value
+            elif op == "<":
+                ok = actual < value
+            elif op == "<=":
+                ok = actual <= value
+            elif op == ">":
+                ok = actual > value
+            elif op == ">=":
+                ok = actual >= value
+            elif op == "in":
+                ok = actual in set(value)
+            elif op == "is_null":
+                ok = False
+            elif op == "is_not_null":
+                ok = True
+            else:
+                raise LF.LakeFormatError(f"unknown op {op!r}")
+        except TypeError as e:
+            raise LF.LakeFormatGatedError(
+                f"replace_where term ({col!r}, {op!r}, {value!r}) is not "
+                f"comparable against stored value {actual!r}: {e}"
+            ) from e
+        if not ok:
+            return False
+    return True
+
+
+# ------------------------------------------------------------------
+# internal DV-aware scan with file identity
+# ------------------------------------------------------------------
+
+
+def _scan_with_fp(
+    spark: SparkSession, table_path: str, snap: dict, files: list[dict]
+) -> DataFrame:
+    """``files`` (a subset of the snapshot's live set) as a DataFrame
+    with every table column plus ``__fp`` (absolute file path) and
+    ``__pos`` (row index within the file), existing deletion vectors
+    already applied.  Column-mapped tables gate (the write path does
+    not author them)."""
+    if snap["column_mapping_mode"] != "none":
+        raise LF.LakeFormatGatedError(
+            "write-path scans do not support column-mapped tables"
+        )
+    schema: T.StructType = snap["schema"]
+    pcols = snap["partition_columns"]
+    data_fields = [f for f in schema.fields if f.name not in pcols]
+    read_schema = T.StructType(data_fields)
+    groups: dict[tuple, list[tuple[str, dict]]] = {}
+    for f in files:
+        ap = os.path.abspath(os.path.join(table_path, f["path"]))
+        pkey = tuple(f["partitionValues"].get(c) for c in pcols)
+        groups.setdefault(pkey, []).append((ap, f))
+    out_names = [f.name for f in schema.fields] + ["__fp", "__pos"]
+    parts = []
+    # keys join against _metadata.file_path → ENCODED rendering
+    dv_positions: dict[str, list[int]] = {}
+    for pkey, members in sorted(
+        groups.items(), key=lambda kv: tuple((v is None, v) for v in kv[0])
+    ):
+        paths = [ap for ap, _f in members]
+        for ap, f in members:
+            dv = f.get("deletionVector")
+            if dv:
+                dv_positions[LF._uri_path(ap)] = LF._dv_positions(
+                    table_path, dv
+                )
+        part = (
+            spark.read.schema(read_schema)
+            .parquet(*paths)
+            .select(
+                *[F.col(f.name) for f in data_fields],
+                LF._norm_uri(F.col("_metadata.file_path")).alias("__fp"),
+                F.col("_metadata.row_index").alias("__pos"),
+            )
+        )
+        for c, val in zip(pcols, pkey):
+            part = part.withColumn(c, F.lit(val).cast(schema[c].dataType))
+        parts.append(part.select(*out_names))
+    if not parts:
+        empty = T.StructType(
+            schema.fields
+            + [
+                T.StructField("__fp", T.StringType()),
+                T.StructField("__pos", T.LongType()),
+            ]
+        )
+        return spark.createDataFrame([], empty)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    if dv_positions:
+        rows = [
+            (fp, pos) for fp, positions in dv_positions.items()
+            for pos in positions
+        ]
+        dels = spark.createDataFrame(rows, "__dfp string, __dpos long")
+        out = out.join(
+            F.broadcast(dels),
+            (out["__fp"] == dels["__dfp"]) & (out["__pos"] == dels["__dpos"]),
+            "left_anti",
+        )
+    return out
+
+
+# ------------------------------------------------------------------
+# DELETE via deletion vectors
+# ------------------------------------------------------------------
+
+_DV_PROTOCOL = {
+    "protocol": {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["deletionVectors"],
+        "writerFeatures": ["deletionVectors"],
+    }
+}
+
+# blobs at or under this size inline into the log ('i' storage) —
+# the same small-DV shortcut production writers take
+_DV_INLINE_MAX = 64
+
+
+def delete_delta(
+    spark: SparkSession, table_path: str, predicate: list
+) -> dict:
+    """DELETE FROM ``table_path`` WHERE ``predicate`` (a conjunction of
+    ``(column, op, value)`` terms — the same grammar the read-side
+    skipping takes), implemented the modern way: deletion VECTORS, not
+    file rewrites.
+
+    Physical plan: stats/partition pruning picks candidate files (a
+    file the predicate provably misses is never scanned); candidates
+    scan WITH ``_metadata.row_index``; matching positions aggregate
+    executor-side into per-file roaring bitmaps (``applyInPandas`` —
+    the driver only ever sees O(#files) encoded blobs); files whose
+    every live row matched become plain removes; the rest re-add with
+    a DV descriptor (merged with any existing DV, since a new DV
+    REPLACES the old one wholesale per the protocol)."""
+    from . import skipping
+
+    snap = LF.delta_snapshot(table_path)
+    if snap["column_mapping_mode"] != "none":
+        raise LF.LakeFormatGatedError(
+            "DELETE on column-mapped tables is not implemented"
+        )
+    skipping.validate_predicate(
+        predicate, [f.name for f in snap["schema"].fields]
+    )
+    candidates, _skipped = LF.prune_delta_files(snap, predicate)
+    audit = {
+        "files_total": len(snap["files"]),
+        "files_scanned": len(candidates),
+        "files_removed": 0,
+        "files_rewritten_dv": 0,
+        "rows_deleted": 0,
+        "version": None,
+    }
+    if not candidates:
+        return audit  # nothing can match: no commit, delete is a no-op
+
+    scan = _scan_with_fp(spark, table_path, snap, candidates)
+    matched = scan.filter(skipping.predicate_column(predicate)).select(
+        "__fp", "__pos"
+    )
+
+    # existing DVs must fold into the replacement DV (the protocol
+    # replaces, never merges); ship the old positions into the task
+    old_positions: dict[str, list[int]] = {}
+    by_abs: dict[str, dict] = {}  # ENCODED __fp rendering → file dict
+    for f in candidates:
+        enc = LF._uri_path(os.path.abspath(os.path.join(table_path, f["path"])))
+        by_abs[enc] = f
+        dv = f.get("deletionVector")
+        if dv:
+            old_positions[enc] = LF._dv_positions(table_path, dv)
+    sc_old = spark.sparkContext.broadcast(old_positions)
+
+    def _encode_group(_key, pdf):
+        # one group = one file; positions → roaring bitmap blob,
+        # encoded IN the task — the driver only sees the opaque bytes
+        import pandas as _pd
+
+        from dbt_json_readr_spark.sources import roaring as _r
+
+        fp = pdf["__fp"].iloc[0]
+        prior = set(sc_old.value.get(fp, []))
+        new = set(int(p) for p in pdf["__pos"].tolist())
+        positions = sorted(prior | new)
+        blob = _r.encode_dv_blob(positions)
+        return _pd.DataFrame(
+            {
+                "fp": [fp],
+                "blob": [blob],
+                "cardinality": [len(positions)],
+                "new_deletes": [len(new - prior)],
+            }
+        )
+
+    enc_schema = (
+        "fp string, blob binary, cardinality long, new_deletes long"
+    )
+    encoded = (
+        matched.groupBy("__fp")
+        .applyInPandas(_encode_group, enc_schema)
+        .collect()
+    )
+    if not encoded:
+        return audit
+
+    now = _now_ms()
+    actions: list[dict] = [
+        _commit_info("DELETE", {"predicate": repr(predicate)})
+    ]
+    if not _protocol_has_dv(table_path):
+        actions.append(_DV_PROTOCOL)
+
+    rewrites: list[tuple[dict, bytes, int]] = []  # (file, blob, card)
+    for row in sorted(encoded, key=lambda r: r["fp"]):
+        f = by_abs[row["fp"]]
+        nrec = _physical_rows(table_path, f)
+        audit["rows_deleted"] += int(row["new_deletes"])
+        if nrec is not None and int(row["cardinality"]) >= nrec:
+            # every physical row deleted: the file leaves the table
+            # whole — no point carrying a full-coverage DV
+            actions.append(
+                {
+                    "remove": {
+                        "path": f["path"],
+                        "deletionTimestamp": now,
+                        "dataChange": True,
+                        "partitionValues": f["partitionValues"],
+                    }
+                }
+            )
+            audit["files_removed"] += 1
+        else:
+            rewrites.append((f, bytes(row["blob"]), int(row["cardinality"])))
+
+    # small DVs inline into the log ('i'); the rest share ONE DV file
+    # per commit ('u'), named deterministically from the content hash
+    file_backed = [(f, b, c) for f, b, c in rewrites if len(b) > _DV_INLINE_MAX]
+    descs_by_path: dict[str, dict] = {}
+    if file_backed:
+        digest = hashlib.sha256(b"".join(b for _f, b, _c in file_backed)).digest()
+        uid = _uuid.UUID(bytes=digest[:16])
+        offsets = roaring.write_dv_file_blobs(
+            os.path.join(table_path, f"deletion_vector_{uid}.bin"),
+            [b for _f, b, _c in file_backed],
+        )
+        for (f, _b, card), (offset, size) in zip(file_backed, offsets):
+            descs_by_path[f["path"]] = {
+                "storageType": "u",
+                "pathOrInlineDv": roaring.z85_encode(uid.bytes),
+                "offset": offset,
+                "sizeInBytes": size,
+                "cardinality": card,
+            }
+    for f, blob, card in rewrites:
+        desc = descs_by_path.get(f["path"])
+        if desc is None:
+            padded = blob + b"\x00" * (-len(blob) % 4)
+            desc = {
+                "storageType": "i",
+                "pathOrInlineDv": roaring.z85_encode(padded),
+                "sizeInBytes": len(blob),
+                "cardinality": card,
+            }
+        actions.append(
+            {
+                "remove": {
+                    "path": f["path"],
+                    "deletionTimestamp": now,
+                    "dataChange": True,
+                    "partitionValues": f["partitionValues"],
+                }
+            }
+        )
+        actions.append(
+            {
+                "add": {
+                    "path": f["path"],
+                    "partitionValues": f["partitionValues"],
+                    "size": os.path.getsize(os.path.join(table_path, f["path"])),
+                    "modificationTime": now,
+                    "dataChange": True,
+                    "stats": f.get("stats"),
+                    "deletionVector": desc,
+                }
+            }
+        )
+        audit["files_rewritten_dv"] += 1
+
+    version = _table_version(table_path) + 1
+    _commit(table_path, version, actions)
+    audit["version"] = version
+    return audit
+
+
+def _protocol_has_dv(table_path: str) -> bool:
+    log = LF._delta_log_dir(table_path)
+    json_versions, ck_version, _latest = LF._log_versions(log)
+    for v in reversed(json_versions):
+        with open(log / f"{v:020d}.json") as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "protocol" in a:
+                    feats = a["protocol"].get("readerFeatures") or []
+                    return "deletionVectors" in feats
+    return False
+
+
+def _physical_rows(table_path: str, f: dict) -> int | None:
+    """numRecords from add.stats, else one footer read, else None."""
+    stats = f.get("stats")
+    if isinstance(stats, str):
+        try:
+            n = json.loads(stats).get("numRecords")
+            if n is not None:
+                return int(n)
+        except (ValueError, TypeError):
+            pass
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(
+            os.path.join(table_path, f["path"])
+        ).metadata.num_rows
+    except Exception:
+        return None
+
+
+# ------------------------------------------------------------------
+# MERGE (upsert)
+# ------------------------------------------------------------------
+
+
+def merge_delta(
+    spark: SparkSession,
+    table_path: str,
+    source: DataFrame,
+    on: list[str],
+) -> dict:
+    """MERGE INTO ``table_path`` USING ``source`` ON key equality —
+    WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT * (the upsert
+    core; conditional clauses compose on top).
+
+    Physical plan (copy-on-write): touched files = distinct files
+    holding a matched key (a key-cardinality semi-join — never a
+    table rewrite); those files' live rows re-emit with source values
+    winning on match; inserts append; untouched files are untouched.
+    Duplicate source keys gate loudly — SQL MERGE declares that
+    nondeterministic, this writer refuses it."""
+    snap = LF.delta_snapshot(table_path)
+    schema: T.StructType = snap["schema"]
+    if set(source.columns) != set(schema.fieldNames()):
+        raise LF.LakeFormatError(
+            f"MERGE source columns {sorted(source.columns)} != table "
+            f"columns {sorted(schema.fieldNames())}"
+        )
+    for k in on:
+        if k not in schema.fieldNames():
+            raise LF.LakeFormatError(f"merge key {k!r} not in table schema")
+
+    src = source.select(*schema.fieldNames())
+    dup = src.groupBy(*on).count().filter(F.col("count") > 1).limit(1).count()
+    if dup:
+        raise LF.LakeFormatError(
+            "MERGE source has duplicate join keys — the protocol makes "
+            "multi-match updates nondeterministic; dedup the source first"
+        )
+    src = src.persist()
+    try:
+        scan = _scan_with_fp(spark, table_path, snap, snap["files"])
+        touched_rows = scan.join(
+            src.select(*on), on=on, how="left_semi"
+        )
+        touched_files = [
+            r["__fp"] for r in touched_rows.select("__fp").distinct().collect()
+        ]
+        by_abs = {
+            LF._uri_path(os.path.abspath(os.path.join(table_path, f["path"]))): f
+            for f in snap["files"]
+        }
+        rel_touched = [by_abs[fp]["path"] for fp in touched_files]
+
+        # rewrite set: live rows of touched files, source values win
+        tfiles = [by_abs[fp] for fp in touched_files]
+        updates_base = (
+            _scan_with_fp(spark, table_path, snap, tfiles)
+            .drop("__fp", "__pos")
+            if tfiles
+            else None
+        )
+        inserts = src.join(
+            scan.select(*on), on=on, how="left_anti"
+        )
+        if updates_base is not None:
+            s_alias = src.withColumn("__m", F.lit(True)).alias("s")
+            t_alias = updates_base.alias("t")
+            cond = None
+            for k in on:
+                term = F.col(f"t.{k}") == F.col(f"s.{k}")
+                cond = term if cond is None else cond & term
+            # a coalesce(s.c, t.c) merge would resurrect target values
+            # under NULL source updates; matched rows take source
+            # values VERBATIM, keyed on an explicit match flag
+            merged = t_alias.join(s_alias, cond, "left").select(
+                *[
+                    F.when(F.col("__m").isNotNull(), F.col(f"s.{c}"))
+                    .otherwise(F.col(f"t.{c}"))
+                    .alias(c)
+                    for c in schema.fieldNames()
+                ]
+            )
+            new_rows = merged.unionByName(inserts)
+        else:
+            new_rows = inserts
+
+        version = snap["version"] + 1
+        adds, rows = _stage_and_collect(
+            spark,
+            new_rows.select(*schema.fieldNames()),
+            table_path,
+            snap["partition_columns"],
+            version,
+            None,
+            True,
+        )
+        _check_path_safe_partitions(adds)
+        now = _now_ms()
+        actions: list[dict] = [
+            _commit_info("MERGE", {"on": on})
+        ]
+        for rel in sorted(rel_touched):
+            f = next(x for x in snap["files"] if x["path"] == rel)
+            actions.append(
+                {
+                    "remove": {
+                        "path": rel,
+                        "deletionTimestamp": now,
+                        "dataChange": True,
+                        "partitionValues": f["partitionValues"],
+                    }
+                }
+            )
+        actions.extend({"add": a} for a in adds)
+        _commit(table_path, version, actions)
+        return {
+            "version": version,
+            "files_rewritten": len(rel_touched),
+            "files_added": len(adds),
+            "rows_written": rows,
+        }
+    finally:
+        src.unpersist()
+
+
+# ------------------------------------------------------------------
+# OPTIMIZE (compaction)
+# ------------------------------------------------------------------
+
+
+def optimize_delta(spark: SparkSession, table_path: str) -> dict:
+    """Bin-pack every multi-file partition into one file and apply
+    outstanding deletion vectors physically.  ``dataChange: false`` —
+    the logical table is identical, so CDF readers and downstream
+    incremental consumers correctly ignore the commit."""
+    snap = LF.delta_snapshot(table_path)
+    if snap["column_mapping_mode"] != "none":
+        raise LF.LakeFormatGatedError(
+            "OPTIMIZE on column-mapped tables is not implemented"
+        )
+    groups: dict[tuple, list[dict]] = {}
+    pcols = snap["partition_columns"]
+    for f in snap["files"]:
+        pkey = tuple(f["partitionValues"].get(c) for c in pcols)
+        groups.setdefault(pkey, []).append(f)
+    victims: list[dict] = []
+    for pkey, members in groups.items():
+        if len(members) > 1 or any(m.get("deletionVector") for m in members):
+            victims.extend(members)
+    audit = {
+        "files_before": len(snap["files"]),
+        "files_compacted": len(victims),
+        "files_after": len(snap["files"]),
+        "version": None,
+    }
+    if not victims:
+        return audit
+    rows = (
+        _scan_with_fp(spark, table_path, snap, victims)
+        .drop("__fp", "__pos")
+        .select(*snap["schema"].fieldNames())
+    )
+    version = snap["version"] + 1
+    adds, _nrows = _stage_and_collect(
+        spark, rows, table_path, pcols, version, None, True
+    )
+    now = _now_ms()
+    actions: list[dict] = [_commit_info("OPTIMIZE", {})]
+    for f in sorted(victims, key=lambda x: x["path"]):
+        actions.append(
+            {
+                "remove": {
+                    "path": f["path"],
+                    "deletionTimestamp": now,
+                    "dataChange": False,
+                    "partitionValues": f["partitionValues"],
+                }
+            }
+        )
+    for a in adds:
+        actions.append({"add": dict(a, dataChange=False)})
+    _commit(table_path, version, actions)
+    audit["files_after"] = len(snap["files"]) - len(victims) + len(adds)
+    audit["version"] = version
+    return audit
+
+
+# ------------------------------------------------------------------
+# checkpoint
+# ------------------------------------------------------------------
+
+
+def write_delta_checkpoint(spark: SparkSession, table_path: str) -> dict:
+    """Materialize the latest snapshot as the spec's checkpoint
+    parquet + ``_last_checkpoint`` so a reader seeds from O(#files)
+    parquet instead of replaying the whole JSON log.  Rows: one
+    protocol, one metaData, the latest ``txn`` per appId (idempotence
+    survives log cleanup), one ``add`` per live file (stats and DV
+    descriptors intact).  Driver-side pyarrow write — checkpoints are
+    metadata-cardinality, the same posture as the reader."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    state, version = LF._state_as_of(table_path)
+    log = LF._delta_log_dir(table_path)
+
+    # latest txn per app across the retained log AND any prior
+    # checkpoint — apps whose only marker lives in the old checkpoint
+    # must survive into the new one
+    txns = _all_txns(table_path)
+
+    proto = {
+        "minReaderVersion": 3 if _protocol_has_dv(table_path) else 1,
+        "minWriterVersion": 7 if _protocol_has_dv(table_path) else 2,
+        "readerFeatures": ["deletionVectors"]
+        if _protocol_has_dv(table_path)
+        else None,
+        "writerFeatures": ["deletionVectors"]
+        if _protocol_has_dv(table_path)
+        else None,
+    }
+    meta_row = {
+        "id": "dbt-json-readr-spark-checkpoint",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps(state.schema.jsonValue()),
+        "partitionColumns": list(state.partition_columns),
+        "configuration": dict(state.configuration),
+    }
+
+    dv_struct = pa.struct(
+        [
+            ("storageType", pa.string()),
+            ("pathOrInlineDv", pa.string()),
+            ("offset", pa.int64()),
+            ("sizeInBytes", pa.int64()),
+            ("cardinality", pa.int64()),
+        ]
+    )
+    add_struct = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+            ("deletionVector", dv_struct),
+        ]
+    )
+    meta_struct = pa.struct(
+        [
+            ("id", pa.string()),
+            (
+                "format",
+                pa.struct(
+                    [
+                        ("provider", pa.string()),
+                        ("options", pa.map_(pa.string(), pa.string())),
+                    ]
+                ),
+            ),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+        ]
+    )
+    proto_struct = pa.struct(
+        [
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
+        ]
+    )
+    txn_struct = pa.struct(
+        [
+            ("appId", pa.string()),
+            ("version", pa.int64()),
+            ("lastUpdated", pa.int64()),
+        ]
+    )
+
+    rows: list[dict] = []
+    rows.append({"protocol": proto, "metaData": None, "txn": None, "add": None})
+    rows.append(
+        {"protocol": None, "metaData": meta_row, "txn": None, "add": None}
+    )
+    for app, tv in sorted(txns.items()):
+        rows.append(
+            {
+                "protocol": None,
+                "metaData": None,
+                "txn": {"appId": app, "version": tv, "lastUpdated": None},
+                "add": None,
+            }
+        )
+    for f in sorted(state.files.values(), key=lambda x: x["path"]):
+        add = {
+            "path": f["path"],
+            "partitionValues": list((f["partitionValues"] or {}).items()),
+            "size": 0,
+            "modificationTime": 0,
+            "dataChange": False,
+            "stats": f.get("stats"),
+            "deletionVector": f.get("deletionVector"),
+        }
+        rows.append({"protocol": None, "metaData": None, "txn": None, "add": add})
+    for r in rows:
+        if r["metaData"]:
+            md = dict(r["metaData"])
+            md["format"] = {
+                "provider": md["format"]["provider"],
+                "options": list(md["format"]["options"].items()),
+            }
+            md["configuration"] = list(md["configuration"].items())
+            r["metaData"] = md
+
+    schema_pa = pa.schema(
+        [
+            ("protocol", proto_struct),
+            ("metaData", meta_struct),
+            ("txn", txn_struct),
+            ("add", add_struct),
+        ]
+    )
+    table = pa.Table.from_pylist(rows, schema=schema_pa)
+    dest = log / f"{version:020d}.checkpoint.parquet"
+    tmp = log / f".{dest.name}.tmp-{os.getpid()}"
+    pq.write_table(table, str(tmp))
+    os.replace(tmp, dest)
+    lc_tmp = log / f"._last_checkpoint.tmp-{os.getpid()}"
+    lc_tmp.write_text(json.dumps({"version": version, "size": len(rows)}))
+    os.replace(lc_tmp, log / "_last_checkpoint")
+    return {"version": version, "actions": len(rows)}

@@ -69,6 +69,31 @@ def _norm_uri(c):
     return F.regexp_replace(c, "^file:/+", "/")
 
 
+# RFC 3986 path characters Spark leaves UN-encoded in
+# ``_metadata.file_path`` (probed empirically on Spark 4.1: unreserved
+# + sub-delims + ':' '@' '/'; non-ASCII stays RAW, space/'%'/'#'/'?'
+# percent-encode)
+_URI_SAFE = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    "/!$&'()*+,;=:@-._~"
+)
+
+
+def _uri_path(path: str) -> str:
+    """A local filesystem path rendered the way Spark renders
+    ``_metadata.file_path`` (scheme already stripped): percent-encode
+    exactly the characters Spark encodes.  EVERY python-side path that
+    joins against a ``__fp`` column must pass through this — a raw
+    path with a space matches nothing and, but for the loud path-map
+    asserts, would silently resurrect DV-deleted rows (r8: found by
+    the write path's MERGE on the space-bearing o_orderpriority
+    partition values)."""
+    return "".join(
+        ch if (ch in _URI_SAFE or ord(ch) > 127) else f"%{ord(ch):02X}"
+        for ch in path
+    )
+
+
 def _delta_log_dir(table_path: str) -> Path:
     d = Path(table_path) / "_delta_log"
     if not d.is_dir():
@@ -694,7 +719,10 @@ def read_delta_snapshot(
                 "cardinality — malformed log"
             )
         dv_total += int(card)
-        dv_files.append((ap, dv))
+        # keyed by the ENCODED rendering: this string only ever joins
+        # against _metadata.file_path (file access goes through the
+        # descriptor + table_path, never this key)
+        dv_files.append((_uri_path(ap), dv))
     if not dv_files:
         dels = None
     elif dv_total > cap:
@@ -798,7 +826,7 @@ def read_delta_snapshot(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    out = _apply_dv(spark, out, dels, schema, all_paths)
+    out = _apply_dv(spark, out, dels, schema, [_uri_path(p) for p in all_paths])
     return out if row_filter is None else out.filter(row_filter)
 
 
@@ -2031,7 +2059,7 @@ def read_iceberg_snapshot(
         # attach each data row's sequence number from the manifest map
         # (broadcast at file cardinality)
         seq_map = spark.createDataFrame(
-            [(os.path.abspath(p), s) for p, s in data_files.items()],
+            [(_uri_path(os.path.abspath(p)), s) for p, s in data_files.items()],
             "__fp string, __seq long",
         )
         # LEFT join + per-row assertion: if Spark's URI rendering of
@@ -2055,6 +2083,23 @@ def read_iceberg_snapshot(
             ),
         )
     if pos_delete_files:
+        # position-delete application compares the DELETE FILES' stored
+        # ``file_path`` values (raw spec URIs) against Spark's
+        # percent-ENCODED _metadata rendering; the stored side cannot
+        # be re-encoded in SQL, so paths that Spark would encode gate
+        # loudly instead of silently resurrecting deleted rows
+        encoded = [
+            p
+            for p in data_files
+            if _uri_path(os.path.abspath(p)) != os.path.abspath(p)
+        ]
+        if encoded:
+            raise LakeFormatGatedError(
+                "position deletes over data-file paths that need URI "
+                f"percent-encoding (e.g. {encoded[0]!r}) are not "
+                "supported — the delete files' stored file_path strings "
+                "cannot be matched against Spark's encoded rendering"
+            )
         if pos_bounded:
             dels = None
             for path, dseq in sorted(set(pos_delete_files)):

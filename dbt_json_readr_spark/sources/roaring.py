@@ -254,6 +254,25 @@ def encode_inline(positions: list[int]) -> tuple[str, int, int]:
     return z85_encode(padded), len(blob), len(set(positions))
 
 
+def write_dv_file_blobs(path: str, blobs: list[bytes]) -> list[tuple[int, int]]:
+    """Write PRE-ENCODED DV blobs (executor-encoded bitmaps the driver
+    never decodes) as one spec-true DV file; returns per-blob
+    (offset, sizeInBytes) in input order.  Same framing as
+    ``write_dv_file`` — version byte, then per DV a BIG-endian size
+    prefix, the blob, and a BIG-endian CRC-32."""
+    descs: list[tuple[int, int]] = []
+    with open(path, "wb") as f:
+        f.write(b"\x01")
+        for blob in blobs:
+            offset = f.tell()
+            f.write(struct.pack(">i", len(blob)))
+            f.write(blob)
+            crc = zlib.crc32(blob)
+            f.write(struct.pack(">i", crc - (1 << 32 if crc >= 1 << 31 else 0)))
+            descs.append((offset, len(blob)))
+    return descs
+
+
 def write_dv_file(path: str, dvs: list[list[int]]) -> list[tuple[int, int, int]]:
     """Fixture-side writer; returns per-DV (offset, sizeInBytes,
     cardinality) descriptor triples in input order."""
