@@ -398,6 +398,11 @@ register(
     streaming_jobs.streaming_delta_commits,
     streaming_jobs._streaming_delta_commits_sql,
 )
+register(
+    "streaming_delta_sink",
+    streaming_jobs.streaming_delta_sink,
+    streaming_jobs._streaming_delta_sink_sql(),
+)
 register("semdedup_prune", llm.semdedup_prune, llm.ORACLES["semdedup_prune"])
 register("dedup_graph_triangles", llm.dedup_graph_triangles, llm.ORACLES["dedup_graph_triangles"])
 
@@ -457,6 +462,7 @@ _NEW_R8 = [
     "delta_delete_dv_write",
     "delta_merge_upsert",
     "delta_optimize_compact",
+    "streaming_delta_sink",
 ]
 
 # Newest driver row is r4; ordered most load-bearing first (flagship
