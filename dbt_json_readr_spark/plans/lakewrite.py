@@ -388,3 +388,90 @@ SELECT
 FROM frag
 GROUP BY l_returnflag
 """
+
+
+# ---------------------------------------------------------------- F17
+
+
+def iceberg_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two appended snapshots (supplier slices, identity-partitioned by
+    nation) authored by the NATIVE Iceberg writer — metadata.json,
+    avro manifests with Appendix-D bounds, manifest list with
+    partition field summaries — and read back through the independent
+    bridge at both snapshots.  Evidence: files under a suppkey bounds
+    predicate, closed-form = (commit, nation) groups whose min
+    suppkey admits the probe (one file per nation per commit by the
+    colocate contract; the bounds pruned are the WRITER's own
+    footer-derived Appendix-D encodings)."""
+    prep(spark)
+    from ..sources import icebergwriter as IW
+
+    sup = load(spark, sf_dir, "supplier")
+
+    def build(root: str) -> None:
+        tbl = os.path.join(root, "table")
+        a = sup.filter(F.col("s_suppkey") % 3 != 2)
+        b = sup.filter(F.col("s_suppkey") % 3 == 2)
+        IW.write_iceberg(spark, a, tbl, partition_by=["s_nationkey"])
+        IW.write_iceberg(spark, b, tbl, partition_by=["s_nationkey"])
+
+    root = _ensure("wrt_ice_supplier", sf_dir, build)
+    meta = sorted((root / "table" / "metadata").glob("v*.metadata.json"))[-1]
+    full = LF.read_iceberg_snapshot(spark, str(meta))
+    pred = [("s_suppkey", "<", 20)]
+    pruned = LF.read_iceberg_snapshot(spark, str(meta), predicate=pred)
+    files_total = len(full.inputFiles())
+    files_kept = len(pruned.inputFiles())
+    outs = []
+    for sid in (1, 2):
+        df = LF.read_iceberg_snapshot(spark, str(meta), sid)
+        outs.append(
+            df.groupBy("s_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(_dec("s_acctbal")).cast("double").alias("sum_acctbal"),
+                F.min("s_suppkey").alias("min_key"),
+                F.max("s_suppkey").alias("max_key"),
+            )
+            .select(
+                F.lit(sid).cast("int").alias("snapshot_seq"),
+                "*",
+                F.lit(files_total).cast("int").alias("files_total"),
+                F.lit(files_kept).cast("int").alias("files_kept_lt20"),
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
+def _iceberg_write_roundtrip_sql() -> str:
+    s = _DSUM.format(c="s_acctbal")
+    return f"""
+WITH a AS (SELECT * FROM supplier WHERE s_suppkey % 3 <> 2),
+b AS (SELECT * FROM supplier WHERE s_suppkey % 3 = 2),
+versions AS (
+  SELECT 1 AS snap, * FROM a
+  UNION ALL SELECT 2, * FROM a
+  UNION ALL SELECT 2, * FROM b
+),
+gf AS (
+  SELECT s_nationkey, min(s_suppkey) AS mn FROM a GROUP BY s_nationkey
+  UNION ALL
+  SELECT s_nationkey, min(s_suppkey) FROM b GROUP BY s_nationkey
+),
+ev AS (
+  SELECT count(*) AS files_total,
+         count(*) FILTER (WHERE mn < 20) AS files_kept
+  FROM gf
+)
+SELECT
+  CAST(v.snap AS INTEGER) AS snapshot_seq,
+  v.s_nationkey,
+  count(*) AS n_rows,
+  {s} AS sum_acctbal,
+  min(v.s_suppkey) AS min_key,
+  max(v.s_suppkey) AS max_key,
+  CAST((SELECT files_total FROM ev) AS INTEGER) AS files_total,
+  CAST((SELECT files_kept FROM ev) AS INTEGER) AS files_kept_lt20
+FROM versions v
+GROUP BY v.snap, v.s_nationkey
+"""

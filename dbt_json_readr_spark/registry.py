@@ -394,6 +394,11 @@ register(
     lakewrite._delta_optimize_compact_sql,
 )
 register(
+    "iceberg_write_roundtrip",
+    lakewrite.iceberg_write_roundtrip,
+    lakewrite._iceberg_write_roundtrip_sql,
+)
+register(
     "streaming_delta_commits",
     streaming_jobs.streaming_delta_commits,
     streaming_jobs._streaming_delta_commits_sql,
@@ -463,6 +468,7 @@ _NEW_R8 = [
     "delta_merge_upsert",
     "delta_optimize_compact",
     "streaming_delta_sink",
+    "iceberg_write_roundtrip",
 ]
 
 # Newest driver row is r4; ordered most load-bearing first (flagship

@@ -261,16 +261,24 @@ def _stat_json_value(v):
     return None  # bytes / nested — never emit
 
 
-def _footer_stats(path: str, data_cols: list[str]) -> tuple[str, int]:
-    """(add.stats JSON string, numRecords) from the parquet footer —
-    one ~KB metadata read per file, no data pages touched."""
+def footer_column_stats(
+    path: str, data_cols: list[str]
+) -> tuple[int, dict, dict, dict]:
+    """Per-file column statistics from the parquet FOOTER — one ~KB
+    metadata read, no data pages touched.  Returns (numRecords,
+    {col: (min, max)} as native python values, {col: null_count},
+    {col: total_value_count incl. nulls}).  A column missing from a
+    map could not be derived soundly (absent/untrusted row-group
+    stats) — callers must treat absence as 'unknown', never as zero.
+    Shared by the Delta writer (add.stats) and the Iceberg writer
+    (manifest entry bounds/counts)."""
     import pyarrow.parquet as pq
 
     meta = pq.ParquetFile(path).metadata
     nrows = meta.num_rows
-    mins: dict = {}
-    maxs: dict = {}
+    bounds: dict = {}
     nulls: dict = {}
+    value_counts: dict = {}
     wanted = set(data_cols)
     # column order is identical across row groups; walk by index
     for ci in range(meta.num_columns):
@@ -282,14 +290,16 @@ def _footer_stats(path: str, data_cols: list[str]) -> tuple[str, int]:
             continue  # nested leaves carry dotted paths — skip
         lo = hi = None
         nc = 0
+        nv = 0
         ok_bounds = True
         ok_nulls = True
         for gi in range(meta.num_row_groups):
             cm = meta.row_group(gi).column(ci)
+            nv += cm.num_values
             st = cm.statistics
             if st is None:
                 ok_bounds = ok_nulls = False
-                break
+                continue
             if st.null_count is None:
                 ok_nulls = False
             else:
@@ -307,14 +317,24 @@ def _footer_stats(path: str, data_cols: list[str]) -> tuple[str, int]:
                 hi = st.max if hi is None else max(hi, st.max)
             except TypeError:
                 ok_bounds = False
-                break
+        value_counts[name] = nv
         if ok_nulls:
             nulls[name] = nc
         if ok_bounds and lo is not None:
-            jlo, jhi = _stat_json_value(lo), _stat_json_value(hi)
-            if jlo is not None and jhi is not None:
-                mins[name] = jlo
-                maxs[name] = jhi
+            bounds[name] = (lo, hi)
+    return nrows, bounds, nulls, value_counts
+
+
+def _footer_stats(path: str, data_cols: list[str]) -> tuple[str, int]:
+    """(add.stats JSON string, numRecords) for a Delta ``add``."""
+    nrows, bounds, nulls, _nv = footer_column_stats(path, data_cols)
+    mins: dict = {}
+    maxs: dict = {}
+    for name, (lo, hi) in bounds.items():
+        jlo, jhi = _stat_json_value(lo), _stat_json_value(hi)
+        if jlo is not None and jhi is not None:
+            mins[name] = jlo
+            maxs[name] = jhi
     stats = {
         "numRecords": nrows,
         "minValues": mins,

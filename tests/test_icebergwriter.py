@@ -1,0 +1,162 @@
+"""Native Iceberg write path (sources/icebergwriter.py): append
+snapshots through the real metadata chain, read back through the
+independent bridge; Appendix-D bound encode/decode round-trip; gates.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+from decimal import Decimal
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_json_readr_spark.sources import icebergwriter as IW
+from dbt_json_readr_spark.sources import lakeformats as LF
+from dbt_json_readr_spark.sources import skipping
+
+SF = "/root/testdata/sf0.001"
+
+
+def _latest_meta(tbl: str) -> str:
+    return str(sorted(Path(tbl, "metadata").glob("v*.metadata.json"))[-1])
+
+
+def test_append_roundtrip_and_time_travel(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    sup = spark.read.parquet(f"{SF}/supplier.parquet")
+    a = sup.filter(F.col("s_suppkey") % 2 == 0)
+    b = sup.filter(F.col("s_suppkey") % 2 == 1)
+    r1 = IW.write_iceberg(spark, a, tbl, partition_by=["s_nationkey"])
+    r2 = IW.write_iceberg(spark, b, tbl, partition_by=["s_nationkey"])
+    meta = _latest_meta(tbl)
+    assert LF.read_iceberg_snapshot(spark, meta, r1["snapshot_id"]).count() == a.count()
+    got = LF.read_iceberg_snapshot(spark, meta, r2["snapshot_id"])
+    assert got.count() == sup.count()
+    s = got.agg(F.sum(F.col("s_acctbal").cast("decimal(18,4)"))).collect()[0][0]
+    e = sup.agg(F.sum(F.col("s_acctbal").cast("decimal(18,4)"))).collect()[0][0]
+    assert s == e
+    # snapshot 2's manifest list must carry BOTH manifests
+    sid = LF.iceberg_snapshot_at_timestamp(
+        meta, dt.datetime.now(dt.timezone.utc)
+    )
+    assert sid == r2["snapshot_id"]
+    # the data files CONTAIN the partition column (spec modern layout)
+    import pyarrow.parquet as pq
+
+    one = got.inputFiles()[0].replace("file://", "").replace("file:/", "/")
+    assert "s_nationkey" in pq.read_schema(one).names
+
+
+def test_written_bounds_drive_pruning(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    sup = spark.read.parquet(f"{SF}/supplier.parquet")
+    IW.write_iceberg(spark, sup, tbl, partition_by=["s_nationkey"])
+    meta = _latest_meta(tbl)
+    full = LF.read_iceberg_snapshot(spark, meta)
+    lo_key = sup.agg(F.min("s_suppkey")).collect()[0][0]
+    pred = [("s_suppkey", "<=", int(lo_key))]
+    pruned = LF.read_iceberg_snapshot(spark, meta, predicate=pred)
+    assert pruned.count() == sup.filter(F.col("s_suppkey") <= lo_key).count()
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    # out-of-range probe opens nothing
+    none = LF.read_iceberg_snapshot(
+        spark, meta, predicate=[("s_suppkey", ">", 10**12)]
+    )
+    assert none.count() == 0 and len(none.inputFiles()) == 0
+
+
+def test_null_partition_and_summaries(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "id long, p string"
+    )
+    IW.write_iceberg(spark, df, tbl, partition_by=["p"])
+    meta = _latest_meta(tbl)
+    back = LF.read_iceberg_snapshot(spark, meta)
+    assert back.count() == 3
+    assert back.filter(F.col("p").isNull()).count() == 1
+    # manifest-list summary records contains_null
+    info = LF.iceberg_snapshot_info(meta)
+    mlist = LF._read_avro_records(
+        spark, LF._resolve(info["snapshot"]["manifest-list"], tbl)
+    )
+    assert any(
+        (m.get("partitions") or [{}])[0].get("contains_null") for m in mlist
+    )
+
+
+def test_schema_and_partition_gates(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a", 1.5)], "id long, p string, v double")
+    IW.write_iceberg(spark, df, tbl, partition_by=["p"])
+    with pytest.raises(LF.LakeFormatGatedError, match="schema"):
+        IW.write_iceberg(
+            spark, df.withColumn("extra", F.lit(1)), tbl, partition_by=["p"]
+        )
+    with pytest.raises(LF.LakeFormatGatedError, match="partition column"):
+        IW.write_iceberg(
+            spark, df, str(tmp_path / "t2"), partition_by=["v"]
+        )
+
+
+def test_metadata_cas_and_malformed_latest(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], "id long, p string")
+    IW.write_iceberg(spark, df, tbl)
+    meta_dir = Path(tbl, "metadata")
+    # the commit primitive: a racing writer already owns v2 → the
+    # loser must fail loudly, never overwrite
+    IW._commit_metadata(meta_dir, 2, Path(_latest_meta(tbl)).read_text())
+    with pytest.raises(LF.LakeFormatError, match="concurrently"):
+        IW._commit_metadata(meta_dir, 2, "{}")
+    # garbage latest metadata refuses the append loudly
+    (meta_dir / "v3.metadata.json").write_text("{}")
+    with pytest.raises(LF.LakeFormatError):
+        IW.write_iceberg(spark, df, tbl)
+
+
+@pytest.mark.parametrize(
+    "type_json,value",
+    [
+        ("boolean", True),
+        ("boolean", False),
+        ("int", -12345),
+        ("long", 2**40),
+        ("float", 1.5),
+        ("double", -3.25),
+        ("date", dt.date(2024, 2, 29)),
+        ("timestamp", dt.datetime(2023, 5, 6, 7, 8, 9, 123456)),
+        (
+            "timestamptz",
+            dt.datetime(2023, 5, 6, 7, 8, 9, 123456, tzinfo=dt.timezone.utc),
+        ),
+        ("string", "héllo wörld"),
+        ("decimal(9, 2)", Decimal("-128.00")),
+        ("decimal(18, 4)", Decimal("12345.6789")),
+    ],
+)
+def test_bound_encode_decode_roundtrip(type_json, value):
+    raw = IW.encode_iceberg_bound(type_json, value)
+    assert raw is not None
+    back = skipping.decode_iceberg_bound(type_json, raw)
+    if type_json == "timestamptz":
+        assert back == value.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    else:
+        assert back == value
+
+
+def test_metadata_is_spec_shaped(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, p string")
+    IW.write_iceberg(spark, df, tbl, partition_by=["p"])
+    meta = json.loads(Path(_latest_meta(tbl)).read_text())
+    assert meta["format-version"] == 2
+    assert meta["current-schema-id"] == 0
+    assert meta["partition-specs"][0]["fields"][0]["transform"] == "identity"
+    assert meta["snapshot-log"][-1]["snapshot-id"] == meta["current-snapshot-id"]
+    # the audit key machinery reads it too
+    info = LF.iceberg_snapshot_info(_latest_meta(tbl))
+    assert info["lineage_depth"] == 0
