@@ -32,7 +32,7 @@ from ..sources import lakeformats as LF
 from ..sources.tables import load
 
 RT_ROOT = Path(__file__).resolve().parents[2] / "tests" / "fixtures" / "lake" / "_rt"
-_WVERSION = "1"
+_WVERSION = "2"  # bump to rebuild the _rt tables after writer changes
 
 # money convention (plans/tpch.py docstring): decimal-exact sums,
 # rendered double through a string round-trip on the DuckDB side
@@ -416,7 +416,11 @@ def iceberg_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         IW.write_iceberg(spark, b, tbl, partition_by=["s_nationkey"])
 
     root = _ensure("wrt_ice_supplier", sf_dir, build)
-    meta = sorted((root / "table" / "metadata").glob("v*.metadata.json"))[-1]
+    # numeric sort: lexicographic v-glob puts v9 after v10 (r8 review)
+    meta = max(
+        (root / "table" / "metadata").glob("v*.metadata.json"),
+        key=lambda p: int(p.name.split(".")[0][1:]),
+    )
     full = LF.read_iceberg_snapshot(spark, str(meta))
     pred = [("s_suppkey", "<", 20)]
     pruned = LF.read_iceberg_snapshot(spark, str(meta), predicate=pred)

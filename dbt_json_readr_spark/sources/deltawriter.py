@@ -407,10 +407,14 @@ def _stage_and_collect(
             )
         stats, nrows = _footer_stats(str(p), data_cols)
         total_rows += nrows
+        # salt with writer identity + wall clock on top of the content
+        # head: two writers racing from the same parent compute the
+        # same (version, idx), and a shared 64 KB head would let the
+        # CAS loser overwrite the winner's data bytes (r8 review)
         with open(p, "rb") as f:
             head = f.read(1 << 16)
         tag = hashlib.sha256(
-            head + f"{version}:{idx}".encode()
+            head + f"{version}:{idx}:{os.getpid()}:{time.time_ns()}".encode()
         ).hexdigest()[:8]
         fname = f"part-{version:05d}-{idx:04d}-{tag}.parquet"
         rel_path = f"{rel_dir}/{fname}" if rel_dir else fname
@@ -880,7 +884,11 @@ def delete_delta(
     actions: list[dict] = [
         _commit_info("DELETE", {"predicate": repr(predicate)})
     ]
-    if not _protocol_has_dv(table_path):
+    # protocol from the replayed STATE (checkpoint-aware), not a
+    # retained-JSON scan — after log cleanup the scan forgets the
+    # upgrade (re-emitting it is merely redundant, but stay exact)
+    feats = (snap.get("protocol") or {}).get("readerFeatures") or []
+    if "deletionVectors" not in feats:
         actions.append(_DV_PROTOCOL)
 
     rewrites: list[tuple[dict, bytes, int]] = []  # (file, blob, card)
@@ -959,7 +967,11 @@ def delete_delta(
         )
         audit["files_rewritten_dv"] += 1
 
-    version = _table_version(table_path) + 1
+    # commit at snapshot_version + 1, NOT a re-read of latest: the
+    # hard-link CAS only detects a concurrent commit if we target the
+    # version our plan was derived from (r8 review: a re-read let a
+    # delete silently re-add a file another writer had just compacted)
+    version = snap["version"] + 1
     _commit(table_path, version, actions)
     audit["version"] = version
     return audit
@@ -1033,6 +1045,15 @@ def merge_delta(
             raise LF.LakeFormatError(f"merge key {k!r} not in table schema")
 
     src = source.select(*schema.fieldNames())
+    # same full-schema gate as write_delta (r8 review): a name-only
+    # check lets a string-typed source coerce the rewrite output away
+    # from the table's schemaString — silent nulls on later reads
+    if _schema_fingerprint(src.schema) != _schema_fingerprint(schema):
+        raise LF.LakeFormatGatedError(
+            "MERGE source schema differs from the table schema — align "
+            f"types/nullability (table: {schema.simpleString()}, "
+            f"source: {src.schema.simpleString()})"
+        )
     dup = src.groupBy(*on).count().filter(F.col("count") > 1).limit(1).count()
     if dup:
         raise LF.LakeFormatError(
@@ -1212,18 +1233,18 @@ def write_delta_checkpoint(spark: SparkSession, table_path: str) -> dict:
     # must survive into the new one
     txns = _all_txns(table_path)
 
-    proto = {
-        "minReaderVersion": 3 if _protocol_has_dv(table_path) else 1,
-        "minWriterVersion": 7 if _protocol_has_dv(table_path) else 2,
-        "readerFeatures": ["deletionVectors"]
-        if _protocol_has_dv(table_path)
-        else None,
-        "writerFeatures": ["deletionVectors"]
-        if _protocol_has_dv(table_path)
-        else None,
-    }
+    # the protocol and table id come from the REPLAYED STATE (which
+    # already folds in any prior checkpoint's rows) — deriving them
+    # from retained JSON commits alone downgraded a DV table to 1/2
+    # after log cleanup and minted a fake table identity (r8 review)
+    if state.protocol is None:
+        raise LF.LakeFormatError(
+            f"no protocol action reachable for {table_path} — refusing "
+            "to checkpoint a spec-violating log"
+        )
+    proto = dict(state.protocol)
     meta_row = {
-        "id": "dbt-json-readr-spark-checkpoint",
+        "id": state.meta_id or "dbt-json-readr-spark-checkpoint",
         "format": {"provider": "parquet", "options": {}},
         "schemaString": json.dumps(state.schema.jsonValue()),
         "partitionColumns": list(state.partition_columns),
@@ -1301,8 +1322,8 @@ def write_delta_checkpoint(spark: SparkSession, table_path: str) -> dict:
         add = {
             "path": f["path"],
             "partitionValues": list((f["partitionValues"] or {}).items()),
-            "size": 0,
-            "modificationTime": 0,
+            "size": int(f.get("size") or 0),
+            "modificationTime": int(f.get("modificationTime") or 0),
             "dataChange": False,
             "stats": f.get("stats"),
             "deletionVector": f.get("deletionVector"),

@@ -135,26 +135,27 @@ def _manifest_schema(partition_avro_fields: list[dict]) -> str:
         {"name": "content", "type": "int"},
         {"name": "file_path", "type": "string"},
         {"name": "file_format", "type": "string"},
+        # the spec's REQUIRED partition record is present even when the
+        # spec has no fields (empty record) — spec-conformant readers
+        # project it unconditionally (r8 review)
+        {
+            "name": "partition",
+            "type": {
+                "type": "record",
+                "name": "r102",
+                "fields": [
+                    {
+                        "name": f["name"],
+                        "type": ["null", f["avro"]],
+                        "default": None,
+                    }
+                    for f in partition_avro_fields
+                ],
+            },
+        },
         {"name": "record_count", "type": "long"},
+        {"name": "file_size_in_bytes", "type": "long"},
     ]
-    if partition_avro_fields:
-        data_file_fields.append(
-            {
-                "name": "partition",
-                "type": {
-                    "type": "record",
-                    "name": "r102",
-                    "fields": [
-                        {
-                            "name": f["name"],
-                            "type": ["null", f["avro"]],
-                            "default": None,
-                        }
-                        for f in partition_avro_fields
-                    ],
-                },
-            }
-        )
     data_file_fields += [
                         {
                             "name": "value_counts",
@@ -274,10 +275,21 @@ _MLIST_SCHEMA = json.dumps(
             {"name": "content", "type": "int"},
             {"name": "sequence_number", "type": ["null", "long"], "default": None},
             {
+                "name": "min_sequence_number",
+                "type": ["null", "long"],
+                "default": None,
+            },
+            {
                 "name": "added_snapshot_id",
                 "type": ["null", "long"],
                 "default": None,
             },
+            {"name": "added_files_count", "type": "int"},
+            {"name": "existing_files_count", "type": "int"},
+            {"name": "deleted_files_count", "type": "int"},
+            {"name": "added_rows_count", "type": "long"},
+            {"name": "existing_rows_count", "type": "long"},
+            {"name": "deleted_rows_count", "type": "long"},
             {
                 "name": "partitions",
                 "type": [
@@ -508,7 +520,14 @@ def write_iceberg(
             if blo is not None and bhi is not None:
                 lower[fid] = blo
                 upper[fid] = bhi
-        tag = hashlib.sha256(f"{seq}:{idx}:{rel_dir}".encode()).hexdigest()[:8]
+        # salt with writer identity + wall clock: two writers racing
+        # from the same parent compute the same (seq, idx) — identical
+        # names would let the CAS LOSER overwrite the winner's
+        # already-committed bytes before its metadata commit fails
+        # (r8 review)
+        tag = hashlib.sha256(
+            f"{seq}:{idx}:{rel_dir}:{os.getpid()}:{time.time_ns()}".encode()
+        ).hexdigest()[:8]
         rel_path = f"data/{rel_dir}/f-{seq:05d}-{idx:04d}-{tag}.parquet".replace(
             "//", "/"
         )
@@ -536,6 +555,7 @@ def write_iceberg(
                     "file_path": rel_path,
                     "file_format": "PARQUET",
                     "record_count": nrows,
+                    "file_size_in_bytes": dest.stat().st_size,
                     "partition": {
                         c: (
                             None
@@ -567,7 +587,10 @@ def write_iceberg(
 
     # ---- metadata: manifest avro, manifest list, vN.metadata.json
     meta_dir.mkdir(parents=True, exist_ok=True)
-    m_name = f"m-{snapshot_id:05d}.avro"
+    wsalt = hashlib.sha256(
+        f"{os.getpid()}:{time.time_ns()}".encode()
+    ).hexdigest()[:8]
+    m_name = f"m-{snapshot_id:05d}-{wsalt}.avro"
     partition_avro_fields = [
         {
             "name": c,
@@ -603,7 +626,14 @@ def write_iceberg(
             "partition_spec_id": 0,
             "content": 0,
             "sequence_number": seq,
+            "min_sequence_number": seq,
             "added_snapshot_id": snapshot_id,
+            "added_files_count": len(entries),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": rows_total,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
             "partitions": part_summaries,
         }
     )
@@ -618,11 +648,18 @@ def write_iceberg(
                 "partition_spec_id": int(r.get("partition_spec_id") or 0),
                 "content": int(r.get("content") or 0),
                 "sequence_number": r.get("sequence_number"),
+                "min_sequence_number": r.get("min_sequence_number"),
                 "added_snapshot_id": r.get("added_snapshot_id"),
+                "added_files_count": int(r.get("added_files_count") or 0),
+                "existing_files_count": int(r.get("existing_files_count") or 0),
+                "deleted_files_count": int(r.get("deleted_files_count") or 0),
+                "added_rows_count": int(r.get("added_rows_count") or 0),
+                "existing_rows_count": int(r.get("existing_rows_count") or 0),
+                "deleted_rows_count": int(r.get("deleted_rows_count") or 0),
                 "partitions": r.get("partitions"),
             }
         )
-    snap_name = f"snap-{snapshot_id:05d}.avro"
+    snap_name = f"snap-{snapshot_id:05d}-{wsalt}.avro"
     LF.write_avro_records(spark, str(meta_dir / snap_name), _MLIST_SCHEMA, norm_rows)
 
     snapshot = {

@@ -143,8 +143,28 @@ class _DeltaState:
         # logical field name -> delta.columnMapping.id (mode 'id'
         # resolves parquet columns by this against footer field ids)
         self.field_ids: dict[str, int] = {}
+        # the LAST protocol action seen and the table id — a checkpoint
+        # writer must carry both faithfully (r8 review: deriving the
+        # protocol from retained JSON alone downgraded a DV table to
+        # 1/2 after log cleanup; a constant id broke table identity)
+        self.protocol: dict | None = None
+        self.meta_id: str | None = None
 
     def check_protocol(self, p: dict) -> None:
+        self.protocol = {
+            "minReaderVersion": p.get("minReaderVersion", 1),
+            "minWriterVersion": p.get("minWriterVersion", 2),
+            "readerFeatures": (
+                list(p["readerFeatures"])
+                if p.get("readerFeatures") is not None
+                else None
+            ),
+            "writerFeatures": (
+                list(p["writerFeatures"])
+                if p.get("writerFeatures") is not None
+                else None
+            ),
+        }
         v = p.get("minReaderVersion", 1)
         if v > 3:
             # a future reader protocol's requirements are NOT expressed
@@ -177,6 +197,7 @@ class _DeltaState:
     def meta(self, md: dict) -> None:
         if md.get("format", {}).get("provider", "parquet") != "parquet":
             raise LakeFormatError(f"non-parquet Delta table: {md['format']}")
+        self.meta_id = md.get("id")
         schema_json = json.loads(md["schemaString"])
         self.schema = T.StructType.fromJson(schema_json)
         self.partition_columns = list(md.get("partitionColumns") or [])
@@ -239,6 +260,10 @@ class _DeltaState:
             # skipping.delta_file_matches parses it lazily and treats
             # absence/garbage as "keep the file"
             "stats": a.get("stats"),
+            # carried for faithful checkpoint re-emission (r8 review:
+            # zeroing them lied to size-aware external readers)
+            "size": a.get("size"),
+            "modificationTime": a.get("modificationTime"),
         }
 
     def remove(self, path: str) -> None:
@@ -524,6 +549,8 @@ def delta_snapshot(table_path: str, version: int | None = None) -> dict:
         "physical_names": dict(state.physical_names),
         "field_ids": dict(state.field_ids),
         "configuration": dict(state.configuration),
+        "protocol": dict(state.protocol) if state.protocol else None,
+        "meta_id": state.meta_id,
         "files": sorted(state.files.values(), key=lambda f: f["path"]),
     }
 

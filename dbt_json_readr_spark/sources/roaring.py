@@ -274,17 +274,13 @@ def write_dv_file_blobs(path: str, blobs: list[bytes]) -> list[tuple[int, int]]:
 
 
 def write_dv_file(path: str, dvs: list[list[int]]) -> list[tuple[int, int, int]]:
-    """Fixture-side writer; returns per-DV (offset, sizeInBytes,
-    cardinality) descriptor triples in input order."""
-    descs = []
-    with open(path, "wb") as f:
-        f.write(b"\x01")
-        for positions in dvs:
-            blob = encode_dv_blob(positions)
-            offset = f.tell()
-            f.write(struct.pack(">i", len(blob)))
-            f.write(blob)
-            crc = zlib.crc32(blob)
-            f.write(struct.pack(">i", crc - (1 << 32 if crc >= 1 << 31 else 0)))
-            descs.append((offset, len(blob), len(set(positions))))
-    return descs
+    """Position-list writer; returns per-DV (offset, sizeInBytes,
+    cardinality) descriptor triples in input order.  ONE framing
+    implementation: delegates to the blob writer so the byte layout
+    cannot drift between the two entry points."""
+    blobs = [encode_dv_blob(p) for p in dvs]
+    descs = write_dv_file_blobs(path, blobs)
+    return [
+        (offset, size, len(set(p)))
+        for (offset, size), p in zip(descs, dvs)
+    ]

@@ -2179,7 +2179,11 @@ def streaming_delta_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "events").repartition(3, "event_id").write.parquet(src)
 
         def _sink(bdf: DataFrame, epoch_id: int) -> None:
-            if (DW.last_txn_version(tbl, app) or -1) >= epoch_id:
+            # explicit None check: committed txn version 0 is FALSY,
+            # and `(0 or -1) >= 0` re-appended the whole first batch
+            # on an epoch-0 replay (r8 review)
+            last = DW.last_txn_version(tbl, app)
+            if last is not None and last >= epoch_id:
                 return  # replayed epoch: already committed
             if bdf.isEmpty():
                 return
@@ -2204,8 +2208,10 @@ def streaming_delta_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         if last is None:
             raise RuntimeError("streaming sink committed nothing")
         # the retry every at-least-once sink must survive: replay the
-        # final epoch with the FULL source — only the txn version may
-        # decide, and it must refuse
+        # FIRST epoch (version 0 — the falsy value the guard must not
+        # drop) and the final epoch, each with the FULL source — only
+        # the txn version may decide, and it must refuse both
+        _sink(spark.read.parquet(src), 0)
         _sink(spark.read.parquet(src), last)
 
     root = _ensure("stream_sink_events", sf_dir, build)

@@ -433,6 +433,43 @@ def test_checkpoint_preserves_dvs(spark, tmp_path, customers):
     assert _dec_sum(back, "c_acctbal") == _dec_sum(exp, "c_acctbal")
 
 
+def test_checkpoint_after_cleanup_keeps_protocol_and_id(
+    spark, tmp_path, customers
+):
+    """A SECOND checkpoint written when the DV protocol upgrade lives
+    only in the first checkpoint (its JSON commit vacuumed) must keep
+    protocol 3/7 and the ORIGINAL table id — an external reader seeing
+    1/2 would ignore the DV descriptors and resurrect deleted rows
+    (r8 review finding)."""
+    import pyarrow.parquet as pq
+
+    tbl = str(tmp_path / "t")
+    DW.write_delta(spark, customers, tbl, partition_by=["c_mktsegment"])
+    orig_id = LF.delta_snapshot(tbl)["meta_id"]
+    DW.delete_delta(spark, tbl, [("c_acctbal", "<", 0.0)])
+    DW.write_delta_checkpoint(spark, tbl)
+    # vacuum the pre-checkpoint JSON commits, then append + re-checkpoint
+    for p in Path(tbl, "_delta_log").glob("*.json"):
+        p.unlink()
+    DW.write_delta(
+        spark, customers.limit(7), tbl, partition_by=["c_mktsegment"]
+    )
+    DW.write_delta_checkpoint(spark, tbl)
+    ck = max(
+        Path(tbl, "_delta_log").glob("*.checkpoint.parquet"),
+        key=lambda p: int(p.name.split(".")[0]),
+    )
+    rows = pq.read_table(str(ck)).to_pylist()
+    proto = next(r["protocol"] for r in rows if r["protocol"])
+    assert proto["minReaderVersion"] == 3
+    assert "deletionVectors" in proto["readerFeatures"]
+    meta = next(r["metaData"] for r in rows if r["metaData"])
+    assert meta["id"] == orig_id
+    # adds carry real sizes, not zeros
+    adds = [r["add"] for r in rows if r["add"]]
+    assert all(a["size"] > 0 for a in adds)
+
+
 def test_dv_and_merge_on_space_bearing_partitions(spark, tmp_path):
     """Partition values with spaces render percent-encoded in
     ``_metadata.file_path`` — every python-side path that joins a

@@ -21,7 +21,12 @@ SF = "/root/testdata/sf0.001"
 
 
 def _latest_meta(tbl: str) -> str:
-    return str(sorted(Path(tbl, "metadata").glob("v*.metadata.json"))[-1])
+    return str(
+        max(
+            Path(tbl, "metadata").glob("v*.metadata.json"),
+            key=lambda p: int(p.name.split(".")[0][1:]),
+        )
+    )
 
 
 def test_append_roundtrip_and_time_travel(spark, tmp_path):
