@@ -479,3 +479,152 @@ SELECT
 FROM versions v
 GROUP BY v.snap, v.s_nationkey
 """
+
+
+# ---------------------------------------------------------------- F18
+
+
+def delta_cdc_write_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC loop CLOSED writer-to-reader: a CDF-enabled table takes
+    a MERGE (update_preimage/update_postimage pairs + inserts) and a
+    DV DELETE (row-level deletes), each commit WRITING _change_data
+    files; `read_delta_changes` over the range must return exactly the
+    row-level feed SQL derives from the source slices — no whole-file
+    churn, no DV gate.  This is the end-to-end CDC contract a
+    downstream incremental consumer relies on."""
+    prep(spark)
+    orders = load(spark, sf_dir, "orders")
+
+    def build(tbl: str) -> None:
+        base = orders.filter(F.col("o_orderkey") % 5 <= 2)
+        updates = base.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 100.0
+        )
+        inserts = orders.filter(F.col("o_orderkey") % 5 == 3)
+        DW.write_delta(
+            spark,
+            base,
+            tbl,
+            partition_by=["o_orderpriority"],
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        DW.merge_delta(spark, tbl, updates.unionByName(inserts), on=["o_orderkey"])
+        DW.delete_delta(spark, tbl, [("o_totalprice", "<", 5000.0)])
+
+    tbl = str(_ensure("wrt_orders_cdc", sf_dir, build))
+    ch = LF.read_delta_changes(spark, tbl, 1, 2)
+    return ch.groupBy("_commit_version", "_change_type", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+def _delta_cdc_write_read_sql() -> str:
+    s = _DSUM.format(c="o_totalprice")
+    return f"""
+WITH base AS (SELECT * FROM orders WHERE o_orderkey % 5 <= 2),
+upd_pre AS (SELECT * FROM base WHERE o_orderkey % 3 = 0),
+upd_post AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 100.0 AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM upd_pre
+),
+ins AS (SELECT * FROM orders WHERE o_orderkey % 5 = 3),
+merged AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM base
+  UNION ALL SELECT * FROM ins
+),
+changes AS (
+  SELECT 1 AS _commit_version, 'update_preimage' AS _change_type, * FROM upd_pre
+  UNION ALL SELECT 1, 'update_postimage', * FROM upd_post
+  UNION ALL SELECT 1, 'insert', * FROM ins
+  UNION ALL SELECT 2, 'delete', * FROM merged WHERE o_totalprice < 5000.0
+)
+SELECT
+  CAST(_commit_version AS BIGINT) AS _commit_version,
+  _change_type,
+  o_orderpriority,
+  count(*) AS n_rows,
+  {s} AS sum_price,
+  min(o_orderkey) AS min_key,
+  max(o_orderkey) AS max_key
+FROM changes
+GROUP BY _commit_version, _change_type, o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------- F19
+
+
+def delta_restore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TO VERSION as a new commit: append, append, DV-delete,
+    then restore to the pre-delete version — the latest read must
+    equal the full source again (DV'd files re-added as their clean
+    entries, fully-deleted files resurrected), history stays
+    readable, and files_added equals the closed form: the (commit,
+    segment) files the delete had touched (≥1 matching row each)."""
+    prep(spark)
+    cust = load(spark, sf_dir, "customer")
+
+    def build(tbl: str) -> None:
+        a = cust.filter(F.col("c_custkey") % 2 == 0)
+        b = cust.filter(F.col("c_custkey") % 2 == 1)
+        DW.write_delta(spark, a, tbl, partition_by=["c_mktsegment"])
+        DW.write_delta(spark, b, tbl, partition_by=["c_mktsegment"])
+        DW.delete_delta(spark, tbl, [("c_acctbal", "<", 500.0)])
+        aud = DW.restore_delta(spark, tbl, 1)
+        (Path(tbl) / "_RT_RESTORE_AUDIT").write_text(
+            f"{aud['files_added']} {aud['files_removed']} {aud['version']}"
+        )
+
+    tbl = str(_ensure("wrt_cust_restore", sf_dir, build))
+    added, removed, ver = (
+        int(x) for x in (Path(tbl) / "_RT_RESTORE_AUDIT").read_text().split()
+    )
+    df = LF.read_delta_snapshot(spark, tbl)
+    return (
+        df.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("sum_acctbal"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_rows",
+            "sum_acctbal",
+            F.lit(ver).cast("int").alias("table_version"),
+            F.lit(added).cast("int").alias("files_readded"),
+            F.lit(removed).cast("int").alias("files_removed"),
+        )
+    )
+
+
+def _delta_restore_read_sql() -> str:
+    s = _DSUM.format(c="c_acctbal")
+    return f"""
+WITH slices AS (
+  SELECT CASE WHEN c_custkey % 2 = 0 THEN 0 ELSE 1 END AS commit_no, *
+  FROM customer
+),
+touched AS (
+  SELECT commit_no, c_mktsegment
+  FROM slices GROUP BY commit_no, c_mktsegment
+  HAVING count(*) FILTER (WHERE c_acctbal < 500.0) > 0
+),
+ev AS (SELECT count(*) AS files_readded FROM touched)
+SELECT
+  c_mktsegment,
+  count(*) AS n_rows,
+  {s} AS sum_acctbal,
+  CAST(3 AS INTEGER) AS table_version,
+  CAST((SELECT files_readded FROM ev) AS INTEGER) AS files_readded,
+  CAST(0 AS INTEGER) AS files_removed
+FROM customer
+GROUP BY c_mktsegment
+"""

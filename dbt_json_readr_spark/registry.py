@@ -399,6 +399,16 @@ register(
     lakewrite._iceberg_write_roundtrip_sql,
 )
 register(
+    "delta_cdc_write_read",
+    lakewrite.delta_cdc_write_read,
+    lakewrite._delta_cdc_write_read_sql,
+)
+register(
+    "delta_restore_read",
+    lakewrite.delta_restore_read,
+    lakewrite._delta_restore_read_sql,
+)
+register(
     "streaming_delta_commits",
     streaming_jobs.streaming_delta_commits,
     streaming_jobs._streaming_delta_commits_sql,
@@ -469,6 +479,8 @@ _NEW_R8 = [
     "delta_optimize_compact",
     "streaming_delta_sink",
     "iceberg_write_roundtrip",
+    "delta_cdc_write_read",
+    "delta_restore_read",
 ]
 
 # Newest driver row is r4; ordered most load-bearing first (flagship

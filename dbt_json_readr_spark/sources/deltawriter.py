@@ -66,6 +66,7 @@ __all__ = [
     "delete_delta",
     "merge_delta",
     "optimize_delta",
+    "restore_delta",
     "write_delta_checkpoint",
     "last_txn_version",
 ]
@@ -433,6 +434,91 @@ def _stage_and_collect(
         )
     shutil.rmtree(stage, ignore_errors=True)
     return adds, total_rows
+
+
+def _cdf_enabled(snap: dict) -> bool:
+    return (
+        str(snap.get("configuration", {}).get("delta.enableChangeDataFeed", ""))
+        .lower()
+        == "true"
+    )
+
+
+def _stage_cdc(
+    spark: SparkSession,
+    rows: DataFrame,
+    table_path: str,
+    partition_by: list[str],
+    version: int,
+) -> list[dict]:
+    """Write CHANGE DATA FILES for one commit (PROTOCOL.md: parquet
+    under ``_change_data/`` carrying the table's data columns plus a
+    physical ``_change_type`` string; partition values live in the
+    ``cdc`` action, not the file) and return the cdc actions.  The
+    write is the same distributed staging pass as the data files —
+    change rows are data-scale, never driver-side."""
+    stage = Path(table_path) / f"_staging-cdc-{os.getpid()}-{version}"
+    if stage.exists():
+        shutil.rmtree(stage)
+    out = rows
+    if partition_by:
+        out = out.repartition(*[F.col(c) for c in partition_by])
+    w = out.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    ts_key = "spark.sql.parquet.outputTimestampType"
+    prev_ts = spark.conf.get(ts_key, None)
+    spark.conf.set(ts_key, "TIMESTAMP_MICROS")
+    try:
+        w.parquet(str(stage))
+    finally:
+        if prev_ts is None:
+            spark.conf.unset(ts_key)
+        else:
+            spark.conf.set(ts_key, prev_ts)
+    actions: list[dict] = []
+    staged = sorted(
+        (
+            (
+                ""
+                if p.parent == stage
+                else p.parent.relative_to(stage).as_posix(),
+                p,
+            )
+            for p in stage.rglob("*.parquet")
+        ),
+        key=lambda t: (t[0], t[1].name),
+    )
+    for idx, (rel_dir, p) in enumerate(staged):
+        pv: dict[str, str | None] = {}
+        if rel_dir:
+            for seg in rel_dir.split("/"):
+                col, _, raw = seg.partition("=")
+                pv[col] = None if raw == _HIVE_NULL else _unescape_hive(raw)
+        tag = hashlib.sha256(
+            f"cdc:{version}:{idx}:{os.getpid()}:{time.time_ns()}".encode()
+        ).hexdigest()[:8]
+        fname = f"cdc-{version:05d}-{idx:04d}-{tag}.parquet"
+        rel_path = (
+            f"_change_data/{rel_dir}/{fname}"
+            if rel_dir
+            else f"_change_data/{fname}"
+        )
+        dest = Path(table_path) / rel_path
+        dest.parent.mkdir(parents=True, exist_ok=True)
+        os.replace(p, dest)
+        actions.append(
+            {
+                "cdc": {
+                    "path": rel_path,
+                    "partitionValues": pv,
+                    "size": dest.stat().st_size,
+                    "dataChange": False,
+                }
+            }
+        )
+    shutil.rmtree(stage, ignore_errors=True)
+    return actions
 
 
 def _validate_partition_types(schema: T.StructType, partition_by: list[str]):
@@ -972,6 +1058,21 @@ def delete_delta(
     # version our plan was derived from (r8 review: a re-read let a
     # delete silently re-add a file another writer had just compacted)
     version = snap["version"] + 1
+    if _cdf_enabled(snap):
+        # CHANGE DATA FILES (PROTOCOL.md): with CDF on, the deleted
+        # rows themselves land under _change_data so readers get
+        # row-level deletes instead of gating on (or deriving
+        # whole-file churn from) the DV rewrite
+        del_rows = (
+            scan.filter(skipping.predicate_column(predicate))
+            .drop("__fp", "__pos")
+            .withColumn("_change_type", F.lit("delete"))
+        )
+        actions.extend(
+            _stage_cdc(
+                spark, del_rows, table_path, snap["partition_columns"], version
+            )
+        )
     _commit(table_path, version, actions)
     audit["version"] = version
     return audit
@@ -1086,6 +1187,7 @@ def merge_delta(
         inserts = src.join(
             scan.select(*on), on=on, how="left_anti"
         )
+        joined = None
         if updates_base is not None:
             s_alias = src.withColumn("__m", F.lit(True)).alias("s")
             t_alias = updates_base.alias("t")
@@ -1096,7 +1198,8 @@ def merge_delta(
             # a coalesce(s.c, t.c) merge would resurrect target values
             # under NULL source updates; matched rows take source
             # values VERBATIM, keyed on an explicit match flag
-            merged = t_alias.join(s_alias, cond, "left").select(
+            joined = t_alias.join(s_alias, cond, "left")
+            merged = joined.select(
                 *[
                     F.when(F.col("__m").isNotNull(), F.col(f"s.{c}"))
                     .otherwise(F.col(f"t.{c}"))
@@ -1109,6 +1212,26 @@ def merge_delta(
             new_rows = inserts
 
         version = snap["version"] + 1
+        cdc_actions: list[dict] = []
+        if _cdf_enabled(snap):
+            # CHANGE DATA FILES: matched rows contribute an
+            # update_preimage (target values) and update_postimage
+            # (source values) pair; unmatched source rows are inserts;
+            # COPIED rows of rewritten files are not changes
+            ct = "_change_type"
+            cdc_rows = inserts.withColumn(ct, F.lit("insert"))
+            if joined is not None:
+                m = joined.filter(F.col("__m").isNotNull())
+                pre = m.select(
+                    *[F.col(f"t.{c}").alias(c) for c in schema.fieldNames()]
+                ).withColumn(ct, F.lit("update_preimage"))
+                post = m.select(
+                    *[F.col(f"s.{c}").alias(c) for c in schema.fieldNames()]
+                ).withColumn(ct, F.lit("update_postimage"))
+                cdc_rows = cdc_rows.unionByName(pre).unionByName(post)
+            cdc_actions = _stage_cdc(
+                spark, cdc_rows, table_path, snap["partition_columns"], version
+            )
         adds, rows = _stage_and_collect(
             spark,
             new_rows.select(*schema.fieldNames()),
@@ -1136,6 +1259,7 @@ def merge_delta(
                 }
             )
         actions.extend({"add": a} for a in adds)
+        actions.extend(cdc_actions)
         _commit(table_path, version, actions)
         return {
             "version": version,
@@ -1207,6 +1331,88 @@ def optimize_delta(spark: SparkSession, table_path: str) -> dict:
     audit["files_after"] = len(snap["files"]) - len(victims) + len(adds)
     audit["version"] = version
     return audit
+
+
+# ------------------------------------------------------------------
+# RESTORE
+# ------------------------------------------------------------------
+
+
+def restore_delta(spark: SparkSession, table_path: str, version: int) -> dict:
+    """RESTORE TABLE TO VERSION AS OF ``version`` — a NEW commit whose
+    file actions make the live set equal the target snapshot's (time
+    travel that moves the table, not just a read).  History is
+    preserved: the restored-over commits stay replayable.  Pure
+    metadata — no data file moves; O(#files) driver work.
+
+    If the target's schema/partitioning/configuration differ from the
+    current ones, the commit re-emits the target ``metaData`` (same
+    table id).  The protocol is never downgraded."""
+    cur = LF.delta_snapshot(table_path)
+    tgt = LF.delta_snapshot(table_path, version)
+    cur_files = {f["path"]: f for f in cur["files"]}
+    tgt_files = {f["path"]: f for f in tgt["files"]}
+    now = _now_ms()
+    actions: list[dict] = [
+        _commit_info("RESTORE", {"version": version})
+    ]
+    if (
+        _schema_fingerprint(tgt["schema"]) != _schema_fingerprint(cur["schema"])
+        or tgt["partition_columns"] != cur["partition_columns"]
+        or tgt["configuration"] != cur["configuration"]
+    ):
+        actions.append(
+            {
+                "metaData": {
+                    "id": tgt["meta_id"] or cur["meta_id"],
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(tgt["schema"].jsonValue()),
+                    "partitionColumns": list(tgt["partition_columns"]),
+                    "configuration": dict(tgt["configuration"]),
+                }
+            }
+        )
+    adds = 0
+    removes = 0
+    for path, f in sorted(tgt_files.items()):
+        if cur_files.get(path) == f:
+            continue  # identical entry (same DV, stats) — untouched
+        actions.append(
+            {
+                "add": {
+                    "path": path,
+                    "partitionValues": f["partitionValues"],
+                    "size": int(f.get("size") or 0),
+                    "modificationTime": int(f.get("modificationTime") or 0),
+                    "dataChange": True,
+                    "stats": f.get("stats"),
+                    "deletionVector": f.get("deletionVector"),
+                }
+            }
+        )
+        adds += 1
+    for path, f in sorted(cur_files.items()):
+        if path in tgt_files:
+            continue
+        actions.append(
+            {
+                "remove": {
+                    "path": path,
+                    "deletionTimestamp": now,
+                    "dataChange": True,
+                    "partitionValues": f["partitionValues"],
+                }
+            }
+        )
+        removes += 1
+    new_version = cur["version"] + 1
+    _commit(table_path, new_version, actions)
+    return {
+        "version": new_version,
+        "restored_to": tgt["version"],
+        "files_added": adds,
+        "files_removed": removes,
+    }
 
 
 # ------------------------------------------------------------------

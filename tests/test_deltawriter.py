@@ -515,3 +515,89 @@ def test_timestamp_stats_are_usable_for_skipping(spark, tmp_path):
         snap, [("o_orderdate", ">=", lo)]
     )
     assert len(kept2) == len(snap["files"])
+
+
+def test_cdc_write_delete_and_merge(spark, tmp_path):
+    """With delta.enableChangeDataFeed, DELETE and MERGE write
+    _change_data files; the CDF reader returns ROW-LEVEL changes
+    (update_preimage/postimage pairs, per-row deletes) instead of
+    gating on the DV rewrite or deriving whole-file churn."""
+    tbl = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", float(i)) for i in range(20)],
+        "id long, p string, v double",
+    )
+    DW.write_delta(
+        spark,
+        df,
+        tbl,
+        partition_by=["p"],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    # MERGE: update ids 0-4 (v += 100), insert ids 100-102
+    src = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", float(i) + 100.0) for i in range(5)]
+        + [(i, "new", float(i)) for i in (100, 101, 102)],
+        "id long, p string, v double",
+    )
+    DW.merge_delta(spark, tbl, src, on=["id"])
+    # DELETE ids >= 100 — a DV delete on a CDF table
+    DW.delete_delta(spark, tbl, [("id", ">=", 100)])
+
+    ch = LF.read_delta_changes(spark, tbl, 1, 2)
+    by = {
+        (r["_commit_version"], r["_change_type"]): r["n"]
+        for r in ch.groupBy("_commit_version", "_change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert by == {
+        (1, "update_preimage"): 5,
+        (1, "update_postimage"): 5,
+        (1, "insert"): 3,
+        (2, "delete"): 3,
+    }
+    # postimages carry the UPDATED values; preimages the originals
+    post = {
+        r["id"]: r["v"]
+        for r in ch.filter(
+            F.col("_change_type") == "update_postimage"
+        ).collect()
+    }
+    assert post == {i: float(i) + 100.0 for i in range(5)}
+    pre = {
+        r["id"]: r["v"]
+        for r in ch.filter(F.col("_change_type") == "update_preimage").collect()
+    }
+    assert pre == {i: float(i) for i in range(5)}
+    # the delete rows are exactly the inserted-then-deleted ids
+    dels = {
+        r["id"] for r in ch.filter(F.col("_change_type") == "delete").collect()
+    }
+    assert dels == {100, 101, 102}
+    # snapshot reads are unaffected by _change_data files
+    assert LF.read_delta_snapshot(spark, tbl).count() == 20
+
+
+def test_restore_delta(spark, tmp_path, customers):
+    tbl = str(tmp_path / "t")
+    a = customers.filter(F.col("c_custkey") % 2 == 0)
+    b = customers.filter(F.col("c_custkey") % 2 == 1)
+    DW.write_delta(spark, a, tbl, partition_by=["c_mktsegment"])   # v0
+    DW.write_delta(spark, b, tbl, partition_by=["c_mktsegment"])   # v1
+    DW.delete_delta(spark, tbl, [("c_acctbal", "<", 500.0)])       # v2
+    aud = DW.restore_delta(spark, tbl, 1)                          # v3
+    assert aud["version"] == 3 and aud["restored_to"] == 1
+    back = LF.read_delta_snapshot(spark, tbl)
+    assert back.count() == customers.count()
+    assert _dec_sum(back, "c_acctbal") == _dec_sum(customers, "c_acctbal")
+    # the DV'd / removed files were re-added as their v1 entries
+    snap = LF.delta_snapshot(tbl)
+    assert not any(f.get("deletionVector") for f in snap["files"])
+    # history preserved: v2 still readable
+    v2 = LF.read_delta_snapshot(spark, tbl, version=2)
+    exp2 = customers.filter(~(F.col("c_acctbal") < 500.0))
+    assert v2.count() == exp2.count()
+    # restore to v0 changes partition content back
+    DW.restore_delta(spark, tbl, 0)
+    assert LF.read_delta_snapshot(spark, tbl).count() == a.count()
