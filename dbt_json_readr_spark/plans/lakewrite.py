@@ -1,6 +1,7 @@
-"""Write-path bridge keys (r8, SURVEY §2 F13–F16): the native Delta
-WRITER (sources/deltawriter.py) proven end-to-end through the
-INDEPENDENT read bridge, with pure-SQL oracles over the source tables.
+"""Write-path bridge keys (r8, SURVEY §2 F13–F21): the native Delta /
+Iceberg WRITERS (sources/deltawriter.py, sources/icebergwriter.py)
+proven end-to-end through the INDEPENDENT read bridges, with pure-SQL
+oracles over the source tables.
 
 Each key derives a deterministic slice of a standard table, writes /
 mutates a Delta table with the writer under test, reads the result
@@ -626,5 +627,146 @@ SELECT
   CAST((SELECT files_readded FROM ev) AS INTEGER) AS files_readded,
   CAST(0 AS INTEGER) AS files_removed
 FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------- F20
+
+
+def delta_sorted_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE with sort_by — the clustering rewrite that makes
+    stats-based skipping BITE: a fragmented, unsorted lineitem slice
+    rewrites with rows sorted on l_orderkey inside each returnflag
+    partition (maxRecordsPerFile slicing the sorted run), after which
+    a range probe through the bridge's own skipping opens exactly
+    ceil(matching_rows/200) files per flag — closed-form, because each
+    file covers a contiguous key range.  The rollup under the probe
+    must equal source SQL; the file evidence must equal the formula."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    K = 20000
+
+    def build(tbl: str) -> None:
+        frag = li.filter(F.col("l_orderkey") % 11 == 0)
+        DW.write_delta(
+            spark,
+            frag,
+            tbl,
+            partition_by=["l_returnflag"],
+            max_records_per_file=200,
+        )
+        DW.optimize_delta(
+            spark, tbl, sort_by=["l_orderkey"], max_records_per_file=200
+        )
+
+    tbl = str(_ensure("wrt_li_sorted", sf_dir, build))
+    snap = LF.delta_snapshot(tbl)
+    pred = [("l_orderkey", "<", K)]
+    kept, _ = LF.prune_delta_files(snap, pred)
+    df = LF.read_delta_snapshot(spark, tbl, predicate=pred)
+    return (
+        df.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.min("l_orderkey").alias("min_key"),
+            F.max("l_orderkey").alias("max_key"),
+        )
+        .select(
+            "*",
+            F.lit(len(snap["files"])).cast("int").alias("files_total"),
+            F.lit(len(kept)).cast("int").alias("files_kept"),
+        )
+    )
+
+
+def _delta_sorted_rewrite_sql() -> str:
+    s = _DSUM.format(c="l_quantity")
+    return f"""
+WITH frag AS (SELECT * FROM lineitem WHERE l_orderkey % 11 = 0),
+per_flag AS (
+  SELECT l_returnflag,
+         count(*) AS n_all,
+         count(*) FILTER (WHERE l_orderkey < 20000) AS n_lt
+  FROM frag GROUP BY l_returnflag
+),
+ev AS (
+  SELECT CAST(sum(CEIL(n_all / 200.0)) AS INTEGER) AS files_total,
+         CAST(sum(CEIL(n_lt / 200.0)) AS INTEGER) AS files_kept
+  FROM per_flag
+)
+SELECT
+  l_returnflag,
+  count(*) AS n_rows,
+  {s} AS sum_qty,
+  min(l_orderkey) AS min_key,
+  max(l_orderkey) AS max_key,
+  (SELECT files_total FROM ev) AS files_total,
+  (SELECT files_kept FROM ev) AS files_kept
+FROM frag
+WHERE l_orderkey < 20000
+GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------- F21
+
+
+def delta_vacuum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM completes the write-path lifecycle: after an OVERWRITE
+    makes commit-0's files tombstones, a zero-retention vacuum at a
+    far-future clock deletes exactly those files (the mtime safety
+    rule — live files and young files never go) while the latest read
+    is untouched.  files_deleted has a closed form: one file per
+    segment present in the ORIGINAL table (the colocate layout)."""
+    prep(spark)
+    cust = load(spark, sf_dir, "customer")
+
+    def build(tbl: str) -> None:
+        DW.write_delta(spark, cust, tbl, partition_by=["c_mktsegment"])
+        sub = cust.filter(F.col("c_custkey") % 2 == 0)
+        DW.write_delta(
+            spark, sub, tbl, mode="overwrite", partition_by=["c_mktsegment"]
+        )
+        aud = DW.vacuum_delta(spark, tbl, retention_ms=0, now_ms=10**15)
+        (Path(tbl) / "_RT_VACUUM_AUDIT").write_text(
+            f"{aud['files_deleted']} {aud['files_live']}"
+        )
+
+    tbl = str(_ensure("wrt_cust_vacuum", sf_dir, build))
+    deleted, live = (
+        int(x) for x in (Path(tbl) / "_RT_VACUUM_AUDIT").read_text().split()
+    )
+    df = LF.read_delta_snapshot(spark, tbl)
+    return (
+        df.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("sum_acctbal"),
+        )
+        .select(
+            "*",
+            F.lit(deleted).cast("int").alias("files_vacuumed"),
+            F.lit(live).cast("int").alias("files_live"),
+        )
+    )
+
+
+def _delta_vacuum_audit_sql() -> str:
+    s = _DSUM.format(c="c_acctbal")
+    return f"""
+WITH sub AS (SELECT * FROM customer WHERE c_custkey % 2 = 0),
+ev AS (
+  SELECT (SELECT count(DISTINCT c_mktsegment) FROM customer) AS files_vacuumed,
+         (SELECT count(DISTINCT c_mktsegment) FROM sub) AS files_live
+)
+SELECT
+  c_mktsegment,
+  count(*) AS n_rows,
+  {s} AS sum_acctbal,
+  CAST((SELECT files_vacuumed FROM ev) AS INTEGER) AS files_vacuumed,
+  CAST((SELECT files_live FROM ev) AS INTEGER) AS files_live
+FROM sub
 GROUP BY c_mktsegment
 """

@@ -409,6 +409,16 @@ register(
     lakewrite._delta_restore_read_sql,
 )
 register(
+    "delta_sorted_rewrite",
+    lakewrite.delta_sorted_rewrite,
+    lakewrite._delta_sorted_rewrite_sql,
+)
+register(
+    "delta_vacuum_audit",
+    lakewrite.delta_vacuum_audit,
+    lakewrite._delta_vacuum_audit_sql,
+)
+register(
     "streaming_delta_commits",
     streaming_jobs.streaming_delta_commits,
     streaming_jobs._streaming_delta_commits_sql,
@@ -481,6 +491,8 @@ _NEW_R8 = [
     "iceberg_write_roundtrip",
     "delta_cdc_write_read",
     "delta_restore_read",
+    "delta_sorted_rewrite",
+    "delta_vacuum_audit",
 ]
 
 # Newest driver row is r4; ordered most load-bearing first (flagship

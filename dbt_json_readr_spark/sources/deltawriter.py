@@ -67,6 +67,7 @@ __all__ = [
     "merge_delta",
     "optimize_delta",
     "restore_delta",
+    "vacuum_delta",
     "write_delta_checkpoint",
     "last_txn_version",
 ]
@@ -353,6 +354,7 @@ def _stage_and_collect(
     version: int,
     max_records_per_file: int | None,
     colocate: bool,
+    sort_within: list | None = None,
 ) -> tuple[list[dict], int]:
     """Spark-write ``df`` into a staging dir, move the parquet files to
     their final names under the table root, and return (add actions,
@@ -368,6 +370,17 @@ def _stage_and_collect(
     out = df
     if partition_by and colocate:
         out = out.repartition(*[F.col(c) for c in partition_by])
+    if sort_within:
+        # clustering layout: rows sort within each task on
+        # (partition cols, sort keys) so every emitted file covers a
+        # CONTIGUOUS key range — maxRecordsPerFile then slices the
+        # sorted run, making footer min/max DISJOINT across a
+        # partition's files (the zone-map-friendly rewrite the
+        # zone_map_skipping_audit motivates)
+        out = out.sortWithinPartitions(
+            *[F.col(c) for c in partition_by],
+            *[c if not isinstance(c, str) else F.col(c) for c in sort_within],
+        )
     w = out.write.mode("overwrite")
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", str(max_records_per_file))
@@ -1276,16 +1289,33 @@ def merge_delta(
 # ------------------------------------------------------------------
 
 
-def optimize_delta(spark: SparkSession, table_path: str) -> dict:
+def optimize_delta(
+    spark: SparkSession,
+    table_path: str,
+    sort_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+) -> dict:
     """Bin-pack every multi-file partition into one file and apply
     outstanding deletion vectors physically.  ``dataChange: false`` —
     the logical table is identical, so CDF readers and downstream
-    incremental consumers correctly ignore the commit."""
+    incremental consumers correctly ignore the commit.
+
+    ``sort_by`` turns compaction into a CLUSTERING rewrite (OPTIMIZE
+    ZORDER's one-dimensional core; pass a computed interleave column
+    via ``F.expr`` upstream for true multi-column Z-order): EVERY live
+    file rewrites with rows sorted on the keys inside each partition,
+    so per-file footer min/max become disjoint and the stats-based
+    skipping this bridge writes/reads prunes range probes to the files
+    that actually hold the range."""
     snap = LF.delta_snapshot(table_path)
     if snap["column_mapping_mode"] != "none":
         raise LF.LakeFormatGatedError(
             "OPTIMIZE on column-mapped tables is not implemented"
         )
+    if sort_by:
+        for c in sort_by:
+            if isinstance(c, str) and c not in snap["schema"].fieldNames():
+                raise LF.LakeFormatError(f"sort column {c!r} not in schema")
     groups: dict[tuple, list[dict]] = {}
     pcols = snap["partition_columns"]
     for f in snap["files"]:
@@ -1293,7 +1323,9 @@ def optimize_delta(spark: SparkSession, table_path: str) -> dict:
         groups.setdefault(pkey, []).append(f)
     victims: list[dict] = []
     for pkey, members in groups.items():
-        if len(members) > 1 or any(m.get("deletionVector") for m in members):
+        if sort_by or len(members) > 1 or any(
+            m.get("deletionVector") for m in members
+        ):
             victims.extend(members)
     audit = {
         "files_before": len(snap["files"]),
@@ -1310,7 +1342,14 @@ def optimize_delta(spark: SparkSession, table_path: str) -> dict:
     )
     version = snap["version"] + 1
     adds, _nrows = _stage_and_collect(
-        spark, rows, table_path, pcols, version, None, True
+        spark,
+        rows,
+        table_path,
+        pcols,
+        version,
+        max_records_per_file,
+        True,
+        sort_within=list(sort_by) if sort_by else None,
     )
     now = _now_ms()
     actions: list[dict] = [_commit_info("OPTIMIZE", {})]
@@ -1331,6 +1370,94 @@ def optimize_delta(spark: SparkSession, table_path: str) -> dict:
     audit["files_after"] = len(snap["files"]) - len(victims) + len(adds)
     audit["version"] = version
     return audit
+
+
+# ------------------------------------------------------------------
+# VACUUM
+# ------------------------------------------------------------------
+
+
+def vacuum_delta(
+    spark: SparkSession,
+    table_path: str,
+    retention_ms: int = 7 * 24 * 3600 * 1000,
+    now_ms: int | None = None,
+    dry_run: bool = False,
+) -> dict:
+    """Delete data/DV files under the table that the LATEST snapshot
+    does not reference and whose modification time is older than the
+    retention horizon (the protocol's mtime-based safety rule — a
+    tombstone timestamp can lie, the filesystem cannot).  Also sweeps
+    orphaned ``_staging-*`` dirs past the horizon.  ``_delta_log`` and
+    ``_change_data`` are never touched (the change feed has its own
+    retention).  DESTRUCTIVE by contract: time travel to versions
+    whose files were vacuumed fails loudly at read, exactly like
+    production Delta.  Returns {files_deleted, bytes_deleted,
+    files_retained_young, files_live}."""
+    import uuid as _uuid_mod
+
+    snap = LF.delta_snapshot(table_path)
+    now = _now_ms() if now_ms is None else int(now_ms)
+    horizon = now - int(retention_ms)
+    live: set[str] = set()
+    for f in snap["files"]:
+        live.add(os.path.normpath(os.path.join(table_path, f["path"])))
+        dv = f.get("deletionVector")
+        if dv and dv.get("storageType") in ("u", "p"):
+            if dv["storageType"] == "u":
+                body = dv.get("pathOrInlineDv") or ""
+                prefix, z85_uuid = body[:-20], body[-20:]
+                uid = _uuid_mod.UUID(bytes=roaring.z85_decode(z85_uuid))
+                live.add(
+                    os.path.normpath(
+                        os.path.join(
+                            table_path, prefix, f"deletion_vector_{uid}.bin"
+                        )
+                    )
+                )
+            else:
+                live.add(
+                    os.path.normpath(
+                        LF._resolve(dv.get("pathOrInlineDv") or "", table_path)
+                    )
+                )
+    root = Path(table_path)
+    deleted = 0
+    deleted_bytes = 0
+    young = 0
+    for p in sorted(root.rglob("*")):
+        rel0 = p.relative_to(root).parts[0]
+        if rel0 in ("_delta_log", "_change_data") or rel0.startswith(
+            "_staging"
+        ):
+            continue
+        if not p.is_file():
+            continue
+        if os.path.normpath(str(p)) in live:
+            continue
+        if p.stat().st_mtime_ns // 1_000_000 >= horizon:
+            young += 1
+            continue
+        deleted += 1
+        deleted_bytes += p.stat().st_size
+        if not dry_run:
+            p.unlink()
+    for d in sorted(root.glob("_staging*")):
+        if d.is_dir() and d.stat().st_mtime_ns // 1_000_000 < horizon:
+            if not dry_run:
+                shutil.rmtree(d, ignore_errors=True)
+    if not dry_run:
+        # prune now-empty partition directories (cosmetic, like the
+        # production command)
+        for d in sorted(root.rglob("*"), reverse=True):
+            if d.is_dir() and d.name != "_delta_log" and not any(d.iterdir()):
+                d.rmdir()
+    return {
+        "files_deleted": deleted,
+        "bytes_deleted": deleted_bytes,
+        "files_retained_young": young,
+        "files_live": len(live),
+    }
 
 
 # ------------------------------------------------------------------

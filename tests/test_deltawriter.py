@@ -601,3 +601,81 @@ def test_restore_delta(spark, tmp_path, customers):
     # restore to v0 changes partition content back
     DW.restore_delta(spark, tbl, 0)
     assert LF.read_delta_snapshot(spark, tbl).count() == a.count()
+
+
+def test_optimize_sorted_rewrite_tightens_bounds(spark, tmp_path):
+    """OPTIMIZE with sort_by rewrites every partition CLUSTERED: the
+    written footer stats become disjoint per partition, so a range
+    probe through the bridge's own skipping opens only the files that
+    hold the range — closed form ceil(matching_rows / N)."""
+    import math
+
+    tbl = str(tmp_path / "t")
+    # interleave ids across two partitions, deliberately unsorted
+    rows = [((i * 7919) % 1000, "a" if i % 2 else "b") for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, p string")
+    DW.write_delta(spark, df, tbl, partition_by=["p"], max_records_per_file=100)
+    snap0 = LF.delta_snapshot(tbl)
+    kept0, _ = LF.prune_delta_files(snap0, [("id", "<", 100)])
+    assert len(kept0) == len(snap0["files"])  # unsorted: nothing prunes
+
+    aud = DW.optimize_delta(spark, tbl, sort_by=["id"], max_records_per_file=100)
+    assert aud["files_compacted"] == len(snap0["files"])
+    snap1 = LF.delta_snapshot(tbl)
+    kept1, _ = LF.prune_delta_files(snap1, [("id", "<", 100)])
+    per_part = {}
+    for r in rows:
+        if r[0] < 100:
+            per_part[r[1]] = per_part.get(r[1], 0) + 1
+    exp = sum(math.ceil(n / 100) for n in per_part.values())
+    assert len(kept1) == exp
+    # per-partition bounds are disjoint
+    import json as _json
+
+    by_part = {}
+    for f in snap1["files"]:
+        st = _json.loads(f["stats"])
+        by_part.setdefault(f["partitionValues"]["p"], []).append(
+            (st["minValues"]["id"], st["maxValues"]["id"])
+        )
+    for spans in by_part.values():
+        spans.sort()
+        for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+            assert hi1 < lo2
+    # the data is unchanged
+    back = LF.read_delta_snapshot(spark, tbl)
+    assert back.count() == 1000
+    assert back.agg(F.sum("id")).collect()[0][0] == sum(r[0] for r in rows)
+
+
+def test_vacuum_delta(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(30000)], "id long, p string"
+    )
+    DW.write_delta(spark, df, tbl, partition_by=["p"])                    # v0
+    n_v0_files = len(LF.delta_snapshot(tbl)["files"])
+    # scattered delete → file-backed ('u') deletion vector
+    DW.delete_delta(spark, tbl, [("id", "in", list(range(0, 30000, 7)))])  # v1
+    dv_bins = list(Path(tbl).glob("deletion_vector_*.bin"))
+    assert dv_bins
+    far = 10**15  # far-future "now"
+
+    # live DV files survive vacuum even with zero retention
+    aud0 = DW.vacuum_delta(spark, tbl, retention_ms=0, now_ms=far)
+    assert aud0["files_deleted"] == 0
+    assert all(p.exists() for p in dv_bins)
+
+    sub = df.filter(F.col("id") % 3 == 0)
+    DW.write_delta(spark, sub, tbl, mode="overwrite", partition_by=["p"])  # v2
+    # young files are retained
+    aud1 = DW.vacuum_delta(spark, tbl, retention_ms=10**15, now_ms=far)
+    assert aud1["files_deleted"] == 0 and aud1["files_retained_young"] > 0
+    # past the horizon: the v0 data files AND the orphaned DV file go
+    aud2 = DW.vacuum_delta(spark, tbl, retention_ms=0, now_ms=far)
+    assert aud2["files_deleted"] == n_v0_files + len(dv_bins)
+    assert not any(p.exists() for p in dv_bins)
+    # latest unaffected; vacuumed history fails LOUDLY at read
+    assert LF.read_delta_snapshot(spark, tbl).count() == sub.count()
+    with pytest.raises(Exception):
+        LF.read_delta_snapshot(spark, tbl, version=0).count()
