@@ -55,6 +55,10 @@ HEADLINE = STABLE_8 + [
     # r8: the stats-skipping audit (9 predicated bridge reads over both
     # formats — tracks prune-path overhead; sf-invariant fixtures)
     "lake_skipping_audit",
+    # r8 session 2: the native WRITE path in the headline — cold pays
+    # the build (two distributed writes + commit authoring at sf_dir
+    # scale), steady measures the written table's read+prune path
+    "delta_write_roundtrip",
 ]
 
 

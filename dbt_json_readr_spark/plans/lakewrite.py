@@ -770,3 +770,143 @@ SELECT
 FROM sub
 GROUP BY c_mktsegment
 """
+
+
+# ---------------------------------------------------------------- F22
+
+
+def iceberg_delete_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 POSITION-DELETE WRITE: the native writer authors a
+    delete parquet + delete manifest + new snapshot (next sequence
+    number), and the independent bridge's anti-join must return
+    exactly the SQL survivors — while the pre-delete snapshot still
+    reads whole.  Evidence: positions_written equals the SQL deleted
+    count; the table ends at exactly two snapshots."""
+    prep(spark)
+    from ..sources import icebergwriter as IW
+
+    sup = load(spark, sf_dir, "supplier")
+
+    def build(root: str) -> None:
+        tbl = os.path.join(root, "table")
+        IW.write_iceberg(spark, sup, tbl, partition_by=["s_nationkey"])
+        meta = max(
+            Path(tbl, "metadata").glob("v*.metadata.json"),
+            key=lambda p: int(p.name.split(".")[0][1:]),
+        )
+        aud = IW.delete_iceberg(spark, str(meta), [("s_acctbal", "<", 3000.0)])
+        (Path(root) / "_RT_DEL_AUDIT").write_text(str(aud["positions_written"]))
+
+    root = _ensure("wrt_ice_del", sf_dir, build)
+    deleted = int((root / "_RT_DEL_AUDIT").read_text())
+    meta = max(
+        (root / "table" / "metadata").glob("v*.metadata.json"),
+        key=lambda p: int(p.name.split(".")[0][1:]),
+    )
+    info = LF.iceberg_snapshot_info(str(meta))
+    n_snaps = len(info["metadata"]["snapshots"])
+    df = LF.read_iceberg_snapshot(spark, str(meta))
+    return (
+        df.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(_dec("s_acctbal")).cast("double").alias("sum_acctbal"),
+            F.min("s_suppkey").alias("min_key"),
+        )
+        .select(
+            "*",
+            F.lit(deleted).cast("int").alias("positions_deleted"),
+            F.lit(n_snaps).cast("int").alias("n_snapshots"),
+        )
+    )
+
+
+def _iceberg_delete_write_sql() -> str:
+    s = _DSUM.format(c="s_acctbal")
+    return f"""
+WITH surv AS (SELECT * FROM supplier WHERE NOT (s_acctbal < 3000.0)),
+ev AS (SELECT count(*) AS deleted FROM supplier WHERE s_acctbal < 3000.0)
+SELECT
+  s_nationkey,
+  count(*) AS n_rows,
+  {s} AS sum_acctbal,
+  min(s_suppkey) AS min_key,
+  CAST((SELECT deleted FROM ev) AS INTEGER) AS positions_deleted,
+  CAST(2 AS INTEGER) AS n_snapshots
+FROM surv
+GROUP BY s_nationkey
+"""
+
+
+# ---------------------------------------------------------------- F23
+
+
+def iceberg_expire_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPIRE SNAPSHOTS — the Iceberg maintenance twin of VACUUM:
+    after two appends and a position delete, keep_last=1 drops the two
+    history snapshots, deletes the files reachable ONLY from them
+    (exactly the two superseded manifest LISTS — the data files and
+    manifests are shared with the survivor and must stay), and the
+    current read is untouched while expired snapshots gate loudly.
+    files_deleted's closed form is literal: 2."""
+    prep(spark)
+    from ..sources import icebergwriter as IW
+
+    sup = load(spark, sf_dir, "supplier")
+
+    def build(root: str) -> None:
+        tbl = os.path.join(root, "table")
+        a = sup.filter(F.col("s_suppkey") % 2 == 0)
+        b = sup.filter(F.col("s_suppkey") % 2 == 1)
+        IW.write_iceberg(spark, a, tbl, partition_by=["s_nationkey"])
+        IW.write_iceberg(spark, b, tbl, partition_by=["s_nationkey"])
+        meta = max(
+            Path(tbl, "metadata").glob("v*.metadata.json"),
+            key=lambda p: int(p.name.split(".")[0][1:]),
+        )
+        IW.delete_iceberg(spark, str(meta), [("s_acctbal", "<", 3000.0)])
+        meta = max(
+            Path(tbl, "metadata").glob("v*.metadata.json"),
+            key=lambda p: int(p.name.split(".")[0][1:]),
+        )
+        aud = IW.expire_iceberg_snapshots(spark, str(meta), keep_last=1)
+        (Path(root) / "_RT_EXPIRE_AUDIT").write_text(
+            f"{aud['snapshots_expired']} {aud['files_deleted']}"
+        )
+
+    root = _ensure("wrt_ice_expire", sf_dir, build)
+    expired, fdeleted = (
+        int(x) for x in (root / "_RT_EXPIRE_AUDIT").read_text().split()
+    )
+    meta = max(
+        (root / "table" / "metadata").glob("v*.metadata.json"),
+        key=lambda p: int(p.name.split(".")[0][1:]),
+    )
+    df = LF.read_iceberg_snapshot(spark, str(meta))
+    return (
+        df.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(_dec("s_acctbal")).cast("double").alias("sum_acctbal"),
+        )
+        .select(
+            "*",
+            F.lit(expired).cast("int").alias("snapshots_expired"),
+            F.lit(fdeleted).cast("int").alias("files_deleted"),
+        )
+    )
+
+
+def _iceberg_expire_audit_sql() -> str:
+    s = _DSUM.format(c="s_acctbal")
+    return f"""
+WITH surv AS (SELECT * FROM supplier WHERE NOT (s_acctbal < 3000.0))
+SELECT
+  s_nationkey,
+  count(*) AS n_rows,
+  {s} AS sum_acctbal,
+  CAST(2 AS INTEGER) AS snapshots_expired,
+  CAST(2 AS INTEGER) AS files_deleted
+FROM surv
+GROUP BY s_nationkey
+"""

@@ -419,6 +419,16 @@ register(
     lakewrite._delta_vacuum_audit_sql,
 )
 register(
+    "iceberg_delete_write",
+    lakewrite.iceberg_delete_write,
+    lakewrite._iceberg_delete_write_sql,
+)
+register(
+    "iceberg_expire_audit",
+    lakewrite.iceberg_expire_audit,
+    lakewrite._iceberg_expire_audit_sql,
+)
+register(
     "streaming_delta_commits",
     streaming_jobs.streaming_delta_commits,
     streaming_jobs._streaming_delta_commits_sql,
@@ -493,6 +503,8 @@ _NEW_R8 = [
     "delta_restore_read",
     "delta_sorted_rewrite",
     "delta_vacuum_audit",
+    "iceberg_delete_write",
+    "iceberg_expire_audit",
 ]
 
 # Newest driver row is r4; ordered most load-bearing first (flagship

@@ -45,7 +45,12 @@ from pyspark.sql import types as T
 from . import lakeformats as LF
 from .deltawriter import footer_column_stats
 
-__all__ = ["write_iceberg"]
+__all__ = [
+    "write_iceberg",
+    "delete_iceberg",
+    "expire_iceberg_snapshots",
+    "encode_iceberg_bound",
+]
 
 
 def _iceberg_type_of(dt: T.DataType) -> str:
@@ -723,3 +728,333 @@ def write_iceberg(
         "rows_written": rows_total,
         "sequence_number": seq,
     }
+
+
+# ------------------------------------------------------------------
+# position-delete WRITE
+# ------------------------------------------------------------------
+
+
+def delete_iceberg(
+    spark: SparkSession, metadata_path: str, predicate: list
+) -> dict:
+    """DELETE FROM an Iceberg table as v2 POSITION DELETES — the
+    no-rewrite delete: matching rows' (file URI, position) pairs land
+    in a delete parquet (distributed write; positions come from
+    Spark's ``_metadata`` hidden columns), a delete MANIFEST (content
+    1) joins the new manifest list beside every carried-forward
+    manifest, and a new snapshot commits with the next sequence number
+    — so the delete scopes to files committed at-or-before it, the
+    spec's ordering rule.
+
+    Rows already dead under EXISTING deletes may be re-listed (the
+    predicate scan here does not re-apply prior delete files);
+    position deletes are idempotent under the anti-join, so this is
+    harmless redundancy, never wrongness — and the returned
+    ``positions_written`` is documented as an upper bound when prior
+    deletes overlap the predicate."""
+    from . import skipping
+
+    info = LF.iceberg_snapshot_info(metadata_path)
+    meta = info["metadata"]
+    table_dir = os.path.dirname(os.path.dirname(os.path.abspath(metadata_path)))
+    skipping.validate_predicate(
+        predicate, [f.name for f in info["schema"].fields]
+    )
+
+    entries = LF.iceberg_snapshot_entries(spark, metadata_path)
+    data_files = sorted(
+        {
+            e["path"]
+            for e in entries
+            if e["status"] != 2 and e["content"] == 0
+        }
+    )
+    for p in data_files:
+        ap = os.path.abspath(p)
+        if LF._uri_path(ap) != ap:
+            raise LF.LakeFormatGatedError(
+                f"data-file path needs URI percent-encoding ({ap!r}) — "
+                "position deletes cannot be matched against Spark's "
+                "encoded rendering (same gate as the read side)"
+            )
+    if not data_files:
+        return {"positions_written": 0, "snapshot_id": None}
+
+    scan = LF._iceberg_grouped_read(spark, data_files, info, with_meta=True)
+    # store file_path TABLE-ROOT-RELATIVE, the same rule the manifests
+    # follow — absolute URIs go stale the moment the table directory
+    # moves (r8 session 2: the atomic fixture build rename did exactly
+    # that and every delete silently missed); the reader resolves
+    # relative stored paths against the root, foreign absolute URIs
+    # still work
+    prefix = table_dir.rstrip("/") + "/"
+    fp = F.col("__fp")
+    matched = scan.filter(skipping.predicate_column(predicate)).select(
+        F.when(
+            fp.startswith(prefix), F.expr(f"substring(__fp, {len(prefix) + 1})")
+        )
+        .otherwise(F.concat(F.lit("file://"), fp))
+        .alias("file_path"),
+        F.col("__pos").alias("pos"),
+    )
+
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    snapshot_id = seq
+    wsalt = hashlib.sha256(
+        f"{os.getpid()}:{time.time_ns()}:del".encode()
+    ).hexdigest()[:8]
+    del_rel = f"data/delete-{seq:05d}-{wsalt}.parquet"
+    del_dest = Path(table_dir) / del_rel
+    del_dest.parent.mkdir(parents=True, exist_ok=True)
+    stage = Path(table_dir) / f"_staging-del-{os.getpid()}-{seq}"
+    if stage.exists():
+        shutil.rmtree(stage)
+    # one sorted file: delete parquet must sort by (file, pos) per the
+    # spec's recommendation; coalesce(1) is bounded by delete
+    # cardinality, not table size
+    matched.coalesce(1).sortWithinPartitions("file_path", "pos").write.mode(
+        "overwrite"
+    ).parquet(str(stage))
+    parts = sorted(stage.rglob("*.parquet"))
+    if not parts:
+        shutil.rmtree(stage, ignore_errors=True)
+        return {"positions_written": 0, "snapshot_id": None}
+    os.replace(parts[0], del_dest)
+    shutil.rmtree(stage, ignore_errors=True)
+
+    import pyarrow.parquet as pq
+
+    n_positions = pq.ParquetFile(str(del_dest)).metadata.num_rows
+    if n_positions == 0:
+        del_dest.unlink()
+        return {"positions_written": 0, "snapshot_id": None}
+
+    meta_dir = Path(table_dir) / "metadata"
+    spec_fields = info["partition_spec_fields"]
+    partition_avro_fields = []
+    schema_json = info["schema_json"]
+    types_by_name = {f["name"]: f["type"] for f in schema_json["fields"]}
+    names_by_id = info["field_names_by_id"]
+    for sf in spec_fields:
+        col = names_by_id[sf["source-id"]]
+        t = types_by_name[col]
+        partition_avro_fields.append(
+            {"name": sf["name"], "avro": "long" if t in ("int", "long") else "string"}
+        )
+    m_name = f"dm-{snapshot_id:05d}-{wsalt}.avro"
+    LF.write_avro_records(
+        spark,
+        str(meta_dir / m_name),
+        _manifest_schema(partition_avro_fields),
+        [
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "data_file": {
+                    "content": 1,
+                    "file_path": del_rel,
+                    "file_format": "PARQUET",
+                    "record_count": n_positions,
+                    "file_size_in_bytes": del_dest.stat().st_size,
+                    "partition": {f["name"]: None for f in partition_avro_fields},
+                    "value_counts": None,
+                    "null_value_counts": None,
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                    "equality_ids": None,
+                },
+            }
+        ],
+    )
+
+    parent = meta.get("current-snapshot-id")
+    snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    prev_manifests = LF._read_avro_records(
+        spark, LF._resolve(snaps[parent]["manifest-list"], table_dir)
+    )
+    mlist_rows = [
+        {
+            "manifest_path": r["manifest_path"],
+            "manifest_length": int(r.get("manifest_length") or 0),
+            "partition_spec_id": int(r.get("partition_spec_id") or 0),
+            "content": int(r.get("content") or 0),
+            "sequence_number": r.get("sequence_number"),
+            "min_sequence_number": r.get("min_sequence_number"),
+            "added_snapshot_id": r.get("added_snapshot_id"),
+            "added_files_count": int(r.get("added_files_count") or 0),
+            "existing_files_count": int(r.get("existing_files_count") or 0),
+            "deleted_files_count": int(r.get("deleted_files_count") or 0),
+            "added_rows_count": int(r.get("added_rows_count") or 0),
+            "existing_rows_count": int(r.get("existing_rows_count") or 0),
+            "deleted_rows_count": int(r.get("deleted_rows_count") or 0),
+            "partitions": r.get("partitions"),
+        }
+        for r in prev_manifests
+    ]
+    mlist_rows.append(
+        {
+            "manifest_path": f"metadata/{m_name}",
+            "manifest_length": (meta_dir / m_name).stat().st_size,
+            "partition_spec_id": 0,
+            "content": 1,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": 1,
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": n_positions,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            "partitions": None,
+        }
+    )
+    snap_name = f"snap-{snapshot_id:05d}-{wsalt}.avro"
+    LF.write_avro_records(spark, str(meta_dir / snap_name), _MLIST_SCHEMA, mlist_rows)
+
+    now_ms = int(time.time() * 1000)
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": f"metadata/{snap_name}",
+        "schema-id": meta["current-schema-id"],
+        "parent-snapshot-id": parent,
+        "summary": {"operation": "delete"},
+    }
+    meta = dict(meta)
+    meta["snapshots"] = list(meta["snapshots"]) + [snapshot]
+    meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+        {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+    ]
+    slog = meta["snapshot-log"]
+    for i in range(1, len(slog)):
+        if slog[i]["timestamp-ms"] <= slog[i - 1]["timestamp-ms"]:
+            slog[i]["timestamp-ms"] = slog[i - 1]["timestamp-ms"] + 1
+    by_sid = {e["snapshot-id"]: e["timestamp-ms"] for e in slog}
+    for s in meta["snapshots"]:
+        if s["snapshot-id"] in by_sid:
+            s["timestamp-ms"] = by_sid[s["snapshot-id"]]
+    meta["current-snapshot-id"] = snapshot_id
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = max(now_ms, int(meta.get("last-updated-ms") or 0))
+
+    prev_version = int(
+        os.path.basename(metadata_path).split(".")[0][1:]
+    )
+    latest = max(
+        meta_dir.glob("v*.metadata.json"),
+        key=lambda p: int(p.name.split(".")[0][1:]),
+    )
+    prev_version = int(latest.name.split(".")[0][1:])
+    dest = _commit_metadata(
+        meta_dir, prev_version + 1, json.dumps(meta, sort_keys=True, indent=1)
+    )
+    return {
+        "positions_written": int(n_positions),
+        "snapshot_id": snapshot_id,
+        "metadata_path": str(dest),
+        "delete_file": del_rel,
+    }
+
+
+# ------------------------------------------------------------------
+# expire snapshots
+# ------------------------------------------------------------------
+
+
+def expire_iceberg_snapshots(
+    spark: SparkSession,
+    metadata_path: str,
+    keep_last: int,
+    dry_run: bool = False,
+) -> dict:
+    """EXPIRE all but the ``keep_last`` most recent snapshots (by
+    commit order): a new metadata version lists only the survivors,
+    and files reachable ONLY from expired snapshots — manifest lists,
+    manifests, data/delete files — are removed from disk (the Iceberg
+    maintenance twin of Delta VACUUM).  Reachability is computed over
+    the RETAINED snapshots' full manifest chains, so a manifest or
+    data file shared with any survivor is never touched.  Time travel
+    to an expired snapshot then gates loudly at resolution."""
+    info = LF.iceberg_snapshot_info(metadata_path)
+    meta = dict(info["metadata"])
+    table_dir = os.path.dirname(os.path.dirname(os.path.abspath(metadata_path)))
+    snaps = sorted(
+        meta["snapshots"],
+        key=lambda s: int(s.get("sequence-number") or s["snapshot-id"]),
+    )
+    if keep_last < 1:
+        raise LF.LakeFormatError("keep_last must be >= 1")
+    keep = snaps[-keep_last:]
+    drop = snaps[:-keep_last]
+    audit = {
+        "snapshots_expired": len(drop),
+        "files_deleted": 0,
+        "metadata_path": metadata_path,
+    }
+    if not drop:
+        return audit
+    keep_ids = {s["snapshot-id"] for s in keep}
+    current = meta.get("current-snapshot-id")
+    if current not in keep_ids:
+        raise LF.LakeFormatError(
+            "expire would drop the CURRENT snapshot — refusing"
+        )
+
+    def reachable(snapshots) -> set[str]:
+        out: set[str] = set()
+        for s in snapshots:
+            mlist = LF._resolve(s["manifest-list"], table_dir)
+            out.add(os.path.normpath(mlist))
+            for m in LF._read_avro_records(spark, mlist):
+                mp = os.path.normpath(
+                    LF._resolve(m["manifest_path"], table_dir)
+                )
+                out.add(mp)
+                for e in LF._read_avro_records(spark, mp):
+                    out.add(
+                        os.path.normpath(
+                            LF._resolve(e["data_file"]["file_path"], table_dir)
+                        )
+                    )
+        return out
+
+    live = reachable(keep)
+    dead = reachable(drop) - live
+    if not dry_run:
+        for p in sorted(dead):
+            try:
+                os.unlink(p)
+                audit["files_deleted"] += 1
+            except FileNotFoundError:
+                pass
+    else:
+        audit["files_deleted"] = len(dead)
+
+    if not dry_run:
+        meta["snapshots"] = [s for s in meta["snapshots"] if s["snapshot-id"] in keep_ids]
+        meta["snapshot-log"] = [
+            e
+            for e in meta.get("snapshot-log", [])
+            if e["snapshot-id"] in keep_ids
+        ]
+        # parent pointers into the expired range would dangle for
+        # lineage walks; clear them at the new history root
+        oldest_kept = min(keep_ids & {s["snapshot-id"] for s in keep})
+        for s in meta["snapshots"]:
+            if s.get("parent-snapshot-id") not in keep_ids:
+                s.pop("parent-snapshot-id", None)
+        meta_dir = Path(table_dir) / "metadata"
+        latest = max(
+            meta_dir.glob("v*.metadata.json"),
+            key=lambda p: int(p.name.split(".")[0][1:]),
+        )
+        version = int(latest.name.split(".")[0][1:]) + 1
+        dest = _commit_metadata(
+            meta_dir, version, json.dumps(meta, sort_keys=True, indent=1)
+        )
+        audit["metadata_path"] = str(dest)
+    return audit

@@ -2070,8 +2070,21 @@ def read_iceberg_snapshot(
         return data if row_filter is None else data.filter(row_filter)
     # Normalize URIs (file:///x vs /x) before any file_path comparison
     # (delete-file paths; the data side is normalized in the grouped
-    # read's __fp projection).
-    norm = _norm_uri
+    # read's __fp projection).  RELATIVE stored paths resolve against
+    # the TABLE ROOT — the same rule every manifest path follows
+    # (r8 session 2: absolute delete-file URIs go stale the moment a
+    # table directory moves, which the write path's atomic fixture
+    # builds do by design; the native delete writer therefore stores
+    # root-relative paths, and foreign absolute URIs still work).
+    _del_root = os.path.dirname(
+        os.path.dirname(os.path.abspath(metadata_path))
+    )
+
+    def norm(c):
+        stripped = _norm_uri(c)
+        return F.when(
+            stripped.startswith("/"), stripped
+        ).otherwise(F.concat(F.lit(_del_root.rstrip("/") + "/"), stripped))
     # Iceberg v2 scopes a position delete to data files whose sequence
     # number is <= the delete file's (r6 advice finding); the bound is
     # applied whenever both sides carry sequence numbers.  A v2 table

@@ -1,0 +1,123 @@
+"""Scale probe for the NATIVE WRITE PATH (r8 session 2).
+
+Drives the full write-path lifecycle over the soak lineitem (sf1 ≈ 6M
+rows / sf10 ≈ 60M rows) and prints ONE JSON line of wall times + file
+counts + zero-loss row checks:
+
+  write    — write_delta of a 1/11 slice, returnflag-partitioned,
+             maxRecordsPerFile-bounded (distributed staging write +
+             O(#files) footer stats + commit authoring)
+  delete   — DV delete of a scattered ~4% predicate (stats pruning on
+             the write side, executor-encoded roaring bitmaps)
+  optimize — clustering rewrite (sort_by l_orderkey) applying the DVs
+             physically
+  probe    — a selective range predicate read pruned vs unpruned over
+             the CLUSTERED table (the zone-map payoff, measured)
+  vacuum   — dry-run orphan count after the rewrite
+
+Every step re-validates rows against the source DataFrame — a fast
+probe that silently lost rows would be worse than no probe.
+
+Usage: python tools_probe_writepath.py [src_dir] [dest_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from dbt_json_readr_spark.session import get_spark  # noqa: E402
+from dbt_json_readr_spark.sources import deltawriter as DW  # noqa: E402
+from dbt_json_readr_spark.sources import lakeformats as LF  # noqa: E402
+
+SRC = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1"
+DEST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_delta_write"
+MAX_ROWS_PER_FILE = 1_000_000
+
+
+def main() -> None:
+    spark = get_spark("probe_writepath")
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict = {"metric": "writepath_probe", "src": SRC}
+    shutil.rmtree(DEST, ignore_errors=True)
+
+    src = spark.read.parquet(os.path.join(SRC, "lineitem.parquet")).select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+        "l_returnflag",
+    )
+    frag = src.filter(F.col("l_orderkey") % 11 == 0)
+    exp_rows = frag.count()
+    out["rows_written_expected"] = exp_rows
+
+    t0 = time.monotonic()
+    aud = DW.write_delta(
+        spark,
+        frag,
+        DEST,
+        partition_by=["l_returnflag"],
+        max_records_per_file=MAX_ROWS_PER_FILE,
+    )
+    out["write_s"] = round(time.monotonic() - t0, 3)
+    out["files_written"] = aud["files_added"]
+    assert aud["rows_written"] == exp_rows, (aud, exp_rows)
+
+    # scattered ~4% delete: hits every file, so the DV path (scan +
+    # executor bitmap encode + one DV file) is measured at full width
+    t0 = time.monotonic()
+    daud = DW.delete_delta(spark, DEST, [("l_quantity", "<", 3.0)])
+    out["delete_s"] = round(time.monotonic() - t0, 3)
+    out["rows_deleted"] = daud["rows_deleted"]
+    out["files_dv"] = daud["files_rewritten_dv"]
+    surv = frag.filter(~(F.col("l_quantity") < 3.0))
+    exp_surv = surv.count()
+    got = LF.read_delta_snapshot(spark, DEST).count()
+    assert got == exp_surv, (got, exp_surv)
+    out["rows_after_delete"] = got
+
+    t0 = time.monotonic()
+    oaud = DW.optimize_delta(
+        spark, DEST, sort_by=["l_orderkey"],
+        max_records_per_file=MAX_ROWS_PER_FILE,
+    )
+    out["optimize_s"] = round(time.monotonic() - t0, 3)
+    out["files_after_optimize"] = oaud["files_after"]
+    got2 = LF.read_delta_snapshot(spark, DEST).count()
+    assert got2 == exp_surv, (got2, exp_surv)
+
+    # the payoff: a selective range probe over the clustered table
+    hi = frag.agg(F.max("l_orderkey")).collect()[0][0]
+    probe = [("l_orderkey", "<", int(hi * 0.02))]
+    snap = LF.delta_snapshot(DEST)
+    kept, skipped = LF.prune_delta_files(snap, probe)
+    out["probe_files_total"] = len(snap["files"])
+    out["probe_files_kept"] = len(kept)
+    for name, pred in (("pruned", probe), ("unpruned", None)):
+        t0 = time.monotonic()
+        df = LF.read_delta_snapshot(spark, DEST, predicate=pred)
+        if pred is None:
+            from dbt_json_readr_spark.sources import skipping
+
+            df = df.filter(skipping.predicate_column(probe))
+        n = df.count()
+        out[f"probe_{name}_s"] = round(time.monotonic() - t0, 3)
+        out[f"probe_{name}_rows"] = n
+    assert out["probe_pruned_rows"] == out["probe_unpruned_rows"]
+    exp_probe = surv.filter(F.col("l_orderkey") < int(hi * 0.02)).count()
+    assert out["probe_pruned_rows"] == exp_probe
+
+    vaud = DW.vacuum_delta(
+        spark, DEST, retention_ms=0, now_ms=10**15, dry_run=True
+    )
+    out["vacuum_orphans"] = vaud["files_deleted"]
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
