@@ -910,3 +910,136 @@ SELECT
 FROM surv
 GROUP BY s_nationkey
 """
+
+
+# ---------------------------------------------------------------- F24
+
+
+def delta_convert_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT TO DELTA in place — the migration path: a plain
+    Hive-partitioned parquet directory (written by the ordinary
+    parquet sink) becomes a transactional, file-skippable Delta table
+    without moving a byte; commit 0 catalogs every file with
+    footer-derived stats.  The key then proves the table is LIVE: an
+    appended commit 1 lands transactionally on top.  Evidence:
+    rows_cataloged equals the SQL count, and an impossible stats
+    predicate prunes the ENTIRE converted file list (the stats are
+    real, not placeholders)."""
+    prep(spark)
+    from .. import sinks
+
+    orders = load(spark, sf_dir, "orders")
+
+    def build(root: str) -> None:
+        tbl = os.path.join(root, "table")
+        a = orders.filter(F.col("o_orderkey") % 3 == 0)
+        sinks.write_partitioned(a, tbl, ["o_orderpriority"])
+        aud = DW.convert_to_delta(
+            spark, tbl, orders.schema, partition_by=["o_orderpriority"]
+        )
+        DW.write_delta(
+            spark,
+            orders.filter(F.col("o_orderkey") % 3 == 1),
+            tbl,
+            partition_by=["o_orderpriority"],
+        )
+        (Path(root) / "_RT_CONVERT_AUDIT").write_text(
+            str(aud["rows_cataloged"])
+        )
+
+    root = _ensure("wrt_orders_convert", sf_dir, build)
+    cataloged = int((root / "_RT_CONVERT_AUDIT").read_text())
+    tbl = str(root / "table")
+    snap = LF.delta_snapshot(tbl)
+    kept_impossible, _ = LF.prune_delta_files(
+        snap, [("o_totalprice", ">", 1e15)]
+    )
+    df = LF.read_delta_snapshot(spark, tbl)
+    return (
+        df.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+            F.min("o_orderkey").alias("min_key"),
+        )
+        .select(
+            "*",
+            F.lit(cataloged).cast("int").alias("rows_cataloged"),
+            F.lit(len(kept_impossible)).cast("int").alias("files_kept_impossible"),
+        )
+    )
+
+
+def _delta_convert_in_place_sql() -> str:
+    s = _DSUM.format(c="o_totalprice")
+    return f"""
+WITH merged AS (
+  SELECT * FROM orders WHERE o_orderkey % 3 IN (0, 1)
+),
+ev AS (SELECT count(*) AS cataloged FROM orders WHERE o_orderkey % 3 = 0)
+SELECT
+  o_orderpriority,
+  count(*) AS n_rows,
+  {s} AS sum_price,
+  min(o_orderkey) AS min_key,
+  CAST((SELECT cataloged FROM ev) AS INTEGER) AS rows_cataloged,
+  CAST(0 AS INTEGER) AS files_kept_impossible
+FROM merged
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------- F25
+
+
+def delta_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION on append (merge_schema): commit 0 writes
+    orders WITHOUT o_orderpriority; commit 1 appends the full shape —
+    the column joins the schema via a metaData action, NO data file
+    rewrites, and the evolved read returns NULL priority for every
+    commit-0 row (the read path scans old files with the evolved
+    schema).  Time travel to v0 keeps the old schema (pinned by unit
+    test); the rollup's NULL group is the proof the evolution is
+    metadata-only."""
+    prep(spark)
+    orders = load(spark, sf_dir, "orders")
+
+    def build(tbl: str) -> None:
+        a = orders.filter(F.col("o_orderkey") % 3 == 0).drop("o_orderpriority")
+        b = orders.filter(F.col("o_orderkey") % 3 == 1)
+        DW.write_delta(spark, a, tbl, partition_by=["o_orderstatus"])
+        DW.write_delta(
+            spark, b, tbl, partition_by=["o_orderstatus"], merge_schema=True
+        )
+
+    tbl = str(_ensure("wrt_orders_evolve", sf_dir, build))
+    df = LF.read_delta_snapshot(spark, tbl)
+    return df.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+def _delta_schema_evolution_read_sql() -> str:
+    s = _DSUM.format(c="o_totalprice")
+    return f"""
+WITH rows_all AS (
+  SELECT o_orderstatus, CAST(NULL AS VARCHAR) AS o_orderpriority,
+         o_orderkey, o_totalprice
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderstatus, o_orderpriority, o_orderkey, o_totalprice
+  FROM orders WHERE o_orderkey % 3 = 1
+)
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  count(*) AS n_rows,
+  {s} AS sum_price,
+  min(o_orderkey) AS min_key,
+  max(o_orderkey) AS max_key
+FROM rows_all
+GROUP BY o_orderstatus, o_orderpriority
+"""

@@ -429,6 +429,16 @@ register(
     lakewrite._iceberg_expire_audit_sql,
 )
 register(
+    "delta_convert_in_place",
+    lakewrite.delta_convert_in_place,
+    lakewrite._delta_convert_in_place_sql,
+)
+register(
+    "delta_schema_evolution_read",
+    lakewrite.delta_schema_evolution_read,
+    lakewrite._delta_schema_evolution_read_sql,
+)
+register(
     "streaming_delta_commits",
     streaming_jobs.streaming_delta_commits,
     streaming_jobs._streaming_delta_commits_sql,
@@ -505,6 +515,8 @@ _NEW_R8 = [
     "delta_vacuum_audit",
     "iceberg_delete_write",
     "iceberg_expire_audit",
+    "delta_convert_in_place",
+    "delta_schema_evolution_read",
 ]
 
 # Newest driver row is r4; ordered most load-bearing first (flagship

@@ -587,6 +587,7 @@ def write_delta(
     configuration: dict[str, str] | None = None,
     txn: tuple[str, int] | None = None,
     data_change: bool = True,
+    merge_schema: bool = False,
 ) -> dict:
     """Write ``df`` as a Delta commit.  Returns an audit dict
     {"version", "files_added", "files_removed", "rows_written"}.
@@ -602,6 +603,13 @@ def write_delta(
       writer never scanned.
     - ``txn=(app_id, version)``: records an idempotent-append marker;
       use ``last_txn_version`` to skip replayed batches.
+    - ``merge_schema``: SCHEMA EVOLUTION — incoming columns the table
+      lacks append to the schema (old files read them as NULL, no
+      rewrite: the read path scans every file with the evolved
+      schema); table columns the incoming frame lacks fill NULL in
+      the new files and force the field nullable.  Shared columns
+      must keep their exact type — silent type coercion is the
+      corruption this writer exists to refuse.
     """
     from . import skipping
 
@@ -653,12 +661,24 @@ def write_delta(
                 "the writer would have to emit PHYSICAL column names"
             )
         if _schema_fingerprint(snap["schema"]) != _schema_fingerprint(schema):
-            raise LF.LakeFormatGatedError(
-                "incoming schema differs from the table schema — schema "
-                "evolution is not implemented; align the DataFrame "
-                f"(table: {snap['schema'].simpleString()}, "
-                f"incoming: {schema.simpleString()})"
-            )
+            if not merge_schema:
+                raise LF.LakeFormatGatedError(
+                    "incoming schema differs from the table schema — pass "
+                    "merge_schema=True for evolution, or align the "
+                    f"DataFrame (table: {snap['schema'].simpleString()}, "
+                    f"incoming: {schema.simpleString()})"
+                )
+            schema, df = _evolve_schema(snap["schema"], df)
+            evolved_meta = {
+                "metaData": {
+                    "id": snap["meta_id"],
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(schema.jsonValue()),
+                    "partitionColumns": snap["partition_columns"],
+                    "configuration": dict(snap["configuration"]),
+                }
+            }
+            actions.append(evolved_meta)
         if partition_by != snap["partition_columns"]:
             raise LF.LakeFormatError(
                 f"partition_by {partition_by} != table partitioning "
@@ -744,6 +764,45 @@ def write_delta(
         "files_removed": len(removes),
         "rows_written": rows,
     }
+
+
+def _evolve_schema(
+    table_schema: T.StructType, df: DataFrame
+) -> tuple[T.StructType, DataFrame]:
+    """mergeSchema semantics: table fields first (a field the incoming
+    frame lacks fills NULL and becomes nullable), then the incoming
+    frame's NEW fields (nullable — old files read them as NULL).
+    Shared fields must keep their EXACT type; silent coercion gates."""
+    incoming = {f.name: f for f in df.schema.fields}
+    fields: list[T.StructField] = []
+    for f in table_schema.fields:
+        inc = incoming.get(f.name)
+        if inc is None:
+            fields.append(T.StructField(f.name, f.dataType, True))
+        else:
+            if inc.dataType != f.dataType:
+                raise LF.LakeFormatGatedError(
+                    f"column {f.name!r} type mismatch under merge_schema "
+                    f"(table: {f.dataType.simpleString()}, incoming: "
+                    f"{inc.dataType.simpleString()}) — no silent coercion"
+                )
+            fields.append(
+                T.StructField(f.name, f.dataType, f.nullable or inc.nullable)
+            )
+    table_names = set(table_schema.fieldNames())
+    for f in df.schema.fields:
+        if f.name not in table_names:
+            fields.append(T.StructField(f.name, f.dataType, True))
+    evolved = T.StructType(fields)
+    out = df.select(
+        *[
+            F.col(f.name)
+            if f.name in incoming
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in evolved.fields
+        ]
+    )
+    return evolved, out
 
 
 def _pv_satisfies(f: dict, pcols: list[str], predicate, dtypes, skipping) -> bool:
@@ -1370,6 +1429,96 @@ def optimize_delta(
     audit["files_after"] = len(snap["files"]) - len(victims) + len(adds)
     audit["version"] = version
     return audit
+
+
+# ------------------------------------------------------------------
+# CONVERT TO DELTA (in place)
+# ------------------------------------------------------------------
+
+
+def convert_to_delta(
+    spark: SparkSession,
+    directory: str,
+    schema: T.StructType,
+    partition_by: list[str] | tuple[str, ...] = (),
+) -> dict:
+    """Convert a plain (optionally Hive-partitioned) parquet directory
+    into a Delta table IN PLACE — the migration command: no data
+    moves, commit 0 simply catalogs every existing parquet file with
+    footer-derived stats and partition values parsed from its
+    ``col=value`` path, so the converted table is transactional AND
+    file-skippable immediately.  ``schema`` is the TABLE schema
+    including partition columns (their types drive the partition-value
+    parse, exactly like a reader).  Refuses directories that already
+    hold a Delta log (same guard as manifest_to_delta_log: splicing a
+    commit 0 under survivors corrupts history)."""
+    partition_by = list(partition_by)
+    _validate_partition_types(schema, partition_by)
+    root = Path(directory)
+    log = root / "_delta_log"
+    if log.exists() and any(
+        not p.name.endswith(".tmp") for p in log.iterdir()
+    ):
+        raise LF.LakeFormatError(
+            f"{log} already contains Delta log artifacts — refusing to "
+            "convert an existing table; this directory is already Delta"
+        )
+    data_cols = [f.name for f in schema.fields if f.name not in partition_by]
+    adds: list[dict] = []
+    rows = 0
+    for p in sorted(root.rglob("*.parquet")):
+        rel = p.relative_to(root).as_posix()
+        if rel.startswith(("_", ".")):
+            continue
+        pv: dict[str, str | None] = {}
+        for seg in rel.split("/")[:-1]:
+            col, eq, raw = seg.partition("=")
+            if eq and col in partition_by:
+                pv[col] = None if raw == _HIVE_NULL else _unescape_hive(raw)
+        missing = [c for c in partition_by if c not in pv]
+        if missing:
+            raise LF.LakeFormatError(
+                f"{rel} carries no partition directory for {missing} — "
+                "partition_by must match the directory layout"
+            )
+        stats, nrows = _footer_stats(str(p), data_cols)
+        rows += nrows
+        adds.append(
+            {
+                "path": rel,
+                "partitionValues": pv,
+                "size": p.stat().st_size,
+                "modificationTime": p.stat().st_mtime_ns // 1_000_000,
+                "dataChange": True,
+                "stats": stats,
+            }
+        )
+    if not adds:
+        raise LF.LakeFormatError(f"no parquet files under {directory}")
+    _check_path_safe_partitions(adds)
+    actions: list[dict] = [
+        _commit_info("CONVERT", {"numFiles": len(adds)}),
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": str(
+                    _uuid.UUID(
+                        bytes=hashlib.sha256(
+                            os.path.abspath(directory).encode()
+                        ).digest()[:16]
+                    )
+                ),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(schema.jsonValue()),
+                "partitionColumns": partition_by,
+                "configuration": {},
+                "createdTime": _now_ms(),
+            }
+        },
+    ]
+    actions.extend({"add": a} for a in adds)
+    _commit(directory, 0, actions)
+    return {"version": 0, "files_added": len(adds), "rows_cataloged": rows}
 
 
 # ------------------------------------------------------------------

@@ -679,3 +679,63 @@ def test_vacuum_delta(spark, tmp_path):
     assert LF.read_delta_snapshot(spark, tbl).count() == sub.count()
     with pytest.raises(Exception):
         LF.read_delta_snapshot(spark, tbl, version=0).count()
+
+
+def test_convert_to_delta_in_place(spark, tmp_path, customers):
+    from pyspark.sql import types as TT
+
+    from dbt_json_readr_spark import sinks
+
+    raw = str(tmp_path / "raw")
+    sinks.write_partitioned(customers, raw, ["c_mktsegment"])
+    schema = customers.schema
+    aud = DW.convert_to_delta(
+        spark, raw, schema, partition_by=["c_mktsegment"]
+    )
+    assert aud["version"] == 0 and aud["rows_cataloged"] == customers.count()
+    back = LF.read_delta_snapshot(spark, raw)
+    assert back.count() == customers.count()
+    assert _dec_sum(back, "c_acctbal") == _dec_sum(customers, "c_acctbal")
+    # converted files carry USABLE stats: an impossible probe prunes all
+    snap = LF.delta_snapshot(raw)
+    kept, _ = LF.prune_delta_files(snap, [("c_acctbal", ">", 1e12)])
+    assert kept == []
+    # the table is transactional now: an append lands as commit 1
+    DW.write_delta(
+        spark, customers.limit(5), raw, partition_by=["c_mktsegment"]
+    )
+    assert LF.read_delta_snapshot(spark, raw).count() == customers.count() + 5
+    # double-convert refuses
+    with pytest.raises(LF.LakeFormatError, match="already"):
+        DW.convert_to_delta(spark, raw, schema, partition_by=["c_mktsegment"])
+
+
+def test_schema_evolution_append(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    v0 = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "id long, p string, v double"
+    )
+    DW.write_delta(spark, v0, tbl, partition_by=["p"])
+    # add a column + drop a column in one evolved append
+    v1 = spark.createDataFrame(
+        [(3, "a", "x"), (4, "c", "y")], "id long, p string, tag string"
+    )
+    with pytest.raises(LF.LakeFormatGatedError, match="merge_schema"):
+        DW.write_delta(spark, v1, tbl, partition_by=["p"])
+    DW.write_delta(spark, v1, tbl, partition_by=["p"], merge_schema=True)
+    back = LF.read_delta_snapshot(spark, tbl)
+    assert set(back.columns) == {"id", "p", "v", "tag"}
+    rows = {r["id"]: (r["v"], r["tag"]) for r in back.collect()}
+    assert rows == {
+        1: (1.0, None),
+        2: (2.0, None),
+        3: (None, "x"),
+        4: (None, "y"),
+    }
+    # time travel to v0 keeps the OLD schema
+    old = LF.read_delta_snapshot(spark, tbl, version=0)
+    assert set(old.columns) == {"id", "p", "v"}
+    # type conflict gates loudly
+    bad = spark.createDataFrame([(5, "a", 1)], "id long, p string, v long")
+    with pytest.raises(LF.LakeFormatGatedError, match="type mismatch"):
+        DW.write_delta(spark, bad, tbl, partition_by=["p"], merge_schema=True)
