@@ -33,7 +33,7 @@ from ..sources import lakeformats as LF
 from ..sources.tables import load
 
 RT_ROOT = Path(__file__).resolve().parents[2] / "tests" / "fixtures" / "lake" / "_rt"
-_WVERSION = "2"  # bump to rebuild the _rt tables after writer changes
+_WVERSION = "3"  # bump to rebuild the _rt tables after writer changes
 
 # money convention (plans/tpch.py docstring): decimal-exact sums,
 # rendered double through a string round-trip on the DuckDB side
@@ -1023,6 +1023,188 @@ def delta_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _delta_schema_evolution_read_sql() -> str:
+    s = _DSUM.format(c="o_totalprice")
+    return f"""
+WITH rows_all AS (
+  SELECT o_orderstatus, CAST(NULL AS VARCHAR) AS o_orderpriority,
+         o_orderkey, o_totalprice
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderstatus, o_orderpriority, o_orderkey, o_totalprice
+  FROM orders WHERE o_orderkey % 3 = 1
+)
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  count(*) AS n_rows,
+  {s} AS sum_price,
+  min(o_orderkey) AS min_key,
+  max(o_orderkey) AS max_key
+FROM rows_all
+GROUP BY o_orderstatus, o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------- F26
+
+
+def delta_zorder_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER BY — the MULTI-column clustering rewrite: a
+    fragmented lineitem slice rewrites with rows ordered on the
+    interleaved Z-value of (l_orderkey, l_suppkey) inside each
+    returnflag partition, after which range probes on BOTH dimensions
+    prune through the bridge's own footer-stats skipping — the
+    property a single-key sort can never give the second column.  The
+    evidence triple (files_total, files_kept under an l_orderkey
+    probe, files_kept under an l_suppkey probe) is a CLOSED FORM the
+    oracle replays end-to-end in SQL: same proportional buckets, same
+    bit interleave, same (z, key) ordering, same 200-row slicing —
+    so a drifted bucket formula or a broken interleave fails the hash
+    even when the data round-trips."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    K_OKEY, K_SKEY = 15000, 13
+
+    def build(tbl: str) -> None:
+        frag = li.filter(F.col("l_orderkey") % 7 == 0)
+        DW.write_delta(
+            spark,
+            frag,
+            tbl,
+            partition_by=["l_returnflag"],
+            max_records_per_file=200,
+        )
+        DW.optimize_delta(
+            spark,
+            tbl,
+            zorder_by=["l_orderkey", "l_suppkey"],
+            max_records_per_file=200,
+        )
+
+    tbl = str(_ensure("wrt_li_zorder", sf_dir, build))
+    snap = LF.delta_snapshot(tbl)
+    kept_o, _ = LF.prune_delta_files(snap, [("l_orderkey", "<", K_OKEY)])
+    kept_s, _ = LF.prune_delta_files(snap, [("l_suppkey", "<", K_SKEY)])
+    df = LF.read_delta_snapshot(
+        spark, tbl, predicate=[("l_orderkey", "<", K_OKEY)]
+    )
+    return (
+        df.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.min("l_suppkey").alias("min_supp"),
+            F.max("l_suppkey").alias("max_supp"),
+        )
+        .select(
+            "*",
+            F.lit(len(snap["files"])).cast("int").alias("files_total"),
+            F.lit(len(kept_o)).cast("int").alias("files_kept_okey"),
+            F.lit(len(kept_s)).cast("int").alias("files_kept_skey"),
+        )
+    )
+
+
+def _delta_zorder_rewrite_sql() -> str:
+    # the oracle's OWN bit-interleave (column j's bucket bit i lands at
+    # z-bit i*2+j), written against DuckDB's native >> << & operators —
+    # independent of the writer's Column-expression builder
+    z_terms = " + ".join(
+        f"(((b{c} >> {i}) & 1) << {i * 2 + j})"
+        for i in range(8)
+        for j, c in ((0, "o"), (1, "s"))
+    )
+    s = _DSUM.format(c="l_quantity")
+    return f"""
+WITH frag AS (SELECT * FROM lineitem WHERE l_orderkey % 7 = 0),
+mm AS (
+  SELECT min(l_orderkey) omn, max(l_orderkey) omx,
+         min(l_suppkey) smn, max(l_suppkey) smx
+  FROM frag
+),
+bucketed AS (
+  SELECT f.*,
+         ((l_orderkey - omn) * 256) // (omx - omn + 1) AS bo,
+         ((l_suppkey - smn) * 256) // (smx - smn + 1) AS bs
+  FROM frag f, mm
+),
+zed AS (SELECT *, {z_terms} AS zval FROM bucketed),
+ordered AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY l_returnflag
+           ORDER BY zval, l_orderkey, l_suppkey
+         ) - 1 AS rn
+  FROM zed
+),
+files AS (
+  SELECT l_returnflag, rn // 200 AS fid,
+         min(l_orderkey) AS okmin, min(l_suppkey) AS skmin
+  FROM ordered GROUP BY 1, 2
+),
+ev AS (
+  SELECT CAST(count(*) AS INTEGER) AS files_total,
+         CAST(count(*) FILTER (WHERE okmin < 15000) AS INTEGER)
+           AS files_kept_okey,
+         CAST(count(*) FILTER (WHERE skmin < 13) AS INTEGER)
+           AS files_kept_skey
+  FROM files
+)
+SELECT
+  l_returnflag,
+  count(*) AS n_rows,
+  {s} AS sum_qty,
+  min(l_suppkey) AS min_supp,
+  max(l_suppkey) AS max_supp,
+  (SELECT files_total FROM ev) AS files_total,
+  (SELECT files_kept_okey FROM ev) AS files_kept_okey,
+  (SELECT files_kept_skey FROM ev) AS files_kept_skey
+FROM frag
+WHERE l_orderkey < 15000
+GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------- F27
+
+
+def iceberg_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg SCHEMA EVOLUTION on append (merge_schema — F25's
+    format-v2 twin): snapshot 1 writes orders WITHOUT o_orderpriority;
+    snapshot 2 appends the full shape, the column joining the CURRENT
+    schema under a fresh field id via a new schemas[] entry — no data
+    rewrites, and the evolved read returns NULL priority for every
+    snapshot-1 row (each snapshot pins its own schema-id, so time
+    travel keeps the old shape — pinned by unit test).  The rollup's
+    NULL-priority group is the metadata-only proof."""
+    prep(spark)
+    from ..sources import icebergwriter as IW
+
+    orders = load(spark, sf_dir, "orders")
+
+    def build(tbl: str) -> None:
+        a = orders.filter(F.col("o_orderkey") % 3 == 0).drop("o_orderpriority")
+        b = orders.filter(F.col("o_orderkey") % 3 == 1)
+        IW.write_iceberg(spark, a, tbl, partition_by=["o_orderstatus"])
+        IW.write_iceberg(
+            spark, b, tbl, partition_by=["o_orderstatus"], merge_schema=True
+        )
+
+    tbl = str(_ensure("wrt_ice_evolve", sf_dir, build))
+    latest = max(
+        Path(tbl, "metadata").glob("v*.metadata.json"),
+        key=lambda p: int(p.name.split(".")[0][1:]),
+    )
+    df = LF.read_iceberg_snapshot(spark, str(latest))
+    return df.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+def _iceberg_schema_evolution_read_sql() -> str:
     s = _DSUM.format(c="o_totalprice")
     return f"""
 WITH rows_all AS (

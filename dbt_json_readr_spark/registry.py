@@ -438,6 +438,20 @@ register(
     lakewrite.delta_schema_evolution_read,
     lakewrite._delta_schema_evolution_read_sql,
 )
+# F26: OPTIMIZE ZORDER BY — multi-column clustering; the oracle
+# replays the bucket/interleave/slice layout end-to-end in SQL
+register(
+    "delta_zorder_rewrite",
+    lakewrite.delta_zorder_rewrite,
+    lakewrite._delta_zorder_rewrite_sql,
+)
+# F27: Iceberg schema evolution on append (merge_schema) — new columns
+# under fresh field ids in a new schemas[] entry, no data rewrites
+register(
+    "iceberg_schema_evolution_read",
+    lakewrite.iceberg_schema_evolution_read,
+    lakewrite._iceberg_schema_evolution_read_sql,
+)
 register(
     "streaming_delta_commits",
     streaming_jobs.streaming_delta_commits,
@@ -517,6 +531,8 @@ _NEW_R8 = [
     "iceberg_expire_audit",
     "delta_convert_in_place",
     "delta_schema_evolution_read",
+    "delta_zorder_rewrite",
+    "iceberg_schema_evolution_read",
 ]
 
 # Newest driver row is r4; ordered most load-bearing first (flagship

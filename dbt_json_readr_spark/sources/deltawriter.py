@@ -155,6 +155,26 @@ def _commit_info(operation: str, params: dict | None = None) -> dict:
     }
 
 
+def _remove_action(f: dict, ts: int, data_change: bool = True) -> dict:
+    """The ``remove`` tombstone for a snapshot file entry.  Mirrors the
+    removed entry's deletionVector descriptor when it has one (the
+    protocol keys reconciliation on (path, dvId), and vacuum protects
+    the orphaned DV file on the tombstone clock) — ONE definition so
+    every writer path tombstones identically (r8 review: six
+    hand-rolled copies, none carrying the DV)."""
+    r = {
+        "remove": {
+            "path": f["path"],
+            "deletionTimestamp": int(ts),
+            "dataChange": data_change,
+            "partitionValues": f["partitionValues"],
+        }
+    }
+    if f.get("deletionVector"):
+        r["remove"]["deletionVector"] = f["deletionVector"]
+    return r
+
+
 def _all_txns(table_path: str) -> dict[str, int]:
     """appId → highest committed ``txn.version`` across the retained
     JSON commits AND the seeding checkpoint's txn rows — so log
@@ -368,8 +388,19 @@ def _stage_and_collect(
     if stage.exists():
         shutil.rmtree(stage)
     out = df
+    sort_cols = [
+        c if not isinstance(c, str) else F.col(c) for c in (sort_within or [])
+    ]
     if partition_by and colocate:
         out = out.repartition(*[F.col(c) for c in partition_by])
+    elif sort_cols and colocate:
+        # UNPARTITIONED clustering rewrite: hash-colocating is a no-op
+        # here, and local sorts alone leave every task's files spanning
+        # its full (overlapping) input range — range-partition on the
+        # sort keys so files are disjoint GLOBALLY, not just within a
+        # task (r8 review finding: the docstring promised disjoint
+        # min/max; the unpartitioned path silently delivered overlap)
+        out = out.repartitionByRange(*sort_cols)
     if sort_within:
         # clustering layout: rows sort within each task on
         # (partition cols, sort keys) so every emitted file covers a
@@ -378,8 +409,7 @@ def _stage_and_collect(
         # partition's files (the zone-map-friendly rewrite the
         # zone_map_skipping_audit motivates)
         out = out.sortWithinPartitions(
-            *[F.col(c) for c in partition_by],
-            *[c if not isinstance(c, str) else F.col(c) for c in sort_within],
+            *[F.col(c) for c in partition_by], *sort_cols
         )
     w = out.write.mode("overwrite")
     if max_records_per_file:
@@ -710,17 +740,7 @@ def write_delta(
                     )
                 ]
             now = _now_ms()
-            removes = [
-                {
-                    "remove": {
-                        "path": f["path"],
-                        "deletionTimestamp": now,
-                        "dataChange": True,
-                        "partitionValues": f["partitionValues"],
-                    }
-                }
-                for f in victims
-            ]
+            removes = [_remove_action(f, now) for f in victims]
 
     adds, rows = _stage_and_collect(
         spark, df, table_path, partition_by, version,
@@ -990,9 +1010,14 @@ def delete_delta(
         return audit  # nothing can match: no commit, delete is a no-op
 
     scan = _scan_with_fp(spark, table_path, snap, candidates)
-    matched = scan.filter(skipping.predicate_column(predicate)).select(
-        "__fp", "__pos"
-    )
+    flt = scan.filter(skipping.predicate_column(predicate))
+    cdf_on = _cdf_enabled(snap)
+    if cdf_on:
+        # the filtered scan feeds BOTH the bitmap encode and the CDC
+        # staging write — pin it so the candidate files are read once,
+        # not once per consumer (r8 review: CDF doubled delete cost)
+        flt = flt.persist()
+    matched = flt.select("__fp", "__pos")
 
     # existing DVs must fold into the replacement DV (the protocol
     # replaces, never merges); ship the old positions into the task
@@ -1036,6 +1061,8 @@ def delete_delta(
         .collect()
     )
     if not encoded:
+        if cdf_on:
+            flt.unpersist()
         return audit
 
     now = _now_ms()
@@ -1057,16 +1084,7 @@ def delete_delta(
         if nrec is not None and int(row["cardinality"]) >= nrec:
             # every physical row deleted: the file leaves the table
             # whole — no point carrying a full-coverage DV
-            actions.append(
-                {
-                    "remove": {
-                        "path": f["path"],
-                        "deletionTimestamp": now,
-                        "dataChange": True,
-                        "partitionValues": f["partitionValues"],
-                    }
-                }
-            )
+            actions.append(_remove_action(f, now))
             audit["files_removed"] += 1
         else:
             rewrites.append((f, bytes(row["blob"]), int(row["cardinality"])))
@@ -1100,16 +1118,7 @@ def delete_delta(
                 "sizeInBytes": len(blob),
                 "cardinality": card,
             }
-        actions.append(
-            {
-                "remove": {
-                    "path": f["path"],
-                    "deletionTimestamp": now,
-                    "dataChange": True,
-                    "partitionValues": f["partitionValues"],
-                }
-            }
-        )
+        actions.append(_remove_action(f, now))
         actions.append(
             {
                 "add": {
@@ -1130,21 +1139,26 @@ def delete_delta(
     # version our plan was derived from (r8 review: a re-read let a
     # delete silently re-add a file another writer had just compacted)
     version = snap["version"] + 1
-    if _cdf_enabled(snap):
+    if cdf_on:
         # CHANGE DATA FILES (PROTOCOL.md): with CDF on, the deleted
         # rows themselves land under _change_data so readers get
         # row-level deletes instead of gating on (or deriving
         # whole-file churn from) the DV rewrite
-        del_rows = (
-            scan.filter(skipping.predicate_column(predicate))
-            .drop("__fp", "__pos")
-            .withColumn("_change_type", F.lit("delete"))
-        )
-        actions.extend(
-            _stage_cdc(
-                spark, del_rows, table_path, snap["partition_columns"], version
+        try:
+            del_rows = flt.drop("__fp", "__pos").withColumn(
+                "_change_type", F.lit("delete")
             )
-        )
+            actions.extend(
+                _stage_cdc(
+                    spark,
+                    del_rows,
+                    table_path,
+                    snap["partition_columns"],
+                    version,
+                )
+            )
+        finally:
+            flt.unpersist()
     _commit(table_path, version, actions)
     audit["version"] = version
     return audit
@@ -1234,6 +1248,7 @@ def merge_delta(
             "multi-match updates nondeterministic; dedup the source first"
         )
     src = src.persist()
+    pinned: list[DataFrame] = []
     try:
         scan = _scan_with_fp(spark, table_path, snap, snap["files"])
         touched_rows = scan.join(
@@ -1286,6 +1301,15 @@ def merge_delta(
         version = snap["version"] + 1
         cdc_actions: list[dict] = []
         if _cdf_enabled(snap):
+            # under CDF the join feeds THREE sinks (merged data write,
+            # preimage, postimage) and inserts feed two — pin both so
+            # the touched files and the source are scanned once, not
+            # once per consumer (r8 review: CDF tripled merge cost)
+            if joined is not None:
+                joined = joined.persist()
+                pinned.append(joined)
+            inserts = inserts.persist()
+            pinned.append(inserts)
             # CHANGE DATA FILES: matched rows contribute an
             # update_preimage (target values) and update_postimage
             # (source values) pair; unmatched source rows are inserts;
@@ -1320,16 +1344,7 @@ def merge_delta(
         ]
         for rel in sorted(rel_touched):
             f = next(x for x in snap["files"] if x["path"] == rel)
-            actions.append(
-                {
-                    "remove": {
-                        "path": rel,
-                        "deletionTimestamp": now,
-                        "dataChange": True,
-                        "partitionValues": f["partitionValues"],
-                    }
-                }
-            )
+            actions.append(_remove_action(f, now))
         actions.extend({"add": a} for a in adds)
         actions.extend(cdc_actions)
         _commit(table_path, version, actions)
@@ -1341,6 +1356,8 @@ def merge_delta(
         }
     finally:
         src.unpersist()
+        for p in pinned:
+            p.unpersist()
 
 
 # ------------------------------------------------------------------
@@ -1348,11 +1365,44 @@ def merge_delta(
 # ------------------------------------------------------------------
 
 
+_ZORDER_INT_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def _zorder_expr(
+    cols: list[str], mins: list, maxs: list, bits: int
+) -> "F.Column":
+    """The Z-VALUE of a row: each column maps to a value-proportional
+    ``bits``-bit bucket — ``((v - min) * 2^bits) div (max - min + 1)``,
+    exact BIGINT arithmetic, nulls to bucket 0 — and column j
+    contributes its bucket's bit i at z-bit ``i * n_cols + j`` (the
+    textbook interleave, generalized to n columns).  Proportional
+    bucketing trades equi-depth balance under skew for a formula that
+    is one distributed min/max pass (production Z-order samples range
+    boundaries instead) and exactly replayable by an independent SQL
+    oracle.  Entirely JVM-side shift/and/or — no UDFs."""
+    z = F.lit(0).cast("long")
+    n = len(cols)
+    for j, c in enumerate(cols):
+        mn = 0 if mins[j] is None else int(mins[j])
+        mx = mn if maxs[j] is None else int(maxs[j])
+        span = max(1, mx - mn + 1)
+        b = F.expr(
+            f"CAST(((coalesce({c}, {mn}) - ({mn})) * {1 << bits}) "
+            f"div {span} AS BIGINT)"
+        )
+        for i in range(bits):
+            bit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return z
+
+
 def optimize_delta(
     spark: SparkSession,
     table_path: str,
     sort_by: list[str] | None = None,
     max_records_per_file: int | None = None,
+    zorder_by: list[str] | None = None,
+    zorder_bits: int = 8,
 ) -> dict:
     """Bin-pack every multi-file partition into one file and apply
     outstanding deletion vectors physically.  ``dataChange: false`` —
@@ -1360,21 +1410,53 @@ def optimize_delta(
     incremental consumers correctly ignore the commit.
 
     ``sort_by`` turns compaction into a CLUSTERING rewrite (OPTIMIZE
-    ZORDER's one-dimensional core; pass a computed interleave column
-    via ``F.expr`` upstream for true multi-column Z-order): EVERY live
-    file rewrites with rows sorted on the keys inside each partition,
-    so per-file footer min/max become disjoint and the stats-based
-    skipping this bridge writes/reads prunes range probes to the files
-    that actually hold the range."""
+    ZORDER's one-dimensional core): EVERY live file rewrites with rows
+    sorted on the keys inside each partition, so per-file footer
+    min/max become disjoint and the stats-based skipping this bridge
+    writes/reads prunes range probes to the files that actually hold
+    the range.
+
+    ``zorder_by`` is the MULTI-column clustering rewrite (OPTIMIZE
+    ZORDER BY): rows sort on the interleaved Z-value of the named
+    integer columns (see ``_zorder_expr``), so range probes on EVERY
+    named dimension prune — the property a single-key sort cannot give
+    the second column.  Ties broken by the columns themselves, so the
+    per-file min/max of each dimension are deterministic under the
+    colocate + maxRecordsPerFile slicing contract.  Non-integer
+    Z-order columns gate loudly (production samples range boundaries
+    for arbitrary types; this writer's proportional buckets are
+    integer-exact by design)."""
     snap = LF.delta_snapshot(table_path)
     if snap["column_mapping_mode"] != "none":
         raise LF.LakeFormatGatedError(
             "OPTIMIZE on column-mapped tables is not implemented"
         )
+    if sort_by and zorder_by:
+        raise LF.LakeFormatError(
+            "sort_by and zorder_by are mutually exclusive"
+        )
     if sort_by:
         for c in sort_by:
             if isinstance(c, str) and c not in snap["schema"].fieldNames():
                 raise LF.LakeFormatError(f"sort column {c!r} not in schema")
+    if zorder_by:
+        by_name = {f.name: f for f in snap["schema"].fields}
+        for c in zorder_by:
+            if c not in by_name:
+                raise LF.LakeFormatError(f"zorder column {c!r} not in schema")
+            if c in snap["partition_columns"]:
+                raise LF.LakeFormatError(
+                    f"zorder column {c!r} is a partition column — it is "
+                    "constant within every rewritten file already"
+                )
+            if not isinstance(by_name[c].dataType, _ZORDER_INT_TYPES):
+                raise LF.LakeFormatGatedError(
+                    f"zorder column {c!r} has type "
+                    f"{by_name[c].dataType.simpleString()} — only integer "
+                    "columns are supported (proportional buckets are "
+                    "integer-exact; other types would need sampled range "
+                    "boundaries)"
+                )
     groups: dict[tuple, list[dict]] = {}
     pcols = snap["partition_columns"]
     for f in snap["files"]:
@@ -1382,7 +1464,7 @@ def optimize_delta(
         groups.setdefault(pkey, []).append(f)
     victims: list[dict] = []
     for pkey, members in groups.items():
-        if sort_by or len(members) > 1 or any(
+        if sort_by or zorder_by or len(members) > 1 or any(
             m.get("deletionVector") for m in members
         ):
             victims.extend(members)
@@ -1399,6 +1481,19 @@ def optimize_delta(
         .drop("__fp", "__pos")
         .select(*snap["schema"].fieldNames())
     )
+    sort_within: list | None = list(sort_by) if sort_by else None
+    if zorder_by:
+        # one distributed pass for the proportional-bucket anchors —
+        # the only driver-side values are 2·n_cols scalars
+        mm = rows.agg(
+            *[F.min(c).alias(f"mn{i}") for i, c in enumerate(zorder_by)],
+            *[F.max(c).alias(f"mx{i}") for i, c in enumerate(zorder_by)],
+        ).collect()[0]
+        mins = [mm[f"mn{i}"] for i in range(len(zorder_by))]
+        maxs = [mm[f"mx{i}"] for i in range(len(zorder_by))]
+        sort_within = [
+            _zorder_expr(list(zorder_by), mins, maxs, zorder_bits)
+        ] + [F.col(c) for c in zorder_by]
     version = snap["version"] + 1
     adds, _nrows = _stage_and_collect(
         spark,
@@ -1408,21 +1503,12 @@ def optimize_delta(
         version,
         max_records_per_file,
         True,
-        sort_within=list(sort_by) if sort_by else None,
+        sort_within=sort_within,
     )
     now = _now_ms()
     actions: list[dict] = [_commit_info("OPTIMIZE", {})]
     for f in sorted(victims, key=lambda x: x["path"]):
-        actions.append(
-            {
-                "remove": {
-                    "path": f["path"],
-                    "deletionTimestamp": now,
-                    "dataChange": False,
-                    "partitionValues": f["partitionValues"],
-                }
-            }
-        )
+        actions.append(_remove_action(f, now, data_change=False))
     for a in adds:
         actions.append({"add": dict(a, dataChange=False)})
     _commit(table_path, version, actions)
@@ -1473,8 +1559,20 @@ def convert_to_delta(
         pv: dict[str, str | None] = {}
         for seg in rel.split("/")[:-1]:
             col, eq, raw = seg.partition("=")
-            if eq and col in partition_by:
-                pv[col] = None if raw == _HIVE_NULL else _unescape_hive(raw)
+            if not eq:
+                continue
+            if col not in partition_by:
+                # silently cataloging a=1/b=2 files under partition_by
+                # =['a'] would make column b read NULL everywhere — the
+                # directory is partitioned DEEPER than declared (r8
+                # review finding: gate, never null-fill)
+                raise LF.LakeFormatError(
+                    f"{rel} carries partition directory {seg!r} for a "
+                    f"column not in partition_by={partition_by} — the "
+                    "directory layout is partitioned deeper than "
+                    "declared; list every col=value level"
+                )
+            pv[col] = None if raw == _HIVE_NULL else _unescape_hive(raw)
         missing = [c for c in partition_by if c not in pv]
         if missing:
             raise LF.LakeFormatError(
@@ -1534,20 +1632,48 @@ def vacuum_delta(
     dry_run: bool = False,
 ) -> dict:
     """Delete data/DV files under the table that the LATEST snapshot
-    does not reference and whose modification time is older than the
-    retention horizon (the protocol's mtime-based safety rule — a
-    tombstone timestamp can lie, the filesystem cannot).  Also sweeps
-    orphaned ``_staging-*`` dirs past the horizon.  ``_delta_log`` and
-    ``_change_data`` are never touched (the change feed has its own
-    retention).  DESTRUCTIVE by contract: time travel to versions
-    whose files were vacuumed fails loudly at read, exactly like
-    production Delta.  Returns {files_deleted, bytes_deleted,
+    does not reference and that are older than the retention horizon.
+    A file's age is max(filesystem mtime, its remove action's
+    ``deletionTimestamp`` when the log has one) — production Delta
+    measures tombstone retention from deletionTimestamp, so a
+    month-old file tombstoned by OPTIMIZE seconds ago stays protected
+    for the full window (r8 review finding: mtime alone deleted it
+    immediately, breaking readers pinned on the pre-OPTIMIZE
+    snapshot); mtime covers untracked files.  Also sweeps orphaned
+    ``_staging-*`` dirs past the horizon.  Underscore/dot-prefixed
+    entries (``_delta_log``, ``_change_data``, audit markers, hidden
+    files) are never touched, matching the production command's
+    hidden-file rule.  DESTRUCTIVE by contract: time travel to
+    versions whose files were vacuumed fails loudly at read, exactly
+    like production Delta.  Returns {files_deleted, bytes_deleted,
     files_retained_young, files_live}."""
     import uuid as _uuid_mod
 
     snap = LF.delta_snapshot(table_path)
     now = _now_ms() if now_ms is None else int(now_ms)
     horizon = now - int(retention_ms)
+    # tombstone clock: newest deletionTimestamp per removed path across
+    # the retained JSON commits (checkpoint-compacted history has no
+    # remove rows — those files fall back to mtime, which is at least
+    # as old as the checkpoint)
+    log = Path(table_path) / "_delta_log"
+    tombstone_ms: dict[str, int] = {}
+    json_versions, _ck, _latest = LF._log_versions(log)
+    for v in json_versions:
+        for r in LF._parse_commit(log, v)["removes"]:
+            ts = r.get("deletionTimestamp")
+            if ts is None:
+                continue
+            key = os.path.normpath(os.path.join(table_path, r["path"]))
+            tombstone_ms[key] = max(tombstone_ms.get(key, 0), int(ts))
+            # a remove that carried a DV descriptor orphans that DV
+            # file at the same instant — protect it on the same clock
+            dv = r.get("deletionVector")
+            if isinstance(dv, dict) and dv.get("storageType") in ("u", "p"):
+                dvp = LF._dv_file_path(table_path, dv)
+                if dvp:
+                    dvk = os.path.normpath(dvp)
+                    tombstone_ms[dvk] = max(tombstone_ms.get(dvk, 0), int(ts))
     live: set[str] = set()
     for f in snap["files"]:
         live.add(os.path.normpath(os.path.join(table_path, f["path"])))
@@ -1575,16 +1701,18 @@ def vacuum_delta(
     deleted_bytes = 0
     young = 0
     for p in sorted(root.rglob("*")):
-        rel0 = p.relative_to(root).parts[0]
-        if rel0 in ("_delta_log", "_change_data") or rel0.startswith(
-            "_staging"
-        ):
+        parts = p.relative_to(root).parts
+        if any(seg.startswith(("_", ".")) for seg in parts):
             continue
         if not p.is_file():
             continue
-        if os.path.normpath(str(p)) in live:
+        norm = os.path.normpath(str(p))
+        if norm in live:
             continue
-        if p.stat().st_mtime_ns // 1_000_000 >= horizon:
+        age_ms = max(
+            p.stat().st_mtime_ns // 1_000_000, tombstone_ms.get(norm, 0)
+        )
+        if age_ms >= horizon:
             young += 1
             continue
         deleted += 1
@@ -1599,7 +1727,14 @@ def vacuum_delta(
         # prune now-empty partition directories (cosmetic, like the
         # production command)
         for d in sorted(root.rglob("*"), reverse=True):
-            if d.is_dir() and d.name != "_delta_log" and not any(d.iterdir()):
+            if (
+                d.is_dir()
+                and not any(
+                    seg.startswith(("_", "."))
+                    for seg in d.relative_to(root).parts
+                )
+                and not any(d.iterdir())
+            ):
                 d.rmdir()
     return {
         "files_deleted": deleted,
@@ -1648,6 +1783,25 @@ def restore_delta(spark: SparkSession, table_path: str, version: int) -> dict:
                 }
             }
         )
+    # a vacuumed target must gate BEFORE the commit (production Delta
+    # RESTORE errors on missing files): re-adding entries whose data or
+    # DV files are gone would corrupt the CURRENT table, not just the
+    # time-travel read (r8 review finding)
+    missing: list[str] = []
+    for path, f in sorted(tgt_files.items()):
+        if not os.path.exists(os.path.join(table_path, path)):
+            missing.append(path)
+        dv = f.get("deletionVector")
+        if isinstance(dv, dict) and dv.get("storageType") in ("u", "p"):
+            dv_path = LF._dv_file_path(table_path, dv)
+            if dv_path and not os.path.exists(dv_path):
+                missing.append(f"{path} (deletion vector {dv_path})")
+    if missing:
+        raise LF.LakeFormatError(
+            f"RESTORE to version {version} is impossible — "
+            f"{len(missing)} file(s) it references no longer exist "
+            f"(vacuumed?): {missing[:5]}"
+        )
     adds = 0
     removes = 0
     for path, f in sorted(tgt_files.items()):
@@ -1670,16 +1824,7 @@ def restore_delta(spark: SparkSession, table_path: str, version: int) -> dict:
     for path, f in sorted(cur_files.items()):
         if path in tgt_files:
             continue
-        actions.append(
-            {
-                "remove": {
-                    "path": path,
-                    "deletionTimestamp": now,
-                    "dataChange": True,
-                    "partitionValues": f["partitionValues"],
-                }
-            }
-        )
+        actions.append(_remove_action(f, now))
         removes += 1
     new_version = cur["version"] + 1
     _commit(table_path, new_version, actions)

@@ -331,6 +331,56 @@ def _kv(d: dict) -> list[dict]:
     return [{"key": k, "value": v} for k, v in sorted(d.items())]
 
 
+def _normalize_mlist_row(r: dict) -> dict:
+    """A carried-forward manifest-list row re-serialized under the full
+    LIST schema (avro readers return exactly the fields the old file
+    had; missing keys default) — ONE definition shared by every commit
+    path so the metadata the append and delete writers author can
+    never diverge (r8 review: two hand-kept copies)."""
+    return {
+        "manifest_path": r["manifest_path"],
+        "manifest_length": int(r.get("manifest_length") or 0),
+        "partition_spec_id": int(r.get("partition_spec_id") or 0),
+        "content": int(r.get("content") or 0),
+        "sequence_number": r.get("sequence_number"),
+        "min_sequence_number": r.get("min_sequence_number"),
+        "added_snapshot_id": r.get("added_snapshot_id"),
+        "added_files_count": int(r.get("added_files_count") or 0),
+        "existing_files_count": int(r.get("existing_files_count") or 0),
+        "deleted_files_count": int(r.get("deleted_files_count") or 0),
+        "added_rows_count": int(r.get("added_rows_count") or 0),
+        "existing_rows_count": int(r.get("existing_rows_count") or 0),
+        "deleted_rows_count": int(r.get("deleted_rows_count") or 0),
+        "partitions": r.get("partitions"),
+    }
+
+
+def _append_snapshot_to_meta(
+    meta: dict, snapshot: dict, now_ms: int, seq: int
+) -> dict:
+    """Append ``snapshot`` + its snapshot-log entry and keep the commit
+    clock MONOTONIC (ms-resolution writers can collide; AS OF TIMESTAMP
+    travel depends on commit order), mirroring adjusted timestamps back
+    onto the snapshots — shared by the append and delete commit paths."""
+    meta = dict(meta)
+    meta["snapshots"] = list(meta.get("snapshots", [])) + [snapshot]
+    meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+        {"timestamp-ms": now_ms, "snapshot-id": snapshot["snapshot-id"]}
+    ]
+    slog = meta["snapshot-log"]
+    for i in range(1, len(slog)):
+        if slog[i]["timestamp-ms"] <= slog[i - 1]["timestamp-ms"]:
+            slog[i]["timestamp-ms"] = slog[i - 1]["timestamp-ms"] + 1
+    by_sid = {e["snapshot-id"]: e["timestamp-ms"] for e in slog}
+    for s in meta["snapshots"]:
+        if s["snapshot-id"] in by_sid:
+            s["timestamp-ms"] = by_sid[s["snapshot-id"]]
+    meta["current-snapshot-id"] = snapshot["snapshot-id"]
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = max(now_ms, int(meta.get("last-updated-ms") or 0))
+    return meta
+
+
 def _commit_metadata(meta_dir: Path, version: int, text: str) -> Path:
     """PUT-if-absent metadata commit — same hard-link CAS as the Delta
     writer: two writers racing from the same parent both target
@@ -351,6 +401,52 @@ def _commit_metadata(meta_dir: Path, version: int, text: str) -> Path:
     return dest
 
 
+def _merge_iceberg_schema(
+    cur_schema: dict, incoming: T.StructType, last_col_id: int
+) -> tuple[list[dict], int]:
+    """SCHEMA EVOLUTION on append (the spec's legal moves only): new
+    incoming columns join at the END with FRESH field ids (ids are
+    identity — never reused); columns the incoming frame lacks force
+    optional (new files have no value for them, exactly Delta F25's
+    nullability rule); shared columns must keep their EXACT Iceberg
+    type — silent coercion gates.  Returns (evolved fields, new
+    last-column-id)."""
+    cur_fields = list(cur_schema["fields"])
+    by_name = {f["name"]: f for f in cur_fields}
+    inc_by_name = {f.name: f for f in incoming.fields}
+    out_fields: list[dict] = []
+    for f in cur_fields:
+        inc = inc_by_name.get(f["name"])
+        if inc is None:
+            out_fields.append(dict(f, required=False))
+            continue
+        t = _iceberg_type_of(inc.dataType)
+        if t != f["type"]:
+            raise LF.LakeFormatGatedError(
+                f"schema evolution type mismatch on {f['name']!r}: table "
+                f"{f['type']!r} vs incoming {t!r} — Iceberg ids are "
+                "identity; changing a column's type is not an append"
+            )
+        out_fields.append(
+            dict(f, required=bool(f["required"]) and not inc.nullable)
+        )
+    next_id = int(last_col_id)
+    for f in incoming.fields:
+        if f.name not in by_name:
+            next_id += 1
+            # a NEW column is always optional: rows committed before it
+            # existed have no value (the spec forbids adding required)
+            out_fields.append(
+                {
+                    "id": next_id,
+                    "name": f.name,
+                    "required": False,
+                    "type": _iceberg_type_of(f.dataType),
+                }
+            )
+    return out_fields, next_id
+
+
 def write_iceberg(
     spark: SparkSession,
     df: DataFrame,
@@ -359,6 +455,7 @@ def write_iceberg(
     partition_by: list[str] | tuple[str, ...] = (),
     colocate: bool = True,
     max_records_per_file: int | None = None,
+    merge_schema: bool = False,
 ) -> dict:
     """Commit ``df`` as a new Iceberg APPEND snapshot (creating the
     table on first write).  Returns {"snapshot_id", "metadata_path",
@@ -366,8 +463,12 @@ def write_iceberg(
 
     Identity partition transforms only; partition columns restricted
     to string/int/long (their avro partition-map form round-trips
-    exactly).  Appends require the schema to match the table's —
-    schema evolution gates loudly for now."""
+    exactly).  Appends require the schema to match the table's unless
+    ``merge_schema=True``, which performs the spec's legal evolution —
+    new columns join the CURRENT schema under fresh field ids via a
+    new schemas[] entry (no data rewrites; snapshots keep their own
+    schema-id, so time travel reads the old shape), missing columns
+    force optional, and shared-column type changes gate loudly."""
     partition_by = list(partition_by)
     schema = df.schema
     for c in partition_by:
@@ -384,32 +485,6 @@ def write_iceberg(
 
     table_dir = os.path.abspath(table_dir)
     meta_dir = Path(table_dir) / "metadata"
-    field_ids = {f.name: i + 1 for i, f in enumerate(schema.fields)}
-    schema_json = {
-        "type": "struct",
-        "schema-id": 0,
-        "fields": [
-            {
-                "id": field_ids[f.name],
-                "name": f.name,
-                "required": not f.nullable,
-                "type": _iceberg_type_of(f.dataType),
-            }
-            for f in schema.fields
-        ],
-    }
-    spec_json = {
-        "spec-id": 0,
-        "fields": [
-            {
-                "name": c,
-                "transform": "identity",
-                "source-id": field_ids[c],
-                "field-id": 1000 + i,
-            }
-            for i, c in enumerate(partition_by)
-        ],
-    }
 
     existing = sorted(
         meta_dir.glob("v*.metadata.json"),
@@ -425,13 +500,47 @@ def write_iceberg(
             )
         by_id = {s["schema-id"]: s for s in meta["schemas"]}
         cur_schema = by_id[meta["current-schema-id"]]
-        if json.dumps(cur_schema, sort_keys=True) != json.dumps(
-            schema_json, sort_keys=True
-        ):
-            raise LF.LakeFormatGatedError(
-                "incoming schema differs from the table schema — Iceberg "
-                "schema evolution is not implemented in this writer"
-            )
+        last_col = int(
+            meta.get("last-column-id")
+            or max(f["id"] for f in cur_schema["fields"])
+        )
+        out_fields, new_last = _merge_iceberg_schema(
+            cur_schema, schema, last_col
+        )
+        if out_fields != list(cur_schema["fields"]):
+            if not merge_schema:
+                raise LF.LakeFormatGatedError(
+                    "incoming schema differs from the table schema — pass "
+                    "merge_schema=True for the spec's legal evolution "
+                    "(new/missing optional columns; type changes always "
+                    "gate)"
+                )
+            cur_sid = max(s["schema-id"] for s in meta["schemas"]) + 1
+            schema_json = {
+                "type": "struct",
+                "schema-id": cur_sid,
+                "fields": out_fields,
+            }
+            meta = dict(meta)
+            meta["schemas"] = list(meta["schemas"]) + [schema_json]
+            meta["current-schema-id"] = cur_sid
+            meta["last-column-id"] = max(new_last, last_col)
+        else:
+            cur_sid = int(meta["current-schema-id"])
+            schema_json = cur_schema
+        field_ids = {f["name"]: f["id"] for f in schema_json["fields"]}
+        spec_json = {
+            "spec-id": 0,
+            "fields": [
+                {
+                    "name": c,
+                    "transform": "identity",
+                    "source-id": field_ids[c],
+                    "field-id": 1000 + i,
+                }
+                for i, c in enumerate(partition_by)
+            ],
+        }
         specs = {s["spec-id"]: s for s in meta["partition-specs"]}
         if json.dumps(specs[meta["default-spec-id"]], sort_keys=True) != (
             json.dumps(spec_json, sort_keys=True)
@@ -447,6 +556,33 @@ def write_iceberg(
             mlist = LF._resolve(snaps[parent]["manifest-list"], table_dir)
             prev_manifests = LF._read_avro_records(spark, mlist)
     else:
+        field_ids = {f.name: i + 1 for i, f in enumerate(schema.fields)}
+        cur_sid = 0
+        schema_json = {
+            "type": "struct",
+            "schema-id": 0,
+            "fields": [
+                {
+                    "id": field_ids[f.name],
+                    "name": f.name,
+                    "required": not f.nullable,
+                    "type": _iceberg_type_of(f.dataType),
+                }
+                for f in schema.fields
+            ],
+        }
+        spec_json = {
+            "spec-id": 0,
+            "fields": [
+                {
+                    "name": c,
+                    "transform": "identity",
+                    "source-id": field_ids[c],
+                    "field-id": 1000 + i,
+                }
+                for i, c in enumerate(partition_by)
+            ],
+        }
         meta = None
         prev_version = 0
         seq = 1
@@ -642,28 +778,7 @@ def write_iceberg(
             "partitions": part_summaries,
         }
     )
-    # normalize carried-forward rows to the LIST schema (avro readers
-    # return exactly the fields the old file had; missing keys default)
-    norm_rows = []
-    for r in mlist_rows:
-        norm_rows.append(
-            {
-                "manifest_path": r["manifest_path"],
-                "manifest_length": int(r.get("manifest_length") or 0),
-                "partition_spec_id": int(r.get("partition_spec_id") or 0),
-                "content": int(r.get("content") or 0),
-                "sequence_number": r.get("sequence_number"),
-                "min_sequence_number": r.get("min_sequence_number"),
-                "added_snapshot_id": r.get("added_snapshot_id"),
-                "added_files_count": int(r.get("added_files_count") or 0),
-                "existing_files_count": int(r.get("existing_files_count") or 0),
-                "deleted_files_count": int(r.get("deleted_files_count") or 0),
-                "added_rows_count": int(r.get("added_rows_count") or 0),
-                "existing_rows_count": int(r.get("existing_rows_count") or 0),
-                "deleted_rows_count": int(r.get("deleted_rows_count") or 0),
-                "partitions": r.get("partitions"),
-            }
-        )
+    norm_rows = [_normalize_mlist_row(r) for r in mlist_rows]
     snap_name = f"snap-{snapshot_id:05d}-{wsalt}.avro"
     LF.write_avro_records(spark, str(meta_dir / snap_name), _MLIST_SCHEMA, norm_rows)
 
@@ -672,7 +787,9 @@ def write_iceberg(
         "sequence-number": seq,
         "timestamp-ms": now_ms,
         "manifest-list": f"metadata/{snap_name}",
-        "schema-id": 0,
+        # each snapshot pins ITS schema — time travel across an
+        # evolution reads the shape the snapshot was committed under
+        "schema-id": cur_sid,
         "summary": {"operation": "append"},
     }
     if parent is not None:
@@ -699,23 +816,7 @@ def write_iceberg(
             "snapshots": [],
             "snapshot-log": [],
         }
-    meta["snapshots"] = list(meta.get("snapshots", [])) + [snapshot]
-    meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
-        {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
-    ]
-    # the commit clock must be monotonic for AS OF TIMESTAMP travel
-    # even when two commits land within one ms
-    slog = meta["snapshot-log"]
-    for i in range(1, len(slog)):
-        if slog[i]["timestamp-ms"] <= slog[i - 1]["timestamp-ms"]:
-            slog[i]["timestamp-ms"] = slog[i - 1]["timestamp-ms"] + 1
-    by_sid = {e["snapshot-id"]: e["timestamp-ms"] for e in slog}
-    for s in meta["snapshots"]:
-        if s["snapshot-id"] in by_sid:
-            s["timestamp-ms"] = by_sid[s["snapshot-id"]]
-    meta["current-snapshot-id"] = snapshot_id
-    meta["last-sequence-number"] = seq
-    meta["last-updated-ms"] = max(now_ms, int(meta.get("last-updated-ms") or 0))
+    meta = _append_snapshot_to_meta(meta, snapshot, now_ms, seq)
 
     version = prev_version + 1
     dest = _commit_metadata(
@@ -874,25 +975,7 @@ def delete_iceberg(
     prev_manifests = LF._read_avro_records(
         spark, LF._resolve(snaps[parent]["manifest-list"], table_dir)
     )
-    mlist_rows = [
-        {
-            "manifest_path": r["manifest_path"],
-            "manifest_length": int(r.get("manifest_length") or 0),
-            "partition_spec_id": int(r.get("partition_spec_id") or 0),
-            "content": int(r.get("content") or 0),
-            "sequence_number": r.get("sequence_number"),
-            "min_sequence_number": r.get("min_sequence_number"),
-            "added_snapshot_id": r.get("added_snapshot_id"),
-            "added_files_count": int(r.get("added_files_count") or 0),
-            "existing_files_count": int(r.get("existing_files_count") or 0),
-            "deleted_files_count": int(r.get("deleted_files_count") or 0),
-            "added_rows_count": int(r.get("added_rows_count") or 0),
-            "existing_rows_count": int(r.get("existing_rows_count") or 0),
-            "deleted_rows_count": int(r.get("deleted_rows_count") or 0),
-            "partitions": r.get("partitions"),
-        }
-        for r in prev_manifests
-    ]
+    mlist_rows = [_normalize_mlist_row(r) for r in prev_manifests]
     mlist_rows.append(
         {
             "manifest_path": f"metadata/{m_name}",
@@ -924,31 +1007,15 @@ def delete_iceberg(
         "parent-snapshot-id": parent,
         "summary": {"operation": "delete"},
     }
-    meta = dict(meta)
-    meta["snapshots"] = list(meta["snapshots"]) + [snapshot]
-    meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
-        {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
-    ]
-    slog = meta["snapshot-log"]
-    for i in range(1, len(slog)):
-        if slog[i]["timestamp-ms"] <= slog[i - 1]["timestamp-ms"]:
-            slog[i]["timestamp-ms"] = slog[i - 1]["timestamp-ms"] + 1
-    by_sid = {e["snapshot-id"]: e["timestamp-ms"] for e in slog}
-    for s in meta["snapshots"]:
-        if s["snapshot-id"] in by_sid:
-            s["timestamp-ms"] = by_sid[s["snapshot-id"]]
-    meta["current-snapshot-id"] = snapshot_id
-    meta["last-sequence-number"] = seq
-    meta["last-updated-ms"] = max(now_ms, int(meta.get("last-updated-ms") or 0))
+    meta = _append_snapshot_to_meta(meta, snapshot, now_ms, seq)
 
+    # the CAS version MUST derive from the metadata file this snapshot
+    # state was read from — deriving it from the directory's glob-latest
+    # would let a commit from a stale read land as a fresh version and
+    # silently erase any snapshot committed in between
     prev_version = int(
         os.path.basename(metadata_path).split(".")[0][1:]
     )
-    latest = max(
-        meta_dir.glob("v*.metadata.json"),
-        key=lambda p: int(p.name.split(".")[0][1:]),
-    )
-    prev_version = int(latest.name.split(".")[0][1:])
     dest = _commit_metadata(
         meta_dir, prev_version + 1, json.dumps(meta, sort_keys=True, indent=1)
     )
@@ -1024,14 +1091,7 @@ def expire_iceberg_snapshots(
 
     live = reachable(keep)
     dead = reachable(drop) - live
-    if not dry_run:
-        for p in sorted(dead):
-            try:
-                os.unlink(p)
-                audit["files_deleted"] += 1
-            except FileNotFoundError:
-                pass
-    else:
+    if dry_run:
         audit["files_deleted"] = len(dead)
 
     if not dry_run:
@@ -1043,18 +1103,26 @@ def expire_iceberg_snapshots(
         ]
         # parent pointers into the expired range would dangle for
         # lineage walks; clear them at the new history root
-        oldest_kept = min(keep_ids & {s["snapshot-id"] for s in keep})
         for s in meta["snapshots"]:
             if s.get("parent-snapshot-id") not in keep_ids:
                 s.pop("parent-snapshot-id", None)
         meta_dir = Path(table_dir) / "metadata"
-        latest = max(
-            meta_dir.glob("v*.metadata.json"),
-            key=lambda p: int(p.name.split(".")[0][1:]),
-        )
-        version = int(latest.name.split(".")[0][1:]) + 1
+        # CAS against the metadata version this expire READ (not the
+        # glob-latest): a concurrent append would otherwise be silently
+        # dropped from the rewritten snapshots list by this DESTRUCTIVE op
+        version = int(os.path.basename(metadata_path).split(".")[0][1:]) + 1
         dest = _commit_metadata(
             meta_dir, version, json.dumps(meta, sort_keys=True, indent=1)
         )
         audit["metadata_path"] = str(dest)
+        # file deletion only AFTER the CAS succeeds: a stale expire must
+        # collide having destroyed nothing (r8 s3 review — unlinking
+        # first deleted files a concurrent append still referenced,
+        # then failed the commit)
+        for p in sorted(dead):
+            try:
+                os.unlink(p)
+                audit["files_deleted"] += 1
+            except FileNotFoundError:
+                pass
     return audit

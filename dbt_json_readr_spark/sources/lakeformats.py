@@ -555,6 +555,30 @@ def delta_snapshot(table_path: str, version: int | None = None) -> dict:
     }
 
 
+def _dv_file_path(table_path: str, desc: dict) -> str | None:
+    """The on-disk file a 'u'/'p' deletion-vector descriptor points at
+    (None for inline 'i' storage).  ONE definition shared by the decode
+    path and existence gates (e.g. RESTORE refusing a vacuumed target)
+    so the two can never resolve differently."""
+    import uuid as _uuid
+
+    from . import roaring
+
+    st = desc.get("storageType")
+    if st == "u":
+        body = desc.get("pathOrInlineDv") or ""
+        if len(body) < 20:
+            raise roaring.DeletionVectorError(
+                f"'u' pathOrInlineDv too short for a z85 UUID: {body!r}"
+            )
+        prefix, z85_uuid = body[:-20], body[-20:]
+        uid = _uuid.UUID(bytes=roaring.z85_decode(z85_uuid))
+        return os.path.join(table_path, prefix, f"deletion_vector_{uid}.bin")
+    if st == "p":
+        return _resolve(desc.get("pathOrInlineDv") or "", table_path)
+    return None
+
+
 def _dv_positions(table_path: str, desc: dict) -> list[int]:
     """Resolve one deletion-vector descriptor to its sorted 64-bit row
     indexes (driver-side metadata, like Iceberg position deletes).
@@ -563,8 +587,6 @@ def _dv_positions(table_path: str, desc: dict) -> list[int]:
     ``<prefix>/deletion_vector_<uuid>.bin``), ``p`` absolute path.
     The decoded cardinality must equal the descriptor's — a decode that
     'works' but disagrees with the log is corrupt, not usable."""
-    import uuid as _uuid
-
     from . import roaring
 
     st = desc.get("storageType")
@@ -591,18 +613,7 @@ def _dv_positions(table_path: str, desc: dict) -> list[int]:
                 )
             positions = roaring.decode_dv_blob(blob[:want])
         elif st in ("u", "p"):
-            if st == "u":
-                if len(body) < 20:
-                    raise roaring.DeletionVectorError(
-                        f"'u' pathOrInlineDv too short for a z85 UUID: {body!r}"
-                    )
-                prefix, z85_uuid = body[:-20], body[-20:]
-                uid = _uuid.UUID(bytes=roaring.z85_decode(z85_uuid))
-                fpath = os.path.join(
-                    table_path, prefix, f"deletion_vector_{uid}.bin"
-                )
-            else:
-                fpath = _resolve(body, table_path)
+            fpath = _dv_file_path(table_path, desc)
             # the spec marks offset optional — a descriptor missing it
             # (or sizeInBytes) must fail the module's loud contract,
             # not a bare KeyError (r7 advice)
@@ -1197,13 +1208,18 @@ def read_delta_changes(
                 use_cdc_schema=True,
             )
             continue
-        # ANY deletion-vector involvement in a cdc-less commit gates —
-        # including a DV re-add with dataChange=false: skipping it as
-        # 'compaction' while deriving the paired remove would report
-        # the WHOLE file deleted when the commit only DV-deleted a few
-        # rows (caught by this path's own gate test).
+        # DATA-CHANGING deletion-vector involvement in a cdc-less commit
+        # gates — including a DV re-add with dataChange=false: skipping
+        # it as 'compaction' while deriving the paired remove would
+        # report the WHOLE file deleted when the commit only DV-deleted
+        # a few rows (caught by this path's own gate test).  A
+        # dataChange=false REMOVE that merely mirrors its file's DV
+        # descriptor (the protocol's tombstone shape — OPTIMIZE applying
+        # a DV physically) declares no logical change and must stay
+        # invisible here, exactly like its paired compacted add.
         if any(a.get("deletionVector") for a in parsed["adds"]) or any(
-            r.get("deletionVector") for r in parsed["removes"]
+            r.get("deletionVector") and r.get("dataChange", True)
+            for r in parsed["removes"]
         ):
             raise LakeFormatGatedError(
                 f"commit {v} changes deletion vectors without cdc "

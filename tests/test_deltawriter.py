@@ -739,3 +739,186 @@ def test_schema_evolution_append(spark, tmp_path):
     bad = spark.createDataFrame([(5, "a", 1)], "id long, p string, v long")
     with pytest.raises(LF.LakeFormatGatedError, match="type mismatch"):
         DW.write_delta(spark, bad, tbl, partition_by=["p"], merge_schema=True)
+
+
+def test_vacuum_tombstone_clock_protects_recent_removes(spark, tmp_path):
+    """Retention is measured from the remove's deletionTimestamp, not
+    the file's mtime (r8 session-3 review): a month-old file
+    tombstoned seconds ago must survive the full window — mtime alone
+    deleted it immediately, breaking readers pinned on the
+    pre-rewrite snapshot."""
+    import os as _os
+    import time as _time
+
+    tbl = str(tmp_path / "t")
+    df = spark.createDataFrame([(i, "a") for i in range(10)], "id long, p string")
+    DW.write_delta(spark, df, tbl, partition_by=["p"])                    # v0
+    snap0 = LF.delta_snapshot(tbl)
+    # age the v0 data files far into the past (a month-old table)
+    old_s = _time.time() - 40 * 24 * 3600
+    for f in snap0["files"]:
+        _os.utime(f"{tbl}/{f['path']}", (old_s, old_s))
+    # overwrite tombstones them NOW
+    DW.write_delta(
+        spark, df.limit(3), tbl, mode="overwrite", partition_by=["p"]
+    )                                                                     # v1
+    # 7-day retention at the real clock: tombstone is seconds old, so
+    # the old-mtime files MUST be retained as young
+    aud = DW.vacuum_delta(spark, tbl)
+    assert aud["files_deleted"] == 0
+    assert aud["files_retained_young"] == len(snap0["files"])
+    assert LF.read_delta_snapshot(spark, tbl, version=0).count() == 10
+    # past the tombstone horizon they go
+    far = int(_time.time() * 1000) + 8 * 24 * 3600 * 1000
+    aud2 = DW.vacuum_delta(spark, tbl, now_ms=far)
+    assert aud2["files_deleted"] == len(snap0["files"])
+
+
+def test_vacuum_spares_hidden_files(spark, tmp_path):
+    """Underscore/dot-prefixed entries are never vacuumed (the
+    production hidden-file rule) — the audit markers the gated
+    fixtures persist at table roots were being swept (r8 s3 review)."""
+    tbl = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], "id long, p string")
+    DW.write_delta(spark, df, tbl, partition_by=["p"])
+    marker = Path(tbl) / "_RT_AUDIT_MARKER"
+    marker.write_text("{}")
+    hidden = Path(tbl) / ".hidden_note"
+    hidden.write_text("x")
+    aud = DW.vacuum_delta(spark, tbl, retention_ms=0, now_ms=10**15)
+    assert marker.exists() and hidden.exists()
+    assert aud["files_deleted"] == 0
+
+
+def test_restore_to_vacuumed_version_gates(spark, tmp_path):
+    """RESTORE to a version whose files were vacuumed must refuse
+    BEFORE committing (r8 s3 review: it committed a live snapshot
+    referencing deleted files, corrupting the CURRENT table exactly
+    like production Delta refuses to)."""
+    tbl = str(tmp_path / "t")
+    df = spark.createDataFrame([(i, "a") for i in range(10)], "id long, p string")
+    DW.write_delta(spark, df, tbl, partition_by=["p"])                    # v0
+    DW.write_delta(
+        spark, df.limit(2), tbl, mode="overwrite", partition_by=["p"]
+    )                                                                     # v1
+    DW.vacuum_delta(spark, tbl, retention_ms=0, now_ms=10**15)
+    with pytest.raises(LF.LakeFormatError, match="no longer exist"):
+        DW.restore_delta(spark, tbl, 0)
+    # the failed restore committed NOTHING: latest still reads clean
+    assert LF.delta_snapshot(tbl)["version"] == 1
+    assert LF.read_delta_snapshot(spark, tbl).count() == 2
+
+
+def test_convert_deeper_partition_layout_gates(spark, tmp_path):
+    """convert_to_delta on a directory partitioned DEEPER than
+    partition_by declares must gate, not catalog files whose
+    undeclared partition column silently reads NULL (r8 s3 review)."""
+    raw = tmp_path / "raw"
+    (raw / "a=1" / "b=2").mkdir(parents=True)
+    spark.createDataFrame([(1.0,)], "v double").toPandas().to_parquet(
+        raw / "a=1" / "b=2" / "part-0.parquet"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("v", T.DoubleType()),
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.LongType()),
+        ]
+    )
+    with pytest.raises(LF.LakeFormatError, match="deeper than"):
+        DW.convert_to_delta(spark, str(raw), schema, partition_by=["a"])
+
+
+def test_optimize_sort_unpartitioned_disjoint(spark, tmp_path):
+    """The clustering rewrite must hold on UNPARTITIONED tables too:
+    local task sorts alone leave overlapping file ranges (r8 s3
+    review) — the writer now range-partitions on the sort key first,
+    so footer min/max are disjoint globally."""
+    tbl = str(tmp_path / "t")
+    rows = [((i * 7919) % 1000,) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long")
+    DW.write_delta(spark, df, tbl, max_records_per_file=100)
+    DW.optimize_delta(spark, tbl, sort_by=["id"], max_records_per_file=100)
+    snap = LF.delta_snapshot(tbl)
+    spans = []
+    for f in snap["files"]:
+        st = json.loads(f["stats"])
+        spans.append((st["minValues"]["id"], st["maxValues"]["id"]))
+    spans.sort()
+    assert len(spans) > 1  # the rewrite actually produced several files
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2
+    back = LF.read_delta_snapshot(spark, tbl)
+    assert back.count() == 1000
+    assert back.agg(F.sum("id")).collect()[0][0] == sum(r[0] for r in rows)
+
+
+def test_remove_actions_mirror_dv_descriptors(spark, tmp_path):
+    """Every writer path tombstones through _remove_action, which
+    mirrors the removed entry's DV descriptor (the protocol keys
+    reconciliation on (path, dvId)); vacuum then protects the orphaned
+    DV file on the tombstone clock, and OPTIMIZE's dataChange=false
+    removes stay invisible to the CDF reader (r8 s3 review)."""
+    tbl = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(30000)], "id long, p string"
+    )
+    DW.write_delta(
+        spark,
+        df,
+        tbl,
+        partition_by=["p"],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )                                                                     # v0
+    DW.delete_delta(spark, tbl, [("id", "in", list(range(0, 30000, 7)))])  # v1
+    dv_bins = list(Path(tbl).glob("deletion_vector_*.bin"))
+    assert dv_bins
+    DW.optimize_delta(spark, tbl)                                         # v2
+    # the OPTIMIZE remove carries the victim's DV descriptor
+    parsed = LF._parse_commit(Path(tbl) / "_delta_log", 2)
+    assert any(r.get("deletionVector") for r in parsed["removes"])
+    # ...and stays invisible to the change feed (dataChange=false)
+    ch = LF.read_delta_changes(spark, tbl, 2, 2)
+    assert ch.count() == 0
+
+
+def test_optimize_zorder_prunes_both_dimensions(spark, tmp_path):
+    """True multi-column Z-ORDER: after the interleaved rewrite, range
+    probes on BOTH columns prune files — the property a single-key
+    sort cannot give the second column — and the data is unchanged."""
+    tbl = str(tmp_path / "t")
+    rows = [((i * 7919) % 1024, (i * 104729) % 1024, "a" if i % 2 else "b")
+            for i in range(4000)]
+    df = spark.createDataFrame(rows, "x long, y long, p string")
+    DW.write_delta(spark, df, tbl, partition_by=["p"], max_records_per_file=250)
+    snap0 = LF.delta_snapshot(tbl)
+    DW.optimize_delta(spark, tbl, zorder_by=["x", "y"], max_records_per_file=250)
+    snap1 = LF.delta_snapshot(tbl)
+    kx, _ = LF.prune_delta_files(snap1, [("x", "<", 128)])
+    ky, _ = LF.prune_delta_files(snap1, [("y", "<", 128)])
+    assert len(kx) < len(snap1["files"])
+    assert len(ky) < len(snap1["files"])
+    back = LF.read_delta_snapshot(spark, tbl)
+    assert back.count() == 4000
+    assert back.agg(F.sum("x"), F.sum("y")).collect()[0] == (
+        sum(r[0] for r in rows),
+        sum(r[1] for r in rows),
+    )
+    # the rewrite is a compaction commit: dataChange=false throughout
+    parsed = LF._parse_commit(Path(tbl) / "_delta_log", snap1["version"])
+    assert all(not a.get("dataChange", True) for a in parsed["adds"])
+
+    # gates: partition column, non-integer column, mutual exclusion
+    with pytest.raises(LF.LakeFormatError, match="partition column"):
+        DW.optimize_delta(spark, tbl, zorder_by=["p", "x"])
+    t2 = str(tmp_path / "t2")
+    DW.write_delta(
+        spark,
+        spark.createDataFrame([(1, "s", "a")], "x long, s string, p string"),
+        t2,
+        partition_by=["p"],
+    )
+    with pytest.raises(LF.LakeFormatGatedError, match="integer"):
+        DW.optimize_delta(spark, t2, zorder_by=["s", "x"])
+    with pytest.raises(LF.LakeFormatError, match="mutually exclusive"):
+        DW.optimize_delta(spark, tbl, sort_by=["x"], zorder_by=["y"])

@@ -267,3 +267,75 @@ def test_position_deletes_survive_table_move(spark, tmp_path):
     back = LF.read_iceberg_snapshot(spark, _latest_meta(t2))
     assert back.count() == 6
     assert back.filter(F.col("id") < 4).count() == 0
+
+
+def test_delete_from_stale_metadata_cas_collides(spark, tmp_path):
+    """delete_iceberg commits at (its snapshot source version)+1 — a
+    stale metadata_path must COLLIDE with the concurrent commit, never
+    land as a fresh version that silently erases it (r8 s3 review:
+    the glob-latest override defeated the CAS)."""
+    tbl = str(tmp_path / "t")
+    df = spark.createDataFrame([(i, float(i)) for i in range(10)], "id long, v double")
+    IW.write_iceberg(spark, df, tbl)                     # v1
+    stale = _latest_meta(tbl)
+    IW.write_iceberg(spark, df, tbl)                     # v2 (concurrent)
+    with pytest.raises(LF.LakeFormatError, match="concurrently"):
+        IW.delete_iceberg(spark, stale, [("id", "<", 3)])
+    # the concurrent append's snapshot survived untouched
+    assert LF.read_iceberg_snapshot(spark, _latest_meta(tbl)).count() == 20
+
+
+def test_expire_from_stale_metadata_cas_collides(spark, tmp_path):
+    """expire_iceberg_snapshots is DESTRUCTIVE — run from a stale
+    metadata_path it must collide on the CAS instead of deleting files
+    and dropping the newer snapshot from history (r8 s3 review)."""
+    tbl = str(tmp_path / "t")
+    df = spark.createDataFrame([(i, float(i)) for i in range(6)], "id long, v double")
+    IW.write_iceberg(spark, df, tbl)                     # v1
+    IW.write_iceberg(spark, df, tbl)                     # v2
+    stale = _latest_meta(tbl)
+    IW.write_iceberg(spark, df, tbl)                     # v3 (concurrent)
+    with pytest.raises(LF.LakeFormatError, match="concurrently"):
+        IW.expire_iceberg_snapshots(spark, stale, keep_last=1)
+    assert LF.read_iceberg_snapshot(spark, _latest_meta(tbl)).count() == 18
+
+
+def test_schema_evolution_append(spark, tmp_path):
+    """merge_schema: new columns join under FRESH field ids via a new
+    schemas[] entry; old snapshots keep their schema-id (time travel
+    reads the old shape); missing columns fill NULL; type conflicts
+    gate loudly."""
+    import json as _json
+
+    tbl = str(tmp_path / "t")
+    a = spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], "id long, p string, v double")
+    r1 = IW.write_iceberg(spark, a, tbl, partition_by=["p"])
+    b = spark.createDataFrame([(3, "a", "x"), (4, "c", "y")], "id long, p string, tag string")
+    with pytest.raises(LF.LakeFormatGatedError, match="merge_schema"):
+        IW.write_iceberg(spark, b, tbl, partition_by=["p"])
+    r2 = IW.write_iceberg(spark, b, tbl, partition_by=["p"], merge_schema=True)
+    back = LF.read_iceberg_snapshot(spark, r2["metadata_path"])
+    assert set(back.columns) == {"id", "p", "v", "tag"}
+    rows = {r["id"]: (r["v"], r["tag"]) for r in back.collect()}
+    assert rows == {1: (1.0, None), 2: (2.0, None), 3: (None, "x"), 4: (None, "y")}
+    # time travel to the pre-evolution snapshot keeps the OLD schema
+    old = LF.read_iceberg_snapshot(
+        spark, r2["metadata_path"], snapshot_id=r1["snapshot_id"]
+    )
+    assert set(old.columns) == {"id", "p", "v"} and old.count() == 2
+    # metadata: new schemas[] entry, fresh id, last-column-id advanced
+    meta = _json.load(open(r2["metadata_path"]))
+    assert [s["schema-id"] for s in meta["schemas"]] == [0, 1]
+    assert meta["current-schema-id"] == 1 and meta["last-column-id"] == 4
+    new_field = [f for f in meta["schemas"][1]["fields"] if f["name"] == "tag"][0]
+    assert new_field["id"] == 4 and new_field["required"] is False
+    # type conflict gates
+    bad = spark.createDataFrame([(5, "a", 1)], "id long, p string, v long")
+    with pytest.raises(LF.LakeFormatGatedError, match="type mismatch"):
+        IW.write_iceberg(spark, bad, tbl, partition_by=["p"], merge_schema=True)
+    # a same-shape append after evolution still lands (schema-id reused)
+    c = spark.createDataFrame([(9, "a", 9.0, "z")], "id long, p string, v double, tag string")
+    r3 = IW.write_iceberg(spark, c, tbl, partition_by=["p"], merge_schema=True)
+    meta3 = _json.load(open(r3["metadata_path"]))
+    assert [s["schema-id"] for s in meta3["schemas"]] == [0, 1]
+    assert LF.read_iceberg_snapshot(spark, r3["metadata_path"]).count() == 5
