@@ -1225,3 +1225,79 @@ SELECT
 FROM rows_all
 GROUP BY o_orderstatus, o_orderpriority
 """
+
+
+# ---------------------------------------------------------------- F28
+
+
+def iceberg_equality_delete_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 EQUALITY-DELETE write — the CDC-friendly delete: the
+    key tuples (low nation keys actually present) land in a delete
+    parquet with equality_ids, NO table scan (position deletes pay
+    one; equality deletes are why streaming upsert sinks can keep up),
+    and the snapshot's sequence number scopes the delete STRICTLY
+    BEFORE it — proven in-key by re-appending customers of the deleted
+    nations afterwards: the re-appended rows must survive the read.
+    Evidence: keys_written (distinct deleted nation keys) beside the
+    per-nation survivor rollup."""
+    prep(spark)
+    from ..sources import icebergwriter as IW
+
+    cust = load(spark, sf_dir, "customer")
+
+    def build(tbl: str) -> None:
+        r1 = IW.write_iceberg(spark, cust, tbl)
+        keys = (
+            cust.filter(F.col("c_nationkey") < 5)
+            .select("c_nationkey")
+            .distinct()
+        )
+        r2 = IW.delete_iceberg_equality(spark, r1["metadata_path"], keys)
+        re_add = cust.filter(
+            (F.col("c_nationkey") < 5) & (F.col("c_custkey") % 9 == 0)
+        )
+        IW.write_iceberg(spark, re_add, tbl)
+        (Path(tbl) / "_RT_EQDEL_KEYS").write_text(str(r2["keys_written"]))
+
+    tbl = str(_ensure("wrt_ice_eqdel", sf_dir, build))
+    keys_written = int((Path(tbl) / "_RT_EQDEL_KEYS").read_text())
+    latest = max(
+        Path(tbl, "metadata").glob("v*.metadata.json"),
+        key=lambda p: int(p.name.split(".")[0][1:]),
+    )
+    df = LF.read_iceberg_snapshot(spark, str(latest))
+    return (
+        df.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("sum_bal"),
+            F.min("c_custkey").alias("min_key"),
+        )
+        .select(
+            "*", F.lit(keys_written).cast("int").alias("keys_written")
+        )
+    )
+
+
+def _iceberg_equality_delete_write_sql() -> str:
+    s = _DSUM.format(c="c_acctbal")
+    return f"""
+WITH survivors AS (
+  SELECT * FROM customer WHERE c_nationkey >= 5
+  UNION ALL
+  SELECT * FROM customer
+  WHERE c_nationkey < 5 AND c_custkey % 9 = 0
+),
+ev AS (
+  SELECT CAST(count(DISTINCT c_nationkey) AS INTEGER) AS keys_written
+  FROM customer WHERE c_nationkey < 5
+)
+SELECT
+  c_nationkey,
+  count(*) AS n_rows,
+  {s} AS sum_bal,
+  min(c_custkey) AS min_key,
+  (SELECT keys_written FROM ev) AS keys_written
+FROM survivors
+GROUP BY c_nationkey
+"""

@@ -452,6 +452,13 @@ register(
     lakewrite.iceberg_schema_evolution_read,
     lakewrite._iceberg_schema_evolution_read_sql,
 )
+# F28: Iceberg equality-delete write — CDC-style no-scan deletes with
+# strict sequence scoping (re-appended keys survive, proven in-key)
+register(
+    "iceberg_equality_delete_write",
+    lakewrite.iceberg_equality_delete_write,
+    lakewrite._iceberg_equality_delete_write_sql,
+)
 register(
     "streaming_delta_commits",
     streaming_jobs.streaming_delta_commits,
@@ -533,6 +540,7 @@ _NEW_R8 = [
     "delta_schema_evolution_read",
     "delta_zorder_rewrite",
     "iceberg_schema_evolution_read",
+    "iceberg_equality_delete_write",
 ]
 
 # Newest driver row is r4; ordered most load-bearing first (flagship

@@ -931,7 +931,47 @@ def delete_iceberg(
         del_dest.unlink()
         return {"positions_written": 0, "snapshot_id": None}
 
+    dest = _commit_delete_snapshot(
+        spark,
+        metadata_path,
+        info,
+        del_rel=del_rel,
+        n_rows=int(n_positions),
+        wsalt=wsalt,
+        seq=seq,
+        snapshot_id=snapshot_id,
+        content=1,
+    )
+    return {
+        "positions_written": int(n_positions),
+        "snapshot_id": snapshot_id,
+        "metadata_path": dest,
+        "delete_file": del_rel,
+    }
+
+
+def _commit_delete_snapshot(
+    spark: SparkSession,
+    metadata_path: str,
+    info: dict,
+    *,
+    del_rel: str,
+    n_rows: int,
+    wsalt: str,
+    seq: int,
+    snapshot_id: int,
+    content: int,
+    equality_ids: list[int] | None = None,
+) -> str:
+    """Shared DELETE-commit tail (position content=1 / equality
+    content=2): the delete manifest joins every carried-forward
+    manifest in a new manifest list, the snapshot commits at ``seq``,
+    and the metadata CAS targets the version the snapshot state was
+    READ from (never glob-latest)."""
+    meta = info["metadata"]
+    table_dir = os.path.dirname(os.path.dirname(os.path.abspath(metadata_path)))
     meta_dir = Path(table_dir) / "metadata"
+    del_dest = Path(table_dir) / del_rel
     spec_fields = info["partition_spec_fields"]
     partition_avro_fields = []
     schema_json = info["schema_json"]
@@ -954,17 +994,17 @@ def delete_iceberg(
                 "snapshot_id": snapshot_id,
                 "sequence_number": seq,
                 "data_file": {
-                    "content": 1,
+                    "content": content,
                     "file_path": del_rel,
                     "file_format": "PARQUET",
-                    "record_count": n_positions,
+                    "record_count": n_rows,
                     "file_size_in_bytes": del_dest.stat().st_size,
                     "partition": {f["name"]: None for f in partition_avro_fields},
                     "value_counts": None,
                     "null_value_counts": None,
                     "lower_bounds": None,
                     "upper_bounds": None,
-                    "equality_ids": None,
+                    "equality_ids": equality_ids,
                 },
             }
         ],
@@ -988,7 +1028,7 @@ def delete_iceberg(
             "added_files_count": 1,
             "existing_files_count": 0,
             "deleted_files_count": 0,
-            "added_rows_count": n_positions,
+            "added_rows_count": n_rows,
             "existing_rows_count": 0,
             "deleted_rows_count": 0,
             "partitions": None,
@@ -1019,10 +1059,90 @@ def delete_iceberg(
     dest = _commit_metadata(
         meta_dir, prev_version + 1, json.dumps(meta, sort_keys=True, indent=1)
     )
+    return str(dest)
+
+
+def delete_iceberg_equality(
+    spark: SparkSession, metadata_path: str, keys: DataFrame
+) -> dict:
+    """DELETE as v2 EQUALITY deletes — the CDC-friendly delete: the
+    distinct KEY TUPLES of ``keys`` land in a delete parquet (NO
+    target scan at all — the point vs position deletes, whose write
+    cost is a table scan), ``equality_ids`` = the key columns' field
+    ids, and the snapshot's sequence number scopes the delete to files
+    committed strictly BEFORE it (the reader's ``__seq < dseq`` rule),
+    so a later re-append of the same keys survives.  Key column types
+    must match the table exactly — a silently-coerced key tuple would
+    delete NOTHING rather than fail."""
+    info = LF.iceberg_snapshot_info(metadata_path)
+    meta = info["metadata"]
+    table_dir = os.path.dirname(os.path.dirname(os.path.abspath(metadata_path)))
+    schema_json = info["schema_json"]
+    fid_by_name = {f["name"]: f["id"] for f in schema_json["fields"]}
+    type_by_name = {f["name"]: f["type"] for f in schema_json["fields"]}
+    if not keys.columns:
+        raise LF.LakeFormatError("equality delete needs at least one key column")
+    for c in keys.columns:
+        if c not in fid_by_name:
+            raise LF.LakeFormatError(
+                f"equality key column {c!r} not in table schema"
+            )
+        t = _iceberg_type_of(keys.schema[c].dataType)
+        if t != type_by_name[c]:
+            raise LF.LakeFormatGatedError(
+                f"equality key column {c!r} has type {t!r} but the table "
+                f"stores {type_by_name[c]!r} — a coerced key tuple would "
+                "silently delete nothing"
+            )
+    if meta.get("current-snapshot-id") is None:
+        return {"keys_written": 0, "snapshot_id": None}
+
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    snapshot_id = seq
+    wsalt = hashlib.sha256(
+        f"{os.getpid()}:{time.time_ns()}:eqdel".encode()
+    ).hexdigest()[:8]
+    del_rel = f"data/eq-delete-{seq:05d}-{wsalt}.parquet"
+    del_dest = Path(table_dir) / del_rel
+    del_dest.parent.mkdir(parents=True, exist_ok=True)
+    stage = Path(table_dir) / f"_staging-eqdel-{os.getpid()}-{seq}"
+    if stage.exists():
+        shutil.rmtree(stage)
+    # distinct + one sorted file: dedup keeps the delete idempotent and
+    # small; coalesce(1) is bounded by key cardinality, not table size
+    keys.dropDuplicates(list(keys.columns)).coalesce(1).sortWithinPartitions(
+        *keys.columns
+    ).write.mode("overwrite").parquet(str(stage))
+    parts = sorted(stage.rglob("*.parquet"))
+    if not parts:
+        shutil.rmtree(stage, ignore_errors=True)
+        return {"keys_written": 0, "snapshot_id": None}
+    os.replace(parts[0], del_dest)
+    shutil.rmtree(stage, ignore_errors=True)
+
+    import pyarrow.parquet as pq
+
+    n_keys = pq.ParquetFile(str(del_dest)).metadata.num_rows
+    if n_keys == 0:
+        del_dest.unlink()
+        return {"keys_written": 0, "snapshot_id": None}
+
+    dest = _commit_delete_snapshot(
+        spark,
+        metadata_path,
+        info,
+        del_rel=del_rel,
+        n_rows=int(n_keys),
+        wsalt=wsalt,
+        seq=seq,
+        snapshot_id=snapshot_id,
+        content=2,
+        equality_ids=[int(fid_by_name[c]) for c in keys.columns],
+    )
     return {
-        "positions_written": int(n_positions),
+        "keys_written": int(n_keys),
         "snapshot_id": snapshot_id,
-        "metadata_path": str(dest),
+        "metadata_path": dest,
         "delete_file": del_rel,
     }
 

@@ -339,3 +339,48 @@ def test_schema_evolution_append(spark, tmp_path):
     meta3 = _json.load(open(r3["metadata_path"]))
     assert [s["schema-id"] for s in meta3["schemas"]] == [0, 1]
     assert LF.read_iceberg_snapshot(spark, r3["metadata_path"]).count() == 5
+
+
+def test_equality_delete_write(spark, tmp_path):
+    """Equality deletes: distinct key tuples in a content=2 delete
+    file, typed equality_ids, STRICT sequence scoping (a re-append of
+    deleted keys survives), no-op on empty keys, type-mismatch gate."""
+    tbl = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(21)], "id long, g long, v double"
+    )
+    r1 = IW.write_iceberg(spark, df, tbl)
+    keys = spark.createDataFrame([(0,), (1,), (1,)], "g long")
+    r2 = IW.delete_iceberg_equality(spark, r1["metadata_path"], keys)
+    assert r2["keys_written"] == 2  # deduped
+    back = LF.read_iceberg_snapshot(spark, r2["metadata_path"])
+    assert back.count() == 7
+    assert {r["g"] for r in back.select("g").distinct().collect()} == {2}
+    # strict seq scoping: re-appended deleted keys SURVIVE
+    re_add = spark.createDataFrame([(100, 0, 1.0)], "id long, g long, v double")
+    r3 = IW.write_iceberg(spark, re_add, tbl)
+    back3 = LF.read_iceberg_snapshot(spark, r3["metadata_path"])
+    assert back3.count() == 8
+    assert back3.filter(F.col("id") == 100).count() == 1
+    # pre-delete snapshot unaffected
+    assert (
+        LF.read_iceberg_snapshot(
+            spark, r3["metadata_path"], snapshot_id=r1["snapshot_id"]
+        ).count()
+        == 21
+    )
+    # empty key set commits nothing
+    none = IW.delete_iceberg_equality(
+        spark, r3["metadata_path"], spark.createDataFrame([], "g long")
+    )
+    assert none["snapshot_id"] is None
+    # type coercion gates (a coerced tuple would delete nothing)
+    with pytest.raises(LF.LakeFormatGatedError, match="stores"):
+        IW.delete_iceberg_equality(
+            spark, r3["metadata_path"], spark.createDataFrame([(2,)], "g int")
+        )
+    # unknown key column refuses
+    with pytest.raises(LF.LakeFormatError, match="not in table schema"):
+        IW.delete_iceberg_equality(
+            spark, r3["metadata_path"], spark.createDataFrame([(2,)], "zz long")
+        )
