@@ -1301,3 +1301,80 @@ SELECT
 FROM survivors
 GROUP BY c_nationkey
 """
+
+
+# ---------------------------------------------------------------- F29
+
+
+def delta_constraints_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK CONSTRAINTS end-to-end: commit 0 writes non-negative
+    orders, commit 1 is ALTER ADD CONSTRAINT (validating every
+    existing row in one scan, raising the protocol to the
+    checkConstraints writer feature), commit 2 appends a valid slice —
+    then a deliberately violating batch (negated totalprice) must be
+    REFUSED with nothing staged, so the table ends at version 2 with
+    only the valid rows.  Evidence: blocked_append (1 iff the
+    violating batch raised), final_version, n_constraints — all
+    closed-form from the data alone."""
+    prep(spark)
+    from ..sources.deltawriter import DeltaConstraintViolationError
+
+    orders = load(spark, sf_dir, "orders")
+
+    def build(tbl: str) -> None:
+        a = orders.filter(F.col("o_orderkey") % 5 == 0)
+        b = orders.filter(F.col("o_orderkey") % 5 == 1)
+        DW.write_delta(spark, a, tbl, partition_by=["o_orderstatus"])
+        DW.add_check_constraint(spark, tbl, "price_nonneg", "o_totalprice >= 0")
+        DW.write_delta(spark, b, tbl, partition_by=["o_orderstatus"])
+        bad = b.withColumn("o_totalprice", -F.col("o_totalprice"))
+        blocked = 0
+        try:
+            DW.write_delta(spark, bad, tbl, partition_by=["o_orderstatus"])
+        except DeltaConstraintViolationError:
+            blocked = 1
+        (Path(tbl) / "_RT_BLOCKED").write_text(str(blocked))
+
+    tbl = str(_ensure("wrt_orders_check", sf_dir, build))
+    blocked = int((Path(tbl) / "_RT_BLOCKED").read_text())
+    snap = LF.delta_snapshot(tbl)
+    n_cons = sum(
+        1 for k in snap["configuration"] if k.startswith("delta.constraints.")
+    )
+    df = LF.read_delta_snapshot(spark, tbl)
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        )
+        .select(
+            "*",
+            F.lit(blocked).cast("int").alias("blocked_append"),
+            F.lit(int(snap["version"])).cast("int").alias("final_version"),
+            F.lit(n_cons).cast("int").alias("n_constraints"),
+        )
+    )
+
+
+def _delta_constraints_audit_sql() -> str:
+    s = _DSUM.format(c="o_totalprice")
+    return f"""
+WITH valid AS (
+  SELECT * FROM orders WHERE o_orderkey % 5 IN (0, 1)
+),
+ev AS (
+  SELECT CASE WHEN count(*) > 0 THEN 1 ELSE 0 END AS blocked_append
+  FROM orders
+  WHERE o_orderkey % 5 = 1 AND -o_totalprice < 0
+)
+SELECT
+  o_orderstatus,
+  count(*) AS n_rows,
+  {s} AS sum_price,
+  (SELECT CAST(blocked_append AS INTEGER) FROM ev) AS blocked_append,
+  CAST(2 AS INTEGER) AS final_version,
+  CAST(1 AS INTEGER) AS n_constraints
+FROM valid
+GROUP BY o_orderstatus
+"""

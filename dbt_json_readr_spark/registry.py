@@ -459,6 +459,13 @@ register(
     lakewrite.iceberg_equality_delete_write,
     lakewrite._iceberg_equality_delete_write_sql,
 )
+# F29: CHECK constraints — ALTER ADD/DROP, write/merge-time
+# enforcement, checkConstraints protocol feature
+register(
+    "delta_constraints_audit",
+    lakewrite.delta_constraints_audit,
+    lakewrite._delta_constraints_audit_sql,
+)
 register(
     "streaming_delta_commits",
     streaming_jobs.streaming_delta_commits,
@@ -541,6 +548,7 @@ _NEW_R8 = [
     "delta_zorder_rewrite",
     "iceberg_schema_evolution_read",
     "iceberg_equality_delete_write",
+    "delta_constraints_audit",
 ]
 
 # Newest driver row is r4; ordered most load-bearing first (flagship

@@ -78,6 +78,11 @@ class DeltaConcurrentCommitError(LF.LakeFormatError):
     snapshot and retry (optimistic concurrency, PROTOCOL.md)."""
 
 
+class DeltaConstraintViolationError(LF.LakeFormatError):
+    """Incoming rows violate a ``delta.constraints.*`` CHECK
+    constraint — nothing was committed."""
+
+
 # stats are only emitted for values the reader's ``skipping._coerce``
 # round-trips exactly; longer strings are omitted (conservative: a
 # missing stat keeps the file) rather than truncated, because a
@@ -487,6 +492,140 @@ def _cdf_enabled(snap: dict) -> bool:
     )
 
 
+def _table_constraints(config: dict | None) -> dict[str, str]:
+    """name → CHECK expression from ``delta.constraints.*`` table
+    configuration (the protocol's checkConstraints feature)."""
+    pre = "delta.constraints."
+    return {
+        k[len(pre):]: v
+        for k, v in (config or {}).items()
+        if k.startswith(pre)
+    }
+
+
+def _enforce_constraints(df: DataFrame, config: dict | None, op: str) -> None:
+    """Refuse rows that VIOLATE any CHECK constraint before anything
+    commits.  SQL CHECK semantics: a row violates only when the
+    expression evaluates FALSE — NULL passes.  One aggregate pass
+    counts violations for every constraint at once (zero cost when the
+    table has none); the error names each violated constraint with its
+    expression and row count."""
+    cons = _table_constraints(config)
+    if not cons:
+        return
+    aggs = [
+        F.sum(
+            F.when(~F.coalesce(F.expr(e), F.lit(True)), 1).otherwise(0)
+        ).alias(n)
+        for n, e in sorted(cons.items())
+    ]
+    row = df.agg(*aggs).collect()[0]
+    bad = {n: int(row[n] or 0) for n in sorted(cons) if (row[n] or 0) > 0}
+    if bad:
+        raise DeltaConstraintViolationError(
+            f"{op} violates CHECK constraint(s): "
+            + "; ".join(
+                f"{n!r} CHECK ({cons[n]}) — {c} row(s)"
+                for n, c in bad.items()
+            )
+        )
+
+
+def add_check_constraint(
+    spark: SparkSession, table_path: str, name: str, expr: str
+) -> dict:
+    """ALTER TABLE ADD CONSTRAINT name CHECK (expr): every EXISTING
+    row must already satisfy the expression (one distributed scan —
+    production refuses the ALTER otherwise), then a metaData commit
+    records ``delta.constraints.<name>`` and the protocol rises to the
+    checkConstraints feature — legacy writer version 3, or
+    'checkConstraints' appended to writerFeatures when the table is
+    already on table-features (7).  Readers are unaffected; every
+    subsequent write/merge through this writer enforces the check."""
+    snap = LF.delta_snapshot(table_path)
+    key = f"delta.constraints.{name}"
+    if key in snap["configuration"]:
+        raise LF.LakeFormatError(
+            f"constraint {name!r} already exists on {table_path}"
+        )
+    live = LF.read_delta_snapshot(spark, table_path)
+    _enforce_constraints(live, {key: expr}, "ADD CONSTRAINT")
+    cfg = dict(snap["configuration"])
+    cfg[key] = expr
+    actions: list[dict] = [
+        _commit_info("ADD CONSTRAINT", {"name": name, "expr": expr})
+    ]
+    proto = snap.get("protocol") or {}
+    mw = int(proto.get("minWriterVersion") or 2)
+    if mw >= 7:
+        wf = sorted(
+            set(proto.get("writerFeatures") or []) | {"checkConstraints"}
+        )
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": int(proto.get("minReaderVersion") or 1),
+                    "minWriterVersion": 7,
+                    "readerFeatures": proto.get("readerFeatures"),
+                    "writerFeatures": wf,
+                }
+            }
+        )
+    elif mw < 3:
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": int(proto.get("minReaderVersion") or 1),
+                    "minWriterVersion": 3,
+                }
+            }
+        )
+    actions.append(
+        {
+            "metaData": {
+                "id": snap["meta_id"],
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(snap["schema"].jsonValue()),
+                "partitionColumns": list(snap["partition_columns"]),
+                "configuration": cfg,
+            }
+        }
+    )
+    version = snap["version"] + 1
+    _commit(table_path, version, actions)
+    return {"version": version, "name": name, "expr": expr}
+
+
+def drop_check_constraint(
+    spark: SparkSession, table_path: str, name: str
+) -> dict:
+    """ALTER TABLE DROP CONSTRAINT — removes the configuration key in
+    a metaData commit.  The protocol never downgrades."""
+    snap = LF.delta_snapshot(table_path)
+    key = f"delta.constraints.{name}"
+    if key not in snap["configuration"]:
+        raise LF.LakeFormatError(f"no constraint {name!r} on {table_path}")
+    cfg = {k: v for k, v in snap["configuration"].items() if k != key}
+    version = snap["version"] + 1
+    _commit(
+        table_path,
+        version,
+        [
+            _commit_info("DROP CONSTRAINT", {"name": name}),
+            {
+                "metaData": {
+                    "id": snap["meta_id"],
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(snap["schema"].jsonValue()),
+                    "partitionColumns": list(snap["partition_columns"]),
+                    "configuration": cfg,
+                }
+            },
+        ],
+    )
+    return {"version": version, "name": name}
+
+
 def _stage_cdc(
     spark: SparkSession,
     rows: DataFrame,
@@ -742,6 +881,13 @@ def write_delta(
             now = _now_ms()
             removes = [_remove_action(f, now) for f in victims]
 
+    # CHECK constraints enforce BEFORE anything stages — a violating
+    # batch must leave no trace (zero cost when the table has none)
+    _enforce_constraints(
+        df,
+        dict(configuration or {}) if latest is None else snap["configuration"],
+        "WRITE",
+    )
     adds, rows = _stage_and_collect(
         spark, df, table_path, partition_by, version,
         max_records_per_file, colocate,
@@ -1328,6 +1474,7 @@ def merge_delta(
             cdc_actions = _stage_cdc(
                 spark, cdc_rows, table_path, snap["partition_columns"], version
             )
+        _enforce_constraints(new_rows, snap["configuration"], "MERGE")
         adds, rows = _stage_and_collect(
             spark,
             new_rows.select(*schema.fieldNames()),

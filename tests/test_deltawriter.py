@@ -922,3 +922,56 @@ def test_optimize_zorder_prunes_both_dimensions(spark, tmp_path):
         DW.optimize_delta(spark, t2, zorder_by=["s", "x"])
     with pytest.raises(LF.LakeFormatError, match="mutually exclusive"):
         DW.optimize_delta(spark, tbl, sort_by=["x"], zorder_by=["y"])
+
+
+def test_check_constraints(spark, tmp_path):
+    """CHECK constraints: ALTER ADD validates existing rows, raises the
+    protocol to the checkConstraints feature, writes/merges enforce
+    with SQL semantics (NULL passes, FALSE violates), nothing stages
+    on violation, DROP re-opens the gate."""
+    tbl = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", float(i)) for i in range(10)],
+        "id long, p string, v double",
+    )
+    DW.write_delta(spark, df, tbl, partition_by=["p"])
+    DW.add_check_constraint(spark, tbl, "v_nonneg", "v >= 0")
+    snap = LF.delta_snapshot(tbl)
+    assert snap["protocol"]["minWriterVersion"] == 3
+    assert snap["configuration"]["delta.constraints.v_nonneg"] == "v >= 0"
+    # duplicate name refuses
+    with pytest.raises(LF.LakeFormatError, match="already exists"):
+        DW.add_check_constraint(spark, tbl, "v_nonneg", "v >= 0")
+    # adding a constraint existing rows violate refuses
+    with pytest.raises(DW.DeltaConstraintViolationError, match="10 row"):
+        DW.add_check_constraint(spark, tbl, "big", "id > 1000")
+    # violating append refuses and stages NOTHING
+    with pytest.raises(DW.DeltaConstraintViolationError, match="v_nonneg"):
+        DW.write_delta(
+            spark, df.withColumn("v", -F.col("v") - 1), tbl, partition_by=["p"]
+        )
+    assert LF.delta_snapshot(tbl)["version"] == 1
+    assert not list(Path(tbl).glob("_staging*"))
+    # NULL passes (SQL CHECK semantics)
+    DW.write_delta(
+        spark,
+        spark.createDataFrame([(None, "a", None)], "id long, p string, v double"),
+        tbl,
+        partition_by=["p"],
+    )
+    # merge enforces too
+    with pytest.raises(DW.DeltaConstraintViolationError, match="MERGE"):
+        DW.merge_delta(
+            spark,
+            tbl,
+            spark.createDataFrame([(0, "b", -5.0)], "id long, p string, v double"),
+            on=["id"],
+        )
+    # drop re-opens; protocol stays (never downgraded)
+    DW.drop_check_constraint(spark, tbl, "v_nonneg")
+    DW.write_delta(
+        spark, df.withColumn("v", -F.col("v") - 1), tbl, partition_by=["p"]
+    )
+    snap2 = LF.delta_snapshot(tbl)
+    assert snap2["protocol"]["minWriterVersion"] == 3
+    assert "delta.constraints.v_nonneg" not in snap2["configuration"]
