@@ -1378,3 +1378,105 @@ SELECT
 FROM valid
 GROUP BY o_orderstatus
 """
+
+
+# ---------------------------------------------------------------- F30
+
+
+def delta_uniform_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniForm-style Delta → Iceberg EXPORT: the Delta table's live
+    parquet serves BOTH logs — ``delta_to_iceberg`` authors Iceberg
+    format-v2 metadata (footer-exact Appendix-D bounds, typed
+    partition records) over the current snapshot, and each re-export
+    after more Delta commits lands as a new Iceberg snapshot.  This
+    key reads BOTH exported snapshots back through the ICEBERG bridge
+    (which reconstructs the Delta-stripped partition column via the
+    spec's identity back-fill rule) — per-segment rollups must equal
+    SQL off the source parquet, and files_total/files_kept under a
+    segment predicate must equal the colocate layout's closed form
+    through the EXPORTED manifests' own bounds."""
+    prep(spark)
+    from ..sources import icebergwriter as IW
+
+    cust = load(spark, sf_dir, "customer")
+
+    def build(tbl: str) -> None:
+        a = cust.filter(F.col("c_custkey") % 4 == 0)
+        b = cust.filter(F.col("c_custkey") % 4 == 1)
+        DW.write_delta(spark, a, tbl, partition_by=["c_mktsegment"])
+        r1 = IW.delta_to_iceberg(spark, tbl)
+        DW.write_delta(spark, b, tbl, partition_by=["c_mktsegment"])
+        r2 = IW.delta_to_iceberg(spark, tbl)
+        # ids only — _ensure atomically renames the build dir, so any
+        # absolute path recorded here would go stale
+        (Path(tbl) / "_RT_EXPORT_SNAPS").write_text(
+            f"{r1['snapshot_id']}\n{r2['snapshot_id']}"
+        )
+
+    tbl = str(_ensure("wrt_uniform", sf_dir, build))
+    s1, s2 = (Path(tbl) / "_RT_EXPORT_SNAPS").read_text().split("\n")
+    meta_path = str(
+        max(
+            Path(tbl, "metadata").glob("v*.metadata.json"),
+            key=lambda p: int(p.name.split(".")[0][1:]),
+        )
+    )
+    pred = [("c_mktsegment", "=", "BUILDING")]
+    outs = []
+    for ver, sid in ((0, int(s1)), (1, int(s2))):
+        full = LF.read_iceberg_snapshot(spark, meta_path, snapshot_id=sid)
+        pruned = LF.read_iceberg_snapshot(
+            spark, meta_path, snapshot_id=sid, predicate=pred
+        )
+        outs.append(
+            full.groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(_dec("c_acctbal")).cast("double").alias("sum_bal"),
+                F.min("c_custkey").alias("min_key"),
+            )
+            .select(
+                F.lit(ver).cast("int").alias("export_version"),
+                "*",
+                F.lit(len(full.inputFiles())).cast("int").alias("files_total"),
+                F.lit(len(pruned.inputFiles())).cast("int").alias("files_kept"),
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
+def _delta_uniform_export_sql() -> str:
+    s = _DSUM.format(c="c_acctbal")
+    return f"""
+WITH a AS (SELECT * FROM customer WHERE c_custkey % 4 = 0),
+ab AS (SELECT * FROM customer WHERE c_custkey % 4 IN (0, 1)),
+versions AS (
+  SELECT 0 AS export_version, * FROM a
+  UNION ALL SELECT 1, * FROM ab
+),
+-- colocate layout: one file per (delta commit, segment); export 0
+-- sees commit 0's files, export 1 sees both commits'
+fa AS (SELECT count(DISTINCT c_mktsegment) AS n,
+              count(DISTINCT CASE WHEN c_mktsegment = 'BUILDING'
+                                  THEN c_mktsegment END) AS k FROM a),
+fb AS (SELECT count(DISTINCT c_mktsegment) AS n,
+              count(DISTINCT CASE WHEN c_mktsegment = 'BUILDING'
+                                  THEN c_mktsegment END) AS k
+       FROM customer WHERE c_custkey % 4 = 1),
+files AS (
+  SELECT 0 AS v, (SELECT n FROM fa) AS ft, (SELECT k FROM fa) AS fk
+  UNION ALL
+  SELECT 1, (SELECT n FROM fa) + (SELECT n FROM fb),
+         (SELECT k FROM fa) + (SELECT k FROM fb)
+)
+SELECT
+  CAST(v.export_version AS INTEGER) AS export_version,
+  v.c_mktsegment,
+  count(*) AS n_rows,
+  {s} AS sum_bal,
+  min(v.c_custkey) AS min_key,
+  CAST(f.ft AS INTEGER) AS files_total,
+  CAST(f.fk AS INTEGER) AS files_kept
+FROM versions v JOIN files f ON f.v = v.export_version
+GROUP BY v.export_version, v.c_mktsegment, f.ft, f.fk
+"""

@@ -466,6 +466,13 @@ register(
     lakewrite.delta_constraints_audit,
     lakewrite._delta_constraints_audit_sql,
 )
+# F30: UniForm-style Delta→Iceberg export — one parquet set, two logs;
+# the Iceberg bridge reads it via the identity back-fill rule
+register(
+    "delta_uniform_export",
+    lakewrite.delta_uniform_export,
+    lakewrite._delta_uniform_export_sql,
+)
 register(
     "streaming_delta_commits",
     streaming_jobs.streaming_delta_commits,
@@ -549,6 +556,7 @@ _NEW_R8 = [
     "iceberg_schema_evolution_read",
     "iceberg_equality_delete_write",
     "delta_constraints_audit",
+    "delta_uniform_export",
 ]
 
 # Newest driver row is r4; ordered most load-bearing first (flagship

@@ -20,10 +20,13 @@ here are manifest- and file-prunable from the first snapshot.
 
 Identity partitioning only (the overwhelmingly common layout; bucket/
 truncate WRITE support would need the transform applied at write
-time).  Data files CONTAIN the partition column (the spec's modern
-layout — the staging write partitions on a duplicated column so
-``partitionBy`` cannot strip the real one), which keeps the read path
-trivially correct: no identity back-fill rule needed.
+time).  Data files written HERE contain the partition column (the
+spec's modern layout — the staging write partitions on a duplicated
+column so ``partitionBy`` cannot strip the real one); tables EXPORTED
+from Delta (``delta_to_iceberg``) lack it, and the read side's
+identity back-fill rule reconstructs the column from the entry's
+partition record, exactly like production readers do for
+Hive-imported data.
 """
 
 from __future__ import annotations
@@ -48,7 +51,9 @@ from .deltawriter import footer_column_stats
 __all__ = [
     "write_iceberg",
     "delete_iceberg",
+    "delete_iceberg_equality",
     "expire_iceberg_snapshots",
+    "delta_to_iceberg",
     "encode_iceberg_bound",
 ]
 
@@ -1246,3 +1251,293 @@ def expire_iceberg_snapshots(
             except FileNotFoundError:
                 pass
     return audit
+
+
+# ------------------------------------------------------------------
+# CONVERT / EXPORT: Delta table -> Iceberg metadata (UniForm-style)
+# ------------------------------------------------------------------
+
+
+def delta_to_iceberg(spark: SparkSession, table_path: str) -> dict:
+    """UniForm-style EXPORT: author Iceberg format-v2 metadata over a
+    Delta table's CURRENT snapshot — the SAME parquet files serve both
+    logs, not a byte moves.  Each export lands as a NEW Iceberg
+    snapshot listing the full live file set in one fresh manifest (no
+    carry-forward), so re-exporting after more Delta commits gives
+    Iceberg-side history and AS OF travel across exports.
+
+    Delta strips identity-partition columns out of its data files; the
+    exported manifests carry the typed partition records and the read
+    side's IDENTITY BACK-FILL rule reconstructs the column — exactly
+    how production engines read Hive-imported Iceberg data.  Column
+    bounds re-derive from each file's parquet FOOTER (never trusted
+    from Delta's stats JSON), so the export is file-skippable through
+    F9/F11 machinery immediately; partition-column bounds come from
+    the partition value itself.
+
+    Gates: column mapping (physical names), deletion vectors (an
+    Iceberg reader would resurrect the DV-deleted rows — OPTIMIZE
+    first), exotic partition types, and re-export after Delta schema
+    evolution (field ids would drift)."""
+    snap = LF.delta_snapshot(table_path)
+    if snap["column_mapping_mode"] != "none":
+        raise LF.LakeFormatGatedError(
+            "delta_to_iceberg on column-mapped tables is not implemented "
+            "— the export would need physical-name manifests"
+        )
+    dv_files = [f["path"] for f in snap["files"] if f.get("deletionVector")]
+    if dv_files:
+        raise LF.LakeFormatGatedError(
+            f"{len(dv_files)} live file(s) carry deletion vectors (e.g. "
+            f"{dv_files[0]!r}) — an Iceberg reader would resurrect the "
+            "deleted rows; run optimize_delta first"
+        )
+    schema: T.StructType = snap["schema"]
+    partition_by = list(snap["partition_columns"])
+    for c in partition_by:
+        if not isinstance(
+            schema[c].dataType, (T.StringType, T.IntegerType, T.LongType)
+        ):
+            raise LF.LakeFormatGatedError(
+                f"partition column {c!r} has type "
+                f"{schema[c].dataType.simpleString()} — the export supports "
+                "string/int/long identity partitions only"
+            )
+
+    table_dir = os.path.abspath(table_path)
+    meta_dir = Path(table_dir) / "metadata"
+    field_ids = {f.name: i + 1 for i, f in enumerate(schema.fields)}
+    schema_json = {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": [
+            {
+                "id": field_ids[f.name],
+                "name": f.name,
+                "required": not f.nullable,
+                "type": _iceberg_type_of(f.dataType),
+            }
+            for f in schema.fields
+        ],
+    }
+    spec_json = {
+        "spec-id": 0,
+        "fields": [
+            {
+                "name": c,
+                "transform": "identity",
+                "source-id": field_ids[c],
+                "field-id": 1000 + i,
+            }
+            for i, c in enumerate(partition_by)
+        ],
+    }
+
+    existing = sorted(
+        meta_dir.glob("v*.metadata.json"),
+        key=lambda p: int(p.name.split(".")[0][1:]),
+    )
+    if existing:
+        meta = LF.iceberg_metadata(str(existing[-1]))
+        prev_version = int(existing[-1].name.split(".")[0][1:])
+        by_id = {s["schema-id"]: s for s in meta["schemas"]}
+        cur = by_id[meta["current-schema-id"]]
+        if cur["fields"] != schema_json["fields"]:
+            raise LF.LakeFormatGatedError(
+                "re-export after Delta schema evolution is not supported "
+                "— the positional field ids would drift from the "
+                "already-exported Iceberg schema"
+            )
+        specs = {s["spec-id"]: s for s in meta["partition-specs"]}
+        if json.dumps(specs[meta["default-spec-id"]], sort_keys=True) != (
+            json.dumps(spec_json, sort_keys=True)
+        ):
+            raise LF.LakeFormatError(
+                "Delta partitioning differs from the exported Iceberg spec"
+            )
+        seq = int(meta.get("last-sequence-number", 0)) + 1
+        parent = meta.get("current-snapshot-id")
+    else:
+        meta = None
+        prev_version = 0
+        seq = 1
+        parent = None
+
+    snapshot_id = seq
+    now_ms = int(time.time() * 1000)
+    type_by_id = {
+        field_ids[f.name]: _iceberg_type_of(f.dataType) for f in schema.fields
+    }
+    data_cols = [f.name for f in schema.fields if f.name not in partition_by]
+    summaries = [
+        {"contains_null": False, "lo": None, "hi": None} for _ in partition_by
+    ]
+    entries: list[dict] = []
+    rows_total = 0
+    for f in sorted(snap["files"], key=lambda x: x["path"]):
+        ap = os.path.join(table_dir, f["path"])
+        pv: dict[str, object] = {}
+        for c in partition_by:
+            raw = (f.get("partitionValues") or {}).get(c)
+            if raw is None:
+                pv[c] = None
+            elif isinstance(schema[c].dataType, (T.IntegerType, T.LongType)):
+                pv[c] = int(raw)
+            else:
+                pv[c] = str(raw)
+        nrows, bounds, nulls, value_counts = footer_column_stats(ap, data_cols)
+        rows_total += nrows
+        lower: dict[int, bytes] = {}
+        upper: dict[int, bytes] = {}
+        for name, (lo, hi) in bounds.items():
+            fid = field_ids[name]
+            blo = encode_iceberg_bound(type_by_id[fid], lo)
+            bhi = encode_iceberg_bound(type_by_id[fid], hi)
+            if blo is not None and bhi is not None:
+                lower[fid] = blo
+                upper[fid] = bhi
+        vc = {field_ids[n]: v for n, v in value_counts.items()}
+        nc = {field_ids[n]: v for n, v in nulls.items()}
+        # the partition value IS the column's min/max/count for every
+        # row of the file (identity transform)
+        for i, c in enumerate(partition_by):
+            fid = field_ids[c]
+            v = pv[c]
+            vc[fid] = nrows
+            nc[fid] = nrows if v is None else 0
+            if v is None:
+                summaries[i]["contains_null"] = True
+                continue
+            b = encode_iceberg_bound(type_by_id[fid], v)
+            if b is not None:
+                lower[fid] = b
+                upper[fid] = b
+            if summaries[i]["lo"] is None or v < summaries[i]["lo"]:
+                summaries[i]["lo"] = v
+            if summaries[i]["hi"] is None or v > summaries[i]["hi"]:
+                summaries[i]["hi"] = v
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "data_file": {
+                    "content": 0,
+                    "file_path": f["path"],
+                    "file_format": "PARQUET",
+                    "record_count": nrows,
+                    "file_size_in_bytes": os.path.getsize(ap),
+                    "partition": dict(pv),
+                    "value_counts": _kv(vc),
+                    "null_value_counts": _kv(nc),
+                    "lower_bounds": _kv(lower),
+                    "upper_bounds": _kv(upper),
+                    "equality_ids": None,
+                },
+            }
+        )
+    if not entries:
+        raise LF.LakeFormatError(
+            f"Delta table {table_path} has no live files to export"
+        )
+
+    meta_dir.mkdir(parents=True, exist_ok=True)
+    wsalt = hashlib.sha256(
+        f"{os.getpid()}:{time.time_ns()}:uniform".encode()
+    ).hexdigest()[:8]
+    m_name = f"m-{snapshot_id:05d}-{wsalt}.avro"
+    partition_avro_fields = [
+        {
+            "name": c,
+            "avro": "long"
+            if isinstance(schema[c].dataType, (T.IntegerType, T.LongType))
+            else "string",
+        }
+        for c in partition_by
+    ]
+    LF.write_avro_records(
+        spark,
+        str(meta_dir / m_name),
+        _manifest_schema(partition_avro_fields),
+        entries,
+    )
+    part_summaries = None
+    if partition_by:
+        part_summaries = []
+        for i, c in enumerate(partition_by):
+            t = type_by_id[field_ids[c]]
+            part_summaries.append(
+                {
+                    "contains_null": summaries[i]["contains_null"],
+                    "lower_bound": encode_iceberg_bound(t, summaries[i]["lo"]),
+                    "upper_bound": encode_iceberg_bound(t, summaries[i]["hi"]),
+                }
+            )
+    mlist_rows = [
+        {
+            "manifest_path": f"metadata/{m_name}",
+            "manifest_length": (meta_dir / m_name).stat().st_size,
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(entries),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": rows_total,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            "partitions": part_summaries,
+        }
+    ]
+    snap_name = f"snap-{snapshot_id:05d}-{wsalt}.avro"
+    LF.write_avro_records(
+        spark, str(meta_dir / snap_name), _MLIST_SCHEMA, mlist_rows
+    )
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": f"metadata/{snap_name}",
+        "schema-id": 0,
+        "summary": {
+            "operation": "append",
+            "delta-version": str(snap["version"]),
+        },
+    }
+    if parent is not None:
+        snapshot["parent-snapshot-id"] = parent
+    if meta is None:
+        meta = {
+            "format-version": 2,
+            "table-uuid": str(
+                __import__("uuid").UUID(
+                    bytes=hashlib.sha256(table_dir.encode()).digest()[:16]
+                )
+            ),
+            "location": table_dir,
+            "last-sequence-number": 0,
+            "last-updated-ms": now_ms,
+            "last-column-id": max(field_ids.values()),
+            "current-schema-id": 0,
+            "schemas": [schema_json],
+            "default-spec-id": 0,
+            "partition-specs": [spec_json],
+            "last-partition-id": 1000 + max(0, len(partition_by) - 1),
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "snapshots": [],
+            "snapshot-log": [],
+        }
+    meta = _append_snapshot_to_meta(meta, snapshot, now_ms, seq)
+    dest = _commit_metadata(
+        meta_dir, prev_version + 1, json.dumps(meta, sort_keys=True, indent=1)
+    )
+    return {
+        "snapshot_id": snapshot_id,
+        "metadata_path": str(dest),
+        "files_exported": len(entries),
+        "rows_exported": rows_total,
+        "delta_version": snap["version"],
+    }

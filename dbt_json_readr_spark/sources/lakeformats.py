@@ -799,7 +799,7 @@ def read_delta_snapshot(
         fids = snap["field_ids"]
 
         def file_names(ap: str) -> tuple:
-            top, _nested = _parquet_field_names_by_id(ap)
+            top, _nested, _names = _parquet_field_names_by_id(ap)
             names = []
             for fld in data_fields:
                 pn = top.get(fids[fld.name], phys.get(fld.name))
@@ -1835,11 +1835,16 @@ _FOOTER_CACHE: dict[tuple, tuple[dict, dict]] = {}
 _FOOTER_CACHE_MAX = 4096
 
 
-def _parquet_field_names_by_id(path: str) -> tuple[dict[int, str], dict[int, str]]:
-    """(top-level, nested) field-id → physical name maps from a parquet
-    footer (pyarrow, O(metadata), driver-side — the same footer an
-    Iceberg reader consults at task setup).  Empty when the file
-    carries no field ids (non-Iceberg writer / imported files).  The
+def _parquet_field_names_by_id(
+    path: str,
+) -> tuple[dict[int, str], dict[int, str], frozenset]:
+    """(top-level field-id → physical name, nested ditto, top-level
+    column NAME set) from a parquet footer (pyarrow, O(metadata),
+    driver-side — the same footer an Iceberg reader consults at task
+    setup).  The id maps are empty when the file carries no field ids
+    (non-Iceberg writer / imported files); the name set is what the
+    identity back-fill rule keys on (a column physically ABSENT from
+    the file takes its value from the entry's partition record).  The
     nested map exists so a renamed nested field can GATE instead of
     silently null-filling (nested remap is not implemented)."""
     import pyarrow as pa
@@ -1867,16 +1872,33 @@ def _parquet_field_names_by_id(path: str) -> tuple[dict[int, str], dict[int, str
             collect(t.key_field, False)
             collect(t.item_field, False)
 
+    names = []
     for f in pq.read_schema(path):
         collect(f, True)
+        names.append(f.name)
     while len(_FOOTER_CACHE) >= _FOOTER_CACHE_MAX:
         _FOOTER_CACHE.pop(next(iter(_FOOTER_CACHE)))
-    _FOOTER_CACHE[key] = (top, nested)
-    return top, nested
+    out = (top, nested, frozenset(names))
+    _FOOTER_CACHE[key] = out
+    return out
+
+
+_FILL_OK_TYPES = (
+    T.StringType,
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.BooleanType,
+)
 
 
 def _iceberg_grouped_read(
-    spark: SparkSession, files: list[str], info: dict, with_meta: bool
+    spark: SparkSession,
+    files: list[str],
+    info: dict,
+    with_meta: bool,
+    identity_fill: dict | None = None,
 ) -> DataFrame:
     """Read data files with FIELD-ID column resolution — the Iceberg
     spec's rule (names are mutable; ids are identity).  A renamed
@@ -1890,13 +1912,55 @@ def _iceberg_grouped_read(
     semantics: absent columns read as NULL).  Footer probing is one
     driver-side O(metadata) read per file — the planning cost every
     Iceberg reader pays; group count is bounded by distinct historical
-    schemas, so the union stays shallow."""
+    schemas, so the union stays shallow.
+
+    ``identity_fill`` (path → {column → partition value}) implements
+    the spec's IDENTITY BACK-FILL rule: an identity-transform source
+    column physically ABSENT from a data file (Hive-imported layouts,
+    Delta-exported tables) takes its value from the entry's partition
+    record.  Applied as ONE metadata-sized broadcast join on the
+    normalized file path — never a per-partition scan group — and as
+    ``coalesce(stored, fill)``, which is exact because identity means
+    stored ≡ partition value wherever both exist.  A column that needs
+    back-fill but is not exactly literal-representable (beyond
+    string/integer/boolean) gates loudly."""
     logical_by_id = info["field_names_by_id"]
     nested_by_id = info.get("nested_names_by_id") or {}
     schema: T.StructType = info["schema"]
+    # which columns actually need the back-fill join: absent from at
+    # least one file's footer AND covered by that file's fill map
+    fill_cols: list[str] = []
+    if identity_fill:
+        need: set[str] = set()
+        for p in files:
+            _t, _n, names = _parquet_field_names_by_id(p)
+            fills = identity_fill.get(os.path.normpath(p)) or {}
+            need |= {c for c in fills if c not in names}
+        by_name = {f.name: f for f in schema.fields}
+        for c in sorted(need):
+            f = by_name.get(c)
+            if f is None:
+                continue
+            if not isinstance(f.dataType, _FILL_OK_TYPES):
+                raise LakeFormatGatedError(
+                    f"identity back-fill for column {c!r} of type "
+                    f"{f.dataType.simpleString()} is not supported — only "
+                    "string/integer/boolean partition values are exactly "
+                    "literal-representable"
+                )
+            fill_cols.append(c)
+        if fill_cols:
+            for p in files:
+                ap = os.path.abspath(p)
+                if _uri_path(ap) != ap:
+                    raise LakeFormatGatedError(
+                        f"identity back-fill over a data-file path that "
+                        f"needs URI percent-encoding ({ap!r}) cannot be "
+                        "matched against Spark's encoded rendering"
+                    )
     groups: dict[tuple, list[str]] = {}
     for p in files:
-        fids, nested_fids = _parquet_field_names_by_id(p)
+        fids, nested_fids, _names = _parquet_field_names_by_id(p)
         renamed_nested = sorted(
             f"{phys}→{nested_by_id[fid]} (id {fid})"
             for fid, phys in nested_fids.items()
@@ -1942,15 +2006,46 @@ def _iceberg_grouped_read(
         sel = [
             F.col(inv.get(f.name, f.name)).alias(f.name) for f in schema.fields
         ]
+        if with_meta or fill_cols:
+            sel += [norm(F.col("_metadata.file_path")).alias("__fp")]
         if with_meta:
-            sel += [
-                norm(F.col("_metadata.file_path")).alias("__fp"),
-                F.col("_metadata.row_index").alias("__pos"),
-            ]
+            sel += [F.col("_metadata.row_index").alias("__pos")]
         dfs.append(df.select(*sel))
     out = dfs[0]
     for d in dfs[1:]:
         out = out.unionByName(d)
+    if fill_cols:
+        by_name = {f.name: f for f in schema.fields}
+        fill_rows = [
+            tuple(
+                [os.path.abspath(p)]
+                + [
+                    (identity_fill.get(os.path.normpath(p)) or {}).get(c)
+                    for c in fill_cols
+                ]
+            )
+            for p in sorted(set(files))
+        ]
+        fill_schema = T.StructType(
+            [T.StructField("__fp", T.StringType(), False)]
+            + [
+                T.StructField(f"__fill_{c}", by_name[c].dataType, True)
+                for c in fill_cols
+            ]
+        )
+        fill_df = spark.createDataFrame(fill_rows, fill_schema)
+        out = out.join(F.broadcast(fill_df), "__fp", "left").select(
+            *[
+                (
+                    F.coalesce(F.col(f.name), F.col(f"__fill_{f.name}"))
+                    .alias(f.name)
+                    if f.name in fill_cols
+                    else F.col(f.name)
+                )
+                for f in schema.fields
+            ],
+            *(["__fp", "__pos"] if with_meta else []),
+        )
     return out
 
 
@@ -2020,6 +2115,7 @@ def read_iceberg_snapshot(
                 )
             return _spec_maps[sid]
     data_files: dict[str, int | None] = {}  # path -> sequence_number
+    identity_fill: dict[str, dict] = {}  # normpath -> {col: part value}
     pos_delete_files: list[tuple[str, int | None]] = []  # (path, seq)
     eq_deletes: list[tuple[str, int, list[int]]] = []  # (path, seq, field ids)
     for e in iceberg_snapshot_entries(
@@ -2067,6 +2163,20 @@ def read_iceberg_snapshot(
             ):
                 continue
             data_files[path] = seq
+            # identity back-fill candidates: the entry's partition
+            # values under the entry's OWN spec (evolution-safe) —
+            # consumed only for columns a file physically lacks
+            spec = _resolve_spec_fields(info, e.get("partition_spec_id"))
+            part = e.get("partition")
+            if spec and isinstance(part, dict):
+                fills = {}
+                for sf in spec:
+                    if sf.get("transform") == "identity":
+                        col = info["field_names_by_id"].get(sf.get("source-id"))
+                        if col is not None and sf.get("name") in part:
+                            fills[col] = part[sf["name"]]
+                if fills:
+                    identity_fill[os.path.normpath(path)] = fills
     if not data_files:
         return spark.createDataFrame([], info["schema"])
     cols = [f.name for f in info["schema"].fields]
@@ -2081,6 +2191,7 @@ def read_iceberg_snapshot(
         sorted(data_files),
         info,
         with_meta=bool(pos_delete_files or eq_deletes),
+        identity_fill=identity_fill,
     )
     if not pos_delete_files and not eq_deletes:
         return data if row_filter is None else data.filter(row_filter)

@@ -384,3 +384,58 @@ def test_equality_delete_write(spark, tmp_path):
         IW.delete_iceberg_equality(
             spark, r3["metadata_path"], spark.createDataFrame([(2,)], "zz long")
         )
+
+
+def test_delta_to_iceberg_export(spark, tmp_path):
+    """UniForm-style export: same parquet, two logs.  The Iceberg read
+    must equal the Delta read (identity back-fill reconstructs the
+    Delta-stripped partition column), bounds pruning works through the
+    exported manifests, re-export appends a snapshot (travel to the
+    first export still works), and DV-bearing tables gate."""
+    from dbt_json_readr_spark.sources import deltawriter as DW
+
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    tbl = str(tmp_path / "t")
+    DW.write_delta(
+        spark,
+        cust.filter(F.col("c_custkey") % 2 == 0),
+        tbl,
+        partition_by=["c_mktsegment"],
+    )
+    r1 = IW.delta_to_iceberg(spark, tbl)
+    ice = LF.read_iceberg_snapshot(spark, r1["metadata_path"])
+    dlt = LF.read_delta_snapshot(spark, tbl)
+    assert ice.count() == dlt.count() == r1["rows_exported"]
+    assert (
+        ice.agg(F.sum(F.col("c_acctbal").cast("decimal(28,2)"))).collect()[0][0]
+        == dlt.agg(F.sum(F.col("c_acctbal").cast("decimal(28,2)"))).collect()[0][0]
+    )
+    # the back-filled partition column carries real values
+    segs_i = {r["c_mktsegment"] for r in ice.select("c_mktsegment").distinct().collect()}
+    segs_d = {r["c_mktsegment"] for r in dlt.select("c_mktsegment").distinct().collect()}
+    assert segs_i == segs_d and None not in segs_i
+    # exported bounds prune: one file per segment at one commit
+    pruned = LF.read_iceberg_snapshot(
+        spark, r1["metadata_path"], predicate=[("c_mktsegment", "=", "BUILDING")]
+    )
+    assert len(pruned.inputFiles()) == 1
+    assert pruned.count() == dlt.filter(F.col("c_mktsegment") == "BUILDING").count()
+    # re-export after another Delta commit appends a snapshot
+    DW.write_delta(
+        spark,
+        cust.filter(F.col("c_custkey") % 2 == 1),
+        tbl,
+        partition_by=["c_mktsegment"],
+    )
+    r2 = IW.delta_to_iceberg(spark, tbl)
+    assert LF.read_iceberg_snapshot(spark, r2["metadata_path"]).count() == cust.count()
+    assert (
+        LF.read_iceberg_snapshot(
+            spark, r2["metadata_path"], snapshot_id=r1["snapshot_id"]
+        ).count()
+        == r1["rows_exported"]
+    )
+    # DV-bearing tables gate (an Iceberg reader would resurrect rows)
+    DW.delete_delta(spark, tbl, [("c_acctbal", "<", 0.0)])
+    with pytest.raises(LF.LakeFormatGatedError, match="deletion vectors"):
+        IW.delta_to_iceberg(spark, tbl)
