@@ -483,6 +483,13 @@ register(
     streaming_jobs.streaming_delta_sink,
     streaming_jobs._streaming_delta_sink_sql(),
 )
+# D26: exactly-once streaming into a native Iceberg table — the epoch
+# lives in the snapshot summary (Flink's checkpoint-id recipe)
+register(
+    "streaming_iceberg_sink",
+    streaming_jobs.streaming_iceberg_sink,
+    streaming_jobs._streaming_iceberg_sink_sql(),
+)
 register("semdedup_prune", llm.semdedup_prune, llm.ORACLES["semdedup_prune"])
 register("dedup_graph_triangles", llm.dedup_graph_triangles, llm.ORACLES["dedup_graph_triangles"])
 
@@ -557,6 +564,7 @@ _NEW_R8 = [
     "iceberg_equality_delete_write",
     "delta_constraints_audit",
     "delta_uniform_export",
+    "streaming_iceberg_sink",
 ]
 
 # Newest driver row is r4; ordered most load-bearing first (flagship

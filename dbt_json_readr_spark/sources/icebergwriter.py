@@ -54,6 +54,7 @@ __all__ = [
     "delete_iceberg_equality",
     "expire_iceberg_snapshots",
     "delta_to_iceberg",
+    "iceberg_last_epoch",
     "encode_iceberg_bound",
 ]
 
@@ -461,10 +462,17 @@ def write_iceberg(
     colocate: bool = True,
     max_records_per_file: int | None = None,
     merge_schema: bool = False,
+    summary_extra: dict[str, str] | None = None,
 ) -> dict:
     """Commit ``df`` as a new Iceberg APPEND snapshot (creating the
     table on first write).  Returns {"snapshot_id", "metadata_path",
     "files_added", "rows_written", "sequence_number"}.
+
+    ``summary_extra`` merges string properties into the snapshot's
+    summary — the spec's engine-metadata channel; exactly-once
+    streaming sinks record their epoch there (the same recipe Flink
+    uses with checkpoint ids) and ``iceberg_last_epoch`` reads it
+    back.
 
     Identity partition transforms only; partition columns restricted
     to string/int/long (their avro partition-map form round-trips
@@ -795,7 +803,10 @@ def write_iceberg(
         # each snapshot pins ITS schema — time travel across an
         # evolution reads the shape the snapshot was committed under
         "schema-id": cur_sid,
-        "summary": {"operation": "append"},
+        "summary": {
+            "operation": "append",
+            **{str(k): str(v) for k, v in (summary_extra or {}).items()},
+        },
     }
     if parent is not None:
         snapshot["parent-snapshot-id"] = parent
@@ -1541,3 +1552,28 @@ def delta_to_iceberg(spark: SparkSession, table_path: str) -> dict:
         "rows_exported": rows_total,
         "delta_version": snap["version"],
     }
+
+
+def iceberg_last_epoch(table_dir: str, key: str) -> int | None:
+    """Highest integer recorded under ``key`` in any snapshot's summary
+    — the exactly-once guard an idempotent streaming sink consults
+    before committing a replayed epoch (the Delta twin is the ``txn``
+    app marker).  None when the table does not exist yet or no
+    snapshot carries the key."""
+    meta_dir = Path(table_dir) / "metadata"
+    existing = sorted(
+        meta_dir.glob("v*.metadata.json"),
+        key=lambda p: int(p.name.split(".")[0][1:]),
+    )
+    if not existing:
+        return None
+    meta = LF.iceberg_metadata(str(existing[-1]))
+    best: int | None = None
+    for s in meta.get("snapshots", []):
+        v = (s.get("summary") or {}).get(key)
+        if v is None:
+            continue
+        e = int(v)
+        if best is None or e > best:
+            best = e
+    return best

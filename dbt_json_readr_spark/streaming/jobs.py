@@ -2245,3 +2245,108 @@ SELECT
 FROM events
 GROUP BY event_type
 """
+
+
+def streaming_iceberg_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE streaming ingestion into a NATIVE-written Iceberg
+    table (D25's format-v2 twin): the same 3-file events backlog
+    drains through ``foreachBatch``, each micro-batch appended by
+    ``icebergwriter.write_iceberg`` with the epoch recorded in the
+    SNAPSHOT SUMMARY (the spec's engine-metadata channel — the same
+    recipe Flink uses with checkpoint ids; Iceberg has no Delta-style
+    txn action, so the summary IS the idempotence ledger).  The sink
+    skips any epoch at-or-below ``iceberg_last_epoch``; after the
+    drain, epochs 0 and last are deliberately REPLAYED with the full
+    source and must no-op — snapshot count stays 3, rows never
+    duplicate.
+
+    Scale shape mirrors D25: one distributed parquet append + one
+    O(#files) driver metadata commit per micro-batch."""
+    import os
+
+    prep(spark)
+    from ..plans.lakewrite import _ensure
+    from ..sources import icebergwriter as IW
+    from ..sources import lakeformats as LF
+    from ..sources.tables import load
+
+    key = "djrs-stream-epoch"
+
+    def build(root: str) -> None:
+        src = os.path.join(root, "src")
+        tbl = os.path.join(root, "table")
+        load(spark, sf_dir, "events").repartition(3, "event_id").write.parquet(src)
+
+        def _sink(bdf: DataFrame, epoch_id: int) -> None:
+            last = IW.iceberg_last_epoch(tbl, key)
+            if last is not None and last >= epoch_id:
+                return  # replayed epoch: the summary ledger refuses it
+            if bdf.isEmpty():
+                return
+            IW.write_iceberg(
+                spark,
+                bdf,
+                tbl,
+                colocate=False,
+                summary_extra={key: str(epoch_id)},
+            )
+
+        q = (
+            spark.readStream.schema(SCHEMAS["events"])
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(_sink)
+            .queryName("stream_iceberg_sink")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+        last = IW.iceberg_last_epoch(tbl, key)
+        if last is None:
+            raise RuntimeError("streaming sink committed nothing")
+        # the at-least-once retries every foreachBatch sink must
+        # survive: replay the falsy FIRST epoch and the final epoch
+        # with the FULL source — only the summary ledger may decide
+        _sink(spark.read.parquet(src), 0)
+        _sink(spark.read.parquet(src), last)
+
+    root = _ensure("stream_sink_events_ice", sf_dir, build)
+    tbl = str(root / "table")
+    from pathlib import Path as _P
+
+    latest = max(
+        _P(tbl, "metadata").glob("v*.metadata.json"),
+        key=lambda p: int(p.name.split(".")[0][1:]),
+    )
+    meta = LF.iceberg_metadata(str(latest))
+    n_commits = len(meta.get("snapshots", []))
+    df = LF.read_iceberg_snapshot(spark, str(latest))
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            "*",
+            F.lit(n_commits).cast("int").alias("n_commits"),
+        )
+    )
+
+
+def _streaming_iceberg_sink_sql() -> str:
+    return """
+SELECT
+  event_type,
+  count(*) AS n_rows,
+  count(DISTINCT user_id) AS n_users,
+  CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value,
+  CAST(3 AS INTEGER) AS n_commits
+FROM events
+GROUP BY event_type
+"""
