@@ -1480,3 +1480,85 @@ SELECT
 FROM versions v JOIN files f ON f.v = v.export_version
 GROUP BY v.export_version, v.c_mktsegment, f.ft, f.fk
 """
+
+
+# ---------------------------------------------------------------- F31
+
+
+def iceberg_compact_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REWRITE DATA FILES (Iceberg's OPTIMIZE, F16's format-v2 twin):
+    a lineitem slice fragments at 200 rows/file, a position delete
+    lands on top, then compaction rewrites the surviving state —
+    deletes applied PHYSICALLY — as one 'replace' snapshot with a
+    single file per returnflag partition.  Closed-form evidence:
+    files_before = Σ ceil(rows_per_flag / 200), files_after = #flags;
+    the rollup under the survivors must equal SQL; pre-compaction
+    snapshots stay travelable (pinned by unit test)."""
+    prep(spark)
+    from ..sources import icebergwriter as IW
+
+    li = load(spark, sf_dir, "lineitem")
+
+    def build(tbl: str) -> None:
+        frag = li.filter(F.col("l_orderkey") % 13 == 0)
+        r = IW.write_iceberg(
+            spark,
+            frag,
+            tbl,
+            partition_by=["l_returnflag"],
+            max_records_per_file=200,
+        )
+        r = IW.delete_iceberg(
+            spark, r["metadata_path"], [("l_orderkey", "<", 10000)]
+        )
+        c = IW.compact_iceberg(spark, r["metadata_path"])
+        (Path(tbl) / "_RT_COMPACT").write_text(
+            f"{c['files_before']}\n{c['files_after']}"
+        )
+
+    tbl = str(_ensure("wrt_ice_compact", sf_dir, build))
+    fb, fa = map(int, (Path(tbl) / "_RT_COMPACT").read_text().split("\n"))
+    latest = max(
+        Path(tbl, "metadata").glob("v*.metadata.json"),
+        key=lambda p: int(p.name.split(".")[0][1:]),
+    )
+    df = LF.read_iceberg_snapshot(spark, str(latest))
+    return (
+        df.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.min("l_orderkey").alias("min_key"),
+        )
+        .select(
+            "*",
+            F.lit(fb).cast("int").alias("files_before"),
+            F.lit(fa).cast("int").alias("files_after"),
+        )
+    )
+
+
+def _iceberg_compact_rewrite_sql() -> str:
+    s = _DSUM.format(c="l_quantity")
+    return f"""
+WITH frag AS (SELECT * FROM lineitem WHERE l_orderkey % 13 = 0),
+surv AS (SELECT * FROM frag WHERE l_orderkey >= 10000),
+ev AS (
+  SELECT
+    (SELECT CAST(sum(CEIL(n / 200.0)) AS INTEGER)
+     FROM (SELECT l_returnflag, count(*) AS n FROM frag GROUP BY 1))
+      AS files_before,
+    -- the rewrite emits one file per flag PRESENT IN THE SURVIVORS
+    (SELECT CAST(count(DISTINCT l_returnflag) AS INTEGER) FROM surv)
+      AS files_after
+)
+SELECT
+  l_returnflag,
+  count(*) AS n_rows,
+  {s} AS sum_qty,
+  min(l_orderkey) AS min_key,
+  (SELECT files_before FROM ev) AS files_before,
+  (SELECT files_after FROM ev) AS files_after
+FROM surv
+GROUP BY l_returnflag
+"""

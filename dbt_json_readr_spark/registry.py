@@ -473,6 +473,13 @@ register(
     lakewrite.delta_uniform_export,
     lakewrite._delta_uniform_export_sql,
 )
+# F31: Iceberg REWRITE DATA FILES — deletes applied physically, one
+# 'replace' snapshot, stale-read compactions collide on the CAS
+register(
+    "iceberg_compact_rewrite",
+    lakewrite.iceberg_compact_rewrite,
+    lakewrite._iceberg_compact_rewrite_sql,
+)
 register(
     "streaming_delta_commits",
     streaming_jobs.streaming_delta_commits,
@@ -565,6 +572,7 @@ _NEW_R8 = [
     "delta_constraints_audit",
     "delta_uniform_export",
     "streaming_iceberg_sink",
+    "iceberg_compact_rewrite",
 ]
 
 # Newest driver row is r4; ordered most load-bearing first (flagship

@@ -53,6 +53,7 @@ __all__ = [
     "delete_iceberg",
     "delete_iceberg_equality",
     "expire_iceberg_snapshots",
+    "compact_iceberg",
     "delta_to_iceberg",
     "iceberg_last_epoch",
     "encode_iceberg_bound",
@@ -463,10 +464,20 @@ def write_iceberg(
     max_records_per_file: int | None = None,
     merge_schema: bool = False,
     summary_extra: dict[str, str] | None = None,
+    mode: str = "append",
+    expected_metadata_path: str | None = None,
 ) -> dict:
-    """Commit ``df`` as a new Iceberg APPEND snapshot (creating the
-    table on first write).  Returns {"snapshot_id", "metadata_path",
+    """Commit ``df`` as a new Iceberg snapshot (creating the table on
+    first write).  Returns {"snapshot_id", "metadata_path",
     "files_added", "rows_written", "sequence_number"}.
+
+    ``mode="replace"`` commits a FULL-STATE snapshot: the manifest
+    list holds only the new manifest (no carry-forward) and the
+    summary operation is 'replace' — the commit shape of
+    ``compact_iceberg``.  A replace derived from a read must pass
+    ``expected_metadata_path`` so the CAS targets the version the
+    state was READ from; a replace from a stale read then collides
+    instead of silently dropping a concurrent commit.
 
     ``summary_extra`` merges string properties into the snapshot's
     summary — the spec's engine-metadata channel; exactly-once
@@ -483,6 +494,8 @@ def write_iceberg(
     schema-id, so time travel reads the old shape), missing columns
     force optional, and shared-column type changes gate loudly."""
     partition_by = list(partition_by)
+    if mode not in ("append", "replace"):
+        raise LF.LakeFormatError(f"unsupported write mode {mode!r}")
     schema = df.schema
     for c in partition_by:
         if c not in schema.fieldNames():
@@ -564,10 +577,17 @@ def write_iceberg(
         seq = int(meta.get("last-sequence-number", 0)) + 1
         parent = meta.get("current-snapshot-id")
         prev_manifests = []
-        if parent is not None:
+        if parent is not None and mode == "append":
             snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
             mlist = LF._resolve(snaps[parent]["manifest-list"], table_dir)
             prev_manifests = LF._read_avro_records(spark, mlist)
+        if expected_metadata_path is not None:
+            # CAS against the version the caller's state was READ from
+            # (replace semantics: a stale replace must collide, never
+            # silently drop a concurrent commit)
+            prev_version = int(
+                os.path.basename(expected_metadata_path).split(".")[0][1:]
+            )
     else:
         field_ids = {f.name: i + 1 for i, f in enumerate(schema.fields)}
         cur_sid = 0
@@ -804,7 +824,7 @@ def write_iceberg(
         # evolution reads the shape the snapshot was committed under
         "schema-id": cur_sid,
         "summary": {
-            "operation": "append",
+            "operation": mode if mode == "replace" else "append",
             **{str(k): str(v) for k, v in (summary_extra or {}).items()},
         },
     }
@@ -1577,3 +1597,53 @@ def iceberg_last_epoch(table_dir: str, key: str) -> int | None:
         if best is None or e > best:
             best = e
     return best
+
+
+def compact_iceberg(
+    spark: SparkSession,
+    metadata_path: str,
+    max_records_per_file: int | None = None,
+) -> dict:
+    """REWRITE DATA FILES — Iceberg's maintenance twin of Delta
+    OPTIMIZE (F16): the CURRENT state, with position AND equality
+    deletes applied PHYSICALLY, rewrites bin-packed per identity
+    partition and commits as ONE 'replace' snapshot whose manifest
+    list holds a single full manifest — delete files and manifest
+    sprawl stop burdening every subsequent read.  On a Delta-EXPORTED
+    table this also MATERIALIZES the back-filled partition columns
+    into the data files.  History is preserved (the pre-compaction
+    snapshots stay travelable until expire); the CAS targets the
+    metadata version the state was read from, so a compaction from a
+    stale read collides instead of dropping a concurrent commit.
+    Non-identity partition specs gate (the rewrite cannot re-derive
+    bucket/truncate placement)."""
+    info = LF.iceberg_snapshot_info(metadata_path)
+    spec_fields = info["partition_spec_fields"] or []
+    bad = [f for f in spec_fields if f.get("transform") != "identity"]
+    if bad:
+        raise LF.LakeFormatGatedError(
+            f"compaction over non-identity partition transforms "
+            f"{[f.get('transform') for f in bad]} is not supported"
+        )
+    names_by_id = info["field_names_by_id"]
+    pcols = [names_by_id[f["source-id"]] for f in spec_fields]
+    table_dir = os.path.dirname(
+        os.path.dirname(os.path.abspath(metadata_path))
+    )
+    entries = LF.iceberg_snapshot_entries(spark, metadata_path)
+    files_before = len(
+        {e["path"] for e in entries if e["status"] != 2 and e["content"] == 0}
+    )
+    df = LF.read_iceberg_snapshot(spark, metadata_path)
+    res = write_iceberg(
+        spark,
+        df,
+        table_dir,
+        partition_by=pcols,
+        max_records_per_file=max_records_per_file,
+        mode="replace",
+        expected_metadata_path=metadata_path,
+    )
+    res["files_before"] = files_before
+    res["files_after"] = res.pop("files_added")
+    return res

@@ -439,3 +439,46 @@ def test_delta_to_iceberg_export(spark, tmp_path):
     DW.delete_delta(spark, tbl, [("c_acctbal", "<", 0.0)])
     with pytest.raises(LF.LakeFormatGatedError, match="deletion vectors"):
         IW.delta_to_iceberg(spark, tbl)
+
+
+def test_compact_iceberg(spark, tmp_path):
+    """Compaction applies position AND equality deletes physically,
+    bin-packs per partition into a 'replace' snapshot, preserves
+    history, and a compaction from a stale read collides on the CAS."""
+    tbl = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i % 2, float(i)) for i in range(1000)], "id long, g long, v double"
+    )
+    r = None
+    for k in range(3):
+        r = IW.write_iceberg(
+            spark,
+            df.filter(F.col("id") % 3 == k),
+            tbl,
+            partition_by=["g"],
+            max_records_per_file=50,
+        )
+    r = IW.delete_iceberg(spark, r["metadata_path"], [("id", "<", 100)])
+    r = IW.delete_iceberg_equality(
+        spark, r["metadata_path"], spark.createDataFrame([(999,), (998,)], "id long")
+    )
+    before = LF.read_iceberg_snapshot(spark, r["metadata_path"])
+    nb, sb = before.count(), before.agg(F.sum("id")).collect()[0][0]
+    c = IW.compact_iceberg(spark, r["metadata_path"], max_records_per_file=500)
+    assert c["files_before"] > c["files_after"] == 2
+    after = LF.read_iceberg_snapshot(spark, c["metadata_path"])
+    assert (after.count(), after.agg(F.sum("id")).collect()[0][0]) == (nb, sb)
+    # the compacted state carries NO delete files forward
+    entries = LF.iceberg_snapshot_entries(spark, c["metadata_path"])
+    live = [e for e in entries if e["status"] != 2]
+    assert all(e["content"] == 0 for e in live)
+    # pre-compaction snapshot still travels
+    assert (
+        LF.read_iceberg_snapshot(
+            spark, c["metadata_path"], snapshot_id=r["snapshot_id"]
+        ).count()
+        == nb
+    )
+    # a compaction planned from the now-stale metadata collides
+    with pytest.raises(LF.LakeFormatError, match="concurrently"):
+        IW.compact_iceberg(spark, r["metadata_path"])
