@@ -1562,3 +1562,81 @@ SELECT
 FROM surv
 GROUP BY l_returnflag
 """
+
+
+# ---------------------------------------------------------------- F32
+
+
+def iceberg_refs_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named REFS (tags/branches, spec v2 ``refs``): three appended
+    supplier slices, the FIRST snapshot tagged ``v1``, then EXPIRE
+    keep_last=1 — the tag must RETAIN its snapshot (production
+    retention's rule) while the untagged middle snapshot dies.  The
+    key reads the tag AND the latest state through the bridge; the
+    evidence column snapshots_expired = 1 is the closed form (3
+    snapshots − 1 window − 1 ref-protected)."""
+    prep(spark)
+    from ..sources import icebergwriter as IW
+
+    supp = load(spark, sf_dir, "supplier")
+
+    def build(tbl: str) -> None:
+        r1 = IW.write_iceberg(spark, supp.filter(F.col("s_suppkey") % 3 == 0), tbl)
+        IW.set_iceberg_ref(r1["metadata_path"], "v1")
+        latest = max(
+            Path(tbl, "metadata").glob("v*.metadata.json"),
+            key=lambda p: int(p.name.split(".")[0][1:]),
+        )
+        IW.write_iceberg(spark, supp.filter(F.col("s_suppkey") % 3 == 1), tbl)
+        r3 = IW.write_iceberg(spark, supp.filter(F.col("s_suppkey") % 3 == 2), tbl)
+        aud = IW.expire_iceberg_snapshots(
+            spark, r3["metadata_path"], keep_last=1
+        )
+        (Path(tbl) / "_RT_EXPIRED").write_text(str(aud["snapshots_expired"]))
+
+    tbl = str(_ensure("wrt_ice_refs", sf_dir, build))
+    expired = int((Path(tbl) / "_RT_EXPIRED").read_text())
+    latest = str(
+        max(
+            Path(tbl, "metadata").glob("v*.metadata.json"),
+            key=lambda p: int(p.name.split(".")[0][1:]),
+        )
+    )
+    outs = []
+    for label, df in (
+        ("v1", LF.read_iceberg_snapshot(spark, latest, ref="v1")),
+        ("latest", LF.read_iceberg_snapshot(spark, latest)),
+    ):
+        outs.append(
+            df.groupBy()
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(_dec("s_acctbal")).cast("double").alias("sum_bal"),
+                F.countDistinct("s_nationkey").alias("n_nations"),
+            )
+            .select(
+                F.lit(label).alias("ref_name"),
+                "*",
+                F.lit(expired).cast("int").alias("snapshots_expired"),
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
+def _iceberg_refs_travel_sql() -> str:
+    s = _DSUM.format(c="s_acctbal")
+    return f"""
+WITH states AS (
+  SELECT 'v1' AS ref_name, * FROM supplier WHERE s_suppkey % 3 = 0
+  UNION ALL
+  SELECT 'latest', * FROM supplier
+)
+SELECT
+  ref_name,
+  count(*) AS n_rows,
+  {s} AS sum_bal,
+  count(DISTINCT s_nationkey) AS n_nations,
+  CAST(1 AS INTEGER) AS snapshots_expired
+FROM states
+GROUP BY ref_name
+"""

@@ -480,6 +480,13 @@ register(
     lakewrite.iceberg_compact_rewrite,
     lakewrite._iceberg_compact_rewrite_sql,
 )
+# F32: named refs (tags/branches) — ref-resolved reads; refs retain
+# their snapshots through expire
+register(
+    "iceberg_refs_travel",
+    lakewrite.iceberg_refs_travel,
+    lakewrite._iceberg_refs_travel_sql,
+)
 register(
     "streaming_delta_commits",
     streaming_jobs.streaming_delta_commits,
@@ -573,6 +580,7 @@ _NEW_R8 = [
     "delta_uniform_export",
     "streaming_iceberg_sink",
     "iceberg_compact_rewrite",
+    "iceberg_refs_travel",
 ]
 
 # Newest driver row is r4; ordered most load-bearing first (flagship

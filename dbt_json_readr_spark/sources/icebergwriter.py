@@ -55,6 +55,8 @@ __all__ = [
     "expire_iceberg_snapshots",
     "compact_iceberg",
     "delta_to_iceberg",
+    "set_iceberg_ref",
+    "remove_iceberg_ref",
     "iceberg_last_epoch",
     "encode_iceberg_bound",
 ]
@@ -1211,8 +1213,14 @@ def expire_iceberg_snapshots(
     )
     if keep_last < 1:
         raise LF.LakeFormatError("keep_last must be >= 1")
-    keep = snaps[-keep_last:]
-    drop = snaps[:-keep_last]
+    # named refs RETAIN their snapshots regardless of the window —
+    # expiring a tagged snapshot would dangle every pinned read
+    ref_ids = {
+        int(r["snapshot-id"]) for r in (meta.get("refs") or {}).values()
+    }
+    window = {s["snapshot-id"] for s in snaps[-keep_last:]}
+    keep = [s for s in snaps if s["snapshot-id"] in window | ref_ids]
+    drop = [s for s in snaps if s["snapshot-id"] not in window | ref_ids]
     audit = {
         "snapshots_expired": len(drop),
         "files_deleted": 0,
@@ -1647,3 +1655,61 @@ def compact_iceberg(
     res["files_before"] = files_before
     res["files_after"] = res.pop("files_added")
     return res
+
+
+# ------------------------------------------------------------------
+# refs: tags and branches
+# ------------------------------------------------------------------
+
+
+def set_iceberg_ref(
+    metadata_path: str,
+    name: str,
+    *,
+    snapshot_id: int | None = None,
+    ref_type: str = "tag",
+) -> dict:
+    """CREATE TAG / CREATE BRANCH — a named ref (spec v2 ``refs`` map)
+    pointing at ``snapshot_id`` (default: current).  Pure metadata, one
+    CAS commit; refs PROTECT their snapshot from expire_iceberg_
+    snapshots, exactly like production retention.  An existing name
+    refuses (drop it first — silently moving a tag is how pinned reads
+    drift)."""
+    if ref_type not in ("tag", "branch"):
+        raise LF.LakeFormatError(f"ref type must be tag|branch, got {ref_type!r}")
+    meta = dict(LF.iceberg_metadata(metadata_path))
+    sid = snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
+    known = {s["snapshot-id"] for s in meta.get("snapshots", [])}
+    if sid not in known:
+        raise LF.LakeFormatError(f"snapshot {sid} not in metadata {sorted(known)}")
+    refs = dict(meta.get("refs") or {})
+    if name in refs:
+        raise LF.LakeFormatError(
+            f"ref {name!r} already exists (→ snapshot "
+            f"{refs[name]['snapshot-id']}); remove it first"
+        )
+    refs[name] = {"snapshot-id": int(sid), "type": ref_type}
+    meta["refs"] = refs
+    meta_dir = Path(os.path.dirname(os.path.abspath(metadata_path)))
+    version = int(os.path.basename(metadata_path).split(".")[0][1:]) + 1
+    dest = _commit_metadata(
+        meta_dir, version, json.dumps(meta, sort_keys=True, indent=1)
+    )
+    return {"metadata_path": str(dest), "name": name, "snapshot_id": int(sid)}
+
+
+def remove_iceberg_ref(metadata_path: str, name: str) -> dict:
+    """DROP TAG / DROP BRANCH — removes the named ref; its snapshot
+    stays until expire drops it under normal retention."""
+    meta = dict(LF.iceberg_metadata(metadata_path))
+    refs = dict(meta.get("refs") or {})
+    if name not in refs:
+        raise LF.LakeFormatError(f"no ref {name!r}; refs: {sorted(refs)}")
+    del refs[name]
+    meta["refs"] = refs
+    meta_dir = Path(os.path.dirname(os.path.abspath(metadata_path)))
+    version = int(os.path.basename(metadata_path).split(".")[0][1:]) + 1
+    dest = _commit_metadata(
+        meta_dir, version, json.dumps(meta, sort_keys=True, indent=1)
+    )
+    return {"metadata_path": str(dest), "name": name}

@@ -1415,11 +1415,28 @@ def _iceberg_nested_ids(schema_json: dict) -> dict[int, str]:
     return out
 
 
-def iceberg_snapshot_info(metadata_path: str, snapshot_id: int | None = None) -> dict:
+def iceberg_snapshot_info(
+    metadata_path: str,
+    snapshot_id: int | None = None,
+    ref: str | None = None,
+) -> dict:
     """Resolve one snapshot (default: current) against metadata.json:
     schema (translated), snapshot row, and lineage depth — everything
-    the JSON holds; the avro manifest list is NOT touched here."""
+    the JSON holds; the avro manifest list is NOT touched here.
+    ``ref`` resolves through the spec's named refs map (tags and
+    branches) instead of a literal snapshot id."""
     meta = iceberg_metadata(metadata_path)
+    if ref is not None:
+        if snapshot_id is not None:
+            raise LakeFormatError(
+                "pass snapshot_id OR ref, not both — they could disagree"
+            )
+        refs = meta.get("refs") or {}
+        if ref not in refs:
+            raise LakeFormatError(
+                f"no ref {ref!r} on this table; refs: {sorted(refs)}"
+            )
+        snapshot_id = int(refs[ref]["snapshot-id"])
     sid = snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
     if sid not in snaps:
@@ -2054,6 +2071,7 @@ def read_iceberg_snapshot(
     metadata_path: str,
     snapshot_id: int | None = None,
     predicate: list | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Data read for an Iceberg snapshot: metadata.json → manifest-list
     (avro) → manifests (avro) → live parquet data files, read by
@@ -2074,8 +2092,12 @@ def read_iceberg_snapshot(
     never the data.  Loud gates remain for avro-core absent, equality
     deletes missing equality_ids/sequence numbers, nested equality
     columns, and non-parquet files."""
-    info = iceberg_snapshot_info(metadata_path, snapshot_id)
+    info = iceberg_snapshot_info(metadata_path, snapshot_id, ref=ref)
     snap = info["snapshot"]
+    # the manifest walk below must see the RESOLVED id — under ref=
+    # the original argument is None, which the walk would read as
+    # "current" and silently return the latest state
+    snapshot_id = int(snap["snapshot-id"])
     if not _avro_available(spark):
         raise LakeFormatGatedError(
             "Iceberg data reads need the avro manifest list; avro-core "

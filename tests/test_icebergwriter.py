@@ -482,3 +482,30 @@ def test_compact_iceberg(spark, tmp_path):
     # a compaction planned from the now-stale metadata collides
     with pytest.raises(LF.LakeFormatError, match="concurrently"):
         IW.compact_iceberg(spark, r["metadata_path"])
+
+
+def test_refs_tag_read_and_expire_protection(spark, tmp_path):
+    """Tags resolve reads to THEIR snapshot (not latest — the resolved
+    id must reach the manifest walk), survive expire, refuse
+    duplicates, and gate after removal."""
+    tbl = str(tmp_path / "t")
+    df = spark.createDataFrame([(i, float(i)) for i in range(12)], "id long, v double")
+    r1 = IW.write_iceberg(spark, df.filter(F.col("id") < 4), tbl)
+    IW.set_iceberg_ref(r1["metadata_path"], "v1")
+    IW.write_iceberg(spark, df.filter((F.col("id") >= 4) & (F.col("id") < 8)), tbl)
+    r3 = IW.write_iceberg(spark, df.filter(F.col("id") >= 8), tbl)
+    assert (
+        LF.read_iceberg_snapshot(spark, r3["metadata_path"], ref="v1").count() == 4
+    )
+    aud = IW.expire_iceberg_snapshots(spark, r3["metadata_path"], keep_last=1)
+    assert aud["snapshots_expired"] == 1  # the middle one; the tag survives
+    latest = aud["metadata_path"]
+    assert LF.read_iceberg_snapshot(spark, latest, ref="v1").count() == 4
+    assert LF.read_iceberg_snapshot(spark, latest).count() == 12
+    with pytest.raises(LF.LakeFormatError, match="already exists"):
+        IW.set_iceberg_ref(latest, "v1")
+    with pytest.raises(LF.LakeFormatError, match="not both"):
+        LF.read_iceberg_snapshot(spark, latest, snapshot_id=1, ref="v1")
+    r = IW.remove_iceberg_ref(latest, "v1")
+    with pytest.raises(LF.LakeFormatError, match="no ref"):
+        LF.read_iceberg_snapshot(spark, r["metadata_path"], ref="v1")
