@@ -1583,10 +1583,6 @@ def iceberg_refs_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build(tbl: str) -> None:
         r1 = IW.write_iceberg(spark, supp.filter(F.col("s_suppkey") % 3 == 0), tbl)
         IW.set_iceberg_ref(r1["metadata_path"], "v1")
-        latest = max(
-            Path(tbl, "metadata").glob("v*.metadata.json"),
-            key=lambda p: int(p.name.split(".")[0][1:]),
-        )
         IW.write_iceberg(spark, supp.filter(F.col("s_suppkey") % 3 == 1), tbl)
         r3 = IW.write_iceberg(spark, supp.filter(F.col("s_suppkey") % 3 == 2), tbl)
         aud = IW.expire_iceberg_snapshots(

@@ -800,8 +800,13 @@ def write_delta(
     ]
     if latest is None:
         version = 0
+        # a table BORN with delta.constraints.* must declare the
+        # checkConstraints writer feature (version 3) from commit 0 —
+        # at version 2 a spec-compliant external writer would append
+        # violating rows without ever checking (r8 s3 review)
+        writer_v = 3 if _table_constraints(configuration) else 2
         actions.append(
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": writer_v}}
         )
         actions.append(
             {
@@ -1445,6 +1450,11 @@ def merge_delta(
             new_rows = inserts
 
         version = snap["version"] + 1
+        # constraints check BEFORE any staging — _stage_cdc os.replaces
+        # change-data files into _change_data/ with final names, so a
+        # post-staging refusal would leak a full distributed CDC write
+        # per refused MERGE (r8 s3 review)
+        _enforce_constraints(new_rows, snap["configuration"], "MERGE")
         cdc_actions: list[dict] = []
         if _cdf_enabled(snap):
             # under CDF the join feeds THREE sinks (merged data write,
@@ -1474,7 +1484,6 @@ def merge_delta(
             cdc_actions = _stage_cdc(
                 spark, cdc_rows, table_path, snap["partition_columns"], version
             )
-        _enforce_constraints(new_rows, snap["configuration"], "MERGE")
         adds, rows = _stage_and_collect(
             spark,
             new_rows.select(*schema.fieldNames()),
@@ -1847,9 +1856,21 @@ def vacuum_delta(
     deleted = 0
     deleted_bytes = 0
     young = 0
+    # a UniForm-style Iceberg export (delta_to_iceberg) lives under
+    # metadata/ — and Iceberg-side maintenance (delete/compact) writes
+    # its files under data/.  The Delta log references neither, so an
+    # unaware vacuum would DESTROY the exported table wholesale (r8 s3
+    # review).  When an export exists, both dirs belong to the Iceberg
+    # side: expire_iceberg_snapshots owns their retention.  Vacuuming
+    # old DELTA data files that old Iceberg snapshots referenced stays
+    # allowed — the same "time travel to vacuumed versions fails
+    # loudly" contract, on both logs symmetrically.
+    iceberg_export = any((root / "metadata").glob("v*.metadata.json"))
     for p in sorted(root.rglob("*")):
         parts = p.relative_to(root).parts
         if any(seg.startswith(("_", ".")) for seg in parts):
+            continue
+        if iceberg_export and parts[0] in ("metadata", "data"):
             continue
         if not p.is_file():
             continue

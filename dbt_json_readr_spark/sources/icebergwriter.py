@@ -390,6 +390,92 @@ def _append_snapshot_to_meta(
     return meta
 
 
+def _fresh_table_metadata(
+    table_dir: str,
+    schema_json: dict,
+    spec_json: dict,
+    partition_by: list[str],
+    last_column_id: int,
+    now_ms: int,
+) -> dict:
+    """The v1 metadata skeleton for a table created by this writer —
+    ONE definition shared by the append path and the Delta export so
+    the two cannot drift (r8 s3 review: a second hand-kept copy)."""
+    import uuid as _uuid_mod
+
+    return {
+        "format-version": 2,
+        "table-uuid": str(
+            _uuid_mod.UUID(bytes=hashlib.sha256(table_dir.encode()).digest()[:16])
+        ),
+        "location": table_dir,
+        "last-sequence-number": 0,
+        "last-updated-ms": now_ms,
+        "last-column-id": last_column_id,
+        "current-schema-id": 0,
+        "schemas": [schema_json],
+        "default-spec-id": 0,
+        "partition-specs": [spec_json],
+        "last-partition-id": 1000 + max(0, len(partition_by) - 1),
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "snapshots": [],
+        "snapshot-log": [],
+    }
+
+
+def _mlist_data_row(
+    m_name: str,
+    meta_dir: Path,
+    seq: int,
+    snapshot_id: int,
+    n_files: int,
+    n_rows: int,
+    part_summaries: list | None,
+) -> dict:
+    """A manifest-list row for a freshly written DATA manifest —
+    shared by the append path and the Delta export."""
+    return {
+        "manifest_path": f"metadata/{m_name}",
+        "manifest_length": (meta_dir / m_name).stat().st_size,
+        "partition_spec_id": 0,
+        "content": 0,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": n_files,
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": n_rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+        "partitions": part_summaries,
+    }
+
+
+def _encode_part_summaries(
+    summaries: list[dict],
+    partition_by: list[str],
+    type_by_id: dict,
+    field_ids: dict,
+) -> list | None:
+    """Manifest-list partition field summaries, Appendix-D encoded —
+    shared by the append path and the Delta export."""
+    if not partition_by:
+        return None
+    out = []
+    for i, c in enumerate(partition_by):
+        t = type_by_id[field_ids[c]]
+        out.append(
+            {
+                "contains_null": summaries[i]["contains_null"],
+                "lower_bound": encode_iceberg_bound(t, summaries[i]["lo"]),
+                "upper_bound": encode_iceberg_bound(t, summaries[i]["hi"]),
+            }
+        )
+    return out
+
+
 def _commit_metadata(meta_dir: Path, version: int, text: str) -> Path:
     """PUT-if-absent metadata commit — same hard-link CAS as the Delta
     writer: two writers racing from the same parent both target
@@ -586,10 +672,19 @@ def write_iceberg(
         if expected_metadata_path is not None:
             # CAS against the version the caller's state was READ from
             # (replace semantics: a stale replace must collide, never
-            # silently drop a concurrent commit)
-            prev_version = int(
+            # silently drop a concurrent commit) — and fail FAST here,
+            # before the full-table rewrite burns a complete orphan
+            # copy the final os.link CAS would only then refuse (r8 s3
+            # review); the hard-link CAS still guards the race window
+            expected_v = int(
                 os.path.basename(expected_metadata_path).split(".")[0][1:]
             )
+            if expected_v != prev_version:
+                raise LF.LakeFormatError(
+                    f"metadata version v{expected_v + 1} was committed "
+                    "concurrently — re-read the table and retry"
+                )
+            prev_version = expected_v
     else:
         field_ids = {f.name: i + 1 for i, f in enumerate(schema.fields)}
         cur_sid = 0
@@ -783,35 +878,16 @@ def write_iceberg(
         entries,
     )
     mlist_rows = list(prev_manifests)
-    part_summaries = None
-    if partition_by:
-        part_summaries = []
-        for i, c in enumerate(partition_by):
-            t = type_by_id[field_ids[c]]
-            part_summaries.append(
-                {
-                    "contains_null": summaries[i]["contains_null"],
-                    "lower_bound": encode_iceberg_bound(t, summaries[i]["lo"]),
-                    "upper_bound": encode_iceberg_bound(t, summaries[i]["hi"]),
-                }
-            )
     mlist_rows.append(
-        {
-            "manifest_path": f"metadata/{m_name}",
-            "manifest_length": (meta_dir / m_name).stat().st_size,
-            "partition_spec_id": 0,
-            "content": 0,
-            "sequence_number": seq,
-            "min_sequence_number": seq,
-            "added_snapshot_id": snapshot_id,
-            "added_files_count": len(entries),
-            "existing_files_count": 0,
-            "deleted_files_count": 0,
-            "added_rows_count": rows_total,
-            "existing_rows_count": 0,
-            "deleted_rows_count": 0,
-            "partitions": part_summaries,
-        }
+        _mlist_data_row(
+            m_name,
+            meta_dir,
+            seq,
+            snapshot_id,
+            len(entries),
+            rows_total,
+            _encode_part_summaries(summaries, partition_by, type_by_id, field_ids),
+        )
     )
     norm_rows = [_normalize_mlist_row(r) for r in mlist_rows]
     snap_name = f"snap-{snapshot_id:05d}-{wsalt}.avro"
@@ -833,27 +909,14 @@ def write_iceberg(
     if parent is not None:
         snapshot["parent-snapshot-id"] = parent
     if meta is None:
-        meta = {
-            "format-version": 2,
-            "table-uuid": str(
-                __import__("uuid").UUID(
-                    bytes=hashlib.sha256(table_dir.encode()).digest()[:16]
-                )
-            ),
-            "location": table_dir,
-            "last-sequence-number": 0,
-            "last-updated-ms": now_ms,
-            "last-column-id": max(field_ids.values()),
-            "current-schema-id": 0,
-            "schemas": [schema_json],
-            "default-spec-id": 0,
-            "partition-specs": [spec_json],
-            "last-partition-id": 1000 + max(0, len(partition_by) - 1),
-            "default-sort-order-id": 0,
-            "sort-orders": [{"order-id": 0, "fields": []}],
-            "snapshots": [],
-            "snapshot-log": [],
-        }
+        meta = _fresh_table_metadata(
+            table_dir,
+            schema_json,
+            spec_json,
+            partition_by,
+            max(field_ids.values()),
+            now_ms,
+        )
     meta = _append_snapshot_to_meta(meta, snapshot, now_ms, seq)
 
     version = prev_version + 1
@@ -1500,35 +1563,16 @@ def delta_to_iceberg(spark: SparkSession, table_path: str) -> dict:
         _manifest_schema(partition_avro_fields),
         entries,
     )
-    part_summaries = None
-    if partition_by:
-        part_summaries = []
-        for i, c in enumerate(partition_by):
-            t = type_by_id[field_ids[c]]
-            part_summaries.append(
-                {
-                    "contains_null": summaries[i]["contains_null"],
-                    "lower_bound": encode_iceberg_bound(t, summaries[i]["lo"]),
-                    "upper_bound": encode_iceberg_bound(t, summaries[i]["hi"]),
-                }
-            )
     mlist_rows = [
-        {
-            "manifest_path": f"metadata/{m_name}",
-            "manifest_length": (meta_dir / m_name).stat().st_size,
-            "partition_spec_id": 0,
-            "content": 0,
-            "sequence_number": seq,
-            "min_sequence_number": seq,
-            "added_snapshot_id": snapshot_id,
-            "added_files_count": len(entries),
-            "existing_files_count": 0,
-            "deleted_files_count": 0,
-            "added_rows_count": rows_total,
-            "existing_rows_count": 0,
-            "deleted_rows_count": 0,
-            "partitions": part_summaries,
-        }
+        _mlist_data_row(
+            m_name,
+            meta_dir,
+            seq,
+            snapshot_id,
+            len(entries),
+            rows_total,
+            _encode_part_summaries(summaries, partition_by, type_by_id, field_ids),
+        )
     ]
     snap_name = f"snap-{snapshot_id:05d}-{wsalt}.avro"
     LF.write_avro_records(
@@ -1548,27 +1592,14 @@ def delta_to_iceberg(spark: SparkSession, table_path: str) -> dict:
     if parent is not None:
         snapshot["parent-snapshot-id"] = parent
     if meta is None:
-        meta = {
-            "format-version": 2,
-            "table-uuid": str(
-                __import__("uuid").UUID(
-                    bytes=hashlib.sha256(table_dir.encode()).digest()[:16]
-                )
-            ),
-            "location": table_dir,
-            "last-sequence-number": 0,
-            "last-updated-ms": now_ms,
-            "last-column-id": max(field_ids.values()),
-            "current-schema-id": 0,
-            "schemas": [schema_json],
-            "default-spec-id": 0,
-            "partition-specs": [spec_json],
-            "last-partition-id": 1000 + max(0, len(partition_by) - 1),
-            "default-sort-order-id": 0,
-            "sort-orders": [{"order-id": 0, "fields": []}],
-            "snapshots": [],
-            "snapshot-log": [],
-        }
+        meta = _fresh_table_metadata(
+            table_dir,
+            schema_json,
+            spec_json,
+            partition_by,
+            max(field_ids.values()),
+            now_ms,
+        )
     meta = _append_snapshot_to_meta(meta, snapshot, now_ms, seq)
     dest = _commit_metadata(
         meta_dir, prev_version + 1, json.dumps(meta, sort_keys=True, indent=1)

@@ -1848,7 +1848,9 @@ def iceberg_manifest_prune_stats(
 # read the same snapshot repeatedly (same move as _AVRO_CACHE for
 # manifests).  Bounded FIFO so long sessions over many tables stay
 # flat.
-_FOOTER_CACHE: dict[tuple, tuple[dict, dict]] = {}
+_FOOTER_CACHE: dict[
+    tuple, tuple[dict[int, str], dict[int, str], frozenset]
+] = {}
 _FOOTER_CACHE_MAX = 4096
 
 

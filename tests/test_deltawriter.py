@@ -975,3 +975,67 @@ def test_check_constraints(spark, tmp_path):
     snap2 = LF.delta_snapshot(tbl)
     assert snap2["protocol"]["minWriterVersion"] == 3
     assert "delta.constraints.v_nonneg" not in snap2["configuration"]
+
+
+def test_vacuum_spares_iceberg_export(spark, tmp_path):
+    """A UniForm-exported table's Iceberg state (metadata/, and data/
+    written by Iceberg-side deletes) must survive Delta vacuum — an
+    unaware vacuum destroyed the exported table wholesale (r8 s3
+    review)."""
+    from dbt_json_readr_spark.sources import icebergwriter as IW
+
+    tbl = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", float(i)) for i in range(20)],
+        "id long, p string, v double",
+    )
+    DW.write_delta(spark, df, tbl, partition_by=["p"])
+    r = IW.delta_to_iceberg(spark, tbl)
+    r = IW.delete_iceberg(spark, r["metadata_path"], [("id", "<", 5)])
+    assert list(Path(tbl, "data").glob("delete-*.parquet"))
+    aud = DW.vacuum_delta(spark, tbl, retention_ms=0, now_ms=10**15)
+    assert aud["files_deleted"] == 0
+    back = LF.read_iceberg_snapshot(spark, r["metadata_path"])
+    assert back.count() == 15
+
+
+def test_constraints_at_creation_set_protocol(spark, tmp_path):
+    """A table BORN with delta.constraints.* must declare writer
+    version 3 from commit 0 (r8 s3 review: at 2, external writers
+    bypass the check) — and the creating write itself enforces."""
+    tbl = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a", 1.0)], "id long, p string, v double")
+    cfg = {"delta.constraints.v_nonneg": "v >= 0"}
+    with pytest.raises(DW.DeltaConstraintViolationError):
+        DW.write_delta(
+            spark,
+            df.withColumn("v", F.lit(-1.0)),
+            str(tmp_path / "t2"),
+            partition_by=["p"],
+            configuration=cfg,
+        )
+    DW.write_delta(spark, df, tbl, partition_by=["p"], configuration=cfg)
+    assert LF.delta_snapshot(tbl)["protocol"]["minWriterVersion"] == 3
+
+
+def test_refused_merge_leaves_no_cdc_orphans(spark, tmp_path):
+    """A constraint-refused MERGE on a CDF table must leave NOTHING —
+    enforcement runs before _stage_cdc, which otherwise os.replaces
+    change-data files into _change_data/ permanently (r8 s3 review)."""
+    tbl = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "a", float(i)) for i in range(5)], "id long, p string, v double"
+    )
+    DW.write_delta(
+        spark,
+        df,
+        tbl,
+        partition_by=["p"],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    DW.add_check_constraint(spark, tbl, "v_nonneg", "v >= 0")
+    src = spark.createDataFrame([(0, "a", -9.0)], "id long, p string, v double")
+    with pytest.raises(DW.DeltaConstraintViolationError):
+        DW.merge_delta(spark, tbl, src, on=["id"])
+    cd = Path(tbl) / "_change_data"
+    assert not cd.exists() or not any(cd.iterdir())

@@ -479,9 +479,12 @@ def test_compact_iceberg(spark, tmp_path):
         ).count()
         == nb
     )
-    # a compaction planned from the now-stale metadata collides
+    # a compaction planned from the now-stale metadata collides — and
+    # fails FAST, before the full-table rewrite strands an orphan copy
+    n_data_files = len(list(Path(tbl, "data").rglob("*.parquet")))
     with pytest.raises(LF.LakeFormatError, match="concurrently"):
         IW.compact_iceberg(spark, r["metadata_path"])
+    assert len(list(Path(tbl, "data").rglob("*.parquet"))) == n_data_files
 
 
 def test_refs_tag_read_and_expire_protection(spark, tmp_path):
