@@ -2151,3 +2151,52 @@ def write_delta_checkpoint(spark: SparkSession, table_path: str) -> dict:
     lc_tmp.write_text(json.dumps({"version": version, "size": len(rows)}))
     os.replace(lc_tmp, log / "_last_checkpoint")
     return {"version": version, "actions": len(rows)}
+
+
+def cleanup_delta_log(
+    table_path: str,
+    retention_ms: int = 30 * 24 * 3600 * 1000,
+    now_ms: int | None = None,
+    dry_run: bool = False,
+) -> dict:
+    """LOG CLEANUP — the metadata third of the maintenance lifecycle
+    (vacuum owns data files, checkpoint owns the seed): JSON commits
+    STRICTLY BELOW the checkpoint version whose mtime is past the
+    retention horizon delete, along with superseded checkpoint files
+    below it.  Commits at-or-above the checkpoint never go (the
+    checkpoint seeds replay from there); without a checkpoint NOTHING
+    goes — deleting un-checkpointed history would corrupt the table,
+    not trim it.  Version travel below the horizon then gates loudly
+    at read, exactly like production's delta.logRetentionDuration."""
+    log = LF._delta_log_dir(table_path)
+    _json_versions, ck_version, _latest = LF._log_versions(log)
+    audit = {
+        "files_deleted": 0,
+        "files_retained_young": 0,
+        "checkpoint_version": ck_version,
+    }
+    if ck_version is None:
+        return audit
+    now = _now_ms() if now_ms is None else int(now_ms)
+    horizon = now - int(retention_ms)
+    for p in sorted(log.iterdir()):
+        name = p.name
+        if not p.is_file() or name == "_last_checkpoint":
+            continue
+        if name.endswith(".json") and name[:20].isdigit():
+            v = int(name[:20])
+            is_old = v < ck_version
+        elif ".checkpoint." in name or name.endswith(".checkpoint.parquet"):
+            v = int(name.split(".")[0])
+            is_old = v < ck_version
+        else:
+            continue
+        if not is_old:
+            continue
+        if p.stat().st_mtime_ns // 1_000_000 >= horizon:
+            audit["files_retained_young"] += 1
+            continue
+        audit["files_deleted"] += 1
+        if not dry_run:
+            p.unlink()
+    return audit

@@ -1039,3 +1039,32 @@ def test_refused_merge_leaves_no_cdc_orphans(spark, tmp_path):
         DW.merge_delta(spark, tbl, src, on=["id"])
     cd = Path(tbl) / "_change_data"
     assert not cd.exists() or not any(cd.iterdir())
+
+
+def test_cleanup_delta_log(spark, tmp_path):
+    """Log cleanup deletes only sub-checkpoint commits past the
+    horizon; the table still reads (checkpoint-seeded), newer history
+    still travels, cleaned versions gate, and an un-checkpointed log
+    is never touched."""
+    tbl = str(tmp_path / "t")
+    df = spark.createDataFrame([(i, "a") for i in range(6)], "id long, p string")
+    for k in range(4):
+        DW.write_delta(spark, df.filter(F.col("id") == k), tbl, partition_by=["p"])
+    # no checkpoint yet: nothing may go
+    aud0 = DW.cleanup_delta_log(tbl, retention_ms=0, now_ms=10**15)
+    assert aud0["files_deleted"] == 0 and aud0["checkpoint_version"] is None
+    DW.write_delta_checkpoint(spark, tbl)  # checkpoint at v3
+    # young files retained
+    aud1 = DW.cleanup_delta_log(tbl)
+    assert aud1["files_deleted"] == 0 and aud1["files_retained_young"] == 3
+    aud2 = DW.cleanup_delta_log(tbl, retention_ms=0, now_ms=10**15)
+    assert aud2["files_deleted"] == 3  # v0..v2 JSONs
+    back = LF.read_delta_snapshot(spark, tbl)
+    assert back.count() == 4
+    # the checkpointed version still reads; a cleaned one gates
+    assert LF.read_delta_snapshot(spark, tbl, version=3).count() == 4
+    with pytest.raises(Exception):
+        LF.read_delta_snapshot(spark, tbl, version=1).count()
+    # a later append on the cleaned log still lands
+    DW.write_delta(spark, df.filter(F.col("id") == 4), tbl, partition_by=["p"])
+    assert LF.read_delta_snapshot(spark, tbl).count() == 5
