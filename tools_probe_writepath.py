@@ -116,6 +116,37 @@ def main() -> None:
         spark, DEST, retention_ms=0, now_ms=10**15, dry_run=True
     )
     out["vacuum_orphans"] = vaud["files_deleted"]
+
+    # Z-ORDER (r8 s3): rewrite the same table clustered on TWO
+    # dimensions with a bounded file size, then measure pruning on
+    # EACH — the single-key sort above answers only l_orderkey probes;
+    # the interleave must answer l_partkey probes too
+    t0 = time.monotonic()
+    zaud = DW.optimize_delta(
+        spark,
+        DEST,
+        zorder_by=["l_orderkey", "l_partkey"],
+        max_records_per_file=max(exp_surv // 64, 1),
+    )
+    out["zorder_s"] = round(time.monotonic() - t0, 3)
+    out["zorder_files_after"] = zaud["files_after"]
+    got3 = LF.read_delta_snapshot(spark, DEST).count()
+    assert got3 == exp_surv, (got3, exp_surv)
+    snapz = LF.delta_snapshot(DEST)
+    hi_p = frag.agg(F.max("l_partkey")).collect()[0][0]
+    for dim, pred in (
+        ("okey", [("l_orderkey", "<", int(hi * 0.05))]),
+        ("pkey", [("l_partkey", "<", int(hi_p * 0.05))]),
+    ):
+        kept_z, _ = LF.prune_delta_files(snapz, pred)
+        out[f"zorder_files_kept_{dim}"] = len(kept_z)
+        t0 = time.monotonic()
+        n = LF.read_delta_snapshot(spark, DEST, predicate=pred).count()
+        out[f"zorder_probe_{dim}_s"] = round(time.monotonic() - t0, 3)
+        col, _, v = pred[0]
+        exp_n = surv.filter(F.col(col) < v).count()
+        assert n == exp_n, (dim, n, exp_n)
+    out["zorder_files_total"] = len(snapz["files"])
     print(json.dumps(out))
 
 
