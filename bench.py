@@ -59,6 +59,9 @@ HEADLINE = STABLE_8 + [
     # the build (two distributed writes + commit authoring at sf_dir
     # scale), steady measures the written table's read+prune path
     "delta_write_roundtrip",
+    # r8 session 3: the multi-column Z-order layout — cold pays the
+    # interleaved rewrite, steady measures the 2-D pruned read
+    "delta_zorder_rewrite",
 ]
 
 
