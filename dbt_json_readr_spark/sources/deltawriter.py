@@ -2179,19 +2179,35 @@ def cleanup_delta_log(
         return audit
     now = _now_ms() if now_ms is None else int(now_ms)
     horizon = now - int(retention_ms)
+    # JSON commits delete as a CONTIGUOUS PREFIX only: retaining a
+    # young v0 while deleting v1..v2 leaves a hole the replay's
+    # contiguity check refuses for EVERY read, latest included (r8 s3
+    # review) — stop at the first retained commit
+    sub_ck = [v for v in _json_versions if v < ck_version]
+    deleting = True
+    for v in sub_ck:
+        p = log / f"{v:020d}.json"
+        if deleting and p.stat().st_mtime_ns // 1_000_000 < horizon:
+            audit["files_deleted"] += 1
+            if not dry_run:
+                p.unlink()
+        else:
+            deleting = False
+            audit["files_retained_young"] += 1
+    # superseded checkpoint files below the current one are standalone
+    # (no contiguity concern) — per-file mtime retention
     for p in sorted(log.iterdir()):
         name = p.name
-        if not p.is_file() or name == "_last_checkpoint":
+        # '.'-prefixed entries include a crashed checkpoint write's
+        # temp file, whose name int-parses to '' (r8 s3 review)
+        if (
+            not p.is_file()
+            or name.startswith(".")
+            or name == "_last_checkpoint"
+            or ".checkpoint." not in name
+        ):
             continue
-        if name.endswith(".json") and name[:20].isdigit():
-            v = int(name[:20])
-            is_old = v < ck_version
-        elif ".checkpoint." in name or name.endswith(".checkpoint.parquet"):
-            v = int(name.split(".")[0])
-            is_old = v < ck_version
-        else:
-            continue
-        if not is_old:
+        if int(name.split(".")[0]) >= ck_version:
             continue
         if p.stat().st_mtime_ns // 1_000_000 >= horizon:
             audit["files_retained_young"] += 1

@@ -476,6 +476,16 @@ def _encode_part_summaries(
     return out
 
 
+def _metadata_versions(meta_dir: Path) -> list[Path]:
+    """All ``v*.metadata.json`` files, NUMERICALLY sorted — one
+    definition so the v10<v9 lexicographic-sort bug class cannot
+    reappear in a hand-kept copy (r8 s3 review: four copies)."""
+    return sorted(
+        meta_dir.glob("v*.metadata.json"),
+        key=lambda p: int(p.name.split(".")[0][1:]),
+    )
+
+
 def _commit_metadata(meta_dir: Path, version: int, text: str) -> Path:
     """PUT-if-absent metadata commit — same hard-link CAS as the Delta
     writer: two writers racing from the same parent both target
@@ -600,10 +610,7 @@ def write_iceberg(
     table_dir = os.path.abspath(table_dir)
     meta_dir = Path(table_dir) / "metadata"
 
-    existing = sorted(
-        meta_dir.glob("v*.metadata.json"),
-        key=lambda p: int(p.name.split(".")[0][1:]),
-    )
+    existing = _metadata_versions(meta_dir)
     if existing:
         meta = LF.iceberg_metadata(str(existing[-1]))
         prev_version = int(existing[-1].name.split(".")[0][1:])
@@ -1435,10 +1442,7 @@ def delta_to_iceberg(spark: SparkSession, table_path: str) -> dict:
         ],
     }
 
-    existing = sorted(
-        meta_dir.glob("v*.metadata.json"),
-        key=lambda p: int(p.name.split(".")[0][1:]),
-    )
+    existing = _metadata_versions(meta_dir)
     if existing:
         meta = LF.iceberg_metadata(str(existing[-1]))
         prev_version = int(existing[-1].name.split(".")[0][1:])
@@ -1620,10 +1624,7 @@ def iceberg_last_epoch(table_dir: str, key: str) -> int | None:
     app marker).  None when the table does not exist yet or no
     snapshot carries the key."""
     meta_dir = Path(table_dir) / "metadata"
-    existing = sorted(
-        meta_dir.glob("v*.metadata.json"),
-        key=lambda p: int(p.name.split(".")[0][1:]),
-    )
+    existing = _metadata_versions(meta_dir)
     if not existing:
         return None
     meta = LF.iceberg_metadata(str(existing[-1]))
@@ -1759,10 +1760,7 @@ def cleanup_iceberg_metadata(
     if keep_versions < 1:
         raise LF.LakeFormatError("keep_versions must be >= 1")
     meta_dir = Path(os.path.dirname(os.path.abspath(metadata_path)))
-    versions = sorted(
-        meta_dir.glob("v*.metadata.json"),
-        key=lambda p: int(p.name.split(".")[0][1:]),
-    )
+    versions = _metadata_versions(meta_dir)
     victims = versions[:-keep_versions]
     if not dry_run:
         for p in victims:

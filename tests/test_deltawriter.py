@@ -1068,3 +1068,34 @@ def test_cleanup_delta_log(spark, tmp_path):
     # a later append on the cleaned log still lands
     DW.write_delta(spark, df.filter(F.col("id") == 4), tbl, partition_by=["p"])
     assert LF.read_delta_snapshot(spark, tbl).count() == 5
+
+
+def test_cleanup_delta_log_contiguity_and_temp_files(spark, tmp_path):
+    """Sub-checkpoint commits delete as a CONTIGUOUS PREFIX only — a
+    young v0 retained while v1/v2 die would leave a hole that makes
+    EVERY read fail (r8 s3 review) — and an orphaned checkpoint temp
+    file must not crash the cleanup."""
+    import os as _os
+    import time as _time
+
+    tbl = str(tmp_path / "t")
+    df = spark.createDataFrame([(i, "a") for i in range(5)], "id long, p string")
+    for k in range(4):
+        DW.write_delta(spark, df.filter(F.col("id") == k), tbl, partition_by=["p"])
+    DW.write_delta_checkpoint(spark, tbl)  # ck at v3
+    log = Path(tbl) / "_delta_log"
+    # a crashed checkpoint write's temp file
+    (log / ".00000000000000000002.checkpoint.parquet.tmp-999").write_text("x")
+    # age v1/v2 but keep v0 YOUNG: contiguity must retain all three
+    old_s = _time.time() - 40 * 24 * 3600
+    for v in (1, 2):
+        _os.utime(log / f"{v:020d}.json", (old_s, old_s))
+    aud = DW.cleanup_delta_log(tbl)  # default retention, real clock
+    assert aud["files_deleted"] == 0
+    assert LF.read_delta_snapshot(spark, tbl).count() == 4
+    assert LF.read_delta_snapshot(spark, tbl, version=1).count() == 2
+    # once v0 ages too, the whole prefix goes and the table still reads
+    _os.utime(log / f"{0:020d}.json", (old_s, old_s))
+    aud2 = DW.cleanup_delta_log(tbl)
+    assert aud2["files_deleted"] == 3
+    assert LF.read_delta_snapshot(spark, tbl).count() == 4
