@@ -1636,3 +1636,101 @@ SELECT
 FROM states
 GROUP BY ref_name
 """
+
+
+# ---------------------------------------------------------------- F33
+
+
+def delta_generated_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED COLUMNS (r8 s3) in their classic role — a generated
+    PARTITION column: the table is created with
+    ``o_year = year(o_orderdate)`` stored as
+    delta.generationExpression field metadata (protocol writer 4);
+    commit 0's frame LACKS the column (the writer computes it), commit
+    1 PROVIDES it correctly (the writer validates null-safe equality),
+    and a deliberately drifted batch must REFUSE — a stored value that
+    disagrees with the expression breaks every reader that prunes on
+    it.  The key reads under an ``o_year = 1995`` predicate: the
+    per-status rollup must equal SQL computing year() itself, and
+    files_kept is the colocate layout's closed form (one file per
+    (commit, year) → #commits holding 1995)."""
+    prep(spark)
+    from ..sources.deltawriter import DeltaConstraintViolationError
+
+    orders = load(spark, sf_dir, "orders")
+
+    def build(tbl: str) -> None:
+        a = orders.filter(F.col("o_orderkey") % 4 == 0)
+        b = orders.filter(F.col("o_orderkey") % 4 == 1)
+        DW.write_delta(
+            spark,
+            a,
+            tbl,
+            partition_by=["o_year"],
+            generated={"o_year": "year(o_orderdate)"},
+        )
+        DW.write_delta(
+            spark,
+            b.withColumn("o_year", F.year("o_orderdate")),
+            tbl,
+            partition_by=["o_year"],
+        )
+        bad = b.withColumn(
+            "o_year", (F.year("o_orderdate") + 500).cast("int")
+        )
+        blocked = 0
+        try:
+            DW.write_delta(spark, bad, tbl, partition_by=["o_year"])
+        except DeltaConstraintViolationError:
+            blocked = 1
+        (Path(tbl) / "_RT_GEN_BLOCKED").write_text(str(blocked))
+
+    tbl = str(_ensure("wrt_orders_gen", sf_dir, build))
+    blocked = int((Path(tbl) / "_RT_GEN_BLOCKED").read_text())
+    snap = LF.delta_snapshot(tbl)
+    pred = [("o_year", "=", 1995)]
+    kept, _ = LF.prune_delta_files(snap, pred)
+    df = LF.read_delta_snapshot(spark, tbl, predicate=pred)
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+            F.min("o_orderkey").alias("min_key"),
+        )
+        .select(
+            "*",
+            F.lit(len(snap["files"])).cast("int").alias("files_total"),
+            F.lit(len(kept)).cast("int").alias("files_kept"),
+            F.lit(blocked).cast("int").alias("blocked_append"),
+        )
+    )
+
+
+def _delta_generated_partition_sql() -> str:
+    s = _DSUM.format(c="o_totalprice")
+    return f"""
+WITH both_slices AS (
+  SELECT *, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         o_orderkey % 4 AS slice
+  FROM orders WHERE o_orderkey % 4 IN (0, 1)
+),
+ev AS (
+  SELECT
+    (SELECT CAST(count(*) AS INTEGER)
+     FROM (SELECT DISTINCT slice, o_year FROM both_slices)) AS files_total,
+    (SELECT CAST(count(DISTINCT slice) AS INTEGER)
+     FROM both_slices WHERE o_year = 1995) AS files_kept
+)
+SELECT
+  o_orderstatus,
+  count(*) AS n_rows,
+  {s} AS sum_price,
+  min(o_orderkey) AS min_key,
+  (SELECT files_total FROM ev) AS files_total,
+  (SELECT files_kept FROM ev) AS files_kept,
+  CAST(1 AS INTEGER) AS blocked_append
+FROM both_slices
+WHERE o_year = 1995
+GROUP BY o_orderstatus
+"""

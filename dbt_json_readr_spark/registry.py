@@ -487,6 +487,13 @@ register(
     lakewrite.iceberg_refs_travel,
     lakewrite._iceberg_refs_travel_sql,
 )
+# F33: generated columns — compute-or-validate on every write; the
+# classic generated PARTITION column prunes time-derived probes
+register(
+    "delta_generated_partition",
+    lakewrite.delta_generated_partition,
+    lakewrite._delta_generated_partition_sql,
+)
 register(
     "streaming_delta_commits",
     streaming_jobs.streaming_delta_commits,
@@ -581,6 +588,7 @@ _NEW_R8 = [
     "streaming_iceberg_sink",
     "iceberg_compact_rewrite",
     "iceberg_refs_travel",
+    "delta_generated_partition",
 ]
 
 # Newest driver row is r4; ordered most load-bearing first (flagship

@@ -142,8 +142,63 @@ def _commit(table_path: str, version: int, actions: list[dict]) -> None:
         tmp.unlink(missing_ok=True)
 
 
-def _schema_fingerprint(schema: T.StructType) -> str:
-    return json.dumps(schema.jsonValue(), sort_keys=True)
+def _schema_fingerprint(
+    schema: T.StructType, include_metadata: bool = True
+) -> str:
+    """``include_metadata=False`` compares the LOGICAL shape only —
+    append/merge compatibility gates use it, because the table schema
+    legitimately carries field metadata (delta.generationExpression)
+    an incoming frame never has; the committed schemaString is always
+    the table's own.  Full comparison stays for RESTORE's
+    should-re-emit-metaData decision."""
+    j = schema.jsonValue()
+    if not include_metadata:
+        for f in j.get("fields", []):
+            f.pop("metadata", None)
+    return json.dumps(j, sort_keys=True)
+
+
+def _generation_exprs(schema: T.StructType) -> dict[str, str]:
+    """name → SQL expression for every GENERATED column (the
+    protocol's ``delta.generationExpression`` field metadata)."""
+    out: dict[str, str] = {}
+    for f in schema.fields:
+        md = f.metadata or {}
+        e = md.get("delta.generationExpression")
+        if e:
+            out[f.name] = str(e)
+    return out
+
+
+def _enforce_generated(df: DataFrame, gen: dict[str, str], op: str) -> None:
+    """Provided values for generated columns must EQUAL the expression
+    result exactly (null-safe) — the protocol's generated-columns
+    invariant; a writer that stores a drifted value breaks every
+    reader that prunes on the generation expression.  One aggregate
+    pass for all columns, like the CHECK-constraint gate."""
+    if not gen:
+        return
+    aggs = [
+        F.sum(
+            F.when(
+                ~F.col(c).eqNullSafe(
+                    F.expr(e).cast(df.schema[c].dataType)
+                ),
+                1,
+            ).otherwise(0)
+        ).alias(c)
+        for c, e in sorted(gen.items())
+    ]
+    row = df.agg(*aggs).collect()[0]
+    bad = {c: int(row[c] or 0) for c in sorted(gen) if (row[c] or 0) > 0}
+    if bad:
+        raise DeltaConstraintViolationError(
+            f"{op} provides values for generated column(s) that differ "
+            "from their generation expression: "
+            + "; ".join(
+                f"{c!r} = ({gen[c]}) — {n} row(s)" for c, n in bad.items()
+            )
+        )
 
 
 def _commit_info(operation: str, params: dict | None = None) -> dict:
@@ -757,9 +812,18 @@ def write_delta(
     txn: tuple[str, int] | None = None,
     data_change: bool = True,
     merge_schema: bool = False,
+    generated: dict[str, str] | None = None,
 ) -> dict:
     """Write ``df`` as a Delta commit.  Returns an audit dict
     {"version", "files_added", "files_removed", "rows_written"}.
+
+    ``generated`` (CREATE-time only): column → SQL generation
+    expression, stored as ``delta.generationExpression`` field
+    metadata (protocol writer version 4).  On every write the column
+    COMPUTES when the frame lacks it and VALIDATES exactly (null-safe)
+    when provided — the classic use is a generated PARTITION column
+    (e.g. ``{"o_year": "year(o_orderdate)"}``) so time-derived
+    partition pruning works without the writer trusting callers.
 
     - ``mode="append"``: add files (schema must match the table's).
     - ``mode="overwrite"``: remove every live file, add the new ones.
@@ -787,10 +851,43 @@ def write_delta(
         raise LF.LakeFormatError(f"unsupported write mode {mode!r}")
     if replace_where is not None and mode != "overwrite":
         raise LF.LakeFormatError("replace_where requires mode='overwrite'")
-    schema = df.schema
-    _validate_partition_types(schema, partition_by)
 
     latest = _table_version(table_path)
+    snap: dict | None = None
+    if generated:
+        if latest is not None:
+            raise LF.LakeFormatError(
+                "generated= is a CREATE-time option — the expressions "
+                "live in the table schema afterwards"
+            )
+        provided = {c: e for c, e in generated.items() if c in df.columns}
+        for col, expr in generated.items():
+            if col not in df.columns:
+                df = df.withColumn(col, F.expr(expr))
+        _enforce_generated(df, provided, "WRITE")
+    if latest is not None:
+        snap = LF.delta_snapshot(table_path)
+        if snap["column_mapping_mode"] != "none":
+            raise LF.LakeFormatGatedError(
+                "writing to a column-mapped table is not implemented — "
+                "the writer would have to emit PHYSICAL column names"
+            )
+        # generated columns compute/validate BEFORE partition-type
+        # validation — the generated PARTITION column is the feature's
+        # whole point, and an incoming frame legitimately lacks it
+        gen_map = _generation_exprs(snap["schema"])
+        if gen_map:
+            gen_provided = {
+                c: e for c, e in gen_map.items() if c in df.columns
+            }
+            for col, expr in gen_map.items():
+                if col not in df.columns:
+                    df = df.withColumn(
+                        col, F.expr(expr).cast(snap["schema"][col].dataType)
+                    )
+            _enforce_generated(df, gen_provided, "WRITE")
+    schema = df.schema
+    _validate_partition_types(schema, partition_by)
     removes: list[dict] = []
     actions: list[dict] = [
         _commit_info(
@@ -803,11 +900,23 @@ def write_delta(
         # a table BORN with delta.constraints.* must declare the
         # checkConstraints writer feature (version 3) from commit 0 —
         # at version 2 a spec-compliant external writer would append
-        # violating rows without ever checking (r8 s3 review)
-        writer_v = 3 if _table_constraints(configuration) else 2
+        # violating rows without ever checking (r8 s3 review); the
+        # legacy ladder is cumulative, so generated columns need 4
+        writer_v = 2
+        if _table_constraints(configuration):
+            writer_v = 3
+        if generated:
+            writer_v = 4
         actions.append(
             {"protocol": {"minReaderVersion": 1, "minWriterVersion": writer_v}}
         )
+        schema_json = schema.jsonValue()
+        for fj in schema_json.get("fields", []):
+            if generated and fj["name"] in generated:
+                fj.setdefault("metadata", {})
+                fj["metadata"]["delta.generationExpression"] = generated[
+                    fj["name"]
+                ]
         actions.append(
             {
                 "metaData": {
@@ -819,7 +928,7 @@ def write_delta(
                         )
                     ),
                     "format": {"provider": "parquet", "options": {}},
-                    "schemaString": json.dumps(schema.jsonValue()),
+                    "schemaString": json.dumps(schema_json),
                     "partitionColumns": partition_by,
                     "configuration": dict(configuration or {}),
                     "createdTime": _now_ms(),
@@ -827,14 +936,10 @@ def write_delta(
             }
         )
     else:
-        snap = LF.delta_snapshot(table_path)
         version = latest + 1
-        if snap["column_mapping_mode"] != "none":
-            raise LF.LakeFormatGatedError(
-                "writing to a column-mapped table is not implemented — "
-                "the writer would have to emit PHYSICAL column names"
-            )
-        if _schema_fingerprint(snap["schema"]) != _schema_fingerprint(schema):
+        if _schema_fingerprint(
+            snap["schema"], include_metadata=False
+        ) != _schema_fingerprint(schema, include_metadata=False):
             if not merge_schema:
                 raise LF.LakeFormatGatedError(
                     "incoming schema differs from the table schema — pass "
@@ -1383,10 +1488,12 @@ def merge_delta(
             raise LF.LakeFormatError(f"merge key {k!r} not in table schema")
 
     src = source.select(*schema.fieldNames())
-    # same full-schema gate as write_delta (r8 review): a name-only
+    # same logical-schema gate as write_delta (r8 review): a name-only
     # check lets a string-typed source coerce the rewrite output away
     # from the table's schemaString — silent nulls on later reads
-    if _schema_fingerprint(src.schema) != _schema_fingerprint(schema):
+    if _schema_fingerprint(
+        src.schema, include_metadata=False
+    ) != _schema_fingerprint(schema, include_metadata=False):
         raise LF.LakeFormatGatedError(
             "MERGE source schema differs from the table schema — align "
             f"types/nullability (table: {schema.simpleString()}, "
@@ -1450,11 +1557,12 @@ def merge_delta(
             new_rows = inserts
 
         version = snap["version"] + 1
-        # constraints check BEFORE any staging — _stage_cdc os.replaces
-        # change-data files into _change_data/ with final names, so a
-        # post-staging refusal would leak a full distributed CDC write
-        # per refused MERGE (r8 s3 review)
+        # constraints + generated-column checks BEFORE any staging —
+        # _stage_cdc os.replaces change-data files into _change_data/
+        # with final names, so a post-staging refusal would leak a full
+        # distributed CDC write per refused MERGE (r8 s3 review)
         _enforce_constraints(new_rows, snap["configuration"], "MERGE")
+        _enforce_generated(new_rows, _generation_exprs(schema), "MERGE")
         cdc_actions: list[dict] = []
         if _cdf_enabled(snap):
             # under CDF the join feeds THREE sinks (merged data write,

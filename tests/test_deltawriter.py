@@ -1099,3 +1099,50 @@ def test_cleanup_delta_log_contiguity_and_temp_files(spark, tmp_path):
     aud2 = DW.cleanup_delta_log(tbl)
     assert aud2["files_deleted"] == 3
     assert LF.read_delta_snapshot(spark, tbl).count() == 4
+
+
+def test_generated_columns(spark, tmp_path):
+    """Generated columns: created via generated= (metadata + writer
+    version 4), COMPUTED when the frame lacks them, VALIDATED
+    null-safe when provided (write and merge), create-time-only
+    option, and the generated PARTITION column prunes."""
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    tbl = str(tmp_path / "t")
+    a = orders.filter(F.col("o_orderkey") % 3 == 0)
+    DW.write_delta(
+        spark, a, tbl, partition_by=["o_year"],
+        generated={"o_year": "year(o_orderdate)"},
+    )
+    snap = LF.delta_snapshot(tbl)
+    assert snap["protocol"]["minWriterVersion"] == 4
+    assert (
+        snap["schema"]["o_year"].metadata["delta.generationExpression"]
+        == "year(o_orderdate)"
+    )
+    back = LF.read_delta_snapshot(spark, tbl)
+    assert back.count() == a.count()
+    assert back.filter(F.col("o_year") != F.year("o_orderdate")).count() == 0
+    # generated partition column prunes
+    kept, _ = LF.prune_delta_files(snap, [("o_year", "=", 1995)])
+    assert 0 < len(kept) < len(snap["files"])
+    # append without the column computes it
+    b = orders.filter(F.col("o_orderkey") % 3 == 1)
+    DW.write_delta(spark, b, tbl, partition_by=["o_year"])
+    assert LF.read_delta_snapshot(spark, tbl).count() == a.count() + b.count()
+    # a drifted provided value refuses (write and merge)
+    bad = b.withColumn("o_year", (F.year("o_orderdate") + 500).cast("int"))
+    with pytest.raises(DW.DeltaConstraintViolationError, match="generated"):
+        DW.write_delta(spark, bad, tbl, partition_by=["o_year"])
+    src = LF.read_delta_snapshot(spark, tbl).limit(2).withColumn(
+        "o_year", (F.year("o_orderdate") + 500).cast("int")
+    )
+    with pytest.raises(DW.DeltaConstraintViolationError, match="MERGE"):
+        DW.merge_delta(spark, tbl, src, on=["o_orderkey"])
+    # a correct provided value passes
+    good = b.withColumn("o_year", F.year("o_orderdate"))
+    DW.write_delta(spark, good, tbl, partition_by=["o_year"])
+    # generated= on an existing table refuses
+    with pytest.raises(LF.LakeFormatError, match="CREATE-time"):
+        DW.write_delta(
+            spark, b, tbl, partition_by=["o_year"], generated={"o_year": "1"}
+        )
