@@ -142,20 +142,72 @@ def _commit(table_path: str, version: int, actions: list[dict]) -> None:
         tmp.unlink(missing_ok=True)
 
 
-def _schema_fingerprint(
-    schema: T.StructType, include_metadata: bool = True
-) -> str:
-    """``include_metadata=False`` compares the LOGICAL shape only —
-    append/merge compatibility gates use it, because the table schema
-    legitimately carries field metadata (delta.generationExpression)
-    an incoming frame never has; the committed schemaString is always
-    the table's own.  Full comparison stays for RESTORE's
-    should-re-emit-metaData decision."""
-    j = schema.jsonValue()
-    if not include_metadata:
-        for f in j.get("fields", []):
-            f.pop("metadata", None)
-    return json.dumps(j, sort_keys=True)
+def _strip_field_metadata(node) -> None:
+    """Recursively drop the ``metadata`` entry from every field dict of
+    a schema jsonValue — nested struct fields carry metadata too, and a
+    top-level-only strip left nested comments spuriously failing the
+    logical-shape gate (r8 s3 review)."""
+    if isinstance(node, dict):
+        if "name" in node and "type" in node:
+            node.pop("metadata", None)
+        for v in node.values():
+            _strip_field_metadata(v)
+    elif isinstance(node, list):
+        for v in node:
+            _strip_field_metadata(v)
+
+
+def _schema_fingerprint(schema: T.StructType) -> str:
+    """FULL schema identity (metadata included) — RESTORE's
+    should-re-emit-metaData decision.  Append/merge compatibility uses
+    ``_append_compatible`` instead (production semantics: comments and
+    generation metadata never block an append; metadata the writer
+    cannot honor gates explicitly via
+    ``_gate_unenforced_invariants``)."""
+    return json.dumps(schema.jsonValue(), sort_keys=True)
+
+
+def _append_compatible(
+    table_schema: T.StructType, incoming: T.StructType
+) -> bool:
+    """Logical append compatibility: same columns in the same order
+    with EXACT types (metadata excluded, nested included); an incoming
+    NON-NULLABLE column may write into a nullable table column — the
+    safe direction, and every lit()-derived column is non-nullable —
+    but never the reverse (a nullable write into a required column
+    could store nulls readers were promised not to see)."""
+    if len(table_schema.fields) != len(incoming.fields):
+        return False
+    for t, i in zip(table_schema.fields, incoming.fields):
+        if t.name != i.name:
+            return False
+        tj, ij = t.dataType.jsonValue(), i.dataType.jsonValue()
+        _strip_field_metadata(tj)
+        _strip_field_metadata(ij)
+        if json.dumps(tj, sort_keys=True) != json.dumps(ij, sort_keys=True):
+            return False
+        if i.nullable and not t.nullable:
+            return False
+    return True
+
+
+def _gate_unenforced_invariants(schema: T.StructType) -> None:
+    """``delta.invariants`` (writer version 2) field metadata is an
+    enforcement OBLIGATION this writer does not implement — appending
+    unchecked rows would corrupt the table for every engine that
+    trusts the invariant, so the write refuses loudly (r8 s3 review:
+    the metadata-free fingerprint stopped gating this incidentally)."""
+    bad = [
+        f.name
+        for f in schema.fields
+        if (f.metadata or {}).get("delta.invariants")
+    ]
+    if bad:
+        raise LF.LakeFormatGatedError(
+            f"table declares delta.invariants on column(s) {bad} — this "
+            "writer does not enforce writer-version-2 invariants and "
+            "refuses to append unchecked rows"
+        )
 
 
 def _generation_exprs(schema: T.StructType) -> dict[str, str]:
@@ -174,31 +226,8 @@ def _enforce_generated(df: DataFrame, gen: dict[str, str], op: str) -> None:
     """Provided values for generated columns must EQUAL the expression
     result exactly (null-safe) — the protocol's generated-columns
     invariant; a writer that stores a drifted value breaks every
-    reader that prunes on the generation expression.  One aggregate
-    pass for all columns, like the CHECK-constraint gate."""
-    if not gen:
-        return
-    aggs = [
-        F.sum(
-            F.when(
-                ~F.col(c).eqNullSafe(
-                    F.expr(e).cast(df.schema[c].dataType)
-                ),
-                1,
-            ).otherwise(0)
-        ).alias(c)
-        for c, e in sorted(gen.items())
-    ]
-    row = df.agg(*aggs).collect()[0]
-    bad = {c: int(row[c] or 0) for c in sorted(gen) if (row[c] or 0) > 0}
-    if bad:
-        raise DeltaConstraintViolationError(
-            f"{op} provides values for generated column(s) that differ "
-            "from their generation expression: "
-            + "; ".join(
-                f"{c!r} = ({gen[c]}) — {n} row(s)" for c, n in bad.items()
-            )
-        )
+    reader that prunes on the generation expression."""
+    _enforce_write_checks(df, None, gen, op)
 
 
 def _commit_info(operation: str, params: dict | None = None) -> dict:
@@ -558,32 +587,64 @@ def _table_constraints(config: dict | None) -> dict[str, str]:
     }
 
 
-def _enforce_constraints(df: DataFrame, config: dict | None, op: str) -> None:
-    """Refuse rows that VIOLATE any CHECK constraint before anything
-    commits.  SQL CHECK semantics: a row violates only when the
-    expression evaluates FALSE — NULL passes.  One aggregate pass
-    counts violations for every constraint at once (zero cost when the
-    table has none); the error names each violated constraint with its
-    expression and row count."""
+def _enforce_write_checks(
+    df: DataFrame,
+    config: dict | None,
+    gen: dict[str, str] | None,
+    op: str,
+) -> None:
+    """CHECK constraints + generated-column equality in ONE aggregate
+    pass (r8 s3 review: separate collects re-executed the merge join
+    once per gate).  SQL CHECK semantics: a row violates a constraint
+    only when the expression evaluates FALSE — NULL passes; a provided
+    generated value violates when it differs null-safely from its
+    expression.  Zero cost when the table declares neither; the error
+    names every violated rule with its expression and row count."""
     cons = _table_constraints(config)
-    if not cons:
+    gen = gen or {}
+    if not cons and not gen:
         return
-    aggs = [
-        F.sum(
-            F.when(~F.coalesce(F.expr(e), F.lit(True)), 1).otherwise(0)
-        ).alias(n)
-        for n, e in sorted(cons.items())
-    ]
-    row = df.agg(*aggs).collect()[0]
-    bad = {n: int(row[n] or 0) for n in sorted(cons) if (row[n] or 0) > 0}
-    if bad:
-        raise DeltaConstraintViolationError(
-            f"{op} violates CHECK constraint(s): "
-            + "; ".join(
-                f"{n!r} CHECK ({cons[n]}) — {c} row(s)"
-                for n, c in bad.items()
-            )
+    aggs = []
+    for i, (n, e) in enumerate(sorted(cons.items())):
+        aggs.append(
+            F.sum(
+                F.when(~F.coalesce(F.expr(e), F.lit(True)), 1).otherwise(0)
+            ).alias(f"__c{i}")
         )
+    for i, (c, e) in enumerate(sorted(gen.items())):
+        aggs.append(
+            F.sum(
+                F.when(
+                    ~F.col(c).eqNullSafe(
+                        F.expr(e).cast(df.schema[c].dataType)
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias(f"__g{i}")
+        )
+    row = df.agg(*aggs).collect()[0]
+    msgs = []
+    for i, (n, e) in enumerate(sorted(cons.items())):
+        c = int(row[f"__c{i}"] or 0)
+        if c > 0:
+            msgs.append(
+                f"{op} violates CHECK constraint(s): "
+                f"{n!r} CHECK ({e}) — {c} row(s)"
+            )
+    for i, (c_name, e) in enumerate(sorted(gen.items())):
+        c = int(row[f"__g{i}"] or 0)
+        if c > 0:
+            msgs.append(
+                f"{op} provides values for generated column(s) that "
+                f"differ from their generation expression: "
+                f"{c_name!r} = ({e}) — {c} row(s)"
+            )
+    if msgs:
+        raise DeltaConstraintViolationError("; ".join(msgs))
+
+
+def _enforce_constraints(df: DataFrame, config: dict | None, op: str) -> None:
+    _enforce_write_checks(df, config, None, op)
 
 
 def add_check_constraint(
@@ -854,17 +915,17 @@ def write_delta(
 
     latest = _table_version(table_path)
     snap: dict | None = None
+    gen_checks: dict[str, str] = {}  # provided generated cols to verify
     if generated:
         if latest is not None:
             raise LF.LakeFormatError(
                 "generated= is a CREATE-time option — the expressions "
                 "live in the table schema afterwards"
             )
-        provided = {c: e for c, e in generated.items() if c in df.columns}
+        gen_checks = {c: e for c, e in generated.items() if c in df.columns}
         for col, expr in generated.items():
             if col not in df.columns:
                 df = df.withColumn(col, F.expr(expr))
-        _enforce_generated(df, provided, "WRITE")
     if latest is not None:
         snap = LF.delta_snapshot(table_path)
         if snap["column_mapping_mode"] != "none":
@@ -872,12 +933,13 @@ def write_delta(
                 "writing to a column-mapped table is not implemented — "
                 "the writer would have to emit PHYSICAL column names"
             )
+        _gate_unenforced_invariants(snap["schema"])
         # generated columns compute/validate BEFORE partition-type
         # validation — the generated PARTITION column is the feature's
         # whole point, and an incoming frame legitimately lacks it
         gen_map = _generation_exprs(snap["schema"])
         if gen_map:
-            gen_provided = {
+            gen_checks = {
                 c: e for c, e in gen_map.items() if c in df.columns
             }
             for col, expr in gen_map.items():
@@ -885,7 +947,13 @@ def write_delta(
                     df = df.withColumn(
                         col, F.expr(expr).cast(snap["schema"][col].dataType)
                     )
-            _enforce_generated(df, gen_provided, "WRITE")
+            if set(df.columns) == set(snap["schema"].fieldNames()):
+                # withColumn appends the computed column LAST; the
+                # logical fingerprint is order-sensitive, so re-project
+                # into table order (r8 s3 review: a generated column
+                # created in a non-terminal position failed every
+                # column-omitting append)
+                df = df.select(*snap["schema"].fieldNames())
     schema = df.schema
     _validate_partition_types(schema, partition_by)
     removes: list[dict] = []
@@ -937,9 +1005,7 @@ def write_delta(
         )
     else:
         version = latest + 1
-        if _schema_fingerprint(
-            snap["schema"], include_metadata=False
-        ) != _schema_fingerprint(schema, include_metadata=False):
+        if not _append_compatible(snap["schema"], schema):
             if not merge_schema:
                 raise LF.LakeFormatGatedError(
                     "incoming schema differs from the table schema — pass "
@@ -991,11 +1057,13 @@ def write_delta(
             now = _now_ms()
             removes = [_remove_action(f, now) for f in victims]
 
-    # CHECK constraints enforce BEFORE anything stages — a violating
-    # batch must leave no trace (zero cost when the table has none)
-    _enforce_constraints(
+    # CHECK constraints + provided-generated-value checks enforce in
+    # ONE aggregate pass BEFORE anything stages — a violating batch
+    # must leave no trace (zero cost when the table declares neither)
+    _enforce_write_checks(
         df,
         dict(configuration or {}) if latest is None else snap["configuration"],
+        gen_checks,
         "WRITE",
     )
     adds, rows = _stage_and_collect(
@@ -1053,8 +1121,13 @@ def _evolve_schema(
     fields: list[T.StructField] = []
     for f in table_schema.fields:
         inc = incoming.get(f.name)
+        # the TABLE field's metadata rides along — dropping it erased
+        # delta.generationExpression from the committed schemaString on
+        # every merge_schema append to a generated table (r8 s3 review)
         if inc is None:
-            fields.append(T.StructField(f.name, f.dataType, True))
+            fields.append(
+                T.StructField(f.name, f.dataType, True, f.metadata)
+            )
         else:
             if inc.dataType != f.dataType:
                 raise LF.LakeFormatGatedError(
@@ -1063,7 +1136,9 @@ def _evolve_schema(
                     f"{inc.dataType.simpleString()}) — no silent coercion"
                 )
             fields.append(
-                T.StructField(f.name, f.dataType, f.nullable or inc.nullable)
+                T.StructField(
+                    f.name, f.dataType, f.nullable or inc.nullable, f.metadata
+                )
             )
     table_names = set(table_schema.fieldNames())
     for f in df.schema.fields:
@@ -1478,6 +1553,7 @@ def merge_delta(
     nondeterministic, this writer refuses it."""
     snap = LF.delta_snapshot(table_path)
     schema: T.StructType = snap["schema"]
+    _gate_unenforced_invariants(schema)
     if set(source.columns) != set(schema.fieldNames()):
         raise LF.LakeFormatError(
             f"MERGE source columns {sorted(source.columns)} != table "
@@ -1491,9 +1567,7 @@ def merge_delta(
     # same logical-schema gate as write_delta (r8 review): a name-only
     # check lets a string-typed source coerce the rewrite output away
     # from the table's schemaString — silent nulls on later reads
-    if _schema_fingerprint(
-        src.schema, include_metadata=False
-    ) != _schema_fingerprint(schema, include_metadata=False):
+    if not _append_compatible(schema, src.schema):
         raise LF.LakeFormatGatedError(
             "MERGE source schema differs from the table schema — align "
             f"types/nullability (table: {schema.simpleString()}, "
@@ -1557,12 +1631,13 @@ def merge_delta(
             new_rows = inserts
 
         version = snap["version"] + 1
-        # constraints + generated-column checks BEFORE any staging —
-        # _stage_cdc os.replaces change-data files into _change_data/
-        # with final names, so a post-staging refusal would leak a full
-        # distributed CDC write per refused MERGE (r8 s3 review)
-        _enforce_constraints(new_rows, snap["configuration"], "MERGE")
-        _enforce_generated(new_rows, _generation_exprs(schema), "MERGE")
+        # constraints + generated-column checks in ONE pass BEFORE any
+        # staging — _stage_cdc os.replaces change-data files into
+        # _change_data/ with final names, so a post-staging refusal
+        # would leak a full distributed CDC write per refused MERGE
+        _enforce_write_checks(
+            new_rows, snap["configuration"], _generation_exprs(schema), "MERGE"
+        )
         cdc_actions: list[dict] = []
         if _cdf_enabled(snap):
             # under CDF the join feeds THREE sinks (merged data write,

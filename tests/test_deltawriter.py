@@ -1146,3 +1146,60 @@ def test_generated_columns(spark, tmp_path):
         DW.write_delta(
             spark, b, tbl, partition_by=["o_year"], generated={"o_year": "1"}
         )
+
+
+def test_generated_metadata_survives_evolution_and_order(spark, tmp_path):
+    """merge_schema must PRESERVE delta.generationExpression (r8 s3
+    review: _evolve_schema stripped it, silently ending enforcement);
+    a generated column created in a NON-terminal position still
+    computes on appends (re-projected into table order); and a table
+    declaring delta.invariants refuses appends loudly."""
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    tbl = str(tmp_path / "t")
+    # provide the generated column FIRST so it sits non-terminally
+    a = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.year("o_orderdate").alias("o_year"), "*"
+    )
+    DW.write_delta(
+        spark, a, tbl, partition_by=["o_year"],
+        generated={"o_year": "year(o_orderdate)"},
+    )
+    # an append WITHOUT the column computes + reorders
+    b = orders.filter(F.col("o_orderkey") % 3 == 1)
+    DW.write_delta(spark, b, tbl, partition_by=["o_year"])
+    back = LF.read_delta_snapshot(spark, tbl)
+    assert back.count() == a.count() + b.count()
+    assert back.filter(F.col("o_year") != F.year("o_orderdate")).count() == 0
+    # schema evolution keeps the generation metadata alive
+    c = orders.filter(F.col("o_orderkey") % 3 == 2).withColumn(
+        "note", F.lit("x")
+    )
+    DW.write_delta(spark, c, tbl, partition_by=["o_year"], merge_schema=True)
+    snap = LF.delta_snapshot(tbl)
+    assert (
+        snap["schema"]["o_year"].metadata["delta.generationExpression"]
+        == "year(o_orderdate)"
+    )
+    # ...and still ENFORCES after the evolution
+    bad = c.withColumn("o_year", (F.year("o_orderdate") + 500).cast("int"))
+    with pytest.raises(DW.DeltaConstraintViolationError, match="generated"):
+        DW.write_delta(spark, bad, tbl, partition_by=["o_year"])
+
+    # delta.invariants (writer v2) are an obligation we don't
+    # implement: appends to such tables refuse loudly
+    t2 = str(tmp_path / "t2")
+    inv_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), True),
+            T.StructField(
+                "v",
+                T.DoubleType(),
+                True,
+                {"delta.invariants": '{"expression":{"expression":"v > 0"}}'},
+            ),
+        ]
+    )
+    df2 = spark.createDataFrame([(1, 1.0)], schema=inv_schema)
+    DW.write_delta(spark, df2, t2)
+    with pytest.raises(LF.LakeFormatGatedError, match="invariants"):
+        DW.write_delta(spark, df2, t2)
