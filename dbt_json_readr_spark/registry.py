@@ -511,6 +511,13 @@ register(
     streaming_jobs.streaming_iceberg_sink,
     streaming_jobs._streaming_iceberg_sink_sql(),
 )
+# D27: incremental CDF consumption — one commit per micro-batch, each
+# turned into its row-level change slice; replays must no-op
+register(
+    "streaming_cdf_ledger",
+    streaming_jobs.streaming_cdf_ledger,
+    streaming_jobs._streaming_cdf_ledger_sql(),
+)
 register("semdedup_prune", llm.semdedup_prune, llm.ORACLES["semdedup_prune"])
 register("dedup_graph_triangles", llm.dedup_graph_triangles, llm.ORACLES["dedup_graph_triangles"])
 
@@ -589,6 +596,7 @@ _NEW_R8 = [
     "iceberg_compact_rewrite",
     "iceberg_refs_travel",
     "delta_generated_partition",
+    "streaming_cdf_ledger",
 ]
 
 # Newest driver row is r4; ordered most load-bearing first (flagship

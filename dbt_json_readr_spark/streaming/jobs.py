@@ -2350,3 +2350,139 @@ SELECT
 FROM events
 GROUP BY event_type
 """
+
+
+def streaming_cdf_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL CDF consumption (D27 — the downstream loop D24's
+    commit stream and F18's change feed exist to FEED): the commit log
+    drains as a file stream (one commit per micro-batch), and each
+    arriving version turns into its ROW-LEVEL change slice via
+    ``read_delta_changes(v, v)`` inside foreachBatch — exactly how an
+    incremental job tails a CDF table: track processed versions, fetch
+    only the delta, stay idempotent under replays (the seen-set guard
+    is exercised because availableNow retries re-deliver on failure).
+    The ledger accumulates per-(commit, change_type) counts and
+    decimal-exact sums at metadata cardinality (the change SCANS are
+    distributed; only the rollup rows reach the driver); the oracle
+    replays the whole feed in SQL, so a consumer that drops or
+    double-processes a commit mismatches."""
+    import os
+    import tempfile
+
+    prep(spark)
+    from decimal import Decimal
+
+    from ..plans.lakewrite import _ensure
+    from ..sources import deltawriter as DW
+    from ..sources import lakeformats as LF
+    from ..sources.tables import load
+
+    orders = load(spark, sf_dir, "orders")
+
+    def build(root: str) -> None:
+        tbl = os.path.join(root, "table")
+        base = orders.filter(F.col("o_orderkey") % 5 <= 2)
+        updates = base.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 100.0
+        )
+        inserts = orders.filter(F.col("o_orderkey") % 5 == 3)
+        DW.write_delta(
+            spark,
+            base,
+            tbl,
+            partition_by=["o_orderpriority"],
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        DW.merge_delta(
+            spark, tbl, updates.unionByName(inserts), on=["o_orderkey"]
+        )
+        DW.delete_delta(spark, tbl, [("o_totalprice", "<", 5000.0)])
+
+    root = _ensure("stream_cdf_ledger", sf_dir, build)
+    tbl = str(root / "table")
+    ledger: list[tuple] = []
+    seen: set[int] = set()
+
+    def _sink(bdf: DataFrame, epoch_id: int) -> None:
+        vs = sorted(
+            int(r["version"])
+            for r in bdf.select("version").distinct().collect()
+        )
+        for v in vs:
+            if v in seen:
+                continue  # replayed commit: the consumer must no-op
+            seen.add(v)
+            ch = LF.read_delta_changes(spark, tbl, v, v)
+            for r in (
+                ch.groupBy("_change_type")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(
+                        F.col("o_totalprice").cast("decimal(18,4)")
+                    ).alias("s"),
+                )
+                .collect()
+            ):
+                s = r["s"] if r["s"] is not None else Decimal(0)
+                ledger.append(
+                    (v, r["_change_type"], int(r["n"]), float(str(s)))
+                )
+
+    # the checkpoint is per-DRAIN scratch: this operator IS the drain,
+    # so every invocation replays the full backlog deterministically
+    ckpt = tempfile.mkdtemp(prefix="djrs_cdf_ledger_ckpt_")
+    q = (
+        spark.readStream.option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.json")
+        .text(os.path.join(tbl, "_delta_log"))
+        .select(
+            F.regexp_extract(
+                F.col("_metadata.file_path"), r"(\d+)\.json$", 1
+            ).cast("long").alias("version")
+        )
+        .writeStream.foreachBatch(_sink)
+        .queryName("stream_cdf_ledger")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.createDataFrame(
+        sorted(ledger),
+        "commit long, change_type string, n_rows long, sum_price double",
+    )
+
+
+def _streaming_cdf_ledger_sql() -> str:
+    return """
+WITH base AS (SELECT * FROM orders WHERE o_orderkey % 5 <= 2),
+upd_pre AS (SELECT * FROM base WHERE o_orderkey % 3 = 0),
+upd_post AS (
+  SELECT o_orderkey, o_totalprice + 100.0 AS o_totalprice FROM upd_pre
+),
+ins AS (SELECT * FROM orders WHERE o_orderkey % 5 = 3),
+merged AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM base
+  UNION ALL SELECT o_orderkey, o_totalprice FROM ins
+),
+changes AS (
+  SELECT 0 AS commit, 'insert' AS change_type, o_totalprice FROM base
+  UNION ALL SELECT 1, 'update_preimage', o_totalprice FROM upd_pre
+  UNION ALL SELECT 1, 'update_postimage', o_totalprice FROM upd_post
+  UNION ALL SELECT 1, 'insert', o_totalprice FROM ins
+  UNION ALL SELECT 2, 'delete', o_totalprice
+    FROM merged WHERE o_totalprice < 5000.0
+)
+SELECT
+  CAST(commit AS BIGINT) AS commit,
+  change_type,
+  count(*) AS n_rows,
+  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+    AS sum_price
+FROM changes
+GROUP BY commit, change_type
+"""

@@ -1203,3 +1203,54 @@ def test_generated_metadata_survives_evolution_and_order(spark, tmp_path):
     DW.write_delta(spark, df2, t2)
     with pytest.raises(LF.LakeFormatGatedError, match="invariants"):
         DW.write_delta(spark, df2, t2)
+
+
+def test_cdc_replication_target_equals_source(spark, tmp_path):
+    """The full CDC loop: a downstream consumer applies the change
+    feed commit-by-commit onto its OWN Delta table (inserts/postimages
+    via MERGE, deletes via DELETE) — after the drain, target state
+    must equal the source's latest snapshot exactly.  This is the
+    replication contract the feed exists for."""
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    base = orders.filter(F.col("o_orderkey") % 4 <= 1)
+    DW.write_delta(
+        spark, base, src, partition_by=["o_orderstatus"],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    ups = base.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 7.0
+    )
+    ins = orders.filter(F.col("o_orderkey") % 4 == 2)
+    DW.merge_delta(spark, src, ups.unionByName(ins), on=["o_orderkey"])
+    DW.delete_delta(spark, src, [("o_totalprice", "<", 20000.0)])
+
+    latest = LF.delta_snapshot(src)["version"]
+    for v in range(0, latest + 1):
+        ch = LF.read_delta_changes(spark, src, v, v).persist()
+        upserts = ch.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).drop("_change_type", "_commit_version")
+        if not upserts.isEmpty():
+            if (Path(tgt) / "_delta_log").exists():
+                DW.merge_delta(spark, tgt, upserts, on=["o_orderkey"])
+            else:
+                DW.write_delta(
+                    spark, upserts, tgt, partition_by=["o_orderstatus"]
+                )
+        dels = [
+            int(r["o_orderkey"])
+            for r in ch.filter(F.col("_change_type") == "delete")
+            .select("o_orderkey").collect()
+        ]
+        if dels:
+            DW.delete_delta(spark, tgt, [("o_orderkey", "in", dels)])
+        ch.unpersist()
+
+    s_df = LF.read_delta_snapshot(spark, src)
+    t_df = LF.read_delta_snapshot(spark, tgt)
+    assert t_df.count() == s_df.count()
+    assert _dec_sum(t_df, "o_totalprice") == _dec_sum(s_df, "o_totalprice")
+    assert t_df.exceptAll(s_df).count() == 0
+    assert s_df.exceptAll(t_df).count() == 0
