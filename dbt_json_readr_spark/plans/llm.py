@@ -4972,3 +4972,141 @@ FROM stats s, ne, tri t
 
 
 ORACLES["dedup_graph_triangles"] = _graph_triangles_sql()
+
+
+# ---------------------------------------------------------------- C73
+# BPE TRAINING LOOP: K merge rounds end-to-end (C36 computed one
+# round's pair stats; C54 applied a GIVEN merge — this trains).
+
+_BPE_TRAIN_K = 3
+_BPE_SO = "\x1f"  # symbol-open marker (unit separator)
+_BPE_SC = "\x1e"  # symbol-close marker (record separator)
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN a BPE tokenizer for K=3 merge rounds — the full
+    count→pick→merge loop (C36 was one round's counts, C54 applied a
+    given merge): each round counts adjacent SYMBOL pairs over the
+    corpus, picks the global winner (count desc, then pair asc — the
+    deterministic tie-break), and rewrites every token.
+
+    The engine-portable trick: tokens carry each symbol wrapped in
+    open/close markers (``\\x1f sym \\x1e``), so applying a merge is
+    ONE plain ``replace(token, '␟l␞␟r␞', '␟lr␞')`` — greedy
+    left-to-right non-overlapping in Spark and DuckDB alike, adjacent
+    matches share no characters (the close marker seals each match),
+    and a pattern can never match inside a longer symbol.  No UDFs, no
+    higher-order fold; the oracle replays the identical K rounds as
+    unrolled CTEs (the kmeans precedent), so a drifted tie-break or a
+    wrong merge order fails the hash.
+
+    Scale shape: each round is one exploded pair count (map-side
+    combine into a vocabulary-bounded table), a 1-row collect, and a
+    scan-speed rewrite; K rounds = K passes, the exact cost profile of
+    a distributed BPE trainer.  Tokens restrict to ^[a-z0-9]{2,}$ so
+    the marker characters provably stay out of band."""
+    prep(spark)
+    docs = spread(load(spark, sf_dir, "documents"))
+    tok = (
+        docs.select(F.explode(H.tokens(F.col("text"))).alias("w"))
+        .filter(F.col("w").rlike("^[a-z0-9]{2,}$"))
+    )
+    t = tok.select(
+        F.regexp_replace("w", "(.)", _BPE_SO + "$1" + _BPE_SC).alias("t")
+    ).persist()
+    rows: list[tuple] = []
+    try:
+        for step in range(1, _BPE_TRAIN_K + 1):
+            syms = t.selectExpr(
+                f"split(regexp_replace(t, '^{_BPE_SO}|{_BPE_SC}$', ''), "
+                f"'{_BPE_SC}{_BPE_SO}') AS s"
+            )
+            pairs = syms.selectExpr(
+                "explode(transform(sequence(1, size(s) - 1), "
+                "j -> struct(s[j-1] AS l, s[j] AS r))) AS p"
+            )
+            top = (
+                pairs.groupBy("p.l", "p.r")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .orderBy(F.col("n").desc(), "l", "r")
+                .limit(1)
+                .collect()[0]
+            )
+            l, r, n = top["l"], top["r"], int(top["n"])
+            pattern = _BPE_SO + l + _BPE_SC + _BPE_SO + r + _BPE_SC
+            repl = _BPE_SO + l + r + _BPE_SC
+            new_t = t.select(
+                F.replace(F.col("t"), F.lit(pattern), F.lit(repl)).alias("t")
+            ).persist()
+            n_syms = (
+                new_t.selectExpr(
+                    f"size(split(regexp_replace(t, '^{_BPE_SO}|{_BPE_SC}$', "
+                    f"''), '{_BPE_SC}{_BPE_SO}')) AS k"
+                )
+                .agg(F.sum("k"))
+                .collect()[0][0]
+            )
+            t.unpersist()
+            t = new_t
+            rows.append((step, l, r, l + r, n, int(n_syms)))
+    finally:
+        t.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "step int, l_sym string, r_sym string, merged string, "
+        "n_occurrences long, symbols_after long",
+    )
+
+
+def _bpe_train_sql() -> str:
+    toks = H.sql_tokens("text")
+    so, sc = _BPE_SO, _BPE_SC
+    parts = [
+        f"""WITH tok AS (
+  SELECT w FROM (SELECT unnest({toks}) AS w FROM documents)
+  WHERE regexp_matches(w, '^[a-z0-9]{{2,}}$')
+),
+t0 AS (SELECT regexp_replace(w, '(.)', '{so}\\1{sc}', 'g') AS t FROM tok)"""
+    ]
+    for i in range(_BPE_TRAIN_K):
+        parts.append(
+            f"""s{i} AS (
+  SELECT string_split(regexp_replace(t, '^{so}|{sc}$', '', 'g'), '{sc}{so}') AS s
+  FROM t{i}
+),
+p{i} AS (
+  SELECT unnest(
+    list_transform(range(1, len(s)), j -> {{'l': s[j], 'r': s[j + 1]}})
+  ) AS pr
+  FROM s{i}
+),
+c{i} AS (SELECT pr.l AS l, pr.r AS r, count(*) AS n FROM p{i} GROUP BY 1, 2),
+top{i} AS (SELECT l, r, n FROM c{i} ORDER BY n DESC, l, r LIMIT 1),
+t{i + 1} AS (
+  SELECT replace(
+    t,
+    '{so}' || (SELECT l FROM top{i}) || '{sc}{so}'
+      || (SELECT r FROM top{i}) || '{sc}',
+    '{so}' || (SELECT l FROM top{i}) || (SELECT r FROM top{i}) || '{sc}'
+  ) AS t
+  FROM t{i}
+),
+sym{i + 1} AS (
+  SELECT sum(len(string_split(regexp_replace(t, '^{so}|{sc}$', '', 'g'),
+                              '{sc}{so}'))) AS k
+  FROM t{i + 1}
+)"""
+        )
+    selects = [
+        f"""SELECT CAST({i + 1} AS INTEGER) AS step,
+       (SELECT l FROM top{i}) AS l_sym,
+       (SELECT r FROM top{i}) AS r_sym,
+       (SELECT l FROM top{i}) || (SELECT r FROM top{i}) AS merged,
+       (SELECT n FROM top{i}) AS n_occurrences,
+       (SELECT CAST(k AS BIGINT) FROM sym{i + 1}) AS symbols_after"""
+        for i in range(_BPE_TRAIN_K)
+    ]
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+ORACLES["bpe_train_merges"] = _bpe_train_sql()

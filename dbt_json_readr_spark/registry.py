@@ -597,6 +597,7 @@ _NEW_R8 = [
     "iceberg_refs_travel",
     "delta_generated_partition",
     "streaming_cdf_ledger",
+    "bpe_train_merges",
 ]
 
 # Newest driver row is r4; ordered most load-bearing first (flagship
