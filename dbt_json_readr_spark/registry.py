@@ -525,89 +525,19 @@ register("dedup_graph_triangles", llm.dedup_graph_triangles, llm.ORACLES["dedup_
 # -------------------------------------------------------------------
 # Driver-gate ordering.  The driver records CORRECTNESS rows for only
 # the FIRST 50 keys in queries() insertion order, so registration order
-# IS the correctness gate.  Round-8 rotation (VERDICT r7 item 1): the
-# thirteen keys whose newest driver row is still r3/r4-under-an-old-name
-# lead unconditionally; then the five keys whose CODE was substantially
-# rewritten in r7 AFTER their last driver row (lakeformats +1099 lines
-# touched F1–F4; the degree-cap two-stage rewrite touched C60); then
-# keys NEW in r8; the remaining slots rotate through the stale-r4
-# backlog, most load-bearing first; the tail rotates to r9.
-# Rotated-out keys stay covered by tests/test_oracle_parity.py (every
-# key, sf0.01, exact values).
+# IS the correctness gate.  Round-9 rotation (VERDICT r8 item 1): the
+# 46 keys whose newest green driver row is still r4 (derived from
+# CORRECTNESS_r01-r08; q16_supplier_part_types_lite excluded - renamed
+# and re-gated green in r8 under the new name) take the window first,
+# most load-bearing shapes leading; keys NEW in r9 fill the remaining
+# slots; anything beyond 50 rotates to r10.  Rotated-out keys stay
+# covered by tests/test_oracle_parity.py (every key, sf0.01, exact
+# values).
 GATE_WINDOW = 50
 
-# Newest driver row is r3 (12 keys) or r4-under-a-since-renamed key
-# (q16) — VERDICT r7 "Next round" item 1 names these verbatim; they
-# must open the r8 window.
-_R8_STALE = [
-    "embedding_quantize",
-    "embedding_pq_audit",
-    "ann_ivf_kmeans_topk",
-    "text_dup_spans",
-    "text_langid_confusion",
-    "bpe_pair_stats",
-    "events_skew_audit",
-    "events_lateness_audit",
-    "join_prefilter_audit",
-    "lineitem_zorder_layout",
-    "lineitem_runlength_audit",
-    "zone_map_skipping_audit",
-    "q16_supplier_part_types",
-]
-
-# Last driver row r6, but implementation materially rewritten in r7
-# (VERDICT r7 "What's missing" item 5) — the hard signal must re-cover
-# the code that actually ships.
-_R8_REWRITTEN_R7 = [
-    "delta_snapshot_read",
-    "iceberg_metadata_audit",
-    "iceberg_snapshot_read",
-    "delta_version_diff",
-    "dedup_containment_lsh",
-]
-
-# New in r8 (appended as they land this round; each must be registered
-# above before being listed here).
-_NEW_R8 = [
-    "lake_skipping_audit",
-    "delta_cdf_mapped_read",
-    "iceberg_manifest_prune_audit",
-    "lake_time_travel_read",
-    "delta_write_roundtrip",
-    "delta_delete_dv_write",
-    "delta_merge_upsert",
-    "delta_optimize_compact",
-    "streaming_delta_sink",
-    "iceberg_write_roundtrip",
-    "delta_cdc_write_read",
-    "delta_restore_read",
-    "delta_sorted_rewrite",
-    "delta_vacuum_audit",
-    "iceberg_delete_write",
-    "iceberg_expire_audit",
-    "delta_convert_in_place",
-    "delta_schema_evolution_read",
-    "delta_zorder_rewrite",
-    "iceberg_schema_evolution_read",
-    "iceberg_equality_delete_write",
-    "delta_constraints_audit",
-    "delta_uniform_export",
-    "streaming_iceberg_sink",
-    "iceberg_compact_rewrite",
-    "iceberg_refs_travel",
-    "delta_generated_partition",
-    "streaming_cdf_ledger",
-    "bpe_train_merges",
-]
-
-# Newest driver row is r4; ordered most load-bearing first (flagship
-# TPC-H shapes, then dbt cores, then events/streaming, then ANN/dedup
-# evals); the tail beyond the window's remaining slots rotates to r9.
-_R8_STALE_R4 = [
-    "q4_late_shipments",
-    "q7_nation_trade",
-    "q13_order_distribution",
-    "q18_large_orders",
+# Newest driver row is r4 for all of these (46 keys).  Ordered:
+# flagship TPC-H shapes, dbt cores, events/windows, ANN/dedup evals.
+_R9_STALE_R4 = [
     "q10_returned_items",
     "q14_promo_revenue",
     "q19_bracket_revenue",
@@ -621,6 +551,7 @@ _R8_STALE_R4 = [
     "q12_shipmode_priority",
     "q20_promotion_suppliers",
     "q21_waiting_suppliers",
+    "q18_large_orders",
     "part_brand_stats",
     "dbt_lineage_closure",
     "dbt_lineage_depth",
@@ -655,24 +586,29 @@ _R8_STALE_R4 = [
     "dedup_incremental",
 ]
 
-# every gate-list name must resolve — a typo is harmless until the
+# New in r9 (appended as they land this round; each must be registered
+# above before being listed here).  Only the first
+# GATE_WINDOW - len(_R9_STALE_R4) = 4 fit this round's window; the
+# rest lead the r10 rotation.
+_NEW_R9 = []
+
+# every gate-list name must resolve - a typo is harmless until the
 # rotation pulls it into the window, where the _gate_ordered check
 # would crash queries() for the whole driver run (r7: a stale "_lite"
-# suffix sat one rotation away from exactly that); _NEW_R8 is included
+# suffix sat one rotation away from exactly that); _NEW_R9 is included
 # because a tolerant `if k in _REGISTRY` filter would silently DROP a
 # mistyped new key from the window instead of failing.  Explicit
 # raise, not assert: python -O strips asserts and would resurrect the
 # crash-one-rotation-later failure mode.
-for _k in _R8_STALE + _R8_REWRITTEN_R7 + _NEW_R8 + _R8_STALE_R4:
+for _k in _R9_STALE_R4 + _NEW_R9:
     if _k not in _REGISTRY:
         raise RuntimeError(f"gate list references unknown key: {_k}")
 
-_GATE_PRIORITY = (_R8_STALE + _R8_REWRITTEN_R7 + _NEW_R8 + _R8_STALE_R4)[:GATE_WINDOW]
-# VERDICT r7 item 1 names the stale+rewritten tiers as required r8 gate
-# rows; pin them.
-for _k in _R8_STALE + _R8_REWRITTEN_R7:
+_GATE_PRIORITY = (_R9_STALE_R4 + _NEW_R9)[:GATE_WINDOW]
+# VERDICT r8 item 1 requires every r4-stale key in the r9 window; pin.
+for _k in _R9_STALE_R4:
     if _k not in _GATE_PRIORITY:
-        raise RuntimeError(f"required r8 gate slot lost: {_k}")
+        raise RuntimeError(f"required r9 gate slot lost: {_k}")
 
 
 def _gate_ordered() -> dict[str, tuple[QueryFn, str | None]]:

@@ -42,15 +42,19 @@ def test_entry_module_exports_registry():
 
 
 def test_new_round_keys_are_registered_and_in_window():
-    """_NEW_R8 lists keys meant to be gated this round; a key listed
+    """_NEW_R9 lists keys meant to be gated this round; a key listed
     there but never registered would silently fall out of the window —
     the exact 'landed after the window locked' failure VERDICT r5
-    flagged."""
+    flagged.  r9's window is led by the 46 r4-stale keys (VERDICT r8
+    item 1), so only the first 4 _NEW_R9 entries fit; later ones are
+    allowed to rotate to r10."""
     keys = list(registry.queries())
     window = set(keys[:GATE_WINDOW])
-    for k in registry._NEW_R8:
-        assert k in registry._REGISTRY, f"_NEW_R8 key never registered: {k}"
-        assert k in window, f"_NEW_R8 key outside the gate window: {k}"
+    slots = GATE_WINDOW - len(registry._R9_STALE_R4)
+    for i, k in enumerate(registry._NEW_R9):
+        assert k in registry._REGISTRY, f"_NEW_R9 key never registered: {k}"
+        if i < slots:
+            assert k in window, f"_NEW_R9 key outside the gate window: {k}"
 
 
 def test_survey_section2_matches_registry():
