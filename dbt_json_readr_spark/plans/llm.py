@@ -5021,7 +5021,13 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"split(regexp_replace(t, '^{_BPE_SO}|{_BPE_SC}$', ''), "
                 f"'{_BPE_SC}{_BPE_SO}') AS s"
             )
-            pairs = syms.selectExpr(
+            # A token already collapsed to ONE symbol has no adjacent
+            # pairs.  Spark's sequence(1, 0) is the DESCENDING [1, 0]
+            # (not empty like DuckDB's range(1, 1)), so without this
+            # filter s[j] indexes out of bounds — a crash under ANSI,
+            # spurious (sym, null) pairs otherwise (ADVICE r8 finding;
+            # triggers once any merge equals a standalone 2-char word).
+            pairs = syms.filter(F.expr("size(s) >= 2")).selectExpr(
                 "explode(transform(sequence(1, size(s) - 1), "
                 "j -> struct(s[j-1] AS l, s[j] AS r))) AS p"
             )

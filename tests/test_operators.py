@@ -1027,3 +1027,33 @@ def test_triangle_stats_matches_bruteforce_on_known_graphs(spark):
     # star: center 1 to 5 leaves — C(5,2)=10 wedges, all open
     r = stats([(1, x) for x in range(2, 7)])
     assert (r.n_wedges, r.n_triangles, r.transitivity) == (10, 0, 0.0)
+
+
+def test_bpe_train_single_symbol_tokens_regression(spark, tmp_path):
+    """ADVICE r8 (medium): once a merge collapses a 2-char token to ONE
+    symbol, Spark's sequence(1, size(s)-1) = sequence(1, 0) = [1, 0]
+    (descending, NOT empty like DuckDB's range) and the pair explode
+    indexed out of bounds — an ANSI crash, or spurious (sym, null)
+    pairs that can beat the true top pair.  Corpus 'in in in pin nip'
+    makes round 1 merge (i, n), turning the three 'in' tokens into
+    single-symbol tokens before round 2."""
+    import pandas as pd
+
+    from dbt_json_readr_spark.plans import llm
+
+    pd.DataFrame(
+        {
+            "doc_id": [1],
+            "text": ["in in in pin nip"],
+            "lang": ["en"],
+            "source": ["t"],
+            "n_chars": [16],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    rows = {r.step: r for r in llm.bpe_train_merges(spark, str(tmp_path)).collect()}
+    assert (rows[1].l_sym, rows[1].r_sym, rows[1].n_occurrences) == ("i", "n", 4)
+    # round 2: the three single-symbol 'in' tokens contribute NO pairs;
+    # the tie among {(p,in), (n,i), (i,p)} at n=1 resolves pair-asc.
+    assert (rows[2].l_sym, rows[2].r_sym, rows[2].n_occurrences) == ("i", "p", 1)
+    assert (rows[3].l_sym, rows[3].r_sym, rows[3].n_occurrences) == ("n", "ip", 1)
+    assert [rows[s].symbols_after for s in (1, 2, 3)] == [8, 7, 6]
