@@ -532,9 +532,15 @@ def _merge_iceberg_schema(
                 f"{f['type']!r} vs incoming {t!r} — Iceberg ids are "
                 "identity; changing a column's type is not an append"
             )
-        out_fields.append(
-            dict(f, required=bool(f["required"]) and not inc.nullable)
-        )
+        # Incoming nullability does NOT demote a required column: Spark
+        # file reads force every column nullable, so "read the table
+        # back, compact/replace it" would otherwise flip required →
+        # optional on every maintenance pass (ADVICE r8 finding).  The
+        # required invariant is instead ENFORCED against the staged
+        # files' footer null counts at commit time (write_iceberg),
+        # which checks the DATA rather than trusting the plan's
+        # nullability flag.
+        out_fields.append(dict(f, required=bool(f["required"])))
     next_id = int(last_col_id)
     for f in incoming.fields:
         if f.name not in by_name:
@@ -772,6 +778,11 @@ def write_iceberg(
     summaries = [
         {"contains_null": False, "lo": None, "hi": None} for _ in partition_by
     ]
+    # required-column enforcement happens against the staged footers
+    # (not the incoming plan's nullability, which Spark reads force to
+    # nullable) — see _merge_iceberg_schema.
+    required_names = {f["name"] for f in schema_json["fields"] if f["required"]}
+    moved: list[Path] = []
     for idx, (rel_dir, p) in enumerate(staged):
         pv: dict[str, object] = {}
         if rel_dir:
@@ -788,6 +799,17 @@ def write_iceberg(
                     ) else v
         data_cols = [f.name for f in schema.fields]
         nrows, bounds, nulls, value_counts = footer_column_stats(str(p), data_cols)
+        violated = {n: nulls.get(n, 0) for n in required_names if nulls.get(n, 0)}
+        if violated:
+            for d in moved:
+                d.unlink(missing_ok=True)
+            shutil.rmtree(stage, ignore_errors=True)
+            raise LF.LakeFormatGatedError(
+                f"required column(s) received null values {violated} — "
+                "committing would violate the table's required "
+                "constraint; make the column optional explicitly or "
+                "clean the nulls"
+            )
         rows_total += nrows
         lower: dict[int, bytes] = {}
         upper: dict[int, bytes] = {}
@@ -812,6 +834,7 @@ def write_iceberg(
         dest = Path(table_dir) / rel_path
         dest.parent.mkdir(parents=True, exist_ok=True)
         os.replace(p, dest)
+        moved.append(dest)
         # manifest-list partition field summaries (identity: the value
         # itself, Appendix-D encoded)
         for i, c in enumerate(partition_by):

@@ -530,3 +530,71 @@ def test_cleanup_iceberg_metadata(spark, tmp_path):
     assert LF.read_iceberg_snapshot(spark, latest, snapshot_id=1).count() == 2
     with pytest.raises(LF.LakeFormatError, match=">= 1"):
         IW.cleanup_iceberg_metadata(latest, keep_versions=0)
+
+
+def test_compact_preserves_required_columns(spark, tmp_path):
+    """ADVICE r8 (medium): Spark file reads force every column nullable,
+    so compacting a table created with a required (non-nullable) column
+    used to hit the schema-evolution gate (merge saw required → optional
+    as a change), permanently breaking maintenance on such tables.  The
+    merge now keeps `required`; the invariant is enforced from footer
+    null counts at commit time instead."""
+    from pyspark.sql import types as T
+
+    tbl = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)],
+        T.StructType(
+            [
+                T.StructField("id", T.LongType(), nullable=False),
+                T.StructField("v", T.StringType(), nullable=True),
+            ]
+        ),
+    )
+    IW.write_iceberg(spark, df, tbl)
+    meta = _latest_meta(tbl)
+    fields = {
+        f["name"]: f["required"]
+        for f in json.load(open(meta))["schemas"][0]["fields"]
+    }
+    assert fields == {"id": True, "v": False}
+
+    # compaction (read-back → replace) must neither gate nor demote
+    res = IW.compact_iceberg(spark, meta)
+    meta2 = res["metadata_path"]
+    m2 = json.load(open(meta2))
+    cur = {s["schema-id"]: s for s in m2["schemas"]}[m2["current-schema-id"]]
+    assert {f["name"]: f["required"] for f in cur["fields"]} == fields
+    got = LF.read_iceberg_snapshot(spark, meta2)
+    assert got.count() == 3
+
+    # an ordinary append of the table's own data also round-trips
+    IW.write_iceberg(spark, got, tbl)
+    assert LF.read_iceberg_snapshot(spark, _latest_meta(tbl)).count() == 6
+
+
+def test_append_nulls_into_required_gates(spark, tmp_path):
+    """The flip side of keeping `required` through the merge: data that
+    actually CONTAINS nulls in a required column must refuse at commit
+    time (footer null counts), and the refused write must not leave
+    data files behind."""
+    from pyspark.sql import types as T
+
+    tbl = str(tmp_path / "t")
+    strict = T.StructType(
+        [
+            T.StructField("id", T.LongType(), nullable=False),
+            T.StructField("v", T.StringType(), nullable=True),
+        ]
+    )
+    IW.write_iceberg(spark, spark.createDataFrame([(1, "a")], strict), tbl)
+    before = sorted(p.name for p in Path(tbl, "data").rglob("*.parquet"))
+    bad = spark.createDataFrame(
+        [(None, "x"), (2, "y")], "id long, v string"
+    )
+    with pytest.raises(LF.LakeFormatGatedError, match="required"):
+        IW.write_iceberg(spark, bad, tbl)
+    # the refused commit must leave no orphan data files behind
+    after = sorted(p.name for p in Path(tbl, "data").rglob("*.parquet"))
+    assert after == before
+    assert LF.read_iceberg_snapshot(spark, _latest_meta(tbl)).count() == 1
