@@ -949,6 +949,28 @@ def write_iceberg(
         )
     meta = _append_snapshot_to_meta(meta, snapshot, now_ms, seq)
 
+    # Durable ledger: mirror integer summary_extra markers (streaming
+    # epochs) into table PROPERTIES with high-water-mark semantics.
+    # Snapshot summaries vanish when expire_iceberg_snapshots rewrites
+    # the snapshot list, so a sink consulting summaries alone would
+    # re-commit a replayed epoch after maintenance (ADVICE r8);
+    # properties survive expire and iceberg_last_epoch reads both.
+    if summary_extra:
+        props = dict(meta.get("properties") or {})
+        for k, v in summary_extra.items():
+            try:
+                new = int(v)
+            except (TypeError, ValueError):
+                continue
+            try:
+                old = int(props[str(k)])
+            except (KeyError, TypeError, ValueError):
+                old = None
+            if old is None or new > old:
+                props[str(k)] = str(new)
+        meta = dict(meta)
+        meta["properties"] = props
+
     version = prev_version + 1
     dest = _commit_metadata(
         meta_dir, version, json.dumps(meta, sort_keys=True, indent=1)
@@ -1645,13 +1667,22 @@ def iceberg_last_epoch(table_dir: str, key: str) -> int | None:
     — the exactly-once guard an idempotent streaming sink consults
     before committing a replayed epoch (the Delta twin is the ``txn``
     app marker).  None when the table does not exist yet or no
-    snapshot carries the key."""
+    snapshot carries the key.
+
+    Reads the table PROPERTIES high-water mark first (write_iceberg
+    mirrors integer summary markers there), then snapshot summaries —
+    the properties copy survives expire_iceberg_snapshots rewriting
+    the snapshot list, so maintenance cannot reopen a committed epoch
+    to replay (ADVICE r8)."""
     meta_dir = Path(table_dir) / "metadata"
     existing = _metadata_versions(meta_dir)
     if not existing:
         return None
     meta = LF.iceberg_metadata(str(existing[-1]))
     best: int | None = None
+    v = (meta.get("properties") or {}).get(key)
+    if v is not None:
+        best = int(v)
     for s in meta.get("snapshots", []):
         v = (s.get("summary") or {}).get(key)
         if v is None:

@@ -2144,6 +2144,24 @@ def _streaming_delta_commits_sql() -> str:
 # ---------------------------------------------------------------- D25
 
 
+
+def _n_nonempty_parquet(src_dir: str) -> int:
+    """Non-empty parquet files under ``src_dir`` — the number of
+    micro-batches an availableNow drain with maxFilesPerTrigger=1 can
+    commit (empty files produce an isEmpty batch the sinks skip).  The
+    exactly-once evidence compares committed-epoch count against THIS,
+    not a literal, so the key holds at any scale factor / file layout
+    (ADVICE r8)."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    return sum(
+        1
+        for f in sorted(pathlib.Path(src_dir).glob("*.parquet"))
+        if pq.ParquetFile(str(f)).metadata.num_rows > 0
+    )
+
 def streaming_delta_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACTLY-ONCE streaming ingestion into a NATIVE-written Delta
     table (r8 session 2, pairing D24's commit-log reader with the
@@ -2159,8 +2177,8 @@ def streaming_delta_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: each micro-batch is one distributed parquet append +
     one O(#files) driver commit; state is the sink table itself.  The
-    gated evidence is n_commits (table version + 1 == 3 despite four
-    sink invocations) beside the per-type rollup, which must equal the
+    gated evidence is commit_surplus (committed epochs minus the
+    non-empty source-file count — 0 despite the replays) beside the per-type rollup, which must equal the
     batch truth straight off the source."""
     import os
 
@@ -2217,6 +2235,7 @@ def streaming_delta_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _ensure("stream_sink_events", sf_dir, build)
     tbl = str(root / "table")
     snap = LF.delta_snapshot(tbl)
+    surplus = int(snap["version"]) + 1 - _n_nonempty_parquet(str(root / "src"))
     df = LF.read_delta_snapshot(spark, tbl)
     return (
         df.groupBy("event_type")
@@ -2229,7 +2248,7 @@ def streaming_delta_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "*",
-            F.lit(int(snap["version"]) + 1).cast("int").alias("n_commits"),
+            F.lit(surplus).cast("int").alias("commit_surplus"),
         )
     )
 
@@ -2241,7 +2260,7 @@ SELECT
   count(*) AS n_rows,
   count(DISTINCT user_id) AS n_users,
   CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value,
-  CAST(3 AS INTEGER) AS n_commits
+  CAST(0 AS INTEGER) AS commit_surplus
 FROM events
 GROUP BY event_type
 """
@@ -2257,7 +2276,8 @@ def streaming_iceberg_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     txn action, so the summary IS the idempotence ledger).  The sink
     skips any epoch at-or-below ``iceberg_last_epoch``; after the
     drain, epochs 0 and last are deliberately REPLAYED with the full
-    source and must no-op — snapshot count stays 3, rows never
+    source and must no-op — the snapshot count stays at the non-empty
+    source-file count (commit_surplus 0), rows never
     duplicate.
 
     Scale shape mirrors D25: one distributed parquet append + one
@@ -2321,7 +2341,9 @@ def streaming_iceberg_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         key=lambda p: int(p.name.split(".")[0][1:]),
     )
     meta = LF.iceberg_metadata(str(latest))
-    n_commits = len(meta.get("snapshots", []))
+    surplus = len(meta.get("snapshots", [])) - _n_nonempty_parquet(
+        str(_P(root) / "src")
+    )
     df = LF.read_iceberg_snapshot(spark, str(latest))
     return (
         df.groupBy("event_type")
@@ -2334,7 +2356,7 @@ def streaming_iceberg_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "*",
-            F.lit(n_commits).cast("int").alias("n_commits"),
+            F.lit(surplus).cast("int").alias("commit_surplus"),
         )
     )
 
@@ -2346,7 +2368,7 @@ SELECT
   count(*) AS n_rows,
   count(DISTINCT user_id) AS n_users,
   CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value,
-  CAST(3 AS INTEGER) AS n_commits
+  CAST(0 AS INTEGER) AS commit_surplus
 FROM events
 GROUP BY event_type
 """

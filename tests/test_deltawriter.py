@@ -1254,3 +1254,28 @@ def test_cdc_replication_target_equals_source(spark, tmp_path):
     assert _dec_sum(t_df, "o_totalprice") == _dec_sum(s_df, "o_totalprice")
     assert t_df.exceptAll(s_df).count() == 0
     assert s_df.exceptAll(t_df).count() == 0
+
+
+def test_zorder_wide_span_gates(spark, tmp_path):
+    """ADVICE r8 (low): ((v - min) * 2^bits) runs in BIGINT, so a long
+    column spanning more than 2^(63-bits) overflows the multiply — an
+    ANSI throw mid-OPTIMIZE or a silently broken interleave.  Must
+    refuse loudly instead."""
+    tbl = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(-(2**62), 1), (2**62, 2)], "x long, y long"
+    )
+    DW.write_delta(spark, df, tbl)
+    with pytest.raises(LF.LakeFormatGatedError, match="span"):
+        DW.optimize_delta(spark, tbl, zorder_by=["x", "y"])
+    # a narrow span at the same bits still works
+    t2 = str(tmp_path / "t2")
+    DW.write_delta(
+        spark,
+        spark.createDataFrame([(i, i) for i in range(100)], "x long, y long"),
+        t2,
+        max_records_per_file=20,
+    )
+    res = DW.optimize_delta(spark, t2, zorder_by=["x", "y"])
+    assert LF.read_delta_snapshot(spark, t2).count() == 100
+    assert res["files_after"] >= 1

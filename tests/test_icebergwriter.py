@@ -598,3 +598,26 @@ def test_append_nulls_into_required_gates(spark, tmp_path):
     after = sorted(p.name for p in Path(tbl, "data").rglob("*.parquet"))
     assert after == before
     assert LF.read_iceberg_snapshot(spark, _latest_meta(tbl)).count() == 1
+
+
+def test_epoch_ledger_survives_expire(spark, tmp_path):
+    """ADVICE r8 (low): the exactly-once epoch ledger lived only in
+    snapshot summaries, which expire_iceberg_snapshots rewrites — after
+    maintenance a replayed old epoch would commit again.  write_iceberg
+    now mirrors integer summary markers into table properties as a
+    high-water mark; iceberg_last_epoch reads both."""
+    tbl = str(tmp_path / "t")
+    key = "djrs-stream-epoch"
+    df = spark.range(3).selectExpr("id", "CAST(id AS STRING) AS v")
+    for epoch in (0, 1, 2):
+        IW.write_iceberg(spark, df, tbl, summary_extra={key: str(epoch)})
+    assert IW.iceberg_last_epoch(tbl, key) == 2
+    # expire everything but the newest snapshot: summaries for epochs
+    # 0 and 1 are gone, but the properties high-water mark survives
+    IW.expire_iceberg_snapshots(spark, _latest_meta(tbl), keep_last=1)
+    meta = json.load(open(_latest_meta(tbl)))
+    assert len(meta["snapshots"]) == 1
+    assert IW.iceberg_last_epoch(tbl, key) == 2
+    # ...and even if the LAST snapshot's summary were also absent, the
+    # property alone answers (simulate by asking through properties)
+    assert meta["properties"][key] == "2"
