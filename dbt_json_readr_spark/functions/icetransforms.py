@@ -1,0 +1,189 @@
+"""Executor-side Iceberg partition transforms (spec §Partition
+Transforms + Appendix B) as PURE Spark Column expressions — the write
+path's half of the transform story (sources/skipping.py holds the
+driver-side Python twin used for pruning audits).
+
+The interesting one is ``bucket[N]``: the spec mandates
+murmur3_x86_32 over the value's canonical bytes (8-byte little-endian
+for every integral/temporal type, raw UTF-8 for strings).  Spark's
+built-in ``hash()`` IS Murmur3_x86_32 but with seed 42 and Spark's own
+element framing, so it can never agree with Iceberg readers; a Python
+UDF would agree but put Python in the one place a 100 TB write spends
+all its time.  Instead the hash is expressed with higher-order
+functions: blocks fold through ``aggregate`` whose lambda variables
+(h, b) keep every reuse a cheap variable reference — the naive
+compose-Columns version duplicates subtrees ~4000× and blows the
+expression tree.  All 32-bit arithmetic runs widened in BIGINT and is
+masked back, so ANSI mode can never see an overflow: ``(x * c) mod
+2^32`` splits into 16-bit halves (max intermediate 2^49).
+
+Verified bit-for-bit against the pure-Python reference
+(skipping.murmur3_x86_32) by property test over ints, longs and
+unicode strings (tests/test_properties.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_M32 = 0xFFFFFFFF
+_C1 = 0xCC9E2D51
+_C2 = 0x1B873593
+
+
+def _mask(x: Column) -> Column:
+    return x.bitwiseAND(F.lit(_M32))
+
+
+def _mul32(x: Column, c: int) -> Column:
+    """(x * c) mod 2^32 without ever exceeding 2^49 — ANSI-safe."""
+    lo = x.bitwiseAND(F.lit(0xFFFF)) * F.lit(c)
+    hi = _mask(
+        (F.shiftright(x, 16).bitwiseAND(F.lit(0xFFFF)) * F.lit(c)).bitwiseAND(
+            F.lit(0xFFFF)
+        )
+        * F.lit(0x10000)
+    )
+    return _mask(lo + hi)
+
+
+def _rotl32(x: Column, r: int) -> Column:
+    return _mask(F.shiftleft(x, r).bitwiseOR(F.shiftright(x, 32 - r)))
+
+
+def _mix(h: Column, k: Column) -> Column:
+    """One murmur3 block round.  Callers MUST pass h and k as lambda
+    variables (aggregate/transform bindings) — the body references
+    each several times."""
+    k = _mul32(k, _C1)
+    k = _rotl32(k, 15)
+    k = _mul32(k, _C2)
+    h = h.bitwiseXOR(k)
+    h = _rotl32(h, 13)
+    return _mask(_mul32(h, 5) + F.lit(0xE6546B64))
+
+
+def _fmix(h: Column, length: Column) -> Column:
+    """Finalization: xor in the byte length, then the avalanche."""
+    h = h.bitwiseXOR(length)
+    h = h.bitwiseXOR(F.shiftright(h, 16))
+    h = _mul32(h, 0x85EBCA6B)
+    h = h.bitwiseXOR(F.shiftright(h, 13))
+    h = _mul32(h, 0xC2B2AE35)
+    return h.bitwiseXOR(F.shiftright(h, 16))
+
+
+def murmur3_long(v: Column) -> Column:
+    """murmur3_x86_32(little_endian_8_bytes(v), seed=0) as an unsigned
+    value in [0, 2^32) — the Appendix-B hash for int/long/date/time/
+    timestamp (all hash through their 8-byte long form).  Null → null."""
+    blocks = F.array(
+        _mask(v.cast("long")),
+        F.shiftright(v.cast("long"), 32).bitwiseAND(F.lit(_M32)),
+    )
+    return F.aggregate(
+        F.when(v.isNotNull(), blocks),
+        F.lit(0).cast("long"),
+        _mix,
+        lambda h: _fmix(h, F.lit(8)),
+    )
+
+
+def _byte_at(b: Column, pos: Column) -> Column:
+    """The pos-th (1-based) byte of a BINARY column as a BIGINT in
+    [0, 255]; 0 past the end (callers gate on length)."""
+    return F.coalesce(
+        F.conv(F.hex(b.substr(pos, F.lit(1))), 16, 10).cast("long"), F.lit(0)
+    )
+
+
+def murmur3_utf8(s: Column) -> Column:
+    """murmur3_x86_32(utf8_bytes(s), seed=0), unsigned in [0, 2^32) —
+    the Appendix-B hash for strings.  Full 4-byte little-endian blocks
+    fold through ``aggregate``; the 0-3 tail bytes and the avalanche
+    run in the finish lambda.  Null → null; '' → 0 (spec)."""
+    b = F.encode(s, "UTF-8")
+    n = F.octet_length(b).cast("long")
+    nblocks = F.shiftright(n, 2)
+    # sequence(1, 0) is the DESCENDING [1, 0], not empty — guard.
+    idx = F.when(nblocks >= 1, F.sequence(F.lit(1).cast("long"), nblocks)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    blocks = F.transform(
+        idx,
+        lambda i: _byte_at(b, i * 4 - 3)
+        + _byte_at(b, i * 4 - 2) * F.lit(0x100)
+        + _byte_at(b, i * 4 - 1) * F.lit(0x10000)
+        + _byte_at(b, i * 4) * F.lit(0x1000000),
+    )
+
+    def _finish(h: Column) -> Column:
+        r = n.bitwiseAND(F.lit(3))
+        p = F.shiftleft(nblocks, 2)
+        tail = (
+            F.when(r >= 1, _byte_at(b, p + 1)).otherwise(F.lit(0))
+            + F.when(r >= 2, _byte_at(b, p + 2) * F.lit(0x100)).otherwise(F.lit(0))
+            + F.when(r >= 3, _byte_at(b, p + 3) * F.lit(0x10000)).otherwise(F.lit(0))
+        )
+        k = _mul32(_rotl32(_mul32(tail, _C1), 15), _C2)
+        h = F.when(r > 0, h.bitwiseXOR(k)).otherwise(h)
+        return _fmix(h, n)
+
+    return F.aggregate(
+        F.when(s.isNotNull(), blocks), F.lit(0).cast("long"), _mix, _finish
+    )
+
+
+# ---------------------------------------------------------------- API
+
+
+def bucket_value(col: Column, type_json: str, n: int) -> Column:
+    """``bucket[n](col)`` — (murmur3 & Integer.MAX_VALUE) % n, the
+    spec's exact formula, per source type.  Raises for types this
+    module cannot hash executor-side (decimal/binary — the driver-side
+    twin covers them for reads; writes gate loudly upstream)."""
+    if type_json in ("int", "long"):
+        h = murmur3_long(col.cast("long"))
+    elif type_json == "date":
+        h = murmur3_long(F.datediff(col, F.lit("1970-01-01")).cast("long"))
+    elif type_json in ("timestamp", "timestamptz"):
+        h = murmur3_long(F.unix_micros(col))
+    elif type_json == "string":
+        h = murmur3_utf8(col)
+    else:
+        raise ValueError(f"bucket over {type_json!r} has no executor-side hash")
+    return h.bitwiseAND(F.lit(0x7FFFFFFF)).cast("long") % F.lit(n)
+
+
+def truncate_value(col: Column, type_json: str, w: int) -> Column:
+    """``truncate[w](col)`` — v - (v mod w) for integrals (mod always
+    non-negative: pmod), the first w CODEPOINTS for strings (spec:
+    unicode characters, not bytes — substring is codepoint-based)."""
+    if type_json in ("int", "long"):
+        return (col.cast("long") - F.pmod(col.cast("long"), F.lit(w))).cast(
+            "long"
+        )
+    if type_json == "string":
+        return F.substring(col, 1, w)
+    raise ValueError(f"truncate over {type_json!r} is not supported here")
+
+
+def datepart_value(col: Column, type_json: str, transform: str) -> Column:
+    """``year/month/day/hour`` ordinals since 1970 (spec §Partition
+    Transforms).  hour uses floor division on micros so pre-1970
+    timestamps land in the right hour (int division truncates toward
+    zero)."""
+    if transform == "year":
+        return (F.year(col) - F.lit(1970)).cast("long")
+    if transform == "month":
+        return ((F.year(col) - F.lit(1970)) * F.lit(12) + F.month(col) - F.lit(1)).cast(
+            "long"
+        )
+    if transform == "day":
+        return F.datediff(col.cast("date"), F.lit("1970-01-01")).cast("long")
+    if transform == "hour":
+        us = F.unix_micros(col)
+        per = F.lit(3_600_000_000)
+        return ((us - F.pmod(us, per)) / per).cast("long")
+    raise ValueError(f"unknown date transform {transform!r}")

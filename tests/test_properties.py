@@ -880,3 +880,35 @@ def test_roaring_dv_blob_roundtrip(positions, dense):
         positions = positions + list(range(100000, 105000))
     blob = R.encode_dv_blob(positions)
     assert R.decode_dv_blob(blob) == sorted(set(positions))
+
+
+@given(
+    longs=st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=1,
+        max_size=40,
+    ),
+    strs=st.lists(st.text(max_size=24), min_size=1, max_size=40),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_sql_murmur3_matches_python_reference(spark, longs, strs):
+    """The executor-side murmur3_x86_32 (functions/icetransforms.py,
+    built from HOF folds and masked BIGINT arithmetic) must agree
+    bit-for-bit with the driver-side pure-Python reference
+    (skipping.murmur3_x86_32) — the write path partitions by one, the
+    pruning audit replays the other."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from dbt_json_readr_spark.functions import icetransforms as IT
+    from dbt_json_readr_spark.sources.skipping import murmur3_x86_32
+
+    dfl = spark.createDataFrame([(v,) for v in longs], "v long")
+    got = [r[0] for r in dfl.select(IT.murmur3_long(F.col("v"))).collect()]
+    assert got == [murmur3_x86_32(struct.pack("<q", v)) for v in longs]
+
+    dfs = spark.createDataFrame([(s,) for s in strs], "s string")
+    got = [r[0] for r in dfs.select(IT.murmur3_utf8(F.col("s"))).collect()]
+    assert got == [murmur3_x86_32(s.encode("utf-8")) for s in strs]
