@@ -148,7 +148,9 @@ def bucket_value(col: Column, type_json: str, n: int) -> Column:
     elif type_json == "date":
         h = murmur3_long(F.datediff(col, F.lit("1970-01-01")).cast("long"))
     elif type_json in ("timestamp", "timestamptz"):
-        h = murmur3_long(F.unix_micros(col))
+        # ntz casts to tz under the pinned UTC session — same micros
+        # the driver-side twin computes against the naive epoch
+        h = murmur3_long(F.unix_micros(col.cast("timestamp")))
     elif type_json == "string":
         h = murmur3_utf8(col)
     else:
@@ -183,7 +185,7 @@ def datepart_value(col: Column, type_json: str, transform: str) -> Column:
     if transform == "day":
         return F.datediff(col.cast("date"), F.lit("1970-01-01")).cast("long")
     if transform == "hour":
-        us = F.unix_micros(col)
+        us = F.unix_micros(col.cast("timestamp"))
         per = F.lit(3_600_000_000)
         return ((us - F.pmod(us, per)) / per).cast("long")
     raise ValueError(f"unknown date transform {transform!r}")

@@ -35,6 +35,7 @@ import datetime as _dt
 import hashlib
 import json
 import os
+import re
 import shutil
 import struct
 import time
@@ -454,18 +455,16 @@ def _mlist_data_row(
 
 
 def _encode_part_summaries(
-    summaries: list[dict],
-    partition_by: list[str],
-    type_by_id: dict,
-    field_ids: dict,
+    summaries: list[dict], result_types: list[str]
 ) -> list | None:
-    """Manifest-list partition field summaries, Appendix-D encoded —
-    shared by the append path and the Delta export."""
-    if not partition_by:
+    """Manifest-list partition field summaries, Appendix-D encoded in
+    each partition field's RESULT type (identity/truncate: the source
+    type; bucket and the date family: int) — shared by the append path
+    and the Delta export."""
+    if not result_types:
         return None
     out = []
-    for i, c in enumerate(partition_by):
-        t = type_by_id[field_ids[c]]
+    for i, t in enumerate(result_types):
         out.append(
             {
                 "contains_null": summaries[i]["contains_null"],
@@ -558,6 +557,133 @@ def _merge_iceberg_schema(
     return out_fields, next_id
 
 
+_PARTITION_ARG_RE = re.compile(
+    r"^\s*(bucket|truncate)\s*\(\s*(\d+)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*$"
+)
+_PARTITION_DT_RE = re.compile(
+    r"^\s*(year|month|day|hour)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*$"
+)
+
+# source Iceberg types each transform accepts on the WRITE side (the
+# executor-side expression exists for these; the read side prunes a
+# superset — decimal buckets, e.g. — via the driver-side Python twin)
+_TRANSFORM_SOURCES = {
+    "bucket": {"int", "long", "string", "date", "timestamp", "timestamptz"},
+    "truncate": {"int", "long", "string"},
+    "year": {"date", "timestamp", "timestamptz"},
+    "month": {"date", "timestamp", "timestamptz"},
+    "day": {"date", "timestamp", "timestamptz"},
+    "hour": {"timestamp", "timestamptz"},
+}
+
+
+def _partition_field_descriptors(
+    schema: T.StructType, partition_by: list[str]
+) -> list[dict]:
+    """Parse ``partition_by`` entries — ``"col"`` (identity),
+    ``"bucket(N, col)"`` / ``"truncate(W, col)"`` (Iceberg DDL syntax),
+    ``"year(col)" / "month(col)" / "day(col)" / "hour(col)"`` — into
+    spec-ready descriptors: {name, transform, source, src_type,
+    result_type, int_result}.  Identity fields keep the bare column
+    name (existing tables' specs must keep matching); transformed
+    fields get the conventional ``{col}_{transform}`` name.  Raises
+    loudly for unknown syntax or a source type the executor-side
+    transform cannot express."""
+    from . import skipping
+
+    out: list[dict] = []
+    for entry in partition_by:
+        m = _PARTITION_ARG_RE.match(entry)
+        md = _PARTITION_DT_RE.match(entry)
+        if m:
+            kind, arg, src = m.group(1), int(m.group(2)), m.group(3)
+            if arg <= 0:
+                raise LF.LakeFormatError(
+                    f"{kind} argument must be positive in {entry!r}"
+                )
+            transform = f"{kind}[{arg}]"
+            name = f"{src}_{'bucket' if kind == 'bucket' else 'trunc'}"
+        elif md:
+            kind, src = md.group(1), md.group(2)
+            transform = kind
+            name = f"{src}_{kind}"
+        else:
+            kind, src, transform, name = "identity", entry.strip(), "identity", entry.strip()
+        if src not in schema.fieldNames():
+            raise LF.LakeFormatError(f"partition column {src!r} not in schema")
+        src_type = _iceberg_type_of(schema[src].dataType)
+        if kind == "identity":
+            if src_type not in ("string", "int", "long"):
+                raise LF.LakeFormatGatedError(
+                    f"partition column {src!r} has type {src_type!r} — "
+                    "identity writes support string/int/long partition "
+                    "columns only"
+                )
+        elif src_type not in _TRANSFORM_SOURCES[kind]:
+            raise LF.LakeFormatGatedError(
+                f"{transform} over source type {src_type!r} ({src!r}) has "
+                "no executor-side expression — supported: "
+                f"{sorted(_TRANSFORM_SOURCES[kind])}"
+            )
+        result_type = skipping._transform_result_type(transform, src_type)
+        out.append(
+            {
+                "name": name,
+                "transform": transform,
+                "source": src,
+                "src_type": src_type,
+                "result_type": result_type,
+                "int_result": result_type in ("int", "long"),
+            }
+        )
+    if len({pf["name"] for pf in out}) != len(out):
+        raise LF.LakeFormatError(
+            f"partition field names collide: {[pf['name'] for pf in out]}"
+        )
+    return out
+
+
+def _partition_expr(pf: dict) -> "F.Column":
+    """The executor-side Column computing ``pf``'s transformed value —
+    every row in a staged file shares it, so it IS the partition key."""
+    from ..functions import icetransforms as IT
+
+    col = F.col(pf["source"])
+    t = pf["transform"]
+    if t == "identity":
+        return col
+    if t.startswith("bucket["):
+        return IT.bucket_value(col, pf["src_type"], int(t[len("bucket[") : -1]))
+    if t.startswith("truncate["):
+        return IT.truncate_value(col, pf["src_type"], int(t[len("truncate[") : -1]))
+    return IT.datepart_value(col, pf["src_type"], t)
+
+
+def _spec_fields_to_partition_by(spec_fields: list[dict], names_by_id: dict) -> list[str]:
+    """The inverse of ``_partition_field_descriptors``: a table's spec
+    fields back into write_iceberg ``partition_by`` syntax, so replace/
+    compact can re-derive transformed placement from the source
+    columns the data files carry.  Unknown transforms raise (callers
+    turn that into their own gate)."""
+    out = []
+    for sf in spec_fields:
+        src = names_by_id[sf["source-id"]]
+        t = sf["transform"]
+        if t == "identity":
+            out.append(src)
+        elif t.startswith("bucket["):
+            out.append(f"bucket({int(t[len('bucket['):-1])}, {src})")
+        elif t.startswith("truncate["):
+            out.append(f"truncate({int(t[len('truncate['):-1])}, {src})")
+        elif t in ("year", "month", "day", "hour"):
+            out.append(f"{t}({src})")
+        else:
+            raise LF.LakeFormatGatedError(
+                f"partition transform {t!r} has no write-side expression"
+            )
+    return out
+
+
 def write_iceberg(
     spark: SparkSession,
     df: DataFrame,
@@ -589,9 +715,15 @@ def write_iceberg(
     uses with checkpoint ids) and ``iceberg_last_epoch`` reads it
     back.
 
-    Identity partition transforms only; partition columns restricted
-    to string/int/long (their avro partition-map form round-trips
-    exactly).  Appends require the schema to match the table's unless
+    ``partition_by`` accepts identity columns (string/int/long) and
+    the spec's TRANSFORMS in Iceberg DDL syntax — ``"bucket(8, col)"``
+    (murmur3_x86_32, computed executor-side as pure Column
+    expressions: functions/icetransforms.py), ``"truncate(4, col)"``,
+    ``"year(col)"/"month(col)"/"day(col)"/"hour(col)"`` — so written
+    tables exercise the read side's transform pruning
+    (sources/skipping.py).  Transform RESULTS are always int/long/
+    string, so the avro partition-map form round-trips exactly for
+    every transform.  Appends require the schema to match the table's unless
     ``merge_schema=True``, which performs the spec's legal evolution —
     new columns join the CURRENT schema under fresh field ids via a
     new schemas[] entry (no data rewrites; snapshots keep their own
@@ -601,17 +733,8 @@ def write_iceberg(
     if mode not in ("append", "replace"):
         raise LF.LakeFormatError(f"unsupported write mode {mode!r}")
     schema = df.schema
-    for c in partition_by:
-        if c not in schema.fieldNames():
-            raise LF.LakeFormatError(f"partition column {c!r} not in schema")
-        if not isinstance(
-            schema[c].dataType, (T.StringType, T.IntegerType, T.LongType)
-        ):
-            raise LF.LakeFormatGatedError(
-                f"partition column {c!r} has type "
-                f"{schema[c].dataType.simpleString()} — identity writes "
-                "support string/int/long partition columns only"
-            )
+    part_fields = _partition_field_descriptors(schema, partition_by)
+    pf_by_name = {pf["name"]: pf for pf in part_fields}
 
     table_dir = os.path.abspath(table_dir)
     meta_dir = Path(table_dir) / "metadata"
@@ -660,12 +783,12 @@ def write_iceberg(
             "spec-id": 0,
             "fields": [
                 {
-                    "name": c,
-                    "transform": "identity",
-                    "source-id": field_ids[c],
+                    "name": pf["name"],
+                    "transform": pf["transform"],
+                    "source-id": field_ids[pf["source"]],
                     "field-id": 1000 + i,
                 }
-                for i, c in enumerate(partition_by)
+                for i, pf in enumerate(part_fields)
             ],
         }
         specs = {s["spec-id"]: s for s in meta["partition-specs"]}
@@ -718,12 +841,12 @@ def write_iceberg(
             "spec-id": 0,
             "fields": [
                 {
-                    "name": c,
-                    "transform": "identity",
-                    "source-id": field_ids[c],
+                    "name": pf["name"],
+                    "transform": pf["transform"],
+                    "source-id": field_ids[pf["source"]],
                     "field-id": 1000 + i,
                 }
-                for i, c in enumerate(partition_by)
+                for i, pf in enumerate(part_fields)
             ],
         }
         meta = None
@@ -742,12 +865,12 @@ def write_iceberg(
         shutil.rmtree(stage)
     out = df
     dup_cols = []
-    for c in partition_by:
-        dup = f"__part_{c}"
-        out = out.withColumn(dup, F.col(c))
+    for pf in part_fields:
+        dup = f"__part_{pf['name']}"
+        out = out.withColumn(dup, _partition_expr(pf))
         dup_cols.append(dup)
-    if partition_by and colocate:
-        out = out.repartition(*[F.col(c) for c in partition_by])
+    if part_fields and colocate:
+        out = out.repartition(*[F.col(c) for c in dup_cols])
     w = out.write.mode("overwrite")
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", str(max_records_per_file))
@@ -793,10 +916,7 @@ def write_iceberg(
                     pv[col] = None
                 else:
                     v = _unescape_hive(raw)
-                    dt = schema[col].dataType
-                    pv[col] = int(v) if isinstance(
-                        dt, (T.IntegerType, T.LongType)
-                    ) else v
+                    pv[col] = int(v) if pf_by_name[col]["int_result"] else v
         data_cols = [f.name for f in schema.fields]
         nrows, bounds, nulls, value_counts = footer_column_stats(str(p), data_cols)
         violated = {n: nulls.get(n, 0) for n in required_names if nulls.get(n, 0)}
@@ -835,10 +955,10 @@ def write_iceberg(
         dest.parent.mkdir(parents=True, exist_ok=True)
         os.replace(p, dest)
         moved.append(dest)
-        # manifest-list partition field summaries (identity: the value
-        # itself, Appendix-D encoded)
-        for i, c in enumerate(partition_by):
-            v = pv.get(c)
+        # manifest-list partition field summaries over the TRANSFORMED
+        # values, Appendix-D encoded in the transform's result type
+        for i, pf in enumerate(part_fields):
+            v = pv.get(pf["name"])
             if v is None:
                 summaries[i]["contains_null"] = True
                 continue
@@ -858,19 +978,16 @@ def write_iceberg(
                     "record_count": nrows,
                     "file_size_in_bytes": dest.stat().st_size,
                     "partition": {
-                        c: (
+                        pf["name"]: (
                             None
-                            if pv.get(c) is None
+                            if pv.get(pf["name"]) is None
                             else (
-                                int(pv[c])
-                                if isinstance(
-                                    schema[c].dataType,
-                                    (T.IntegerType, T.LongType),
-                                )
-                                else str(pv[c])
+                                int(pv[pf["name"]])
+                                if pf["int_result"]
+                                else str(pv[pf["name"]])
                             )
                         )
-                        for c in partition_by
+                        for pf in part_fields
                     },
                     "value_counts": _kv(
                         {field_ids[n]: v for n, v in value_counts.items()}
@@ -893,13 +1010,8 @@ def write_iceberg(
     ).hexdigest()[:8]
     m_name = f"m-{snapshot_id:05d}-{wsalt}.avro"
     partition_avro_fields = [
-        {
-            "name": c,
-            "avro": "long"
-            if isinstance(schema[c].dataType, (T.IntegerType, T.LongType))
-            else "string",
-        }
-        for c in partition_by
+        {"name": pf["name"], "avro": "long" if pf["int_result"] else "string"}
+        for pf in part_fields
     ]
     LF.write_avro_records(
         spark,
@@ -916,7 +1028,9 @@ def write_iceberg(
             snapshot_id,
             len(entries),
             rows_total,
-            _encode_part_summaries(summaries, partition_by, type_by_id, field_ids),
+            _encode_part_summaries(
+                summaries, [pf["result_type"] for pf in part_fields]
+            ),
         )
     )
     norm_rows = [_normalize_mlist_row(r) for r in mlist_rows]
@@ -1130,9 +1244,13 @@ def _commit_delete_snapshot(
     schema_json = info["schema_json"]
     types_by_name = {f["name"]: f["type"] for f in schema_json["fields"]}
     names_by_id = info["field_names_by_id"]
+    from . import skipping as _sk
+
     for sf in spec_fields:
         col = names_by_id[sf["source-id"]]
-        t = types_by_name[col]
+        # avro typing follows the transform RESULT (bucket/day → int),
+        # not the source column (a date source stores int ordinals)
+        t = _sk._transform_result_type(sf["transform"], types_by_name[col]) or "string"
         partition_avro_fields.append(
             {"name": sf["name"], "avro": "long" if t in ("int", "long") else "string"}
         )
@@ -1620,7 +1738,9 @@ def delta_to_iceberg(spark: SparkSession, table_path: str) -> dict:
             snapshot_id,
             len(entries),
             rows_total,
-            _encode_part_summaries(summaries, partition_by, type_by_id, field_ids),
+            _encode_part_summaries(
+                summaries, [type_by_id[field_ids[c]] for c in partition_by]
+            ),
         )
     ]
     snap_name = f"snap-{snapshot_id:05d}-{wsalt}.avro"
@@ -1709,18 +1829,15 @@ def compact_iceberg(
     snapshots stay travelable until expire); the CAS targets the
     metadata version the state was read from, so a compaction from a
     stale read collides instead of dropping a concurrent commit.
-    Non-identity partition specs gate (the rewrite cannot re-derive
-    bucket/truncate placement)."""
+    Transformed partition specs (bucket/truncate/year/month/day/hour)
+    compact too — the rewrite RE-DERIVES placement from the source
+    columns the data files carry, through the same executor-side
+    transform expressions the write path uses; only transforms with no
+    write-side expression gate."""
     info = LF.iceberg_snapshot_info(metadata_path)
     spec_fields = info["partition_spec_fields"] or []
-    bad = [f for f in spec_fields if f.get("transform") != "identity"]
-    if bad:
-        raise LF.LakeFormatGatedError(
-            f"compaction over non-identity partition transforms "
-            f"{[f.get('transform') for f in bad]} is not supported"
-        )
     names_by_id = info["field_names_by_id"]
-    pcols = [names_by_id[f["source-id"]] for f in spec_fields]
+    pcols = _spec_fields_to_partition_by(spec_fields, names_by_id)
     table_dir = os.path.dirname(
         os.path.dirname(os.path.abspath(metadata_path))
     )

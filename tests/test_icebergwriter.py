@@ -621,3 +621,114 @@ def test_epoch_ledger_survives_expire(spark, tmp_path):
     # ...and even if the LAST snapshot's summary were also absent, the
     # property alone answers (simulate by asking through properties)
     assert meta["properties"][key] == "2"
+
+
+def test_write_bucket_partition_transform(spark, tmp_path):
+    """Write-side bucket[N] (VERDICT r8 item 2): the staged write
+    partitions by the spec's murmur3 bucket computed EXECUTOR-side
+    (functions/icetransforms.py), the spec records the transform, the
+    partition records carry bucket ordinals, and an equality probe
+    opens exactly the matching bucket's files through the independent
+    read bridge."""
+    from dbt_json_readr_spark.sources.skipping import iceberg_bucket_hash
+
+    tbl = str(tmp_path / "t")
+    sup = spark.read.parquet(f"{SF}/supplier.parquet")
+    IW.write_iceberg(spark, sup, tbl, partition_by=["bucket(4, s_suppkey)"])
+    meta = _latest_meta(tbl)
+    m = json.load(open(meta))
+    assert m["partition-specs"][0]["fields"][0] == {
+        "field-id": 1000,
+        "name": "s_suppkey_bucket",
+        "source-id": 1,
+        "transform": "bucket[4]",
+    }
+    full = LF.read_iceberg_snapshot(spark, meta)
+    assert full.count() == sup.count()
+    # every row landed in its spec-true bucket (partition dir == hash)
+    for r in full.select("s_suppkey", F.input_file_name().alias("f")).collect():
+        want = (iceberg_bucket_hash("long", r.s_suppkey) & 0x7FFFFFFF) % 4
+        assert f"s_suppkey_bucket={want}" in r.f
+    # equality probe prunes to ONE bucket's files
+    key = int(sup.agg(F.max("s_suppkey")).collect()[0][0])
+    pruned = LF.read_iceberg_snapshot(spark, meta, predicate=[("s_suppkey", "=", key)])
+    assert pruned.count() == 1
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    want_bucket = (iceberg_bucket_hash("long", key) & 0x7FFFFFFF) % 4
+    assert all(f"s_suppkey_bucket={want_bucket}" in f for f in pruned.inputFiles())
+
+    # compaction RE-DERIVES bucket placement (the old identity gate)
+    res = IW.compact_iceberg(spark, meta)
+    back = LF.read_iceberg_snapshot(spark, res["metadata_path"])
+    assert back.count() == sup.count()
+    p2 = LF.read_iceberg_snapshot(
+        spark, res["metadata_path"], predicate=[("s_suppkey", "=", key)]
+    )
+    assert p2.count() == 1
+    assert all(f"s_suppkey_bucket={want_bucket}" in f for f in p2.inputFiles())
+
+    # position deletes work over the transformed spec too
+    IW.delete_iceberg(
+        spark, res["metadata_path"], [("s_suppkey", "=", key)]
+    )
+    assert LF.read_iceberg_snapshot(spark, _latest_meta(tbl)).count() == sup.count() - 1
+
+
+def test_write_truncate_and_datepart_transforms(spark, tmp_path):
+    """truncate[W] over strings/ints and month/day over dates: rows
+    place by the transformed value and BOTH range and equality probes
+    prune through the read bridge's transform machinery."""
+    import datetime as dt
+
+    tbl = str(tmp_path / "t")
+    rows = [
+        (i, f"{p}-{i:03d}", dt.date(2021, 1 + (i % 6), 1 + (i % 27)))
+        for i, p in zip(range(120), ["AA", "BB", "CC"] * 40)
+    ]
+    df = spark.createDataFrame(rows, "id long, code string, d date")
+    IW.write_iceberg(
+        spark, df, tbl, partition_by=["truncate(2, code)", "month(d)"]
+    )
+    meta = _latest_meta(tbl)
+    spec = json.load(open(meta))["partition-specs"][0]["fields"]
+    assert [f["transform"] for f in spec] == ["truncate[2]", "month"]
+    full = LF.read_iceberg_snapshot(spark, meta)
+    assert full.count() == 120
+    pr = LF.read_iceberg_snapshot(spark, meta, predicate=[("code", "=", "BB-001")])
+    assert pr.count() == 1
+    assert all("code_trunc=BB" in f for f in pr.inputFiles())
+    d = dt.date(2021, 3, 4)
+    pr2 = LF.read_iceberg_snapshot(spark, meta, predicate=[("d", "=", d)])
+    assert pr2.count() == df.filter(F.col("d") == F.lit(d)).count()
+    assert all("d_month=614" in f for f in pr2.inputFiles())  # (2021-1970)*12+2
+    # truncate over a long column: v - pmod(v, w)
+    tbl2 = str(tmp_path / "t2")
+    IW.write_iceberg(
+        spark,
+        df.select("id", "code"),
+        tbl2,
+        partition_by=["truncate(50, id)"],
+    )
+    pr3 = LF.read_iceberg_snapshot(
+        spark, _latest_meta(tbl2), predicate=[("id", "=", 77)]
+    )
+    assert pr3.count() == 1
+    assert all("id_trunc=50" in f for f in pr3.inputFiles())
+
+
+def test_partition_transform_gates_and_nulls(spark, tmp_path):
+    """Unsupported transform sources refuse loudly; null source values
+    route to the null partition (transforms map null→null, spec)."""
+    df = spark.createDataFrame([(1.5, "a", None)], "v double, s string, d date")
+    with pytest.raises(LF.LakeFormatGatedError, match="executor-side"):
+        IW.write_iceberg(
+            spark, df, str(tmp_path / "t"), partition_by=["bucket(4, v)"]
+        )
+    with pytest.raises(LF.LakeFormatError, match="not in schema"):
+        IW.write_iceberg(
+            spark, df, str(tmp_path / "t"), partition_by=["bucket(4, nope)"]
+        )
+    tbl = str(tmp_path / "t3")
+    IW.write_iceberg(spark, df, tbl, partition_by=["day(d)"])
+    back = LF.read_iceberg_snapshot(spark, _latest_meta(tbl))
+    assert back.count() == 1 and back.collect()[0].d is None
