@@ -33,7 +33,7 @@ from ..sources import lakeformats as LF
 from ..sources.tables import load
 
 RT_ROOT = Path(__file__).resolve().parents[2] / "tests" / "fixtures" / "lake" / "_rt"
-_WVERSION = "3"  # bump to rebuild the _rt tables after writer changes
+_WVERSION = "4"  # bump to rebuild the _rt tables after writer changes
 
 # money convention (plans/tpch.py docstring): decimal-exact sums,
 # rendered double through a string round-trip on the DuckDB side
@@ -1733,4 +1733,230 @@ SELECT
 FROM both_slices
 WHERE o_year = 1995
 GROUP BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------- F34
+
+
+def iceberg_bucket_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-side bucket partitioning (VERDICT r8 item 2): supplier
+    lands in ONE commit under ``bucket(8, s_suppkey)`` — the murmur3
+    bucket computed executor-side as pure Column expressions
+    (functions/icetransforms.py), one file per non-empty bucket by the
+    colocate contract — and per-key equality probes must answer
+    through the read bridge's transform pruning while opening ONLY the
+    probed key's bucket.
+
+    Evidence per probed key: the probe's OWN row values (a wrong
+    bucket placement returns zero rows and fails the value hash, not
+    just a boolean), ``probe_file_surplus`` = files opened − 1
+    (exactly one bucket file may open; expected 0), and
+    ``wrong_bucket_files`` = opened files outside the key's spec-true
+    bucket computed by the independent driver-side hash
+    (skipping.iceberg_bucket_hash; expected 0).  files_total is
+    checked as a surplus over the distinct non-empty bucket count the
+    partition dirs prove (expected 0) — closed-form bucket counts are
+    not SQL-expressible (murmur3), so the invariants carry the layout
+    check while the row values carry the correctness check.
+
+    100 TB: the bucketed layout is exactly what production Iceberg key
+    lookups rely on — a point probe opens 1/N of the table regardless
+    of total size, and the write's shuffle is the one repartition by
+    bucket the table's layout demands anyway."""
+    prep(spark)
+    from ..sources import icebergwriter as IW
+    from ..sources import skipping as SK
+
+    sup = load(spark, sf_dir, "supplier")
+
+    def build(root: str) -> None:
+        tbl = os.path.join(root, "table")
+        IW.write_iceberg(spark, sup, tbl, partition_by=["bucket(8, s_suppkey)"])
+
+    root = _ensure("wrt_ice_bucket", sf_dir, build)
+    meta = str(
+        max(
+            (root / "table" / "metadata").glob("v*.metadata.json"),
+            key=lambda p: int(p.name.split(".")[0][1:]),
+        )
+    )
+    full = LF.read_iceberg_snapshot(spark, meta)
+    files_total = len(full.inputFiles())
+    n_buckets_live = len(
+        {f.split("s_suppkey_bucket=")[1].split("/")[0] for f in full.inputFiles()}
+    )
+    keys = [
+        int(r[0])
+        for r in sup.select("s_suppkey").orderBy("s_suppkey").limit(5).collect()
+    ]
+    rows = []
+    for k in keys:
+        pr = LF.read_iceberg_snapshot(
+            spark, meta, predicate=[("s_suppkey", "=", k)]
+        )
+        opened = pr.inputFiles()
+        want = (SK.iceberg_bucket_hash("long", k) & 0x7FFFFFFF) % 8
+        wrong = sum(1 for f in opened if f"s_suppkey_bucket={want}" not in f)
+        got = pr.select(
+            "s_suppkey", "s_nationkey", _dec("s_acctbal").alias("acctbal")
+        ).collect()
+        rows.append(
+            (
+                k,
+                len(got),
+                int(got[0].s_nationkey) if got else None,
+                float(got[0].acctbal) if got else None,
+                len(opened) - 1,
+                wrong,
+                files_total - n_buckets_live,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "s_suppkey long, n_rows int, s_nationkey int, acctbal double, "
+        "probe_file_surplus int, wrong_bucket_files int, "
+        "files_total_surplus int",
+    )
+
+
+def _iceberg_bucket_write_prune_sql() -> str:
+    return """
+WITH probe AS (
+  SELECT s_suppkey, s_nationkey, s_acctbal
+  FROM supplier ORDER BY s_suppkey LIMIT 5
+)
+SELECT
+  s_suppkey,
+  CAST(1 AS INTEGER) AS n_rows,
+  s_nationkey,
+  CAST(CAST(CAST(s_acctbal AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE) AS acctbal,
+  CAST(0 AS INTEGER) AS probe_file_surplus,
+  CAST(0 AS INTEGER) AS wrong_bucket_files,
+  CAST(0 AS INTEGER) AS files_total_surplus
+FROM probe
+"""
+
+
+# ---------------------------------------------------------------- F35
+
+
+def iceberg_transform_write_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """truncate[W] + month partition transforms on the WRITE side: an
+    orders slice lands under ``truncate(2, o_orderpriority),
+    month(o_orderdate)``, and — unlike bucket — BOTH the rollup and
+    the physical layout are CLOSED-FORM in SQL: one file per
+    (prefix-2, month-ordinal) group by the colocate contract, so the
+    oracle recomputes files_total and the per-predicate kept counts
+    straight from the source table.  A range probe on the priority
+    prefix and an equality probe on a month must prune to exactly the
+    matching groups' files through the read bridge."""
+    prep(spark)
+    from ..sources import icebergwriter as IW
+
+    orders = load(spark, sf_dir, "orders")
+    sl = orders.filter(F.col("o_orderkey") % 4 == 0)
+
+    def build(root: str) -> None:
+        tbl = os.path.join(root, "table")
+        IW.write_iceberg(
+            spark,
+            sl,
+            tbl,
+            partition_by=["truncate(2, o_orderpriority)", "month(o_orderdate)"],
+        )
+
+    root = _ensure("wrt_ice_transforms", sf_dir, build)
+    meta = str(
+        max(
+            (root / "table" / "metadata").glob("v*.metadata.json"),
+            key=lambda p: int(p.name.split(".")[0][1:]),
+        )
+    )
+    full = LF.read_iceberg_snapshot(spark, meta)
+    files_total = len(full.inputFiles())
+    kept_pri = len(
+        LF.read_iceberg_snapshot(
+            spark, meta, predicate=[("o_orderpriority", "<", "3")]
+        ).inputFiles()
+    )
+    # probe at the LAST month's start: earlier-month files must all
+    # prune (the min month would trivially keep everything).  The probe
+    # is tz-AWARE: a naive datetime against a timestamptz column is
+    # session-tz-dependent, so the prune machinery correctly refuses to
+    # use it (normalizes to _TS_UNUSABLE) — the aware UTC instant is
+    # what a production probe sends
+    import datetime as _dtm
+
+    probe_month = sl.select(F.max("o_orderdate").alias("d")).collect()[0].d
+    kept_month = len(
+        LF.read_iceberg_snapshot(
+            spark,
+            meta,
+            predicate=[
+                (
+                    "o_orderdate",
+                    ">=",
+                    probe_month.replace(
+                        day=1,
+                        hour=0,
+                        minute=0,
+                        second=0,
+                        microsecond=0,
+                        tzinfo=_dtm.timezone.utc,
+                    ),
+                )
+            ],
+        ).inputFiles()
+    )
+    return (
+        full.groupBy(
+            F.substring("o_orderpriority", 1, 2).alias("pri2"),
+            (
+                (F.year("o_orderdate") - F.lit(1970)) * 12
+                + F.month("o_orderdate")
+                - 1
+            ).cast("int").alias("month_ord"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        )
+        .select(
+            "*",
+            F.lit(files_total).cast("int").alias("files_total"),
+            F.lit(kept_pri).cast("int").alias("files_kept_pri_lt3"),
+            F.lit(kept_month).cast("int").alias("files_kept_from_min_month"),
+        )
+    )
+
+
+def _iceberg_transform_write_audit_sql() -> str:
+    s = _DSUM.format(c="o_totalprice")
+    return f"""
+WITH sl AS (SELECT * FROM orders WHERE o_orderkey % 4 = 0),
+g AS (
+  SELECT substr(o_orderpriority, 1, 2) AS pri2,
+         (CAST(strftime(o_orderdate, '%Y') AS INTEGER) - 1970) * 12
+           + CAST(strftime(o_orderdate, '%m') AS INTEGER) - 1 AS month_ord,
+         count(*) AS n_rows,
+         {s} AS sum_price
+  FROM sl GROUP BY 1, 2
+),
+ev AS (
+  SELECT count(*) AS files_total,
+         count(*) FILTER (WHERE pri2 < '3') AS kept_pri,
+         count(*) FILTER (WHERE month_ord >= (SELECT max(month_ord) FROM g))
+           AS kept_month
+  FROM g
+)
+SELECT
+  g.pri2,
+  CAST(g.month_ord AS INTEGER) AS month_ord,
+  g.n_rows,
+  g.sum_price,
+  CAST((SELECT files_total FROM ev) AS INTEGER) AS files_total,
+  CAST((SELECT kept_pri FROM ev) AS INTEGER) AS files_kept_pri_lt3,
+  CAST((SELECT kept_month FROM ev) AS INTEGER) AS files_kept_from_min_month
+FROM g
 """

@@ -495,6 +495,16 @@ register(
     lakewrite._delta_generated_partition_sql,
 )
 register(
+    "iceberg_bucket_write_prune",
+    lakewrite.iceberg_bucket_write_prune,
+    lakewrite._iceberg_bucket_write_prune_sql,
+)
+register(
+    "iceberg_transform_write_audit",
+    lakewrite.iceberg_transform_write_audit,
+    lakewrite._iceberg_transform_write_audit_sql,
+)
+register(
     "streaming_delta_commits",
     streaming_jobs.streaming_delta_commits,
     streaming_jobs._streaming_delta_commits_sql,
@@ -590,7 +600,10 @@ _R9_STALE_R4 = [
 # above before being listed here).  Only the first
 # GATE_WINDOW - len(_R9_STALE_R4) = 4 fit this round's window; the
 # rest lead the r10 rotation.
-_NEW_R9 = []
+_NEW_R9 = [
+    "iceberg_bucket_write_prune",
+    "iceberg_transform_write_audit",
+]
 
 # every gate-list name must resolve - a typo is harmless until the
 # rotation pulls it into the window, where the _gate_ordered check
