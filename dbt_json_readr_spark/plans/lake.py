@@ -33,7 +33,8 @@ ICEBERG_META = ICEBERG_DIR / "metadata" / "v3.metadata.json"
 ICEBERG_BUCKET_DIR = FIXTURE_ROOT / "iceberg_bucketed"
 ICEBERG_BUCKET_META = ICEBERG_BUCKET_DIR / "metadata" / "v1.metadata.json"
 DELTA_CDFM_DIR = FIXTURE_ROOT / "delta_cdf_mapped"
-_VERSION = "12"
+DELTA_CDFID_DIR = FIXTURE_ROOT / "delta_cdf_mapid"
+_VERSION = "13"
 
 # ------------------------------------------------------- fixtures
 
@@ -372,6 +373,125 @@ _CDFM_COMMITS: list[list[dict]] = [
     ],
     [
         {"remove": {"path": "m0.parquet", "dataChange": True}},
+    ],
+]
+
+
+# --- mode-'id' CDF fixture (r9, VERDICT r8 item 3) ---
+
+_CDFID_IDS = {"id": 1, "qty": 2, "region": 3}
+_CDFID_PHYS = {"id": "col-i", "qty": "col-q", "region": "col-r"}
+# per-file physical NAMING scheme: footer-resolved files use arbitrary
+# names only their field ids can map; 'fallback' files have no footer
+# ids at all and resolve through the metadata physicalName
+_CDFID_NAMING = {
+    "footer_a": {"id": "zz_1", "qty": "zz_2"},
+    "footer_b": {"id": "aa_one", "qty": "aa_two"},
+    "fallback": {"id": _CDFID_PHYS["id"], "qty": _CDFID_PHYS["qty"]},
+}
+# path → (region, rows, naming)
+_CDFID_FILES = {
+    "i0.parquet": ("east", [(1, 10), (2, 20)], "footer_a"),
+    "i1.parquet": ("west", [(3, 30), (4, 40)], "fallback"),
+    "i2.parquet": ("west", [(3, 31), (4, 41)], "footer_b"),
+    "i3.parquet": ("east", [(5, 50)], "footer_b"),
+}
+_CDFID_CDC_FILES = {
+    "_change_data/c1.parquet": (
+        "west",
+        [(i, q, "update_preimage") for i, q in _CDFID_FILES["i1.parquet"][1]]
+        + [(i, q, "update_postimage") for i, q in _CDFID_FILES["i2.parquet"][1]],
+        "footer_a",
+    ),
+}
+
+
+def _cdfid_schema_string(qty_logical: str) -> str:
+    def fld(logical, key, typ="long"):
+        return {
+            "name": logical,
+            "type": typ,
+            "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": _CDFID_IDS[key],
+                "delta.columnMapping.physicalName": _CDFID_PHYS[key],
+            },
+        }
+
+    return json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                fld("id", "id"),
+                fld(qty_logical, "qty"),
+                fld("region", "region", "string"),
+            ],
+        }
+    )
+
+
+def _cdfid_metadata_action(qty_logical: str) -> dict:
+    return {
+        "metaData": {
+            "id": "6a2e8b4c-delta-cdfid-fixture",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _cdfid_schema_string(qty_logical),
+            "partitionColumns": ["region"],
+            "configuration": {
+                "delta.columnMapping.mode": "id",
+                "delta.columnMapping.maxColumnId": "3",
+                "delta.enableChangeDataFeed": "true",
+            },
+        }
+    }
+
+
+def _cdfid_add(path: str, region: str, data_change: bool = True) -> dict:
+    return {
+        "add": {
+            "path": path,
+            "partitionValues": {_CDFID_PHYS["region"]: region},
+            "size": 0,
+            "modificationTime": 0,
+            "dataChange": data_change,
+        }
+    }
+
+
+_CDFID_COMMITS: list[list[dict]] = [
+    [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["columnMapping"],
+                "writerFeatures": ["columnMapping"],
+            }
+        },
+        _cdfid_metadata_action("qty"),
+        _cdfid_add("i0.parquet", "east"),
+        _cdfid_add("i1.parquet", "west"),
+    ],
+    [
+        {"remove": {"path": "i1.parquet", "dataChange": True}},
+        _cdfid_add("i2.parquet", "west"),
+        {
+            "cdc": {
+                "path": "_change_data/c1.parquet",
+                "partitionValues": {_CDFID_PHYS["region"]: "west"},
+                "size": 0,
+                "dataChange": False,
+            }
+        },
+    ],
+    [
+        # logical rename mid-range: field ids untouched, so the
+        # id-mode physical fingerprint waves it through
+        _cdfid_metadata_action("qty_r"),
+        _cdfid_add("i3.parquet", "east"),
+    ],
+    [
+        {"remove": {"path": "i0.parquet", "dataChange": True}},
     ],
 ]
 
@@ -823,6 +943,73 @@ def ensure_lake_fixtures(root: Path | str = FIXTURE_ROOT) -> Path:
         cdfm_log.mkdir()
         for v, actions in enumerate(_CDFM_COMMITS):
             (cdfm_log / f"{v:020d}.json").write_text(
+                "\n".join(json.dumps(a, sort_keys=True) for a in actions)
+                + "\n"
+            )
+        # mode-'id' CDF table: per-file naming schemes — footer field
+        # ids on some files, metadata physicalName fallback on others
+        cdfid = tmp / DELTA_CDFID_DIR.name
+        cdfid.mkdir(parents=True)
+
+        def _cdfid_fields(naming, with_ct=False):
+            nm = _CDFID_NAMING[naming]
+            use_ids = naming != "fallback"
+            fs = [
+                pa.field(
+                    nm["id"],
+                    pa.int64(),
+                    metadata=(
+                        {b"PARQUET:field_id": str(_CDFID_IDS["id"]).encode()}
+                        if use_ids
+                        else None
+                    ),
+                ),
+                pa.field(
+                    nm["qty"],
+                    pa.int64(),
+                    metadata=(
+                        {b"PARQUET:field_id": str(_CDFID_IDS["qty"]).encode()}
+                        if use_ids
+                        else None
+                    ),
+                ),
+            ]
+            if with_ct:
+                fs.append(pa.field("_change_type", pa.string()))
+            return pa.schema(fs)
+
+        for rel, (_region, rows, naming) in _CDFID_FILES.items():
+            nm = _CDFID_NAMING[naming]
+            pq.write_table(
+                pa.table(
+                    {
+                        nm["id"]: pa.array([r[0] for r in rows], pa.int64()),
+                        nm["qty"]: pa.array([r[1] for r in rows], pa.int64()),
+                    },
+                    schema=_cdfid_fields(naming),
+                ),
+                cdfid / rel,
+            )
+        (cdfid / "_change_data").mkdir()
+        for rel, (_region, rows, naming) in _CDFID_CDC_FILES.items():
+            nm = _CDFID_NAMING[naming]
+            pq.write_table(
+                pa.table(
+                    {
+                        nm["id"]: pa.array([r[0] for r in rows], pa.int64()),
+                        nm["qty"]: pa.array([r[1] for r in rows], pa.int64()),
+                        "_change_type": pa.array(
+                            [r[2] for r in rows], pa.string()
+                        ),
+                    },
+                    schema=_cdfid_fields(naming, with_ct=True),
+                ),
+                cdfid / rel,
+            )
+        cdfid_log = cdfid / "_delta_log"
+        cdfid_log.mkdir()
+        for v, actions in enumerate(_CDFID_COMMITS):
+            (cdfid_log / f"{v:020d}.json").write_text(
                 "\n".join(json.dumps(a, sort_keys=True) for a in actions)
                 + "\n"
             )
@@ -2259,6 +2446,75 @@ def _delta_cdf_mapped_oracle_sql() -> str:
     sel(1, None, "_change_data/c1.parquet", "west")
     sel(2, "insert", "m3.parquet", "east")
     sel(3, "delete", "m0.parquet", "east")
+    return f"""
+WITH changes(commit_version, change_type, region, id, qty) AS (
+{" UNION ALL ".join(parts)}
+)
+SELECT CAST(commit_version AS BIGINT) AS commit_version, change_type, region,
+       count(*) AS n_rows,
+       CAST(sum(id) AS BIGINT) AS sum_id,
+       CAST(sum(qty) AS BIGINT) AS sum_qty
+FROM changes
+GROUP BY commit_version, change_type, region
+ORDER BY commit_version, change_type, region
+"""
+
+
+# ------------------------------------------------------- F36 key
+
+
+def delta_cdf_mapid_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED over a mode-'id' COLUMN-MAPPED table (r9,
+    VERDICT r8 item 3): cdc and data parquet resolve by FOOTER FIELD ID
+    against delta.columnMapping.id — per file, through the same cached
+    footer probe the snapshot reader grew in r8 — so files written by
+    DIFFERENT physical writers (arbitrary names + ids; physicalName
+    fallback with no ids at all) union into one change stream.  The
+    fixture plants three naming schemes across the range plus a
+    mid-range logical rename (ids unchanged — the id-keyed physical
+    fingerprint waves it through); a reader resolving by physicalName
+    alone would null-fill the footer-named files and fail the hash."""
+    prep(spark)
+    ensure_lake_fixtures()
+    df = LF.read_delta_changes(spark, str(DELTA_CDFID_DIR), 0)
+    return (
+        df.groupBy(
+            F.col("_commit_version").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+            F.col("region"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("id").cast("long").alias("sum_id"),
+            F.sum("qty_r").cast("long").alias("sum_qty"),
+        )
+        .orderBy("commit_version", "change_type", "region")
+    )
+
+
+def _delta_cdf_mapid_oracle_sql() -> str:
+    """Authoring-dict replay by PER-FILE physical names: DuckDB
+    re-reads each fixture parquet under the naming scheme the
+    authoring dict says it was written with — independent of the
+    field-id resolution under test."""
+    ensure_lake_fixtures()
+    parts = []
+
+    def sel(commit, ct, rel, region, naming):
+        nm = _CDFID_NAMING[naming]
+        f = (DELTA_CDFID_DIR / rel).as_posix()
+        ctexpr = "_change_type" if ct is None else f"'{ct}'"
+        parts.append(
+            f"SELECT {commit} AS commit_version, {ctexpr} AS change_type, "
+            f"'{region}' AS region, \"{nm['id']}\" AS id, "
+            f"\"{nm['qty']}\" AS qty FROM read_parquet('{f}')"
+        )
+
+    sel(0, "insert", "i0.parquet", "east", "footer_a")
+    sel(0, "insert", "i1.parquet", "west", "fallback")
+    sel(1, None, "_change_data/c1.parquet", "west", "footer_a")
+    sel(2, "insert", "i3.parquet", "east", "footer_b")
+    sel(3, "delete", "i0.parquet", "east", "footer_a")
     return f"""
 WITH changes(commit_version, change_type, region, id, qty) AS (
 {" UNION ALL ".join(parts)}

@@ -505,6 +505,11 @@ register(
     lakewrite._iceberg_transform_write_audit_sql,
 )
 register(
+    "delta_cdf_mapid_read",
+    lake.delta_cdf_mapid_read,
+    lake._delta_cdf_mapid_oracle_sql,
+)
+register(
     "streaming_delta_commits",
     streaming_jobs.streaming_delta_commits,
     streaming_jobs._streaming_delta_commits_sql,
@@ -603,6 +608,7 @@ _R9_STALE_R4 = [
 _NEW_R9 = [
     "iceberg_bucket_write_prune",
     "iceberg_transform_write_audit",
+    "delta_cdf_mapid_read",
 ]
 
 # every gate-list name must resolve - a typo is harmless until the

@@ -999,6 +999,20 @@ def _cdf_fingerprint(state: _DeltaState):
             tuple(state.partition_columns),
         )
     pn = state.physical_names
+    if state.column_mapping_mode == "id":
+        # id mode: column identity IS the field id (physicalName may be
+        # absent entirely); partitionValues stay physically keyed
+        ids = state.field_ids
+        return (
+            "id",
+            tuple(
+                sorted(
+                    (ids[f.name], f.dataType.json(), f.nullable)
+                    for f in state.schema.fields
+                )
+            ),
+            tuple(pn.get(c, c) for c in state.partition_columns),
+        )
     return (
         state.column_mapping_mode,
         tuple(
@@ -1109,14 +1123,6 @@ def read_delta_changes(
                 f"change data was not recorded for commit {v} "
                 "(delta.enableChangeDataFeed was not true at that version)"
             )
-        if state.column_mapping_mode == "id":
-            # cdc/data files under id mode resolve by per-file footer
-            # ids; composing that into the range walk is not
-            # implemented — mode 'name' (the common case) is
-            raise LakeFormatGatedError(
-                "change data feed over a mode-'id' column-mapped table "
-                "— not supported (mode 'name' is)"
-            )
         if pre_fingerprint is not None and cur_fingerprint != pre_fingerprint:
             # mapped tables compare the PHYSICAL layout, so a
             # metadata-only logical rename mid-range is fine (the cdc
@@ -1140,23 +1146,48 @@ def read_delta_changes(
     phys = state.physical_names if state.column_mapping_mode != "none" else {}
     pname = lambda c: phys.get(c, c)  # noqa: E731
     data_fields = [f for f in schema.fields if f.name not in pcols]
-    data_schema = T.StructType(
-        [
-            T.StructField(pname(f.name), f.dataType, f.nullable)
-            for f in data_fields
-        ]
-    )
-    cdc_schema = T.StructType(
-        list(data_schema.fields)
-        + [T.StructField("_change_type", T.StringType(), True)]
-    )
+    if state.column_mapping_mode == "id":
+        # mode 'id' (r9, VERDICT r8 item 3): cdc and data parquet
+        # resolve by FOOTER FIELD ID against delta.columnMapping.id —
+        # the same cached O(metadata) probe the snapshot reader uses —
+        # with the metadata physicalName as the no-footer-ids fallback;
+        # scans group by (partition key, resolved name map) so files
+        # from different physical writers union cleanly
+        fids = dict(state.field_ids)
+
+        def file_names(ap: str) -> tuple:
+            top, _nested, _names = _parquet_field_names_by_id(ap)
+            names = []
+            for fld in data_fields:
+                pn = top.get(fids[fld.name], phys.get(fld.name))
+                if pn is None:
+                    raise LakeFormatGatedError(
+                        f"column mapping mode 'id': {ap} carries no "
+                        f"parquet field id {fids[fld.name]} for column "
+                        f"{fld.name!r} and the log records no "
+                        "physicalName fallback"
+                    )
+                names.append((fld.name, pn))
+            if len({n for _, n in names}) != len(names):
+                raise LakeFormatGatedError(
+                    f"field-id resolution for {ap} collides on physical "
+                    f"names {sorted(n for _, n in names)}"
+                )
+            return tuple(names)
+
+    else:
+        _const_names = tuple((f.name, pname(f.name)) for f in data_fields)
+
+        def file_names(ap: str) -> tuple:
+            return _const_names
+
     out_cols = [f.name for f in schema.fields] + [
         "_change_type",
         "_commit_version",
     ]
 
-    def finish(df, pv: dict, v: int, change_type: str | None):
-        sel = [F.col(pname(f.name)).alias(f.name) for f in data_fields]
+    def finish(df, pv: dict, v: int, change_type: str | None, names: tuple):
+        sel = [F.col(pn).alias(ln) for ln, pn in names]
         if change_type is None:
             sel.append(F.col("_change_type"))
         df = df.select(*sel)
@@ -1177,26 +1208,43 @@ def read_delta_changes(
         )
 
     outs = []
+    types_by_name = {f.name: f for f in data_fields}
 
     def scan_groups(actions, v, change_type, pv_of, use_cdc_schema=False):
-        groups: dict[tuple, tuple[dict, list[str]]] = {}
+        groups: dict[tuple, tuple[dict, tuple, list[str]]] = {}
         for a in actions:
             pv = pv_of(a)
-            key = tuple(sorted(pv.items()))
-            groups.setdefault(key, (pv, []))[1].append(a["path"])
+            names = file_names(os.path.join(table_path, a["path"]))
+            key = (tuple(sorted(pv.items())), names)
+            groups.setdefault(key, (pv, names, []))[2].append(a["path"])
         # None-safe ordering: nullable partition columns write
         # partitionValues of null (same key as the snapshot reader)
-        for _, (pv, paths) in sorted(
+        for _, (pv, names, paths) in sorted(
             groups.items(),
-            key=lambda kv: tuple(
-                (n, val is None, "" if val is None else val)
-                for n, val in kv[0]
+            key=lambda kv: (
+                tuple(
+                    (n, val is None, "" if val is None else val)
+                    for n, val in kv[0][0]
+                ),
+                kv[0][1],
             ),
         ):
-            df = spark.read.schema(
-                cdc_schema if use_cdc_schema else data_schema
-            ).parquet(*[os.path.join(table_path, p) for p in sorted(paths)])
-            outs.append(finish(df, pv, v, change_type))
+            sch_fields = [
+                T.StructField(
+                    pn,
+                    types_by_name[ln].dataType,
+                    types_by_name[ln].nullable,
+                )
+                for ln, pn in names
+            ]
+            if use_cdc_schema:
+                sch_fields.append(
+                    T.StructField("_change_type", T.StringType(), True)
+                )
+            df = spark.read.schema(T.StructType(sch_fields)).parquet(
+                *[os.path.join(table_path, p) for p in sorted(paths)]
+            )
+            outs.append(finish(df, pv, v, change_type, names))
 
     for v, parsed, prev_files in records:
         if parsed["cdc"]:
