@@ -2451,7 +2451,10 @@ def test_delta_cdf_mapped_rename_passes_layout_change_gates(spark, tmp_path):
     with pytest.raises(LF.LakeFormatGatedError, match="commit 2 changes"):
         LF.read_delta_changes(spark, str(t), 0)
 
-    # mode-'id' mapped CDF gates loudly
+    # mode-'id' mapped CDF (supported since r9): the same table flipped
+    # to id mode — its files carry NO footer ids, so every scan resolves
+    # through the metadata physicalName fallback — must produce the
+    # identical change stream the mode-'name' read does
     t2 = tmp_path / "idmode"
     shutil.copytree(LP.DELTA_CDFM_DIR, t2)
     log2 = t2 / "_delta_log"
@@ -2464,8 +2467,13 @@ def test_delta_cdf_mapped_rename_passes_layout_change_gates(spark, tmp_path):
                     "delta.columnMapping.mode"
                 ] = "id"
         p.write_text("\n".join(json.dumps(a) for a in lines) + "\n")
-    with pytest.raises(LF.LakeFormatGatedError, match="mode-'id'"):
-        LF.read_delta_changes(spark, str(t2), 0)
+    by_name = sorted(
+        tuple(r) for r in LF.read_delta_changes(spark, str(LP.DELTA_CDFM_DIR), 0).collect()
+    )
+    by_id = sorted(
+        tuple(r) for r in LF.read_delta_changes(spark, str(t2), 0).collect()
+    )
+    assert by_id == by_name and len(by_id) > 0
 
 
 def test_delta_timestamp_travel_clock_rules(spark, tmp_path):
@@ -2650,3 +2658,34 @@ def test_delta_ict_boundary_with_mtime_clamps_not_gates(tmp_path):
     stamps = LF.delta_commit_timestamps(str(t))
     assert stamps[0] == 9_000_000_000
     assert stamps[1] == 9_000_000_001  # clamped, NOT gated
+
+
+def test_delta_cdf_mapid_footer_resolution(spark):
+    """Mode-'id' CDF end-to-end on the dedicated fixture: three naming
+    schemes (footer-a, footer-b, physicalName fallback) + a mid-range
+    logical rename resolve into one change stream; values pin the
+    per-file resolution (a physicalName-only reader would null-fill
+    the footer-named files)."""
+    from dbt_json_readr_spark.plans import lake as LP
+
+    LP.ensure_lake_fixtures()
+    df = LF.read_delta_changes(spark, str(LP.DELTA_CDFID_DIR), 0)
+    got = sorted(
+        (r._commit_version, r._change_type, r.region, r.id, r.qty_r)
+        for r in df.collect()
+    )
+    assert got == sorted(
+        [
+            (0, "insert", "east", 1, 10),
+            (0, "insert", "east", 2, 20),
+            (0, "insert", "west", 3, 30),
+            (0, "insert", "west", 4, 40),
+            (1, "update_preimage", "west", 3, 30),
+            (1, "update_preimage", "west", 4, 40),
+            (1, "update_postimage", "west", 3, 31),
+            (1, "update_postimage", "west", 4, 41),
+            (2, "insert", "east", 5, 50),
+            (3, "delete", "east", 1, 10),
+            (3, "delete", "east", 2, 20),
+        ]
+    )
