@@ -2667,6 +2667,7 @@ def test_delta_cdf_mapid_footer_resolution(spark):
     per-file resolution (a physicalName-only reader would null-fill
     the footer-named files)."""
     from dbt_json_readr_spark.plans import lake as LP
+    from dbt_json_readr_spark.sources import lakeformats as LF
 
     LP.ensure_lake_fixtures()
     df = LF.read_delta_changes(spark, str(LP.DELTA_CDFID_DIR), 0)
