@@ -1960,3 +1960,82 @@ SELECT
   CAST((SELECT kept_month FROM ev) AS INTEGER) AS files_kept_from_min_month
 FROM g
 """
+
+
+# ---------------------------------------------------------------- F37
+
+
+def delta_uniform_dv_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniForm export over a LIVE-DV table (r9, VERDICT r8 item 4 —
+    the modern-default Delta shape F30 had to gate on): customer lands
+    in Delta, a predicate slice DV-deletes (no rewrite), and
+    ``delta_to_iceberg`` translates the deletion vectors into Iceberg
+    POSITION DELETES committed with the export snapshot — the same
+    parquet bytes serve both logs, and both hide the same rows.
+
+    Evidence is fully closed-form: the per-segment rollup equals SQL
+    over ``customer WHERE NOT (deleted predicate)``, ``dv_positions``
+    equals the SQL count of the deleted slice, and
+    ``delta_minus_iceberg``/``iceberg_minus_delta`` (exceptAll both
+    ways between the two bridges' reads) are 0."""
+    prep(spark)
+    from ..sources import icebergwriter as IW
+
+    cust = load(spark, sf_dir, "customer")
+
+    def build(tbl: str) -> None:
+        DW.write_delta(
+            spark, cust, tbl, partition_by=["c_mktsegment"],
+            max_records_per_file=200,
+        )
+        DW.delete_delta(spark, tbl, [("c_acctbal", "<", 0.0)])
+        r = IW.delta_to_iceberg(spark, tbl)
+        (Path(tbl) / "_RT_DV_EXPORT").write_text(
+            f"{r['dv_positions_exported']}"
+        )
+
+    tbl = str(_ensure("wrt_uniform_dv", sf_dir, build))
+    dv_positions = int((Path(tbl) / "_RT_DV_EXPORT").read_text())
+    meta = str(
+        max(
+            Path(tbl, "metadata").glob("v*.metadata.json"),
+            key=lambda p: int(p.name.split(".")[0][1:]),
+        )
+    )
+    d_side = LF.read_delta_snapshot(spark, tbl)
+    i_side = LF.read_iceberg_snapshot(spark, meta)
+    cols = d_side.columns
+    d_minus_i = d_side.exceptAll(i_side.select(*cols)).count()
+    i_minus_d = i_side.select(*cols).exceptAll(d_side).count()
+    return (
+        i_side.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("sum_bal"),
+            F.min("c_custkey").alias("min_key"),
+        )
+        .select(
+            "*",
+            F.lit(dv_positions).cast("long").alias("dv_positions"),
+            F.lit(d_minus_i).cast("long").alias("delta_minus_iceberg"),
+            F.lit(i_minus_d).cast("long").alias("iceberg_minus_delta"),
+        )
+    )
+
+
+def _delta_uniform_dv_export_sql() -> str:
+    s = _DSUM.format(c="c_acctbal")
+    return f"""
+WITH live AS (SELECT * FROM customer WHERE NOT (c_acctbal < 0.0)),
+ev AS (SELECT count(*) AS dv FROM customer WHERE c_acctbal < 0.0)
+SELECT
+  c_mktsegment,
+  count(*) AS n_rows,
+  {s} AS sum_bal,
+  min(c_custkey) AS min_key,
+  CAST((SELECT dv FROM ev) AS BIGINT) AS dv_positions,
+  CAST(0 AS BIGINT) AS delta_minus_iceberg,
+  CAST(0 AS BIGINT) AS iceberg_minus_delta
+FROM live
+GROUP BY c_mktsegment
+"""

@@ -510,6 +510,11 @@ register(
     lake._delta_cdf_mapid_oracle_sql,
 )
 register(
+    "delta_uniform_dv_export",
+    lakewrite.delta_uniform_dv_export,
+    lakewrite._delta_uniform_dv_export_sql,
+)
+register(
     "streaming_delta_commits",
     streaming_jobs.streaming_delta_commits,
     streaming_jobs._streaming_delta_commits_sql,
@@ -609,6 +614,7 @@ _NEW_R9 = [
     "iceberg_bucket_write_prune",
     "iceberg_transform_write_audit",
     "delta_cdf_mapid_read",
+    "delta_uniform_dv_export",
 ]
 
 # every gate-list name must resolve - a typo is harmless until the

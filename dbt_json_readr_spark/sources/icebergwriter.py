@@ -1547,23 +1547,29 @@ def delta_to_iceberg(spark: SparkSession, table_path: str) -> dict:
     F9/F11 machinery immediately; partition-column bounds come from
     the partition value itself.
 
-    Gates: column mapping (physical names), deletion vectors (an
-    Iceberg reader would resurrect the DV-deleted rows — OPTIMIZE
-    first), exotic partition types, and re-export after Delta schema
-    evolution (field ids would drift)."""
+    DELETION VECTORS export as Iceberg POSITION DELETES (r9, VERDICT
+    r8 item 4 — the production-UniForm rule): each live file's DV
+    positions decode (driver-side under the cap, executor-side above
+    it — the snapshot reader's own machinery) into one sorted
+    (file_path, pos) delete parquet, committed as a content=1 delete
+    manifest IN the export snapshot at the same sequence number, so
+    Iceberg readers hide exactly the rows Delta readers hide while
+    both logs keep serving the same data bytes.
+
+    Gates: column mapping (physical names), exotic partition types,
+    and re-export after Delta schema evolution (field ids would
+    drift)."""
     snap = LF.delta_snapshot(table_path)
     if snap["column_mapping_mode"] != "none":
         raise LF.LakeFormatGatedError(
             "delta_to_iceberg on column-mapped tables is not implemented "
             "— the export would need physical-name manifests"
         )
-    dv_files = [f["path"] for f in snap["files"] if f.get("deletionVector")]
-    if dv_files:
-        raise LF.LakeFormatGatedError(
-            f"{len(dv_files)} live file(s) carry deletion vectors (e.g. "
-            f"{dv_files[0]!r}) — an Iceberg reader would resurrect the "
-            "deleted rows; run optimize_delta first"
-        )
+    dv_live = [
+        (f["path"], f["deletionVector"])
+        for f in snap["files"]
+        if f.get("deletionVector")
+    ]
     schema: T.StructType = snap["schema"]
     partition_by = list(snap["partition_columns"])
     for c in partition_by:
@@ -1743,6 +1749,95 @@ def delta_to_iceberg(spark: SparkSession, table_path: str) -> dict:
             ),
         )
     ]
+    n_dv_positions = 0
+    if dv_live:
+        # DVs → one sorted position-delete parquet + a content=1
+        # manifest in THIS snapshot (same sequence number: position
+        # deletes apply to data files with seq <= theirs, the exact
+        # shape a compaction writer commits)
+        dv_pairs = [
+            (os.path.join(table_dir, rel), desc) for rel, desc in dv_live
+        ]
+        for ap, _desc in dv_pairs:
+            if LF._uri_path(ap) != ap:
+                raise LF.LakeFormatGatedError(
+                    f"DV-bearing data-file path needs URI percent-encoding "
+                    f"({ap!r}) — position deletes cannot be matched "
+                    "against Spark's encoded rendering"
+                )
+        total_card = sum(int(d.get("cardinality") or 0) for _, d in dv_pairs)
+        decode = (
+            LF._dv_positions_local
+            if total_card <= LF._DV_DRIVER_CAP
+            else LF._dv_positions_distributed
+        )
+        pos_df = decode(spark, table_dir, dv_pairs)
+        prefix = table_dir.rstrip("/") + "/"
+        rel_fp = F.when(
+            F.col("__fp").startswith(prefix),
+            F.expr(f"substring(__fp, {len(prefix) + 1})"),
+        ).otherwise(F.concat(F.lit("file://"), F.col("__fp")))
+        del_rel = f"data/delete-{seq:05d}-{wsalt}.parquet"
+        del_dest = Path(table_dir) / del_rel
+        del_dest.parent.mkdir(parents=True, exist_ok=True)
+        stage = Path(table_dir) / f"_staging-dvdel-{os.getpid()}-{seq}"
+        if stage.exists():
+            shutil.rmtree(stage)
+        pos_df.select(
+            rel_fp.alias("file_path"), F.col("__pos").alias("pos")
+        ).coalesce(1).sortWithinPartitions("file_path", "pos").write.mode(
+            "overwrite"
+        ).parquet(str(stage))
+        part = sorted(stage.rglob("*.parquet"))[0]
+        os.replace(part, del_dest)
+        shutil.rmtree(stage, ignore_errors=True)
+        import pyarrow.parquet as _pq
+
+        n_dv_positions = int(_pq.ParquetFile(str(del_dest)).metadata.num_rows)
+        dm_name = f"dm-{snapshot_id:05d}-{wsalt}.avro"
+        LF.write_avro_records(
+            spark,
+            str(meta_dir / dm_name),
+            _manifest_schema(partition_avro_fields),
+            [
+                {
+                    "status": 1,
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": seq,
+                    "data_file": {
+                        "content": 1,
+                        "file_path": del_rel,
+                        "file_format": "PARQUET",
+                        "record_count": n_dv_positions,
+                        "file_size_in_bytes": del_dest.stat().st_size,
+                        "partition": {c: None for c in partition_by},
+                        "value_counts": None,
+                        "null_value_counts": None,
+                        "lower_bounds": None,
+                        "upper_bounds": None,
+                        "equality_ids": None,
+                    },
+                }
+            ],
+        )
+        mlist_rows.append(
+            {
+                "manifest_path": f"metadata/{dm_name}",
+                "manifest_length": (meta_dir / dm_name).stat().st_size,
+                "partition_spec_id": 0,
+                "content": 1,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": 1,
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": n_dv_positions,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "partitions": None,
+            }
+        )
     snap_name = f"snap-{snapshot_id:05d}-{wsalt}.avro"
     LF.write_avro_records(
         spark, str(meta_dir / snap_name), _MLIST_SCHEMA, mlist_rows
@@ -1778,6 +1873,7 @@ def delta_to_iceberg(spark: SparkSession, table_path: str) -> dict:
         "metadata_path": str(dest),
         "files_exported": len(entries),
         "rows_exported": rows_total,
+        "dv_positions_exported": n_dv_positions,
         "delta_version": snap["version"],
     }
 

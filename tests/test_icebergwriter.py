@@ -435,10 +435,19 @@ def test_delta_to_iceberg_export(spark, tmp_path):
         ).count()
         == r1["rows_exported"]
     )
-    # DV-bearing tables gate (an Iceberg reader would resurrect rows)
+    # DV-bearing tables export their DVs as POSITION DELETES (r9,
+    # VERDICT r8 item 4): both logs must hide the same rows
     DW.delete_delta(spark, tbl, [("c_acctbal", "<", 0.0)])
-    with pytest.raises(LF.LakeFormatGatedError, match="deletion vectors"):
-        IW.delta_to_iceberg(spark, tbl)
+    n_del = cust.filter(F.col("c_acctbal") < 0.0).count()
+    assert n_del > 0
+    r3 = IW.delta_to_iceberg(spark, tbl)
+    assert r3["dv_positions_exported"] == n_del
+    d_side = LF.read_delta_snapshot(spark, tbl)
+    i_side = LF.read_iceberg_snapshot(spark, r3["metadata_path"])
+    assert i_side.count() == cust.count() - n_del
+    cols = d_side.columns
+    assert d_side.exceptAll(i_side.select(*cols)).count() == 0
+    assert i_side.select(*cols).exceptAll(d_side).count() == 0
 
 
 def test_compact_iceberg(spark, tmp_path):
