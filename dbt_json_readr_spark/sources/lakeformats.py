@@ -20,8 +20,10 @@ Scope is explicit and loud:
   magic/size/CRC/cardinality all validated) and apply as a distributed
   (_metadata.file_path, row_index) anti-join.  Time travel BEHIND the
   retained log gates loudly (that history is vacuumed), as do nested
-  mapped columns and any other reader-protocol-3 feature (v2Checkpoint,
-  timestampNtz, ...).
+  mapped columns and any other reader-protocol-3 feature (timestampNtz,
+  ...).  Checkpoints seed state in classic single/multipart parquet
+  form AND v2 form (UUID-named manifest + _sidecars file-action
+  parquet, r9); JSON v2 manifests gate.
 - Iceberg: metadata.json parse (snapshot lineage, schema translation to
   Spark types, current-snapshot resolution) is full-fidelity; the DATA
   path walks the avro manifest list with the avro-core container
@@ -102,9 +104,12 @@ def _delta_log_dir(table_path: str) -> Path:
 
 
 # reader protocol-3 table features this bridge actually implements;
-# anything else in readerFeatures gates loudly (v2Checkpoint,
-# timestampNtz...)
-_SUPPORTED_READER_FEATURES = {"columnMapping", "deletionVectors"}
+# anything else in readerFeatures gates loudly (timestampNtz...).
+# v2Checkpoint landed in r9 (VERDICT r8 item 6): UUID-named parquet
+# manifests with sidecar file-action parquet under _delta_log/_sidecars
+# replay into the same state classic checkpoints seed; JSON-format v2
+# manifests still gate at read time.
+_SUPPORTED_READER_FEATURES = {"columnMapping", "deletionVectors", "v2Checkpoint"}
 
 # deletion-vector positions materialize on the DRIVER up to this total
 # cardinality (known from the descriptors before any decode).  Honest
@@ -284,12 +289,28 @@ def _read_checkpoint(log: Path, ck_version: int, parts: int | None) -> _DeltaSta
             for i in range(parts)
         ]
     else:
-        paths = [log / f"{ck_version:020d}.checkpoint.parquet"]
+        classic = log / f"{ck_version:020d}.checkpoint.parquet"
+        if classic.exists():
+            paths = [classic]
+        else:
+            # V2 CHECKPOINT (r9): UUID-named manifest — any one manifest
+            # for the version is complete by spec, so the first sorted
+            # candidate serves; its sidecar actions point at file-action
+            # parquet under _delta_log/_sidecars
+            v2 = sorted(log.glob(f"{ck_version:020d}.checkpoint.*.parquet"))
+            if v2:
+                paths = [v2[0]]
+            elif sorted(log.glob(f"{ck_version:020d}.checkpoint.*.json")):
+                raise LakeFormatGatedError(
+                    f"checkpoint {ck_version} is a JSON-format v2 manifest "
+                    "— only parquet v2 manifests are supported"
+                )
+            else:
+                paths = [classic]
     state = _DeltaState()
-    for p in paths:
-        if not p.exists():
-            raise LakeFormatError(f"missing checkpoint part: {p.name}")
-        for row in pq.read_table(str(p)).to_pylist():
+
+    def _apply_rows(src: Path, top_level: bool) -> None:
+        for row in pq.read_table(str(src)).to_pylist():
             if row.get("protocol"):
                 state.check_protocol(row["protocol"])
             if row.get("metaData"):
@@ -299,6 +320,33 @@ def _read_checkpoint(log: Path, ck_version: int, parts: int | None) -> _DeltaSta
                 state.meta(md)
             if row.get("add"):
                 state.add(dict(row["add"]))
+            if row.get("checkpointMetadata"):
+                cm = dict(row["checkpointMetadata"])
+                if int(cm.get("version", ck_version)) != ck_version:
+                    raise LakeFormatError(
+                        f"v2 checkpoint manifest {src.name} declares version "
+                        f"{cm.get('version')} but is named {ck_version}"
+                    )
+            if row.get("sidecar"):
+                if not top_level:
+                    raise LakeFormatError(
+                        f"sidecar action inside sidecar file {src.name} — "
+                        "spec allows sidecars in the manifest only"
+                    )
+                sc = dict(row["sidecar"])
+                sp = Path(sc["path"])
+                if not sp.is_absolute():
+                    sp = log / "_sidecars" / sc["path"]
+                if not sp.exists():
+                    raise LakeFormatError(
+                        f"v2 checkpoint sidecar missing: {sp.name}"
+                    )
+                _apply_rows(sp, top_level=False)
+
+    for p in paths:
+        if not p.exists():
+            raise LakeFormatError(f"missing checkpoint part: {p.name}")
+        _apply_rows(p, top_level=True)
     if state.schema is None:
         raise LakeFormatError(
             f"checkpoint {ck_version} has no metaData row (spec violation)"

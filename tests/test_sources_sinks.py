@@ -779,14 +779,15 @@ def test_delta_bridge_gates_and_time_travel(spark, tmp_path):
     assert m["schema"]["type"] == "struct"
 
     # reader-protocol 3 with an UNIMPLEMENTED feature gates loudly
-    # (deletionVectors and columnMapping are implemented and pass)
+    # (deletionVectors, columnMapping and — since r9 — v2Checkpoint are
+    # implemented and pass)
     t = tmp_path / "v2ck_table"
     (t / "_delta_log").mkdir(parents=True)
     (t / "_delta_log" / f"{0:020d}.json").write_text(
-        json.dumps({"protocol": {"minReaderVersion": 3, "readerFeatures": ["v2Checkpoint"]}})
+        json.dumps({"protocol": {"minReaderVersion": 3, "readerFeatures": ["timestampNtz"]}})
         + "\n"
     )
-    with pytest.raises(LF.LakeFormatGatedError, match="v2Checkpoint"):
+    with pytest.raises(LF.LakeFormatGatedError, match="timestampNtz"):
         LF.delta_snapshot(str(t))
 
     # non-Delta dir is a plain error
@@ -1113,7 +1114,8 @@ def test_delta_column_mapping_gates(spark, tmp_path):
     with pytest.raises(LF.LakeFormatError, match="physicalName"):
         LF.delta_snapshot(write_log([proto, md2]))
 
-    # reader 3 with columnMapping alone is now READABLE; +v2Checkpoint gates
+    # reader 3 with columnMapping alone is now READABLE; an
+    # unimplemented feature still gates
     ok3 = {
         "protocol": {
             "minReaderVersion": 3,
@@ -1137,10 +1139,10 @@ def test_delta_column_mapping_gates(spark, tmp_path):
     bad3 = {
         "protocol": {
             "minReaderVersion": 3,
-            "readerFeatures": ["columnMapping", "v2Checkpoint"],
+            "readerFeatures": ["columnMapping", "timestampNtz"],
         }
     }
-    with pytest.raises(LF.LakeFormatGatedError, match="v2Checkpoint"):
+    with pytest.raises(LF.LakeFormatGatedError, match="timestampNtz"):
         LF.delta_snapshot(write_log([bad3, md3]))
 
 
@@ -2690,3 +2692,204 @@ def test_delta_cdf_mapid_footer_resolution(spark):
             (3, "delete", "east", 2, 20),
         ]
     )
+
+
+def test_delta_v2_checkpoint_read(spark, tmp_path):
+    """V2 CHECKPOINT (r9, VERDICT r8 item 6): a UUID-named parquet
+    manifest carrying protocol/metaData/checkpointMetadata + sidecar
+    refs, with the file actions in _delta_log/_sidecars parquet, seeds
+    the same replay state a classic checkpoint does.  Commits 0-1 are
+    DELETED so only the checkpoint can answer; a post-checkpoint JSON
+    commit replays on top; declaring v2Checkpoint in readerFeatures no
+    longer gates."""
+    import json as _json
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dbt_json_readr_spark.sources import lakeformats as LF
+
+    t = tmp_path / "t"
+    t.mkdir()
+    schema_string = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "v", "type": "long", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    for rel, rows in {
+        "f0.parquet": [(1, 10), (2, 20)],
+        "f1.parquet": [(3, 30)],
+        "f2.parquet": [(4, 40)],
+        "f3.parquet": [(5, 50)],
+    }.items():
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array([r[0] for r in rows], pa.int64()),
+                    "v": pa.array([r[1] for r in rows], pa.int64()),
+                }
+            ),
+            t / rel,
+        )
+    log = t / "_delta_log"
+    log.mkdir()
+    meta = {
+        "metaData": {
+            "id": "v2ck-fixture",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string,
+            "partitionColumns": [],
+            "configuration": {},
+        }
+    }
+    proto = {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["v2Checkpoint"],
+            "writerFeatures": ["v2Checkpoint"],
+        }
+    }
+
+    def add(path):
+        return {
+            "add": {
+                "path": path,
+                "partitionValues": {},
+                "size": 1,
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        }
+
+    commits = [
+        [proto, meta, add("f0.parquet")],
+        [add("f1.parquet")],
+        [add("f2.parquet")],  # checkpointed at v2
+        [add("f3.parquet")],  # replays on top of the checkpoint
+    ]
+    for v, actions in enumerate(commits):
+        (log / f"{v:020d}.json").write_text(
+            "\n".join(_json.dumps(a) for a in actions) + "\n"
+        )
+
+    # v2 checkpoint at version 2: manifest + two sidecars
+    sidecars = log / "_sidecars"
+    sidecars.mkdir()
+
+    def sidecar(name, paths):
+        pq.write_table(
+            pa.table(
+                {
+                    "add": pa.array(
+                        [
+                            {
+                                "path": p,
+                                "partitionValues": {},
+                                "size": 1,
+                                "modificationTime": 0,
+                                "dataChange": True,
+                            }
+                            for p in paths
+                        ],
+                        pa.struct(
+                            [
+                                pa.field("path", pa.string()),
+                                pa.field(
+                                    "partitionValues",
+                                    pa.map_(pa.string(), pa.string()),
+                                ),
+                                pa.field("size", pa.int64()),
+                                pa.field("modificationTime", pa.int64()),
+                                pa.field("dataChange", pa.bool_()),
+                            ]
+                        ),
+                    )
+                }
+            ),
+            sidecars / name,
+        )
+        return name
+
+    s1 = sidecar("sc-1.parquet", ["f0.parquet", "f1.parquet"])
+    s2 = sidecar("sc-2.parquet", ["f2.parquet"])
+    manifest_rows = [
+        {"protocol": proto["protocol"], "metaData": None, "checkpointMetadata": None, "sidecar": None},
+        {"protocol": None, "metaData": meta["metaData"], "checkpointMetadata": None, "sidecar": None},
+        {"protocol": None, "metaData": None, "checkpointMetadata": {"version": 2}, "sidecar": None},
+        {"protocol": None, "metaData": None, "checkpointMetadata": None, "sidecar": {"path": s1, "sizeInBytes": 1}},
+        {"protocol": None, "metaData": None, "checkpointMetadata": None, "sidecar": {"path": s2, "sizeInBytes": 1}},
+    ]
+    manifest_schema = pa.schema(
+        [
+            pa.field(
+                "protocol",
+                pa.struct(
+                    [
+                        pa.field("minReaderVersion", pa.int32()),
+                        pa.field("minWriterVersion", pa.int32()),
+                        pa.field("readerFeatures", pa.list_(pa.string())),
+                        pa.field("writerFeatures", pa.list_(pa.string())),
+                    ]
+                ),
+            ),
+            pa.field(
+                "metaData",
+                pa.struct(
+                    [
+                        pa.field("id", pa.string()),
+                        pa.field(
+                            "format",
+                            pa.struct(
+                                [
+                                    pa.field("provider", pa.string()),
+                                    pa.field(
+                                        "options", pa.map_(pa.string(), pa.string())
+                                    ),
+                                ]
+                            ),
+                        ),
+                        pa.field("schemaString", pa.string()),
+                        pa.field("partitionColumns", pa.list_(pa.string())),
+                        pa.field(
+                            "configuration", pa.map_(pa.string(), pa.string())
+                        ),
+                    ]
+                ),
+            ),
+            pa.field(
+                "checkpointMetadata",
+                pa.struct([pa.field("version", pa.int64())]),
+            ),
+            pa.field(
+                "sidecar",
+                pa.struct(
+                    [
+                        pa.field("path", pa.string()),
+                        pa.field("sizeInBytes", pa.int64()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pylist(manifest_rows, schema=manifest_schema),
+        log / f"{2:020d}.checkpoint.{uuid.uuid4()}.parquet",
+    )
+    (log / "_last_checkpoint").write_text(_json.dumps({"version": 2}))
+    # drop the pre-checkpoint commits: only the v2 checkpoint can answer
+    (log / f"{0:020d}.json").unlink()
+    (log / f"{1:020d}.json").unlink()
+
+    got = LF.read_delta_snapshot(spark, str(t))
+    assert sorted((r.id, r.v) for r in got.collect()) == [
+        (1, 10), (2, 20), (3, 30), (4, 40), (5, 50),
+    ]
+    # time travel exactly AT the checkpoint: no JSON replay at all
+    at2 = LF.read_delta_snapshot(spark, str(t), version=2)
+    assert sorted(r.id for r in at2.collect()) == [1, 2, 3, 4]
