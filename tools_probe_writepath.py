@@ -13,7 +13,14 @@ counts + zero-loss row checks:
              physically
   probe    — a selective range predicate read pruned vs unpruned over
              the CLUSTERED table (the zone-map payoff, measured)
+  merge    — MERGE upsert (copy-on-write: ~1% key updates + fresh
+             inserts; touched-file semi-join, never a table rewrite)
+  checkpoint — classic checkpoint parquet write + a snapshot read
+             seeded FROM it (log replay skipped)
   vacuum   — dry-run orphan count after the rewrite
+  iceberg_bucket — write_iceberg bucket(16, l_orderkey) of the same
+             fragment (executor-side murmur3 Column expressions, r9)
+             and a point probe that must open exactly one bucket
 
 Every step re-validates rows against the source DataFrame — a fast
 probe that silently lost rows would be worse than no probe.
@@ -112,10 +119,90 @@ def main() -> None:
     exp_probe = surv.filter(F.col("l_orderkey") < int(hi * 0.02)).count()
     assert out["probe_pruned_rows"] == exp_probe
 
+    # MERGE upsert (r9, VERDICT r8 item 5): ~1% of keys update (price
+    # bumped) + a block of fresh keys inserts; zero-loss checks on both
+    upd = (
+        surv.filter(F.col("l_orderkey") % 97 == 0)
+        .groupBy("l_orderkey", "l_partkey")
+        .agg(
+            F.first("l_quantity").alias("l_quantity"),
+            (F.first("l_extendedprice") + F.lit(1.0)).alias("l_extendedprice"),
+            F.first("l_returnflag").alias("l_returnflag"),
+        )
+    )
+    hi_key = int(frag.agg(F.max("l_orderkey")).collect()[0][0])
+    ins = upd.limit(10000).select(
+        (F.col("l_orderkey") + F.lit(hi_key + 1000)).alias("l_orderkey"),
+        "l_partkey", "l_quantity", "l_extendedprice", "l_returnflag",
+    )
+    src_merge = upd.unionByName(ins)
+    n_upd = upd.count()
+    n_ins = ins.count()
+    t0 = time.monotonic()
+    maud = DW.merge_delta(
+        spark, DEST, src_merge, on=["l_orderkey", "l_partkey"]
+    )
+    out["merge_s"] = round(time.monotonic() - t0, 3)
+    out["merge_files_rewritten"] = maud["files_rewritten"]
+    out["merge_updates"] = n_upd
+    out["merge_inserts"] = n_ins
+    got4 = LF.read_delta_snapshot(spark, DEST).count()
+    assert got4 == exp_surv + n_ins, (got4, exp_surv, n_ins)
+
+    # classic checkpoint + a read seeded from it (no JSON replay)
+    t0 = time.monotonic()
+    ck = DW.write_delta_checkpoint(spark, DEST)
+    out["checkpoint_s"] = round(time.monotonic() - t0, 3)
+    out["checkpoint_version"] = ck.get("version")
+    t0 = time.monotonic()
+    got5 = LF.read_delta_snapshot(spark, DEST).count()
+    out["read_from_checkpoint_s"] = round(time.monotonic() - t0, 3)
+    assert got5 == got4, (got5, got4)
+
     vaud = DW.vacuum_delta(
         spark, DEST, retention_ms=0, now_ms=10**15, dry_run=True
     )
     out["vacuum_orphans"] = vaud["files_deleted"]
+
+    # Iceberg bucket-transform write (r9): the murmur3 Column
+    # expressions at full fragment width, then a point probe that must
+    # open exactly one bucket's files
+    from dbt_json_readr_spark.sources import icebergwriter as IW
+    from dbt_json_readr_spark.sources import skipping as SK
+
+    ice = DEST + "_ice"
+    shutil.rmtree(ice, ignore_errors=True)
+    t0 = time.monotonic()
+    iaud = IW.write_iceberg(
+        spark, frag, ice,
+        partition_by=["bucket(16, l_orderkey)"],
+        max_records_per_file=MAX_ROWS_PER_FILE,
+    )
+    out["iceberg_bucket_write_s"] = round(time.monotonic() - t0, 3)
+    out["iceberg_bucket_files"] = iaud["files_added"]
+    assert iaud["rows_written"] == exp_rows, (iaud, exp_rows)
+    from pathlib import Path as _P
+
+    imeta = str(
+        max(
+            _P(ice, "metadata").glob("v*.metadata.json"),
+            key=lambda q: int(q.name.split(".")[0][1:]),
+        )
+    )
+    probe_key = int(hi * 0.5) // 11 * 11  # an existing orderkey
+    want_bucket = (SK.iceberg_bucket_hash("long", probe_key) & 0x7FFFFFFF) % 16
+    t0 = time.monotonic()
+    ipr = LF.read_iceberg_snapshot(
+        spark, imeta, predicate=[("l_orderkey", "=", probe_key)]
+    )
+    n_probe = ipr.count()
+    out["iceberg_point_probe_s"] = round(time.monotonic() - t0, 3)
+    out["iceberg_probe_files_opened"] = len(ipr.inputFiles())
+    out["iceberg_probe_rows"] = n_probe
+    assert n_probe == frag.filter(F.col("l_orderkey") == probe_key).count()
+    assert all(
+        f"l_orderkey_bucket={want_bucket}" in f for f in ipr.inputFiles()
+    )
 
     # Z-ORDER (r8 s3): rewrite the same table clustered on TWO
     # dimensions with a bounded file size, then measure pruning on
