@@ -886,11 +886,11 @@ def test_roaring_dv_blob_roundtrip(positions, dense):
     longs=st.lists(
         st.integers(min_value=-(2**63), max_value=2**63 - 1),
         min_size=1,
-        max_size=40,
+        max_size=100,
     ),
-    strs=st.lists(st.text(max_size=24), min_size=1, max_size=40),
+    strs=st.lists(st.text(max_size=24), min_size=1, max_size=100),
 )
-@settings(max_examples=10, deadline=None,
+@settings(max_examples=5, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_sql_murmur3_matches_python_reference(spark, longs, strs):
     """The executor-side murmur3_x86_32 (functions/icetransforms.py,

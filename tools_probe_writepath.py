@@ -119,46 +119,6 @@ def main() -> None:
     exp_probe = surv.filter(F.col("l_orderkey") < int(hi * 0.02)).count()
     assert out["probe_pruned_rows"] == exp_probe
 
-    # MERGE upsert (r9, VERDICT r8 item 5): ~1% of keys update (price
-    # bumped) + a block of fresh keys inserts; zero-loss checks on both
-    upd = (
-        surv.filter(F.col("l_orderkey") % 97 == 0)
-        .groupBy("l_orderkey", "l_partkey")
-        .agg(
-            F.first("l_quantity").alias("l_quantity"),
-            (F.first("l_extendedprice") + F.lit(1.0)).alias("l_extendedprice"),
-            F.first("l_returnflag").alias("l_returnflag"),
-        )
-    )
-    hi_key = int(frag.agg(F.max("l_orderkey")).collect()[0][0])
-    ins = upd.limit(10000).select(
-        (F.col("l_orderkey") + F.lit(hi_key + 1000)).alias("l_orderkey"),
-        "l_partkey", "l_quantity", "l_extendedprice", "l_returnflag",
-    )
-    src_merge = upd.unionByName(ins)
-    n_upd = upd.count()
-    n_ins = ins.count()
-    t0 = time.monotonic()
-    maud = DW.merge_delta(
-        spark, DEST, src_merge, on=["l_orderkey", "l_partkey"]
-    )
-    out["merge_s"] = round(time.monotonic() - t0, 3)
-    out["merge_files_rewritten"] = maud["files_rewritten"]
-    out["merge_updates"] = n_upd
-    out["merge_inserts"] = n_ins
-    got4 = LF.read_delta_snapshot(spark, DEST).count()
-    assert got4 == exp_surv + n_ins, (got4, exp_surv, n_ins)
-
-    # classic checkpoint + a read seeded from it (no JSON replay)
-    t0 = time.monotonic()
-    ck = DW.write_delta_checkpoint(spark, DEST)
-    out["checkpoint_s"] = round(time.monotonic() - t0, 3)
-    out["checkpoint_version"] = ck.get("version")
-    t0 = time.monotonic()
-    got5 = LF.read_delta_snapshot(spark, DEST).count()
-    out["read_from_checkpoint_s"] = round(time.monotonic() - t0, 3)
-    assert got5 == got4, (got5, got4)
-
     vaud = DW.vacuum_delta(
         spark, DEST, retention_ms=0, now_ms=10**15, dry_run=True
     )
@@ -234,6 +194,47 @@ def main() -> None:
         exp_n = surv.filter(F.col(col) < v).count()
         assert n == exp_n, (dim, n, exp_n)
     out["zorder_files_total"] = len(snapz["files"])
+
+    # MERGE upsert (r9, VERDICT r8 item 5): ~1% of keys update (price
+    # bumped) + a block of fresh keys inserts; zero-loss checks on both
+    upd = (
+        surv.filter(F.col("l_orderkey") % 97 == 0)
+        .groupBy("l_orderkey", "l_partkey")
+        .agg(
+            F.first("l_quantity").alias("l_quantity"),
+            (F.first("l_extendedprice") + F.lit(1.0)).alias("l_extendedprice"),
+            F.first("l_returnflag").alias("l_returnflag"),
+        )
+    )
+    hi_key = int(frag.agg(F.max("l_orderkey")).collect()[0][0])
+    ins = upd.limit(10000).select(
+        (F.col("l_orderkey") + F.lit(hi_key + 1000)).alias("l_orderkey"),
+        "l_partkey", "l_quantity", "l_extendedprice", "l_returnflag",
+    )
+    src_merge = upd.unionByName(ins)
+    n_upd = upd.count()
+    n_ins = ins.count()
+    t0 = time.monotonic()
+    maud = DW.merge_delta(
+        spark, DEST, src_merge, on=["l_orderkey", "l_partkey"]
+    )
+    out["merge_s"] = round(time.monotonic() - t0, 3)
+    out["merge_files_rewritten"] = maud["files_rewritten"]
+    out["merge_updates"] = n_upd
+    out["merge_inserts"] = n_ins
+    got4 = LF.read_delta_snapshot(spark, DEST).count()
+    assert got4 == exp_surv + n_ins, (got4, exp_surv, n_ins)
+
+    # classic checkpoint + a read seeded from it (no JSON replay)
+    t0 = time.monotonic()
+    ck = DW.write_delta_checkpoint(spark, DEST)
+    out["checkpoint_s"] = round(time.monotonic() - t0, 3)
+    out["checkpoint_version"] = ck.get("version")
+    t0 = time.monotonic()
+    got5 = LF.read_delta_snapshot(spark, DEST).count()
+    out["read_from_checkpoint_s"] = round(time.monotonic() - t0, 3)
+    assert got5 == got4, (got5, got4)
+
     print(json.dumps(out))
 
 
