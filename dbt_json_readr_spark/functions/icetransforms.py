@@ -24,7 +24,7 @@ unicode strings (tests/test_properties.py).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _M32 = 0xFFFFFFFF
@@ -79,19 +79,113 @@ def murmur3_long(v: Column) -> Column:
     value in [0, 2^32) — the Appendix-B hash for int/long/date/time/
     timestamp (all hash through their 8-byte long form).  Null → null.
 
-    UNROLLED composition, not an ``aggregate`` fold: HOF lambda bodies
-    run INTERPRETED per element, measured 70–200 s per 60M rows; the
-    unrolled tree duplicates subtrees (~2× per round, ~4000 leaf
-    copies) but Catalyst shares the references and whole-stage codegen
-    + subexpression elimination execute it at ~8 s per 60M rows on the
-    same box (within ~3× of Spark's native ``hash``).  The one-time
-    plan-analysis cost of the big tree (~seconds) is paid per WRITE,
-    which is already a multi-second operation.  The fixed 2-block loop
-    makes unrolling possible here; variable-length strings keep the
-    fold (murmur3_utf8)."""
+    COLUMN-API form: an ``aggregate`` fold whose lambda bodies run
+    interpreted — small tree, safe to compile anywhere, ~70 s per 60M
+    rows.  The WRITE path never uses it: ``with_murmur3_long`` binds
+    every 32-bit step as its own projection column, which whole-stage
+    codegen compiles to one local each — measured 0.8 s per 60M rows
+    (at parity with Spark's native ``hash``).  A fully UNROLLED Column
+    tree sits between the two (~8 s/60M) but its single giant
+    generated method OOMed janino at sf10 — don't resurrect it."""
+    blocks = F.array(
+        _mask(v.cast("long")),
+        F.shiftright(v.cast("long"), 32).bitwiseAND(F.lit(_M32)),
+    )
+    return F.aggregate(
+        F.when(v.isNotNull(), blocks),
+        F.lit(0).cast("long"),
+        _mix,
+        lambda h: _fmix(h, F.lit(8)),
+    )
+
+
+def with_murmur3_long(df: "DataFrame", out_col: str, v: Column) -> "DataFrame":
+    """CHAIN-BOUND murmur3_x86_32 of ``v``'s 8-byte-LE long form into
+    ``df[out_col]`` — the write path's executor-side hash.  Every
+    32-bit round lands in its own temp projection column: CollapseProject
+    keeps non-cheap expressions referenced twice un-inlined, so codegen
+    emits one local per step instead of the ~4000-leaf unrolled tree
+    (which OOMs janino) or the interpreted HOF fold (~100× slower).
+    Temps drop before return; null in → null out (null propagates
+    through every arithmetic step)."""
+    tag = f"__mm_{out_col}"
+    n = [0]
+    temps: list[str] = []
+
+    def bind(d, expr):
+        n[0] += 1
+        name = f"{tag}_{n[0]}"
+        temps.append(name)
+        return d.withColumn(name, expr), F.col(name)
+
+    def mul32(d, x, c):
+        lo = x.bitwiseAND(F.lit(0xFFFF)) * F.lit(c)
+        hi = _mask(
+            (
+                F.shiftright(x, 16).bitwiseAND(F.lit(0xFFFF)) * F.lit(c)
+            ).bitwiseAND(F.lit(0xFFFF))
+            * F.lit(0x10000)
+        )
+        return bind(d, _mask(lo + hi))
+
+    def rotl32(d, x, r):
+        return bind(d, _mask(F.shiftleft(x, r).bitwiseOR(F.shiftright(x, 32 - r))))
+
+    def mix(d, h, k):
+        d, k = mul32(d, k, _C1)
+        d, k = rotl32(d, k, 15)
+        d, k = mul32(d, k, _C2)
+        d, h = bind(d, h.bitwiseXOR(k))
+        d, h = rotl32(d, h, 13)
+        d, t = mul32(d, h, 5)
+        d, h = bind(d, _mask(t + F.lit(0xE6546B64)))
+        return d, h
+
     vv = v.cast("long")
-    h = _mix(_mix(F.lit(0).cast("long"), _mask(vv)), F.shiftright(vv, 32).bitwiseAND(F.lit(_M32)))
-    return F.when(v.isNotNull(), _fmix(h, F.lit(8)))
+    df, b0 = bind(df, _mask(vv))
+    df, b1 = bind(df, F.shiftright(vv, 32).bitwiseAND(F.lit(_M32)))
+    df, h = mix(df, F.lit(0).cast("long"), b0)
+    df, h = mix(df, h, b1)
+    df, h = bind(df, h.bitwiseXOR(F.lit(8)))
+    df, h = bind(df, h.bitwiseXOR(F.shiftright(h, 16)))
+    df, h = mul32(df, h, 0x85EBCA6B)
+    df, h = bind(df, h.bitwiseXOR(F.shiftright(h, 13)))
+    df, h = mul32(df, h, 0xC2B2AE35)
+    df = df.withColumn(out_col, h.bitwiseXOR(F.shiftright(h, 16)))
+    return df.drop(*temps)
+
+
+def with_bucket_column(
+    df: "DataFrame", out_col: str, source: str, type_json: str, n: int
+) -> "DataFrame":
+    """``df`` + ``out_col`` = bucket[n](source) — the write path's
+    DataFrame-level form.  Long-form types hash through the chain-bound
+    murmur3 (codegen-fast); strings fall back to the HOF Column (the
+    variable-length loop cannot unroll or chain)."""
+    col = F.col(source)
+    if type_json in ("int", "long"):
+        df = with_murmur3_long(df, f"__h_{out_col}", col.cast("long"))
+    elif type_json == "date":
+        df = with_murmur3_long(
+            df, f"__h_{out_col}", F.datediff(col, F.lit("1970-01-01")).cast("long")
+        )
+    elif type_json in ("timestamp", "timestamptz"):
+        df = with_murmur3_long(
+            df, f"__h_{out_col}", F.unix_micros(col.cast("timestamp"))
+        )
+    elif type_json == "string":
+        return df.withColumn(
+            out_col,
+            murmur3_utf8(col).bitwiseAND(F.lit(0x7FFFFFFF)).cast("long")
+            % F.lit(n),
+        )
+    else:
+        raise ValueError(f"bucket over {type_json!r} has no executor-side hash")
+    return df.withColumn(
+        out_col,
+        F.col(f"__h_{out_col}").bitwiseAND(F.lit(0x7FFFFFFF)).cast("long")
+        % F.lit(n),
+    ).drop(f"__h_{out_col}")
 
 
 def _byte_at(b: Column, pos: Column) -> Column:

@@ -867,7 +867,21 @@ def write_iceberg(
     dup_cols = []
     for pf in part_fields:
         dup = f"__part_{pf['name']}"
-        out = out.withColumn(dup, _partition_expr(pf))
+        if pf["transform"].startswith("bucket["):
+            # DataFrame-level chain-bound murmur3 (codegen-fast; the
+            # Column form is ~100× slower interpreted — see
+            # functions/icetransforms.py)
+            from ..functions import icetransforms as IT
+
+            out = IT.with_bucket_column(
+                out,
+                dup,
+                pf["source"],
+                pf["src_type"],
+                int(pf["transform"][len("bucket[") : -1]),
+            )
+        else:
+            out = out.withColumn(dup, _partition_expr(pf))
         dup_cols.append(dup)
     if part_fields and colocate:
         out = out.repartition(*[F.col(c) for c in dup_cols])

@@ -909,6 +909,19 @@ def test_sql_murmur3_matches_python_reference(spark, longs, strs):
     got = [r[0] for r in dfl.select(IT.murmur3_long(F.col("v"))).collect()]
     assert got == [murmur3_x86_32(struct.pack("<q", v)) for v in longs]
 
+    # the chain-bound DataFrame form (the write path's fast variant)
+    # must agree with both
+    got_chain = [
+        r.h
+        for r in IT.with_murmur3_long(dfl, "h", F.col("v"))
+        .orderBy("v")
+        .collect()
+    ]
+    exp_chain = [
+        murmur3_x86_32(struct.pack("<q", v)) for v in sorted(longs)
+    ]
+    assert got_chain == exp_chain
+
     dfs = spark.createDataFrame([(s,) for s in strs], "s string")
     got = [r[0] for r in dfs.select(IT.murmur3_utf8(F.col("s"))).collect()]
     assert got == [murmur3_x86_32(s.encode("utf-8")) for s in strs]
