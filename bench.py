@@ -62,6 +62,10 @@ HEADLINE = STABLE_8 + [
     # r8 session 3: the multi-column Z-order layout — cold pays the
     # interleaved rewrite, steady measures the 2-D pruned read
     "delta_zorder_rewrite",
+    # r9: write-side bucket partitioning — cold pays the murmur3
+    # bucketed write (chain-bound executor-side hash), steady measures
+    # five equality probes through the transform-pruning read bridge
+    "iceberg_bucket_write_prune",
 ]
 
 
