@@ -155,6 +155,21 @@ def with_murmur3_long(df: "DataFrame", out_col: str, v: Column) -> "DataFrame":
     return df.drop(*temps)
 
 
+def _long_form(col: Column, type_json: str) -> Column:
+    """The spec's 8-byte-long canonical form per source type — ONE
+    definition shared by the Column-API hash and the chain-bound write
+    path, so the two can never hash the same value differently."""
+    if type_json in ("int", "long"):
+        return col.cast("long")
+    if type_json == "date":
+        return F.datediff(col, F.lit("1970-01-01")).cast("long")
+    if type_json in ("timestamp", "timestamptz"):
+        # ntz casts to tz under the pinned UTC session — same micros
+        # the driver-side twin computes against the naive epoch
+        return F.unix_micros(col.cast("timestamp"))
+    raise ValueError(f"bucket over {type_json!r} has no executor-side hash")
+
+
 def with_bucket_column(
     df: "DataFrame", out_col: str, source: str, type_json: str, n: int
 ) -> "DataFrame":
@@ -163,24 +178,13 @@ def with_bucket_column(
     murmur3 (codegen-fast); strings fall back to the HOF Column (the
     variable-length loop cannot unroll or chain)."""
     col = F.col(source)
-    if type_json in ("int", "long"):
-        df = with_murmur3_long(df, f"__h_{out_col}", col.cast("long"))
-    elif type_json == "date":
-        df = with_murmur3_long(
-            df, f"__h_{out_col}", F.datediff(col, F.lit("1970-01-01")).cast("long")
-        )
-    elif type_json in ("timestamp", "timestamptz"):
-        df = with_murmur3_long(
-            df, f"__h_{out_col}", F.unix_micros(col.cast("timestamp"))
-        )
-    elif type_json == "string":
+    if type_json == "string":
         return df.withColumn(
             out_col,
             murmur3_utf8(col).bitwiseAND(F.lit(0x7FFFFFFF)).cast("long")
             % F.lit(n),
         )
-    else:
-        raise ValueError(f"bucket over {type_json!r} has no executor-side hash")
+    df = with_murmur3_long(df, f"__h_{out_col}", _long_form(col, type_json))
     return df.withColumn(
         out_col,
         F.col(f"__h_{out_col}").bitwiseAND(F.lit(0x7FFFFFFF)).cast("long")
@@ -241,18 +245,10 @@ def bucket_value(col: Column, type_json: str, n: int) -> Column:
     spec's exact formula, per source type.  Raises for types this
     module cannot hash executor-side (decimal/binary — the driver-side
     twin covers them for reads; writes gate loudly upstream)."""
-    if type_json in ("int", "long"):
-        h = murmur3_long(col.cast("long"))
-    elif type_json == "date":
-        h = murmur3_long(F.datediff(col, F.lit("1970-01-01")).cast("long"))
-    elif type_json in ("timestamp", "timestamptz"):
-        # ntz casts to tz under the pinned UTC session — same micros
-        # the driver-side twin computes against the naive epoch
-        h = murmur3_long(F.unix_micros(col.cast("timestamp")))
-    elif type_json == "string":
+    if type_json == "string":
         h = murmur3_utf8(col)
     else:
-        raise ValueError(f"bucket over {type_json!r} has no executor-side hash")
+        h = murmur3_long(_long_form(col, type_json))
     return h.bitwiseAND(F.lit(0x7FFFFFFF)).cast("long") % F.lit(n)
 
 
@@ -283,7 +279,12 @@ def datepart_value(col: Column, type_json: str, transform: str) -> Column:
     if transform == "day":
         return F.datediff(col.cast("date"), F.lit("1970-01-01")).cast("long")
     if transform == "hour":
+        # exact INTEGER division: `/` on two bigints is double division,
+        # which rounds for |micros| >= 2^53 (~year 2255) and can land a
+        # row one hour off its spec-true partition (r9 review).  The
+        # pmod makes the numerator exactly divisible, so `div`'s
+        # truncate-toward-zero never matters.
         us = F.unix_micros(col.cast("timestamp"))
         per = F.lit(3_600_000_000)
-        return ((us - F.pmod(us, per)) / per).cast("long")
+        return F.call_function("div", us - F.pmod(us, per), per).cast("long")
     raise ValueError(f"unknown date transform {transform!r}")

@@ -1725,12 +1725,13 @@ def _zorder_expr(
         mn = 0 if mins[j] is None else int(mins[j])
         mx = mn if maxs[j] is None else int(maxs[j])
         span = max(1, mx - mn + 1)
-        # ((v - mn) * 2^bits) runs in BIGINT on the executors: for a
-        # column whose range spans more than 2^(63-bits) the multiply
-        # overflows — an ANSI throw mid-OPTIMIZE, a silently broken
-        # interleave otherwise (ADVICE r8).  Gate loudly; such ranges
-        # want a coarser bits setting or a pre-scaled column.
-        if span - 1 > (2**62 >> bits):
+        # ((v - mn) * 2^bits) runs in BIGINT on the executors: the
+        # multiply overflows once (span-1)·2^bits exceeds 2^63-1 — an
+        # ANSI throw mid-OPTIMIZE, a silently broken interleave
+        # otherwise (ADVICE r8).  Gate exactly at the formula's true
+        # ceiling (r9 review: the first cut fired a factor of 2 early
+        # while its message claimed the full range).
+        if span - 1 > ((2**63 - 1) >> bits):
             raise LF.LakeFormatGatedError(
                 f"zorder column {c!r} spans [{mn}, {mx}] — wider than "
                 f"the exact-BIGINT bucket formula supports at "

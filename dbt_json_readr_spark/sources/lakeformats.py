@@ -293,13 +293,34 @@ def _read_checkpoint(log: Path, ck_version: int, parts: int | None) -> _DeltaSta
         if classic.exists():
             paths = [classic]
         else:
-            # V2 CHECKPOINT (r9): UUID-named manifest — any one manifest
-            # for the version is complete by spec, so the first sorted
-            # candidate serves; its sidecar actions point at file-action
-            # parquet under _delta_log/_sidecars
-            v2 = sorted(log.glob(f"{ck_version:020d}.checkpoint.*.parquet"))
-            if v2:
-                paths = [v2[0]]
+            # Distinguish a MULTIPART checkpoint whose _last_checkpoint
+            # omitted the optional "parts" field from a V2 UUID-named
+            # manifest: part names are n.checkpoint.<i:010d>.<N:010d>
+            # .parquet — treating one part as a complete v2 manifest
+            # would silently drop every file in the other parts
+            # (r9 review finding).
+            import re as _re
+
+            cands = sorted(log.glob(f"{ck_version:020d}.checkpoint.*.parquet"))
+            part_re = _re.compile(
+                rf"^{ck_version:020d}\.checkpoint\.(\d{{10}})\.(\d{{10}})\.parquet$"
+            )
+            part_matches = [
+                m for m in (part_re.match(p.name) for p in cands) if m
+            ]
+            if part_matches:
+                total = int(part_matches[0].group(2))
+                paths = [
+                    log
+                    / f"{ck_version:020d}.checkpoint.{i + 1:010d}.{total:010d}.parquet"
+                    for i in range(total)
+                ]
+            elif cands:
+                # V2 CHECKPOINT (r9): UUID-named manifest — any one
+                # manifest for the version is complete by spec; its
+                # sidecar actions point at file-action parquet under
+                # _delta_log/_sidecars
+                paths = [cands[0]]
             elif sorted(log.glob(f"{ck_version:020d}.checkpoint.*.json")):
                 raise LakeFormatGatedError(
                     f"checkpoint {ck_version} is a JSON-format v2 manifest "
@@ -1100,10 +1121,14 @@ def read_delta_changes(
     naming the CHANGING commit; on a mode-'name' column-mapped table a
     metadata-only logical RENAME passes — the cdc/data parquet are
     untouched and scans run under physical names, r8 VERDICT r7 item
-    4 — while add/drop/type changes still gate), mode-'id' mapped
-    tables gate, a commit touching deletion vectors without cdc files
-    gates, and vacuumed ranges gate.  Scans batch per (commit,
-    change_type, partitionValues) so wide commits stay one relation."""
+    4 — while add/drop/type changes still gate; on a mode-'id' table
+    identity keys on FIELD IDS, so a rename passes there too, r9
+    VERDICT r8 item 3), a commit touching deletion vectors without cdc
+    files gates, and vacuumed ranges gate.  Mode-'id' cdc/data scans
+    resolve per file by footer field id (metadata physicalName as the
+    no-ids fallback) and batch per (commit, change_type,
+    partitionValues, resolved-name map); unmapped/mode-'name' scans
+    batch per (commit, change_type, partitionValues)."""
     log = _delta_log_dir(table_path)
     if start_version < 0:
         raise LakeFormatError(f"invalid CDF start_version {start_version}")
@@ -1757,12 +1782,26 @@ def _from_avro_json(sch, v, named: dict):
     if isinstance(sch, list):  # union
         if v is None:
             return None
-        branch = next(b for b in sch if b != "null")
         # the encoder ALWAYS wraps a non-null union value as
-        # {"branchName": value}; anything else is malformed
+        # {"branchName": value}; decode against the branch the label
+        # NAMES — first-non-null guessing mis-decodes legal >2-branch
+        # unions like ["null", "string", "bytes"] (r9 review finding)
         if not (isinstance(v, dict) and len(v) == 1):
             raise LakeFormatError(f"malformed avro-JSON union value: {v!r}")
-        return _from_avro_json(branch, next(iter(v.values())), named)
+        label, inner = next(iter(v.items()))
+
+        def _bname(b) -> str:
+            if isinstance(b, str):
+                return b
+            t = b.get("type")
+            return b["name"] if t in ("record", "enum", "fixed") else t
+
+        branch = next((b for b in sch if b != "null" and _bname(b) == label), None)
+        if branch is None:
+            raise LakeFormatError(
+                f"avro-JSON union label {label!r} matches no branch of {sch!r}"
+            )
+        return _from_avro_json(branch, inner, named)
     if isinstance(sch, str):
         if sch in named:
             return _from_avro_json(named[sch], v, named)
@@ -1809,21 +1848,7 @@ def write_avro_records(
     schema = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
     parsed = json.loads(schema_json)
     named: dict[str, dict] = {}
-
-    def _register(sch) -> None:
-        if isinstance(sch, dict) and sch.get("type") in ("record", "enum", "fixed"):
-            named[sch["name"]] = sch
-            for f in sch.get("fields", []):
-                _register(f["type"])
-        elif isinstance(sch, dict) and sch.get("type") == "array":
-            _register(sch["items"])
-        elif isinstance(sch, dict) and sch.get("type") == "map":
-            _register(sch["values"])
-        elif isinstance(sch, list):
-            for b in sch:
-                _register(b)
-
-    _register(parsed)
+    _register_avro_names(parsed, named)
 
     def _branch_label(branch) -> str:
         if isinstance(branch, str):

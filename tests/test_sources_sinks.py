@@ -2893,3 +2893,122 @@ def test_delta_v2_checkpoint_read(spark, tmp_path):
     # time travel exactly AT the checkpoint: no JSON replay at all
     at2 = LF.read_delta_snapshot(spark, str(t), version=2)
     assert sorted(r.id for r in at2.collect()) == [1, 2, 3, 4]
+
+
+def test_multipart_checkpoint_without_parts_field(spark, tmp_path):
+    """r9 review: a MULTIPART checkpoint whose _last_checkpoint omits
+    the optional "parts" field must read ALL parts — the v2 UUID glob
+    must not swallow part 1 as a complete manifest and silently drop
+    every file in part 2."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dbt_json_readr_spark.sources import lakeformats as LF
+
+    t = tmp_path / "t"
+    t.mkdir()
+    schema_string = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True, "metadata": {}}
+            ],
+        }
+    )
+    for rel, ids in {"f0.parquet": [1, 2], "f1.parquet": [3]}.items():
+        pq.write_table(pa.table({"id": pa.array(ids, pa.int64())}), t / rel)
+    log = t / "_delta_log"
+    log.mkdir()
+    meta = {
+        "metaData": {
+            "id": "mp-fixture",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string,
+            "partitionColumns": [],
+            "configuration": {},
+        }
+    }
+    proto = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+
+    def add_row(path):
+        return {
+            "path": path,
+            "partitionValues": {},
+            "size": 1,
+            "modificationTime": 0,
+            "dataChange": True,
+        }
+
+    (log / f"{0:020d}.json").write_text(
+        "\n".join(
+            _json.dumps(a)
+            for a in [proto, meta, {"add": add_row("f0.parquet")}, {"add": add_row("f1.parquet")}]
+        )
+        + "\n"
+    )
+    # two-part checkpoint at v0: part 1 holds protocol+metaData+f0,
+    # part 2 holds ONLY f1 — dropping part 2 loses a file
+    add_struct = pa.struct(
+        [
+            pa.field("path", pa.string()),
+            pa.field("partitionValues", pa.map_(pa.string(), pa.string())),
+            pa.field("size", pa.int64()),
+            pa.field("modificationTime", pa.int64()),
+            pa.field("dataChange", pa.bool_()),
+        ]
+    )
+    meta_struct = pa.struct(
+        [
+            pa.field("id", pa.string()),
+            pa.field(
+                "format",
+                pa.struct(
+                    [
+                        pa.field("provider", pa.string()),
+                        pa.field("options", pa.map_(pa.string(), pa.string())),
+                    ]
+                ),
+            ),
+            pa.field("schemaString", pa.string()),
+            pa.field("partitionColumns", pa.list_(pa.string())),
+            pa.field("configuration", pa.map_(pa.string(), pa.string())),
+        ]
+    )
+    proto_struct = pa.struct(
+        [
+            pa.field("minReaderVersion", pa.int32()),
+            pa.field("minWriterVersion", pa.int32()),
+        ]
+    )
+    sch = pa.schema(
+        [
+            pa.field("protocol", proto_struct),
+            pa.field("metaData", meta_struct),
+            pa.field("add", add_struct),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pylist(
+            [
+                {"protocol": proto["protocol"], "metaData": None, "add": None},
+                {"protocol": None, "metaData": meta["metaData"], "add": None},
+                {"protocol": None, "metaData": None, "add": add_row("f0.parquet")},
+            ],
+            schema=sch,
+        ),
+        log / f"{0:020d}.checkpoint.{1:010d}.{2:010d}.parquet",
+    )
+    pq.write_table(
+        pa.Table.from_pylist(
+            [{"protocol": None, "metaData": None, "add": add_row("f1.parquet")}],
+            schema=sch,
+        ),
+        log / f"{0:020d}.checkpoint.{2:010d}.{2:010d}.parquet",
+    )
+    # the spec marks "parts" optional — omit it
+    (log / "_last_checkpoint").write_text(_json.dumps({"version": 0}))
+    (log / f"{0:020d}.json").unlink()  # only the checkpoint can answer
+    got = LF.read_delta_snapshot(spark, str(t))
+    assert sorted(r.id for r in got.collect()) == [1, 2, 3]
