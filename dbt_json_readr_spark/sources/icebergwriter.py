@@ -1570,15 +1570,31 @@ def delta_to_iceberg(spark: SparkSession, table_path: str) -> dict:
     Iceberg readers hide exactly the rows Delta readers hide while
     both logs keep serving the same data bytes.
 
-    Gates: column mapping (physical names), exotic partition types,
-    and re-export after Delta schema evolution (field ids would
-    drift)."""
+    COLUMN-MAPPED tables export too (r9): the Iceberg field ids are
+    the delta.columnMapping.ids, so the read side's footer-field-id
+    resolution finds the physically-named parquet columns under their
+    LOGICAL names; stats collect per file under physical names and key
+    back to the shared ids.  Files with neither footer ids nor a
+    physical name equal to the logical one gate at export (an Iceberg
+    reader would null-fill them).
+
+    Gates: exotic partition types, and re-export after Delta schema
+    evolution (field ids would drift)."""
     snap = LF.delta_snapshot(table_path)
-    if snap["column_mapping_mode"] != "none":
-        raise LF.LakeFormatGatedError(
-            "delta_to_iceberg on column-mapped tables is not implemented "
-            "— the export would need physical-name manifests"
-        )
+    cm_mode = snap["column_mapping_mode"]
+    cm_phys = snap["physical_names"] if cm_mode != "none" else {}
+    cm_ids = snap["field_ids"] if cm_mode != "none" else {}
+    if cm_mode != "none":
+        missing = [
+            f.name for f in snap["schema"].fields if f.name not in cm_ids
+        ]
+        if missing:
+            raise LF.LakeFormatGatedError(
+                f"column-mapped export needs delta.columnMapping.id on "
+                f"every column; missing for {missing} — the Iceberg "
+                "schema's field ids must BE the mapping ids so readers "
+                "resolve the physical-name parquet by footer id"
+            )
     dv_live = [
         (f["path"], f["deletionVector"])
         for f in snap["files"]
@@ -1598,7 +1614,15 @@ def delta_to_iceberg(spark: SparkSession, table_path: str) -> dict:
 
     table_dir = os.path.abspath(table_path)
     meta_dir = Path(table_dir) / "metadata"
-    field_ids = {f.name: i + 1 for i, f in enumerate(schema.fields)}
+    # mapped tables: Iceberg field id = delta.columnMapping.id (column
+    # identity carries over, so the grouped read's footer-id resolution
+    # finds the physically-named parquet columns, exactly like a
+    # renamed Iceberg column's old files — r9); unmapped: positional
+    field_ids = (
+        dict(cm_ids)
+        if cm_mode != "none"
+        else {f.name: i + 1 for i, f in enumerate(schema.fields)}
+    )
     schema_json = {
         "type": "struct",
         "schema-id": 0,
@@ -1667,14 +1691,46 @@ def delta_to_iceberg(spark: SparkSession, table_path: str) -> dict:
         ap = os.path.join(table_dir, f["path"])
         pv: dict[str, object] = {}
         for c in partition_by:
-            raw = (f.get("partitionValues") or {}).get(c)
+            raw = (f.get("partitionValues") or {}).get(
+                cm_phys.get(c, c), (f.get("partitionValues") or {}).get(c)
+            )
             if raw is None:
                 pv[c] = None
             elif isinstance(schema[c].dataType, (T.IntegerType, T.LongType)):
                 pv[c] = int(raw)
             else:
                 pv[c] = str(raw)
-        nrows, bounds, nulls, value_counts = footer_column_stats(ap, data_cols)
+        if cm_mode != "none":
+            # stats collect under each file's PHYSICAL names, keyed back
+            # to logical; a file with neither footer ids nor a physical
+            # name equal to its logical name would be unreadable to the
+            # Iceberg side's resolution — gate it loudly here, at
+            # export, not silently null-filled at read
+            top_ids, _n, _nm = LF._parquet_field_names_by_id(ap)
+            pn_of: dict[str, str] = {}
+            for name in data_cols:
+                pn = top_ids.get(field_ids[name])
+                if pn is None:
+                    pn = cm_phys.get(name, name)
+                    if pn != name:
+                        raise LF.LakeFormatGatedError(
+                            f"{ap} has no parquet footer field id for "
+                            f"column {name!r} (physical {pn!r}) — an "
+                            "Iceberg reader would null-fill it; rewrite "
+                            "the file with field ids (OPTIMIZE) first"
+                        )
+                pn_of[name] = pn
+            nrows, bounds_p, nulls_p, vc_p = footer_column_stats(
+                ap, [pn_of[n] for n in data_cols]
+            )
+            back = {pn_of[n]: n for n in data_cols}
+            bounds = {back[k]: v for k, v in bounds_p.items()}
+            nulls = {back[k]: v for k, v in nulls_p.items()}
+            value_counts = {back[k]: v for k, v in vc_p.items()}
+        else:
+            nrows, bounds, nulls, value_counts = footer_column_stats(
+                ap, data_cols
+            )
         rows_total += nrows
         lower: dict[int, bytes] = {}
         upper: dict[int, bytes] = {}

@@ -741,3 +741,136 @@ def test_partition_transform_gates_and_nulls(spark, tmp_path):
     IW.write_iceberg(spark, df, tbl, partition_by=["day(d)"])
     back = LF.read_iceberg_snapshot(spark, _latest_meta(tbl))
     assert back.count() == 1 and back.collect()[0].d is None
+
+
+def test_delta_to_iceberg_column_mapped(spark, tmp_path):
+    """Column-mapped UniForm export (r9): a mode-'name' Delta table
+    whose parquet carries PHYSICAL column names + footer field ids
+    exports with Iceberg field ids = the columnMapping ids, so the
+    bridge's footer-id resolution reads the physical columns under
+    their LOGICAL names.  A file with no footer ids and a physical
+    name differing from the logical one gates at export."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = tmp_path / "t"
+    t.mkdir()
+    phys = {"id": "col-i", "qty": "col-q", "region": "col-r"}
+    ids = {"id": 1, "qty": 2, "region": 3}
+
+    def fld(logical, typ="long"):
+        return {
+            "name": logical,
+            "type": typ,
+            "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": ids[logical],
+                "delta.columnMapping.physicalName": phys[logical],
+            },
+        }
+
+    meta = {
+        "metaData": {
+            "id": "cm-export-fixture",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(
+                {
+                    "type": "struct",
+                    "fields": [fld("id"), fld("qty"), fld("region", "string")],
+                }
+            ),
+            "partitionColumns": ["region"],
+            "configuration": {
+                "delta.columnMapping.mode": "name",
+                "delta.columnMapping.maxColumnId": "3",
+            },
+        }
+    }
+    proto = {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["columnMapping"],
+            "writerFeatures": ["columnMapping"],
+        }
+    }
+
+    def write_file(rel, rows, with_ids=True):
+        md = (
+            lambda fid: {b"PARQUET:field_id": str(fid).encode()}
+            if with_ids
+            else None
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    phys["id"]: pa.array([r[0] for r in rows], pa.int64()),
+                    phys["qty"]: pa.array([r[1] for r in rows], pa.int64()),
+                },
+                schema=pa.schema(
+                    [
+                        pa.field(phys["id"], pa.int64(), metadata=md(1)),
+                        pa.field(phys["qty"], pa.int64(), metadata=md(2)),
+                    ]
+                ),
+            ),
+            t / rel,
+        )
+
+    write_file("fa.parquet", [(1, 10), (2, 20)])
+    write_file("fb.parquet", [(3, 30)])
+    log = t / "_delta_log"
+    log.mkdir()
+
+    def add(path, region):
+        return {
+            "add": {
+                "path": path,
+                "partitionValues": {phys["region"]: region},
+                "size": 1,
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        }
+
+    (log / f"{0:020d}.json").write_text(
+        "\n".join(
+            json.dumps(a)
+            for a in [proto, meta, add("fa.parquet", "east"), add("fb.parquet", "west")]
+        )
+        + "\n"
+    )
+    r = IW.delta_to_iceberg(spark, str(t))
+    got = LF.read_iceberg_snapshot(spark, r["metadata_path"])
+    assert got.columns == ["id", "qty", "region"]
+    assert sorted((x.id, x.qty, x.region) for x in got.collect()) == [
+        (1, 10, "east"),
+        (2, 20, "east"),
+        (3, 30, "west"),
+    ]
+    # exported field ids ARE the mapping ids; bounds decode and prune
+    m = json.load(open(r["metadata_path"]))
+    cur = {s_["schema-id"]: s_ for s_ in m["schemas"]}[m["current-schema-id"]]
+    assert {f["name"]: f["id"] for f in cur["fields"]} == ids
+    pruned = LF.read_iceberg_snapshot(
+        spark, r["metadata_path"], predicate=[("id", ">=", 3)]
+    )
+    assert pruned.count() == 1
+    assert len(pruned.inputFiles()) == 1
+
+    # a physically-renamed file WITHOUT footer ids gates at export
+    t2 = tmp_path / "t2"
+    t2.mkdir()
+    write_file2 = lambda: pq.write_table(  # noqa: E731
+        pa.table({phys["id"]: pa.array([9], pa.int64()), phys["qty"]: pa.array([90], pa.int64())}),
+        t2 / "fa.parquet",
+    )
+    write_file2()
+    log2 = t2 / "_delta_log"
+    log2.mkdir()
+    (log2 / f"{0:020d}.json").write_text(
+        "\n".join(json.dumps(a) for a in [proto, meta, add("fa.parquet", "east")])
+        + "\n"
+    )
+    with pytest.raises(LF.LakeFormatGatedError, match="field id"):
+        IW.delta_to_iceberg(spark, str(t2))
