@@ -1578,8 +1578,11 @@ def delta_to_iceberg(spark: SparkSession, table_path: str) -> dict:
     physical name equal to the logical one gate at export (an Iceberg
     reader would null-fill them).
 
-    Gates: exotic partition types, and re-export after Delta schema
-    evolution (field ids would drift)."""
+    Re-export after Delta SCHEMA EVOLUTION works on mapped tables too
+    (ids are the stable mapping ids; the evolved shape joins as a new
+    schemas[] entry and old exports stay travelable under theirs);
+    unmapped tables gate there (positional ids would drift).  Gates:
+    exotic partition types; field-id type changes."""
     snap = LF.delta_snapshot(table_path)
     cm_mode = snap["column_mapping_mode"]
     cm_phys = snap["physical_names"] if cm_mode != "none" else {}
@@ -1655,11 +1658,37 @@ def delta_to_iceberg(spark: SparkSession, table_path: str) -> dict:
         prev_version = int(existing[-1].name.split(".")[0][1:])
         by_id = {s["schema-id"]: s for s in meta["schemas"]}
         cur = by_id[meta["current-schema-id"]]
+        export_sid = int(meta["current-schema-id"])
         if cur["fields"] != schema_json["fields"]:
-            raise LF.LakeFormatGatedError(
-                "re-export after Delta schema evolution is not supported "
-                "— the positional field ids would drift from the "
-                "already-exported Iceberg schema"
+            # Re-export after Delta schema evolution (r9): legal ONLY
+            # for column-mapped tables, whose field ids are the STABLE
+            # delta.columnMapping.ids — the evolved shape joins as a
+            # new schemas[] entry (old snapshots keep their schema-id,
+            # so Iceberg-side time travel reads the old shape).
+            # Unmapped tables keep the gate: positional ids drift.
+            if cm_mode == "none":
+                raise LF.LakeFormatGatedError(
+                    "re-export after Delta schema evolution is not "
+                    "supported on unmapped tables — the positional field "
+                    "ids would drift from the already-exported Iceberg "
+                    "schema (enable column mapping, whose ids are stable)"
+                )
+            cur_by_id = {f["id"]: f for f in cur["fields"]}
+            for f in schema_json["fields"]:
+                of = cur_by_id.get(f["id"])
+                if of is not None and of["type"] != f["type"]:
+                    raise LF.LakeFormatGatedError(
+                        f"re-export changes the type of field id "
+                        f"{f['id']} ({of['type']!r} → {f['type']!r}) — "
+                        "ids are identity; a type change is not evolution"
+                    )
+            export_sid = max(sc["schema-id"] for sc in meta["schemas"]) + 1
+            schema_json = dict(schema_json, **{"schema-id": export_sid})
+            meta = dict(meta)
+            meta["schemas"] = list(meta["schemas"]) + [schema_json]
+            meta["current-schema-id"] = export_sid
+            meta["last-column-id"] = max(
+                int(meta.get("last-column-id") or 0), max(field_ids.values())
             )
         specs = {s["spec-id"]: s for s in meta["partition-specs"]}
         if json.dumps(specs[meta["default-spec-id"]], sort_keys=True) != (
@@ -1675,6 +1704,7 @@ def delta_to_iceberg(spark: SparkSession, table_path: str) -> dict:
         prev_version = 0
         seq = 1
         parent = None
+        export_sid = 0
 
     snapshot_id = seq
     now_ms = int(time.time() * 1000)
@@ -1706,24 +1736,31 @@ def delta_to_iceberg(spark: SparkSession, table_path: str) -> dict:
             # name equal to its logical name would be unreadable to the
             # Iceberg side's resolution — gate it loudly here, at
             # export, not silently null-filled at read
-            top_ids, _n, _nm = LF._parquet_field_names_by_id(ap)
+            top_ids, _n, file_names = LF._parquet_field_names_by_id(ap)
             pn_of: dict[str, str] = {}
             for name in data_cols:
                 pn = top_ids.get(field_ids[name])
                 if pn is None:
-                    pn = cm_phys.get(name, name)
-                    if pn != name:
+                    phys_name = cm_phys.get(name, name)
+                    if phys_name not in file_names:
+                        # column physically ABSENT (pre-evolution file):
+                        # Iceberg's own null-fill rule covers it — skip
+                        # its stats, never gate
+                        continue
+                    if phys_name != name:
                         raise LF.LakeFormatGatedError(
                             f"{ap} has no parquet footer field id for "
-                            f"column {name!r} (physical {pn!r}) — an "
-                            "Iceberg reader would null-fill it; rewrite "
-                            "the file with field ids (OPTIMIZE) first"
+                            f"column {name!r} (physical {phys_name!r}) — "
+                            "an Iceberg reader would null-fill it; "
+                            "rewrite the file with field ids (OPTIMIZE) "
+                            "first"
                         )
+                    pn = phys_name
                 pn_of[name] = pn
             nrows, bounds_p, nulls_p, vc_p = footer_column_stats(
-                ap, [pn_of[n] for n in data_cols]
+                ap, list(pn_of.values())
             )
-            back = {pn_of[n]: n for n in data_cols}
+            back = {pn: n for n, pn in pn_of.items()}
             bounds = {back[k]: v for k, v in bounds_p.items()}
             nulls = {back[k]: v for k, v in nulls_p.items()}
             value_counts = {back[k]: v for k, v in vc_p.items()}
@@ -1917,7 +1954,7 @@ def delta_to_iceberg(spark: SparkSession, table_path: str) -> dict:
         "sequence-number": seq,
         "timestamp-ms": now_ms,
         "manifest-list": f"metadata/{snap_name}",
-        "schema-id": 0,
+        "schema-id": export_sid,
         "summary": {
             "operation": "append",
             "delta-version": str(snap["version"]),

@@ -874,3 +874,121 @@ def test_delta_to_iceberg_column_mapped(spark, tmp_path):
     )
     with pytest.raises(LF.LakeFormatGatedError, match="field id"):
         IW.delta_to_iceberg(spark, str(t2))
+
+
+def test_mapped_reexport_after_schema_evolution(spark, tmp_path):
+    """Re-export after Delta schema evolution on a MAPPED table (r9):
+    the stable columnMapping ids make the evolved shape a legal new
+    schemas[] entry; the pre-evolution export snapshot stays travelable
+    under its own schema-id, and the new snapshot reads the added
+    column (absent in old files → NULL, Iceberg's evolution rule)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = tmp_path / "t"
+    t.mkdir()
+    phys = {"id": "col-i", "qty": "col-q", "note": "col-n"}
+    ids = {"id": 1, "qty": 2, "note": 4}
+
+    def fld(logical, typ="long"):
+        return {
+            "name": logical,
+            "type": typ,
+            "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": ids[logical],
+                "delta.columnMapping.physicalName": phys[logical],
+            },
+        }
+
+    def meta_action(fields, max_id):
+        return {
+            "metaData": {
+                "id": "cm-evo-fixture",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(
+                    {"type": "struct", "fields": fields}
+                ),
+                "partitionColumns": [],
+                "configuration": {
+                    "delta.columnMapping.mode": "name",
+                    "delta.columnMapping.maxColumnId": str(max_id),
+                },
+            }
+        }
+
+    proto = {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["columnMapping"],
+            "writerFeatures": ["columnMapping"],
+        }
+    }
+
+    def write_file(rel, cols):
+        fields, arrays = [], {}
+        for logical, values in cols.items():
+            typ = pa.string() if logical == "note" else pa.int64()
+            fields.append(
+                pa.field(
+                    phys[logical],
+                    typ,
+                    metadata={b"PARQUET:field_id": str(ids[logical]).encode()},
+                )
+            )
+            arrays[phys[logical]] = pa.array(values, typ)
+        pq.write_table(pa.table(arrays, schema=pa.schema(fields)), t / rel)
+
+    def add(path):
+        return {
+            "add": {
+                "path": path,
+                "partitionValues": {},
+                "size": 1,
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        }
+
+    write_file("fa.parquet", {"id": [1, 2], "qty": [10, 20]})
+    log = t / "_delta_log"
+    log.mkdir()
+    (log / f"{0:020d}.json").write_text(
+        "\n".join(
+            json.dumps(a)
+            for a in [proto, meta_action([fld("id"), fld("qty")], 2), add("fa.parquet")]
+        )
+        + "\n"
+    )
+    r1 = IW.delta_to_iceberg(spark, str(t))
+
+    # Delta evolution: add a string column (new mapping id), new file
+    write_file("fb.parquet", {"id": [3], "qty": [30], "note": ["x"]})
+    (log / f"{1:020d}.json").write_text(
+        "\n".join(
+            json.dumps(a)
+            for a in [
+                meta_action([fld("id"), fld("qty"), fld("note", "string")], 4),
+                add("fb.parquet"),
+            ]
+        )
+        + "\n"
+    )
+    r2 = IW.delta_to_iceberg(spark, str(t))
+    m = json.load(open(r2["metadata_path"]))
+    assert len(m["schemas"]) == 2 and m["current-schema-id"] == 1
+    assert m["last-column-id"] == 4
+    got = LF.read_iceberg_snapshot(spark, r2["metadata_path"])
+    assert got.columns == ["id", "qty", "note"]
+    assert sorted((x.id, x.qty, x.note) for x in got.collect()) == [
+        (1, 10, None),
+        (2, 20, None),
+        (3, 30, "x"),
+    ]
+    # the pre-evolution export still reads under ITS schema shape
+    old = LF.read_iceberg_snapshot(
+        spark, r2["metadata_path"], snapshot_id=r1["snapshot_id"]
+    )
+    assert old.columns == ["id", "qty"]
+    assert old.count() == 2
