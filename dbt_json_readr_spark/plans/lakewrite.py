@@ -2039,3 +2039,179 @@ SELECT
 FROM live
 GROUP BY c_mktsegment
 """
+
+
+# ---------------------------------------------------------------- F38
+
+
+def delta_uniform_mapped_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniForm export over a COLUMN-MAPPED Delta table (r9 continuation
+    — with F37's DV support this closes the export gates VERDICT r8
+    listed): supplier lands as four deterministic physical-name parquet
+    slices (``s_suppkey % 4``; Spark writes the footer field ids via
+    ``spark.sql.parquet.fieldId.write.enabled`` from column metadata),
+    a hand-authored mode-'name' Delta log maps logical → physical, and
+    ``delta_to_iceberg`` exports with Iceberg field ids = the mapping
+    ids — so the bridge's footer-id resolution reads ``col-k`` as
+    ``s_suppkey`` without a name in common.
+
+    Closed-form evidence: the per-nation rollup equals SQL off the
+    source table UNDER LOGICAL NAMES (a name-based reader null-fills
+    every column and zeroes the hash), files_total = the non-empty
+    residue count, and a global-min equality probe keeps exactly the
+    residue slice holding it (every other slice's footer lower bound
+    exceeds the global min)."""
+    prep(spark)
+    import json as _json
+
+    from ..sources import icebergwriter as IW
+
+    sup = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    phys = {"s_suppkey": "col-k", "s_nationkey": "col-n", "s_acctbal": "col-b"}
+    ids = {"s_suppkey": 1, "s_nationkey": 2, "s_acctbal": 3}
+
+    def build(root: str) -> None:
+        prev = spark.conf.get("spark.sql.parquet.fieldId.write.enabled", "false")
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        try:
+            adds = []
+            for i in range(4):
+                sl = sup.filter(F.col("s_suppkey") % 4 == i).select(
+                    *[
+                        F.col(c).alias(
+                            phys[c], metadata={"parquet.field.id": ids[c]}
+                        )
+                        for c in sup.columns
+                    ]
+                )
+                stage = os.path.join(root, f"_stage{i}")
+                # one file per residue slice: bounded by slice size, and
+                # the layout closed form the oracle recomputes needs it
+                sl.coalesce(1).write.mode("overwrite").parquet(stage)
+                part = next(
+                    p
+                    for p in sorted(Path(stage).rglob("*.parquet"))
+                    if p.stat().st_size > 0
+                )
+                rel = f"p{i}.parquet"
+                os.replace(part, os.path.join(root, rel))
+                shutil.rmtree(stage, ignore_errors=True)
+                adds.append(
+                    {
+                        "add": {
+                            "path": rel,
+                            "partitionValues": {},
+                            "size": os.path.getsize(os.path.join(root, rel)),
+                            "modificationTime": 0,
+                            "dataChange": True,
+                        }
+                    }
+                )
+        finally:
+            spark.conf.set("spark.sql.parquet.fieldId.write.enabled", prev)
+
+        def fld(logical, typ):
+            return {
+                "name": logical,
+                "type": typ,
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": ids[logical],
+                    "delta.columnMapping.physicalName": phys[logical],
+                },
+            }
+
+        actions = [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["columnMapping"],
+                    "writerFeatures": ["columnMapping"],
+                }
+            },
+            {
+                "metaData": {
+                    "id": "djrs-uniform-mapped",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": _json.dumps(
+                        {
+                            "type": "struct",
+                            "fields": [
+                                fld("s_suppkey", "long"),
+                                fld("s_nationkey", "integer"),
+                                fld("s_acctbal", "double"),
+                            ],
+                        }
+                    ),
+                    "partitionColumns": [],
+                    "configuration": {
+                        "delta.columnMapping.mode": "name",
+                        "delta.columnMapping.maxColumnId": "3",
+                    },
+                }
+            },
+            *adds,
+        ]
+        log = Path(root) / "_delta_log"
+        log.mkdir()
+        (log / f"{0:020d}.json").write_text(
+            "\n".join(_json.dumps(a, sort_keys=True) for a in actions) + "\n"
+        )
+        IW.delta_to_iceberg(spark, root)
+
+    tbl = str(_ensure("wrt_uniform_mapped", sf_dir, build))
+    meta = str(
+        max(
+            Path(tbl, "metadata").glob("v*.metadata.json"),
+            key=lambda p: int(p.name.split(".")[0][1:]),
+        )
+    )
+    full = LF.read_iceberg_snapshot(spark, meta)
+    files_total = len(full.inputFiles())
+    gmin = int(sup.agg(F.min("s_suppkey")).collect()[0][0])
+    pruned = LF.read_iceberg_snapshot(
+        spark, meta, predicate=[("s_suppkey", "=", gmin)]
+    )
+    files_kept = len(pruned.inputFiles())
+    return (
+        full.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(_dec("s_acctbal")).cast("double").alias("sum_bal"),
+            F.min("s_suppkey").alias("min_key"),
+        )
+        .select(
+            "*",
+            F.lit(files_total).cast("int").alias("files_total"),
+            F.lit(files_kept).cast("int").alias("files_kept_min_probe"),
+        )
+    )
+
+
+def _delta_uniform_mapped_export_sql() -> str:
+    s = _DSUM.format(c="s_acctbal")
+    return f"""
+WITH g AS (
+  SELECT s_suppkey % 4 AS residue, min(s_suppkey) AS mn
+  FROM supplier GROUP BY 1
+),
+ev AS (
+  SELECT count(*) AS files_total,
+         count(*) FILTER (
+           WHERE mn = (SELECT min(s_suppkey) FROM supplier)
+         ) AS files_kept
+  FROM g
+)
+SELECT
+  s_nationkey,
+  count(*) AS n_rows,
+  {s} AS sum_bal,
+  min(s_suppkey) AS min_key,
+  CAST((SELECT files_total FROM ev) AS INTEGER) AS files_total,
+  CAST((SELECT files_kept FROM ev) AS INTEGER) AS files_kept_min_probe
+FROM supplier
+GROUP BY s_nationkey
+"""

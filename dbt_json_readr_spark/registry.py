@@ -515,6 +515,11 @@ register(
     lakewrite._delta_uniform_dv_export_sql,
 )
 register(
+    "delta_uniform_mapped_export",
+    lakewrite.delta_uniform_mapped_export,
+    lakewrite._delta_uniform_mapped_export_sql,
+)
+register(
     "streaming_delta_commits",
     streaming_jobs.streaming_delta_commits,
     streaming_jobs._streaming_delta_commits_sql,
@@ -615,6 +620,7 @@ _NEW_R9 = [
     "iceberg_transform_write_audit",
     "delta_cdf_mapid_read",
     "delta_uniform_dv_export",
+    "delta_uniform_mapped_export",
 ]
 
 # every gate-list name must resolve - a typo is harmless until the
