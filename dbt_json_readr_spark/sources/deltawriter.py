@@ -287,7 +287,27 @@ def _all_txns(table_path: str) -> dict[str, int]:
                 for i in range(parts)
             ]
         else:
-            paths = [log / f"{ck_version:020d}.checkpoint.parquet"]
+            classic = log / f"{ck_version:020d}.checkpoint.parquet"
+            if classic.exists():
+                paths = [classic]
+            else:
+                # v2 UUID-named manifests carry the txn rows (sidecars
+                # hold only file actions, so one manifest suffices) —
+                # but a MULTIPART checkpoint whose _last_checkpoint
+                # omitted "parts" must scan every part (same rule as
+                # the reader's _read_checkpoint, r9)
+                import re as _re
+
+                cands = sorted(
+                    log.glob(f"{ck_version:020d}.checkpoint.*.parquet")
+                )
+                part_re = _re.compile(
+                    rf"^{ck_version:020d}\.checkpoint\.\d{{10}}\.\d{{10}}\.parquet$"
+                )
+                if any(part_re.match(p.name) for p in cands):
+                    paths = [p for p in cands if part_re.match(p.name)]
+                else:
+                    paths = cands[:1]
         for p in paths:
             if not p.exists():
                 continue
@@ -2205,19 +2225,42 @@ def restore_delta(spark: SparkSession, table_path: str, version: int) -> dict:
 # ------------------------------------------------------------------
 
 
-def write_delta_checkpoint(spark: SparkSession, table_path: str) -> dict:
+def write_delta_checkpoint(
+    spark: SparkSession,
+    table_path: str,
+    v2: bool = False,
+    sidecar_files: int = 2,
+) -> dict:
     """Materialize the latest snapshot as the spec's checkpoint
     parquet + ``_last_checkpoint`` so a reader seeds from O(#files)
     parquet instead of replaying the whole JSON log.  Rows: one
     protocol, one metaData, the latest ``txn`` per appId (idempotence
     survives log cleanup), one ``add`` per live file (stats and DV
     descriptors intact).  Driver-side pyarrow write — checkpoints are
-    metadata-cardinality, the same posture as the reader."""
+    metadata-cardinality, the same posture as the reader.
+
+    ``v2=True`` writes the V2 form (r9): a UUID-named manifest holding
+    protocol/metaData/txn/checkpointMetadata plus ``sidecar`` refs,
+    with the add rows split across ``sidecar_files`` parquet files
+    under ``_delta_log/_sidecars`` — the layout big production tables
+    use so checkpoint writes parallelize and readers prune sidecars.
+    Requires the table protocol to already declare the v2Checkpoint
+    feature (readers that predate it would see no checkpoint rows);
+    upgrading the protocol is a separate, explicit commit."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     state, version = LF._state_as_of(table_path)
     log = LF._delta_log_dir(table_path)
+    if v2:
+        feats = set((state.protocol or {}).get("readerFeatures") or [])
+        if "v2Checkpoint" not in feats:
+            raise LF.LakeFormatGatedError(
+                "v2 checkpoint requested but the table protocol does not "
+                "declare the v2Checkpoint reader feature — commit a "
+                "protocol upgrade first (readers without the feature "
+                "would silently ignore the checkpoint's shape)"
+            )
 
     # latest txn per app across the retained log AND any prior
     # checkpoint — apps whose only marker lives in the old checkpoint
@@ -2329,6 +2372,73 @@ def write_delta_checkpoint(spark: SparkSession, table_path: str) -> dict:
             }
             md["configuration"] = list(md["configuration"].items())
             r["metaData"] = md
+
+    if v2:
+        import uuid as _uuid
+
+        sidecars_dir = log / "_sidecars"
+        sidecars_dir.mkdir(exist_ok=True)
+        add_rows = [r for r in rows if r["add"] is not None]
+        head_rows = [r for r in rows if r["add"] is None]
+        n_side = max(1, min(int(sidecar_files), max(1, len(add_rows))))
+        side_schema = pa.schema([("add", add_struct)])
+        sidecar_refs = []
+        for i in range(n_side):
+            chunk = add_rows[i::n_side]
+            name = f"{_uuid.uuid4()}.parquet"
+            sp = sidecars_dir / name
+            tmp = sidecars_dir / f".{name}.tmp-{os.getpid()}"
+            pq.write_table(
+                pa.Table.from_pylist(
+                    [{"add": r["add"]} for r in chunk], schema=side_schema
+                ),
+                str(tmp),
+            )
+            os.replace(tmp, sp)
+            sidecar_refs.append(
+                {"path": name, "sizeInBytes": sp.stat().st_size}
+            )
+        sidecar_struct = pa.struct(
+            [("path", pa.string()), ("sizeInBytes", pa.int64())]
+        )
+        cm_struct = pa.struct([("version", pa.int64())])
+        man_rows = [
+            {**{k: r[k] for k in ("protocol", "metaData", "txn")},
+             "checkpointMetadata": None, "sidecar": None}
+            for r in head_rows
+        ]
+        man_rows.append(
+            {"protocol": None, "metaData": None, "txn": None,
+             "checkpointMetadata": {"version": version}, "sidecar": None}
+        )
+        for ref in sidecar_refs:
+            man_rows.append(
+                {"protocol": None, "metaData": None, "txn": None,
+                 "checkpointMetadata": None, "sidecar": ref}
+            )
+        schema_pa = pa.schema(
+            [
+                ("protocol", proto_struct),
+                ("metaData", meta_struct),
+                ("txn", txn_struct),
+                ("checkpointMetadata", cm_struct),
+                ("sidecar", sidecar_struct),
+            ]
+        )
+        dest = log / f"{version:020d}.checkpoint.{_uuid.uuid4()}.parquet"
+        tmp = log / f".{dest.name}.tmp-{os.getpid()}"
+        pq.write_table(
+            pa.Table.from_pylist(man_rows, schema=schema_pa), str(tmp)
+        )
+        os.replace(tmp, dest)
+        lc_tmp = log / f"._last_checkpoint.tmp-{os.getpid()}"
+        lc_tmp.write_text(json.dumps({"version": version, "size": len(rows)}))
+        os.replace(lc_tmp, log / "_last_checkpoint")
+        return {
+            "version": version,
+            "actions": len(rows),
+            "sidecars": len(sidecar_refs),
+        }
 
     schema_pa = pa.schema(
         [

@@ -1279,3 +1279,57 @@ def test_zorder_wide_span_gates(spark, tmp_path):
     res = DW.optimize_delta(spark, t2, zorder_by=["x", "y"])
     assert LF.read_delta_snapshot(spark, t2).count() == 100
     assert res["files_after"] >= 1
+
+
+def test_v2_checkpoint_write_roundtrip(spark, tmp_path):
+    """V2 checkpoint WRITE (r9): UUID manifest + sidecar add-parquet
+    under _delta_log/_sidecars round-trips through the reader's v2
+    seed path — pre-checkpoint commits deleted, a later commit replays
+    on top, txn markers survive; requesting v2 without the protocol
+    feature gates."""
+    tbl = str(tmp_path / "t")
+    df = spark.createDataFrame([(i, i % 3) for i in range(60)], "id long, g long")
+    DW.write_delta(spark, df, tbl, max_records_per_file=20, txn=("app", 7))
+
+    with pytest.raises(LF.LakeFormatGatedError, match="v2Checkpoint"):
+        DW.write_delta_checkpoint(spark, tbl, v2=True)
+
+    # explicit protocol upgrade commit, then the v2 checkpoint
+    DW._commit(
+        tbl,
+        1,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["v2Checkpoint"],
+                    "writerFeatures": ["v2Checkpoint"],
+                }
+            }
+        ],
+    )
+    res = DW.write_delta_checkpoint(spark, tbl, v2=True, sidecar_files=2)
+    assert res["version"] == 1 and res["sidecars"] == 2
+    log = Path(tbl) / "_delta_log"
+    assert list(log.glob("*.checkpoint.*.parquet"))
+    assert len(list((log / "_sidecars").glob("*.parquet"))) == 2
+
+    # a post-checkpoint append, then delete the pre-checkpoint commits:
+    # only the v2 checkpoint can seed versions 0-1
+    DW.write_delta(
+        spark,
+        spark.createDataFrame([(100, 9)], "id long, g long"),
+        tbl,
+        mode="append",
+    )
+    (log / f"{0:020d}.json").unlink()
+    (log / f"{1:020d}.json").unlink()
+    got = LF.read_delta_snapshot(spark, tbl)
+    assert got.count() == 61
+    assert sorted(r.id for r in got.collect())[-1] == 100
+    # txn marker survives into the checkpoint-seeded state
+    assert DW.last_txn_version(tbl, "app") == 7
+    # travel AT the checkpoint version reads without any JSON
+    at1 = LF.read_delta_snapshot(spark, tbl, version=1)
+    assert at1.count() == 60
