@@ -2215,3 +2215,106 @@ SELECT
 FROM supplier
 GROUP BY s_nationkey
 """
+
+
+# ---------------------------------------------------------------- F39
+
+
+def iceberg_decimal_bucket_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-side bucket partitioning over a DECIMAL key (VERDICT r9
+    item 3): supplier with ``s_bal = CAST(s_acctbal AS DECIMAL(12,2))``
+    lands under ``bucket(8, s_bal)`` — the Appendix-B decimal hash
+    (murmur3 over the MINIMAL big-endian two's-complement unscaled
+    bytes) computed executor-side as chain-bound Column projections
+    (functions/icetransforms.with_murmur3_decimal), the same codegen
+    cost shape as the integer path.  Per-value equality probes answer
+    through the read bridge's transform pruning, opening ONLY the
+    probed value's bucket.
+
+    Evidence per probed value (same structure as F34
+    ``iceberg_bucket_write_prune``): the probe's own row rollup
+    (n_rows + sum of matching s_suppkey — a wrong bucket placement
+    returns zero rows and fails the value hash), ``probe_file_surplus``
+    = files opened − 1 (expected 0), ``wrong_bucket_files`` = opened
+    files outside the value's spec-true bucket computed by the
+    INDEPENDENT driver-side hash (skipping.iceberg_bucket_hash over
+    Decimal; expected 0), and files_total as a surplus over the
+    distinct non-empty bucket count (expected 0).
+
+    100 TB: decimal surrogate keys are the norm in finance-shaped
+    tables; this is the layout their point lookups rely on — 1/N of
+    the table opens per probe regardless of total size, and the hash
+    runs JVM-side in whole-stage codegen, not in a Python UDF."""
+    prep(spark)
+    from decimal import Decimal
+
+    from ..sources import icebergwriter as IW
+    from ..sources import skipping as SK
+
+    sup = load(spark, sf_dir, "supplier").withColumn(
+        "s_bal", F.col("s_acctbal").cast("decimal(12,2)")
+    )
+
+    def build(root: str) -> None:
+        tbl = os.path.join(root, "table")
+        IW.write_iceberg(spark, sup, tbl, partition_by=["bucket(8, s_bal)"])
+
+    root = _ensure("wrt_ice_decbucket", sf_dir, build)
+    meta = str(
+        max(
+            (root / "table" / "metadata").glob("v*.metadata.json"),
+            key=lambda p: int(p.name.split(".")[0][1:]),
+        )
+    )
+    full = LF.read_iceberg_snapshot(spark, meta)
+    files_total = len(full.inputFiles())
+    n_buckets_live = len(
+        {f.split("s_bal_bucket=")[1].split("/")[0] for f in full.inputFiles()}
+    )
+    probe_vals = [
+        r[0]
+        for r in sup.select("s_bal").distinct().orderBy("s_bal").limit(5).collect()
+    ]
+    rows = []
+    for v in probe_vals:
+        v = Decimal(v)
+        pr = LF.read_iceberg_snapshot(spark, meta, predicate=[("s_bal", "=", v)])
+        opened = pr.inputFiles()
+        want = (SK.iceberg_bucket_hash("decimal(12, 2)", v) & 0x7FFFFFFF) % 8
+        wrong = sum(1 for f in opened if f"s_bal_bucket={want}" not in f)
+        got = pr.select("s_suppkey").collect()
+        rows.append(
+            (
+                float(v),
+                len(got),
+                int(sum(r.s_suppkey for r in got)) if got else None,
+                len(opened) - 1,
+                wrong,
+                files_total - n_buckets_live,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "bal double, n_rows int, sum_suppkey long, "
+        "probe_file_surplus int, wrong_bucket_files int, "
+        "files_total_surplus int",
+    )
+
+
+def _iceberg_decimal_bucket_prune_sql() -> str:
+    return """
+WITH vals AS (
+  SELECT DISTINCT CAST(s_acctbal AS DECIMAL(12,2)) AS s_bal
+  FROM supplier ORDER BY s_bal LIMIT 5
+)
+SELECT
+  CAST(CAST(v.s_bal AS VARCHAR) AS DOUBLE) AS bal,
+  CAST(count(*) AS INTEGER) AS n_rows,
+  CAST(sum(s.s_suppkey) AS BIGINT) AS sum_suppkey,
+  CAST(0 AS INTEGER) AS probe_file_surplus,
+  CAST(0 AS INTEGER) AS wrong_bucket_files,
+  CAST(0 AS INTEGER) AS files_total_surplus
+FROM vals v
+JOIN supplier s ON CAST(s.s_acctbal AS DECIMAL(12,2)) = v.s_bal
+GROUP BY v.s_bal
+"""

@@ -519,6 +519,13 @@ register(
     lakewrite.delta_uniform_mapped_export,
     lakewrite._delta_uniform_mapped_export_sql,
 )
+# F39: Appendix-B decimal bucket hashing on the WRITE side (VERDICT r9
+# item 3) — point probes over a decimal-bucketed table open 1/N files
+register(
+    "iceberg_decimal_bucket_prune",
+    lakewrite.iceberg_decimal_bucket_prune,
+    lakewrite._iceberg_decimal_bucket_prune_sql,
+)
 register(
     "streaming_delta_commits",
     streaming_jobs.streaming_delta_commits,
@@ -550,96 +557,95 @@ register("dedup_graph_triangles", llm.dedup_graph_triangles, llm.ORACLES["dedup_
 # -------------------------------------------------------------------
 # Driver-gate ordering.  The driver records CORRECTNESS rows for only
 # the FIRST 50 keys in queries() insertion order, so registration order
-# IS the correctness gate.  Round-9 rotation (VERDICT r8 item 1): the
-# 46 keys whose newest green driver row is still r4 (derived from
-# CORRECTNESS_r01-r08; q16_supplier_part_types_lite excluded - renamed
-# and re-gated green in r8 under the new name) take the window first,
-# most load-bearing shapes leading; keys NEW in r9 fill the remaining
-# slots; anything beyond 50 rotates to r10.  Rotated-out keys stay
-# covered by tests/test_oracle_parity.py (every key, sf0.01, exact
-# values).
+# IS the correctness gate.  Round-10 rotation (VERDICT r9 item 2):
+# F38 `delta_uniform_mapped_export` leads (added post-close in r9, the
+# only key with NO driver row yet), then the 48 keys whose newest
+# green driver row is still r5 (derived from CORRECTNESS_r01-r09);
+# keys NEW in r10 fill the remaining slots; anything beyond 50 rotates
+# to r11.  Rotated-out keys stay covered by
+# tests/test_oracle_parity.py (every key, sf0.01, exact values).
 GATE_WINDOW = 50
 
-# Newest driver row is r4 for all of these (46 keys).  Ordered:
-# flagship TPC-H shapes, dbt cores, events/windows, ANN/dedup evals.
-_R9_STALE_R4 = [
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q19_bracket_revenue",
-    "q8_market_share",
-    "q9_nation_profit",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q22_dormant_customers",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q12_shipmode_priority",
-    "q20_promotion_suppliers",
-    "q21_waiting_suppliers",
-    "q18_large_orders",
-    "part_brand_stats",
-    "dbt_lineage_closure",
-    "dbt_lineage_depth",
-    "dbt_run_results",
-    "dbt_run_summary",
-    "dbt_schema_drift",
-    "dbt_source_freshness",
-    "dbt_catalog_columns",
-    "dbt_model_fanout",
-    "dbt_tag_usage",
-    "asof_join_events_orders",
-    "events_user_counts",
-    "events_windowed_agg",
-    "events_funnel",
-    "events_approx_quantiles",
-    "orders_running_total",
-    "events_retention_cohorts",
-    "events_hourly_heatmap",
-    "orders_monthly_growth",
-    "order_priority_pivot",
-    "revenue_rollup",
-    "supplier_semi_anti",
-    "top_customers_per_nation",
-    "lineitem_unpivot_metrics",
-    "orders_rolling_window_revenue",
-    "streaming_daily_rollup",
-    "multimodal_stub",
-    "ann_sweep_eval",
-    "ann_dim_ablation",
-    "knn_label_eval",
-    "dedup_cluster_histogram",
-    "dedup_incremental",
+# F38 first (no driver row), then the 48 r5-stale keys ordered:
+# flagship dedup/ANN shapes, dbt cores, streaming, audits.
+_R10_STALE_R5 = [
+    "delta_uniform_mapped_export",
+    "dedup_minhash_lsh",
+    "dedup_exact",
+    "dedup_containment",
+    "dedup_fuzzy_editdist",
+    "dedup_k_sweep",
+    "dedup_minhash_est_calibration",
+    "corpus_dedup_token_savings",
+    "corpus_importance_sample",
+    "corpus_length_quality_corr",
+    "corpus_temperature_mix",
+    "corpus_vocab_growth",
+    "ann_recall_eval",
+    "ann_pq_adc_topk",
+    "ann_adc_recall_eval",
+    "bpe_merge_apply",
+    "doc_sparse_cosine_topk",
+    "text_dup_span_extents",
+    "text_ngram_lm_score",
+    "dbt_column_name_lineage",
+    "dbt_lineage_closure_rcte",
+    "dbt_macro_usage",
+    "dbt_schema_drift_classes",
+    "dbt_source_coverage",
+    "dbt_style_expectations",
+    "dbt_test_coverage",
+    "dbt_test_results_rollup",
+    "customer_acctbal_trimmed_stats",
+    "events_concurrency_sweep",
+    "events_gapfill_locf",
+    "events_hll_sketch_rollup",
+    "events_topk_sketch_audit",
+    "incremental_view_maintain",
+    "join_size_histogram_estimate",
+    "lineitem_weighted_median",
+    "manifest_concurrent_commit_audit",
+    "orders_new_customers_monthly",
+    "pysource_events_rollup",
+    "referential_integrity_audit",
+    "table_profile_audit",
+    "streaming_cdc_merge_sink",
+    "streaming_dynamic_gap_sessions",
+    "streaming_hll_distinct",
+    "streaming_left_outer_join",
+    "streaming_manifest_rollup",
+    "streaming_pysource_rollup",
+    "streaming_session_timeout",
+    "streaming_stateful_counts",
+    "streaming_windowed_agg",
 ]
 
-# New in r9 (appended as they land this round; each must be registered
+# New in r10 (appended as they land this round; each must be registered
 # above before being listed here).  Only the first
-# GATE_WINDOW - len(_R9_STALE_R4) = 4 fit this round's window; the
-# rest lead the r10 rotation.
-_NEW_R9 = [
-    "iceberg_bucket_write_prune",
-    "iceberg_transform_write_audit",
-    "delta_cdf_mapid_read",
-    "delta_uniform_dv_export",
-    "delta_uniform_mapped_export",
+# GATE_WINDOW - len(_R10_STALE_R5) = 1 fits this round's window; the
+# rest lead the r11 rotation.
+_NEW_R10 = [
+    "iceberg_decimal_bucket_prune",
 ]
 
 # every gate-list name must resolve - a typo is harmless until the
 # rotation pulls it into the window, where the _gate_ordered check
 # would crash queries() for the whole driver run (r7: a stale "_lite"
-# suffix sat one rotation away from exactly that); _NEW_R9 is included
+# suffix sat one rotation away from exactly that); _NEW_R10 is included
 # because a tolerant `if k in _REGISTRY` filter would silently DROP a
 # mistyped new key from the window instead of failing.  Explicit
 # raise, not assert: python -O strips asserts and would resurrect the
 # crash-one-rotation-later failure mode.
-for _k in _R9_STALE_R4 + _NEW_R9:
+for _k in _R10_STALE_R5 + _NEW_R10:
     if _k not in _REGISTRY:
         raise RuntimeError(f"gate list references unknown key: {_k}")
 
-_GATE_PRIORITY = (_R9_STALE_R4 + _NEW_R9)[:GATE_WINDOW]
-# VERDICT r8 item 1 requires every r4-stale key in the r9 window; pin.
-for _k in _R9_STALE_R4:
+_GATE_PRIORITY = (_R10_STALE_R5 + _NEW_R10)[:GATE_WINDOW]
+# VERDICT r9 item 2 requires F38 + every r5-stale key in the r10
+# window; pin.
+for _k in _R10_STALE_R5:
     if _k not in _GATE_PRIORITY:
-        raise RuntimeError(f"required r9 gate slot lost: {_k}")
+        raise RuntimeError(f"required r10 gate slot lost: {_k}")
 
 
 def _gate_ordered() -> dict[str, tuple[QueryFn, str | None]]:

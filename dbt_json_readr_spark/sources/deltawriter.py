@@ -403,14 +403,39 @@ def footer_column_stats(
     stats) — callers must treat absence as 'unknown', never as zero.
     Shared by the Delta writer (add.stats) and the Iceberg writer
     (manifest entry bounds/counts)."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
+    import pyarrow.types as pat
 
-    meta = pq.ParquetFile(path).metadata
+    pf = pq.ParquetFile(path)
+    meta = pf.metadata
     nrows = meta.num_rows
     bounds: dict = {}
     nulls: dict = {}
     value_counts: dict = {}
     wanted = set(data_cols)
+    # decimal columns need a raw-stats fallback: pyarrow's statistics
+    # cast raises ArrowNotImplementedError when the PHYSICAL type is
+    # INT32/INT64 (how Spark stores decimal p<=18) — the raw stat is
+    # then the unscaled integer; FLBA/BYTE_ARRAY raws are the
+    # big-endian two's-complement unscaled bytes
+    dec_scale = {
+        f.name: f.type.scale for f in pf.schema_arrow if pat.is_decimal(f.type)
+    }
+
+    def _stat_value(st, name: str, attr: str):
+        try:
+            return getattr(st, attr)
+        except pa.lib.ArrowNotImplementedError:
+            if name not in dec_scale:
+                raise
+            raw = getattr(st, attr + "_raw")
+            u = (
+                int.from_bytes(raw, "big", signed=True)
+                if isinstance(raw, bytes)
+                else int(raw)
+            )
+            return Decimal(u).scaleb(-dec_scale[name])
     # column order is identical across row groups; walk by index
     for ci in range(meta.num_columns):
         col0 = meta.row_group(0).column(ci) if meta.num_row_groups else None
@@ -444,9 +469,11 @@ def footer_column_stats(
                     ok_bounds = False
                 continue
             try:
-                lo = st.min if lo is None else min(lo, st.min)
-                hi = st.max if hi is None else max(hi, st.max)
-            except TypeError:
+                smin = _stat_value(st, name, "min")
+                smax = _stat_value(st, name, "max")
+                lo = smin if lo is None else min(lo, smin)
+                hi = smax if hi is None else max(hi, smax)
+            except (TypeError, pa.lib.ArrowNotImplementedError):
                 ok_bounds = False
         value_counts[name] = nv
         if ok_nulls:

@@ -619,6 +619,18 @@ def _partition_field_descriptors(
                     "identity writes support string/int/long partition "
                     "columns only"
                 )
+        elif kind == "bucket" and src_type.startswith("decimal("):
+            # Appendix-B decimal hashing is executor-side for p <= 18
+            # (unscaled fits BIGINT; icetransforms.with_murmur3_decimal);
+            # wider decimals need big-integer bytes no Column builds.
+            from ..functions.icetransforms import _decimal_params
+
+            if _decimal_params(src_type)[0] > 18:
+                raise LF.LakeFormatGatedError(
+                    f"bucket over {src_type!r} ({src!r}) gates: unscaled "
+                    "values past 18 digits exceed BIGINT — precision <= 18 "
+                    "buckets executor-side"
+                )
         elif src_type not in _TRANSFORM_SOURCES[kind]:
             raise LF.LakeFormatGatedError(
                 f"{transform} over source type {src_type!r} ({src!r}) has "

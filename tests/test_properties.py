@@ -925,3 +925,64 @@ def test_sql_murmur3_matches_python_reference(spark, longs, strs):
     dfs = spark.createDataFrame([(s,) for s in strs], "s string")
     got = [r[0] for r in dfs.select(IT.murmur3_utf8(F.col("s"))).collect()]
     assert got == [murmur3_x86_32(s.encode("utf-8")) for s in strs]
+
+
+@given(
+    unscaled=st.lists(
+        st.integers(min_value=-(10**18 - 1), max_value=10**18 - 1),
+        min_size=1,
+        max_size=80,
+    ),
+    scale=st.integers(min_value=0, max_value=18),
+)
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_sql_murmur3_decimal_matches_python_reference(spark, unscaled, scale):
+    """Appendix-B decimal bucket hashing, executor-side == driver-side
+    (VERDICT r9 item 3): both the chain-bound write-path form
+    (with_murmur3_decimal) and the Column-API form
+    (murmur3_binary ∘ min_twos_complement_bytes ∘ decimal_unscaled_long)
+    must agree bit-for-bit with skipping.iceberg_bucket_hash over the
+    full BIGINT-unscaled domain — the minimal two's-complement byte
+    boundaries (±2^(8n-1)) are where a wrong encoding silently lands
+    rows in the wrong bucket."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from dbt_json_readr_spark.functions import icetransforms as IT
+    from dbt_json_readr_spark.sources import skipping as SK
+
+    # always exercise the byte-count boundaries alongside random draws
+    for n in range(1, 8):
+        lim = 1 << (8 * n - 1)
+        unscaled += [lim - 1, lim, -lim, -lim - 1]
+    unscaled = sorted(set(unscaled))
+    t = f"decimal(18, {scale})"
+    vals = [Decimal(u).scaleb(-scale) for u in unscaled]
+    df = spark.createDataFrame([(v,) for v in vals], f"d decimal(18,{scale})")
+
+    exp = [
+        SK.iceberg_bucket_hash(t, v) & 0xFFFFFFFF for v in vals
+    ]
+    got_chain = [
+        r.h
+        for r in IT.with_murmur3_decimal(df, "h", F.col("d"), t)
+        .orderBy("d")
+        .collect()
+    ]
+    assert got_chain == exp
+
+    got_col = [
+        r[0]
+        for r in df.orderBy("d")
+        .select(
+            IT.murmur3_binary(
+                IT.min_twos_complement_bytes(
+                    IT.decimal_unscaled_long(F.col("d"), t)
+                )
+            )
+        )
+        .collect()
+    ]
+    assert got_col == exp
