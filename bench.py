@@ -69,10 +69,26 @@ HEADLINE = STABLE_8 + [
 ]
 
 
+def _cpu_sample() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from /proc/stat — the r9/r10 bench
+    rounds showed ~1.3–1.6× UNIFORM inflation across untouched queries
+    on a box whose hypervisor steals CPU (cumulative steal ≈ 25% of
+    user time observed); recording steal DURING the run lets a slow
+    number be attributed to the host, not the plans."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return (vals[7] if len(vals) > 7 else 0, sum(vals))
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    cpu0 = _cpu_sample()
     spark = get_spark("bench")
     # ERROR-only JVM logging: the stderr tail the driver stamps into
     # BENCH_r{N}.json must carry only the per-run timing lines and REAL
@@ -94,6 +110,7 @@ def main() -> None:
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     cold: dict[str, float] = {}
     steady: dict[str, float] = {}
+    best: dict[str, float] = {}
     for key in HEADLINE:
         if key not in available:
             continue
@@ -104,6 +121,7 @@ def main() -> None:
             if run == 1:
                 cold[key] = dt
             steady[key] = dt  # last run wins
+            best[key] = min(best.get(key, dt), dt)
             print(f"# {key} run{run}: {dt}s ({n} rows)", file=sys.stderr)
 
     out = {
@@ -120,6 +138,16 @@ def main() -> None:
         # the headline set grows)
         "stable8_total": round(sum(steady.get(k, 0.0) for k in STABLE_8), 3),
         "stable8_cold_total": round(sum(cold.get(k, 0.0) for k in STABLE_8), 3),
+        # per-query MIN across the 3 runs — the noise-robust line on a
+        # steal-prone host (r10): individual samples bounce ×2–3
+        # between consecutive runs of the same binary when the
+        # hypervisor steals CPU; the min is the best available
+        # estimate of what the code costs when it actually gets the
+        # cores.  The headline above keeps its last-run semantics for
+        # cross-round continuity.
+        "queries_min": best,
+        "min_total": round(sum(best.values()), 3),
+        "stable8_min_total": round(sum(best.get(k, 0.0) for k in STABLE_8), 3),
         "sf": sf,
         # environment stamp: r2 ran on a different container (pyspark
         # 4.0-era); cross-round comparisons are only meaningful within
@@ -127,6 +155,15 @@ def main() -> None:
         "pyspark": __import__("pyspark").__version__,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     }
+    cpu1 = _cpu_sample()
+    if cpu0 and cpu1 and cpu1[1] > cpu0[1]:
+        out["cpu_steal_pct"] = round(
+            100.0 * (cpu1[0] - cpu0[0]) / (cpu1[1] - cpu0[1]), 2
+        )
+    try:
+        out["load_avg_1m"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
     print(json.dumps(out))
     spark.stop()
 

@@ -1,0 +1,211 @@
+"""Pure-Python avro CONTAINER reader for Iceberg manifest files (r10,
+VERDICT r9 item 6).
+
+Why this exists: the r9 bridge already streams records through avro's
+own jsonEncoder (2 py4j calls per record), but every FILE still pays
+~0.19 s of JVM object setup (DataFileReader + jsonEncoder +
+GenericDatumWriter construction over py4j).  A 100 TB table's append
+history puts THOUSANDS of manifests in one manifest list, so the
+driver walk was O(0.2 s × #manifests) regardless of pruning.  Decoding
+the container format in Python costs ~1 ms per small manifest — the
+walk becomes I/O-bound, which is the right bound for metadata.
+
+Scope: the avro 1.x object container file format (spec §Object
+Container Files) with ``null`` and ``deflate`` codecs — what avro-core
+writes by default and what Iceberg metadata uses in practice.  Other
+codecs (snappy/zstandard) raise AvroReadError; the caller
+(lakeformats._read_avro_records) falls back to the JVM bridge for
+those, so exotic files still read, just at bridge speed.
+
+Output convention MATCHES lakeformats._from_avro_json exactly (the
+two paths feed the same consumers and a parity test pins them):
+records → dicts, unions → the unwrapped value, bytes/fixed → bytes,
+enum → its symbol string, string → str, int/long → int.
+
+The binary encoding implemented here is the published avro spec
+(zigzag varints, length-prefixed bytes, block-encoded arrays/maps
+where a NEGATIVE count means ``abs(count)`` items preceded by a byte
+size); no code is derived from any existing avro implementation.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+import zlib
+
+_MAGIC = b"Obj\x01"
+
+
+class AvroReadError(Exception):
+    pass
+
+
+class _Cur:
+    """Byte cursor over one decompressed block (or the header)."""
+
+    __slots__ = ("b", "i")
+
+    def __init__(self, b: bytes, i: int = 0) -> None:
+        self.b = b
+        self.i = i
+
+    def take(self, n: int) -> bytes:
+        j = self.i + n
+        if j > len(self.b):
+            raise AvroReadError("truncated avro data")
+        out = self.b[self.i : j]
+        self.i = j
+        return out
+
+    def read_long(self) -> int:
+        """Zigzag varint — the int/long wire form."""
+        shift = 0
+        acc = 0
+        while True:
+            if self.i >= len(self.b):
+                raise AvroReadError("truncated varint")
+            byte = self.b[self.i]
+            self.i += 1
+            acc |= (byte & 0x7F) << shift
+            if not byte & 0x80:
+                break
+            shift += 7
+            if shift > 70:
+                raise AvroReadError("varint too long")
+        return (acc >> 1) ^ -(acc & 1)
+
+    def read_bytes(self) -> bytes:
+        n = self.read_long()
+        if n < 0:
+            raise AvroReadError(f"negative bytes length {n}")
+        return self.take(n)
+
+    def read_str(self) -> str:
+        return self.read_bytes().decode("utf-8")
+
+
+def _register_names(sch, named: dict) -> None:
+    if isinstance(sch, dict) and sch.get("type") in ("record", "enum", "fixed"):
+        named[sch["name"]] = sch
+        for f in sch.get("fields", []):
+            _register_names(f["type"], named)
+    elif isinstance(sch, dict) and sch.get("type") == "array":
+        _register_names(sch["items"], named)
+    elif isinstance(sch, dict) and sch.get("type") == "map":
+        _register_names(sch["values"], named)
+    elif isinstance(sch, list):
+        for b in sch:
+            _register_names(b, named)
+
+
+def _decode(sch, cur: _Cur, named: dict):
+    if isinstance(sch, list):  # union: branch index, then the value
+        idx = cur.read_long()
+        if not 0 <= idx < len(sch):
+            raise AvroReadError(f"union index {idx} out of range for {sch!r}")
+        return _decode(sch[idx], cur, named)
+    if isinstance(sch, str):
+        t = sch
+        if t == "null":
+            return None
+        if t == "boolean":
+            return cur.take(1) != b"\x00"
+        if t in ("int", "long"):
+            return cur.read_long()
+        if t == "float":
+            return struct.unpack("<f", cur.take(4))[0]
+        if t == "double":
+            return struct.unpack("<d", cur.take(8))[0]
+        if t == "bytes":
+            return cur.read_bytes()
+        if t == "string":
+            return cur.read_str()
+        if t in named:
+            return _decode(named[t], cur, named)
+        raise AvroReadError(f"unknown avro type {t!r}")
+    t = sch.get("type")
+    if t == "record":
+        return {f["name"]: _decode(f["type"], cur, named) for f in sch["fields"]}
+    if t == "array":
+        out = []
+        while True:
+            n = cur.read_long()
+            if n == 0:
+                return out
+            if n < 0:
+                cur.read_long()  # byte size of the block — unused
+                n = -n
+            for _ in range(n):
+                out.append(_decode(sch["items"], cur, named))
+    if t == "map":
+        out = {}
+        while True:
+            n = cur.read_long()
+            if n == 0:
+                return out
+            if n < 0:
+                cur.read_long()
+                n = -n
+            for _ in range(n):
+                k = cur.read_str()
+                out[k] = _decode(sch["values"], cur, named)
+    if t == "enum":
+        idx = cur.read_long()
+        syms = sch["symbols"]
+        if not 0 <= idx < len(syms):
+            raise AvroReadError(f"enum index {idx} out of range")
+        return syms[idx]
+    if t == "fixed":
+        return cur.take(int(sch["size"]))
+    if isinstance(t, (list, dict)):
+        return _decode(t, cur, named)
+    if t in named:
+        return _decode(named[t], cur, named)
+    raise AvroReadError(f"unknown avro schema node {sch!r}")
+
+
+def read_container(path: str) -> list[dict]:
+    """All records of one avro object container file as plain Python
+    values (see module docstring for the shape convention)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:4] != _MAGIC:
+        raise AvroReadError(f"{path}: not an avro container (bad magic)")
+    cur = _Cur(data, 4)
+    meta: dict[str, bytes] = {}
+    while True:
+        n = cur.read_long()
+        if n == 0:
+            break
+        if n < 0:
+            cur.read_long()
+            n = -n
+        for _ in range(n):
+            k = cur.read_str()
+            meta[k] = cur.read_bytes()
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec not in ("null", "deflate"):
+        raise AvroReadError(f"{path}: unsupported avro codec {codec!r}")
+    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    named: dict[str, dict] = {}
+    _register_names(schema, named)
+    sync = cur.take(16)
+
+    out: list[dict] = []
+    while cur.i < len(cur.b):
+        count = cur.read_long()
+        size = cur.read_long()
+        payload = cur.take(size)
+        if codec == "deflate":
+            payload = zlib.decompress(payload, -15)
+        bcur = _Cur(payload)
+        for _ in range(count):
+            out.append(_decode(schema, bcur, named))
+        if bcur.i != len(payload):
+            raise AvroReadError(
+                f"{path}: block decoded {bcur.i} of {len(payload)} bytes"
+            )
+        if cur.take(16) != sync:
+            raise AvroReadError(f"{path}: sync marker mismatch")
+    return out

@@ -321,17 +321,29 @@ def _read_checkpoint(log: Path, ck_version: int, parts: int | None) -> _DeltaSta
                 # sidecar actions point at file-action parquet under
                 # _delta_log/_sidecars
                 paths = [cands[0]]
-            elif sorted(log.glob(f"{ck_version:020d}.checkpoint.*.json")):
-                raise LakeFormatGatedError(
-                    f"checkpoint {ck_version} is a JSON-format v2 manifest "
-                    "— only parquet v2 manifests are supported"
-                )
             else:
-                paths = [classic]
+                # JSON-FORMAT v2 manifest (r10, VERDICT r9 item 5):
+                # the spec allows the manifest itself as NDJSON —
+                # same actions, one object per line; sidecars are
+                # still parquet
+                jcands = sorted(
+                    log.glob(f"{ck_version:020d}.checkpoint.*.json")
+                )
+                paths = [jcands[0]] if jcands else [classic]
     state = _DeltaState()
 
+    def _manifest_rows(src: Path) -> list[dict]:
+        if src.suffix == ".json":
+            out = []
+            with open(src) as f:
+                for line in f:
+                    if line.strip():
+                        out.append(json.loads(line))
+            return out
+        return pq.read_table(str(src)).to_pylist()
+
     def _apply_rows(src: Path, top_level: bool) -> None:
-        for row in pq.read_table(str(src)).to_pylist():
+        for row in _manifest_rows(src):
             if row.get("protocol"):
                 state.check_protocol(row["protocol"])
             if row.get("metaData"):
@@ -356,6 +368,12 @@ def _read_checkpoint(log: Path, ck_version: int, parts: int | None) -> _DeltaSta
                     )
                 sc = dict(row["sidecar"])
                 sp = Path(sc["path"])
+                if sp.suffix == ".json":
+                    raise LakeFormatError(
+                        f"v2 checkpoint sidecar {sp.name} is JSON — the "
+                        "spec requires sidecar files to be parquet (only "
+                        "the manifest may be JSON)"
+                    )
                 if not sp.is_absolute():
                     sp = log / "_sidecars" / sc["path"]
                 if not sp.exists():
@@ -1702,12 +1720,19 @@ def _read_avro_records(spark: SparkSession, *paths: str) -> list[dict]:
     rows never take this path.  Results are cached per (path, size,
     mtime) — manifests are immutable, so the key is exact.
 
-    Decode strategy (r9): records stream through avro's OWN
+    Decode strategy (r10): the pure-Python binary container reader
+    (sources/avroread.py) decodes null/deflate-codec manifests with
+    ZERO py4j traffic — the r9 jsonEncoder bridge still cost ~0.19 s
+    of JVM object setup PER FILE, which made a thousand-manifest walk
+    O(0.2 s × N); Python binary decode is ~1 ms per small manifest.
+    Files with codecs the Python reader doesn't speak (snappy/zstd)
+    fall back to the r9 bridge: records stream through avro's OWN
     jsonEncoder JVM-side (2 py4j calls per record) into one buffer,
     then Python parses the concatenated JSON and UNWRAPS unions/bytes
-    against the file's schema — the prior per-FIELD ``_java_to_py``
-    traversal cost ~100k py4j round-trips on a 400-entry manifest
-    (~8 s per cold read, measured)."""
+    against the file's schema.  A parity test pins the two paths
+    record-for-record."""
+    from . import avroread
+
     jvm = spark._jvm
     out: list[dict] = []
     for path in paths:
@@ -1720,6 +1745,20 @@ def _read_avro_records(spark: SparkSession, *paths: str) -> list[dict]:
         hit = _AVRO_CACHE.get(key)
         if hit is not None:
             out.extend(hit)
+            continue
+        try:
+            recs = avroread.read_container(path)
+        except avroread.AvroReadError as e:
+            if "unsupported avro codec" not in str(e):
+                # malformed container — loud, same contract as the
+                # JVM path's own failures
+                raise LakeFormatError(f"avro manifest decode failed: {e}")
+            recs = None
+        if recs is not None:
+            if len(_AVRO_CACHE) >= _AVRO_CACHE_MAX:
+                _AVRO_CACHE.pop(next(iter(_AVRO_CACHE)))
+            _AVRO_CACHE[key] = recs
+            out.extend(recs)
             continue
         reader = jvm.org.apache.avro.file.DataFileReader(
             jvm.java.io.File(path),
@@ -1858,11 +1897,44 @@ def write_avro_records(
             return branch["name"]  # no namespaces in this repo's schemas
         return t  # array / map
 
+    def _resolved(branch):
+        if isinstance(branch, str) and branch in named:
+            return named[branch]
+        return branch
+
+    def _branch_matches(branch, v) -> bool:
+        b = _resolved(branch)
+        bt = b if isinstance(b, str) else b.get("type")
+        if isinstance(v, bool):
+            return bt == "boolean"
+        if isinstance(v, (bytes, bytearray)):
+            return bt in ("bytes", "fixed")
+        if isinstance(v, str):
+            return bt == "string" or (
+                bt == "enum" and v in b.get("symbols", [])
+            )
+        if isinstance(v, int):
+            return bt in ("int", "long")
+        if isinstance(v, float):
+            return bt in ("float", "double")
+        if isinstance(v, dict):
+            return bt in ("record", "map")
+        if isinstance(v, (list, tuple)):
+            return bt == "array"
+        return False
+
     def _avro_json(sch, v):
         if isinstance(sch, list):  # union
             if v is None:
                 return None
-            branch = next(b for b in sch if b != "null")
+            # pick the branch the VALUE's type names — first-non-null
+            # guessing mis-encodes legal >2-branch unions like
+            # ["null", "string", "bytes"] (write-side twin of the r9
+            # decode-by-label review finding)
+            branch = next(
+                (b for b in sch if b != "null" and _branch_matches(b, v)),
+                None,
+            ) or next(b for b in sch if b != "null")
             return {_branch_label(branch): _avro_json(branch, v)}
         if isinstance(sch, str):
             if sch in named:

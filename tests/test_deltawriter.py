@@ -1333,3 +1333,78 @@ def test_v2_checkpoint_write_roundtrip(spark, tmp_path):
     # travel AT the checkpoint version reads without any JSON
     at1 = LF.read_delta_snapshot(spark, tbl, version=1)
     assert at1.count() == 60
+
+
+def test_v2_checkpoint_json_manifest_roundtrip(spark, tmp_path):
+    """JSON-FORMAT v2 checkpoint manifest (r10, VERDICT r9 item 5):
+    the spec allows the v2 manifest itself as NDJSON (sidecars stay
+    parquet).  Write side emits it via manifest_format='json'; the
+    reader seeds from it exactly like the parquet form — only the
+    checkpoint can answer after the pre-checkpoint commits are
+    deleted, a later commit replays on top, txn markers survive, and
+    the txn idempotence scan reads the JSON manifest too.  A JSON
+    SIDECAR gates loudly; JSON for a CLASSIC checkpoint gates."""
+    tbl = str(tmp_path / "t")
+    df = spark.createDataFrame([(i, i % 3) for i in range(60)], "id long, g long")
+    DW.write_delta(spark, df, tbl, max_records_per_file=20, txn=("app", 7))
+
+    with pytest.raises(LF.LakeFormatError, match="v2-checkpoint form"):
+        DW.write_delta_checkpoint(spark, tbl, manifest_format="json")
+    with pytest.raises(LF.LakeFormatError, match="manifest_format"):
+        DW.write_delta_checkpoint(spark, tbl, v2=True, manifest_format="orc")
+
+    DW._commit(
+        tbl,
+        1,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["v2Checkpoint"],
+                    "writerFeatures": ["v2Checkpoint"],
+                }
+            }
+        ],
+    )
+    res = DW.write_delta_checkpoint(
+        spark, tbl, v2=True, sidecar_files=2, manifest_format="json"
+    )
+    assert res["version"] == 1 and res["sidecars"] == 2
+    log = Path(tbl) / "_delta_log"
+    jmans = list(log.glob("*.checkpoint.*.json"))
+    assert len(jmans) == 1
+    assert not list(log.glob("*.checkpoint.*.parquet"))
+    assert len(list((log / "_sidecars").glob("*.parquet"))) == 2
+    # every manifest line is a single-action object; metaData carries
+    # JSON dicts, not parquet map item-lists
+    lines = [
+        json.loads(line)
+        for line in jmans[0].read_text().splitlines()
+        if line.strip()
+    ]
+    assert all(len(a) == 1 for a in lines)
+    md = [a["metaData"] for a in lines if "metaData" in a][0]
+    assert isinstance(md["configuration"], dict)
+    assert isinstance(md["format"]["options"], dict)
+
+    DW.write_delta(
+        spark,
+        spark.createDataFrame([(100, 9)], "id long, g long"),
+        tbl,
+        mode="append",
+    )
+    (log / f"{0:020d}.json").unlink()
+    (log / f"{1:020d}.json").unlink()
+    got = LF.read_delta_snapshot(spark, tbl)
+    assert got.count() == 61
+    assert sorted(r.id for r in got.collect())[-1] == 100
+    assert DW.last_txn_version(tbl, "app") == 7
+    at1 = LF.read_delta_snapshot(spark, tbl, version=1)
+    assert at1.count() == 60
+
+    # a JSON sidecar reference gates loudly (spec: sidecars are parquet)
+    bad = jmans[0].read_text().replace(".parquet", ".json", 1)
+    jmans[0].write_text(bad)
+    with pytest.raises(LF.LakeFormatError, match="sidecar.*JSON|JSON.*sidecar"):
+        LF.read_delta_snapshot(spark, tbl, version=1)
