@@ -2318,3 +2318,94 @@ FROM vals v
 JOIN supplier s ON CAST(s.s_acctbal AS DECIMAL(12,2)) = v.s_bal
 GROUP BY v.s_bal
 """
+
+
+# ---------------------------------------------------------------- F40
+
+
+def iceberg_files_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``files`` METADATA TABLE surface (r10) — what production
+    engines expose as ``SELECT * FROM t$files`` (Trino) /
+    ``t.files`` (Spark): one row per live data file with its
+    partition tuple, record count, and per-column bounds, straight
+    from the manifest entries, no data file opened.
+
+    Gate evidence is fully closed-form: supplier commits partitioned
+    by ``s_nationkey`` (identity), so per-nation record counts and the
+    decoded s_suppkey lower/upper bounds must equal the SQL
+    min/max/count over the source table — a wrong Appendix-D bound
+    encode, a lost manifest entry, or a partition misplacement each
+    fail the value hash.  Rows aggregate per partition value so the
+    check is layout-independent (maxRecordsPerFile splits would still
+    pass).
+
+    100 TB: this is the table-maintenance query surface — OPTIMIZE
+    candidates, small-file audits, skew reports all read the files
+    table, which costs O(metadata) regardless of data size (and the
+    r10 pure-Python avro reader keeps the walk ~ms per manifest)."""
+    prep(spark)
+    from ..sources import icebergwriter as IW
+    from ..sources import skipping as SK
+
+    sup = load(spark, sf_dir, "supplier")
+
+    def build(root: str) -> None:
+        tbl = os.path.join(root, "table")
+        IW.write_iceberg(spark, sup, tbl, partition_by=["s_nationkey"])
+
+    root = _ensure("wrt_ice_filestbl", sf_dir, build)
+    meta = str(
+        max(
+            (root / "table" / "metadata").glob("v*.metadata.json"),
+            key=lambda p: int(p.name.split(".")[0][1:]),
+        )
+    )
+    import json as _json
+
+    mjson = _json.loads(Path(meta).read_text())
+    cur_schema = {s["schema-id"]: s for s in mjson["schemas"]}[
+        mjson["current-schema-id"]
+    ]
+    suppkey_id = next(
+        f["id"] for f in cur_schema["fields"] if f["name"] == "s_suppkey"
+    )
+
+    entries = LF.iceberg_snapshot_entries(spark, meta)
+    agg: dict[int, list] = {}
+    for e in entries:
+        if e["status"] == 2 or e["content"] != 0:
+            continue
+        nk = int(e["partition"]["s_nationkey"])
+        lo = hi = None
+        for kv in e["lower_bounds"] or []:
+            if int(kv["key"]) == suppkey_id:
+                lo = SK.decode_iceberg_bound("long", kv["value"])
+        for kv in e["upper_bounds"] or []:
+            if int(kv["key"]) == suppkey_id:
+                hi = SK.decode_iceberg_bound("long", kv["value"])
+        cur = agg.setdefault(nk, [0, None, None, 0])
+        cur[0] += int(e["record_count"])
+        cur[1] = lo if cur[1] is None else min(cur[1], lo)
+        cur[2] = hi if cur[2] is None else max(cur[2], hi)
+        cur[3] += 1 if e["record_count"] > 0 else 0
+    rows = [
+        (nk, c[0], int(c[1]), int(c[2]), 1 if c[3] >= 1 else 0)
+        for nk, c in sorted(agg.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "s_nationkey int, n_rows long, min_suppkey long, max_suppkey long, "
+        "has_live_file int",
+    )
+
+
+def _iceberg_files_table_sql() -> str:
+    return """
+SELECT CAST(s_nationkey AS INTEGER) AS s_nationkey,
+       count(*) AS n_rows,
+       CAST(min(s_suppkey) AS BIGINT) AS min_suppkey,
+       CAST(max(s_suppkey) AS BIGINT) AS max_suppkey,
+       CAST(1 AS INTEGER) AS has_live_file
+FROM supplier
+GROUP BY s_nationkey
+"""

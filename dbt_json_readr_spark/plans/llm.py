@@ -5116,3 +5116,200 @@ sym{i + 1} AS (
 
 
 ORACLES["bpe_train_merges"] = _bpe_train_sql()
+
+
+# ---------------------------------------------------------------- C74
+
+
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 terms by BM25 (k1=1.5, b=0.75) — the retrieval
+    scoring primitive a RAG/search layer runs over the corpus, kept
+    BIT-EXACT across engines the same way C23's tf-idf is: with
+    k1=3/2 and b=3/4 every fractional constant clears when numerator
+    and denominator are scaled by 8·sum_dl, so the whole score is ONE
+    division of two exact-integer products,
+
+      score = (2(N−df)+1) · 20·tf·sum_dl
+            ─────────────────────────────────────────
+              (2df+1) · (8·sum_dl·tf + 3·sum_dl + 9·dl·N)
+
+    (the classic Robertson idf (N−df+0.5)/(df+0.5) and the length-
+    normalized tf saturation, rationalized).  Each factor stays below
+    2^53 for corpora up to ~10^9 total tokens with tf ≤ 10^5, so the
+    double products are exact and both engines round identically.
+
+    Scale: tf is the one explode+groupBy shuffle on (doc, term);
+    dl/df are map-side-combined rollups of it; N and sum_dl broadcast
+    as 1-row scalars; the top-k is a window over (doc, term) postings
+    — never the raw corpus."""
+    prep(spark)
+    from pyspark.sql import Window as W
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    tf = (
+        docs.select("doc_id", F.explode(H.tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    s = dl.agg(F.sum("dl").alias("sum_dl"))
+    num = (
+        (F.lit(2) * (F.col("n_docs") - F.col("df")) + F.lit(1)).cast("double")
+        * (F.lit(20) * F.col("tf") * F.col("sum_dl")).cast("double")
+    )
+    den = (F.lit(2) * F.col("df") + F.lit(1)).cast("double") * (
+        F.lit(8) * F.col("sum_dl") * F.col("tf")
+        + F.lit(3) * F.col("sum_dl")
+        + F.lit(9) * F.col("dl") * F.col("n_docs")
+    ).cast("double")
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(df_t, "term")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(s))
+        .select("doc_id", "term", "tf", "df", "dl", (num / den).alias("score"))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+def _bm25_sql() -> str:
+    toks = H.sql_tokens("text")
+    return f"""
+WITH tf AS (
+  SELECT doc_id, t.term, count(*) AS tf
+  FROM documents, unnest({toks}) AS t(term)
+  GROUP BY doc_id, t.term
+),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+df_t AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+s AS (SELECT CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df_t.df, dl.dl,
+         (CAST(2 * (n_docs - df) + 1 AS DOUBLE)
+            * CAST(20 * tf * sum_dl AS DOUBLE))
+         / (CAST(2 * df + 1 AS DOUBLE)
+            * CAST(8 * sum_dl * tf + 3 * sum_dl + 9 * dl * n_docs AS DOUBLE))
+           AS score
+  FROM tf JOIN dl USING (doc_id) JOIN df_t USING (term), n, s
+)
+SELECT doc_id, term, tf, df, dl, score, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, term) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+ORACLES["doc_bm25_topk"] = _bm25_sql()
+
+
+# ---------------------------------------------------------------- C75
+
+
+def text_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ENCODING-QUALITY audit — the ingest hygiene pass a
+    training pipeline runs before tokenization: U+FFFD replacement
+    characters (decoder already gave up), C0 control characters
+    (binary junk in 'text'), the classic UTF-8-read-as-latin1
+    mojibake markers ('Ã', 'â'), and the overall ascii share.
+
+    The synthetic corpus is pure ASCII, so the audit seeds a
+    DETERMINISTIC dirty variant (doc_id mod 7/11/13 inject mojibake,
+    a replacement char, a BEL control) the oracle replays exactly —
+    the same convention the decontamination key uses for its planted
+    overlaps.  All counts are length-minus-replaced-length over
+    single characters (identical semantics in Java regex-free
+    ``replace`` and DuckDB ``replace``), and the one double division
+    (ascii share) divides two exact integers, so values hash-match
+    bit-for-bit.
+
+    Scale: one narrow projection + one groupBy(source) — map-side
+    combined, no join, no window; 100 TB cost is the scan."""
+    prep(spark)
+    docs = spread(load(spark, sf_dir, "documents"))
+    t = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" Ã©â€™")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" �bad")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0, F.lit("\x07")).otherwise(F.lit("")),
+    )
+
+    def cnt(col, ch):
+        return F.length(col) - F.length(F.replace(col, F.lit(ch), F.lit("")))
+
+    d = docs.select(
+        "source",
+        F.length(t).alias("chars"),
+        cnt(t, "�").alias("repl"),
+        cnt(t, "\x07").alias("ctrl"),
+        (cnt(t, "Ã") + cnt(t, "â")).alias("moji"),
+        (
+            F.length(t)
+            - F.length(F.regexp_replace(t, r"[^\x00-\x7F]", ""))
+        ).alias("nonascii"),
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("repl").alias("repl_chars"),
+            F.sum("ctrl").alias("ctrl_chars"),
+            F.sum("moji").alias("moji_chars"),
+            F.sum("nonascii").alias("nonascii_chars"),
+            F.sum("chars").alias("chars_total"),
+            F.sum(
+                F.when(
+                    (F.col("repl") > 0) | (F.col("ctrl") > 0) | (F.col("moji") > 0),
+                    1,
+                ).otherwise(0)
+            ).alias("dirty_docs"),
+        )
+        .withColumn(
+            "ascii_share",
+            (F.col("chars_total") - F.col("nonascii_chars")).cast("double")
+            / F.col("chars_total"),
+        )
+    )
+
+
+def _encoding_audit_sql() -> str:
+    inject = (
+        "text"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' Ã©â€™' ELSE '' END"
+        " || CASE WHEN doc_id % 11 = 0 THEN ' �bad' ELSE '' END"
+        " || CASE WHEN doc_id % 13 = 0 THEN chr(7) ELSE '' END"
+    )
+    return f"""
+WITH d AS (
+  SELECT source,
+         len(t) AS chars,
+         len(t) - len(replace(t, '�', '')) AS repl,
+         len(t) - len(replace(t, chr(7), '')) AS ctrl,
+         (len(t) - len(replace(t, 'Ã', '')))
+           + (len(t) - len(replace(t, 'â', ''))) AS moji,
+         len(t) - len(regexp_replace(t, '[^\\x00-\\x7F]', '', 'g')) AS nonascii
+  FROM (SELECT source, doc_id, {inject} AS t FROM documents)
+)
+SELECT source,
+       count(*) AS docs,
+       CAST(sum(repl) AS BIGINT) AS repl_chars,
+       CAST(sum(ctrl) AS BIGINT) AS ctrl_chars,
+       CAST(sum(moji) AS BIGINT) AS moji_chars,
+       CAST(sum(nonascii) AS BIGINT) AS nonascii_chars,
+       CAST(sum(chars) AS BIGINT) AS chars_total,
+       CAST(sum(CASE WHEN repl > 0 OR ctrl > 0 OR moji > 0 THEN 1 ELSE 0 END) AS BIGINT) AS dirty_docs,
+       CAST(CAST(sum(chars) AS BIGINT) - CAST(sum(nonascii) AS BIGINT) AS DOUBLE)
+         / CAST(sum(chars) AS BIGINT) AS ascii_share
+FROM d
+GROUP BY source
+"""
+
+
+ORACLES["text_encoding_audit"] = _encoding_audit_sql()

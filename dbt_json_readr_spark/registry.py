@@ -526,6 +526,13 @@ register(
     lakewrite.iceberg_decimal_bucket_prune,
     lakewrite._iceberg_decimal_bucket_prune_sql,
 )
+# F40: the `files` metadata-table surface — per-file partition/count/
+# bounds from manifest entries, no data file opened
+register(
+    "iceberg_files_table",
+    lakewrite.iceberg_files_table,
+    lakewrite._iceberg_files_table_sql,
+)
 register(
     "streaming_delta_commits",
     streaming_jobs.streaming_delta_commits,
@@ -552,6 +559,14 @@ register(
 )
 register("semdedup_prune", llm.semdedup_prune, llm.ORACLES["semdedup_prune"])
 register("dedup_graph_triangles", llm.dedup_graph_triangles, llm.ORACLES["dedup_graph_triangles"])
+# C74: BM25 retrieval scoring, rationalized to one exact division
+register("doc_bm25_topk", llm.doc_bm25_topk, llm.ORACLES["doc_bm25_topk"])
+# C75: encoding/mojibake hygiene audit over deterministic dirt
+register(
+    "text_encoding_audit",
+    llm.text_encoding_audit,
+    llm.ORACLES["text_encoding_audit"],
+)
 
 
 # -------------------------------------------------------------------
@@ -626,6 +641,9 @@ _R10_STALE_R5 = [
 # rest lead the r11 rotation.
 _NEW_R10 = [
     "iceberg_decimal_bucket_prune",
+    "doc_bm25_topk",
+    "text_encoding_audit",
+    "iceberg_files_table",
 ]
 
 # every gate-list name must resolve - a typo is harmless until the
