@@ -209,3 +209,207 @@ def read_container(path: str) -> list[dict]:
         if cur.take(16) != sync:
             raise AvroReadError(f"{path}: sync marker mismatch")
     return out
+
+
+# ------------------------------------------------------------ writer
+
+
+class AvroWriteError(Exception):
+    pass
+
+
+def _zigzag(n: int) -> bytes:
+    """Zigzag varint — the int/long wire form (encoder twin of
+    _Cur.read_long)."""
+    u = (n << 1) ^ (n >> 63) if n < 0 else n << 1
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _union_branch(sch: list, v, named: dict) -> int:
+    """Branch index for a union VALUE — by type, the same rule the
+    JVM-bridge writer applies (value-typed branch first, else the
+    first non-null branch; None takes the null branch)."""
+    if v is None:
+        for i, b in enumerate(sch):
+            if b == "null":
+                return i
+        raise AvroWriteError(f"None for non-nullable union {sch!r}")
+
+    def resolved(b):
+        return named.get(b, b) if isinstance(b, str) else b
+
+    def matches(b) -> bool:
+        r = resolved(b)
+        bt = r if isinstance(r, str) else r.get("type")
+        if isinstance(v, bool):
+            return bt == "boolean"
+        if isinstance(v, (bytes, bytearray)):
+            return bt in ("bytes", "fixed")
+        if isinstance(v, str):
+            return bt == "string" or (
+                bt == "enum" and v in r.get("symbols", [])
+            )
+        if isinstance(v, int):
+            return bt in ("int", "long")
+        if isinstance(v, float):
+            return bt in ("float", "double")
+        if isinstance(v, dict):
+            return bt in ("record", "map")
+        if isinstance(v, (list, tuple)):
+            return bt == "array"
+        return False
+
+    for i, b in enumerate(sch):
+        if b != "null" and matches(b):
+            return i
+    for i, b in enumerate(sch):
+        if b != "null":
+            return i
+    raise AvroWriteError(f"no branch for {type(v)} in {sch!r}")
+
+
+def _encode(sch, v, named: dict, out: bytearray) -> None:
+    if isinstance(sch, list):  # union: branch index, then the value
+        idx = _union_branch(sch, v, named)
+        out += _zigzag(idx)
+        return _encode(sch[idx], v, named, out)
+    if isinstance(sch, str):
+        t = sch
+        if t == "null":
+            if v is not None:
+                raise AvroWriteError(f"non-null {v!r} for null type")
+            return
+        if t == "boolean":
+            out.append(1 if v else 0)
+            return
+        if t in ("int", "long"):
+            out += _zigzag(int(v))
+            return
+        if t == "float":
+            out += struct.pack("<f", float(v))
+            return
+        if t == "double":
+            out += struct.pack("<d", float(v))
+            return
+        if t == "bytes":
+            b = bytes(v)
+            out += _zigzag(len(b))
+            out += b
+            return
+        if t == "string":
+            b = str(v).encode("utf-8")
+            out += _zigzag(len(b))
+            out += b
+            return
+        if t in named:
+            return _encode(named[t], v, named, out)
+        raise AvroWriteError(f"unknown avro type {t!r}")
+    t = sch.get("type")
+    if t == "record":
+        d = v or {}
+        for f in sch["fields"]:
+            try:
+                _encode(f["type"], d.get(f["name"]), named, out)
+            except AvroWriteError as e:
+                raise AvroWriteError(f"{sch.get('name')}.{f['name']}: {e}")
+        return
+    if t == "array":
+        items = list(v or [])
+        if items:
+            out += _zigzag(len(items))
+            for x in items:
+                _encode(sch["items"], x, named, out)
+        out += _zigzag(0)
+        return
+    if t == "map":
+        d = dict(v or {})
+        if d:
+            out += _zigzag(len(d))
+            for k, x in d.items():
+                kb = str(k).encode("utf-8")
+                out += _zigzag(len(kb))
+                out += kb
+                _encode(sch["values"], x, named, out)
+        out += _zigzag(0)
+        return
+    if t == "enum":
+        try:
+            out += _zigzag(sch["symbols"].index(v))
+        except ValueError:
+            raise AvroWriteError(f"{v!r} not in enum {sch.get('name')}")
+        return
+    if t == "fixed":
+        b = bytes(v)
+        if len(b) != int(sch["size"]):
+            raise AvroWriteError(
+                f"fixed {sch.get('name')} needs {sch['size']} bytes, got {len(b)}"
+            )
+        out += b
+        return
+    if isinstance(t, (list, dict)):
+        return _encode(t, v, named, out)
+    if t in named:
+        return _encode(named[t], v, named, out)
+    raise AvroWriteError(f"unknown avro schema node {sch!r}")
+
+
+def write_container(
+    path: str,
+    schema_json: str,
+    records: list[dict],
+    codec: str = "deflate",
+    block_records: int = 1000,
+) -> None:
+    """Write one avro object container file in pure Python — the
+    encoder twin of read_container, byte-compatible with any avro
+    reader (the JVM DataFileReader round-trip is test-pinned).  The
+    sync marker derives deterministically from the schema + record
+    count, which keeps fixture bytes reproducible run-to-run."""
+    import hashlib
+
+    if codec not in ("null", "deflate"):
+        raise AvroWriteError(f"unsupported codec {codec!r}")
+    schema = json.loads(schema_json)
+    named: dict[str, dict] = {}
+    _register_names(schema, named)
+    sync = hashlib.sha256(
+        f"{len(records)}:{schema_json}".encode()
+    ).digest()[:16]
+    out = bytearray()
+    out += _MAGIC
+    meta = {
+        "avro.schema": json.dumps(schema, separators=(",", ":")).encode(),
+        "avro.codec": codec.encode(),
+    }
+    out += _zigzag(len(meta))
+    for k, v in meta.items():
+        kb = k.encode()
+        out += _zigzag(len(kb))
+        out += kb
+        out += _zigzag(len(v))
+        out += v
+    out += _zigzag(0)
+    out += sync
+    for i in range(0, len(records), block_records):
+        chunk = records[i : i + block_records]
+        body = bytearray()
+        for r in chunk:
+            _encode(schema, r, named, body)
+        payload = bytes(body)
+        if codec == "deflate":
+            co = zlib.compressobj(wbits=-15)
+            payload = co.compress(payload) + co.flush()
+        out += _zigzag(len(chunk))
+        out += _zigzag(len(payload))
+        out += payload
+        out += sync
+    with open(path, "wb") as f:
+        f.write(bytes(out))

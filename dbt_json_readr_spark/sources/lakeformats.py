@@ -1721,7 +1721,7 @@ def _read_avro_records(spark: SparkSession, *paths: str) -> list[dict]:
     mtime) — manifests are immutable, so the key is exact.
 
     Decode strategy (r10): the pure-Python binary container reader
-    (sources/avroread.py) decodes null/deflate-codec manifests with
+    (sources/avrocore.py) decodes null/deflate-codec manifests with
     ZERO py4j traffic — the r9 jsonEncoder bridge still cost ~0.19 s
     of JVM object setup PER FILE, which made a thousand-manifest walk
     O(0.2 s × N); Python binary decode is ~1 ms per small manifest.
@@ -1731,7 +1731,7 @@ def _read_avro_records(spark: SparkSession, *paths: str) -> list[dict]:
     then Python parses the concatenated JSON and UNWRAPS unions/bytes
     against the file's schema.  A parity test pins the two paths
     record-for-record."""
-    from . import avroread
+    from . import avrocore
 
     jvm = spark._jvm
     out: list[dict] = []
@@ -1747,8 +1747,8 @@ def _read_avro_records(spark: SparkSession, *paths: str) -> list[dict]:
             out.extend(hit)
             continue
         try:
-            recs = avroread.read_container(path)
-        except avroread.AvroReadError as e:
+            recs = avrocore.read_container(path)
+        except avrocore.AvroReadError as e:
             if "unsupported avro codec" not in str(e):
                 # malformed container — loud, same contract as the
                 # JVM path's own failures
@@ -1872,8 +1872,29 @@ def _from_avro_json(sch, v, named: dict):
 def write_avro_records(
     spark: SparkSession, dest: str, schema_json: str, records: list[dict]
 ) -> None:
-    """Counterpart writer (fixtures / manifest export) via avro-core:
-    spec-true container files any Iceberg reader can open.
+    """Counterpart writer (fixtures / manifest export): spec-true
+    container files any Iceberg reader can open.
+
+    r10: encodes in pure Python (sources/avrocore.py, zero py4j
+    traffic) — the r9 jsonDecoder bridge still made 3 py4j calls per
+    record plus per-call JVM setup (~0.15 s/manifest, 68 manifests/s
+    in the r10 walk probe's authoring phase).  Byte-level
+    compatibility is pinned by test BOTH ways: the JVM DataFileReader
+    reads Python-written files, and the retained JVM writer
+    (_write_avro_records_jvm) produces records the Python reader
+    decodes identically."""
+    from . import avrocore
+
+    tmp = f"{dest}.tmp-{os.getpid()}"
+    avrocore.write_container(tmp, schema_json, records)
+    os.replace(tmp, dest)
+
+
+def _write_avro_records_jvm(
+    spark: SparkSession, dest: str, schema_json: str, records: list[dict]
+) -> None:
+    """The r9 JVM-bridge writer, retained for the cross-implementation
+    parity pin and as a fallback authoring path.
 
     py4j auto-unboxes java.lang.Long returns to Python ints, so
     hand-built GenericData.Record fields lose their Java types and fail

@@ -3023,7 +3023,7 @@ def test_avro_python_binary_reader_matches_jvm_bridge(spark, tmp_path):
     this parity pin is what makes that swap safe."""
     import json
 
-    from dbt_json_readr_spark.sources import avroread
+    from dbt_json_readr_spark.sources import avrocore
     from dbt_json_readr_spark.sources import lakeformats as LF
 
     schema = json.dumps(
@@ -3107,16 +3107,16 @@ def test_avro_python_binary_reader_matches_jvm_bridge(spark, tmp_path):
     p = tmp_path / "parity.avro"
     LF.write_avro_records(spark, str(p), schema, rows)
 
-    py_recs = avroread.read_container(str(p))
+    py_recs = avrocore.read_container(str(p))
 
     # force the JVM path by asking through the bridge with the Python
     # reader monkeypatched out
-    import dbt_json_readr_spark.sources.avroread as AR
+    import dbt_json_readr_spark.sources.avrocore as AR
 
     orig = AR.read_container
     try:
         AR.read_container = lambda _p: (_ for _ in ()).throw(
-            avroread.AvroReadError("unsupported avro codec 'forced'")
+            avrocore.AvroReadError("unsupported avro codec 'forced'")
         )
         LF._AVRO_CACHE.clear()
         jvm_recs = LF._read_avro_records(spark, str(p))
@@ -3137,10 +3137,10 @@ def test_avro_python_binary_reader_matches_jvm_bridge(spark, tmp_path):
         partition_by=["g"],
     )
     for f in sorted((tbl / "metadata").glob("*.avro")):
-        got_py = avroread.read_container(str(f))
+        got_py = avrocore.read_container(str(f))
         try:
             AR.read_container = lambda _p: (_ for _ in ()).throw(
-                avroread.AvroReadError("unsupported avro codec 'forced'")
+                avrocore.AvroReadError("unsupported avro codec 'forced'")
             )
             LF._AVRO_CACHE.clear()
             got_jvm = LF._read_avro_records(spark, str(f))
@@ -3148,3 +3148,115 @@ def test_avro_python_binary_reader_matches_jvm_bridge(spark, tmp_path):
             AR.read_container = orig
             LF._AVRO_CACHE.clear()
         assert got_py == got_jvm, f.name
+
+
+def test_avro_python_writer_jvm_reader_roundtrip(spark, tmp_path):
+    """The r10 pure-Python avro WRITER must produce container bytes
+    the JVM DataFileReader decodes to the same records (and the
+    retained JVM writer's bytes must decode identically through the
+    Python reader) — cross-implementation, both directions, over the
+    manifest schemas' full shape vocabulary."""
+    import json
+
+    from dbt_json_readr_spark.sources import avrocore
+    from dbt_json_readr_spark.sources import lakeformats as LF
+
+    schema = json.dumps(
+        {
+            "type": "record",
+            "name": "row",
+            "fields": [
+                {"name": "l", "type": "long"},
+                {"name": "s", "type": "string"},
+                {"name": "b", "type": ["null", "bytes"], "default": None},
+                {
+                    "name": "multi",
+                    "type": ["null", "string", "bytes"],
+                    "default": None,
+                },
+                {"name": "d", "type": "double"},
+                {"name": "flag", "type": "boolean"},
+                {
+                    "name": "kv",
+                    "type": [
+                        "null",
+                        {
+                            "type": "array",
+                            "items": {
+                                "type": "record",
+                                "name": "kv2",
+                                "fields": [
+                                    {"name": "key", "type": "int"},
+                                    {"name": "value", "type": "bytes"},
+                                ],
+                            },
+                        },
+                    ],
+                    "default": None,
+                },
+                {"name": "m", "type": {"type": "map", "values": "long"}},
+                {
+                    "name": "e",
+                    "type": {
+                        "type": "enum",
+                        "name": "col2",
+                        "symbols": ["RED", "GREEN"],
+                    },
+                },
+                {"name": "fx", "type": {"type": "fixed", "name": "f3", "size": 3}},
+            ],
+        }
+    )
+    rows = [
+        {
+            "l": -(2**62) + 1,
+            "s": "héllo",
+            "b": b"\x00\xff\x80",
+            "multi": b"\x01\x02",
+            "d": -2.5,
+            "flag": True,
+            "kv": [{"key": 1, "value": b"lo"}, {"key": -2, "value": b""}],
+            "m": {"a": 1, "b": -9},
+            "e": "GREEN",
+            "fx": b"abc",
+        },
+        {
+            "l": 0,
+            "s": "",
+            "b": None,
+            "multi": "txt",
+            "d": 0.0,
+            "flag": False,
+            "kv": None,
+            "m": {},
+            "e": "RED",
+            "fx": b"\x00\x00\x00",
+        },
+    ]
+
+    # Python writer → JVM reader (forced)
+    p1 = tmp_path / "pywrite.avro"
+    avrocore.write_container(str(p1), schema, rows)
+    import dbt_json_readr_spark.sources.avrocore as AC
+
+    orig = AC.read_container
+    try:
+        AC.read_container = lambda _p: (_ for _ in ()).throw(
+            avrocore.AvroReadError("unsupported avro codec 'forced'")
+        )
+        LF._AVRO_CACHE.clear()
+        via_jvm = LF._read_avro_records(spark, str(p1))
+    finally:
+        AC.read_container = orig
+        LF._AVRO_CACHE.clear()
+    assert via_jvm == rows
+
+    # JVM writer → Python reader
+    p2 = tmp_path / "jvmwrite.avro"
+    LF._write_avro_records_jvm(spark, str(p2), schema, rows)
+    assert avrocore.read_container(str(p2)) == rows
+
+    # null codec + multi-block chunking also round-trip
+    p3 = tmp_path / "nullcodec.avro"
+    avrocore.write_container(str(p3), schema, rows * 5, codec="null", block_records=3)
+    assert avrocore.read_container(str(p3)) == rows * 5
