@@ -2385,11 +2385,22 @@ def iceberg_files_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 hi = SK.decode_iceberg_bound("long", kv["value"])
         cur = agg.setdefault(nk, [0, None, None, 0])
         cur[0] += int(e["record_count"])
-        cur[1] = lo if cur[1] is None else min(cur[1], lo)
-        cur[2] = hi if cur[2] is None else max(cur[2], hi)
+        # bounds can legitimately be absent (footer_column_stats omits
+        # untrusted row-group stats — 'unknown', not zero); min/max
+        # over the known ones, None only if no file carried a bound
+        if lo is not None:
+            cur[1] = lo if cur[1] is None else min(cur[1], lo)
+        if hi is not None:
+            cur[2] = hi if cur[2] is None else max(cur[2], hi)
         cur[3] += 1 if e["record_count"] > 0 else 0
     rows = [
-        (nk, c[0], int(c[1]), int(c[2]), 1 if c[3] >= 1 else 0)
+        (
+            nk,
+            c[0],
+            None if c[1] is None else int(c[1]),
+            None if c[2] is None else int(c[2]),
+            1 if c[3] >= 1 else 0,
+        )
         for nk, c in sorted(agg.items())
     ]
     return spark.createDataFrame(

@@ -41,6 +41,14 @@ class AvroReadError(Exception):
     pass
 
 
+class AvroCodecUnsupported(AvroReadError):
+    """Codec this reader doesn't speak (snappy/zstd) — the ONE
+    condition callers may treat as 'fall back to the JVM bridge';
+    every other AvroReadError means the container is malformed and
+    must stay loud (review r10: dispatching the fallback on an error-
+    message substring was string-typed control flow)."""
+
+
 class _Cur:
     """Byte cursor over one decompressed block (or the header)."""
 
@@ -51,6 +59,11 @@ class _Cur:
         self.i = i
 
     def take(self, n: int) -> bytes:
+        # n < 0 would move the cursor BACKWARDS — a malformed block
+        # size then re-reads the same bytes forever instead of raising
+        # (review r10: confirmed infinite loop on count=0/size=-18)
+        if n < 0:
+            raise AvroReadError(f"negative length {n}")
         j = self.i + n
         if j > len(self.b):
             raise AvroReadError("truncated avro data")
@@ -160,8 +173,12 @@ def _decode(sch, cur: _Cur, named: dict):
         return cur.take(int(sch["size"]))
     if isinstance(t, (list, dict)):
         return _decode(t, cur, named)
-    if t in named:
-        return _decode(named[t], cur, named)
+    if isinstance(t, str):
+        # dict-wrapped primitive — real Iceberg writers annotate e.g.
+        # {"type": "long", "logicalType": "timestamp-micros"}; the
+        # wire format is the underlying primitive's (review r10: the
+        # r9 JVM bridge read these fine, this reader must too)
+        return _decode(t, cur, named)
     raise AvroReadError(f"unknown avro schema node {sch!r}")
 
 
@@ -186,7 +203,9 @@ def read_container(path: str) -> list[dict]:
             meta[k] = cur.read_bytes()
     codec = meta.get("avro.codec", b"null").decode()
     if codec not in ("null", "deflate"):
-        raise AvroReadError(f"{path}: unsupported avro codec {codec!r}")
+        raise AvroCodecUnsupported(
+            f"{path}: unsupported avro codec {codec!r}"
+        )
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
     named: dict[str, dict] = {}
     _register_names(schema, named)
@@ -196,9 +215,16 @@ def read_container(path: str) -> list[dict]:
     while cur.i < len(cur.b):
         count = cur.read_long()
         size = cur.read_long()
+        if count < 0:
+            raise AvroReadError(f"{path}: negative block count {count}")
         payload = cur.take(size)
         if codec == "deflate":
-            payload = zlib.decompress(payload, -15)
+            try:
+                payload = zlib.decompress(payload, -15)
+            except zlib.error as e:
+                # keep the module's loud-malformed contract: a corrupt
+                # deflate block must not escape as a bare zlib.error
+                raise AvroReadError(f"{path}: corrupt deflate block: {e}")
         bcur = _Cur(payload)
         for _ in range(count):
             out.append(_decode(schema, bcur, named))
@@ -356,8 +382,10 @@ def _encode(sch, v, named: dict, out: bytearray) -> None:
         return
     if isinstance(t, (list, dict)):
         return _encode(t, v, named, out)
-    if t in named:
-        return _encode(named[t], v, named, out)
+    if isinstance(t, str):
+        # dict-wrapped primitive (logicalType annotation) — encode as
+        # the underlying primitive, the wire form logical types share
+        return _encode(t, v, named, out)
     raise AvroWriteError(f"unknown avro schema node {sch!r}")
 
 

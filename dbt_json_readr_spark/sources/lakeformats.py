@@ -1748,12 +1748,12 @@ def _read_avro_records(spark: SparkSession, *paths: str) -> list[dict]:
             continue
         try:
             recs = avrocore.read_container(path)
+        except avrocore.AvroCodecUnsupported:
+            recs = None  # snappy/zstd etc. — the JVM bridge reads it
         except avrocore.AvroReadError as e:
-            if "unsupported avro codec" not in str(e):
-                # malformed container — loud, same contract as the
-                # JVM path's own failures
-                raise LakeFormatError(f"avro manifest decode failed: {e}")
-            recs = None
+            # malformed container — loud, same contract as the JVM
+            # path's own failures
+            raise LakeFormatError(f"avro manifest decode failed: {e}")
         if recs is not None:
             if len(_AVRO_CACHE) >= _AVRO_CACHE_MAX:
                 _AVRO_CACHE.pop(next(iter(_AVRO_CACHE)))
@@ -1799,19 +1799,12 @@ def _read_avro_records(spark: SparkSession, *paths: str) -> list[dict]:
 
 def _register_avro_names(sch, named: dict) -> None:
     """Collect named-type definitions (record/enum/fixed) so later
-    references by name resolve — shared by the avro JSON encoder and
-    decoder."""
-    if isinstance(sch, dict) and sch.get("type") in ("record", "enum", "fixed"):
-        named[sch["name"]] = sch
-        for f in sch.get("fields", []):
-            _register_avro_names(f["type"], named)
-    elif isinstance(sch, dict) and sch.get("type") == "array":
-        _register_avro_names(sch["items"], named)
-    elif isinstance(sch, dict) and sch.get("type") == "map":
-        _register_avro_names(sch["values"], named)
-    elif isinstance(sch, list):
-        for b in sch:
-            _register_avro_names(b, named)
+    references by name resolve — ONE definition shared with the binary
+    reader/writer (avrocore) so the JSON and binary paths can never
+    walk names differently (review r10 dedup)."""
+    from . import avrocore
+
+    avrocore._register_names(sch, named)
 
 
 def _from_avro_json(sch, v, named: dict):
@@ -1846,6 +1839,14 @@ def _from_avro_json(sch, v, named: dict):
             return _from_avro_json(named[sch], v, named)
         if sch == "bytes" and isinstance(v, str):
             return v.encode("latin-1")
+        if sch == "float" and isinstance(v, float):
+            # avro 'float' is IEEE float32; the JSON text round-trips
+            # through Float.toString (shortest decimal), so coerce back
+            # to the exact float32 the binary reader returns — the two
+            # decode paths must agree bit-for-bit (review r10)
+            import struct as _struct
+
+            return _struct.unpack("<f", _struct.pack("<f", v))[0]
         return v
     t = sch["type"]
     if t == "record":
@@ -1860,12 +1861,16 @@ def _from_avro_json(sch, v, named: dict):
             k: _from_avro_json(sch["values"], x, named)
             for k, x in (v or {}).items()
         }
-    if t in ("bytes", "fixed") and isinstance(v, str):
+    if t == "fixed" and isinstance(v, str):
         return v.encode("latin-1")
     if isinstance(t, (list, dict)):
         return _from_avro_json(t, v, named)
     if t in named:
         return _from_avro_json(named[t], v, named)
+    if isinstance(t, str):
+        # dict-wrapped primitive (logicalType annotation) — decode as
+        # the underlying primitive, same fallthrough as avrocore
+        return _from_avro_json(t, v, named)
     return v
 
 
@@ -1918,32 +1923,6 @@ def _write_avro_records_jvm(
             return branch["name"]  # no namespaces in this repo's schemas
         return t  # array / map
 
-    def _resolved(branch):
-        if isinstance(branch, str) and branch in named:
-            return named[branch]
-        return branch
-
-    def _branch_matches(branch, v) -> bool:
-        b = _resolved(branch)
-        bt = b if isinstance(b, str) else b.get("type")
-        if isinstance(v, bool):
-            return bt == "boolean"
-        if isinstance(v, (bytes, bytearray)):
-            return bt in ("bytes", "fixed")
-        if isinstance(v, str):
-            return bt == "string" or (
-                bt == "enum" and v in b.get("symbols", [])
-            )
-        if isinstance(v, int):
-            return bt in ("int", "long")
-        if isinstance(v, float):
-            return bt in ("float", "double")
-        if isinstance(v, dict):
-            return bt in ("record", "map")
-        if isinstance(v, (list, tuple)):
-            return bt == "array"
-        return False
-
     def _avro_json(sch, v):
         if isinstance(sch, list):  # union
             if v is None:
@@ -1951,11 +1930,12 @@ def _write_avro_records_jvm(
             # pick the branch the VALUE's type names — first-non-null
             # guessing mis-encodes legal >2-branch unions like
             # ["null", "string", "bytes"] (write-side twin of the r9
-            # decode-by-label review finding)
-            branch = next(
-                (b for b in sch if b != "null" and _branch_matches(b, v)),
-                None,
-            ) or next(b for b in sch if b != "null")
+            # decode-by-label review finding).  ONE selection rule
+            # shared with the binary encoder (avrocore._union_branch)
+            # so the two writers can never pick differently.
+            from . import avrocore
+
+            branch = sch[avrocore._union_branch(sch, v, named)]
             return {_branch_label(branch): _avro_json(branch, v)}
         if isinstance(sch, str):
             if sch in named:

@@ -3116,7 +3116,7 @@ def test_avro_python_binary_reader_matches_jvm_bridge(spark, tmp_path):
     orig = AR.read_container
     try:
         AR.read_container = lambda _p: (_ for _ in ()).throw(
-            avrocore.AvroReadError("unsupported avro codec 'forced'")
+            avrocore.AvroCodecUnsupported("forced")
         )
         LF._AVRO_CACHE.clear()
         jvm_recs = LF._read_avro_records(spark, str(p))
@@ -3140,7 +3140,7 @@ def test_avro_python_binary_reader_matches_jvm_bridge(spark, tmp_path):
         got_py = avrocore.read_container(str(f))
         try:
             AR.read_container = lambda _p: (_ for _ in ()).throw(
-                avrocore.AvroReadError("unsupported avro codec 'forced'")
+                avrocore.AvroCodecUnsupported("forced")
             )
             LF._AVRO_CACHE.clear()
             got_jvm = LF._read_avro_records(spark, str(f))
@@ -3242,7 +3242,7 @@ def test_avro_python_writer_jvm_reader_roundtrip(spark, tmp_path):
     orig = AC.read_container
     try:
         AC.read_container = lambda _p: (_ for _ in ()).throw(
-            avrocore.AvroReadError("unsupported avro codec 'forced'")
+            avrocore.AvroCodecUnsupported("forced")
         )
         LF._AVRO_CACHE.clear()
         via_jvm = LF._read_avro_records(spark, str(p1))
@@ -3260,3 +3260,77 @@ def test_avro_python_writer_jvm_reader_roundtrip(spark, tmp_path):
     p3 = tmp_path / "nullcodec.avro"
     avrocore.write_container(str(p3), schema, rows * 5, codec="null", block_records=3)
     assert avrocore.read_container(str(p3)) == rows * 5
+
+
+def test_avro_reader_malformed_and_logical_types(spark, tmp_path):
+    """Regression pins for the r10 review findings on avrocore:
+    (a) a negative block size raises loudly instead of looping
+    forever, (b) a corrupt deflate block raises AvroReadError (not a
+    bare zlib.error), (c) logicalType-annotated primitives — the
+    shape real Iceberg writers emit for date/timestamp fields —
+    decode on BOTH paths, (d) only AvroCodecUnsupported routes to the
+    JVM fallback; malformed files stay loud as LakeFormatError."""
+    import json
+
+    import pytest
+
+    from dbt_json_readr_spark.sources import avrocore
+    from dbt_json_readr_spark.sources import lakeformats as LF
+
+    # (c) logicalType wrappers round-trip Python-write → both readers
+    schema = json.dumps(
+        {
+            "type": "record",
+            "name": "row",
+            "fields": [
+                {
+                    "name": "ts",
+                    "type": {
+                        "type": "long",
+                        "logicalType": "timestamp-micros",
+                        "adjust-to-utc": True,
+                    },
+                },
+                {
+                    "name": "d",
+                    "type": ["null", {"type": "int", "logicalType": "date"}],
+                    "default": None,
+                },
+            ],
+        }
+    )
+    rows = [{"ts": 1_700_000_000_000_000, "d": 19700}, {"ts": 0, "d": None}]
+    p = tmp_path / "lt.avro"
+    avrocore.write_container(str(p), schema, rows)
+    assert avrocore.read_container(str(p)) == rows
+    LF._AVRO_CACHE.clear()
+    assert LF._read_avro_records(spark, str(p)) == rows
+
+    # (a) negative block size: loud, no hang (hand-crafted container)
+    evil = bytearray()
+    evil += avrocore._MAGIC
+    evil += avrocore._zigzag(1)
+    k = b"avro.schema"
+    v = json.dumps({"type": "record", "name": "r", "fields": []}).encode()
+    evil += avrocore._zigzag(len(k)) + k + avrocore._zigzag(len(v)) + v
+    evil += avrocore._zigzag(0)
+    evil += b"S" * 16
+    evil += avrocore._zigzag(0) + avrocore._zigzag(-18)  # count=0, size=-18
+    pbad = tmp_path / "neg.avro"
+    pbad.write_bytes(bytes(evil))
+    with pytest.raises(avrocore.AvroReadError, match="negative"):
+        avrocore.read_container(str(pbad))
+
+    # (b) corrupt deflate payload: AvroReadError, not zlib.error
+    data = bytearray(p.read_bytes())
+    data[-20] ^= 0xFF
+    data[-21] ^= 0xFF
+    pcorrupt = tmp_path / "corrupt.avro"
+    pcorrupt.write_bytes(bytes(data))
+    with pytest.raises(avrocore.AvroReadError):
+        avrocore.read_container(str(pcorrupt))
+
+    # (d) malformed container through the walk path = LakeFormatError
+    LF._AVRO_CACHE.clear()
+    with pytest.raises(LF.LakeFormatError, match="avro manifest decode"):
+        LF._read_avro_records(spark, str(pcorrupt))
