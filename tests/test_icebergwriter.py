@@ -741,6 +741,17 @@ def test_partition_transform_gates_and_nulls(spark, tmp_path):
     IW.write_iceberg(spark, df, tbl, partition_by=["day(d)"])
     back = LF.read_iceberg_snapshot(spark, _latest_meta(tbl))
     assert back.count() == 1 and back.collect()[0].d is None
+    # decimal buckets: p <= 18 writes (F39); p > 18 gates loudly —
+    # the 128-bit unscaled value has no executor-side byte builder
+    from decimal import Decimal
+
+    dfd = spark.createDataFrame(
+        [(Decimal("1.23"),)], "w decimal(38,2)"
+    )
+    with pytest.raises(LF.LakeFormatGatedError, match="18"):
+        IW.write_iceberg(
+            spark, dfd, str(tmp_path / "t4"), partition_by=["bucket(4, w)"]
+        )
 
 
 def test_delta_to_iceberg_column_mapped(spark, tmp_path):
