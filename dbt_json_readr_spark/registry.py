@@ -533,6 +533,13 @@ register(
     lakewrite.iceberg_files_table,
     lakewrite._iceberg_files_table_sql,
 )
+# D28: streaming corpus-ingest quality gate — the batch C9 scorer run
+# at the stream front door, per-source admission rollup
+register(
+    "streaming_corpus_quality_gate",
+    streaming_jobs.streaming_corpus_quality_gate,
+    streaming_jobs._streaming_corpus_quality_gate_sql,
+)
 register(
     "streaming_delta_commits",
     streaming_jobs.streaming_delta_commits,
@@ -644,6 +651,7 @@ _NEW_R10 = [
     "doc_bm25_topk",
     "text_encoding_audit",
     "iceberg_files_table",
+    "streaming_corpus_quality_gate",
 ]
 
 # every gate-list name must resolve - a typo is harmless until the

@@ -2508,3 +2508,102 @@ SELECT
 FROM changes
 GROUP BY commit, change_type
 """
+
+
+# ---------------------------------------------------------------- D28
+
+
+def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded documents source — same layout-robust file-source
+    shape as events_stream (single-file testdata vs directory lake
+    layout), explicit schema (streaming scans never infer)."""
+    import os
+
+    path = f"{sf_dir}/documents.parquet"
+    reader = spark.readStream.schema(SCHEMAS["documents"])
+    if os.path.isdir(path):
+        return reader.parquet(path)
+    return reader.option("pathGlobFilter", "documents.parquet").parquet(sf_dir)
+
+
+_QUALITY_GATE = 0.5
+
+
+def streaming_corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING corpus-ingest quality gate (r10): documents arrive as
+    an unbounded stream, each scores through the SAME deterministic
+    quality heuristics the batch C9 key hash-proves (integer-derived
+    features, fixed-order float combination — so the >= 0.5 gate
+    classifies identically in both engines), and the job maintains a
+    per-source admission rollup: docs seen, docs admitted, chars
+    admitted, and the admitted-chars share.
+
+    This is the front door of a training-data pipeline at 100 TB —
+    filter AT INGEST, before anything lands in the lake, so the
+    downstream dedup/tokenize stages only ever see admitted bytes.
+    Complete-mode aggregation over a keyed rollup (bounded by #sources,
+    not #docs); the per-doc scoring is stateless columnar work that
+    scales with input partitions."""
+    prep(spark)
+    from ..operators import textops as X
+
+    docs = _documents_stream(spark, sf_dir)
+    feats = X.quality_features(F.col("text"))
+    scored = docs.select(
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        X.quality_score(feats).alias("quality"),
+    )
+    agg = (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_seen"),
+            F.sum(
+                F.when(F.col("quality") >= _QUALITY_GATE, 1).otherwise(0)
+            ).alias("docs_admitted"),
+            F.sum(
+                F.when(F.col("quality") >= _QUALITY_GATE, F.col("n_chars")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("chars_admitted"),
+            F.sum("n_chars").alias("chars_seen"),
+        )
+        .withColumn(
+            "admitted_share",
+            F.col("chars_admitted").cast("double") / F.col("chars_seen"),
+        )
+    )
+    return _run_to_memory(agg, "stream_quality_gate", "complete")
+
+
+def _streaming_corpus_quality_gate_sql() -> str:
+    from ..functions import hashing as H
+    from ..operators import textops as X
+
+    toks = H.sql_tokens("text")
+    n_stop = X.sql_hits(toks, X.LANG_PROFILES["en"])
+    quality = f"""
+  (1.0 - len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::DOUBLE / len(text)) * 0.25
+  + (1.0 - len(regexp_extract_all(text, '[0-9]'))::DOUBLE / len(text)) * 0.25
+  + ({n_stop}::DOUBLE / len({toks})) * 0.25
+  + (CASE WHEN (len(text) - (len({toks}) - 1))::DOUBLE / len({toks}) >= 3.0
+          AND (len(text) - (len({toks}) - 1))::DOUBLE / len({toks}) <= 10.0
+     THEN 0.25 ELSE 0.0 END)"""
+    return f"""
+WITH scored AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS n_chars,
+         {quality} AS quality
+  FROM documents
+)
+SELECT source,
+       count(*) AS docs_seen,
+       CAST(sum(CASE WHEN quality >= {_QUALITY_GATE} THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_admitted,
+       CAST(sum(CASE WHEN quality >= {_QUALITY_GATE} THEN n_chars ELSE 0 END) AS BIGINT)
+         AS chars_admitted,
+       CAST(sum(n_chars) AS BIGINT) AS chars_seen,
+       CAST(CAST(sum(CASE WHEN quality >= {_QUALITY_GATE} THEN n_chars ELSE 0 END) AS BIGINT) AS DOUBLE)
+         / CAST(sum(n_chars) AS BIGINT) AS admitted_share
+FROM scored
+GROUP BY source
+"""
