@@ -38,13 +38,20 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     table DIRECTORY of part files (→ stream the directory itself; a
     glob for the table name would silently exclude every part file —
     observed as 0 rows in the r4 sf1 streaming soak)."""
+    return _table_stream(spark, sf_dir, "events")
+
+
+def _table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """ONE layout-robust streaming file source for any testdata table
+    (events_stream's r4 glob-bug workaround, shared so a layout fix
+    can never apply to one table's stream and miss another's)."""
     import os
 
-    path = f"{sf_dir}/events.parquet"
-    reader = spark.readStream.schema(SCHEMAS["events"])
+    path = f"{sf_dir}/{name}.parquet"
+    reader = spark.readStream.schema(SCHEMAS[name])
     if os.path.isdir(path):
         return reader.parquet(path)
-    return reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    return reader.option("pathGlobFilter", f"{name}.parquet").parquet(sf_dir)
 
 
 def _run_to_memory(df: DataFrame, name: str, mode: str) -> DataFrame:
@@ -2514,16 +2521,9 @@ GROUP BY commit, change_type
 
 
 def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unbounded documents source — same layout-robust file-source
-    shape as events_stream (single-file testdata vs directory lake
-    layout), explicit schema (streaming scans never infer)."""
-    import os
-
-    path = f"{sf_dir}/documents.parquet"
-    reader = spark.readStream.schema(SCHEMAS["documents"])
-    if os.path.isdir(path):
-        return reader.parquet(path)
-    return reader.option("pathGlobFilter", "documents.parquet").parquet(sf_dir)
+    """Unbounded documents source — the shared layout-robust file
+    source (see _table_stream / events_stream's docstring)."""
+    return _table_stream(spark, sf_dir, "documents")
 
 
 _QUALITY_GATE = 0.5
@@ -2577,23 +2577,16 @@ def streaming_corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def _streaming_corpus_quality_gate_sql() -> str:
-    from ..functions import hashing as H
-    from ..operators import textops as X
+    # compose the C9 oracle as a subquery — ONE definition of the
+    # quality formula (plans/llm._quality_sql), same as the other
+    # consumers; a drifted copy here would silently break the "stream
+    # gate classifies identically to batch C9" contract (r10 review)
+    from ..plans.llm import _quality_sql
 
-    toks = H.sql_tokens("text")
-    n_stop = X.sql_hits(toks, X.LANG_PROFILES["en"])
-    quality = f"""
-  (1.0 - len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::DOUBLE / len(text)) * 0.25
-  + (1.0 - len(regexp_extract_all(text, '[0-9]'))::DOUBLE / len(text)) * 0.25
-  + ({n_stop}::DOUBLE / len({toks})) * 0.25
-  + (CASE WHEN (len(text) - (len({toks}) - 1))::DOUBLE / len({toks}) >= 3.0
-          AND (len(text) - (len({toks}) - 1))::DOUBLE / len({toks}) <= 10.0
-     THEN 0.25 ELSE 0.0 END)"""
     return f"""
 WITH scored AS (
-  SELECT source, CAST(n_chars AS BIGINT) AS n_chars,
-         {quality} AS quality
-  FROM documents
+  SELECT d.source, CAST(d.n_chars AS BIGINT) AS n_chars, q.quality
+  FROM ({_quality_sql()}) q JOIN documents d USING (doc_id)
 )
 SELECT source,
        count(*) AS docs_seen,
