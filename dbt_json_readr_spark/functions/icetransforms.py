@@ -215,7 +215,13 @@ def with_murmur3_decimal(
             w = w + byte_of(u, sh) * F.lit(1 << (8 * j))
         return w
 
-    df, u = bind(df, decimal_unscaled_long(F.coalesce(v, F.lit(0)), type_json))
+    # u_raw propagates null; the final guard tests IT, not the decimal
+    # source — a guard referencing the DECIMAL column keeps the
+    # decimal alive through the whole bound chain and measured
+    # 42 s/60M rows steady-state vs 2.3 s with the long-typed guard
+    # (r10; the mechanism is plan-side, the hash math is identical)
+    df, u_raw = bind(df, decimal_unscaled_long(v, type_json))
+    df, u = bind(df, F.coalesce(u_raw, F.lit(0).cast("long")))
     df, nb = bind(df, _min_twos_nbytes(u))
     r = nb.bitwiseAND(F.lit(3))
 
@@ -252,7 +258,7 @@ def with_murmur3_decimal(
     df, h = mul32(df, h, 0xC2B2AE35)
     df = df.withColumn(
         out_col,
-        F.when(v.isNull(), F.lit(None).cast("long")).otherwise(
+        F.when(u_raw.isNull(), F.lit(None).cast("long")).otherwise(
             h.bitwiseXOR(F.shiftright(h, 16))
         ),
     )
