@@ -579,99 +579,98 @@ register(
 # -------------------------------------------------------------------
 # Driver-gate ordering.  The driver records CORRECTNESS rows for only
 # the FIRST 50 keys in queries() insertion order, so registration order
-# IS the correctness gate.  Round-10 rotation (VERDICT r9 item 2):
-# F38 `delta_uniform_mapped_export` leads (added post-close in r9, the
-# only key with NO driver row yet), then the 48 keys whose newest
-# green driver row is still r5 (derived from CORRECTNESS_r01-r09);
-# keys NEW in r10 fill the remaining slots; anything beyond 50 rotates
-# to r11.  Rotated-out keys stay covered by
-# tests/test_oracle_parity.py (every key, sf0.01, exact values).
+# IS the correctness gate.  Round-11 rotation (VERDICT r10 item 1):
+# the four keys added after the r10 window closed (the only keys with
+# NO driver row yet) lead, then the 45 keys whose newest green driver
+# row is still r6 (derived from CORRECTNESS_r01-r10); keys NEW in r11
+# fill the remaining slot(s); anything beyond 50 rotates to r12.
+# Rotated-out keys stay covered by tests/test_oracle_parity.py (every
+# key, sf0.01, exact values).
 GATE_WINDOW = 50
 
-# F38 first (no driver row), then the 48 r5-stale keys ordered:
-# flagship dedup/ANN shapes, dbt cores, streaming, audits.
-_R10_STALE_R5 = [
-    "delta_uniform_mapped_export",
-    "dedup_minhash_lsh",
-    "dedup_exact",
-    "dedup_containment",
-    "dedup_fuzzy_editdist",
-    "dedup_k_sweep",
-    "dedup_minhash_est_calibration",
-    "corpus_dedup_token_savings",
-    "corpus_importance_sample",
-    "corpus_length_quality_corr",
-    "corpus_temperature_mix",
-    "corpus_vocab_growth",
-    "ann_recall_eval",
-    "ann_pq_adc_topk",
-    "ann_adc_recall_eval",
-    "bpe_merge_apply",
-    "doc_sparse_cosine_topk",
-    "text_dup_span_extents",
-    "text_ngram_lm_score",
-    "dbt_column_name_lineage",
-    "dbt_lineage_closure_rcte",
-    "dbt_macro_usage",
-    "dbt_schema_drift_classes",
-    "dbt_source_coverage",
-    "dbt_style_expectations",
-    "dbt_test_coverage",
-    "dbt_test_results_rollup",
-    "customer_acctbal_trimmed_stats",
-    "events_concurrency_sweep",
-    "events_gapfill_locf",
-    "events_hll_sketch_rollup",
-    "events_topk_sketch_audit",
-    "incremental_view_maintain",
-    "join_size_histogram_estimate",
-    "lineitem_weighted_median",
-    "manifest_concurrent_commit_audit",
-    "orders_new_customers_monthly",
-    "pysource_events_rollup",
-    "referential_integrity_audit",
-    "table_profile_audit",
-    "streaming_cdc_merge_sink",
-    "streaming_dynamic_gap_sessions",
-    "streaming_hll_distinct",
-    "streaming_left_outer_join",
-    "streaming_manifest_rollup",
-    "streaming_pysource_rollup",
-    "streaming_session_timeout",
-    "streaming_stateful_counts",
-    "streaming_windowed_agg",
-]
-
-# New in r10 (appended as they land this round; each must be registered
-# above before being listed here).  Only the first
-# GATE_WINDOW - len(_R10_STALE_R5) = 1 fits this round's window; the
-# rest lead the r11 rotation.
-_NEW_R10 = [
-    "iceberg_decimal_bucket_prune",
+# The four r10-late keys with no driver row yet (VERDICT r10 item 1).
+_R11_UNTESTED = [
     "doc_bm25_topk",
     "text_encoding_audit",
-    "iceberg_files_table",
     "streaming_corpus_quality_gate",
+    "iceberg_files_table",
 ]
+
+# The 45 keys whose newest green driver row is r6, in CORRECTNESS_r06
+# recording order (dbt cores, LLM-pipeline flagships, streaming,
+# audits).
+_R11_STALE_R6 = [
+    "dbt_manifest_nodes",
+    "dbt_manifest_sources",
+    "dbt_manifest_macros",
+    "dbt_manifest_unified",
+    "dbt_manifest_columns",
+    "dbt_manifest_edges",
+    "dbt_catalog_objects",
+    "dbt_description_coverage",
+    "events_json_props",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "text_quality_score",
+    "dedup_clusters",
+    "doc_term_topk",
+    "embedding_centroids",
+    "ann_ivf_topk",
+    "corpus_dedup_summary",
+    "corpus_quality_by_source",
+    "corpus_stratified_sample",
+    "corpus_mixture_weights",
+    "doc_tfidf_topk",
+    "multimodal_decode",
+    "dedup_lsh_recall",
+    "corpus_decontaminate",
+    "corpus_shard_plan",
+    "streaming_sessionization",
+    "streaming_dedup",
+    "part_size_histogram",
+    "events_anomaly_zscore",
+    "skew_salted_segment_revenue",
+    "events_transition_matrix",
+    "dbt_pagerank",
+    "dedup_method_agreement",
+    "events_kll_quantile_audit",
+    "events_theta_set_audit",
+    "streaming_cdc_warmstart",
+    "semdedup_prune",
+    "events_gapfill_lerp",
+    "dedup_graph_triangles",
+    "dbt_manifest_lake",
+    "streaming_manifest_lake_rollup",
+    "streaming_state_metrics",
+]
+
+# New in r11 (appended as they land this round; each must be registered
+# above before being listed here).  Only the first
+# GATE_WINDOW - len(_R11_UNTESTED) - len(_R11_STALE_R6) = 1 fits this
+# round's window; the rest lead the r12 rotation.
+_NEW_R11 = []
 
 # every gate-list name must resolve - a typo is harmless until the
 # rotation pulls it into the window, where the _gate_ordered check
 # would crash queries() for the whole driver run (r7: a stale "_lite"
-# suffix sat one rotation away from exactly that); _NEW_R10 is included
+# suffix sat one rotation away from exactly that); _NEW_R11 is included
 # because a tolerant `if k in _REGISTRY` filter would silently DROP a
 # mistyped new key from the window instead of failing.  Explicit
 # raise, not assert: python -O strips asserts and would resurrect the
 # crash-one-rotation-later failure mode.
-for _k in _R10_STALE_R5 + _NEW_R10:
+for _k in _R11_UNTESTED + _R11_STALE_R6 + _NEW_R11:
     if _k not in _REGISTRY:
         raise RuntimeError(f"gate list references unknown key: {_k}")
 
-_GATE_PRIORITY = (_R10_STALE_R5 + _NEW_R10)[:GATE_WINDOW]
-# VERDICT r9 item 2 requires F38 + every r5-stale key in the r10
-# window; pin.
-for _k in _R10_STALE_R5:
+_GATE_PRIORITY = (_R11_UNTESTED + _R11_STALE_R6 + _NEW_R11)[:GATE_WINDOW]
+# VERDICT r10 item 1 requires all four untested keys + every r6-stale
+# key in the r11 window; pin.
+for _k in _R11_UNTESTED + _R11_STALE_R6:
     if _k not in _GATE_PRIORITY:
-        raise RuntimeError(f"required r10 gate slot lost: {_k}")
+        raise RuntimeError(f"required r11 gate slot lost: {_k}")
 
 
 def _gate_ordered() -> dict[str, tuple[QueryFn, str | None]]:
