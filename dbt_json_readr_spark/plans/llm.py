@@ -5122,21 +5122,35 @@ ORACLES["bpe_train_merges"] = _bpe_train_sql()
 
 
 def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc top-3 terms by BM25 (k1=1.5, b=0.75) — the retrieval
-    scoring primitive a RAG/search layer runs over the corpus, kept
-    BIT-EXACT across engines the same way C23's tf-idf is: with
-    k1=3/2 and b=3/4 every fractional constant clears when numerator
-    and denominator are scaled by 8·sum_dl, so the whole score is ONE
-    division of two exact-integer products,
+    """Per-doc top-3 terms by a LOG-FREE BM25 variant (k1=1.5,
+    b=0.75) — the retrieval scoring primitive a RAG/search layer runs
+    over the corpus, kept BIT-EXACT across engines the same way C23's
+    tf-idf is: with k1=3/2 and b=3/4 every fractional constant clears
+    when numerator and denominator are scaled by 8·sum_dl, so the
+    whole score is ONE division of two exact-integer products,
 
       score = (2(N−df)+1) · 20·tf·sum_dl
             ─────────────────────────────────────────
               (2df+1) · (8·sum_dl·tf + 3·sum_dl + 9·dl·N)
 
-    (the classic Robertson idf (N−df+0.5)/(df+0.5) and the length-
-    normalized tf saturation, rationalized).  Each factor stays below
-    2^53 for corpora up to ~10^9 total tokens with tf ≤ 10^5, so the
-    double products are exact and both engines round identically.
+    NOTE the idf term is the RAW Robertson ratio (N−df+0.5)/(df+0.5)
+    with the logarithm deliberately dropped (r11 advisor finding made
+    explicit): within a document the raw ratio is monotone in df
+    exactly like log(idf), but ACROSS terms the missing log compresses
+    differently, so 'top-3 terms' here can rank differently from
+    textbook log-BM25 when scores are close — consumers wanting
+    standard BM25 ranking must apply log() themselves (the per-term
+    factors tf/df/dl are all returned for exactly that).
+
+    Each factor stays below 2^53 for corpora up to ~10^9 total tokens
+    with tf ≤ 10^5, so the double products are exact and both engines
+    round identically.  That precondition is now GATED, not assumed:
+    past it Spark (non-ANSI) would wrap int64 silently while DuckDB
+    errors, silently diverging — the score expression raises loudly
+    when 20·tf·sum_dl or the denominator sum approaches 2^53 (checked
+    in double, which cannot wrap; threshold 9e15 is a hair
+    conservative so the check itself never rounds past the true
+    bound).
 
     Scale: tf is the one explode+groupBy shuffle on (doc, term);
     dl/df are map-side-combined rollups of it; N and sum_dl broadcast
@@ -5164,12 +5178,34 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(3) * F.col("sum_dl")
         + F.lit(9) * F.col("dl") * F.col("n_docs")
     ).cast("double")
+    # exactness gate: the integer products must stay below 2^53 or the
+    # double math stops being exact AND Spark's non-ANSI int64 would
+    # wrap silently where DuckDB errors.  Checked in double (wrap-free);
+    # 9e15 < 2^53 = 9.007e15 absorbs the double-sum roundoff.
+    _BOUND = F.lit(9.0e15)
+    d = F.col  # noqa: E741 - local alias for the guard expressions
+    num_d = F.lit(20.0) * d("tf").cast("double") * d("sum_dl").cast("double")
+    den_d = (
+        F.lit(8.0) * d("sum_dl").cast("double") * d("tf").cast("double")
+        + F.lit(3.0) * d("sum_dl").cast("double")
+        + F.lit(9.0) * d("dl").cast("double") * d("n_docs").cast("double")
+    )
+    guarded_score = F.when(
+        (num_d >= _BOUND) | (den_d >= _BOUND),
+        F.raise_error(
+            F.lit(
+                "doc_bm25_topk: corpus exceeds the exact-integer bound "
+                "(20*tf*sum_dl or the denominator sum >= 9e15); scores "
+                "would silently diverge from the oracle past 2^53"
+            )
+        ).cast("double"),
+    ).otherwise(num / den)
     scored = (
         tf.join(dl, "doc_id")
         .join(df_t, "term")
         .crossJoin(F.broadcast(n))
         .crossJoin(F.broadcast(s))
-        .select("doc_id", "term", "tf", "df", "dl", (num / den).alias("score"))
+        .select("doc_id", "term", "tf", "df", "dl", guarded_score.alias("score"))
     )
     w = W.partitionBy("doc_id").orderBy(F.desc("score"), "term")
     return (

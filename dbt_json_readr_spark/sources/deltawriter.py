@@ -452,7 +452,16 @@ def footer_column_stats(
                 if isinstance(raw, bytes)
                 else int(raw)
             )
-            return Decimal(u).scaleb(-dec_scale[name])
+            # widened-context rescale (skipping._decimal_rescale): the
+            # default 28-digit context would silently ROUND unscaled
+            # values wider than 28 digits — min could round up / max
+            # down, writing bounds NARROWER than the data into
+            # add.stats / manifest bounds, so pruning could skip files
+            # containing matching rows (r11 advisor finding; same bug
+            # class skipping.py fixed in r8).
+            from .skipping import _decimal_rescale
+
+            return _decimal_rescale(u, dec_scale[name])
     # column order is identical across row groups; walk by index
     for ci in range(meta.num_columns):
         col0 = meta.row_group(0).column(ci) if meta.num_row_groups else None

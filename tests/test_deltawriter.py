@@ -1408,3 +1408,26 @@ def test_v2_checkpoint_json_manifest_roundtrip(spark, tmp_path):
     jmans[0].write_text(bad)
     with pytest.raises(LF.LakeFormatError, match="sidecar.*JSON|JSON.*sidecar"):
         LF.read_delta_snapshot(spark, tbl, version=1)
+
+
+def test_footer_stats_wide_decimal_exact_bounds(tmp_path):
+    """decimal(38,10) raw-stats fallback must rescale EXACTLY: under
+    the default 28-digit Decimal context a 38-digit unscaled value
+    silently rounds (min up / max down), writing bounds NARROWER than
+    the data into add.stats / manifest bounds — pruning would then
+    skip files containing matching rows (r11 advisor finding)."""
+    import decimal as _d
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    lo = _d.Decimal("-9999999999999999999999999999.9999999999")
+    hi = _d.Decimal("9999999999999999999999999999.9999999991")
+    arr = pa.array([lo, hi], type=pa.decimal128(38, 10))
+    path = tmp_path / "wide.parquet"
+    pq.write_table(pa.table({"d": arr}), path)
+
+    _, bounds, _, _ = DW.footer_column_stats(str(path), ["d"])
+    got_lo, got_hi = bounds["d"]
+    assert got_lo == lo, f"min bound rounded: {got_lo!r}"
+    assert got_hi == hi, f"max bound rounded: {got_hi!r}"
