@@ -2420,3 +2420,366 @@ SELECT CAST(s_nationkey AS INTEGER) AS s_nationkey,
 FROM supplier
 GROUP BY s_nationkey
 """
+
+
+# ---------------------------------------------------------------- F41-F44
+# The rest of the Iceberg METADATA-TABLE family beside F40's `files`
+# (VERDICT r10 item 2): what production engines expose as
+# `SELECT * FROM t$snapshots / $history / $partitions / $manifests`
+# (Trino) / `t.snapshots` etc. (Spark).  All four are O(metadata) at
+# any data size — the JSON snapshot list plus one manifest-list avro
+# read; no data file is ever opened (reference parity: the reference
+# has no lake layer at all — these keys are engine-side surface, cited
+# against the public Iceberg spec's Metadata Tables section).
+#
+# Shared fixture (snapshots/partitions/manifests): THREE commits on a
+# supplier table partitioned by s_nationkey —
+#   c1 append  s_suppkey % 3 == 0
+#   c2 append  s_suppkey % 3 != 0
+#   c3 delete  s_suppkey <= 3   (v2 position deletes)
+# so every rollup below is closed-form SQL over the supplier source.
+
+
+def _ice_meta_fixture(spark: SparkSession, sf_dir: str) -> Path:
+    from ..sources import icebergwriter as IW
+
+    sup = load(spark, sf_dir, "supplier")
+
+    def build(root: str) -> None:
+        tbl = os.path.join(root, "table")
+        IW.write_iceberg(
+            spark, sup.filter(F.col("s_suppkey") % 3 == 0), tbl,
+            partition_by=["s_nationkey"],
+        )
+        IW.write_iceberg(
+            spark, sup.filter(F.col("s_suppkey") % 3 != 0), tbl,
+            partition_by=["s_nationkey"],
+        )
+        meta = max(
+            Path(tbl, "metadata").glob("v*.metadata.json"),
+            key=lambda p: int(p.name.split(".")[0][1:]),
+        )
+        IW.delete_iceberg(spark, str(meta), [("s_suppkey", "<=", 3)])
+
+    return _ensure("wrt_ice_metatbl", sf_dir, build)
+
+
+def _latest_meta(root: Path) -> str:
+    return str(
+        max(
+            (root / "table" / "metadata").glob("v*.metadata.json"),
+            key=lambda p: int(p.name.split(".")[0][1:]),
+        )
+    )
+
+
+def _mlist_rows_current(spark: SparkSession, meta_path: str) -> list[dict]:
+    """Current snapshot's manifest-list rows (one ~KB avro read)."""
+    info = LF.iceberg_snapshot_info(meta_path)
+    table_dir = os.path.dirname(os.path.dirname(os.path.abspath(meta_path)))
+    return LF._read_avro_records(
+        spark, LF._resolve(info["snapshot"]["manifest-list"], table_dir)
+    )
+
+
+def iceberg_snapshots_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``snapshots`` metadata table: one row per snapshot with its
+    commit ordinal (sequence number), operation, parent linkage, and
+    manifest-list rollups (manifest count, data rows appended by all
+    visible data manifests, delete rows).  Snapshot ids and wall-clock
+    timestamps are writer-salted, so the surfaced columns are the
+    DETERMINISTIC projection: ordinals + operations + counts — a lost
+    snapshot, a wrong parent, a missed carry-forward, or a wrong
+    sequence assignment each fail the value hash.
+
+    100 TB: the snapshots table is the audit trail every maintenance
+    job starts from (expire candidates, commit-rate dashboards); cost
+    is O(#snapshots) JSON plus one manifest-list read per row, never
+    the data."""
+    prep(spark)
+    root = _ice_meta_fixture(spark, sf_dir)
+    meta_path = _latest_meta(root)
+    info = LF.iceberg_snapshot_info(meta_path)
+    meta = info["metadata"]
+    snaps = sorted(meta["snapshots"], key=lambda s: s["sequence-number"])
+    seq_of = {s["snapshot-id"]: s["sequence-number"] for s in snaps}
+    table_dir = str(root / "table")
+    rows = []
+    for s in snaps:
+        mrows = LF._read_avro_records(
+            spark, LF._resolve(s["manifest-list"], table_dir)
+        )
+        data_rows = sum(
+            int(m["added_rows_count"]) for m in mrows if int(m["content"] or 0) == 0
+        )
+        del_rows = sum(
+            int(m["added_rows_count"]) for m in mrows if int(m["content"] or 0) == 1
+        )
+        rows.append(
+            (
+                int(s["sequence-number"]),
+                s["summary"]["operation"],
+                seq_of.get(s.get("parent-snapshot-id")),
+                len(mrows),
+                data_rows,
+                del_rows,
+                1 if s["snapshot-id"] == meta["current-snapshot-id"] else 0,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "ordinal int, operation string, parent_ordinal int, n_manifests int, "
+        "data_rows long, delete_rows long, is_current int",
+    )
+
+
+def _iceberg_snapshots_table_sql() -> str:
+    return """
+WITH c1 AS (SELECT count(*) AS n FROM supplier WHERE s_suppkey % 3 = 0),
+c2 AS (SELECT count(*) AS n FROM supplier WHERE s_suppkey % 3 <> 0),
+d3 AS (SELECT count(*) AS n FROM supplier WHERE s_suppkey <= 3)
+SELECT * FROM (
+  SELECT CAST(1 AS INTEGER) AS ordinal, 'append' AS operation,
+         CAST(NULL AS INTEGER) AS parent_ordinal,
+         CAST(1 AS INTEGER) AS n_manifests,
+         CAST((SELECT n FROM c1) AS BIGINT) AS data_rows,
+         CAST(0 AS BIGINT) AS delete_rows,
+         CAST(0 AS INTEGER) AS is_current
+  UNION ALL
+  SELECT 2, 'append', 1, 2,
+         (SELECT n FROM c1) + (SELECT n FROM c2), 0, 0
+  UNION ALL
+  SELECT 3, 'delete', 2, 3,
+         (SELECT n FROM c1) + (SELECT n FROM c2),
+         (SELECT n FROM d3), 1
+)
+"""
+
+
+def iceberg_history_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``history`` metadata table: the snapshot LOG (every time a
+    snapshot was made current, in order) with the spec's
+    is_current_ancestor flag — the column that distinguishes live
+    lineage from rolled-back-over commits.  Fixture: three appends
+    (s_suppkey % 4 == 0 / 1 / 2) then ``rollback_iceberg`` to the
+    second snapshot, so the log carries FOUR entries and exactly one
+    (the rolled-back third commit) is a non-ancestor.  Timestamps are
+    wall-clock and excluded; the gate also proves the read side
+    follows current-snapshot-id after a rollback (current_rows = the
+    first two slices only).
+
+    100 TB: history + rollback is the incident-response path (bad
+    commit landed → roll back, audit what was orphaned); pure JSON
+    metadata, O(#log entries)."""
+    prep(spark)
+    from ..sources import icebergwriter as IW
+
+    sup = load(spark, sf_dir, "supplier")
+
+    def build(root: str) -> None:
+        tbl = os.path.join(root, "table")
+        for m in (0, 1, 2):
+            IW.write_iceberg(
+                spark, sup.filter(F.col("s_suppkey") % 4 == m), tbl,
+                partition_by=["s_nationkey"],
+            )
+        meta = max(
+            Path(tbl, "metadata").glob("v*.metadata.json"),
+            key=lambda p: int(p.name.split(".")[0][1:]),
+        )
+        mj = LF.iceberg_metadata(str(meta))
+        target = sorted(mj["snapshots"], key=lambda s: s["sequence-number"])[1]
+        IW.rollback_iceberg(str(meta), target["snapshot-id"])
+
+    root = _ensure("wrt_ice_history", sf_dir, build)
+    meta_path = _latest_meta(root)
+    mj = LF.iceberg_metadata(meta_path)
+    snaps = {s["snapshot-id"]: s for s in mj["snapshots"]}
+    seq_of = {sid: s["sequence-number"] for sid, s in snaps.items()}
+    node = snaps.get(mj.get("current-snapshot-id"))
+    ancestors = set()
+    while node is not None:
+        ancestors.add(node["snapshot-id"])
+        node = snaps.get(node.get("parent-snapshot-id"))
+    cur_rows = LF.read_iceberg_snapshot(spark, meta_path).count()
+    slog = mj["snapshot-log"]
+    # the spec requires log timestamps monotonic; surface the check as
+    # data so the oracle gates it rather than an assert nobody reruns
+    monotonic = all(
+        slog[i]["timestamp-ms"] > slog[i - 1]["timestamp-ms"]
+        for i in range(1, len(slog))
+    )
+    rows = [
+        (
+            i + 1,
+            int(seq_of[e["snapshot-id"]]),
+            1 if e["snapshot-id"] in ancestors else 0,
+            1 if monotonic else 0,
+            int(cur_rows),
+        )
+        for i, e in enumerate(slog)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "log_ordinal int, snapshot_ordinal int, is_current_ancestor int, "
+        "log_monotonic int, current_rows long",
+    )
+
+
+def _iceberg_history_table_sql() -> str:
+    return """
+WITH cur AS (
+  SELECT count(*) AS n FROM supplier WHERE s_suppkey % 4 IN (0, 1)
+)
+SELECT CAST(v.log_ordinal AS INTEGER) AS log_ordinal,
+       CAST(v.snapshot_ordinal AS INTEGER) AS snapshot_ordinal,
+       CAST(v.is_anc AS INTEGER) AS is_current_ancestor,
+       CAST(1 AS INTEGER) AS log_monotonic,
+       CAST((SELECT n FROM cur) AS BIGINT) AS current_rows
+FROM (VALUES (1, 1, 1), (2, 2, 1), (3, 3, 0), (4, 2, 1))
+     AS v(log_ordinal, snapshot_ordinal, is_anc)
+"""
+
+
+def iceberg_partitions_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``partitions`` metadata table: per-partition rollup of the
+    LIVE manifest entries at the current snapshot — record count, data
+    file count, and the spec id — plus the table-level position-delete
+    row count (delete files are unpartitioned in this writer, as the
+    delete parquet spans partitions; surfacing the count table-level
+    mirrors what the entries actually say instead of inventing a
+    per-partition split the metadata does not hold).
+
+    The file count is CLOSED-FORM under the writer's colocate
+    contract: one data file per partition per commit that had rows for
+    it — so it equals the number of fixture slices (s_suppkey%3==0 /
+    !=0) with ≥1 row in that nation, which SQL recomputes from the
+    source.  A lost entry, a double-counted carry-forward, or a
+    misplaced partition tuple each fail the hash.
+
+    100 TB: this is the skew/small-file dashboard — partitions with
+    huge record_count or file_count are the OPTIMIZE work queue;
+    O(#manifest entries), no data read."""
+    prep(spark)
+    root = _ice_meta_fixture(spark, sf_dir)
+    meta_path = _latest_meta(root)
+    entries = LF.iceberg_snapshot_entries(spark, meta_path)
+    agg: dict[int, list] = {}
+    del_rows = 0
+    for e in entries:
+        if e["status"] == 2:
+            continue
+        if e["content"] == 1:
+            del_rows += int(e["record_count"])
+            continue
+        if e["content"] != 0:
+            continue
+        nk = int(e["partition"]["s_nationkey"])
+        cur = agg.setdefault(nk, [0, 0])
+        cur[0] += int(e["record_count"])
+        cur[1] += 1
+    rows = [
+        (nk, c[0], c[1], 0, int(del_rows)) for nk, c in sorted(agg.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "s_nationkey int, record_count long, file_count int, spec_id int, "
+        "table_delete_rows long",
+    )
+
+
+def _iceberg_partitions_table_sql() -> str:
+    return """
+WITH d AS (SELECT count(*) AS n FROM supplier WHERE s_suppkey <= 3)
+SELECT CAST(s_nationkey AS INTEGER) AS s_nationkey,
+       count(*) AS record_count,
+       CAST(count(DISTINCT CASE WHEN s_suppkey % 3 = 0 THEN 0 ELSE 1 END)
+            AS INTEGER) AS file_count,
+       CAST(0 AS INTEGER) AS spec_id,
+       CAST((SELECT n FROM d) AS BIGINT) AS table_delete_rows
+FROM supplier
+GROUP BY s_nationkey
+"""
+
+
+def iceberg_manifests_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``manifests`` metadata table: one row per manifest in the
+    CURRENT snapshot's manifest list — content kind, added/existing/
+    deleted file and row counts, and the partition FIELD SUMMARIES
+    (Appendix-D decoded lower/upper bound of s_nationkey) that drive
+    manifest-level pruning.  Paths and lengths are salted; ordinals by
+    (sequence_number, content) are the stable identity.
+
+    Closed form: manifest 1 = the %3==0 append (bounds = min/max
+    nationkey over that slice), manifest 2 = the %3!=0 append,
+    manifest 3 = the position-delete manifest (content 1, one file,
+    bounds null).  A wrong field-summary encode — the thing manifest
+    pruning trusts BEFORE opening any manifest — fails the hash here
+    even when the entries inside are right.
+
+    100 TB: the manifests table is how you audit WHY pruning did or
+    didn't skip (bad summaries → full scans); one manifest-list avro
+    read, ~KB."""
+    prep(spark)
+    from ..sources import skipping as SK
+
+    root = _ice_meta_fixture(spark, sf_dir)
+    meta_path = _latest_meta(root)
+    mrows = _mlist_rows_current(spark, meta_path)
+    out = []
+    for m in sorted(
+        mrows, key=lambda m: (int(m["sequence_number"]), int(m["content"] or 0))
+    ):
+        lo = hi = None
+        parts = m.get("partitions")
+        if parts:
+            p0 = parts[0]
+            if p0.get("lower_bound") is not None:
+                lo = int(SK.decode_iceberg_bound("int", p0["lower_bound"]))
+            if p0.get("upper_bound") is not None:
+                hi = int(SK.decode_iceberg_bound("int", p0["upper_bound"]))
+        out.append(
+            (
+                int(m["sequence_number"]),
+                int(m["content"] or 0),
+                int(m["added_files_count"]),
+                int(m["existing_files_count"]),
+                int(m["deleted_files_count"]),
+                int(m["added_rows_count"]),
+                lo,
+                hi,
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "ordinal int, content int, added_files int, existing_files int, "
+        "deleted_files int, added_rows long, nk_lower int, nk_upper int",
+    )
+
+
+def _iceberg_manifests_table_sql() -> str:
+    return """
+WITH s1 AS (
+  SELECT count(*) AS rows_, count(DISTINCT s_nationkey) AS files_,
+         min(s_nationkey) AS lo, max(s_nationkey) AS hi
+  FROM supplier WHERE s_suppkey % 3 = 0
+),
+s2 AS (
+  SELECT count(*) AS rows_, count(DISTINCT s_nationkey) AS files_,
+         min(s_nationkey) AS lo, max(s_nationkey) AS hi
+  FROM supplier WHERE s_suppkey % 3 <> 0
+),
+d3 AS (SELECT count(*) AS rows_ FROM supplier WHERE s_suppkey <= 3)
+SELECT CAST(1 AS INTEGER) AS ordinal, CAST(0 AS INTEGER) AS content,
+       CAST((SELECT files_ FROM s1) AS INTEGER) AS added_files,
+       CAST(0 AS INTEGER) AS existing_files,
+       CAST(0 AS INTEGER) AS deleted_files,
+       CAST((SELECT rows_ FROM s1) AS BIGINT) AS added_rows,
+       CAST((SELECT lo FROM s1) AS INTEGER) AS nk_lower,
+       CAST((SELECT hi FROM s1) AS INTEGER) AS nk_upper
+UNION ALL
+SELECT 2, 0, (SELECT files_ FROM s2), 0, 0, (SELECT rows_ FROM s2),
+       (SELECT lo FROM s2), (SELECT hi FROM s2)
+UNION ALL
+SELECT 3, 1, 1, 0, 0, (SELECT rows_ FROM d3), NULL, NULL
+"""

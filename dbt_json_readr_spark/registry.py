@@ -533,6 +533,29 @@ register(
     lakewrite.iceberg_files_table,
     lakewrite._iceberg_files_table_sql,
 )
+# F41-F44: the rest of the Iceberg metadata-table family (VERDICT r10
+# item 2) — snapshots / history / partitions / manifests, all
+# O(metadata) at any data size
+register(
+    "iceberg_snapshots_table",
+    lakewrite.iceberg_snapshots_table,
+    lakewrite._iceberg_snapshots_table_sql,
+)
+register(
+    "iceberg_history_table",
+    lakewrite.iceberg_history_table,
+    lakewrite._iceberg_history_table_sql,
+)
+register(
+    "iceberg_partitions_table",
+    lakewrite.iceberg_partitions_table,
+    lakewrite._iceberg_partitions_table_sql,
+)
+register(
+    "iceberg_manifests_table",
+    lakewrite.iceberg_manifests_table,
+    lakewrite._iceberg_manifests_table_sql,
+)
 # D28: streaming corpus-ingest quality gate — the batch C9 scorer run
 # at the stream front door, per-source admission rollup
 register(
@@ -651,7 +674,12 @@ _R11_STALE_R6 = [
 # above before being listed here).  Only the first
 # GATE_WINDOW - len(_R11_UNTESTED) - len(_R11_STALE_R6) = 1 fits this
 # round's window; the rest lead the r12 rotation.
-_NEW_R11 = []
+_NEW_R11 = [
+    "iceberg_snapshots_table",
+    "iceberg_history_table",
+    "iceberg_partitions_table",
+    "iceberg_manifests_table",
+]
 
 # every gate-list name must resolve - a typo is harmless until the
 # rotation pulls it into the window, where the _gate_ordered check

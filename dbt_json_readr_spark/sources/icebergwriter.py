@@ -2116,6 +2116,55 @@ def set_iceberg_ref(
     return {"metadata_path": str(dest), "name": name, "snapshot_id": int(sid)}
 
 
+def rollback_iceberg(metadata_path: str, snapshot_id: int) -> dict:
+    """ROLLBACK TO SNAPSHOT (the ``rollback_to_snapshot`` procedure):
+    set the table's current snapshot back to an ANCESTOR of the
+    current one.  Pure metadata, one CAS commit; the spec requires a
+    new snapshot-log entry whenever the current snapshot changes, so
+    the rolled-back-over snapshots become visible as non-ancestors in
+    the history table (their log entries stay, their
+    is-current-ancestor flips false).
+
+    The target must be an ancestor of the current snapshot —
+    production rollback refuses to jump to an unrelated branch head
+    (that's ``set_current_snapshot``, a different, more dangerous
+    tool); so do we.  The log entry's timestamp stays monotonic under
+    the same ms-collision rule the commit path uses, and snapshot
+    timestamps are NOT rewritten (the entry records when the snapshot
+    was made current AGAIN, not a new commit time)."""
+    meta = dict(LF.iceberg_metadata(metadata_path))
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if snapshot_id not in snaps:
+        raise LF.LakeFormatError(
+            f"snapshot {snapshot_id} not in metadata {sorted(snaps)}"
+        )
+    cur = meta.get("current-snapshot-id")
+    node = snaps.get(cur)
+    ancestors = set()
+    while node is not None:
+        ancestors.add(node["snapshot-id"])
+        node = snaps.get(node.get("parent-snapshot-id"))
+    if snapshot_id not in ancestors:
+        raise LF.LakeFormatError(
+            f"snapshot {snapshot_id} is not an ancestor of the current "
+            f"snapshot {cur} — rollback only travels the parent chain"
+        )
+    now_ms = int(time.time() * 1000)
+    slog = list(meta.get("snapshot-log", []))
+    if slog and now_ms <= slog[-1]["timestamp-ms"]:
+        now_ms = slog[-1]["timestamp-ms"] + 1
+    slog.append({"timestamp-ms": now_ms, "snapshot-id": int(snapshot_id)})
+    meta["snapshot-log"] = slog
+    meta["current-snapshot-id"] = int(snapshot_id)
+    meta["last-updated-ms"] = max(now_ms, int(meta.get("last-updated-ms") or 0))
+    meta_dir = Path(os.path.dirname(os.path.abspath(metadata_path)))
+    version = int(os.path.basename(metadata_path).split(".")[0][1:]) + 1
+    dest = _commit_metadata(
+        meta_dir, version, json.dumps(meta, sort_keys=True, indent=1)
+    )
+    return {"metadata_path": str(dest), "snapshot_id": int(snapshot_id)}
+
+
 def remove_iceberg_ref(metadata_path: str, name: str) -> dict:
     """DROP TAG / DROP BRANCH — removes the named ref; its snapshot
     stays until expire drops it under normal retention."""

@@ -1150,3 +1150,50 @@ def test_mapped_export_with_live_dvs(spark, tmp_path):
     # one DATA file opens (the delete parquet rides along by design)
     data_opened = [f for f in pr.inputFiles() if "/delete-" not in f]
     assert len(data_opened) == 1 and data_opened[0].endswith("fb.parquet")
+
+
+def test_rollback_iceberg(spark, tmp_path):
+    """rollback_to_snapshot: ancestor-only, appends a snapshot-log
+    entry (spec: the log records every time current changes), read
+    side follows the rolled-back current-snapshot-id, and a
+    non-ancestor / unknown target refuses."""
+    t = tmp_path / "rb"
+    sids = []
+    for lo in (0, 10, 20):
+        r = IW.write_iceberg(
+            spark,
+            spark.range(lo, lo + 10).select(F.col("id")),
+            str(t),
+        )
+        sids.append(r["snapshot_id"])
+    meta = r["metadata_path"]
+
+    out = IW.rollback_iceberg(meta, sids[1])
+    got = LF.read_iceberg_snapshot(spark, out["metadata_path"])
+    assert got.count() == 20  # third commit rolled back
+
+    mj = LF.iceberg_metadata(out["metadata_path"])
+    slog = mj["snapshot-log"]
+    assert [e["snapshot-id"] for e in slog] == [sids[0], sids[1], sids[2], sids[1]]
+    assert all(
+        slog[i]["timestamp-ms"] > slog[i - 1]["timestamp-ms"]
+        for i in range(1, len(slog))
+    )
+    # snapshots list is untouched (rollback orphans, never deletes)
+    assert [s["snapshot-id"] for s in mj["snapshots"]] == sids
+    # snapshot commit times NOT rewritten by the rollback log entry
+    by_sid = {s["snapshot-id"]: s["timestamp-ms"] for s in mj["snapshots"]}
+    assert by_sid[sids[1]] < by_sid[sids[2]]
+
+    # the orphaned head is NOT an ancestor anymore but stays readable
+    at3 = LF.read_iceberg_snapshot(
+        spark, out["metadata_path"], snapshot_id=sids[2]
+    )
+    assert at3.count() == 30
+
+    # non-ancestor target refuses: sids[2] is no longer on the
+    # current parent chain after the rollback
+    with pytest.raises(LF.LakeFormatError, match="not an ancestor"):
+        IW.rollback_iceberg(out["metadata_path"], sids[2])
+    with pytest.raises(LF.LakeFormatError, match="not in metadata"):
+        IW.rollback_iceberg(out["metadata_path"], 999999)
