@@ -68,7 +68,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sql() -> str:
+def _minhash_sql(src: str = "documents") -> str:
+    # ``src``: the relation the pairs compute OVER — the funnel key
+    # (C76) runs the SAME pipeline on the admitted subset, where the
+    # bucket cap must count only admitted members
     r = _MH_N // _MH_BANDS
     raw = H.sql_char_shingles("text", _MH_K)
     sh = f"list_distinct(list_transform({raw}, s -> {H.sql_hash64('s', 'sh')}))"
@@ -79,7 +82,7 @@ def _minhash_sql() -> str:
     )
     return f"""
 WITH sh AS (
-  SELECT doc_id, {sh} AS sh FROM documents
+  SELECT doc_id, {sh} AS sh FROM {src}
 ),
 mh AS (
   SELECT doc_id, sh, {mh} AS mh FROM sh
@@ -410,10 +413,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.connected_components(pairs)
 
 
-def _clusters_sql() -> str:
+def _clusters_sql(src: str = "documents") -> str:
     return f"""
 WITH RECURSIVE
-base AS (SELECT doc_a, doc_b FROM ({_minhash_sql()}) mh),
+base AS (SELECT doc_a, doc_b FROM ({_minhash_sql(src)}) mh),
 edges AS (
   SELECT doc_a AS u, doc_b AS v FROM base
   UNION
@@ -5349,3 +5352,158 @@ GROUP BY source
 
 
 ORACLES["text_encoding_audit"] = _encoding_audit_sql()
+
+
+# ---------------------------------------------------------------- C76
+
+
+def training_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data pipeline composition (r11, VERDICT r10
+    item 3): the proven stages chained as ONE dataflow so
+    stage-to-stage consistency is what the oracle gates — admitted
+    docs (and only those) feed dedup, cluster winners (and only those)
+    feed the packer, and the packer's shards are the write plan.
+
+      admit   — C9/D28's hash-proven quality score, >= 0.5 gate
+      dedup   — C2's minhash-LSH pairs OVER THE ADMITTED SUBSET
+                (bucket caps count admitted members only), connected
+                components (C13)
+      keep    — C45's quality-argmax per cluster (qm desc, doc_id),
+                singletons kept
+      pack    — C31's per-shard 512-token prefix packing over the
+                KEPT docs in deterministic hash-shuffle order (C29's
+                shard plan)
+
+    Output: one row per shard (n_docs, n_packs, shard_tokens) plus the
+    funnel totals (docs_total → docs_admitted → docs_kept) broadcast
+    onto every row, so a single dropped or double-counted doc at ANY
+    stage boundary fails the value hash.
+
+    Scale: this is the same funnel a 100 TB run executes with a lake
+    checkpoint between stages (D28 admits at ingest; the dedup and
+    pack stages read admitted parquet).  Every stage keeps its
+    individually-audited scale shape — banded LSH (never all-pairs),
+    corpus-sparse clustering, per-shard windows (never a global sort);
+    the only scalars are three 1-row broadcast counts."""
+    prep(spark)
+    from pyspark.sql import Window as W
+
+    from ..streaming.jobs import _QUALITY_GATE  # one gate definition
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    feats = X.quality_features(F.col("text"))
+    q = X.quality_score(feats)
+    admitted = (
+        docs.select(
+            "doc_id",
+            "text",
+            q.alias("quality"),
+            F.floor(q * 1_000_000).cast("long").alias("qm"),
+        )
+        .filter(F.col("quality") >= F.lit(_QUALITY_GATE))
+        .select("doc_id", "text", "qm")
+    )
+    pairs = D.minhash_lsh_pairs(
+        admitted, k=_MH_K, n_hashes=_MH_N, bands=_MH_BANDS, threshold=_MH_TAU
+    ).select("doc_a", "doc_b")
+    clusters = G.connected_components(pairs)
+    w = W.partitionBy("cluster_id").orderBy(F.desc("qm"), "doc_id")
+    winners = (
+        admitted.select("doc_id", "qm")
+        .join(clusters, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.lit(1).alias("is_winner"))
+    )
+    kept = (
+        admitted.join(clusters, "doc_id", "left")
+        .join(winners, "doc_id", "left")
+        .filter(F.col("cluster_id").isNull() | F.col("is_winner").isNotNull())
+        .select("doc_id", "text")
+    )
+    h = H.hash64(F.col("doc_id").cast("string"), "shuffle")
+    d = kept.select(
+        "doc_id", h.alias("h"), F.size(H.tokens(F.col("text"))).alias("n_tok")
+    ).withColumn("shard", (F.col("h") % _N_SHARDS).cast("int"))
+    wp = (
+        W.partitionBy("shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    packed = d.select(
+        "shard",
+        "n_tok",
+        (F.coalesce(F.sum("n_tok").over(wp), F.lit(0)) / F.lit(_PACK_BUDGET))
+        .cast("long")
+        .alias("pack_id"),
+    )
+    per_shard = packed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("pack_id").alias("n_packs"),
+        F.sum("n_tok").cast("long").alias("shard_tokens"),
+    )
+    totals = docs.agg(F.count(F.lit(1)).alias("docs_total"))
+    adm = admitted.agg(F.count(F.lit(1)).alias("docs_admitted"))
+    kc = kept.agg(F.count(F.lit(1)).alias("docs_kept"))
+    return (
+        per_shard.crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(adm))
+        .crossJoin(F.broadcast(kc))
+    )
+
+
+def _training_funnel_sql() -> str:
+    from ..streaming.jobs import _QUALITY_GATE
+
+    h = H.sql_hash64("CAST(doc_id AS VARCHAR)", "shuffle")
+    toks = H.sql_tokens("text")
+    return f"""
+WITH q AS ({_quality_sql()}),
+admitted AS (
+  SELECT d.doc_id, d.text, CAST(floor(q.quality * 1000000) AS BIGINT) AS qm
+  FROM documents d JOIN q USING (doc_id)
+  WHERE q.quality >= {_QUALITY_GATE}
+),
+clusters AS ({_clusters_sql("admitted")}),
+winners AS (
+  SELECT doc_id FROM (
+    SELECT a.doc_id,
+           row_number() OVER (PARTITION BY c.cluster_id
+                              ORDER BY a.qm DESC, a.doc_id) AS rn
+    FROM admitted a JOIN clusters c USING (doc_id)
+  ) WHERE rn = 1
+),
+kept AS (
+  SELECT a.doc_id, a.text
+  FROM admitted a
+  LEFT JOIN clusters c USING (doc_id)
+  LEFT JOIN winners w ON w.doc_id = a.doc_id
+  WHERE c.cluster_id IS NULL OR w.doc_id IS NOT NULL
+),
+sharded AS (
+  SELECT doc_id, {h} AS h,
+         CAST(({h}) % {_N_SHARDS} AS INTEGER) AS shard,
+         len({toks}) AS n_tok
+  FROM kept
+),
+packed AS (
+  SELECT shard, n_tok,
+         CAST(coalesce(sum(n_tok) OVER (
+             PARTITION BY shard ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           // {_PACK_BUDGET} AS BIGINT) AS pack_id
+  FROM sharded
+)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs,
+       CAST(sum(n_tok) AS BIGINT) AS shard_tokens,
+       (SELECT count(*) FROM documents) AS docs_total,
+       (SELECT count(*) FROM admitted) AS docs_admitted,
+       (SELECT count(*) FROM kept) AS docs_kept
+FROM packed
+GROUP BY shard
+"""
+
+
+ORACLES["training_pipeline_funnel"] = _training_funnel_sql

@@ -675,6 +675,7 @@ _R11_STALE_R6 = [
 # GATE_WINDOW - len(_R11_UNTESTED) - len(_R11_STALE_R6) = 1 fits this
 # round's window; the rest lead the r12 rotation.
 _NEW_R11 = [
+    "training_pipeline_funnel",
     "iceberg_snapshots_table",
     "iceberg_history_table",
     "iceberg_partitions_table",
