@@ -345,12 +345,13 @@ def with_bucket_column(
     bounded-buffer variant; strings fall back to the HOF Column (the
     variable-length loop cannot unroll or chain)."""
     col = F.col(source)
-    if type_json == "string":
-        return df.withColumn(
-            out_col,
-            murmur3_utf8(col).bitwiseAND(F.lit(0x7FFFFFFF)).cast("long")
-            % F.lit(n),
-        )
+    if type_json in ("string", "uuid", "binary") or type_json.startswith(
+        "fixed["
+    ):
+        # variable-length byte buffers: the HOF Column binds its
+        # operand once, so no chain form is needed (uuid's 16-byte
+        # buffer included — same bounded-buffer path as decimals)
+        return df.withColumn(out_col, bucket_value(col, type_json, n))
     if type_json.startswith("decimal("):
         df = with_murmur3_decimal(df, f"__h_{out_col}", col, type_json)
         return df.withColumn(
@@ -434,19 +435,36 @@ def _murmur3_binary_of(b: Column) -> Column:
 # ---------------------------------------------------------------- API
 
 
+def _uuid_bytes(col: Column) -> Column:
+    """The 16 big-endian RFC-4122 bytes of a CANONICAL-STRING uuid
+    column (the Spark carrier for Iceberg's uuid type — the read
+    bridge maps uuid → StringType, same as iceberg-spark).  Appendix B
+    hashes exactly these bytes; a malformed string unhexes to the
+    wrong length and hashes to null via the length gate, never to a
+    wrong bucket."""
+    raw = F.unhex(F.regexp_replace(col, F.lit("-"), F.lit("")))
+    return F.when(F.octet_length(raw) == 16, raw)
+
+
 def bucket_value(col: Column, type_json: str, n: int) -> Column:
     """``bucket[n](col)`` — (murmur3 & Integer.MAX_VALUE) % n, the
     spec's exact formula, per source type.  decimal(p<=18, s) hashes
-    its minimal two's-complement unscaled bytes (Appendix B); raises
-    for types this module cannot hash executor-side (binary columns
-    aren't writable; decimal p > 18 gates in decimal_unscaled_long —
-    the driver-side twin covers both for reads)."""
+    its minimal two's-complement unscaled bytes; uuid hashes its 16
+    big-endian bytes (canonical-string carrier — the read bridge's
+    Spark type for uuid); fixed[L]/binary hash the raw bytes (BINARY
+    carrier) — all Appendix B.  Raises for types this module cannot
+    hash executor-side (decimal p > 18 gates in
+    decimal_unscaled_long — the driver-side twin covers reads)."""
     if type_json == "string":
         h = murmur3_utf8(col)
     elif type_json.startswith("decimal("):
         h = murmur3_binary(
             min_twos_complement_bytes(decimal_unscaled_long(col, type_json))
         )
+    elif type_json == "uuid":
+        h = murmur3_binary(_uuid_bytes(col))
+    elif type_json == "binary" or type_json.startswith("fixed["):
+        h = murmur3_binary(col)
     else:
         h = murmur3_long(_long_form(col, type_json))
     return h.bitwiseAND(F.lit(0x7FFFFFFF)).cast("long") % F.lit(n)

@@ -2783,3 +2783,91 @@ SELECT 2, 0, (SELECT files_ FROM s2), 0, 0, (SELECT rows_ FROM s2),
 UNION ALL
 SELECT 3, 1, 1, 0, 0, (SELECT rows_ FROM d3), NULL, NULL
 """
+
+
+# ---------------------------------------------------------------- F45
+
+
+def iceberg_binary_bucket_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-side bucket partitioning over a BINARY key (r11, VERDICT
+    r10 item 4): supplier with ``s_key = unhex(md5(s_suppkey))`` — a
+    16-byte uuid-shaped digest key, the shape content-addressed and
+    surrogate-keyed tables actually use — lands under
+    ``bucket(8, s_key)``.  Appendix B hashes the RAW bytes; the
+    executor side runs the same bounded-buffer HOF murmur3 the decimal
+    path uses (functions/icetransforms.murmur3_binary, operand bound
+    once), property-tested bit-for-bit against the pure-Python
+    reference over every tail-length class.
+
+    Per probed key (suppkeys 1..5's digests): the probe's own row
+    rollup (n_rows + the matching s_suppkey — a wrong bucket placement
+    returns zero rows and fails the value hash), probe_file_surplus =
+    files opened − 1 (expected 0), wrong_bucket_files = opened files
+    outside the key's spec-true bucket per the INDEPENDENT driver-side
+    hash (skipping.iceberg_bucket_hash over bytes; expected 0), and
+    files_total surplus over live buckets (expected 0).
+
+    100 TB: digest/uuid point lookups open 1/N of the table regardless
+    of size, with the hash in whole-stage codegen — the remaining
+    Appendix-B source-type gap after F39 closed decimals."""
+    prep(spark)
+    from ..sources import icebergwriter as IW
+    from ..sources import skipping as SK
+
+    sup = load(spark, sf_dir, "supplier").withColumn(
+        "s_key", F.unhex(F.md5(F.col("s_suppkey").cast("string")))
+    )
+
+    def build(root: str) -> None:
+        tbl = os.path.join(root, "table")
+        IW.write_iceberg(spark, sup, tbl, partition_by=["bucket(8, s_key)"])
+
+    root = _ensure("wrt_ice_binbucket", sf_dir, build)
+    meta = _latest_meta(root)
+    full = LF.read_iceberg_snapshot(spark, meta)
+    files_total = len(full.inputFiles())
+    n_buckets_live = len(
+        {f.split("s_key_bucket=")[1].split("/")[0] for f in full.inputFiles()}
+    )
+    import hashlib as _hl
+
+    rows = []
+    for k in range(1, 6):
+        key = _hl.md5(str(k).encode()).digest()
+        pr = LF.read_iceberg_snapshot(spark, meta, predicate=[("s_key", "=", key)])
+        opened = pr.inputFiles()
+        want = (SK.iceberg_bucket_hash("binary", key) & 0x7FFFFFFF) % 8
+        wrong = sum(1 for f in opened if f"s_key_bucket={want}" not in f)
+        got = pr.select("s_suppkey").collect()
+        rows.append(
+            (
+                key.hex(),
+                len(got),
+                int(sum(r.s_suppkey for r in got)) if got else None,
+                len(opened) - 1,
+                wrong,
+                files_total - n_buckets_live,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "key_hex string, n_rows int, sum_suppkey long, "
+        "probe_file_surplus int, wrong_bucket_files int, "
+        "files_total_surplus int",
+    )
+
+
+def _iceberg_binary_bucket_prune_sql() -> str:
+    return """
+WITH probes AS (SELECT k FROM (VALUES (1), (2), (3), (4), (5)) AS v(k))
+SELECT
+  md5(CAST(p.k AS VARCHAR)) AS key_hex,
+  CAST(count(*) AS INTEGER) AS n_rows,
+  CAST(sum(s.s_suppkey) AS BIGINT) AS sum_suppkey,
+  CAST(0 AS INTEGER) AS probe_file_surplus,
+  CAST(0 AS INTEGER) AS wrong_bucket_files,
+  CAST(0 AS INTEGER) AS files_total_surplus
+FROM probes p
+JOIN supplier s ON s.s_suppkey = p.k
+GROUP BY p.k
+"""

@@ -556,6 +556,12 @@ register(
     lakewrite.iceberg_manifests_table,
     lakewrite._iceberg_manifests_table_sql,
 )
+# F45: Appendix-B bucket hashing over BINARY keys (VERDICT r10 item 4)
+register(
+    "iceberg_binary_bucket_prune",
+    lakewrite.iceberg_binary_bucket_prune,
+    lakewrite._iceberg_binary_bucket_prune_sql,
+)
 # D28: streaming corpus-ingest quality gate — the batch C9 scorer run
 # at the stream front door, per-source admission rollup
 register(
@@ -680,6 +686,7 @@ _NEW_R11 = [
     "iceberg_history_table",
     "iceberg_partitions_table",
     "iceberg_manifests_table",
+    "iceberg_binary_bucket_prune",
 ]
 
 # every gate-list name must resolve - a typo is harmless until the

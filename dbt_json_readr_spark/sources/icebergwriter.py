@@ -84,9 +84,11 @@ def _iceberg_type_of(dt: T.DataType) -> str:
         return "string"
     if isinstance(dt, T.DecimalType):
         return f"decimal({dt.precision}, {dt.scale})"
+    if isinstance(dt, T.BinaryType):
+        return "binary"
     raise LF.LakeFormatGatedError(
-        f"no Iceberg type mapping for {dt.simpleString()} — nested and "
-        "binary columns are not writable yet"
+        f"no Iceberg type mapping for {dt.simpleString()} — nested "
+        "columns are not writable yet"
     )
 
 
@@ -568,7 +570,11 @@ _PARTITION_DT_RE = re.compile(
 # executor-side expression exists for these; the read side prunes a
 # superset — decimal buckets, e.g. — via the driver-side Python twin)
 _TRANSFORM_SOURCES = {
-    "bucket": {"int", "long", "string", "date", "timestamp", "timestamptz"},
+    # binary buckets via the same bounded-buffer murmur3 the decimal
+    # path uses (r11; uuid/fixed are read-side types — Spark has no
+    # uuid carrier to write, and fixed[] only arrives from foreign
+    # tables, where skipping.iceberg_bucket_hash prunes them)
+    "bucket": {"int", "long", "string", "date", "timestamp", "timestamptz", "binary"},
     "truncate": {"int", "long", "string"},
     "year": {"date", "timestamp", "timestamptz"},
     "month": {"date", "timestamp", "timestamptz"},

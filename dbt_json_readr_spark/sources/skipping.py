@@ -603,6 +603,26 @@ def iceberg_bucket_hash(type_json, value) -> int | None:
             if not isinstance(value, str):
                 return None
             h = murmur3_x86_32(value.encode("utf-8"))
+        elif t == "uuid":
+            # Appendix B: the 16 big-endian RFC-4122 bytes.  The read
+            # bridge carries uuid columns as canonical STRINGS (same
+            # as iceberg-spark), so accept str alongside uuid.UUID and
+            # raw 16-byte buffers.
+            import uuid as _uuid_mod
+
+            if isinstance(value, _uuid_mod.UUID):
+                b = value.bytes
+            elif isinstance(value, str):
+                b = _uuid_mod.UUID(value).bytes
+            elif isinstance(value, (bytes, bytearray)) and len(value) == 16:
+                b = bytes(value)
+            else:
+                return None
+            h = murmur3_x86_32(b)
+        elif t == "binary" or t.startswith("fixed["):
+            if not isinstance(value, (bytes, bytearray)):
+                return None
+            h = murmur3_x86_32(bytes(value))
         elif t is not None and t.startswith("decimal("):
             if not isinstance(value, Decimal):
                 return None

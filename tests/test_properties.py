@@ -986,3 +986,68 @@ def test_sql_murmur3_decimal_matches_python_reference(spark, unscaled, scale):
         .collect()
     ]
     assert got_col == exp
+
+
+@given(
+    bufs=st.lists(st.binary(min_size=0, max_size=40), min_size=1, max_size=12),
+)
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_sql_murmur3_binary_matches_python_reference(spark, bufs):
+    """Appendix-B bucket hashing over RAW BYTE buffers (fixed/binary
+    keys, r11 VERDICT r10 item 4), executor-side == driver-side: the
+    HOF murmur3_binary Column must agree bit-for-bit with
+    skipping.murmur3_x86_32 over arbitrary-length buffers — block
+    boundaries (len % 4) are where a wrong tail assembly lands rows in
+    the wrong bucket."""
+    from pyspark.sql import functions as F
+
+    from dbt_json_readr_spark.functions import icetransforms as IT
+    from dbt_json_readr_spark.sources import skipping as SK
+
+    # always exercise every tail-length class and the empty buffer
+    bufs = sorted(set(bufs) | {b"", b"a", b"ab", b"abc", b"abcd", b"abcde"})
+    df = spark.createDataFrame([(i, b) for i, b in enumerate(bufs)], "i int, b binary")
+    exp = [SK.murmur3_x86_32(b) for b in bufs]
+    got = [r[0] for r in df.orderBy("i").select(IT.murmur3_binary(F.col("b"))).collect()]
+    assert got == exp
+
+    # the full bucket chain: executor bucket_value == driver
+    # iceberg_bucket_hash, signed-to-bucket formula included
+    want = [(SK.iceberg_bucket_hash("binary", b) & 0x7FFFFFFF) % 8 for b in bufs]
+    got_b = [
+        r[0]
+        for r in df.orderBy("i").select(IT.bucket_value(F.col("b"), "binary", 8)).collect()
+    ]
+    assert got_b == want
+
+
+@given(ints=st.lists(st.integers(min_value=0, max_value=(1 << 128) - 1),
+                     min_size=1, max_size=8))
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_sql_murmur3_uuid_matches_python_reference(spark, ints):
+    """uuid bucket hashing (Appendix B: the 16 big-endian RFC-4122
+    bytes), canonical-STRING carrier: executor bucket_value(col,
+    'uuid', n) == driver iceberg_bucket_hash('uuid', str) — and the
+    driver side accepts UUID / str / bytes interchangeably."""
+    import uuid as U
+
+    from pyspark.sql import functions as F
+
+    from dbt_json_readr_spark.functions import icetransforms as IT
+    from dbt_json_readr_spark.sources import skipping as SK
+
+    uuids = sorted({str(U.UUID(int=i)) for i in ints} | {str(U.UUID(int=0))})
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(uuids)], "i int, u string")
+    want = [(SK.iceberg_bucket_hash("uuid", u) & 0x7FFFFFFF) % 16 for u in uuids]
+    got = [
+        r[0]
+        for r in df.orderBy("i").select(IT.bucket_value(F.col("u"), "uuid", 16)).collect()
+    ]
+    assert got == want
+    for u in uuids:
+        assert SK.iceberg_bucket_hash("uuid", U.UUID(u)) == SK.iceberg_bucket_hash("uuid", u)
+        assert SK.iceberg_bucket_hash("uuid", U.UUID(u).bytes) == SK.iceberg_bucket_hash("uuid", u)
+    # malformed string → None (conservative keep), never an exception
+    assert SK.iceberg_bucket_hash("uuid", "not-a-uuid") is None
