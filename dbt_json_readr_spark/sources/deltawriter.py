@@ -546,7 +546,7 @@ def _stage_and_collect(
     the property the audit oracles count on).  A caller that already
     partitioned its DataFrame passes colocate=False and keeps its own
     layout."""
-    stage = Path(table_path) / f"_staging-{os.getpid()}-{version}"
+    stage = Path(table_path) / f"_staging-{os.getpid()}-{version}-{_uuid.uuid4().hex[:8]}"
     if stage.exists():
         shutil.rmtree(stage)
     out = df
@@ -828,7 +828,7 @@ def _stage_cdc(
     ``cdc`` action, not the file) and return the cdc actions.  The
     write is the same distributed staging pass as the data files —
     change rows are data-scale, never driver-side."""
-    stage = Path(table_path) / f"_staging-cdc-{os.getpid()}-{version}"
+    stage = Path(table_path) / f"_staging-cdc-{os.getpid()}-{version}-{_uuid.uuid4().hex[:8]}"
     if stage.exists():
         shutil.rmtree(stage)
     out = rows

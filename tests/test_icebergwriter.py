@@ -1197,3 +1197,74 @@ def test_rollback_iceberg(spark, tmp_path):
         IW.rollback_iceberg(out["metadata_path"], sids[2])
     with pytest.raises(LF.LakeFormatError, match="not in metadata"):
         IW.rollback_iceberg(out["metadata_path"], 999999)
+
+
+def test_concurrent_two_writer_threads_append(spark, tmp_path):
+    """TWO REAL THREADS appending to one Iceberg table (VERDICT r10
+    item 5): metadata CAS losers see the committed-concurrently
+    LakeFormatError and retry write_iceberg (which re-reads the latest
+    metadata version); at the end the metadata version chain is
+    linear, the snapshot parent chain is a single line covering every
+    commit, sequence numbers are 1..N, and no batch is lost or
+    duplicated."""
+    import threading
+
+    t = str(tmp_path / "t")
+    IW.write_iceberg(
+        spark,
+        spark.range(0).select(F.lit(0).alias("w"), F.col("id").alias("k")),
+        t,
+    )
+    n_each, errs = 4, []
+    barrier = threading.Barrier(2)
+
+    def writer(tag: int) -> None:
+        try:
+            barrier.wait()
+            for i in range(n_each):
+                df = spark.range(10).select(
+                    F.lit(tag).alias("w"),
+                    (F.col("id") + tag * 1000 + i * 10).alias("k"),
+                )
+                while True:
+                    try:
+                        IW.write_iceberg(spark, df, t, mode="append")
+                        break
+                    except LF.LakeFormatError as e:
+                        if "concurrently" not in str(e):
+                            raise
+                        continue  # loser re-reads latest and retries
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in (1, 2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errs == []
+
+    metas = sorted(
+        int(p.name.split(".")[0][1:])
+        for p in (Path(t) / "metadata").glob("v*.metadata.json")
+    )
+    assert metas == list(range(1, 2 * n_each + 2))  # linear, no gaps
+
+    latest = str(Path(t) / "metadata" / f"v{metas[-1]}.metadata.json")
+    mj = LF.iceberg_metadata(latest)
+    snaps = {s["snapshot-id"]: s for s in mj["snapshots"]}
+    assert sorted(s["sequence-number"] for s in snaps.values()) == list(
+        range(1, 2 * n_each + 2)
+    )
+    # single linear parent chain from current back to the first commit
+    node, depth = snaps[mj["current-snapshot-id"]], 1
+    while node.get("parent-snapshot-id") is not None:
+        node = snaps[node["parent-snapshot-id"]]
+        depth += 1
+    assert depth == 2 * n_each + 1
+
+    got = LF.read_iceberg_snapshot(spark, latest)
+    assert got.count() == 2 * n_each * 10
+    per = {(r.w, r.n) for r in got.groupBy("w").agg(F.count("*").alias("n")).collect()}
+    assert per == {(1, n_each * 10), (2, n_each * 10)}
+    assert got.select("k").distinct().count() == 2 * n_each * 10
