@@ -11,9 +11,11 @@ the container format in Python costs ~1 ms per small manifest — the
 walk becomes I/O-bound, which is the right bound for metadata.
 
 Scope: the avro 1.x object container file format (spec §Object
-Container Files) with ``null`` and ``deflate`` codecs — what avro-core
-writes by default and what Iceberg metadata uses in practice.  Other
-codecs (snappy/zstandard) raise AvroReadError; the caller
+Container Files) with ``null``, ``deflate`` and ``snappy`` codecs —
+what avro-core writes by default and what Iceberg metadata uses in
+practice (snappy r11: a from-format-description raw-block decoder, so
+real-writer manifests never pay the 0.19 s/file JVM fallback).  Other
+codecs (zstandard) raise AvroReadError; the caller
 (lakeformats._read_avro_records) falls back to the JVM bridge for
 those, so exotic files still read, just at bridge speed.
 
@@ -37,12 +39,95 @@ import zlib
 _MAGIC = b"Obj\x01"
 
 
+def _snappy_decompress(data: bytes) -> bytes:
+    """Raw snappy BLOCK-format decompression (r11, VERDICT r10 item 6)
+    — the published format description: a base-128 uvarint preamble
+    carrying the uncompressed length, then tagged elements (2-bit
+    type): literals (6-bit length, 60-63 meaning 1-4 extra LE length
+    bytes) and back-references with 1/2/4-byte little-endian offsets
+    into the OUTPUT, which may overlap (byte-at-a-time semantics).
+    Implemented from the format description only — no code derived
+    from any snappy library.  Malformed input raises AvroReadError
+    (loud), never returns short."""
+    i, n = 0, len(data)
+    # preamble: plain (non-zigzag) base-128 varint
+    want, shift = 0, 0
+    while True:
+        if i >= n:
+            raise AvroReadError("snappy: truncated length preamble")
+        byte = data[i]
+        i += 1
+        want |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            break
+        shift += 7
+        if shift > 35:
+            raise AvroReadError("snappy: length preamble too long")
+    out = bytearray()
+    while i < n:
+        tag = data[i]
+        i += 1
+        kind = tag & 3
+        if kind == 0:  # literal
+            v = tag >> 2
+            if v < 60:
+                length = v + 1
+            else:
+                nb = v - 59  # 1..4 extra little-endian length bytes
+                if i + nb > n:
+                    raise AvroReadError("snappy: truncated literal length")
+                length = int.from_bytes(data[i : i + nb], "little") + 1
+                i += nb
+            if i + length > n:
+                raise AvroReadError("snappy: truncated literal")
+            out += data[i : i + length]
+            i += length
+            continue
+        if kind == 1:  # copy, 3-bit length, 11-bit offset
+            if i >= n:
+                raise AvroReadError("snappy: truncated copy-1")
+            length = ((tag >> 2) & 0x7) + 4
+            offset = ((tag >> 5) << 8) | data[i]
+            i += 1
+        elif kind == 2:  # copy, 2-byte LE offset
+            if i + 2 > n:
+                raise AvroReadError("snappy: truncated copy-2")
+            length = (tag >> 2) + 1
+            offset = int.from_bytes(data[i : i + 2], "little")
+            i += 2
+        else:  # copy, 4-byte LE offset
+            if i + 4 > n:
+                raise AvroReadError("snappy: truncated copy-4")
+            length = (tag >> 2) + 1
+            offset = int.from_bytes(data[i : i + 4], "little")
+            i += 4
+        if offset == 0 or offset > len(out):
+            raise AvroReadError(
+                f"snappy: copy offset {offset} outside the {len(out)} "
+                "bytes produced"
+            )
+        if offset >= length:
+            start = len(out) - offset
+            out += out[start : start + length]
+        else:
+            # overlapping copy: byte-at-a-time is the DEFINED semantics
+            # (it repeats the tail — how snappy encodes runs)
+            start = len(out) - offset
+            for j in range(length):
+                out.append(out[start + j])
+    if len(out) != want:
+        raise AvroReadError(
+            f"snappy: decompressed {len(out)} bytes, preamble said {want}"
+        )
+    return bytes(out)
+
+
 class AvroReadError(Exception):
     pass
 
 
 class AvroCodecUnsupported(AvroReadError):
-    """Codec this reader doesn't speak (snappy/zstd) — the ONE
+    """Codec this reader doesn't speak (zstd) — the ONE
     condition callers may treat as 'fall back to the JVM bridge';
     every other AvroReadError means the container is malformed and
     must stay loud (review r10: dispatching the fallback on an error-
@@ -202,7 +287,7 @@ def read_container(path: str) -> list[dict]:
             k = cur.read_str()
             meta[k] = cur.read_bytes()
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise AvroCodecUnsupported(
             f"{path}: unsupported avro codec {codec!r}"
         )
@@ -225,6 +310,21 @@ def read_container(path: str) -> list[dict]:
                 # keep the module's loud-malformed contract: a corrupt
                 # deflate block must not escape as a bare zlib.error
                 raise AvroReadError(f"{path}: corrupt deflate block: {e}")
+        elif codec == "snappy":
+            # avro frames each snappy block as raw-snappy bytes + a
+            # 4-byte BIG-ENDIAN crc32 of the UNCOMPRESSED data (spec
+            # §Required Codecs) — verify it, loudly
+            if len(payload) < 4:
+                raise AvroReadError(f"{path}: snappy block too short")
+            body, crc = payload[:-4], payload[-4:]
+            try:
+                payload = _snappy_decompress(body)
+            except AvroReadError as e:
+                raise AvroReadError(f"{path}: corrupt snappy block: {e}")
+            if struct.pack(">I", zlib.crc32(payload) & 0xFFFFFFFF) != crc:
+                raise AvroReadError(
+                    f"{path}: snappy block crc32 mismatch"
+                )
         bcur = _Cur(payload)
         for _ in range(count):
             out.append(_decode(schema, bcur, named))

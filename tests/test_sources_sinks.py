@@ -3334,3 +3334,120 @@ def test_avro_reader_malformed_and_logical_types(spark, tmp_path):
     LF._AVRO_CACHE.clear()
     with pytest.raises(LF.LakeFormatError, match="avro manifest decode"):
         LF._read_avro_records(spark, str(pcorrupt))
+
+
+def test_snappy_decompress_handcrafted_streams():
+    """The r11 pure-Python snappy block decoder over hand-assembled
+    streams covering every element kind: literals (short + extended
+    lengths), copy-1/copy-2/copy-4 offsets, and the OVERLAPPING copy
+    (offset < length) that encodes runs byte-at-a-time.  Malformed
+    streams (zero/OOB offset, short literal, wrong preamble) raise
+    AvroReadError, never return short."""
+    import pytest as _pt
+
+    from dbt_json_readr_spark.sources.avrocore import (
+        AvroReadError,
+        _snappy_decompress,
+    )
+
+    def lit(b: bytes) -> bytes:
+        assert 1 <= len(b) <= 60
+        return bytes([(len(b) - 1) << 2]) + b
+
+    # plain literal
+    assert _snappy_decompress(bytes([5]) + lit(b"hello")) == b"hello"
+    # extended literal length (61 bytes → 1 extra length byte, tag 60<<2)
+    data = b"x" * 61
+    assert _snappy_decompress(bytes([61, 60 << 2, 60]) + data) == data
+    # copy-2: "abcd" then copy len=4 offset=4 → "abcdabcd"
+    s = bytes([8]) + lit(b"abcd") + bytes([(3 << 2) | 2, 4, 0])
+    assert _snappy_decompress(s) == b"abcdabcd"
+    # copy-1: len=4, offset=4 (tag: ((4-4)<<2)|1, high offset bits 0)
+    s = bytes([8]) + lit(b"wxyz") + bytes([(0 << 2) | 1, 4])
+    assert _snappy_decompress(s) == b"wxyzwxyz"
+    # copy-4: same copy through the 4-byte offset form
+    s = bytes([8]) + lit(b"mnop") + bytes([(3 << 2) | 3, 4, 0, 0, 0])
+    assert _snappy_decompress(s) == b"mnopmnop"
+    # OVERLAPPING run: "a" then copy len=7 offset=1 → "aaaaaaaa"
+    s = bytes([8]) + lit(b"a") + bytes([((7 - 4) << 2) | 1, 1])
+    assert _snappy_decompress(s) == b"a" * 8
+    # zero offset refuses
+    with _pt.raises(AvroReadError, match="offset"):
+        _snappy_decompress(bytes([8]) + lit(b"abcd") + bytes([(3 << 2) | 2, 0, 0]))
+    # offset beyond produced output refuses
+    with _pt.raises(AvroReadError, match="offset"):
+        _snappy_decompress(bytes([8]) + lit(b"abcd") + bytes([(3 << 2) | 2, 9, 0]))
+    # truncated literal refuses
+    with _pt.raises(AvroReadError, match="truncated"):
+        _snappy_decompress(bytes([5]) + bytes([(5 - 1) << 2]) + b"hel")
+    # preamble/output length mismatch refuses
+    with _pt.raises(AvroReadError, match="preamble"):
+        _snappy_decompress(bytes([9]) + lit(b"hello"))
+
+
+def test_avro_snappy_codec_matches_jvm_writer(spark, tmp_path):
+    """A snappy-codec container written by the JVM's own
+    DataFileWriter (CodecFactory.snappyCodec — snappy-java's real
+    compressor, which emits back-references on repetitive data) must
+    read identically through the r11 pure-Python path: raw-block
+    decode + the avro per-block big-endian crc32 of the uncompressed
+    bytes.  This is the codec real Iceberg writers commonly emit for
+    manifests; before r11 every such file fell back to the ~0.19 s JVM
+    bridge."""
+    import json
+
+    from dbt_json_readr_spark.sources import avrocore
+
+    schema_json = json.dumps(
+        {
+            "type": "record",
+            "name": "row",
+            "fields": [
+                {"name": "k", "type": "long"},
+                {"name": "s", "type": "string"},
+                {"name": "b", "type": ["null", "bytes"], "default": None},
+            ],
+        }
+    )
+    # repetitive strings so snappy-java emits real copies
+    rows = [
+        {"k": i, "s": "the quick brown fox " * 8 + str(i % 3),
+         "b": bytes([i % 7]) * 40}
+        for i in range(50)
+    ]
+
+    jvm = spark._jvm
+    schema = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    reader = jvm.org.apache.avro.generic.GenericDatumReader(schema)
+    factory = jvm.org.apache.avro.io.DecoderFactory.get()
+    writer = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+    )
+    writer.setCodec(jvm.org.apache.avro.file.CodecFactory.snappyCodec())
+    dest = tmp_path / "snappy.avro"
+    writer.create(schema, jvm.java.io.File(str(dest)))
+    try:
+        for d in rows:
+            enc = dict(d)
+            enc["b"] = {"bytes": enc["b"].decode("latin-1")}
+            dec = factory.jsonDecoder(schema, json.dumps(enc))
+            writer.append(reader.read(None, dec))
+    finally:
+        writer.close()
+
+    # pin the fixture really is snappy-coded
+    head = dest.read_bytes()
+    assert b"snappy" in head[:512]
+
+    got = avrocore.read_container(str(dest))
+    assert got == rows
+
+    # a flipped crc byte is LOUD, not silently wrong
+    raw = bytearray(dest.read_bytes())
+    raw[-18] ^= 0xFF  # inside the last block's crc/sync region
+    bad = tmp_path / "bad.avro"
+    bad.write_bytes(bytes(raw))
+    import pytest as _pt
+
+    with _pt.raises(avrocore.AvroReadError):
+        avrocore.read_container(str(bad))
