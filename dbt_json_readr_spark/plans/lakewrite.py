@@ -2871,3 +2871,74 @@ FROM probes p
 JOIN supplier s ON s.s_suppkey = p.k
 GROUP BY p.k
 """
+
+
+# ---------------------------------------------------------------- F46
+
+
+def iceberg_refs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``refs`` metadata table (r11) — production's ``t$refs`` /
+    ``t.refs``: one row per named ref (tags and branches, spec v2
+    ``refs`` map) plus the implicit ``main`` head, with each ref's
+    snapshot ordinal and the ROW COUNT visible through it (the read
+    bridge resolves ``ref=`` — so a silently moved or misresolved ref
+    fails the value hash, not just the name list).
+
+    Fixture: three appended supplier slices (%5 == 0/1/2); tag ``v1``
+    pins snapshot 1, branch ``dev`` pins snapshot 2, main ends at
+    snapshot 3.  All closed-form over the supplier source.
+
+    100 TB: refs are the deploy/rollback/experiment surface (pin an
+    eval set, branch an backfill); the table is O(#refs) JSON plus one
+    pinned read per ref."""
+    prep(spark)
+    from ..sources import icebergwriter as IW
+
+    supp = load(spark, sf_dir, "supplier")
+
+    def build(root: str) -> None:
+        tbl = os.path.join(root, "table")
+        r1 = IW.write_iceberg(spark, supp.filter(F.col("s_suppkey") % 5 == 0), tbl)
+        IW.set_iceberg_ref(r1["metadata_path"], "v1", ref_type="tag")
+        r2 = IW.write_iceberg(spark, supp.filter(F.col("s_suppkey") % 5 == 1), tbl)
+        latest2 = _latest_meta(Path(root))
+        IW.set_iceberg_ref(
+            latest2, "dev", snapshot_id=r2["snapshot_id"], ref_type="branch"
+        )
+        IW.write_iceberg(spark, supp.filter(F.col("s_suppkey") % 5 == 2), tbl)
+
+    root = _ensure("wrt_ice_refstbl", sf_dir, build)
+    meta_path = _latest_meta(root)
+    mj = LF.iceberg_metadata(meta_path)
+    seq_of = {s["snapshot-id"]: s["sequence-number"] for s in mj["snapshots"]}
+    rows = []
+    for name in sorted(mj.get("refs") or {}):
+        ref = mj["refs"][name]
+        n = LF.read_iceberg_snapshot(spark, meta_path, ref=name).count()
+        rows.append(
+            (name, ref["type"], int(seq_of[ref["snapshot-id"]]), int(n))
+        )
+    cur = LF.read_iceberg_snapshot(spark, meta_path).count()
+    rows.append(
+        ("main", "branch", int(seq_of[mj["current-snapshot-id"]]), int(cur))
+    )
+    return spark.createDataFrame(
+        rows, "ref_name string, ref_type string, snapshot_ordinal int, ref_rows long"
+    )
+
+
+def _iceberg_refs_table_sql() -> str:
+    return """
+WITH c AS (
+  SELECT
+    (SELECT count(*) FROM supplier WHERE s_suppkey % 5 = 0) AS n1,
+    (SELECT count(*) FROM supplier WHERE s_suppkey % 5 IN (0, 1)) AS n2,
+    (SELECT count(*) FROM supplier WHERE s_suppkey % 5 IN (0, 1, 2)) AS n3
+)
+SELECT v.ref_name, v.ref_type,
+       CAST(v.ord AS INTEGER) AS snapshot_ordinal,
+       CAST(CASE v.ord WHEN 1 THEN c.n1 WHEN 2 THEN c.n2 ELSE c.n3 END AS BIGINT)
+         AS ref_rows
+FROM (VALUES ('v1', 'tag', 1), ('dev', 'branch', 2), ('main', 'branch', 3))
+     AS v(ref_name, ref_type, ord), c
+"""

@@ -562,6 +562,13 @@ register(
     lakewrite.iceberg_binary_bucket_prune,
     lakewrite._iceberg_binary_bucket_prune_sql,
 )
+# F46: the `refs` metadata table — tags/branches + main with pinned
+# row counts through the ref-resolving read bridge
+register(
+    "iceberg_refs_table",
+    lakewrite.iceberg_refs_table,
+    lakewrite._iceberg_refs_table_sql,
+)
 # D28: streaming corpus-ingest quality gate — the batch C9 scorer run
 # at the stream front door, per-source admission rollup
 register(
@@ -687,6 +694,7 @@ _NEW_R11 = [
     "iceberg_partitions_table",
     "iceberg_manifests_table",
     "iceberg_binary_bucket_prune",
+    "iceberg_refs_table",
 ]
 
 # every gate-list name must resolve - a typo is harmless until the
