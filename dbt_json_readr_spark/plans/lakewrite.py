@@ -2455,11 +2455,9 @@ def _ice_meta_fixture(spark: SparkSession, sf_dir: str) -> Path:
             spark, sup.filter(F.col("s_suppkey") % 3 != 0), tbl,
             partition_by=["s_nationkey"],
         )
-        meta = max(
-            Path(tbl, "metadata").glob("v*.metadata.json"),
-            key=lambda p: int(p.name.split(".")[0][1:]),
+        IW.delete_iceberg(
+            spark, _latest_meta(Path(root)), [("s_suppkey", "<=", 3)]
         )
-        IW.delete_iceberg(spark, str(meta), [("s_suppkey", "<=", 3)])
 
     return _ensure("wrt_ice_metatbl", sf_dir, build)
 
@@ -2583,24 +2581,18 @@ def iceberg_history_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark, sup.filter(F.col("s_suppkey") % 4 == m), tbl,
                 partition_by=["s_nationkey"],
             )
-        meta = max(
-            Path(tbl, "metadata").glob("v*.metadata.json"),
-            key=lambda p: int(p.name.split(".")[0][1:]),
-        )
-        mj = LF.iceberg_metadata(str(meta))
+        meta = _latest_meta(Path(root))
+        mj = LF.iceberg_metadata(meta)
         target = sorted(mj["snapshots"], key=lambda s: s["sequence-number"])[1]
-        IW.rollback_iceberg(str(meta), target["snapshot-id"])
+        IW.rollback_iceberg(meta, target["snapshot-id"])
 
     root = _ensure("wrt_ice_history", sf_dir, build)
     meta_path = _latest_meta(root)
     mj = LF.iceberg_metadata(meta_path)
-    snaps = {s["snapshot-id"]: s for s in mj["snapshots"]}
-    seq_of = {sid: s["sequence-number"] for sid, s in snaps.items()}
-    node = snaps.get(mj.get("current-snapshot-id"))
-    ancestors = set()
-    while node is not None:
-        ancestors.add(node["snapshot-id"])
-        node = snaps.get(node.get("parent-snapshot-id"))
+    seq_of = {s["snapshot-id"]: s["sequence-number"] for s in mj["snapshots"]}
+    from ..sources.icebergwriter import ancestor_ids
+
+    ancestors = ancestor_ids(mj)
     cur_rows = LF.read_iceberg_snapshot(spark, meta_path).count()
     slog = mj["snapshot-log"]
     # the spec requires log timestamps monotonic; surface the check as

@@ -547,8 +547,6 @@ def _stage_and_collect(
     partitioned its DataFrame passes colocate=False and keeps its own
     layout."""
     stage = Path(table_path) / f"_staging-{os.getpid()}-{version}-{_uuid.uuid4().hex[:8]}"
-    if stage.exists():
-        shutil.rmtree(stage)
     out = df
     sort_cols = [
         c if not isinstance(c, str) else F.col(c) for c in (sort_within or [])
@@ -829,8 +827,6 @@ def _stage_cdc(
     write is the same distributed staging pass as the data files —
     change rows are data-scale, never driver-side."""
     stage = Path(table_path) / f"_staging-cdc-{os.getpid()}-{version}-{_uuid.uuid4().hex[:8]}"
-    if stage.exists():
-        shutil.rmtree(stage)
     out = rows
     if partition_by:
         out = out.repartition(*[F.col(c) for c in partition_by])

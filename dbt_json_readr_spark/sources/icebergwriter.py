@@ -384,7 +384,14 @@ def _append_snapshot_to_meta(
     for i in range(1, len(slog)):
         if slog[i]["timestamp-ms"] <= slog[i - 1]["timestamp-ms"]:
             slog[i]["timestamp-ms"] = slog[i - 1]["timestamp-ms"] + 1
-    by_sid = {e["snapshot-id"]: e["timestamp-ms"] for e in slog}
+    # mirror each snapshot's FIRST log entry (its commit) back onto it
+    # — a rollback appends a SECOND entry for an old snapshot-id (made
+    # current again, not re-committed); last-wins here would rewrite
+    # that snapshot's commit time on the next append and shift AS OF
+    # TIMESTAMP resolution (r11 review finding)
+    by_sid: dict = {}
+    for e in slog:
+        by_sid.setdefault(e["snapshot-id"], e["timestamp-ms"])
     for s in meta["snapshots"]:
         if s["snapshot-id"] in by_sid:
             s["timestamp-ms"] = by_sid[s["snapshot-id"]]
@@ -880,8 +887,6 @@ def write_iceberg(
     # ---- data: staged distributed write; partitionBy runs on a
     # DUPLICATED column so the real one stays IN the data files
     stage = Path(table_dir) / f"_staging-{os.getpid()}-{seq}-{_uuid_mod.uuid4().hex[:8]}"
-    if stage.exists():
-        shutil.rmtree(stage)
     out = df
     dup_cols = []
     for pf in part_fields:
@@ -1209,8 +1214,6 @@ def delete_iceberg(
     del_dest = Path(table_dir) / del_rel
     del_dest.parent.mkdir(parents=True, exist_ok=True)
     stage = Path(table_dir) / f"_staging-del-{os.getpid()}-{seq}-{_uuid_mod.uuid4().hex[:8]}"
-    if stage.exists():
-        shutil.rmtree(stage)
     # one sorted file: delete parquet must sort by (file, pos) per the
     # spec's recommendation; coalesce(1) is bounded by delete
     # cardinality, not table size
@@ -1410,8 +1413,6 @@ def delete_iceberg_equality(
     del_dest = Path(table_dir) / del_rel
     del_dest.parent.mkdir(parents=True, exist_ok=True)
     stage = Path(table_dir) / f"_staging-eqdel-{os.getpid()}-{seq}-{_uuid_mod.uuid4().hex[:8]}"
-    if stage.exists():
-        shutil.rmtree(stage)
     # distinct + one sorted file: dedup keeps the delete idempotent and
     # small; coalesce(1) is bounded by key cardinality, not table size
     keys.dropDuplicates(list(keys.columns)).coalesce(1).sortWithinPartitions(
@@ -1907,8 +1908,6 @@ def delta_to_iceberg(spark: SparkSession, table_path: str) -> dict:
         del_dest = Path(table_dir) / del_rel
         del_dest.parent.mkdir(parents=True, exist_ok=True)
         stage = Path(table_dir) / f"_staging-dvdel-{os.getpid()}-{seq}-{_uuid_mod.uuid4().hex[:8]}"
-        if stage.exists():
-            shutil.rmtree(stage)
         pos_df.select(
             rel_fp.alias("file_path"), F.col("__pos").alias("pos")
         ).coalesce(1).sortWithinPartitions("file_path", "pos").write.mode(
@@ -2123,6 +2122,20 @@ def set_iceberg_ref(
     return {"metadata_path": str(dest), "name": name, "snapshot_id": int(sid)}
 
 
+def ancestor_ids(meta: dict) -> set:
+    """Snapshot ids on the CURRENT parent chain — the spec's
+    is-current-ancestor set.  ONE definition shared by rollback's
+    ancestor-only rule and the history metadata table (r11 review: two
+    hand-kept copies of this walk could drift)."""
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    node = snaps.get(meta.get("current-snapshot-id"))
+    out: set = set()
+    while node is not None:
+        out.add(node["snapshot-id"])
+        node = snaps.get(node.get("parent-snapshot-id"))
+    return out
+
+
 def rollback_iceberg(metadata_path: str, snapshot_id: int) -> dict:
     """ROLLBACK TO SNAPSHOT (the ``rollback_to_snapshot`` procedure):
     set the table's current snapshot back to an ANCESTOR of the
@@ -2145,16 +2158,11 @@ def rollback_iceberg(metadata_path: str, snapshot_id: int) -> dict:
         raise LF.LakeFormatError(
             f"snapshot {snapshot_id} not in metadata {sorted(snaps)}"
         )
-    cur = meta.get("current-snapshot-id")
-    node = snaps.get(cur)
-    ancestors = set()
-    while node is not None:
-        ancestors.add(node["snapshot-id"])
-        node = snaps.get(node.get("parent-snapshot-id"))
-    if snapshot_id not in ancestors:
+    if snapshot_id not in ancestor_ids(meta):
         raise LF.LakeFormatError(
             f"snapshot {snapshot_id} is not an ancestor of the current "
-            f"snapshot {cur} — rollback only travels the parent chain"
+            f"snapshot {meta.get('current-snapshot-id')} — rollback only "
+            "travels the parent chain"
         )
     now_ms = int(time.time() * 1000)
     slog = list(meta.get("snapshot-log", []))

@@ -619,7 +619,11 @@ def iceberg_bucket_hash(type_json, value) -> int | None:
             else:
                 return None
             h = murmur3_x86_32(b)
-        elif t == "binary" or t.startswith("fixed["):
+        elif t is not None and (t == "binary" or t.startswith("fixed[")):
+            # the `t is not None` guard matters: a nested-type dict
+            # sets t = None, and None.startswith would raise
+            # AttributeError — which is NOT in the catch tuple below,
+            # breaking the keep-never-raise contract (r11 review)
             if not isinstance(value, (bytes, bytearray)):
                 return None
             h = murmur3_x86_32(bytes(value))

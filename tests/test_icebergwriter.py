@@ -1198,6 +1198,25 @@ def test_rollback_iceberg(spark, tmp_path):
     with pytest.raises(LF.LakeFormatError, match="not in metadata"):
         IW.rollback_iceberg(out["metadata_path"], 999999)
 
+    # CONTINUE-AFTER-ROLLBACK (r11 review finding): the next append's
+    # log-mirror must keep the rolled-back-to snapshot's ORIGINAL
+    # commit time (the rollback added a second log entry for sids[1];
+    # last-entry-wins would rewrite t2 → t4 and shift AS OF TIMESTAMP
+    # resolution for any instant in (t2, t3))
+    t2_before = by_sid[sids[1]]
+    r4 = IW.write_iceberg(
+        spark, spark.range(100, 105).select(F.col("id")), str(t)
+    )
+    mj2 = LF.iceberg_metadata(r4["metadata_path"])
+    by_sid2 = {s["snapshot-id"]: s["timestamp-ms"] for s in mj2["snapshots"]}
+    assert by_sid2[sids[1]] == t2_before
+    # time travel between c2 and c3 still resolves to c2
+    mid = (by_sid2[sids[1]] + by_sid2[sids[2]]) / 2000.0
+    import datetime as _dt
+
+    ts = _dt.datetime.fromtimestamp(mid, tz=_dt.timezone.utc)
+    assert LF.iceberg_snapshot_at_timestamp(r4["metadata_path"], ts) == sids[1]
+
 
 def test_concurrent_two_writer_threads_append(spark, tmp_path):
     """TWO REAL THREADS appending to one Iceberg table (VERDICT r10
