@@ -2934,3 +2934,82 @@ SELECT v.ref_name, v.ref_type,
 FROM (VALUES ('v1', 'tag', 1), ('dev', 'branch', 2), ('main', 'branch', 3))
      AS v(ref_name, ref_type, ord), c
 """
+
+
+# ---------------------------------------------------------------- F47
+
+
+def delta_history_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY for Delta (r11) — the Delta twin of F42's
+    Iceberg history table: one row per commit with its version, the
+    commitInfo OPERATION the writer recorded, and the ROW COUNT
+    visible at that version through time travel — so the history
+    surface is value-gated (a mislabeled operation, a broken
+    time-travel read, or a RESTORE that didn't restore all fail the
+    hash), not just a name listing.
+
+    Fixture: WRITE (orders %4==0) → WRITE append (%4==1) → DELETE
+    (o_orderkey <= 50, DV path) → OPTIMIZE (no data change) → RESTORE
+    to version 1.  Every per-version count is closed-form SQL over the
+    orders source; RESTORE must land back on exactly the version-1
+    state.
+
+    100 TB: the history table is the ops surface — audit trails,
+    incident forensics ('what did the 03:00 job do'), restore
+    decisions; O(#commits) JSON reads of the log, no data touched."""
+    prep(spark)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+
+    def build(tbl: str) -> None:
+        DW.write_delta(spark, orders.filter(F.col("o_orderkey") % 4 == 0), tbl)
+        DW.write_delta(
+            spark,
+            orders.filter(F.col("o_orderkey") % 4 == 1),
+            tbl,
+            mode="append",
+        )
+        DW.delete_delta(spark, tbl, [("o_orderkey", "<=", 50)])
+        DW.optimize_delta(spark, tbl)
+        DW.restore_delta(spark, tbl, 1)
+
+    tbl = str(_ensure("wrt_delta_history", sf_dir, build))
+    log = Path(tbl) / "_delta_log"
+    import json as _json
+
+    rows = []
+    for vp in sorted(log.glob("*.json")):
+        v = int(vp.name.split(".")[0])
+        op = None
+        for line in vp.read_text().splitlines():
+            if not line.strip():
+                continue
+            a = _json.loads(line)
+            if "commitInfo" in a:
+                op = a["commitInfo"]["operation"]
+                break
+        n = LF.read_delta_snapshot(spark, tbl, version=v).count()
+        rows.append((v, op, int(n)))
+    return spark.createDataFrame(rows, "version int, operation string, rows_at long")
+
+
+def _delta_history_table_sql() -> str:
+    return """
+WITH c AS (
+  SELECT
+    (SELECT count(*) FROM orders WHERE o_orderkey % 4 = 0) AS n0,
+    (SELECT count(*) FROM orders WHERE o_orderkey % 4 IN (0, 1)) AS n01,
+    (SELECT count(*) FROM orders
+      WHERE o_orderkey % 4 IN (0, 1) AND o_orderkey > 50) AS n_del
+)
+SELECT CAST(v.version AS INTEGER) AS version, v.operation,
+       CAST(CASE v.version
+            WHEN 0 THEN c.n0
+            WHEN 1 THEN c.n01
+            WHEN 2 THEN c.n_del
+            WHEN 3 THEN c.n_del
+            ELSE c.n01 END AS BIGINT) AS rows_at
+FROM (VALUES (0, 'WRITE'), (1, 'WRITE'), (2, 'DELETE'),
+             (3, 'OPTIMIZE'), (4, 'RESTORE')) AS v(version, operation), c
+"""

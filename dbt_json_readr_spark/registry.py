@@ -569,6 +569,13 @@ register(
     lakewrite.iceberg_refs_table,
     lakewrite._iceberg_refs_table_sql,
 )
+# F47: DESCRIBE HISTORY for Delta — commitInfo operations + per-version
+# time-travel row counts, RESTORE included
+register(
+    "delta_history_table",
+    lakewrite.delta_history_table,
+    lakewrite._delta_history_table_sql,
+)
 # D28: streaming corpus-ingest quality gate — the batch C9 scorer run
 # at the stream front door, per-source admission rollup
 register(
@@ -695,6 +702,7 @@ _NEW_R11 = [
     "iceberg_manifests_table",
     "iceberg_binary_bucket_prune",
     "iceberg_refs_table",
+    "delta_history_table",
 ]
 
 # every gate-list name must resolve - a typo is harmless until the
