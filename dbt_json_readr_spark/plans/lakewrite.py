@@ -2590,9 +2590,7 @@ def iceberg_history_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta_path = _latest_meta(root)
     mj = LF.iceberg_metadata(meta_path)
     seq_of = {s["snapshot-id"]: s["sequence-number"] for s in mj["snapshots"]}
-    from ..sources.icebergwriter import ancestor_ids
-
-    ancestors = ancestor_ids(mj)
+    ancestors = IW.ancestor_ids(mj)
     cur_rows = LF.read_iceberg_snapshot(spark, meta_path).count()
     slog = mj["snapshot-log"]
     # the spec requires log timestamps monotonic; surface the check as
@@ -2978,9 +2976,13 @@ def delta_history_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     log = Path(tbl) / "_delta_log"
     import json as _json
 
+    # version discovery through the canonical reader helper — a bare
+    # *.json glob would also match '{v}.checkpoint.{uuid}.json' files
+    # and emit a duplicate version row (r11 second-review finding)
+    versions = LF._log_versions(log)[0]
     rows = []
-    for vp in sorted(log.glob("*.json")):
-        v = int(vp.name.split(".")[0])
+    for v in versions:
+        vp = log / f"{v:020d}.json"
         op = None
         for line in vp.read_text().splitlines():
             if not line.strip():
