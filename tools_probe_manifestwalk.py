@@ -158,6 +158,45 @@ def main() -> None:
         "pruned_manifests_matched": stats["manifests_matched"],
         "pruned_over_full_speedup": round(full_s / max(pruned_s, 1e-9), 1),
     }
+
+    # METADATA-TABLE shapes at the same scale (r11, F43/F44): the
+    # `manifests` table is one manifest-LIST read + per-row summary
+    # decode (never opens a manifest), and the `partitions` table is
+    # one aggregation pass over the full entry walk — both must stay
+    # O(metadata) with measured anchors, not assumptions.
+    from dbt_json_readr_spark.sources import skipping as SK
+
+    LF._AVRO_CACHE.clear()
+    t0 = time.perf_counter()
+    mrows = LF._read_avro_records(spark, str(mlist_path))
+    decoded = 0
+    for m in mrows:
+        parts = m.get("partitions")
+        if parts:
+            p0 = parts[0]
+            if p0.get("lower_bound") is not None:
+                SK.decode_iceberg_bound("int", p0["lower_bound"])
+                decoded += 1
+    manifests_table_s = time.perf_counter() - t0
+    assert len(mrows) == n_manifests + len(base_rows)
+    assert decoded >= n_manifests
+
+    t0 = time.perf_counter()
+    agg: dict = {}
+    for e in full:
+        if e["status"] == 2 or e["content"] != 0:
+            continue
+        k = e["partition"].get("p")
+        cur = agg.setdefault(k, [0, 0])
+        cur[0] += int(e["record_count"])
+        cur[1] += 1
+    partitions_table_s = time.perf_counter() - t0
+    assert len(agg) >= n_manifests
+
+    out["manifests_table_s"] = round(manifests_table_s, 3)
+    out["manifests_table_rows"] = len(mrows)
+    out["partitions_table_s"] = round(partitions_table_s, 3)
+    out["partitions_table_rows"] = len(agg)
     print(json.dumps(out))
     spark.stop()
 
