@@ -688,6 +688,15 @@ def _apply_transform_inner(transform: str, type_json, value):
             if unscaled is None:
                 return None
             return _decimal_rescale(unscaled - (unscaled % w), scale)
+        if t is not None and (t == "binary" or t.startswith("fixed[")):
+            # spec: truncate of binary/fixed = the first W bytes —
+            # order-preserving under bytes comparison, so both the
+            # equality and range pruning paths may use it (r11:
+            # read-side only; WRITES of binary-truncate partitions stay
+            # gated with the identity-decimal path-form rationale)
+            if not isinstance(value, (bytes, bytearray)):
+                return None
+            return bytes(value)[:w]
         return None
     if transform in ("year", "month", "day", "hour"):
         if isinstance(value, _dt.datetime):

@@ -1244,3 +1244,22 @@ def test_delta_skipping_through_checkpoint_stats(spark, tmp_path):
     df = LF.read_delta_snapshot(spark, str(t), predicate=[("id", "<", 5)])
     assert [p.rsplit("/", 1)[-1] for p in df.inputFiles()] == ["part-a.parquet"]
     assert sorted(r["id"] for r in df.collect()) == [1, 2, 3, 4]
+
+
+def test_truncate_binary_and_fixed_read_side():
+    """r11: truncate[W] over binary/fixed prunes READ-side (first W
+    bytes, order-preserving); non-bytes values and the writer's
+    type-mismatch cases keep the file (None), never raise — same
+    conservative-keep contract as the bucket branches."""
+    assert S._apply_transform("truncate[4]", "binary", b"abcdef") == b"abcd"
+    assert S._apply_transform("truncate[4]", "binary", b"ab") == b"ab"
+    assert S._apply_transform("truncate[2]", "fixed[16]", bytearray(b"\x00\xff\x80")) == b"\x00\xff"
+    # type-mismatched predicate values: keep, never raise
+    assert S._apply_transform("truncate[4]", "binary", "abcdef") is None
+    assert S._apply_transform("truncate[4]", "binary", 42) is None
+    # nested-type JSON (t = None path): keep, never raise
+    assert S._apply_transform("truncate[4]", {"type": "struct"}, b"ab") is None
+    # bucket over binary through the same dispatcher, sanity
+    assert S._apply_transform("bucket[8]", "binary", b"\x01\x02") == (
+        (S.iceberg_bucket_hash("binary", b"\x01\x02") & 0x7FFFFFFF) % 8
+    )
