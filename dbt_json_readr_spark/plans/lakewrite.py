@@ -168,6 +168,20 @@ GROUP BY v.snapshot_version, v.o_orderpriority, f.files_total, f.files_kept
 # ---------------------------------------------------------------- F14
 
 
+def _cust_del_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Customer partitioned by c_mktsegment + a DV DELETE of
+    c_acctbal < 0 — ONE fixture shared by F14 (DV write/read) and F48
+    (files-table rollup), so the runtime never authors the same table
+    twice (r11 third-review finding)."""
+    cust = load(spark, sf_dir, "customer")
+
+    def build(tbl: str) -> None:
+        DW.write_delta(spark, cust, tbl, partition_by=["c_mktsegment"])
+        DW.delete_delta(spark, tbl, [("c_acctbal", "<", 0.0)])
+
+    return str(_ensure("wrt_cust_del", sf_dir, build))
+
+
 def delta_delete_dv_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DELETE WHERE c_acctbal < 0 executed as WRITTEN deletion vectors
     (executor-encoded roaring bitmaps, protocol 3/7 upgrade), read back
@@ -177,13 +191,7 @@ def delta_delete_dv_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality = its deleted-row count; a fully-deleted file would
     leave the table (and the rollup) entirely."""
     prep(spark)
-    cust = load(spark, sf_dir, "customer")
-
-    def build(tbl: str) -> None:
-        DW.write_delta(spark, cust, tbl, partition_by=["c_mktsegment"])
-        DW.delete_delta(spark, tbl, [("c_acctbal", "<", 0.0)])
-
-    tbl = str(_ensure("wrt_cust_del", sf_dir, build))
+    tbl = _cust_del_fixture(spark, sf_dir)
     snap = LF.delta_snapshot(tbl)
     evidence = [
         (
@@ -3034,19 +3042,20 @@ def delta_files_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     lost DV descriptor, or a partitionValues misplacement each fail
     the value hash.
 
+    Like F14 (which shares this fixture), the closed form assumes no
+    segment is FULLY deleted: a file whose every row matched becomes a
+    plain remove and leaves the listing, while the SQL twin would
+    still emit its segment with n_files=1 — stock data keeps every
+    segment mixed-sign, and a violation fails the hash loudly rather
+    than silently.
+
     100 TB: this is the OPTIMIZE/small-file/delete-debt dashboard for
     Delta tables — DV debt per partition is exactly what schedules a
     REWRITE; O(#add entries) JSON, no data read."""
     prep(spark)
     import json as _json
 
-    cust = load(spark, sf_dir, "customer")
-
-    def build(tbl: str) -> None:
-        DW.write_delta(spark, cust, tbl, partition_by=["c_mktsegment"])
-        DW.delete_delta(spark, tbl, [("c_acctbal", "<", 0.0)])
-
-    tbl = str(_ensure("wrt_delta_filestbl", sf_dir, build))
+    tbl = _cust_del_fixture(spark, sf_dir)
     snap = LF.delta_snapshot(tbl)
     agg: dict[str, list] = {}
     for f in snap["files"]:

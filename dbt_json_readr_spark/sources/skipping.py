@@ -459,6 +459,13 @@ def decode_iceberg_bound(type_json, raw: bytes):
                 scale = _decimal_scale(t)
                 unscaled = int.from_bytes(raw, "big", signed=True)
                 return _decimal_rescale(unscaled, scale)
+            if t == "binary" or t.startswith("fixed["):
+                # Appendix D: binary/fixed serialize as the raw bytes.
+                # Without this branch, manifest-LIST field summaries
+                # over truncate[W]-of-binary partitions decoded to
+                # None and the walk opened every manifest (r11
+                # third-review finding)
+                return raw
     except (struct.error, ValueError, UnicodeDecodeError):
         return None
     return None

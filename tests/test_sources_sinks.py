@@ -3384,6 +3384,33 @@ def test_snappy_decompress_handcrafted_streams():
     with _pt.raises(AvroReadError, match="preamble"):
         _snappy_decompress(bytes([9]) + lit(b"hello"))
 
+    # the 2- and 3-byte extended literal-length classes (tags 61/62):
+    # a wrong byte order or off-by-one in the multi-byte length
+    # assembly is invisible to the short/1-byte cases above
+    big = bytes(range(256)) * 2  # 512 bytes → tag 61
+    ln = len(big) - 1
+    s = (
+        bytes([0x80 | (len(big) & 0x7F), len(big) >> 7])
+        + bytes([61 << 2])
+        + ln.to_bytes(2, "little")
+        + big
+    )
+    assert _snappy_decompress(s) == big
+    huge = b"q" * (1 << 16)  # 65536 bytes → tag 62 (3-byte length)
+    ln = len(huge) - 1
+    pre = bytearray()
+    v = len(huge)
+    while True:
+        b7 = v & 0x7F
+        v >>= 7
+        if v:
+            pre.append(b7 | 0x80)
+        else:
+            pre.append(b7)
+            break
+    s = bytes(pre) + bytes([62 << 2]) + ln.to_bytes(3, "little") + huge
+    assert _snappy_decompress(s) == huge
+
 
 def test_avro_snappy_codec_matches_jvm_writer(spark, tmp_path):
     """A snappy-codec container written by the JVM's own
