@@ -139,6 +139,16 @@ def encode_iceberg_bound(type_json: str, v) -> bytes | None:
             if unscaled is None:
                 return None
             return skipping._min_twos_complement(unscaled)
+        if type_json == "binary" or type_json.startswith("fixed["):
+            # Appendix D: raw bytes — the exact inverse of the reader
+            # branch (r11 fourth review: decode gained binary, encode
+            # must stay symmetric or the docstring's 'exact inverse'
+            # claim goes stale).  Note footer stats never DERIVE bytes
+            # bounds from parquet, so this path only fires for callers
+            # encoding known values (e.g. partition field summaries).
+            if not isinstance(v, (bytes, bytearray)):
+                return None
+            return bytes(v)
     except (struct.error, ValueError, OverflowError):
         return None
     return None

@@ -141,6 +141,8 @@ def test_metadata_cas_and_malformed_latest(spark, tmp_path):
         ("string", "héllo wörld"),
         ("decimal(9, 2)", Decimal("-128.00")),
         ("decimal(18, 4)", Decimal("12345.6789")),
+        ("binary", b"\x00\xff\x80ab"),
+        ("fixed[4]", b"\x01\x02\x03\x04"),
     ],
 )
 def test_bound_encode_decode_roundtrip(type_json, value):

@@ -1065,19 +1065,10 @@ def test_snappy_all_literal_roundtrip(chunks):
     here, independent of the decoder under test."""
     from dbt_json_readr_spark.sources.avrocore import _snappy_decompress
 
+    from tests.oracle_utils import snappy_uvarint
+
     data = b"".join(chunks)
-    total = len(data)
-    # uvarint preamble
-    stream = bytearray()
-    v = total
-    while True:
-        b7 = v & 0x7F
-        v >>= 7
-        if v:
-            stream.append(b7 | 0x80)
-        else:
-            stream.append(b7)
-            break
+    stream = bytearray(snappy_uvarint(len(data)))
     # emit literals chunk by chunk, exercising short and extended tags
     for c in chunks:
         ln = len(c) - 1

@@ -101,6 +101,11 @@ def test_iceberg_bound_decode_appendix_d():
     assert d(
         "decimal(9,2)", (-1420).to_bytes(2, "big", signed=True)
     ) == Decimal("-14.20")
+    # binary/fixed: Appendix D serializes the raw bytes (r11 — without
+    # this, field summaries over binary-keyed truncate partitions
+    # decoded to None and the walk opened every manifest)
+    assert d("binary", b"\x00\xff") == b"\x00\xff"
+    assert d("fixed[4]", b"\x01\x02\x03\x04") == b"\x01\x02\x03\x04"
     # unknown/garbage: None (keep the file)
     assert d("int", b"\x01") is None
     assert d("uuid", b"x" * 16) is None
