@@ -141,12 +141,20 @@ def encode_iceberg_bound(type_json: str, v) -> bytes | None:
             return skipping._min_twos_complement(unscaled)
         if type_json == "binary" or type_json.startswith("fixed["):
             # Appendix D: raw bytes — the exact inverse of the reader
-            # branch (r11 fourth review: decode gained binary, encode
-            # must stay symmetric or the docstring's 'exact inverse'
-            # claim goes stale).  Note footer stats never DERIVE bytes
-            # bounds from parquet, so this path only fires for callers
-            # encoding known values (e.g. partition field summaries).
+            # branch.  parquet footers DO surface bytes min/max for
+            # binary columns (r11 fifth review), and this function
+            # cannot know lower from upper, so values past 16 bytes
+            # return None (bound omitted, conservative) rather than
+            # embed unbounded blobs in every manifest entry or attempt
+            # the side-dependent truncate-and-increment real writers
+            # use; a <=16-byte value is EXACT, valid for either side.
             if not isinstance(v, (bytes, bytearray)):
+                return None
+            if type_json.startswith("fixed["):
+                n = int(type_json[len("fixed[") : -1])
+                if len(v) != n:
+                    return None  # spec: fixed(L) serializes as exactly L bytes
+            elif len(v) > 16:
                 return None
             return bytes(v)
     except (struct.error, ValueError, OverflowError):

@@ -1289,3 +1289,13 @@ def test_concurrent_two_writer_threads_append(spark, tmp_path):
     per = {(r.w, r.n) for r in got.groupBy("w").agg(F.count("*").alias("n")).collect()}
     assert per == {(1, n_each * 10), (2, n_each * 10)}
     assert got.select("k").distinct().count() == 2 * n_each * 10
+
+
+def test_bound_encode_binary_gates():
+    """r11 fifth review: a fixed(L) bound must be exactly L bytes and a
+    binary bound past 16 bytes is omitted (None — this function cannot
+    know lower from upper, so it never truncates), not embedded raw."""
+    assert IW.encode_iceberg_bound("fixed[16]", b"\x01\x02") is None
+    assert IW.encode_iceberg_bound("binary", b"x" * 17) is None
+    assert IW.encode_iceberg_bound("binary", b"x" * 16) == b"x" * 16
+    assert IW.encode_iceberg_bound("binary", "notbytes") is None

@@ -1065,7 +1065,7 @@ def test_snappy_all_literal_roundtrip(chunks):
     here, independent of the decoder under test."""
     from dbt_json_readr_spark.sources.avrocore import _snappy_decompress
 
-    from tests.oracle_utils import snappy_uvarint
+    from tests.binutils import snappy_uvarint
 
     data = b"".join(chunks)
     stream = bytearray(snappy_uvarint(len(data)))

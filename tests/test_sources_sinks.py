@@ -3387,14 +3387,14 @@ def test_snappy_decompress_handcrafted_streams():
     # the 2- and 3-byte extended literal-length classes (tags 61/62):
     # a wrong byte order or off-by-one in the multi-byte length
     # assembly is invisible to the short/1-byte cases above
-    from tests.oracle_utils import snappy_uvarint
+    from tests.binutils import snappy_uvarint
 
     big = bytes(range(256)) * 2  # 512 bytes → tag 61
     ln = len(big) - 1
     s = snappy_uvarint(len(big)) + bytes([61 << 2]) + ln.to_bytes(2, "little") + big
     assert _snappy_decompress(s) == big
     # tag 62 with a 64 KiB literal: a decoder must accept non-minimal
-    # length encodings (the minimal tag-62 boundary is 64 KiB + 2)
+    # length encodings (the minimal tag-62 boundary is 64 KiB + 1)
     huge = b"q" * (1 << 16)
     ln = len(huge) - 1
     s = snappy_uvarint(len(huge)) + bytes([62 << 2]) + ln.to_bytes(3, "little") + huge
