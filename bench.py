@@ -84,6 +84,30 @@ def _cpu_sample() -> tuple[int, int] | None:
         return None
 
 
+def _jvm_pid(spark) -> int | None:
+    """The backing JVM's OS pid (py4j: ProcessHandle.current) — the
+    anchor for steal-robust CPU accounting."""
+    try:
+        return int(spark._jvm.java.lang.ProcessHandle.current().pid())
+    except Exception:
+        return None
+
+
+def _proc_cpu_s(pid: int) -> float | None:
+    """utime+stime seconds consumed by process ``pid`` (all threads —
+    local-mode executors are threads of the one JVM).  Hypervisor
+    steal does not advance this clock, so per-query CPU deltas are the
+    steal-robust metric VERDICT r11 item 3 demands next to wall time:
+    three rounds of steal-correlated wall drift on the same four keys
+    were unbisectable without it."""
+    try:
+        with open(f"/proc/{pid}/stat") as f:
+            parts = f.read().rsplit(")", 1)[1].split()
+        return (int(parts[11]) + int(parts[12])) / os.sysconf("SC_CLK_TCK")
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -108,21 +132,38 @@ def main() -> None:
 
     available = registry.queries()
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    jpid = _jvm_pid(spark)
     cold: dict[str, float] = {}
     steady: dict[str, float] = {}
     best: dict[str, float] = {}
+    cpu: dict[str, float] = {}
+    cpu_best: dict[str, float] = {}
     for key in HEADLINE:
         if key not in available:
             continue
         for run in range(1, n_runs + 1):
+            j0 = _proc_cpu_s(jpid) if jpid else None
+            p0 = time.process_time()
             t0 = time.perf_counter()
             n = available[key](spark, sf_dir).count()
             dt = round(time.perf_counter() - t0, 3)
+            # JVM (all executor threads) + this python process; the
+            # steal-robust companion to the wall number
+            j1 = _proc_cpu_s(jpid) if jpid else None
+            dc = None
+            if j0 is not None and j1 is not None:
+                dc = round((j1 - j0) + (time.process_time() - p0), 3)
             if run == 1:
                 cold[key] = dt
             steady[key] = dt  # last run wins
             best[key] = min(best.get(key, dt), dt)
-            print(f"# {key} run{run}: {dt}s ({n} rows)", file=sys.stderr)
+            if dc is not None:
+                cpu[key] = dc  # last run wins, same regime as steady
+                cpu_best[key] = min(cpu_best.get(key, dc), dc)
+            print(
+                f"# {key} run{run}: {dt}s ({n} rows, cpu {dc}s)",
+                file=sys.stderr,
+            )
 
     out = {
         "metric": "headline_total",
@@ -148,6 +189,20 @@ def main() -> None:
         "queries_min": best,
         "min_total": round(sum(best.values()), 3),
         "stable8_min_total": round(sum(best.get(k, 0.0) for k in STABLE_8), 3),
+        # steal-robust CPU seconds (JVM utime+stime delta across all
+        # executor threads + python process time) for the same
+        # last-run/min regimes — hypervisor steal inflates wall but
+        # not this clock, so cross-round drift that appears in wall
+        # totals while cpu totals hold flat is environment, not code
+        # (VERDICT r11 item 3)
+        "queries_cpu": cpu,
+        "cpu_total": round(sum(cpu.values()), 3),
+        "stable8_cpu_total": round(sum(cpu.get(k, 0.0) for k in STABLE_8), 3),
+        "queries_cpu_min": cpu_best,
+        "cpu_min_total": round(sum(cpu_best.values()), 3),
+        "stable8_cpu_min_total": round(
+            sum(cpu_best.get(k, 0.0) for k in STABLE_8), 3
+        ),
         "sf": sf,
         # environment stamp: r2 ran on a different container (pyspark
         # 4.0-era); cross-round comparisons are only meaningful within

@@ -2962,7 +2962,14 @@ def delta_history_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: the history table is the ops surface — audit trails,
     incident forensics ('what did the 03:00 job do'), restore
-    decisions; O(#commits) JSON reads of the log, no data touched."""
+    decisions; O(#commits) JSON reads of the log, no data touched —
+    ``rows_at`` is F48's log-only arithmetic (cumulative add.stats
+    numRecords minus DV cardinalities, replayed with the protocol's
+    remove-before-add set semantics) and exactly ONE time-travel read
+    gates the restored head's value against that arithmetic (VERDICT
+    r11 item 2: the r11 version ran a distributed count per version —
+    10^4 data scans on a 10^4-commit table — in what this docstring
+    already claimed was a metadata surface)."""
     prep(spark)
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
@@ -2989,18 +2996,51 @@ def delta_history_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and emit a duplicate version row (r11 second-review finding)
     versions = LF._log_versions(log)[0]
     rows = []
+    live: dict[str, int] = {}  # path -> net live rows at the replay head
     for v in versions:
         vp = log / f"{v:020d}.json"
         op = None
+        adds: list[dict] = []
+        removes: list[dict] = []
         for line in vp.read_text().splitlines():
             if not line.strip():
                 continue
             a = _json.loads(line)
             if "commitInfo" in a:
-                op = a["commitInfo"]["operation"]
-                break
-        n = LF.read_delta_snapshot(spark, tbl, version=v).count()
-        rows.append((v, op, int(n)))
+                if op is None:
+                    op = a["commitInfo"]["operation"]
+            elif "add" in a:
+                adds.append(a["add"])
+            elif "remove" in a:
+                removes.append(a["remove"])
+        # protocol set semantics: a DV update is remove(path) +
+        # add(path, dv) in ONE commit — removes apply first and never
+        # evict a re-added path (lakeformats._apply_commit's rule)
+        re_added = {a["path"] for a in adds}
+        for r in removes:
+            if r["path"] not in re_added:
+                live.pop(r["path"], None)
+        for a in adds:
+            stats = a.get("stats")
+            if not stats:
+                raise LF.LakeFormatError(
+                    "delta_history_table derives rows_at from add.stats "
+                    f"numRecords; {a['path']} at version {v} carries none"
+                )
+            n = int(_json.loads(stats)["numRecords"])
+            dv = a.get("deletionVector")
+            if dv:
+                n -= int(dv["cardinality"])
+            live[a["path"]] = n
+        rows.append((v, op, int(sum(live.values()))))
+    # the ONE sanctioned data read: time-travel the restored head and
+    # gate it against the log arithmetic, so a stats lie or a broken
+    # replay fails loudly without re-scanning every version
+    head = int(LF.read_delta_snapshot(spark, tbl).count())
+    if head != rows[-1][2]:
+        raise LF.LakeFormatError(
+            f"log-derived head rows {rows[-1][2]} != time-travel read {head}"
+        )
     return spark.createDataFrame(rows, "version int, operation string, rows_at long")
 
 
@@ -3088,4 +3128,131 @@ SELECT c_mktsegment,
             AS BIGINT) AS live_rows
 FROM customer
 GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------- F49
+
+
+def iceberg_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH on Iceberg branch refs (r12, VERDICT r11
+    item 4) — the production WAP loop end-to-end: supplier slice
+    %3==0 commits to main; slice %3==1 STAGES on an ``audit`` branch
+    (``write_iceberg(..., ref="audit")`` — the refs-map head moves,
+    ``current-snapshot-id``/``snapshot-log`` do not); the audit gate
+    validates the branch read; ``fast_forward_iceberg("main",
+    "audit")`` publishes atomically; a later main commit (%3==2) makes
+    the branch head stale and a second fast-forward must REFUSE
+    (non-ancestor — it would drop main's new commit).
+
+    Three value-gated phases, each read through the independent
+    bridge AT ITS OWN metadata version (old vN.metadata.json files
+    persist, so pre-publish isolation is read back, not remembered):
+    ``main_staged`` (pre-publish main: %3==0 only — staged data
+    INVISIBLE), ``audit_staged`` (pre-publish branch: %3 in (0,1)),
+    ``main_final`` (published + post-publish commit: all rows).
+    Evidence columns published=1 (one snapshot fast-forwarded) and
+    ff_refused=1 (the stale publish refused) are closed-form.
+
+    100 TB: WAP is THE production pattern for validated ingestion —
+    stage terabytes on a branch, run quality gates against the branch
+    read, publish by flipping one metadata pointer; a failed gate
+    costs zero main-table churn.  Reference frame: the public Iceberg
+    spec's `refs` section (explore.R has no lake layer)."""
+    prep(spark)
+    import json as _json
+
+    from ..sources import icebergwriter as IW
+
+    supp = load(spark, sf_dir, "supplier")
+
+    def build(tbl: str) -> None:
+        IW.write_iceberg(spark, supp.filter(F.col("s_suppkey") % 3 == 0), tbl)
+        st = IW.write_iceberg(
+            spark, supp.filter(F.col("s_suppkey") % 3 == 1), tbl, ref="audit"
+        )
+        staged_meta = st["metadata_path"]
+        # the AUDIT gate: validate the branch read before publishing
+        staged_rows = LF.read_iceberg_snapshot(
+            spark, staged_meta, ref="audit"
+        ).count()
+        expect = supp.filter(F.col("s_suppkey") % 3 < 2).count()
+        if staged_rows != expect:
+            raise LF.LakeFormatError(
+                f"audit gate failed: staged branch has {staged_rows} rows, "
+                f"expected {expect} — refusing to publish"
+            )
+        pub = IW.fast_forward_iceberg(staged_meta, "main", "audit")
+        r3 = IW.write_iceberg(
+            spark, supp.filter(F.col("s_suppkey") % 3 == 2), tbl
+        )
+        refused = 0
+        try:
+            IW.fast_forward_iceberg(r3["metadata_path"], "main", "audit")
+        except LF.LakeFormatError:
+            refused = 1
+        (Path(tbl) / "_RT_WAP").write_text(
+            _json.dumps(
+                {
+                    "staged_meta": os.path.basename(staged_meta),
+                    "published": pub["published"],
+                    "refused": refused,
+                }
+            )
+        )
+
+    tbl = str(_ensure("wrt_ice_wap", sf_dir, build))
+    wap = _json.loads((Path(tbl) / "_RT_WAP").read_text())
+    staged_meta = str(Path(tbl) / "metadata" / wap["staged_meta"])
+    latest = str(
+        max(
+            Path(tbl, "metadata").glob("v*.metadata.json"),
+            key=lambda p: int(p.name.split(".")[0][1:]),
+        )
+    )
+    outs = []
+    for phase, df in (
+        ("main_staged", LF.read_iceberg_snapshot(spark, staged_meta)),
+        ("audit_staged", LF.read_iceberg_snapshot(spark, staged_meta, ref="audit")),
+        ("main_final", LF.read_iceberg_snapshot(spark, latest)),
+    ):
+        outs.append(
+            df.groupBy()
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(_dec("s_acctbal")).cast("double").alias("sum_bal"),
+                F.countDistinct("s_nationkey").alias("n_nations"),
+            )
+            .select(
+                F.lit(phase).alias("phase"),
+                "*",
+                F.lit(int(wap["published"])).cast("int").alias("published"),
+                F.lit(int(wap["refused"])).cast("int").alias("ff_refused"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _iceberg_wap_publish_sql() -> str:
+    s = _DSUM.format(c="s_acctbal")
+    return f"""
+WITH states AS (
+  SELECT 'main_staged' AS phase, * FROM supplier WHERE s_suppkey % 3 = 0
+  UNION ALL
+  SELECT 'audit_staged', * FROM supplier WHERE s_suppkey % 3 IN (0, 1)
+  UNION ALL
+  SELECT 'main_final', * FROM supplier
+)
+SELECT
+  phase,
+  count(*) AS n_rows,
+  {s} AS sum_bal,
+  count(DISTINCT s_nationkey) AS n_nations,
+  CAST(1 AS INTEGER) AS published,
+  CAST(1 AS INTEGER) AS ff_refused
+FROM states
+GROUP BY phase
 """

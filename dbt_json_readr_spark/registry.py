@@ -583,6 +583,13 @@ register(
     lakewrite.delta_files_table,
     lakewrite._delta_files_table_sql,
 )
+# F49: write-audit-publish on Iceberg branch refs — stage on a branch,
+# audit the branch read, fast-forward main; stale publish refuses
+register(
+    "iceberg_wap_publish",
+    lakewrite.iceberg_wap_publish,
+    lakewrite._iceberg_wap_publish_sql,
+)
 # D28: streaming corpus-ingest quality gate — the batch C9 scorer run
 # at the stream front door, per-source admission rollup
 register(
@@ -629,80 +636,19 @@ register(
 # -------------------------------------------------------------------
 # Driver-gate ordering.  The driver records CORRECTNESS rows for only
 # the FIRST 50 keys in queries() insertion order, so registration order
-# IS the correctness gate.  Round-11 rotation (VERDICT r10 item 1):
-# the four keys added after the r10 window closed (the only keys with
-# NO driver row yet) lead, then the 45 keys whose newest green driver
-# row is still r6 (derived from CORRECTNESS_r01-r10); keys NEW in r11
-# fill the remaining slot(s); anything beyond 50 rotates to r12.
-# Rotated-out keys stay covered by tests/test_oracle_parity.py (every
-# key, sf0.01, exact values).
+# IS the correctness gate.  Round-12 rotation (VERDICT r11 item 1):
+# the eight keys added after the r11 window closed (the only keys with
+# NO driver row yet — the Iceberg metadata-table family, the binary
+# bucket transform, and the two Delta introspection tables) lead, then
+# 42 of the 50 keys whose newest green driver row is r7 (derived from
+# CORRECTNESS_r01-r11, taken in CORRECTNESS_r07 recording order); the
+# remaining 8 r7-stale keys lead r13.  Keys NEW in r12 are appended and
+# rotate to r13 unless slots open.  Rotated-out keys stay covered by
+# tests/test_oracle_parity.py (every key, sf0.01, exact values).
 GATE_WINDOW = 50
 
-# The four r10-late keys with no driver row yet (VERDICT r10 item 1).
-_R11_UNTESTED = [
-    "doc_bm25_topk",
-    "text_encoding_audit",
-    "streaming_corpus_quality_gate",
-    "iceberg_files_table",
-]
-
-# The 45 keys whose newest green driver row is r6, in CORRECTNESS_r06
-# recording order (dbt cores, LLM-pipeline flagships, streaming,
-# audits).
-_R11_STALE_R6 = [
-    "dbt_manifest_nodes",
-    "dbt_manifest_sources",
-    "dbt_manifest_macros",
-    "dbt_manifest_unified",
-    "dbt_manifest_columns",
-    "dbt_manifest_edges",
-    "dbt_catalog_objects",
-    "dbt_description_coverage",
-    "events_json_props",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "ann_bruteforce_topk",
-    "ann_lsh_topk",
-    "text_quality_score",
-    "dedup_clusters",
-    "doc_term_topk",
-    "embedding_centroids",
-    "ann_ivf_topk",
-    "corpus_dedup_summary",
-    "corpus_quality_by_source",
-    "corpus_stratified_sample",
-    "corpus_mixture_weights",
-    "doc_tfidf_topk",
-    "multimodal_decode",
-    "dedup_lsh_recall",
-    "corpus_decontaminate",
-    "corpus_shard_plan",
-    "streaming_sessionization",
-    "streaming_dedup",
-    "part_size_histogram",
-    "events_anomaly_zscore",
-    "skew_salted_segment_revenue",
-    "events_transition_matrix",
-    "dbt_pagerank",
-    "dedup_method_agreement",
-    "events_kll_quantile_audit",
-    "events_theta_set_audit",
-    "streaming_cdc_warmstart",
-    "semdedup_prune",
-    "events_gapfill_lerp",
-    "dedup_graph_triangles",
-    "dbt_manifest_lake",
-    "streaming_manifest_lake_rollup",
-    "streaming_state_metrics",
-]
-
-# New in r11 (appended as they land this round; each must be registered
-# above before being listed here).  Only the first
-# GATE_WINDOW - len(_R11_UNTESTED) - len(_R11_STALE_R6) = 1 fits this
-# round's window; the rest lead the r12 rotation.
-_NEW_R11 = [
-    "training_pipeline_funnel",
+# The eight r11-late keys with no driver row yet (VERDICT r11 item 1).
+_R12_UNTESTED = [
     "iceberg_snapshots_table",
     "iceberg_history_table",
     "iceberg_partitions_table",
@@ -713,24 +659,83 @@ _NEW_R11 = [
     "delta_files_table",
 ]
 
+# 42 of the 50 keys whose newest green driver row is r7, in
+# CORRECTNESS_r07 recording order.  The 8 that don't fit
+# (corpus_token_histogram, corpus_quality_funnel, doc_chunk_plan,
+# doc_posting_lists, token_budget_pack, tokenizer_vocab_coverage,
+# embedding_kmeans, embedding_power_iteration) lead the r13 window.
+_R12_STALE_R7 = [
+    "text_langid",
+    "text_token_count",
+    "text_fingerprint",
+    "text_pii_redact",
+    "text_repetition",
+    "text_ngram_novelty",
+    "streaming_funnel",
+    "streaming_enrich_segments",
+    "streaming_stream_join",
+    "iceberg_change_feed",
+    "delta_column_mapping_read",
+    "streaming_delta_commits",
+    "delta_dv_read",
+    "delta_cdf_read",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "events_sessionization",
+    "events_range_join",
+    "events_gap_islands",
+    "events_attribution",
+    "events_ewma_hourly",
+    "events_approx_distinct",
+    "events_variant_props",
+    "scd2_customer_snapshot",
+    "revenue_cube",
+    "order_year_set_ops",
+    "customer_revenue_deciles",
+    "customer_percentile_rank",
+    "supplier_abc_classes",
+    "streaming_sliding_window",
+    "streaming_topk",
+    "streaming_anomaly",
+    "streaming_cdc_latest",
+    "streaming_windowed_distinct",
+    "dbt_critical_path",
+    "dedup_source_matrix",
+    "dedup_threshold_curve",
+    "dedup_band_utility",
+    "corpus_dedup_priority_keep",
+    "corpus_holdout_split",
+]
+
+# New in r12 (appended as they land this round; each must be registered
+# above before being listed here).  GATE_WINDOW - len(_R12_UNTESTED) -
+# len(_R12_STALE_R7) = 0 slots remain, so everything here rotates to
+# r13; the list still exists so the resolve-check below catches typos
+# the moment a key lands.
+_NEW_R12: list[str] = [
+    "iceberg_wap_publish",
+]
+
 # every gate-list name must resolve - a typo is harmless until the
 # rotation pulls it into the window, where the _gate_ordered check
 # would crash queries() for the whole driver run (r7: a stale "_lite"
-# suffix sat one rotation away from exactly that); _NEW_R11 is included
+# suffix sat one rotation away from exactly that); _NEW_R12 is included
 # because a tolerant `if k in _REGISTRY` filter would silently DROP a
 # mistyped new key from the window instead of failing.  Explicit
 # raise, not assert: python -O strips asserts and would resurrect the
 # crash-one-rotation-later failure mode.
-for _k in _R11_UNTESTED + _R11_STALE_R6 + _NEW_R11:
+for _k in _R12_UNTESTED + _R12_STALE_R7 + _NEW_R12:
     if _k not in _REGISTRY:
         raise RuntimeError(f"gate list references unknown key: {_k}")
 
-_GATE_PRIORITY = (_R11_UNTESTED + _R11_STALE_R6 + _NEW_R11)[:GATE_WINDOW]
-# VERDICT r10 item 1 requires all four untested keys + every r6-stale
-# key in the r11 window; pin.
-for _k in _R11_UNTESTED + _R11_STALE_R6:
+_GATE_PRIORITY = (_R12_UNTESTED + _R12_STALE_R7 + _NEW_R12)[:GATE_WINDOW]
+# VERDICT r11 item 1 requires all eight untested keys + the 42 chosen
+# r7-stale keys in the r12 window; pin.
+for _k in _R12_UNTESTED + _R12_STALE_R7:
     if _k not in _GATE_PRIORITY:
-        raise RuntimeError(f"required r11 gate slot lost: {_k}")
+        raise RuntimeError(f"required r12 gate slot lost: {_k}")
 
 
 def _gate_ordered() -> dict[str, tuple[QueryFn, str | None]]:

@@ -61,7 +61,10 @@ def _snappy_decompress(data: bytes) -> bytes:
         if not byte & 0x80:
             break
         shift += 7
-        if shift > 35:
+        # the format caps the uncompressed length at 32 bits, so a
+        # conformant preamble never continues past its 5th byte
+        # (shifts 0..28); ADVICE r11 — reject at the 6th, not the 7th
+        if shift > 28:
             raise AvroReadError("snappy: length preamble too long")
     out = bytearray()
     while i < n:

@@ -584,6 +584,12 @@ def _stage_and_collect(
     spark.conf.set(ts_key, "TIMESTAMP_MICROS")
     try:
         w.parquet(str(stage))
+    except BaseException:
+        # a failed distributed write must not orphan the staging dir
+        # (ADVICE r11); hard kills are covered by vacuum's _staging-*
+        # sweep, this covers the in-process exception path
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
     finally:
         if prev_ts is None:
             spark.conf.unset(ts_key)
@@ -838,6 +844,12 @@ def _stage_cdc(
     spark.conf.set(ts_key, "TIMESTAMP_MICROS")
     try:
         w.parquet(str(stage))
+    except BaseException:
+        # a failed distributed write must not orphan the staging dir
+        # (ADVICE r11); hard kills are covered by vacuum's _staging-*
+        # sweep, this covers the in-process exception path
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
     finally:
         if prev_ts is None:
             spark.conf.unset(ts_key)

@@ -419,6 +419,25 @@ def _append_snapshot_to_meta(
     return meta
 
 
+def _append_branch_snapshot_to_meta(
+    meta: dict, snapshot: dict, now_ms: int, seq: int, ref: str
+) -> dict:
+    """The branch-commit twin of ``_append_snapshot_to_meta``: the
+    snapshot joins ``snapshots`` and the refs-map head moves, but
+    ``current-snapshot-id`` and ``snapshot-log`` stay untouched — the
+    spec ties the log to the CURRENT snapshot, so staged branch
+    commits must be invisible to main readers AND to AS OF TIMESTAMP
+    resolution until a fast-forward publishes them."""
+    meta = dict(meta)
+    meta["snapshots"] = list(meta.get("snapshots", [])) + [snapshot]
+    refs = dict(meta.get("refs") or {})
+    refs[ref] = {"snapshot-id": snapshot["snapshot-id"], "type": "branch"}
+    meta["refs"] = refs
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = max(now_ms, int(meta.get("last-updated-ms") or 0))
+    return meta
+
+
 def _fresh_table_metadata(
     table_dir: str,
     schema_json: dict,
@@ -740,6 +759,7 @@ def write_iceberg(
     summary_extra: dict[str, str] | None = None,
     mode: str = "append",
     expected_metadata_path: str | None = None,
+    ref: str | None = None,
 ) -> dict:
     """Commit ``df`` as a new Iceberg snapshot (creating the table on
     first write).  Returns {"snapshot_id", "metadata_path",
@@ -772,7 +792,20 @@ def write_iceberg(
     new columns join the CURRENT schema under fresh field ids via a
     new schemas[] entry (no data rewrites; snapshots keep their own
     schema-id, so time travel reads the old shape), missing columns
-    force optional, and shared-column type changes gate loudly."""
+    force optional, and shared-column type changes gate loudly.
+
+    ``ref`` commits the snapshot to a BRANCH head instead of main
+    (r12, VERDICT r11 item 4 — the write half of production
+    write-audit-publish): the new snapshot's parent is the branch's
+    current head, the refs-map entry moves by CAS, and
+    ``current-snapshot-id`` / ``snapshot-log`` stay untouched, so
+    main readers cannot see staged data and AS OF TIMESTAMP cannot
+    resolve to it until ``fast_forward_iceberg`` publishes.  A
+    missing ref is created rooted at the current snapshot (the spec's
+    write-to-new-branch behavior); a TAG ref refuses (tags are
+    immutable); creating a brand-new table on a branch refuses (there
+    is no main to protect yet).  Reference frame: the public Iceberg
+    spec's `refs` section; explore.R has no lake layer."""
     partition_by = list(partition_by)
     if mode not in ("append", "replace"):
         raise LF.LakeFormatError(f"unsupported write mode {mode!r}")
@@ -784,6 +817,11 @@ def write_iceberg(
     meta_dir = Path(table_dir) / "metadata"
 
     existing = _metadata_versions(meta_dir)
+    if ref is not None and not existing:
+        raise LF.LakeFormatError(
+            "cannot create a table on a branch — the first commit IS "
+            "main; write without ref=, then branch"
+        )
     if existing:
         meta = LF.iceberg_metadata(str(existing[-1]))
         prev_version = int(existing[-1].name.split(".")[0][1:])
@@ -843,7 +881,22 @@ def write_iceberg(
                 f"partition_by {partition_by} != table partition spec"
             )
         seq = int(meta.get("last-sequence-number", 0)) + 1
-        parent = meta.get("current-snapshot-id")
+        if ref is not None:
+            refs_map = meta.get("refs") or {}
+            if ref in refs_map:
+                if refs_map[ref].get("type") != "branch":
+                    raise LF.LakeFormatError(
+                        f"ref {ref!r} is a {refs_map[ref].get('type')}, "
+                        "not a branch — tags are immutable; write to a "
+                        "branch or drop the tag first"
+                    )
+                parent = int(refs_map[ref]["snapshot-id"])
+            else:
+                # write-to-new-branch: the branch roots at the current
+                # snapshot, exactly like production's wap.branch
+                parent = meta.get("current-snapshot-id")
+        else:
+            parent = meta.get("current-snapshot-id")
         prev_manifests = []
         if parent is not None and mode == "append":
             snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
@@ -937,6 +990,12 @@ def write_iceberg(
     spark.conf.set(ts_key, "TIMESTAMP_MICROS")
     try:
         w.parquet(str(stage))
+    except BaseException:
+        # a failed distributed write must not orphan the staging dir
+        # (ADVICE r11); hard kills are covered by expire's _staging-*
+        # sweep, this covers the in-process exception path
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
     finally:
         if prev_ts is None:
             spark.conf.unset(ts_key)
@@ -1117,7 +1176,10 @@ def write_iceberg(
             max(field_ids.values()),
             now_ms,
         )
-    meta = _append_snapshot_to_meta(meta, snapshot, now_ms, seq)
+    if ref is not None:
+        meta = _append_branch_snapshot_to_meta(meta, snapshot, now_ms, seq, ref)
+    else:
+        meta = _append_snapshot_to_meta(meta, snapshot, now_ms, seq)
 
     # Durable ledger: mirror integer summary_extra markers (streaming
     # epochs) into table PROPERTIES with high-water-mark semantics.
@@ -1235,9 +1297,14 @@ def delete_iceberg(
     # one sorted file: delete parquet must sort by (file, pos) per the
     # spec's recommendation; coalesce(1) is bounded by delete
     # cardinality, not table size
-    matched.coalesce(1).sortWithinPartitions("file_path", "pos").write.mode(
-        "overwrite"
-    ).parquet(str(stage))
+    try:
+        matched.coalesce(1).sortWithinPartitions("file_path", "pos").write.mode(
+            "overwrite"
+        ).parquet(str(stage))
+    except BaseException:
+        # failed write → no orphaned staging dir (ADVICE r11)
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
     parts = sorted(stage.rglob("*.parquet"))
     if not parts:
         shutil.rmtree(stage, ignore_errors=True)
@@ -1433,9 +1500,14 @@ def delete_iceberg_equality(
     stage = Path(table_dir) / f"_staging-eqdel-{os.getpid()}-{seq}-{_uuid_mod.uuid4().hex[:8]}"
     # distinct + one sorted file: dedup keeps the delete idempotent and
     # small; coalesce(1) is bounded by key cardinality, not table size
-    keys.dropDuplicates(list(keys.columns)).coalesce(1).sortWithinPartitions(
-        *keys.columns
-    ).write.mode("overwrite").parquet(str(stage))
+    try:
+        keys.dropDuplicates(list(keys.columns)).coalesce(1).sortWithinPartitions(
+            *keys.columns
+        ).write.mode("overwrite").parquet(str(stage))
+    except BaseException:
+        # failed write → no orphaned staging dir (ADVICE r11)
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
     parts = sorted(stage.rglob("*.parquet"))
     if not parts:
         shutil.rmtree(stage, ignore_errors=True)
@@ -1480,6 +1552,7 @@ def expire_iceberg_snapshots(
     metadata_path: str,
     keep_last: int,
     dry_run: bool = False,
+    staging_retention_ms: int = 24 * 3600 * 1000,
 ) -> dict:
     """EXPIRE all but the ``keep_last`` most recent snapshots (by
     commit order): a new metadata version lists only the survivors,
@@ -1511,6 +1584,19 @@ def expire_iceberg_snapshots(
         "files_deleted": 0,
         "metadata_path": metadata_path,
     }
+    # orphaned-staging sweep (ADVICE r11): a writer killed mid-stage
+    # (SIGKILL — the in-process exception path cleans after itself)
+    # leaves a `_staging-*` dir behind forever; expire is the
+    # Iceberg-side janitor, mirroring Delta vacuum's sweep.  Age-gated
+    # so a LIVE concurrent writer's staging dir is never touched.
+    swept = 0
+    stale_ns = time.time_ns() - staging_retention_ms * 1_000_000
+    for d in sorted(Path(table_dir).glob("_staging*")):
+        if d.is_dir() and d.stat().st_mtime_ns < stale_ns:
+            if not dry_run:
+                shutil.rmtree(d, ignore_errors=True)
+            swept += 1
+    audit["staging_dirs_swept"] = swept
     if not drop:
         return audit
     keep_ids = {s["snapshot-id"] for s in keep}
@@ -1926,11 +2012,16 @@ def delta_to_iceberg(spark: SparkSession, table_path: str) -> dict:
         del_dest = Path(table_dir) / del_rel
         del_dest.parent.mkdir(parents=True, exist_ok=True)
         stage = Path(table_dir) / f"_staging-dvdel-{os.getpid()}-{seq}-{_uuid_mod.uuid4().hex[:8]}"
-        pos_df.select(
-            rel_fp.alias("file_path"), F.col("__pos").alias("pos")
-        ).coalesce(1).sortWithinPartitions("file_path", "pos").write.mode(
-            "overwrite"
-        ).parquet(str(stage))
+        try:
+            pos_df.select(
+                rel_fp.alias("file_path"), F.col("__pos").alias("pos")
+            ).coalesce(1).sortWithinPartitions("file_path", "pos").write.mode(
+                "overwrite"
+            ).parquet(str(stage))
+        except BaseException:
+            # failed write → no orphaned staging dir (ADVICE r11)
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
         part = sorted(stage.rglob("*.parquet"))[0]
         os.replace(part, del_dest)
         shutil.rmtree(stage, ignore_errors=True)
@@ -2196,6 +2287,98 @@ def rollback_iceberg(metadata_path: str, snapshot_id: int) -> dict:
         meta_dir, version, json.dumps(meta, sort_keys=True, indent=1)
     )
     return {"metadata_path": str(dest), "snapshot_id": int(snapshot_id)}
+
+
+def fast_forward_iceberg(metadata_path: str, branch: str, to_ref: str) -> dict:
+    """FAST-FORWARD ``branch`` to the head of ``to_ref`` (the
+    ``fast_forward`` procedure) — the publish half of
+    write-audit-publish: a snapshot staged on an audit branch with
+    ``write_iceberg(..., ref="audit")`` and validated there becomes
+    visible to main readers atomically, in one pure-metadata CAS
+    commit.
+
+    ``branch="main"`` means the table's current snapshot.  The move is
+    REFUSED unless the branch's current head is an ancestor of the
+    target head (or the branch head IS the target's root) — a
+    non-ancestor target means the branch has commits the target
+    doesn't include, and "fast-forward" would silently drop them
+    (that's a different, more dangerous tool).  Publishing to main
+    appends one snapshot-log entry per published snapshot along the
+    parent chain (oldest first, monotonic clock), so AS OF TIMESTAMP
+    resolution sees the published history exactly as if it had been
+    committed on main."""
+    meta = dict(LF.iceberg_metadata(metadata_path))
+    refs = dict(meta.get("refs") or {})
+    if to_ref not in refs:
+        raise LF.LakeFormatError(
+            f"no ref {to_ref!r} to fast-forward from; refs: {sorted(refs)}"
+        )
+    target = int(refs[to_ref]["snapshot-id"])
+    if branch == "main" and branch not in refs:
+        cur = meta.get("current-snapshot-id")
+    elif branch in refs:
+        if refs[branch].get("type") != "branch":
+            raise LF.LakeFormatError(
+                f"ref {branch!r} is a {refs[branch].get('type')} — only "
+                "branches fast-forward"
+            )
+        cur = refs[branch]["snapshot-id"]
+    else:
+        raise LF.LakeFormatError(
+            f"no branch {branch!r}; refs: {sorted(refs)}"
+        )
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if target not in snaps:
+        raise LF.LakeFormatError(f"target snapshot {target} not in metadata")
+    # the target's ancestor chain, target-first
+    chain: list[int] = []
+    node = snaps.get(target)
+    while node is not None:
+        chain.append(node["snapshot-id"])
+        node = snaps.get(node.get("parent-snapshot-id"))
+    if cur is not None and cur not in chain:
+        raise LF.LakeFormatError(
+            f"branch {branch!r} head {cur} is not an ancestor of "
+            f"{to_ref!r} head {target} — fast-forward refuses (the "
+            "branch has commits the target does not include)"
+        )
+    if cur == target:
+        return {
+            "metadata_path": metadata_path,
+            "branch": branch,
+            "snapshot_id": target,
+            "published": 0,
+        }
+    # snapshots being published: the chain segment above cur, oldest first
+    newly = list(reversed(chain[: chain.index(cur)] if cur is not None else chain))
+    if branch == "main":
+        slog = list(meta.get("snapshot-log", []))
+        now_ms = int(time.time() * 1000)
+        for sid in newly:
+            if slog and now_ms <= slog[-1]["timestamp-ms"]:
+                now_ms = slog[-1]["timestamp-ms"] + 1
+            slog.append({"timestamp-ms": now_ms, "snapshot-id": int(sid)})
+        meta["snapshot-log"] = slog
+        meta["current-snapshot-id"] = target
+        meta["last-updated-ms"] = max(
+            now_ms, int(meta.get("last-updated-ms") or 0)
+        )
+        if branch in refs:
+            refs[branch] = {"snapshot-id": target, "type": "branch"}
+    else:
+        refs[branch] = {"snapshot-id": target, "type": "branch"}
+    meta["refs"] = refs
+    meta_dir = Path(os.path.dirname(os.path.abspath(metadata_path)))
+    version = int(os.path.basename(metadata_path).split(".")[0][1:]) + 1
+    dest = _commit_metadata(
+        meta_dir, version, json.dumps(meta, sort_keys=True, indent=1)
+    )
+    return {
+        "metadata_path": str(dest),
+        "branch": branch,
+        "snapshot_id": target,
+        "published": len(newly),
+    }
 
 
 def remove_iceberg_ref(metadata_path: str, name: str) -> dict:

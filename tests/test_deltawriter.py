@@ -1483,3 +1483,44 @@ def test_concurrent_two_writer_threads_append(spark, tmp_path):
     assert per == {(1, n_each * 10), (2, n_each * 10)}
     # no duplicated or lost keys anywhere
     assert got.select("k").distinct().count() == 2 * n_each * 10
+
+
+def test_failed_write_leaves_no_staging_dir(spark, tmp_path, customers):
+    """ADVICE r11: a Spark job that dies mid-stage must not orphan the
+    `_staging-*` dir — the in-process exception path cleans up, and
+    vacuum's age-gated sweep covers hard kills."""
+    tbl = str(tmp_path / "t")
+    DW.write_delta(spark, customers.limit(5), tbl)
+    poisoned = customers.withColumn(
+        "c_name",
+        F.expr(
+            "if(c_custkey >= 0, cast(raise_error('staged job failure') as string), c_name)"
+        ),
+    )
+    with pytest.raises(Exception, match="staged job failure"):
+        DW.write_delta(spark, poisoned, tbl, mode="append")
+    assert list(Path(tbl).glob("_staging*")) == []
+    # the table is untouched: still one commit, 5 rows
+    assert LF.read_delta_snapshot(spark, tbl).count() == 5
+
+
+def test_delta_history_table_is_log_only(spark, monkeypatch):
+    """VERDICT r11 item 2: rows_at must come from log arithmetic —
+    exactly ONE time-travel data read (the restored-head value gate),
+    never a distributed count per version."""
+    from dbt_json_readr_spark.plans import lakewrite as PW
+
+    sf = "/root/testdata/sf0.001"
+    PW.delta_history_table(spark, sf).collect()  # build/caches fixture
+
+    calls: list = []
+    orig = PW.LF.read_delta_snapshot
+
+    def counting(*a, **k):
+        calls.append(k)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(PW.LF, "read_delta_snapshot", counting)
+    rows = PW.delta_history_table(spark, sf).collect()
+    assert [r.version for r in rows] == [0, 1, 2, 3, 4]
+    assert len(calls) == 1, f"expected the single head gate, saw {len(calls)} reads"

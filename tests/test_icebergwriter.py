@@ -1299,3 +1299,108 @@ def test_bound_encode_binary_gates():
     assert IW.encode_iceberg_bound("binary", b"x" * 17) is None
     assert IW.encode_iceberg_bound("binary", b"x" * 16) == b"x" * 16
     assert IW.encode_iceberg_bound("binary", "notbytes") is None
+
+
+def test_failed_write_leaves_no_staging_dir_and_expire_sweeps(spark, tmp_path):
+    """ADVICE r11 both halves on the Iceberg side: (a) an in-process
+    Spark job failure mid-stage cleans its `_staging-*` dir; (b) a
+    hard-killed writer's orphan (simulated by an old-mtime dir) is
+    swept by expire's age-gated janitor pass, while a FRESH dir — a
+    live concurrent writer — is never touched."""
+    import os
+
+    tbl = str(tmp_path / "t")
+    sup = spark.read.parquet(f"{SF}/supplier.parquet")
+    IW.write_iceberg(spark, sup.limit(4), tbl)
+
+    poisoned = sup.withColumn(
+        "s_name",
+        F.expr(
+            "if(s_suppkey >= 0, cast(raise_error('staged job failure') as string), s_name)"
+        ),
+    )
+    with pytest.raises(Exception, match="staged job failure"):
+        IW.write_iceberg(spark, poisoned, tbl)
+    assert list(Path(tbl).glob("_staging*")) == []
+
+    IW.write_iceberg(spark, sup.limit(3), tbl)
+    old = Path(tbl) / "_staging-999-1-deadbeef"
+    old.mkdir()
+    (old / "part-leftover.parquet").write_bytes(b"x")
+    stale_s = (IW.time.time_ns() - 2 * 24 * 3600 * 1_000_000_000) / 1e9
+    os.utime(old, (stale_s, stale_s))
+    fresh = Path(tbl) / "_staging-999-2-cafebabe"
+    fresh.mkdir()
+
+    dry = IW.expire_iceberg_snapshots(spark, _latest_meta(tbl), keep_last=1, dry_run=True)
+    assert dry["staging_dirs_swept"] == 1 and old.exists()  # dry run counts only
+    aud = IW.expire_iceberg_snapshots(spark, _latest_meta(tbl), keep_last=1)
+    assert aud["staging_dirs_swept"] == 1
+    assert not old.exists() and fresh.exists()
+
+
+def test_branch_write_and_fast_forward_wap(spark, tmp_path):
+    """r12 WAP primitives (VERDICT r11 item 4): a branch commit moves
+    ONLY the refs-map head — main read, current-snapshot-id, and
+    snapshot-log stay untouched — and fast_forward publishes it
+    atomically; the guard rails (tag target, non-ancestor, new-table
+    branch) refuse loudly."""
+    import json as _json
+
+    tbl = str(tmp_path / "t")
+    sup = spark.read.parquet(f"{SF}/supplier.parquet")
+    a = sup.filter(F.col("s_suppkey") % 2 == 0)
+    b = sup.filter(F.col("s_suppkey") % 2 == 1)
+
+    # branch on a brand-new table refuses
+    with pytest.raises(LF.LakeFormatError, match="first commit IS"):
+        IW.write_iceberg(spark, a, str(tmp_path / "nope"), ref="audit")
+
+    r0 = IW.write_iceberg(spark, a, tbl)
+    st = IW.write_iceberg(spark, b, tbl, ref="audit")
+    m = _latest_meta(tbl)
+    meta = _json.loads(Path(m).read_text())
+    # main pointer and log untouched; refs head moved; parent = main head
+    assert meta["current-snapshot-id"] == r0["snapshot_id"]
+    assert [e["snapshot-id"] for e in meta["snapshot-log"]] == [r0["snapshot_id"]]
+    assert meta["refs"]["audit"] == {
+        "snapshot-id": st["snapshot_id"],
+        "type": "branch",
+    }
+    snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    assert snaps[st["snapshot_id"]]["parent-snapshot-id"] == r0["snapshot_id"]
+    # staged data invisible to main, visible on the branch
+    assert LF.read_iceberg_snapshot(spark, m).count() == a.count()
+    assert (
+        LF.read_iceberg_snapshot(spark, m, ref="audit").count()
+        == a.count() + b.count()
+    )
+
+    # publish: one snapshot fast-forwarded, main now sees everything
+    pub = IW.fast_forward_iceberg(m, "main", "audit")
+    assert pub["published"] == 1
+    m2 = pub["metadata_path"]
+    assert LF.read_iceberg_snapshot(spark, m2).count() == a.count() + b.count()
+    meta2 = _json.loads(Path(m2).read_text())
+    assert meta2["current-snapshot-id"] == st["snapshot_id"]
+    assert [e["snapshot-id"] for e in meta2["snapshot-log"]] == [
+        r0["snapshot_id"],
+        st["snapshot_id"],
+    ]
+    # idempotent re-publish is a no-op (no new metadata version)
+    again = IW.fast_forward_iceberg(m2, "main", "audit")
+    assert again["published"] == 0 and again["metadata_path"] == m2
+
+    # main moves ahead → the stale branch can no longer fast-forward
+    IW.write_iceberg(spark, b.limit(1), tbl)
+    m3 = _latest_meta(tbl)
+    with pytest.raises(LF.LakeFormatError, match="not an ancestor"):
+        IW.fast_forward_iceberg(m3, "main", "audit")
+
+    # tags refuse as write and fast-forward targets
+    IW.set_iceberg_ref(m3, "pin", ref_type="tag")
+    m4 = _latest_meta(tbl)
+    with pytest.raises(LF.LakeFormatError, match="tags are immutable"):
+        IW.write_iceberg(spark, b, tbl, ref="pin")
+    with pytest.raises(LF.LakeFormatError, match="only.*branches fast-forward"):
+        IW.fast_forward_iceberg(m4, "pin", "audit")

@@ -42,20 +42,19 @@ def test_entry_module_exports_registry():
 
 
 def test_new_round_keys_are_registered_and_in_window():
-    """_NEW_R11 lists keys meant to be gated this round; a key listed
+    """_NEW_R12 lists keys meant to be gated this round; a key listed
     there but never registered would silently fall out of the window —
     the exact 'landed after the window locked' failure VERDICT r5
-    flagged.  r11's window is led by the four r10-late driver-untested
-    keys + the 45 r6-stale keys (VERDICT r10 item 1), so only the first
-    ``GATE_WINDOW - 49`` _NEW_R11 entries fit; later ones are allowed
-    to rotate to r12."""
+    flagged.  r12's window is led by the eight r11-late driver-untested
+    keys + 42 r7-stale keys (VERDICT r11 item 1), leaving zero slots,
+    so every _NEW_R12 entry is allowed to rotate to r13."""
     keys = list(registry.queries())
     window = set(keys[:GATE_WINDOW])
-    slots = GATE_WINDOW - len(registry._R11_UNTESTED) - len(registry._R11_STALE_R6)
-    for i, k in enumerate(registry._NEW_R11):
-        assert k in registry._REGISTRY, f"_NEW_R11 key never registered: {k}"
+    slots = GATE_WINDOW - len(registry._R12_UNTESTED) - len(registry._R12_STALE_R7)
+    for i, k in enumerate(registry._NEW_R12):
+        assert k in registry._REGISTRY, f"_NEW_R12 key never registered: {k}"
         if i < slots:
-            assert k in window, f"_NEW_R11 key outside the gate window: {k}"
+            assert k in window, f"_NEW_R12 key outside the gate window: {k}"
 
 
 def test_survey_section2_matches_registry():

@@ -3400,6 +3400,14 @@ def test_snappy_decompress_handcrafted_streams():
     s = snappy_uvarint(len(huge)) + bytes([62 << 2]) + ln.to_bytes(3, "little") + huge
     assert _snappy_decompress(s) == huge
 
+    # ADVICE r11: the uncompressed length is capped at 32 bits, so a
+    # conformant preamble never needs a 6th varint byte — a non-minimal
+    # 5-byte encoding is still accepted, the 6-byte one refuses loudly
+    five = bytes([0x85, 0x80, 0x80, 0x80, 0x00])  # non-minimal 5
+    assert _snappy_decompress(five + lit(b"hello")) == b"hello"
+    with _pt.raises(AvroReadError, match="preamble too long"):
+        _snappy_decompress(bytes([0x80] * 5 + [0x01]) + lit(b"hello"))
+
 
 def test_avro_snappy_codec_matches_jvm_writer(spark, tmp_path):
     """A snappy-codec container written by the JVM's own
@@ -3467,3 +3475,171 @@ def test_avro_snappy_codec_matches_jvm_writer(spark, tmp_path):
 
     with _pt.raises(avrocore.AvroReadError):
         avrocore.read_container(str(bad))
+
+
+def test_register_lake_iceberg_sql_front_door(spark, tmp_path):
+    """r12 (VERDICT r11 item 5): spark.sql alone answers the F41-family
+    questions through register_lake's views — snapshots/partitions/
+    files/refs/history all agree with closed-form expectations, and
+    the data view equals the bridge read."""
+    from pyspark.sql import functions as F
+
+    from dbt_json_readr_spark import sql as Q
+    from dbt_json_readr_spark.sources import icebergwriter as IW
+
+    sup = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+    a = sup.filter(F.col("s_suppkey") % 3 == 0)
+    b = sup.filter(F.col("s_suppkey") % 3 != 0)
+    tbl = str(tmp_path / "ice")
+    IW.write_iceberg(spark, a, tbl, partition_by=["s_nationkey"])
+    IW.write_iceberg(spark, b, tbl, partition_by=["s_nationkey"])
+    IW.write_iceberg(spark, a.limit(2), tbl, partition_by=["s_nationkey"], ref="audit")
+
+    views = Q.register_lake(spark, tbl, "t")
+    assert set(views) == {
+        "t", "t__snapshots", "t__history", "t__partitions",
+        "t__manifests", "t__files", "t__refs",
+    }
+    # data view == full union (main does NOT see the staged branch)
+    assert Q.sql(spark, "SELECT count(*) AS n FROM t").collect()[0].n == sup.count()
+    # snapshots: 3 rows, exactly one current, data_rows cumulative
+    snaps = Q.sql(
+        spark,
+        "SELECT sequence_number, data_rows, is_current FROM t__snapshots "
+        "ORDER BY sequence_number",
+    ).collect()
+    assert [r.sequence_number for r in snaps] == [1, 2, 3]
+    assert [r.data_rows for r in snaps] == [a.count(), sup.count(), sup.count() + 2]
+    # the branch head is NOT current; main's head is
+    assert [r.is_current for r in snaps] == [0, 1, 0]
+    # partitions roll up to the table
+    part = Q.sql(
+        spark,
+        "SELECT sum(record_count) AS rows, sum(n_files) AS files FROM t__partitions",
+    ).collect()[0]
+    assert part.rows == sup.count()
+    assert part.files == Q.sql(spark, "SELECT count(*) AS n FROM t__files").collect()[0].n
+    # refs: implicit main + the audit branch
+    refs = {r.name: r.type for r in Q.sql(spark, "SELECT * FROM t__refs").collect()}
+    assert refs == {"main": "branch", "audit": "branch"}
+    # history: two made-current entries (branch commit never logged)
+    hist = Q.sql(
+        spark, "SELECT count(*) AS n, sum(is_current_ancestor) AS anc FROM t__history"
+    ).collect()[0]
+    assert (hist.n, hist.anc) == (2, 2)
+
+
+def test_register_lake_delta_sql_front_door(spark, tmp_path):
+    """Delta half: t__history carries the log-only rows_at arithmetic
+    (shared with F47 via laketables.delta_history_rows) and t__files
+    carries DV debt; the data view equals the bridge read."""
+    from pyspark.sql import functions as F
+
+    from dbt_json_readr_spark import sql as Q
+    from dbt_json_readr_spark.sources import deltawriter as DW
+    from dbt_json_readr_spark.sources import lakeformats as LF
+
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    tbl = str(tmp_path / "dl")
+    DW.write_delta(spark, cust, tbl, partition_by=["c_mktsegment"])
+    DW.delete_delta(spark, tbl, [("c_acctbal", "<", 0.0)])
+
+    views = Q.register_lake(spark, tbl, "d")
+    assert set(views) == {"d", "d__history", "d__files"}
+    live = cust.filter(F.col("c_acctbal") >= 0.0).count()
+    assert Q.sql(spark, "SELECT count(*) AS n FROM d").collect()[0].n == live
+    hist = Q.sql(
+        spark, "SELECT version, operation, rows_at FROM d__history ORDER BY version"
+    ).collect()
+    assert [(r.version, r.rows_at) for r in hist] == [(0, cust.count()), (1, live)]
+    assert hist[1].operation == "DELETE"
+    files = Q.sql(
+        spark,
+        "SELECT sum(record_count) AS rc, sum(dv_deleted) AS dv, "
+        "sum(live_rows) AS lr FROM d__files",
+    ).collect()[0]
+    assert (files.rc, files.dv, files.lr) == (
+        cust.count(), cust.count() - live, live,
+    )
+
+    # UniForm-style double-log tables must be disambiguated explicitly
+    import pytest
+
+    from dbt_json_readr_spark.sources import icebergwriter as IW
+
+    IW.delta_to_iceberg(spark, tbl)
+    with pytest.raises(LF.LakeFormatError, match="BOTH"):
+        Q.register_lake(spark, tbl, "d2")
+    assert "d2" in Q.register_lake(spark, tbl, "d2", format="delta")
+    assert "d3__snapshots" in Q.register_lake(spark, tbl, "d3", format="iceberg")
+
+
+def test_avro_zstd_codec_bridge_parity(spark, tmp_path):
+    """VERDICT r11 item 7: the LAST codec path gets a test instead of
+    only a gate.  The same records are authored through the JVM
+    DataFileWriter THREE ways — zstandard (pure-Python reader refuses
+    → JVM bridge fallback), deflate and snappy (pure-Python decode) —
+    and all three reads must agree record-for-record."""
+    import json
+
+    from dbt_json_readr_spark.sources import avrocore
+    from dbt_json_readr_spark.sources import lakeformats as LF
+
+    schema_json = json.dumps(
+        {
+            "type": "record",
+            "name": "row",
+            "fields": [
+                {"name": "k", "type": "long"},
+                {"name": "s", "type": "string"},
+                {"name": "b", "type": ["null", "bytes"], "default": None},
+            ],
+        }
+    )
+    rows = [
+        {"k": i, "s": "zstd window warmup " * 6 + str(i % 5),
+         "b": bytes([i % 11]) * 32}
+        for i in range(40)
+    ]
+
+    jvm = spark._jvm
+    schema = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    reader = jvm.org.apache.avro.generic.GenericDatumReader(schema)
+    factory = jvm.org.apache.avro.io.DecoderFactory.get()
+
+    def author(dest, codec):
+        writer = jvm.org.apache.avro.file.DataFileWriter(
+            jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+        )
+        writer.setCodec(codec)
+        writer.create(schema, jvm.java.io.File(str(dest)))
+        try:
+            for d in rows:
+                enc = dict(d)
+                enc["b"] = {"bytes": enc["b"].decode("latin-1")}
+                dec = factory.jsonDecoder(schema, json.dumps(enc))
+                writer.append(reader.read(None, dec))
+        finally:
+            writer.close()
+
+    cf = jvm.org.apache.avro.file.CodecFactory
+    z, d, s = tmp_path / "z.avro", tmp_path / "d.avro", tmp_path / "s.avro"
+    author(z, cf.zstandardCodec(3))
+    author(d, cf.deflateCodec(6))
+    author(s, cf.snappyCodec())
+    assert b"zstandard" in z.read_bytes()[:512]
+
+    # the pure-Python reader refuses zstd LOUDLY (typed, not a crash)
+    import pytest as _pt
+
+    with _pt.raises(avrocore.AvroCodecUnsupported):
+        avrocore.read_container(str(z))
+
+    # the walk path falls back to the JVM bridge for zstd and must
+    # return exactly what the pure-Python path decodes for the same
+    # records under deflate/snappy
+    LF._AVRO_CACHE.clear()
+    via_bridge = LF._read_avro_records(spark, str(z))
+    assert avrocore.read_container(str(d)) == rows
+    assert avrocore.read_container(str(s)) == rows
+    assert via_bridge == rows
