@@ -189,20 +189,6 @@ def main() -> None:
         "queries_min": best,
         "min_total": round(sum(best.values()), 3),
         "stable8_min_total": round(sum(best.get(k, 0.0) for k in STABLE_8), 3),
-        # steal-robust CPU seconds (JVM utime+stime delta across all
-        # executor threads + python process time) for the same
-        # last-run/min regimes — hypervisor steal inflates wall but
-        # not this clock, so cross-round drift that appears in wall
-        # totals while cpu totals hold flat is environment, not code
-        # (VERDICT r11 item 3)
-        "queries_cpu": cpu,
-        "cpu_total": round(sum(cpu.values()), 3),
-        "stable8_cpu_total": round(sum(cpu.get(k, 0.0) for k in STABLE_8), 3),
-        "queries_cpu_min": cpu_best,
-        "cpu_min_total": round(sum(cpu_best.values()), 3),
-        "stable8_cpu_min_total": round(
-            sum(cpu_best.get(k, 0.0) for k in STABLE_8), 3
-        ),
         "sf": sf,
         # environment stamp: r2 ran on a different container (pyspark
         # 4.0-era); cross-round comparisons are only meaningful within
@@ -210,6 +196,25 @@ def main() -> None:
         "pyspark": __import__("pyspark").__version__,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     }
+    if cpu:
+        # steal-robust CPU seconds (JVM utime+stime delta across all
+        # executor threads + python process time) for the same
+        # last-run/min regimes — hypervisor steal inflates wall but
+        # not this clock, so cross-round drift that appears in wall
+        # totals while cpu totals hold flat is environment, not code
+        # (VERDICT r11 item 3).  OMITTED entirely when the pid probe
+        # failed: a recorded 0.0 next to real wall times reads as a
+        # flat measurement and poisons cross-round comparisons.
+        out["queries_cpu"] = cpu
+        out["cpu_total"] = round(sum(cpu.values()), 3)
+        out["stable8_cpu_total"] = round(
+            sum(cpu.get(k, 0.0) for k in STABLE_8), 3
+        )
+        out["queries_cpu_min"] = cpu_best
+        out["cpu_min_total"] = round(sum(cpu_best.values()), 3)
+        out["stable8_cpu_min_total"] = round(
+            sum(cpu_best.get(k, 0.0) for k in STABLE_8), 3
+        )
     cpu1 = _cpu_sample()
     if cpu0 and cpu1 and cpu1[1] > cpu0[1]:
         out["cpu_steal_pct"] = round(

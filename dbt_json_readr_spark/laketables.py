@@ -31,20 +31,29 @@ from .sources import lakeformats as LF
 # ------------------------------------------------------------------
 
 
-def delta_history_rows(table_path: str) -> list[tuple[int, str | None, int]]:
-    """(version, commitInfo operation, net live rows) per commit, from
-    the _delta_log ALONE: cumulative add.stats numRecords minus DV
-    cardinalities, replayed with the protocol's remove-before-add set
-    semantics.  The one replay definition shared by the F47 gated key
-    and the ``__history`` SQL view (two hand-kept copies could
-    drift)."""
+def delta_history_rows(
+    table_path: str, strict: bool = True
+) -> list[tuple[int, str | None, int, int | None]]:
+    """(version, commitInfo operation, commit timestamp ms, net live
+    rows) per commit, from the _delta_log ALONE: cumulative add.stats
+    numRecords minus DV cardinalities, replayed with the protocol's
+    remove-before-add set semantics.  The one replay definition shared
+    by the F47 gated key and the ``__history`` SQL view (two hand-kept
+    copies could drift).  ONE read+parse pass per commit file — the
+    timestamp rides along so callers never re-open the log.
+
+    ``add.stats`` is optional in the protocol; with ``strict=True``
+    (the gated key's contract) a stats-less add raises loudly, with
+    ``strict=False`` (the generic SQL surface) ``rows_at`` degrades to
+    None from that version on instead of failing the whole table."""
     log = Path(table_path) / "_delta_log"
     versions = LF._log_versions(log)[0]
-    rows: list[tuple[int, str | None, int]] = []
-    live: dict[str, int] = {}  # path -> net live rows at the replay head
+    rows: list[tuple[int, str | None, int, int | None]] = []
+    live: dict[str, int | None] = {}  # path -> net live rows (None=unknown)
     for v in versions:
         vp = log / f"{v:020d}.json"
         op = None
+        ts = None
         adds: list[dict] = []
         removes: list[dict] = []
         for line in vp.read_text().splitlines():
@@ -53,11 +62,14 @@ def delta_history_rows(table_path: str) -> list[tuple[int, str | None, int]]:
             a = json.loads(line)
             if "commitInfo" in a:
                 if op is None:
-                    op = a["commitInfo"]["operation"]
+                    op = a["commitInfo"].get("operation")
+                    ts = a["commitInfo"].get("timestamp")
             elif "add" in a:
                 adds.append(a["add"])
             elif "remove" in a:
                 removes.append(a["remove"])
+        if ts is None:
+            ts = vp.stat().st_mtime_ns // 1_000_000
         # protocol set semantics: a DV update is remove(path) +
         # add(path, dv) in ONE commit — removes apply first and never
         # evict a re-added path (lakeformats._apply_commit's rule)
@@ -68,41 +80,34 @@ def delta_history_rows(table_path: str) -> list[tuple[int, str | None, int]]:
         for a in adds:
             stats = a.get("stats")
             if not stats:
-                raise LF.LakeFormatError(
-                    "delta history derives rows from add.stats numRecords; "
-                    f"{a['path']} at version {v} carries none"
-                )
+                if strict:
+                    raise LF.LakeFormatError(
+                        "delta history derives rows from add.stats "
+                        f"numRecords; {a['path']} at version {v} carries "
+                        "none"
+                    )
+                live[a["path"]] = None
+                continue
             n = int(json.loads(stats)["numRecords"])
             dv = a.get("deletionVector")
             if dv:
                 n -= int(dv["cardinality"])
             live[a["path"]] = n
-        rows.append((v, op, int(sum(live.values()))))
+        vals = list(live.values())
+        n_at = None if any(x is None for x in vals) else int(sum(vals))
+        rows.append((v, op, int(ts), n_at))
     return rows
 
 
 def delta_history_df(spark: SparkSession, table_path: str) -> DataFrame:
     """``DESCRIBE HISTORY`` as a DataFrame: one row per commit with
-    its operation, commit timestamp (the log file's mtime — Delta's
-    own in-commit timestamp lives in commitInfo when present), and
-    the log-derived net live row count."""
-    log = Path(table_path) / "_delta_log"
-    ts_of = {}
-    for v, op, n in delta_history_rows(table_path):
-        vp = log / f"{v:020d}.json"
-        ts = None
-        for line in vp.read_text().splitlines():
-            if line.strip():
-                a = json.loads(line)
-                if "commitInfo" in a:
-                    ts = a["commitInfo"].get("timestamp")
-                    break
-        if ts is None:
-            ts = vp.stat().st_mtime_ns // 1_000_000
-        ts_of[v] = (op, int(ts), n)
-    rows = [(v, op, ts, n) for v, (op, ts, n) in sorted(ts_of.items())]
+    its operation, commit timestamp (commitInfo when present, else the
+    log file's mtime), and the log-derived net live row count (null
+    when a stats-less add makes it unknowable — the protocol keeps
+    add.stats optional)."""
     return spark.createDataFrame(
-        rows, "version int, operation string, timestamp_ms long, rows_at long"
+        delta_history_rows(table_path, strict=False),
+        "version int, operation string, timestamp_ms long, rows_at long",
     )
 
 
@@ -152,22 +157,34 @@ def iceberg_snapshots_df(spark: SparkSession, metadata_path: str) -> DataFrame:
     meta, table_dir = _ice_meta(metadata_path)
     rows = []
     cur = meta.get("current-snapshot-id")
-    for s in sorted(meta.get("snapshots", []), key=lambda s: s["sequence-number"]):
+    # v1 metadata has no sequence numbers and manifest-list row counts
+    # are optional — guard every field like the other manifest-list
+    # consumers (iceberg_snapshot_entries) do, so an external table
+    # registers instead of KeyError-ing the whole view set
+    snaps = sorted(
+        meta.get("snapshots", []),
+        key=lambda s: int(s.get("sequence-number") or s["snapshot-id"]),
+    )
+    for s in snaps:
         mrows = LF._read_avro_records(
             spark, LF._resolve(s["manifest-list"], table_dir)
         )
         data_rows = sum(
-            int(m["added_rows_count"]) for m in mrows if int(m["content"] or 0) == 0
+            int(m.get("added_rows_count") or 0)
+            for m in mrows
+            if int(m.get("content") or 0) == 0
         )
         del_rows = sum(
-            int(m["added_rows_count"]) for m in mrows if int(m["content"] or 0) == 1
+            int(m.get("added_rows_count") or 0)
+            for m in mrows
+            if int(m.get("content") or 0) == 1
         )
         rows.append(
             (
                 int(s["snapshot-id"]),
-                int(s["sequence-number"]),
-                int(s["timestamp-ms"]),
-                s.get("summary", {}).get("operation"),
+                s.get("sequence-number"),
+                s.get("timestamp-ms"),
+                (s.get("summary") or {}).get("operation"),
                 s.get("parent-snapshot-id"),
                 len(mrows),
                 data_rows,

@@ -2988,51 +2988,15 @@ def delta_history_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         DW.restore_delta(spark, tbl, 1)
 
     tbl = str(_ensure("wrt_delta_history", sf_dir, build))
-    log = Path(tbl) / "_delta_log"
-    import json as _json
+    # the ONE replay definition (laketables.delta_history_rows) —
+    # shared with the register_lake `__history` SQL view, strict mode:
+    # this fixture's writer always records stats, so a stats-less add
+    # here is corruption, not tolerance territory
+    from ..laketables import delta_history_rows
 
-    # version discovery through the canonical reader helper — a bare
-    # *.json glob would also match '{v}.checkpoint.{uuid}.json' files
-    # and emit a duplicate version row (r11 second-review finding)
-    versions = LF._log_versions(log)[0]
-    rows = []
-    live: dict[str, int] = {}  # path -> net live rows at the replay head
-    for v in versions:
-        vp = log / f"{v:020d}.json"
-        op = None
-        adds: list[dict] = []
-        removes: list[dict] = []
-        for line in vp.read_text().splitlines():
-            if not line.strip():
-                continue
-            a = _json.loads(line)
-            if "commitInfo" in a:
-                if op is None:
-                    op = a["commitInfo"]["operation"]
-            elif "add" in a:
-                adds.append(a["add"])
-            elif "remove" in a:
-                removes.append(a["remove"])
-        # protocol set semantics: a DV update is remove(path) +
-        # add(path, dv) in ONE commit — removes apply first and never
-        # evict a re-added path (lakeformats._apply_commit's rule)
-        re_added = {a["path"] for a in adds}
-        for r in removes:
-            if r["path"] not in re_added:
-                live.pop(r["path"], None)
-        for a in adds:
-            stats = a.get("stats")
-            if not stats:
-                raise LF.LakeFormatError(
-                    "delta_history_table derives rows_at from add.stats "
-                    f"numRecords; {a['path']} at version {v} carries none"
-                )
-            n = int(_json.loads(stats)["numRecords"])
-            dv = a.get("deletionVector")
-            if dv:
-                n -= int(dv["cardinality"])
-            live[a["path"]] = n
-        rows.append((v, op, int(sum(live.values()))))
+    rows = [
+        (v, op, n) for v, op, _ts, n in delta_history_rows(tbl, strict=True)
+    ]
     # the ONE sanctioned data read: time-travel the restored head and
     # gate it against the log arithmetic, so a stats lie or a broken
     # replay fails loudly without re-scanning every version

@@ -817,6 +817,13 @@ def write_iceberg(
     meta_dir = Path(table_dir) / "metadata"
 
     existing = _metadata_versions(meta_dir)
+    if ref == "main":
+        # a "main" branch commit through the refs map would leave
+        # current-snapshot-id behind — invisible to every main reader
+        # (r12 review finding); main commits are the default path
+        raise LF.LakeFormatError(
+            "ref='main' is the current snapshot — write without ref="
+        )
     if ref is not None and not existing:
         raise LF.LakeFormatError(
             "cannot create a table on a branch — the first commit IS "
@@ -1576,7 +1583,17 @@ def expire_iceberg_snapshots(
     ref_ids = {
         int(r["snapshot-id"]) for r in (meta.get("refs") or {}).values()
     }
-    window = {s["snapshot-id"] for s in snaps[-keep_last:]}
+    # the recency window counts MAIN-ancestor snapshots only: staged
+    # branch commits carry the highest sequence numbers, and counting
+    # them would push the (older) current snapshot out of its own
+    # window — turning routine maintenance into a refusal whenever a
+    # WAP branch holds >= keep_last staged commits (r12 review
+    # finding).  Branch heads stay protected via ref_ids; rolled-over
+    # and unpublished-intermediate snapshots stay expirable, as
+    # documented.
+    anc = ancestor_ids(meta)
+    main_chain = [s for s in snaps if s["snapshot-id"] in anc]
+    window = {s["snapshot-id"] for s in main_chain[-keep_last:]}
     keep = [s for s in snaps if s["snapshot-id"] in window | ref_ids]
     drop = [s for s in snaps if s["snapshot-id"] not in window | ref_ids]
     audit = {
@@ -2314,7 +2331,11 @@ def fast_forward_iceberg(metadata_path: str, branch: str, to_ref: str) -> dict:
             f"no ref {to_ref!r} to fast-forward from; refs: {sorted(refs)}"
         )
     target = int(refs[to_ref]["snapshot-id"])
-    if branch == "main" and branch not in refs:
+    if branch == "main":
+        # ALWAYS the table's current snapshot — an explicit refs["main"]
+        # entry is not maintained by the main commit path, so trusting
+        # it would let a stale ref defeat the non-ancestor guard below
+        # and silently drop main commits (r12 review finding)
         cur = meta.get("current-snapshot-id")
     elif branch in refs:
         if refs[branch].get("type") != "branch":

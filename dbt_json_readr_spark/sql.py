@@ -73,7 +73,6 @@ def register_lake(
     user means is how two readers silently diverge.  Metadata views
     are materialized driver-side at registration time (they are
     kilobytes of log state); the data view stays a lazy scan."""
-    import os
     from pathlib import Path
 
     from . import laketables as LT

@@ -1404,3 +1404,57 @@ def test_branch_write_and_fast_forward_wap(spark, tmp_path):
         IW.write_iceberg(spark, b, tbl, ref="pin")
     with pytest.raises(LF.LakeFormatError, match="only.*branches fast-forward"):
         IW.fast_forward_iceberg(m4, "pin", "audit")
+
+
+def test_wap_guard_rails_r12_review(spark, tmp_path):
+    """r12 review findings on the WAP loop, pinned: (1) a stale
+    explicit refs['main'] entry must NOT defeat the non-ancestor
+    guard (fast_forward resolves main from current-snapshot-id,
+    never the refs map); (2) ref='main' writes refuse (they would be
+    invisible to main readers); (3) expire's recency window counts
+    MAIN-ancestor snapshots only, so staged branch commits can't push
+    the current snapshot out of its own window and block
+    maintenance."""
+    tbl = str(tmp_path / "t")
+    sup = spark.read.parquet(f"{SF}/supplier.parquet")
+    a = sup.filter(F.col("s_suppkey") % 2 == 0)
+    b = sup.filter(F.col("s_suppkey") % 2 == 1)
+
+    r0 = IW.write_iceberg(spark, a, tbl)
+    # (2) ref='main' refuses
+    with pytest.raises(LF.LakeFormatError, match="write without ref="):
+        IW.write_iceberg(spark, b, tbl, ref="main")
+
+    # (1) plant an explicit (soon stale) main ref at S0, stage a
+    # branch off it, then advance main — the branch head's chain
+    # contains refs['main'] (S0) but NOT the real main head
+    IW.set_iceberg_ref(r0["metadata_path"], "main", ref_type="branch")
+    IW.write_iceberg(spark, b.limit(2), tbl, ref="audit")
+    IW.write_iceberg(spark, b.limit(1), tbl)  # real main moves to S3
+    m = _latest_meta(tbl)
+    with pytest.raises(LF.LakeFormatError, match="not an ancestor"):
+        IW.fast_forward_iceberg(m, "main", "audit")
+
+    # (3) a fresh table whose audit branch holds keep_last staged
+    # commits: expire must still succeed and keep the current snapshot
+    tbl2 = str(tmp_path / "t2")
+    IW.write_iceberg(spark, a, tbl2)
+    r1 = IW.write_iceberg(spark, b.limit(3), tbl2)
+    IW.write_iceberg(spark, b.limit(2), tbl2, ref="audit")
+    IW.write_iceberg(spark, b.limit(1), tbl2, ref="audit")
+    m2 = _latest_meta(tbl2)
+    aud = IW.expire_iceberg_snapshots(spark, m2, keep_last=1)
+    # main's older first snapshot expired; current + ref-protected
+    # branch head survive
+    assert aud["snapshots_expired"] >= 1
+    assert LF.read_iceberg_snapshot(spark, aud["metadata_path"]).count() == (
+        a.count() + 3
+    )
+    # the branch rooted at main's head (a+3) and staged 2 then 1 rows
+    assert (
+        LF.read_iceberg_snapshot(
+            spark, aud["metadata_path"], ref="audit"
+        ).count()
+        == a.count() + 3 + 2 + 1
+    )
+    assert r1["snapshot_id"] is not None

@@ -3643,3 +3643,53 @@ def test_avro_zstd_codec_bridge_parity(spark, tmp_path):
     assert avrocore.read_container(str(d)) == rows
     assert avrocore.read_container(str(s)) == rows
     assert via_bridge == rows
+
+
+def test_register_lake_tolerates_statsless_adds(spark, tmp_path):
+    """r12 review finding: add.stats is OPTIONAL in the Delta protocol
+    — a table whose adds carry no stats must still register (data view
+    reads fine; __history's rows_at degrades to null instead of the
+    whole view set failing), while the F47 gated key's strict replay
+    keeps refusing loudly."""
+    import json
+    from pathlib import Path
+
+    import pytest
+
+    from dbt_json_readr_spark import laketables as LT
+    from dbt_json_readr_spark import sql as Q
+    from dbt_json_readr_spark.sources import deltawriter as DW
+    from dbt_json_readr_spark.sources import lakeformats as LF
+
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    tbl = str(tmp_path / "dl")
+    DW.write_delta(spark, cust.limit(8), tbl)
+    DW.write_delta(spark, cust.limit(4), tbl, mode="append")
+
+    # strip stats from version 1's adds — legal per the protocol
+    log = Path(tbl) / "_delta_log" / f"{1:020d}.json"
+    lines = []
+    for line in log.read_text().splitlines():
+        a = json.loads(line)
+        if "add" in a:
+            a["add"].pop("stats", None)
+        lines.append(json.dumps(a))
+    log.write_text("\n".join(lines) + "\n")
+
+    views = Q.register_lake(spark, tbl, "nostat")
+    assert set(views) == {"nostat", "nostat__history", "nostat__files"}
+    assert Q.sql(spark, "SELECT count(*) AS n FROM nostat").collect()[0].n == 12
+    hist = Q.sql(
+        spark, "SELECT version, rows_at FROM nostat__history ORDER BY version"
+    ).collect()
+    # v0 is fully known; v1's total includes a stats-less add → null
+    assert [(r.version, r.rows_at) for r in hist] == [(0, 8), (1, None)]
+    files = Q.sql(
+        spark,
+        "SELECT count(*) AS n, count(record_count) AS known FROM nostat__files",
+    ).collect()[0]
+    assert files.n == 2 and files.known == 1
+
+    # the gated key's strict contract is unchanged
+    with pytest.raises(LF.LakeFormatError, match="carries none"):
+        LT.delta_history_rows(tbl, strict=True)
