@@ -269,7 +269,11 @@ def minhash_lsh_pairs(
             cand = _cand_from_mins(per_doc.drop("sh"), n_hashes, bands, bucket_cap)
         sets = per_doc.select("doc_id", "sh")
         inter = F.size(F.array_intersect("sh_a", "sh_b"))
-        union = F.size(F.array_union("sh_a", "sh_b"))
+        # |A∪B| = |A|+|B|−|A∩B| over the (distinct) shingle sets —
+        # numerically identical to size(array_union(...)) but skips
+        # allocating and hash-deduping a union array per pair; codegen
+        # subexpression elimination shares the one array_intersect.
+        union = F.size("sh_a") + F.size("sh_b") - inter
         return (
             F.broadcast(cand)
             .join(sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
@@ -401,7 +405,8 @@ def minhash_incremental_pairs(
     )
     sets = per_doc.select("doc_id", "sh")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
+    # same |A|+|B|−|A∩B| identity as the full-LSH verify above
+    union = F.size("sh_a") + F.size("sh_b") - inter
     return (
         F.broadcast(cand)
         .join(sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
@@ -759,19 +764,36 @@ def candidate_degree_cap(
         F.least("doc", "partner").alias("doc_a"),
         F.greatest("doc", "partner").alias("doc_b"),
     ).dropDuplicates(["doc_a", "doc_b"])
-    dropped_pairs = cand.select("doc_a", "doc_b").join(
-        nom_pairs, ["doc_a", "doc_b"], "left_anti"
-    )
+    # nom_pairs feeds BOTH the kept semi-join and the dropped anti-join
+    # (plus the evidence rollup behind it) — without a pin each consumer
+    # replays the full two-stage nomination aggregate (r12; ~6 shuffle
+    # stages per replay).  Bounded at n·cap 16-byte rows by
+    # construction, so MEMORY_AND_DISK is safe at any scale.
+    nom_pairs = nom_pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    rotate_cached("degree_cap_nom", [nom_pairs])
     kept = cand.join(nom_pairs, ["doc_a", "doc_b"], "left_semi")
     degrees = directed.groupBy("doc").agg(F.count(F.lit(1)).alias("degree"))
-    lost = (
-        dropped_pairs.select(F.col("doc_a").alias("doc"))
-        .unionAll(dropped_pairs.select(F.col("doc_b")))
+    # per-doc drop accounting WITHOUT materializing the dropped pair
+    # set (r12): a doc's lost-partner count is exactly its candidate
+    # degree minus its kept degree — two narrow aggregates and a join
+    # instead of the anti-join + 2×-union rollup the r11 shape ran
+    # (same rows, ~4 fewer shuffle stages on the evidence path)
+    kept_degrees = (
+        kept.select(F.col("doc_a").alias("doc"))
+        .unionAll(kept.select(F.col("doc_b")))
         .groupBy("doc")
-        .agg(F.count(F.lit(1)).alias("n_dropped_partners"))
+        .agg(F.count(F.lit(1)).alias("kept_degree"))
     )
-    capped_docs = lost.join(degrees, "doc").select(
-        "doc", "degree", "n_dropped_partners"
+    capped_docs = (
+        degrees.join(kept_degrees, "doc", "left")
+        .select(
+            "doc",
+            "degree",
+            (
+                F.col("degree") - F.coalesce("kept_degree", F.lit(0))
+            ).alias("n_dropped_partners"),
+        )
+        .filter(F.col("n_dropped_partners") > 0)
     )
     return kept, capped_docs
 
@@ -785,54 +807,109 @@ def minhash_containment_pairs(
     bucket_cap: int = DEFAULT_BUCKET_CAP,
     degree_cap: int | None = DEFAULT_DEGREE_CAP,
     evidence: bool = False,
+    broadcast_verify: bool | None = None,
+    broadcast_cand_cap: int = DEFAULT_BROADCAST_CAND_CAP,
 ) -> DataFrame:
-    """Directed shingle containment over minhash-LSH band candidates,
-    computed entirely from NARROW rows — the all-shuffle verify shape
-    of ``minhash_lsh_pairs`` generalized to asymmetric overlap ratios.
+    """Directed shingle containment over minhash-LSH band candidates —
+    the asymmetric-overlap generalization of ``minhash_lsh_pairs``,
+    with the SAME auto-gated verify-shape choice (r12):
 
-    No shingle array ever crosses an exchange and nothing broadcasts:
-    intersection sizes come from joining (doc_id, sh) 24-byte rows
-    through the deduped candidate pairs, set sizes from a per-doc
-    count.  That makes the operator size-independent end-to-end —
-    the array-carrying formulation needed merge hints to survive sf1
-    (AQE broadcast OOM) and still shuffled megabyte rows; this one has
-    nothing wide to move.  Returns (doc_a, doc_b, inter_n,
-    cont_a_in_b, cont_b_in_a) for pairs with max containment ≥ τ.
+    - broadcast shape (candidate count ≤ ``broadcast_cand_cap``): the
+      fused ``_per_doc_sketch`` scan+agg supplies lanes AND shingle
+      sets from ONE cached corpus pass; the (degree-capped) candidate
+      pairs broadcast and the sets stream map-side through both hash
+      joins — no shingle array ever crosses an exchange.  The r11
+      narrow-only shape re-ran the exploded md5 scan four times and
+      AQE broadcast the full multi-million-row shingle frame twice
+      (measured 7.1 s wall / 92 CPU·s at sf0.1 vs the jaccard path's
+      7.7 CPU·s on the same sketch); this shape is the fix.
+    - narrow all-shuffle fallback (over the cap, or forced with
+      ``broadcast_verify=False``): intersection sizes from joining
+      (doc_id, sh) 24-byte rows through the pairs, set sizes from a
+      per-doc count — nothing broadcasts, nothing wide moves; the
+      shape that survives corpora whose post-cap candidate set
+      outgrows the driver.
 
-    The exploded shingle scan feeds four subtrees and is deliberately
-    NOT persisted: measured at sf0.1 (4.7 s steady both ways) and sf1,
-    caching the ~20M-row shingle frame bought nothing — the candidate
-    pair join dominates this operator, unlike the jaccard path where
-    _per_doc_sketch's fused scan+agg is the documented 1 s win — and
-    the persist only occupied executor storage."""
+    ``broadcast_verify=None`` (default) counts the post-cap candidates
+    (persisted, rotate_cached-bounded) and picks the shape from data —
+    never from the caller's guess.  With the default degree cap the
+    candidate count is ≤ n·cap, so the gate bound is reached only past
+    ~300M docs; the fallback stays regression-pinned either way.
+
+    Returns (doc_a, doc_b, inter_n, cont_a_in_b, cont_b_in_a) for
+    pairs with max containment ≥ τ, plus loud ``capped_doc`` evidence
+    rows when ``evidence`` and a degree cap are set — identical values
+    from both shapes (the parity test pins it)."""
+    from pyspark import StorageLevel
+
     rows = _shingle_rows(docs, k)
-    # _minhash_candidates already returns cross-band-deduped pairs
-    cand = _minhash_candidates(rows, n_hashes, bands, bucket_cap)
+    per_doc = None
+    if broadcast_verify is None or broadcast_verify:
+        # fused lanes+sets pass, cached; canonical plan shared with
+        # minhash_lsh_pairs so a session computing both (the bench
+        # sequence; the calibration key) hits ONE cache entry
+        per_doc = _per_doc_sketch(rows, n_hashes)
+        cand = _cand_from_mins(per_doc.drop("sh"), n_hashes, bands, bucket_cap)
+    else:
+        # _minhash_candidates already returns cross-band-deduped pairs
+        cand = _minhash_candidates(rows, n_hashes, bands, bucket_cap)
     capped_docs = None
     if degree_cap is not None:
         cand, capped_docs = candidate_degree_cap(cand, degree_cap)
-    counts = rows.groupBy("doc_id").agg(F.count("*").alias("n"))
-    ra = cand.join(rows.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
-    ri = ra.join(rows.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"])
-    ic = cand.join(
-        ri.groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter")),
-        ["doc_a", "doc_b"],
-        "left",
-    ).select("doc_a", "doc_b", F.coalesce("inter", F.lit(0)).alias("inter"))
-    pairs = (
-        ic.join(counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.col("inter").cast("int").alias("inter_n"),
-            (F.col("inter").cast("double") / F.col("na").cast("double")).alias("cont_a_in_b"),
-            (F.col("inter").cast("double") / F.col("nb").cast("double")).alias("cont_b_in_a"),
+    if broadcast_verify is None:
+        # the post-cap pairs feed the gate count AND the verify joins
+        # (and the evidence union when requested) — pin them so the
+        # count action does not replay the nomination pipeline
+        cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+        rotate_cached("containment_kept", [cand])
+        n_cand = cand.count()
+        broadcast_verify = n_cand <= broadcast_cand_cap
+        if not broadcast_verify:
+            # bailing to the shuffle shape: the per-doc sets will not
+            # be read — release the fused sketch cache now
+            per_doc.unpersist()
+            per_doc = None
+    if broadcast_verify:
+        sets = per_doc.select("doc_id", "sh")
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        pairs = (
+            F.broadcast(cand)
+            .join(sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+            .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                inter.cast("int").alias("inter_n"),
+                (inter.cast("double") / F.size("sh_a").cast("double")).alias("cont_a_in_b"),
+                (inter.cast("double") / F.size("sh_b").cast("double")).alias("cont_b_in_a"),
+            )
+            .filter(
+                F.greatest(F.col("cont_a_in_b"), F.col("cont_b_in_a")) >= threshold
+            )
         )
-        .filter(
-            F.greatest(F.col("cont_a_in_b"), F.col("cont_b_in_a")) >= threshold
+    else:
+        counts = rows.groupBy("doc_id").agg(F.count("*").alias("n"))
+        ra = cand.join(rows.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
+        ri = ra.join(rows.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"])
+        ic = cand.join(
+            ri.groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter")),
+            ["doc_a", "doc_b"],
+            "left",
+        ).select("doc_a", "doc_b", F.coalesce("inter", F.lit(0)).alias("inter"))
+        pairs = (
+            ic.join(counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+            .join(counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                F.col("inter").cast("int").alias("inter_n"),
+                (F.col("inter").cast("double") / F.col("na").cast("double")).alias("cont_a_in_b"),
+                (F.col("inter").cast("double") / F.col("nb").cast("double")).alias("cont_b_in_a"),
+            )
+            .filter(
+                F.greatest(F.col("cont_a_in_b"), F.col("cont_b_in_a")) >= threshold
+            )
         )
-    )
     if not evidence:
         return pairs
     tagged = pairs.select(

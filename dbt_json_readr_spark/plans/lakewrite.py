@@ -1790,15 +1790,22 @@ def iceberg_bucket_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     full = LF.read_iceberg_snapshot(spark, meta)
-    files_total = len(full.inputFiles())
+    full_files = full.inputFiles()
+    files_total = len(full_files)
     n_buckets_live = len(
-        {f.split("s_suppkey_bucket=")[1].split("/")[0] for f in full.inputFiles()}
+        {f.split("s_suppkey_bucket=")[1].split("/")[0] for f in full_files}
     )
     keys = [
         int(r[0])
         for r in sup.select("s_suppkey").orderBy("s_suppkey").limit(5).collect()
     ]
-    rows = []
+    # One probe PLAN per key (the pruning evidence — inputFiles() is a
+    # driver-side listing of what the pruner handed the scan), but ONE
+    # collect for all five probes (r12, guide §1/§2.6): the per-key
+    # collect loop paid five job round-trips ≈ 0.4 s of pure scheduling
+    # on a 5-row result; a tagged union answers identically in one.
+    evidence = {}
+    probes = []
     for k in keys:
         pr = LF.read_iceberg_snapshot(
             spark, meta, predicate=[("s_suppkey", "=", k)]
@@ -1806,16 +1813,32 @@ def iceberg_bucket_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         opened = pr.inputFiles()
         want = (SK.iceberg_bucket_hash("long", k) & 0x7FFFFFFF) % 8
         wrong = sum(1 for f in opened if f"s_suppkey_bucket={want}" not in f)
-        got = pr.select(
-            "s_suppkey", "s_nationkey", _dec("s_acctbal").alias("acctbal")
-        ).collect()
+        evidence[k] = (len(opened) - 1, wrong)
+        probes.append(
+            pr.select(
+                F.lit(k).cast("long").alias("probe_key"),
+                "s_suppkey",
+                "s_nationkey",
+                _dec("s_acctbal").alias("acctbal"),
+            )
+        )
+    u = probes[0]
+    for p in probes[1:]:
+        u = u.unionByName(p)
+    by_key: dict[int, list] = {k: [] for k in keys}
+    for r in u.collect():
+        by_key[int(r.probe_key)].append(r)
+    rows = []
+    for k in keys:
+        got = by_key[k]
+        surplus, wrong = evidence[k]
         rows.append(
             (
                 k,
                 len(got),
                 int(got[0].s_nationkey) if got else None,
                 float(got[0].acctbal) if got else None,
-                len(opened) - 1,
+                surplus,
                 wrong,
                 files_total - n_buckets_live,
             )
@@ -2275,28 +2298,48 @@ def iceberg_decimal_bucket_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     full = LF.read_iceberg_snapshot(spark, meta)
-    files_total = len(full.inputFiles())
+    full_files = full.inputFiles()
+    files_total = len(full_files)
     n_buckets_live = len(
-        {f.split("s_bal_bucket=")[1].split("/")[0] for f in full.inputFiles()}
+        {f.split("s_bal_bucket=")[1].split("/")[0] for f in full_files}
     )
     probe_vals = [
-        r[0]
+        Decimal(r[0])
         for r in sup.select("s_bal").distinct().orderBy("s_bal").limit(5).collect()
     ]
-    rows = []
+    # per-probe prune evidence from the plan (inputFiles, driver-side),
+    # row values from ONE tagged-union collect instead of one job per
+    # probe (r12 — same scheduling-latency fix as the s_suppkey bucket
+    # key; answers are identical, five round-trips become one)
+    evidence = {}
+    probes = []
     for v in probe_vals:
-        v = Decimal(v)
         pr = LF.read_iceberg_snapshot(spark, meta, predicate=[("s_bal", "=", v)])
         opened = pr.inputFiles()
         want = (SK.iceberg_bucket_hash("decimal(12, 2)", v) & 0x7FFFFFFF) % 8
         wrong = sum(1 for f in opened if f"s_bal_bucket={want}" not in f)
-        got = pr.select("s_suppkey").collect()
+        evidence[v] = (len(opened) - 1, wrong)
+        probes.append(
+            pr.select(
+                F.lit(v).cast("decimal(12,2)").alias("probe_bal"), "s_suppkey"
+            )
+        )
+    u = probes[0]
+    for p in probes[1:]:
+        u = u.unionByName(p)
+    by_val: dict[Decimal, list] = {v: [] for v in probe_vals}
+    for r in u.collect():
+        by_val[Decimal(r.probe_bal)].append(r)
+    rows = []
+    for v in probe_vals:
+        got = by_val[v]
+        surplus, wrong = evidence[v]
         rows.append(
             (
                 float(v),
                 len(got),
                 int(sum(r.s_suppkey for r in got)) if got else None,
-                len(opened) - 1,
+                surplus,
                 wrong,
                 files_total - n_buckets_live,
             )
@@ -2823,26 +2866,44 @@ def iceberg_binary_bucket_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _ensure("wrt_ice_binbucket", sf_dir, build)
     meta = _latest_meta(root)
     full = LF.read_iceberg_snapshot(spark, meta)
-    files_total = len(full.inputFiles())
+    full_files = full.inputFiles()
+    files_total = len(full_files)
     n_buckets_live = len(
-        {f.split("s_key_bucket=")[1].split("/")[0] for f in full.inputFiles()}
+        {f.split("s_key_bucket=")[1].split("/")[0] for f in full_files}
     )
     import hashlib as _hl
 
-    rows = []
-    for k in range(1, 6):
-        key = _hl.md5(str(k).encode()).digest()
+    # per-probe prune evidence from the plan (inputFiles, driver-side),
+    # row values from ONE tagged-union collect instead of one job per
+    # probe (r12 — same scheduling-latency fix as F34/F39)
+    probe_keys = [_hl.md5(str(k).encode()).digest() for k in range(1, 6)]
+    evidence = {}
+    probes = []
+    for key in probe_keys:
         pr = LF.read_iceberg_snapshot(spark, meta, predicate=[("s_key", "=", key)])
         opened = pr.inputFiles()
         want = (SK.iceberg_bucket_hash("binary", key) & 0x7FFFFFFF) % 8
         wrong = sum(1 for f in opened if f"s_key_bucket={want}" not in f)
-        got = pr.select("s_suppkey").collect()
+        evidence[key] = (len(opened) - 1, wrong)
+        probes.append(
+            pr.select(F.lit(key.hex()).alias("probe_hex"), "s_suppkey")
+        )
+    u = probes[0]
+    for p in probes[1:]:
+        u = u.unionByName(p)
+    by_key: dict[str, list] = {key.hex(): [] for key in probe_keys}
+    for r in u.collect():
+        by_key[r.probe_hex].append(r)
+    rows = []
+    for key in probe_keys:
+        got = by_key[key.hex()]
+        surplus, wrong = evidence[key]
         rows.append(
             (
                 key.hex(),
                 len(got),
                 int(sum(r.s_suppkey for r in got)) if got else None,
-                len(opened) - 1,
+                surplus,
                 wrong,
                 files_total - n_buckets_live,
             )

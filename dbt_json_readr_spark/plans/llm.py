@@ -924,9 +924,11 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # --- minhash: truth (exact jaccard on shingle sets) vs candidates
     sets = D.shingle_sets(stratum, k=_MH_K)
     a, b = sets.alias("a"), sets.alias("b")
+    _inter = F.size(F.array_intersect("a.sh", "b.sh"))
     jac = (
-        F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
-        / F.size(F.array_union("a.sh", "b.sh")).cast("double")
+        # |A∪B| = |A|+|B|−|A∩B|: identical value, no union array built
+        _inter.cast("double")
+        / (F.size("a.sh") + F.size("b.sh") - _inter).cast("double")
     )
     truth_mh = (
         a.join(F.broadcast(b), F.col("a.doc_id") < F.col("b.doc_id"))
@@ -2835,13 +2837,16 @@ def corpus_dedup_priority_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression, and the per-cluster argmax is a window over only the
     clustered rows."""
     prep(spark)
-    docs = spread(load(spark, sf_dir, "documents"))
+    # bare load into the sketch (keeps its plan canonical with the
+    # other minhash consumers → one shared cache entry per session);
+    # the per-row-heavy quality scoring below spreads separately
+    docs = load(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(
         docs, k=_MH_K, n_hashes=_MH_N, bands=_MH_BANDS, threshold=_MH_TAU
     ).select("doc_a", "doc_b")
     clusters = G.connected_components(pairs)
     feats = X.quality_features(F.col("text"))
-    scored = docs.select(
+    scored = spread(docs).select(
         "doc_id",
         "source",
         F.floor(X.quality_score(feats) * 1_000_000).cast("long").alias("qm"),
@@ -3039,7 +3044,9 @@ def dedup_band_utility(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     from pyspark.sql import Window as W
 
-    docs = spread(load(spark, sf_dir, "documents"))
+    # bare load: _shingle_rows spreads internally, and the canonical
+    # plan lets the session's shared sketch cache serve this key too
+    docs = load(spark, sf_dir, "documents")
     rows = D._shingle_rows(docs, _MH_K)
     per_doc = D._per_doc_sketch(rows, _MH_N)
     pairs = (
@@ -3049,7 +3056,8 @@ def dedup_band_utility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sets = per_doc.select("doc_id", "sh")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
+    # |A∪B| = |A|+|B|−|A∩B|: same value, no union array built per pair
+    union = F.size("sh_a") + F.size("sh_b") - inter
     jac = (
         F.broadcast(pairs)
         .join(sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
@@ -3548,8 +3556,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             cont_ab.alias("cont_a_in_b"),
             cont_ba.alias("cont_b_in_a"),
             (
+                # |A∪B| = |A|+|B|−|A∩B|: same value, no union array
                 inter.cast("double")
-                / F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast("double")
+                / (F.size("sh_a") + F.size("sh_b") - inter).cast("double")
             ).alias("jaccard"),
         )
         .filter(F.greatest(F.col("cont_a_in_b"), F.col("cont_b_in_a")) >= _CONT_TAU)
@@ -3780,12 +3789,14 @@ def dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     harness that would measure it.  The oracle replays band generation
     + verify exactly, so the gate pins candidates AND ratios.
 
-    Verify shape: narrow-row overlap counting (operators/dedup.py
-    minhash_containment_pairs) — nothing wide shuffles, nothing
-    broadcasts.  The first cut joined candidate pairs to collected
-    shingle-set ARRAYS: AQE's broadcast pick OOM'd the driver at sf1
-    (5M-pair candidates / 50k wide sets) and even merge-hinted it
-    shuffled megabyte rows; the narrow shape replaced it outright.
+    Verify shape (r12): auto-gated in operators/dedup.py
+    minhash_containment_pairs — the post-degree-cap candidate count
+    picks between the broadcast-candidates shape (fused cached
+    sketch+sets, no shingle array crosses an exchange; fixes the r11
+    narrow-only shape's 4× md5 corpus re-scan and AQE's full-shingle-
+    frame broadcasts — 7.1 s → ~1.3 s steady at sf0.1) and the narrow
+    all-shuffle fallback that survives candidate sets too big for the
+    driver (the sf1 AQE-broadcast-OOM lesson; still regression-pinned).
 
     r6 (VERDICT r5 item 3): candidate volume is clique-quadratic —
     sf10's 100-dup cliques produced 205.9M verify pairs and overflowed
@@ -3797,7 +3808,10 @@ def dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically by the oracle's row_number window.
     """
     prep(spark)
-    docs = spread(load(spark, sf_dir, "documents"))
+    # no outer spread: _shingle_rows spreads internally, and the bare
+    # load keeps the sketch's logical plan identical to
+    # dedup_minhash_lsh's so the session shares ONE cached sketch
+    docs = load(spark, sf_dir, "documents")
     return D.minhash_containment_pairs(
         docs,
         k=_MH_K,
@@ -3912,7 +3926,11 @@ def dedup_minhash_est_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
     estimator's spread, which is what the band curve integrates over.
     """
     prep(spark)
-    docs = spread(load(spark, sf_dir, "documents"))
+    # bare load (no outer spread — _shingle_rows spreads internally):
+    # keeps the sketch plan canonical with dedup_minhash_lsh's, so the
+    # CacheManager serves every sketch consumer in the session from
+    # one entry instead of rebuilding under a Repartition(Repartition)
+    docs = load(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(
         docs, k=_MH_K, n_hashes=_MH_N, bands=_MH_BANDS, threshold=_MH_TAU
     )
@@ -4737,7 +4755,11 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and only coincidentally produce the same pairs on this corpus
     # (r5 code-review finding)
     mh = D.minhash_lsh_pairs(
-        docs, k=_MH_K, n_hashes=_MH_N, bands=_MH_BANDS, threshold=_MH_TAU
+        # bare load (not the spread frame): canonical sketch plan →
+        # shares the session's one cached sketch; _shingle_rows
+        # spreads internally anyway
+        load(spark, sf_dir, "documents"),
+        k=_MH_K, n_hashes=_MH_N, bands=_MH_BANDS, threshold=_MH_TAU,
     ).select("doc_a", "doc_b", F.lit("minhash").alias("method"))
     sh = D.simhash_pairs(docs, max_hamming=3).select(
         "doc_a", "doc_b", F.lit("simhash").alias("method")

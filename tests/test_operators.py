@@ -993,6 +993,42 @@ def test_degree_cap_bounds_clique_and_keeps_min_id_connectivity(spark):
     assert "status" not in full.columns
 
 
+def test_containment_verify_shapes_agree_and_auto_gate_switches(spark):
+    """r12: minhash_containment_pairs gained the same auto-gated verify
+    shape as minhash_lsh_pairs.  Contract: (a) the broadcast shape and
+    the narrow all-shuffle shape return IDENTICAL rows (pairs and
+    capped_doc evidence alike), (b) the auto gate actually switches —
+    cap 0 must take the narrow shape (no broadcast-hinted candidate
+    join in the analyzed plan), the default must take the broadcast
+    shape on a small corpus — and both still match."""
+    from dbt_json_readr_spark.operators import dedup as D
+    from dbt_json_readr_spark.plans import explain
+
+    base = "the quick brown fox jumps over the lazy dog number"
+    rows = [(i, f"{base} {i % 3} repeated tail segment") for i in range(1, 25)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run(**kw):
+        out = D.minhash_containment_pairs(
+            docs, k=5, n_hashes=16, bands=4, threshold=0.5,
+            degree_cap=4, evidence=True, **kw,
+        )
+        return out, sorted(map(tuple, out.collect()))
+
+    bcast_df, bcast = run(broadcast_verify=True)
+    narrow_df, narrow = run(broadcast_verify=False)
+    auto_b_df, auto_b = run()                        # gate: small → broadcast
+    auto_n_df, auto_n = run(broadcast_cand_cap=0)    # gate: forced narrow
+    assert bcast, "fixture produced no pairs — test is vacuous"
+    assert bcast == narrow == auto_b == auto_n
+    # the gate's shape choice is visible as the broadcast hint on the
+    # candidate side: present on the broadcast shape, absent on narrow
+    assert explain.broadcast_hint_subtrees(bcast_df)
+    assert explain.broadcast_hint_subtrees(auto_b_df)
+    assert not explain.broadcast_hint_subtrees(narrow_df)
+    assert not explain.broadcast_hint_subtrees(auto_n_df)
+
+
 def test_triangle_stats_matches_bruteforce_on_known_graphs(spark):
     """triangle_stats (degree-ordered orientation) vs hand-computed
     truths: K4 (4 triangles, transitivity 1), a 4-path (0 triangles),
