@@ -816,13 +816,16 @@ def minhash_containment_pairs(
 
     - broadcast shape (candidate count ≤ ``broadcast_cand_cap``): the
       fused ``_per_doc_sketch`` scan+agg supplies lanes AND shingle
-      sets from ONE cached corpus pass; the (degree-capped) candidate
-      pairs broadcast and the sets stream map-side through both hash
-      joins — no shingle array ever crosses an exchange.  The r11
-      narrow-only shape re-ran the exploded md5 scan four times and
-      AQE broadcast the full multi-million-row shingle frame twice
-      (measured 7.1 s wall / 92 CPU·s at sf0.1 vs the jaccard path's
-      7.7 CPU·s on the same sketch); this shape is the fix.
+      sets from ONE cached corpus pass; the only HINT is on the
+      (degree-capped) candidate pairs — the per-doc set sides are
+      left to the planner, which may elect a runtime broadcast of the
+      cached sets at small SF and falls back to shuffle joins at
+      scale (the same posture as the jaccard verify since r3).  The
+      r11 narrow-only shape re-ran the exploded md5 scan four times
+      and AQE broadcast the full multi-million-row EXPLODED shingle
+      frame twice (measured 7.1 s wall / 92 CPU·s at sf0.1 vs the
+      jaccard path's 7.7 CPU·s on the same sketch); this shape is the
+      fix.
     - narrow all-shuffle fallback (over the cap, or forced with
       ``broadcast_verify=False``): intersection sizes from joining
       (doc_id, sh) 24-byte rows through the pairs, set sizes from a

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from ..functions import vectors as V
-from ..session import rotate_cached
+from ..session import release_iter_handle, rotate_cached
 
 QUANT = 1_000_000
 
@@ -102,38 +102,65 @@ def _lloyd_loop(comp: DataFrame, k: int, iters: int):
     ``assigned`` carries squared-L2 to the PREVIOUS round's centroids —
     the quantity Lloyd's just minimized.
 
-    Cache discipline (same as operators/lineage.py): without it every
-    iteration's lineage re-derives ``comp`` from the scan — measured 9
-    parquet scans / 60 exchanges for 2 iterations at sf0.001; per-round
-    results materialize via count() before their parents are
-    released."""
-    cents = init_centroids(comp, k).persist()
-    cents.count()
+    Lineage discipline (r12, guide §3.3 / operators/graph.py): each
+    round ``localCheckpoint``s (eager — materializes AND truncates the
+    logical plan).  The previous persist()+count() discipline kept the
+    DATA warm but left the PLAN iterative — every round's logical tree
+    embedded the previous round's roughly three times over, so a
+    5-iteration ``cents`` was a ~3⁵-node tree, and a consumer composing
+    several quantizers (the ANN sweep) handed the analyzer a
+    multi-million-node plan: the sweep spent ~170 s of a ~190 s action
+    in DRIVER-side analysis/canonicalization with every frame already
+    cached (executed-plan dump measured 2.1M formatted lines, 184k
+    InMemoryTableScan references).  Truncation costs cross-invocation
+    sameSemantics cache reuse (checkpointed plans are unique), which no
+    consumer relied on — the loop has always re-run eagerly per
+    invocation."""
+    cents = init_centroids(comp, k).localCheckpoint()
     assigned = None
     for _ in range(iters):
         prev_assigned, prev_cents = assigned, cents
-        assigned = assign(comp, cents).persist()
-        assigned.count()
+        assigned = assign(comp, cents).localCheckpoint()
         if prev_assigned is not None:
-            prev_assigned.unpersist()
-        cents = update(assigned, comp).persist()
-        cents.count()
-        prev_cents.unpersist()
+            release_iter_handle(prev_assigned)
+        cents = update(assigned, comp).localCheckpoint()
+        release_iter_handle(prev_cents)
     return assigned, cents
 
 
-def kmeans_cells(embs: DataFrame, k: int = 8, iters: int = 2):
+def kmeans_cells(embs: DataFrame, k: int = 8, iters: int = 2, rotate: bool = True):
     """(cells, cents) under the FINAL centroids: the IVF coarse
     quantizer refined by Lloyd rounds instead of taken from labels.
-    ``cells`` is the full-corpus (vec_id, cid, dist) assignment."""
+    ``cells`` is the full-corpus (vec_id, cid, dist) assignment.
+
+    ``rotate=False`` leaves the persisted handles OUT of the session's
+    latest-wins ``lloyd`` slot so a caller composing SEVERAL quantizers
+    into one plan (the ANN parameter sweep) can pin them all together
+    afterwards via ``pin_lloyd_handles`` — with per-call rotation the
+    second quantizer unpersisted the first's cells while the sweep's
+    final union still referenced them, and every config over the
+    rotated-out quantizer replayed its full Lloyd chain at action time
+    (measured: the 7-config sweep at sf0.1 spent >100 s in exactly
+    these replays, r12)."""
     comp = components(embs).persist()
     assigned, cents = _lloyd_loop(comp, k, iters)
-    cells = assign(comp, cents).persist()
-    cells.count()
-    assigned.unpersist()
+    # eager localCheckpoint: materialized AND plan-truncated, so any
+    # number of downstream subtrees read a flat LogicalRDD instead of
+    # re-embedding the Lloyd chain (see _lloyd_loop's r12 note)
+    cells = assign(comp, cents).localCheckpoint()
+    release_iter_handle(assigned)
     comp.unpersist()
-    _rotate_handles([cells, cents])
+    if rotate:
+        _rotate_handles([cells, cents])
     return cells, cents
+
+
+def pin_lloyd_handles(frames: list[DataFrame]) -> None:
+    """Rotate ALL of ``frames`` into the session's ``lloyd`` slot at
+    once — the multi-quantizer companion to ``kmeans_cells(...,
+    rotate=False)``; the bound stays one slot per session, it just
+    holds one sweep's handles instead of one call's."""
+    _rotate_handles(frames)
 
 
 def kmeans_stats(embs: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:

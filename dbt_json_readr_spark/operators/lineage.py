@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import release_iter_handle
+
 
 def transitive_closure(edges: DataFrame, max_iters: int = 30) -> DataFrame:
     """edges(child_unique_id, parent_unique_id) → (descendant, ancestor,
@@ -24,11 +26,14 @@ def transitive_closure(edges: DataFrame, max_iters: int = 30) -> DataFrame:
         F.col("parent_unique_id").alias("ancestor"),
         F.lit(1).alias("depth"),
     ).distinct()
-    # Cache discipline: every persist() here is either unpersisted once
-    # its successor is MATERIALIZED (count/isEmpty below — never release
-    # a handle that later plans would recompute through), or is the
-    # returned result.  Exactly one handle stays pinned at exit; on a
-    # 100×-deep graph storage stays O(|closure|), not O(depth·|closure|).
+    # Cache + LINEAGE discipline (r12, guide §3.3): per-round results
+    # localCheckpoint — eager (materialized before parents release,
+    # same memory bound as before: one handle pinned at exit,
+    # O(|closure|) storage) AND plan-truncating, so round N's logical
+    # plan no longer embeds round N-1's (the persist()-only form left
+    # the analyzer an exponentially-nested tree on deep graphs — the
+    # driver-side planning cost that dominated the iterative keys;
+    # same fix as operators/graph.py / kmeans.py).
     closure = base.persist()
     frontier = closure
     for _ in range(max_iters):
@@ -44,19 +49,19 @@ def transitive_closure(edges: DataFrame, max_iters: int = 30) -> DataFrame:
         )
         new = grown.join(
             closure, on=["descendant", "ancestor", "depth"], how="left_anti"
-        ).persist()
+        ).localCheckpoint()
         if new.isEmpty():
-            new.unpersist()
+            release_iter_handle(new)
             break
-        nxt = closure.union(new).persist()
-        nxt.count()  # materialize before releasing the lineage parents
+        nxt = closure.union(new).localCheckpoint()
         prev_closure, prev_frontier = closure, frontier
         closure, frontier = nxt, new
-        prev_closure.unpersist()
+        release_iter_handle(prev_closure)
         if prev_frontier is not prev_closure:
-            prev_frontier.unpersist()
+            release_iter_handle(prev_frontier)
     if frontier is not closure:
-        frontier.unpersist()  # its rows are a subset of the cached union
+        # its rows are a subset of the cached union
+        release_iter_handle(frontier)
     return closure
 
 
@@ -80,8 +85,8 @@ def pagerank(all_nodes: DataFrame, edges: DataFrame, iters: int = 10) -> DataFra
         F.col("child_unique_id").alias("c"), F.col("parent_unique_id").alias("p")
     ).distinct()
     ew = e.join(e.groupBy("c").agg(F.count(F.lit(1)).alias("outdeg")), "c")
-    ranks = ids.select("id", F.lit(PR_SCALE).cast("long").alias("rank")).persist()
-    ranks.count()
+    # per-round localCheckpoint (r12): see transitive_closure's note
+    ranks = ids.select("id", F.lit(PR_SCALE).cast("long").alias("rank")).localCheckpoint()
     for _ in range(iters):
         contribs = (
             ew.join(ranks, ew.c == ranks.id)
@@ -100,10 +105,9 @@ def pagerank(all_nodes: DataFrame, edges: DataFrame, iters: int = 10) -> DataFra
                     )
                 ).alias("rank"),
             )
-            .persist()
+            .localCheckpoint()
         )
-        nxt.count()
-        ranks.unpersist()
+        release_iter_handle(ranks)
         ranks = nxt
     return ranks.select(F.col("id").alias("unique_id"), F.col("rank").alias("rank_fp"))
 
@@ -126,8 +130,10 @@ def critical_path(nodes_w: DataFrame, edges: DataFrame, max_iters: int = 30) -> 
         F.col("child_unique_id").alias("c"), F.col("parent_unique_id").alias("p")
     ).distinct()
     nodes = nodes_w.select("unique_id", F.col("wt_fp").cast("long").alias("wt_fp"))
-    cost = nodes.select("unique_id", "wt_fp", F.col("wt_fp").alias("critical_cost_fp")).persist()
-    cost.count()
+    # per-round localCheckpoint (r12): see transitive_closure's note
+    cost = nodes.select(
+        "unique_id", "wt_fp", F.col("wt_fp").alias("critical_cost_fp")
+    ).localCheckpoint()
     for _ in range(max_iters):
         pmax = (
             e.join(cost, e.p == cost.unique_id)
@@ -143,11 +149,10 @@ def critical_path(nodes_w: DataFrame, edges: DataFrame, max_iters: int = 30) -> 
                     "critical_cost_fp"
                 ),
             )
-            .persist()
+            .localCheckpoint()
         )
-        nxt.count()
         done = nxt.join(cost, ["unique_id", "critical_cost_fp"], "left_anti").isEmpty()
-        cost.unpersist()
+        release_iter_handle(cost)
         cost = nxt
         if done:
             break

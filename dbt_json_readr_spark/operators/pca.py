@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import release_iter_handle
 from .kmeans import QUANT, components
 
 
@@ -71,10 +72,14 @@ def power_iteration_topvec(embs: DataFrame, iters: int = 5) -> DataFrame:
     centered = centered_components(embs)
     cov = gram_matrix(centered).persist()
     cov.count()
+    # per-round vectors localCheckpoint (r12, guide §3.3): persist()
+    # kept the data but let each round's LOGICAL plan embed the
+    # previous round's — after `iters` rounds the analyzer walked an
+    # exponentially-nested tree (driver-side planning dominated the
+    # operator; same fix as operators/kmeans.py / graph.py)
     x = cov.select(F.col("i").alias("dim")).distinct().select(
         "dim", F.lit(QUANT).cast("long").alias("x")
-    ).persist()
-    x.count()
+    ).localCheckpoint()
     for _ in range(iters):
         y = (
             cov.join(F.broadcast(x.withColumnRenamed("dim", "j")), "j")
@@ -88,10 +93,9 @@ def power_iteration_topvec(embs: DataFrame, iters: int = 5) -> DataFrame:
                 F.col("i").alias("dim"),
                 F.expr(f"y div greatest(mx div {QUANT}L, 1L)").cast("long").alias("x"),
             )
-            .persist()
+            .localCheckpoint()
         )
-        nxt.count()
-        x.unpersist()
+        release_iter_handle(x)
         x = nxt
     cov.unpersist()
     return x.select("dim", F.col("x").alias("eigvec_fp")).orderBy("dim")

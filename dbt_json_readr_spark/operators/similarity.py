@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from ..functions import vectors as V
-from ..session import spread
+from ..session import release_iter_handle, spread
 from .dedup import embedding_bucket
 
 
@@ -264,12 +264,15 @@ def pq_train_codebooks(
     replays the identical rounds bit-for-bit, the same contract as
     operators/kmeans.py.  ``comp_sub`` should be persisted by the
     caller (it is scanned ``2·iters + 1`` times)."""
+    # eager localCheckpoint per round (r12, guide §3.3 — same lineage
+    # truncation as operators/kmeans.py): persist() kept the data warm
+    # but left each round's logical plan embedding the previous
+    # round's, and ADC consumers compose this tree several times over
     cent = (
         comp_sub.filter(F.col("vec_id") < n_codes)
         .select("ss", F.col("vec_id").cast("int").alias("code"), "sd", F.col("qv").alias("qc"))
-        .persist()
+        .localCheckpoint()
     )
-    cent.count()
     for _ in range(iters):
         assigned = _pq_codebook_assign(comp_sub, cent)
         prev = cent
@@ -281,10 +284,9 @@ def pq_train_codebooks(
                 .cast("long")
                 .alias("qc")
             )
-            .persist()
+            .localCheckpoint()
         )
-        cent.count()
-        prev.unpersist()
+        release_iter_handle(prev)
     return cent
 
 
@@ -324,10 +326,17 @@ def kmeans_ivf_topk(
     return ivf_topk_from_cells(queries, corpus, cells, cents, k=k, nprobe=nprobe)
 
 
-def kmeans_probe(queries: DataFrame, cents: DataFrame, nprobe: int) -> DataFrame:
+def kmeans_probe(
+    queries: DataFrame, cents: DataFrame, nprobe: int, with_rank: bool = False
+) -> DataFrame:
     """(query_id, cid): the ``nprobe`` nearest trained cells per query —
     integer squared-L2 against the broadcast centroids, bit-exact
-    argmin (same fixed-point arithmetic as training)."""
+    argmin (same fixed-point arithmetic as training).  ``with_rank``
+    additionally returns the probe rank (1 = nearest cell), which lets
+    a sweep evaluate every smaller nprobe from ONE probed frame by
+    filtering ``probe_rank <= p`` — the rank order is the same total
+    (dist, cid) order that defines nprobe membership, so the filtered
+    frame is exactly the nprobe=p probe set."""
     from . import kmeans as KM
 
     qcomp = KM.components(queries)
@@ -338,10 +347,57 @@ def kmeans_probe(queries: DataFrame, cents: DataFrame, nprobe: int) -> DataFrame
         .agg(F.sum(diff * diff).alias("dist"))
     )
     probe_w = W.partitionBy("vec_id").orderBy("dist", "cid")
-    return (
+    ranked = (
         qdist.withColumn("rn", F.row_number().over(probe_w))
         .filter(F.col("rn") <= nprobe)
-        .select(F.col("vec_id").alias("query_id"), "cid")
+    )
+    if with_rank:
+        return ranked.select(
+            F.col("vec_id").alias("query_id"), "cid", F.col("rn").alias("probe_rank")
+        )
+    return ranked.select(F.col("vec_id").alias("query_id"), "cid")
+
+
+def ivf_scored_candidates(
+    queries: DataFrame,
+    corpus: DataFrame,
+    cells: DataFrame,
+    cents: DataFrame,
+    nprobe: int,
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine, probe_rank): every in-probed-cell
+    candidate scored ONCE, with the rank of the cell it came from — the
+    shared substrate of ``ivf_topk_from_cells`` and the parameter sweep
+    (r12): a corpus vector lives in exactly one cell, so the nprobe=p
+    result is precisely the ``probe_rank <= p`` slice of the
+    nprobe=max frame; scoring at max and slicing replaces one full
+    probe+score subtree per configuration."""
+    probed = kmeans_probe(queries, cents, nprobe, with_rank=True)
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), V.to_double(F.col("embedding")).alias("q_v")
+    ).withColumn("q_n", V.norm(F.col("q_v")))
+    c = (
+        spread(corpus)
+        .join(cells.select("vec_id", "cid"), "vec_id")
+        .select(
+            "cid",
+            F.col("vec_id").alias("neighbor_id"),
+            V.to_double(F.col("embedding")).alias("c_v"),
+        )
+        .withColumn("c_n", V.norm(F.col("c_v")))
+    )
+    return (
+        F.broadcast(probed.join(q, "query_id"))
+        .join(c, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            V.cosine_prenormed(
+                F.col("q_v"), F.col("c_v"), F.col("q_n"), F.col("c_n")
+            ).alias("cosine"),
+            "probe_rank",
+        )
     )
 
 
@@ -356,32 +412,16 @@ def ivf_topk_from_cells(
     """The probe-then-score half of kmeans_ivf_topk, split out so sweep
     evaluations (plans/llm.py ann_sweep_eval) can reuse ONE trained
     quantizer across several nprobe settings."""
-    probed = kmeans_probe(queries, cents, nprobe)
-    q = queries.select(
-        F.col("vec_id").alias("query_id"), V.to_double(F.col("embedding")).alias("q_v")
-    ).withColumn("q_n", V.norm(F.col("q_v")))
-    c = (
-        spread(corpus)
-        .join(cells.select("vec_id", "cid"), "vec_id")
-        .select(
-            "cid",
-            F.col("vec_id").alias("neighbor_id"),
-            V.to_double(F.col("embedding")).alias("c_v"),
-        )
-        .withColumn("c_n", V.norm(F.col("c_v")))
-    )
+    scored = ivf_scored_candidates(queries, corpus, cells, cents, nprobe)
+    return topk_from_scored(scored.drop("probe_rank"), k)
+
+
+def topk_from_scored(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k over an already-scored candidate frame — the
+    final window of every IVF read, shared so sweep configs derived by
+    ``probe_rank`` slicing rank identically to the direct path."""
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
-        F.broadcast(probed.join(q, "query_id"))
-        .join(c, "cid")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            V.cosine_prenormed(
-                F.col("q_v"), F.col("c_v"), F.col("q_n"), F.col("c_n")
-            ).alias("cosine"),
-        )
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )

@@ -659,7 +659,17 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     embs = load(spark, sf_dir, "embeddings")
     qs = embs.filter(F.col("vec_id") < _ANN_NQ)
-    bf = S.brute_force_topk(qs, embs, k=_ANN_K).select("query_id", "neighbor_id")
+    # the exact baseline feeds every method/config/width overlap join
+    # below — without a pin each consumer replays the full interpreted-
+    # cosine cross-join (the dominant cost of these eval keys, r12);
+    # the pinned frame is only n_queries·k narrow rows, and the three
+    # eval keys share ONE cache entry (identical canonical plan)
+    bf = (
+        S.brute_force_topk(qs, embs, k=_ANN_K)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    rotate_cached("ann_bf_truth", [bf])
 
     def _method(method: str, ann: DataFrame) -> DataFrame:
         overlap = (
@@ -922,7 +932,17 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # --- minhash: truth (exact jaccard on shingle sets) vs candidates
-    sets = D.shingle_sets(stratum, k=_MH_K)
+    # explicit repartition of the aggregated sets frame (r12): it is a
+    # few MB, so AQE coalesces it to ONE post-shuffle partition — the
+    # all-pairs truth join then ran its per-pair set intersections
+    # single-threaded (measured: three ~10 s one-task stages at sf0.1)
+    # and the broadcast BUILD side computed every collect_set in one
+    # task too.  Bytes under-state compute here; a user
+    # REPARTITION_BY_NUM is exempt from AQE coalescing, so both sides
+    # keep the host's parallelism (40 → ~14 s at sf0.1).
+    sets = D.shingle_sets(stratum, k=_MH_K).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     a, b = sets.alias("a"), sets.alias("b")
     _inter = F.size(F.array_intersect("a.sh", "b.sh"))
     jac = (
@@ -2623,7 +2643,17 @@ def ann_dim_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     embs = load(spark, sf_dir, "embeddings")
     qs = embs.filter(F.col("vec_id") < _ANN_NQ)
-    bf = S.brute_force_topk(qs, embs, k=_ANN_K).select("query_id", "neighbor_id")
+    # the exact baseline feeds every method/config/width overlap join
+    # below — without a pin each consumer replays the full interpreted-
+    # cosine cross-join (the dominant cost of these eval keys, r12);
+    # the pinned frame is only n_queries·k narrow rows, and the three
+    # eval keys share ONE cache entry (identical canonical plan)
+    bf = (
+        S.brute_force_topk(qs, embs, k=_ANN_K)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    rotate_cached("ann_bf_truth", [bf])
     denom = qs.agg((F.count(F.lit(1)) * _ANN_K).cast("long").alias("n_possible"))
     out = None
     for d in _ABLATION_DIMS:
@@ -2703,7 +2733,17 @@ def ann_sweep_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     embs = load(spark, sf_dir, "embeddings")
     qs = embs.filter(F.col("vec_id") < _ANN_NQ)
-    bf = S.brute_force_topk(qs, embs, k=_ANN_K).select("query_id", "neighbor_id")
+    # the exact baseline feeds every method/config/width overlap join
+    # below — without a pin each consumer replays the full interpreted-
+    # cosine cross-join (the dominant cost of these eval keys, r12);
+    # the pinned frame is only n_queries·k narrow rows, and the three
+    # eval keys share ONE cache entry (identical canonical plan)
+    bf = (
+        S.brute_force_topk(qs, embs, k=_ANN_K)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    rotate_cached("ann_bf_truth", [bf])
     denom = qs.agg(
         (F.count(F.lit(1)) * _ANN_K).cast("long").alias("n_possible"),
         F.count(F.lit(1)).cast("long").alias("n_queries"),
@@ -2712,18 +2752,40 @@ def ann_sweep_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import kmeans as KM
 
     out = None
+    pinned = []
     for iters in sorted({i for i, _ in _SWEEP_CONFIGS}):
-        cells, cents = KM.kmeans_cells(embs, k=_KM_K, iters=iters)
+        # rotate=False: BOTH quantizers' cells/cents must stay pinned
+        # until the sweep's one action runs — per-call rotation
+        # unpersisted the iters=2 handles when iters=5 built, and the
+        # final union replayed the whole Lloyd chain per config (r12:
+        # >100 s of the sweep's 133 s cold at sf0.1 was these replays)
+        cells, cents = KM.kmeans_cells(embs, k=_KM_K, iters=iters, rotate=False)
+        pinned += [cells, cents]
         sizes = cells.groupBy("cid").agg(F.count(F.lit(1)).alias("cn"))
-        for it, nprobe in _SWEEP_CONFIGS:
-            if it != iters:
-                continue
-            topk = S.ivf_topk_from_cells(qs, embs, cells, cents, k=_ANN_K, nprobe=nprobe)
+        probes = [np for it, np in _SWEEP_CONFIGS if it == iters]
+        # probe and score ONCE per quantizer at the LARGEST nprobe,
+        # keeping the probe rank: a corpus vector lives in exactly one
+        # cell, so every smaller-nprobe config is the probe_rank <= p
+        # slice of these two pinned frames — one probe+score subtree
+        # per quantizer instead of one per configuration (r12; this
+        # and the pinned exact baseline took the sweep from ~125 s to
+        # ~17 s at sf0.1)
+        probed = S.kmeans_probe(qs, cents, max(probes), with_rank=True).persist()
+        scored = S.ivf_scored_candidates(
+            qs, embs, cells, cents, max(probes)
+        ).persist()
+        pinned += [probed, scored]
+        for nprobe in probes:
+            topk = S.topk_from_scored(
+                scored.filter(F.col("probe_rank") <= nprobe).drop("probe_rank"),
+                _ANN_K,
+            )
             overlap = bf.join(
                 topk.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
             ).agg(F.count(F.lit(1)).cast("long").alias("total_overlap"))
             scanned = (
-                S.kmeans_probe(qs, cents, nprobe)
+                probed.filter(F.col("probe_rank") <= nprobe)
+                .drop("probe_rank")
                 .join(F.broadcast(sizes), "cid")
                 .agg(F.sum("cn").cast("long").alias("scanned_rows"))
             )
@@ -2746,6 +2808,7 @@ def ann_sweep_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
             out = row if out is None else out.unionAll(row)
+    KM.pin_lloyd_handles(pinned)
     return out.orderBy("method")
 
 

@@ -55,10 +55,15 @@ def get_spark(app_name: str = "dbt_json_readr_spark") -> SparkSession:
         # wide queries fills the default 240 MB JIT code cache, after
         # which HotSpot stops compiling and hot loops run interpreted
         # (measured: the LSH sketch goes 7 s → 18 s cold when benched
-        # after five other queries).  512 MB + flushing keeps C2 alive.
+        # after five other queries).  512 MB + flushing kept C2 alive
+        # through r11; r12's wider bench session (auto-gated verify
+        # shapes compile both broadcast joins, the sweep keys add
+        # per-config windows) pushed flushing into the LAKE keys —
+        # iceberg_snapshot_read got SLOWER run-over-run (2.3→4.2 s)
+        # while its first run matched r11, the deopt signature — so 1g.
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
         )
         .config("spark.ui.enabled", "false")
     )
@@ -171,6 +176,25 @@ def live_cached(slot: str, session) -> list:
     """The frames currently pinned for (session, slot) — test hook for
     the ≤N-live-handles regression contracts."""
     return list(_CACHE_SLOTS.get(session, {}).get(slot, []))
+
+
+def release_iter_handle(df) -> None:
+    """Free a superseded ITERATION intermediate's storage NOW, whether
+    it was ``persist()``-ed or ``localCheckpoint()``-ed.  For
+    checkpointed frames ``DataFrame.unpersist()`` is a silent no-op (it
+    only touches the CacheManager, which a checkpointed plan is not
+    in), so without this the per-round blocks of an iterative operator
+    linger until Python GC + ContextCleaner — exactly the unbounded
+    accumulation the handle-count pins forbid (VERDICT r1 #6).  The
+    frame is UNUSABLE afterwards (checkpoint blocks cannot recompute);
+    callers release only intermediates nothing references."""
+    df.unpersist()
+    try:
+        an = df._jdf.queryExecution().analyzed()
+        if an.getClass().getSimpleName() == "LogicalRDD":
+            an.rdd().unpersist(False)
+    except Exception:
+        pass
 
 
 def observed(df, name: str, *metrics):
