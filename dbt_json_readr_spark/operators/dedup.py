@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..functions import hashing as H
 from ..functions import vectors as V
-from ..session import rotate_cached, spread
+from ..session import evict_cached, rotate_cached, spread
 
 DEFAULT_BUCKET_CAP = 2000
 # Per-doc candidate degree cap (r6, VERDICT r5 item 3): the bucket cap
@@ -44,6 +44,31 @@ DEFAULT_DEGREE_CAP = 16
 # default 1-4 GiB driver, far under spark.sql.autoBroadcastJoinThreshold
 # ambitions for explicit broadcasts of this width.
 DEFAULT_BROADCAST_CAND_CAP = 5_000_000
+# r13: auto-gate bound for broadcasting the per-doc SET side of the
+# verify joins instead of the candidate side.  At sf1 the unhinted set
+# join degraded to a SortMergeJoin that sorted 4.1M candidate rows
+# carrying ~2 KB shingle arrays through an exchange (measured 307
+# CPU·s; with both set sides broadcast every join is a BroadcastHash-
+# Join and no array ever crosses an exchange — 212 CPU·s, and 107 with
+# the eval_once barrier).  The estimate is raw set bytes from a cheap
+# aggregate over the CACHED sketch; past the cap the candidate side
+# broadcasts as before (r12 posture: the planner handles set joins).
+DEFAULT_SET_BCAST_BYTES_CAP = 256 * 1024 * 1024
+
+
+def eval_once(expr, alias: str):
+    """Generate-node barrier around an expensive per-row expression
+    (r13, guide §4.4's duplicate-evaluation problem at the expression
+    level): a threshold filter over a projected column gets pushed into
+    the join condition below it, so the expression (array_intersect
+    over ~240-element sets; the unrolled dot) is evaluated TWICE per
+    surviving row — once in the condition, once in the projection.
+    Exploding a one-element array turns the projection into a Generate
+    whose output the filter references, and Catalyst does not push
+    predicates past the generator that produces their input — one
+    evaluation, same rows, same values.  Measured on the sf1 jaccard
+    verify: 228 → 107 CPU·s with join shapes held fixed."""
+    return F.explode(F.array(expr)).alias(alias)
 
 
 def normalize_text(col):
@@ -90,7 +115,7 @@ def _minhash_candidates(
     return _cand_from_mins(mins, n_hashes, bands, bucket_cap)
 
 
-def _per_doc_sketch(rows: DataFrame, n_hashes: int) -> DataFrame:
+def _per_doc_sketch(rows: DataFrame, n_hashes: int, rotate: bool = True) -> DataFrame:
     """One combined pass: per-doc minhash lanes AND the distinct shingle
     set from a single scan + single aggregation.  The sketch and verify
     stages both consume this frame; without the cache each would re-run
@@ -111,9 +136,30 @@ def _per_doc_sketch(rows: DataFrame, n_hashes: int) -> DataFrame:
     # latest-wins rotation keyed per SparkSession (session.rotate_cached):
     # repeated invocations pin at most ONE cached frame per session —
     # same discipline as operators/kmeans.py, regression-tested in
-    # tests/test_plans.py.
-    rotate_cached("minhash_sketch", [per_doc])
+    # tests/test_plans.py.  rotate=False is for sweeps that must hold
+    # SEVERAL k-levels' sketches live until their one action runs
+    # (dedup_k_sweep) — the caller then rotates the whole pinned list
+    # into its own slot, same posture as kmeans' pin_lloyd_handles.
+    if rotate:
+        rotate_cached("minhash_sketch", [per_doc])
     return per_doc
+
+
+def set_side_broadcastable(
+    per_doc: DataFrame, cap_bytes: int = DEFAULT_SET_BCAST_BYTES_CAP
+) -> bool:
+    """True when the per-doc shingle-set frame is small enough to ship
+    as the BUILD side of the two verify hash joins (raw bytes ≈ 8 per
+    shingle + 24 per doc row, estimated by one aggregate over the
+    already-cached sketch — a plan-build probe of the same class as the
+    auto-gate's candidate count).  Scale posture: sets grow with the
+    corpus while candidates are cap-bounded, so past this gate the r12
+    broadcast-candidates shape runs unchanged."""
+    row = per_doc.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.size("sh")).alias("tot")
+    ).first()
+    est = (row["tot"] or 0) * 8 + (row["n"] or 0) * 24
+    return est <= cap_bytes
 
 
 def _cand_from_mins(
@@ -195,6 +241,52 @@ def shingle_sets(docs: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def _verify_jaccard_pairs(
+    per_doc: DataFrame, cand: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-jaccard verification of ``cand`` against the fused cached
+    sketch — the broadcast verify shape shared by ``minhash_lsh_pairs``
+    and the per-k sweep (plans/llm.py dedup_k_sweep).  Side choice is
+    auto-gated (r13): a small per-doc SET frame becomes the broadcast
+    BUILD side of both hash joins and the (bigger, cap-bounded)
+    candidate pairs stream — no shingle array ever crosses an exchange
+    at ANY candidate volume.  Past the set cap, the r12 shape runs:
+    candidates broadcast, set joins left to the planner.  The sf1
+    evidence for the gate: unhinted, AQE elected a SortMergeJoin that
+    sorted 4.1M pair rows carrying ~2 KB arrays (19.7 s / 307 CPU·s);
+    set-broadcast + eval_once runs 4.6 s / 107 CPU·s, identical
+    250,224 output rows."""
+    sets = per_doc.select("doc_id", "sh")
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    if set_side_broadcastable(per_doc):
+        joined = cand.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+    else:
+        joined = F.broadcast(cand).join(sa, "doc_a").join(sb, "doc_b")
+    # |A∪B| = |A|+|B|−|A∩B| over the (distinct) shingle sets —
+    # numerically identical to size(array_union(...)); the eval_once
+    # barrier keeps the threshold filter from re-evaluating the
+    # intersect inside the join condition.
+    return (
+        joined.select(
+            "doc_a",
+            "doc_b",
+            F.size("sh_a").alias("_na"),
+            F.size("sh_b").alias("_nb"),
+            eval_once(F.size(F.array_intersect("sh_a", "sh_b")), "_inter"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("_inter").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     k: int = 5,
@@ -251,40 +343,29 @@ def minhash_lsh_pairs(
         broadcast_verify = n_cand <= broadcast_cand_cap
         if not broadcast_verify:
             # bailing to the shuffle shape: the per-doc sets will not be
-            # read — release the fused sketch cache now, keep only the
-            # (narrow) candidate pairs.
-            per_doc.unpersist()
+            # read — release the fused sketch cache now AND clear its
+            # slot registration (evict_cached, ADVICE r12: a bare
+            # unpersist left a dead handle in 'minhash_sketch'), keep
+            # only the (narrow) candidate pairs.
+            evict_cached("minhash_sketch", per_doc)
             per_doc = None
     if broadcast_verify:
-        # Candidate pairs broadcast; the per-doc shingle SETS then
-        # stream map-side through both hash joins in one codegen stage —
-        # no shingle array ever crosses an exchange.  Right when the
-        # deduped candidate set fits the driver (band buckets are
-        # cap-bounded, so candidates ≤ bands · Σ C(bucket,2) and in
-        # practice ~10× the true-pair count).  Sketch mins and sets
-        # come from ONE cached scan+agg (_per_doc_sketch).
+        # Verify joins over the fused cached sketch (_per_doc_sketch).
+        # Side choice is auto-gated (r13): when the per-doc SET frame is
+        # small enough it becomes the broadcast BUILD side of both hash
+        # joins and the (bigger, cap-bounded) candidate pairs stream —
+        # no shingle array ever crosses an exchange at ANY candidate
+        # volume.  Past the set cap, the r12 shape runs: candidates
+        # broadcast, set joins left to the planner.  The sf1 evidence
+        # for the gate: unhinted, AQE elected a SortMergeJoin that
+        # sorted 4.1M pair rows carrying ~2 KB arrays (19.7 s / 307
+        # CPU·s); set-broadcast + eval_once runs 4.6 s / 107 CPU·s,
+        # identical 250,224 output rows.
         if per_doc is None:
             per_doc = _per_doc_sketch(rows, n_hashes)
         if cand is None:
             cand = _cand_from_mins(per_doc.drop("sh"), n_hashes, bands, bucket_cap)
-        sets = per_doc.select("doc_id", "sh")
-        inter = F.size(F.array_intersect("sh_a", "sh_b"))
-        # |A∪B| = |A|+|B|−|A∩B| over the (distinct) shingle sets —
-        # numerically identical to size(array_union(...)) but skips
-        # allocating and hash-deduping a union array per pair; codegen
-        # subexpression elimination shares the one array_intersect.
-        union = F.size("sh_a") + F.size("sh_b") - inter
-        return (
-            F.broadcast(cand)
-            .join(sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
-            .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
-            .select(
-                "doc_a",
-                "doc_b",
-                (inter.cast("double") / union.cast("double")).alias("jaccard"),
-            )
-            .filter(F.col("jaccard") >= threshold)
-        )
+        return _verify_jaccard_pairs(per_doc, cand, threshold)
     # All-shuffle fallback for corpora where the candidate set itself is
     # too large to broadcast: intersection sizes come from joining the
     # NARROW (doc_id, sh) shingle rows through the pairs — every shuffle
@@ -343,16 +424,24 @@ def minhash_incremental_pairs(
     collect (doc_id, is_inc) — 16 B per member, still cap-bounded.
     Returns (doc_a, doc_b, jaccard, pair_type) with pair_type
     'cross' (base↔incoming) or 'new' (incoming↔incoming)."""
+    from pyspark import StorageLevel
+
     tagged = base.select("doc_id", "text").withColumn(
         "is_inc", F.lit(False)
     ).unionByName(incoming.select("doc_id", "text").withColumn("is_inc", F.lit(True)))
     rows = _shingle_rows(tagged, k)
     flags = tagged.select("doc_id", "is_inc")
     lanes = rows.select("doc_id", "sh", *H.minhash_lane_cols(F.col("sh"), n_hashes))
+    # persisted (r13): the sketch feeds the band stage AND both verify
+    # set sides — one scan+agg instead of three.  Its OWN rotation slot:
+    # the tagged-union input plan is never sameSemantics with the plain
+    # corpus sketch, so sharing 'minhash_sketch' would evict the entry
+    # every other dedup key in the session reads.
     per_doc = lanes.groupBy("doc_id").agg(
         *[F.min(f"mh{i}").alias(f"mh{i}") for i in range(n_hashes)],
         F.collect_set("sh").alias("sh"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    rotate_cached("minhash_sketch_inc", [per_doc])
     mins = per_doc.drop("sh").join(flags, "doc_id")
     r = n_hashes // bands
     banded = (
@@ -404,17 +493,29 @@ def minhash_incremental_pairs(
         .dropDuplicates(["doc_a", "doc_b"])
     )
     sets = per_doc.select("doc_id", "sh")
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    # same |A|+|B|−|A∩B| identity as the full-LSH verify above
-    union = F.size("sh_a") + F.size("sh_b") - inter
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # same r13 side gate + eval_once barrier as the full-LSH verify
+    if set_side_broadcastable(per_doc):
+        joined = cand.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+    else:
+        joined = F.broadcast(cand).join(sa, "doc_a").join(sb, "doc_b")
     return (
-        F.broadcast(cand)
-        .join(sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
-        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        joined.select(
+            "doc_a",
+            "doc_b",
+            "both_inc",
+            F.size("sh_a").alias("_na"),
+            F.size("sh_b").alias("_nb"),
+            eval_once(F.size(F.array_intersect("sh_a", "sh_b")), "_inter"),
+        )
         .select(
             "doc_a",
             "doc_b",
-            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+            (
+                F.col("_inter").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double")
+            ).alias("jaccard"),
             F.when(F.col("both_inc"), F.lit("new")).otherwise(F.lit("cross")).alias("pair_type"),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -455,10 +556,21 @@ def simhash_values(docs: DataFrame) -> DataFrame:
 
 
 def simhash_band_pairs(
-    docs: DataFrame, bucket_cap: int = DEFAULT_BUCKET_CAP
+    docs: DataFrame,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
+    max_hamming: int | None = None,
 ) -> DataFrame:
     """All same-band candidate pairs with their exact hamming distance
-    (pre-threshold) — the measurable half of the banding guarantee."""
+    (pre-threshold) — the measurable half of the banding guarantee.
+
+    ``max_hamming`` (r13, guide §2.2 — shuffle fewer bytes): when the
+    caller will threshold anyway (simhash_pairs), the filter is applied
+    BEFORE the cross-band dropDuplicates.  hamming is functionally
+    determined by the pair (same two simhashes wherever the pair
+    recurs), so filter-then-dedup emits exactly dedup-then-filter's
+    rows — but the dedup exchange shuffles the few surviving pairs
+    instead of every same-band candidate (~3M rows at sf0.1, birthday
+    pairs over 256 byte-values, nearly all hamming > 3)."""
     sims = simhash_values(docs)
     banded = sims.select(
         "doc_id",
@@ -495,15 +607,14 @@ def simhash_band_pairs(
             )
         )
     )
-    return (
-        members.select(pair.alias("p"))
-        .select(
-            F.least("p.a.doc_id", "p.b.doc_id").alias("doc_a"),
-            F.greatest("p.a.doc_id", "p.b.doc_id").alias("doc_b"),
-            H.hamming32(F.col("p.a.simhash"), F.col("p.b.simhash")).alias("hamming"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+    scored = members.select(pair.alias("p")).select(
+        F.least("p.a.doc_id", "p.b.doc_id").alias("doc_a"),
+        F.greatest("p.a.doc_id", "p.b.doc_id").alias("doc_b"),
+        H.hamming32(F.col("p.a.simhash"), F.col("p.b.simhash")).alias("hamming"),
     )
+    if max_hamming is not None:
+        scored = scored.filter(F.col("hamming") <= max_hamming)
+    return scored.dropDuplicates(["doc_a", "doc_b"])
 
 
 def simhash_pairs(
@@ -515,9 +626,10 @@ def simhash_pairs(
     Band buckets above ``bucket_cap`` are excluded before pairing — same
     quadratic guard as minhash (a degenerate band value must not O(n²)
     the run)."""
-    return simhash_band_pairs(docs, bucket_cap).filter(
-        F.col("hamming") <= max_hamming
-    )
+    # threshold pushed below the cross-band dedup (see
+    # simhash_band_pairs max_hamming) — identical rows, the dedup
+    # exchange carries only the surviving near-dup pairs
+    return simhash_band_pairs(docs, bucket_cap, max_hamming=max_hamming)
 
 
 def token_jaccard_pairs(
@@ -550,14 +662,27 @@ def token_jaccard_pairs(
             )
         )
     )
-    inter = F.size(F.array_intersect("p.a.tok", "p.b.tok"))
-    union = F.size(F.array_union("p.a.tok", "p.b.tok"))
+    # |A∪B| = |A|+|B|−|A∩B| (exact on the distinct token sets — r13,
+    # same identity as the minhash verify) and the eval_once barrier so
+    # the threshold filter does not re-evaluate the intersect below the
+    # projection (the pair Generate blocks pushdown of the predicate
+    # but not the duplicate evaluation in a pushed-through filter)
     return (
         members.select(pair.alias("p"))
         .select(
             F.least("p.a.doc_id", "p.b.doc_id").alias("doc_a"),
             F.greatest("p.a.doc_id", "p.b.doc_id").alias("doc_b"),
-            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+            F.size("p.a.tok").alias("_na"),
+            F.size("p.b.tok").alias("_nb"),
+            eval_once(F.size(F.array_intersect("p.a.tok", "p.b.tok")), "_inter"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("_inter").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double")
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -655,9 +780,13 @@ def embedding_cosine_pairs(
     cand = embedding_candidate_pairs(embs, bucket_cap)
     if broadcast_verify:
         cand = F.broadcast(cand)
+    # r13: width-unrolled codegen dot (bit-identical left fold) and the
+    # eval_once barrier so the threshold filter does not re-evaluate the
+    # dot in the join condition — same rows, one fold per pair
+    width = V.probe_width(embs)
     vecs = spread(embs).select(
         "vec_id", V.to_double(F.col("embedding")).alias("v")
-    ).withColumn("n", V.norm(F.col("v")))
+    ).withColumn("n", V.norm_w("v", width))
     return (
         cand
         .join(
@@ -675,9 +804,14 @@ def embedding_cosine_pairs(
         .select(
             "vec_a",
             "vec_b",
-            V.cosine_prenormed(
-                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
-            ).alias("cosine"),
+            "na",
+            "nb",
+            eval_once(V.dot_w("va", "vb", width), "dp"),
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            (F.col("dp") / (F.col("na") * F.col("nb"))).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -869,22 +1003,36 @@ def minhash_containment_pairs(
         broadcast_verify = n_cand <= broadcast_cand_cap
         if not broadcast_verify:
             # bailing to the shuffle shape: the per-doc sets will not
-            # be read — release the fused sketch cache now
-            per_doc.unpersist()
+            # be read — release the fused sketch cache and clear its
+            # slot registration (evict_cached, ADVICE r12)
+            evict_cached("minhash_sketch", per_doc)
             per_doc = None
     if broadcast_verify:
+        # same r13 side gate + eval_once barrier as the jaccard verify:
+        # small set frames broadcast (pairs stream, no array exchanges),
+        # big ones fall back to the r12 broadcast-candidates shape; the
+        # intersect is computed once per pair either way
         sets = per_doc.select("doc_id", "sh")
-        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+        sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+        if set_side_broadcastable(per_doc):
+            joined = cand.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+        else:
+            joined = F.broadcast(cand).join(sa, "doc_a").join(sb, "doc_b")
         pairs = (
-            F.broadcast(cand)
-            .join(sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
-            .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+            joined.select(
+                "doc_a",
+                "doc_b",
+                F.size("sh_a").alias("_na"),
+                F.size("sh_b").alias("_nb"),
+                eval_once(F.size(F.array_intersect("sh_a", "sh_b")), "_inter"),
+            )
             .select(
                 "doc_a",
                 "doc_b",
-                inter.cast("int").alias("inter_n"),
-                (inter.cast("double") / F.size("sh_a").cast("double")).alias("cont_a_in_b"),
-                (inter.cast("double") / F.size("sh_b").cast("double")).alias("cont_b_in_a"),
+                F.col("_inter").cast("int").alias("inter_n"),
+                (F.col("_inter").cast("double") / F.col("_na").cast("double")).alias("cont_a_in_b"),
+                (F.col("_inter").cast("double") / F.col("_nb").cast("double")).alias("cont_b_in_a"),
             )
             .filter(
                 F.greatest(F.col("cont_a_in_b"), F.col("cont_b_in_a")) >= threshold

@@ -974,16 +974,15 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     stratum_emb = embs.filter(
         H.hash64(F.col("vec_id").cast("string"), "recall") < F.lit(_RECALL_THRESH)
     )
+    ewidth = V.probe_width(embs)
     estrat = stratum_emb.select(
         "vec_id", V.to_double(F.col("embedding")).alias("v")
-    ).withColumn("n", V.norm(F.col("v")))
+    ).withColumn("n", V.norm_w("v", ewidth))
     ea, eb = estrat.alias("a"), estrat.alias("b")
     truth_emb = (
         ea.join(F.broadcast(eb), F.col("a.vec_id") < F.col("b.vec_id"))
         .filter(
-            V.cosine_prenormed(
-                F.col("a.v"), F.col("b.v"), F.col("a.n"), F.col("b.n")
-            )
+            V.cosine_prenormed_w("a.v", "b.v", "a.n", "b.n", ewidth)
             >= _EC_TAU
         )
         .select(F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b"))
@@ -2753,62 +2752,67 @@ def ann_sweep_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = None
     pinned = []
-    for iters in sorted({i for i, _ in _SWEEP_CONFIGS}):
-        # rotate=False: BOTH quantizers' cells/cents must stay pinned
-        # until the sweep's one action runs — per-call rotation
-        # unpersisted the iters=2 handles when iters=5 built, and the
-        # final union replayed the whole Lloyd chain per config (r12:
-        # >100 s of the sweep's 133 s cold at sf0.1 was these replays)
-        cells, cents = KM.kmeans_cells(embs, k=_KM_K, iters=iters, rotate=False)
-        pinned += [cells, cents]
-        sizes = cells.groupBy("cid").agg(F.count(F.lit(1)).alias("cn"))
-        probes = [np for it, np in _SWEEP_CONFIGS if it == iters]
-        # probe and score ONCE per quantizer at the LARGEST nprobe,
-        # keeping the probe rank: a corpus vector lives in exactly one
-        # cell, so every smaller-nprobe config is the probe_rank <= p
-        # slice of these two pinned frames — one probe+score subtree
-        # per quantizer instead of one per configuration (r12; this
-        # and the pinned exact baseline took the sweep from ~125 s to
-        # ~17 s at sf0.1)
-        probed = S.kmeans_probe(qs, cents, max(probes), with_rank=True).persist()
-        scored = S.ivf_scored_candidates(
-            qs, embs, cells, cents, max(probes)
-        ).persist()
-        pinned += [probed, scored]
-        for nprobe in probes:
-            topk = S.topk_from_scored(
-                scored.filter(F.col("probe_rank") <= nprobe).drop("probe_rank"),
-                _ANN_K,
-            )
-            overlap = bf.join(
-                topk.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
-            ).agg(F.count(F.lit(1)).cast("long").alias("total_overlap"))
-            scanned = (
-                probed.filter(F.col("probe_rank") <= nprobe)
-                .drop("probe_rank")
-                .join(F.broadcast(sizes), "cid")
-                .agg(F.sum("cn").cast("long").alias("scanned_rows"))
-            )
-            row = (
-                overlap.crossJoin(F.broadcast(scanned))
-                .crossJoin(F.broadcast(denom))
-                .crossJoin(F.broadcast(corpus_n))
-                .select(
-                    F.lit(f"ivf_i{iters}_p{nprobe}").alias("method"),
-                    "total_overlap",
-                    (
-                        F.col("total_overlap").cast("double")
-                        / F.col("n_possible").cast("double")
-                    ).alias("recall_at_k"),
-                    "scanned_rows",
-                    (
-                        F.col("scanned_rows").cast("double")
-                        / (F.col("n_queries") * F.col("n_corpus")).cast("double")
-                    ).alias("scanned_frac"),
+    # try/finally (ADVICE r12): an exception mid-sweep must still hand
+    # every already-pinned handle to the rotation slot, or the partial
+    # sweep's checkpointed frames stay outside any slot until GC
+    try:
+        for iters in sorted({i for i, _ in _SWEEP_CONFIGS}):
+            # rotate=False: BOTH quantizers' cells/cents must stay pinned
+            # until the sweep's one action runs — per-call rotation
+            # unpersisted the iters=2 handles when iters=5 built, and the
+            # final union replayed the whole Lloyd chain per config (r12:
+            # >100 s of the sweep's 133 s cold at sf0.1 was these replays)
+            cells, cents = KM.kmeans_cells(embs, k=_KM_K, iters=iters, rotate=False)
+            pinned += [cells, cents]
+            sizes = cells.groupBy("cid").agg(F.count(F.lit(1)).alias("cn"))
+            probes = [np for it, np in _SWEEP_CONFIGS if it == iters]
+            # probe and score ONCE per quantizer at the LARGEST nprobe,
+            # keeping the probe rank: a corpus vector lives in exactly one
+            # cell, so every smaller-nprobe config is the probe_rank <= p
+            # slice of these two pinned frames — one probe+score subtree
+            # per quantizer instead of one per configuration (r12; this
+            # and the pinned exact baseline took the sweep from ~125 s to
+            # ~17 s at sf0.1)
+            probed = S.kmeans_probe(qs, cents, max(probes), with_rank=True).persist()
+            scored = S.ivf_scored_candidates(
+                qs, embs, cells, cents, max(probes)
+            ).persist()
+            pinned += [probed, scored]
+            for nprobe in probes:
+                topk = S.topk_from_scored(
+                    scored.filter(F.col("probe_rank") <= nprobe).drop("probe_rank"),
+                    _ANN_K,
                 )
-            )
-            out = row if out is None else out.unionAll(row)
-    KM.pin_lloyd_handles(pinned)
+                overlap = bf.join(
+                    topk.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+                ).agg(F.count(F.lit(1)).cast("long").alias("total_overlap"))
+                scanned = (
+                    probed.filter(F.col("probe_rank") <= nprobe)
+                    .drop("probe_rank")
+                    .join(F.broadcast(sizes), "cid")
+                    .agg(F.sum("cn").cast("long").alias("scanned_rows"))
+                )
+                row = (
+                    overlap.crossJoin(F.broadcast(scanned))
+                    .crossJoin(F.broadcast(denom))
+                    .crossJoin(F.broadcast(corpus_n))
+                    .select(
+                        F.lit(f"ivf_i{iters}_p{nprobe}").alias("method"),
+                        "total_overlap",
+                        (
+                            F.col("total_overlap").cast("double")
+                            / F.col("n_possible").cast("double")
+                        ).alias("recall_at_k"),
+                        "scanned_rows",
+                        (
+                            F.col("scanned_rows").cast("double")
+                            / (F.col("n_queries") * F.col("n_corpus")).cast("double")
+                        ).alias("scanned_frac"),
+                    )
+                )
+                out = row if out is None else out.unionAll(row)
+    finally:
+        KM.pin_lloyd_handles(pinned)
     return out.orderBy("method")
 
 
@@ -3118,16 +3122,20 @@ def dedup_band_utility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("band").alias("min_band"))
     )
     sets = per_doc.select("doc_id", "sh")
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # r13 side gate (operators/dedup.py): small set frames broadcast so
+    # the pair rows stream and no shingle array crosses an exchange;
+    # past the cap the candidate side broadcasts as in r12
+    if D.set_side_broadcastable(per_doc):
+        joined = pairs.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+    else:
+        joined = F.broadcast(pairs).join(sa, "doc_a").join(sb, "doc_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     # |A∪B| = |A|+|B|−|A∩B|: same value, no union array built per pair
     union = F.size("sh_a") + F.size("sh_b") - inter
-    jac = (
-        F.broadcast(pairs)
-        .join(sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
-        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
-        .select(
-            "min_band", (inter.cast("double") / union.cast("double")).alias("j")
-        )
+    jac = joined.select(
+        "min_band", (inter.cast("double") / union.cast("double")).alias("j")
     )
     levels = spark.range(1, _MH_BANDS + 1).select(
         F.col("id").cast("int").alias("n_bands")
@@ -3603,25 +3611,34 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = keep.select(
         F.col("doc_id").alias("doc_b"), "lang", F.col("sh").alias("sh_b")
     )
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    cont_ab = inter.cast("double") / F.size("sh_a").cast("double")
-    cont_ba = inter.cast("double") / F.size("sh_b").cast("double")
+    # eval_once barrier (r13): without it the containment filter is
+    # pushed into the block join's condition and the array_intersect
+    # over full shingle-string arrays evaluates twice per pair
     pairs = (
         a.join(b, "lang")
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            F.col("lang"),
+            "block_n",
+            "doc_a",
+            "doc_b",
+            F.size("sh_a").alias("_na"),
+            F.size("sh_b").alias("_nb"),
+            D.eval_once(F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))), "_inter"),
+        )
         .select(
             F.lit("pair").alias("status"),
             F.col("lang").alias("block_lang"),
             "block_n",
             "doc_a",
             "doc_b",
-            inter.alias("inter_n"),
-            cont_ab.alias("cont_a_in_b"),
-            cont_ba.alias("cont_b_in_a"),
+            F.col("_inter").alias("inter_n"),
+            (F.col("_inter").cast("double") / F.col("_na").cast("double")).alias("cont_a_in_b"),
+            (F.col("_inter").cast("double") / F.col("_nb").cast("double")).alias("cont_b_in_a"),
             (
                 # |A∪B| = |A|+|B|−|A∩B|: same value, no union array
-                inter.cast("double")
-                / (F.size("sh_a") + F.size("sh_b") - inter).cast("double")
+                F.col("_inter").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double")
             ).alias("jaccard"),
         )
         .filter(F.greatest(F.col("cont_a_in_b"), F.col("cont_b_in_a")) >= _CONT_TAU)
@@ -4450,27 +4467,39 @@ def dedup_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     docs = spread(load(spark, sf_dir, "documents"))
     out = None
-    for k in _KSWEEP:
-        # candidate pairs come back already cross-band-deduped; the
-        # verified count takes the broadcast shape explicitly (this is
-        # an sf0.01-scale evidence key — skip the auto-gate's probe)
-        cand = D.minhash_candidate_pairs(docs, k=k, n_hashes=_MH_N, bands=_MH_BANDS)
-        verified = D.minhash_lsh_pairs(
-            docs,
-            k=k,
-            n_hashes=_MH_N,
-            bands=_MH_BANDS,
-            threshold=_MH_TAU,
-            broadcast_verify=True,
-        )
-        row = (
-            cand.agg(F.count(F.lit(1)).alias("n_candidates"))
-            .crossJoin(
-                F.broadcast(verified.agg(F.count(F.lit(1)).alias("n_verified")))
+    pinned = []
+    # r13 (VERDICT r12 item 4): ONE fused scan+agg per k.  The old
+    # shape built the candidate count and the verified pairs through
+    # SEPARATE operator calls, and each k's sketch rotation evicted the
+    # previous k's cache before the key's single action ran — at action
+    # time k=3 and k=5 replayed the exploded md5 scan for every verify
+    # consumer (four scans per k, 38.7 s sf0.1 cold).  Now each k
+    # builds the fused sketch once with rotate=False, derives BOTH the
+    # candidate count and the auto-gated broadcast verify from it, and
+    # every sketch stays pinned until the sweep's action runs; the
+    # whole pinned list then rotates latest-wins in its own slot (the
+    # kmeans pin_lloyd_handles posture).  try/finally: an exception
+    # mid-sweep must still hand already-pinned handles to the slot.
+    try:
+        for k in _KSWEEP:
+            per_doc = D._per_doc_sketch(
+                D._shingle_rows(docs, k), _MH_N, rotate=False
             )
-            .select(F.lit(k).alias("k"), "n_candidates", "n_verified")
-        )
-        out = row if out is None else out.unionByName(row)
+            cand = D._cand_from_mins(
+                per_doc.drop("sh"), _MH_N, _MH_BANDS, D.DEFAULT_BUCKET_CAP
+            ).persist()
+            pinned += [per_doc, cand]
+            verified = D._verify_jaccard_pairs(per_doc, cand, _MH_TAU)
+            row = (
+                cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+                .crossJoin(
+                    F.broadcast(verified.agg(F.count(F.lit(1)).alias("n_verified")))
+                )
+                .select(F.lit(k).alias("k"), "n_candidates", "n_verified")
+            )
+            out = row if out is None else out.unionByName(row)
+    finally:
+        rotate_cached("minhash_sketch_sweep", pinned)
     assert out is not None
     return out.orderBy("k")
 
@@ -4894,9 +4923,10 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     embs = spread(load(spark, sf_dir, "embeddings"))
     cells, _ = KM.kmeans_cells(embs, k=_KM_K, iters=_KM_ITERS)
+    vwidth = V.probe_width(embs)
     vecs = embs.select(
         "vec_id", V.to_double(F.col("embedding")).alias("v")
-    ).withColumn("nrm", V.norm(F.col("v")))
+    ).withColumn("nrm", V.norm_w("v", vwidth))
     side = cells.select("vec_id", "cid").join(vecs, "vec_id")
     a = side.select(
         F.col("cid"), F.col("vec_id").alias("va"),
@@ -4910,9 +4940,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "cid")
         .filter(F.col("vb") < F.col("va"))
         .filter(
-            V.cosine_prenormed(
-                F.col("xa"), F.col("xb"), F.col("na"), F.col("nb")
-            )
+            V.cosine_prenormed_w("xa", "xb", "na", "nb", vwidth)
             >= _SD_TAU
         )
         .select("cid", F.col("va").alias("vec_id"))

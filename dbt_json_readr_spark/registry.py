@@ -636,106 +636,113 @@ register(
 # -------------------------------------------------------------------
 # Driver-gate ordering.  The driver records CORRECTNESS rows for only
 # the FIRST 50 keys in queries() insertion order, so registration order
-# IS the correctness gate.  Round-12 rotation (VERDICT r11 item 1):
-# the eight keys added after the r11 window closed (the only keys with
-# NO driver row yet — the Iceberg metadata-table family, the binary
-# bucket transform, and the two Delta introspection tables) lead, then
-# 42 of the 50 keys whose newest green driver row is r7 (derived from
-# CORRECTNESS_r01-r11, taken in CORRECTNESS_r07 recording order); the
-# remaining 8 r7-stale keys lead r13.  Keys NEW in r12 are appended and
-# rotate to r13 unless slots open.  Rotated-out keys stay covered by
+# IS the correctness gate.  Round-13 rotation (VERDICT r12 item 1):
+# lead with the 17 r12-rewritten keys that have no r11/r12 driver row
+# (the containment/minhash redesigns, the ann sweep family, the Lloyd
+# checkpoint rewrites, the probe-fold lake keys), then the never-gated
+# iceberg_wap_publish, then every key whose operator code this round
+# touches (the verify-shape gate + eval_once barrier + unrolled-fold
+# consumers), then the 6 r7-stale keys that missed the r12 window, and
+# fill the remainder with the oldest (r8) keys in CORRECTNESS_r08
+# recording order.  Rotated-out keys stay covered by
 # tests/test_oracle_parity.py (every key, sf0.01, exact values).
 GATE_WINDOW = 50
 
-# The eight r11-late keys with no driver row yet (VERDICT r11 item 1).
-_R12_UNTESTED = [
-    "iceberg_snapshots_table",
-    "iceberg_history_table",
-    "iceberg_partitions_table",
-    "iceberg_manifests_table",
-    "iceberg_binary_bucket_prune",
-    "iceberg_refs_table",
-    "delta_history_table",
-    "delta_files_table",
+# VERDICT r12 item 1: the 17 r12-rewritten keys with no r11/r12 driver
+# row — every key rewritten in r12 must get a fresh green driver row.
+_R13_REWRITTEN = [
+    "dedup_containment_lsh",
+    "dedup_minhash_lsh",
+    "dedup_minhash_est_calibration",
+    "ann_sweep_eval",
+    "ann_recall_eval",
+    "ann_dim_ablation",
+    "ann_pq_adc_topk",
+    "embedding_kmeans",
+    "embedding_power_iteration",
+    "dbt_lineage_closure",
+    "dedup_incremental",
+    "dedup_k_sweep",
+    "dedup_cluster_histogram",
+    "corpus_dedup_token_savings",
+    "dedup_containment",
+    "iceberg_bucket_write_prune",
+    "iceberg_decimal_bucket_prune",
 ]
 
-# 42 of the 50 keys whose newest green driver row is r7, in
-# CORRECTNESS_r07 recording order.  The 8 that don't fit
-# (corpus_token_histogram, corpus_quality_funnel, doc_chunk_plan,
-# doc_posting_lists, token_budget_pack, tokenizer_vocab_coverage,
-# embedding_kmeans, embedding_power_iteration) lead the r13 window.
-_R12_STALE_R7 = [
-    "text_langid",
-    "text_token_count",
-    "text_fingerprint",
-    "text_pii_redact",
-    "text_repetition",
-    "text_ngram_novelty",
-    "streaming_funnel",
-    "streaming_enrich_segments",
-    "streaming_stream_join",
-    "iceberg_change_feed",
-    "delta_column_mapping_read",
-    "streaming_delta_commits",
-    "delta_dv_read",
-    "delta_cdf_read",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "events_sessionization",
-    "events_range_join",
-    "events_gap_islands",
-    "events_attribution",
-    "events_ewma_hourly",
-    "events_approx_distinct",
-    "events_variant_props",
-    "scd2_customer_snapshot",
-    "revenue_cube",
-    "order_year_set_ops",
-    "customer_revenue_deciles",
-    "customer_percentile_rank",
-    "supplier_abc_classes",
-    "streaming_sliding_window",
-    "streaming_topk",
-    "streaming_anomaly",
-    "streaming_cdc_latest",
-    "streaming_windowed_distinct",
-    "dbt_critical_path",
-    "dedup_source_matrix",
-    "dedup_threshold_curve",
+# Never gated (registered after the r12 window was fixed).
+_R13_NEVER = ["iceberg_wap_publish"]
+
+# Keys whose operator code round 13 itself touches (verify side-gate +
+# eval_once barrier, simhash pre-dedup threshold, k-sweep sketch
+# sharing, unrolled folds) — a rewrite round's window should witness
+# its own rewrites.
+_R13_TOUCHED = [
+    "semdedup_prune",
+    "dedup_embedding_cosine",
+    "dedup_lsh_recall",
+    "dedup_ngram_jaccard",
     "dedup_band_utility",
-    "corpus_dedup_priority_keep",
-    "corpus_holdout_split",
+    "dedup_method_agreement",
+    "dedup_simhash",
+    "dedup_clusters",
+    "corpus_dedup_summary",
+    "training_pipeline_funnel",
 ]
 
-# New in r12 (appended as they land this round; each must be registered
-# above before being listed here).  GATE_WINDOW - len(_R12_UNTESTED) -
-# len(_R12_STALE_R7) = 0 slots remain, so everything here rotates to
-# r13; the list still exists so the resolve-check below catches typos
-# the moment a key lands.
-_NEW_R12: list[str] = [
-    "iceberg_wap_publish",
+# The 6 r7-stale keys that did not fit the r12 window.
+_R13_STALE_R7 = [
+    "corpus_token_histogram",
+    "corpus_quality_funnel",
+    "doc_chunk_plan",
+    "doc_posting_lists",
+    "token_budget_pack",
+    "tokenizer_vocab_coverage",
 ]
+
+# Oldest remaining (newest green row is r8), in CORRECTNESS_r08
+# recording order, truncated to the slots left.
+_R13_STALE_R8 = [
+    "embedding_quantize",
+    "embedding_pq_audit",
+    "ann_ivf_kmeans_topk",
+    "text_dup_spans",
+    "text_langid_confusion",
+    "bpe_pair_stats",
+    "events_skew_audit",
+    "events_lateness_audit",
+    "join_prefilter_audit",
+    "lineitem_zorder_layout",
+    "lineitem_runlength_audit",
+    "zone_map_skipping_audit",
+    "q16_supplier_part_types",
+    "delta_snapshot_read",
+    "iceberg_metadata_audit",
+    "iceberg_snapshot_read",
+]
+
+_R13_LISTS = (
+    _R13_REWRITTEN + _R13_NEVER + _R13_TOUCHED + _R13_STALE_R7 + _R13_STALE_R8
+)
 
 # every gate-list name must resolve - a typo is harmless until the
 # rotation pulls it into the window, where the _gate_ordered check
 # would crash queries() for the whole driver run (r7: a stale "_lite"
-# suffix sat one rotation away from exactly that); _NEW_R12 is included
-# because a tolerant `if k in _REGISTRY` filter would silently DROP a
-# mistyped new key from the window instead of failing.  Explicit
-# raise, not assert: python -O strips asserts and would resurrect the
+# suffix sat one rotation away from exactly that).  Explicit raise,
+# not assert: python -O strips asserts and would resurrect the
 # crash-one-rotation-later failure mode.
-for _k in _R12_UNTESTED + _R12_STALE_R7 + _NEW_R12:
+for _k in _R13_LISTS:
     if _k not in _REGISTRY:
         raise RuntimeError(f"gate list references unknown key: {_k}")
+if len(set(_R13_LISTS)) != len(_R13_LISTS):
+    raise RuntimeError("duplicate key in r13 gate lists")
 
-_GATE_PRIORITY = (_R12_UNTESTED + _R12_STALE_R7 + _NEW_R12)[:GATE_WINDOW]
-# VERDICT r11 item 1 requires all eight untested keys + the 42 chosen
-# r7-stale keys in the r12 window; pin.
-for _k in _R12_UNTESTED + _R12_STALE_R7:
+_GATE_PRIORITY = _R13_LISTS[:GATE_WINDOW]
+# VERDICT r12 item 1 requires every r12-rewritten key (and this
+# round's own touched keys) in the r13 window; pin.
+for _k in _R13_REWRITTEN + _R13_NEVER + _R13_TOUCHED:
     if _k not in _GATE_PRIORITY:
-        raise RuntimeError(f"required r12 gate slot lost: {_k}")
+        raise RuntimeError(f"required r13 gate slot lost: {_k}")
 
 
 def _gate_ordered() -> dict[str, tuple[QueryFn, str | None]]:

@@ -168,8 +168,34 @@ def rotate_cached(slot: str, frames: list) -> None:
         except Exception:
             reused = False
         if not reused:
-            old.unpersist()
+            # release_iter_handle, not bare unpersist (ADVICE r12): a
+            # localCheckpoint()-ed frame pinned into a slot ('lloyd',
+            # 'pq_adc') is NOT in the CacheManager, so unpersist() was
+            # a silent no-op and rotated-out checkpoint blocks
+            # accumulated until GC.  Rotation is a SUPERSEDE — the
+            # contract (module docstring) is that no caller retains a
+            # rotated-out handle, so releasing the blocks of an
+            # unreachable checkpointed frame is safe; plain persisted
+            # frames see the identical unpersist they always did.
+            release_iter_handle(old)
     slots[slot] = list(frames)
+
+
+def evict_cached(slot: str, frame) -> None:
+    """Release ONE frame's storage and drop it from its (session, slot)
+    rotation entry — for callers that bail out of a cached shape
+    mid-plan (the dedup auto-gates falling back to the narrow verify).
+    A bare ``frame.unpersist()`` left a DEAD handle registered in the
+    slot (ADVICE r12): the next ``rotate_cached`` would judge the new
+    sketch ``sameSemantics`` with the dead handle, keep it, and attach
+    the fresh persist to an entry the bail-out had already dropped."""
+    session = frame.sparkSession
+    slots = _CACHE_SLOTS.get(session, {})
+    if slot in slots:
+        slots[slot] = [f for f in slots[slot] if f is not frame]
+        if not slots[slot]:
+            del slots[slot]
+    frame.unpersist()
 
 
 def live_cached(slot: str, session) -> list:
@@ -193,8 +219,19 @@ def release_iter_handle(df) -> None:
         an = df._jdf.queryExecution().analyzed()
         if an.getClass().getSimpleName() == "LogicalRDD":
             an.rdd().unpersist(False)
-    except Exception:
-        pass
+    except Exception as e:  # noqa: BLE001 — must never fail a query
+        # loud-but-not-fatal (ADVICE r12): a Spark-version rename of
+        # queryExecution/analyzed/rdd would silently degrade every
+        # iterative operator back to unbounded checkpoint-block
+        # accumulation; a warning makes the leak observable.
+        import warnings
+
+        warnings.warn(
+            f"release_iter_handle: JVM block-release probe failed ({e!r}); "
+            "checkpointed blocks will be freed only by GC+ContextCleaner",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
 
 def observed(df, name: str, *metrics):

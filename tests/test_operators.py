@@ -1093,3 +1093,44 @@ def test_bpe_train_single_symbol_tokens_regression(spark, tmp_path):
     assert (rows[2].l_sym, rows[2].r_sym, rows[2].n_occurrences) == ("i", "p", 1)
     assert (rows[3].l_sym, rows[3].r_sym, rows[3].n_occurrences) == ("n", "ip", 1)
     assert [rows[s].symbols_after for s in (1, 2, 3)] == [8, 7, 6]
+
+
+def test_dot_unrolled_bit_identical_and_guarded(spark):
+    """r13: the width-unrolled codegen dot/norm must be BIT-identical to
+    the interpreted left fold (same association order), and the per-row
+    width guard must route any row whose arrays miss the probed width
+    through the exact HOF fold — including zip_with's null-padding
+    semantics on length-mismatched pairs."""
+    from dbt_json_readr_spark.functions import vectors as V
+
+    rows = [
+        ([0.1, 0.2, 0.3, 0.4], [1.5, -2.5, 3.25, 0.125]),   # probed width
+        ([1e16, 1.0, -1e16, 1.0], [1.0, 1.0, 1.0, 1.0]),    # order-sensitive
+        ([0.1, 0.2, 0.3], [1.0, 2.0, 3.0]),                 # shorter than probe
+        ([0.1, 0.2, 0.3, 0.4, 0.5], [1.0, 1.0, 1.0, 1.0, 1.0]),  # longer
+        ([0.1, 0.2], [1.0, 2.0, 3.0]),                      # mismatched pair
+        (None, [1.0, 2.0, 3.0, 4.0]),                       # null side
+    ]
+    df = spark.createDataFrame(rows, "a: array<double>, b: array<double>")
+    got = df.select(
+        V.dot(F.col("a"), F.col("b")).alias("fold"),
+        V.dot_w("a", "b", 4).alias("unrolled"),
+        V.norm(F.col("a")).alias("nfold"),
+        V.norm_w("a", 4).alias("nunrolled"),
+    ).collect()
+    for r in got:
+        # exact equality of the doubles (not approx): same fold order
+        assert r.fold == r.unrolled or (r.fold is None and r.unrolled is None)
+        assert r.nfold == r.nunrolled or (r.nfold is None and r.nunrolled is None)
+
+
+def test_probe_width_reads_table_and_handles_empty(spark, sf_dir):
+    from dbt_json_readr_spark.functions import vectors as V
+    from dbt_json_readr_spark.sources.tables import load
+
+    embs = load(spark, sf_dir, "embeddings")
+    assert V.probe_width(embs) == 64
+    empty = embs.filter(F.lit(False))
+    assert V.probe_width(empty) in (None, 64)  # files key may cache 64
+    truly_empty = spark.createDataFrame([], "embedding: array<float>")
+    assert V.probe_width(truly_empty) is None

@@ -385,3 +385,82 @@ def test_scratch_dir_bounded_per_slot(tmp_path, monkeypatch):
     assert os.path.isdir(d2) and os.path.isdir(d3) and os.path.isdir(other)
     for d in (d2, d3, other):
         __import__("shutil").rmtree(d, ignore_errors=True)
+
+
+def test_r13_ann_sweep_plan_stays_truncated(spark):
+    """r12 found ~170 s of ann_sweep_eval's 190 s action was DRIVER-side
+    analysis of an exponentially-composed logical plan (2.1M formatted
+    lines, 184k InMemoryTableScan refs); per-round localCheckpoint cut
+    it to ~3.3k lines.  A cheap length pin catches the exponential tree
+    returning (VERDICT r12 item 8)."""
+    from dbt_json_readr_spark.plans import llm
+    from dbt_json_readr_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(llm.ann_sweep_eval(spark, SF))
+    n_lines = plan.count("\n")
+    assert n_lines < 50_000, f"sweep plan exploded again: {n_lines} lines"
+
+
+def test_r13_lsh_recall_truth_keeps_parallelism(spark):
+    """r12: AQE coalesced the few-MB aggregated-sets frame to ONE
+    partition and the all-pairs truth join ran single-threaded (bytes
+    understate compute).  The explicit REPARTITION_BY_NUM at the
+    session's parallelism is exempt from AQE coalescing — pin that the
+    exchange is still in the plan (VERDICT r12 item 8)."""
+    from dbt_json_readr_spark.plans import llm
+    from dbt_json_readr_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(llm.dedup_lsh_recall(spark, SF))
+    par = spark.sparkContext.defaultParallelism
+    assert f"RoundRobinPartitioning({par}" in plan, (
+        "dedup_lsh_recall lost its explicit repartition — the exact "
+        "truth join will run single-threaded under AQE coalescing"
+    )
+
+
+def test_r13_containment_verify_shape_pinned(spark):
+    """The r12/r13 containment-LSH verify must keep the all-broadcast
+    shape under the auto-gates (candidates under the pair cap, sets
+    under the byte cap): no SortMergeJoin may appear — at sf1 an
+    unhinted set join sorted 4.1M pair rows carrying ~2 KB shingle
+    arrays through an exchange (307 CPU·s vs 107)."""
+    from dbt_json_readr_spark.plans import llm
+    from dbt_json_readr_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(llm.dedup_containment_lsh(spark, SF))
+    assert "SortMergeJoin" not in plan, (
+        "containment verify fell off the broadcast path at gate scale"
+    )
+
+
+def test_r13_release_iter_handle_frees_checkpoint_blocks(spark):
+    """ADVICE r12 / VERDICT r12 item 9: DataFrame.unpersist() is a
+    silent no-op for localCheckpoint()-ed frames, so both the direct
+    release helper and slot rotation must actually free the LogicalRDD
+    blocks — this pin makes the py4j reach-in (queryExecution/analyzed/
+    rdd) upgrade-proof: a Spark rename breaks THIS test, not prod."""
+    from dbt_json_readr_spark.session import release_iter_handle, rotate_cached
+
+    jsc = spark.sparkContext._jsc
+    base = jsc.getPersistentRDDs().size()
+    df = spark.range(1000).localCheckpoint()
+    assert jsc.getPersistentRDDs().size() == base + 1
+    release_iter_handle(df)
+    assert jsc.getPersistentRDDs().size() == base, (
+        "release_iter_handle no longer frees checkpoint blocks"
+    )
+    # and through slot rotation (rotate_cached routes eviction through
+    # release_iter_handle): rotating a checkpointed frame out of its
+    # slot must free its blocks immediately, not at GC time
+    a = spark.range(10).localCheckpoint()
+    rotate_cached("r13_pin_slot", [a])
+    b = spark.range(20).localCheckpoint()
+    rotate_cached("r13_pin_slot", [b])
+    assert jsc.getPersistentRDDs().size() == base + 1, (
+        "rotation left the superseded checkpointed frame's blocks live"
+    )
+    release_iter_handle(b)
+    from dbt_json_readr_spark.session import _CACHE_SLOTS
+
+    _CACHE_SLOTS.get(spark, {}).pop("r13_pin_slot", None)
+    assert jsc.getPersistentRDDs().size() == base

@@ -42,19 +42,21 @@ def test_entry_module_exports_registry():
 
 
 def test_new_round_keys_are_registered_and_in_window():
-    """_NEW_R12 lists keys meant to be gated this round; a key listed
-    there but never registered would silently fall out of the window —
+    """The r13 gate window must lead with the 17 r12-rewritten keys
+    that lack an r11/r12 driver row, the never-gated WAP key, and
+    every key this round's diff touches (VERDICT r12 item 1) — a key
+    listed but never registered would silently fall out of the window,
     the exact 'landed after the window locked' failure VERDICT r5
-    flagged.  r12's window is led by the eight r11-late driver-untested
-    keys + 42 r7-stale keys (VERDICT r11 item 1), leaving zero slots,
-    so every _NEW_R12 entry is allowed to rotate to r13."""
+    flagged."""
     keys = list(registry.queries())
     window = set(keys[:GATE_WINDOW])
-    slots = GATE_WINDOW - len(registry._R12_UNTESTED) - len(registry._R12_STALE_R7)
-    for i, k in enumerate(registry._NEW_R12):
-        assert k in registry._REGISTRY, f"_NEW_R12 key never registered: {k}"
-        if i < slots:
-            assert k in window, f"_NEW_R12 key outside the gate window: {k}"
+    required = (
+        registry._R13_REWRITTEN + registry._R13_NEVER + registry._R13_TOUCHED
+    )
+    for k in required:
+        assert k in registry._REGISTRY, f"r13 gate key never registered: {k}"
+        assert k in window, f"required r13 gate key outside the window: {k}"
+    assert len(window) == GATE_WINDOW
 
 
 def test_survey_section2_matches_registry():
