@@ -241,8 +241,32 @@ def shingle_sets(docs: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def _gate_stats(per_doc: DataFrame, cand: DataFrame) -> "tuple[int, bool]":
+    """Both auto-gate inputs — the candidate count (broadcast-verify
+    gate) and the per-doc set-bytes estimate (verify side gate) — from
+    ONE action (r13): the two stats live on different frames, so
+    separate ``.count()`` / ``.first()`` calls cost two driver job
+    round-trips per invocation; a crossJoin of the two one-row
+    aggregates folds them into one job over the same cached data."""
+    row = (
+        cand.agg(F.count(F.lit(1)).alias("n_cand"))
+        .crossJoin(
+            per_doc.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.size("sh")).alias("tot_sh"),
+            )
+        )
+        .first()
+    )
+    est = (row["tot_sh"] or 0) * 8 + (row["n_docs"] or 0) * 24
+    return row["n_cand"], est <= DEFAULT_SET_BCAST_BYTES_CAP
+
+
 def _verify_jaccard_pairs(
-    per_doc: DataFrame, cand: DataFrame, threshold: float
+    per_doc: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+    set_bcast: "bool | None" = None,
 ) -> DataFrame:
     """Exact-jaccard verification of ``cand`` against the fused cached
     sketch — the broadcast verify shape shared by ``minhash_lsh_pairs``
@@ -256,10 +280,12 @@ def _verify_jaccard_pairs(
     sorted 4.1M pair rows carrying ~2 KB arrays (19.7 s / 307 CPU·s);
     set-broadcast + eval_once runs 4.6 s / 107 CPU·s, identical
     250,224 output rows."""
+    if set_bcast is None:
+        set_bcast = set_side_broadcastable(per_doc)
     sets = per_doc.select("doc_id", "sh")
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    if set_side_broadcastable(per_doc):
+    if set_bcast:
         joined = cand.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
     else:
         joined = F.broadcast(cand).join(sa, "doc_a").join(sb, "doc_b")
@@ -335,11 +361,12 @@ def minhash_lsh_pairs(
     explicitly — that path still touches nothing but narrow rows."""
     rows = _shingle_rows(docs, k)
     per_doc = cand = None
+    set_bcast = None
     if broadcast_verify is None:
         per_doc = _per_doc_sketch(rows, n_hashes)
         cand = _cand_from_mins(per_doc.drop("sh"), n_hashes, bands, bucket_cap).persist()
         rotate_cached("minhash_cand", [cand])
-        n_cand = cand.count()
+        n_cand, set_bcast = _gate_stats(per_doc, cand)
         broadcast_verify = n_cand <= broadcast_cand_cap
         if not broadcast_verify:
             # bailing to the shuffle shape: the per-doc sets will not be
@@ -365,7 +392,7 @@ def minhash_lsh_pairs(
             per_doc = _per_doc_sketch(rows, n_hashes)
         if cand is None:
             cand = _cand_from_mins(per_doc.drop("sh"), n_hashes, bands, bucket_cap)
-        return _verify_jaccard_pairs(per_doc, cand, threshold)
+        return _verify_jaccard_pairs(per_doc, cand, threshold, set_bcast)
     # All-shuffle fallback for corpora where the candidate set itself is
     # too large to broadcast: intersection sizes come from joining the
     # NARROW (doc_id, sh) shingle rows through the pairs — every shuffle
@@ -993,13 +1020,14 @@ def minhash_containment_pairs(
     capped_docs = None
     if degree_cap is not None:
         cand, capped_docs = candidate_degree_cap(cand, degree_cap)
+    set_bcast = None
     if broadcast_verify is None:
         # the post-cap pairs feed the gate count AND the verify joins
         # (and the evidence union when requested) — pin them so the
         # count action does not replay the nomination pipeline
         cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
         rotate_cached("containment_kept", [cand])
-        n_cand = cand.count()
+        n_cand, set_bcast = _gate_stats(per_doc, cand)
         broadcast_verify = n_cand <= broadcast_cand_cap
         if not broadcast_verify:
             # bailing to the shuffle shape: the per-doc sets will not
@@ -1012,10 +1040,12 @@ def minhash_containment_pairs(
         # small set frames broadcast (pairs stream, no array exchanges),
         # big ones fall back to the r12 broadcast-candidates shape; the
         # intersect is computed once per pair either way
+        if set_bcast is None:
+            set_bcast = set_side_broadcastable(per_doc)
         sets = per_doc.select("doc_id", "sh")
         sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
         sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-        if set_side_broadcastable(per_doc):
+        if set_bcast:
             joined = cand.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
         else:
             joined = F.broadcast(cand).join(sa, "doc_a").join(sb, "doc_b")

@@ -27,6 +27,9 @@ DEFAULT_KEYS = [
     "dedup_incremental",
     "dedup_ngram_jaccard",
     "doc_sparse_cosine_topk",
+    "dedup_simhash",
+    "dedup_method_agreement",
+    "dedup_lsh_recall",
 ]
 
 
