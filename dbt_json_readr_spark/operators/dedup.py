@@ -740,12 +740,27 @@ def embedding_bucket(vec, dims: list[int] | None = None) -> F.Column:
     return out.cast("int")
 
 
+# Tile count for the in-bucket pair explode below.  A capped bucket's
+# C(2000,2) ≈ 2M pairs used to materialize as ONE flattened array in
+# ONE task (measured at the 10× replica set: 45.7M candidates, 62 s
+# wall at ~2 effective cores — classic straggler, guide §2.5).  Tiling
+# splits each bucket into TILE deterministic vec_id-modulo groups;
+# pairs = within-tile (i<j) plus the C(TILE,2) cross-tile products,
+# each its own row stream — parallelism ≈ TILE² per hot bucket, no
+# megabyte array ever built.  Same pair SET exactly: every in-bucket
+# pair lives in exactly one tile combination, and the cross-band
+# dropDuplicates is unchanged.
+EMB_PAIR_TILES = 8
+
+
 def embedding_candidate_pairs(
     embs: DataFrame, bucket_cap: int = DEFAULT_BUCKET_CAP
 ) -> DataFrame:
     """(vec_a, vec_b) banded sign-LSH candidates (pre-verification):
     same-bucket in ANY of the EMB_BANDS tables, buckets collect bare
-    vec_ids (cap × 8 bytes), pairs deduped across bands."""
+    vec_ids (cap × 8 bytes per tile), pairs deduped across bands.  The
+    quadratic in-bucket explode is TILED (see EMB_PAIR_TILES) so a
+    cap-sized bucket parallelizes instead of running in one task."""
     e = spread(embs).select("vec_id", F.col("embedding").alias("emb"))
     banded = e.select(
         "vec_id",
@@ -761,11 +776,25 @@ def embedding_candidate_pairs(
             )
         ).alias("bb"),
     ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
-    members = (
-        banded.groupBy("band", "bval")
+    # bucket-size filter as a window count — ONE pass over banded (an
+    # agg+join back would scan the corpus twice)
+    sized = banded.withColumn(
+        "bn", F.count(F.lit(1)).over(W.partitionBy("band", "bval"))
+    ).filter((F.col("bn") >= 2) & (F.col("bn") <= bucket_cap))
+    grouped = (
+        sized.withColumn(
+            "g", F.pmod(F.col("vec_id"), F.lit(EMB_PAIR_TILES)).cast("int")
+        )
+        .groupBy("band", "bval", "g")
         .agg(F.collect_list("vec_id").alias("ms"))
-        .filter((F.size("ms") >= 2) & (F.size("ms") <= bucket_cap))
     )
+    # the tile frame feeds three subtrees (within-pairs + both cross
+    # sides); bare ids only, ≤ bands·n rows — persist under the usual
+    # latest-wins rotation so the action computes the banding once
+    from pyspark import StorageLevel
+
+    grouped = grouped.persist(StorageLevel.MEMORY_AND_DISK)
+    rotate_cached("emb_band_tiles", [grouped])
     pair = F.explode(
         F.flatten(
             F.transform(
@@ -777,11 +806,30 @@ def embedding_candidate_pairs(
             )
         )
     )
+    within = grouped.select(pair.alias("p")).select(
+        F.col("p.a").alias("a"), F.col("p.b").alias("b")
+    )
+    ga = grouped.select(
+        "band", "bval", F.col("g").alias("ga"), F.col("ms").alias("msa")
+    )
+    gb = grouped.select(
+        "band", "bval", F.col("g").alias("gb"), F.col("ms").alias("msb")
+    )
+    cross = (
+        ga.join(gb, ["band", "bval"])
+        .filter(F.col("ga") < F.col("gb"))
+        # the join keys collapse a bucket's C(TILE,2) tile rows into one
+        # partition; redistribute by the full tile key BEFORE the
+        # explodes so each tile's product runs in its own task
+        .repartition(F.col("band"), F.col("bval"), F.col("ga"), F.col("gb"))
+        .select(F.explode("msa").alias("a"), "msb")
+        .select("a", F.explode("msb").alias("b"))
+    )
     return (
-        members.select(pair.alias("p"))
+        within.unionByName(cross)
         .select(
-            F.least("p.a", "p.b").alias("vec_a"),
-            F.greatest("p.a", "p.b").alias("vec_b"),
+            F.least("a", "b").alias("vec_a"),
+            F.greatest("a", "b").alias("vec_b"),
         )
         .dropDuplicates(["vec_a", "vec_b"])
     )
@@ -791,43 +839,48 @@ def embedding_cosine_pairs(
     embs: DataFrame,
     threshold: float = 0.4,
     bucket_cap: int = DEFAULT_BUCKET_CAP,
-    broadcast_verify: bool = True,
+    broadcast_verify: "bool | None" = None,
 ) -> DataFrame:
     """Near-dup embedding pairs with cosine ≥ threshold, candidates from
     banded sign-LSH (see embedding_candidate_pairs), verified by exact
-    cosine.  Default shape broadcasts the candidate pairs so vectors
-    stream map-side and never shuffle (mirrors the minhash verify).
+    cosine.
 
-    Broadcast bound: candidates ≤ len(EMB_BANDS) · Σ C(bucket, 2) with
-    bucket ≤ bucket_cap, i.e. worst-case ~4 · n_buckets · C(cap, 2)
-    16-byte rows; past ~10⁸ candidate rows (≈ driver GBs / the 8 GB
-    broadcast-table ceiling) set ``broadcast_verify=False`` — the same
-    joins then run as ordinary shuffles (vectors are hash-partitioned
-    on vec_id; still no corpus-wide cross product)."""
+    Verify side choice (r13, the same auto-gate as the minhash verify):
+    when the per-vector frame estimates under
+    ``DEFAULT_SET_BCAST_BYTES_CAP`` (bytes ≈ rows · (8·width + 24),
+    from the cached plan-build probes — no extra job), BOTH vector
+    sides broadcast as hash-join BUILD sides and the candidate pairs
+    STREAM — candidates are clique-quadratic (the 10× replica set
+    measured 45.7M, a ~0.7 GB broadcast under the r12 posture) while
+    the vectors grow only linearly.  Past the vector cap,
+    ``broadcast_verify`` keeps its old meaning: None/True broadcasts
+    the candidate side (right while candidates fit the driver), False
+    runs plain shuffles (vectors hash-partitioned on vec_id — the
+    shape that survives when neither side fits)."""
     cand = embedding_candidate_pairs(embs, bucket_cap)
-    if broadcast_verify:
-        cand = F.broadcast(cand)
     # r13: width-unrolled codegen dot (bit-identical left fold) and the
     # eval_once barrier so the threshold filter does not re-evaluate the
     # dot in the join condition — same rows, one fold per pair
     width = V.probe_width(embs)
+    vecs_bytes = V.probe_count(embs) * (8 * (width or 0) + 24)
+    vec_bcast = width is not None and vecs_bytes <= DEFAULT_SET_BCAST_BYTES_CAP
+    if not vec_bcast and broadcast_verify is not False:
+        cand = F.broadcast(cand)
     vecs = spread(embs).select(
         "vec_id", V.to_double(F.col("embedding")).alias("v")
     ).withColumn("n", V.norm_w("v", width))
+    va = vecs.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("n").alias("na")
+    )
+    vb = vecs.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
+    if vec_bcast:
+        va, vb = F.broadcast(va), F.broadcast(vb)
     return (
         cand
-        .join(
-            vecs.select(
-                F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("n").alias("na")
-            ),
-            "vec_a",
-        )
-        .join(
-            vecs.select(
-                F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
-            ),
-            "vec_b",
-        )
+        .join(va, "vec_a")
+        .join(vb, "vec_b")
         .select(
             "vec_a",
             "vec_b",

@@ -354,7 +354,10 @@ def stateful_counts_tws(ev: DataFrame) -> DataFrame:
         def close(self) -> None:
             pass
 
-    return ev.groupBy("user_id").transformWithStateInPandas(
+    # Arrow-boundary trim (r13, guide §4.2): the processor reads only
+    # `value`; without the projection every event's event_type and
+    # props JSON string crossed the Python boundary per micro-batch
+    return ev.select("user_id", "value").groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=_Counts(),
         outputStructType="user_id long, n_events long, value_micros long",
         outputMode="Update",
@@ -411,7 +414,8 @@ def funnel_stages_tws(ev: DataFrame) -> DataFrame:
         def close(self) -> None:
             pass
 
-    return ev.groupBy("user_id").transformWithStateInPandas(
+    # Arrow-boundary trim (r13): only ts + event_type are read
+    return ev.select("user_id", "ts", "event_type").groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=_Funnel(),
         outputStructType="user_id long, funnel_stage string",
         outputMode="Update",
@@ -464,7 +468,8 @@ def topk_per_type_tws(ev: DataFrame) -> DataFrame:
         def close(self) -> None:
             pass
 
-    return ev.groupBy("event_type").transformWithStateInPandas(
+    # Arrow-boundary trim (r13): only value + event_id are read
+    return ev.select("event_type", "value", "event_id").groupBy("event_type").transformWithStateInPandas(
         statefulProcessor=_TopK(),
         outputStructType="event_type string, rank integer, event_id long, value double",
         outputMode="Update",
@@ -1632,7 +1637,11 @@ def session_timeout_sessions(ev: DataFrame) -> DataFrame:
         def close(self) -> None:
             pass
 
-    return ev.groupBy("user_id").transformWithStateInPandas(
+    # Arrow-boundary trim (r13): the processor reads only `ts` — the
+    # props JSON (the fattest column) was crossing Arrow for nothing.
+    # Projection AFTER withWatermark keeps the watermark (the event-
+    # time column survives the select)
+    return ev.select("user_id", "ts").groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=_Sessions(),
         outputStructType=(
             "user_id long, session_start_us long, session_end_us long, n_events long"
