@@ -673,21 +673,19 @@ def token_jaccard_pairs(
     t = spread(docs).select(
         "doc_id", F.col(block_col).alias("block"), F.array_distinct(H.tokens(F.col("text"))).alias("tok")
     )
-    members = (
-        t.groupBy("block")
-        .agg(F.collect_list(F.struct("doc_id", "tok")).alias("ms"))
-        .filter((F.size("ms") >= 2) & (F.size("ms") <= block_cap))
-    )
-    pair = F.explode(
-        F.flatten(
-            F.transform(
-                F.col("ms"),
-                lambda x, i: F.transform(
-                    F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
-                    lambda y: F.struct(x.alias("a"), y.alias("b")),
-                ),
-            )
-        )
+    # block-size cap as a window count (one pass), then the TILED pair
+    # explode (r13, _tiled_member_pairs): the old per-block flatten ran
+    # each block's C(m,2) pairs — full token arrays attached — in ONE
+    # task (sf0.1 measured ~2 effective cores on 32)
+    sized = t.withColumn(
+        "bn", F.count(F.lit(1)).over(W.partitionBy("block"))
+    ).filter((F.col("bn") >= 2) & (F.col("bn") <= block_cap))
+    pairs = _tiled_member_pairs(
+        sized,
+        ["block"],
+        F.pmod(F.col("doc_id"), F.lit(PAIR_TILES)),
+        F.struct("doc_id", "tok"),
+        "token_block_tiles",
     )
     # |A∪B| = |A|+|B|−|A∩B| (exact on the distinct token sets — r13,
     # same identity as the minhash verify) and the eval_once barrier so
@@ -695,13 +693,12 @@ def token_jaccard_pairs(
     # projection (the pair Generate blocks pushdown of the predicate
     # but not the duplicate evaluation in a pushed-through filter)
     return (
-        members.select(pair.alias("p"))
-        .select(
-            F.least("p.a.doc_id", "p.b.doc_id").alias("doc_a"),
-            F.greatest("p.a.doc_id", "p.b.doc_id").alias("doc_b"),
-            F.size("p.a.tok").alias("_na"),
-            F.size("p.b.tok").alias("_nb"),
-            eval_once(F.size(F.array_intersect("p.a.tok", "p.b.tok")), "_inter"),
+        pairs.select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+            F.size("a.tok").alias("_na"),
+            F.size("b.tok").alias("_nb"),
+            eval_once(F.size(F.array_intersect("a.tok", "b.tok")), "_inter"),
         )
         .select(
             "doc_a",
@@ -740,17 +737,70 @@ def embedding_bucket(vec, dims: list[int] | None = None) -> F.Column:
     return out.cast("int")
 
 
-# Tile count for the in-bucket pair explode below.  A capped bucket's
-# C(2000,2) ≈ 2M pairs used to materialize as ONE flattened array in
-# ONE task (measured at the 10× replica set: 45.7M candidates, 62 s
-# wall at ~2 effective cores — classic straggler, guide §2.5).  Tiling
-# splits each bucket into TILE deterministic vec_id-modulo groups;
-# pairs = within-tile (i<j) plus the C(TILE,2) cross-tile products,
-# each its own row stream — parallelism ≈ TILE² per hot bucket, no
-# megabyte array ever built.  Same pair SET exactly: every in-bucket
-# pair lives in exactly one tile combination, and the cross-band
-# dropDuplicates is unchanged.
-EMB_PAIR_TILES = 8
+# Tile count for the quadratic in-bucket pair explodes below.  A
+# capped bucket's C(2000,2) ≈ 2M pairs used to materialize as ONE
+# flattened array in ONE task (measured at the 10× replica set: 45.7M
+# embedding candidates, 62 s wall at ~2 effective cores — classic
+# straggler, guide §2.5; the token-jaccard blocks showed the same
+# 2-effective-core profile at sf0.1).  Tiling splits each bucket into
+# TILE deterministic id-modulo groups; pairs = within-tile (i<j) plus
+# the C(TILE,2) cross-tile products, each its own row stream —
+# parallelism ≈ TILE² per hot bucket, no megabyte array ever built.
+# Same pair SET exactly: every in-bucket pair lives in exactly one
+# tile combination.
+PAIR_TILES = 8
+
+
+def _tiled_member_pairs(
+    members: DataFrame,
+    keys: "list[str]",
+    g: "F.Column",
+    item: "F.Column",
+    slot: str,
+    tiles: int = PAIR_TILES,
+) -> DataFrame:
+    """All unordered within-key pairs ``(a, b)`` of ``item`` rows,
+    tiled (see PAIR_TILES).  ``members`` holds one row per (keys…,
+    item); the caller must already have bounded the per-key member
+    count (bucket/block cap) — tiling changes PARALLELISM, never the
+    pair set.  The tile frame is persisted (three subtrees read it:
+    within-pairs and both cross sides) under latest-wins rotation."""
+    from pyspark import StorageLevel
+
+    grouped = (
+        members.withColumn("_g", g.cast("int"))
+        .groupBy(*keys, "_g")
+        .agg(F.collect_list(item).alias("ms"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    rotate_cached(slot, [grouped])
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ms"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        )
+    )
+    within = grouped.select(pair.alias("p")).select(
+        F.col("p.a").alias("a"), F.col("p.b").alias("b")
+    )
+    ga = grouped.select(*keys, F.col("_g").alias("ga"), F.col("ms").alias("msa"))
+    gb = grouped.select(*keys, F.col("_g").alias("gb"), F.col("ms").alias("msb"))
+    cross = (
+        ga.join(gb, keys)
+        .filter(F.col("ga") < F.col("gb"))
+        # the join keys collapse a bucket's C(TILE,2) tile rows into one
+        # partition; redistribute by the full tile key BEFORE the
+        # explodes so each tile's product runs in its own task
+        .repartition(*[F.col(k) for k in keys], F.col("ga"), F.col("gb"))
+        .select(F.explode("msa").alias("a"), "msb")
+        .select("a", F.explode("msb").alias("b"))
+    )
+    return within.unionByName(cross)
 
 
 def embedding_candidate_pairs(
@@ -759,7 +809,7 @@ def embedding_candidate_pairs(
     """(vec_a, vec_b) banded sign-LSH candidates (pre-verification):
     same-bucket in ANY of the EMB_BANDS tables, buckets collect bare
     vec_ids (cap × 8 bytes per tile), pairs deduped across bands.  The
-    quadratic in-bucket explode is TILED (see EMB_PAIR_TILES) so a
+    quadratic in-bucket explode is TILED (_tiled_member_pairs) so a
     cap-sized bucket parallelizes instead of running in one task."""
     e = spread(embs).select("vec_id", F.col("embedding").alias("emb"))
     banded = e.select(
@@ -781,53 +831,15 @@ def embedding_candidate_pairs(
     sized = banded.withColumn(
         "bn", F.count(F.lit(1)).over(W.partitionBy("band", "bval"))
     ).filter((F.col("bn") >= 2) & (F.col("bn") <= bucket_cap))
-    grouped = (
-        sized.withColumn(
-            "g", F.pmod(F.col("vec_id"), F.lit(EMB_PAIR_TILES)).cast("int")
-        )
-        .groupBy("band", "bval", "g")
-        .agg(F.collect_list("vec_id").alias("ms"))
-    )
-    # the tile frame feeds three subtrees (within-pairs + both cross
-    # sides); bare ids only, ≤ bands·n rows — persist under the usual
-    # latest-wins rotation so the action computes the banding once
-    from pyspark import StorageLevel
-
-    grouped = grouped.persist(StorageLevel.MEMORY_AND_DISK)
-    rotate_cached("emb_band_tiles", [grouped])
-    pair = F.explode(
-        F.flatten(
-            F.transform(
-                F.col("ms"),
-                lambda x, i: F.transform(
-                    F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
-                    lambda y: F.struct(x.alias("a"), y.alias("b")),
-                ),
-            )
-        )
-    )
-    within = grouped.select(pair.alias("p")).select(
-        F.col("p.a").alias("a"), F.col("p.b").alias("b")
-    )
-    ga = grouped.select(
-        "band", "bval", F.col("g").alias("ga"), F.col("ms").alias("msa")
-    )
-    gb = grouped.select(
-        "band", "bval", F.col("g").alias("gb"), F.col("ms").alias("msb")
-    )
-    cross = (
-        ga.join(gb, ["band", "bval"])
-        .filter(F.col("ga") < F.col("gb"))
-        # the join keys collapse a bucket's C(TILE,2) tile rows into one
-        # partition; redistribute by the full tile key BEFORE the
-        # explodes so each tile's product runs in its own task
-        .repartition(F.col("band"), F.col("bval"), F.col("ga"), F.col("gb"))
-        .select(F.explode("msa").alias("a"), "msb")
-        .select("a", F.explode("msb").alias("b"))
+    pairs = _tiled_member_pairs(
+        sized,
+        ["band", "bval"],
+        F.pmod(F.col("vec_id"), F.lit(PAIR_TILES)),
+        F.col("vec_id"),
+        "emb_band_tiles",
     )
     return (
-        within.unionByName(cross)
-        .select(
+        pairs.select(
             F.least("a", "b").alias("vec_a"),
             F.greatest("a", "b").alias("vec_b"),
         )
